@@ -1,0 +1,92 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Declarative column model, reference `Database.ColumnModel` (reference:
+  * revtron/database/main.py:28-37): name/type/default/server_default/
+  * autoincrement/foreign_key. Spark has no enforced constraints, so PK /
+  * unique / FK / default are carried in [[StructField]] metadata and
+  * (optionally) VALIDATED on write rather than enforced (SURVEY §7.5). */
+final case class ColumnSpec(
+    name: String,
+    dataType: DataType,
+    nullable: Boolean = true,
+    default: Option[Any] = None,
+    autoincrement: Boolean = false,
+    foreignKey: Option[String] = None) {
+
+  def toField: StructField = {
+    val mb = new MetadataBuilder()
+    default.foreach(d => mb.putString("default", String.valueOf(d)))
+    if (autoincrement) mb.putBoolean("autoincrement", true)
+    foreignKey.foreach(fk => mb.putString("foreign_key", fk))
+    StructField(name, dataType, nullable, mb.build())
+  }
+}
+
+/** DDL + additive schema evolution, reference `Database.create_table` /
+  * `add_column` (reference: revtron/database/main.py:119-189). */
+object Ddl {
+
+  def toStruct(specs: Seq[ColumnSpec]): StructType = StructType(specs.map(_.toField))
+
+  /** Create-if-absent with additive evolution: if the table exists, diff
+    * declared vs existing columns and ADD the missing ones (never drop or
+    * retype) — reference main.py:129-140. Metadata records pk/unique. */
+  def createTable(
+      store: TableStore,
+      spark: SparkSession,
+      name: String,
+      specs: Seq[ColumnSpec],
+      primaryKey: Seq[String] = Nil,
+      uniqueColumns: Seq[String] = Nil,
+      checkExisting: Boolean = true): Unit = {
+    if (checkExisting && store.tableExists(name)) {
+      val existing = store.read(name)
+      val missing = specs.filterNot(s => existing.columns.contains(s.name))
+      if (missing.nonEmpty) store.write(name, evolveSchema(existing, missing))
+    } else {
+      val schema = toStruct(specs)
+      store.write(name, spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
+    }
+  }
+
+  /** `ALTER TABLE … ADD COLUMN` for parquet snapshots: project the new
+    * column with its default (reference main.py:172-189). */
+  def addColumn(df: DataFrame, spec: ColumnSpec): DataFrame =
+    df.withColumn(spec.name,
+      lit(spec.default.orNull).cast(spec.dataType))
+
+  /** Additive evolution: add every missing declared column; never drop
+    * or retype existing ones (reference main.py:129-140). */
+  def evolveSchema(df: DataFrame, specs: Seq[ColumnSpec]): DataFrame =
+    specs.filterNot(s => df.columns.contains(s.name)).foldLeft(df)(addColumn)
+
+  /** Align a reader to a target schema (read-side evolution): missing
+    * columns null-filled, order normalized — the unionByName idiom. */
+  def conformTo(df: DataFrame, schema: StructType): DataFrame = {
+    val withAll = schema.fields.foldLeft(df) { (d, f) =>
+      if (d.columns.contains(f.name)) d
+      else d.withColumn(f.name, lit(null).cast(f.dataType))
+    }
+    withAll.select(schema.fieldNames.map(col): _*)
+  }
+
+  /** PK/unique VALIDATION (not enforcement): true iff no duplicate keys.
+    * Distributed check — a partial-agg groupBy, no collect. */
+  def validateUnique(df: DataFrame, keys: Seq[String]): Boolean =
+    df.groupBy(keys.map(col): _*).count().filter(col("count") > 1).isEmpty
+
+  /** Autoincrement surrogate ids: dense, stable (sorted by `orderBy`)
+    * ids via row_number — NOT monotonically_increasing_id, whose values
+    * are partition-sparse (SURVEY §7.5). One global sort; use only when
+    * dense ids are genuinely required. */
+  def assignIds(df: DataFrame, idCol: String, orderBy: Seq[String]): DataFrame = {
+    val w = Window.orderBy(orderBy.map(col): _*)
+    df.withColumn(idCol, row_number().over(w).cast(LongType))
+  }
+}

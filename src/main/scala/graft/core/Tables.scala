@@ -1,0 +1,96 @@
+package graft.core
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Fixture access: one parquet file per table under a scale-factor dir
+  * (TESTDATA.md). Also registers temp views so `Sql.executeRaw` (D15)
+  * can address tables by name, mirroring the reference's schema-scoped
+  * table addressing (reference: revtron/database/main.py:39-46,59-66). */
+object Fx {
+  val StarTables: Seq[String] =
+    Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
+  val AllTables: Seq[String] =
+    StarTables ++ Seq("events", "documents", "embeddings")
+
+  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
+    // reader rejects outright ([PARQUET_TYPE_ILLEGAL]). Read nanos as
+    // long and convert with exact integer division (a double division
+    // would lose precision at 1e18 nanos).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    df.schema.fields.find(f => f.name == "ts" &&
+        f.dataType == org.apache.spark.sql.types.LongType) match {
+      case Some(_) => df.withColumn("ts",
+        org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case None => df
+    }
+  }
+
+  /** Idempotent: (re-)register every fixture table as a temp view. */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    AllTables.foreach(n => t(spark, dir, n).createOrReplaceTempView(n))
+}
+
+/** Catalog + snapshot-versioned storage.
+  *
+  * Replaces the reference's live-Postgres reflection and DDL (reference:
+  * revtron/database/main.py:59-86) with a parquet-snapshot store:
+  * mutations produce a NEW immutable snapshot directory and a pointer
+  * swap makes it current — whole-write atomicity (the reference only had
+  * per-chunk atomicity, SURVEY §3.2). Concurrent writers are out of
+  * scope (single-writer, like the reference's single client).
+  *
+  * Layout: `$root/$name/v{N}/part-*.parquet` + `$root/$name/_LATEST`
+  * containing the current version number.
+  */
+final class TableStore(spark: SparkSession, root: String) {
+  private def fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private def tableDir(name: String) = new Path(root, name)
+  private def latestFile(name: String) = new Path(tableDir(name), "_LATEST")
+
+  private def currentVersion(name: String): Option[Int] = {
+    val lf = latestFile(name)
+    if (!fs.exists(lf)) None
+    else {
+      val in = fs.open(lf)
+      try Some(new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim.toInt)
+      finally in.close()
+    }
+  }
+
+  def tableExists(name: String): Boolean = currentVersion(name).isDefined
+
+  def listTables(): Seq[String] = {
+    val r = new Path(root)
+    if (!fs.exists(r)) Nil
+    else fs.listStatus(r).toSeq.filter(_.isDirectory).map(_.getPath.getName)
+      .filter(tableExists).sorted
+  }
+
+  def listColumns(name: String): Seq[String] = read(name).columns.toSeq
+
+  def count(name: String): Long = read(name).count()
+
+  def read(name: String): DataFrame = {
+    val v = currentVersion(name).getOrElse(
+      throw new IllegalArgumentException(s"no such table: $name"))
+    spark.read.parquet(new Path(tableDir(name), s"v$v").toString)
+  }
+
+  /** Write a new snapshot then atomically swap the pointer. */
+  def write(name: String, df: DataFrame): Unit = {
+    val next = currentVersion(name).getOrElse(-1) + 1
+    val dest = new Path(tableDir(name), s"v$next")
+    df.write.mode("overwrite").parquet(dest.toString)
+    val tmp = new Path(tableDir(name), s"_LATEST.tmp$next")
+    val out = fs.create(tmp, true)
+    try out.write(next.toString.getBytes("UTF-8")) finally out.close()
+    if (fs.exists(latestFile(name))) fs.delete(latestFile(name), false)
+    fs.rename(tmp, latestFile(name))
+  }
+
+  def drop(name: String): Unit =
+    if (fs.exists(tableDir(name))) fs.delete(tableDir(name), true)
+}

@@ -1,0 +1,215 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for LLM training-data pipelines (north-star
+  * extensions; the reference has none — SURVEY §2.4).
+  *
+  * Scale design (the 100 TB rule, SURVEY §7.5):
+  *  - exact dedup / keep-latest: ONE hash shuffle on the dedup key with
+  *    map-side partial aggregation — the canonical scalable shape.
+  *  - MinHash: signatures are computed with k `min()` aggregates in a
+  *    single groupBy (map-side combine; no k× row blowup), then LSH
+  *    banding turns the quadratic candidate problem into an equi-join on
+  *    (band, bandHash) buckets — only same-bucket pairs are compared.
+  *  - SimHash: one 64-bit signature per doc via higher-order-function
+  *    aggregation (no explode), candidates via 4×16-bit band equality
+  *    (Hamming ≤ 3 within 64 bits guarantees a shared band).
+  *  - never a full cross join; never a driver-side collect.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the row with the minimum `idCol` per duplicate
+    * group (group = equal values of `keyCols`). Implemented as
+    * row_number over a hash-partitioned window — one shuffle. */
+  def exact(df: DataFrame, keyCols: Seq[String], idCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(idCol).asc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Keep-latest-per-key (the streaming analogue of the reference's
+    * upsert merge rule, reference revtron/database/main.py:109-112):
+    * last row by `orderCol` wins, ties broken by `tieBreak` desc. */
+  def keepLatest(df: DataFrame, keys: Seq[String], orderCol: String,
+      tieBreak: Option[String] = None): DataFrame = {
+    val ord = col(orderCol).desc +: tieBreak.map(col(_).desc).toSeq
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  // ---------------------------------------------------------------- MinHash
+
+  /** Per-doc MinHash signature columns h0..h{k-1}: min over the doc's
+    * distinct word-n-gram shingles of xxhash64(seed_i, shingle).
+    * Single groupBy with k min() aggregates ⇒ map-side partial agg. */
+  def minhashSignature(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 32, shingleN: Int = 3): DataFrame = {
+    val sh = docs.select(col(idCol),
+      explode(array_distinct(TextOps.shingles(TextOps.tokens(col(textCol)), shingleN)))
+        .as("__shingle"))
+    val aggs = (0 until k).map(i =>
+      min(xxhash64(lit(i), col("__shingle"))).as(s"h$i"))
+    sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH candidate pairs from a signature frame: band the k hashes into
+    * `bands` groups of k/bands rows, hash each band, and equi-join on
+    * (bandIndex, bandHash). Returns distinct (a, b) with a < b. */
+  def lshCandidates(sig: DataFrame, idCol: String, k: Int, bands: Int): DataFrame = {
+    require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
+    val r = k / bands
+    val bandHashes = (0 until bands).map { b =>
+      xxhash64((lit(b) +: (0 until r).map(i => col(s"h${b * r + i}"))): _*).as(s"b$b")
+    }
+    val banded = sig.select(col(idCol) +: bandHashes: _*)
+    val e = banded.select(col(idCol),
+      posexplode(array((0 until bands).map(i => col(s"b$i")): _*)).as(Seq("__band", "__bh")))
+    val l = e.select(col(idCol).as("a"), col("__band"), col("__bh"))
+    val rgt = e.select(col(idCol).as("b"), col("__band"), col("__bh"))
+    l.join(rgt, Seq("__band", "__bh"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+  }
+
+  /** Exact word-n-gram Jaccard over candidate pairs (verification step):
+    * joins each side's distinct shingle set and computes
+    * |∩| / |∪| with array_intersect/array_union. */
+  def jaccardVerify(candidates: DataFrame, docs: DataFrame, idCol: String,
+      textCol: String, shingleN: Int = 3): DataFrame = {
+    val sets = docs.select(col(idCol),
+      array_distinct(TextOps.shingles(TextOps.tokens(col(textCol)), shingleN)).as("__set"))
+    candidates
+      .join(sets.withColumnRenamed(idCol, "a").withColumnRenamed("__set", "__sa"), "a")
+      .join(sets.withColumnRenamed(idCol, "b").withColumnRenamed("__set", "__sb"), "b")
+      .withColumn("jaccard",
+        when(size(array_union(col("__sa"), col("__sb"))) === 0, lit(0.0))
+          .otherwise(size(array_intersect(col("__sa"), col("__sb"))).cast("double") /
+            size(array_union(col("__sa"), col("__sb"))).cast("double")))
+      .select(col("a"), col("b"), col("jaccard"))
+  }
+
+  /** Full MinHash+LSH near-dup pipeline: signature → banding → candidate
+    * join → exact-Jaccard verify ≥ threshold. */
+  def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.8, k: Int = 32, bands: Int = 8,
+      shingleN: Int = 3): DataFrame = {
+    val sig = minhashSignature(docs, idCol, textCol, k, shingleN)
+    val cand = lshCandidates(sig, idCol, k, bands)
+    jaccardVerify(cand, docs, idCol, textCol, shingleN)
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Brute-force exact n-gram Jaccard pairs ≥ threshold (the oracle-
+    * checkable baseline; quadratic — small inputs / verification only;
+    * the LSH path above is the scale path). Joins on shared shingles so
+    * only pairs with ≥1 common shingle are ever scored. */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.5, shingleN: Int = 3): DataFrame = {
+    val sets = docs.select(col(idCol).as("__id"),
+      array_distinct(TextOps.shingles(TextOps.tokens(col(textCol)), shingleN)).as("__set"))
+      .withColumn("__n", size(col("__set")))
+    val ex = sets.select(col("__id"), col("__n"), explode(col("__set")).as("__sh"))
+    val common = ex.select(col("__id").as("a"), col("__n").as("na"), col("__sh"))
+      .join(ex.select(col("__id").as("b"), col("__n").as("nb"), col("__sh")), Seq("__sh"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("__common"))
+    common
+      .withColumn("jaccard", col("__common").cast("double") /
+        (col("na") + col("nb") - col("__common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), col("jaccard"))
+  }
+
+  // ---------------------------------------------------------------- SimHash
+
+  /** 64-bit SimHash per token array: each token votes ±1 on each bit of
+    * xxhash64(token); sign of the per-bit sum becomes the bit.
+    * Pure higher-order-function expression — no explode, no shuffle. */
+  def simhash64(tokensCol: Column): Column = {
+    val votes = aggregate(
+      tokensCol,
+      array_repeat(lit(0L), 64),
+      (acc, t) => zip_with(acc,
+        transform(sequence(lit(0), lit(63)),
+          // functions.shiftright only takes an Int literal; the shift
+          // amount here is a lambda variable, so call the SQL function.
+          i => when(call_function("shiftright", xxhash64(t), i)
+            .bitwiseAND(lit(1L)) === 1L, lit(1L)).otherwise(lit(-1L))),
+        (a, b) => a + b))
+    aggregate(
+      sequence(lit(0), lit(63)),
+      lit(0L),
+      (s, i) => s + when(element_at(votes, i + lit(1)) > 0,
+        call_function("shiftleft", lit(1L), i)).otherwise(lit(0L)))
+  }
+
+  /** SimHash near-dup candidates: docs sharing any of the 4 16-bit bands
+    * (pigeonhole: Hamming distance ≤ 3 ⇒ at least one band equal). */
+  def simhashCandidates(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val sig = docs.select(col(idCol),
+      simhash64(TextOps.tokens(col(textCol))).as("__sim"))
+    val bandCols = (0 until 4).map(b =>
+      shiftright(col("__sim"), b * 16).bitwiseAND(lit(0xFFFFL)).as(s"b$b"))
+    val banded = sig.select(col(idCol) +: col("__sim") +: bandCols: _*)
+    val e = banded.select(col(idCol), col("__sim"),
+      posexplode(array((0 until 4).map(i => col(s"b$i")): _*)).as(Seq("__band", "__bh")))
+    val l = e.select(col(idCol).as("a"), col("__sim").as("__sa"), col("__band"), col("__bh"))
+    val r = e.select(col(idCol).as("b"), col("__sim").as("__sb"), col("__band"), col("__bh"))
+    l.join(r, Seq("__band", "__bh")).filter(col("a") < col("b"))
+      .select(col("a"), col("b"), col("__sa"), col("__sb")).distinct()
+  }
+
+  /** Hamming distance between two 64-bit signatures. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dups: candidates with Hamming distance ≤ maxDistance. */
+  def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
+      maxDistance: Int = 3): DataFrame =
+    simhashCandidates(docs, idCol, textCol)
+      .withColumn("hamming", hamming64(col("__sa"), col("__sb")))
+      .filter(col("hamming") <= maxDistance)
+      .select(col("a"), col("b"), col("hamming"))
+
+  // ------------------------------------------------------- Embedding dedup
+
+  /** Embedding near-dups: pairs with cosine ≥ threshold. Candidate
+    * generation via sign-random-projection LSH (deterministic seeded
+    * hyperplanes, banded) so the join is bucketed, then exact cosine
+    * verification. Set `bruteForce=true` to skip LSH (small inputs /
+    * recall baseline). */
+  def embeddingNearDups(emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.95, dim: Int = 64, planes: Int = 16,
+      bandsOf: Int = 4, bruteForce: Boolean = false): DataFrame = {
+    val v = emb.select(col(idCol).as("__id"),
+      Similarity.l2Normalize(col(vecCol).cast("array<double>")).as("__v"))
+    val pairs =
+      if (bruteForce) {
+        v.select(col("__id").as("a"), col("__v").as("__va"))
+          .join(v.select(col("__id").as("b"), col("__v").as("__vb")),
+            col("a") < col("b"))
+      } else {
+        val sig = v.withColumn("__sig",
+          Similarity.srpSignature(col("__v"), dim, planes, seed = 42))
+        val nBands = planes / bandsOf
+        val bandCols = (0 until nBands).map(b =>
+          slice(col("__sig"), b * bandsOf + 1, bandsOf).cast("array<int>").as(s"b$b"))
+        val banded = sig.select(col("__id") +: col("__v") +: bandCols: _*)
+        val e = banded.select(col("__id"), col("__v"),
+          posexplode(array((0 until nBands).map(i => col(s"b$i")): _*))
+            .as(Seq("__band", "__bh")))
+        e.select(col("__id").as("a"), col("__v").as("__va"), col("__band"), col("__bh"))
+          .join(e.select(col("__id").as("b"), col("__v").as("__vb"), col("__band"), col("__bh")),
+            Seq("__band", "__bh"))
+          .filter(col("a") < col("b"))
+          .select(col("a"), col("__va"), col("b"), col("__vb")).distinct()
+      }
+    pairs.withColumn("cosine", Similarity.dot(col("__va"), col("__vb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("a"), col("b"), col("cosine"))
+  }
+}

@@ -1,0 +1,106 @@
+package graft.ext
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM training-data pipelines (north-star
+  * extensions per SURVEY §2.4; the reference itself has no text ops).
+  *
+  * Everything here is built from `org.apache.spark.sql.functions` —
+  * codegen'd Catalyst expressions, no UDFs — so the whole pipeline stays
+  * inside WholeStageCodegen and scales linearly with input: language-ID,
+  * quality scoring, token counting, fingerprinting are all narrow
+  * (per-row) transformations with zero shuffles.
+  */
+object TextOps {
+
+  /** Canonical text normalization: lowercase, collapse whitespace. */
+  def normalize(c: Column): Column =
+    regexp_replace(lower(trim(c)), "\\s+", " ")
+
+  /** Word tokens: lowercase, split on non-alphanumerics, drop empties. */
+  def tokens(c: Column): Column =
+    filter(split(lower(c), "[^a-z0-9]+"), t => length(t) > 0)
+
+  /** Whitespace token count. */
+  def tokenCountWs(c: Column): Column =
+    when(length(trim(c)) === 0, lit(0L))
+      .otherwise(size(split(trim(c), "\\s+")).cast("long"))
+
+  /** BPE-ish token count: alpha runs, single digits, and isolated
+    * punctuation each count as one token (a cheap proxy for byte-pair
+    * tokenizer length, good enough for data-selection heuristics). */
+  def tokenCountBpe(c: Column): Column =
+    regexp_count(c, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]")).cast("long")
+
+  /** Punctuation count / ratio (quality-scoring component). */
+  def punctCount(c: Column): Column =
+    (length(c) - length(regexp_replace(c, "[.,!?;:]", ""))).cast("long")
+
+  def punctRatio(c: Column): Column =
+    when(length(c) === 0, lit(0.0))
+      .otherwise(punctCount(c).cast("double") / length(c).cast("double"))
+
+  val EnglishStopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "for", "on", "with", "as", "at", "by", "from", "this", "be")
+
+  /** Stopword hits among tokens (counts occurrences, not distinct). */
+  def stopwordCount(tokensCol: Column, stopwords: Seq[String] = EnglishStopwords): Column = {
+    val stops = array(stopwords.map(lit): _*)
+    size(filter(tokensCol, t => array_contains(stops, t))).cast("long")
+  }
+
+  def stopwordRatio(tokensCol: Column, stopwords: Seq[String] = EnglishStopwords): Column =
+    when(size(tokensCol) === 0, lit(0.0))
+      .otherwise(stopwordCount(tokensCol, stopwords).cast("double") /
+        size(tokensCol).cast("double"))
+
+  /** Composite quality score in [0,1]: length band + stopword presence −
+    * punctuation excess. Deterministic, order-independent. */
+  def qualityScore(text: Column): Column = {
+    val tk = tokens(text)
+    val lenScore = least(length(text).cast("double") / lit(500.0), lit(1.0))
+    val stopScore = least(stopwordRatio(tk) * lit(4.0), lit(1.0))
+    val punctPenalty = least(punctRatio(text) * lit(2.0), lit(1.0))
+    greatest(lit(0.0), least(lit(1.0),
+      lenScore * lit(0.5) + stopScore * lit(0.5) - punctPenalty * lit(0.25)))
+  }
+
+  /** Tiny per-language function-word lists for the n-gram/stopword
+    * language-ID heuristic. Real pipelines plug in bigger lists; the
+    * mechanism (per-language hit-ratio, argmax) is the point. */
+  val LangStopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "for", "with"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "los", "del", "se"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "von", "mit", "den", "ein", "zu"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "un", "une", "du", "est", "dans"))
+
+  /** Language-ID: per-language stopword hit ratio, argmax (ties broken
+    * by language code, deterministic). Returns the language code, or
+    * "und" when nothing matches. */
+  def langId(text: Column, lists: Map[String, Seq[String]] = LangStopwords): Column = {
+    val tk = tokens(text)
+    val scored = lists.toSeq.sortBy(_._1).map { case (lang, stops) =>
+      struct(stopwordRatio(tk, stops).as("score"), lit(lang).as("lang"))
+    }
+    val best = array_max(array(scored: _*))
+    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Exact document fingerprint: md5 of normalized text. Stable across
+    * engines (used by the exact-dedup oracle). */
+  def fingerprintMd5(c: Column): Column = md5(normalize(c))
+
+  /** 64-bit content fingerprint (xxhash64 of normalized text) — cheaper
+    * than md5 for joins/grouping inside the engine. */
+  def fingerprint64(c: Column): Column = xxhash64(normalize(c))
+
+  /** Word n-gram shingles (default 3) over a token array; empty when the
+    * doc has fewer than n tokens. */
+  def shingles(tokensCol: Column, n: Int = 3): Column =
+    when(size(tokensCol) >= n,
+      transform(sequence(lit(0), size(tokensCol) - n),
+        i => concat_ws(" ", slice(tokensCol, i + lit(1), lit(n)))))
+      .otherwise(array().cast("array<string>"))
+}
