@@ -127,32 +127,31 @@ object Dedup {
 
   // ---------------------------------------------------------------- SimHash
 
-  /** 64-bit SimHash per token array: each token votes ±1 on each bit of
-    * xxhash64(token); sign of the per-bit sum becomes the bit.
-    * Pure higher-order-function expression — no explode, no shuffle. */
-  def simhash64(tokensCol: Column): Column = {
-    val votes = aggregate(
-      tokensCol,
-      array_repeat(lit(0L), 64),
-      (acc, t) => zip_with(acc,
-        transform(sequence(lit(0), lit(63)),
-          // functions.shiftright only takes an Int literal; the shift
-          // amount here is a lambda variable, so call the SQL function.
-          i => when(call_function("shiftright", xxhash64(t), i)
-            .bitwiseAND(lit(1L)) === 1L, lit(1L)).otherwise(lit(-1L))),
-        (a, b) => a + b))
-    aggregate(
-      sequence(lit(0), lit(63)),
-      lit(0L),
-      (s, i) => s + when(element_at(votes, i + lit(1)) > 0,
-        call_function("shiftleft", lit(1L), i)).otherwise(lit(0L)))
+  /** Per-doc 64-bit SimHash: each token votes ±1 on each bit of
+    * xxhash64(token); the sign of the per-bit sum becomes the bit.
+    *
+    * Shape: explode tokens → ONE groupBy with 64 codegen'd `sum(CASE)`
+    * aggregates (map-side partial agg), then fold the vote signs into a
+    * long. A nested higher-order-function formulation (aggregate ×
+    * zip_with × transform per token) is ~30× slower because it never
+    * enters whole-stage codegen — measured and replaced. */
+  def simhashSignature(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = docs.select(col(idCol),
+      explode(TextOps.tokens(col(textCol))).as("__t"))
+      .withColumn("__h", xxhash64(col("__t")))
+    val aggs = (0 until 64).map(i =>
+      sum(when(col("__h").bitwiseAND(lit(1L << i)) =!= 0, lit(1L))
+        .otherwise(lit(-1L))).as(s"v$i"))
+    val votes = tok.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    val bits = (0 until 64).map(i =>
+      when(col(s"v$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+    votes.select(col(idCol), bits.reduce(_ + _).as("__sim"))
   }
 
   /** SimHash near-dup candidates: docs sharing any of the 4 16-bit bands
     * (pigeonhole: Hamming distance ≤ 3 ⇒ at least one band equal). */
   def simhashCandidates(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val sig = docs.select(col(idCol),
-      simhash64(TextOps.tokens(col(textCol))).as("__sim"))
+    val sig = simhashSignature(docs, idCol, textCol)
     val bandCols = (0 until 4).map(b =>
       shiftright(col("__sim"), b * 16).bitwiseAND(lit(0xFFFFL)).as(s"b$b"))
     val banded = sig.select(col(idCol) +: col("__sim") +: bandCols: _*)

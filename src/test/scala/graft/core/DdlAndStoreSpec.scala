@@ -1,0 +1,71 @@
+package graft.core
+
+import graft.SparkSpec
+import org.apache.spark.sql.types._
+import java.nio.file.Files
+
+class DdlAndStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def newStore() =
+    new TableStore(spark, Files.createTempDirectory("graft-store").toString)
+
+  test("TableStore: snapshot write/read/version swap + catalog ops (D2-D7)") {
+    val store = newStore()
+    assert(!store.tableExists("t"))
+    store.write("t", Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    assert(store.tableExists("t"))
+    assert(store.listTables() == Seq("t"))
+    assert(store.listColumns("t") == Seq("id", "v"))
+    assert(store.count("t") == 2)
+    // new snapshot replaces the old atomically (pointer swap)
+    store.write("t", Seq((3L, "c")).toDF("id", "v"))
+    assert(store.read("t").select("id").as[Long].collect().toSeq == Seq(3L))
+    store.drop("t")
+    assert(!store.tableExists("t"))
+  }
+
+  test("createTable: create-if-absent, then additive evolution on re-declare (D9/D10)") {
+    val store = newStore()
+    Ddl.createTable(store, spark, "t", Seq(
+      ColumnSpec("id", LongType), ColumnSpec("v", StringType)))
+    assert(store.read("t").columns.toSeq == Seq("id", "v"))
+    store.write("t", Seq((1L, "a")).toDF("id", "v"))
+    // re-declare with an extra column: existing rows null-filled, nothing dropped
+    Ddl.createTable(store, spark, "t", Seq(
+      ColumnSpec("id", LongType), ColumnSpec("v", StringType),
+      ColumnSpec("score", DoubleType, default = Some(0.0))))
+    val out = store.read("t")
+    assert(out.columns.toSeq == Seq("id", "v", "score"))
+    assert(out.select("score").as[Double].collect().toSeq == Seq(0.0))
+  }
+
+  test("addColumn default + conformTo read-side evolution") {
+    val df = Seq((1L, "a")).toDF("id", "v")
+    val evolved = Ddl.addColumn(df, ColumnSpec("n", IntegerType, default = Some(7)))
+    assert(evolved.select("n").as[Int].collect().toSeq == Seq(7))
+    val schema = StructType(Seq(
+      StructField("v", StringType), StructField("id", LongType),
+      StructField("extra", DoubleType)))
+    val conformed = Ddl.conformTo(df, schema)
+    assert(conformed.columns.toSeq == Seq("v", "id", "extra"))
+    assert(conformed.first().isNullAt(2))
+  }
+
+  test("validateUnique + dense id assignment (D16, SURVEY §7.5)") {
+    val dup = Seq((1L, "a"), (1L, "b"), (2L, "c")).toDF("id", "v")
+    assert(!Ddl.validateUnique(dup, Seq("id")))
+    assert(Ddl.validateUnique(dup, Seq("id", "v")))
+    val ids = Ddl.assignIds(dup.drop("id"), "id", Seq("v"))
+      .select("id").as[Long].collect().toSeq
+    assert(ids.sorted == Seq(1L, 2L, 3L)) // dense, 1-based, no gaps
+  }
+
+  test("metadata carries default/autoincrement/fk (D16)") {
+    val f = ColumnSpec("id", LongType, autoincrement = true,
+      default = Some(0), foreignKey = Some("other.id")).toField
+    assert(f.metadata.getBoolean("autoincrement"))
+    assert(f.metadata.getString("foreign_key") == "other.id")
+    assert(f.metadata.getString("default") == "0")
+  }
+}

@@ -1,0 +1,72 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog and runs far away into the green forest tonight"
+
+  private lazy val docs = Seq(
+    (1L, base),
+    (2L, base),                                    // exact dup of 1
+    (3L, base.replace("green", "blue")),           // near dup of 1
+    (4L, "completely different content about spark query engines and distributed execution plans"),
+    (5L, "short text")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps the min-id row per duplicate group") {
+    val out = Dedup.exact(docs, Seq("text"), "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(out == Set(1L, 3L, 4L, 5L))
+  }
+
+  test("keepLatest: last by orderCol wins, tie broken deterministically") {
+    val ev = Seq((1L, 10L, 100L, "a"), (1L, 20L, 101L, "b"), (1L, 20L, 99L, "c"),
+      (2L, 5L, 50L, "d")).toDF("k", "ts", "seq", "v")
+    val out = Dedup.keepLatest(ev, Seq("k"), "ts", Some("seq"))
+      .select("v").as[String].collect().toSet
+    assert(out == Set("b", "d")) // k=1: ts=20 wins, seq=101 breaks the tie
+  }
+
+  test("minhash+LSH finds exact and near duplicates, not unrelated docs") {
+    val pairs = Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.5)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("exact n-gram jaccard: hand-checked value") {
+    val two = Seq((1L, "a b c d"), (2L, "a b c e")).toDF("doc_id", "text")
+    // shingles(3): {abc, bcd} vs {abc, bce} -> |∩|=1, |∪|=3
+    val j = Dedup.ngramJaccardPairs(two, "doc_id", "text", threshold = 0.0)
+      .select("jaccard").as[Double].first()
+    assert(math.abs(j - 1.0 / 3.0) < 1e-12)
+  }
+
+  test("simhash: identical docs have distance 0 and are found; near dups close") {
+    val sig = Dedup.simhashSignature(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sig(1L) == sig(2L))
+    val d13 = java.lang.Long.bitCount(sig(1L) ^ sig(3L))
+    val d14 = java.lang.Long.bitCount(sig(1L) ^ sig(4L))
+    assert(d13 < d14, s"near-dup distance $d13 should be < unrelated $d14")
+    val nd = Dedup.simhashNearDups(docs, "doc_id", "text", maxDistance = 3)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(nd.contains((1L, 2L)))
+  }
+
+  test("embedding near-dups: LSH candidates recover the brute-force pairs") {
+    val emb = graft.core.Fx.t(spark, sfDir, "embeddings")
+    val brute = Dedup.embeddingNearDups(emb, "vec_id", "embedding",
+      threshold = 0.4, bruteForce = true).select("a", "b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.embeddingNearDups(emb, "vec_id", "embedding",
+      threshold = 0.4).select("a", "b").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(brute), "LSH must not invent pairs (it verifies exactly)")
+    assert(brute.nonEmpty)
+    val recall = lsh.size.toDouble / brute.size
+    assert(recall >= 0.3, s"LSH recall $recall too low (16 planes, 4-bit bands)")
+  }
+}

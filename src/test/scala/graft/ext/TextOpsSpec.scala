@@ -1,0 +1,65 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one(text: String) = Seq(Tuple1(text)).toDF("t")
+
+  test("tokens: lowercase, non-alnum split, empties dropped") {
+    val tk = one("Hello, World!  foo-bar").select(TextOps.tokens($"t"))
+      .as[Seq[String]].first()
+    assert(tk == Seq("hello", "world", "foo", "bar"))
+  }
+
+  test("token counts: whitespace and BPE-ish; empty-string edge") {
+    val r = one("one two  three").select(
+      TextOps.tokenCountWs($"t"), TextOps.tokenCountBpe($"t")).first()
+    assert(r.getLong(0) == 3L)
+    assert(r.getLong(1) == 3L)
+    assert(one("").select(TextOps.tokenCountWs($"t")).first().getLong(0) == 0L)
+    // "a1-b." -> [a][1][-][b][.] = 5 BPE-ish tokens
+    assert(one("a1-b.").select(TextOps.tokenCountBpe($"t")).first().getLong(0) == 5L)
+  }
+
+  test("punct count/ratio") {
+    val r = one("a, b. c!").select(
+      TextOps.punctCount($"t"), TextOps.punctRatio($"t")).first()
+    assert(r.getLong(0) == 3L)
+    assert(math.abs(r.getDouble(1) - 3.0 / 8.0) < 1e-12)
+  }
+
+  test("stopword ratio counts occurrences, not distinct") {
+    val tk = TextOps.tokens($"t")
+    val r = one("the cat and the dog").select(
+      TextOps.stopwordCount(tk), TextOps.stopwordRatio(tk)).first()
+    assert(r.getLong(0) == 3L) // the, and, the
+    assert(math.abs(r.getDouble(1) - 3.0 / 5.0) < 1e-12)
+  }
+
+  test("langId picks the language with highest function-word hit ratio") {
+    assert(one("the cat is in the house and it is warm")
+      .select(TextOps.langId($"t")).first().getString(0) == "en")
+    assert(one("el perro y la casa de los vecinos en un pueblo")
+      .select(TextOps.langId($"t")).first().getString(0) == "es")
+    assert(one("zzz qqq xxx").select(TextOps.langId($"t")).first().getString(0) == "und")
+  }
+
+  test("shingles: n-grams over tokens; short docs yield empty") {
+    val sh = one("a b c d").select(TextOps.shingles(TextOps.tokens($"t"), 3))
+      .as[Seq[String]].first()
+    assert(sh == Seq("a b c", "b c d"))
+    assert(one("a b").select(TextOps.shingles(TextOps.tokens($"t"), 3))
+      .as[Seq[String]].first().isEmpty)
+  }
+
+  test("fingerprints are whitespace/case-normalized") {
+    val df = Seq(("  Hello   World ", 1), ("hello world", 2)).toDF("t", "i")
+    val fps = df.select(TextOps.fingerprintMd5($"t")).as[String].collect().toSet
+    assert(fps.size == 1)
+    val fp64 = df.select(TextOps.fingerprint64($"t")).as[Long].collect().toSet
+    assert(fp64.size == 1)
+  }
+}

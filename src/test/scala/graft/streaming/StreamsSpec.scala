@@ -1,0 +1,84 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import java.sql.Timestamp
+
+class StreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  private def mkEvents(rows: (Long, String, Long, String, Double)*) =
+    rows.map(r => (r._1, ts(r._2), r._3, r._4, r._5))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+
+  test("sessionizeBatch: new session after gap; counts per session") {
+    val ev = mkEvents(
+      (1, "2024-01-01 10:00:00", 1, "a", 1.0),
+      (2, "2024-01-01 10:10:00", 1, "a", 1.0),  // same session (10m gap)
+      (3, "2024-01-01 11:00:00", 1, "a", 1.0),  // new session (50m > 30m)
+      (4, "2024-01-01 10:00:00", 2, "a", 1.0))
+    val out = Streams.sessionizeBatch(ev, "ts", "user_id", gapMinutes = 30)
+      .select("user_id", "session_id", "n_events")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out == Set((1L, 1L, 2L), (1L, 2L, 1L), (2L, 1L, 1L)))
+  }
+
+  test("tumblingAgg over a real stream: watermarked windowed counts") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String, Double)]
+    val events = mem.toDF().toDF("event_id", "ts", "event_type", "value")
+    val q = Streams.tumblingAgg(events, "ts", "10 minutes", lateness = "5 minutes")
+      .writeStream.format("memory").queryName("tumbling_test")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(
+        (1L, ts("2024-01-01 10:01:00"), "a", 1.0),
+        (2L, ts("2024-01-01 10:02:00"), "a", 2.0),
+        (3L, ts("2024-01-01 10:11:00"), "b", 3.0))
+      q.processAllAvailable()
+      // advance watermark past the first window so it emits in Append mode
+      mem.addData((4L, ts("2024-01-01 10:30:00"), "b", 4.0))
+      q.processAllAvailable()
+      val rows = spark.table("tumbling_test")
+        .select("window_start", "event_type", "n", "sum_value")
+        .as[(Timestamp, String, Long, Double)].collect().toSet
+      assert(rows.contains((ts("2024-01-01 10:00:00"), "a", 2L, 3.0)))
+      assert(rows.contains((ts("2024-01-01 10:10:00"), "b", 1L, 3.0)))
+    } finally q.stop()
+  }
+
+  test("streaming dedup within watermark drops re-deliveries") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp)]
+    val events = mem.toDF().toDF("event_id", "ts")
+    val q = Streams.dedupWithinWatermark(events, "ts", Seq("event_id"), "10 minutes")
+      .writeStream.format("memory").queryName("dedup_test")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData((1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-01 10:00:00")),
+        (2L, ts("2024-01-01 10:01:00")))
+      q.processAllAvailable()
+      mem.addData((1L, ts("2024-01-01 10:00:00"))) // duplicate within watermark
+      q.processAllAvailable()
+      assert(spark.table("dedup_test").count() == 2)
+    } finally q.stop()
+  }
+
+  test("runningUserState accumulates per-key state (mapGroupsWithState)") {
+    val ds = Seq(
+      Streams.UserEvent(1L, ts("2024-01-01 10:00:00"), 2.0),
+      Streams.UserEvent(1L, ts("2024-01-01 11:00:00"), 3.0),
+      Streams.UserEvent(2L, ts("2024-01-01 09:00:00"), 5.0)).toDS()
+    val out = Streams.runningUserState(ds).collect()
+      .map(s => s.user_id -> ((s.n, s.sum_value, s.last_ts))).toMap
+    assert(out(1L) == ((2L, 5.0, ts("2024-01-01 11:00:00"))))
+    assert(out(2L) == ((1L, 5.0, ts("2024-01-01 09:00:00"))))
+  }
+}
