@@ -48,11 +48,13 @@ object Dedup {
     * Single groupBy with k min() aggregates ⇒ map-side partial agg. */
   def minhashSignature(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 32, shingleN: Int = 3): DataFrame = {
-    val sh = docs.select(col(idCol),
-      explode(array_distinct(TextOps.shingles(TextOps.tokens(col(textCol)), shingleN)))
-        .as("__shingle"))
+    // Hash-spread docs BEFORE the shingle computation (a single input
+    // file otherwise runs it on one core); shingleRows preserves that
+    // partitioning, so the groupBy below needs no second shuffle. min()
+    // is multiplicity-invariant, so no shingle dedup is needed.
+    val sh = TextOps.shingleRows(docs.repartition(col(idCol)), idCol, textCol, shingleN)
     val aggs = (0 until k).map(i =>
-      min(xxhash64(lit(i), col("__shingle"))).as(s"h$i"))
+      min(xxhash64(lit(i), col("shingle"))).as(s"h$i"))
     sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
@@ -80,8 +82,11 @@ object Dedup {
     * |∩| / |∪| with array_intersect/array_union. */
   def jaccardVerify(candidates: DataFrame, docs: DataFrame, idCol: String,
       textCol: String, shingleN: Int = 3): DataFrame = {
-    val sets = docs.select(col(idCol),
-      array_distinct(TextOps.shingles(TextOps.tokens(col(textCol)), shingleN)).as("__set"))
+    // collect_set both dedups shingles and acts as an Aggregate barrier:
+    // the array is materialized once instead of the shingle expression
+    // being re-inlined into every consumer by projection collapse.
+    val sets = TextOps.shingleRows(docs.repartition(col(idCol)), idCol, textCol, shingleN)
+      .groupBy(col(idCol)).agg(collect_set(col("shingle")).as("__set"))
     candidates
       .join(sets.withColumnRenamed(idCol, "a").withColumnRenamed("__set", "__sa"), "a")
       .join(sets.withColumnRenamed(idCol, "b").withColumnRenamed("__set", "__sb"), "b")
@@ -98,6 +103,7 @@ object Dedup {
       threshold: Double = 0.8, k: Int = 32, bands: Int = 8,
       shingleN: Int = 3): DataFrame = {
     val sig = minhashSignature(docs, idCol, textCol, k, shingleN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = lshCandidates(sig, idCol, k, bands)
     jaccardVerify(cand, docs, idCol, textCol, shingleN)
       .filter(col("jaccard") >= threshold)
@@ -109,8 +115,9 @@ object Dedup {
     * only pairs with ≥1 common shingle are ever scored. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.5, shingleN: Int = 3): DataFrame = {
-    val sets = docs.select(col(idCol).as("__id"),
-      array_distinct(TextOps.shingles(TextOps.tokens(col(textCol)), shingleN)).as("__set"))
+    val sets = TextOps.shingleRows(docs.repartition(col(idCol)), idCol, textCol, shingleN)
+      .groupBy(col(idCol)).agg(collect_set(col("shingle")).as("__set"))
+      .select(col(idCol).as("__id"), col("__set"))
       .withColumn("__n", size(col("__set")))
     val ex = sets.select(col("__id"), col("__n"), explode(col("__set")).as("__sh"))
     val common = ex.select(col("__id").as("a"), col("__n").as("na"), col("__sh"))
@@ -136,7 +143,7 @@ object Dedup {
     * zip_with × transform per token) is ~30× slower because it never
     * enters whole-stage codegen — measured and replaced. */
   def simhashSignature(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = docs.select(col(idCol),
+    val tok = docs.repartition(col(idCol)).select(col(idCol),
       explode(TextOps.tokens(col(textCol))).as("__t"))
       .withColumn("__h", xxhash64(col("__t")))
     val aggs = (0 until 64).map(i =>
@@ -184,7 +191,7 @@ object Dedup {
   def embeddingNearDups(emb: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.95, dim: Int = 64, planes: Int = 16,
       bandsOf: Int = 4, bruteForce: Boolean = false): DataFrame = {
-    val v = emb.select(col(idCol).as("__id"),
+    val v = emb.repartition(col(idCol)).select(col(idCol).as("__id"),
       Similarity.l2Normalize(col(vecCol).cast("array<double>")).as("__v"))
     val pairs =
       if (bruteForce) {
@@ -192,8 +199,12 @@ object Dedup {
           .join(v.select(col("__id").as("b"), col("__v").as("__vb")),
             col("a") < col("b"))
       } else {
+        // The normalize + 16-plane SRP signature is an interpreted HOF
+        // pipeline; persist so the self-join's two sides (and the
+        // verify step) don't recompute it per consumer.
         val sig = v.withColumn("__sig",
           Similarity.srpSignature(col("__v"), dim, planes, seed = 42))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val nBands = planes / bandsOf
         val bandCols = (0 until nBands).map(b =>
           slice(col("__sig"), b * bandsOf + 1, bandsOf).cast("array<int>").as(s"b$b"))

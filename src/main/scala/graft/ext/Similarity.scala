@@ -66,7 +66,9 @@ object Similarity {
     * ask for neighbors of a handful of probes at a time). */
   def bruteForceTopK(corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qIdCol: String, qVecCol: String, k: Int): DataFrame = {
-    val c = corpus.select(col(idCol).as("nn_id"),
+    // hash-spread the corpus: a single-file input would otherwise score
+    // every candidate on one core
+    val c = corpus.repartition(col(idCol)).select(col(idCol).as("nn_id"),
       l2Normalize(col(vecCol).cast("array<double>")).as("__cv"))
     val q = queries.select(col(qIdCol).as("query_id"),
       l2Normalize(col(qVecCol).cast("array<double>")).as("__qv"))
@@ -87,7 +89,7 @@ object Similarity {
 
   def ivfBuild(corpus: DataFrame, idCol: String, vecCol: String,
       nCentroids: Int): IvfIndex = {
-    val c = corpus.select(col(idCol).as("__id"),
+    val c = corpus.repartition(col(idCol)).select(col(idCol).as("__id"),
       l2Normalize(col(vecCol).cast("array<double>")).as("__v"))
     val w = Window.orderBy(col("__id"))
     val numbered = c.withColumn("__rn", row_number().over(w) - 1)
