@@ -24,9 +24,12 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Σ aᵢ·bᵢ over two array<double> columns (left-to-right, bit-stable). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, x) => s + x)
+  /** Σ aᵢ·bᵢ over two array<double> columns (left-to-right, bit-stable).
+    * Backed by the native codegen'd [[graft.functions.DotProduct]]
+    * expression — bit-identical to the HOF formulation
+    * `aggregate(zip_with(a, b, _ * _), 0.0, _ + _)` but ~1 order of
+    * magnitude faster per pair. */
+  def dot(a: Column, b: Column): Column = graft.functions.GraftFunctions.dot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
