@@ -475,6 +475,18 @@ object SparkEntry {
         .select(col("media_id"), col("frame_no"), col("frame_len"))
         .orderBy(col("media_id"), col("frame_no"))),
 
+    // --------------------------------------------- S1–S9 REST connector
+    // Rows-only check (no DuckDB-visible table behind it): DSv2 scan
+    // with pushed filter + remote two-phase paginated read, aggregated.
+    "q55_rest_source" -> ((s, d) =>
+      graft.sources.rest.RestOps.read(s, Map(
+        "object" -> "account", "org" -> "verify",
+        "numRecords" -> "2000", "seed" -> "42"))
+        .filter(col("IsActive") === true && col("Amount") > 1000.0)
+        .groupBy(col("Industry"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("Amount")).as("sum_amount"))
+        .orderBy(col("Industry"))),
+
     // ----------------------------------------------------- D9/D10 DDL
     "q54_schema_evolution" -> ((s, d) =>
       Ddl.evolveSchema(T(s, d, "documents"), Seq(

@@ -1,0 +1,277 @@
+package graft.sources.rest
+
+import java.util
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 connector generalizing the reference's Salesforce
+  * extractor (SURVEY §2.2 S1–S9):
+  *
+  *  - schema inference = the `describe` endpoint (S4,
+  *    reference: revtron/salesforce/main.py:96-100)
+  *  - **two-phase protocol** (S6, main.py:106-183): phase 1 — the
+  *    serial id-cursor scan — runs ON THE DRIVER in
+  *    `planInputPartitions`; the id list is chunked into batches of
+  *    `batchSize` (default 100, the reference's FIELDS(ALL) hard limit,
+  *    main.py:119-120) and each batch becomes an `InputPartition`, so
+  *    phase 2 — the data fetch the reference does in a serial loop —
+  *    runs on EXECUTORS in parallel
+  *  - filter/column/limit pushdown reproduce the reference's SOQL
+  *    predicate generation (main.py:125-143) structurally
+  *  - writes: per-record upsert with a never-throwing error channel
+  *    (S8/S9, main.py:230-265); per-partition concurrency replaces the
+  *    100-thread client-side pool (main.py:254-255)
+  *
+  * Usage: `spark.read.format("graft-rest").option("object","account")…`
+  */
+class RestSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-rest"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    RestTable.schemaFor(RestTable.transportFor(options),
+      options.get("object"))
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new RestTable(schema, properties.asScala.toMap)
+
+  override def supportsExternalMetadata(): Boolean = true
+}
+
+object RestTable {
+  def transportFor(options: CaseInsensitiveStringMap): RestTransport =
+    FakeTransport.fromOptions(options.asScala.toMap.map { case (k, v) => k.toLowerCase -> v })
+
+  def transportFor(options: Map[String, String]): RestTransport =
+    FakeTransport.fromOptions(options.map { case (k, v) => k.toLowerCase -> v })
+
+  def typeFor(tag: String): DataType = tag match {
+    case "string"   => StringType
+    case "double"   => DoubleType
+    case "long"     => LongType
+    case "boolean"  => BooleanType
+    case "datetime" => TimestampType
+    case other      => throw new IllegalArgumentException(s"unknown field type: $other")
+  }
+
+  def schemaFor(t: RestTransport, obj: String): StructType =
+    StructType(t.describe(obj).map { case (n, tag) =>
+      StructField(n, typeFor(tag), nullable = true)
+    })
+}
+
+class RestTable(schema: StructType, rawOptions: Map[String, String])
+    extends Table with SupportsRead with SupportsWrite {
+  // getTable receives properties in ORIGINAL case (asCaseSensitiveMap);
+  // normalize once so every downstream lookup is lowercase.
+  private val options: Map[String, String] =
+    rawOptions.map { case (k, v) => k.toLowerCase -> v }
+  private val obj = options.getOrElse("object",
+    throw new IllegalArgumentException("option 'object' is required"))
+
+  override def name(): String = s"graft-rest:$obj"
+  override def schema(): StructType = schema0
+  private lazy val schema0 =
+    if (schema != null && schema.nonEmpty) schema
+    else RestTable.schemaFor(RestTable.transportFor(options), obj)
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
+
+  override def newScanBuilder(caseInsensitiveOptions: CaseInsensitiveStringMap): ScanBuilder =
+    new RestScanBuilder(schema0, options, obj)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new RestWriteBuilder(info.schema(), options, obj)
+}
+
+/** Pushdown: supported filters become [[RPred]]s shipped to the remote
+  * query (both phases); unsupported ones stay in Spark's post-scan
+  * filter. Mirrors which predicates the reference could express in
+  * SOQL. */
+class RestScanBuilder(schema: StructType, options: Map[String, String], obj: String)
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns with SupportsPushDownLimit {
+
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = schema
+  private var limit: Option[Int] = None
+
+  private def toMicros(v: Any): Any = v match {
+    case t: java.sql.Timestamp => t.getTime * 1000L + (t.getNanos / 1000) % 1000
+    case i: java.time.Instant => i.getEpochSecond * 1000000L + i.getNano / 1000
+    case other => other
+  }
+
+  private def translate(f: Filter): Option[RPred] = f match {
+    case sources.EqualTo(a, v)            => Some(RPred.Eq(a, toMicros(v)))
+    case sources.GreaterThan(a, v)        => Some(RPred.Gt(a, toMicros(v)))
+    case sources.GreaterThanOrEqual(a, v) => Some(RPred.Ge(a, toMicros(v)))
+    case sources.LessThan(a, v)           => Some(RPred.Lt(a, toMicros(v)))
+    case sources.LessThanOrEqual(a, v)    => Some(RPred.Le(a, toMicros(v)))
+    case sources.In(a, vs)                => Some(RPred.In(a, vs.toSeq.map(toMicros)))
+    case sources.IsNull(a)                => Some(RPred.IsNull(a))
+    case sources.IsNotNull(a)             => Some(RPred.IsNotNull(a))
+    case sources.StringContains(a, s)     => Some(RPred.Contains(a, s))
+    case _ => None
+  }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (supported, unsupported) = filters.partition(f => translate(f).isDefined)
+    pushed = supported
+    unsupported // Spark re-applies these after the scan
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
+
+  override def build(): Scan =
+    new RestScan(required, options, obj, pushed.flatMap(translate).toSeq, pushed, limit)
+}
+
+class RestScan(readSchema0: StructType, options: Map[String, String], obj: String,
+    preds: Seq[RPred], pushedV1: Array[Filter], limit: Option[Int])
+    extends Scan with Batch {
+
+  override def readSchema(): StructType = readSchema0
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-rest $obj pushed=[${pushedV1.mkString(", ")}] limit=$limit " +
+      s"columns=[${readSchema0.fieldNames.mkString(",")}]"
+
+  /** PHASE 1 (driver): serial cursor over id pages (irreducibly
+    * sequential, SURVEY §7.5) → chunk → one InputPartition per chunk. */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val t = RestTable.transportFor(options)
+    val pageSize = options.getOrElse("pagesize", "200").toInt
+    val batchSize = options.getOrElse("batchsize", "100").toInt
+    val includeDeleted = options.getOrElse("includedeleted", "true").toBoolean
+    val ids = t.queryIds(obj, preds, includeDeleted, limit, pageSize).flatten.toArray
+    ids.grouped(batchSize).map(chunk =>
+      RestInputPartition(chunk): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new RestReaderFactory(readSchema0, options, obj)
+}
+
+case class RestInputPartition(ids: Array[String]) extends InputPartition
+
+class RestReaderFactory(schema: StructType, options: Map[String, String], obj: String)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new RestPartitionReader(schema, options, obj,
+      partition.asInstanceOf[RestInputPartition].ids)
+}
+
+/** PHASE 2 (executor): fetch the partition's id batch and decode to
+  * InternalRows — the reference's serial per-chunk loop, parallelized
+  * across the cluster. */
+class RestPartitionReader(schema: StructType, options: Map[String, String],
+    obj: String, ids: Array[String]) extends PartitionReader[InternalRow] {
+
+  private lazy val rows: Iterator[Map[String, Any]] = {
+    val t = RestTable.transportFor(options)
+    t.fetchByIds(obj, ids.toSeq, schema.fieldNames.toSeq).iterator
+  }
+  private var current: Map[String, Any] = _
+
+  override def next(): Boolean =
+    if (rows.hasNext) { current = rows.next(); true } else false
+
+  override def get(): InternalRow = {
+    val values = schema.fields.map { f =>
+      current.get(f.name).orNull match {
+        case null => null
+        case s: String if f.dataType == StringType => UTF8String.fromString(s)
+        case v: Double if f.dataType == DoubleType => v
+        case v: Long => v // LongType and TimestampType (micros)
+        case v: Boolean if f.dataType == BooleanType => v
+        case other => throw new IllegalStateException(
+          s"field ${f.name}: unexpected value $other for ${f.dataType}")
+      }
+    }
+    new GenericInternalRow(values.asInstanceOf[Array[Any]])
+  }
+
+  override def close(): Unit = ()
+}
+
+// ---------------------------------------------------------------- write path
+
+class RestWriteBuilder(schema: StructType, options: Map[String, String], obj: String)
+    extends WriteBuilder {
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = new RestBatchWrite(schema, options, obj)
+  }
+}
+
+/** S8/S9 semantics: one idempotent upsert per record, errors collected
+  * rather than thrown; commit aggregates per-partition counts. The
+  * reference's min(100, n)-thread client pool becomes
+  * numPartitions × per-partition sequential writes (scale out by
+  * repartitioning — on a cluster that IS the concurrency knob). */
+class RestBatchWrite(schema: StructType, options: Map[String, String], obj: String)
+    extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new RestDataWriterFactory(schema, options, obj)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val (ok, err) = messages.collect { case m: RestCommit => (m.succeeded, m.failed) }
+      .foldLeft((0L, 0L)) { case ((a, b), (c, d)) => (a + c, b + d) }
+    if (err > 0)
+      throw new RuntimeException(
+        s"graft-rest write: $err record(s) failed, $ok succeeded (see executor logs)")
+  }
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+case class RestCommit(succeeded: Long, failed: Long) extends WriterCommitMessage
+
+class RestDataWriterFactory(schema: StructType, options: Map[String, String], obj: String)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new RestDataWriter(schema, options, obj)
+}
+
+class RestDataWriter(schema: StructType, options: Map[String, String], obj: String)
+    extends DataWriter[InternalRow] {
+  private val t = RestTable.transportFor(options)
+  private var ok = 0L
+  private var err = 0L
+
+  override def write(row: InternalRow): Unit = {
+    val rec = schema.fields.zipWithIndex.flatMap { case (f, i) =>
+      if (row.isNullAt(i)) None
+      else Some(f.name -> (f.dataType match {
+        case StringType => row.getUTF8String(i).toString
+        case DoubleType => row.getDouble(i)
+        case LongType | TimestampType => row.getLong(i)
+        case BooleanType => row.getBoolean(i)
+        case dt => throw new IllegalStateException(s"unsupported write type $dt")
+      }))
+    }.toMap
+    t.upsert(obj, rec) match {
+      case Right(_) => ok += 1
+      case Left(_)  => err += 1
+    }
+  }
+
+  override def commit(): WriterCommitMessage = RestCommit(ok, err)
+  override def abort(): Unit = ()
+  override def close(): Unit = ()
+}

@@ -1,0 +1,114 @@
+package graft.sources.rest
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+class RestSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def reader(org: String, n: Int = 500) =
+    spark.read.format("graft-rest")
+      .option("object", "account").option("org", org)
+      .option("numRecords", n.toString).option("seed", "42")
+
+  test("schema inference from describe (S4)") {
+    val df = reader("t-schema").load()
+    assert(df.schema.fieldNames.toSeq == Seq("Id", "Name", "Industry", "Amount",
+      "NumEmployees", "IsActive", "LastModifiedDate", "IsDeleted"))
+    assert(df.schema("LastModifiedDate").dataType.typeName == "timestamp")
+  }
+
+  test("deterministic full read; two-phase partitioning = ceil(n/batchSize) fetches (S6)") {
+    FakeTransport.CallLog.clear()
+    val df = reader("t-read").load()
+    assert(df.count() == 500)
+    // phase 2 ran once per 100-id batch
+    assert(FakeTransport.CallLog.fetchCount == 5)
+    // deterministic content
+    val r = df.filter($"Id" === "00A0000007")
+      .select("Name", "IsDeleted").first()
+    assert(r.getString(0) == "Account 7" && !r.getBoolean(1))
+  }
+
+  test("filter pushdown reaches the remote query; unsupported filters stay post-scan") {
+    FakeTransport.CallLog.clear()
+    val df = reader("t-push").load()
+      .filter($"Amount" > 5000.0 && $"Industry" === "Banking")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("GreaterThan(Amount,5000.0)"), plan)
+    assert(plan.contains("EqualTo(Industry,Banking)"), plan)
+    val n = df.count()
+    // the transport only saw matching ids — fetched row count == result count
+    val expected = reader("t-push").load().collect()
+      .count(r => r.getDouble(3) > 5000.0 && r.getString(2) == "Banking")
+    assert(n == expected && n > 0)
+  }
+
+  test("column pruning: phase-2 fetch requests only the projected columns") {
+    FakeTransport.CallLog.clear()
+    val df = reader("t-prune").load().select("Id", "Name")
+    df.collect()
+    val fetches = FakeTransport.CallLog.fetches.toArray.map(_.toString)
+    assert(fetches.nonEmpty)
+    assert(fetches.forall(_.endsWith("cols=Id,Name")), fetches.mkString(";"))
+  }
+
+  test("limit pushdown caps the id scan (S6 LIMIT, main.py:142-143)") {
+    FakeTransport.CallLog.clear()
+    val df = reader("t-limit").load().limit(30)
+    assert(df.count() == 30)
+    assert(FakeTransport.CallLog.fetchCount == 1) // one 30-id batch, not 5
+  }
+
+  test("date-window incremental pull (S6 start/end date semantics)") {
+    // records are modified 1/minute from 2024-01-01; take a 1h window
+    val df = reader("t-window").load()
+      .filter($"LastModifiedDate" >= "2024-01-01 01:00:00" &&
+        $"LastModifiedDate" < "2024-01-01 02:00:00")
+    assert(df.count() == 60)
+  }
+
+  test("include_deleted=false filters soft-deleted (query vs queryAll, main.py:150)") {
+    val all = reader("t-del").load().count()
+    val live = reader("t-del").option("includeDeleted", "false").load().count()
+    assert(all == 500 && live == 490) // every 50th record is soft-deleted
+  }
+
+  test("S7 stats probe counts remotely without a scan") {
+    assert(RestOps.sobjectSize(
+      Map("org" -> "t-stats", "numrecords" -> "500", "seed" -> "42"), "account") == 500)
+    assert(RestOps.listObjects(Map("org" -> "t-stats")) == Seq("account", "contact"))
+  }
+
+  test("DSv2 batch write upserts; read-your-writes through the connector (S8)") {
+    FakeTransport.Store.clear("t-write")
+    val updates = Seq(("00A0000003", "Renamed 3")).toDF("Id", "Name")
+    updates.write.format("graft-rest")
+      .option("object", "account").option("org", "t-write")
+      .option("numRecords", "500").option("seed", "42")
+      .mode("append").save()
+    val after = reader("t-write").load()
+      .filter($"Id" === "00A0000003").select("Name", "Amount").first()
+    assert(after.getString(0) == "Renamed 3")
+    assert(!after.isNullAt(1)) // untouched fields preserved (PATCH semantics)
+  }
+
+  test("write-then-report: per-record status envelope, errors never throw (S8/S9)") {
+    FakeTransport.Store.clear("t-status")
+    val recs = Seq(
+      ("00A0000001", "ok update"),
+      ("BAD-ID", "malformed"),
+      (null.asInstanceOf[String], "fresh insert")
+    ).toDF("Id", "Name")
+    val status = RestOps.upsertWithStatus(recs, "account",
+      Map("org" -> "t-status", "numrecords" -> "500", "seed" -> "42"))
+      .collect().map(r => (r.getAs[String]("record_id"), r.getAs[Boolean]("success"),
+        r.getAs[String]("error")))
+    assert(status.count(_._2) == 2)
+    val failed = status.find(!_._2).get
+    assert(failed._1 == "BAD-ID" && failed._3.startsWith("MALFORMED_ID"))
+    val inserted = status.find(s => s._2 && s._1.startsWith("NEW")).get
+    assert(inserted._3 == null)
+  }
+}
