@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.DataType
+
+import graft.core._
+
+/** API-parity facade: one method per public operator of the reference's
+  * `Database` class (reference: revtron/database/main.py), so a caller
+  * of the reference can switch by renaming the import. Methods return
+  * DataFrames (distributed) instead of `list[dict]`; `.rows` gives the
+  * driver-side boundary when genuinely needed.
+  *
+  * Construction mirrors `Database(db_url, schema)` (main.py:39-46):
+  * here the "database" is a [[TableStore]] root directory of parquet
+  * snapshots, and the liveness probe (main.py:47 `select 1 as
+  * is_alive`) maps to a trivial Spark action.
+  */
+final class Database(val spark: SparkSession, root: String) {
+  private val store = new TableStore(spark, root)
+
+  /** D1: liveness probe (`select 1 as is_alive`, main.py:47). */
+  def isAlive: Boolean =
+    spark.sql("select 1 as is_alive").collect().head.getInt(0) == 1
+
+  // ------------------------------------------------------------- catalog
+  /** D2: `get_table` — reflection ⇒ read the current snapshot. */
+  def getTable(tableName: String): DataFrame = store.read(tableName)
+  /** D3: `check_table_exists`. */
+  def checkTableExists(tableName: String): Boolean = store.tableExists(tableName)
+  /** D4: `get_table_columns`. */
+  def getTableColumns(tableName: String): Seq[String] = store.listColumns(tableName)
+  /** D5: `get_table_count`. */
+  def getTableCount(tableName: String): Long = store.count(tableName)
+  /** D6: `get_tables`. */
+  def getTables: Seq[String] = store.listTables()
+  /** D7: `get_views` — temp views registered on this session. */
+  def getViews: Seq[String] =
+    spark.catalog.listTables().collect().toSeq
+      .filter(_.tableType == "TEMPORARY").map(_.name)
+
+  // ------------------------------------------------------------- reads
+  /** D11/D12: `get` — projection, predicate DSL, sort, limit, offset. */
+  def get(tableName: String,
+      columns: Seq[String] = Nil,
+      where: Seq[Pred] = Nil,
+      sortBy: Option[String] = None,
+      ascending: Boolean = true,
+      limit: Int = 0,
+      offset: Int = 0): DataFrame =
+    Query.get(store.read(tableName), columns, where,
+      sortBy.map(SortKey(_, ascending)).toSeq, limit, offset)
+
+  /** D15: `execute_raw` — full Catalyst SQL over registered views. */
+  def executeRaw(query: String): DataFrame = Sql.executeRaw(spark, query)
+
+  // ------------------------------------------------------------- writes
+  /** D8: `upsert` — PK merge with COALESCE rule, persisted as a new
+    * snapshot; returns the touched PKs (the reference RETURNINGs them,
+    * main.py:106,116). */
+  def upsert(tableName: String, data: DataFrame, pk: Seq[String],
+      overwriteWithNull: Boolean = false): DataFrame = {
+    val merged = Mutations.upsert(store.read(tableName), data, pk, overwriteWithNull)
+    store.write(tableName, merged)
+    Mutations.upsertedKeys(data, pk)
+  }
+
+  /** D13: `update` — keyed overwrite; returns the matched-row count
+    * (the reference returns `rowcount`, main.py:268). */
+  def update(tableName: String, data: DataFrame, on: Seq[String]): Long = {
+    val target = store.read(tableName)
+    val n = Mutations.updateRowCount(target, data, on)
+    store.write(tableName, Mutations.update(target, data, on))
+    n
+  }
+
+  /** D14: `delete` — predicate delete; no predicate ⇒ full delete. */
+  def delete(tableName: String, where: Seq[Pred] = Nil): Unit = {
+    val target = store.read(tableName)
+    store.write(tableName, Mutations.delete(target, where))
+  }
+
+  // ------------------------------------------------------------- DDL
+  /** D9/D10: `create_table` with additive evolution; D16 ColumnSpec. */
+  def createTable(tableName: String, mappings: Seq[ColumnSpec],
+      primaryKey: Seq[String] = Nil, uniqueColumns: Seq[String] = Nil,
+      checkExisting: Boolean = true): Unit =
+    Ddl.createTable(store, spark, tableName, mappings, primaryKey,
+      uniqueColumns, checkExisting)
+
+  /** D10: `add_column`. */
+  def addColumn(tableName: String, columnName: String, columnType: DataType): Unit =
+    store.write(tableName,
+      Ddl.addColumn(store.read(tableName), ColumnSpec(columnName, columnType)))
+
+  /** Register a table as a temp view so `executeRaw` can address it. */
+  def registerView(tableName: String): Unit =
+    store.read(tableName).createOrReplaceTempView(tableName)
+}

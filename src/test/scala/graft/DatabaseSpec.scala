@@ -1,0 +1,73 @@
+package graft
+
+import graft.core.{ColumnSpec, Pred}
+import org.apache.spark.sql.types._
+import java.nio.file.Files
+
+/** End-to-end facade walk mirroring a reference-client workflow:
+  * create → upsert → get → update → delete → evolve → raw SQL. */
+class DatabaseSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("full reference-shaped workflow through the facade") {
+    val db = new Database(spark, Files.createTempDirectory("graft-db").toString)
+    assert(db.isAlive)
+
+    db.createTable("users", Seq(
+      ColumnSpec("id", LongType), ColumnSpec("name", StringType),
+      ColumnSpec("bal", DoubleType)), primaryKey = Seq("id"))
+    assert(db.checkTableExists("users"))
+    assert(db.getTables == Seq("users"))
+    assert(db.getTableColumns("users") == Seq("id", "name", "bal"))
+    assert(db.getTableCount("users") == 0)
+
+    // upsert inserts; returned keys = touched PKs (D8 RETURNING)
+    val keys = db.upsert("users",
+      Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("id", "name", "bal"), Seq("id"))
+    assert(keys.as[Long].collect().toSet == Set(1L, 2L))
+    assert(db.getTableCount("users") == 2)
+
+    // second upsert: coalesce merge + insert
+    db.upsert("users",
+      Seq((2L, None: Option[String], Some(99.0)), (3L, Some("c"), None: Option[Double]))
+        .toDF("id", "name", "bal"), Seq("id"))
+    val afterUpsert = db.get("users", sortBy = Some("id")).collect().toSeq
+    assert(afterUpsert.map(_.getLong(0)) == Seq(1L, 2L, 3L))
+    assert(afterUpsert(1).getString(1) == "b")    // coalesce kept old name
+    assert(afterUpsert(1).getDouble(2) == 99.0)   // new balance won
+
+    // D12 read pipeline
+    val top = db.get("users", columns = Seq("id"),
+      where = Seq(Pred.Op("bal", ">", 5.0)),
+      sortBy = Some("bal"), ascending = false, limit = 1)
+    assert(top.as[Long].collect().toSeq == Seq(2L))
+
+    // D13 keyed update returns rowcount
+    val n = db.update("users",
+      Seq((1L, "renamed")).toDF("id", "name"), Seq("id"))
+    assert(n == 1L)
+    assert(db.get("users", where = Seq(Pred.Eq("id", 1)))
+      .collect().head.getString(1) == "renamed")
+
+    // D14 predicate delete
+    db.delete("users", Seq(Pred.Op("bal", ">=", 99.0)))
+    assert(db.getTableCount("users") == 2)
+
+    // D10 additive evolution via re-declare + addColumn
+    db.createTable("users", Seq(
+      ColumnSpec("id", LongType), ColumnSpec("name", StringType),
+      ColumnSpec("bal", DoubleType), ColumnSpec("tag", StringType)))
+    assert(db.getTableColumns("users") == Seq("id", "name", "bal", "tag"))
+    db.addColumn("users", "score", IntegerType)
+    assert(db.getTableColumns("users").contains("score"))
+
+    // D15 raw SQL over a registered view
+    db.registerView("users")
+    assert(db.executeRaw("SELECT count(*) AS c FROM users").as[Long].first() == 2L)
+    assert(db.getViews.contains("users"))
+
+    // full-table delete (no where) empties the table
+    db.delete("users")
+    assert(db.getTableCount("users") == 0)
+  }
+}
