@@ -53,6 +53,32 @@ object SparkEntry {
       |ORDER BY revenue DESC, o_orderkey
       |LIMIT 10""".stripMargin
 
+  private val Q5Sql =
+    """SELECT n_name,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |  JOIN lineitem ON l_orderkey = o_orderkey
+      |  JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1999-01-01'
+      |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
+
+  private val SubquerySql =
+    """SELECT c_custkey, c_acctbal FROM customer c
+      |WHERE c_acctbal > (
+      |  SELECT CAST(sum(CAST(c2.c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / count(*)
+      |  FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  private val GroupingSetsSql =
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
+
   /** Flagship query on sf=0.001 (driver smoke-checks rows>0): Q3-shaped
     * star join + agg + top-k through the library combinators. */
   def entry(spark: SparkSession): DataFrame = {
@@ -219,6 +245,17 @@ object SparkEntry {
     // ----------------------------------------------------- D15 raw SQL
     "q20_sql_q1" -> ((s, d) => { Fx.registerAll(s, d); Sql.executeRaw(s, Q1Sql) }),
     "q21_sql_q3" -> ((s, d) => { Fx.registerAll(s, d); Sql.executeRaw(s, Q3Sql) }),
+    "q56_sql_q5" -> ((s, d) => { Fx.registerAll(s, d); Sql.executeRaw(s, Q5Sql) }),
+    "q57_subquery_corr" -> ((s, d) => { Fx.registerAll(s, d); Sql.executeRaw(s, SubquerySql) }),
+    "q58_grouping_sets" -> ((s, d) => { Fx.registerAll(s, d); Sql.executeRaw(s, GroupingSetsSql) }),
+
+    // Rows-only: approximate aggregates (sketches differ across engines
+    // by design — sanity-bounded in ScalaTest instead).
+    "q59_approx_agg" -> ((s, d) =>
+      T(s, d, "lineitem").groupBy(col("l_returnflag")).agg(
+        approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("p50_price"))
+        .orderBy(col("l_returnflag"))),
 
     // ----------------------------------------------------- joins
     "q22_join_star" -> ((s, d) =>
@@ -586,6 +623,9 @@ object SparkEntry {
 
     "q20_sql_q1" -> Q1Sql,
     "q21_sql_q3" -> Q3Sql,
+    "q56_sql_q5" -> Q5Sql,
+    "q57_subquery_corr" -> SubquerySql,
+    "q58_grouping_sets" -> GroupingSetsSql,
 
     "q22_join_star" ->
       """SELECT r_name, n_name, count(*) AS n_orders,

@@ -1,0 +1,29 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Salted equi-join for pathologically skewed keys (the manual
+  * fallback when AQE's skew-join splitting isn't enough, e.g. a single
+  * key holding >1 executor's worth of rows — SURVEY §7.5's 100 TB
+  * rule).
+  *
+  * The skewed (left) side gets a deterministic salt in [0, k) derived
+  * by hashing the whole row — deterministic for resume/retry, uniform
+  * for distinct rows. The right side is replicated k× (explode over
+  * the salt range), so each (key, salt) bucket joins 1/k of the hot
+  * key's rows. Replication multiplies the right side — use only when
+  * the right side is small relative to the skew being split.
+  */
+object SkewJoin {
+
+  def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      saltBuckets: Int, joinType: String = "inner"): DataFrame = {
+    require(saltBuckets > 0, "saltBuckets must be positive")
+    val saltedLeft = left.withColumn("__salt",
+      pmod(xxhash64(left.columns.map(col): _*), lit(saltBuckets.toLong)).cast("int"))
+    val replicatedRight = right.withColumn("__salt",
+      explode(sequence(lit(0), lit(saltBuckets - 1))))
+    saltedLeft.join(replicatedRight, keys :+ "__salt", joinType).drop("__salt")
+  }
+}

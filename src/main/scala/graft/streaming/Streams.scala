@@ -79,6 +79,28 @@ object Streams {
       }
   }
 
+  /** Streaming incremental pull — the Structured-Streaming twin of the
+    * reference's date-window batch extraction (S6, reference:
+    * revtron/salesforce/main.py:189-202): a parquet file stream over
+    * the events table; new files under `dir` arrive as micro-batches,
+    * with the watermark as the continuously-advancing date cursor.
+    * Handles the fixture's TIMESTAMP(NANOS) the same way as the batch
+    * reader (nanos-as-long + exact integer division to micros). */
+  def eventsFileStream(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType)))
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
   /** Batch-mode sessionization (gaps-and-islands): a new session starts
     * after `gapMinutes` of inactivity; pure window functions so it is
     * oracle-checkable in SQL — the batch twin of [[sessionAgg]]. */
