@@ -54,6 +54,10 @@ final class Database(val spark: SparkSession, root: String) {
   /** D15: `execute_raw` — full Catalyst SQL over registered views. */
   def executeRaw(query: String): DataFrame = Sql.executeRaw(spark, query)
 
+  /** D17: the reference's verbose compiled-SQL print maps to the
+    * formatted physical plan (database/main.py:165-170,245-247). */
+  def explain(df: DataFrame): String = Sql.explain(df)
+
   // ------------------------------------------------------------- writes
   /** D8: `upsert` — PK merge with COALESCE rule, persisted as a new
     * snapshot; returns the touched PKs (the reference RETURNINGs them,

@@ -28,9 +28,16 @@ object Fx {
     }
   }
 
-  /** Idempotent: (re-)register every fixture table as a temp view. */
-  def registerAll(spark: SparkSession, dir: String): Unit =
-    AllTables.foreach(n => t(spark, dir, n).createOrReplaceTempView(n))
+  /** Idempotent: (re-)register every fixture table as a temp view.
+    * Memoized per (session, dir) — re-reading 10 parquet footers per
+    * SQL query is measurable overhead in the bench loop. */
+  def registerAll(spark: SparkSession, dir: String): Unit = {
+    val key = "graft.fx.registeredDir"
+    if (!spark.conf.getOption(key).contains(dir)) {
+      AllTables.foreach(n => t(spark, dir, n).createOrReplaceTempView(n))
+      spark.conf.set(key, dir)
+    }
+  }
 }
 
 /** Catalog + snapshot-versioned storage.

@@ -14,6 +14,10 @@ object RestOps {
   def listObjects(options: Map[String, String]): Seq[String] =
     RestTable.transportFor(options).listObjects()
 
+  /** S5: remaining API quota (reference: salesforce/main.py:102-104). */
+  def limits(options: Map[String, String]): Map[String, Long] =
+    RestTable.transportFor(options).limits()
+
   /** S7: one-shot remote stats probe (COUNT pushed to the API, no scan
     * — reference: revtron/salesforce/main.py:185-228). */
   def sobjectSize(options: Map[String, String], obj: String,

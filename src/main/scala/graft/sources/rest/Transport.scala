@@ -30,6 +30,10 @@ object RPred {
 trait RestTransport extends Serializable {
   /** S3: list remote objects. */
   def listObjects(): Seq[String]
+  /** S5: remaining API quota (the reference reads DailyApiRequests,
+    * revtron/salesforce/main.py:102-104) — admission control before
+    * planning partitions. */
+  def limits(): Map[String, Long]
   /** S4: describe → ordered (fieldName, typeTag) pairs; typeTag ∈
     * string|double|long|boolean|datetime. */
   def describe(obj: String): Seq[(String, String)]
@@ -51,8 +55,18 @@ trait RestTransport extends Serializable {
   * tests don't share state. Page/batch constants mirror the reference
   * (200-row pages, salesforce/main.py:152; soft-delete filtering via
   * query vs queryAll, main.py:150,175). */
-final class FakeTransport(org: String, numRecords: Int, seed: Long) extends RestTransport {
+final class FakeTransport(org: String, numRecords: Int, seed: Long,
+    environment: String = "login") extends RestTransport {
   import FakeTransport._
+
+  /** S1: the reference's OAuth env fallback — a token refresh against
+    * 'login' falls back to the 'test' endpoint on failure
+    * (revtron/salesforce/main.py:79-87). The fake accepts both and
+    * records which endpoint authenticated. */
+  val authenticatedEnv: String = environment match {
+    case "login" | "test" => environment
+    case other => "test" // unknown env: fall back, like the reference
+  }
 
   private val objects = Map(
     "account" -> Seq("Id" -> "string", "Name" -> "string", "Industry" -> "string",
@@ -62,6 +76,12 @@ final class FakeTransport(org: String, numRecords: Int, seed: Long) extends Rest
       "Email" -> "string", "LastModifiedDate" -> "datetime", "IsDeleted" -> "boolean"))
 
   override def listObjects(): Seq[String] = objects.keys.toSeq.sorted
+
+  override def limits(): Map[String, Long] = {
+    val used = CallLog.describes.size + CallLog.idQueries.size + CallLog.fetches.size
+    Map("DailyApiRequests.Max" -> 100000L,
+      "DailyApiRequests.Remaining" -> (100000L - used))
+  }
 
   override def describe(obj: String): Seq[(String, String)] = {
     CallLog.describes.add(s"$org/$obj")
@@ -199,5 +219,6 @@ object FakeTransport {
     new FakeTransport(
       options.getOrElse("org", "default"),
       options.getOrElse("numrecords", "1000").toInt,
-      options.getOrElse("seed", "42").toLong)
+      options.getOrElse("seed", "42").toLong,
+      options.getOrElse("environment", "login"))
 }

@@ -66,6 +66,10 @@ class DatabaseSpec extends SparkSpec {
     assert(db.executeRaw("SELECT count(*) AS c FROM users").as[Long].first() == 2L)
     assert(db.getViews.contains("users"))
 
+    // D17 verbose ⇒ formatted physical plan
+    val plan = db.explain(db.get("users", where = Seq(Pred.Eq("id", 1))))
+    assert(plan.contains("Physical Plan") && plan.contains("PushedFilters"))
+
     // full-table delete (no where) empties the table
     db.delete("users")
     assert(db.getTableCount("users") == 0)

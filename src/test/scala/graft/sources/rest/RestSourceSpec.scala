@@ -81,6 +81,14 @@ class RestSourceSpec extends SparkSpec {
     assert(RestOps.listObjects(Map("org" -> "t-stats")) == Seq("account", "contact"))
   }
 
+  test("S5 quota probe + S1 environment fallback") {
+    val lim = RestOps.limits(Map("org" -> "t-quota"))
+    assert(lim("DailyApiRequests.Max") == 100000L)
+    assert(lim("DailyApiRequests.Remaining") <= lim("DailyApiRequests.Max"))
+    assert(new FakeTransport("t-auth", 10, 42, "login").authenticatedEnv == "login")
+    assert(new FakeTransport("t-auth", 10, 42, "weird").authenticatedEnv == "test")
+  }
+
   test("DSv2 batch write upserts; read-your-writes through the connector (S8)") {
     FakeTransport.Store.clear("t-write")
     val updates = Seq(("00A0000003", "Renamed 3")).toDF("Id", "Name")
