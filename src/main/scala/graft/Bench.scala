@@ -18,6 +18,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // warm the session (executor start, codegen compiler, parquet
+    // footer cache) so the first timed query isn't charged for it
+    SparkEntry.queries.get("q01_count")
+      .foreach(fn => try fn(spark, sfDir).count() catch { case _: Throwable => () })
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()

@@ -23,6 +23,13 @@ object SparkEntry {
   private def T(s: SparkSession, dir: String, name: String): DataFrame =
     Fx.t(s, dir, name)
 
+  /** documents, hash-spread: each fixture table is ONE parquet file =
+    * one input split, so per-row text expressions would otherwise run
+    * on a single core. At real scale the split count provides this and
+    * the repartition is unnecessary. */
+  private def docsSpread(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents").repartition(col("doc_id"))
+
   /** Exact, order-independent double aggregate: sum as decimal → double. */
   private def dsum(c: Column): Column = sum(c.cast("decimal(18,4)")).cast("double")
 
@@ -406,7 +413,7 @@ object SparkEntry {
 
     // ----------------------------------------------------- dedup
     "q39_dedup_exact" -> ((s, d) =>
-      T(s, d, "documents")
+      docsSpread(s, d)
         .groupBy(TextOps.fingerprintMd5(col("text")).as("fp"))
         .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_dups"))
         .orderBy(col("keeper"))),
@@ -419,7 +426,7 @@ object SparkEntry {
     // ----------------------------------------------------- text analysis
     "q41_text_stats" -> ((s, d) => {
       val tk = TextOps.tokens(col("text"))
-      T(s, d, "documents").select(
+      docsSpread(s, d).select(
         col("doc_id"),
         TextOps.tokenCountWs(col("text")).as("tok_ws"),
         TextOps.tokenCountBpe(col("text")).as("tok_bpe"),
@@ -430,12 +437,12 @@ object SparkEntry {
     }),
 
     "q42_text_quality" -> ((s, d) =>
-      T(s, d, "documents")
+      docsSpread(s, d)
         .select(col("doc_id"), TextOps.qualityScore(col("text")).as("quality"))
         .orderBy(col("doc_id"))),
 
     "q43_lang_id" -> ((s, d) =>
-      T(s, d, "documents")
+      docsSpread(s, d)
         .select(col("doc_id"), TextOps.langId(col("text")).as("lang_pred"))
         .groupBy(col("lang_pred")).agg(count(lit(1)).as("cnt"))
         .orderBy(col("lang_pred"))),
@@ -523,6 +530,21 @@ object SparkEntry {
         .groupBy(col("Industry"))
         .agg(count(lit(1)).as("cnt"), dsum(col("Amount")).as("sum_amount"))
         .orderBy(col("Industry"))),
+
+    // Rows-only: end-to-end training-data curation pipeline — quality
+    // gate → language filter → exact dedup → per-doc stats. The shape a
+    // 100 TB corpus job takes: all narrow ops + one dedup shuffle.
+    "q60_curation_pipeline" -> ((s, d) => {
+      val docs = docsSpread(s, d)
+        .withColumn("quality", TextOps.qualityScore(col("text")))
+        .withColumn("lang_pred", TextOps.langId(col("text")))
+        .filter(col("quality") >= 0.3 && col("lang_pred") =!= "und")
+      Dedup.exact(docs, Seq("text"), "doc_id")
+        .select(col("doc_id"), col("lang_pred"), col("quality"),
+          TextOps.tokenCountWs(col("text")).as("tok_ws"),
+          TextOps.fingerprintMd5(col("text")).as("fp"))
+        .orderBy(col("doc_id"))
+    }),
 
     // ----------------------------------------------------- D9/D10 DDL
     "q54_schema_evolution" -> ((s, d) =>

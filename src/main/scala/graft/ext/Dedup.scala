@@ -115,10 +115,13 @@ object Dedup {
     * only pairs with ≥1 common shingle are ever scored. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.5, shingleN: Int = 3): DataFrame = {
+    // persisted: the shingle-set aggregate feeds BOTH sides of the
+    // pair self-join — without the barrier each side recomputes it
     val sets = TextOps.shingleRows(docs.repartition(col(idCol)), idCol, textCol, shingleN)
       .groupBy(col(idCol)).agg(collect_set(col("shingle")).as("__set"))
       .select(col(idCol).as("__id"), col("__set"))
       .withColumn("__n", size(col("__set")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ex = sets.select(col("__id"), col("__n"), explode(col("__set")).as("__sh"))
     val common = ex.select(col("__id").as("a"), col("__n").as("na"), col("__sh"))
       .join(ex.select(col("__id").as("b"), col("__n").as("nb"), col("__sh")), Seq("__sh"))

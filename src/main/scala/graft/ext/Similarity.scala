@@ -94,13 +94,17 @@ object Similarity {
       nCentroids: Int): IvfIndex = {
     val c = corpus.repartition(col(idCol)).select(col(idCol).as("__id"),
       l2Normalize(col(vecCol).cast("array<double>")).as("__v"))
-    val w = Window.orderBy(col("__id"))
-    val numbered = c.withColumn("__rn", row_number().over(w) - 1)
-    val n = numbered.count()
-    val step = math.max(1L, n / nCentroids)
-    val centroids = numbered.filter(col("__rn") % step === 0)
-      .filter(col("__rn") / step < nCentroids)
-      .select((col("__rn") / step).cast("int").as("centroid_id"), col("__v").as("__cv"))
+    // Deterministic centroid sample WITHOUT a global sort: hash-sample
+    // ~nCentroids candidates distributed-side, then number only that
+    // tiny set (window over ≤C rows — never the corpus; a corpus-wide
+    // row_number would serialize on one partition at scale).
+    val n = c.count()
+    val ratio = math.max(1L, n / nCentroids)
+    val cands = c.filter(pmod(xxhash64(col("__id")), lit(ratio)) === 0)
+      .limit(nCentroids)
+    val centroids = cands.withColumn("centroid_id",
+      (row_number().over(Window.orderBy(col("__id"))) - 1).cast("int"))
+      .select(col("centroid_id"), col("__v").as("__cv"))
     // nearest centroid per corpus vector — centroid side broadcast
     val scored = c.crossJoin(broadcast(centroids))
       .withColumn("__sim", dot(col("__v"), col("__cv")))
