@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Regression-locks the physical-plan shapes that SCALE.md claims:
+  * pushdown reaching the scan, top-k without global sort, broadcast
+  * dims, partitioning reuse, codegen'd native expressions. A change
+  * that silently degrades one of these shapes fails here, not in a
+  * 100 TB incident. */
+class PlanShapeSpec extends SparkSpec {
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  private def planOf(q: String): String =
+    plan(SparkEntry.queries(q)(spark, sfDir))
+
+  test("predicate queries push filters into the parquet scan and prune columns") {
+    val p = planOf("q03_pred_eq")
+    assert(p.contains("PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)]"), p)
+    assert(p.contains("ReadSchema: struct<c_custkey:bigint,c_name:string,c_acctbal:double,c_mktsegment:string>"), p)
+  }
+
+  test("orderBy+limit collapses to TakeOrderedAndProject (no global sort)") {
+    assert(planOf("q15_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("star join broadcasts every dimension side") {
+    val p = planOf("q22_join_star")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p)
+    assert(!p.contains("SortMergeJoin"), "dims must not sort-merge")
+  }
+
+  test("minhash signature reuses the doc-id partitioning: exactly one exchange") {
+    val sig = graft.ext.Dedup.minhashSignature(
+      core.Fx.t(spark, sfDir, "documents"), "doc_id", "text", k = 8)
+    val p = plan(sig)
+    assert("(?m)^\\(\\d+\\) Exchange".r.findAllIn(p).size == 1, p)
+  }
+
+  test("native graft_dot participates in whole-stage codegen") {
+    // a projection whose only non-trivial expression is graft_dot must
+    // carry a codegen id (HOF expressions in the same project would
+    // knock the whole stage out of codegen — that's why this is tested
+    // in isolation; verified against codegen.fallback=false too)
+    import spark.implicits._
+    val base = spark.range(10)
+      .select(expr("transform(sequence(0,9), i -> cast(i + id as double))").as("a"))
+    val withDot = base.select(graft.functions.GraftFunctions.dot($"a", $"a").as("d"))
+    val p = plan(withDot)
+    val projLine = "(?m)^\\(\\d+\\) Project \\[codegen id : \\d+\\]".r
+    assert(p.contains("graft_dot"), p)
+    assert(projLine.findFirstIn(p).isDefined, p)
+  }
+
+  test("upsert never broadcasts the target side") {
+    val target = core.Fx.t(spark, sfDir, "lineitem") // the big side
+    val updates = core.Fx.t(spark, sfDir, "lineitem").limit(10)
+    val p = plan(core.Mutations.upsert(target, updates,
+      Seq("l_orderkey", "l_linenumber")))
+    // full-outer merge: broadcast is not even an option — expect a
+    // shuffle-based join over both sides
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
+  }
+}
