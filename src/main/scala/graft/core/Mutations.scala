@@ -23,6 +23,11 @@ object Mutations {
 
   private val UFlag = "__graft_u"
 
+  /** Spark resolves columns case-insensitively by default
+    * (spark.sql.caseSensitive=false); membership checks must match. */
+  private def has(cols: Seq[String], name: String): Boolean =
+    cols.exists(_.equalsIgnoreCase(name))
+
   /** PK-keyed merge, reference `Database.upsert` (reference:
     * revtron/database/main.py:88-117).
     *
@@ -50,9 +55,13 @@ object Mutations {
 
     val deduped = orderCol match {
       case Some(oc) =>
+        // the keep-latest idiom (cf. ext.Dedup.keepLatest — kept
+        // separate so core does not depend on ext); the orderCol stays
+        // in the result like any other updates column (additive
+        // evolution applies uniformly — see test for updated_at)
         val w = Window.partitionBy(pk.map(col): _*).orderBy(col(oc).desc)
         updates.withColumn("__rn", row_number().over(w))
-          .filter(col("__rn") === 1).drop("__rn", oc)
+          .filter(col("__rn") === 1).drop("__rn")
       case None => updates.dropDuplicates(pk)
     }
     val u = deduped.withColumn(UFlag, lit(true)).alias("u")
@@ -64,14 +73,14 @@ object Mutations {
     val tCols = target.columns.toSeq
     val uCols = deduped.columns.toSeq
     def merged(c: String): Column =
-      if (pk.contains(c)) col(c)
-      else if (uCols.contains(c) && tCols.contains(c)) {
+      if (has(pk, c)) col(c)
+      else if (has(uCols, c) && has(tCols, c)) {
         if (overwriteWithNull) when(matched, col(s"u.$c")).otherwise(col(s"t.$c")).as(c)
         else coalesce(col(s"u.$c"), col(s"t.$c")).as(c)
-      } else if (uCols.contains(c)) col(s"u.$c").as(c)
+      } else if (has(uCols, c)) col(s"u.$c").as(c)
       else col(s"t.$c").as(c)
 
-    val outCols = tCols ++ uCols.filterNot(c => tCols.contains(c) || c == UFlag)
+    val outCols = tCols ++ uCols.filterNot(c => has(tCols, c) || c == UFlag)
     joined.select(outCols.map(merged): _*)
   }
 
@@ -92,8 +101,8 @@ object Mutations {
     val matched = coalesce(col(s"u.$UFlag"), lit(false))
     val uCols = changes.columns.toSeq
     val outCols = target.columns.toSeq.map { c =>
-      if (on.contains(c)) col(c)
-      else if (uCols.contains(c)) when(matched, col(s"u.$c")).otherwise(col(s"t.$c")).as(c)
+      if (has(on, c)) col(c)
+      else if (has(uCols, c)) when(matched, col(s"u.$c")).otherwise(col(s"t.$c")).as(c)
       else col(s"t.$c").as(c)
     }
     joined.select(outCols: _*)

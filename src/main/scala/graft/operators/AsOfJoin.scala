@@ -24,9 +24,23 @@ import org.apache.spark.sql.functions._
   */
 object AsOfJoin {
 
+  /** Greatest `rightTs` ≤ `leftTs` per key (the DuckDB/pandas default
+    * direction). */
   def backward(
       left: DataFrame, leftKey: String, leftTs: String,
-      right: DataFrame, rightKey: String, rightTs: String): DataFrame = {
+      right: DataFrame, rightKey: String, rightTs: String): DataFrame =
+    join(left, leftKey, leftTs, right, rightKey, rightTs, forward = false)
+
+  /** Smallest `rightTs` ≥ `leftTs` per key (nearest future match). */
+  def forward(
+      left: DataFrame, leftKey: String, leftTs: String,
+      right: DataFrame, rightKey: String, rightTs: String): DataFrame =
+    join(left, leftKey, leftTs, right, rightKey, rightTs, forward = true)
+
+  private def join(
+      left: DataFrame, leftKey: String, leftTs: String,
+      right: DataFrame, rightKey: String, rightTs: String,
+      forward: Boolean): DataFrame = {
     val lCols = left.columns.toSeq
     val rCols = right.columns.toSeq
     require(!rCols.exists(lCols.contains),
@@ -39,13 +53,24 @@ object AsOfJoin {
       col(leftKey).as("__k"), col(leftTs).as("__ts"), lit(1).as("__side"),
       struct(lCols.map(col): _*).as("__l"),
       lit(null).cast(rNullType).as("__r"))
-    val r = right.select(
-      col(rightKey).as("__k"), col(rightTs).as("__ts"), lit(0).as("__side"),
-      lit(null).cast(org.apache.spark.sql.types.StructType(left.schema.fields)).as("__l"),
-      rStruct.as("__r"))
+    // null-key / null-ts right rows can never be an as-of match (SQL
+    // ASOF / equi-join semantics) — drop them before the union so they
+    // neither match null-key left rows nor sort as ±infinity
+    val r = right
+      .filter(col(rightKey).isNotNull && col(rightTs).isNotNull)
+      .select(
+        col(rightKey).as("__k"), col(rightTs).as("__ts"), lit(0).as("__side"),
+        lit(null).cast(org.apache.spark.sql.types.StructType(left.schema.fields)).as("__l"),
+        rStruct.as("__r"))
 
+    // backward: ascending time, right rows sort before left at equal ts
+    // so rightTs == leftTs matches (inclusive). forward: the mirror —
+    // descending time, carry the nearest FUTURE right row backward.
+    // nulls_first in BOTH directions: a null-ts left row then has no
+    // preceding right rows in its frame ⇒ match stays null.
+    val tsOrd = if (forward) col("__ts").desc_nulls_first else col("__ts").asc_nulls_first
     val w = Window.partitionBy(col("__k"))
-      .orderBy(col("__ts").asc, col("__side").asc)
+      .orderBy(tsOrd, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = l.unionByName(r)
       .withColumn("__match", last(col("__r"), ignoreNulls = true).over(w))

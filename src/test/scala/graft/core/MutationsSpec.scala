@@ -33,14 +33,23 @@ class MutationsSpec extends SparkSpec {
     intercept[IllegalArgumentException](Mutations.upsert(target, target, Nil))
   }
 
-  test("upsert: intra-batch duplicate PKs resolve last-wins by orderCol") {
+  test("upsert: intra-batch duplicate PKs resolve last-wins by orderCol; orderCol is additive") {
     val updates = Seq(
       (2L, Some("first"), Some(1.0), 1L),
       (2L, Some("last"), Some(2.0), 5L)
     ).toDF("id", "name", "bal", "seq")
     val out = Mutations.upsert(target, updates, Seq("id"), orderCol = Some("seq"))
       .filter($"id" === 2L).collect().toSeq
-    assert(out == Seq(Row(2L, "last", 2.0)))
+    // seq is an updates-only column: additive evolution keeps it
+    assert(out == Seq(Row(2L, "last", 2.0, 5L)))
+  }
+
+  test("upsert: orderCol that is a real target column participates in the merge") {
+    val t = Seq((1L, "a", 100L)).toDF("id", "name", "updated_at")
+    val updates = Seq((1L, "old", 200L), (1L, "new", 300L)).toDF("id", "name", "updated_at")
+    val out = Mutations.upsert(t, updates, Seq("id"), orderCol = Some("updated_at"))
+      .collect().toSeq
+    assert(out == Seq(Row(1L, "new", 300L))) // last wins AND updated_at kept
   }
 
   test("upsert: columns only in updates are added (additive evolution at merge)") {

@@ -31,6 +31,38 @@ class JoinsSpec extends SparkSpec {
     assert(out("t3") == null)       // no right rows for key 2
   }
 
+  test("as-of forward: smallest right ts >= left ts, inclusive") {
+    val l = Seq((1L, ts("2024-01-01 10:00:00"), "t1"),
+      (1L, ts("2024-01-01 11:00:00"), "t2")).toDF("sym", "tts", "trade")
+    val r = Seq((1L, ts("2024-01-01 10:00:00"), 100.0),
+      (1L, ts("2024-01-01 10:30:00"), 101.0)).toDF("qsym", "qts", "price")
+    val out = AsOfJoin.forward(l, "sym", "tts", r, "qsym", "qts")
+      .select("trade", "price").collect().map(x => x.getString(0) -> x.get(1)).toMap
+    assert(out("t1") == 100.0)  // inclusive equality
+    assert(out("t2") == null)   // no future quote
+  }
+
+  test("as-of: null keys and null timestamps never match") {
+    val l = Seq(
+      (Some(1L), Some(ts("2024-01-01 10:00:00")), "ok"),
+      (None: Option[Long], Some(ts("2024-01-01 10:00:00")), "null-key"),
+      (Some(1L), None: Option[java.sql.Timestamp], "null-ts")
+    ).toDF("sym", "tts", "trade")
+    val r = Seq(
+      (Some(1L), Some(ts("2024-01-01 09:00:00")), 100.0),
+      (None: Option[Long], Some(ts("2024-01-01 09:00:00")), 666.0),  // null right key
+      (Some(1L), None: Option[java.sql.Timestamp], 777.0)            // null right ts
+    ).toDF("qsym", "qts", "price")
+    val bw = AsOfJoin.backward(l, "sym", "tts", r, "qsym", "qts")
+      .select("trade", "price").collect().map(x => x.getString(0) -> x.get(1)).toMap
+    assert(bw("ok") == 100.0)       // the only legitimate match
+    assert(bw("null-key") == null)  // null keys don't equi-match
+    assert(bw("null-ts") == null)   // null ts has no "before"
+    val fw = AsOfJoin.forward(l, "sym", "tts", r, "qsym", "qts")
+      .select("trade", "price").collect().map(x => x.getString(0) -> x.get(1)).toMap
+    assert(fw("ok") == null && fw("null-key") == null && fw("null-ts") == null)
+  }
+
   test("as-of rejects ambiguous column names") {
     val l = Seq((1L, 1L)).toDF("k", "ts")
     intercept[IllegalArgumentException](AsOfJoin.backward(l, "k", "ts", l, "k", "ts"))
