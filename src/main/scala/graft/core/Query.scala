@@ -35,9 +35,13 @@ object Query {
     // to the union of referenced columns either way).
     var out = df
     PredicateDsl.compileAll(where).foreach(p => out = out.filter(p))
+    // Postgres null ordering (the engine the reference delegates to):
+    // ASC ⇒ NULLS LAST, DESC ⇒ NULLS FIRST — Spark's defaults are the
+    // opposite, so make it explicit.
     if (sortBy.nonEmpty)
       out = out.orderBy(sortBy.map(k =>
-        if (k.ascending) col(k.col).asc else col(k.col).desc): _*)
+        if (k.ascending) col(k.col).asc_nulls_last
+        else col(k.col).desc_nulls_first): _*)
     if (offset > 0) out = out.offset(offset)
     if (limit > 0) out = out.limit(limit)
     if (columns.nonEmpty) out = out.select(columns.map(col): _*)

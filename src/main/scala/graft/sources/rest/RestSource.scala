@@ -87,7 +87,8 @@ class RestTable(schema: StructType, rawOptions: Map[String, String])
     else RestTable.schemaFor(RestTable.transportFor(options), obj)
 
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(caseInsensitiveOptions: CaseInsensitiveStringMap): ScanBuilder =
     new RestScanBuilder(schema0, options, obj)
@@ -149,6 +150,9 @@ class RestScan(readSchema0: StructType, options: Map[String, String], obj: Strin
 
   override def readSchema(): StructType = readSchema0
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new RestMicroBatchStream(readSchema0, options, obj, checkpointLocation)
   override def description(): String =
     s"graft-rest $obj pushed=[${pushedV1.mkString(", ")}] limit=$limit " +
       s"columns=[${readSchema0.fieldNames.mkString(",")}]"

@@ -48,6 +48,9 @@ trait RestTransport extends Serializable {
   def fetchByIds(obj: String, ids: Seq[String], columns: Seq[String]): Seq[Map[String, Any]]
   /** S8: single-record upsert; Left(error) on failure, never throws. */
   def upsert(obj: String, record: Map[String, Any]): Either[String, String]
+  /** Streaming cursor probe: max modification timestamp (micros) —
+    * the remote high-watermark a MicroBatchStream advances to. */
+  def latestModified(obj: String, dateField: String): Long
 }
 
 /** Deterministic fake "org": generated base records + a mutable
@@ -150,6 +153,10 @@ final class FakeTransport(org: String, numRecords: Int, seed: Long,
 
   override def count(obj: String, preds: Seq[RPred], includeDeleted: Boolean): Long =
     filtered(obj, preds, includeDeleted).size.toLong
+
+  override def latestModified(obj: String, dateField: String): Long =
+    all(obj).flatMap(_.get(dateField)).collect { case l: Long => l }
+      .foldLeft(0L)(math.max)
 
   override def queryIds(obj: String, preds: Seq[RPred], includeDeleted: Boolean,
       limit: Option[Int], pageSize: Int): Iterator[Seq[String]] = {

@@ -30,6 +30,17 @@ class QuerySpec extends SparkSpec {
     assert(r == Seq("d", "a", "c"))
   }
 
+  test("sort null ordering matches Postgres: ASC nulls last, DESC nulls first") {
+    val withNulls = Seq((1L, Some(2.0)), (2L, None: Option[Double]), (3L, Some(1.0)))
+      .toDF("id", "x")
+    val asc = Query.get(withNulls, columns = Seq("id"),
+      sortBy = Seq(SortKey("x"))).as[Long].collect().toSeq
+    assert(asc == Seq(3L, 1L, 2L))
+    val desc = Query.get(withNulls, columns = Seq("id"),
+      sortBy = Seq(SortKey("x", ascending = false))).as[Long].collect().toSeq
+    assert(desc == Seq(2L, 1L, 3L))
+  }
+
   test("rows materializer crosses the driver boundary as maps") {
     val r = Query.rows(Query.get(df, where = Seq(Pred.Eq("id", 2))))
     assert(r == Seq(Map("id" -> 2L, "v" -> "b", "score" -> 10.0)))

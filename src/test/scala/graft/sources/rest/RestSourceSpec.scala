@@ -89,6 +89,39 @@ class RestSourceSpec extends SparkSpec {
     assert(new FakeTransport("t-auth", 10, 42, "weird").authenticatedEnv == "test")
   }
 
+  test("streaming micro-batch read: the date cursor is the offset (S6 as CDC)") {
+    // unit-level: the stream plans (lo, hi] windows into id-batch partitions
+    val opts = Map("org" -> "t-stream", "numrecords" -> "300", "seed" -> "42",
+      "object" -> "account")
+    val stream = new RestMicroBatchStream(
+      RestTable.schemaFor(RestTable.transportFor(opts), "account"), opts,
+      "account", "/tmp/ckpt-unused")
+    val latest = stream.latestOffset().asInstanceOf[RestOffset]
+    assert(latest.micros == FakeTransport.BaseMicros + 299 * 60L * 1000000L)
+    val all = stream.planInputPartitions(RestOffset(0L), latest)
+    assert(all.map(_.asInstanceOf[RestInputPartition].ids.length).sum == 300)
+    assert(all.length == 3) // 300 ids / batchSize 100
+    // a narrower window: records 101..200 (minutes 101..200 inclusive)
+    val lo = FakeTransport.BaseMicros + 100 * 60L * 1000000L
+    val hi = FakeTransport.BaseMicros + 200 * 60L * 1000000L
+    val windowed = stream.planInputPartitions(RestOffset(lo), RestOffset(hi))
+    assert(windowed.map(_.asInstanceOf[RestInputPartition].ids.length).sum == 100)
+    assert(stream.planInputPartitions(latest, latest).isEmpty)
+
+    // end-to-end: readStream through the connector, one AvailableNow pass
+    val q = spark.readStream.format("graft-rest")
+      .option("object", "account").option("org", "t-stream")
+      .option("numRecords", "300").option("seed", "42")
+      .load()
+      .groupBy($"Industry").count()
+      .writeStream.format("memory").queryName("rest_stream")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    assert(spark.table("rest_stream").agg(sum($"count")).first().getLong(0) == 300L)
+  }
+
   test("DSv2 batch write upserts; read-your-writes through the connector (S8)") {
     FakeTransport.Store.clear("t-write")
     val updates = Seq(("00A0000003", "Renamed 3")).toDF("Id", "Name")
