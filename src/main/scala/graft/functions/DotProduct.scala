@@ -77,6 +77,15 @@ case class DotProduct(left: Expression, right: Expression)
 object GraftFunctions {
   def dot(a: Column, b: Column): Column =
     Bridge.column(DotProduct(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Cosine similarity composed from native dots: dot(a,b) /
+    * (√dot(a,a)·√dot(b,b)), zero vectors ⇒ 0 (guarded — ANSI mode
+    * throws on divide-by-zero). Entirely codegen'd. */
+  def cosine(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.functions.{lit, sqrt, when}
+    val denom = sqrt(dot(a, a)) * sqrt(dot(b, b))
+    when(denom === 0, lit(0.0)).otherwise(dot(a, b) / denom)
+  }
 }
 
 /** SparkSessionExtensions hook: makes the native functions addressable
@@ -85,17 +94,27 @@ object GraftFunctions {
   * programmatically with `GraftExtensions.register(spark)`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
-    ext.injectFunction(GraftExtensions.dotDescriptor)
+    GraftExtensions.descriptors.foreach(ext.injectFunction)
 }
 
 object GraftExtensions {
-  private val dotDescriptor = (
-    FunctionIdentifier("graft_dot"),
-    new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
-    (children: Seq[Expression]) => DotProduct(children.head, children(1)): Expression)
+  private val descriptors = Seq(
+    (FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (children: Seq[Expression]) => DotProduct(children.head, children(1)): Expression),
+    (FunctionIdentifier("graft_cosine"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_cosine"),
+      (children: Seq[Expression]) => {
+        import org.apache.spark.sql.catalyst.expressions.{Divide, EqualTo, If, Literal, Multiply, Sqrt}
+        val (a, b) = (children.head, children(1))
+        val denom = Multiply(Sqrt(DotProduct(a, a)), Sqrt(DotProduct(b, b)))
+        If(EqualTo(denom, Literal(0.0)), Literal(0.0),
+          Divide(DotProduct(a, b), denom)): Expression
+      }))
 
   /** Idempotent runtime registration for an existing session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry.registerFunction(
-      dotDescriptor._1, dotDescriptor._2, dotDescriptor._3)
+    descriptors.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
 }

@@ -35,6 +35,16 @@ class DotProductSpec extends SparkSpec {
     val r = spark.sql("SELECT graft_dot(a, b) AS d FROM dot_test WHERE id = 1")
       .as[Double].first()
     assert(r == 32.0)
+    val c = spark.sql("SELECT graft_cosine(a, a) AS c FROM dot_test WHERE id = 1")
+      .as[Double].first()
+    assert(math.abs(c - 1.0) < 1e-12)
+  }
+
+  test("cosine Column API == ext.Similarity formula") {
+    val viaNative = df.select(GraftFunctions.cosine($"a", $"b")).as[Double].collect().toSeq
+    val viaSim = df.select(graft.ext.Similarity.cosine($"a", $"b")).as[Double].collect().toSeq
+    assert(viaNative.zip(viaSim).forall { case (x, y) =>
+      (x.isNaN && y.isNaN) || x == y || math.abs(x - y) < 1e-15 })
   }
 
   test("non-double arrays are rejected at analysis") {
