@@ -55,6 +55,10 @@ class PlanShapeSpec extends SparkSpec {
     assert(projLine.findFirstIn(p).isDefined, p)
   }
 
+  test("driver smoke contract: entry() returns rows on sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
   test("upsert never broadcasts the target side") {
     val target = core.Fx.t(spark, sfDir, "lineitem") // the big side
     val updates = core.Fx.t(spark, sfDir, "lineitem").limit(10)
