@@ -28,7 +28,11 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val secs = (System.nanoTime() - t0) / 1e9
+      // queries are independent; drop any intermediate persists (LSH
+      // signatures etc.) so memory stays flat across the suite
+      spark.catalog.clearCache()
+      name -> secs
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
