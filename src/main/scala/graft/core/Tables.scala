@@ -86,11 +86,17 @@ final class TableStore(spark: SparkSession, root: String) {
     spark.read.parquet(new Path(tableDir(name), s"v$v").toString)
   }
 
-  /** Write a new snapshot then atomically swap the pointer. */
-  def write(name: String, df: DataFrame): Unit = {
+  /** Write a new snapshot then atomically swap the pointer.
+    * `partitionBy` lays the snapshot out hive-style (`col=value/`
+    * directories) so reads with a filter on those columns prune whole
+    * partitions at planning time (`PartitionFilters` in the scan) —
+    * the storage-level filter for 100 TB tables. */
+  def write(name: String, df: DataFrame, partitionBy: Seq[String] = Nil): Unit = {
     val next = currentVersion(name).getOrElse(-1) + 1
     val dest = new Path(tableDir(name), s"v$next")
-    df.write.mode("overwrite").parquet(dest.toString)
+    val w = df.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(dest.toString)
     val tmp = new Path(tableDir(name), s"_LATEST.tmp$next")
     val out = fs.create(tmp, true)
     try out.write(next.toString.getBytes("UTF-8")) finally out.close()

@@ -25,6 +25,20 @@ class DdlAndStoreSpec extends SparkSpec {
     assert(!store.tableExists("t"))
   }
 
+  test("partitioned snapshots prune partitions at the scan") {
+    val store = newStore()
+    val df = Seq((1L, "a", "2024-01"), (2L, "b", "2024-01"), (3L, "c", "2024-02"))
+      .toDF("id", "v", "month")
+    store.write("events_p", df, partitionBy = Seq("month"))
+    val filtered = store.read("events_p").filter($"month" === "2024-01")
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan)
+    assert(plan.contains("month#") && plan.contains("2024-01"), plan)
+    assert(filtered.count() == 2)
+    // partition column round-trips; non-matching partition never read
+    assert(store.read("events_p").columns.toSet == Set("id", "v", "month"))
+  }
+
   test("createTable: create-if-absent, then additive evolution on re-declare (D9/D10)") {
     val store = newStore()
     Ddl.createTable(store, spark, "t", Seq(
