@@ -457,6 +457,13 @@ object SparkEntry {
         threshold = 0.5, k = 32, bands = 8, shingleN = 3)
         .orderBy(col("a"), col("b"))),
 
+    // Rows-only: winnowing fingerprints — local-similarity dedup (shared
+    // passages), complements the whole-doc and set-similarity schemes.
+    "q61_winnowing_neardup" -> ((s, d) =>
+      Dedup.winnowingNearDups(T(s, d, "documents"), "doc_id", "text",
+        k = 5, window = 4, minShared = 3)
+        .orderBy(col("a"), col("b"))),
+
     "q46_simhash_neardup" -> ((s, d) =>
       Dedup.simhashNearDups(T(s, d, "documents"), "doc_id", "text", maxDistance = 3)
         .orderBy(col("a"), col("b"))),

@@ -135,6 +135,22 @@ object Dedup {
       .select(col("a"), col("b"), col("jaccard"))
   }
 
+  /** Winnowing near-dups: pairs of docs sharing ≥ `minShared` winnowing
+    * fingerprints (local-similarity detection — catches plagiarism-style
+    * shared passages that whole-doc hashing misses). Equi-join on the
+    * fingerprint, so only docs with a common fingerprint are compared. */
+  def winnowingNearDups(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 5, window: Int = 4, minShared: Int = 2): DataFrame = {
+    val fp = TextOps.winnowingFingerprints(
+      docs.repartition(col(idCol)), idCol, textCol, k, window)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    fp.select(col(idCol).as("a"), col("fingerprint"))
+      .join(fp.select(col(idCol).as("b"), col("fingerprint")), Seq("fingerprint"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   // ---------------------------------------------------------------- SimHash
 
   /** Per-doc 64-bit SimHash: each token votes ±1 on each bit of

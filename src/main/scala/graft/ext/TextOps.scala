@@ -108,6 +108,32 @@ object TextOps {
         i => concat_ws(" ", slice(tokensCol, i + lit(1), lit(n)))))
       .otherwise(array().cast("array<string>"))
 
+  /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    * SIGMOD'03 — the rolling-hash fingerprinting scheme): hash every
+    * token k-gram, slide a window of `window` consecutive hashes, keep
+    * each window's minimum. Any shared token run of ≥ window+k−1 tokens
+    * between two documents is guaranteed to share a fingerprint, while
+    * only ~1/window of the hashes are kept. All codegen'd (posexplode +
+    * window lead/min); one shuffle on the doc id, reused for both
+    * window passes. Returns (idCol, fingerprint BIGINT) distinct rows. */
+  def winnowingFingerprints(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, k: Int = 5, window: Int = 4): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = docs.select(col(idCol),
+      posexplode(tokens(col(textCol))).as(Seq("__pos", "__tok")))
+    val seq = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
+    val parts = (0 until k).map(i =>
+      if (i == 0) col("__tok") else lead(col("__tok"), i).over(seq))
+    val grams = tok.select(col(idCol), col("__pos"),
+        xxhash64(concat_ws(" ", parts: _*)).as("__h"),
+        lead(col("__tok"), k - 1).over(seq).isNotNull.as("__full"))
+      .filter(col("__full"))
+    val win = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
+      .rowsBetween(0, window - 1)
+    grams.select(col(idCol), min(col("__h")).over(win).as("fingerprint"))
+      .distinct()
+  }
+
   /** Word n-gram shingles as ROWS (id, shingle), with multiplicity —
     * the hot-path formulation: posexplode tokens, then window `lead` to
     * stitch each n-gram. Everything stays inside whole-stage codegen

@@ -58,6 +58,26 @@ class DedupSpec extends SparkSpec {
     assert(nd.contains((1L, 2L)))
   }
 
+  test("winnowing: shared passage of >= window+k-1 tokens guarantees a shared fingerprint") {
+    val passage = "alpha beta gamma delta epsilon zeta eta theta iota kappa"  // 10 tokens
+    val two = Seq(
+      (1L, s"unique first words before $passage and a very different tail here"),
+      (2L, s"completely other opening text $passage closing in another way entirely"),
+      (3L, "no overlap with anything else whatsoever in this particular document text")
+    ).toDF("doc_id", "text")
+    // k=5, window=4 -> guarantee threshold = 8 tokens; the 10-token
+    // passage must produce at least one common fingerprint
+    val fp = TextOps.winnowingFingerprints(two, "doc_id", "text", k = 5, window = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val byDoc = fp.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert((byDoc(1L) intersect byDoc(2L)).nonEmpty)
+    assert((byDoc(1L) intersect byDoc(3L)).isEmpty)
+    val pairs = Dedup.winnowingNearDups(two, "doc_id", "text",
+      k = 5, window = 4, minShared = 1)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
   test("embedding near-dups: LSH candidates recover the brute-force pairs") {
     val emb = graft.core.Fx.t(spark, sfDir, "embeddings")
     val brute = Dedup.embeddingNearDups(emb, "vec_id", "embedding",

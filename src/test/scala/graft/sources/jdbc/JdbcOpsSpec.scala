@@ -36,6 +36,26 @@ class JdbcOpsSpec extends SparkSpec {
     assert(part.count() == 100)
   }
 
+  test("aggregate pushdown through the DSv2 JDBC catalog (S7 against a real engine)") {
+    val df = Seq((1L, "x", 10.0), (2L, "x", 20.0), (3L, "y", 30.0))
+      .toDF("id", "grp", "bal")
+    JdbcOps.write(df, url, "agg_t", mode = "overwrite")
+    spark.conf.set("spark.sql.catalog.derby",
+      "org.apache.spark.sql.execution.datasources.v2.jdbc.JDBCTableCatalog")
+    spark.conf.set("spark.sql.catalog.derby.url", url)
+    spark.conf.set("spark.sql.catalog.derby.pushDownAggregate", "true")
+    spark.conf.set("spark.sql.catalog.derby.driver",
+      "org.apache.derby.jdbc.EmbeddedDriver")
+    try {
+      val agg = spark.table("derby.APP.AGG_T")
+        .agg(count(lit(1)).as("cnt"), min($"BAL").as("mn"), max($"BAL").as("mx"))
+      val plan = agg.queryExecution.executedPlan.toString
+      assert(plan.contains("PushedAggregates"), plan)
+      val r = agg.collect().head
+      assert(r.getLong(0) == 3L && r.getDouble(1) == 10.0 && r.getDouble(2) == 30.0)
+    } finally spark.conf.unset("spark.sql.catalog.derby")
+  }
+
   test("upsert merge + overwrite write = the reference's ON CONFLICT workflow") {
     val target = Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("id", "name", "bal")
     JdbcOps.write(target, url, "merge_t", mode = "overwrite")
