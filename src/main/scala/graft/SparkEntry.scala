@@ -553,6 +553,23 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ----------------------------- curation: packing + sampling
+    "q62_sequence_packing" -> ((s, d) =>
+      graft.ext.Sampling.packSequences(
+        T(s, d, "documents").select(col("doc_id"),
+          TextOps.tokenCountWs(col("text")).as("tok")),
+        "tok", "doc_id", maxTokens = 512L)
+        .select(col("doc_id"), col("tok"), col("bin_id"))
+        .orderBy(col("doc_id"))),
+
+    // Rows-only: hash-based deterministic sample (xxhash64 has no
+    // DuckDB twin; determinism is spec-checked instead).
+    "q63_deterministic_sample" -> ((s, d) =>
+      graft.ext.Sampling.deterministicSample(
+        T(s, d, "documents"), "doc_id", fraction = 0.25)
+        .groupBy(col("lang")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("lang"))),
+
     // ----------------------------------------------------- D9/D10 DDL
     "q54_schema_evolution" -> ((s, d) =>
       Ddl.evolveSchema(T(s, d, "documents"), Seq(
@@ -834,6 +851,15 @@ object SparkEntry {
         |FROM documents ORDER BY media_id""".stripMargin,
 
     "q54_schema_evolution" ->
-      "SELECT doc_id, text, lang, source, n_chars, CAST(NULL AS DOUBLE) AS quality, 'ref' AS ingested FROM documents ORDER BY doc_id"
+      "SELECT doc_id, text, lang, source, n_chars, CAST(NULL AS DOUBLE) AS quality, 'ref' AS ingested FROM documents ORDER BY doc_id",
+
+    "q62_sequence_packing" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS tok
+        |  FROM documents)
+        |SELECT doc_id, tok,
+        |  CAST(floor(CAST(sum(tok) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tok AS DOUBLE) / 512) AS BIGINT) AS bin_id
+        |FROM t ORDER BY doc_id""".stripMargin
   )
 }

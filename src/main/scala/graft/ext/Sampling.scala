@@ -1,0 +1,59 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Reproducible sampling + sequence packing for training-data curation
+  * (north-star extensions; no counterpart in the reference).
+  *
+  * Sampling here is HASH-based, not `rand()`-based: membership depends
+  * only on (seed, key), so a sample is stable across retries, partition
+  * layouts, and cluster sizes — the property a 100 TB pipeline needs
+  * for resumable, auditable runs (`rand()` re-rolls on every recompute
+  * of a lost partition).
+  */
+object Sampling {
+
+  /** Deterministic Bernoulli sample: keep rows where
+    * hash(seed, key) mod 1e6 < fraction·1e6. */
+  def deterministicSample(df: DataFrame, keyCol: String, fraction: Double,
+      seed: Long = 42L): DataFrame = {
+    require(fraction >= 0 && fraction <= 1, s"fraction $fraction outside [0,1]")
+    df.filter(
+      pmod(xxhash64(lit(seed), col(keyCol)), lit(1000000L)) <
+        lit((fraction * 1000000L).toLong))
+  }
+
+  /** Per-stratum deterministic sampling: different fraction per value
+    * of `strataCol` (e.g. downsample web text, keep all code). */
+  def stratifiedSample(df: DataFrame, keyCol: String, strataCol: String,
+      fractions: Map[String, Double], default: Double = 0.0,
+      seed: Long = 42L): DataFrame = {
+    val frac = fractions.foldLeft(lit(default)) { case (acc, (value, f)) =>
+      when(col(strataCol) === value, lit(f)).otherwise(acc)
+    }
+    df.filter(
+      pmod(xxhash64(lit(seed), col(keyCol)), lit(1000000L)).cast("double") <
+        frac * 1000000L)
+  }
+
+  /** Sequence packing: assign documents to training bins of at most
+    * `maxTokens` tokens (last doc of a bin may straddle the boundary —
+    * the standard streaming-fill approximation; exact bin packing is
+    * NP-hard and needless here). Deterministic: docs are filled in
+    * `orderCol` order; bin_id = floor(exclusive-prefix-sum / maxTokens).
+    *
+    * One global sort — at real scale, run per partition-key (e.g. per
+    * source/day) by packing within `partitionCols`. */
+  def packSequences(df: DataFrame, tokenCol: String, orderCol: String,
+      maxTokens: Long, partitionCols: Seq[String] = Nil): DataFrame = {
+    val w0 = if (partitionCols.isEmpty) Window.orderBy(col(orderCol))
+      else Window.partitionBy(partitionCols.map(col): _*).orderBy(col(orderCol))
+    val w = w0.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__cum", sum(col(tokenCol)).over(w))
+      .withColumn("bin_id",
+        floor((col("__cum") - col(tokenCol)).cast("double") / maxTokens).cast("long"))
+      .drop("__cum")
+  }
+}

@@ -1,0 +1,56 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = graft.core.Fx.t(spark, sfDir, "documents")
+
+  test("deterministic sample: same (seed, key) -> identical set, every run") {
+    val a = Sampling.deterministicSample(docs, "doc_id", 0.3)
+      .select("doc_id").as[Long].collect().toSet
+    val b = Sampling.deterministicSample(docs.repartition(7), "doc_id", 0.3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(a == b, "sample must not depend on partition layout")
+    val n = a.size.toDouble / docs.count()
+    assert(n > 0.2 && n < 0.4, s"fraction way off: $n")
+    // a different seed draws a different sample
+    val c = Sampling.deterministicSample(docs, "doc_id", 0.3, seed = 7L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(a != c)
+    // nested property: a 0.1 sample with the same seed is a subset of 0.3
+    val small = Sampling.deterministicSample(docs, "doc_id", 0.1)
+      .select("doc_id").as[Long].collect().toSet
+    assert(small.subsetOf(a))
+  }
+
+  test("stratified sample applies per-stratum fractions") {
+    val s = Sampling.stratifiedSample(docs, "doc_id", "lang",
+      Map("en" -> 1.0), default = 0.0)
+    val langs = s.select("lang").distinct().as[String].collect().toSet
+    val enTotal = docs.filter($"lang" === "en").count()
+    if (enTotal > 0) {
+      assert(langs == Set("en"))
+      assert(s.count() == enTotal) // fraction 1.0 keeps every en row
+    } else assert(s.count() == 0)
+  }
+
+  test("sequence packing: bins fill in order; no bin starts past maxTokens") {
+    val packed = Sampling.packSequences(
+      docs.select($"doc_id", graft.ext.TextOps.tokenCountWs($"text").as("tok")),
+      "tok", "doc_id", maxTokens = 512L)
+    val rows = packed.orderBy("doc_id")
+      .select("tok", "bin_id").as[(Long, Long)].collect()
+    // bin ids are non-decreasing in fill order and start at 0
+    assert(rows.head._2 == 0L)
+    assert(rows.sliding(2).forall { case Array((_, b1), (_, b2)) => b2 >= b1; case _ => true })
+    // each bin's exclusive prefix (all but its last, straddling doc) <= max
+    val byBin = rows.zipWithIndex.groupBy(_._1._2)
+    byBin.values.foreach { rs =>
+      val toks = rs.map(_._1._1)
+      assert(toks.dropRight(1).sum <= 512L)
+    }
+  }
+}
