@@ -32,6 +32,31 @@ class SimilaritySpec extends SparkSpec {
     (0L until 5L).foreach(q => assert(top1(q) == q))
   }
 
+  test("int8 quantization: bounded reconstruction error, high top-k recall") {
+    val emb = Fx.t(spark, sfDir, "embeddings")
+      .select($"vec_id", $"embedding".cast("array<double>").as("e"))
+    val rt = emb.select($"vec_id", $"e",
+      Similarity.dequantizeInt8(Similarity.quantizeInt8($"e")).as("d"),
+      Similarity.quantizeInt8($"e").getField("scale").as("s"))
+    // per-element |x - dequant(x)| <= scale/2 (+fp eps)
+    val viol = rt.withColumn("maxerr",
+      aggregate(zip_with($"e", $"d", (x, y) => abs(x - y)), lit(0.0),
+        (acc, v) => greatest(acc, v)))
+      .filter($"maxerr" > $"s" / 2 + 1e-9).count()
+    assert(viol == 0)
+    // searching on dequantized vectors preserves the neighbor structure
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "e",
+      emb.filter($"vec_id" < 5), "vec_id", "e", k = 10)
+      .select("query_id", "nn_id").as[(Long, Long)].collect().toSet
+    val qCorpus = emb.select($"vec_id",
+      Similarity.dequantizeInt8(Similarity.quantizeInt8($"e")).as("e"))
+    val approx = Similarity.bruteForceTopK(qCorpus, "vec_id", "e",
+      qCorpus.filter($"vec_id" < 5), "vec_id", "e", k = 10)
+      .select("query_id", "nn_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.8, s"quantized recall@10 was $recall")
+  }
+
   test("IVF search reaches >=60% recall@10 vs brute force at nprobe=8/16 buckets") {
     val emb = Fx.t(spark, sfDir, "embeddings")
     val queries = emb.filter($"vec_id" < 5)
