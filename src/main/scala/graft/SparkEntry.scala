@@ -73,6 +73,28 @@ object SparkEntry {
       |  AND o_orderdate < TIMESTAMP '1999-01-01'
       |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
 
+  private val Q6Sql =
+    """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin
+
+  private val Q12Sql =
+    """SELECT l_returnflag,
+      |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_count,
+      |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_count
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  private val Q14Sql =
+    """SELECT 100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+      |    THEN CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))
+      |    ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+      |  / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS promo_revenue
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-03-01'""".stripMargin
+
   private val SubquerySql =
     """SELECT c_custkey, c_acctbal FROM customer c
       |WHERE c_acctbal > (
@@ -253,6 +275,9 @@ object SparkEntry {
     "q20_sql_q1" -> ((s, d) => { Fx.registerAll(s, d); Sql.executeRaw(s, Q1Sql) }),
     "q21_sql_q3" -> ((s, d) => { Fx.registerAll(s, d); Sql.executeRaw(s, Q3Sql) }),
     "q56_sql_q5" -> ((s, d) => { Fx.registerAll(s, d); Sql.executeRaw(s, Q5Sql) }),
+    "q64_sql_q6" -> ((s, d) => { Fx.registerAll(s, d); Sql.executeRaw(s, Q6Sql) }),
+    "q65_sql_q12" -> ((s, d) => { Fx.registerAll(s, d); Sql.executeRaw(s, Q12Sql) }),
+    "q66_sql_q14" -> ((s, d) => { Fx.registerAll(s, d); Sql.executeRaw(s, Q14Sql) }),
     "q57_subquery_corr" -> ((s, d) => { Fx.registerAll(s, d); Sql.executeRaw(s, SubquerySql) }),
     "q58_grouping_sets" -> ((s, d) => { Fx.registerAll(s, d); Sql.executeRaw(s, GroupingSetsSql) }),
 
@@ -670,6 +695,9 @@ object SparkEntry {
     "q20_sql_q1" -> Q1Sql,
     "q21_sql_q3" -> Q3Sql,
     "q56_sql_q5" -> Q5Sql,
+    "q64_sql_q6" -> Q6Sql,
+    "q65_sql_q12" -> Q12Sql,
+    "q66_sql_q14" -> Q14Sql,
     "q57_subquery_corr" -> SubquerySql,
     "q58_grouping_sets" -> GroupingSetsSql,
 

@@ -101,6 +101,29 @@ object Streams {
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
 
+  /** Latest-value-per-key changelog — the STREAMING form of the
+    * reference's upsert merge rule (D8, revtron/database/main.py:109-112,
+    * "newest write wins per PK"): keyed state holds the current latest
+    * event; a batch emits a row only when its key's latest actually
+    * advances (late/duplicate events are absorbed silently). Downstream
+    * sinks receive an upsert changelog, exactly what a CDC-materialized
+    * table consumes. */
+  def latestPerKey(events: Dataset[UserEvent]): Dataset[UserEvent] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserEvent, UserEvent](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[UserEvent], state: GroupState[UserEvent]) =>
+          val prev = state.getOption
+          val candidates = rows ++ prev.iterator
+          val newest = candidates.maxBy(_.ts.getTime)
+          if (prev.forall(p => newest.ts.after(p.ts))) {
+            state.update(newest)
+            Iterator.single(newest)
+          } else Iterator.empty
+      }
+  }
+
   /** Batch-mode sessionization (gaps-and-islands): a new session starts
     * after `gapMinutes` of inactivity; pure window functions so it is
     * oracle-checkable in SQL — the batch twin of [[sessionAgg]]. */

@@ -71,6 +71,33 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("latestPerKey: streaming upsert changelog — newer wins, late events absorbed") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Streams.UserEvent]
+    val q = Streams.latestPerKey(mem.toDS())
+      .writeStream.format("memory").queryName("latest_test")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        Streams.UserEvent(1L, ts("2024-01-01 10:00:00"), 1.0),
+        Streams.UserEvent(1L, ts("2024-01-01 11:00:00"), 2.0))
+      q.processAllAvailable()
+      // batch 2: a LATE event for user 1 (absorbed) + a new user
+      mem.addData(
+        Streams.UserEvent(1L, ts("2024-01-01 09:00:00"), 0.5),
+        Streams.UserEvent(2L, ts("2024-01-01 10:30:00"), 7.0))
+      q.processAllAvailable()
+      // batch 3: a genuinely newer event for user 1 -> one more emission
+      mem.addData(Streams.UserEvent(1L, ts("2024-01-01 12:00:00"), 3.0))
+      q.processAllAvailable()
+      val out = spark.table("latest_test").as[Streams.UserEvent].collect()
+      val byUser = out.groupBy(_.user_id)
+      // user 1: emitted at 11:00 (batch 1) and 12:00 (batch 3), NOT for the late 09:00
+      assert(byUser(1L).map(_.value).sorted.toSeq == Seq(2.0, 3.0))
+      assert(byUser(2L).map(_.value).toSeq == Seq(7.0))
+    } finally q.stop()
+  }
+
   test("runningUserState accumulates per-key state (mapGroupsWithState)") {
     val ds = Seq(
       Streams.UserEvent(1L, ts("2024-01-01 10:00:00"), 2.0),
