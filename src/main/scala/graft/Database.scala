@@ -63,8 +63,15 @@ final class Database(val spark: SparkSession, root: String) {
     * snapshot; returns the touched PKs (the reference RETURNINGs them,
     * main.py:106,116). */
   def upsert(tableName: String, data: DataFrame, pk: Seq[String],
-      overwriteWithNull: Boolean = false): DataFrame = {
+      overwriteWithNull: Boolean = false,
+      validatePk: Boolean = false): DataFrame = {
     val merged = Mutations.upsert(store.read(tableName), data, pk, overwriteWithNull)
+    // Spark can't ENFORCE the PK constraint (SURVEY §7.5); opt-in
+    // VALIDATION runs the distributed uniqueness check before the swap
+    // so a bad batch never becomes the current snapshot.
+    if (validatePk && !Ddl.validateUnique(merged, pk))
+      throw new IllegalStateException(
+        s"upsert would violate primary key (${pk.mkString(",")}) on $tableName")
     store.write(tableName, merged)
     Mutations.upsertedKeys(data, pk)
   }

@@ -74,4 +74,22 @@ class DatabaseSpec extends SparkSpec {
     db.delete("users")
     assert(db.getTableCount("users") == 0)
   }
+
+  test("opt-in PK validation rejects a merge that would keep duplicate keys") {
+    val root = Files.createTempDirectory("graft-dbv").toString
+    val db = new Database(spark, root)
+    // a corrupted snapshot (written outside the facade) with dup PKs
+    new graft.core.TableStore(spark, root).write("dup",
+      Seq((1L, "x"), (1L, "y")).toDF("id", "name"))
+    val updates = Seq((2L, "z")).toDF("id", "name")
+    intercept[IllegalStateException](
+      db.upsert("dup", updates, Seq("id"), validatePk = true))
+    // without validation the merge goes through (documented: validate,
+    // not enforce), and a clean table passes validation silently
+    db.upsert("dup", updates, Seq("id"))
+    new graft.core.TableStore(spark, root).write("clean",
+      Seq((1L, "x")).toDF("id", "name"))
+    db.upsert("clean", updates, Seq("id"), validatePk = true)
+    assert(db.getTableCount("clean") == 2)
+  }
 }
