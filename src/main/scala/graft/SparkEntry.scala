@@ -424,6 +424,23 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // Composite enrichment: as-of order attach + JSON prop + running
+    // per-user count — three operators composing in ONE plan.
+    "q67_event_enrichment" -> ((s, d) => {
+      val e = T(s, d, "events").select(col("event_id"), col("user_id"), col("ts"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      val o = T(s, d, "orders").groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(max(col("o_orderkey")).as("o_orderkey"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      AsOfJoin.backward(e, "user_id", "ts", o, "o_custkey", "o_orderdate")
+        .withColumn("running_events", count(lit(1)).over(w))
+        .select(col("event_id"), col("user_id"), col("k"),
+          col("o_orderkey"), col("running_events"))
+        .orderBy(col("event_id"))
+    }),
+
     // ----------------------------------------------------- streaming (batch twins)
     "q37_tumbling_hour" -> ((s, d) =>
       T(s, d, "events")
@@ -777,6 +794,22 @@ object SparkEntry {
         |FROM events e ASOF LEFT JOIN o
         |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
         |ORDER BY e.event_id""".stripMargin,
+
+    "q67_event_enrichment" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+        |  FROM orders GROUP BY o_custkey, o_orderdate),
+        |e AS (
+        |  SELECT event_id, user_id, ts,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |  FROM events),
+        |j AS (
+        |  SELECT e.event_id, e.user_id, e.ts, e.k, o.o_orderkey
+        |  FROM e ASOF LEFT JOIN o
+        |    ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate)
+        |SELECT event_id, user_id, k, o_orderkey,
+        |  count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_events
+        |FROM j ORDER BY event_id""".stripMargin,
 
     "q37_tumbling_hour" ->
       "SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value FROM events GROUP BY 1, 2 ORDER BY 1, 2",
