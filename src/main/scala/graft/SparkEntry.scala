@@ -36,6 +36,31 @@ object SparkEntry {
   private val Stop20 =
     "'the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','at','by','from','this','be'"
 
+  /** Per-language stopword lists as DuckDB list literals — must mirror
+    * [[graft.ext.TextOps.LangStopwords]] exactly. */
+  private val LangListsSql: Seq[(String, String)] = Seq(
+    "en" -> "'the','and','of','to','in','is','that','it','for','with'",
+    "es" -> "'el','la','de','que','y','en','un','los','del','se'",
+    "de" -> "'der','die','und','das','ist','von','mit','den','ein','zu'",
+    "fr" -> "'le','la','et','les','des','un','une','du','est','dans'")
+
+  /** SQL fragment: one stopword-hit-ratio column per language (s_en,
+    * s_es, …) over a `tokens` list column. */
+  private val LangScoreCols: String = LangListsSql.map { case (lang, list) =>
+    s"CASE WHEN len(tokens) = 0 THEN 0.0 ELSE CAST(len(list_filter(tokens, x -> list_contains([$list], x))) AS DOUBLE) / CAST(len(tokens) AS DOUBLE) END AS s_$lang"
+  }.mkString(",\n    ")
+
+  /** SQL fragment: argmax over the per-language scores with Spark's
+    * tie-break (equal scores → lexicographically GREATEST lang code,
+    * matching array_max over (score, lang) structs), 'und' when no
+    * list matched at all. */
+  private val LangArgmaxSql: String =
+    """CASE WHEN greatest(s_de, s_en, s_es, s_fr) <= 0 THEN 'und'
+      |    WHEN s_fr = greatest(s_de, s_en, s_es, s_fr) THEN 'fr'
+      |    WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+      |    WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+      |    ELSE 'de' END""".stripMargin
+
   /** Shared SQL (runs verbatim in BOTH Spark SQL and DuckDB). */
   private val Q1Sql =
     """SELECT l_returnflag, l_linestatus,
@@ -101,6 +126,24 @@ object SparkEntry {
       |  SELECT CAST(sum(CAST(c2.c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / count(*)
       |  FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)
       |ORDER BY c_custkey""".stripMargin
+
+  /** Exact cosine top-k oracle (shared by q49 brute force and q50 IVF
+    * at full probe — both are exact and bit-identical). */
+  private val AnnTopkSql =
+    """WITH v AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+      |n AS (SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v),
+      |q AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn FROM n WHERE vec_id < 5),
+      |scored AS (
+      |  SELECT q.query_id, n.vec_id AS nn_id,
+      |    list_sum(list_transform(range(1, 65), i -> (n.e[i] / n.nrm) * (q.qe[i] / q.qn))) AS cosine
+      |  FROM q CROSS JOIN n),
+      |ranked AS (
+      |  SELECT query_id, nn_id, cosine,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nn_id) AS rank
+      |  FROM scored)
+      |SELECT query_id, nn_id, cosine, rank FROM ranked WHERE rank <= 10
+      |ORDER BY query_id, rank""".stripMargin
 
   private val GroupingSetsSql =
     """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
@@ -491,7 +534,7 @@ object SparkEntry {
 
     "q44_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardPairs(T(s, d, "documents"), "doc_id", "text",
-        threshold = 0.5, shingleN = 3)
+        threshold = 0.5, shingleN = 3, maxDf = 100)
         .orderBy(col("a"), col("b"))),
 
     "q45_minhash_neardup" -> ((s, d) =>
@@ -539,11 +582,16 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Full probe (nprobe = nCentroids) is EXACT by construction, which
+    // gives the whole IVF machinery — k-means build, bucket assignment,
+    // probe join, scoring, ranking — a DuckDB hash-match oracle (same
+    // SQL as q49). The approximate path (nprobe < C) is spec-covered by
+    // a recall@k ≥ 0.9 assertion in SimilaritySpec.
     "q50_ann_ivf" -> ((s, d) => {
       val emb = T(s, d, "embeddings")
       val idx = Similarity.ivfBuild(emb, "vec_id", "embedding", nCentroids = 16)
       Similarity.ivfSearch(idx, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
-        k = 10, nprobe = 8)
+        k = 10, nprobe = 16)
         .withColumn("rank", col("rank").cast("long"))
         .orderBy(col("query_id"), col("rank"))
     }),
@@ -556,16 +604,23 @@ object SparkEntry {
           length(col("media.bytes")).cast("long").as("n_bytes"))
         .orderBy(col("media_id"))),
 
+    // Exploded to (media_id, bin, cnt) rows: scalar columns hash cleanly
+    // in the oracle harness, and the byte histogram IS expressible in
+    // DuckDB over encode(text)'s hex dump (bins=16 ⇒ bin = low nibble).
     "q52_media_features" -> ((s, d) =>
       Multimodal.byteHistogram(
         Multimodal.packAsMedia(T(s, d, "documents"), "doc_id", "text"), bins = 16)
-        .orderBy(col("media_id"))),
+        .select(col("media_id"), posexplode(col("features")).as(Seq("bin", "cnt")),
+          col("n_bytes"))
+        .withColumn("bin", col("bin").cast("long"))
+        .orderBy(col("media_id"), col("bin"))),
 
     "q53_frame_sample" -> ((s, d) =>
       Multimodal.frameSample(
         Multimodal.packAsMedia(T(s, d, "documents"), "doc_id", "text"),
         nFrames = 4, frameBytes = 32)
-        .select(col("media_id"), col("frame_no"), col("frame_len"))
+        .select(col("media_id"), col("frame_no").cast("long").as("frame_no"),
+          col("frame_len").cast("long").as("frame_len"))
         .orderBy(col("media_id"), col("frame_no"))),
 
     // --------------------------------------------- S1–S9 REST connector
@@ -604,13 +659,23 @@ object SparkEntry {
         .select(col("doc_id"), col("tok"), col("bin_id"))
         .orderBy(col("doc_id"))),
 
-    // Rows-only: hash-based deterministic sample (xxhash64 has no
-    // DuckDB twin; determinism is spec-checked instead).
+    // Portable (md5-bucket) deterministic sample — reproducible in
+    // DuckDB SQL, so the sampled-id set itself is oracle-checked.
     "q63_deterministic_sample" -> ((s, d) =>
       graft.ext.Sampling.deterministicSample(
-        T(s, d, "documents"), "doc_id", fraction = 0.25)
+        T(s, d, "documents"), "doc_id", fraction = 0.25, portable = true)
         .groupBy(col("lang")).agg(count(lit(1)).as("cnt"))
         .orderBy(col("lang"))),
+
+    // Sequence packing WITHIN a partition key (lang): the scale form —
+    // each partition sorts independently instead of one global sort.
+    "q68_packing_by_lang" -> ((s, d) =>
+      graft.ext.Sampling.packSequences(
+        T(s, d, "documents").select(col("doc_id"), col("lang"),
+          TextOps.tokenCountWs(col("text")).as("tok")),
+        "tok", "doc_id", maxTokens = 512L, partitionCols = Seq("lang"))
+        .select(col("doc_id"), col("lang"), col("tok"), col("bin_id"))
+        .orderBy(col("doc_id"))),
 
     // ----------------------------------------------------- D9/D10 DDL
     "q54_schema_evolution" -> ((s, d) =>
@@ -863,15 +928,33 @@ object SparkEntry {
         |  greatest(0.0, least(1.0, len_score * 0.5 + least(stop_ratio * 4.0, 1.0) * 0.5 - least(punct_ratio * 2.0, 1.0) * 0.25)) AS quality
         |FROM c ORDER BY doc_id""".stripMargin,
 
+    "q43_lang_id" ->
+      s"""WITH tk AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS tokens FROM documents),
+        |r AS (
+        |  SELECT doc_id,
+        |    $LangScoreCols
+        |  FROM tk)
+        |SELECT $LangArgmaxSql AS lang_pred, count(*) AS cnt
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // df-capped shingle space: drop shingles with document frequency >
+    // 100 before the self-join, recompute set sizes after the cap —
+    // mirrors Dedup.ngramJaccardPairs(maxDf = 100) exactly.
     "q44_ngram_jaccard" ->
       """WITH tk AS (
         |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS tokens FROM documents),
         |sh AS (
         |  SELECT doc_id, CASE WHEN len(tokens) >= 3 THEN list_distinct(list_transform(range(1, len(tokens) - 1), i -> array_to_string(tokens[i:i+2], ' '))) ELSE [] END AS s FROM tk),
-        |ex AS (SELECT doc_id, len(s) AS n, unnest(s) AS g FROM sh),
+        |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        |kept AS (
+        |  SELECT doc_id, g FROM (
+        |    SELECT doc_id, g, count(*) OVER (PARTITION BY g) AS df FROM ex)
+        |  WHERE df <= 100),
+        |sized AS (SELECT doc_id, g, count(*) OVER (PARTITION BY doc_id) AS n FROM kept),
         |pairs AS (
         |  SELECT ea.doc_id AS a, eb.doc_id AS b, ea.n AS na, eb.n AS nb, count(*) AS c
-        |  FROM ex ea JOIN ex eb ON ea.g = eb.g AND ea.doc_id < eb.doc_id
+        |  FROM sized ea JOIN sized eb ON ea.g = eb.g AND ea.doc_id < eb.doc_id
         |  GROUP BY 1, 2, 3, 4)
         |SELECT a, b, CAST(c AS DOUBLE) / CAST(na + nb - c AS DOUBLE) AS jaccard
         |FROM pairs WHERE CAST(c AS DOUBLE) / CAST(na + nb - c AS DOUBLE) >= 0.5
@@ -888,21 +971,12 @@ object SparkEntry {
         |WHERE list_sum(list_transform(range(1, 65), i -> a.e[i] * b.e[i])) / (a.nrm * b.nrm) >= 0.4
         |ORDER BY a, b""".stripMargin,
 
-    "q49_ann_topk" ->
-      """WITH v AS (
-        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
-        |n AS (SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v),
-        |q AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn FROM n WHERE vec_id < 5),
-        |scored AS (
-        |  SELECT q.query_id, n.vec_id AS nn_id,
-        |    list_sum(list_transform(range(1, 65), i -> (n.e[i] / n.nrm) * (q.qe[i] / q.qn))) AS cosine
-        |  FROM q CROSS JOIN n),
-        |ranked AS (
-        |  SELECT query_id, nn_id, cosine,
-        |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nn_id) AS rank
-        |  FROM scored)
-        |SELECT query_id, nn_id, cosine, rank FROM ranked WHERE rank <= 10
-        |ORDER BY query_id, rank""".stripMargin,
+    "q49_ann_topk" -> AnnTopkSql,
+
+    // Same oracle as q49: IVF at full probe (nprobe = nCentroids) must
+    // reproduce the exact top-k bit-for-bit — verifies build + probe +
+    // scoring end-to-end.
+    "q50_ann_ivf" -> AnnTopkSql,
 
     "q51_media_meta" ->
       """SELECT doc_id AS media_id, 'application/octet-stream' AS mime,
@@ -910,6 +984,82 @@ object SparkEntry {
         |  CAST(length(text) % 768 + 1 AS INTEGER) AS height,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
         |FROM documents ORDER BY media_id""".stripMargin,
+
+    // bins=16 byte histogram: bin(byte) = byte % 16 = the byte's LOW hex
+    // nibble, so hex(encode(text))'s even-position chars enumerate bins.
+    "q52_media_features" ->
+      """WITH h AS (
+        |  SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        |  FROM documents),
+        |pos AS (SELECT media_id, hx, unnest(range(1, n_bytes + 1)) AS p FROM h),
+        |cnts AS (
+        |  SELECT media_id,
+        |    CAST(strpos('0123456789ABCDEF', substring(hx, CAST(2 * p AS INTEGER), 1)) - 1 AS BIGINT) AS bin,
+        |    count(*) AS c
+        |  FROM pos GROUP BY 1, 2),
+        |grid AS (SELECT media_id, n_bytes, unnest(range(0, 16)) AS bin FROM h)
+        |SELECT g.media_id, CAST(g.bin AS BIGINT) AS bin,
+        |  CAST(COALESCE(c.c, 0) AS BIGINT) AS cnt, g.n_bytes
+        |FROM grid g LEFT JOIN cnts c ON g.media_id = c.media_id AND g.bin = c.bin
+        |ORDER BY g.media_id, g.bin""".stripMargin,
+
+    // frame geometry is pure arithmetic over octet_length (DuckDB can't
+    // substring a BLOB, but the selected columns never need the bytes):
+    // off = trunc(frame_no * max(nb-32, 0) / 3) + 1 mirrors Spark's
+    // (int) cast of the double division; floor == trunc (non-negative).
+    "q53_frame_sample" ->
+      """WITH h AS (
+        |  SELECT doc_id AS media_id, CAST(octet_length(encode(text)) AS BIGINT) AS nb
+        |  FROM documents),
+        |f AS (SELECT media_id, nb, unnest(range(0, 4)) AS frame_no FROM h),
+        |o AS (SELECT media_id, frame_no, nb,
+        |  CAST(floor(frame_no * greatest(nb - 32, 0) / 3.0) AS BIGINT) + 1 AS off FROM f)
+        |SELECT media_id, CAST(frame_no AS BIGINT) AS frame_no,
+        |  CAST(greatest(least(32, nb - off + 1), 0) AS BIGINT) AS frame_len
+        |FROM o ORDER BY media_id, frame_no""".stripMargin,
+
+    // Full curation pipeline: quality gate → lang filter → exact dedup
+    // (min doc_id per text) → stats + md5 fingerprint. Every stage is
+    // engine-portable, so the composite hash-matches end to end.
+    "q60_curation_pipeline" ->
+      s"""WITH tk AS (
+        |  SELECT doc_id, text, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS tokens FROM documents),
+        |sc AS (
+        |  SELECT doc_id, text, tokens,
+        |    least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) AS len_score,
+        |    CASE WHEN len(tokens) = 0 THEN 0.0 ELSE CAST(len(list_filter(tokens, x -> list_contains([$Stop20], x))) AS DOUBLE) / CAST(len(tokens) AS DOUBLE) END AS stop_ratio,
+        |    CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) END AS punct_ratio,
+        |    $LangScoreCols
+        |  FROM tk),
+        |q AS (
+        |  SELECT doc_id, text,
+        |    greatest(0.0, least(1.0, len_score * 0.5 + least(stop_ratio * 4.0, 1.0) * 0.5 - least(punct_ratio * 2.0, 1.0) * 0.25)) AS quality,
+        |    $LangArgmaxSql AS lang_pred,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS tok_ws
+        |  FROM sc),
+        |f AS (SELECT * FROM q WHERE quality >= 0.3 AND lang_pred <> 'und'),
+        |d AS (SELECT * FROM f QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1)
+        |SELECT doc_id, lang_pred, quality, tok_ws,
+        |  md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    // md5-bucket sample (Sampling.portableBucket): same membership set
+    // in any engine with md5 — the sample itself is what's verified.
+    "q63_deterministic_sample" ->
+      """WITH s AS (
+        |  SELECT * FROM documents
+        |  WHERE CAST(concat('0x', substring(md5(concat('42', '|', CAST(doc_id AS VARCHAR))), 1, 6)) AS BIGINT) % 1000000 < 250000)
+        |SELECT lang, count(*) AS cnt FROM s GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q68_packing_by_lang" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS tok
+        |  FROM documents)
+        |SELECT doc_id, lang, tok,
+        |  CAST(floor(CAST(sum(tok) OVER (PARTITION BY lang ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tok AS DOUBLE) / 512) AS BIGINT) AS bin_id
+        |FROM t ORDER BY doc_id""".stripMargin,
 
     "q54_schema_evolution" ->
       "SELECT doc_id, text, lang, source, n_chars, CAST(NULL AS DOUBLE) AS quality, 'ref' AS ingested FROM documents ORDER BY doc_id",

@@ -109,22 +109,33 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
-  /** Brute-force exact n-gram Jaccard pairs ≥ threshold (the oracle-
-    * checkable baseline; quadratic — small inputs / verification only;
-    * the LSH path above is the scale path). Joins on shared shingles so
-    * only pairs with ≥1 common shingle are ever scored. */
+  /** Exact n-gram Jaccard pairs ≥ threshold over the df-capped shingle
+    * space (the oracle-checkable baseline; the LSH path above is the
+    * scale path). Joins on shared shingles so only pairs with ≥1 common
+    * shingle are ever scored, and shingles with document frequency >
+    * `maxDf` are dropped BEFORE the self-join: the join fan-out is
+    * Σ df(shingle)², so one viral shingle would make a single reducer
+    * quadratic at corpus scale, while df-capped shingles can only
+    * connect documents already linked by rarer ones. Jaccard is computed
+    * entirely within the capped space (set sizes recomputed after the
+    * cap), so the semantics are "similarity over discriminative
+    * shingles" — exact and engine-portable. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-      threshold: Double = 0.5, shingleN: Int = 3): DataFrame = {
-    // persisted: the shingle-set aggregate feeds BOTH sides of the
-    // pair self-join — without the barrier each side recomputes it
+      threshold: Double = 0.5, shingleN: Int = 3, maxDf: Int = 1000): DataFrame = {
+    // collect_set dedups shingles per doc (set semantics) without an
+    // extra shuffle — the groupBy rides the repartition(id)
     val sets = TextOps.shingleRows(docs.repartition(col(idCol)), idCol, textCol, shingleN)
       .groupBy(col(idCol)).agg(collect_set(col("shingle")).as("__set"))
-      .select(col(idCol).as("__id"), col("__set"))
-      .withColumn("__n", size(col("__set")))
+      .select(col(idCol).as("__id"), explode(col("__set")).as("__sh"))
+    val kept = sets
+      .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("__sh"))))
+      .filter(col("__df") <= maxDf)
+    // per-doc set size AFTER the cap; persisted — feeds both join sides
+    val sized = kept.select(col("__id"), col("__sh"),
+        count(lit(1)).over(Window.partitionBy(col("__id"))).as("__n"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val ex = sets.select(col("__id"), col("__n"), explode(col("__set")).as("__sh"))
-    val common = ex.select(col("__id").as("a"), col("__n").as("na"), col("__sh"))
-      .join(ex.select(col("__id").as("b"), col("__n").as("nb"), col("__sh")), Seq("__sh"))
+    val common = sized.select(col("__id").as("a"), col("__n").as("na"), col("__sh"))
+      .join(sized.select(col("__id").as("b"), col("__n").as("nb"), col("__sh")), Seq("__sh"))
       .filter(col("a") < col("b"))
       .groupBy(col("a"), col("b"), col("na"), col("nb"))
       .agg(count(lit(1)).as("__common"))

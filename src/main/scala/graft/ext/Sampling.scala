@@ -15,14 +15,27 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
+  /** Hash bucket in [0, 1e6): fast in-engine form (xxhash64). */
+  def hashBucket(key: Column, seed: Long): Column =
+    pmod(xxhash64(lit(seed), key), lit(1000000L))
+
+  /** Engine-PORTABLE hash bucket in [0, 1e6): md5 hex is identical in
+    * Spark, DuckDB, and Postgres, so a sample defined this way can be
+    * reproduced (and audited) outside Spark — xxhash64 cannot. First 6
+    * hex chars = 24 bits, enough resolution for per-mille fractions. */
+  def portableBucket(key: Column, seed: Long): Column =
+    conv(substring(md5(concat_ws("|", lit(seed.toString), key.cast("string"))), 1, 6),
+      16, 10).cast("long") % 1000000L
+
   /** Deterministic Bernoulli sample: keep rows where
-    * hash(seed, key) mod 1e6 < fraction·1e6. */
+    * hash(seed, key) mod 1e6 < fraction·1e6. `portable = true` switches
+    * to the md5 bucket (cross-engine reproducible, ~2× slower/row). */
   def deterministicSample(df: DataFrame, keyCol: String, fraction: Double,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L, portable: Boolean = false): DataFrame = {
     require(fraction >= 0 && fraction <= 1, s"fraction $fraction outside [0,1]")
-    df.filter(
-      pmod(xxhash64(lit(seed), col(keyCol)), lit(1000000L)) <
-        lit((fraction * 1000000L).toLong))
+    val bucket = if (portable) portableBucket(col(keyCol), seed)
+      else hashBucket(col(keyCol), seed)
+    df.filter(bucket < lit((fraction * 1000000L).toLong))
   }
 
   /** Per-stratum deterministic sampling: different fraction per value

@@ -106,35 +106,98 @@ object Similarity {
   }
 
   /** IVF index: corpus rows assigned to their nearest centroid.
-    * Centroids are chosen deterministically (every ⌈N/C⌉-th vector by
-    * id — a seeded sample stand-in for k-means; the partitioning
-    * mechanics, which is what matters for scale, is identical). */
-  final case class IvfIndex(assigned: DataFrame, centroids: DataFrame)
+    * `backing` is the persisted normalized corpus the index plans read
+    * from — call [[IvfIndex.unpersist]] when the index is retired. */
+  final case class IvfIndex(assigned: DataFrame, centroids: DataFrame,
+      backing: Option[DataFrame] = None) {
+    def unpersist(): Unit = backing.foreach(_.unpersist())
+  }
 
+  /** Build an IVF index with spherical k-means centroids.
+    *
+    * Scale shape (the 100 TB rule):
+    *  - training runs Lloyd's iterations DRIVER-SIDE over a BOUNDED
+    *    hash-sample (~sampleFactor·C rows whatever the corpus size, a
+    *    deterministic top-k by id) — the classic bounded-sample k-means
+    *    recipe; the corpus is never iterated more than once per pass;
+    *  - the assignment pass embeds the C trained centroids as LITERAL
+    *    arrays, so nearest-centroid is a NARROW per-row expression
+    *    (C codegen'd dot products + array_position argmax): no
+    *    crossJoin, no per-row window, no shuffle at all;
+    *  - the normalized corpus is persisted once and shared by the
+    *    count, sample, and assignment passes. */
   def ivfBuild(corpus: DataFrame, idCol: String, vecCol: String,
-      nCentroids: Int): IvfIndex = {
+      nCentroids: Int, kmeansIters: Int = 5, sampleFactor: Int = 40): IvfIndex = {
     val c = corpus.repartition(col(idCol)).select(col(idCol).as("__id"),
       l2Normalize(col(vecCol).cast("array<double>")).as("__v"))
-    // Deterministic centroid sample WITHOUT a global sort: hash-sample
-    // ~nCentroids candidates distributed-side, then number only that
-    // tiny set (window over ≤C rows — never the corpus; a corpus-wide
-    // row_number would serialize on one partition at scale).
-    val n = c.count()
-    val ratio = math.max(1L, n / nCentroids)
-    val cands = c.filter(pmod(xxhash64(col("__id")), lit(ratio)) === 0)
-      .limit(nCentroids)
-    val centroids = cands.withColumn("centroid_id",
-      (row_number().over(Window.orderBy(col("__id"))) - 1).cast("int"))
-      .select(col("centroid_id"), col("__v").as("__cv"))
-    // nearest centroid per corpus vector — centroid side broadcast
-    val scored = c.crossJoin(broadcast(centroids))
-      .withColumn("__sim", dot(col("__v"), col("__cv")))
-    val best = Window.partitionBy(col("__id"))
-      .orderBy(col("__sim").desc, col("centroid_id").asc)
-    val assigned = scored.withColumn("__rk", row_number().over(best))
-      .filter(col("__rk") === 1)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = c.count() // also materializes the persist for the passes below
+    val target = math.max(nCentroids.toLong * sampleFactor, nCentroids.toLong)
+    val ratio = math.max(1L, n / math.max(1L, target))
+    // deterministic bounded sample: hash-thin to ~target rows, then a
+    // distributed top-k by id (TakeOrderedAndProject — never a global sort)
+    val sample: Array[Array[Double]] = c
+      .filter(pmod(xxhash64(col("__id")), lit(ratio)) === 0)
+      .orderBy(col("__id"))
+      .limit((target * 2).toInt)
+      .select(col("__v")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    val cents = lloyds(sample, nCentroids, kmeansIters)
+    // assignment: argmax over C literal-centroid dot products — narrow,
+    // codegen'd, zero-shuffle. Ties break to the lowest centroid_id
+    // (array_position returns the FIRST index holding the max).
+    val scores = array(cents.map(cv => dot(col("__v"), array(cv.map(lit).toSeq: _*))): _*)
+    val assigned = c
+      .withColumn("centroid_id",
+        (array_position(scores, array_max(scores)) - 1).cast("int"))
       .select(col("__id"), col("__v"), col("centroid_id"))
-    IvfIndex(assigned, centroids)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centroids = cents.zipWithIndex.toSeq
+      .map { case (v, i) => (i, v) }.toDF("centroid_id", "__cv")
+    IvfIndex(assigned, centroids, Some(c))
+  }
+
+  /** Spherical k-means (Lloyd's) over an in-memory sample: cosine
+    * assignment (inputs are L2-normalized), mean + renormalize update,
+    * empty clusters keep their previous centroid. Deterministic: seeded
+    * spread init (every ⌈n/C⌉-th sample vector), fixed iteration count. */
+  private[ext] def lloyds(sample: Array[Array[Double]], c: Int,
+      iters: Int): Array[Array[Double]] = {
+    require(sample.nonEmpty, "k-means sample is empty")
+    val k = math.min(c, sample.length)
+    val step = math.max(1, sample.length / k)
+    var cents = Array.tabulate(k)(i => sample(math.min(i * step, sample.length - 1)).clone())
+    // pad (corpus smaller than C): duplicate spread picks so the index
+    // always has exactly C buckets
+    if (k < c) cents = Array.tabulate(c)(i => cents(i % k).clone())
+    val dim = sample.head.length
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(c)(new Array[Double](dim))
+      val counts = new Array[Long](c)
+      sample.foreach { v =>
+        var best = 0; var bestDot = Double.NegativeInfinity
+        var j = 0
+        while (j < c) {
+          var d = 0.0; var i = 0
+          while (i < dim) { d += v(i) * cents(j)(i); i += 1 }
+          if (d > bestDot) { bestDot = d; best = j }
+          j += 1
+        }
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+        counts(best) += 1
+      }
+      cents = Array.tabulate(c) { j =>
+        if (counts(j) == 0) cents(j)
+        else {
+          val m = sums(j).map(_ / counts(j))
+          val nrm = math.sqrt(m.map(x => x * x).sum)
+          if (nrm == 0) cents(j) else m.map(_ / nrm)
+        }
+      }
+    }
+    cents
   }
 
   /** IVF search: each query probes its `nprobe` nearest centroids and
@@ -151,7 +214,9 @@ object Similarity {
     val probes = qc.withColumn("__pk", row_number().over(wProbe))
       .filter(col("__pk") <= nprobe)
       .select(col("query_id"), col("__qv"), col("centroid_id"))
-    val scored = probes.join(index.assigned, Seq("centroid_id"))
+    // probes (queries × nprobe rows) broadcast: the corpus-side bucket
+    // scan never shuffles — candidate generation is a broadcast join
+    val scored = index.assigned.join(broadcast(probes), Seq("centroid_id"))
       .withColumn("cosine", dot(col("__qv"), col("__v")))
     val wTop = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("__id").asc)

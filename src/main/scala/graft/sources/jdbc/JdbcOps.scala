@@ -58,11 +58,19 @@ object JdbcOps {
       options: Map[String, String] = Map.empty): Unit =
     write(df.localCheckpoint(true), url, table, "overwrite", options)
 
-  /** D1 liveness probe against the remote (`select 1 as is_alive`,
-    * reference main.py:47). */
-  def isAlive(spark: SparkSession, url: String): Boolean =
-    spark.read.format("jdbc")
-      .option("url", url)
-      .option("query", "select 1 as is_alive from SYSIBM.SYSDUMMY1")
-      .load().collect().head.get(0).toString == "1"
+  /** D1 liveness probe against the remote — the reference's bare
+    * `select 1 as is_alive` (main.py:47), valid without FROM on
+    * Postgres/MySQL/SQLite (the dialects the reference targets). Derby
+    * alone insists on a FROM clause, so Derby URLs get its dummy table.
+    * Probe failures return false (a liveness probe never throws). */
+  def isAlive(spark: SparkSession, url: String): Boolean = {
+    val probe =
+      if (url.startsWith("jdbc:derby")) "select 1 as is_alive from SYSIBM.SYSDUMMY1"
+      else "select 1 as is_alive"
+    try
+      spark.read.format("jdbc")
+        .option("url", url).option("query", probe)
+        .load().collect().head.get(0).toString == "1"
+    catch { case scala.util.control.NonFatal(_) => false }
+  }
 }

@@ -57,25 +57,67 @@ object Streams {
       .dropDuplicates(keys :+ tsCol)
 
   /** Per-user running state via mapGroupsWithState: event count + last
-    * seen timestamp + running value sum. Demonstrates custom keyed state
-    * with processing-time timeout (state GC). */
+    * seen timestamp + running value sum. Keyed state is BOUNDED by an
+    * event-time timeout: a key idle for `lateness` of watermark progress
+    * emits a final snapshot and is evicted (the 100 TB rule — state
+    * must never grow with the key universe, SURVEY §7.5). */
   final case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class UserState(user_id: Long, n: Long, sum_value: Double,
       last_ts: java.sql.Timestamp)
 
-  def runningUserState(events: Dataset[UserEvent]): Dataset[UserState] = {
+  /** Event-time expiry `latMs` past this key's newest event (or the
+    * watermark, whichever is later — the timeout timestamp must exceed
+    * the watermark). Eviction therefore implies `latest + latMs ≤
+    * watermark`, and since the watermark filter drops rows older than
+    * itself, no event that could still arrive can be older than an
+    * evicted key's latest — expiry never causes a stale result. Batch
+    * mode has no watermark (the node is optimized away): fall back to
+    * -1, where timeouts are ignored anyway. Call with state defined. */
+  private def armTimeout(state: GroupState[_], latMs: Long, eventMs: Long): Unit = {
+    val wm = try state.getCurrentWatermarkMs()
+      catch { case _: UnsupportedOperationException => -1L }
+    state.setTimeoutTimestamp(math.max(wm, eventMs) + latMs)
+  }
+
+  /** "10 minutes" / "30 seconds" / "1 hour" → millis. */
+  private[streaming] def durationMs(s: String): Long = {
+    val Array(n, unit) = s.trim.split("\\s+")
+    val base = unit.toLowerCase match {
+      case u if u.startsWith("second") => 1000L
+      case u if u.startsWith("minute") => 60000L
+      case u if u.startsWith("hour")   => 3600000L
+      case u if u.startsWith("day")    => 86400000L
+      case other => throw new IllegalArgumentException(s"unsupported unit: $other")
+    }
+    n.toLong * base
+  }
+
+  def runningUserState(events: Dataset[UserEvent],
+      lateness: String = "10 minutes"): Dataset[UserState] = {
     import events.sparkSession.implicits._
-    events.groupByKey(_.user_id)
-      .mapGroupsWithState[UserState, UserState](GroupStateTimeout.NoTimeout) {
+    val latMs = durationMs(lateness)
+    events.withWatermark("ts", lateness)
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserState, UserState](GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, rows: Iterator[UserEvent], state: GroupState[UserState]) =>
-          val prev = state.getOption.getOrElse(UserState(userId, 0L, 0.0, null))
-          val next = rows.foldLeft(prev) { (s, e) =>
-            val newer = s.last_ts == null || e.ts.after(s.last_ts)
-            UserState(userId, s.n + 1, s.sum_value + e.value,
-              if (newer) e.ts else s.last_ts)
+          if (state.hasTimedOut) {
+            // horizon passed with no new events: emit the final
+            // snapshot and drop the state
+            val last = state.get
+            state.remove()
+            last
+          } else {
+            val prev = state.getOption.getOrElse(UserState(userId, 0L, 0.0, null))
+            val next = rows.foldLeft(prev) { (s, e) =>
+              val newer = s.last_ts == null || e.ts.after(s.last_ts)
+              UserState(userId, s.n + 1, s.sum_value + e.value,
+                if (newer) e.ts else s.last_ts)
+            }
+            state.update(next)
+            armTimeout(state, latMs,
+              if (next.last_ts == null) 0L else next.last_ts.getTime)
+            next
           }
-          state.update(next)
-          next
       }
   }
 
@@ -108,19 +150,34 @@ object Streams {
     * advances (late/duplicate events are absorbed silently). Downstream
     * sinks receive an upsert changelog, exactly what a CDC-materialized
     * table consumes. */
-  def latestPerKey(events: Dataset[UserEvent]): Dataset[UserEvent] = {
+  def latestPerKey(events: Dataset[UserEvent],
+      lateness: String = "10 minutes"): Dataset[UserEvent] = {
     import events.sparkSession.implicits._
-    events.groupByKey(_.user_id)
+    val latMs = durationMs(lateness)
+    events.withWatermark("ts", lateness)
+      .groupByKey(_.user_id)
       .flatMapGroupsWithState[UserEvent, UserEvent](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, rows: Iterator[UserEvent], state: GroupState[UserEvent]) =>
-          val prev = state.getOption
-          val candidates = rows ++ prev.iterator
-          val newest = candidates.maxBy(_.ts.getTime)
-          if (prev.forall(p => newest.ts.after(p.ts))) {
-            state.update(newest)
-            Iterator.single(newest)
-          } else Iterator.empty
+          if (state.hasTimedOut) {
+            // latest already emitted downstream — just evict the state;
+            // events older than the horizon are watermark-dropped anyway
+            state.remove()
+            Iterator.empty
+          } else {
+            val prev = state.getOption
+            val candidates = rows ++ prev.iterator
+            val newest = candidates.maxBy(_.ts.getTime)
+            if (prev.forall(p => newest.ts.after(p.ts))) {
+              state.update(newest)
+              armTimeout(state, latMs, newest.ts.getTime)
+              Iterator.single(newest)
+            } else {
+              // prev necessarily defined here — safe to re-arm
+              armTimeout(state, latMs, newest.ts.getTime)
+              Iterator.empty
+            }
+          }
       }
   }
 

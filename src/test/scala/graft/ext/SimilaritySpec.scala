@@ -57,7 +57,7 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, s"quantized recall@10 was $recall")
   }
 
-  test("IVF search reaches >=60% recall@10 vs brute force at nprobe=8/16 buckets") {
+  test("IVF search reaches >=90% recall@10 vs brute force at nprobe=8/16 buckets") {
     val emb = Fx.t(spark, sfDir, "embeddings")
     val queries = emb.filter($"vec_id" < 5)
     val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
@@ -68,7 +68,7 @@ class SimilaritySpec extends SparkSpec {
       k = 10, nprobe = 8)
       .select("query_id", "nn_id").as[(Long, Long)].collect().toSet
     val recall = (brute intersect approx).size.toDouble / brute.size
-    assert(recall >= 0.6, s"recall@10 was $recall")
+    assert(recall >= 0.9, s"recall@10 was $recall")
     // every corpus vector is assigned to exactly one bucket
     assert(idx.assigned.count() == emb.count())
   }

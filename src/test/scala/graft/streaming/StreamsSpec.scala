@@ -82,10 +82,11 @@ class StreamsSpec extends SparkSpec {
         Streams.UserEvent(1L, ts("2024-01-01 10:00:00"), 1.0),
         Streams.UserEvent(1L, ts("2024-01-01 11:00:00"), 2.0))
       q.processAllAvailable()
-      // batch 2: a LATE event for user 1 (absorbed) + a new user
+      // batch 2: a LATE event for user 1 (beyond the watermark —
+      // dropped by the watermark filter) + a new user within it
       mem.addData(
         Streams.UserEvent(1L, ts("2024-01-01 09:00:00"), 0.5),
-        Streams.UserEvent(2L, ts("2024-01-01 10:30:00"), 7.0))
+        Streams.UserEvent(2L, ts("2024-01-01 11:30:00"), 7.0))
       q.processAllAvailable()
       // batch 3: a genuinely newer event for user 1 -> one more emission
       mem.addData(Streams.UserEvent(1L, ts("2024-01-01 12:00:00"), 3.0))
@@ -95,6 +96,27 @@ class StreamsSpec extends SparkSpec {
       // user 1: emitted at 11:00 (batch 1) and 12:00 (batch 3), NOT for the late 09:00
       assert(byUser(1L).map(_.value).sorted.toSeq == Seq(2.0, 3.0))
       assert(byUser(2L).map(_.value).toSeq == Seq(7.0))
+    } finally q.stop()
+  }
+
+  test("runningUserState: event-time timeout evicts idle keys (final snapshot re-emitted)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Streams.UserEvent]
+    val q = Streams.runningUserState(mem.toDS(), lateness = "10 minutes")
+      .writeStream.format("memory").queryName("expiry_test")
+      .outputMode("update").start()
+    try {
+      mem.addData(Streams.UserEvent(1L, ts("2024-01-01 10:00:00"), 2.0))
+      q.processAllAvailable() // user 1 state armed to expire at 10:10
+      mem.addData(Streams.UserEvent(2L, ts("2024-01-01 10:30:00"), 5.0))
+      q.processAllAvailable() // watermark now 09:50 — user 1 still live
+      mem.addData(Streams.UserEvent(2L, ts("2024-01-01 11:00:00"), 1.0))
+      q.processAllAvailable() // watermark 10:20 ≥ 10:10 — user 1 EVICTED
+      val user1Rows = spark.table("expiry_test").as[Streams.UserState]
+        .collect().filter(_.user_id == 1L)
+      // one live update + one timeout-driven final snapshot
+      assert(user1Rows.length == 2)
+      assert(user1Rows.forall(s => s.n == 1L && s.sum_value == 2.0))
     } finally q.stop()
   }
 
