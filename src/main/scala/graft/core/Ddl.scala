@@ -33,9 +33,13 @@ object Ddl {
 
   def toStruct(specs: Seq[ColumnSpec]): StructType = StructType(specs.map(_.toField))
 
-  /** Create-if-absent with additive evolution: if the table exists, diff
-    * declared vs existing columns and ADD the missing ones (never drop or
-    * retype) — reference main.py:129-140. Metadata records pk/unique. */
+  /** Create-if-absent with additive evolution: if the table exists and
+    * `checkExisting`, diff declared vs existing columns and ADD the
+    * missing ones (never drop or retype) — reference main.py:129-140.
+    * With `checkExisting = false` an existing table is an ERROR
+    * (mirroring the reference's checkfirst=False, main.py:163-164) —
+    * never silently replaced. PK/unique membership is recorded in the
+    * created schema's field metadata. */
   def createTable(
       store: TableStore,
       spark: SparkSession,
@@ -44,12 +48,19 @@ object Ddl {
       primaryKey: Seq[String] = Nil,
       uniqueColumns: Seq[String] = Nil,
       checkExisting: Boolean = true): Unit = {
-    if (checkExisting && store.tableExists(name)) {
+    if (store.tableExists(name)) {
+      if (!checkExisting)
+        throw new IllegalStateException(s"table already exists: $name")
       val existing = store.read(name)
       val missing = specs.filterNot(s => existing.columns.contains(s.name))
       if (missing.nonEmpty) store.write(name, evolveSchema(existing, missing))
     } else {
-      val schema = toStruct(specs)
+      val schema = StructType(toStruct(specs).fields.map { f =>
+        val mb = new MetadataBuilder().withMetadata(f.metadata)
+        if (primaryKey.contains(f.name)) mb.putBoolean("primary_key", true)
+        if (uniqueColumns.contains(f.name)) mb.putBoolean("unique", true)
+        f.copy(metadata = mb.build())
+      })
       store.write(name, spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
     }

@@ -53,17 +53,26 @@ object Fx {
   * containing the current version number.
   */
 final class TableStore(spark: SparkSession, root: String) {
+  private val VersionDir = "v(\\d+)".r
   private def fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
   private def tableDir(name: String) = new Path(root, name)
   private def latestFile(name: String) = new Path(tableDir(name), "_LATEST")
 
   private def currentVersion(name: String): Option[Int] = {
     val lf = latestFile(name)
-    if (!fs.exists(lf)) None
-    else {
+    if (fs.exists(lf)) {
       val in = fs.open(lf)
       try Some(new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim.toInt)
       finally in.close()
+    } else {
+      // pointer missing (e.g. crash mid-swap before the overwrite-rename
+      // landed): recover the newest complete snapshot directory
+      val dir = tableDir(name)
+      if (!fs.exists(dir)) None
+      else fs.listStatus(dir).toSeq.filter(_.isDirectory)
+        .map(_.getPath.getName)
+        .collect { case VersionDir(n) => n.toInt }
+        .maxOption
     }
   }
 
@@ -100,8 +109,12 @@ final class TableStore(spark: SparkSession, root: String) {
     val tmp = new Path(tableDir(name), s"_LATEST.tmp$next")
     val out = fs.create(tmp, true)
     try out.write(next.toString.getBytes("UTF-8")) finally out.close()
-    if (fs.exists(latestFile(name))) fs.delete(latestFile(name), false)
-    fs.rename(tmp, latestFile(name))
+    // single atomic overwrite-rename: no delete-then-rename window in
+    // which a crash would leave the table pointer-less (and the result
+    // is checked — a failed swap must not pass silently)
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      new Path(root).toUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename(tmp, latestFile(name), org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   def drop(name: String): Unit =

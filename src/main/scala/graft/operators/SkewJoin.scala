@@ -20,6 +20,12 @@ object SkewJoin {
   def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
       saltBuckets: Int, joinType: String = "inner"): DataFrame = {
     require(saltBuckets > 0, "saltBuckets must be positive")
+    // right side is REPLICATED across salts: outer-right/full joins
+    // would emit each unmatched right row saltBuckets times
+    val okTypes = Set("inner", "left", "leftouter", "left_outer",
+      "leftsemi", "left_semi", "leftanti", "left_anti", "cross")
+    require(okTypes.contains(joinType.toLowerCase.replace(" ", "")),
+      s"saltedJoin supports inner/left join types only, got: $joinType")
     val saltedLeft = left.withColumn("__salt",
       pmod(xxhash64(left.columns.map(col): _*), lit(saltBuckets.toLong)).cast("int"))
     val replicatedRight = right.withColumn("__salt",

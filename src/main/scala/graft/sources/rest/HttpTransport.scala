@@ -1,0 +1,392 @@
+package graft.sources.rest
+
+import java.net.URI
+import java.net.URLEncoder
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.charset.StandardCharsets
+import java.time.Duration
+
+import scala.collection.concurrent.TrieMap
+
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** Error envelope for non-OK responses. Status discipline mirrors the
+  * reference's request wrapper (revtron/salesforce/main.py:89-100):
+  * 200/201/204 pass, everything else raises with the response body. */
+final case class RestHttpError(status: Int, body: String)
+  extends RuntimeException(s"HTTP $status: $body")
+
+/** OAuth refresh-token credentials (reference salesforce/main.py:29-46):
+  * client id/secret + refresh token, given explicitly or resolved from
+  * the environment. */
+final case class RestCredentials(clientId: String, clientSecret: String,
+    refreshToken: String)
+
+object RestCredentials {
+  /** S1 env fallback: GRAFT_REST_CLIENT_ID / GRAFT_REST_CLIENT_SECRET /
+    * GRAFT_REST_REFRESH_TOKEN (the reference defaults its constructor
+    * args from os.environ the same way). */
+  def fromEnv(env: Map[String, String] = sys.env): Option[RestCredentials] =
+    for {
+      id <- env.get("GRAFT_REST_CLIENT_ID")
+      sec <- env.get("GRAFT_REST_CLIENT_SECRET")
+      tok <- env.get("GRAFT_REST_REFRESH_TOKEN")
+    } yield RestCredentials(id, sec, tok)
+}
+
+/** Injection-safe query-fragment builder: [[RPred]] → remote WHERE text.
+  * The structural predicates are the only way values reach the wire —
+  * strings are escaped, field names validated — replacing the
+  * reference's repr-interpolated WHERE building (main.py:123-143,
+  * SURVEY §3.3 flags it as unsafe by design). */
+private[rest] object Soql {
+  private val FieldRe = "[A-Za-z_][A-Za-z0-9_.]*".r
+
+  def field(f: String): String = f match {
+    case FieldRe() => f
+    case other => throw new IllegalArgumentException(s"illegal field name: $other")
+  }
+
+  def lit(v: Any): String = v match {
+    case null => "NULL"
+    case s: String => "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    case b: Boolean => b.toString
+    case n @ (_: Int | _: Long | _: Short | _: Byte) => n.toString
+    case d: Double => d.toString
+    case f: Float => f.toString
+    case d: java.math.BigDecimal => d.toPlainString
+    case t: java.sql.Timestamp => // ISO-8601 UTC, the remote datetime literal form
+      java.time.Instant.ofEpochMilli(t.getTime).toString
+    case micros: java.lang.Long => micros.toString
+    case other => throw new IllegalArgumentException(
+      s"unsupported literal type: ${other.getClass.getName}")
+  }
+
+  def pred(p: RPred): String = p match {
+    case RPred.Eq(f, v) => s"${field(f)} = ${lit(v)}"
+    case RPred.Gt(f, v) => s"${field(f)} > ${lit(v)}"
+    case RPred.Ge(f, v) => s"${field(f)} >= ${lit(v)}"
+    case RPred.Lt(f, v) => s"${field(f)} < ${lit(v)}"
+    case RPred.Le(f, v) => s"${field(f)} <= ${lit(v)}"
+    case RPred.In(f, vs) => s"${field(f)} IN (${vs.map(lit).mkString(", ")})"
+    case RPred.IsNull(f) => s"${field(f)} = NULL"
+    case RPred.IsNotNull(f) => s"${field(f)} != NULL"
+    case RPred.Contains(f, s) => s"${field(f)} LIKE ${lit("%" + s + "%")}"
+  }
+
+  def where(preds: Seq[RPred]): String =
+    if (preds.isEmpty) "" else " WHERE " + preds.map(pred).mkString(" AND ")
+}
+
+/** Production [[RestTransport]] over `java.net.http` — the real-HTTP
+  * implementation of everything the reference's client does
+  * (revtron/salesforce/main.py:14-104,230-249):
+  *
+  *  - refresh-token OAuth grant against `tokenEndpoints`, tried in
+  *    order (the reference's login→test endpoint fallback, main.py:79-87);
+  *  - bearer-auth requests with the 200/201/204 status discipline; one
+  *    transparent re-auth + retry on 401 (expired token);
+  *  - cursor-following paginated reads (`nextRecordsUrl`) with the
+  *    page-size hint header (batchSize=200, main.py:152);
+  *  - soft-delete visibility via the query vs queryAll path
+  *    (main.py:150,175);
+  *  - single-record writeback returning an error ENVELOPE, never
+  *    throwing (main.py:230-249).
+  *
+  * Serializable: executors deserialize it inside partition readers; the
+  * HttpClient and auth session are @transient and rebuilt per JVM
+  * (each executor authenticates once, then reuses its token). */
+final class HttpTransport(
+    tokenEndpoints: Seq[String],
+    creds: RestCredentials,
+    instanceUrlOverride: Option[String] = None,
+    apiVersion: String = "v56.0",
+    timeoutMs: Long = 30000L) extends RestTransport {
+
+  require(tokenEndpoints.nonEmpty, "at least one token endpoint required")
+
+  private case class Session(token: String, instanceUrl: String)
+
+  @transient private lazy val http: HttpClient =
+    HttpClient.newBuilder().connectTimeout(Duration.ofMillis(timeoutMs)).build()
+  @transient private lazy val sessionRef =
+    new java.util.concurrent.atomic.AtomicReference[Session](null)
+  @transient private lazy val describeCache = TrieMap.empty[String, Seq[(String, String)]]
+
+  private def urlenc(s: String): String = URLEncoder.encode(s, StandardCharsets.UTF_8)
+
+  /** Refresh-token grant; endpoints tried in order, first 200 wins
+    * (login→test fallback). Throws the LAST failure if none succeed. */
+  private def authenticate(): Session = {
+    val form = Seq(
+      "grant_type" -> "refresh_token",
+      "client_id" -> creds.clientId,
+      "client_secret" -> creds.clientSecret,
+      "refresh_token" -> creds.refreshToken)
+      .map { case (k, v) => s"$k=${urlenc(v)}" }.mkString("&")
+    var last: Throwable = null
+    tokenEndpoints.foreach { ep =>
+      try {
+        val req = HttpRequest.newBuilder(URI.create(ep))
+          .timeout(Duration.ofMillis(timeoutMs))
+          .header("Content-Type", "application/x-www-form-urlencoded")
+          .POST(HttpRequest.BodyPublishers.ofString(form)).build()
+        val resp = http.send(req, HttpResponse.BodyHandlers.ofString())
+        if (resp.statusCode() == 200) {
+          val j = JsonMethods.parse(resp.body())
+          val token = (j \ "access_token") match {
+            case JString(t) => t
+            case _ => throw RestHttpError(200, s"no access_token in ${resp.body()}")
+          }
+          val inst = instanceUrlOverride.orElse((j \ "instance_url") match {
+            case JString(u) => Some(u)
+            case _ => None
+          }).getOrElse(throw RestHttpError(200, "no instance_url in token response"))
+          return Session(token, inst.stripSuffix("/"))
+        } else last = RestHttpError(resp.statusCode(), resp.body())
+      } catch { case scala.util.control.NonFatal(e) => last = e }
+    }
+    throw new IllegalStateException(
+      s"authentication failed against ${tokenEndpoints.mkString(", ")}", last)
+  }
+
+  private def session(): Session = {
+    val s = sessionRef.get()
+    if (s != null) s
+    else { val fresh = authenticate(); sessionRef.set(fresh); fresh }
+  }
+
+  /** Bearer request with status discipline; 401 re-auths once. */
+  private def request(method: String, pathOrUrl: String,
+      jsonBody: Option[String] = None, headers: Seq[(String, String)] = Nil,
+      retried: Boolean = false): HttpResponse[String] = {
+    val s = session()
+    val url = if (pathOrUrl.startsWith("http")) pathOrUrl else s.instanceUrl + pathOrUrl
+    val b = HttpRequest.newBuilder(URI.create(url))
+      .timeout(Duration.ofMillis(timeoutMs))
+      .header("Authorization", s"Bearer ${s.token}")
+    headers.foreach { case (k, v) => b.header(k, v) }
+    jsonBody.foreach(_ => b.header("Content-Type", "application/json"))
+    val req = (method match {
+      case "GET" => b.GET()
+      case "POST" => b.POST(HttpRequest.BodyPublishers.ofString(jsonBody.getOrElse("")))
+      case "PATCH" => b.method("PATCH", HttpRequest.BodyPublishers.ofString(jsonBody.getOrElse("")))
+      case "DELETE" => b.DELETE()
+    }).build()
+    val resp = http.send(req, HttpResponse.BodyHandlers.ofString())
+    resp.statusCode() match {
+      case 200 | 201 | 204 => resp
+      case 401 if !retried => // expired token: one transparent re-auth
+        sessionRef.set(null)
+        request(method, pathOrUrl, jsonBody, headers, retried = true)
+      case code => throw RestHttpError(code, resp.body())
+    }
+  }
+
+  private def dataPath(rest: String): String = s"/services/data/$apiVersion/$rest"
+
+  // ------------------------------------------------------------- JSON → Any
+  private def jvalue(v: JValue): Any = v match {
+    case JString(s) => s
+    case JInt(i) => i.toLong
+    case JLong(l) => l
+    case JDouble(d) => d
+    case JDecimal(d) => d.toDouble
+    case JBool(b) => b
+    case JNull | JNothing => null
+    case other => JsonMethods.compact(JsonMethods.render(other))
+  }
+
+  /** ISO-8601 datetime string → epoch micros (the engine-side datetime
+    * representation the DSv2 reader expects). */
+  private def toMicros(v: Any): Any = v match {
+    case s: String =>
+      try java.time.OffsetDateTime.parse(s.replace("+0000", "Z")).toInstant.toEpochMilli * 1000L
+      catch { case _: Exception =>
+        try java.time.Instant.parse(s).toEpochMilli * 1000L
+        catch { case _: Exception => s }
+      }
+    case l: Long => l
+    case other => other
+  }
+
+  private def typeTag(remote: String): String = remote match {
+    case "double" | "currency" | "percent" => "double"
+    case "int" | "long" => "long"
+    case "boolean" => "boolean"
+    case "datetime" | "date" => "datetime"
+    case _ => "string" // id, reference, picklist, textarea, phone, url, email…
+  }
+
+  // --------------------------------------------------------- RestTransport
+  override def listObjects(): Seq[String] = {
+    val j = JsonMethods.parse(request("GET", dataPath("sobjects")).body())
+    (j \ "sobjects") match {
+      case JArray(items) => items.collect { case o: JObject =>
+        (o \ "name") match { case JString(n) => n; case _ => null }
+      }.filter(_ != null).sorted
+      case _ => Seq.empty
+    }
+  }
+
+  override def limits(): Map[String, Long] = {
+    val j = JsonMethods.parse(request("GET", dataPath("limits")).body())
+    j match {
+      case JObject(cats) => cats.flatMap { case (cat, v) => v match {
+        case JObject(fields) => fields.collect {
+          case (k, JInt(n)) => s"$cat.$k" -> n.toLong
+          case (k, JLong(n)) => s"$cat.$k" -> n
+        }
+        case _ => Nil
+      }}.toMap
+      case _ => Map.empty
+    }
+  }
+
+  override def describe(obj: String): Seq[(String, String)] =
+    describeCache.getOrElseUpdate(obj, {
+      val j = JsonMethods.parse(
+        request("GET", dataPath(s"sobjects/${Soql.field(obj)}/describe")).body())
+      (j \ "fields") match {
+        case JArray(fields) => fields.collect { case f: JObject =>
+          ((f \ "name"), (f \ "type")) match {
+            case (JString(n), JString(t)) => n -> typeTag(t)
+            case _ => null
+          }
+        }.filter(_ != null)
+        case _ => throw RestHttpError(200, s"describe($obj): no fields array")
+      }
+    })
+
+  private def queryPath(includeDeleted: Boolean): String =
+    dataPath(if (includeDeleted) "queryAll" else "query") // main.py:150,175
+
+  /** One query page: (records, nextRecordsUrl). */
+  private def queryPage(url: String, pageSize: Int): (List[JValue], Option[String]) = {
+    val resp = request("GET", url,
+      headers = Seq("Sforce-Query-Options" -> s"batchSize=$pageSize")) // main.py:152
+    val j = JsonMethods.parse(resp.body())
+    val recs = (j \ "records") match { case JArray(r) => r; case _ => Nil }
+    val next = (j \ "nextRecordsUrl") match {
+      case JString(u) if u.nonEmpty => Some(u); case _ => None
+    }
+    (recs, next)
+  }
+
+  /** Follow the remote cursor page by page (S6 phase 1 — inherently
+    * serial, runs on the driver at planning time). */
+  private def queryAllPages(soql: String, includeDeleted: Boolean,
+      pageSize: Int): Iterator[List[JValue]] = {
+    val first = s"${queryPath(includeDeleted)}?q=${urlenc(soql)}"
+    Iterator.unfold[List[JValue], Option[String]](Some(first)) {
+      case None => None
+      case Some(url) =>
+        val (recs, next) = queryPage(url, pageSize)
+        Some((recs, next))
+    }.takeWhile(_.nonEmpty)
+  }
+
+  override def count(obj: String, preds: Seq[RPred], includeDeleted: Boolean): Long = {
+    val soql = s"SELECT COUNT() FROM ${Soql.field(obj)}${Soql.where(preds)}"
+    val resp = request("GET", s"${queryPath(includeDeleted)}?q=${urlenc(soql)}")
+    (JsonMethods.parse(resp.body()) \ "totalSize") match {
+      case JInt(n) => n.toLong
+      case JLong(n) => n
+      case _ => throw RestHttpError(200, "count: no totalSize")
+    }
+  }
+
+  override def queryIds(obj: String, preds: Seq[RPred], includeDeleted: Boolean,
+      limit: Option[Int], pageSize: Int): Iterator[Seq[String]] = {
+    val soql = s"SELECT Id FROM ${Soql.field(obj)}${Soql.where(preds)}" +
+      limit.fold("")(n => s" LIMIT $n")
+    queryAllPages(soql, includeDeleted, pageSize).map(_.collect {
+      case o: JObject => (o \ "Id") match { case JString(id) => id; case _ => null }
+    }.filter(_ != null))
+  }
+
+  override def fetchByIds(obj: String, ids: Seq[String],
+      columns: Seq[String]): Seq[Map[String, Any]] = {
+    if (ids.isEmpty) return Seq.empty
+    val types = describe(obj).toMap
+    val cols = if (columns.isEmpty) describe(obj).map(_._1) else columns
+    val colList = cols.map(Soql.field).mkString(", ")
+    // id-batch fetch with the reference's row cap (main.py:165-169)
+    val soql = s"SELECT $colList FROM ${Soql.field(obj)} WHERE " +
+      s"Id IN (${ids.map(Soql.lit).mkString(", ")}) LIMIT ${math.max(200, ids.size)}"
+    queryAllPages(soql, includeDeleted = true, pageSize = 200).flatten.collect {
+      case o: JObject =>
+        cols.map { c =>
+          val raw = jvalue(o \ c)
+          c -> (if (types.get(c).contains("datetime")) toMicros(raw) else raw)
+        }.toMap
+    }.toSeq
+  }
+
+  override def upsert(obj: String, record: Map[String, Any]): Either[String, String] = {
+    val body = JsonMethods.compact(JsonMethods.render(JObject(
+      record.view.filterKeys(_ != "Id").toSeq.map { case (k, v) => k -> (v match {
+        case null => JNull
+        case s: String => JString(s)
+        case b: Boolean => JBool(b)
+        case i: Int => JInt(BigInt(i))
+        case l: Long => JLong(l)
+        case d: Double => JDouble(d)
+        case other => JString(other.toString)
+      })}.toList)))
+    try {
+      record.get("Id") match {
+        case Some(id: String) if id.nonEmpty =>
+          request("PATCH", dataPath(s"sobjects/${Soql.field(obj)}/${urlenc(id)}"),
+            jsonBody = Some(body)) // 204 expected
+          Right(id)
+        case _ =>
+          val resp = request("POST", dataPath(s"sobjects/${Soql.field(obj)}"),
+            jsonBody = Some(body)) // 201 expected
+          (JsonMethods.parse(resp.body()) \ "id") match {
+            case JString(newId) => Right(newId)
+            case _ => Left(s"no id in create response: ${resp.body()}")
+          }
+      }
+    } catch { // error ENVELOPE, never a throw (main.py:230-249)
+      case RestHttpError(status, b) => Left(s"HTTP $status: $b")
+      case scala.util.control.NonFatal(e) => Left(e.toString)
+    }
+  }
+
+  override def latestModified(obj: String, dateField: String): Long = {
+    val soql = s"SELECT ${Soql.field(dateField)} FROM ${Soql.field(obj)} " +
+      s"ORDER BY ${Soql.field(dateField)} DESC LIMIT 1"
+    queryAllPages(soql, includeDeleted = true, pageSize = 1).flatten.toSeq.headOption
+      .map { case o: JObject => toMicros(jvalue(o \ dateField)) match {
+        case l: Long => l; case _ => 0L
+      }; case _ => 0L }
+      .getOrElse(0L)
+  }
+}
+
+object HttpTransport {
+  /** Build from DSv2 options (keys lowercased). Credentials resolve
+    * from options first, then the GRAFT_REST_* environment. */
+  def fromOptions(options: Map[String, String]): HttpTransport = {
+    val creds = (for {
+      id <- options.get("clientid")
+      sec <- options.get("clientsecret")
+      tok <- options.get("refreshtoken")
+    } yield RestCredentials(id, sec, tok))
+      .orElse(RestCredentials.fromEnv())
+      .getOrElse(throw new IllegalArgumentException(
+        "http transport needs clientId/clientSecret/refreshToken options " +
+          "or GRAFT_REST_CLIENT_ID/_CLIENT_SECRET/_REFRESH_TOKEN env"))
+    val endpoints = options.get("tokenurl")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(throw new IllegalArgumentException(
+        "http transport needs tokenUrl (comma-separated endpoints, tried in order)"))
+    new HttpTransport(
+      endpoints, creds,
+      instanceUrlOverride = options.get("instanceurl"),
+      apiVersion = options.getOrElse("apiversion", "v56.0"),
+      timeoutMs = options.getOrElse("timeoutms", "30000").toLong)
+  }
+}

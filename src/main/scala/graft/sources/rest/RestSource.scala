@@ -51,10 +51,19 @@ class RestSource extends TableProvider with DataSourceRegister {
 
 object RestTable {
   def transportFor(options: CaseInsensitiveStringMap): RestTransport =
-    FakeTransport.fromOptions(options.asScala.toMap.map { case (k, v) => k.toLowerCase -> v })
+    transportFor(options.asScala.toMap)
 
-  def transportFor(options: Map[String, String]): RestTransport =
-    FakeTransport.fromOptions(options.map { case (k, v) => k.toLowerCase -> v })
+  /** `transport=http` selects the real [[HttpTransport]]; the default
+    * (`fake`) is the deterministic in-memory org used by tests and the
+    * zero-egress contract queries. */
+  def transportFor(options: Map[String, String]): RestTransport = {
+    val lc = options.map { case (k, v) => k.toLowerCase -> v }
+    lc.getOrElse("transport", "fake") match {
+      case "http" => HttpTransport.fromOptions(lc)
+      case "fake" => FakeTransport.fromOptions(lc)
+      case other => throw new IllegalArgumentException(s"unknown transport: $other")
+    }
+  }
 
   def typeFor(tag: String): DataType = tag match {
     case "string"   => StringType
@@ -203,7 +212,8 @@ class RestPartitionReader(schema: StructType, options: Map[String, String],
         case null => null
         case s: String if f.dataType == StringType => UTF8String.fromString(s)
         case v: Double if f.dataType == DoubleType => v
-        case v: Long => v // LongType and TimestampType (micros)
+        case v: Long if f.dataType == LongType || f.dataType == TimestampType =>
+          v // micros for timestamps
         case v: Boolean if f.dataType == BooleanType => v
         case other => throw new IllegalStateException(
           s"field ${f.name}: unexpected value $other for ${f.dataType}")

@@ -54,6 +54,44 @@ class DdlAndStoreSpec extends SparkSpec {
     assert(out.select("score").as[Double].collect().toSeq == Seq(0.0))
   }
 
+  test("createTable with checkExisting=false THROWS on an existing table (no silent replace)") {
+    val store = newStore()
+    store.write("t", Seq((1L, "a")).toDF("id", "v"))
+    intercept[IllegalStateException] {
+      Ddl.createTable(store, spark, "t", Seq(ColumnSpec("id", LongType)),
+        checkExisting = false)
+    }
+    // the data is untouched
+    assert(store.read("t").count() == 1)
+  }
+
+  test("createTable records primaryKey/unique membership in field metadata") {
+    val store = newStore()
+    Ddl.createTable(store, spark, "meta_t", Seq(
+      ColumnSpec("id", LongType), ColumnSpec("email", StringType),
+      ColumnSpec("v", StringType)),
+      primaryKey = Seq("id"), uniqueColumns = Seq("email"))
+    val fields = store.read("meta_t").schema.fields.map(f => f.name -> f.metadata).toMap
+    assert(fields("id").contains("primary_key") && fields("id").getBoolean("primary_key"))
+    assert(fields("email").contains("unique") && fields("email").getBoolean("unique"))
+    assert(!fields("v").contains("primary_key"))
+  }
+
+  test("TableStore recovers the newest snapshot when the _LATEST pointer is missing") {
+    val dir = Files.createTempDirectory("graft-store").toString
+    val store = new TableStore(spark, dir)
+    store.write("t", Seq((1L, "a")).toDF("id", "v"))
+    store.write("t", Seq((2L, "b")).toDF("id", "v")) // v1 is current
+    // simulate a crash that lost the pointer
+    val latest = new java.io.File(s"$dir/t/_LATEST")
+    assert(latest.delete())
+    assert(store.tableExists("t"))
+    assert(store.read("t").select("id").as[Long].collect().toSeq == Seq(2L))
+    // and the next write continues the version chain
+    store.write("t", Seq((3L, "c")).toDF("id", "v"))
+    assert(store.read("t").select("id").as[Long].collect().toSeq == Seq(3L))
+  }
+
   test("addColumn default + conformTo read-side evolution") {
     val df = Seq((1L, "a")).toDF("id", "v")
     val evolved = Ddl.addColumn(df, ColumnSpec("n", IntegerType, default = Some(7)))

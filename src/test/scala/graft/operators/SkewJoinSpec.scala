@@ -25,4 +25,13 @@ class SkewJoinSpec extends SparkSpec {
       .select("k", "lv", "rv").collect().toSet
     assert(saltedLeft == plainLeft)
   }
+
+  test("salted join rejects right/full outer (replicated right would duplicate rows)") {
+    val left = Seq((1L, "a")).toDF("k", "lv")
+    val right = Seq((1L, "b")).toDF("k", "rv")
+    intercept[IllegalArgumentException](
+      SkewJoin.saltedJoin(left, right, Seq("k"), 4, "right_outer"))
+    intercept[IllegalArgumentException](
+      SkewJoin.saltedJoin(left, right, Seq("k"), 4, "full"))
+  }
 }

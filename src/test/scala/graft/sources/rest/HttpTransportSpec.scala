@@ -1,0 +1,219 @@
+package graft.sources.rest
+
+import java.net.InetSocketAddress
+import java.net.URLDecoder
+import java.nio.charset.StandardCharsets
+import java.util.concurrent.atomic.{AtomicInteger, AtomicReference}
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+import graft.SparkSpec
+
+/** A minimal in-process remote "org" speaking the reference's wire
+  * protocol (token grant, describe, paged query with nextRecordsUrl,
+  * sobject writeback) — lets the REAL `java.net.http` transport be
+  * integration-tested without egress. */
+class HttpTransportSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
+
+  // ------------------------------------------------------------ stub server
+  private var server: HttpServer = _
+  private var port: Int = _
+  private val tokenGrants = new AtomicInteger(0)
+  private val currentToken = new AtomicReference[String]("none")
+  private val lastBatchHeader = new AtomicReference[String]("")
+  private val lastTokenForm = new AtomicReference[String]("")
+
+  private def base: String = s"http://127.0.0.1:$port"
+
+  private def send(x: HttpExchange, status: Int, body: String): Unit = {
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    if (status == 204) x.sendResponseHeaders(status, -1)
+    else { x.sendResponseHeaders(status, bytes.length); x.getResponseBody.write(bytes) }
+    x.close()
+  }
+
+  private def authorized(x: HttpExchange): Boolean =
+    x.getRequestHeaders.getFirst("Authorization") == s"Bearer ${currentToken.get()}"
+
+  private def q(x: HttpExchange): String = {
+    val raw = Option(x.getRequestURI.getRawQuery).getOrElse("")
+    raw.split("&").collectFirst {
+      case kv if kv.startsWith("q=") =>
+        URLDecoder.decode(kv.drop(2), StandardCharsets.UTF_8)
+    }.getOrElse("")
+  }
+
+  private val IdsPage1 = (0 until 2).map(i => f"00A$i%07d")
+  private val IdsPage2 = (2 until 5).map(i => f"00A$i%07d")
+
+  private def recordJson(id: String): String = {
+    val i = id.drop(3).toInt
+    s"""{"attributes":{"type":"account"},"Id":"$id","Name":"Account $i",
+       |"Amount":${i * 10}.5,"NumEmployees":${i * 3},"IsActive":${i % 2 == 0},
+       |"LastModifiedDate":"2024-01-01T00:0$i:00.000+0000","IsDeleted":false}"""
+      .stripMargin.replace("\n", "")
+  }
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    port = server.getAddress.getPort
+
+    // token endpoints: /token/bad always refuses (the reference's login
+    // endpoint on a sandbox org); /token/good grants and rotates
+    server.createContext("/token/bad", (x: HttpExchange) =>
+      send(x, 400, """{"error":"invalid_grant"}"""))
+    server.createContext("/token/good", { (x: HttpExchange) =>
+      lastTokenForm.set(new String(x.getRequestBody.readAllBytes(), StandardCharsets.UTF_8))
+      val tok = s"tok${tokenGrants.incrementAndGet()}"
+      currentToken.set(tok)
+      send(x, 200, s"""{"access_token":"$tok","instance_url":"$base"}""")
+    })
+
+    server.createContext("/services/data/v56.0/sobjects/account/describe", { x =>
+      if (!authorized(x)) send(x, 401, "expired")
+      else send(x, 200,
+        """{"fields":[{"name":"Id","type":"id"},{"name":"Name","type":"string"},
+          |{"name":"Amount","type":"currency"},{"name":"NumEmployees","type":"int"},
+          |{"name":"IsActive","type":"boolean"},
+          |{"name":"LastModifiedDate","type":"datetime"},
+          |{"name":"IsDeleted","type":"boolean"}]}""".stripMargin.replace("\n", ""))
+    })
+
+    // sobject writeback + list (the /sobjects prefix catches both)
+    server.createContext("/services/data/v56.0/sobjects", { x =>
+      val path = x.getRequestURI.getPath
+      if (!authorized(x)) send(x, 401, "expired")
+      else if (x.getRequestMethod == "GET" &&
+        path == "/services/data/v56.0/sobjects")
+        send(x, 200, """{"sobjects":[{"name":"account"},{"name":"contact"}]}""")
+      else if (x.getRequestMethod == "PATCH")
+        path.split("/").last match {
+          case id if id.startsWith("BAD") =>
+            send(x, 400, s"""[{"errorCode":"MALFORMED_ID","message":"$id"}]""")
+          case _ => send(x, 204, "")
+        }
+      else if (x.getRequestMethod == "POST")
+        send(x, 201, """{"id":"NEW0000001","success":true,"errors":[]}""")
+      else send(x, 404, "unknown sobjects route")
+    })
+
+    server.createContext("/services/data/v56.0/query", { x =>
+      if (!authorized(x)) { send(x, 401, "expired"); return }
+      lastBatchHeader.set(x.getRequestHeaders.getFirst("Sforce-Query-Options"))
+      val path = x.getRequestURI.getPath
+      val soql = q(x)
+      if (path.endsWith("/cursor-2")) // second page of the id scan
+        send(x, 200, s"""{"totalSize":5,"done":true,"records":[
+          |${IdsPage2.map(id => s"""{"Id":"$id"}""").mkString(",")}]}"""
+          .stripMargin.replace("\n", ""))
+      else if (soql.startsWith("SELECT COUNT()"))
+        send(x, 200, """{"totalSize":5,"done":true,"records":[]}""")
+      else if (soql.startsWith("SELECT Id FROM account"))
+        send(x, 200, s"""{"totalSize":5,"done":false,
+          |"nextRecordsUrl":"/services/data/v56.0/query/cursor-2","records":[
+          |${IdsPage1.map(id => s"""{"Id":"$id"}""").mkString(",")}]}"""
+          .stripMargin.replace("\n", ""))
+      else if (soql.contains("WHERE Id IN")) {
+        val ids = "00A[0-9]{7}".r.findAllIn(soql).toSeq.distinct
+        send(x, 200, s"""{"totalSize":${ids.size},"done":true,"records":[
+          |${ids.map(recordJson).mkString(",")}]}""".stripMargin.replace("\n", ""))
+      } else if (soql.contains("ORDER BY LastModifiedDate DESC"))
+        send(x, 200,
+          """{"totalSize":1,"done":true,"records":[{"LastModifiedDate":"2024-01-01T00:04:00.000+0000"}]}""")
+      else send(x, 400, s"unexpected soql: $soql")
+    })
+    server.setExecutor(null)
+    server.start()
+  }
+
+  override def afterAll(): Unit = {
+    if (server != null) server.stop(0)
+    super.afterAll()
+  }
+
+  private def transport(): HttpTransport = new HttpTransport(
+    tokenEndpoints = Seq(s"$base/token/bad", s"$base/token/good"),
+    creds = RestCredentials("cid", "csecret", "rtok"))
+
+  // ----------------------------------------------------------------- tests
+  test("auth: refresh-token grant falls back to the next endpoint (login→test)") {
+    val before = tokenGrants.get()
+    val t = transport()
+    assert(t.listObjects() == Seq("account", "contact"))
+    assert(tokenGrants.get() == before + 1) // bad endpoint rejected, good granted
+    val form = lastTokenForm.get()
+    assert(form.contains("grant_type=refresh_token") && form.contains("client_id=cid")
+      && form.contains("refresh_token=rtok"))
+  }
+
+  test("describe maps remote field types to engine type tags") {
+    assert(transport().describe("account") == Seq(
+      "Id" -> "string", "Name" -> "string", "Amount" -> "double",
+      "NumEmployees" -> "long", "IsActive" -> "boolean",
+      "LastModifiedDate" -> "datetime", "IsDeleted" -> "boolean"))
+  }
+
+  test("paginated id scan follows nextRecordsUrl; page-size hint sent") {
+    val pages = transport().queryIds("account", Nil, includeDeleted = false,
+      limit = None, pageSize = 2).toList
+    assert(pages.flatten == (IdsPage1 ++ IdsPage2))
+    assert(lastBatchHeader.get() == "batchSize=2")
+  }
+
+  test("count pushes COUNT() and reads totalSize; predicates render safely") {
+    val t = transport()
+    assert(t.count("account", Seq(RPred.Gt("Amount", 10.0)), includeDeleted = false) == 5L)
+    // injection attempt: quoted + escaped, never breaks out of the literal
+    assert(Soql.lit("x' OR '1'='1") == """'x\' OR \'1\'=\'1'""")
+    intercept[IllegalArgumentException](Soql.field("Id; DROP TABLE"))
+  }
+
+  test("fetchByIds converts datetime strings to epoch micros") {
+    val rows = transport().fetchByIds("account", Seq("00A0000001"),
+      Seq("Id", "Amount", "LastModifiedDate"))
+    assert(rows.size == 1)
+    val r = rows.head
+    assert(r("Id") == "00A0000001" && r("Amount") == 10.5)
+    // 2024-01-01T00:01:00Z in micros
+    assert(r("LastModifiedDate") == 1704067260000000L)
+  }
+
+  test("writeback: PATCH existing → Right, POST new → Right(new id), error → Left envelope") {
+    val t = transport()
+    assert(t.upsert("account", Map("Id" -> "00A0000002", "Name" -> "renamed")) ==
+      Right("00A0000002"))
+    assert(t.upsert("account", Map("Name" -> "fresh")) == Right("NEW0000001"))
+    val bad = t.upsert("account", Map("Id" -> "BAD1", "Name" -> "x"))
+    assert(bad.isLeft && bad.swap.exists(_.contains("MALFORMED_ID")))
+  }
+
+  test("latestModified reads the ORDER BY DESC LIMIT 1 cursor probe") {
+    assert(transport().latestModified("account", "LastModifiedDate") ==
+      1704067440000000L) // 00:04:00Z
+  }
+
+  test("expired token: one transparent re-auth + retry on 401") {
+    val t = transport()
+    assert(t.describe("account").nonEmpty) // authenticates
+    currentToken.set("rotated-behind-our-back") // server-side expiry
+    val grants = tokenGrants.get()
+    assert(t.listObjects() == Seq("account", "contact")) // 401 → re-auth → ok
+    assert(tokenGrants.get() == grants + 1)
+  }
+
+  test("end-to-end DSv2 read over real HTTP (transport=http)") {
+    val df = spark.read.format("graft-rest")
+      .option("transport", "http")
+      .option("object", "account")
+      .option("tokenUrl", s"$base/token/bad,$base/token/good")
+      .option("clientId", "cid").option("clientSecret", "csecret")
+      .option("refreshToken", "rtok")
+      .load()
+      .select("Id", "Name", "Amount", "LastModifiedDate")
+    val rows = df.collect()
+    assert(rows.length == 5)
+    assert(rows.map(_.getString(0)).sorted.toSeq == (IdsPage1 ++ IdsPage2))
+    assert(rows.forall(_.getAs[java.sql.Timestamp]("LastModifiedDate") != null))
+  }
+}
