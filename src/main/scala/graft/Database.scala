@@ -34,10 +34,28 @@ final class Database(val spark: SparkSession, root: String) {
   def getTableCount(tableName: String): Long = store.count(tableName)
   /** D6: `get_tables`. */
   def getTables: Seq[String] = store.listTables()
-  /** D7: `get_views` — temp views registered on this session. */
+  /** D7: `get_views` — PERSISTENT views stored with the database
+    * (reference main.py:85-86 lists real DB views) plus any temp views
+    * registered on this session. */
   def getViews: Seq[String] =
-    spark.catalog.listTables().collect().toSeq
-      .filter(_.tableType == "TEMPORARY").map(_.name)
+    (store.listViews() ++
+      spark.catalog.listTables().collect().toSeq
+        .filter(_.tableType == "TEMPORARY").map(_.name)).distinct.sorted
+
+  /** Create a persistent logical view: stored SQL, replanned against
+    * the CURRENT snapshots on every [[getView]] — never materialized. */
+  def createView(name: String, sql: String): Unit = store.createView(name, sql)
+
+  /** Resolve a persistent view: register the store's tables as temp
+    * views, then plan the stored SQL through Catalyst. */
+  def getView(name: String): DataFrame = {
+    val sql = store.viewSql(name).getOrElse(
+      throw new IllegalArgumentException(s"no such view: $name"))
+    store.listTables().foreach(registerView)
+    spark.sql(sql)
+  }
+
+  def dropView(name: String): Unit = store.dropView(name)
 
   // ------------------------------------------------------------- reads
   /** D11/D12: `get` — projection, predicate DSL, sort, limit, offset. */

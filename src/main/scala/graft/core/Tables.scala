@@ -119,4 +119,34 @@ final class TableStore(spark: SparkSession, root: String) {
 
   def drop(name: String): Unit =
     if (fs.exists(tableDir(name))) fs.delete(tableDir(name), true)
+
+  // ------------------------------------------------------------- views
+  // Persistent views: stored SQL text under `$root/_views/<name>.sql`
+  // (the reference's get_views lists REAL database views,
+  // main.py:85-86 — the snapshot-store analogue is stored query text,
+  // the classic logical-view design: nothing materialized, the SQL
+  // replans against the CURRENT snapshot on every use).
+  private def viewsDir = new Path(root, "_views")
+  private def viewFile(name: String) = new Path(viewsDir, s"$name.sql")
+
+  def createView(name: String, sql: String): Unit = {
+    val out = fs.create(viewFile(name), true)
+    try out.write(sql.getBytes("UTF-8")) finally out.close()
+  }
+
+  def viewSql(name: String): Option[String] =
+    if (!fs.exists(viewFile(name))) None
+    else {
+      val in = fs.open(viewFile(name))
+      try Some(new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8"))
+      finally in.close()
+    }
+
+  def listViews(): Seq[String] =
+    if (!fs.exists(viewsDir)) Nil
+    else fs.listStatus(viewsDir).toSeq.map(_.getPath.getName)
+      .filter(_.endsWith(".sql")).map(_.stripSuffix(".sql")).sorted
+
+  def dropView(name: String): Unit =
+    if (fs.exists(viewFile(name))) fs.delete(viewFile(name), false)
 }

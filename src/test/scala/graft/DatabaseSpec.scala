@@ -10,7 +10,8 @@ class DatabaseSpec extends SparkSpec {
   import spark.implicits._
 
   test("full reference-shaped workflow through the facade") {
-    val db = new Database(spark, Files.createTempDirectory("graft-db").toString)
+    val dbRoot = Files.createTempDirectory("graft-db").toString
+    val db = new Database(spark, dbRoot)
     assert(db.isAlive)
 
     db.createTable("users", Seq(
@@ -65,6 +66,17 @@ class DatabaseSpec extends SparkSpec {
     db.registerView("users")
     assert(db.executeRaw("SELECT count(*) AS c FROM users").as[Long].first() == 2L)
     assert(db.getViews.contains("users"))
+
+    // D7+: persistent views — stored SQL, replanned per use, survives
+    // a new Database handle over the same root
+    db.createView("active_users", "SELECT id, name FROM users WHERE id > 0")
+    assert(db.getViews.contains("active_users"))
+    assert(db.getView("active_users").count() == 2L)
+    val db2 = new Database(spark, dbRoot)
+    assert(db2.getViews.contains("active_users"))
+    assert(db2.getView("active_users").columns.toSeq == Seq("id", "name"))
+    db2.dropView("active_users")
+    assert(!db2.getViews.contains("active_users"))
 
     // D17 verbose ⇒ formatted physical plan
     val plan = db.explain(db.get("users", where = Seq(Pred.Eq("id", 1))))
