@@ -677,6 +677,24 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("tok"), col("bin_id"))
         .orderBy(col("doc_id"))),
 
+    // Stream-stream interval join, exercised in batch mode (the same
+    // function runs under readStream with watermark-bounded state):
+    // per user, how many same-user events precede each event by ≤ 5
+    // minutes — the attribution-join shape over the events fixture.
+    "q69_interval_join" -> ((s, d) => {
+      val e = T(s, d, "events")
+      val a = e.select(col("event_id").as("a_id"), col("user_id").as("a_user"),
+        col("ts").as("a_ts"))
+      val b = e.select(col("event_id").as("b_id"), col("user_id").as("b_user"),
+        col("ts").as("b_ts"))
+      Streams.intervalJoin(a, "a_user", "a_ts", b, "b_user", "b_ts",
+        lookback = "5 minutes", lookahead = "0 seconds")
+        .filter(col("b_id") =!= col("a_id"))
+        .groupBy(col("a_user")).agg(count(lit(1)).as("n_pairs"))
+        .select(col("a_user").as("user_id"), col("n_pairs"))
+        .orderBy(col("user_id"))
+    }),
+
     // ----------------------------------------------------- D9/D10 DDL
     "q54_schema_evolution" -> ((s, d) =>
       Ddl.evolveSchema(T(s, d, "documents"), Seq(
@@ -1051,6 +1069,13 @@ object SparkEntry {
         |  SELECT * FROM documents
         |  WHERE CAST(concat('0x', substring(md5(concat('42', '|', CAST(doc_id AS VARCHAR))), 1, 6)) AS BIGINT) % 1000000 < 250000)
         |SELECT lang, count(*) AS cnt FROM s GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q69_interval_join" ->
+      """SELECT a.user_id, count(*) AS n_pairs
+        |FROM events a JOIN events b ON a.user_id = b.user_id
+        |  AND b.ts >= a.ts - INTERVAL 5 MINUTE AND b.ts <= a.ts
+        |  AND b.event_id <> a.event_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q68_packing_by_lang" ->
       """WITH t AS (

@@ -181,6 +181,32 @@ object Streams {
       }
   }
 
+  /** Stream-stream INTERVAL join: each left row joins right rows with
+    * the same key whose timestamp falls in
+    * `[leftTs − lookback, leftTs + lookahead]` — the attribution /
+    * enrichment join (click within N minutes of impression). Both sides
+    * are watermarked, and the interval bounds let Spark expire join
+    * state past `watermark − lookback` — WITHOUT the time bound a
+    * stream-stream join must retain every row forever (the 100 TB
+    * rule again). Runs identically on batch frames (watermark no-op),
+    * which is how the DuckDB oracle checks it. Column names must be
+    * disjoint across the two sides (streaming self-references are
+    * ambiguous otherwise). */
+  def intervalJoin(left: DataFrame, leftKey: String, leftTs: String,
+      right: DataFrame, rightKey: String, rightTs: String,
+      lookback: String, lookahead: String = "0 seconds",
+      lateness: String = "10 minutes", joinType: String = "inner"): DataFrame = {
+    val overlap = left.columns.toSet.intersect(right.columns.toSet)
+    require(overlap.isEmpty, s"column names must be disjoint, both sides have: $overlap")
+    val l = left.withWatermark(leftTs, lateness)
+    val r = right.withWatermark(rightTs, lateness)
+    l.join(r,
+      col(leftKey) === col(rightKey) &&
+        col(rightTs) >= col(leftTs) - expr(s"INTERVAL $lookback") &&
+        col(rightTs) <= col(leftTs) + expr(s"INTERVAL $lookahead"),
+      joinType)
+  }
+
   /** Batch-mode sessionization (gaps-and-islands): a new session starts
     * after `gapMinutes` of inactivity; pure window functions so it is
     * oracle-checkable in SQL — the batch twin of [[sessionAgg]]. */

@@ -55,6 +55,43 @@ class PlanShapeSpec extends SparkSpec {
     assert(projLine.findFirstIn(p).isDefined, p)
   }
 
+  test("IVF assignment is a narrow map: one exchange (the id spread), no join, no window") {
+    val idx = graft.ext.Similarity.ivfBuild(
+      core.Fx.t(spark, sfDir, "embeddings"), "vec_id", "embedding", nCentroids = 4)
+    try {
+      val p = plan(idx.assigned)
+      // everything ABOVE the cached normalized corpus must be narrow:
+      // the only allowed shape is Project → InMemoryTableScan (the one
+      // exchange lives inside the cached relation's build plan)
+      val aboveCache = p.substring(0, math.max(0, p.indexOf("InMemoryRelation")))
+      assert(aboveCache.contains("InMemoryTableScan"), p)
+      Seq("Exchange", "Join", "Window").foreach(op =>
+        assert(!aboveCache.contains(op), s"assignment must not $op: $p"))
+    } finally idx.unpersist()
+  }
+
+  test("IVF search broadcasts the probe side — the corpus never shuffles for candidates") {
+    val emb = core.Fx.t(spark, sfDir, "embeddings")
+    val idx = graft.ext.Similarity.ivfBuild(emb, "vec_id", "embedding", nCentroids = 4)
+    try {
+      val p = plan(graft.ext.Similarity.ivfSearch(
+        idx, emb.filter(col("vec_id") < 3), "vec_id", "embedding", k = 5, nprobe = 2))
+      assert(p.contains("BroadcastHashJoin"), p)
+      assert(!p.contains("SortMergeJoin"), "candidate join must not shuffle the corpus: " + p)
+    } finally idx.unpersist()
+  }
+
+  test("df-capped Jaccard filters viral shingles BEFORE the self-join") {
+    val p = plan(graft.ext.Dedup.ngramJaccardPairs(
+      core.Fx.t(spark, sfDir, "documents"), "doc_id", "text", maxDf = 50))
+    // the df window + cap filter exist, and the pair join consumes the
+    // CAPPED (persisted) shingle rows — join strategy is AQE's choice
+    assert(p.contains("Join"), p)
+    assert(p.contains("__df"), p)
+    assert(p.contains("Window"), p)
+    assert(p.contains("InMemoryTableScan"), "capped rows must be persisted: " + p)
+  }
+
   test("driver smoke contract: entry() returns rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

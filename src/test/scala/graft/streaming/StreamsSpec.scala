@@ -99,6 +99,43 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("intervalJoin over two real streams: click attributed to impression within window") {
+    implicit val sqlCtx = spark.sqlContext
+    val imps = MemoryStream[(Long, Timestamp, Long)]
+    val clicks = MemoryStream[(Long, Timestamp, Long)]
+    val q = Streams.intervalJoin(
+      imps.toDF().toDF("imp_id", "imp_ts", "imp_user"), "imp_user", "imp_ts",
+      clicks.toDF().toDF("click_id", "click_ts", "click_user"), "click_user", "click_ts",
+      lookback = "0 seconds", lookahead = "10 minutes", lateness = "5 minutes")
+      .select("imp_id", "click_id")
+      .writeStream.format("memory").queryName("attr_test")
+      .outputMode(OutputMode.Append).start()
+    try {
+      imps.addData((1L, ts("2024-01-01 10:00:00"), 7L), (2L, ts("2024-01-01 10:00:00"), 8L))
+      clicks.addData(
+        (100L, ts("2024-01-01 10:05:00"), 7L), // within 10m of imp 1
+        (101L, ts("2024-01-01 10:20:00"), 8L), // outside the window
+        (102L, ts("2024-01-01 09:59:00"), 7L)) // before the impression
+      q.processAllAvailable()
+      val rows = spark.table("attr_test").as[(Long, Long)].collect().toSet
+      assert(rows == Set((1L, 100L)))
+    } finally q.stop()
+  }
+
+  test("intervalJoin batch twin equals a plain time-bounded join") {
+    val e = mkEvents(
+      (1, "2024-01-01 10:00:00", 1, "a", 1.0),
+      (2, "2024-01-01 12:00:00", 1, "a", 1.0))
+      .select($"event_id", $"ts", $"user_id")
+    val o = Seq((10L, 1L, ts("2024-01-01 09:30:00")), (11L, 1L, ts("2024-01-01 07:00:00")))
+      .toDF("ord_id", "cust_id", "ord_ts")
+    val out = Streams.intervalJoin(e, "user_id", "ts", o, "cust_id", "ord_ts",
+      lookback = "1 hours").select("event_id", "ord_id")
+      .as[(Long, Long)].collect().toSet
+    // event 1 sees the 09:30 order (30m back); event 2 sees neither
+    assert(out == Set((1L, 10L)))
+  }
+
   test("runningUserState: event-time timeout evicts idle keys (final snapshot re-emitted)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Streams.UserEvent]
