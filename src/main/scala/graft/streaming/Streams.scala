@@ -181,6 +181,35 @@ object Streams {
       }
   }
 
+  /** The full CDC loop as one streaming pipeline: the latest-per-key
+    * changelog ([[latestPerKey]]) materialized into a snapshot-store
+    * table via `foreachBatch` + PK upsert — the streaming composition
+    * of the reference's incremental pull (S6) and upsert (D8). Each
+    * micro-batch becomes one atomic snapshot swap; the checkpoint
+    * makes the whole loop replayable (exactly-once table state within
+    * the watermark horizon). The table is created from the stream's
+    * schema on the first batch if absent. */
+  def materializeLatest(events: Dataset[UserEvent], db: graft.Database,
+      table: String, checkpoint: String, lateness: String = "10 minutes")
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val changelog = latestPerKey(events, lateness)
+    val applyBatch: (Dataset[UserEvent], Long) => Unit = { (batch, _) =>
+      val df = batch.toDF()
+      if (!df.isEmpty) {
+        if (!db.checkTableExists(table))
+          db.createTable(table, df.schema.fields.toSeq.map(f =>
+            graft.core.ColumnSpec(f.name, f.dataType)), primaryKey = Seq("user_id"))
+        db.upsert(table, df, Seq("user_id"))
+        ()
+      }
+    }
+    changelog.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .foreachBatch(applyBatch)
+      .start()
+  }
+
   /** Stream-stream INTERVAL join: each left row joins right rows with
     * the same key whose timestamp falls in
     * `[leftTs − lookback, leftTs + lookahead]` — the attribution /

