@@ -510,14 +510,13 @@ object SparkEntry {
 
     // ----------------------------------------------------- text analysis
     "q41_text_stats" -> ((s, d) => {
-      val tk = TextOps.tokens(col("text"))
       docsSpread(s, d).select(
         col("doc_id"),
         TextOps.tokenCountWs(col("text")).as("tok_ws"),
         TextOps.tokenCountBpe(col("text")).as("tok_bpe"),
         TextOps.punctCount(col("text")).as("n_punct"),
-        TextOps.stopwordCount(tk).as("n_stop"),
-        TextOps.stopwordRatio(tk).as("stop_ratio"))
+        TextOps.stopwordCountText(col("text")).as("n_stop"),
+        TextOps.stopwordRatioText(col("text")).as("stop_ratio"))
         .orderBy(col("doc_id"))
     }),
 
