@@ -145,6 +145,43 @@ object SparkEntry {
       |SELECT query_id, nn_id, cosine, rank FROM ranked WHERE rank <= 10
       |ORDER BY query_id, rank""".stripMargin
 
+  /** TPC-H Q4 shape: date-window + EXISTS semi-join decorrelation. */
+  private val ExistsSql =
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders o
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem l
+      |              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** TPC-H Q13 shape: left-outer join + two-level count distribution. */
+  private val CustDistSql =
+    """SELECT c_count, count(*) AS custdist FROM (
+      |  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      |  FROM customer c LEFT OUTER JOIN orders o ON c.c_custkey = o.o_custkey
+      |  GROUP BY c.c_custkey) t
+      |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  /** TPC-H Q11 shape: group HAVING gated on a global scalar subquery. */
+  private val HavingGlobalSql =
+    """SELECT s_nationkey,
+      |  CAST(sum(CAST(s_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS val
+      |FROM supplier GROUP BY s_nationkey
+      |HAVING CAST(sum(CAST(s_acctbal AS DECIMAL(18,4))) AS DOUBLE) >
+      |  (SELECT CAST(sum(CAST(s_acctbal AS DECIMAL(18,4))) AS DOUBLE) * 0.04 FROM supplier)
+      |ORDER BY val DESC, s_nationkey""".stripMargin
+
+  /** TPC-H Q22 shape: scalar-subquery gate + NOT EXISTS anti-join. */
+  private val NotExistsSql =
+    """SELECT c_nationkey, count(*) AS numcust,
+      |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS totacctbal
+      |FROM customer c
+      |WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / count(*)
+      |                   FROM customer WHERE c_acctbal > 0.0)
+      |  AND NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000.0)
+      |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+
   private val GroupingSetsSql =
     """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
       |FROM orders
@@ -322,6 +359,10 @@ object SparkEntry {
     "q65_sql_q12" -> ((s, d) => { Fx.registerAll(s, d); Sql.executeRaw(s, Q12Sql) }),
     "q66_sql_q14" -> ((s, d) => { Fx.registerAll(s, d); Sql.executeRaw(s, Q14Sql) }),
     "q57_subquery_corr" -> ((s, d) => { Fx.registerAll(s, d); Sql.executeRaw(s, SubquerySql) }),
+    "q70_sql_exists" -> ((s, d) => { Fx.registerAll(s, d); Sql.executeRaw(s, ExistsSql) }),
+    "q71_sql_custdist" -> ((s, d) => { Fx.registerAll(s, d); Sql.executeRaw(s, CustDistSql) }),
+    "q72_sql_having_global" -> ((s, d) => { Fx.registerAll(s, d); Sql.executeRaw(s, HavingGlobalSql) }),
+    "q73_sql_not_exists" -> ((s, d) => { Fx.registerAll(s, d); Sql.executeRaw(s, NotExistsSql) }),
     "q58_grouping_sets" -> ((s, d) => { Fx.registerAll(s, d); Sql.executeRaw(s, GroupingSetsSql) }),
 
     // Rows-only: approximate aggregates (sketches differ across engines
@@ -794,6 +835,10 @@ object SparkEntry {
     "q20_sql_q1" -> Q1Sql,
     "q21_sql_q3" -> Q3Sql,
     "q56_sql_q5" -> Q5Sql,
+    "q70_sql_exists" -> ExistsSql,
+    "q71_sql_custdist" -> CustDistSql,
+    "q72_sql_having_global" -> HavingGlobalSql,
+    "q73_sql_not_exists" -> NotExistsSql,
     "q64_sql_q6" -> Q6Sql,
     "q65_sql_q12" -> Q12Sql,
     "q66_sql_q14" -> Q14Sql,
