@@ -636,6 +636,17 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Distributed centroid computation (array analytics): element-wise
+    // mean of embeddings per group, exact via decimal sums. The typed
+    // Aggregator twin (functions.VectorAgg.mean) is spec-covered.
+    "q74_embedding_centroids" -> ((s, d) =>
+      T(s, d, "embeddings")
+        .select((col("vec_id") % 4).as("grp"),
+          posexplode(col("embedding").cast("array<double>")).as(Seq("dim0", "v")))
+        .groupBy(col("grp"), (col("dim0") + 1).cast("long").as("dim"))
+        .agg((sum(col("v").cast("decimal(18,8)")).cast("double") / count(lit(1))).as("m"))
+        .orderBy(col("grp"), col("dim"))),
+
     // ----------------------------------------------------- multimodal
     "q51_media_meta" -> ((s, d) =>
       Multimodal.packAsMedia(T(s, d, "documents"), "doc_id", "text")
@@ -1129,6 +1140,16 @@ object SparkEntry {
         |SELECT doc_id, lang, tok,
         |  CAST(floor(CAST(sum(tok) OVER (PARTITION BY lang ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tok AS DOUBLE) / 512) AS BIGINT) AS bin_id
         |FROM t ORDER BY doc_id""".stripMargin,
+
+    // parallel unnests zip positionally in DuckDB, giving (value, dim)
+    "q74_embedding_centroids" ->
+      """WITH e AS (
+        |  SELECT vec_id % 4 AS grp,
+        |    unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v,
+        |    unnest(range(1, len(embedding) + 1)) AS dim
+        |  FROM embeddings)
+        |SELECT grp, dim, CAST(sum(CAST(v AS DECIMAL(18,8))) AS DOUBLE) / count(*) AS m
+        |FROM e GROUP BY grp, dim ORDER BY grp, dim""".stripMargin,
 
     "q54_schema_evolution" ->
       "SELECT doc_id, text, lang, source, n_chars, CAST(NULL AS DOUBLE) AS quality, 'ref' AS ingested FROM documents ORDER BY doc_id",

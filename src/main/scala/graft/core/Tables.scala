@@ -30,10 +30,13 @@ object Fx {
 
   /** Idempotent: (re-)register every fixture table as a temp view.
     * Memoized per (session, dir) — re-reading 10 parquet footers per
-    * SQL query is measurable overhead in the bench loop. */
-  def registerAll(spark: SparkSession, dir: String): Unit = {
+    * SQL query is measurable overhead in the bench loop. Registered
+    * views capture the parquet FILE LISTING at registration time, so if
+    * the files under `dir` are rewritten in-session, pass
+    * `force = true` to re-resolve (the memo can't see disk changes). */
+  def registerAll(spark: SparkSession, dir: String, force: Boolean = false): Unit = {
     val key = "graft.fx.registeredDir"
-    if (!spark.conf.getOption(key).contains(dir)) {
+    if (force || !spark.conf.getOption(key).contains(dir)) {
       AllTables.foreach(n => t(spark, dir, n).createOrReplaceTempView(n))
       spark.conf.set(key, dir)
     }
@@ -99,11 +102,16 @@ final class TableStore(spark: SparkSession, root: String) {
     * `partitionBy` lays the snapshot out hive-style (`col=value/`
     * directories) so reads with a filter on those columns prune whole
     * partitions at planning time (`PartitionFilters` in the scan) —
-    * the storage-level filter for 100 TB tables. */
-  def write(name: String, df: DataFrame, partitionBy: Seq[String] = Nil): Unit = {
+    * the storage-level filter for 100 TB tables. `maxRecordsPerFile`
+    * caps rows per output file (0 = Spark default): the small-files /
+    * giant-files guard — a 100 TB snapshot wants ~128 MB-to-1 GB files,
+    * not one file per shuffle partition of arbitrary size. */
+  def write(name: String, df: DataFrame, partitionBy: Seq[String] = Nil,
+      maxRecordsPerFile: Long = 0L): Unit = {
     val next = currentVersion(name).getOrElse(-1) + 1
     val dest = new Path(tableDir(name), s"v$next")
-    val w = df.write.mode("overwrite")
+    val w0 = df.write.mode("overwrite")
+    val w = if (maxRecordsPerFile > 0) w0.option("maxRecordsPerFile", maxRecordsPerFile) else w0
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(dest.toString)
     val tmp = new Path(tableDir(name), s"_LATEST.tmp$next")

@@ -92,6 +92,16 @@ class DdlAndStoreSpec extends SparkSpec {
     assert(store.read("t").select("id").as[Long].collect().toSeq == Seq(3L))
   }
 
+  test("TableStore.write caps rows per output file (small/giant-files guard)") {
+    val dir = Files.createTempDirectory("graft-store").toString
+    val store = new TableStore(spark, dir)
+    store.write("t", spark.range(100).toDF("id").coalesce(1), maxRecordsPerFile = 30L)
+    val files = new java.io.File(s"$dir/t/v0").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files.length == 4, files.map(_.getName).mkString(",")) // 30+30+30+10
+    assert(store.count("t") == 100)
+  }
+
   test("addColumn default + conformTo read-side evolution") {
     val df = Seq((1L, "a")).toDF("id", "v")
     val evolved = Ddl.addColumn(df, ColumnSpec("n", IntegerType, default = Some(7)))
