@@ -62,11 +62,16 @@ object SparkEntry {
       |    ELSE 'de' END""".stripMargin
 
   /** Shared SQL (runs verbatim in BOTH Spark SQL and DuckDB). */
+  // sum_disc_price is rounded IN THE DECIMAL DOMAIN before the double
+  // cast: the exact scale-8 sum reaches ~19 significant digits at
+  // sf≥0.1, beyond double's 17, and Spark/DuckDB round that conversion
+  // to ADJACENT ulps. round(…, 4) keeps the value exact (≤14 sig
+  // digits) so both engines convert to the identical double.
   private val Q1Sql =
     """SELECT l_returnflag, l_linestatus,
       |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
       |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))), 4) AS DOUBLE) AS sum_disc_price,
       |  count(*) AS count_order
       |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
       |GROUP BY l_returnflag, l_linestatus
@@ -746,6 +751,18 @@ object SparkEntry {
         .orderBy(col("user_id"))
     }),
 
+    // Resize (thumbnail stand-in): content verified by md5 of the
+    // sampled payload — DuckDB reproduces the every-4th-char sampling.
+    "q75_media_resize" -> ((s, d) =>
+      Multimodal.resize(
+        Multimodal.packAsMedia(T(s, d, "documents"), "doc_id", "text"), factor = 4)
+        .select(col("media_id"),
+          md5(col("media.bytes")).as("thumb_md5"),
+          length(col("media.bytes").cast("string")).cast("long").as("out_chars"),
+          col("media.width").cast("long").as("width"),
+          col("media.height").cast("long").as("height"))
+        .orderBy(col("media_id"))),
+
     // ----------------------------------------------------- D9/D10 DDL
     "q54_schema_evolution" -> ((s, d) =>
       Ddl.evolveSchema(T(s, d, "documents"), Seq(
@@ -1150,6 +1167,19 @@ object SparkEntry {
         |  FROM embeddings)
         |SELECT grp, dim, CAST(sum(CAST(v AS DECIMAL(18,8))) AS DOUBLE) / count(*) AS m
         |FROM e GROUP BY grp, dim ORDER BY grp, dim""".stripMargin,
+
+    "q75_media_resize" ->
+      """WITH s AS (
+        |  SELECT doc_id AS media_id,
+        |    array_to_string(list_transform(range(1, length(text) + 1, 4),
+        |      i -> substring(text, CAST(i AS INTEGER), 1)), '') AS thumb,
+        |    length(text) % 1024 + 1 AS w0, length(text) % 768 + 1 AS h0
+        |  FROM documents)
+        |SELECT media_id, md5(thumb) AS thumb_md5,
+        |  CAST(length(thumb) AS BIGINT) AS out_chars,
+        |  greatest(CAST(floor(w0 / 2.0) AS BIGINT), 1) AS width,
+        |  greatest(CAST(floor(h0 / 2.0) AS BIGINT), 1) AS height
+        |FROM s ORDER BY media_id""".stripMargin,
 
     "q54_schema_evolution" ->
       "SELECT doc_id, text, lang, source, n_chars, CAST(NULL AS DOUBLE) AS quality, 'ref' AS ingested FROM documents ORDER BY doc_id",

@@ -71,6 +71,30 @@ object Multimodal {
       }(enc)
   }
 
+  /** Resize stand-in: keep every `factor`-th payload character (the
+    * fake payload is UTF-8 text by construction) and scale the spatial
+    * metadata by √factor — the Spark-side plumbing of an image
+    * thumbnail pass: schema contract, metadata propagation, per-row
+    * transform. A real resize swaps the sampling expression for a
+    * codec call and nothing else changes. */
+  def resize(media: DataFrame, factor: Int = 4): DataFrame = {
+    require(factor >= 1, s"factor must be >= 1, got $factor")
+    val txt = col("media.bytes").cast("string")
+    val n = length(txt)
+    // every factor-th char: positions 1, 1+factor, 1+2·factor, …
+    val idx = sequence(lit(1), greatest(n, lit(1)), lit(factor))
+    val thumb = when(n === 0, lit(""))
+      .otherwise(array_join(transform(idx, i => txt.substr(i, lit(1))), ""))
+    val side = math.max(1, math.sqrt(factor.toDouble).toInt)
+    media.select(col("media_id"),
+      struct(
+        encode(thumb, "UTF-8").as("bytes"),
+        col("media.mime").as("mime"),
+        greatest((col("media.width") / side).cast("int"), lit(1)).as("width"),
+        greatest((col("media.height") / side).cast("int"), lit(1)).as("height"),
+        col("media.duration_ms").as("duration_ms")).as("media"))
+  }
+
   /** Frame sampling: n evenly-spaced fixed-size byte windows from the
     * payload (stands in for video frame extraction; pure expressions). */
   def frameSample(media: DataFrame, nFrames: Int = 4, frameBytes: Int = 32): DataFrame = {
