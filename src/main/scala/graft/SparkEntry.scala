@@ -36,6 +36,43 @@ object SparkEntry {
   private val Stop20 =
     "'the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','at','by','from','this','be'"
 
+  /** DuckDB replay of the portable MinHash+LSH pipeline (k=16, 4 bands
+    * of 4, 3-gram shingles, jaccard ≥ 0.5) — mirrors
+    * `Dedup.minhashNearDups(..., portable = true)` hash for hash. */
+  private val MinhashOracleSql: String = {
+    val k = 16; val bands = 4; val r = k / bands
+    val hCols = (0 until k).map(i =>
+      s"min(CAST(concat('0x', substring(md5(concat('$i', '|', g)), 1, 15)) AS BIGINT)) AS h$i")
+      .mkString(",\n    ")
+    val bandSelects = (0 until bands).map { b =>
+      val parts = (0 until r).map(i => s"h${b * r + i}").mkString(", '|', ")
+      s"SELECT doc_id, $b AS band, md5(concat('$b', '|', $parts)) AS bh FROM sig"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH tk AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS tokens FROM documents),
+      |sh AS (
+      |  SELECT doc_id, CASE WHEN len(tokens) >= 3 THEN list_distinct(list_transform(range(1, len(tokens) - 1), i -> array_to_string(tokens[i:i+2], ' '))) ELSE [] END AS s FROM tk),
+      |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+      |sig AS (SELECT doc_id,
+      |    $hCols
+      |  FROM ex GROUP BY doc_id),
+      |bands AS (
+      |  $bandSelects),
+      |cand AS (
+      |  SELECT ba.doc_id AS a, bb.doc_id AS b FROM bands ba
+      |  JOIN bands bb ON ba.band = bb.band AND ba.bh = bb.bh AND ba.doc_id < bb.doc_id
+      |  GROUP BY 1, 2),
+      |sized AS (SELECT doc_id, s, len(s) AS n FROM sh),
+      |pairs AS (
+      |  SELECT c.a, c.b, len(list_intersect(sa.s, sb.s)) AS inter, sa.n AS na, sb.n AS nb
+      |  FROM cand c JOIN sized sa ON sa.doc_id = c.a JOIN sized sb ON sb.doc_id = c.b),
+      |j AS (
+      |  SELECT a, b, CASE WHEN na + nb - inter = 0 THEN 0.0
+      |    ELSE CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) END AS jaccard
+      |  FROM pairs)
+      |SELECT a, b, jaccard FROM j WHERE jaccard >= 0.5 ORDER BY a, b""".stripMargin
+  }
+
   /** Per-language stopword lists as DuckDB list literals — must mirror
     * [[graft.ext.TextOps.LangStopwords]] exactly. */
   private val LangListsSql: Seq[(String, String)] = Seq(
@@ -582,9 +619,12 @@ object SparkEntry {
         threshold = 0.5, shingleN = 3, maxDf = 100)
         .orderBy(col("a"), col("b"))),
 
+    // Portable-hash mode: the ENTIRE MinHash+LSH pipeline (signature,
+    // banding, candidate join, Jaccard verify) is replayed by the
+    // DuckDB oracle — md5-derived 60-bit hashes are engine-identical.
     "q45_minhash_neardup" -> ((s, d) =>
       Dedup.minhashNearDups(T(s, d, "documents"), "doc_id", "text",
-        threshold = 0.5, k = 32, bands = 8, shingleN = 3)
+        threshold = 0.5, k = 16, bands = 4, shingleN = 3, portable = true)
         .orderBy(col("a"), col("b"))),
 
     // Rows-only: winnowing fingerprints — local-similarity dedup (shared
@@ -1017,6 +1057,8 @@ object SparkEntry {
         |SELECT doc_id,
         |  greatest(0.0, least(1.0, len_score * 0.5 + least(stop_ratio * 4.0, 1.0) * 0.5 - least(punct_ratio * 2.0, 1.0) * 0.25)) AS quality
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q45_minhash_neardup" -> MinhashOracleSql,
 
     "q43_lang_id" ->
       s"""WITH tk AS (

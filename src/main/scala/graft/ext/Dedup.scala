@@ -43,29 +43,46 @@ object Dedup {
 
   // ---------------------------------------------------------------- MinHash
 
+  /** Seeded 60-bit ENGINE-PORTABLE hash: first 15 hex chars of
+    * md5("seed|value") — reproducible in DuckDB/Postgres, unlike
+    * xxhash64. Used by the `portable = true` MinHash mode so the whole
+    * LSH pipeline is oracle-checkable; the default stays xxhash64
+    * (~2-3× faster per row). */
+  private def portableHash64(seed: Int, c: Column): Column =
+    conv(substring(md5(concat_ws("|", lit(seed.toString), c)), 1, 15), 16, 10)
+      .cast("long")
+
   /** Per-doc MinHash signature columns h0..h{k-1}: min over the doc's
-    * distinct word-n-gram shingles of xxhash64(seed_i, shingle).
+    * distinct word-n-gram shingles of hash(seed_i, shingle).
     * Single groupBy with k min() aggregates ⇒ map-side partial agg. */
   def minhashSignature(docs: DataFrame, idCol: String, textCol: String,
-      k: Int = 32, shingleN: Int = 3): DataFrame = {
+      k: Int = 32, shingleN: Int = 3, portable: Boolean = false): DataFrame = {
     // Hash-spread docs BEFORE the shingle computation (a single input
     // file otherwise runs it on one core); shingleRows preserves that
     // partitioning, so the groupBy below needs no second shuffle. min()
     // is multiplicity-invariant, so no shingle dedup is needed.
     val sh = TextOps.shingleRows(docs.repartition(col(idCol)), idCol, textCol, shingleN)
-    val aggs = (0 until k).map(i =>
-      min(xxhash64(lit(i), col("shingle"))).as(s"h$i"))
+    val aggs = (0 until k).map { i =>
+      val h = if (portable) portableHash64(i, col("shingle"))
+        else xxhash64(lit(i), col("shingle"))
+      min(h).as(s"h$i")
+    }
     sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
   /** LSH candidate pairs from a signature frame: band the k hashes into
     * `bands` groups of k/bands rows, hash each band, and equi-join on
     * (bandIndex, bandHash). Returns distinct (a, b) with a < b. */
-  def lshCandidates(sig: DataFrame, idCol: String, k: Int, bands: Int): DataFrame = {
+  def lshCandidates(sig: DataFrame, idCol: String, k: Int, bands: Int,
+      portable: Boolean = false): DataFrame = {
     require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
     val r = k / bands
     val bandHashes = (0 until bands).map { b =>
-      xxhash64((lit(b) +: (0 until r).map(i => col(s"h${b * r + i}"))): _*).as(s"b$b")
+      val parts = (0 until r).map(i => col(s"h${b * r + i}"))
+      val h = if (portable)
+        md5(concat_ws("|", (lit(b.toString) +: parts.map(_.cast("string"))): _*))
+      else xxhash64((lit(b) +: parts): _*)
+      h.as(s"b$b")
     }
     val banded = sig.select(col(idCol) +: bandHashes: _*)
     val e = banded.select(col(idCol),
@@ -98,13 +115,15 @@ object Dedup {
   }
 
   /** Full MinHash+LSH near-dup pipeline: signature → banding → candidate
-    * join → exact-Jaccard verify ≥ threshold. */
+    * join → exact-Jaccard verify ≥ threshold. `portable = true` swaps
+    * xxhash64 for the md5-derived hash (engine-reproducible — the
+    * contract query's DuckDB oracle replays the whole pipeline). */
   def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.8, k: Int = 32, bands: Int = 8,
-      shingleN: Int = 3): DataFrame = {
-    val sig = minhashSignature(docs, idCol, textCol, k, shingleN)
+      shingleN: Int = 3, portable: Boolean = false): DataFrame = {
+    val sig = minhashSignature(docs, idCol, textCol, k, shingleN, portable)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cand = lshCandidates(sig, idCol, k, bands)
+    val cand = lshCandidates(sig, idCol, k, bands, portable)
     jaccardVerify(cand, docs, idCol, textCol, shingleN)
       .filter(col("jaccard") >= threshold)
   }
