@@ -37,13 +37,12 @@ object SparkEntry {
     "'the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','at','by','from','this','be'"
 
   /** DuckDB replay of the portable MinHash+LSH pipeline (k=16, 4 bands
-    * of 4, 3-gram shingles, jaccard ≥ 0.5) — mirrors
+    * of 4, 3-gram shingles, 2-universal double hashing h_i = a + i·b
+    * over the md5 56-bit halves, jaccard ≥ 0.5) — mirrors
     * `Dedup.minhashNearDups(..., portable = true)` hash for hash. */
   private val MinhashOracleSql: String = {
     val k = 16; val bands = 4; val r = k / bands
-    val hCols = (0 until k).map(i =>
-      s"min(CAST(concat('0x', substring(md5(concat('$i', '|', g)), 1, 15)) AS BIGINT)) AS h$i")
-      .mkString(",\n    ")
+    val hCols = (0 until k).map(i => s"min(ha + $i * hb) AS h$i").mkString(",\n    ")
     val bandSelects = (0 until bands).map { b =>
       val parts = (0 until r).map(i => s"h${b * r + i}").mkString(", '|', ")
       s"SELECT doc_id, $b AS band, md5(concat('$b', '|', $parts)) AS bh FROM sig"
@@ -53,9 +52,13 @@ object SparkEntry {
       |sh AS (
       |  SELECT doc_id, CASE WHEN len(tokens) >= 3 THEN list_distinct(list_transform(range(1, len(tokens) - 1), i -> array_to_string(tokens[i:i+2], ' '))) ELSE [] END AS s FROM tk),
       |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+      |hx AS (SELECT doc_id,
+      |    CAST(concat('0x', substring(md5(concat('0', '|', g)), 1, 14)) AS BIGINT) AS ha,
+      |    CAST(concat('0x', substring(md5(concat('0', '|', g)), 17, 14)) AS BIGINT) AS hb
+      |  FROM ex),
       |sig AS (SELECT doc_id,
       |    $hCols
-      |  FROM ex GROUP BY doc_id),
+      |  FROM hx GROUP BY doc_id),
       |bands AS (
       |  $bandSelects),
       |cand AS (
@@ -71,6 +74,96 @@ object SparkEntry {
       |    ELSE CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) END AS jaccard
       |  FROM pairs)
       |SELECT a, b, jaccard FROM j WHERE jaccard >= 0.5 ORDER BY a, b""".stripMargin
+  }
+
+  /** DuckDB replay of the portable 60-bit SimHash pipeline (votes →
+    * sign fold → 4×15-bit bands → Hamming ≤ 3) — mirrors
+    * `Dedup.simhashNearDups(..., portable = true)` bit for bit. */
+  private val SimhashOracleSql: String = {
+    val bits = 60; val bandBits = 15
+    val votes = (0 until bits).map(i =>
+      s"sum(CASE WHEN (hh >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS v$i").mkString(",\n    ")
+    val bitsSum = (0 until bits).map(i =>
+      s"CASE WHEN v$i > 0 THEN (CAST(1 AS BIGINT) << $i) ELSE CAST(0 AS BIGINT) END")
+      .mkString(" + ")
+    val bandVals = (0 until 4).map(b =>
+      s"(sim >> ${b * bandBits}) & ${(1L << bandBits) - 1}").mkString(", ")
+    s"""WITH tk AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS tokens FROM documents),
+      |tok AS (SELECT doc_id, unnest(tokens) AS t FROM tk),
+      |h AS (SELECT doc_id, CAST(concat('0x', substring(md5(concat('0', '|', t)), 1, 15)) AS BIGINT) AS hh FROM tok),
+      |votes AS (SELECT doc_id,
+      |    $votes
+      |  FROM h GROUP BY doc_id),
+      |sig AS (SELECT doc_id, $bitsSum AS sim FROM votes),
+      |b AS (SELECT doc_id, sim, unnest([0, 1, 2, 3]) AS band, unnest([$bandVals]) AS bh FROM sig),
+      |cand AS (
+      |  SELECT ba.doc_id AS a, bb.doc_id AS b, ba.sim AS sa, bb.sim AS sb
+      |  FROM b ba JOIN b bb ON ba.band = bb.band AND ba.bh = bb.bh AND ba.doc_id < bb.doc_id
+      |  GROUP BY 1, 2, 3, 4)
+      |SELECT a, b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming FROM cand
+      |WHERE bit_count(xor(sa, sb)) <= 3 ORDER BY a, b""".stripMargin
+  }
+
+  /** DuckDB replay of the portable winnowing pipeline (5-gram hashes,
+    * window-4 sliding min, distinct fingerprints, shared-count ≥ 3) —
+    * mirrors `Dedup.winnowingNearDups(..., portable = true)`. */
+  private val WinnowingOracleSql: String =
+    """WITH tk AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS tokens FROM documents),
+      |tok AS (
+      |  SELECT doc_id, unnest(tokens) AS t, unnest(range(1, len(tokens) + 1)) AS pos FROM tk),
+      |g AS (
+      |  SELECT doc_id, pos,
+      |    CAST(concat('0x', substring(md5(concat('0', '|',
+      |      concat_ws(' ', t, lead(t, 1) OVER w, lead(t, 2) OVER w,
+      |                lead(t, 3) OVER w, lead(t, 4) OVER w))), 1, 15)) AS BIGINT) AS hh,
+      |    lead(t, 4) OVER w IS NOT NULL AS fullgram
+      |  FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+      |f AS (
+      |  SELECT doc_id,
+      |    min(hh) OVER (PARTITION BY doc_id ORDER BY pos
+      |                  ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fingerprint
+      |  FROM g WHERE fullgram),
+      |d AS (SELECT DISTINCT doc_id, fingerprint FROM f)
+      |SELECT fa.doc_id AS a, fb.doc_id AS b, count(*) AS n_shared
+      |FROM d fa JOIN d fb ON fa.fingerprint = fb.fingerprint AND fa.doc_id < fb.doc_id
+      |GROUP BY 1, 2 HAVING count(*) >= 3 ORDER BY a, b""".stripMargin
+
+  /** DuckDB replay of the SRP-LSH embedding near-dup pipeline: the 16
+    * seeded hyperplanes are embedded as literals (Double.toString
+    * round-trips exactly, so DuckDB parses the identical doubles), sign
+    * bits → 4 bands of 4 → band equi-join → exact cosine ≥ 0.4. Mirrors
+    * `Dedup.embeddingNearDups(threshold=0.4, dim=64, planes=16,
+    * bandsOf=4)` bit for bit. */
+  private val SrpOracleSql: String = {
+    val planes = Similarity.planesFor(64, 16, 42L)
+    def planeDot(p: Array[Double]): String = {
+      val lst = p.map(_.toString).mkString(", ")
+      s"list_sum(list_transform(range(1, 65), i -> v[i] * ([$lst])[i]))"
+    }
+    val bitCols = planes.zipWithIndex.map { case (p, i) =>
+      s"CASE WHEN ${planeDot(p)} >= 0 THEN 1 ELSE 0 END AS b$i"
+    }.mkString(",\n    ")
+    val bandLists = (0 until 4).map(b =>
+      "[" + (0 until 4).map(i => s"b${b * 4 + i}").mkString(", ") + "]").mkString(", ")
+    s"""WITH v0 AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+      |n AS (SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v0),
+      |v AS (SELECT vec_id, CASE WHEN nrm = 0 THEN e ELSE list_transform(e, x -> x / nrm) END AS v FROM n),
+      |bits AS (SELECT vec_id, v,
+      |    $bitCols
+      |  FROM v),
+      |banded AS (SELECT vec_id, v, unnest([0, 1, 2, 3]) AS band, unnest([$bandLists]) AS bh FROM bits),
+      |cand AS (
+      |  SELECT ba.vec_id AS a, bb.vec_id AS b FROM banded ba
+      |  JOIN banded bb ON ba.band = bb.band AND ba.bh = bb.bh AND ba.vec_id < bb.vec_id
+      |  GROUP BY 1, 2),
+      |scored AS (
+      |  SELECT c.a, c.b,
+      |    list_sum(list_transform(range(1, 65), i -> va.v[i] * vb.v[i])) AS cosine
+      |  FROM cand c JOIN v va ON va.vec_id = c.a JOIN v vb ON vb.vec_id = c.b)
+      |SELECT a, b, cosine FROM scored WHERE cosine >= 0.4 ORDER BY a, b""".stripMargin
   }
 
   /** Per-language stopword lists as DuckDB list literals — must mirror
@@ -627,15 +720,20 @@ object SparkEntry {
         threshold = 0.5, k = 16, bands = 4, shingleN = 3, portable = true)
         .orderBy(col("a"), col("b"))),
 
-    // Rows-only: winnowing fingerprints — local-similarity dedup (shared
-    // passages), complements the whole-doc and set-similarity schemes.
+    // Winnowing fingerprints — local-similarity dedup (shared
+    // passages), complementing the whole-doc and set-similarity
+    // schemes. Portable-hash mode: the DuckDB oracle replays k-gram
+    // hashing, the sliding-window min, and the shared-count join.
     "q61_winnowing_neardup" -> ((s, d) =>
       Dedup.winnowingNearDups(T(s, d, "documents"), "doc_id", "text",
-        k = 5, window = 4, minShared = 3)
+        k = 5, window = 4, minShared = 3, portable = true)
         .orderBy(col("a"), col("b"))),
 
+    // Portable-hash mode: DuckDB replays the 60-bit SimHash (per-bit
+    // vote sums, sign fold, 4×15-bit banding, Hamming verify).
     "q46_simhash_neardup" -> ((s, d) =>
-      Dedup.simhashNearDups(T(s, d, "documents"), "doc_id", "text", maxDistance = 3)
+      Dedup.simhashNearDups(T(s, d, "documents"), "doc_id", "text",
+        maxDistance = 3, portable = true)
         .orderBy(col("a"), col("b"))),
 
     // ----------------------------------------------------- similarity search
@@ -1059,6 +1157,12 @@ object SparkEntry {
         |FROM c ORDER BY doc_id""".stripMargin,
 
     "q45_minhash_neardup" -> MinhashOracleSql,
+
+    "q46_simhash_neardup" -> SimhashOracleSql,
+
+    "q61_winnowing_neardup" -> WinnowingOracleSql,
+
+    "q48_embed_neardup_lsh" -> SrpOracleSql,
 
     "q43_lang_id" ->
       s"""WITH tk AS (

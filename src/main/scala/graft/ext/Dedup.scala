@@ -43,14 +43,8 @@ object Dedup {
 
   // ---------------------------------------------------------------- MinHash
 
-  /** Seeded 60-bit ENGINE-PORTABLE hash: first 15 hex chars of
-    * md5("seed|value") — reproducible in DuckDB/Postgres, unlike
-    * xxhash64. Used by the `portable = true` MinHash mode so the whole
-    * LSH pipeline is oracle-checkable; the default stays xxhash64
-    * (~2-3× faster per row). */
   private def portableHash64(seed: Int, c: Column): Column =
-    conv(substring(md5(concat_ws("|", lit(seed.toString), c)), 1, 15), 16, 10)
-      .cast("long")
+    TextOps.portableHash64(seed, c)
 
   /** Per-doc MinHash signature columns h0..h{k-1}: min over the doc's
     * distinct word-n-gram shingles of hash(seed_i, shingle).
@@ -62,12 +56,27 @@ object Dedup {
     // partitioning, so the groupBy below needs no second shuffle. min()
     // is multiplicity-invariant, so no shingle dedup is needed.
     val sh = TextOps.shingleRows(docs.repartition(col(idCol)), idCol, textCol, shingleN)
-    val aggs = (0 until k).map { i =>
-      val h = if (portable) portableHash64(i, col("shingle"))
-        else xxhash64(lit(i), col("shingle"))
-      min(h).as(s"h$i")
+    if (!portable) {
+      val aggs = (0 until k).map(i => min(xxhash64(lit(i), col("shingle"))).as(s"h$i"))
+      sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    } else {
+      // Portable mode: ONE md5 per DISTINCT shingle (vocabulary-level
+      // hashing — the shingle vocabulary is far smaller than the
+      // shingle stream), split into two 56-bit halves (a, b); the k
+      // min-hash functions are the 2-universal family h_i = a + i·b
+      // (no overflow: a, b < 2^56, i < k ≤ 64 ⇒ h_i < 2^62). The
+      // vocab joins back broadcast-style when it fits (AQE decides),
+      // preserving the doc-id partitioning for the signature groupBy.
+      val m = md5(concat_ws("|", lit("0"), col("shingle")))
+      val vocab = sh.select(col("shingle")).distinct()
+        .select(col("shingle"),
+          conv(substring(m, 1, 14), 16, 10).cast("long").as("__ha"),
+          conv(substring(m, 17, 14), 16, 10).cast("long").as("__hb"))
+      val withH = sh.join(vocab, Seq("shingle"))
+      val aggs = (0 until k).map(i =>
+        min(col("__ha") + lit(i.toLong) * col("__hb")).as(s"h$i"))
+      withH.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
     }
-    sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
   /** LSH candidate pairs from a signature frame: band the k hashes into
@@ -170,9 +179,10 @@ object Dedup {
     * shared passages that whole-doc hashing misses). Equi-join on the
     * fingerprint, so only docs with a common fingerprint are compared. */
   def winnowingNearDups(docs: DataFrame, idCol: String, textCol: String,
-      k: Int = 5, window: Int = 4, minShared: Int = 2): DataFrame = {
+      k: Int = 5, window: Int = 4, minShared: Int = 2,
+      portable: Boolean = false): DataFrame = {
     val fp = TextOps.winnowingFingerprints(
-      docs.repartition(col(idCol)), idCol, textCol, k, window)
+      docs.repartition(col(idCol)), idCol, textCol, k, window, portable)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     fp.select(col(idCol).as("a"), col("fingerprint"))
       .join(fp.select(col(idCol).as("b"), col("fingerprint")), Seq("fingerprint"))
@@ -183,33 +193,50 @@ object Dedup {
 
   // ---------------------------------------------------------------- SimHash
 
-  /** Per-doc 64-bit SimHash: each token votes ±1 on each bit of
-    * xxhash64(token); the sign of the per-bit sum becomes the bit.
+  /** Per-doc SimHash (64-bit; 60-bit in portable mode): each token
+    * votes ±1 on each bit of hash(token); the sign of the per-bit sum
+    * becomes the bit.
     *
-    * Shape: explode tokens → ONE groupBy with 64 codegen'd `sum(CASE)`
-    * aggregates (map-side partial agg), then fold the vote signs into a
-    * long. A nested higher-order-function formulation (aggregate ×
-    * zip_with × transform per token) is ~30× slower because it never
-    * enters whole-stage codegen — measured and replaced. */
-  def simhashSignature(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = docs.repartition(col(idCol)).select(col(idCol),
+    * Shape: explode tokens → ONE groupBy with per-bit codegen'd
+    * `sum(CASE)` aggregates (map-side partial agg), then fold the vote
+    * signs into a long. A nested higher-order-function formulation
+    * (aggregate × zip_with × transform per token) is ~30× slower
+    * because it never enters whole-stage codegen — measured and
+    * replaced. `portable = true` uses the md5-derived 60-bit hash so a
+    * DuckDB oracle can replay the pipeline. */
+  def simhashSignature(docs: DataFrame, idCol: String, textCol: String,
+      portable: Boolean = false): DataFrame = {
+    val nBits = if (portable) 60 else 64
+    val tok0 = docs.repartition(col(idCol)).select(col(idCol),
       explode(TextOps.tokens(col(textCol))).as("__t"))
-      .withColumn("__h", xxhash64(col("__t")))
-    val aggs = (0 until 64).map(i =>
+    val tok =
+      if (!portable) tok0.withColumn("__h", xxhash64(col("__t")))
+      else {
+        // one md5 per DISTINCT token (vocabulary-level hashing), joined
+        // back — broadcast when the vocab fits (AQE decides)
+        val vocab = tok0.select(col("__t")).distinct()
+          .withColumn("__h", portableHash64(0, col("__t")))
+        tok0.join(vocab, Seq("__t"))
+      }
+    val aggs = (0 until nBits).map(i =>
       sum(when(col("__h").bitwiseAND(lit(1L << i)) =!= 0, lit(1L))
         .otherwise(lit(-1L))).as(s"v$i"))
     val votes = tok.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
-    val bits = (0 until 64).map(i =>
+    val bits = (0 until nBits).map(i =>
       when(col(s"v$i") > 0, lit(1L << i)).otherwise(lit(0L)))
     votes.select(col(idCol), bits.reduce(_ + _).as("__sim"))
   }
 
-  /** SimHash near-dup candidates: docs sharing any of the 4 16-bit bands
-    * (pigeonhole: Hamming distance ≤ 3 ⇒ at least one band equal). */
-  def simhashCandidates(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val sig = simhashSignature(docs, idCol, textCol)
+  /** SimHash near-dup candidates: docs sharing any of the 4 bands
+    * (16-bit, or 15-bit portable — pigeonhole: Hamming distance ≤ 3 ⇒
+    * at least one band equal). */
+  def simhashCandidates(docs: DataFrame, idCol: String, textCol: String,
+      portable: Boolean = false): DataFrame = {
+    val bandBits = if (portable) 15 else 16
+    val mask = (1L << bandBits) - 1
+    val sig = simhashSignature(docs, idCol, textCol, portable)
     val bandCols = (0 until 4).map(b =>
-      shiftright(col("__sim"), b * 16).bitwiseAND(lit(0xFFFFL)).as(s"b$b"))
+      shiftright(col("__sim"), b * bandBits).bitwiseAND(lit(mask)).as(s"b$b"))
     val banded = sig.select(col(idCol) +: col("__sim") +: bandCols: _*)
     val e = banded.select(col(idCol), col("__sim"),
       posexplode(array((0 until 4).map(i => col(s"b$i")): _*)).as(Seq("__band", "__bh")))
@@ -224,9 +251,9 @@ object Dedup {
 
   /** SimHash near-dups: candidates with Hamming distance ≤ maxDistance. */
   def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
-      maxDistance: Int = 3): DataFrame =
-    simhashCandidates(docs, idCol, textCol)
-      .withColumn("hamming", hamming64(col("__sa"), col("__sb")))
+      maxDistance: Int = 3, portable: Boolean = false): DataFrame =
+    simhashCandidates(docs, idCol, textCol, portable)
+      .withColumn("hamming", hamming64(col("__sa"), col("__sb")).cast("long"))
       .filter(col("hamming") <= maxDistance)
       .select(col("a"), col("b"), col("hamming"))
 

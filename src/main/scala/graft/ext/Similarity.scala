@@ -46,8 +46,9 @@ object Similarity {
   }
 
   /** Deterministic pseudo-random hyperplanes for sign-random-projection
-    * LSH, seeded — same planes on every run/executor. */
-  private[ext] def planesFor(dim: Int, planes: Int, seed: Long): Array[Array[Double]] = {
+    * LSH, seeded — same planes on every run/executor (and embeddable as
+    * literals in the DuckDB oracle, which replays the SRP pipeline). */
+  private[graft] def planesFor(dim: Int, planes: Int, seed: Long): Array[Array[Double]] = {
     val rng = new scala.util.Random(seed)
     Array.fill(planes)(Array.fill(dim)(rng.nextGaussian()))
   }

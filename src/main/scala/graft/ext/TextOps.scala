@@ -114,6 +114,14 @@ object TextOps {
     when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
   }
 
+  /** Seeded 60-bit ENGINE-PORTABLE hash: first 15 hex chars of
+    * md5("seed|value") — reproducible in DuckDB/Postgres, unlike
+    * xxhash64. Shared by the `portable` modes of MinHash / SimHash /
+    * winnowing so their DuckDB oracles replay the pipelines exactly. */
+  private[ext] def portableHash64(seed: Int, c: Column): Column =
+    conv(substring(md5(concat_ws("|", lit(seed.toString), c)), 1, 15), 16, 10)
+      .cast("long")
+
   /** Exact document fingerprint: md5 of normalized text. Stable across
     * engines (used by the exact-dedup oracle). */
   def fingerprintMd5(c: Column): Column = md5(normalize(c))
@@ -143,15 +151,18 @@ object TextOps {
     * window lead/min); one shuffle on the doc id, reused for both
     * window passes. Returns (idCol, fingerprint BIGINT) distinct rows. */
   def winnowingFingerprints(docs: org.apache.spark.sql.DataFrame, idCol: String,
-      textCol: String, k: Int = 5, window: Int = 4): org.apache.spark.sql.DataFrame = {
+      textCol: String, k: Int = 5, window: Int = 4,
+      portable: Boolean = false): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tok = docs.select(col(idCol),
       posexplode(tokens(col(textCol))).as(Seq("__pos", "__tok")))
     val seq = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
     val parts = (0 until k).map(i =>
       if (i == 0) col("__tok") else lead(col("__tok"), i).over(seq))
+    val gram = concat_ws(" ", parts: _*)
+    val gramHash = if (portable) portableHash64(0, gram) else xxhash64(gram)
     val grams = tok.select(col(idCol), col("__pos"),
-        xxhash64(concat_ws(" ", parts: _*)).as("__h"),
+        gramHash.as("__h"),
         lead(col("__tok"), k - 1).over(seq).isNotNull.as("__full"))
       .filter(col("__full"))
     val win = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
