@@ -818,8 +818,10 @@ object SparkEntry {
         .orderBy(col("media_id"), col("frame_no"))),
 
     // --------------------------------------------- S1–S9 REST connector
-    // Rows-only check (no DuckDB-visible table behind it): DSv2 scan
-    // with pushed filter + remote two-phase paginated read, aggregated.
+    // The fake org's records are a deterministic function of (seed, i),
+    // so the oracle REGENERATES the remote dataset in SQL and checks
+    // the whole connector path — pushdown, two-phase paginated read,
+    // soft-delete filtering — against it by hash.
     "q55_rest_source" -> ((s, d) =>
       graft.sources.rest.RestOps.read(s, Map(
         "object" -> "account", "org" -> "verify",
@@ -1155,6 +1157,26 @@ object SparkEntry {
         |SELECT doc_id,
         |  greatest(0.0, least(1.0, len_score * 0.5 + least(stop_ratio * 4.0, 1.0) * 0.5 - least(punct_ratio * 2.0, 1.0) * 0.25)) AS quality
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    // Regenerates FakeTransport.gen's records (Transport.scala:96-115)
+    // arithmetically: h = (seed·1315423911) xor (i·2654435761); every
+    // field is a pure function of h or i, so the connector's output is
+    // checkable without the org being a table anywhere.
+    "q55_rest_source" ->
+      """WITH g AS (
+        |  SELECT i, xor(CAST(42 AS BIGINT) * 1315423911, CAST(i AS BIGINT) * 2654435761) AS h
+        |  FROM range(0, 2000) t(i)),
+        |r AS (
+        |  SELECT i,
+        |    (['Agriculture', 'Banking', 'Consulting', 'Energy', 'Media', 'Retail'])[CAST(abs(h % 6) AS INTEGER) + 1] AS Industry,
+        |    CAST(abs(h % 1000000) AS DOUBLE) / 100.0 AS Amount,
+        |    (h % 3 != 0) AS IsActive,
+        |    (i % 50 = 49) AS IsDeleted
+        |  FROM g)
+        |SELECT Industry, count(*) AS cnt,
+        |  CAST(sum(CAST(Amount AS DECIMAL(18,4))) AS DOUBLE) AS sum_amount
+        |FROM r WHERE IsActive AND Amount > 1000.0
+        |GROUP BY Industry ORDER BY Industry""".stripMargin,
 
     "q45_minhash_neardup" -> MinhashOracleSql,
 
