@@ -27,11 +27,13 @@ object Bench {
     // query suite in one JVM accumulates enough garbage that a single
     // full-GC stall lands on an arbitrary query otherwise).
     val runs = 2
+    val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val secs = (0 until runs).map { _ =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>
+          failed += name // a failed query must not read as a fast one
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
         val t = (System.nanoTime() - t0) / 1e9
@@ -45,8 +47,9 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","mode":"min_of_$runs","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","mode":"min_of_$runs","failed":$failedJson,"queries":$qs,"sf":"$sfDir"}"""
     println(json)
     // machine-readable copy — stdout is interleaved with sbt noise
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
