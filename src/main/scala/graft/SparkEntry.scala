@@ -508,6 +508,21 @@ object SparkEntry {
         percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("p50_price"))
         .orderBy(col("l_returnflag"))),
 
+    // Deterministic PORTABLE sketches (ext.Sketches): unlike the
+    // native HLL/GK sketches above (opaque state ⇒ rows-only), these
+    // estimators are pure functions of (seed, data), so the oracle
+    // replays them — an oracle-VERIFIED approximate aggregate.
+    "q76_kmv_distinct" -> ((s, d) =>
+      graft.ext.Sketches.kmvDistinctCount(
+        T(s, d, "lineitem"), "l_returnflag", "l_orderkey", k = 256)
+        .orderBy(col("l_returnflag"))),
+
+    "q77_sampled_median" -> ((s, d) =>
+      graft.ext.Sketches.sampledQuantile(
+        T(s, d, "lineitem"), "l_returnflag", "l_extendedprice",
+        keyCol = "l_orderkey", q = 0.5, fraction = 0.1)
+        .orderBy(col("l_returnflag"))),
+
     // ----------------------------------------------------- joins
     "q22_join_star" -> ((s, d) =>
       T(s, d, "orders")
@@ -1177,6 +1192,39 @@ object SparkEntry {
         |  CAST(sum(CAST(Amount AS DECIMAL(18,4))) AS DOUBLE) AS sum_amount
         |FROM r WHERE IsActive AND Amount > 1000.0
         |GROUP BY Industry ORDER BY Industry""".stripMargin,
+
+    // KMV distinct-count sketch: est = (k-1)/f_k over distinct-value
+    // hash fractions; exact count when the group has < k distinct.
+    "q76_kmv_distinct" ->
+      """WITH dv AS (SELECT DISTINCT l_returnflag, l_orderkey FROM lineitem),
+        |h AS (
+        |  SELECT l_returnflag,
+        |    CAST(concat('0x', substring(md5(concat('42', '|', CAST(l_orderkey AS VARCHAR))), 1, 14)) AS BIGINT)
+        |      / 72057594037927936.0 AS f
+        |  FROM dv),
+        |r AS (
+        |  SELECT l_returnflag, f,
+        |    row_number() OVER (PARTITION BY l_returnflag ORDER BY f) AS rk,
+        |    count(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM h)
+        |SELECT l_returnflag,
+        |  CASE WHEN n < 256 THEN CAST(n AS DOUBLE) ELSE 255.0 / f END AS est_distinct
+        |FROM r WHERE rk = least(256, n) ORDER BY l_returnflag""".stripMargin,
+
+    // discrete median of the portable 10% sample (rank ⌈n/2⌉ — an
+    // actual data value, no interpolation arithmetic to diverge on)
+    "q77_sampled_median" ->
+      """WITH s AS (
+        |  SELECT l_returnflag, l_extendedprice FROM lineitem
+        |  WHERE CAST(concat('0x', substring(md5(concat('42', '|', CAST(l_orderkey AS VARCHAR))), 1, 6)) AS BIGINT) % 1000000 < 100000),
+        |r AS (
+        |  SELECT l_returnflag, l_extendedprice,
+        |    row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rk,
+        |    count(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM s)
+        |SELECT l_returnflag, l_extendedprice AS q_est
+        |FROM r WHERE rk = greatest(1, CAST(ceil(0.5 * n) AS BIGINT))
+        |ORDER BY l_returnflag""".stripMargin,
 
     "q45_minhash_neardup" -> MinhashOracleSql,
 
