@@ -523,6 +523,29 @@ object SparkEntry {
         keyCol = "l_orderkey", q = 0.5, fraction = 0.1)
         .orderBy(col("l_returnflag"))),
 
+    // Pivot (long→wide conditional aggregation), explicit value list so
+    // the plan needs no extra distinct-values pass.
+    "q78_pivot" -> ((s, d) =>
+      T(s, d, "orders").groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy(col("o_orderpriority"))),
+
+    // Distribution window functions: ntile buckets, percent_rank,
+    // cume_dist (total order via the unique key suffix — peer groups
+    // and therefore the distributions are engine-identical).
+    "q79_window_dist" -> ((s, d) => {
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+      T(s, d, "lineitem").filter(col("l_orderkey") < 1000)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cume"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
     // ----------------------------------------------------- joins
     "q22_join_star" -> ((s, d) =>
       T(s, d, "orders")
@@ -1225,6 +1248,22 @@ object SparkEntry {
         |SELECT l_returnflag, l_extendedprice AS q_est
         |FROM r WHERE rk = greatest(1, CAST(ceil(0.5 * n) AS BIGINT))
         |ORDER BY l_returnflag""".stripMargin,
+
+    "q78_pivot" ->
+      """SELECT o_orderpriority,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS F,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS O,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS P
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q79_window_dist" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cume
+        |FROM lineitem WHERE l_orderkey < 1000
+        |WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "q45_minhash_neardup" -> MinhashOracleSql,
 
