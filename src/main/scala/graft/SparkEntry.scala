@@ -1239,7 +1239,7 @@ object SparkEntry {
     "q77_sampled_median" ->
       """WITH s AS (
         |  SELECT l_returnflag, l_extendedprice FROM lineitem
-        |  WHERE CAST(concat('0x', substring(md5(concat('42', '|', CAST(l_orderkey AS VARCHAR))), 1, 6)) AS BIGINT) % 1000000 < 100000),
+        |  WHERE CAST(concat('0x', substring(md5(concat('42', '|', CAST(l_orderkey AS VARCHAR))), 1, 14)) AS BIGINT) % 1000000 < 100000),
         |r AS (
         |  SELECT l_returnflag, l_extendedprice,
         |    row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rk,
@@ -1394,7 +1394,7 @@ object SparkEntry {
     "q63_deterministic_sample" ->
       """WITH s AS (
         |  SELECT * FROM documents
-        |  WHERE CAST(concat('0x', substring(md5(concat('42', '|', CAST(doc_id AS VARCHAR))), 1, 6)) AS BIGINT) % 1000000 < 250000)
+        |  WHERE CAST(concat('0x', substring(md5(concat('42', '|', CAST(doc_id AS VARCHAR))), 1, 14)) AS BIGINT) % 1000000 < 250000)
         |SELECT lang, count(*) AS cnt FROM s GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q69_interval_join" ->

@@ -69,10 +69,13 @@ final class TableStore(spark: SparkSession, root: String) {
       finally in.close()
     } else {
       // pointer missing (e.g. crash mid-swap before the overwrite-rename
-      // landed): recover the newest complete snapshot directory
+      // landed): recover the newest COMPLETE snapshot directory — only
+      // dirs whose parquet job committed (_SUCCESS) qualify; a crash
+      // mid-write leaves a partial dir that must never be served
       val dir = tableDir(name)
       if (!fs.exists(dir)) None
       else fs.listStatus(dir).toSeq.filter(_.isDirectory)
+        .filter(s => fs.exists(new Path(s.getPath, "_SUCCESS")))
         .map(_.getPath.getName)
         .collect { case VersionDir(n) => n.toInt }
         .maxOption

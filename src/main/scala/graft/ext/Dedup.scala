@@ -60,6 +60,8 @@ object Dedup {
       val aggs = (0 until k).map(i => min(xxhash64(lit(i), col("shingle"))).as(s"h$i"))
       sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
     } else {
+      // a + i·b stays below 2^62 only while i < 64 — enforce it
+      require(k <= 64, s"portable MinHash supports k <= 64, got $k")
       // Portable mode: ONE md5 per DISTINCT shingle (vocabulary-level
       // hashing — the shingle vocabulary is far smaller than the
       // shingle stream), split into two 56-bit halves (a, b); the k

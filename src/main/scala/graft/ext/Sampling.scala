@@ -21,10 +21,11 @@ object Sampling {
 
   /** Engine-PORTABLE hash bucket in [0, 1e6): md5 hex is identical in
     * Spark, DuckDB, and Postgres, so a sample defined this way can be
-    * reproduced (and audited) outside Spark — xxhash64 cannot. First 6
-    * hex chars = 24 bits, enough resolution for per-mille fractions. */
+    * reproduced (and audited) outside Spark — xxhash64 cannot. 14 hex
+    * chars = 56 bits, so the modulo bias is 2^56 mod 1e6 ≈ 1e-11 —
+    * negligible (a 24-bit hash would bias the rate by up to ~1.3%). */
   def portableBucket(key: Column, seed: Long): Column =
-    conv(substring(md5(concat_ws("|", lit(seed.toString), key.cast("string"))), 1, 6),
+    conv(substring(md5(concat_ws("|", lit(seed.toString), key.cast("string"))), 1, 14),
       16, 10).cast("long") % 1000000L
 
   /** Deterministic Bernoulli sample: keep rows where

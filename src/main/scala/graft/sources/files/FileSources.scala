@@ -53,8 +53,10 @@ object FileSources {
   /** Rows whose [[CorruptCol]] is non-null — the quarantine stream.
     * Spark refuses a query that reads ONLY the corrupt column straight
     * off raw files (the parser would have nothing to fail on), so this
-    * materializes the parsed frame first — which a quarantine pass
-    * wants anyway: parse once, split into clean + corrupt. */
+    * CACHES the input frame — which a quarantine pass wants anyway:
+    * parse once, split into clean + corrupt. The cache handle is the
+    * caller's `df` reference: call `df.unpersist()` once both streams
+    * are consumed, or each ingest batch leaks one cached relation. */
   def corruptRows(df: DataFrame): DataFrame = {
     require(df.columns.contains(CorruptCol),
       s"schema must include $CorruptCol to quarantine corrupt rows")

@@ -58,9 +58,16 @@ private[rest] object Soql {
     case d: java.math.BigDecimal => d.toPlainString
     case t: java.sql.Timestamp => // ISO-8601 UTC, the remote datetime literal form
       java.time.Instant.ofEpochMilli(t.getTime).toString
-    case micros: java.lang.Long => micros.toString
     case other => throw new IllegalArgumentException(
       s"unsupported literal type: ${other.getClass.getName}")
+  }
+
+  /** LIKE pattern with the VALUE's wildcards neutralized: `%`/`_` in a
+    * Contains value must match literally, not as metacharacters. */
+  def containsPattern(s: String): String = {
+    val escaped = s.replace("\\", "\\\\").replace("%", "\\%").replace("_", "\\_")
+      .replace("'", "\\'")
+    "'%" + escaped + "%'"
   }
 
   def pred(p: RPred): String = p match {
@@ -72,7 +79,7 @@ private[rest] object Soql {
     case RPred.In(f, vs) => s"${field(f)} IN (${vs.map(lit).mkString(", ")})"
     case RPred.IsNull(f) => s"${field(f)} = NULL"
     case RPred.IsNotNull(f) => s"${field(f)} != NULL"
-    case RPred.Contains(f, s) => s"${field(f)} LIKE ${lit("%" + s + "%")}"
+    case RPred.Contains(f, s) => s"${field(f)} LIKE ${containsPattern(s)}"
   }
 
   def where(preds: Seq[RPred]): String =
@@ -198,14 +205,20 @@ final class HttpTransport(
     case other => JsonMethods.compact(JsonMethods.render(other))
   }
 
-  /** ISO-8601 datetime string → epoch micros (the engine-side datetime
-    * representation the DSv2 reader expects). */
+  /** ISO-8601 datetime OR bare date string → epoch micros (the
+    * engine-side datetime representation the DSv2 reader expects).
+    * Dates resolve to midnight UTC, mirroring how the remote treats
+    * date-only fields in datetime comparisons. */
   private def toMicros(v: Any): Any = v match {
     case s: String =>
       try java.time.OffsetDateTime.parse(s.replace("+0000", "Z")).toInstant.toEpochMilli * 1000L
       catch { case _: Exception =>
         try java.time.Instant.parse(s).toEpochMilli * 1000L
-        catch { case _: Exception => s }
+        catch { case _: Exception =>
+          try java.time.LocalDate.parse(s)
+            .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli * 1000L
+          catch { case _: Exception => s }
+        }
       }
     case l: Long => l
     case other => other
@@ -275,7 +288,10 @@ final class HttpTransport(
   }
 
   /** Follow the remote cursor page by page (S6 phase 1 — inherently
-    * serial, runs on the driver at planning time). */
+    * serial, runs on the driver at planning time). Terminates ONLY when
+    * the cursor is exhausted (no nextRecordsUrl) — an empty page with a
+    * live cursor is legal (batch sizes are approximate) and must not
+    * truncate the scan. */
   private def queryAllPages(soql: String, includeDeleted: Boolean,
       pageSize: Int): Iterator[List[JValue]] = {
     val first = s"${queryPath(includeDeleted)}?q=${urlenc(soql)}"
@@ -284,7 +300,7 @@ final class HttpTransport(
       case Some(url) =>
         val (recs, next) = queryPage(url, pageSize)
         Some((recs, next))
-    }.takeWhile(_.nonEmpty)
+    }.filter(_.nonEmpty)
   }
 
   override def count(obj: String, preds: Seq[RPred], includeDeleted: Boolean): Long = {
@@ -319,7 +335,17 @@ final class HttpTransport(
       case o: JObject =>
         cols.map { c =>
           val raw = jvalue(o \ c)
-          c -> (if (types.get(c).contains("datetime")) toMicros(raw) else raw)
+          val coerced = types.get(c) match {
+            case Some("datetime") => toMicros(raw)
+            // JSON integers parse as Long even for double-typed fields
+            // ("Amount": 100) — coerce so the reader's type guard holds
+            case Some("double") => raw match {
+              case l: Long => l.toDouble
+              case other => other
+            }
+            case _ => raw
+          }
+          c -> coerced
         }.toMap
     }.toSeq
   }

@@ -92,6 +92,20 @@ class DdlAndStoreSpec extends SparkSpec {
     assert(store.read("t").select("id").as[Long].collect().toSeq == Seq(3L))
   }
 
+  test("pointer recovery ignores INCOMPLETE snapshot dirs (no _SUCCESS)") {
+    val dir = Files.createTempDirectory("graft-store").toString
+    val store = new TableStore(spark, dir)
+    store.write("t", Seq((1L, "a")).toDF("id", "v"))   // v0, complete
+    store.write("t", Seq((2L, "b")).toDF("id", "v"))   // v1, complete
+    // simulate a crash: partial v9 (no _SUCCESS) + lost pointer
+    val partial = new java.io.File(s"$dir/t/v9"); partial.mkdirs()
+    java.nio.file.Files.write(partial.toPath.resolve("part-junk.parquet"),
+      Array[Byte](1, 2, 3))
+    assert(new java.io.File(s"$dir/t/_LATEST").delete())
+    // recovery must serve v1, never the torn v9
+    assert(store.read("t").select("id").as[Long].collect().toSeq == Seq(2L))
+  }
+
   test("TableStore.write caps rows per output file (small/giant-files guard)") {
     val dir = Files.createTempDirectory("graft-store").toString
     val store = new TableStore(spark, dir)

