@@ -44,9 +44,12 @@ object Bench {
       }.min
       name -> secs
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    // a failed query's time-to-failure is noise, not cost: report it as
+    // null and keep the headline total an aggregate of SUCCESSFUL runs
+    val qs = results.map { case (k, v) =>
+      "\"" + k + "\":" + (if (failed.contains(k)) "null" else v.toString)
+    }.mkString("{", ",", "}")
+    val total = results.collect { case (k, v) if !failed.contains(k) => v }.sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","mode":"min_of_$runs","failed":$failedJson,"queries":$qs,"sf":"$sfDir"}"""

@@ -663,6 +663,37 @@ object SparkEntry {
         .groupBy(col("k_mod")).agg(count(lit(1)).as("cnt"))
         .orderBy(col("k_mod"))),
 
+    // TYPED nested JSON decode (SURVEY §1.2's sobject mapping —
+    // reference salesforce/main.py:156-182): `from_json` into a nested
+    // StructType with an ARRAY OF STRUCT, then typed field access
+    // (doc.meta.user, readings[i].v) — the path q34's flat string
+    // extraction doesn't exercise. The nested document is assembled
+    // from fixture columns (integral values only, so the literal JSON
+    // text is engine-identical) and re-parsed; the oracle decodes the
+    // same documents with DuckDB's JSON path functions.
+    "q80_nested_json" -> ((s, d) => {
+      val doc = concat(
+        lit("{\"meta\":{\"user\":"), col("user_id"),
+        lit(",\"type\":\""), col("event_type"),
+        lit("\"},\"readings\":[{\"dim\":\"val\",\"v\":"),
+        floor(col("value")).cast("long"),
+        lit("},{\"dim\":\"k\",\"v\":"),
+        get_json_object(col("props"), "$.k").cast("long"),
+        lit("}]}"))
+      val schema = "meta STRUCT<user: BIGINT, type: STRING>, " +
+        "readings ARRAY<STRUCT<dim: STRING, v: BIGINT>>"
+      T(s, d, "events")
+        .select(col("event_id"), from_json(doc,
+          org.apache.spark.sql.types.StructType.fromDDL(schema)).as("doc"))
+        .select(col("event_id"),
+          col("doc.meta.user").as("user_id"),
+          col("doc.meta.type").as("etype"),
+          element_at(col("doc.readings"), 1).getField("v").as("v0"),
+          element_at(col("doc.readings"), 2).getField("v").as("v1"),
+          size(col("doc.readings")).cast("long").as("n_readings"))
+        .orderBy(col("event_id"))
+    }),
+
     "q35_incremental_pull" -> ((s, d) =>
       Query.get(T(s, d, "events"),
         columns = Seq("event_id", "user_id", "event_type", "value"),
@@ -1115,6 +1146,24 @@ object SparkEntry {
 
     "q34_json_extract" ->
       "SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod, count(*) AS cnt FROM events GROUP BY k_mod ORDER BY k_mod",
+
+    // same nested document, decoded with DuckDB's JSON path functions
+    // (object field, array-of-struct index, array length)
+    "q80_nested_json" ->
+      """WITH j AS (
+        |  SELECT event_id,
+        |    '{"meta":{"user":' || user_id || ',"type":"' || event_type ||
+        |    '"},"readings":[{"dim":"val","v":' || CAST(floor(value) AS BIGINT) ||
+        |    '},{"dim":"k","v":' || CAST(json_extract_string(props, '$.k') AS BIGINT) ||
+        |    '}]}' AS doc
+        |  FROM events)
+        |SELECT event_id,
+        |  CAST(json_extract(doc, '$.meta.user') AS BIGINT) AS user_id,
+        |  json_extract_string(doc, '$.meta.type') AS etype,
+        |  CAST(json_extract(doc, '$.readings[0].v') AS BIGINT) AS v0,
+        |  CAST(json_extract(doc, '$.readings[1].v') AS BIGINT) AS v1,
+        |  CAST(json_array_length(doc, '$.readings') AS BIGINT) AS n_readings
+        |FROM j ORDER BY event_id""".stripMargin,
 
     "q35_incremental_pull" ->
       "SELECT event_id, user_id, event_type, value FROM events WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-20' ORDER BY event_id",

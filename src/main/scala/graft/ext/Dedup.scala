@@ -23,9 +23,25 @@ object Dedup {
 
   /** Exact dedup: keep the row with the minimum `idCol` per duplicate
     * group (group = equal values of `keyCols`). Implemented as
-    * row_number over a hash-partitioned window — one shuffle. */
-  def exact(df: DataFrame, keyCols: Seq[String], idCol: String): DataFrame = {
-    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(idCol).asc)
+    * row_number over a hash-partitioned window — one shuffle.
+    *
+    * String/binary key columns are substituted by their md5 digest as
+    * the window key (`hashWideKeys`, on by default): the exchange then
+    * carries a 32-char hash instead of, say, a full document body, and
+    * the window sort compares fixed-width digests instead of O(len)
+    * strings — at corpus scale the difference is shuffling the corpus
+    * once vs twice. Identical result up to md5 collisions (~2⁻¹²⁸ —
+    * the same assumption every fingerprint-dedup scheme here makes).
+    * Output columns are untouched (the digest is only the window key). */
+  def exact(df: DataFrame, keyCols: Seq[String], idCol: String,
+      hashWideKeys: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.types.{BinaryType, StringType}
+    val byName = df.schema.map(f => f.name -> f.dataType).toMap
+    val parts = keyCols.map { k =>
+      val wide = byName.get(k).exists(t => t == StringType || t == BinaryType)
+      if (hashWideKeys && wide) md5(col(k)) else col(k)
+    }
+    val w = Window.partitionBy(parts: _*).orderBy(col(idCol).asc)
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
   }
@@ -142,27 +158,41 @@ object Dedup {
   /** Exact n-gram Jaccard pairs ≥ threshold over the df-capped shingle
     * space (the oracle-checkable baseline; the LSH path above is the
     * scale path). Joins on shared shingles so only pairs with ≥1 common
-    * shingle are ever scored, and shingles with document frequency >
-    * `maxDf` are dropped BEFORE the self-join: the join fan-out is
-    * Σ df(shingle)², so one viral shingle would make a single reducer
-    * quadratic at corpus scale, while df-capped shingles can only
-    * connect documents already linked by rarer ones. Jaccard is computed
-    * entirely within the capped space (set sizes recomputed after the
-    * cap), so the semantics are "similarity over discriminative
-    * shingles" — exact and engine-portable. */
+    * shingle are ever scored; with `maxDf` set, shingles with document
+    * frequency > `maxDf` are dropped BEFORE the self-join: the join
+    * fan-out is Σ df(shingle)², so one viral shingle would make a
+    * single reducer quadratic at corpus scale, while df-capped shingles
+    * can only connect documents already linked by rarer ones. Jaccard
+    * is computed entirely within the capped space (set sizes recomputed
+    * after the cap), so capped semantics are "similarity over
+    * discriminative shingles" — exact and engine-portable. The default
+    * (`maxDf = Int.MaxValue`) is EXACT whole-set Jaccard; callers opt
+    * into the cap explicitly (q44 uses 100) — a silently-capped default
+    * would change results under existing callers.
+    *
+    * Shape: document frequency and per-doc set size are hash
+    * AGGREGATES (map-side partial) + re-joins, not windows — the former
+    * two stacked full-sort windows were the dominant cost at sf0.1. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-      threshold: Double = 0.5, shingleN: Int = 3, maxDf: Int = 1000): DataFrame = {
+      threshold: Double = 0.5, shingleN: Int = 3,
+      maxDf: Int = Int.MaxValue): DataFrame = {
     // collect_set dedups shingles per doc (set semantics) without an
     // extra shuffle — the groupBy rides the repartition(id)
     val sets = TextOps.shingleRows(docs.repartition(col(idCol)), idCol, textCol, shingleN)
       .groupBy(col(idCol)).agg(collect_set(col("shingle")).as("__set"))
       .select(col(idCol).as("__id"), explode(col("__set")).as("__sh"))
-    val kept = sets
-      .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("__sh"))))
+    // df per shingle: ONE hash aggregate (no sort); the semi-join back
+    // onto `sets` shares the same exchange key, so the shuffled shingle
+    // rows are exchanged once (ReuseExchange collapses the two scans)
+    val dfCounts = sets.groupBy(col("__sh")).agg(count(lit(1)).as("__df"))
       .filter(col("__df") <= maxDf)
-    // per-doc set size AFTER the cap; persisted — feeds both join sides
-    val sized = kept.select(col("__id"), col("__sh"),
-        count(lit(1)).over(Window.partitionBy(col("__id"))).as("__n"))
+    val kept = sets.join(dfCounts.select(col("__sh")), Seq("__sh"))
+    // per-doc set size AFTER the cap: one hash agg to __id carrying the
+    // shingle list, re-exploded with __n attached — no join, no sort.
+    // Persisted — feeds both sides of the pair join below.
+    val sized = kept.groupBy(col("__id"))
+      .agg(collect_list(col("__sh")).as("__shs"), count(lit(1)).as("__n"))
+      .select(col("__id"), col("__n"), explode(col("__shs")).as("__sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val common = sized.select(col("__id").as("a"), col("__n").as("na"), col("__sh"))
       .join(sized.select(col("__id").as("b"), col("__n").as("nb"), col("__sh")), Seq("__sh"))

@@ -57,17 +57,66 @@ object Sampling {
     * the standard streaming-fill approximation; exact bin packing is
     * NP-hard and needless here). Deterministic: docs are filled in
     * `orderCol` order; bin_id = floor(exclusive-prefix-sum / maxTokens).
+    * `orderCol` should be a total order (e.g. a unique id) — ties make
+    * the fill order, and thus boundary bins, ambiguous in ANY engine.
     *
-    * One global sort — at real scale, run per partition-key (e.g. per
-    * source/day) by packing within `partitionCols`. */
+    * With `partitionCols`, each partition packs independently (the
+    * per-source/per-day form). WITHOUT them, the global prefix sum is
+    * computed as a distributed two-phase scan — NOT a single-partition
+    * window: rows are range-bucketed by `orderCol` (any monotone
+    * bucketing yields bit-identical bin_ids, so the quantile estimate
+    * needs no determinism), each bucket prefix-sums in parallel, and a
+    * tiny per-bucket offset aggregate (`globalBuckets` rows) is
+    * broadcast back. Same exact semantics, no serialized sort. */
   def packSequences(df: DataFrame, tokenCol: String, orderCol: String,
-      maxTokens: Long, partitionCols: Seq[String] = Nil): DataFrame = {
-    val w0 = if (partitionCols.isEmpty) Window.orderBy(col(orderCol))
-      else Window.partitionBy(partitionCols.map(col): _*).orderBy(col(orderCol))
-    val w = w0.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.withColumn("__cum", sum(col(tokenCol)).over(w))
-      .withColumn("bin_id",
-        floor((col("__cum") - col(tokenCol)).cast("double") / maxTokens).cast("long"))
-      .drop("__cum")
+      maxTokens: Long, partitionCols: Seq[String] = Nil,
+      globalBuckets: Int = 32): DataFrame = {
+    val binId = (cum: Column, tok: Column) =>
+      floor((cum - tok).cast("double") / maxTokens).cast("long")
+    if (partitionCols.nonEmpty) {
+      val w = Window.partitionBy(partitionCols.map(col): _*)
+        .orderBy(col(orderCol))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      df.withColumn("__cum", sum(col(tokenCol)).over(w))
+        .withColumn("bin_id", binId(col("__cum"), col(tokenCol)))
+        .drop("__cum")
+    } else {
+      // Phase 0: monotone range-bucketing of orderCol. approxQuantile
+      // (Greenwald-Khanna) is one narrow pass; bucket(x) is
+      // order-preserving and puts tied values in the SAME bucket
+      // (strict `>` against each boundary), so per-bucket prefix sums +
+      // bucket offsets reproduce the global prefix sum exactly,
+      // whatever boundaries the estimate picked.
+      require(df.schema(orderCol).dataType
+          .isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"global packSequences range-buckets on '$orderCol', which must be " +
+          "numeric; for a non-numeric order supply partitionCols (the " +
+          "per-key form) or pre-map the order to a numeric rank")
+      val probes = (1 until globalBuckets).map(_.toDouble / globalBuckets).toArray
+      val bounds =
+        if (probes.isEmpty) Array.empty[Double]
+        else Option(df.stat.approxQuantile(orderCol, probes, 0.001))
+          .getOrElse(Array.empty[Double]).filterNot(_.isNaN).distinct.sorted
+      val bucket = bounds.foldLeft(lit(0)) { (acc, b) =>
+        acc + when(col(orderCol).cast("double") > lit(b), 1).otherwise(0)
+      }
+      val withB = df.withColumn("__bkt", bucket)
+      // Phase 1: per-bucket prefix sums — globalBuckets parallel sorts
+      val wIn = Window.partitionBy(col("__bkt")).orderBy(col(orderCol))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = withB.withColumn("__cum", sum(col(tokenCol)).over(wIn))
+      // Phase 2: exclusive running offset per bucket — `globalBuckets`
+      // rows total, so the unpartitioned window here is trivially small
+      val offsets = withB.groupBy(col("__bkt"))
+        .agg(sum(col(tokenCol)).as("__tot"))
+        .withColumn("__off", coalesce(
+          sum(col("__tot")).over(Window.orderBy(col("__bkt"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("__bkt"), col("__off"))
+      cum.join(broadcast(offsets), Seq("__bkt"))
+        .withColumn("bin_id",
+          binId(col("__off") + col("__cum"), col(tokenCol)))
+        .drop("__bkt", "__cum", "__off")
+    }
   }
 }

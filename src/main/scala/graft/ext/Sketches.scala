@@ -21,28 +21,28 @@ object Sketches {
   /** KMV (k-minimum-values) distinct-count estimate per group
     * (Bar-Yossef et al. 2002): hash each distinct value to a uniform
     * fraction in [0,1); if the k-th smallest hash is f, the estimate is
-    * (k−1)/f. One distinct + one hash-ranked window — both shuffles on
-    * the group key, never a sketch buffer; groups with < k distinct
-    * values return their EXACT count (the min-k set is the whole set).
+    * (k−1)/f. Groups with < k distinct values return their EXACT count
+    * (the min-k set is the whole set).
+    *
+    * Runs as a BOUNDED-BUFFER sketch ([[graft.functions.KmvSketch]], a
+    * `TypedImperativeAggregate` with O(k) state): one pass, map-side
+    * partial aggregation, no distinct pre-pass and no per-group sort —
+    * duplicates and non-minimal hashes drop at the mapper. The
+    * estimator is a pure function of (seed, data) via the md5-derived
+    * 56-bit hash, so an external engine replays it exactly.
     *
     * Returns (groupCols*, est_distinct double). */
   def kmvDistinctCount(df: DataFrame, groupCol: String, valueCol: String,
       k: Int = 256, seed: Long = 42L): DataFrame = {
     require(k >= 2, s"k must be >= 2, got $k")
-    val dv = df.select(col(groupCol), col(valueCol)).distinct()
-      // 56-bit hash → uniform fraction in [0,1)
-      .withColumn("__f",
-        conv(substring(md5(concat_ws("|", lit(seed.toString),
-          col(valueCol).cast("string"))), 1, 14), 16, 10).cast("double")
-          / lit(72057594037927936.0)) // 2^56
-    val w = Window.partitionBy(col(groupCol)).orderBy(col("__f"))
-    dv.select(col(groupCol), col("__f"),
-        row_number().over(w).as("__rk"),
-        count(lit(1)).over(Window.partitionBy(col(groupCol))).as("__n"))
-      .filter(col("__rk") === least(lit(k), col("__n")))
-      .select(col(groupCol),
-        when(col("__n") < k, col("__n").cast("double"))
-          .otherwise(lit((k - 1).toDouble) / col("__f")).as("est_distinct"))
+    // 56-bit hash → uniform fraction in [0,1)
+    val frac =
+      conv(substring(md5(concat_ws("|", lit(seed.toString),
+        col(valueCol).cast("string"))), 1, 14), 16, 10).cast("double") /
+        lit(72057594037927936.0) // 2^56
+    df.groupBy(col(groupCol))
+      .agg(graft.functions.KmvSketch.estimate(
+        frac, col(valueCol).cast("string"), k).as("est_distinct"))
   }
 
   /** DISCRETE quantile over a deterministic hash-sample: sample rows

@@ -33,7 +33,9 @@ object VectorAgg {
     }
 
     override def reduce(b: (Array[Double], Long), v: Array[Double]): (Array[Double], Long) =
-      if (v == null) b else (addInto(b._1, v), b._2 + 1)
+      // empty vectors are skipped like nulls — counting them would
+      // dilute every dimension of the mean while contributing nothing
+      if (v == null || v.isEmpty) b else (addInto(b._1, v), b._2 + 1)
 
     override def merge(a: (Array[Double], Long), b: (Array[Double], Long)): (Array[Double], Long) =
       (addInto(a._1, b._1), a._2 + b._2)

@@ -53,8 +53,17 @@ private[rest] object Soql {
     case s: String => "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
     case b: Boolean => b.toString
     case n @ (_: Int | _: Long | _: Short | _: Byte) => n.toString
-    case d: Double => d.toString
-    case f: Float => f.toString
+    // plain decimal notation, never exponent form: toString yields
+    // "1.0E7" for |v| >= 1e7 or < 1e-3, which the remote's literal
+    // grammar rejects
+    case d: Double =>
+      if (d.isNaN || d.isInfinite)
+        throw new IllegalArgumentException(s"non-finite numeric literal: $d")
+      java.math.BigDecimal.valueOf(d).toPlainString
+    case f: Float =>
+      if (f.isNaN || f.isInfinite)
+        throw new IllegalArgumentException(s"non-finite numeric literal: $f")
+      new java.math.BigDecimal(f.toString).toPlainString
     case d: java.math.BigDecimal => d.toPlainString
     case t: java.sql.Timestamp => // ISO-8601 UTC, the remote datetime literal form
       java.time.Instant.ofEpochMilli(t.getTime).toString
@@ -359,6 +368,16 @@ final class HttpTransport(
         case i: Int => JInt(BigInt(i))
         case l: Long => JLong(l)
         case d: Double => JDouble(d)
+        case f: Float => JDouble(f.toDouble)
+        // wire forms the remote parses — NOT toString: Timestamp
+        // renders "2024-01-01 00:00:00.0", the remote wants ISO-8601;
+        // BigDecimal could render exponent notation
+        case t: java.sql.Timestamp =>
+          JString(java.time.Instant.ofEpochMilli(t.getTime).toString)
+        case dt: java.time.Instant => JString(dt.toString)
+        case d: java.sql.Date => JString(d.toLocalDate.toString)
+        case bd: java.math.BigDecimal => JDecimal(BigDecimal(bd))
+        case bd: BigDecimal => JDecimal(bd)
         case other => JString(other.toString)
       })}.toList)))
     try {

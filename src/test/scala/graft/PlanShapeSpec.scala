@@ -81,15 +81,57 @@ class PlanShapeSpec extends SparkSpec {
     } finally idx.unpersist()
   }
 
-  test("df-capped Jaccard filters viral shingles BEFORE the self-join") {
+  test("df-capped Jaccard filters viral shingles BEFORE the self-join, via aggregates not windows") {
     val p = plan(graft.ext.Dedup.ngramJaccardPairs(
       core.Fx.t(spark, sfDir, "documents"), "doc_id", "text", maxDf = 50))
-    // the df window + cap filter exist, and the pair join consumes the
-    // CAPPED (persisted) shingle rows — join strategy is AQE's choice
+    // the df cap filter exists, and the pair join consumes the CAPPED
+    // (persisted) shingle rows — join strategy is AQE's choice
     assert(p.contains("Join"), p)
     assert(p.contains("__df"), p)
-    assert(p.contains("Window"), p)
     assert(p.contains("InMemoryTableScan"), "capped rows must be persisted: " + p)
+    // df and per-doc size are HASH AGGREGATES (map-side partial), not
+    // full-sort windows — no window may be keyed on the shingle or the
+    // doc-set: the only allowed windows are shingleRows' lead() over
+    // the token position
+    assert(!"windowspecdefinition\\(__sh".r.findFirstIn(p).isDefined,
+      "__df must come from an aggregate, not a window: " + p)
+    assert(!"windowspecdefinition\\(__id".r.findFirstIn(p).isDefined,
+      "__n must come from an aggregate, not a window: " + p)
+  }
+
+  test("exact dedup on a text key exchanges a fixed-width digest, not the document body") {
+    val docs = core.Fx.t(spark, sfDir, "documents")
+    val p = plan(graft.ext.Dedup.exact(docs, Seq("text"), "doc_id"))
+    // the window partition expression must be md5(text): the shuffle
+    // then carries 32 chars per row instead of the full document, and
+    // the sort compares digests instead of O(doc-length) strings
+    assert("md5\\(".r.findFirstIn(p).isDefined, p)
+    assert(!"windowspecdefinition\\(text#".r.findFirstIn(p).isDefined,
+      "window must not partition on the raw text column: " + p)
+  }
+
+  test("global sequence packing never sorts in a single partition") {
+    val docs = core.Fx.t(spark, sfDir, "documents")
+      .select(col("doc_id"), length(col("text")).cast("long").as("tok"))
+    val p = plan(graft.ext.Sampling.packSequences(
+      docs, "tok", "doc_id", maxTokens = 512L))
+    // the data-sized window must be partitioned (by the range bucket);
+    // the only unpartitioned window allowed is the bucket-offset pass
+    // over `globalBuckets` rows, which sits under the broadcast
+    assert(p.contains("__bkt"), p)
+    assert(p.contains("BroadcastHashJoin"),
+      "bucket offsets must broadcast back: " + p)
+  }
+
+  test("KMV distinct-count runs as a bounded-buffer aggregate: no distinct pre-pass, no window sort") {
+    val p = plan(graft.ext.Sketches.kmvDistinctCount(
+      core.Fx.t(spark, sfDir, "lineitem"), "l_returnflag", "l_orderkey", k = 16))
+    assert(p.contains("graft_kmv_distinct"), p)
+    assert(p.contains("ObjectHashAggregate"), "sketch must hash-aggregate: " + p)
+    assert(!p.contains("Window"), "no per-group sort window: " + p)
+    // exactly one exchange: the final merge on the group key (partials
+    // are map-side)
+    assert("(?m)^\\(\\d+\\) Exchange".r.findAllIn(p).size == 1, p)
   }
 
   test("driver smoke contract: entry() returns rows on sf0.001") {

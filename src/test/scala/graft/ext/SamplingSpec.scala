@@ -53,4 +53,33 @@ class SamplingSpec extends SparkSpec {
       assert(toks.dropRight(1).sum <= 512L)
     }
   }
+
+  test("global packing (distributed two-phase) is bit-identical to a single global window") {
+    import org.apache.spark.sql.expressions.Window
+    val t = docs.select($"doc_id", graft.ext.TextOps.tokenCountWs($"text").as("tok"))
+    val twoPhase = Sampling.packSequences(t, "tok", "doc_id", maxTokens = 512L,
+        globalBuckets = 8)
+      .select("doc_id", "bin_id").as[(Long, Long)].collect().toMap
+    // the naive reference: one unpartitioned running-sum window
+    val w = Window.orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val naive = t.withColumn("__cum", sum($"tok").over(w))
+      .select($"doc_id",
+        floor(($"__cum" - $"tok").cast("double") / 512).cast("long").as("bin_id"))
+      .as[(Long, Long)].collect().toMap
+    assert(twoPhase == naive,
+      s"two-phase global packing diverged on ${twoPhase.toSet.diff(naive.toSet).take(5)}")
+    // degenerate bucketing (1 bucket) must agree too
+    val oneBucket = Sampling.packSequences(t, "tok", "doc_id", maxTokens = 512L,
+        globalBuckets = 1)
+      .select("doc_id", "bin_id").as[(Long, Long)].collect().toMap
+    assert(oneBucket == naive)
+  }
+
+  test("global packing refuses a non-numeric order column") {
+    intercept[IllegalArgumentException] {
+      Sampling.packSequences(docs.select($"doc_id", $"lang",
+        lit(1L).as("tok")), "tok", "lang", maxTokens = 512L)
+    }
+  }
 }
