@@ -69,8 +69,22 @@ final class Database(val spark: SparkSession, root: String) {
     Query.get(store.read(tableName), columns, where,
       sortBy.map(SortKey(_, ascending)).toSeq, limit, offset)
 
-  /** D15: `execute_raw` — full Catalyst SQL over registered views. */
-  def executeRaw(query: String): DataFrame = Sql.executeRaw(spark, query)
+  /** D15: `execute_raw` — full Catalyst SQL over registered views.
+    * One DDL form is intercepted: `ALTER TABLE t ADD COLUMN(S) …`
+    * against a STORE table routes to the snapshot store's additive
+    * evolution (the reference issues its add_column as raw DDL,
+    * main.py:172-189); Spark's own ALTER only reaches catalog tables.
+    * Returns the evolved table's (empty) frame so callers see the new
+    * schema; any other statement goes straight to Catalyst. */
+  def executeRaw(query: String): DataFrame =
+    Sql.parseAlterAddColumns(query) match {
+      case Some((table, added)) if store.tableExists(table) =>
+        val specs = added.fields.toSeq.map(f => ColumnSpec(f.name, f.dataType))
+        store.write(table, Ddl.evolveSchema(store.read(table), specs))
+        registerView(table) // re-point the temp view at the new snapshot
+        store.read(table).limit(0)
+      case _ => Sql.executeRaw(spark, query)
+    }
 
   /** D17: the reference's verbose compiled-SQL print maps to the
     * formatted physical plan (database/main.py:165-170,245-247). */

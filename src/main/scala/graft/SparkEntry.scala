@@ -900,6 +900,47 @@ object SparkEntry {
         .agg(count(lit(1)).as("cnt"), dsum(col("Amount")).as("sum_amount"))
         .orderBy(col("Industry"))),
 
+    // Writeback round trip (S8/S9): a deterministic update set goes
+    // through the DSv2 BatchWrite into the fake org, then the org is
+    // read back through the connector and aggregated. The update set
+    // is itself derived from the org (every Banking account's Amount
+    // becomes NumEmployees·1.5), so the oracle regenerates base state
+    // AND applies the same update rule in SQL — the q55 recipe, write
+    // edition. Store.clear makes each invocation start from base state
+    // (re-runs are deterministic).
+    "q81_rest_writeback" -> ((s, d) => {
+      import graft.sources.rest.FakeTransport
+      val opts = Map("object" -> "account", "org" -> "wbverify",
+        "numRecords" -> "1000", "seed" -> "42")
+      FakeTransport.Store.clear("wbverify")
+      graft.sources.rest.RestOps.read(s, opts)
+        .filter(col("Industry") === "Banking")
+        .select(col("Id"), (col("NumEmployees") * lit(1.5)).as("Amount"))
+        .write.format("graft-rest").options(opts).mode("append").save()
+      graft.sources.rest.RestOps.read(s, opts)
+        .groupBy(col("Industry"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("Amount")).as("sum_amount"))
+        .orderBy(col("Industry"))
+    }),
+
+    // Write-status envelope (S8): per-record upsert results as a
+    // STATUS frame — two poisoned records (malformed id, missing id)
+    // produce error ROWS, never an exception (reference
+    // salesforce/main.py:242-249). Statuses are a pure function of the
+    // input ids, so the oracle regenerates them directly.
+    "q82_rest_write_status" -> ((s, d) => {
+      import s.implicits._
+      import graft.sources.rest.FakeTransport
+      FakeTransport.Store.clear("wbstatus")
+      val updates = ((0 until 10).map(i => (f"00A$i%07d", i * 10.0)) ++
+        Seq(("BAD0000001", 1.0), ("00A9999999", 2.0)))
+        .toDF("Id", "Amount")
+      graft.sources.rest.RestOps.upsertWithStatus(updates, "account",
+        Map("object" -> "account", "org" -> "wbstatus",
+          "numrecords" -> "100", "seed" -> "42"))
+        .orderBy(col("record_id"))
+    }),
+
     // Rows-only: end-to-end training-data curation pipeline — quality
     // gate → language filter → exact dedup → per-doc stats. The shape a
     // 100 TB corpus job takes: all narrow ops + one dedup shuffle.
@@ -1282,6 +1323,40 @@ object SparkEntry {
         |SELECT l_returnflag,
         |  CASE WHEN n < 256 THEN CAST(n AS DOUBLE) ELSE 255.0 / f END AS est_distinct
         |FROM r WHERE rk = least(256, n) ORDER BY l_returnflag""".stripMargin,
+
+    // Writeback round trip: regenerate the fake org's base records
+    // (same arithmetic as q55) and apply q81's update rule — Banking
+    // accounts' Amount becomes NumEmployees·1.5 — then aggregate the
+    // post-write state the connector reads back.
+    "q81_rest_writeback" ->
+      """WITH g AS (
+        |  SELECT i, xor(CAST(42 AS BIGINT) * 1315423911, CAST(i AS BIGINT) * 2654435761) AS h
+        |  FROM range(0, 1000) t(i)),
+        |r AS (
+        |  SELECT i,
+        |    (['Agriculture', 'Banking', 'Consulting', 'Energy', 'Media', 'Retail'])[CAST(abs(h % 6) AS INTEGER) + 1] AS Industry,
+        |    CAST(abs(h % 1000000) AS DOUBLE) / 100.0 AS Amount,
+        |    abs(h % 10000) AS NumEmployees
+        |  FROM g),
+        |u AS (
+        |  SELECT Industry,
+        |    CASE WHEN Industry = 'Banking' THEN NumEmployees * 1.5 ELSE Amount END AS Amount
+        |  FROM r)
+        |SELECT Industry, count(*) AS cnt,
+        |  CAST(sum(CAST(Amount AS DECIMAL(18,4))) AS DOUBLE) AS sum_amount
+        |FROM u GROUP BY Industry ORDER BY Industry""".stripMargin,
+
+    // statuses are a pure function of the poisoned/valid input ids:
+    // ids 0..9 exist (success), BAD* trips the malformed-id error,
+    // 00A9999999 is beyond the 100-record org (not found)
+    "q82_rest_write_status" ->
+      """SELECT record_id, success, error FROM (
+        |  SELECT printf('00A%07d', i) AS record_id, TRUE AS success,
+        |    CAST(NULL AS VARCHAR) AS error
+        |  FROM range(0, 10) t(i)
+        |  UNION ALL SELECT 'BAD0000001', FALSE, 'MALFORMED_ID: BAD0000001'
+        |  UNION ALL SELECT '00A9999999', FALSE, 'NOT_FOUND: 00A9999999')
+        |ORDER BY record_id""".stripMargin,
 
     // discrete median of the portable 10% sample (rank ⌈n/2⌉ — an
     // actual data value, no interpolation arithmetic to diverge on)

@@ -144,4 +144,25 @@ class DdlAndStoreSpec extends SparkSpec {
     assert(f.metadata.getString("foreign_key") == "other.id")
     assert(f.metadata.getString("default") == "0")
   }
+
+  test("ALTER TABLE ADD COLUMNS as raw SQL evolves the store snapshot (D10/D15)") {
+    val root = Files.createTempDirectory("graft-store").toString
+    val db = new graft.Database(spark, root)
+    val store = new TableStore(spark, root)
+    store.write("t", Seq((1L, "a")).toDF("id", "v"))
+    // parenthesized multi-column form
+    val evolved = db.executeRaw("ALTER TABLE t ADD COLUMNS (quality DOUBLE, note STRING)")
+    assert(evolved.columns.toSeq == Seq("id", "v", "quality", "note"))
+    assert(store.listColumns("t") == Seq("id", "v", "quality", "note"))
+    // existing rows null-filled, data kept
+    val row = store.read("t").first()
+    assert(row.getLong(0) == 1L && row.isNullAt(2) && row.isNullAt(3))
+    // bare single-column form; idempotent (additive evolution never dups)
+    db.executeRaw("ALTER TABLE t ADD COLUMN quality DOUBLE")
+    assert(store.listColumns("t") == Seq("id", "v", "quality", "note"))
+    // the refreshed temp view sees the new schema through executeRaw
+    assert(db.executeRaw("SELECT quality FROM t").columns.toSeq == Seq("quality"))
+    // a non-ALTER statement still goes straight to Catalyst
+    assert(db.executeRaw("SELECT 1 AS one").first().getInt(0) == 1)
+  }
 }

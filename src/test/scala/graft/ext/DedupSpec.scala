@@ -89,4 +89,55 @@ class DedupSpec extends SparkSpec {
     val recall = lsh.size.toDouble / brute.size
     assert(recall >= 0.3, s"LSH recall $recall too low (16 planes, 4-bit bands)")
   }
+
+  test("LSH band join under a skewed bucket: AQE splits the hot partition") {
+    // a boilerplate-heavy corpus puts every copy's 4 band rows in the
+    // SAME (band, hash) buckets — the hot-reducer shape a near-dup job
+    // hits on real crawl data. With skew-join thresholds scaled to the
+    // fixture, AQE must split the hot partition (plan tagged skew=true)
+    // instead of serializing it on one task. SkewJoin.saltedJoin stays
+    // the manual fallback for a key bigger than an executor.
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.adaptive.forceOptimizeSkewedJoin",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.shuffle.partitions")
+      .map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+      // the fixture's hot bucket is highly compressible (identical
+      // rows), so the byte thresholds must sit at the scale of the
+      // COMPRESSED shuffle partition; 16 reducers shrink the median so
+      // the hot bucket stands out the way it does at production scale
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "100b")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "100b")
+      conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // skew split needs a shuffle join
+      conf.set("spark.sql.shuffle.partitions", "16")
+      val skewed = ((0 until 400).map(i =>
+        (i.toLong, "identical boilerplate paragraph shared by every copy of this page " * 2)) ++
+        (400 until 800).map(i =>
+          (i.toLong, s"unique document $i with distinct words w${i * 7} w${i * 13} w${i * 31} tail")))
+        .toDF("doc_id", "text")
+      val sig = Dedup.minhashSignature(skewed, "doc_id", "text", k = 16)
+      val cand = Dedup.lshCandidates(sig, "doc_id", k = 16, bands = 4)
+      // 400 identical docs must all pair up; unrelated docs must not.
+      // collect() executes cand's OWN query execution, so the adaptive
+      // plan inspected below is the final, post-skew-split one
+      val n = cand.collect().length
+      assert(n >= 400 * 399 / 2, s"expected the full dup clique, got $n")
+      val planStr = cand.queryExecution.executedPlan.toString
+      assert(planStr.contains("skew=true"),
+        "AQE did not split the skewed band bucket:\n" + planStr)
+    } finally saved.foreach { case (k, v) =>
+      v.fold(conf.unset(k))(conf.set(k, _))
+    }
+  }
 }
