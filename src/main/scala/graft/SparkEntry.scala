@@ -108,8 +108,11 @@ object SparkEntry {
   /** DuckDB replay of the portable winnowing pipeline (5-gram hashes,
     * window-4 sliding min, distinct fingerprints, shared-count ≥ 3) —
     * mirrors `Dedup.winnowingNearDups(..., portable = true)`. */
-  private val WinnowingOracleSql: String =
-    """WITH tk AS (
+  /** Winnowing pipeline as a reusable CTE block ending in `p` (the
+    * near-dup pairs) — shared by q61 (the pairs themselves) and q83
+    * (connected components over them). */
+  private val WinnowingPairsCtes: String =
+    """tk AS (
       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS tokens FROM documents),
       |tok AS (
       |  SELECT doc_id, unnest(tokens) AS t, unnest(range(1, len(tokens) + 1)) AS pos FROM tk),
@@ -125,10 +128,14 @@ object SparkEntry {
       |    min(hh) OVER (PARTITION BY doc_id ORDER BY pos
       |                  ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fingerprint
       |  FROM g WHERE fullgram),
-      |d AS (SELECT DISTINCT doc_id, fingerprint FROM f)
-      |SELECT fa.doc_id AS a, fb.doc_id AS b, count(*) AS n_shared
-      |FROM d fa JOIN d fb ON fa.fingerprint = fb.fingerprint AND fa.doc_id < fb.doc_id
-      |GROUP BY 1, 2 HAVING count(*) >= 3 ORDER BY a, b""".stripMargin
+      |d AS (SELECT DISTINCT doc_id, fingerprint FROM f),
+      |p AS (
+      |  SELECT fa.doc_id AS a, fb.doc_id AS b, count(*) AS n_shared
+      |  FROM d fa JOIN d fb ON fa.fingerprint = fb.fingerprint AND fa.doc_id < fb.doc_id
+      |  GROUP BY 1, 2 HAVING count(*) >= 3)""".stripMargin
+
+  private val WinnowingOracleSql: String =
+    s"WITH $WinnowingPairsCtes\nSELECT a, b, n_shared FROM p ORDER BY a, b"
 
   /** DuckDB replay of the SRP-LSH embedding near-dup pipeline: the 16
     * seeded hyperplanes are embedded as literals (Double.toString
@@ -164,6 +171,51 @@ object SparkEntry {
       |    list_sum(list_transform(range(1, 65), i -> va.v[i] * vb.v[i])) AS cosine
       |  FROM cand c JOIN v va ON va.vec_id = c.a JOIN v vb ON vb.vec_id = c.b)
       |SELECT a, b, cosine FROM scored WHERE cosine >= 0.4 ORDER BY a, b""".stripMargin
+  }
+
+  /** DuckDB replay of the FULL product-quantization pipeline with the
+    * seeded codebooks as literals (the SRP recipe): per-subspace
+    * argmax encode (dot − 0.5‖c‖², first index wins), per-query ADC
+    * table, m lookups + left-to-right adds per candidate, top-k.
+    * Mirrors `pqEncode`/`pqSearch` over `pqSeededBooks(64, 8, 16, 42)`
+    * bit for bit. */
+  private val PqOracleSql: String = {
+    val books = Similarity.pqSeededBooks(64, 8, 16, 42L)
+    val ds = books.ds
+    def dotSql(vecExpr: String, off: Int, cw: Array[Double]): String = {
+      val lst = cw.map(_.toString).mkString(", ")
+      s"list_sum(list_transform(range(1, ${ds + 1}), i -> $vecExpr[i + $off] * ([$lst])[i]))"
+    }
+    val scoreCols = (0 until books.m).map { j =>
+      (0 until books.ksub).map { cI =>
+        s"${dotSql("v", j * ds, books.books(j)(cI))} - ${books.halfNormSq(j)(cI)}"
+      }.mkString("[", ", ", "]") + s" AS s$j"
+    }.mkString(",\n    ")
+    val codeList = (0 until books.m)
+      .map(j => s"list_position(s$j, list_max(s$j)) - 1").mkString("[", ", ", "]")
+    val tCols = (0 until books.m).map { j =>
+      (0 until books.ksub).map(cI => dotSql("v", j * ds, books.books(j)(cI)))
+        .mkString("[", ", ", "]")
+    }.mkString("[", ",\n      ", "]")
+    val adcExpr = (1 to books.m).map(j => s"q.T[$j][e.codes[$j] + 1]").mkString(" + ")
+    s"""WITH v0 AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+      |n0 AS (SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v0),
+      |v AS (SELECT vec_id, CASE WHEN nrm = 0 THEN e ELSE list_transform(e, x -> x / nrm) END AS v FROM n0),
+      |sc AS (SELECT vec_id, v,
+      |    $scoreCols
+      |  FROM v),
+      |enc AS (SELECT vec_id, $codeList AS codes FROM sc),
+      |qt AS (SELECT vec_id AS query_id, $tCols AS T FROM v WHERE vec_id < 5),
+      |adc AS (
+      |  SELECT q.query_id, e.vec_id AS nn_id, $adcExpr AS adc
+      |  FROM enc e CROSS JOIN qt q),
+      |r AS (
+      |  SELECT query_id, nn_id, adc,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY adc DESC, nn_id) AS rk
+      |  FROM adc)
+      |SELECT query_id, nn_id, round(adc, 4) AS adc, CAST(rk AS BIGINT) AS rank
+      |FROM r WHERE rk <= 10 ORDER BY query_id, rank""".stripMargin
   }
 
   /** Per-language stopword lists as DuckDB list literals — must mirror
@@ -798,6 +850,19 @@ object SparkEntry {
         k = 5, window = 4, minShared = 3, portable = true)
         .orderBy(col("a"), col("b"))),
 
+    // Pairwise near-dup evidence → dedup CLUSTERS: connected
+    // components over the winnowing pairs (min reachable doc_id labels
+    // each cluster). The oracle replays the fixpoint with a
+    // recursive-CTE transitive closure over the same pair list.
+    "q83_dedup_clusters" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val pairs = Dedup.winnowingNearDups(docs, "doc_id", "text",
+        k = 5, window = 4, minShared = 3, portable = true)
+      Dedup.connectedComponents(docs.select(col("doc_id")), "doc_id",
+        pairs, "a", "b")
+        .orderBy(col("doc_id"))
+    }),
+
     // Portable-hash mode: DuckDB replays the 60-bit SimHash (per-bit
     // vote sums, sign fold, 4×15-bit banding, Hamming verify).
     "q46_simhash_neardup" -> ((s, d) =>
@@ -844,6 +909,26 @@ object SparkEntry {
       val idx = Similarity.ivfBuild(emb, "vec_id", "embedding", nCentroids = 16)
       Similarity.ivfSearch(idx, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
         k = 10, nprobe = 16)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Product quantization — the third ANN tier (brute → IVF → PQ):
+    // 4-bit-per-subspace codes (~64× smaller than the double vectors),
+    // ADC search = m table lookups per candidate. Seeded codebooks
+    // (the portable twin of pqTrainBooks' k-means) make the WHOLE
+    // pipeline a pure function of (seed, data) — the oracle replays
+    // encode, the per-query ADC tables, and the top-k in SQL.
+    "q84_ann_pq" -> ((s, d) => {
+      val emb = T(s, d, "embeddings")
+      val books = Similarity.pqSeededBooks(dim = 64, m = 8, ksub = 16, seed = 42L)
+      val enc = Similarity.pqEncode(emb, "vec_id", "embedding", books)
+      Similarity.pqSearch(enc, books, emb.filter(col("vec_id") < 5),
+        "vec_id", "embedding", k = 10)
+        // the two engines' 8-element literal-codeword dots can differ
+        // in the last ulp (~1e-16); ranks are separated by ~1e-3, so
+        // order is stable — emit the score at a 4-decimal tolerance
+        .withColumn("adc", round(col("adc"), 4))
         .withColumn("rank", col("rank").cast("long"))
         .orderBy(col("query_id"), col("rank"))
     }),
@@ -1394,6 +1479,20 @@ object SparkEntry {
     "q46_simhash_neardup" -> SimhashOracleSql,
 
     "q61_winnowing_neardup" -> WinnowingOracleSql,
+
+    "q84_ann_pq" -> PqOracleSql,
+
+    // transitive closure over the symmetric winnowing pairs; min
+    // reachable node = the cluster label (matches the Spark fixpoint)
+    "q83_dedup_clusters" ->
+      s"""WITH RECURSIVE $WinnowingPairsCtes,
+        |sym AS (SELECT a AS src, b AS dst FROM p UNION SELECT b, a FROM p),
+        |reach AS (
+        |  SELECT doc_id AS src, doc_id AS dst FROM documents
+        |  UNION
+        |  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src)
+        |SELECT src AS doc_id, min(dst) AS cluster_id
+        |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
 
     "q48_embed_neardup_lsh" -> SrpOracleSql,
 

@@ -57,6 +57,62 @@ object Dedup {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** Connected components over a near-dup pair list: every node gets
+    * the MINIMUM node id reachable through the pairs as `cluster_id` —
+    * the step that turns pairwise near-dup evidence (MinHash/SimHash/
+    * winnowing output) into dedup CLUSTERS (keep, e.g., the min doc
+    * per cluster). Iterative min-label propagation:
+    * l(v) ← min({l(v)} ∪ {l(u) : u~v}), to fixpoint.
+    *
+    * Scale shape: each round is ONE equi-join against the (persisted)
+    * symmetric edge list plus one min aggregate with map-side partials
+    * — no collect, no per-component state. Rounds required = graph
+    * diameter; near-dup graphs are clique-ish (duplicates of the same
+    * source connect pairwise), so a handful of rounds in practice.
+    * `maxIter` guards pathological chains — the method THROWS rather
+    * than return a partial labeling. The fixpoint (component minimum)
+    * is deterministic under any partitioning, so the result is
+    * engine-reproducible (the contract oracle replays it with a
+    * recursive-CTE transitive closure). */
+  def connectedComponents(nodes: DataFrame, idCol: String,
+      edges: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 50): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val ids = nodes.select(col(idCol).as("id")).distinct()
+    // symmetric closure + self-loops: every node hears its neighbors
+    // AND itself each round, so labels only ever decrease
+    val sym = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .union(ids.select(col("id").as("src"), col("id").as("dst")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = ids.select(col("id"), col("id").as("label"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var it = 0
+    var done = false
+    while (!done && it < maxIter) {
+      val next = sym.join(labels, sym("src") === labels("id"))
+        .select(sym("dst").as("id"), col("label"))
+        .groupBy(col("id")).agg(min(col("label")).as("label"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      // labels only decrease ⇒ fixpoint ⇔ nothing decreased this round
+      done = next
+        .join(labels.select(col("id"), col("label").as("__old")), "id")
+        .filter(col("label") < col("__old")).isEmpty
+      labels.unpersist()
+      labels = next
+      it += 1
+    }
+    if (!done) {
+      sym.unpersist(); labels.unpersist()
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds — " +
+          "the pair graph has a longer path than expected; raise maxIter")
+    }
+    sym.unpersist()
+    labels.select(col("id").as(idCol), col("label").as("cluster_id"))
+  }
+
   // ---------------------------------------------------------------- MinHash
 
   private def portableHash64(seed: Int, c: Column): Column =

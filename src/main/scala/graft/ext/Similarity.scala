@@ -201,6 +201,168 @@ object Similarity {
     cents
   }
 
+  // ------------------------------------------------- product quantization
+
+  /** PQ codebooks: `m` subspaces × `ksub` codewords × (dim/m) values.
+    * The encoded corpus stores one small code per subspace (4 bits at
+    * ksub=16) instead of dim doubles — at 100 TB the embedding column
+    * IS the shuffle, and PQ shrinks it ~64× while search cost per
+    * candidate drops to m table lookups (ADC). */
+  final case class PqBooks(dim: Int, m: Int, ksub: Int,
+      books: Array[Array[Array[Double]]]) {
+    require(dim % m == 0, s"dim=$dim must be divisible by m=$m")
+    val ds: Int = dim / m
+    /** 0.5·‖c‖² per codeword, precomputed driver-side and embedded as
+      * literals (argmin ‖v−c‖² ≡ argmax v·c − 0.5·‖c‖²). */
+    val halfNormSq: Array[Array[Double]] =
+      books.map(_.map(c => 0.5 * c.map(x => x * x).sum))
+  }
+
+  /** Seeded pseudo-random codebooks — the PORTABLE twin (pure function
+    * of the seed, like the SRP hyperplanes), so the DuckDB oracle
+    * replays the whole encode→ADC→top-k pipeline with the codebooks as
+    * literals. Lower recall than trained books; use [[pqTrainBooks]]
+    * in production. */
+  def pqSeededBooks(dim: Int, m: Int = 8, ksub: Int = 16,
+      seed: Long = 42L): PqBooks = {
+    val rng = new scala.util.Random(seed)
+    val ds = dim / m
+    PqBooks(dim, m, ksub,
+      Array.fill(m)(Array.fill(ksub)(Array.fill(ds)(rng.nextGaussian() * 0.2))))
+  }
+
+  /** Train PQ codebooks with per-subspace L2 k-means over the same
+    * BOUNDED deterministic hash-sample as [[ivfBuild]] — the corpus is
+    * scanned once for the sample whatever its size; Lloyd's runs
+    * driver-side on ≤ ~2·sampleFactor·ksub vectors per subspace. */
+  def pqTrainBooks(corpus: DataFrame, idCol: String, vecCol: String,
+      dim: Int, m: Int = 8, ksub: Int = 16, kmeansIters: Int = 5,
+      sampleFactor: Int = 40): PqBooks = {
+    val c = corpus.select(col(idCol).as("__id"),
+      l2Normalize(col(vecCol).cast("array<double>")).as("__v"))
+    val n = c.count()
+    val target = math.max(ksub.toLong * sampleFactor, ksub.toLong)
+    val ratio = math.max(1L, n / math.max(1L, target))
+    val sample: Array[Array[Double]] = c
+      .filter(pmod(xxhash64(col("__id")), lit(ratio)) === 0)
+      .orderBy(col("__id"))
+      .limit((target * 2).toInt)
+      .select(col("__v")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    val ds = dim / m
+    val books = Array.tabulate(m) { j =>
+      lloydsL2(sample.map(v => v.slice(j * ds, (j + 1) * ds)), ksub, kmeansIters)
+    }
+    PqBooks(dim, m, ksub, books)
+  }
+
+  /** Plain (euclidean) Lloyd's over an in-memory subvector sample:
+    * min-distance assignment, mean update, empty clusters keep their
+    * previous codeword. Deterministic spread init, fixed iterations. */
+  private[ext] def lloydsL2(sample: Array[Array[Double]], c: Int,
+      iters: Int): Array[Array[Double]] = {
+    require(sample.nonEmpty, "PQ k-means sample is empty")
+    val k = math.min(c, sample.length)
+    val step = math.max(1, sample.length / k)
+    var cents = Array.tabulate(k)(i => sample(math.min(i * step, sample.length - 1)).clone())
+    if (k < c) cents = Array.tabulate(c)(i => cents(i % k).clone())
+    val dim = sample.head.length
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(c)(new Array[Double](dim))
+      val counts = new Array[Long](c)
+      sample.foreach { v =>
+        var best = 0; var bestD = Double.MaxValue
+        var j = 0
+        while (j < c) {
+          var d = 0.0; var i = 0
+          while (i < dim) { val t = v(i) - cents(j)(i); d += t * t; i += 1 }
+          if (d < bestD) { bestD = d; best = j }
+          j += 1
+        }
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+        counts(best) += 1
+      }
+      cents = Array.tabulate(c) { j =>
+        if (counts(j) == 0) cents(j) else sums(j).map(_ / counts(j))
+      }
+    }
+    cents
+  }
+
+  /** PQ-encode the corpus: per subspace, the nearest codeword's index
+    * (argmin ‖v_j − c‖² as argmax of codegen'd dot − 0.5‖c‖² literals;
+    * FIRST index wins ties). A NARROW per-row projection — literal
+    * codebooks, no join, no shuffle (the IVF-assignment shape).
+    * Returns (idCol, codes array<int>, one 0-based code per subspace). */
+  def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
+      books: PqBooks): DataFrame = {
+    val v = l2Normalize(col(vecCol).cast("array<double>"))
+    val codes = (0 until books.m).map { j =>
+      val sub = slice(v, j * books.ds + 1, books.ds)
+      val scores = array((0 until books.ksub).map { cI =>
+        dot(sub, array(books.books(j)(cI).map(lit).toSeq: _*)) -
+          lit(books.halfNormSq(j)(cI))
+      }: _*)
+      (array_position(scores, array_max(scores)) - 1).cast("int")
+    }
+    corpus.select(col(idCol), array(codes: _*).as("codes"))
+  }
+
+  /** PQ ADC search: each query precomputes its m×ksub dot-product
+    * table ONCE (a narrow query-side column), broadcasts, and every
+    * candidate scores with m table LOOKUPS + adds — no per-pair dot
+    * products, the corpus never shuffles. Approximate inner product on
+    * the normalized vectors; rank ties break by nn_id. */
+  def pqSearch(encoded: DataFrame, books: PqBooks, queries: DataFrame,
+      qIdCol: String, qVecCol: String, k: Int): DataFrame = {
+    val qv = l2Normalize(col(qVecCol).cast("array<double>"))
+    val table = array((0 until books.m).map { j =>
+      val sub = slice(qv, j * books.ds + 1, books.ds)
+      array((0 until books.ksub).map(cI =>
+        dot(sub, array(books.books(j)(cI).map(lit).toSeq: _*))): _*)
+    }: _*)
+    val q = queries.select(col(qIdCol).as("query_id"), table.as("__T"))
+    val adc = (0 until books.m)
+      .map(j => element_at(element_at(col("__T"), j + 1),
+        element_at(col("codes"), j + 1) + 1))
+      .reduce(_ + _)
+    val idColName = encoded.columns.head
+    val scored = encoded.crossJoin(broadcast(q)).withColumn("adc", adc)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").desc, col(idColName).asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col(idColName).as("nn_id"), col("adc"), col("rank"))
+  }
+
+  /** PQ search with exact RERANK (the production IVF-PQ recipe): ADC
+    * produces a `shortlist`-sized candidate set per query (cheap — m
+    * lookups per candidate over the compressed codes), then ONLY those
+    * q×shortlist rows join back to the full-precision vectors for an
+    * exact cosine top-k. The corpus streams through both stages — the
+    * candidate set and the queries broadcast, full vectors are fetched
+    * for shortlist rows only. */
+  def pqSearchRerank(encoded: DataFrame, books: PqBooks,
+      corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      k: Int, shortlist: Int = 50): DataFrame = {
+    val cand = pqSearch(encoded, books, queries, qIdCol, qVecCol, shortlist)
+      .select(col("query_id"), col("nn_id"))
+    val c = corpus.select(col(idCol).as("nn_id"),
+      l2Normalize(col(vecCol).cast("array<double>")).as("__cv"))
+    val q = queries.select(col(qIdCol).as("query_id"),
+      l2Normalize(col(qVecCol).cast("array<double>")).as("__qv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("nn_id").asc)
+    c.join(broadcast(cand), Seq("nn_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("cosine", dot(col("__cv"), col("__qv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("nn_id"), col("cosine"), col("rank"))
+  }
+
   /** IVF search: each query probes its `nprobe` nearest centroids and
     * scans only those buckets. Equi-join on centroid_id ⇒ bucketed,
     * shuffle-bounded; recall grows with nprobe. */

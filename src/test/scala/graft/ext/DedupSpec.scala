@@ -90,6 +90,26 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.3, s"LSH recall $recall too low (16 planes, 4-bit bands)")
   }
 
+  test("connected components: chains, cliques, singletons; min id labels the cluster") {
+    val nodes = (1L to 10L).toDF("id")
+    // path 1-2-3-4-5 (diameter 4), pair 6-7, singletons 8,9,10
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (6L, 7L))
+      .toDF("a", "b")
+    val cc = Dedup.connectedComponents(nodes, "id", edges, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      6L -> 6L, 7L -> 6L, 8L -> 8L, 9L -> 9L, 10L -> 10L))
+    // edge direction must not matter
+    val ccRev = Dedup.connectedComponents(nodes, "id",
+      edges.select($"b".as("a"), $"a".as("b")), "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(ccRev == cc)
+    // refusing to return a partial labeling: a 5-path cannot settle in 1 round
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(nodes, "id", edges, "a", "b", maxIter = 1).count()
+    }
+  }
+
   test("LSH band join under a skewed bucket: AQE splits the hot partition") {
     // a boilerplate-heavy corpus puts every copy's 4 band rows in the
     // SAME (band, hash) buckets — the hot-reducer shape a near-dup job

@@ -72,4 +72,53 @@ class SimilaritySpec extends SparkSpec {
     // every corpus vector is assigned to exactly one bucket
     assert(idx.assigned.count() == emb.count())
   }
+
+  test("PQ encode: one in-range code per subspace, deterministic across runs") {
+    val emb = graft.core.Fx.t(spark, sfDir, "embeddings")
+    val books = Similarity.pqSeededBooks(dim = 64, m = 8, ksub = 16)
+    val enc = Similarity.pqEncode(emb, "vec_id", "embedding", books)
+    val rows = enc.collect().map(r => r.getLong(0) -> r.getSeq[Int](1))
+    assert(rows.length == emb.count())
+    rows.foreach { case (_, codes) =>
+      assert(codes.length == 8)
+      assert(codes.forall(c => c >= 0 && c < 16), codes)
+    }
+    val again = Similarity.pqEncode(emb.repartition(7), "vec_id", "embedding", books)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(rows.toMap == again, "codes must not depend on partition layout")
+  }
+
+  test("PQ ADC search with trained codebooks: decent recall@10, better than seeded books") {
+    val emb = graft.core.Fx.t(spark, sfDir, "embeddings")
+    val queries = emb.filter($"vec_id" < 10)
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 10)
+      .select("query_id", "nn_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def recallOf(books: Similarity.PqBooks): Double = {
+      val enc = Similarity.pqEncode(emb, "vec_id", "embedding", books)
+      val got = Similarity.pqSearch(enc, books, queries, "vec_id", "embedding", k = 10)
+        .select("query_id", "nn_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      exact.map { case (q, nn) => (nn intersect got.getOrElse(q, Set.empty)).size / 10.0 }
+        .sum / exact.size
+    }
+    val trainedBooks = Similarity.pqTrainBooks(emb, "vec_id", "embedding", dim = 64)
+    val trained = recallOf(trainedBooks)
+    val seeded = recallOf(Similarity.pqSeededBooks(64))
+    assert(trained >= seeded - 0.05,
+      s"k-means books ($trained) should not lose to random books ($seeded)")
+    // the production recipe — ADC shortlist + exact rerank — must
+    // recover most of the true top-10 (32-bit codes alone cannot)
+    val enc = Similarity.pqEncode(emb, "vec_id", "embedding", trainedBooks)
+    val reranked = Similarity.pqSearchRerank(enc, trainedBooks,
+      emb, "vec_id", "embedding", queries, "vec_id", "embedding",
+      k = 10, shortlist = 100)
+      .select("query_id", "nn_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val rerankedRecall = exact.map { case (q, nn) =>
+      (nn intersect reranked.getOrElse(q, Set.empty)).size / 10.0 }.sum / exact.size
+    assert(rerankedRecall >= 0.7,
+      s"rerank recall@10 too low: $rerankedRecall (plain ADC: $trained)")
+  }
 }
