@@ -828,6 +828,13 @@ object SparkEntry {
         .groupBy(col("lang_pred")).agg(count(lit(1)).as("cnt"))
         .orderBy(col("lang_pred"))),
 
+    // Per-doc top distinguishing terms — log-free tf-idf (score =
+    // tf·(N+1)/(df+1): one correctly-rounded division + one multiply,
+    // so even the SCORES hash-match cross-engine; ln would not).
+    "q85_top_terms" -> ((s, d) =>
+      TextOps.topTerms(T(s, d, "documents"), "doc_id", "text", topK = 3)
+        .orderBy(col("doc_id"), col("term"))),
+
     "q44_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardPairs(T(s, d, "documents"), "doc_id", "text",
         threshold = 0.5, shingleN = 3, maxDf = 100)
@@ -1481,6 +1488,26 @@ object SparkEntry {
     "q61_winnowing_neardup" -> WinnowingOracleSql,
 
     "q84_ann_pq" -> PqOracleSql,
+
+    // log-free tf-idf: tf · (N+1)/(df+1) — the division and multiply
+    // are single correctly-rounded IEEE ops, identical in any engine
+    "q85_top_terms" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) >= 3)) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |nn AS (SELECT count(*) AS n FROM documents),
+        |s AS (
+        |  SELECT doc_id, t.term, t.tf, dfc.df,
+        |    t.tf * ((n + 1.0) / (dfc.df + 1)) AS score
+        |  FROM tf t JOIN dfc USING (term) CROSS JOIN nn),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rk
+        |  FROM s)
+        |SELECT doc_id, term, tf, df, score
+        |FROM r WHERE rk <= 3 ORDER BY doc_id, term""".stripMargin,
 
     // transitive closure over the symmetric winnowing pairs; min
     // reachable node = the cluster label (matches the Spark fixpoint)

@@ -171,6 +171,38 @@ object TextOps {
       .distinct()
   }
 
+  /** Top distinguishing terms per document by a LOG-FREE tf-idf-style
+    * score: score = tf · (N+1)/(df+1), where tf is the term's count in
+    * the doc, df the number of docs containing it, N the corpus size.
+    * Skipping the logarithm keeps the ranking monotone in the same
+    * quantities while making the arithmetic one correctly-rounded
+    * division and one multiplication — bit-identical in any IEEE
+    * engine, so the scores themselves are oracle-checkable (libm `ln`
+    * is NOT guaranteed identical across engines).
+    *
+    * Shape: explode → two hash aggregates (tf per (doc, term), df per
+    * term) + one equi-join on the term — all map-side-partial, no
+    * windows until the final per-doc top-k. */
+  def topTerms(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, topK: Int = 3,
+      minTermLen: Int = 3): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = docs.count()
+    val tok = docs.repartition(col(idCol))
+      .select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .filter(length(col("term")) >= minTermLen)
+    val tf = tok.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfc = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("term").asc)
+    tf.join(dfc, Seq("term"))
+      .withColumn("score",
+        col("tf") * (lit((n + 1).toDouble) / (col("df") + 1).cast("double")))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= topK)
+      .select(col(idCol), col("term"), col("tf"), col("df"), col("score"))
+  }
+
   /** Word n-gram shingles as ROWS (id, shingle), with multiplicity —
     * the hot-path formulation: posexplode tokens, then window `lead` to
     * stitch each n-gram. Everything stays inside whole-stage codegen

@@ -80,4 +80,50 @@ object ExtLawsProps extends Properties("graft.ext") {
       a.zip(b).forall { case (x, y) => x.sameElements(y) }
   }
 
+  // Global (unpartitioned) packing: the distributed two-phase form must
+  // equal the driver-computed exclusive-prefix-sum reference for ANY
+  // token sequence and ANY bucket count — including buckets=1 (single
+  // range) and buckets > n (empty buckets).
+  property("packSequences global: two-phase == exclusive-prefix reference, any bucketing") =
+    Prop.forAll(genDocs, Gen.chooseNum(1, 8)) { (rows, buckets) =>
+      val max = 512L
+      val out = Sampling.packSequences(
+        rows.toDF("doc_id", "tok", "lang"), "tok", "doc_id", max,
+        partitionCols = Nil, globalBuckets = buckets)
+        .select($"doc_id", $"bin_id").as[(Long, Long)].collect().toMap
+      val sorted = rows.sortBy(_._1)
+      val expect = sorted.zip(sorted.scanLeft(0L)(_ + _._2))
+        .map { case ((id, _, _), pre) => id -> pre / max }.toMap
+      out == expect
+    }
+
+  private val genGraph: Gen[(Int, List[(Long, Long)])] = for {
+    n <- Gen.chooseNum(2, 8)
+    m <- Gen.chooseNum(0, 10)
+    edges <- Gen.listOfN(m, for {
+      a <- Gen.chooseNum(0L, n - 1L); b <- Gen.chooseNum(0L, n - 1L)
+    } yield (a, b))
+  } yield (n, edges.filter(e => e._1 != e._2))
+
+  // Connected components: the distributed min-label fixpoint must equal
+  // a driver-side union-find (roots kept at the component minimum) on
+  // any random graph — including duplicate and reversed edges.
+  property("connectedComponents == union-find component minima") =
+    Prop.forAll(genGraph) { case (n, edges) =>
+      val nodes = (0L until n.toLong).toDF("id")
+      val e =
+        if (edges.isEmpty) Seq.empty[(Long, Long)].toDF("a", "b")
+        else edges.toDF("a", "b")
+      val cc = Dedup.connectedComponents(nodes, "id", e, "a", "b")
+        .as[(Long, Long)].collect().toMap
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int =
+        if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expect = (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+      cc == expect
+    }
 }

@@ -62,4 +62,24 @@ class TextOpsSpec extends SparkSpec {
     val fp64 = df.select(TextOps.fingerprint64($"t")).as[Long].collect().toSet
     assert(fp64.size == 1)
   }
+
+  test("topTerms: hand-checked log-free tf-idf scores and per-doc ranking") {
+    val docs = Seq(
+      (1L, "apple apple banana common common"),
+      (2L, "banana cherry common"),
+      (3L, "common words only here")).toDF("doc_id", "text")
+    // N=3; df: apple 1, banana 2, cherry 1, common 3, words/only/here 1
+    // doc1: apple 2·(4/2)=4.0, common 2·(4/4)=2.0, banana 1·(4/3)≈1.333
+    val out = TextOps.topTerms(docs, "doc_id", "text", topK = 3)
+      .select($"doc_id", $"term", $"score")
+      .as[(Long, String, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(t => t._2 -> t._3).toMap).toMap
+    assert(out(1L).keySet == Set("apple", "common", "banana"))
+    assert(out(1L)("apple") == 4.0)
+    assert(out(1L)("common") == 2.0)
+    assert(math.abs(out(1L)("banana") - 4.0 / 3.0) < 1e-15)
+    assert(out(2L).keySet == Set("banana", "cherry", "common"))
+    // cherry (rare, df=1) must outscore common (df=3): 2.0 vs 1.0
+    assert(out(2L)("cherry") > out(2L)("common"))
+  }
 }
