@@ -782,11 +782,43 @@ object SparkEntry {
     }),
 
     // ----------------------------------------------------- streaming (batch twins)
+    // Pure range join (no equi key) via binning: the interval side
+    // explodes into the bins it overlaps, turning the theta-join into
+    // an equi-join on bin id + residual filter — never a cross
+    // product. Points = lineitem ship days, intervals = 30-day windows
+    // from order dates; the oracle runs the same theta-join directly.
+    "q86_range_join" -> ((s, d) => {
+      val epoch = to_date(lit("1970-01-01"))
+      val p = T(s, d, "lineitem").filter(col("l_orderkey") < 300)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          datediff(col("l_shipdate"), epoch).cast("long").as("pd"))
+      val iv = T(s, d, "orders").filter(col("o_orderkey") < 40)
+        .select(col("o_orderkey"),
+          datediff(col("o_orderdate"), epoch).cast("long").as("lo"))
+        .withColumn("hi", col("lo") + 30)
+      graft.operators.RangeJoin.binned(p, "pd", iv, "lo", "hi", binWidth = 16L)
+        .select(col("l_orderkey"), col("l_linenumber"), col("o_orderkey"),
+          col("pd"), col("lo"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("o_orderkey"))
+    }),
+
     "q37_tumbling_hour" -> ((s, d) =>
       T(s, d, "events")
         .groupBy(date_trunc("hour", col("ts")).as("window_start"), col("event_type"))
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
         .orderBy(col("window_start"), col("event_type"))),
+
+    // Sliding (hopping) windows — each event lands in length/slide
+    // overlapping windows; same code runs under readStream with a
+    // watermark. The oracle regenerates the 1970-aligned window starts
+    // with microsecond integer arithmetic.
+    "q87_sliding_window" -> ((s, d) =>
+      T(s, d, "events")
+        .groupBy(window(col("ts"), "2 hours", "30 minutes").as("w"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("w.start").as("w_start"), col("event_type"), col("n"))
+        .orderBy(col("w_start"), col("event_type"))),
 
     "q38_sessionize" -> ((s, d) =>
       Streams.sessionizeBatch(T(s, d, "events"), "ts", "user_id", 30, Some("event_id"))
@@ -1488,6 +1520,32 @@ object SparkEntry {
     "q61_winnowing_neardup" -> WinnowingOracleSql,
 
     "q84_ann_pq" -> PqOracleSql,
+
+    // each event belongs to exactly 4 = length/slide windows whose
+    // starts step back by the slide from the event's floor slot
+    "q87_sliding_window" ->
+      """WITH e AS (SELECT epoch_us(ts) AS us, event_type FROM events),
+        |x AS (SELECT event_type, us, unnest(range(0, 4)) AS j FROM e),
+        |w AS (SELECT event_type,
+        |  make_timestamp(us - (us % 1800000000) - j * 1800000000) AS w_start FROM x)
+        |SELECT w_start, event_type, count(*) AS n
+        |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // the binned equi-join + residual filter must equal the direct
+    // theta-join the oracle runs
+    "q86_range_join" ->
+      """WITH p AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS pd
+        |  FROM lineitem WHERE l_orderkey < 300),
+        |iv AS (
+        |  SELECT o_orderkey,
+        |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS lo,
+        |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) + 30 AS hi
+        |  FROM orders WHERE o_orderkey < 40)
+        |SELECT p.l_orderkey, p.l_linenumber, iv.o_orderkey, p.pd, iv.lo
+        |FROM p JOIN iv ON p.pd >= iv.lo AND p.pd < iv.hi
+        |ORDER BY 1, 2, 3""".stripMargin,
 
     // log-free tf-idf: tf · (N+1)/(df+1) — the division and multiply
     // are single correctly-rounded IEEE ops, identical in any engine

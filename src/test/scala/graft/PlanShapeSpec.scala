@@ -134,6 +134,13 @@ class PlanShapeSpec extends SparkSpec {
     assert("(?m)^\\(\\d+\\) Exchange".r.findAllIn(p).size == 1, p)
   }
 
+  test("binned range join plans as an equi-join, never a nested-loop cross product") {
+    val p = planOf("q86_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("Join"), p)
+  }
+
   test("driver smoke contract: entry() returns rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
