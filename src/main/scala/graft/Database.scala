@@ -79,7 +79,8 @@ final class Database(val spark: SparkSession, root: String) {
   def executeRaw(query: String): DataFrame =
     Sql.parseAlterAddColumns(query) match {
       case Some((table, added)) if store.tableExists(table) =>
-        val specs = added.fields.toSeq.map(f => ColumnSpec(f.name, f.dataType))
+        val specs = added.fields.toSeq.map(f =>
+          ColumnSpec(f.name, f.dataType, nullable = f.nullable))
         store.write(table, Ddl.evolveSchema(store.read(table), specs))
         registerView(table) // re-point the temp view at the new snapshot
         store.read(table).limit(0)

@@ -962,7 +962,7 @@ object SparkEntry {
       val emb = T(s, d, "embeddings")
       val books = Similarity.pqSeededBooks(dim = 64, m = 8, ksub = 16, seed = 42L)
       val enc = Similarity.pqEncode(emb, "vec_id", "embedding", books)
-      Similarity.pqSearch(enc, books, emb.filter(col("vec_id") < 5),
+      Similarity.pqSearch(enc, "vec_id", books, emb.filter(col("vec_id") < 5),
         "vec_id", "embedding", k = 10)
         // the two engines' 8-element literal-codeword dots can differ
         // in the last ulp (~1e-16); ranks are separated by ~1e-3, so

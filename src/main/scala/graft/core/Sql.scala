@@ -17,8 +17,10 @@ object Sql {
   // snapshot store's additive evolution instead.
   private val AlterAddParens =
     """(?is)\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+ADD\s+COLUMNS?\s*\((.+)\)\s*;?\s*""".r
+  // the bare form must admit parenthesized TYPES — DECIMAL(10,2),
+  // VARCHAR(20) — so the column-def group is anything fromDDL can parse
   private val AlterAddBare =
-    """(?is)\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+ADD\s+COLUMNS?\s+([^()]+?)\s*;?\s*""".r
+    """(?is)\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+ADD\s+COLUMNS?\s+(.+?)\s*;?\s*""".r
 
   /** Parse an additive ALTER TABLE statement → (table, added columns).
     * Column definitions use Spark DDL syntax (`name TYPE, …`). */

@@ -73,7 +73,11 @@ object Dedup {
     * than return a partial labeling. The fixpoint (component minimum)
     * is deterministic under any partitioning, so the result is
     * engine-reproducible (the contract oracle replays it with a
-    * recursive-CTE transitive closure). */
+    * recursive-CTE transitive closure).
+    *
+    * The returned frame is PERSISTED (it is the product of `rounds`
+    * joins — recomputing it lazily would replay the whole loop);
+    * `.unpersist()` it when done. */
   def connectedComponents(nodes: DataFrame, idCol: String,
       edges: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 50): DataFrame = {
@@ -109,8 +113,16 @@ object Dedup {
         s"connectedComponents did not converge in $maxIter rounds — " +
           "the pair graph has a longer path than expected; raise maxIter")
     }
+    // hand the CALLER the persisted frame (out.unpersist() releases it)
+    // and drop the loop-internal caches — the returned plan must not
+    // depend on them, or unpersisting would trigger an O(rounds)
+    // lineage recompute
+    val out = labels.select(col("id").as(idCol), col("label").as("cluster_id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    out.count()
     sym.unpersist()
-    labels.select(col("id").as(idCol), col("label").as("cluster_id"))
+    labels.unpersist()
+    out
   }
 
   // ---------------------------------------------------------------- MinHash

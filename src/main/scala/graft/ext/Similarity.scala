@@ -314,8 +314,8 @@ object Similarity {
     * candidate scores with m table LOOKUPS + adds — no per-pair dot
     * products, the corpus never shuffles. Approximate inner product on
     * the normalized vectors; rank ties break by nn_id. */
-  def pqSearch(encoded: DataFrame, books: PqBooks, queries: DataFrame,
-      qIdCol: String, qVecCol: String, k: Int): DataFrame = {
+  def pqSearch(encoded: DataFrame, idCol: String, books: PqBooks,
+      queries: DataFrame, qIdCol: String, qVecCol: String, k: Int): DataFrame = {
     val qv = l2Normalize(col(qVecCol).cast("array<double>"))
     val table = array((0 until books.m).map { j =>
       val sub = slice(qv, j * books.ds + 1, books.ds)
@@ -327,13 +327,12 @@ object Similarity {
       .map(j => element_at(element_at(col("__T"), j + 1),
         element_at(col("codes"), j + 1) + 1))
       .reduce(_ + _)
-    val idColName = encoded.columns.head
     val scored = encoded.crossJoin(broadcast(q)).withColumn("adc", adc)
     val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("adc").desc, col(idColName).asc)
+      .orderBy(col("adc").desc, col(idCol).asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("query_id"), col(idColName).as("nn_id"), col("adc"), col("rank"))
+      .select(col("query_id"), col(idCol).as("nn_id"), col("adc"), col("rank"))
   }
 
   /** PQ search with exact RERANK (the production IVF-PQ recipe): ADC
@@ -343,11 +342,11 @@ object Similarity {
     * exact cosine top-k. The corpus streams through both stages — the
     * candidate set and the queries broadcast, full vectors are fetched
     * for shortlist rows only. */
-  def pqSearchRerank(encoded: DataFrame, books: PqBooks,
+  def pqSearchRerank(encoded: DataFrame, encIdCol: String, books: PqBooks,
       corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qIdCol: String, qVecCol: String,
       k: Int, shortlist: Int = 50): DataFrame = {
-    val cand = pqSearch(encoded, books, queries, qIdCol, qVecCol, shortlist)
+    val cand = pqSearch(encoded, encIdCol, books, queries, qIdCol, qVecCol, shortlist)
       .select(col("query_id"), col("nn_id"))
     val c = corpus.select(col(idCol).as("nn_id"),
       l2Normalize(col(vecCol).cast("array<double>")).as("__cv"))

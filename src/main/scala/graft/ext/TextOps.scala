@@ -187,7 +187,9 @@ object TextOps {
       textCol: String, topK: Int = 3,
       minTermLen: Int = 3): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val n = docs.count()
+    // N stays LAZY — a broadcast one-row cross join, not an eager
+    // count() pass at construction time
+    val n = docs.agg(count(lit(1)).as("__n"))
     val tok = docs.repartition(col(idCol))
       .select(col(idCol), explode(tokens(col(textCol))).as("term"))
       .filter(length(col("term")) >= minTermLen)
@@ -196,8 +198,9 @@ object TextOps {
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("score").desc, col("term").asc)
     tf.join(dfc, Seq("term"))
+      .crossJoin(broadcast(n))
       .withColumn("score",
-        col("tf") * (lit((n + 1).toDouble) / (col("df") + 1).cast("double")))
+        col("tf") * ((col("__n") + 1).cast("double") / (col("df") + 1).cast("double")))
       .withColumn("__rk", row_number().over(w))
       .filter(col("__rk") <= topK)
       .select(col(idCol), col("term"), col("tf"), col("df"), col("score"))

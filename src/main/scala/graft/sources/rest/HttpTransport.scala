@@ -360,20 +360,30 @@ final class HttpTransport(
   }
 
   override def upsert(obj: String, record: Map[String, Any]): Either[String, String] = {
+    // the connector's writers (RestDataWriter, RestOps.upsertWithStatus)
+    // hand datetime values over as epoch-MICROS longs — the remote wants
+    // ISO-8601 text; resolve which fields are datetimes from the cached
+    // describe() so the wire form is right regardless of caller
+    val dtFields: Set[String] =
+      try describe(obj).collect { case (n, "datetime") => n }.toSet
+      catch { case scala.util.control.NonFatal(_) => Set.empty }
+    def isoOfMicros(us: Long): String =
+      java.time.Instant.ofEpochSecond(
+        Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L).toString
     val body = JsonMethods.compact(JsonMethods.render(JObject(
       record.view.filterKeys(_ != "Id").toSeq.map { case (k, v) => k -> (v match {
         case null => JNull
         case s: String => JString(s)
         case b: Boolean => JBool(b)
         case i: Int => JInt(BigInt(i))
+        case l: Long if dtFields.contains(k) => JString(isoOfMicros(l))
         case l: Long => JLong(l)
         case d: Double => JDouble(d)
         case f: Float => JDouble(f.toDouble)
         // wire forms the remote parses — NOT toString: Timestamp
         // renders "2024-01-01 00:00:00.0", the remote wants ISO-8601;
         // BigDecimal could render exponent notation
-        case t: java.sql.Timestamp =>
-          JString(java.time.Instant.ofEpochMilli(t.getTime).toString)
+        case t: java.sql.Timestamp => JString(t.toInstant.toString)
         case dt: java.time.Instant => JString(dt.toString)
         case d: java.sql.Date => JString(d.toLocalDate.toString)
         case bd: java.math.BigDecimal => JDecimal(BigDecimal(bd))

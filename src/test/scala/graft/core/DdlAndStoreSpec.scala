@@ -160,6 +160,12 @@ class DdlAndStoreSpec extends SparkSpec {
     // bare single-column form; idempotent (additive evolution never dups)
     db.executeRaw("ALTER TABLE t ADD COLUMN quality DOUBLE")
     assert(store.listColumns("t") == Seq("id", "v", "quality", "note"))
+    // parenthesized TYPES must parse in the bare form too (the
+    // reference DB's canonical money type)
+    db.executeRaw("ALTER TABLE t ADD COLUMN price DECIMAL(10,2)")
+    assert(store.listColumns("t") == Seq("id", "v", "quality", "note", "price"))
+    assert(store.read("t").schema("price").dataType ==
+      org.apache.spark.sql.types.DecimalType(10, 2))
     // the refreshed temp view sees the new schema through executeRaw
     assert(db.executeRaw("SELECT quality FROM t").columns.toSeq == Seq("quality"))
     // a non-ALTER statement still goes straight to Catalyst

@@ -97,7 +97,7 @@ class SimilaritySpec extends SparkSpec {
       .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
     def recallOf(books: Similarity.PqBooks): Double = {
       val enc = Similarity.pqEncode(emb, "vec_id", "embedding", books)
-      val got = Similarity.pqSearch(enc, books, queries, "vec_id", "embedding", k = 10)
+      val got = Similarity.pqSearch(enc, "vec_id", books, queries, "vec_id", "embedding", k = 10)
         .select("query_id", "nn_id").as[(Long, Long)].collect()
         .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
       exact.map { case (q, nn) => (nn intersect got.getOrElse(q, Set.empty)).size / 10.0 }
@@ -111,7 +111,7 @@ class SimilaritySpec extends SparkSpec {
     // the production recipe — ADC shortlist + exact rerank — must
     // recover most of the true top-10 (32-bit codes alone cannot)
     val enc = Similarity.pqEncode(emb, "vec_id", "embedding", trainedBooks)
-    val reranked = Similarity.pqSearchRerank(enc, trainedBooks,
+    val reranked = Similarity.pqSearchRerank(enc, "vec_id", trainedBooks,
       emb, "vec_id", "embedding", queries, "vec_id", "embedding",
       k = 10, shortlist = 100)
       .select("query_id", "nn_id").as[(Long, Long)].collect()

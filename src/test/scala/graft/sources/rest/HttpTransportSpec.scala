@@ -22,6 +22,7 @@ class HttpTransportSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
   private val currentToken = new AtomicReference[String]("none")
   private val lastBatchHeader = new AtomicReference[String]("")
   private val lastTokenForm = new AtomicReference[String]("")
+  private val lastPatchBody = new AtomicReference[String]("")
 
   private def base: String = s"http://127.0.0.1:$port"
 
@@ -87,12 +88,14 @@ class HttpTransportSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
       else if (x.getRequestMethod == "GET" &&
         path == "/services/data/v56.0/sobjects")
         send(x, 200, """{"sobjects":[{"name":"account"},{"name":"contact"}]}""")
-      else if (x.getRequestMethod == "PATCH")
+      else if (x.getRequestMethod == "PATCH") {
+        lastPatchBody.set(new String(x.getRequestBody.readAllBytes(), StandardCharsets.UTF_8))
         path.split("/").last match {
           case id if id.startsWith("BAD") =>
             send(x, 400, s"""[{"errorCode":"MALFORMED_ID","message":"$id"}]""")
           case _ => send(x, 204, "")
         }
+      }
       else if (x.getRequestMethod == "POST")
         send(x, 201, """{"id":"NEW0000001","success":true,"errors":[]}""")
       else send(x, 404, "unknown sobjects route")
@@ -210,6 +213,23 @@ class HttpTransportSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     assert(t.upsert("account", Map("Name" -> "fresh")) == Right("NEW0000001"))
     val bad = t.upsert("account", Map("Id" -> "BAD1", "Name" -> "x"))
     assert(bad.isLeft && bad.swap.exists(_.contains("MALFORMED_ID")))
+  }
+
+  test("writeback sends datetime fields as ISO-8601 text, not raw micros") {
+    val t = transport()
+    // the connector's writers hand datetimes over as epoch-micros longs
+    // (RestDataWriter/upsertWithStatus); the wire must carry ISO-8601
+    assert(t.upsert("account", Map("Id" -> "00A0000007",
+      "Name" -> "dt", "LastModifiedDate" -> 1704067260000123L)).isRight)
+    val body = lastPatchBody.get()
+    assert(body.contains(""""LastModifiedDate":"2024-01-01T00:01:00.000123Z""""), body)
+    assert(!body.contains("1704067260000123"), body)
+    // java.sql.Timestamp keeps sub-millisecond precision too
+    val ts = java.sql.Timestamp.from(
+      java.time.Instant.parse("2024-01-01T00:00:00.000123Z"))
+    assert(t.upsert("account", Map("Id" -> "00A0000008", "When" -> ts)).isRight)
+    assert(lastPatchBody.get().contains("2024-01-01T00:00:00.000123Z"),
+      lastPatchBody.get())
   }
 
   test("latestModified reads the ORDER BY DESC LIMIT 1 cursor probe") {
