@@ -764,6 +764,20 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // FORWARD as-of: each event attaches the same user's NEXT error
+    // event (smallest err_ts ≥ ts) — the time-to-next-failure shape.
+    // Right side deduped on (user, ts) first (as-of is ill-defined
+    // under right ties). Inclusive at equal ts, like DuckDB ASOF <=.
+    "q88_asof_forward" -> ((s, d) => {
+      val e = T(s, d, "events").select(col("event_id"), col("user_id"), col("ts"))
+      val errs = T(s, d, "events").filter(col("event_type") === "error")
+        .groupBy(col("user_id").as("err_user"), col("ts").as("err_ts"))
+        .agg(min(col("event_id")).as("err_id"))
+      AsOfJoin.forward(e, "user_id", "ts", errs, "err_user", "err_ts")
+        .select(col("event_id"), col("user_id"), col("err_id"), col("err_ts"))
+        .orderBy(col("event_id"))
+    }),
+
     // Composite enrichment: as-of order attach + JSON prop + running
     // per-user count — three operators composing in ONE plan.
     "q67_event_enrichment" -> ((s, d) => {
@@ -1520,6 +1534,16 @@ object SparkEntry {
     "q61_winnowing_neardup" -> WinnowingOracleSql,
 
     "q84_ann_pq" -> PqOracleSql,
+
+    // DuckDB ASOF with <= is the forward direction (nearest following)
+    "q88_asof_forward" ->
+      """WITH er AS (
+        |  SELECT user_id AS err_user, ts AS err_ts, min(event_id) AS err_id
+        |  FROM events WHERE event_type = 'error' GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id, er.err_id, er.err_ts
+        |FROM events e ASOF LEFT JOIN er
+        |  ON e.user_id = er.err_user AND e.ts <= er.err_ts
+        |ORDER BY e.event_id""".stripMargin,
 
     // each event belongs to exactly 4 = length/slide windows whose
     // starts step back by the slide from the event's floor slot
