@@ -764,6 +764,25 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // Bucketed join (storage-layout operator): both sides pre-shuffled
+    // into 8 buckets on the join key at WRITE time, so the join itself
+    // plans with no exchange on either side (the "stop shuffling
+    // 100 TB every night" answer; plan-locked in PlanShapeSpec). The
+    // oracle runs the equivalent plain join.
+    "q89_bucketed_join" -> ((s, d) => {
+      import graft.core.Bucketing
+      Bucketing.writeBucketed(
+        T(s, d, "customer").select(col("c_custkey"), col("c_mktsegment")),
+        "bk_customer", "c_custkey", 8, Seq("c_custkey"))
+      Bucketing.writeBucketed(
+        T(s, d, "orders").select(col("o_custkey").as("c_custkey"), col("o_totalprice")),
+        "bk_orders", "c_custkey", 8, Seq("c_custkey"))
+      Bucketing.bucketedJoin(s, "bk_customer", "bk_orders", "c_custkey")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
     // FORWARD as-of: each event attaches the same user's NEXT error
     // event (smallest err_ts ≥ ts) — the time-to-next-failure shape.
     // Right side deduped on (user, ts) first (as-of is ill-defined
@@ -1534,6 +1553,12 @@ object SparkEntry {
     "q61_winnowing_neardup" -> WinnowingOracleSql,
 
     "q84_ann_pq" -> PqOracleSql,
+
+    "q89_bucketed_join" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // DuckDB ASOF with <= is the forward direction (nearest following)
     "q88_asof_forward" ->

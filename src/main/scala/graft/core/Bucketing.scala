@@ -16,9 +16,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Bucketing {
 
   /** Write `df` as a bucketed, sorted table. Both sides of a future
-    * join must use the same `numBuckets` and key. */
+    * join must use the same `numBuckets` and key. Replaces an existing
+    * table of the same name — including a STALE warehouse directory a
+    * previous session left behind that the (in-memory) catalog no
+    * longer knows about, which would otherwise fail the create with
+    * LOCATION_ALREADY_EXISTS. */
   def writeBucketed(df: DataFrame, table: String, key: String,
       numBuckets: Int, sortCols: Seq[String] = Nil): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     val w = df.write.mode("overwrite").format("parquet")
       .bucketBy(numBuckets, key)
     (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)

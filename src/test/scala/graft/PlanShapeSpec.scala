@@ -134,6 +134,14 @@ class PlanShapeSpec extends SparkSpec {
     assert("(?m)^\\(\\d+\\) Exchange".r.findAllIn(p).size == 1, p)
   }
 
+  test("bucketed join reads both sides with no exchange on the bucket key") {
+    val p = planOf("q89_bucketed_join")
+    assert(!"Exchange hashpartitioning\\(c_custkey".r.findFirstIn(p).isDefined,
+      "bucketed sides must not re-shuffle on the join key: " + p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+  }
+
   test("binned range join plans as an equi-join, never a nested-loop cross product") {
     val p = planOf("q86_range_join")
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
