@@ -764,6 +764,35 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // Catalog surface (D1/D3/D4/D6/D7/D10) as ONE oracle-checked
+    // frame: build a fresh store, create tables, evolve one via raw
+    // ALTER, store a persistent view, then emit every catalog fact as
+    // (kind, name) rows. The expected state is static, so the oracle
+    // is a literal VALUES table — the row set verifies liveness,
+    // existence, column listing post-evolution, table and view
+    // catalogs, and the empty-table count.
+    "q90_catalog_ops" -> ((s, d) => {
+      import s.implicits._
+      import graft.core.{ColumnSpec, TableStore}
+      import org.apache.spark.sql.types.{LongType, StringType}
+      val root = java.nio.file.Files.createTempDirectory("graft-cat").toString
+      val db = new graft.Database(s, root)
+      db.createTable("t1", Seq(ColumnSpec("id", LongType), ColumnSpec("v", StringType)),
+        primaryKey = Seq("id"))
+      db.createTable("t2", Seq(ColumnSpec("k", LongType)))
+      db.executeRaw("ALTER TABLE t1 ADD COLUMN quality DOUBLE")
+      db.createView("v_all", "SELECT * FROM t1")
+      val rows =
+        Seq(("alive", db.isAlive.toString),
+          ("exists:t1", db.checkTableExists("t1").toString),
+          ("exists:nope", db.checkTableExists("nope").toString),
+          ("count:t1", db.getTableCount("t1").toString)) ++
+        db.getTables.map(("table", _)) ++
+        db.getTableColumns("t1").map(("column:t1", _)) ++
+        new TableStore(s, root).listViews().map(("view", _))
+      rows.toDF("kind", "name").orderBy(col("kind"), col("name"))
+    }),
+
     // Bucketed join (storage-layout operator): both sides pre-shuffled
     // into 8 buckets on the join key at WRITE time, so the join itself
     // plans with no exchange on either side (the "stop shuffling
@@ -1553,6 +1582,17 @@ object SparkEntry {
     "q61_winnowing_neardup" -> WinnowingOracleSql,
 
     "q84_ann_pq" -> PqOracleSql,
+
+    // the catalog state is fully determined by the DDL sequence —
+    // the oracle is the literal expected fact table
+    "q90_catalog_ops" ->
+      """SELECT * FROM (VALUES
+        |  ('alive', 'true'), ('exists:t1', 'true'), ('exists:nope', 'false'),
+        |  ('count:t1', '0'),
+        |  ('table', 't1'), ('table', 't2'),
+        |  ('column:t1', 'id'), ('column:t1', 'v'), ('column:t1', 'quality'),
+        |  ('view', 'v_all')) AS t(kind, name)
+        |ORDER BY kind, name""".stripMargin,
 
     "q89_bucketed_join" ->
       """SELECT c_mktsegment, count(*) AS n,
