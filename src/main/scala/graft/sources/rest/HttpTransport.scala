@@ -59,11 +59,11 @@ private[rest] object Soql {
     case d: Double =>
       if (d.isNaN || d.isInfinite)
         throw new IllegalArgumentException(s"non-finite numeric literal: $d")
-      java.math.BigDecimal.valueOf(d).toPlainString
+      java.math.BigDecimal.valueOf(d).stripTrailingZeros.toPlainString
     case f: Float =>
       if (f.isNaN || f.isInfinite)
         throw new IllegalArgumentException(s"non-finite numeric literal: $f")
-      new java.math.BigDecimal(f.toString).toPlainString
+      new java.math.BigDecimal(f.toString).stripTrailingZeros.toPlainString
     case d: java.math.BigDecimal => d.toPlainString
     case t: java.sql.Timestamp => // ISO-8601 UTC, the remote datetime literal form
       java.time.Instant.ofEpochMilli(t.getTime).toString

@@ -215,6 +215,17 @@ class HttpTransportSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     assert(bad.isLeft && bad.swap.exists(_.contains("MALFORMED_ID")))
   }
 
+  test("numeric SOQL literals always render in plain decimal notation") {
+    // Double.toString would emit 1.0E7 / 1.0E-4 — exponent forms the
+    // remote's literal grammar rejects
+    assert(Soql.lit(10000000.0) == "10000000")
+    assert(Soql.lit(0.0001) == "0.0001")
+    assert(Soql.lit(1.0e-7f) == "0.0000001")
+    assert(Soql.lit(1234.5) == "1234.5")
+    intercept[IllegalArgumentException] { Soql.lit(Double.NaN) }
+    intercept[IllegalArgumentException] { Soql.lit(Float.PositiveInfinity) }
+  }
+
   test("writeback sends datetime fields as ISO-8601 text, not raw micros") {
     val t = transport()
     // the connector's writers hand datetimes over as epoch-micros longs
