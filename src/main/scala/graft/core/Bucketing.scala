@@ -25,8 +25,16 @@ object Bucketing {
       numBuckets: Int, sortCols: Seq[String] = Nil): Unit = {
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
-    val loc = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    // resolve the managed location the way saveAsTable will: inside the
+    // CURRENT database's directory (default db = warehouse root) — a
+    // hardcoded <warehouse>/<table> would delete the wrong data when a
+    // non-default database is current
+    val warehouse = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"))
+    val db = spark.catalog.currentDatabase
+    val dbDir = if (db == "default") warehouse
+      else new org.apache.hadoop.fs.Path(warehouse, s"${db.toLowerCase}.db")
+    val loc = new org.apache.hadoop.fs.Path(dbDir, table.toLowerCase)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
     val w = df.write.mode("overwrite").format("parquet")

@@ -67,10 +67,17 @@ object Ddl {
   }
 
   /** `ALTER TABLE … ADD COLUMN` for parquet snapshots: project the new
-    * column with its default (reference main.py:172-189). */
-  def addColumn(df: DataFrame, spec: ColumnSpec): DataFrame =
+    * column with its default (reference main.py:172-189). A NOT NULL
+    * column needs a default — existing rows would otherwise violate the
+    * declared constraint the moment it was added (we REFUSE rather than
+    * silently record a nullable column the caller declared NOT NULL). */
+  def addColumn(df: DataFrame, spec: ColumnSpec): DataFrame = {
+    require(spec.nullable || spec.default.nonEmpty,
+      s"cannot add NOT NULL column '${spec.name}' without a default: " +
+        "existing rows would be null")
     df.withColumn(spec.name,
       lit(spec.default.orNull).cast(spec.dataType))
+  }
 
   /** Additive evolution: add every missing declared column; never drop
     * or retype existing ones (reference main.py:129-140). */

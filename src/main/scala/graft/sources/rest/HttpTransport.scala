@@ -271,15 +271,40 @@ final class HttpTransport(
       val j = JsonMethods.parse(
         request("GET", dataPath(s"sobjects/${Soql.field(obj)}/describe")).body())
       (j \ "fields") match {
-        case JArray(fields) => fields.collect { case f: JObject =>
-          ((f \ "name"), (f \ "type")) match {
-            case (JString(n), JString(t)) => n -> typeTag(t)
-            case _ => null
-          }
-        }.filter(_ != null)
+        case JArray(fields) =>
+          val raw = fields.collect { case f: JObject =>
+            ((f \ "name"), (f \ "type")) match {
+              case (JString(n), JString(t)) => n -> t
+              case _ => null
+            }
+          }.filter(_ != null)
+          rawTypeCache.put(obj, raw.toMap)
+          raw.map { case (n, t) => n -> typeTag(t) }
         case _ => throw RestHttpError(200, s"describe($obj): no fields array")
       }
     })
+
+  /** Raw remote type per field (typeTag folds date→datetime, but the
+    * WIRE forms differ: date fields want "yyyy-MM-dd", datetimes want a
+    * full ISO-8601 instant). */
+  @transient private lazy val rawTypeCache = TrieMap.empty[String, Map[String, String]]
+  private def rawTypes(obj: String): Map[String, String] = {
+    if (!rawTypeCache.contains(obj)) describe(obj) // populates the cache
+    rawTypeCache.getOrElse(obj, Map.empty)
+  }
+
+  /** (datetime fields, date fields) for `obj` — computed once per
+    * object per transport, NOT per upserted record (the per-row writer
+    * calls upsert in a loop). */
+  @transient private lazy val wireDateFields =
+    TrieMap.empty[String, (Set[String], Set[String])]
+  private def dateFieldSets(obj: String): (Set[String], Set[String]) =
+    wireDateFields.getOrElseUpdate(obj,
+      try {
+        val raw = rawTypes(obj)
+        (raw.collect { case (n, "datetime") => n }.toSet,
+          raw.collect { case (n, "date") => n }.toSet)
+      } catch { case scala.util.control.NonFatal(_) => (Set.empty, Set.empty) })
 
   private def queryPath(includeDeleted: Boolean): String =
     dataPath(if (includeDeleted) "queryAll" else "query") // main.py:150,175
@@ -361,22 +386,24 @@ final class HttpTransport(
 
   override def upsert(obj: String, record: Map[String, Any]): Either[String, String] = {
     // the connector's writers (RestDataWriter, RestOps.upsertWithStatus)
-    // hand datetime values over as epoch-MICROS longs — the remote wants
-    // ISO-8601 text; resolve which fields are datetimes from the cached
-    // describe() so the wire form is right regardless of caller
-    val dtFields: Set[String] =
-      try describe(obj).collect { case (n, "datetime") => n }.toSet
-      catch { case scala.util.control.NonFatal(_) => Set.empty }
-    def isoOfMicros(us: Long): String =
+    // hand temporal values over as epoch-MICROS longs — the remote
+    // wants ISO-8601 text, and DATE fields specifically want
+    // "yyyy-MM-dd" (a full instant is rejected); resolve both sets
+    // from the raw describe() types, cached per object
+    val (dtFields, dateFields) = dateFieldSets(obj)
+    def instantOfMicros(us: Long): java.time.Instant =
       java.time.Instant.ofEpochSecond(
-        Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L).toString
+        Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L)
     val body = JsonMethods.compact(JsonMethods.render(JObject(
       record.view.filterKeys(_ != "Id").toSeq.map { case (k, v) => k -> (v match {
         case null => JNull
         case s: String => JString(s)
         case b: Boolean => JBool(b)
         case i: Int => JInt(BigInt(i))
-        case l: Long if dtFields.contains(k) => JString(isoOfMicros(l))
+        case l: Long if dateFields.contains(k) =>
+          JString(java.time.LocalDate.ofInstant(
+            instantOfMicros(l), java.time.ZoneOffset.UTC).toString)
+        case l: Long if dtFields.contains(k) => JString(instantOfMicros(l).toString)
         case l: Long => JLong(l)
         case d: Double => JDouble(d)
         case f: Float => JDouble(f.toDouble)

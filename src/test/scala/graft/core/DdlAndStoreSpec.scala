@@ -168,6 +168,12 @@ class DdlAndStoreSpec extends SparkSpec {
       org.apache.spark.sql.types.DecimalType(10, 2))
     // the refreshed temp view sees the new schema through executeRaw
     assert(db.executeRaw("SELECT quality FROM t").columns.toSeq == Seq("quality"))
+    // NOT NULL without a default is refused — existing rows would
+    // violate the declared constraint the moment it was added
+    intercept[IllegalArgumentException] {
+      db.executeRaw("ALTER TABLE t ADD COLUMN strict BIGINT NOT NULL")
+    }
+    assert(!store.listColumns("t").contains("strict"))
     // a non-ALTER statement still goes straight to Catalyst
     assert(db.executeRaw("SELECT 1 AS one").first().getInt(0) == 1)
   }

@@ -95,14 +95,16 @@ class DedupSpec extends SparkSpec {
     // path 1-2-3-4-5 (diameter 4), pair 6-7, singletons 8,9,10
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (6L, 7L))
       .toDF("a", "b")
-    val cc = Dedup.connectedComponents(nodes, "id", edges, "a", "b")
-      .as[(Long, Long)].collect().toMap
+    val ccDf = Dedup.connectedComponents(nodes, "id", edges, "a", "b")
+    val cc = ccDf.as[(Long, Long)].collect().toMap
+    ccDf.unpersist()
     assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
       6L -> 6L, 7L -> 6L, 8L -> 8L, 9L -> 9L, 10L -> 10L))
     // edge direction must not matter
-    val ccRev = Dedup.connectedComponents(nodes, "id",
+    val ccRevDf = Dedup.connectedComponents(nodes, "id",
       edges.select($"b".as("a"), $"a".as("b")), "a", "b")
-      .as[(Long, Long)].collect().toMap
+    val ccRev = ccRevDf.as[(Long, Long)].collect().toMap
+    ccRevDf.unpersist()
     assert(ccRev == cc)
     // refusing to return a partial labeling: a 5-path cannot settle in 1 round
     intercept[IllegalStateException] {

@@ -114,8 +114,9 @@ object ExtLawsProps extends Properties("graft.ext") {
       val e =
         if (edges.isEmpty) Seq.empty[(Long, Long)].toDF("a", "b")
         else edges.toDF("a", "b")
-      val cc = Dedup.connectedComponents(nodes, "id", e, "a", "b")
-        .as[(Long, Long)].collect().toMap
+      val ccDf = Dedup.connectedComponents(nodes, "id", e, "a", "b")
+      val cc = ccDf.as[(Long, Long)].collect().toMap
+      ccDf.unpersist()
       val parent = Array.tabulate(n)(identity)
       def find(x: Int): Int =
         if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }

@@ -78,6 +78,7 @@ class HttpTransportSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
           |{"name":"Amount","type":"currency"},{"name":"NumEmployees","type":"int"},
           |{"name":"IsActive","type":"boolean"},
           |{"name":"LastModifiedDate","type":"datetime"},
+          |{"name":"CloseDate","type":"date"},
           |{"name":"IsDeleted","type":"boolean"}]}""".stripMargin.replace("\n", ""))
     })
 
@@ -162,7 +163,8 @@ class HttpTransportSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     assert(transport().describe("account") == Seq(
       "Id" -> "string", "Name" -> "string", "Amount" -> "double",
       "NumEmployees" -> "long", "IsActive" -> "boolean",
-      "LastModifiedDate" -> "datetime", "IsDeleted" -> "boolean"))
+      "LastModifiedDate" -> "datetime", "CloseDate" -> "datetime",
+      "IsDeleted" -> "boolean"))
   }
 
   test("paginated id scan follows nextRecordsUrl; page-size hint sent") {
@@ -241,6 +243,14 @@ class HttpTransportSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     assert(t.upsert("account", Map("Id" -> "00A0000008", "When" -> ts)).isRight)
     assert(lastPatchBody.get().contains("2024-01-01T00:00:00.000123Z"),
       lastPatchBody.get())
+    // DATE-typed fields (raw remote type "date", which typeTag folds
+    // into the engine's datetime) want "yyyy-MM-dd" on the wire — a
+    // full instant there is rejected by the remote's literal grammar
+    assert(t.upsert("account", Map("Id" -> "00A0000009",
+      "CloseDate" -> 1704067200000000L)).isRight)
+    val dbody = lastPatchBody.get()
+    assert(dbody.contains(""""CloseDate":"2024-01-01""""), dbody)
+    assert(!dbody.contains("2024-01-01T"), dbody)
   }
 
   test("latestModified reads the ORDER BY DESC LIMIT 1 cursor probe") {
