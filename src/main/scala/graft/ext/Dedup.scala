@@ -64,11 +64,16 @@ object Dedup {
     * per cluster). Iterative min-label propagation:
     * l(v) ← min({l(v)} ∪ {l(u) : u~v}), to fixpoint.
     *
-    * Scale shape: each round is ONE equi-join against the (persisted)
-    * symmetric edge list plus one min aggregate with map-side partials
-    * — no collect, no per-component state. Rounds required = graph
-    * diameter; near-dup graphs are clique-ish (duplicates of the same
-    * source connect pairwise), so a handful of rounds in practice.
+    * Scale shape: each round is one equi-join against the (persisted)
+    * symmetric edge list + one min aggregate (map-side partials) — no
+    * collect, no per-component state. Rounds = graph diameter by
+    * default; near-dup graphs are clique-ish (duplicates of the same
+    * source connect pairwise), so single-digit rounds in practice.
+    * `shortcut = true` adds a POINTER-DOUBLING join per round
+    * (l(v) ← l(l(v))), making convergence O(log diameter) — turn it on
+    * for chain-shaped graphs (e.g. temporal near-dup drift); it costs
+    * an extra join + barrier per round, which measures as a net LOSS
+    * on small-diameter dedup graphs (benched at sf0.1).
     * `maxIter` guards pathological chains — the method THROWS rather
     * than return a partial labeling. The fixpoint (component minimum)
     * is deterministic under any partitioning, so the result is
@@ -80,7 +85,7 @@ object Dedup {
     * `.unpersist()` it when done. */
   def connectedComponents(nodes: DataFrame, idCol: String,
       edges: DataFrame, aCol: String, bCol: String,
-      maxIter: Int = 50): DataFrame = {
+      maxIter: Int = 50, shortcut: Boolean = false): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val ids = nodes.select(col(idCol).as("id")).distinct()
     // symmetric closure + self-loops: every node hears its neighbors
@@ -95,14 +100,28 @@ object Dedup {
     var it = 0
     var done = false
     while (!done && it < maxIter) {
-      val next = sym.join(labels, sym("src") === labels("id"))
+      val prop0 = sym.join(labels, sym("src") === labels("id"))
         .select(sym("dst").as("id"), col("label"))
         .groupBy(col("id")).agg(min(col("label")).as("label"))
+      // shortcut mode: persist prop (the doubling join consumes it on
+      // TWO different keys, which would otherwise recompute the whole
+      // propagation subtree twice), then follow the label's OWN label
+      // — every label is a node id and self-loops keep every node
+      // present, so the inner join is total; labels only shrink, so
+      // l(l(v)) ≤ l(v)
+      val prop = if (!shortcut) prop0
+        else prop0.persist(StorageLevel.MEMORY_AND_DISK)
+      val next = (if (!shortcut) prop
+        else prop.as("x")
+          .join(prop.as("y"), col("x.label") === col("y.id"))
+          .select(col("x.id").as("id"),
+            least(col("x.label"), col("y.label")).as("label")))
         .persist(StorageLevel.MEMORY_AND_DISK)
       // labels only decrease ⇒ fixpoint ⇔ nothing decreased this round
       done = next
         .join(labels.select(col("id"), col("label").as("__old")), "id")
         .filter(col("label") < col("__old")).isEmpty
+      if (shortcut) prop.unpersist()
       labels.unpersist()
       labels = next
       it += 1

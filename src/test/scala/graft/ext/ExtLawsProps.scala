@@ -108,13 +108,14 @@ object ExtLawsProps extends Properties("graft.ext") {
   // Connected components: the distributed min-label fixpoint must equal
   // a driver-side union-find (roots kept at the component minimum) on
   // any random graph — including duplicate and reversed edges.
-  property("connectedComponents == union-find component minima") =
-    Prop.forAll(genGraph) { case (n, edges) =>
+  property("connectedComponents == union-find component minima (plain AND shortcut modes)") =
+    Prop.forAll(genGraph, Gen.oneOf(false, true)) { case ((n, edges), shortcut) =>
       val nodes = (0L until n.toLong).toDF("id")
       val e =
         if (edges.isEmpty) Seq.empty[(Long, Long)].toDF("a", "b")
         else edges.toDF("a", "b")
-      val ccDf = Dedup.connectedComponents(nodes, "id", e, "a", "b")
+      val ccDf = Dedup.connectedComponents(nodes, "id", e, "a", "b",
+        shortcut = shortcut)
       val cc = ccDf.as[(Long, Long)].collect().toMap
       ccDf.unpersist()
       val parent = Array.tabulate(n)(identity)
