@@ -144,6 +144,21 @@ object Dedup {
     out
   }
 
+  /** End-to-end near-dup REMOVAL: cluster the pair evidence with
+    * [[connectedComponents]] and keep each cluster's minimum-id row —
+    * the step every curation pipeline runs after candidate generation
+    * (pairs from minhashNearDups / simhashNearDups / winnowingNearDups
+    * / embeddingNearDups all fit). One left-semi join against the
+    * (small) keeper set; the corpus streams. The keeper set reads the
+    * persisted CC labels — `spark.catalog.clearCache()` (or
+    * unpersisting the labels) releases them after materialization. */
+  def removeNearDuplicates(docs: DataFrame, idCol: String,
+      pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cc = connectedComponents(docs.select(col(idCol)), idCol, pairs, aCol, bCol)
+    val keepers = cc.filter(col(idCol) === col("cluster_id")).select(col(idCol))
+    docs.join(keepers, Seq(idCol), "left_semi")
+  }
+
   // ---------------------------------------------------------------- MinHash
 
   private def portableHash64(seed: Int, c: Column): Column =

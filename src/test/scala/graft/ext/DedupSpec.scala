@@ -112,6 +112,16 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("removeNearDuplicates keeps exactly the min-id doc per pair cluster") {
+    val corpus = (1L to 6L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // clusters {1,2,3} (chained pairs) and {5,6}; 4 is untouched
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a", "b")
+    val kept = Dedup.removeNearDuplicates(corpus, "doc_id", pairs, "a", "b")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 4L, 5L))
+    spark.catalog.clearCache() // release the CC labels
+  }
+
   test("LSH band join under a skewed bucket: AQE splits the hot partition") {
     // a boilerplate-heavy corpus puts every copy's 4 band rows in the
     // SAME (band, hash) buckets — the hot-reducer shape a near-dup job
