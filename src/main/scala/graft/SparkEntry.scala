@@ -797,8 +797,12 @@ object SparkEntry {
         db.getViews.filter(ours).map(("view", _))
       // every fact above is a driver-side value, so the frame is a
       // LocalRelation with no file dependency — the temp store can be
-      // deleted NOW instead of leaking a directory per invocation
+      // deleted NOW instead of leaking a directory per invocation.
+      // getView registered t1/t2 as session temp views pointing into
+      // the store; drop them BEFORE the delete or later raw SQL that
+      // happens to name them fails on the missing path.
       val out = rows.toDF("kind", "name").orderBy(col("kind"), col("name"))
+      Seq("t1", "t2", "v_all", "v_tmp").foreach(s.catalog.dropTempView(_))
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(rootPath)
         .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())

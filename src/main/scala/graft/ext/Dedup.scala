@@ -145,17 +145,36 @@ object Dedup {
   }
 
   /** End-to-end near-dup REMOVAL: cluster the pair evidence with
-    * [[connectedComponents]] and keep each cluster's minimum-id row —
-    * the step every curation pipeline runs after candidate generation
-    * (pairs from minhashNearDups / simhashNearDups / winnowingNearDups
-    * / embeddingNearDups all fit). One left-semi join against the
-    * (small) keeper set; the corpus streams. The keeper set reads the
-    * persisted CC labels — `spark.catalog.clearCache()` (or
-    * unpersisting the labels) releases them after materialization. */
+    * [[connectedComponents]] and keep each cluster's minimum-PRESENT
+    * row — the step every curation pipeline runs after candidate
+    * generation (pairs from minhashNearDups / simhashNearDups /
+    * winnowingNearDups / embeddingNearDups all fit).
+    *
+    * The CC node set is seeded with the pair ENDPOINTS as well as the
+    * doc ids: stale pair evidence may reference an id absent from
+    * `docs` (e.g. a doc already filtered upstream), and if that
+    * phantom id were the cluster minimum the naive `id == cluster_id`
+    * keeper rule would silently drop the whole cluster. Keeping the
+    * phantom as a node preserves transitivity (b~a~c still clusters b
+    * with c when a is gone); the keeper is then the minimum id per
+    * cluster AMONG DOCS PRESENT — one small aggregate over the label
+    * frame. One left-semi join against the keeper set; the corpus
+    * streams. The keeper set is eagerly materialized (localCheckpoint)
+    * so the CC labels can be unpersisted HERE — callers hold no cache
+    * entries after this returns. */
   def removeNearDuplicates(docs: DataFrame, idCol: String,
       pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
-    val cc = connectedComponents(docs.select(col(idCol)), idCol, pairs, aCol, bCol)
-    val keepers = cc.filter(col(idCol) === col("cluster_id")).select(col(idCol))
+    val idType = docs.schema(idCol).dataType
+    val ids = docs.select(col(idCol))
+    val nodes = ids
+      .union(pairs.select(col(aCol).cast(idType).as(idCol)))
+      .union(pairs.select(col(bCol).cast(idType).as(idCol)))
+    val cc = connectedComponents(nodes, idCol, pairs, aCol, bCol)
+    val keepers = cc.join(ids, Seq(idCol), "left_semi")
+      .groupBy(col("cluster_id")).agg(min(col(idCol)).as(idCol))
+      .select(col(idCol))
+      .localCheckpoint(true) // eager: cuts lineage off the CC cache
+    cc.unpersist()
     docs.join(keepers, Seq(idCol), "left_semi")
   }
 

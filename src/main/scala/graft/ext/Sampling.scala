@@ -67,7 +67,15 @@ object Sampling {
     * bucketing yields bit-identical bin_ids, so the quantile estimate
     * needs no determinism), each bucket prefix-sums in parallel, and a
     * tiny per-bucket offset aggregate (`globalBuckets` rows) is
-    * broadcast back. Same exact semantics, no serialized sort. */
+    * broadcast back. Same exact semantics, no serialized sort.
+    *
+    * NOTE (global form only): the range-bucket boundaries come from
+    * `df.stat.approxQuantile` — an EAGER Spark action that scans the
+    * input at DataFrame-CONSTRUCTION time, and the input is scanned
+    * again (twice: per-bucket sums + offsets) at execution. Callers
+    * with an expensive upstream plan should `persist()` the input
+    * before calling, or the upstream recomputes per scan; the
+    * `partitionCols` form stays fully lazy. */
   def packSequences(df: DataFrame, tokenCol: String, orderCol: String,
       maxTokens: Long, partitionCols: Seq[String] = Nil,
       globalBuckets: Int = 32): DataFrame = {

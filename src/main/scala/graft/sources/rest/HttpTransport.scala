@@ -295,16 +295,21 @@ final class HttpTransport(
 
   /** (datetime fields, date fields) for `obj` — computed once per
     * object per transport, NOT per upserted record (the per-row writer
-    * calls upsert in a loop). */
+    * calls upsert in a loop). Only a SUCCESSFUL describe is cached: a
+    * transient describe failure must propagate (and be retried on the
+    * next call), not be memoized as (empty, empty) — that would make
+    * every later upsert on this transport silently send raw
+    * epoch-micros longs where the wire wants ISO-8601 text. */
   @transient private lazy val wireDateFields =
     TrieMap.empty[String, (Set[String], Set[String])]
   private def dateFieldSets(obj: String): (Set[String], Set[String]) =
-    wireDateFields.getOrElseUpdate(obj,
-      try {
-        val raw = rawTypes(obj)
-        (raw.collect { case (n, "datetime") => n }.toSet,
-          raw.collect { case (n, "date") => n }.toSet)
-      } catch { case scala.util.control.NonFatal(_) => (Set.empty, Set.empty) })
+    wireDateFields.get(obj).getOrElse {
+      val raw = rawTypes(obj) // may throw — deliberately NOT cached then
+      val v = (raw.collect { case (n, "datetime") => n }.toSet,
+        raw.collect { case (n, "date") => n }.toSet)
+      wireDateFields.put(obj, v)
+      v
+    }
 
   private def queryPath(includeDeleted: Boolean): String =
     dataPath(if (includeDeleted) "queryAll" else "query") // main.py:150,175

@@ -119,7 +119,34 @@ class DedupSpec extends SparkSpec {
     val kept = Dedup.removeNearDuplicates(corpus, "doc_id", pairs, "a", "b")
       .select("doc_id").as[Long].collect().toSet
     assert(kept == Set(1L, 4L, 5L))
-    spark.catalog.clearCache() // release the CC labels
+  }
+
+  test("removeNearDuplicates survives pair endpoints absent from docs") {
+    // doc 1 was filtered upstream but stale pair evidence still names
+    // it — and it is the cluster minimum. The keeper must fall back to
+    // the smallest PRESENT doc (2), not drop the cluster; transitivity
+    // through the phantom node must still merge {2,3}.
+    val corpus = Seq(2L, 3L, 4L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("a", "b")
+    val kept = Dedup.removeNearDuplicates(corpus, "doc_id", pairs, "a", "b")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 4L))
+  }
+
+  test("removeNearDuplicates leaves no dataset cache entries behind") {
+    val corpus = (1L to 4L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L)).toDF("a", "b")
+    spark.catalog.clearCache()
+    val before = spark.sparkContext.getPersistentRDDs.size
+    Dedup.removeNearDuplicates(corpus, "doc_id", pairs, "a", "b").count()
+    // the CC labels (and every loop-internal persist) were unpersisted
+    // inside; the only surviving storage is the keeper set's eager
+    // localCheckpoint RDD, which the ContextCleaner reclaims on GC —
+    // repeated pipeline invocations no longer accumulate dataset caches
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after <= before + 1,
+      s"expected at most the keeper localCheckpoint RDD to persist, " +
+        s"got $before -> $after persistent RDDs")
   }
 
   test("LSH band join under a skewed bucket: AQE splits the hot partition") {
