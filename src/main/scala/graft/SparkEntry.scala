@@ -575,6 +575,15 @@ object SparkEntry {
         keyCol = "l_orderkey", q = 0.5, fraction = 0.1)
         .orderBy(col("l_returnflag"))),
 
+    // Portable HLL (integer-exact registers + estimator, ext.Sketches
+    // scaladoc has the scheme) — q59's native approx_count_distinct
+    // with the opacity removed: the oracle replays bucket/ρ/register
+    // max/harmonic sum/α-division/linear-counting and hash-matches.
+    "q91_hll_distinct" -> ((s, d) =>
+      graft.ext.Sketches.hllDistinctCount(
+        T(s, d, "lineitem"), "l_returnflag", "l_orderkey")
+        .orderBy(col("l_returnflag"))),
+
     // Pivot (long→wide conditional aggregation), explicit value list so
     // the plan needs no extra distinct-values pass.
     "q78_pivot" -> ((s, d) =>
@@ -827,6 +836,22 @@ object SparkEntry {
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
         .orderBy(col("c_mktsegment"))
+    }),
+
+    // Z-order layout (core.Layout): quantize (user_id, event_id) to
+    // 16-bit cells, interleave to the Morton z-value, and emit the
+    // curve position per event — the clustering key a multi-dim
+    // range-pruning layout sorts by (ZorderSpec verifies the actual
+    // per-file box-narrowing; this query pins the bit-interleave
+    // arithmetic cross-engine).
+    "q92_zorder" -> ((s, d) => {
+      import graft.core.Layout
+      val e = T(s, d, "events").filter(col("event_id") <= 2000)
+      e.select(col("event_id"),
+          Layout.zValue(16,
+            Layout.rangeBucket(col("user_id"), 0L, 9999L, 16),
+            Layout.rangeBucket(col("event_id"), 0L, 65535L, 16)).as("z"))
+        .orderBy(col("event_id"))
     }),
 
     // FORWARD as-of: each event attaches the same user's NEXT error
@@ -1530,6 +1555,37 @@ object SparkEntry {
         |  CASE WHEN n < 256 THEN CAST(n AS DOUBLE) ELSE 255.0 / f END AS est_distinct
         |FROM r WHERE rk = least(256, n) ORDER BY l_returnflag""".stripMargin,
 
+    // Portable HLL: 56-bit hash → (bucket = low 6 bits, ρ = 51 −
+    // bitlength of the top 50), register max per bucket, harmonic sum
+    // scaled 2^30 (integer-exact), α₆₄ = 709/1000 as one integer
+    // division, linear counting via the same 64-entry table.
+    "q91_hll_distinct" ->
+      s"""WITH h AS (
+        |  SELECT l_returnflag,
+        |    CAST(concat('0x', substring(md5(concat('42', '|', CAST(l_orderkey AS VARCHAR))), 1, 14)) AS BIGINT) AS h
+        |  FROM lineitem),
+        |b AS (
+        |  SELECT l_returnflag, h & 63 AS b,
+        |    CASE WHEN (h >> 6) = 0 THEN 30
+        |         ELSE least(30, 51 - length(bin(h >> 6))) END AS rho
+        |  FROM h),
+        |regs AS (
+        |  SELECT l_returnflag, b, max(rho) AS r FROM b GROUP BY 1, 2),
+        |s AS (
+        |  SELECT l_returnflag,
+        |    sum(${1L << 30} >> r) AS s, count(*) AS present
+        |  FROM regs GROUP BY 1),
+        |e AS (
+        |  SELECT l_returnflag, 64 - present AS zeros,
+        |    ${709L * 4096L * (1L << 30)}
+        |      // (1000 * (s + (64 - present) * ${1L << 30})) AS raw
+        |  FROM s)
+        |SELECT l_returnflag,
+        |  CAST(CASE WHEN raw <= 160 AND zeros > 0
+        |    THEN ([${graft.ext.Sketches.HllLinearCounting.mkString(", ")}])[CAST(zeros AS INTEGER)]
+        |    ELSE raw END AS BIGINT) AS est_distinct
+        |FROM e ORDER BY l_returnflag""".stripMargin,
+
     // Writeback round trip: regenerate the fake org's base records
     // (same arithmetic as q55) and apply q81's update rule — Banking
     // accounts' Amount becomes NumEmployees·1.5 — then aggregate the
@@ -1619,6 +1675,20 @@ object SparkEntry {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
         |FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Morton interleave replay: same quantizer (integer equi-width)
+    // and the same 32 shift/and/or terms, generated from one source
+    "q92_zorder" -> {
+      val terms = (0 until 16).flatMap(i => Seq(
+        s"(((x >> $i) & 1) << ${2 * i})", s"(((y >> $i) & 1) << ${2 * i + 1})"))
+      s"""WITH q AS (
+        |  SELECT event_id,
+        |    (CAST(user_id AS BIGINT) * 65536) // 10000 AS x,
+        |    (CAST(event_id AS BIGINT) * 65536) // 65536 AS y
+        |  FROM events WHERE event_id <= 2000)
+        |SELECT event_id, ${terms.mkString(" | ")} AS z
+        |FROM q ORDER BY event_id""".stripMargin
+    },
 
     // DuckDB ASOF with <= is the forward direction (nearest following)
     "q88_asof_forward" ->

@@ -31,6 +31,36 @@ class SketchesSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("portable HLL: within 3σ (≈40%) of exact; duplicate-insensitive; deterministic") {
+    val li = Fx.t(spark, sfDir, "lineitem")
+    val exact = li.groupBy($"l_returnflag")
+      .agg(countDistinct($"l_orderkey").as("n"))
+      .as[(String, Long)].collect().toMap
+    val est = Sketches.hllDistinctCount(li, "l_returnflag", "l_orderkey")
+      .as[(String, Long)].collect().toMap
+    assert(est.keySet == exact.keySet)
+    est.foreach { case (g, e) =>
+      val n = exact(g).toDouble
+      // m=64 ⇒ σ ≈ 13%; 3σ band (the point is exact replayability,
+      // not tightness — q91's oracle checks bit-equality separately)
+      assert(math.abs(e - n) / n < 0.4, s"$g: est $e vs exact $n")
+    }
+    // duplicates must not move a register (max() absorbs them)
+    val doubled = li.union(li)
+    val est2 = Sketches.hllDistinctCount(doubled, "l_returnflag", "l_orderkey")
+      .as[(String, Long)].collect().toMap
+    assert(est2 == est, "HLL must be insensitive to duplication")
+  }
+
+  test("portable HLL small-range correction: near-exact for tiny groups") {
+    // 40 distinct values in one group ⇒ raw estimate ≤ 2.5m with empty
+    // registers ⇒ the linear-counting branch must engage and land close
+    val df = (1L to 40L).map(i => ("g", i)).toDF("g", "v")
+    val est = Sketches.hllDistinctCount(df, "g", "v")
+      .as[(String, Long)].collect().toMap
+    assert(math.abs(est("g") - 40L) <= 10, s"linear counting off: ${est("g")}")
+  }
+
   test("sampled discrete median: close to the exact median, is an actual value") {
     val li = Fx.t(spark, sfDir, "lineitem")
     val exact = li.groupBy($"l_returnflag")
