@@ -593,6 +593,30 @@ object SparkEntry {
         .na.fill(0L)
         .orderBy(col("o_orderpriority"))),
 
+    // Unpivot (wide→long, the inverse of q78's pivot): four measure
+    // columns melt to (metric, value) rows, then a decimal-exact
+    // per-flag/metric sum. The oracle is the equivalent UNION ALL.
+    "q93_unpivot" -> ((s, d) =>
+      T(s, d, "lineitem")
+        .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"), col("l_tax"))
+        .unpivot(Array(col("l_returnflag")),
+          Array(col("l_quantity"), col("l_extendedprice"),
+            col("l_discount"), col("l_tax")),
+          "metric", "value")
+        .groupBy(col("l_returnflag"), col("metric"))
+        .agg(dsum(col("value")).as("total"))
+        .orderBy(col("l_returnflag"), col("metric"))),
+
+    // Ordered string aggregation (LISTAGG/STRING_AGG): deterministic
+    // via sort_array over the collected list — binary collation on
+    // both engines, so the joined string hash-matches.
+    "q94_string_agg" -> ((s, d) =>
+      T(s, d, "nation").join(T(s, d, "region"), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(array_join(sort_array(collect_list(col("n_name"))), ",").as("nations"))
+        .orderBy(col("r_name"))),
+
     // Distribution window functions: ntile buckets, percent_rank,
     // cume_dist (total order via the unique key suffix — peer groups
     // and therefore the distributions are engine-identical).
@@ -1641,6 +1665,25 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS O,
         |  CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS P
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // wide→long as the explicit UNION ALL the unpivot is sugar for
+    "q93_unpivot" ->
+      """WITH m AS (
+        |  SELECT l_returnflag, 'l_quantity' AS metric, l_quantity AS value FROM lineitem
+        |  UNION ALL
+        |  SELECT l_returnflag, 'l_extendedprice', l_extendedprice FROM lineitem
+        |  UNION ALL
+        |  SELECT l_returnflag, 'l_discount', l_discount FROM lineitem
+        |  UNION ALL
+        |  SELECT l_returnflag, 'l_tax', l_tax FROM lineitem)
+        |SELECT l_returnflag, metric,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM m GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q94_string_agg" ->
+      """SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
 
     "q79_window_dist" ->
       """SELECT l_orderkey, l_linenumber, l_returnflag,

@@ -97,6 +97,18 @@ object Dedup {
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = ids.select(col("id"), col("id").as("label"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // Convergence check: labels are monotonically non-increasing, so
+    // for NUMERIC ids the labeling is a fixpoint iff Σlabel is
+    // unchanged — one scalar aggregate per round (decimal(38,0): no
+    // overflow at any id scale) instead of a self-join of two label
+    // frames. Non-numeric ids keep the exact changed-row join.
+    val numericIds = ids.schema("id").dataType
+      .isInstanceOf[org.apache.spark.sql.types.NumericType]
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      val v = df.agg(sum(col("label").cast("decimal(38,0)"))).first()
+      if (v.isNullAt(0)) java.math.BigDecimal.ZERO else v.getDecimal(0)
+    }
+    var prevSum = if (numericIds) labelSum(labels) else null
     var it = 0
     var done = false
     while (!done && it < maxIter) {
@@ -118,9 +130,15 @@ object Dedup {
             least(col("x.label"), col("y.label")).as("label")))
         .persist(StorageLevel.MEMORY_AND_DISK)
       // labels only decrease ⇒ fixpoint ⇔ nothing decreased this round
-      done = next
-        .join(labels.select(col("id"), col("label").as("__old")), "id")
-        .filter(col("label") < col("__old")).isEmpty
+      if (numericIds) {
+        val curSum = labelSum(next) // also materializes next's persist
+        done = curSum.compareTo(prevSum) == 0
+        prevSum = curSum
+      } else {
+        done = next
+          .join(labels.select(col("id"), col("label").as("__old")), "id")
+          .filter(col("label") < col("__old")).isEmpty
+      }
       if (shortcut) prop.unpersist()
       labels.unpersist()
       labels = next
