@@ -46,17 +46,25 @@ object Bench {
     }
     // a failed query's time-to-failure is noise, not cost: report it as
     // null and keep the headline total an aggregate of SUCCESSFUL runs
-    val qs = results.map { case (k, v) =>
-      "\"" + k + "\":" + (if (failed.contains(k)) "null" else v.toString)
+    def fmt(v: Double): String = BigDecimal(v)
+      .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    def entries(short: Boolean) = results.map { case (k, v) =>
+      val key = if (short) k.takeWhile(_ != '_') else k
+      "\"" + key + "\":" + (if (failed.contains(k)) "null" else fmt(v))
     }.mkString("{", ",", "}")
     val total = results.collect { case (k, v) if !failed.contains(k) => v }.sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","mode":"min_of_$runs","failed":$failedJson,"queries":$qs,"sf":"$sfDir"}"""
-    println(json)
-    // machine-readable copy — stdout is interleaved with sbt noise
+    def json(short: Boolean) =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","mode":"min_of_$runs","failed":$failedJson,"queries":${entries(short)},"sf":"$sfDir"}"""
+    // The driver captures only the LAST ~2000 chars of sbt output and
+    // parses the JSON line out of it: with 90+ queries, full names +
+    // full-precision doubles overflow that window (round 3's line was
+    // truncated mid-line → parsed:null). The stdout line therefore uses
+    // the short qNN keys (unique by construction) and 3-decimal values
+    // (~1.3 KB); the full-name version goes to bench_out.json.
+    println(json(short = true))
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
-      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      json(short = false).getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }
