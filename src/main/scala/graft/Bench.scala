@@ -22,32 +22,53 @@ object Bench {
     // footer cache) so the first timed query isn't charged for it
     SparkEntry.queries.get("q01_count")
       .foreach(fn => try fn(spark, sfDir).count() catch { case _: Throwable => () })
-    // Two timed runs per query, report the MIN: steady-state latency,
-    // insulated from one-off codegen compilation and GC pauses (a 66-
-    // query suite in one JVM accumulates enough garbage that a single
-    // full-GC stall lands on an arbitrary query otherwise).
-    val runs = 2
+    // Two timed runs per query, report the MIN — but as two full
+    // PASSES over the suite, not back-to-back repeats. min-of-2 only
+    // rejects noise the two samples don't share: back-to-back runs sit
+    // inside the same ambient-load burst on this shared box (r4: q69
+    // 46.9 s driver-run vs 1.6 s clean — BOTH back-to-back runs were
+    // inside the burst, so min kept the inflated number). Interleaving
+    // puts a query's two samples minutes apart, so any burst shorter
+    // than a pass inflates at most one of them. A third, targeted pass
+    // re-times only queries whose two samples still disagree ≥1.5× —
+    // bounded extra cost, and it converts "burst longer than a pass"
+    // into three load-independent samples.
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val secs = (0 until runs).map { _ =>
-        val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          failed += name // a failed query must not read as a fast one
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        }
-        val t = (System.nanoTime() - t0) / 1e9
-        // queries are independent; drop any intermediate persists (LSH
-        // signatures etc.) so memory stays flat across the suite
-        spark.catalog.clearCache()
-        t
-      }.min
-      name -> secs
+    def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable =>
+        failed += name // a failed query must not read as a fast one
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      }
+      val t = (System.nanoTime() - t0) / 1e9
+      // queries are independent; drop any intermediate persists (LSH
+      // signatures etc.) so memory stays flat across the suite
+      spark.catalog.clearCache()
+      t
     }
+    val order = SparkEntry.queries.toSeq.sortBy(_._1)
+    val samples = scala.collection.mutable.Map.empty[String, List[Double]]
+      .withDefaultValue(Nil)
+    for (_ <- 0 until 2; (name, fn) <- order)
+      samples(name) ::= timeOne(name, fn)
+    for ((name, fn) <- order) {
+      val ts = samples(name)
+      if (!failed.contains(name) && ts.min > 0.3 && ts.max / ts.min >= 1.5)
+        samples(name) ::= timeOne(name, fn)
+    }
+    val results = order.map { case (name, _) => name -> samples(name).min }
     // a failed query's time-to-failure is noise, not cost: report it as
     // null and keep the headline total an aggregate of SUCCESSFUL runs
     def fmt(v: Double): String = BigDecimal(v)
       .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    // the stdout line keys queries by qNN prefix — refuse to emit a
+    // line that would silently drop a timing under a duplicate key
+    locally {
+      val shortKeys = results.map(_._1.takeWhile(_ != '_'))
+      val dups = shortKeys.diff(shortKeys.distinct).distinct
+      require(dups.isEmpty, s"duplicate short bench keys: ${dups.mkString(",")}")
+    }
     def entries(short: Boolean) = results.map { case (k, v) =>
       val key = if (short) k.takeWhile(_ != '_') else k
       "\"" + key + "\":" + (if (failed.contains(k)) "null" else fmt(v))
@@ -55,7 +76,7 @@ object Bench {
     val total = results.collect { case (k, v) if !failed.contains(k) => v }.sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     def json(short: Boolean) =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","mode":"min_of_$runs","failed":$failedJson,"queries":${entries(short)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","mode":"min_interleaved_2","failed":$failedJson,"queries":${entries(short)},"sf":"$sfDir"}"""
     // The driver captures only the LAST ~2000 chars of sbt output and
     // parses the JSON line out of it: with 90+ queries, full names +
     // full-precision doubles overflow that window (round 3's line was

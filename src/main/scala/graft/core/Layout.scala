@@ -45,13 +45,29 @@ object Layout {
     * scan to discover them would make layout planning eager). */
   def rangeBucket(c: Column, lo: Long, hi: Long, bits: Int): Column = {
     require(hi > lo, s"degenerate domain [$lo, $hi]")
+    require(bits >= 1 && bits <= 62, s"bits=$bits outside [1, 62]")
     val cells = 1L << bits
+    // (span · 2^bits) is the largest intermediate the expression can
+    // produce; if it exceeds a signed long the multiply wraps silently
+    // and zValue then truncates the garbage to its low bits — refuse
+    // up front instead (same contract style as zValue's n·bits ≤ 63).
+    val span = try Math.addExact(Math.subtractExact(hi, lo), 1L) catch {
+      case _: ArithmeticException => throw new IllegalArgumentException(
+        s"domain [$lo, $hi] wider than a signed long")
+    }
+    require(span <= (Long.MaxValue >> bits),
+      s"domain width $span × 2^$bits overflows a signed long — " +
+        "use fewer bits or a narrower [lo, hi]")
+    // out-of-domain inputs are clamped to the edge cells (a value the
+    // caller said can't happen lands in cell 0 or 2^bits−1 instead of
+    // corrupting the curve with a negative / overflowing bucket)
+    val x = least(greatest(c.cast("long"), lit(lo)), lit(hi))
     // Catalyst IntegralDivide (`div`): exact long division — a double
     // round-trip would lose bits past 2^53
     import org.apache.spark.sql.graft.Bridge
     Bridge.column(org.apache.spark.sql.catalyst.expressions.IntegralDivide(
-      Bridge.expression((c.cast("long") - lit(lo)) * lit(cells)),
-      Bridge.expression(lit(hi - lo + 1))))
+      Bridge.expression((x - lit(lo)) * lit(cells)),
+      Bridge.expression(lit(span))))
   }
 
   /** Cluster `df` along the z-curve of `zCol` into `numRanges` range

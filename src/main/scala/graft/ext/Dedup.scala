@@ -98,17 +98,34 @@ object Dedup {
     var labels = ids.select(col("id"), col("id").as("label"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // Convergence check: labels are monotonically non-increasing, so
-    // for NUMERIC ids the labeling is a fixpoint iff Σlabel is
-    // unchanged — one scalar aggregate per round (decimal(38,0): no
-    // overflow at any id scale) instead of a self-join of two label
-    // frames. Non-numeric ids keep the exact changed-row join.
-    val numericIds = ids.schema("id").dataType
-      .isInstanceOf[org.apache.spark.sql.types.NumericType]
+    // for INTEGRAL ids the labeling is a fixpoint iff Σlabel is
+    // unchanged — one scalar aggregate per round (decimal(38,0): lossless
+    // for any integral id) instead of a self-join of two label frames.
+    // Fractional ids (double/float/scaled decimal) must NOT take this
+    // shortcut: the cast to scale-0 decimal rounds, so a sub-quantum
+    // label decrease (ids 0.1/0.2/0.3) would read as "unchanged" and
+    // declare a false fixpoint. They use the exact changed-row join,
+    // like non-numeric ids.
+    val integralIds = {
+      import org.apache.spark.sql.types._
+      ids.schema("id").dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case d: DecimalType                                => d.scale == 0
+        case _                                             => false
+      }
+    }
+    // null ⇔ sum unavailable (empty frame, or decimal overflow past 38
+    // digits) — callers must treat null as NOT converged, never as a
+    // comparable value (two overflowed rounds are not evidence of a
+    // fixpoint).
     def labelSum(df: DataFrame): java.math.BigDecimal = {
       val v = df.agg(sum(col("label").cast("decimal(38,0)"))).first()
-      if (v.isNullAt(0)) java.math.BigDecimal.ZERO else v.getDecimal(0)
+      if (v.isNullAt(0)) null else v.getDecimal(0)
     }
-    var prevSum = if (numericIds) labelSum(labels) else null
+    def noLabelDecreased(next: DataFrame, cur: DataFrame): Boolean = next
+      .join(cur.select(col("id"), col("label").as("__old")), "id")
+      .filter(col("label") < col("__old")).isEmpty
+    var prevSum = if (integralIds) labelSum(labels) else null
     var it = 0
     var done = false
     while (!done && it < maxIter) {
@@ -130,14 +147,15 @@ object Dedup {
             least(col("x.label"), col("y.label")).as("label")))
         .persist(StorageLevel.MEMORY_AND_DISK)
       // labels only decrease ⇒ fixpoint ⇔ nothing decreased this round
-      if (numericIds) {
+      if (integralIds) {
         val curSum = labelSum(next) // also materializes next's persist
-        done = curSum.compareTo(prevSum) == 0
+        if (curSum != null && prevSum != null)
+          done = curSum.compareTo(prevSum) == 0
+        else // sum overflowed/absent: fall back to the exact check
+          done = noLabelDecreased(next, labels)
         prevSum = curSum
       } else {
-        done = next
-          .join(labels.select(col("id"), col("label").as("__old")), "id")
-          .filter(col("label") < col("__old")).isEmpty
+        done = noLabelDecreased(next, labels)
       }
       if (shortcut) prop.unpersist()
       labels.unpersist()

@@ -50,6 +50,28 @@ class LayoutSpec extends SparkSpec {
     assert(df.forall(b => b >= 0 && b < 65536))
   }
 
+  test("rangeBucket: out-of-domain inputs clamp to the edge cells") {
+    val df = Seq(-5L, 0L, 9999L, 10000L, Long.MaxValue).toDF("v")
+      .select(Layout.rangeBucket($"v", 0L, 9999L, 16).as("b")).as[Long].collect()
+    assert(df(0) == 0L, "below-domain clamps to cell 0")
+    assert(df(3) == df(2) && df(4) == df(2),
+      "above-domain clamps to the top cell (no wrap past 2^bits)")
+    assert(df.forall(b => b >= 0 && b < 65536))
+  }
+
+  test("rangeBucket: refuses domains whose scaled width overflows a long") {
+    // width · 2^bits > Long.MaxValue → the multiply would wrap silently
+    intercept[IllegalArgumentException] {
+      Layout.rangeBucket(lit(1L), 0L, Long.MaxValue >> 10, 16)
+    }
+    // width itself wider than a signed long
+    intercept[IllegalArgumentException] {
+      Layout.rangeBucket(lit(1L), Long.MinValue, Long.MaxValue, 1)
+    }
+    // a maximal-but-legal domain still constructs
+    Layout.rangeBucket(lit(1L), 0L, (Long.MaxValue >> 16) - 1L, 16)
+  }
+
   test("zOrderBy narrows per-partition boxes in BOTH dimensions") {
     // uniform 2-d grid; z-order into 16 range partitions and measure
     // the mean per-partition extent of each dimension. A single-column

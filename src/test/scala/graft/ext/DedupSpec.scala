@@ -112,6 +112,20 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("connected components: fractional ids converge exactly (no decimal-sum shortcut)") {
+    // chain 0.1-0.2-0.3: every label decrease is < 1, so a sum cast to
+    // decimal(38,0) never moves — the integral-only gate must route
+    // these through the exact changed-row check, which needs 2 rounds
+    // (0.3 learns 0.2's label first, 0.1 second) and lands all three
+    // on 0.1, not a premature 1-round labeling that leaves 0.3 at 0.2
+    val nodes = Seq(0.1, 0.2, 0.3, 0.9).toDF("id")
+    val edges = Seq((0.1, 0.2), (0.2, 0.3)).toDF("a", "b")
+    val ccDf = Dedup.connectedComponents(nodes, "id", edges, "a", "b")
+    val cc = ccDf.as[(Double, Double)].collect().toMap
+    ccDf.unpersist()
+    assert(cc == Map(0.1 -> 0.1, 0.2 -> 0.1, 0.3 -> 0.1, 0.9 -> 0.9))
+  }
+
   test("removeNearDuplicates keeps exactly the min-id doc per pair cluster") {
     val corpus = (1L to 6L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
     // clusters {1,2,3} (chained pairs) and {5,6}; 4 is untouched
