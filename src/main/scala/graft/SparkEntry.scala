@@ -1273,7 +1273,50 @@ object SparkEntry {
       Ddl.evolveSchema(T(s, d, "documents"), Seq(
         ColumnSpec("quality", DoubleType),
         ColumnSpec("ingested", StringType, default = Some("ref"))))
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    // Count-min heavy hitters (ext.Sketches.countMinFrequency): the
+    // portable 2-universal hashing means DuckDB rebuilds the identical
+    // 4×256 counter matrix, so even the collision-inflated estimates
+    // hash-match. Top-50 by estimate with a total tie-break order.
+    "q95_heavy_hitters" -> ((s, d) =>
+      graft.ext.Sketches.countMinFrequency(
+        T(s, d, "events").select(col("user_id").cast("string").as("val")),
+        "val", depth = 4, width = 256)
+        .orderBy(col("est_count").desc, col("val"))
+        .limit(50)),
+
+    // Bloom-pruned join (operators.BloomJoin): the big side is
+    // filtered against the small side's key bitmap BEFORE the join
+    // exchange; false positives are removed by the join itself, so
+    // the oracle is the PLAIN join — exactness is structural.
+    "q96_bloom_join" -> ((s, d) =>
+      graft.operators.BloomJoin.prunedJoin(
+        T(s, d, "lineitem"), "l_partkey",
+        T(s, d, "part").filter(col("p_size") === 15), "p_partkey",
+        numBits = 1 << 16)
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("p_brand"))),
+
+    // Gopher-style repetition quality (ext.TextOps.repetitionStats):
+    // duplicate-word and duplicate-bigram fractions per document over
+    // the literal single-space token stream.
+    "q97_repetition" -> ((s, d) =>
+      TextOps.repetitionStats(T(s, d, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
+    // Salted skew join (operators.SkewJoin.saltedJoin): result must be
+    // IDENTICAL to the plain equi-join — the salt only re-shards the
+    // hot keys (left side salted by full-row hash, right side
+    // replicated across the salt range).
+    "q98_salted_join" -> ((s, d) => {
+      val l = T(s, d, "events").select(col("user_id").as("ck"), col("event_id"))
+      val r = T(s, d, "customer").select(col("c_custkey").as("ck"), col("c_mktsegment"))
+      graft.operators.SkewJoin.saltedJoin(l, r, Seq("ck"), saltBuckets = 8)
+        .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+        .orderBy(col("c_mktsegment"))
+    })
   )
 
   // =====================================================================
@@ -1976,6 +2019,50 @@ object SparkEntry {
         |  FROM documents)
         |SELECT doc_id, tok,
         |  CAST(floor(CAST(sum(tok) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tok AS DOUBLE) / 512) AS BIGINT) AS bin_id
-        |FROM t ORDER BY doc_id""".stripMargin
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    // Count-min replay: identical md5 halves → 2-universal buckets →
+    // counter matrix → min-of-depth estimate per distinct value
+    "q95_heavy_hitters" ->
+      """WITH v AS (SELECT CAST(user_id AS VARCHAR) AS val FROM events),
+        |h AS (SELECT val,
+        |  CAST(concat('0x', substring(md5(concat('42', '|', val)), 1, 14)) AS BIGINT) AS a,
+        |  CAST(concat('0x', substring(md5(concat('42', '|', val)), 17, 14)) AS BIGINT) AS b
+        |  FROM v),
+        |pos AS (SELECT val, i, (a + i * b) % 256 AS bucket FROM h, range(4) t(i)),
+        |counters AS (SELECT i, bucket, count(*) AS cnt FROM pos GROUP BY 1, 2),
+        |dv AS (SELECT DISTINCT val, i, bucket FROM pos)
+        |SELECT val, min(cnt) AS est_count
+        |FROM dv JOIN counters USING (i, bucket)
+        |GROUP BY val ORDER BY est_count DESC, val LIMIT 50""".stripMargin,
+
+    // the bloom filter only PRUNES — the verifying join makes the
+    // result exactly the plain join, which is the oracle
+    "q96_bloom_join" ->
+      """SELECT p_brand, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_size = 15
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    // single-space split + list_distinct mirror the Spark token stream
+    "q97_repetition" ->
+      """WITH l AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |b AS (SELECT doc_id, w,
+        |  list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]) AS g FROM l)
+        |SELECT doc_id,
+        |  CAST(len(w) AS BIGINT) AS n_words,
+        |  1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / CAST(len(w) AS DOUBLE) AS dup_word_frac,
+        |  CAST(len(g) AS BIGINT) AS n_bigrams,
+        |  CASE WHEN len(g) = 0 THEN 0.0
+        |       ELSE 1.0 - CAST(len(list_distinct(g)) AS DOUBLE) / CAST(len(g) AS DOUBLE)
+        |  END AS dup_bigram_frac
+        |FROM b ORDER BY doc_id""".stripMargin,
+
+    // the salt is invisible in the result: plain equi-join oracle
+    "q98_salted_join" ->
+      """SELECT c_mktsegment, count(*) AS n
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -136,4 +136,45 @@ object Sketches {
         greatest(lit(1L), ceil(lit(q) * col("__n")).cast("long")))
       .select(col(groupCol), col(valueCol).as("q_est"))
   }
+
+  /** Count-min sketch frequency estimation (Cormode & Muthukrishnan
+    * 2005): `depth` hash rows × `width` counters; a value's estimate is
+    * the MINIMUM of its `depth` counters, which can only OVERestimate
+    * (by ≤ e·N/width with probability ≥ 1 − e^−depth). The heavy-hitter
+    * primitive: rank values by estimate, and the true heavy hitters
+    * cannot be ranked out by collisions (their counters only grow).
+    *
+    * Portable like the other sketches here: the `depth` bucket indices
+    * are 2-universal h_i = (a + i·b) mod width over the two 56-bit
+    * halves of one md5 per value, so an external engine rebuilds the
+    * identical counter matrix and estimates.
+    *
+    * Shape at scale: ONE pass over the data exploded ×depth into a
+    * hash aggregate of at most depth·width rows (map-side partials
+    * absorb the explosion — the counter matrix, not the data, crosses
+    * the wire), then a BROADCAST join of that tiny matrix back to the
+    * distinct values. No sort, no window, no driver-side loop.
+    *
+    * Returns (valueCol, est_count long). */
+  def countMinFrequency(df: DataFrame, valueCol: String,
+      depth: Int = 4, width: Int = 256, seed: Long = 42L): DataFrame = {
+    require(depth >= 1 && depth <= 8, s"depth $depth outside [1, 8]")
+    require(width >= 2, s"width $width must be >= 2")
+    // one md5 per row; h_i derived arithmetically (a, b < 2^56 and
+    // i ≤ 7, so a + i·b < 2^59 — no overflow)
+    val h = md5(concat_ws("|", lit(seed.toString), col(valueCol).cast("string")))
+    val a = conv(substring(h, 1, 14), 16, 10).cast("long")
+    val b = conv(substring(h, 17, 14), 16, 10).cast("long")
+    val buckets = array((0 until depth).map(i =>
+      pmod(a + lit(i.toLong) * b, lit(width.toLong))): _*)
+    val counters = df
+      .select(posexplode(buckets).as(Seq("__row", "__bucket")))
+      .groupBy(col("__row"), col("__bucket"))
+      .agg(count(lit(1)).as("__cnt"))
+    df.select(col(valueCol)).distinct()
+      .select(col(valueCol), posexplode(buckets).as(Seq("__row", "__bucket")))
+      .join(broadcast(counters), Seq("__row", "__bucket"))
+      .groupBy(col(valueCol))
+      .agg(min(col("__cnt")).as("est_count"))
+  }
 }

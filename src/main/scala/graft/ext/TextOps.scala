@@ -206,6 +206,50 @@ object TextOps {
       .select(col(idCol), col("term"), col("tf"), col("df"), col("score"))
   }
 
+  /** Gopher-style repetition quality signals (Rae et al. 2021 §A1.1:
+    * repetitious documents are low-quality training data): per
+    * document, the duplicate-WORD fraction (1 − distinct/total) and
+    * the duplicate-BIGRAM fraction over the single-space token stream.
+    * Boilerplate and template spam score high on the bigram fraction
+    * even when individual word variety looks fine.
+    *
+    * Tokenization is a literal single-space split — deliberately the
+    * simplest scheme two engines can't disagree on (the q97 contract
+    * oracle replays it in DuckDB via string_split + list_distinct).
+    *
+    * Shape: posexplode + one window `lead` to stitch bigrams + one
+    * aggregate, all on the SAME doc-id partitioning — a single
+    * exchange end-to-end, no HOF lambdas in the loop (array_distinct
+    * on long token arrays would be per-row interpreted work; the
+    * explode + countDistinct form is codegen'd and map-side-partial).
+    *
+    * Returns (idCol, n_words long, dup_word_frac double,
+    * n_bigrams long, dup_bigram_frac double). */
+  def repetitionStats(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = docs.select(col(idCol),
+      posexplode(split(col(textCol), " ")).as(Seq("__p", "__t")))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__p"))
+    // concat (not concat_ws): NULL next-token must yield a NULL bigram
+    // so count/countDistinct skip the last token's non-bigram
+    val g = tok.withColumn("__g",
+      concat(col("__t"), lit(" "), lead(col("__t"), 1).over(w)))
+    g.groupBy(col(idCol)).agg(
+        count(lit(1)).as("n_words"),
+        countDistinct(col("__t")).as("__ndw"),
+        count(col("__g")).as("n_bigrams"),
+        countDistinct(col("__g")).as("__ndb"))
+      .select(col(idCol), col("n_words"),
+        (lit(1.0) - col("__ndw").cast("double") / col("n_words").cast("double"))
+          .as("dup_word_frac"),
+        col("n_bigrams"),
+        when(col("n_bigrams") === 0, lit(0.0))
+          .otherwise(lit(1.0) -
+            col("__ndb").cast("double") / col("n_bigrams").cast("double"))
+          .as("dup_bigram_frac"))
+  }
+
   /** Word n-gram shingles as ROWS (id, shingle), with multiplicity —
     * the hot-path formulation: posexplode tokens, then window `lead` to
     * stitch each n-gram. Everything stays inside whole-stage codegen

@@ -61,6 +61,27 @@ class SketchesSpec extends SparkSpec {
     assert(math.abs(est("g") - 40L) <= 10, s"linear counting off: ${est("g")}")
   }
 
+  test("count-min: never underestimates, exact at generous width, tighter with depth") {
+    val data = ((1 to 300).map(_ => "hot") ++ (1 to 60).map(i => s"mid${i % 3}") ++
+      (1 to 40).map(i => s"tail$i")).toDF("v")
+    val exact = data.groupBy($"v").count().as[(String, Long)].collect().toMap
+    // narrow sketch: estimates may inflate but NEVER deflate
+    val narrow = Sketches.countMinFrequency(data, "v", depth = 4, width = 16)
+      .as[(String, Long)].collect().toMap
+    exact.foreach { case (v, n) =>
+      assert(narrow(v) >= n, s"$v: est ${narrow(v)} < exact $n — CMS must overestimate")
+    }
+    // generous sketch: 43 distinct values across 4x4096 counters — the
+    // fixed seed gives collision-free rows for every value (regression-
+    // locked; a collision would only show as a benign overestimate)
+    val wide = Sketches.countMinFrequency(data, "v", depth = 4, width = 4096)
+      .as[(String, Long)].collect().toMap
+    assert(wide == exact, "wide sketch should be collision-free here")
+    // the heavy hitter cannot be ranked out: its estimate stays >= 300
+    // while true-tail values can only inflate, never deflate below hot
+    assert(narrow("hot") >= 300L)
+  }
+
   test("sampled discrete median: close to the exact median, is an actual value") {
     val li = Fx.t(spark, sfDir, "lineitem")
     val exact = li.groupBy($"l_returnflag")

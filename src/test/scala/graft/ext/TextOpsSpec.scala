@@ -82,4 +82,20 @@ class TextOpsSpec extends SparkSpec {
     // cherry (rare, df=1) must outscore common (df=3): 2.0 vs 1.0
     assert(out(2L)("cherry") > out(2L)("common"))
   }
+
+  test("repetitionStats: hand-checked word and bigram duplicate fractions") {
+    val docs = Seq(
+      (1L, "a a b"),      // words 3, distinct 2; bigrams "a a","a b" distinct
+      (2L, "x"),          // single word: no bigrams → frac 0.0, not NaN
+      (3L, "a a a a"),    // words 4/1 distinct; bigrams "a a"×3, 1 distinct
+      (4L, "w x y z")     // all unique
+    ).toDF("doc_id", "text")
+    val out = TextOps.repetitionStats(docs, "doc_id", "text")
+      .as[(Long, Long, Double, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(out(1L) == ((3L, 1.0 - 2.0 / 3.0, 2L, 0.0)))
+    assert(out(2L) == ((1L, 0.0, 0L, 0.0)))
+    assert(out(3L) == ((4L, 0.75, 3L, 1.0 - 1.0 / 3.0)))
+    assert(out(4L) == ((4L, 0.0, 3L, 0.0)))
+  }
 }
