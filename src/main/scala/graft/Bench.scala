@@ -48,6 +48,15 @@ object Bench {
       t
     }
     val order = SparkEntry.queries.toSeq.sortBy(_._1)
+    // the stdout line keys queries by qNN prefix — fail BEFORE the
+    // first timed pass (the keys are known now; discovering a
+    // duplicate after minutes of measurement would waste the run and
+    // emit no JSON at all)
+    locally {
+      val shortKeys = order.map(_._1.takeWhile(_ != '_'))
+      val dups = shortKeys.diff(shortKeys.distinct).distinct
+      require(dups.isEmpty, s"duplicate short bench keys: ${dups.mkString(",")}")
+    }
     val samples = scala.collection.mutable.Map.empty[String, List[Double]]
       .withDefaultValue(Nil)
     for (_ <- 0 until 2; (name, fn) <- order)
@@ -62,13 +71,6 @@ object Bench {
     // null and keep the headline total an aggregate of SUCCESSFUL runs
     def fmt(v: Double): String = BigDecimal(v)
       .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    // the stdout line keys queries by qNN prefix — refuse to emit a
-    // line that would silently drop a timing under a duplicate key
-    locally {
-      val shortKeys = results.map(_._1.takeWhile(_ != '_'))
-      val dups = shortKeys.diff(shortKeys.distinct).distinct
-      require(dups.isEmpty, s"duplicate short bench keys: ${dups.mkString(",")}")
-    }
     def entries(short: Boolean) = results.map { case (k, v) =>
       val key = if (short) k.takeWhile(_ != '_') else k
       "\"" + key + "\":" + (if (failed.contains(k)) "null" else fmt(v))

@@ -1769,8 +1769,12 @@ object SparkEntry {
         s"(((x >> $i) & 1) << ${2 * i})", s"(((y >> $i) & 1) << ${2 * i + 1})"))
       s"""WITH q AS (
         |  SELECT event_id,
-        |    (CAST(user_id AS BIGINT) * 65536) // 10000 AS x,
-        |    (CAST(event_id AS BIGINT) * 65536) // 65536 AS y
+        |    CASE WHEN user_id IS NULL THEN NULL
+        |         ELSE (least(greatest(CAST(user_id AS BIGINT), 0), 9999) * 65536) // 10000
+        |    END AS x,
+        |    CASE WHEN event_id IS NULL THEN NULL
+        |         ELSE (least(greatest(CAST(event_id AS BIGINT), 0), 65535) * 65536) // 65536
+        |    END AS y
         |  FROM events WHERE event_id <= 2000)
         |SELECT event_id, ${terms.mkString(" | ")} AS z
         |FROM q ORDER BY event_id""".stripMargin
@@ -2026,8 +2030,8 @@ object SparkEntry {
     "q95_heavy_hitters" ->
       """WITH v AS (SELECT CAST(user_id AS VARCHAR) AS val FROM events),
         |h AS (SELECT val,
-        |  CAST(concat('0x', substring(md5(concat('42', '|', val)), 1, 14)) AS BIGINT) AS a,
-        |  CAST(concat('0x', substring(md5(concat('42', '|', val)), 17, 14)) AS BIGINT) AS b
+        |  CAST(concat('0x', substring(md5(concat_ws('|', '42', val)), 1, 14)) AS BIGINT) AS a,
+        |  CAST(concat('0x', substring(md5(concat_ws('|', '42', val)), 17, 14)) AS BIGINT) AS b
         |  FROM v),
         |pos AS (SELECT val, i, (a + i * b) % 256 AS bucket FROM h, range(4) t(i)),
         |counters AS (SELECT i, bucket, count(*) AS cnt FROM pos GROUP BY 1, 2),
@@ -2047,7 +2051,8 @@ object SparkEntry {
 
     // single-space split + list_distinct mirror the Spark token stream
     "q97_repetition" ->
-      """WITH l AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      """WITH l AS (SELECT doc_id, string_split(text, ' ') AS w
+        |  FROM documents WHERE text IS NOT NULL),
         |b AS (SELECT doc_id, w,
         |  list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]) AS g FROM l)
         |SELECT doc_id,

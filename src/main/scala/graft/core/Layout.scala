@@ -60,8 +60,13 @@ object Layout {
         "use fewer bits or a narrower [lo, hi]")
     // out-of-domain inputs are clamped to the edge cells (a value the
     // caller said can't happen lands in cell 0 or 2^bits−1 instead of
-    // corrupting the curve with a negative / overflowing bucket)
-    val x = least(greatest(c.cast("long"), lit(lo)), lit(hi))
+    // corrupting the curve with a negative / overflowing bucket).
+    // NULL must PROPAGATE, not clamp: Spark's greatest/least skip NULL
+    // arguments, which would silently co-locate missing values with
+    // the domain minimum — gate on isNotNull so NULL stays NULL (and
+    // the z-value built from it stays NULL), like plain arithmetic.
+    val x0 = c.cast("long")
+    val x = when(x0.isNotNull, least(greatest(x0, lit(lo)), lit(hi)))
     // Catalyst IntegralDivide (`div`): exact long division — a double
     // round-trip would lose bits past 2^53
     import org.apache.spark.sql.graft.Bridge

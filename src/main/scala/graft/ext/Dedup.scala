@@ -242,11 +242,9 @@ object Dedup {
       // (no overflow: a, b < 2^56, i < k ≤ 64 ⇒ h_i < 2^62). The
       // vocab joins back broadcast-style when it fits (AQE decides),
       // preserving the doc-id partitioning for the signature groupBy.
-      val m = md5(concat_ws("|", lit("0"), col("shingle")))
+      val (ha, hb) = PortableHash.pair56(col("shingle"), 0L)
       val vocab = sh.select(col("shingle")).distinct()
-        .select(col("shingle"),
-          conv(substring(m, 1, 14), 16, 10).cast("long").as("__ha"),
-          conv(substring(m, 17, 14), 16, 10).cast("long").as("__hb"))
+        .select(col("shingle"), ha.as("__ha"), hb.as("__hb"))
       val withH = sh.join(vocab, Seq("shingle"))
       val aggs = (0 until k).map(i =>
         min(col("__ha") + lit(i.toLong) * col("__hb")).as(s"h$i"))

@@ -1,0 +1,35 @@
+package graft.ext
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** THE portable-hash recipe every cross-engine-replayable operator in
+  * this repo derives from: one seed-prefixed md5 per value, split into
+  * two independent 56-bit halves (hex chars 1-14 and 17-30) that seed
+  * 2-universal families h_i = a + i·b. md5 is the one hash DuckDB /
+  * Postgres / Spark all compute identically (xxhash64 has no cross-
+  * engine twin), and 56 bits is the widest hex slice that converts
+  * losslessly through a signed long.
+  *
+  * Every DuckDB oracle that replays a sketch/LSH pipeline re-derives
+  * these exact expressions (`CAST(concat('0x', substring(md5(
+  * concat_ws('|', seed, v)), 1, 14)) AS BIGINT)` …) — change them
+  * ONLY together. Users: MinHash vocabulary hashing (Dedup), count-min
+  * (Sketches), Bloom pruning (BloomJoin); KMV/HLL/sampling use the
+  * single-half form with their own scaling.
+  */
+object PortableHash {
+
+  /** Seed-prefixed md5 hex digest (32 chars). NULL values hash as if
+    * absent from the concat (concat_ws drops NULL) — oracles must use
+    * DuckDB's concat_ws, not concat, to mirror this. */
+  def md5Hex(c: Column, seed: Long): Column =
+    md5(concat_ws("|", lit(seed.toString), c.cast("string")))
+
+  /** Two independent 56-bit hashes from one md5. */
+  def pair56(c: Column, seed: Long): (Column, Column) = {
+    val h = md5Hex(c, seed)
+    (conv(substring(h, 1, 14), 16, 10).cast("long"),
+      conv(substring(h, 17, 14), 16, 10).cast("long"))
+  }
+}

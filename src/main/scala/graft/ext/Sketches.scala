@@ -160,11 +160,15 @@ object Sketches {
       depth: Int = 4, width: Int = 256, seed: Long = 42L): DataFrame = {
     require(depth >= 1 && depth <= 8, s"depth $depth outside [1, 8]")
     require(width >= 2, s"width $width must be >= 2")
+    // the counter matrix is broadcast back to the values — keep it
+    // inside a broadcast budget (4M counters ≈ 64 MB of rows) instead
+    // of letting a huge width OOM the driver with no diagnostic
+    require(depth.toLong * width <= (1L << 22),
+      s"depth×width = ${depth.toLong * width} exceeds 2^22 counters — " +
+        "narrow the sketch (its point is sublinear size)")
     // one md5 per row; h_i derived arithmetically (a, b < 2^56 and
     // i ≤ 7, so a + i·b < 2^59 — no overflow)
-    val h = md5(concat_ws("|", lit(seed.toString), col(valueCol).cast("string")))
-    val a = conv(substring(h, 1, 14), 16, 10).cast("long")
-    val b = conv(substring(h, 17, 14), 16, 10).cast("long")
+    val (a, b) = PortableHash.pair56(col(valueCol), seed)
     val buckets = array((0 until depth).map(i =>
       pmod(a + lit(i.toLong) * b, lit(width.toLong))): _*)
     val counters = df

@@ -223,12 +223,17 @@ object TextOps {
     * on long token arrays would be per-row interpreted work; the
     * explode + countDistinct form is codegen'd and map-side-partial).
     *
+    * NULL-text documents are EXCLUDED from the output (made explicit
+    * by the filter — posexplode of a NULL array would drop them
+    * silently). Flag/handle nulls upstream; a repetition score for a
+    * missing document is not 0, it is undefined.
+    *
     * Returns (idCol, n_words long, dup_word_frac double,
     * n_bigrams long, dup_bigram_frac double). */
   def repetitionStats(docs: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val tok = docs.select(col(idCol),
+    val tok = docs.filter(col(textCol).isNotNull).select(col(idCol),
       posexplode(split(col(textCol), " ")).as(Seq("__p", "__t")))
     val w = Window.partitionBy(col(idCol)).orderBy(col("__p"))
     // concat (not concat_ws): NULL next-token must yield a NULL bigram

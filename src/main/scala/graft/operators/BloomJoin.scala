@@ -36,17 +36,9 @@ import org.apache.spark.sql.catalyst.expressions.{ShiftRight => CShiftRight}
   */
 object BloomJoin {
 
-  /** Two independent 56-bit hashes from one md5 (the same split every
-    * portable sketch in this repo uses). */
-  private def hashPair(c: Column, seed: Long): (Column, Column) = {
-    val h = md5(concat_ws("|", lit(seed.toString), c.cast("string")))
-    (conv(substring(h, 1, 14), 16, 10).cast("long"),
-      conv(substring(h, 17, 14), 16, 10).cast("long"))
-  }
-
   private def positions(c: Column, numBits: Int, numHashes: Int,
       seed: Long): Seq[Column] = {
-    val (a, b) = hashPair(c, seed)
+    val (a, b) = graft.ext.PortableHash.pair56(c, seed)
     // a, b < 2^56, i ≤ 15 ⇒ a + i·b < 2^60: no overflow
     (0 until numHashes).map(i => pmod(a + lit(i.toLong) * b, lit(numBits.toLong)))
   }
@@ -110,7 +102,13 @@ object BloomJoin {
       s"bloom pruning keeps inner/left_semi semantics only, got: $joinType")
     val words = membershipWords(
       small.select(col(smallKey)).distinct(), smallKey, numBits, numHashes, seed)
+    // subquery aliases: unqualified col(bigKey) === col(smallKey) is
+    // AMBIGUOUS whenever both sides name the join key identically (the
+    // common case) — qualify through the aliases instead
     big.filter(mightContain(col(bigKey), words, numBits, numHashes, seed))
-      .join(small, col(bigKey) === col(smallKey), joinType)
+      .as("__bloom_big")
+      .join(small.as("__bloom_small"),
+        col(s"__bloom_big.$bigKey") === col(s"__bloom_small.$smallKey"),
+        joinType)
   }
 }

@@ -59,6 +59,14 @@ class LayoutSpec extends SparkSpec {
     assert(df.forall(b => b >= 0 && b < 65536))
   }
 
+  test("rangeBucket: NULL propagates instead of clamping to cell 0") {
+    val df = Seq[Option[Long]](Some(5L), None).toDF("v")
+      .select(Layout.rangeBucket($"v", 0L, 9999L, 16).as("b"))
+      .as[Option[Long]].collect()
+    assert(df(0).isDefined)
+    assert(df(1).isEmpty, "NULL input must yield NULL bucket, not cell 0")
+  }
+
   test("rangeBucket: refuses domains whose scaled width overflows a long") {
     // width · 2^bits > Long.MaxValue → the multiply would wrap silently
     intercept[IllegalArgumentException] {

@@ -98,4 +98,11 @@ class TextOpsSpec extends SparkSpec {
     assert(out(3L) == ((4L, 0.75, 3L, 1.0 - 1.0 / 3.0)))
     assert(out(4L) == ((4L, 0.0, 3L, 0.0)))
   }
+
+  test("repetitionStats: NULL-text documents are excluded, not zeroed") {
+    val docs = Seq((1L, Some("a b")), (2L, None)).toDF("doc_id", "text")
+    val ids = TextOps.repetitionStats(docs, "doc_id", "text")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(ids == Set(1L), "NULL text has no defined repetition score")
+  }
 }

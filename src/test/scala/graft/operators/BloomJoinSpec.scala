@@ -53,6 +53,14 @@ class BloomJoinSpec extends SparkSpec {
     }
   }
 
+  test("same-named join keys resolve (no ambiguous-reference crash)") {
+    val l = Seq((1L, "a"), (2L, "b"), (9L, "z")).toDF("k", "lv")
+    val r = Seq((1L, "d1"), (2L, "d2")).toDF("k", "rv")
+    val out = BloomJoin.prunedJoin(l, "k", r, "k", numBits = 1 << 12)
+      .select($"lv", $"rv").as[(String, String)].collect().toSet
+    assert(out == Set(("a", "d1"), ("b", "d2")))
+  }
+
   test("left_semi pruned join matches plain left_semi") {
     val plain = big.join(small, $"bk" === $"sk", "left_semi")
       .select("bk", "payload").collect().toSet
