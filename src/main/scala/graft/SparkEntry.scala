@@ -1316,6 +1316,23 @@ object SparkEntry {
       graft.operators.SkewJoin.saltedJoin(l, r, Seq("ck"), saltBuckets = 8)
         .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
         .orderBy(col("c_mktsegment"))
+    }),
+
+    // Incremental dedup (ext.Dedup.incrementalExact): new docs plus
+    // resubmissions of corpus content under fresh ids — the
+    // resubmissions must be dropped by content fingerprint even though
+    // their ids are novel; the bloom split must not drop novel docs.
+    "q99_incremental_dedup" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val corpus = docs.filter(col("doc_id") % 3 === 0)
+      val batch = docs.filter(col("doc_id") % 3 =!= 0)
+        .unionByName(corpus.withColumn("doc_id", col("doc_id") + 100000))
+      // 2^16 bits ≈ 10 bits/key at this corpus size; the API default
+      // (2^20) would embed a 16K-long literal per union branch for a
+      // fixture-sized corpus — same result, heavier plan
+      Dedup.incrementalExact(batch, corpus, "text", bloomBits = 1 << 16)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -2068,6 +2085,22 @@ object SparkEntry {
     "q98_salted_join" ->
       """SELECT c_mktsegment, count(*) AS n
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the bloom split is invisible in the result: NOT IN by the q39
+    // fingerprint (no NULL texts in the fixture, so NOT IN ≡ anti-join)
+    "q99_incremental_dedup" ->
+      """WITH fp AS (
+        |  SELECT doc_id, lang,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS f
+        |  FROM documents),
+        |corpus AS (SELECT f FROM fp WHERE doc_id % 3 = 0),
+        |batch AS (
+        |  SELECT doc_id, lang, f FROM fp WHERE doc_id % 3 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id, lang, f FROM fp WHERE doc_id % 3 = 0)
+        |SELECT doc_id, lang FROM batch
+        |WHERE f NOT IN (SELECT f FROM corpus)
+        |ORDER BY doc_id""".stripMargin
   )
 }

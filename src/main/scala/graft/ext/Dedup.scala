@@ -46,6 +46,37 @@ object Dedup {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** INCREMENTAL exact dedup: keep only `batch` rows whose normalized
+    * content fingerprint ([[TextOps.fingerprintMd5]]) is absent from
+    * `corpus` — the arriving-batch-vs-existing-corpus shape a
+    * continuously ingesting pipeline runs per batch (re-running
+    * [[exact]] over corpus+batch would re-shuffle the corpus every
+    * time).
+    *
+    * Scale shape: the corpus collapses to its DISTINCT fingerprint set
+    * once, and a Bloom bitmap of that set
+    * ([[graft.operators.BloomJoin]]) splits the batch BEFORE any
+    * shuffle: a fingerprint that fails the bloom is DEFINITELY novel
+    * (no false negatives) and bypasses the join entirely; only the
+    * maybe-duplicate sliver anti-joins against the fingerprint set for
+    * exact verification, so bloom false positives can never drop a
+    * novel document. For the common mostly-novel batch, almost nothing
+    * shuffles. Batch-internal duplicates are NOT collapsed here — run
+    * [[exact]] on the batch first if that matters. */
+  def incrementalExact(batch: DataFrame, corpus: DataFrame, textCol: String,
+      bloomBits: Int = 1 << 20, seed: Long = 42L): DataFrame = {
+    import graft.operators.BloomJoin
+    val fp = TextOps.fingerprintMd5(col(textCol))
+    val batchFp = batch.withColumn("__fp", fp)
+    val corpusFp = corpus.select(fp.as("__fp")).distinct()
+    val words = BloomJoin.membershipWords(corpusFp, "__fp", bloomBits, 5, seed)
+    val maybeDup = BloomJoin.mightContain(col("__fp"), words, bloomBits, 5, seed)
+    batchFp.filter(!maybeDup)
+      .unionByName(batchFp.filter(maybeDup)
+        .join(corpusFp, Seq("__fp"), "left_anti"))
+      .drop("__fp")
+  }
+
   /** Keep-latest-per-key (the streaming analogue of the reference's
     * upsert merge rule, reference revtron/database/main.py:109-112):
     * last row by `orderCol` wins, ties broken by `tieBreak` desc. */

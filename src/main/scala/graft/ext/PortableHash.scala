@@ -15,8 +15,9 @@ import org.apache.spark.sql.functions._
   * these exact expressions (`CAST(concat('0x', substring(md5(
   * concat_ws('|', seed, v)), 1, 14)) AS BIGINT)` …) — change them
   * ONLY together. Users: MinHash vocabulary hashing (Dedup), count-min
-  * (Sketches), Bloom pruning (BloomJoin); KMV/HLL/sampling use the
-  * single-half form with their own scaling.
+  * (Sketches); KMV/HLL/sampling use the single-half form with their
+  * own scaling. (BloomJoin deliberately does NOT use this: its bitmap
+  * is never oracle-replayed, so it takes the faster native xxhash64.)
   */
 object PortableHash {
 

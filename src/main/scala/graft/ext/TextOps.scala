@@ -240,11 +240,15 @@ object TextOps {
     // so count/countDistinct skip the last token's non-bigram
     val g = tok.withColumn("__g",
       concat(col("__t"), lit(" "), lead(col("__t"), 1).over(w)))
+    // distinct counts via collect_set sizes, NOT countDistinct: two
+    // countDistincts over one aggregate desugar through Expand and two
+    // extra exchanges; collect_set aggregates directly on the window's
+    // doc-id partitioning (set size is bounded by the doc vocabulary)
     g.groupBy(col(idCol)).agg(
         count(lit(1)).as("n_words"),
-        countDistinct(col("__t")).as("__ndw"),
+        size(collect_set(col("__t"))).cast("long").as("__ndw"),
         count(col("__g")).as("n_bigrams"),
-        countDistinct(col("__g")).as("__ndb"))
+        size(collect_set(col("__g"))).cast("long").as("__ndb"))
       .select(col(idCol), col("n_words"),
         (lit(1.0) - col("__ndw").cast("double") / col("n_words").cast("double"))
           .as("dup_word_frac"),

@@ -18,10 +18,12 @@ import org.apache.spark.sql.catalyst.expressions.{ShiftRight => CShiftRight}
   * size/selectivity thresholds and plan-shape preconditions line up,
   * silently does nothing otherwise, and its filter lives inside one
   * query's physical plan. This operator is the explicit form — it
-  * always prunes, the bitmap is a pure function of (seed, keys) via
-  * the md5-derived double hashing h_i = (a + i·b) mod m, and the
-  * pruned frame is an ordinary DataFrame you can reuse across several
-  * joins or write out.
+  * always prunes, the bitmap is a deterministic pure function of
+  * (seed, keys) via xxhash64 double hashing h_i = (h1 + i·h2) mod m,
+  * and the pruned frame is an ordinary DataFrame you can reuse across
+  * several joins or write out. (The bitmap is engine-INTERNAL by
+  * design: no oracle ever replays it, because the verifying join
+  * makes the result independent of which bits are set.)
   *
   * Scale shape: the bitmap build is one distributed aggregate —
   * explode keys ×k into bit positions, `bit_or` partial-aggregated
@@ -38,9 +40,19 @@ object BloomJoin {
 
   private def positions(c: Column, numBits: Int, numHashes: Int,
       seed: Long): Seq[Column] = {
-    val (a, b) = graft.ext.PortableHash.pair56(c, seed)
-    // a, b < 2^56, i ≤ 15 ⇒ a + i·b < 2^60: no overflow
-    (0 until numHashes).map(i => pmod(a + lit(i.toLong) * b, lit(numBits.toLong)))
+    // xxhash64, NOT the md5-derived portable hash: the bloom's content
+    // is never replayed by an oracle (correctness comes from the
+    // verifying join, and the result equals the plain join regardless
+    // of which bits are set), so the probe takes the cheapest
+    // deterministic hash Spark codegens natively — md5+conv measured
+    // ~3× slower on the big side's per-row probe. Double hashing
+    // h_i = h1 + i·h2 over 56-bit-masked hashes: ANSI mode is on, so
+    // the combination must be provably wrap-free (h < 2^56, i ≤ 15 ⇒
+    // h1 + i·h2 < 2^60), exactly the bound the md5 halves satisfied.
+    val mask = lit((1L << 56) - 1L)
+    val h1 = xxhash64(lit(seed), c).bitwiseAND(mask)
+    val h2 = xxhash64(lit(seed + 1L), c).bitwiseAND(mask)
+    (0 until numHashes).map(i => pmod(h1 + lit(i.toLong) * h2, lit(numBits.toLong)))
   }
 
   private def checkParams(numBits: Int, numHashes: Int): Unit = {

@@ -134,6 +134,40 @@ class PlanShapeSpec extends SparkSpec {
     assert("(?m)^\\(\\d+\\) Exchange".r.findAllIn(p).size == 1, p)
   }
 
+  test("bloom-pruned join probes BEFORE the join: filter sits on the big-side scan") {
+    val p = planOf("q96_bloom_join")
+    // the probe (element_at over the literal word array) must appear in
+    // a Filter, and the big side must reach the join already pruned —
+    // no plan where the bloom test runs post-join
+    assert(p.contains("element_at"), p)
+    val probeIdx = p.indexOf("element_at")
+    val joinIdx = math.max(p.indexOf("BroadcastHashJoin"), p.indexOf("SortMergeJoin"))
+    assert(joinIdx >= 0, "join missing: " + p)
+    // formatted mode lists operators top-down then details; the filter
+    // node referencing element_at must be a CHILD of the join in the
+    // tree section — assert via the tree: Filter line precedes the
+    // big-side Scan and sits under the join's left branch
+    assert("(?s)Join.*:- Filter.*:  \\+- Scan parquet".r
+      .findFirstIn(p).isDefined, "bloom probe not on the scan side: " + p)
+  }
+
+  test("count-min estimates broadcast the counter matrix and reuse the distinct partitioning") {
+    val p = planOf("q95_heavy_hitters")
+    assert(p.contains("BroadcastHashJoin"), "counter join must broadcast: " + p)
+    assert(p.contains("TakeOrderedAndProject"), "top-k must not global-sort: " + p)
+    // two exchanges: the distinct on values and the counter aggregate —
+    // the final min-estimate groupBy must NOT add a third
+    assert("(?m)^\\(\\d+\\) Exchange".r.findAllIn(p).size == 2, p)
+  }
+
+  test("repetition stats run on a single doc-id exchange end-to-end") {
+    val p = planOf("q97_repetition")
+    // window (bigram lead) + aggregate share the exploded doc-id
+    // partitioning: one data exchange plus the final presentation sort
+    val exchanges = "(?m)^\\(\\d+\\) Exchange".r.findAllIn(p).size
+    assert(exchanges <= 2, s"expected <=2 exchanges (data + sort), got $exchanges: " + p)
+  }
+
   test("q89's bucketed join plans with no exchange on the bucket key") {
     // formatted-mode explain splits operator and arguments onto
     // separate lines, and the tiny fixture would broadcast (which

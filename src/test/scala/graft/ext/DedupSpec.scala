@@ -112,6 +112,27 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("incrementalExact: resubmitted content drops, novel content survives bloom FPs") {
+    val corpus = Seq((1L, "alpha text"), (2L, "beta text"), (3L, "gamma text"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "delta text"),   // novel
+      (11L, "Beta   Text"),  // resubmission (normalizes to corpus doc 2)
+      (12L, "epsilon text"), // novel
+      (13L, "alpha text")    // resubmission, verbatim
+    ).toDF("doc_id", "text")
+    // minimal bitmap (64 bits, 3 keys × 5 probes): high FP probability
+    // by construction — novel docs must STILL survive via the verifying
+    // anti-join, resubmissions must still drop
+    val kept = Dedup.incrementalExact(batch, corpus, "text", bloomBits = 64)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept == Set(10L, 12L))
+    // and with a roomy bitmap the same answer
+    val kept2 = Dedup.incrementalExact(batch, corpus, "text", bloomBits = 1 << 12)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept2 == Set(10L, 12L))
+  }
+
   test("connected components: fractional ids converge exactly (no decimal-sum shortcut)") {
     // chain 0.1-0.2-0.3: every label decrease is < 1, so a sum cast to
     // decimal(38,0) never moves — the integral-only gate must route
