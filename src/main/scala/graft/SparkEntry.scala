@@ -1333,6 +1333,18 @@ object SparkEntry {
       Dedup.incrementalExact(batch, corpus, "text", bloomBits = 1 << 16)
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Decontamination (ext.TextOps.contaminatedDocs): every doc
+    // sharing a 5-gram with the stand-in benchmark slice (doc_id %
+    // 17 = 0) is flagged with its distinct-hit count; benchmark docs
+    // flag themselves, cross-doc hits come from shared shingles.
+    // (n = 5, not the published 13: fixture docs are ~30-60 words.)
+    "q100_decontaminate" -> ((s, d) => {
+      val bench = T(s, d, "documents").filter(col("doc_id") % 17 === 0)
+      TextOps.contaminatedDocs(docsSpread(s, d), "doc_id", "text",
+        bench, "doc_id", "text", n = 5)
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -2101,6 +2113,19 @@ object SparkEntry {
         |  SELECT doc_id + 100000 AS doc_id, lang, f FROM fp WHERE doc_id % 3 = 0)
         |SELECT doc_id, lang FROM batch
         |WHERE f NOT IN (SELECT f FROM corpus)
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    // the q44 n-gram machinery at n=5; benchmark shingles drawn from
+    // the same exploded stream (the benchmark IS a corpus slice here)
+    "q100_decontaminate" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS tokens FROM documents),
+        |sh AS (
+        |  SELECT doc_id, CASE WHEN len(tokens) >= 5 THEN list_transform(range(1, len(tokens) - 3), i -> array_to_string(tokens[i:i+4], ' ')) ELSE [] END AS s FROM tk),
+        |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        |bench AS (SELECT DISTINCT g FROM ex WHERE doc_id % 17 = 0)
+        |SELECT e.doc_id, count(DISTINCT e.g) AS n_hits
+        |FROM ex e JOIN bench b ON e.g = b.g
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -206,6 +206,32 @@ object TextOps {
       .select(col(idCol), col("term"), col("tf"), col("df"), col("score"))
   }
 
+  /** Benchmark DECONTAMINATION: flag training documents that share at
+    * least one word n-gram with an evaluation/benchmark corpus — the
+    * contamination check every serious LLM data pipeline runs before
+    * training (e.g. GPT-3 appendix C / Dolma's 13-gram overlap rule;
+    * n = 13 is that published default, scaled down only for tiny
+    * fixtures). Returns (idCol, n_hits = distinct shared n-grams > 0)
+    * for CONTAMINATED docs only; clean docs don't appear.
+    *
+    * Scale shape: the benchmark side collapses to its DISTINCT shingle
+    * set — small by construction (benchmarks are MBs, the corpus is
+    * the 100 TB side) — so the semi-join broadcasts; the corpus side
+    * streams through the codegen'd [[shingleRows]] explode without
+    * ever shuffling its text. The per-doc hit count aggregates on the
+    * shingle rows' existing doc-id partitioning. */
+  def contaminatedDocs(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, bench: org.apache.spark.sql.DataFrame,
+      benchIdCol: String, benchTextCol: String,
+      n: Int = 13): org.apache.spark.sql.DataFrame = {
+    val docSh = shingleRows(docs, idCol, textCol, n)
+    val benchSh = shingleRows(bench, benchIdCol, benchTextCol, n)
+      .select(col("shingle")).distinct()
+    docSh.join(benchSh, Seq("shingle"), "left_semi")
+      .groupBy(col(idCol))
+      .agg(countDistinct(col("shingle")).as("n_hits"))
+  }
+
   /** Gopher-style repetition quality signals (Rae et al. 2021 §A1.1:
     * repetitious documents are low-quality training data): per
     * document, the duplicate-WORD fraction (1 − distinct/total) and

@@ -99,6 +99,20 @@ class TextOpsSpec extends SparkSpec {
     assert(out(4L) == ((4L, 0.0, 3L, 0.0)))
   }
 
+  test("contaminatedDocs: flags exactly the docs sharing an n-gram with the benchmark") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"), // contains bench 5-gram
+      (2L, "totally unrelated words in this document here"),
+      (3L, "quick brown fox jumps over and keeps running"), // shares the 5-gram too
+      (4L, "the quick brown fox naps")                      // only 4 shared tokens in a row
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "quick brown fox jumps over")).toDF("bid", "btext")
+    val out = TextOps.contaminatedDocs(docs, "doc_id", "text", bench, "bid", "btext", n = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 3L -> 1L),
+      s"docs 1 and 3 contain the benchmark 5-gram verbatim; got $out")
+  }
+
   test("repetitionStats: NULL-text documents are excluded, not zeroed") {
     val docs = Seq((1L, Some("a b")), (2L, None)).toDF("doc_id", "text")
     val ids = TextOps.repetitionStats(docs, "doc_id", "text")
