@@ -1327,9 +1327,11 @@ object SparkEntry {
       val corpus = docs.filter(col("doc_id") % 3 === 0)
       val batch = docs.filter(col("doc_id") % 3 =!= 0)
         .unionByName(corpus.withColumn("doc_id", col("doc_id") + 100000))
-      // 2^16 bits ≈ 10 bits/key at this corpus size; the API default
-      // (2^20) would embed a 16K-long literal per union branch for a
-      // fixture-sized corpus — same result, heavier plan
+      // 2^16 bits is ~39 bits/key at the sf0.1 corpus (~1667 distinct
+      // fingerprints) — far past the ~10 bits/key the 1 %-FP rule
+      // needs; the API default (2^20) would embed a 16K-long literal
+      // per union branch for a fixture-sized corpus — same result,
+      // heavier plan
       Dedup.incrementalExact(batch, corpus, "text", bloomBits = 1 << 16)
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))

@@ -62,13 +62,30 @@ object Dedup {
     * exact verification, so bloom false positives can never drop a
     * novel document. For the common mostly-novel batch, almost nothing
     * shuffles. Batch-internal duplicates are NOT collapsed here — run
-    * [[exact]] on the batch first if that matters. */
+    * [[exact]] on the batch first if that matters.
+    *
+    * Both fingerprint frames are PERSISTED: the corpus set is consumed
+    * twice (bloom build now, anti-join verification at execution) and
+    * the batch twice (both union branches) — without the persists each
+    * would re-scan and re-fingerprint its source per consumer, doubling
+    * the dominant cost at corpus scale. The persisted fingerprint set
+    * is 32 bytes/doc (spills fine); drop both with
+    * `spark.catalog.clearCache()` (or unpersist) after materializing.
+    *
+    * NULL-text batch rows are KEPT unconditionally: their fingerprint
+    * is NULL, which matches nothing — a missing document cannot be a
+    * known duplicate. Filter or repair NULLs upstream if they should
+    * not survive ingest. */
   def incrementalExact(batch: DataFrame, corpus: DataFrame, textCol: String,
       bloomBits: Int = 1 << 20, seed: Long = 42L): DataFrame = {
     import graft.operators.BloomJoin
+    import org.apache.spark.storage.StorageLevel
     val fp = TextOps.fingerprintMd5(col(textCol))
     val batchFp = batch.withColumn("__fp", fp)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val corpusFp = corpus.select(fp.as("__fp")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // materializes corpusFp's persist as a side effect
     val words = BloomJoin.membershipWords(corpusFp, "__fp", bloomBits, 5, seed)
     val maybeDup = BloomJoin.mightContain(col("__fp"), words, bloomBits, 5, seed)
     batchFp.filter(!maybeDup)

@@ -227,7 +227,12 @@ object TextOps {
     val docSh = shingleRows(docs, idCol, textCol, n)
     val benchSh = shingleRows(bench, benchIdCol, benchTextCol, n)
       .select(col("shingle")).distinct()
-    docSh.join(benchSh, Seq("shingle"), "left_semi")
+    // explicit broadcast: the bench side comes through explode + window
+    // + distinct, a shape the planner has no size statistics for — left
+    // to the estimate, a multi-MB benchmark tips past the broadcast
+    // threshold and the CORPUS shingles shuffle, which is exactly what
+    // this operator exists to avoid (plan-locked in PlanShapeSpec)
+    docSh.join(broadcast(benchSh), Seq("shingle"), "left_semi")
       .groupBy(col(idCol))
       .agg(countDistinct(col("shingle")).as("n_hits"))
   }
@@ -254,10 +259,21 @@ object TextOps {
     * silently). Flag/handle nulls upstream; a repetition score for a
     * missing document is not 0, it is undefined.
     *
+    * `boundedDocs = true` (default) computes the distinct counts via
+    * `collect_set` sizes, which aggregate directly on the window's
+    * doc-id partitioning — one data exchange end-to-end — but hold a
+    * doc's full distinct word/bigram sets in one aggregation buffer:
+    * right when document length is capped (as curation pipelines do
+    * before scoring), wrong for unbounded crawl blobs, where a single
+    * multi-hundred-MB document's bigram set can exhaust an executor.
+    * Set it false for the spillable `countDistinct` form (two extra
+    * Expand exchanges, nothing materialized per group).
+    *
     * Returns (idCol, n_words long, dup_word_frac double,
     * n_bigrams long, dup_bigram_frac double). */
   def repetitionStats(docs: org.apache.spark.sql.DataFrame, idCol: String,
-      textCol: String): org.apache.spark.sql.DataFrame = {
+      textCol: String,
+      boundedDocs: Boolean = true): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tok = docs.filter(col(textCol).isNotNull).select(col(idCol),
       posexplode(split(col(textCol), " ")).as(Seq("__p", "__t")))
@@ -266,15 +282,16 @@ object TextOps {
     // so count/countDistinct skip the last token's non-bigram
     val g = tok.withColumn("__g",
       concat(col("__t"), lit(" "), lead(col("__t"), 1).over(w)))
-    // distinct counts via collect_set sizes, NOT countDistinct: two
-    // countDistincts over one aggregate desugar through Expand and two
-    // extra exchanges; collect_set aggregates directly on the window's
-    // doc-id partitioning (set size is bounded by the doc vocabulary)
+    val (ndw, ndb) =
+      if (boundedDocs)
+        (size(collect_set(col("__t"))).cast("long"),
+          size(collect_set(col("__g"))).cast("long"))
+      else (countDistinct(col("__t")), countDistinct(col("__g")))
     g.groupBy(col(idCol)).agg(
         count(lit(1)).as("n_words"),
-        size(collect_set(col("__t"))).cast("long").as("__ndw"),
+        ndw.as("__ndw"),
         count(col("__g")).as("n_bigrams"),
-        size(collect_set(col("__g"))).cast("long").as("__ndb"))
+        ndb.as("__ndb"))
       .select(col(idCol), col("n_words"),
         (lit(1.0) - col("__ndw").cast("double") / col("n_words").cast("double"))
           .as("dup_word_frac"),

@@ -31,7 +31,7 @@ import org.apache.spark.sql.catalyst.expressions.{ShiftRight => CShiftRight}
   * (m ≤ 2^24 ⇒ ≤ 2 MiB, the same budget as a broadcast variable; the
   * words travel to executors as ONE array literal in the filter
   * expression). The big side's probe is a narrow codegen'd filter —
-  * k md5-derived probes per row, no shuffle, no UDF — that cuts the
+  * k xxhash64-derived probes per row, no shuffle, no UDF — that cuts the
   * join exchange by the non-matching fraction. At a 1 %
   * false-positive rate that is the difference between shuffling
   * 100 TB and shuffling the ~matching slice of it.
@@ -83,7 +83,7 @@ object BloomJoin {
     words
   }
 
-  /** Codegen'd membership probe: k md5-derived positions, each tested
+  /** Codegen'd membership probe: k xxhash64-derived positions, each tested
     * with (words[p >> 6] >> (p & 63)) & 1 against the word array
     * embedded as one literal. May return true for absent keys (the
     * Bloom false-positive) — never false for present ones. */

@@ -135,20 +135,37 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("bloom-pruned join probes BEFORE the join: filter sits on the big-side scan") {
-    val p = planOf("q96_bloom_join")
-    // the probe (element_at over the literal word array) must appear in
-    // a Filter, and the big side must reach the join already pruned —
-    // no plan where the bloom test runs post-join
-    assert(p.contains("element_at"), p)
-    val probeIdx = p.indexOf("element_at")
-    val joinIdx = math.max(p.indexOf("BroadcastHashJoin"), p.indexOf("SortMergeJoin"))
-    assert(joinIdx >= 0, "join missing: " + p)
-    // formatted mode lists operators top-down then details; the filter
-    // node referencing element_at must be a CHILD of the join in the
-    // tree section — assert via the tree: Filter line precedes the
-    // big-side Scan and sits under the join's left branch
-    assert("(?s)Join.*:- Filter.*:  \\+- Scan parquet".r
-      .findFirstIn(p).isDefined, "bloom probe not on the scan side: " + p)
+    // traverse the physical tree, not the formatted string (a string
+    // match can't tie the probe to its position — the round-3 vacuous-
+    // plan-test lesson): find the Filter whose condition is the bloom
+    // probe (element_at over the word-array literal) and require that
+    // NO join exists below it — i.e. it prunes the scan side, pre-join
+    import org.apache.spark.sql.execution.{FilterExec, SparkPlan}
+    val plan: SparkPlan = SparkEntry.queries("q96_bloom_join")(spark, sfDir)
+      .queryExecution.sparkPlan
+    val probeFilters = plan.collect {
+      case f: FilterExec if f.condition.toString.contains("element_at") => f
+    }
+    assert(probeFilters.nonEmpty, "bloom probe filter missing:\n" + plan)
+    probeFilters.foreach { f =>
+      val joinsBelow = f.collect {
+        case p if p.nodeName.toLowerCase.contains("join") => p
+      }
+      assert(joinsBelow.isEmpty,
+        "bloom probe must sit BELOW the join (pre-exchange), found above: " + f)
+    }
+    // and the plan does contain the verifying join itself
+    assert(plan.collect {
+      case p if p.nodeName.toLowerCase.contains("join") => p
+    }.nonEmpty, "verifying join missing:\n" + plan)
+  }
+
+  test("decontamination broadcasts the benchmark shingle set (corpus never shuffles for the probe)") {
+    val p = planOf("q100_decontaminate")
+    assert(p.contains("BroadcastHashJoin LeftSemi"),
+      "bench shingles must broadcast into a semi-join: " + p)
+    assert(!p.contains("SortMergeJoin"),
+      "corpus shingles must not sort-merge against the benchmark: " + p)
   }
 
   test("count-min estimates broadcast the counter matrix and reuse the distinct partitioning") {

@@ -97,6 +97,11 @@ class TextOpsSpec extends SparkSpec {
     assert(out(2L) == ((1L, 0.0, 0L, 0.0)))
     assert(out(3L) == ((4L, 0.75, 3L, 1.0 - 1.0 / 3.0)))
     assert(out(4L) == ((4L, 0.0, 3L, 0.0)))
+    // the spillable countDistinct form is value-identical
+    val spillable = TextOps.repetitionStats(docs, "doc_id", "text", boundedDocs = false)
+      .as[(Long, Long, Double, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(spillable == out)
   }
 
   test("contaminatedDocs: flags exactly the docs sharing an n-gram with the benchmark") {
