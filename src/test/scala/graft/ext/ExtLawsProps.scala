@@ -128,4 +128,41 @@ object ExtLawsProps extends Properties("graft.ext") {
       val expect = (0 until n).map(i => i.toLong -> find(i).toLong).toMap
       cc == expect
     }
+
+  // Bloom-pruned join law: for ANY big/small key sets (overlapping or
+  // not) and any bitmap size, the pruned join equals the plain join —
+  // the structural guarantee that makes q96's oracle the plain join.
+  property("BloomJoin.prunedJoin == plain join for arbitrary key sets") =
+    Prop.forAll(
+      Gen.listOf(Gen.chooseNum(0L, 50L)).map(_.take(60)),
+      Gen.nonEmptyListOf(Gen.chooseNum(0L, 80L)).map(_.take(10)),
+      Gen.oneOf(64, 256, 4096)) { (bigKeys, smallKeys, bits) =>
+      val big = bigKeys.zipWithIndex.map { case (k, i) => (k, i.toLong) }
+        .toDF("bk", "payload")
+      val small = smallKeys.distinct.map(k => (k, s"dim$k")).toDF("sk", "dim")
+      val plain = big.join(small, col("bk") === col("sk"))
+        .select("bk", "payload", "dim").collect().toSet
+      val pruned = graft.operators.BloomJoin
+        .prunedJoin(big, "bk", small, "sk", numBits = bits)
+        .select("bk", "payload", "dim").collect().toSet
+      pruned == plain
+    }
+
+  // Count-min law: the estimate NEVER underestimates, and equals the
+  // exact count whenever the value's depth rows are collision-free —
+  // checked here only as est >= exact plus the global sanity bound
+  // est <= total rows (a counter can never exceed the stream length).
+  property("countMinFrequency: exact <= estimate <= stream length") =
+    Prop.forAll(
+      Gen.nonEmptyListOf(Gen.oneOf("a", "b", "c", "dd", "ee", "f", "g", "hh"))
+        .map(_.take(80)),
+      Gen.oneOf(4, 16, 64)) { (values, width) =>
+      val df = values.map(Tuple1(_)).toDF("v")
+      val exact = values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val est = Sketches.countMinFrequency(df, "v", depth = 3, width = width)
+        .as[(String, Long)].collect().toMap
+      est.keySet == exact.keySet && exact.forall { case (v, n) =>
+        est(v) >= n && est(v) <= values.size
+      }
+    }
 }
