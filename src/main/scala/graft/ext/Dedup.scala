@@ -112,7 +112,10 @@ object Dedup {
     * per cluster). Iterative min-label propagation:
     * l(v) ← min({l(v)} ∪ {l(u) : u~v}), to fixpoint.
     *
-    * Scale shape: each round is one equi-join against the (persisted)
+    * Scale shape: the loop runs over the EDGE-INDUCED subgraph only —
+    * isolated nodes (the overwhelming majority of a near-dup corpus)
+    * never enter it and are labeled cluster_id = id by one final
+    * anti-join. Each round is one equi-join against the (persisted)
     * symmetric edge list + one min aggregate (map-side partials) — no
     * collect, no per-component state. Rounds = graph diameter by
     * default; near-dup graphs are clique-ish (duplicates of the same
@@ -136,14 +139,37 @@ object Dedup {
       maxIter: Int = 50, shortcut: Boolean = false): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val ids = nodes.select(col(idCol).as("id")).distinct()
-    // symmetric closure + self-loops: every node hears its neighbors
-    // AND itself each round, so labels only ever decrease
-    val sym = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .union(ids.select(col("id").as("src"), col("id").as("dst")))
+    val idType = ids.schema("id").dataType
+    // ACTIVE subgraph: only edge endpoints can ever receive a label
+    // other than their own id — an isolated node is its own cluster by
+    // definition. The propagation loop therefore runs over the
+    // edge-induced subgraph only (|active| + 2|E| rows per round, not
+    // |V| + 2|E|): a near-dup corpus is overwhelmingly isolated docs,
+    // so looping over the full id space would re-shuffle the whole
+    // corpus' ids `rounds` times to propagate nothing. Isolated ids
+    // are unioned back with cluster_id = id after convergence.
+    // Phantom endpoints absent from `nodes` are endpoints, hence
+    // active, so they keep getting labeled too (removeNearDuplicates
+    // relies on that for transitivity through filtered-out docs).
+    // The edge list is usually the UNVERIFIED output of a candidate
+    // join (winnowing/LSH pairs) — persist it first: `active` and
+    // `sym` each consume it twice, so a lazy edge frame would replay
+    // the candidate join four times before the loop even starts.
+    val e = edges.select(col(aCol).cast(idType).as("src"),
+        col(bCol).cast(idType).as("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val active = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = ids.select(col("id"), col("id").as("label"))
+    // symmetric closure + self-loops: every active node hears its
+    // neighbors AND itself each round, so labels only ever decrease
+    val sym = e
+      .union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .union(active.select(col("id").as("src"), col("id").as("dst")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = active.select(col("id"), col("id").as("label"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // Convergence check: labels are monotonically non-increasing, so
     // for INTEGRAL ids the labeling is a fixpoint iff Σlabel is
@@ -211,20 +237,28 @@ object Dedup {
       it += 1
     }
     if (!done) {
-      sym.unpersist(); labels.unpersist()
+      sym.unpersist(); labels.unpersist(); e.unpersist(); active.unpersist()
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds — " +
           "the pair graph has a longer path than expected; raise maxIter")
     }
+    // Isolated nodes (never an edge endpoint) label themselves — one
+    // anti-join against the small active set (broadcast-able), no
+    // participation in the loop above.
+    val isolated = ids.join(active, Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("label"))
     // hand the CALLER the persisted frame (out.unpersist() releases it)
     // and drop the loop-internal caches — the returned plan must not
     // depend on them, or unpersisting would trigger an O(rounds)
     // lineage recompute
-    val out = labels.select(col("id").as(idCol), col("label").as("cluster_id"))
+    val out = labels.union(isolated)
+      .select(col("id").as(idCol), col("label").as("cluster_id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     out.count()
     sym.unpersist()
     labels.unpersist()
+    e.unpersist()
+    active.unpersist()
     out
   }
 
