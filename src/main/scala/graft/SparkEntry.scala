@@ -1283,7 +1283,10 @@ object SparkEntry {
       graft.ext.Sketches.countMinFrequency(
         T(s, d, "events").select(col("user_id").cast("string").as("val")),
         "val", depth = 4, width = 256)
-        .orderBy(col("est_count").desc, col("val"))
+        // asc_nulls_last: events.user_id is nullable and DuckDB sorts
+        // NULLS LAST by default while Spark sorts them FIRST — pin the
+        // tie-break order so the NULL val can never reorder the cutoff
+        .orderBy(col("est_count").desc, col("val").asc_nulls_last)
         .limit(50)),
 
     // Bloom-pruned join (operators.BloomJoin): the big side is
@@ -2101,21 +2104,24 @@ object SparkEntry {
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
-    // the bloom split is invisible in the result: NOT IN by the q39
-    // fingerprint (no NULL texts in the fixture, so NOT IN ≡ anti-join)
+    // the bloom split is invisible in the result: anti-join by the q39
+    // fingerprint. Written as LEFT JOIN … IS NULL (not NOT IN) so a
+    // NULL corpus fingerprint can never collapse the result to zero
+    // rows — NULL-robust exactly like the Spark side's left_anti.
     "q99_incremental_dedup" ->
       """WITH fp AS (
         |  SELECT doc_id, lang,
         |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS f
         |  FROM documents),
-        |corpus AS (SELECT f FROM fp WHERE doc_id % 3 = 0),
+        |corpus AS (SELECT DISTINCT f FROM fp WHERE doc_id % 3 = 0),
         |batch AS (
         |  SELECT doc_id, lang, f FROM fp WHERE doc_id % 3 <> 0
         |  UNION ALL
         |  SELECT doc_id + 100000 AS doc_id, lang, f FROM fp WHERE doc_id % 3 = 0)
-        |SELECT doc_id, lang FROM batch
-        |WHERE f NOT IN (SELECT f FROM corpus)
-        |ORDER BY doc_id""".stripMargin,
+        |SELECT b.doc_id, b.lang FROM batch b
+        |LEFT JOIN corpus c ON b.f = c.f
+        |WHERE c.f IS NULL
+        |ORDER BY b.doc_id""".stripMargin,
 
     // the q44 n-gram machinery at n=5; benchmark shingles drawn from
     // the same exploded stream (the benchmark IS a corpus slice here)

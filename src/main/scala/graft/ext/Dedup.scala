@@ -69,15 +69,34 @@ object Dedup {
     * the batch twice (both union branches) — without the persists each
     * would re-scan and re-fingerprint its source per consumer, doubling
     * the dominant cost at corpus scale. The persisted fingerprint set
-    * is 32 bytes/doc (spills fine); drop both with
-    * `spark.catalog.clearCache()` (or unpersist) after materializing.
+    * is 32 bytes/doc (spills fine); after materializing the result,
+    * release exactly these two caches via
+    * [[incrementalExactReleasable]]'s `release()` handle — a long-lived
+    * ingest loop calling this per batch would otherwise accumulate two
+    * cache entries per batch (and `spark.catalog.clearCache()` is a
+    * sledgehammer that evicts every cache in the session).
     *
     * NULL-text batch rows are KEPT unconditionally: their fingerprint
     * is NULL, which matches nothing — a missing document cannot be a
     * known duplicate. Filter or repair NULLs upstream if they should
     * not survive ingest. */
   def incrementalExact(batch: DataFrame, corpus: DataFrame, textCol: String,
-      bloomBits: Int = 1 << 20, seed: Long = 42L): DataFrame = {
+      bloomBits: Int = 1 << 20, seed: Long = 42L): DataFrame =
+    incrementalExactReleasable(batch, corpus, textCol, bloomBits, seed).result
+
+  /** The result of an incremental dedup plus a `release()` handle that
+    * unpersists exactly the two fingerprint caches the operator
+    * created (batch + corpus). Call `release()` only AFTER the result
+    * has been materialized (written/collected) — the result plan reads
+    * both caches, so releasing first re-fingerprints both sources. */
+  final case class IncrementalDedup(result: DataFrame, release: () => Unit)
+
+  /** [[incrementalExact]] with cache ownership handed to the caller —
+    * the variant a long-lived ingest loop should use (one `release()`
+    * per batch keeps the session cache flat). */
+  def incrementalExactReleasable(batch: DataFrame, corpus: DataFrame,
+      textCol: String, bloomBits: Int = 1 << 20,
+      seed: Long = 42L): IncrementalDedup = {
     import graft.operators.BloomJoin
     import org.apache.spark.storage.StorageLevel
     val fp = TextOps.fingerprintMd5(col(textCol))
@@ -88,10 +107,12 @@ object Dedup {
     // materializes corpusFp's persist as a side effect
     val words = BloomJoin.membershipWords(corpusFp, "__fp", bloomBits, 5, seed)
     val maybeDup = BloomJoin.mightContain(col("__fp"), words, bloomBits, 5, seed)
-    batchFp.filter(!maybeDup)
+    val result = batchFp.filter(!maybeDup)
       .unionByName(batchFp.filter(maybeDup)
         .join(corpusFp, Seq("__fp"), "left_anti"))
       .drop("__fp")
+    IncrementalDedup(result,
+      () => { batchFp.unpersist(); corpusFp.unpersist(); () })
   }
 
   /** Keep-latest-per-key (the streaming analogue of the reference's
@@ -155,9 +176,32 @@ object Dedup {
     // join (winnowing/LSH pairs) — persist it first: `active` and
     // `sym` each consume it twice, so a lazy edge frame would replay
     // the candidate join four times before the loop even starts.
-    val e = edges.select(col(aCol).cast(idType).as("src"),
-        col(bCol).cast(idType).as("dst"))
+    // An endpoint that fails the cast (e.g. a non-numeric string edge
+    // id against long node ids) would either become NULL silently
+    // (non-ANSI: the edge vanishes and its cluster splits with no
+    // error) or blow up as an opaque CAST_INVALID_INPUT deep in the
+    // loop (ANSI, the Spark 4 default). try_cast + a badness flag on
+    // the SAME persisted scan makes the guard the single failure
+    // point — one scalar aggregate over the cache, never a replay of
+    // the candidate join — with an error that names the fix.
+    val srcCast = col(aCol).try_cast(idType)
+    val dstCast = col(bCol).try_cast(idType)
+    val eFlagged = edges.select(srcCast.as("src"), dstCast.as("dst"),
+        ((col(aCol).isNotNull && srcCast.isNull).cast("long")
+          + (col(bCol).isNotNull && dstCast.isNull).cast("long"))
+          .as("__bad"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val nBad = eFlagged.agg(sum(col("__bad")).as("n")).head().getAs[Any]("n")
+    nBad match {
+      case n: java.lang.Long if n > 0L =>
+        eFlagged.unpersist()
+        throw new IllegalArgumentException(
+          s"connectedComponents: $n edge endpoint(s) in '$aCol'/'$bCol' " +
+          s"do not cast to node id type $idType — edges would be dropped " +
+          "silently; align the edge id type with the node id type")
+      case _ => ()
+    }
+    val e = eFlagged.select(col("src"), col("dst"))
     val active = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id")))
       .distinct()
@@ -237,7 +281,8 @@ object Dedup {
       it += 1
     }
     if (!done) {
-      sym.unpersist(); labels.unpersist(); e.unpersist(); active.unpersist()
+      sym.unpersist(); labels.unpersist(); eFlagged.unpersist()
+      active.unpersist()
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds — " +
           "the pair graph has a longer path than expected; raise maxIter")
@@ -257,7 +302,7 @@ object Dedup {
     out.count()
     sym.unpersist()
     labels.unpersist()
-    e.unpersist()
+    eFlagged.unpersist()
     active.unpersist()
     out
   }

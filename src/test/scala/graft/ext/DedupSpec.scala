@@ -112,6 +112,37 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("connected components: unparseable edge ids fail loudly, widening casts pass") {
+    val nodes = (1L to 4L).toDF("id")
+    // a string edge id that does not parse as long would cast to NULL
+    // and silently drop the edge (splitting cluster {1,2}) — must throw
+    val badEdges = Seq(("1", "2"), ("oops", "3")).toDF("a", "b")
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(nodes, "id", badEdges, "a", "b")
+    }
+    assert(ex.getMessage.contains("do not cast"))
+    // int edge ids against long node ids widen losslessly — allowed
+    val intEdges = Seq((1, 2), (3, 4)).toDF("a", "b")
+    val ccDf = Dedup.connectedComponents(nodes, "id", intEdges, "a", "b")
+    val cc = ccDf.as[(Long, Long)].collect().toMap
+    ccDf.unpersist()
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("incrementalExactReleasable: release() drops exactly the two fingerprint caches") {
+    val corpus = Seq((1L, "alpha text"), (2L, "beta text")).toDF("doc_id", "text")
+    val batch = Seq((10L, "delta text"), (11L, "alpha text")).toDF("doc_id", "text")
+    spark.catalog.clearCache()
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val inc = Dedup.incrementalExactReleasable(batch, corpus, "text",
+      bloomBits = 1 << 12)
+    assert(inc.result.select($"doc_id").as[Long].collect().toSet == Set(10L))
+    inc.release()
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after == before,
+      s"release() must drop the operator's own caches: $before -> $after")
+  }
+
   test("incrementalExact: resubmitted content drops, novel content survives bloom FPs") {
     val corpus = Seq((1L, "alpha text"), (2L, "beta text"), (3L, "gamma text"))
       .toDF("doc_id", "text")
