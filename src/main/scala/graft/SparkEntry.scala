@@ -1350,6 +1350,112 @@ object SparkEntry {
       TextOps.contaminatedDocs(docsSpread(s, d), "doc_id", "text",
         bench, "doc_id", "text", n = 5)
         .orderBy(col("doc_id"))
+    }),
+
+    // ------------------------------------------------ D9/D16 DDL contract
+    // create-with-constraints → store round trip → read-back →
+    // validateUnique (reference database/main.py:119-170 create_table
+    // with primary_key/unique_columns, main.py:28-37 ColumnModel).
+    // Every fact is a driver-side value (the q90 recipe): typed specs
+    // carry default/autoincrement/FK metadata into the created schema,
+    // the composite PK survives the parquet round trip, re-create over
+    // an existing table evolves additively, and checkfirst=False on an
+    // existing table throws instead of silently replacing.
+    "q101_ddl_constraints" -> ((s, d) => {
+      import s.implicits._
+      import graft.core.{ColumnSpec, Ddl}
+      import org.apache.spark.sql.types.{LongType, StringType}
+      val rootPath = java.nio.file.Files.createTempDirectory("graft-ddl")
+      val db = new graft.Database(s, rootPath.toString)
+      val specs = Seq(
+        ColumnSpec("region", StringType, nullable = false),
+        ColumnSpec("order_id", LongType, nullable = false),
+        ColumnSpec("status", StringType, default = Some("new")),
+        ColumnSpec("cust_id", LongType, foreignKey = Some("customer.c_custkey")),
+        ColumnSpec("seq", LongType, autoincrement = true))
+      db.createTable("ord", specs, primaryKey = Seq("region", "order_id"),
+        uniqueColumns = Seq("seq"))
+      // constraint metadata read back THROUGH the store (parquet round
+      // trip), not from the in-memory specs
+      val created = db.getTable("ord").schema
+      val metaFacts = created.fields.flatMap { f =>
+        val m = f.metadata
+        Seq(
+          if (m.contains("primary_key")) Some(("pk", f.name)) else None,
+          if (m.contains("unique")) Some(("unique", f.name)) else None,
+          if (m.contains("default")) Some((s"default:${f.name}", m.getString("default"))) else None,
+          if (m.contains("autoincrement")) Some(("autoincrement", f.name)) else None,
+          if (m.contains("foreign_key")) Some((s"fk:${f.name}", m.getString("foreign_key"))) else None
+        ).flatten
+      }.toSeq
+      val existsErr =
+        try { db.createTable("ord", specs, checkExisting = false); "none" }
+        catch { case _: IllegalStateException => "thrown" }
+      val batch = Seq(
+        ("EU", 1L, "new", 10L, 1L),
+        ("EU", 2L, "paid", 11L, 2L),
+        ("US", 1L, "new", 12L, 3L))
+        .toDF("region", "order_id", "status", "cust_id", "seq")
+      db.upsert("ord", batch, pk = Seq("region", "order_id"), validatePk = true)
+      // re-create over the existing table: additive evolution only
+      db.createTable("ord", specs :+ ColumnSpec("note", StringType),
+        primaryKey = Seq("region", "order_id"))
+      val t = db.getTable("ord")
+      val rows = metaFacts ++
+        Seq(
+          ("count", db.getTableCount("ord").toString),
+          ("create_existing", existsErr),
+          ("pk_valid", Ddl.validateUnique(t, Seq("region", "order_id")).toString),
+          ("status_unique", Ddl.validateUnique(t, Seq("status")).toString)) ++
+        db.getTableColumns("ord").map(("column", _))
+      val out = rows.toDF("kind", "name").orderBy(col("kind"), col("name"))
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(rootPath)
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .iterator().asScala.foreach(p => java.nio.file.Files.deleteIfExists(p))
+      out
+    }),
+
+    // ------------------------------------------------ S3 REST catalog
+    // list-objects + per-object describe→schema over the deterministic
+    // fake org (reference salesforce/main.py:91-100 get_sobjects +
+    // describe): the remote catalog surfaced as (object, position,
+    // field, Spark type) rows.
+    "q102_rest_catalog" -> ((s, d) => {
+      import s.implicits._
+      import graft.sources.rest.RestOps
+      val opts = Map("object" -> "account", "org" -> "catverify",
+        "numRecords" -> "10", "seed" -> "42")
+      RestOps.listObjects(opts).flatMap { o =>
+        RestOps.read(s, opts + ("object" -> o)).schema.fields.zipWithIndex
+          .map { case (f, i) => (o, i.toLong, f.name, f.dataType.simpleString) }
+      }.toDF("obj", "pos", "field", "dtype").orderBy(col("obj"), col("pos"))
+    }),
+
+    // ------------------------------------------------ S5 quota probe
+    // limits before/after a full two-phase scan (reference
+    // salesforce/main.py:102-104 DailyApiRequests): the scan's API
+    // spend is deterministic — 1 describe (schema inference) + 1 id
+    // cursor query + ceil(400/100) = 4 id-batch fetches = 6 calls.
+    // The aggregate reads a real column so column pruning keeps the
+    // fetch column list non-empty (an empty list would re-describe per
+    // partition and change the arithmetic).
+    "q103_rest_limits" -> ((s, d) => {
+      import s.implicits._
+      import graft.sources.rest.{FakeTransport, RestOps}
+      val opts = Map("object" -> "account", "org" -> "limitsverify",
+        "numRecords" -> "400", "seed" -> "42")
+      FakeTransport.CallLog.clear()
+      val before = RestOps.limits(opts)
+      val scanned = RestOps.read(s, opts)
+        .agg(count(col("Id"))).head().getLong(0)
+      val after = RestOps.limits(opts)
+      Seq(
+        ("max", before("DailyApiRequests.Max").toString),
+        ("remaining_before", before("DailyApiRequests.Remaining").toString),
+        ("remaining_after", after("DailyApiRequests.Remaining").toString),
+        ("rows_scanned", scanned.toString))
+        .toDF("metric", "value").orderBy(col("metric"))
     })
   )
 
@@ -2134,6 +2240,48 @@ object SparkEntry {
         |bench AS (SELECT DISTINCT g FROM ex WHERE doc_id % 17 = 0)
         |SELECT e.doc_id, count(DISTINCT e.g) AS n_hits
         |FROM ex e JOIN bench b ON e.g = b.g
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // every q101 fact is a deterministic driver-side value (the q90
+    // recipe): the created constraint metadata, the post-evolution
+    // column set, the upserted row count, and both validateUnique
+    // verdicts over the three literal rows
+    "q101_ddl_constraints" ->
+      """SELECT * FROM (VALUES
+        |  ('autoincrement', 'seq'),
+        |  ('column', 'region'), ('column', 'order_id'), ('column', 'status'),
+        |  ('column', 'cust_id'), ('column', 'seq'), ('column', 'note'),
+        |  ('count', '3'), ('create_existing', 'thrown'),
+        |  ('default:status', 'new'), ('fk:cust_id', 'customer.c_custkey'),
+        |  ('pk', 'region'), ('pk', 'order_id'),
+        |  ('pk_valid', 'true'), ('status_unique', 'false'),
+        |  ('unique', 'seq')) AS t(kind, name)
+        |ORDER BY kind, name""".stripMargin,
+
+    // the fake org's catalog is static: two objects with fixed field
+    // lists (Transport.scala objects map) — the VALUES literal IS the
+    // generator
+    "q102_rest_catalog" ->
+      """SELECT obj, CAST(pos AS BIGINT) AS pos, field, dtype FROM (VALUES
+        |  ('account', 0, 'Id', 'string'), ('account', 1, 'Name', 'string'),
+        |  ('account', 2, 'Industry', 'string'), ('account', 3, 'Amount', 'double'),
+        |  ('account', 4, 'NumEmployees', 'bigint'), ('account', 5, 'IsActive', 'boolean'),
+        |  ('account', 6, 'LastModifiedDate', 'timestamp'), ('account', 7, 'IsDeleted', 'boolean'),
+        |  ('contact', 0, 'Id', 'string'), ('contact', 1, 'Name', 'string'),
+        |  ('contact', 2, 'AccountId', 'string'), ('contact', 3, 'Email', 'string'),
+        |  ('contact', 4, 'LastModifiedDate', 'timestamp'), ('contact', 5, 'IsDeleted', 'boolean')
+        |) AS t(obj, pos, field, dtype)
+        |ORDER BY obj, pos""".stripMargin,
+
+    // quota arithmetic: 100000 cap; the scan spends exactly 6 calls
+    // (1 describe + 1 id query + 400/100 fetch batches); all 400 rows
+    // (includeDeleted defaults true) are counted
+    "q103_rest_limits" ->
+      """SELECT * FROM (VALUES
+        |  ('max', '100000'),
+        |  ('remaining_after', '99994'),
+        |  ('remaining_before', '100000'),
+        |  ('rows_scanned', '400')) AS t(metric, value)
+        |ORDER BY metric""".stripMargin
   )
 }

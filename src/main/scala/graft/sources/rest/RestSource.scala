@@ -167,8 +167,18 @@ class RestScan(readSchema0: StructType, options: Map[String, String], obj: Strin
       s"columns=[${readSchema0.fieldNames.mkString(",")}]"
 
   /** PHASE 1 (driver): serial cursor over id pages (irreducibly
-    * sequential, SURVEY §7.5) → chunk → one InputPartition per chunk. */
-  override def planInputPartitions(): Array[InputPartition] = {
+    * sequential, SURVEY §7.5) → chunk → one InputPartition per chunk.
+    *
+    * MEMOIZED per scan instance: Spark planning (AQE in particular)
+    * calls planInputPartitions more than once for the same scan, and
+    * each call would replay the entire serial id cursor against the
+    * remote API — doubling the API spend of the scan's slowest,
+    * non-parallelizable phase. One cursor walk per scan also gives the
+    * query snapshot semantics: both planning passes see the SAME id
+    * list even if the remote org changes mid-query. */
+  override def planInputPartitions(): Array[InputPartition] = planned
+
+  private lazy val planned: Array[InputPartition] = {
     val t = RestTable.transportFor(options)
     val pageSize = options.getOrElse("pagesize", "200").toInt
     val batchSize = options.getOrElse("batchsize", "100").toInt
