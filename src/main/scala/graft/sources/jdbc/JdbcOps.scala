@@ -1,6 +1,9 @@
 package graft.sources.jdbc
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.sql.{Connection, DriverManager, PreparedStatement, Statement}
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
 
 /** JDBC source/sink — the reference's ACTUAL substrate (`Database` is a
   * Postgres wrapper over a `db_url`, reference:
@@ -36,10 +39,10 @@ object JdbcOps {
       .option("numPartitions", numPartitions)
       .load()
 
-  /** Write (append/overwrite). Upsert (`INSERT … ON CONFLICT`) is not
-    * in Spark's JDBC sink vocabulary — the engine-level
-    * [[graft.core.Mutations.upsert]] merge + overwrite write is the
-    * distributed equivalent. */
+  /** Write (append/overwrite). For in-database upsert semantics see
+    * [[upsert]] (native `ON CONFLICT`/update-then-insert batches); the
+    * engine-level [[graft.core.Mutations.upsert]] merge + overwrite
+    * write remains the analytics-grade distributed equivalent. */
   def write(df: DataFrame, url: String, table: String,
       mode: String = "append", options: Map[String, String] = Map.empty): Unit =
     df.write.format("jdbc")
@@ -57,6 +60,224 @@ object JdbcOps {
   def replace(df: DataFrame, url: String, table: String,
       options: Map[String, String] = Map.empty): Unit =
     write(df.localCheckpoint(true), url, table, "overwrite", options)
+
+  // ------------------------------------------------------- native upsert
+
+  /** Native in-database upsert — the reference's actual write statement
+    * (`INSERT … ON CONFLICT (pk) DO UPDATE SET c = COALESCE(excluded.c,
+    * t.c)` executed IN Postgres, reference revtron/database/main.py:
+    * 88-117, chunked 1000 rows at a time, main.py:92,100-101).
+    *
+    * Each Spark partition opens one connection and writes its rows in
+    * `batchSize` JDBC batches (per-chunk commit = the reference's
+    * per-chunk atomicity); overall concurrency = number of partitions,
+    * exactly like the DSv2 REST writer. Postgres/SQLite-family URLs get
+    * the real single-statement `ON CONFLICT` upsert; every other
+    * dialect (Derby here — its MERGE cannot read a VALUES source) takes
+    * the portable batched UPDATE-then-INSERT: one UPDATE batch per
+    * chunk, then one INSERT batch for the rows whose update count was
+    * 0. Single-writer assumption as in the reference — a concurrent
+    * writer could insert a key between the two statements.
+    *
+    * Merge rule per non-key column mirrors `Mutations.upsert`: new
+    * value if `overwriteWithNull`, else COALESCE(new, old). Column
+    * identifiers are quoted exactly as the DataFrame names them —
+    * matching how Spark's own JDBC writer creates them; table names
+    * pass through unquoted (they may be schema-qualified).
+    *
+    * Retries: Spark may re-run a failed task; both statement shapes are
+    * idempotent per row (same values ⇒ same final state), so a replay
+    * converges rather than duplicates. */
+  def upsert(df: DataFrame, url: String, table: String, pk: Seq[String],
+      overwriteWithNull: Boolean = false, batchSize: Int = 1000,
+      connProps: Map[String, String] = Map.empty): Unit = {
+    require(pk.nonEmpty,
+      "upsert requires a primary key (reference: database/main.py:97-99)")
+    val schema = df.schema
+    val cols = schema.fieldNames.toSeq
+    require(pk.forall(p => cols.exists(_.equalsIgnoreCase(p))),
+      s"pk ${pk.mkString(",")} not all present in ${cols.mkString(",")}")
+    val nonKey = cols.filterNot(c => pk.exists(_.equalsIgnoreCase(c)))
+
+    nativeUpsertSql(url, table, cols, nonKey, pk, overwriteWithNull) match {
+      case Some(sql) =>
+        df.foreachPartition { (rows: Iterator[Row]) =>
+          withConnection(url, connProps) { conn =>
+            val st = conn.prepareStatement(sql)
+            try rows.grouped(batchSize).foreach { chunk =>
+              chunk.foreach { r => bindRow(st, schema, cols, r); st.addBatch() }
+              st.executeBatch()
+              conn.commit()
+            } finally st.close()
+          }
+        }
+      case None =>
+        // portable twin: UPDATE batch → INSERT batch for the misses.
+        // executeBatch's per-row counts are the match signal; a driver
+        // answering SUCCESS_NO_INFO gets that row re-run individually.
+        val updateSql =
+          if (nonKey.isEmpty) null
+          else s"UPDATE $table SET " +
+            nonKey.map(c => if (overwriteWithNull) s"${q(c)} = ?"
+              else s"${q(c)} = COALESCE(?, ${q(c)})").mkString(", ") +
+            s" WHERE ${pk.map(c => s"${q(c)} = ?").mkString(" AND ")}"
+        val insertSql = s"INSERT INTO $table (${cols.map(q).mkString(", ")}) " +
+          s"VALUES (${cols.map(_ => "?").mkString(", ")})"
+        // keys-only frame: insert-if-absent via NOT EXISTS (no UPDATE
+        // possible with nothing to set)
+        val keysOnlySql = {
+          val dummy = if (url.startsWith("jdbc:derby")) "SYSIBM.SYSDUMMY1"
+            else "(VALUES (1)) AS __d(__x)"
+          s"INSERT INTO $table (${cols.map(q).mkString(", ")}) " +
+            s"SELECT ${cols.map(_ => "?").mkString(", ")} FROM $dummy " +
+            s"WHERE NOT EXISTS (SELECT 1 FROM $table WHERE " +
+            pk.map(c => s"${q(c)} = ?").mkString(" AND ") + ")"
+        }
+        df.foreachPartition { (rows: Iterator[Row]) =>
+          withConnection(url, connProps) { conn =>
+            rows.grouped(batchSize).foreach { chunk =>
+              if (nonKey.isEmpty) {
+                val st = conn.prepareStatement(keysOnlySql)
+                try {
+                  chunk.foreach { r =>
+                    bindRow(st, schema, cols, r)
+                    bindCols(st, schema, pk, r, offset = cols.length)
+                    st.addBatch()
+                  }
+                  st.executeBatch()
+                } finally st.close()
+              } else {
+                val up = conn.prepareStatement(updateSql)
+                val matched = try {
+                  chunk.foreach { r =>
+                    bindCols(up, schema, nonKey, r, offset = 0)
+                    bindCols(up, schema, pk, r, offset = nonKey.length)
+                    up.addBatch()
+                  }
+                  val counts = up.executeBatch()
+                  chunk.zip(counts).map { case (r, c) =>
+                    if (c != Statement.SUCCESS_NO_INFO) c > 0
+                    else { // driver gave no per-row count: re-run alone
+                      bindCols(up, schema, nonKey, r, offset = 0)
+                      bindCols(up, schema, pk, r, offset = nonKey.length)
+                      up.executeUpdate() > 0
+                    }
+                  }
+                } finally up.close()
+                val misses = chunk.zip(matched).collect { case (r, false) => r }
+                if (misses.nonEmpty) {
+                  val ins = conn.prepareStatement(insertSql)
+                  try {
+                    misses.foreach { r => bindRow(ins, schema, cols, r); ins.addBatch() }
+                    ins.executeBatch()
+                  } finally ins.close()
+                }
+              }
+              conn.commit()
+            }
+          }
+        }
+    }
+  }
+
+  /** Keyed bulk update executed IN the database — the reference's
+    * `UPDATE … WHERE pk = :pk` executemany (reference
+    * revtron/database/main.py:250-269), batched like its 1000-row
+    * chunks. Plain SET semantics (nulls overwrite — [[upsert]] is the
+    * COALESCE variant); unmatched rows are ignored. Returns the total
+    * matched-row count, the reference's `rowcount`. */
+  def updateKeyed(df: DataFrame, url: String, table: String, on: Seq[String],
+      batchSize: Int = 1000, connProps: Map[String, String] = Map.empty): Long = {
+    require(on.nonEmpty, "update requires key columns (reference: database/main.py:253)")
+    val schema = df.schema
+    val cols = schema.fieldNames.toSeq
+    val nonKey = cols.filterNot(c => on.exists(_.equalsIgnoreCase(c)))
+    require(nonKey.nonEmpty, "update requires at least one non-key column")
+    val sql = s"UPDATE $table SET ${nonKey.map(c => s"${q(c)} = ?").mkString(", ")} " +
+      s"WHERE ${on.map(c => s"${q(c)} = ?").mkString(" AND ")}"
+    import org.apache.spark.sql.Encoders
+    val perPartition = df.mapPartitions { rows =>
+      var n = 0L
+      if (rows.nonEmpty) withConnection(url, connProps) { conn =>
+        val st = conn.prepareStatement(sql)
+        try rows.grouped(batchSize).foreach { chunk =>
+          chunk.foreach { r =>
+            bindCols(st, schema, nonKey, r, offset = 0)
+            bindCols(st, schema, on, r, offset = nonKey.length)
+            st.addBatch()
+          }
+          n += st.executeBatch().map(c => math.max(c, 0).toLong).sum
+          conn.commit()
+        } finally st.close()
+      }
+      Iterator.single(n)
+    }(Encoders.scalaLong)
+    perPartition.collect().sum
+  }
+
+  /** The single-statement native upsert, where the dialect has one.
+    * Postgres ≥9.5 and SQLite share the `ON CONFLICT` clause; the
+    * target is aliased so the COALESCE old-value reference is
+    * unambiguous next to EXCLUDED. */
+  private[jdbc] def nativeUpsertSql(url: String, table: String,
+      cols: Seq[String], nonKey: Seq[String], pk: Seq[String],
+      overwriteWithNull: Boolean): Option[String] =
+    if (url.startsWith("jdbc:postgresql") || url.startsWith("jdbc:sqlite")) {
+      val action =
+        if (nonKey.isEmpty) "DO NOTHING"
+        else "DO UPDATE SET " + nonKey.map(c =>
+          if (overwriteWithNull) s"${q(c)} = EXCLUDED.${q(c)}"
+          else s"${q(c)} = COALESCE(EXCLUDED.${q(c)}, __t.${q(c)})").mkString(", ")
+      Some(s"INSERT INTO $table AS __t (${cols.map(q).mkString(", ")}) " +
+        s"VALUES (${cols.map(_ => "?").mkString(", ")}) " +
+        s"ON CONFLICT (${pk.map(q).mkString(", ")}) $action")
+    } else None
+
+  /** Quote an identifier EXACTLY as the DataFrame names it — Spark's
+    * own JDBC writer creates columns quoted, so unquoted references
+    * would fold (to upper case on Derby/Oracle) and miss them. Table
+    * names pass through unquoted (they may be schema-qualified). */
+  private def q(id: String): String = "\"" + id + "\""
+
+  private def withConnection[A](url: String, props: Map[String, String])
+      (body: Connection => A): A = {
+    val p = new java.util.Properties()
+    props.foreach { case (k, v) => p.setProperty(k, v) }
+    val conn = DriverManager.getConnection(url, p)
+    try { conn.setAutoCommit(false); body(conn) }
+    finally conn.close()
+  }
+
+  /** Bind every column of `r` in schema order starting at JDBC
+    * parameter `offset`+1. */
+  private def bindRow(st: PreparedStatement, schema: StructType,
+      cols: Seq[String], r: Row, offset: Int = 0): Unit =
+    bindCols(st, schema, cols, r, offset)
+
+  private def bindCols(st: PreparedStatement, schema: StructType,
+      cols: Seq[String], r: Row, offset: Int): Unit =
+    cols.zipWithIndex.foreach { case (c, i) =>
+      val fi = schema.fieldIndex(c)
+      val v = r.get(fi)
+      if (v == null) st.setNull(offset + i + 1, sqlTypeFor(schema(fi).dataType))
+      else st.setObject(offset + i + 1, v)
+    }
+
+  private def sqlTypeFor(dt: DataType): Int = dt match {
+    case StringType    => java.sql.Types.VARCHAR
+    case LongType      => java.sql.Types.BIGINT
+    case IntegerType   => java.sql.Types.INTEGER
+    case ShortType     => java.sql.Types.SMALLINT
+    case ByteType      => java.sql.Types.TINYINT
+    case DoubleType    => java.sql.Types.DOUBLE
+    case FloatType     => java.sql.Types.FLOAT
+    case BooleanType   => java.sql.Types.BOOLEAN
+    case TimestampType => java.sql.Types.TIMESTAMP
+    case DateType      => java.sql.Types.DATE
+    case _: DecimalType => java.sql.Types.DECIMAL
+    case BinaryType    => java.sql.Types.BINARY
+    case other => throw new IllegalArgumentException(s"unsupported JDBC type: $other")
+  }
 
   /** D1 liveness probe against the remote — the reference's bare
     * `select 1 as is_alive` (main.py:47), valid without FROM on

@@ -56,6 +56,71 @@ class JdbcOpsSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.catalog.derby")
   }
 
+  test("native upsert (Derby fallback): coalesce merge, inserts for misses, per-chunk batches") {
+    val target = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("id", "name", "bal")
+    JdbcOps.write(target, url, "nup_t", mode = "overwrite")
+    // null name on id=2 must KEEP "b" (coalesce); id=9 is a miss → insert;
+    // batchSize=2 forces multiple chunks through one partition's statement
+    val updates = Seq(
+      (2L, None: Option[String], Some(99.0)),
+      (3L, Some("C"), None: Option[Double]),
+      (9L, Some("z"), Some(1.0)))
+      .toDF("id", "name", "bal").repartition(2)
+    JdbcOps.upsert(updates, url, "nup_t", pk = Seq("id"), batchSize = 2)
+    val out = JdbcOps.read(spark, url, "nup_t").orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(out == Seq((1L, "a", 10.0), (2L, "b", 99.0), (3L, "C", 30.0), (9L, "z", 1.0)))
+    // overwriteWithNull: the null must land
+    val nullify = Seq((2L, None: Option[String], Some(99.0))).toDF("id", "name", "bal")
+    JdbcOps.upsert(nullify, url, "nup_t", pk = Seq("id"), overwriteWithNull = true)
+    val r2 = JdbcOps.read(spark, url, "nup_t").filter($"id" === 2L).collect().head
+    assert(r2.isNullAt(1) && r2.getDouble(2) == 99.0)
+    // idempotence: replaying the same batch changes nothing (task-retry
+    // safety — Spark may re-run a partition)
+    JdbcOps.upsert(updates, url, "nup_t", pk = Seq("id"), batchSize = 2)
+    assert(JdbcOps.read(spark, url, "nup_t").count() == 4)
+  }
+
+  test("native upsert: keys-only frame inserts absent keys, never duplicates") {
+    val target = Seq(Tuple1(1L), Tuple1(2L)).toDF("id")
+    JdbcOps.write(target, url, "keys_t", mode = "overwrite")
+    val batch = Seq(Tuple1(2L), Tuple1(3L), Tuple1(4L)).toDF("id")
+    JdbcOps.upsert(batch, url, "keys_t", pk = Seq("id"))
+    assert(JdbcOps.read(spark, url, "keys_t").orderBy("id")
+      .as[Long].collect().toSeq == Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("native keyed update: plain SET overwrites (nulls too), returns matched rowcount") {
+    val target = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("id", "name", "bal")
+    JdbcOps.write(target, url, "kup_t", mode = "overwrite")
+    val changes = Seq(
+      (1L, None: Option[String], Some(11.0)), // null name OVERWRITES (plain SET)
+      (3L, Some("c3"), Some(33.0)),
+      (8L, Some("x"), Some(0.0)))             // unmatched: ignored, not counted
+      .toDF("id", "name", "bal")
+    val n = JdbcOps.updateKeyed(changes, url, "kup_t", on = Seq("id"), batchSize = 2)
+    assert(n == 2L, s"rowcount must count only matched rows, got $n")
+    val out = JdbcOps.read(spark, url, "kup_t").orderBy("id")
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)), r.getDouble(2))).toSeq
+    assert(out == Seq((1L, None, 11.0), (2L, Some("b"), 20.0), (3L, Some("c3"), 33.0)))
+  }
+
+  test("postgres dialect emits a single aliased ON CONFLICT statement") {
+    val sql = JdbcOps.nativeUpsertSql("jdbc:postgresql://h/db", "t",
+      Seq("id", "name", "bal"), Seq("name", "bal"), Seq("id"),
+      overwriteWithNull = false).get
+    assert(sql == """INSERT INTO t AS __t ("id", "name", "bal") VALUES (?, ?, ?) """ +
+      """ON CONFLICT ("id") DO UPDATE SET "name" = COALESCE(EXCLUDED."name", __t."name"), """ +
+      """"bal" = COALESCE(EXCLUDED."bal", __t."bal")""")
+    val nothing = JdbcOps.nativeUpsertSql("jdbc:postgresql://h/db", "t",
+      Seq("id"), Nil, Seq("id"), overwriteWithNull = false).get
+    assert(nothing.endsWith("""ON CONFLICT ("id") DO NOTHING"""))
+    assert(JdbcOps.nativeUpsertSql("jdbc:derby:x", "t",
+      Seq("id", "v"), Seq("v"), Seq("id"), overwriteWithNull = false).isEmpty)
+  }
+
   test("upsert merge + overwrite write = the reference's ON CONFLICT workflow") {
     val target = Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("id", "name", "bal")
     JdbcOps.write(target, url, "merge_t", mode = "overwrite")
