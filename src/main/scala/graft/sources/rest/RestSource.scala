@@ -7,6 +7,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.metric.{CustomMetric, CustomSumMetric, CustomTaskMetric}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.sources
@@ -175,7 +176,21 @@ class RestScan(readSchema0: StructType, options: Map[String, String], obj: Strin
     * remote API — doubling the API spend of the scan's slowest,
     * non-parallelizable phase. One cursor walk per scan also gives the
     * query snapshot semantics: both planning passes see the SAME id
-    * list even if the remote org changes mid-query. */
+    * list even if the remote org changes mid-query.
+    *
+    * Driver memory: pages stream DIRECTLY into fixed-size partition
+    * specs (peak transient = one page + one chunk) — never a flat
+    * all-ids array on the side. The planned partitions themselves must
+    * hold every id (the remote cursor has no executor-addressable
+    * offsets — same protocol as the reference), so the plan is
+    * O(total ids) by nature; `maxIds` (default 5M, ≈0.5 GB of id
+    * strings) is the documented cap that turns a silent driver OOM on
+    * a 100M-row sobject into an actionable error. Admission control
+    * (reference salesforce/main.py:102-104 reads DailyApiRequests
+    * before working): `minRemainingQuota` refuses the scan up front
+    * when the org's remaining quota is below the floor, and
+    * `maxPartitions` bounds phase-2 API spend — both abort BEFORE or
+    * DURING the cursor walk, never after the budget is gone. */
   override def planInputPartitions(): Array[InputPartition] = planned
 
   private lazy val planned: Array[InputPartition] = {
@@ -183,13 +198,76 @@ class RestScan(readSchema0: StructType, options: Map[String, String], obj: Strin
     val pageSize = options.getOrElse("pagesize", "200").toInt
     val batchSize = options.getOrElse("batchsize", "100").toInt
     val includeDeleted = options.getOrElse("includedeleted", "true").toBoolean
-    val ids = t.queryIds(obj, preds, includeDeleted, limit, pageSize).flatten.toArray
-    ids.grouped(batchSize).map(chunk =>
-      RestInputPartition(chunk): InputPartition).toArray
+    val maxIds = options.getOrElse("maxids", "5000000").toLong
+    val maxPartitions = options.get("maxpartitions").map(_.toInt)
+    val minQuota = options.getOrElse("minremainingquota", "0").toLong
+    if (minQuota > 0) {
+      val remaining = t.limits().getOrElse("DailyApiRequests.Remaining", Long.MaxValue)
+      if (remaining < minQuota) throw new IllegalStateException(
+        s"graft-rest $obj: remaining API quota $remaining is below " +
+          s"minRemainingQuota=$minQuota — refusing to start the scan " +
+          "(raise the floor only if this scan may spend the tail of the budget)")
+    }
+    // ids this scan may plan before aborting: the documented driver cap,
+    // tightened by the phase-2 budget when maxPartitions is set
+    val idCap = math.min(maxIds,
+      maxPartitions.map(_.toLong * batchSize).getOrElse(Long.MaxValue))
+    val out = Array.newBuilder[InputPartition]
+    val buf = new scala.collection.mutable.ArrayBuffer[String](batchSize)
+    var total = 0L
+    val pages = t.queryIds(obj, preds, includeDeleted, limit, pageSize)
+    while (pages.hasNext) {
+      pages.next().foreach { id =>
+        total += 1
+        if (total > idCap) {
+          val which =
+            if (total > maxIds) s"maxIds=$maxIds (driver-memory cap)"
+            else s"maxPartitions=${maxPartitions.get} × batchSize=$batchSize (API-budget cap)"
+          throw new IllegalStateException(
+            s"graft-rest $obj: id scan exceeds $which — narrow the scan " +
+              "with pushed predicates or a LIMIT, or raise the cap; " +
+              "aborted during the cursor walk to stop spending quota")
+        }
+        buf += id
+        if (buf.length == batchSize) {
+          out += RestInputPartition(buf.toArray); buf.clear()
+        }
+      }
+    }
+    if (buf.nonEmpty) out += RestInputPartition(buf.toArray)
+    out.result()
   }
+
+  /** The scan's API spend, surfaced in the Spark UI: executor-side
+    * fetch batches as a custom SUM metric, plus the planning-time
+    * cursor state as driver metrics (S5 quota probe made observable —
+    * reference salesforce/main.py:102-104). */
+  override def supportedCustomMetrics(): Array[CustomMetric] =
+    Array(new RestApiCallsMetric, new RestPlannedPartitionsMetric)
+
+  override def reportDriverMetrics(): Array[CustomTaskMetric] =
+    Array(RestMetric(RestPlannedPartitionsMetric.Name, planned.length.toLong))
 
   override def createReaderFactory(): PartitionReaderFactory =
     new RestReaderFactory(readSchema0, options, obj)
+}
+
+/** Executor-side count of remote fetch calls (one per id batch). */
+class RestApiCallsMetric extends CustomSumMetric {
+  override def name(): String = RestApiCallsMetric.Name
+  override def description(): String = "remote API fetch calls"
+}
+object RestApiCallsMetric { val Name = "restApiCalls" }
+
+/** Driver-side count of planned fetch partitions = phase-2 API budget. */
+class RestPlannedPartitionsMetric extends CustomSumMetric {
+  override def name(): String = RestPlannedPartitionsMetric.Name
+  override def description(): String = "planned fetch partitions (phase-2 API calls)"
+}
+object RestPlannedPartitionsMetric { val Name = "restPlannedPartitions" }
+
+case class RestMetric(metricName: String, value: Long) extends CustomTaskMetric {
+  override def name(): String = metricName
 }
 
 case class RestInputPartition(ids: Array[String]) extends InputPartition
@@ -207,14 +285,19 @@ class RestReaderFactory(schema: StructType, options: Map[String, String], obj: S
 class RestPartitionReader(schema: StructType, options: Map[String, String],
     obj: String, ids: Array[String]) extends PartitionReader[InternalRow] {
 
+  private var apiCalls = 0L
   private lazy val rows: Iterator[Map[String, Any]] = {
     val t = RestTable.transportFor(options)
+    apiCalls += 1
     t.fetchByIds(obj, ids.toSeq, schema.fieldNames.toSeq).iterator
   }
   private var current: Map[String, Any] = _
 
   override def next(): Boolean =
     if (rows.hasNext) { current = rows.next(); true } else false
+
+  override def currentMetricsValues(): Array[CustomTaskMetric] =
+    Array(RestMetric(RestApiCallsMetric.Name, apiCalls))
 
   override def get(): InternalRow = {
     val values = schema.fields.map { f =>

@@ -89,6 +89,57 @@ class RestSourceSpec extends SparkSpec {
     assert(new FakeTransport("t-auth", 10, 42, "weird").authenticatedEnv == "test")
   }
 
+  test("quota admission: the scan refuses up front when remaining quota is under the floor") {
+    // the fake org's remaining quota is just under 100000; a floor above
+    // it must abort BEFORE the id cursor spends anything
+    FakeTransport.CallLog.clear()
+    val ex = intercept[Exception] {
+      reader("t-admit").option("minRemainingQuota", "200000").load().count()
+    }
+    assert(ex.getMessage.contains("refusing to start the scan"), ex.getMessage)
+    assert(FakeTransport.CallLog.idQueries.isEmpty,
+      "the id cursor must not run after a quota refusal")
+    // a floor below the remaining quota admits the scan
+    assert(reader("t-admit", 100).option("minRemainingQuota", "10").load().count() == 100)
+  }
+
+  test("maxPartitions caps phase-2 API spend; maxIds is the driver-memory cap") {
+    // 500 ids / batchSize 100 = 5 partitions; a 2-partition budget must
+    // refuse (trimming would silently drop rows) with an actionable error
+    val ex = intercept[Exception] {
+      reader("t-cap").option("maxPartitions", "2").load().count()
+    }
+    assert(ex.getMessage.contains("API-budget cap"), ex.getMessage)
+    val ex2 = intercept[Exception] {
+      reader("t-cap").option("maxIds", "300").load().count()
+    }
+    assert(ex2.getMessage.contains("driver-memory cap"), ex2.getMessage)
+    // under the caps the same scan runs
+    assert(reader("t-cap").option("maxPartitions", "5")
+      .option("maxIds", "500").load().count() == 500)
+  }
+
+  test("API-spend custom metrics: fetch calls per task, planned partitions from the driver") {
+    val opts = Map("object" -> "account", "org" -> "t-metrics",
+      "numrecords" -> "250", "seed" -> "42")
+    val schema = RestTable.schemaFor(RestTable.transportFor(opts), "account")
+    val scan = new RestScanBuilder(schema, opts, "account").build()
+    assert(scan.supportedCustomMetrics().map(_.name()).toSet ==
+      Set("restApiCalls", "restPlannedPartitions"))
+    val batch = scan.toBatch
+    val parts = batch.planInputPartitions()
+    assert(parts.length == 3) // ceil(250/100)
+    assert(scan.asInstanceOf[RestScan].reportDriverMetrics()
+      .exists(m => m.name() == "restPlannedPartitions" && m.value() == 3L))
+    // a reader that fetched its batch reports exactly one API call
+    val rdr = batch.createReaderFactory().createReader(parts(0))
+    var n = 0
+    while (rdr.next()) n += 1
+    assert(n == 100)
+    val mv = rdr.currentMetricsValues()
+    assert(mv.exists(m => m.name() == "restApiCalls" && m.value() == 1L))
+  }
+
   test("streaming micro-batch read: the date cursor is the offset (S6 as CDC)") {
     // unit-level: the stream plans (lo, hi] windows into id-batch partitions
     val opts = Map("org" -> "t-stream", "numrecords" -> "300", "seed" -> "42",
