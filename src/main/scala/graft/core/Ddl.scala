@@ -99,12 +99,27 @@ object Ddl {
   def validateUnique(df: DataFrame, keys: Seq[String]): Boolean =
     df.groupBy(keys.map(col): _*).count().filter(col("count") > 1).isEmpty
 
-  /** Autoincrement surrogate ids: dense, stable (sorted by `orderBy`)
-    * ids via row_number — NOT monotonically_increasing_id, whose values
-    * are partition-sparse (SURVEY §7.5). One global sort; use only when
-    * dense ids are genuinely required. */
+  /** Autoincrement surrogate ids: dense, stable (sorted by `orderBy`),
+    * 1-based — NOT monotonically_increasing_id, whose values are
+    * partition-sparse (SURVEY §7.5).
+    *
+    * Two-phase distributed shape (the packSequences prefix-sum idea):
+    * a range-partitioned sort, then `zipWithIndex` assigns per-partition
+    * row numbers plus broadcast exclusive partition offsets. NOT a
+    * `Window.orderBy` with no partitioning — that funnels the whole
+    * table through ONE task and was the last single-partition global
+    * window in the tree. zipWithIndex's two passes (count job + map job)
+    * both read the sort's shuffle files, so the data shuffles once. The
+    * RDD seam is the one operation Catalyst cannot express
+    * (per-partition offset assignment); prune columns BEFORE calling —
+    * the row transcoding here costs per byte carried. */
   def assignIds(df: DataFrame, idCol: String, orderBy: Seq[String]): DataFrame = {
-    val w = Window.orderBy(orderBy.map(col): _*)
-    df.withColumn(idCol, row_number().over(w).cast(LongType))
+    require(orderBy.nonEmpty, "assignIds requires at least one order column")
+    val sorted = df.orderBy(orderBy.map(col): _*)
+    val out = StructType(sorted.schema.fields :+
+      StructField(idCol, LongType, nullable = false))
+    val rdd = sorted.rdd.zipWithIndex().map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1L)) }
+    df.sparkSession.createDataFrame(rdd, out)
   }
 }

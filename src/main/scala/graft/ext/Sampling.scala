@@ -113,14 +113,20 @@ object Sampling {
       val wIn = Window.partitionBy(col("__bkt")).orderBy(col(orderCol))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val cum = withB.withColumn("__cum", sum(col(tokenCol)).over(wIn))
-      // Phase 2: exclusive running offset per bucket — `globalBuckets`
-      // rows total, so the unpartitioned window here is trivially small
-      val offsets = withB.groupBy(col("__bkt"))
+      // Phase 2: exclusive running offset per bucket. The frame is
+      // `globalBuckets` rows, so the prefix sum is a broadcast
+      // triangular self-join (Σ __tot over strictly-smaller buckets) —
+      // O(B²) pairs over ~32 rows, zero windows: an unpartitioned
+      // running-sum window here would be correct but would emit the
+      // "WindowExec: No Partition Defined" warning on every run of a
+      // provably-tiny stage, and a foldable partition key gets
+      // optimized away (the warning came back).
+      val tot = withB.groupBy(col("__bkt"))
         .agg(sum(col(tokenCol)).as("__tot"))
-        .withColumn("__off", coalesce(
-          sum(col("__tot")).over(Window.orderBy(col("__bkt"))
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-        .select(col("__bkt"), col("__off"))
+      val offsets = tot.as("a")
+        .join(broadcast(tot.as("b")), col("b.__bkt") < col("a.__bkt"), "left")
+        .groupBy(col("a.__bkt").as("__bkt"))
+        .agg(coalesce(sum(col("b.__tot")), lit(0L)).as("__off"))
       cum.join(broadcast(offsets), Seq("__bkt"))
         .withColumn("bin_id",
           binId(col("__off") + col("__cum"), col(tokenCol)))
