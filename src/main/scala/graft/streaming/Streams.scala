@@ -193,21 +193,35 @@ object Streams {
       table: String, checkpoint: String, lateness: String = "10 minutes")
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val changelog = latestPerKey(events, lateness)
-    val applyBatch: (Dataset[UserEvent], Long) => Unit = { (batch, _) =>
-      val df = batch.toDF()
-      if (!df.isEmpty) {
-        if (!db.checkTableExists(table))
-          db.createTable(table, df.schema.fields.toSeq.map(f =>
-            graft.core.ColumnSpec(f.name, f.dataType)), primaryKey = Seq("user_id"))
-        db.upsert(table, df, Seq("user_id"))
-        ()
-      }
-    }
     changelog.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Append())
-      .foreachBatch(applyBatch)
+      .foreachBatch(applyChangelogBatch(db, table) _)
       .start()
+  }
+
+  /** One epoch of the CDC loop: upsert a changelog micro-batch into the
+    * snapshot table (created from the batch schema on first use).
+    *
+    * foreachBatch is at-least-once — after a crash between the sink
+    * write and the checkpoint commit, Structured Streaming RE-DELIVERS
+    * the completed epoch. Exactly-once TABLE STATE therefore rests on
+    * this function being idempotent per batch: the PK upsert maps the
+    * same rows onto the same keys, so a replay rewrites the snapshot
+    * with identical CONTENT (a fresh snapshot version, same rows) —
+    * the upsert idempotency law (LawsProps) lifted to the sink.
+    * StreamsSpec re-applies a completed epoch and asserts the table is
+    * unchanged. */
+  def applyChangelogBatch(db: graft.Database, table: String)
+      (batch: Dataset[UserEvent], epochId: Long): Unit = {
+    val df = batch.toDF()
+    if (!df.isEmpty) {
+      if (!db.checkTableExists(table))
+        db.createTable(table, df.schema.fields.toSeq.map(f =>
+          graft.core.ColumnSpec(f.name, f.dataType)), primaryKey = Seq("user_id"))
+      db.upsert(table, df, Seq("user_id"))
+      ()
+    }
   }
 
   /** Stream-stream INTERVAL join: each left row joins right rows with

@@ -122,6 +122,30 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("CDC epoch re-delivery is idempotent: replaying a committed batch leaves the snapshot unchanged") {
+    // foreachBatch is at-least-once: a crash between sink write and
+    // checkpoint commit re-delivers the epoch. The materialization must
+    // absorb the replay — upsert idempotency lifted to the sink.
+    val dbRoot = java.nio.file.Files.createTempDirectory("graft-cdc-idem").toString
+    val db = new graft.Database(spark, dbRoot)
+    val epoch0 = Seq(
+      Streams.UserEvent(1L, ts("2024-01-01 10:00:00"), 1.0),
+      Streams.UserEvent(2L, ts("2024-01-01 10:30:00"), 7.0)).toDS()
+    Streams.applyChangelogBatch(db, "idem_t")(epoch0, 0L)
+    def snapshot() = db.getTable("idem_t")
+      .select("user_id", "value").as[(Long, Double)].collect().toMap
+    val afterFirst = snapshot()
+    assert(afterFirst == Map(1L -> 1.0, 2L -> 7.0))
+    // the re-delivered epoch: same batch, same epoch id
+    Streams.applyChangelogBatch(db, "idem_t")(epoch0, 0L)
+    assert(snapshot() == afterFirst, "replay must not change table content")
+    assert(db.getTableCount("idem_t") == 2, "replay must not duplicate rows")
+    // and the next epoch still advances normally after a replay
+    val epoch1 = Seq(Streams.UserEvent(1L, ts("2024-01-01 11:00:00"), 2.0)).toDS()
+    Streams.applyChangelogBatch(db, "idem_t")(epoch1, 1L)
+    assert(snapshot() == Map(1L -> 2.0, 2L -> 7.0))
+  }
+
   test("intervalJoin over two real streams: click attributed to impression within window") {
     implicit val sqlCtx = spark.sqlContext
     val imps = MemoryStream[(Long, Timestamp, Long)]
