@@ -491,13 +491,30 @@ object Dedup {
   /** Winnowing near-dups: pairs of docs sharing ≥ `minShared` winnowing
     * fingerprints (local-similarity detection — catches plagiarism-style
     * shared passages that whole-doc hashing misses). Equi-join on the
-    * fingerprint, so only docs with a common fingerprint are compared. */
+    * fingerprint, so only docs with a common fingerprint are compared.
+    *
+    * `maxDf` (0 = uncapped) drops fingerprints present in more than
+    * maxDf docs BEFORE the self-join — the MOSS rule: a fingerprint in
+    * thousands of documents is boilerplate (headers, license text,
+    * cookie banners), not copying evidence, and it alone would cost
+    * df²/2 candidate pairs (one viral fingerprint in 10⁵ docs ≈ 5·10⁹
+    * pairs). The q44 n-gram path has the same guard (`maxDf` there);
+    * always set it on crawl-scale corpora. Uncapped stays the default
+    * so the q61/q83 oracle replays are unchanged. */
   def winnowingNearDups(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 5, window: Int = 4, minShared: Int = 2,
-      portable: Boolean = false): DataFrame = {
-    val fp = TextOps.winnowingFingerprints(
+      portable: Boolean = false, maxDf: Int = 0): DataFrame = {
+    val fp0 = TextOps.winnowingFingerprints(
       docs.repartition(col(idCol)), idCol, textCol, k, window, portable)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val fp = (if (maxDf <= 0) fp0
+      else {
+        // df per fingerprint is a partial-agg groupBy on the join key's
+        // own partitioning; the surviving-set join reuses that exchange
+        val keep = fp0.groupBy(col("fingerprint"))
+          .agg(count(lit(1)).as("__df")).filter(col("__df") <= maxDf)
+          .select(col("fingerprint"))
+        fp0.join(keep, Seq("fingerprint"))
+      }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     fp.select(col(idCol).as("a"), col("fingerprint"))
       .join(fp.select(col(idCol).as("b"), col("fingerprint")), Seq("fingerprint"))
       .filter(col("a") < col("b"))

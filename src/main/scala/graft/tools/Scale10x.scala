@@ -1,0 +1,183 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Empirical 10× scale check for the headline extension family
+  * (VERDICT r5 item 4): SCALE.md's plan-shape claims, measured.
+  *
+  * Generates a structure-preserving 10× replica fixture from sf0.1 and
+  * records base-vs-10× wall-clock ratios for q45 (MinHash+LSH), q83
+  * (winnowing → connected components), q96 (bloom-pruned join) and q99
+  * (incremental dedup). A linear-work operator should land near 10×
+  * (modulo fixed overheads); a quadratic candidate explosion would show
+  * as ≥100×.
+  *
+  * Replication must not invent cross-replica near-duplicates (10
+  * verbatim copies of every doc would turn each doc into a 10-clique —
+  * a quadratic artifact the real sf1 would NOT have). Replica k > 0
+  * appends a k-specific suffix to EVERY word: the map is a bijection
+  * on the vocabulary, so all intra-replica similarity structure
+  * (shingle sets, winnowing fingerprints, md5 fingerprints, dfs) is
+  * preserved bit-for-bit, while replica vocabularies are fully
+  * DISJOINT — zero cross-replica shingle/fingerprint overlap, so
+  * pair/cluster counts scale exactly ×10 with the rows. (A partial
+  * perturbation — suffix only hash-even words — was tried first and
+  * is a trap: the ~3 % of n-grams made of never-perturbed words stay
+  * replica-INVARIANT, and any viral such n-gram grows its candidate
+  * bucket 10× → pairs 100× — a quadratic artifact again.) Keys
+  * (doc_id, vec_id, partkeys) are offset per replica.
+  *
+  * Also re-checks the AQE skew split (DedupSpec's law) on a 10×-sized
+  * crawl-like corpus: one boilerplate template shared by 400 docs in a
+  * background of 8 000 unique docs — byte thresholds scaled to the
+  * fixture (the hot bucket is ~KBs here; production defaults engage at
+  * 256 MB).
+  *
+  * Usage: runMain graft.tools.Scale10x [srcDir outDir replicas]
+  * Prints one JSON line; results are recorded in SCALE.md.
+  */
+object Scale10x {
+  private val Queries =
+    Seq("q45_minhash_neardup", "q83_dedup_clusters", "q96_bloom_join",
+      "q99_incremental_dedup")
+
+  def main(args: Array[String]): Unit = {
+    val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val out = args.lift(1).getOrElse("/tmp/scale10x")
+    val reps = args.lift(2).map(_.toInt).getOrElse(10)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    if (args.contains("--skew-only")) {
+      println(s"""{"metric":"scale10x-skew","skew_split":${skewSplitEngages(spark)}}""")
+      spark.stop()
+      return
+    }
+
+    if (!new java.io.File(s"$out/documents.parquet").exists())
+      generate(spark, src, out, reps)
+
+    val results = Queries.map { name =>
+      val base = timeQuery(spark, name, src)
+      val x10 = timeQuery(spark, name, out)
+      val ratio = x10 / base
+      println(f"[scale10x] $name base=$base%.2fs x10=$x10%.2fs ratio=$ratio%.1fx")
+      name -> (base, x10, ratio)
+    }
+    val skew = skewSplitEngages(spark)
+    val qjson = results.map { case (n, (b, x, r)) =>
+      f""""$n":{"base_s":$b%.2f,"x10_s":$x%.2f,"ratio":$r%.2f}""" }
+      .mkString(",")
+    println(s"""{"metric":"scale10x","replicas":$reps,$qjson,"skew_split":$skew}""")
+    spark.stop()
+  }
+
+  /** Replica-k vocabulary bijection: every word gains a k suffix. */
+  private def perturb(text: org.apache.spark.sql.Column,
+      k: org.apache.spark.sql.Column) =
+    when(k === 0, text).otherwise(
+      array_join(transform(split(text, " "),
+        w => concat(w, lit("_r"), k.cast("string"))), " "))
+
+  private def generate(spark: SparkSession, src: String, out: String,
+      reps: Int): Unit = {
+    import graft.core.Fx
+    val rep = spark.range(reps).select(col("id").cast("int").as("k"))
+
+    val docs = Fx.t(spark, src, "documents").crossJoin(rep)
+      .select(
+        (col("doc_id") + col("k").cast("long") * 1000000L).as("doc_id"),
+        perturb(col("text"), col("k")).as("text"),
+        col("lang"), col("source"))
+      .withColumn("n_chars", length(col("text")))
+    docs.repartition(8).write.mode("overwrite").parquet(s"$out/documents.parquet")
+
+    val emb = Fx.t(spark, src, "embeddings").crossJoin(rep)
+      .select(
+        (col("vec_id") + col("k").cast("long") * 1000000L).as("vec_id"),
+        // small deterministic per-replica jitter so replicas are near
+        // but not identical in cosine space
+        transform(col("embedding"), (x, i) =>
+          (x + when(col("k") === 0, lit(0.0f)).otherwise(
+            (pmod(xxhash64(col("vec_id"), i, col("k")), lit(17)).cast("float")
+              - lit(8.0f)) / lit(100.0f))).cast("float")).as("embedding"),
+        col("label"))
+    emb.repartition(4).write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+
+    val li = Fx.t(spark, src, "lineitem").crossJoin(rep)
+      .withColumn("l_orderkey", col("l_orderkey") + col("k").cast("long") * 10000000L)
+      .withColumn("l_partkey", col("l_partkey") + col("k").cast("long") * 20000L)
+      .drop("k")
+    li.repartition(16).write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+
+    val part = Fx.t(spark, src, "part").crossJoin(rep)
+      .withColumn("p_partkey", col("p_partkey") + col("k").cast("long") * 20000L)
+      .drop("k")
+    part.repartition(4).write.mode("overwrite").parquet(s"$out/part.parquet")
+  }
+
+  /** min-of-2 wall clock through the noop sink (full materialization,
+    * no write amplification), caches cleared between runs. */
+  private def timeQuery(spark: SparkSession, name: String, dir: String): Double =
+    (1 to 2).map { _ =>
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      graft.SparkEntry.queries(name)(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }.min
+
+  /** DedupSpec's AQE skew-split law at 10× corpus size: 400 copies of
+    * one boilerplate page in 8 000 unique docs — every copy's band rows
+    * land in the same (band, hash) buckets. */
+  private def skewSplitEngages(spark: SparkSession): Boolean = {
+    import spark.implicits._
+    import graft.ext.Dedup
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.adaptive.forceOptimizeSkewedJoin",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.shuffle.partitions")
+      .map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "100b")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "100b")
+      conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.shuffle.partitions", "16")
+      // ~10 % boilerplate — the crawl-realistic fraction — so the hot
+      // (band, hash) buckets stay hot RELATIVE to the 10× background
+      // median (a fixed 400-doc clique from the unit test drowns in an
+      // 8 000-doc background and stops registering as skew)
+      val skewed = ((0 until 800).map(i =>
+        (i.toLong, "identical boilerplate paragraph shared by every copy of this page " * 2)) ++
+        (800 until 8800).map(i =>
+          (i.toLong, s"unique document $i with distinct words w${i * 7} w${i * 13} w${i * 31} tail")))
+        .toDF("doc_id", "text")
+      val sig = Dedup.minhashSignature(skewed, "doc_id", "text", k = 16)
+      val cand = Dedup.lshCandidates(sig, "doc_id", k = 16, bands = 4)
+      val n = cand.collect().length
+      val planStr = cand.queryExecution.executedPlan.toString
+      val split = planStr.contains("skew=true")
+      println(s"[scale10x] skew check: candidates=$n (need >= ${800 * 799 / 2}), " +
+        s"plan skew=true: $split")
+      n >= 800 * 799 / 2 && split
+    } finally saved.foreach { case (k, v) =>
+      v.fold(conf.unset(k))(conf.set(k, _))
+    }
+  }
+}

@@ -78,6 +78,30 @@ class DedupSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("winnowing maxDf drops boilerplate fingerprints, keeps genuine shared passages") {
+    val passage = "alpha beta gamma delta epsilon zeta eta theta iota kappa"  // 10 tokens
+    val boiler = "standard legal disclaimer footer text appended verbatim to every single document in this corpus"  // 15 tokens
+    val docs = (Seq(
+      (1L, s"first unique opening words $passage and then $boiler"),
+      (2L, s"second other beginning text $passage followed by $boiler")) ++
+      (3L to 12L).map(i => (i, s"document number $i distinct words x${i * 7} y${i * 13} $boiler")))
+      .toDF("doc_id", "text")
+    // uncapped: the boilerplate makes everyone pair with everyone
+    val uncapped = Dedup.winnowingNearDups(docs, "doc_id", "text",
+      k = 5, window = 4, minShared = 1)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(uncapped.contains((1L, 2L)))
+    assert(uncapped.exists(p => p._1 >= 3L), "boilerplate should pair docs 3..12 uncapped")
+    // capped: boilerplate fingerprints (df = 12) drop; the genuine
+    // shared passage (df = 2) still pairs 1-2; docs 3..12 fall apart
+    val capped = Dedup.winnowingNearDups(docs, "doc_id", "text",
+      k = 5, window = 4, minShared = 1, maxDf = 5)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(capped.contains((1L, 2L)), s"real passage must survive the cap: $capped")
+    assert(!capped.exists(p => p._1 >= 3L && p._2 >= 3L),
+      s"boilerplate-only pairs must be gone: $capped")
+  }
+
   test("embedding near-dups: LSH candidates recover the brute-force pairs") {
     val emb = graft.core.Fx.t(spark, sfDir, "embeddings")
     val brute = Dedup.embeddingNearDups(emb, "vec_id", "embedding",
