@@ -1352,6 +1352,31 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Stratified sampling (ext.Sampling.stratifiedSample, portable):
+    // per-lang keep rates — the mixture-targeting knob of a curation
+    // pipeline. Thresholds are exact integers, so DuckDB replays the
+    // md5 bucket arithmetic bit-for-bit (the q63 recipe, per-stratum).
+    "q104_stratified_sample" -> ((s, d) =>
+      graft.ext.Sampling.stratifiedSample(T(s, d, "documents"),
+        "doc_id", "lang", fractions = Map("en" -> 0.5, "zh" -> 0.25),
+        default = 1.0, portable = true)
+        .groupBy(col("lang")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("lang"))),
+
+    // Leakage-safe split (ext.Sampling.leakageSafeSplit): near-dup
+    // CLUSTERS (winnowing pairs → connected components) are assigned
+    // to train/holdout as units, so no near-duplicate ever straddles
+    // the split. Oracle = the q83 recursive-CTE closure + the same
+    // md5 bucket on cluster_id.
+    "q105_leakage_split" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val pairs = Dedup.winnowingNearDups(docs, "doc_id", "text",
+        k = 5, window = 4, minShared = 3, portable = true)
+      graft.ext.Sampling.leakageSafeSplit(docs.select(col("doc_id")),
+        "doc_id", pairs, "a", "b", trainFraction = 0.8, portable = true)
+        .orderBy(col("doc_id"))
+    }),
+
     // ------------------------------------------------ D9/D16 DDL contract
     // create-with-constraints → store round trip → read-back →
     // validateUnique (reference database/main.py:119-170 create_table
@@ -2272,6 +2297,30 @@ object SparkEntry {
         |  ('contact', 4, 'LastModifiedDate', 'timestamp'), ('contact', 5, 'IsDeleted', 'boolean')
         |) AS t(obj, pos, field, dtype)
         |ORDER BY obj, pos""".stripMargin,
+
+    // per-stratum md5 bucket, exact integer thresholds (q63 recipe)
+    "q104_stratified_sample" ->
+      """WITH s AS (
+        |  SELECT * FROM documents
+        |  WHERE CAST(concat('0x', substring(md5(concat('42', '|', CAST(doc_id AS VARCHAR))), 1, 14)) AS BIGINT) % 1000000
+        |    < (CASE lang WHEN 'en' THEN 500000 WHEN 'zh' THEN 250000 ELSE 1000000 END))
+        |SELECT lang, count(*) AS cnt FROM s GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // the q83 transitive closure labels clusters; the split is the md5
+    // bucket of the CLUSTER id against the exact 0.8 threshold
+    "q105_leakage_split" ->
+      s"""WITH RECURSIVE $WinnowingPairsCtes,
+        |sym AS (SELECT a AS src, b AS dst FROM p UNION SELECT b, a FROM p),
+        |reach AS (
+        |  SELECT doc_id AS src, doc_id AS dst FROM documents
+        |  UNION
+        |  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src),
+        |cc AS (SELECT src AS doc_id, min(dst) AS cluster_id
+        |       FROM reach GROUP BY src)
+        |SELECT doc_id, cluster_id,
+        |  CASE WHEN CAST(concat('0x', substring(md5(concat('42', '|', CAST(cluster_id AS VARCHAR))), 1, 14)) AS BIGINT) % 1000000 < 800000
+        |       THEN 'train' ELSE 'holdout' END AS split
+        |FROM cc ORDER BY doc_id""".stripMargin,
 
     // quota arithmetic: 100000 cap; the scan spends exactly 6 calls
     // (1 describe + 1 id query + 400/100 fetch batches); all 400 rows

@@ -40,16 +40,61 @@ object Sampling {
   }
 
   /** Per-stratum deterministic sampling: different fraction per value
-    * of `strataCol` (e.g. downsample web text, keep all code). */
+    * of `strataCol` (e.g. downsample web text, keep all code) — the
+    * mixture-targeting knob of a training-data pipeline. Thresholds are
+    * computed as exact integers driver-side (`(f·1e6).round`), so the
+    * kept set is bit-stable across engines and re-runs; `portable`
+    * switches to the md5 bucket (cross-engine auditable, like
+    * [[deterministicSample]]). */
   def stratifiedSample(df: DataFrame, keyCol: String, strataCol: String,
       fractions: Map[String, Double], default: Double = 0.0,
-      seed: Long = 42L): DataFrame = {
-    val frac = fractions.foldLeft(lit(default)) { case (acc, (value, f)) =>
-      when(col(strataCol) === value, lit(f)).otherwise(acc)
+      seed: Long = 42L, portable: Boolean = false): DataFrame = {
+    (fractions.values ++ Seq(default)).foreach(f =>
+      require(f >= 0 && f <= 1, s"fraction $f outside [0,1]"))
+    val threshold = fractions.foldLeft(lit(math.round(default * 1000000L))) {
+      case (acc, (value, f)) =>
+        when(col(strataCol) === value, lit(math.round(f * 1000000L))).otherwise(acc)
     }
-    df.filter(
-      pmod(xxhash64(lit(seed), col(keyCol)), lit(1000000L)).cast("double") <
-        frac * 1000000L)
+    val bucket = if (portable) portableBucket(col(keyCol), seed)
+      else hashBucket(col(keyCol), seed)
+    df.filter(bucket < threshold)
+  }
+
+  /** Leakage-safe train/holdout split: near-duplicate documents must
+    * land in the SAME split — a near-dup of a training doc in the
+    * held-out set leaks training content into eval (the reason dedup
+    * papers decontaminate BEFORE splitting). Clusters the pair
+    * evidence (near-dup pairs from MinHash/SimHash/winnowing — any
+    * [[Dedup]] candidate generator) with connectedComponents, then
+    * assigns each CLUSTER, not each doc, by deterministic hash of the
+    * cluster id: every member inherits the cluster's split, and the
+    * assignment is stable across retries/engines (`portable` = the md5
+    * bucket). Singleton docs are their own cluster, so the realized
+    * train fraction converges to `trainFraction` as clusters stay
+    * small (dedup graphs; a corpus-sized cluster means dedup should
+    * have run first).
+    *
+    * Scale: one CC over the edge-induced subgraph (isolated docs never
+    * enter the loop) + one hash-join of docs to the checkpointed
+    * assignment — no extra caches left behind (the CC labels are
+    * released here, the assignment is eagerly checkpointed ids+labels,
+    * never text). */
+  def leakageSafeSplit(docs: DataFrame, idCol: String,
+      pairs: DataFrame, aCol: String, bCol: String,
+      trainFraction: Double, seed: Long = 42L,
+      portable: Boolean = false): DataFrame = {
+    require(trainFraction >= 0 && trainFraction <= 1,
+      s"trainFraction $trainFraction outside [0,1]")
+    val cc = graft.ext.Dedup.connectedComponents(
+      docs.select(col(idCol)), idCol, pairs, aCol, bCol)
+    val bucket = if (portable) portableBucket(col("cluster_id"), seed)
+      else hashBucket(col("cluster_id"), seed)
+    val assign = cc.withColumn("split",
+        when(bucket < lit(math.round(trainFraction * 1000000L)), lit("train"))
+          .otherwise(lit("holdout")))
+      .localCheckpoint(true)
+    cc.unpersist()
+    docs.join(assign, Seq(idCol))
   }
 
   /** Sequence packing: assign documents to training bins of at most

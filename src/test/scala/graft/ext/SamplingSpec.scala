@@ -37,6 +37,37 @@ class SamplingSpec extends SparkSpec {
     } else assert(s.count() == 0)
   }
 
+  test("leakage-safe split: near-dup clusters never straddle train/holdout") {
+    val ids = (1L to 200L).toDF("doc_id")
+    // clusters {1,2,3} (chained) and {10,11}; everyone else singleton
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val split = Sampling.leakageSafeSplit(ids, "doc_id", pairs, "a", "b",
+      trainFraction = 0.5)
+      .select("doc_id", "cluster_id", "split")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(split.size == 200)
+    // cluster members share BOTH the label and the split
+    assert(Set(split(1L), split(2L), split(3L)).size == 1)
+    assert(Set(split(10L), split(11L)).size == 1)
+    // realized fraction near the target over 197 clusters
+    val trainFrac = split.values.count(_._2 == "train").toDouble / 200
+    assert(trainFrac > 0.35 && trainFrac < 0.65, s"train fraction off: $trainFrac")
+    // deterministic: identical assignment on re-run, portable twin agrees
+    // with itself across layouts
+    val again = Sampling.leakageSafeSplit(ids.repartition(7), "doc_id",
+      pairs, "a", "b", trainFraction = 0.5)
+      .select("doc_id", "cluster_id", "split")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(again == split)
+    // no cache entries left behind (CC labels released inside)
+    spark.catalog.clearCache()
+    val before = spark.sparkContext.getPersistentRDDs.size
+    Sampling.leakageSafeSplit(ids, "doc_id", pairs, "a", "b", 0.5).count()
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after <= before + 1, // the assignment localCheckpoint, GC-reclaimed
+      s"split must not accumulate caches: $before -> $after")
+  }
+
   test("sequence packing: bins fill in order; no bin starts past maxTokens") {
     val packed = Sampling.packSequences(
       docs.select($"doc_id", graft.ext.TextOps.tokenCountWs($"text").as("tok")),
