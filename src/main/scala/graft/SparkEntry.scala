@@ -1377,6 +1377,24 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // PII scrub (ext.TextOps.scrubPii): Dolma/C4-style masking. The
+    // fixture has no natural PII, so the query deterministically
+    // injects an email+URL+IP tail into every 7th doc and the oracle
+    // replays injection, per-type counts, and the staged scrub
+    // character-for-character (portable regex subset, global replace).
+    "q106_pii_scrub" -> ((s, d) => {
+      val inj = T(s, d, "documents").select(col("doc_id"),
+        when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com via http://site"), col("doc_id").cast("string"),
+            lit(".example/page or 10.0.0."), (col("doc_id") % 250).cast("string")))
+          .otherwise(col("text")).as("text"))
+      val (ne, nu, ni) = TextOps.piiCounts(col("text"))
+      inj.select(col("doc_id"), ne.as("n_email"), nu.as("n_url"), ni.as("n_ip"),
+        md5(TextOps.scrubPii(col("text"))).as("scrubbed_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ------------------------------------------------ D9/D16 DDL contract
     // create-with-constraints → store round trip → read-back →
     // validateUnique (reference database/main.py:119-170 create_table
@@ -2297,6 +2315,23 @@ object SparkEntry {
         |  ('contact', 4, 'LastModifiedDate', 'timestamp'), ('contact', 5, 'IsDeleted', 'boolean')
         |) AS t(obj, pos, field, dtype)
         |ORDER BY obj, pos""".stripMargin,
+
+    // staged scrub replay: count each type on the PREVIOUS stage's
+    // text (so a URL's host never double-counts as an IP), 'g' flag =
+    // Spark's replace-all default
+    "q106_pii_scrub" ->
+      """WITH inj AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com via http://site' || CAST(doc_id AS VARCHAR) || '.example/page or 10.0.0.' || CAST(doc_id % 250 AS VARCHAR) ELSE text END AS text
+        |  FROM documents),
+        |s1 AS (SELECT doc_id, text, regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1 FROM inj),
+        |s2 AS (SELECT doc_id, text, t1, regexp_replace(t1, 'https?://[^ ]+', '<URL>', 'g') AS t2 FROM s1)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+        |  CAST(len(regexp_extract_all(t1, 'https?://[^ ]+')) AS BIGINT) AS n_url,
+        |  CAST(len(regexp_extract_all(t2, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS BIGINT) AS n_ip,
+        |  md5(regexp_replace(t2, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g')) AS scrubbed_md5
+        |FROM s2 ORDER BY doc_id""".stripMargin,
 
     // per-stratum md5 bucket, exact integer thresholds (q63 recipe)
     "q104_stratified_sample" ->

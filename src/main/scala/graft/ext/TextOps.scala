@@ -122,6 +122,42 @@ object TextOps {
     conv(substring(md5(concat_ws("|", lit(seed.toString), c)), 1, 15), 16, 10)
       .cast("long")
 
+  // --------------------------------------------------------- PII scrub
+  // Dolma/C4-style masking for training-data curation. Patterns are
+  // deliberately dialect-portable (plain classes + bounded repeats —
+  // valid and IDENTICAL in Java regex and RE2/DuckDB, no lookarounds,
+  // no \b) so the DuckDB oracle replays the scrub character-for-
+  // character. Order matters and is fixed: emails first (contain
+  // dot-runs an IP pattern could clip), then URLs (swallow embedded
+  // IPs/hosts), then bare IPs.
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val UrlRe = "https?://[^ ]+"
+  val IpRe = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+  /** Replace emails/URLs/IPv4s with sentinel tokens — all-occurrence,
+    * codegen'd `regexp_replace`, zero shuffles. The sentinel tokens
+    * keep the document's token structure (a downstream token counter
+    * sees one token per redaction, not a hole). */
+  def scrubPii(text: Column,
+      emailToken: String = "<EMAIL>", urlToken: String = "<URL>",
+      ipToken: String = "<IP>"): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, emailToken),
+        UrlRe, urlToken),
+      IpRe, ipToken)
+
+  /** Per-type PII hit counts (for audit dashboards / drop thresholds).
+    * Counted in the same fixed order on progressively-scrubbed text,
+    * so a URL's embedded host is never double-counted as an IP. */
+  def piiCounts(text: Column): (Column, Column, Column) = {
+    val afterEmail = regexp_replace(text, EmailRe, "<EMAIL>")
+    val afterUrl = regexp_replace(afterEmail, UrlRe, "<URL>")
+    (regexp_count(text, lit(EmailRe)).cast("long"),
+      regexp_count(afterEmail, lit(UrlRe)).cast("long"),
+      regexp_count(afterUrl, lit(IpRe)).cast("long"))
+  }
+
   /** Exact document fingerprint: md5 of normalized text. Stable across
     * engines (used by the exact-dedup oracle). */
   def fingerprintMd5(c: Column): Column = md5(normalize(c))

@@ -64,6 +64,22 @@ object FileSources {
     parsed.filter(org.apache.spark.sql.functions.col(CorruptCol).isNotNull)
   }
 
+  /** Read ORC (columnar, predicate-pushdown-capable like parquet —
+    * the interop format when upstream systems are Hive/Trino-based).
+    * Schema comes from the file footer; pass `schema` to pin it. */
+  def orc(spark: SparkSession, path: String,
+      schema: Option[StructType] = None,
+      options: Map[String, String] = Map.empty): DataFrame = {
+    val r = spark.read.options(options)
+    schema.fold(r)(r.schema).orc(path)
+  }
+
+  def writeOrc(df: DataFrame, path: String,
+      partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).orc(path)
+  }
+
   def writeCsv(df: DataFrame, path: String, header: Boolean = true,
       partitionBy: Seq[String] = Nil): Unit = {
     val w = df.write.mode("overwrite").option("header", header)

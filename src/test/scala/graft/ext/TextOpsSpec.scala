@@ -8,6 +8,20 @@ class TextOpsSpec extends SparkSpec {
 
   private def one(text: String) = Seq(Tuple1(text)).toDF("t")
 
+  test("scrubPii masks emails, then urls, then bare IPs; counts don't double-count") {
+    val t = "mail me at a.b+c@ex-1.co.uk or visit http://10.1.2.3/x?q=1 " +
+      "backup 192.168.0.1 and user2@example.com done"
+    val out = one(t).select(TextOps.scrubPii($"t")).as[String].first()
+    assert(out == "mail me at <EMAIL> or visit <URL> backup <IP> and <EMAIL> done")
+    val (ne, nu, ni) = TextOps.piiCounts($"t")
+    val c = one(t).select(ne, nu, ni).as[(Long, Long, Long)].first()
+    // the URL's embedded 10.1.2.3 must count as part of the URL, not an IP
+    assert(c == ((2L, 1L, 1L)), s"got $c")
+    // clean text untouched
+    assert(one("no pii here 1.2 simple").select(TextOps.scrubPii($"t"))
+      .as[String].first() == "no pii here 1.2 simple")
+  }
+
   test("tokens: lowercase, non-alnum split, empties dropped") {
     val tk = one("Hello, World!  foo-bar").select(TextOps.tokens($"t"))
       .as[Seq[String]].first()

@@ -45,6 +45,20 @@ class FileSourcesSpec extends SparkSpec {
     assert(clean.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
   }
 
+  test("ORC round-trip; filters push into the ORC scan") {
+    val dir = Files.createTempDirectory("graft-orc").toString + "/t"
+    val df = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("id", "name", "bal")
+    FileSources.writeOrc(df, dir)
+    val back = FileSources.orc(spark, dir).filter($"bal" > 15.0)
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThan(bal,15.0)"), plan)
+    assert(back.select("id").as[Long].collect().toSet == Set(2L, 3L))
+    // pinned schema read agrees
+    val pinned = FileSources.orc(spark, dir, Some(schema))
+    assert(pinned.schema == schema && pinned.count() == 3)
+  }
+
   test("textLines: one row per line for raw-document ingest") {
     val f = Files.createTempDirectory("graft-txt").toString + "/d.txt"
     java.nio.file.Files.write(java.nio.file.Paths.get(f),
