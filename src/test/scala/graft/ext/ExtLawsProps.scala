@@ -129,6 +129,74 @@ object ExtLawsProps extends Properties("graft.ext") {
       cc == expect
     }
 
+  // Leakage-safe split law: every doc assigned exactly once, and ALL
+  // members of any union-find component share one split — on any
+  // random pair graph (the property that makes the split leakage-safe
+  // by construction, not by luck of the fixture).
+  property("leakageSafeSplit: total assignment, cluster-coherent, deterministic") =
+    Prop.forAll(genGraph, Gen.oneOf(false, true)) { case ((n, edges), portable) =>
+      val nodes = (0L until n.toLong).toDF("doc_id")
+      val e =
+        if (edges.isEmpty) Seq.empty[(Long, Long)].toDF("a", "b")
+        else edges.toDF("a", "b")
+      val out = Sampling.leakageSafeSplit(nodes, "doc_id", e, "a", "b",
+        trainFraction = 0.5, portable = portable)
+        .select($"doc_id", $"split").as[(Long, String)].collect()
+      val byDoc = out.toMap
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int =
+        if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      out.length == n &&
+        out.forall(r => r._2 == "train" || r._2 == "holdout") &&
+        (0 until n).forall(i => byDoc(i.toLong) == byDoc(find(i).toLong))
+    }
+
+  // Stratified sampling decomposition: the stratified sample restricted
+  // to one stratum IS the Bernoulli sample of that stratum at its own
+  // fraction (same seed) — mixture targeting is exactly per-stratum
+  // deterministic sampling, nothing more.
+  property("stratifiedSample == per-stratum deterministicSample at the stratum fraction") =
+    Prop.forAll(Gen.chooseNum(1, 60), Gen.oneOf(true, false)) { (n, portable) =>
+      val rows = (0 until n).map(i =>
+        (i.toLong, Seq("en", "es", "de")(i % 3))).toDF("id", "lang")
+      val fr = Map("en" -> 0.5, "es" -> 0.25)
+      val got = Sampling.stratifiedSample(rows, "id", "lang", fr,
+        default = 0.0, seed = 7L, portable = portable)
+        .select($"id").as[Long].collect().toSet
+      val expect = fr.toSeq.flatMap { case (l, f) =>
+        Sampling.deterministicSample(rows.filter($"lang" === l), "id", f,
+          seed = 7L, portable = portable).select($"id").as[Long].collect().toSeq
+      }.toSet
+      got == expect
+    }
+
+  private val genPiiText: Gen[String] = Gen.listOf(Gen.oneOf(
+    Gen.oneOf("alpha", "beta", "x1", "-", "@", "dot.dot", "1.2", "http:/x"),
+    for {
+      u <- Gen.alphaLowerStr; d <- Gen.alphaLowerStr
+    } yield s"${u.take(4)}u@${d.take(4)}d.com",
+    Gen.chooseNum(0, 255).map(i => s"10.$i.0.$i"),
+    Gen.alphaLowerStr.map(s => s"http://${s.take(5)}x.ex/${s.take(3)}")
+  )).map(_.mkString(" ").take(300))
+
+  // Scrub laws: idempotent (sentinels can never re-match — they carry
+  // no '@', digits, or scheme), and fully clean (zero residual counts).
+  property("scrubPii: idempotent and residual-free on arbitrary pii mixtures") =
+    Prop.forAll(genPiiText) { t =>
+      val df = Seq(Tuple1(t)).toDF("t")
+      val once = df.select(TextOps.scrubPii($"t")).as[String].first()
+      val twice = Seq(Tuple1(once)).toDF("t")
+        .select(TextOps.scrubPii($"t")).as[String].first()
+      val (ne, nu, ni) = TextOps.piiCounts($"t")
+      val residual = Seq(Tuple1(once)).toDF("t")
+        .select(ne, nu, ni).as[(Long, Long, Long)].first()
+      twice == once && residual == ((0L, 0L, 0L))
+    }
+
   // Bloom-pruned join law: for ANY big/small key sets (overlapping or
   // not) and any bitmap size, the pruned join equals the plain join —
   // the structural guarantee that makes q96's oracle the plain join.
