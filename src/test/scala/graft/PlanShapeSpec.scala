@@ -210,6 +210,21 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("Join"), p)
   }
 
+  test("pii scrub is a pure projection: no exchange before the presentation sort") {
+    val p = planOf("q106_pii_scrub")
+    // regexp scrub + counts must stay per-row (codegen'd projections);
+    // the ONLY exchange allowed is the final orderBy's range partition
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(p.contains("Project"), p)
+  }
+
+  test("stratified sample filters at the scan side: no exchange before the group-by") {
+    val p = planOf("q104_stratified_sample")
+    // one hash exchange for the lang aggregate, one range for the sort —
+    // the bucket filter itself must not shuffle anything
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1, p)
+  }
+
   test("driver smoke contract: entry() returns rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
