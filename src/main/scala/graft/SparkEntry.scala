@@ -109,11 +109,12 @@ object SparkEntry {
     * window-4 sliding min, distinct fingerprints, shared-count ≥ 3) —
     * mirrors `Dedup.winnowingNearDups(..., portable = true)`. */
   /** Winnowing pipeline as a reusable CTE block ending in `p` (the
-    * near-dup pairs) — shared by q61 (the pairs themselves) and q83
-    * (connected components over them). */
-  private val WinnowingPairsCtes: String =
-    """tk AS (
-      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS tokens FROM documents),
+    * near-dup pairs) — shared by q61 (the pairs themselves), q83
+    * (connected components over them), and q105 (cluster-aware split,
+    * which scopes the corpus with `where`). */
+  private def winnowingPairsCtes(where: String): String =
+    s"""tk AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS tokens FROM documents$where),
       |tok AS (
       |  SELECT doc_id, unnest(tokens) AS t, unnest(range(1, len(tokens) + 1)) AS pos FROM tk),
       |g AS (
@@ -133,6 +134,8 @@ object SparkEntry {
       |  SELECT fa.doc_id AS a, fb.doc_id AS b, count(*) AS n_shared
       |  FROM d fa JOIN d fb ON fa.fingerprint = fb.fingerprint AND fa.doc_id < fb.doc_id
       |  GROUP BY 1, 2 HAVING count(*) >= 3)""".stripMargin
+
+  private val WinnowingPairsCtes: String = winnowingPairsCtes("")
 
   private val WinnowingOracleSql: String =
     s"WITH $WinnowingPairsCtes\nSELECT a, b, n_shared FROM p ORDER BY a, b"
@@ -1368,8 +1371,11 @@ object SparkEntry {
     // to train/holdout as units, so no near-duplicate ever straddles
     // the split. Oracle = the q83 recursive-CTE closure + the same
     // md5 bucket on cluster_id.
+    // Scoped to the even-id half of the corpus: the pair machinery is
+    // already fully gated by q61/q83 on the whole table, so q105 pays
+    // for the SPLIT semantics, not a third full winnowing run.
     "q105_leakage_split" -> ((s, d) => {
-      val docs = T(s, d, "documents")
+      val docs = T(s, d, "documents").filter(col("doc_id") % 2 === 0)
       val pairs = Dedup.winnowingNearDups(docs, "doc_id", "text",
         k = 5, window = 4, minShared = 3, portable = true)
       graft.ext.Sampling.leakageSafeSplit(docs.select(col("doc_id")),
@@ -2344,10 +2350,10 @@ object SparkEntry {
     // the q83 transitive closure labels clusters; the split is the md5
     // bucket of the CLUSTER id against the exact 0.8 threshold
     "q105_leakage_split" ->
-      s"""WITH RECURSIVE $WinnowingPairsCtes,
+      s"""WITH RECURSIVE ${winnowingPairsCtes(" WHERE doc_id % 2 = 0")},
         |sym AS (SELECT a AS src, b AS dst FROM p UNION SELECT b, a FROM p),
         |reach AS (
-        |  SELECT doc_id AS src, doc_id AS dst FROM documents
+        |  SELECT doc_id AS src, doc_id AS dst FROM documents WHERE doc_id % 2 = 0
         |  UNION
         |  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src),
         |cc AS (SELECT src AS doc_id, min(dst) AS cluster_id

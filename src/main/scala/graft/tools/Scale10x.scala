@@ -34,8 +34,13 @@ import org.apache.spark.sql.functions._
   * fixture (the hot bucket is ~KBs here; production defaults engage at
   * 256 MB).
   *
-  * Usage: runMain graft.tools.Scale10x [srcDir outDir replicas]
-  * Prints one JSON line; results are recorded in SCALE.md.
+  * Usage: SPARK_DRIVER_MEM=16g sbt "runMain graft.tools.Scale10x
+  * [srcDir outDir replicas]" (the 10× q83 run OOMs at the default 8 g
+  * heap; `--skew-only` runs just the AQE skew re-check). Prints one
+  * JSON line; results are recorded in SCALE.md. Generation is
+  * idempotent — delete outDir to regenerate. Measure on a fresh JVM:
+  * running generation and measurement in one process inflates the
+  * base timings (GC pressure from the generation phase).
   */
 object Scale10x {
   private val Queries =
