@@ -2331,10 +2331,10 @@ object SparkEntry {
         |    CASE WHEN doc_id % 7 = 0 THEN text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com via http://site' || CAST(doc_id AS VARCHAR) || '.example/page or 10.0.0.' || CAST(doc_id % 250 AS VARCHAR) ELSE text END AS text
         |  FROM documents),
         |s1 AS (SELECT doc_id, text, regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1 FROM inj),
-        |s2 AS (SELECT doc_id, text, t1, regexp_replace(t1, 'https?://[^ ]+', '<URL>', 'g') AS t2 FROM s1)
+        |s2 AS (SELECT doc_id, text, t1, regexp_replace(t1, 'https?://[^ \t\n\r]+', '<URL>', 'g') AS t2 FROM s1)
         |SELECT doc_id,
         |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
-        |  CAST(len(regexp_extract_all(t1, 'https?://[^ ]+')) AS BIGINT) AS n_url,
+        |  CAST(len(regexp_extract_all(t1, 'https?://[^ \t\n\r]+')) AS BIGINT) AS n_url,
         |  CAST(len(regexp_extract_all(t2, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS BIGINT) AS n_ip,
         |  md5(regexp_replace(t2, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g')) AS scrubbed_md5
         |FROM s2 ORDER BY doc_id""".stripMargin,

@@ -504,17 +504,22 @@ object Dedup {
   def winnowingNearDups(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 5, window: Int = 4, minShared: Int = 2,
       portable: Boolean = false, maxDf: Int = 0): DataFrame = {
+    // the PERSIST sits on the raw fingerprints — the expensive
+    // posexplode + double-window winnowing pipeline — so it runs once
+    // regardless of capping; the capped view is a cheap cache-scan +
+    // partial-agg df filter per consumer (persisting only the capped
+    // frame would re-run winnowing for the df aggregate itself)
     val fp0 = TextOps.winnowingFingerprints(
       docs.repartition(col(idCol)), idCol, textCol, k, window, portable)
-    val fp = (if (maxDf <= 0) fp0
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val fp =
+      if (maxDf <= 0) fp0
       else {
-        // df per fingerprint is a partial-agg groupBy on the join key's
-        // own partitioning; the surviving-set join reuses that exchange
         val keep = fp0.groupBy(col("fingerprint"))
           .agg(count(lit(1)).as("__df")).filter(col("__df") <= maxDf)
           .select(col("fingerprint"))
         fp0.join(keep, Seq("fingerprint"))
-      }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      }
     fp.select(col(idCol).as("a"), col("fingerprint"))
       .join(fp.select(col(idCol).as("b"), col("fingerprint")), Seq("fingerprint"))
       .filter(col("a") < col("b"))

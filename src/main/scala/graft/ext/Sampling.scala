@@ -36,7 +36,12 @@ object Sampling {
     require(fraction >= 0 && fraction <= 1, s"fraction $fraction outside [0,1]")
     val bucket = if (portable) portableBucket(col(keyCol), seed)
       else hashBucket(col(keyCol), seed)
-    df.filter(bucket < lit((fraction * 1000000L).toLong))
+    // math.round, NOT truncation — stratifiedSample rounds its
+    // per-stratum thresholds, and the decomposition law (stratified ==
+    // per-stratum Bernoulli) requires both APIs to map a fraction to
+    // the SAME integer threshold (0.3·1e6 truncates to 299999 but
+    // rounds to 300000)
+    df.filter(bucket < lit(math.round(fraction * 1000000L)))
   }
 
   /** Per-stratum deterministic sampling: different fraction per value

@@ -125,13 +125,16 @@ object TextOps {
   // --------------------------------------------------------- PII scrub
   // Dolma/C4-style masking for training-data curation. Patterns are
   // deliberately dialect-portable (plain classes + bounded repeats —
+  // the URL terminator class spells out space/tab/CR/LF rather than
+  // \s, and must: a bare [^ ]+ would swallow the next LINE into the
+  // sentinel when a URL ends a line;
   // valid and IDENTICAL in Java regex and RE2/DuckDB, no lookarounds,
   // no \b) so the DuckDB oracle replays the scrub character-for-
   // character. Order matters and is fixed: emails first (contain
   // dot-runs an IP pattern could clip), then URLs (swallow embedded
   // IPs/hosts), then bare IPs.
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  val UrlRe = "https?://[^ ]+"
+  val UrlRe = "https?://[^ \t\n\r]+"
   val IpRe = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
 
   /** Replace emails/URLs/IPv4s with sentinel tokens — all-occurrence,

@@ -71,8 +71,9 @@ object JdbcOps {
     * Each Spark partition opens one connection and writes its rows in
     * `batchSize` JDBC batches (per-chunk commit = the reference's
     * per-chunk atomicity); overall concurrency = number of partitions,
-    * exactly like the DSv2 REST writer. Postgres/SQLite-family URLs get
-    * the real single-statement `ON CONFLICT` upsert; every other
+    * exactly like the DSv2 REST writer. Postgres/SQLite URLs get the real
+    * single-statement `ON CONFLICT` upsert and MySQL gets
+    * `ON DUPLICATE KEY UPDATE` (backtick-quoted); every other
     * dialect (Derby here — its MERGE cannot read a VALUES source) takes
     * the portable batched UPDATE-then-INSERT: one UPDATE batch per
     * chunk, then one INSERT batch for the rows whose update count was
@@ -102,7 +103,7 @@ object JdbcOps {
     nativeUpsertSql(url, table, cols, nonKey, pk, overwriteWithNull) match {
       case Some(sql) =>
         df.foreachPartition { (rows: Iterator[Row]) =>
-          withConnection(url, connProps) { conn =>
+          if (rows.nonEmpty) withConnection(url, connProps) { conn =>
             val st = conn.prepareStatement(sql)
             try rows.grouped(batchSize).foreach { chunk =>
               chunk.foreach { r => bindRow(st, schema, cols, r); st.addBatch() }
@@ -133,8 +134,10 @@ object JdbcOps {
             s"WHERE NOT EXISTS (SELECT 1 FROM $table WHERE " +
             pk.map(c => s"${q(c)} = ?").mkString(" AND ") + ")"
         }
+        val pkIdx = pk.map(c => schema.fieldIndex(
+          cols.find(_.equalsIgnoreCase(c)).getOrElse(c)))
         df.foreachPartition { (rows: Iterator[Row]) =>
-          withConnection(url, connProps) { conn =>
+          if (rows.nonEmpty) withConnection(url, connProps) { conn =>
             rows.grouped(batchSize).foreach { chunk =>
               if (nonKey.isEmpty) {
                 val st = conn.prepareStatement(keysOnlySql)
@@ -146,6 +149,21 @@ object JdbcOps {
                   }
                   st.executeBatch()
                 } finally st.close()
+              } else if (chunk.map(r => pkIdx.map(r.get)).distinct.size < chunk.size) {
+                // intra-chunk duplicate PKs would double-INSERT in the
+                // batched two-step (both UPDATEs miss before either
+                // INSERT lands) — replay such chunks row-by-row:
+                // sequential update-or-insert IS the semantics of the
+                // reference's per-statement upsert loop
+                val up = conn.prepareStatement(updateSql)
+                val ins = conn.prepareStatement(insertSql)
+                try chunk.foreach { r =>
+                  bindCols(up, schema, nonKey, r, offset = 0)
+                  bindCols(up, schema, pk, r, offset = nonKey.length)
+                  if (up.executeUpdate() == 0) {
+                    bindRow(ins, schema, cols, r); ins.executeUpdate(); ()
+                  }
+                } finally { up.close(); ins.close() }
               } else {
                 val up = conn.prepareStatement(updateSql)
                 val matched = try {
@@ -206,7 +224,18 @@ object JdbcOps {
             bindCols(st, schema, on, r, offset = nonKey.length)
             st.addBatch()
           }
-          n += st.executeBatch().map(c => math.max(c, 0).toLong).sum
+          val counts = st.executeBatch()
+          // SUCCESS_NO_INFO (-2) means the driver gave no per-row
+          // count (e.g. rewritten batches): re-run that row alone so
+          // the returned rowcount stays the reference's contract
+          n += chunk.zip(counts).map { case (r, c) =>
+            if (c != Statement.SUCCESS_NO_INFO) math.max(c, 0).toLong
+            else {
+              bindCols(st, schema, nonKey, r, offset = 0)
+              bindCols(st, schema, on, r, offset = nonKey.length)
+              math.max(st.executeUpdate(), 0).toLong
+            }
+          }.sum
           conn.commit()
         } finally st.close()
       }
@@ -231,6 +260,22 @@ object JdbcOps {
       Some(s"INSERT INTO $table AS __t (${cols.map(q).mkString(", ")}) " +
         s"VALUES (${cols.map(_ => "?").mkString(", ")}) " +
         s"ON CONFLICT (${pk.map(q).mkString(", ")}) $action")
+    } else if (url.startsWith("jdbc:mysql")) {
+      // MySQL: backtick identifiers (double quotes are string literals
+      // under the default sql_mode) and ON DUPLICATE KEY UPDATE with
+      // the VALUES() reference (valid on every 5.x/8.x; the 8.0.19+
+      // row-alias form would exclude older servers). The dedup key is
+      // whatever UNIQUE/PK index the table declares — MySQL has no
+      // explicit conflict-target clause.
+      def bq(id: String) = "`" + id + "`"
+      val action =
+        if (nonKey.isEmpty) s"${bq(pk.head)} = ${bq(pk.head)}" // classic no-op
+        else nonKey.map(c =>
+          if (overwriteWithNull) s"${bq(c)} = VALUES(${bq(c)})"
+          else s"${bq(c)} = COALESCE(VALUES(${bq(c)}), ${bq(c)})").mkString(", ")
+      Some(s"INSERT INTO $table (${cols.map(bq).mkString(", ")}) " +
+        s"VALUES (${cols.map(_ => "?").mkString(", ")}) " +
+        s"ON DUPLICATE KEY UPDATE $action")
     } else None
 
   /** Quote an identifier EXACTLY as the DataFrame names it — Spark's

@@ -16,10 +16,14 @@ import org.apache.spark.sql.functions._
   * Replication must not invent cross-replica near-duplicates (10
   * verbatim copies of every doc would turn each doc into a 10-clique —
   * a quadratic artifact the real sf1 would NOT have). Replica k > 0
-  * appends a k-specific suffix to EVERY word: the map is a bijection
-  * on the vocabulary, so all intra-replica similarity structure
-  * (shingle sets, winnowing fingerprints, md5 fingerprints, dfs) is
-  * preserved bit-for-bit, while replica vocabularies are fully
+  * appends an ALPHANUMERIC k-specific suffix ("qqK") to every word:
+  * the map is a bijection on the vocabulary AND each suffixed word is
+  * still ONE token under the pipeline tokenizer ([^a-z0-9]+ splits) —
+  * an underscore separator would detach into a constant extra token
+  * after every word, rewriting every doc's token stream and shingle
+  * structure. With the bijection, all intra-replica similarity
+  * structure (shingle sets, winnowing fingerprints, md5 fingerprints,
+  * dfs) is preserved bit-for-bit, while replica vocabularies are fully
   * DISJOINT — zero cross-replica shingle/fingerprint overlap, so
   * pair/cluster counts scale exactly ×10 with the rows. (A partial
   * perturbation — suffix only hash-even words — was tried first and
@@ -29,10 +33,10 @@ import org.apache.spark.sql.functions._
   * (doc_id, vec_id, partkeys) are offset per replica.
   *
   * Also re-checks the AQE skew split (DedupSpec's law) on a 10×-sized
-  * crawl-like corpus: one boilerplate template shared by 400 docs in a
-  * background of 8 000 unique docs — byte thresholds scaled to the
-  * fixture (the hot bucket is ~KBs here; production defaults engage at
-  * 256 MB).
+  * crawl-like corpus: one boilerplate template shared by 800 docs
+  * (~10 %, the crawl-realistic fraction) in a background of 8 000
+  * unique docs — byte thresholds scaled to the fixture (the hot bucket
+  * is ~KBs here; production defaults engage at 256 MB).
   *
   * Usage: SPARK_DRIVER_MEM=16g sbt "runMain graft.tools.Scale10x
   * [srcDir outDir replicas]" (the 10× q83 run OOMs at the default 8 g
@@ -83,12 +87,13 @@ object Scale10x {
     spark.stop()
   }
 
-  /** Replica-k vocabulary bijection: every word gains a k suffix. */
+  /** Replica-k vocabulary bijection: every word gains an alphanumeric
+    * "qqK" suffix (stays one token under [^a-z0-9]+ tokenization). */
   private def perturb(text: org.apache.spark.sql.Column,
       k: org.apache.spark.sql.Column) =
     when(k === 0, text).otherwise(
       array_join(transform(split(text, " "),
-        w => concat(w, lit("_r"), k.cast("string"))), " "))
+        w => concat(w, lit("qq"), k.cast("string"))), " "))
 
   private def generate(spark: SparkSession, src: String, out: String,
       reps: Int): Unit = {
@@ -138,7 +143,7 @@ object Scale10x {
       (System.nanoTime() - t0) / 1e9
     }.min
 
-  /** DedupSpec's AQE skew-split law at 10× corpus size: 400 copies of
+  /** DedupSpec's AQE skew-split law at 10× corpus size: 800 copies of
     * one boilerplate page in 8 000 unique docs — every copy's band rows
     * land in the same (band, hash) buckets. */
   private def skewSplitEngages(spark: SparkSession): Boolean = {

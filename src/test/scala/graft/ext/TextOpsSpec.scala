@@ -20,6 +20,12 @@ class TextOpsSpec extends SparkSpec {
     // clean text untouched
     assert(one("no pii here 1.2 simple").select(TextOps.scrubPii($"t"))
       .as[String].first() == "no pii here 1.2 simple")
+    // a URL ending a LINE must not swallow the next line into the
+    // sentinel (the terminator class covers tab/newline/CR, not just
+    // space)
+    assert(one("see http://a.example\nSecond line stays")
+      .select(TextOps.scrubPii($"t")).as[String].first() ==
+      "see <URL>\nSecond line stays")
   }
 
   test("tokens: lowercase, non-alnum split, empties dropped") {

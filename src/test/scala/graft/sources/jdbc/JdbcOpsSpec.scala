@@ -107,6 +107,33 @@ class JdbcOpsSpec extends SparkSpec {
     assert(out == Seq((1L, None, 11.0), (2L, Some("b"), 20.0), (3L, Some("c3"), 33.0)))
   }
 
+  test("native upsert: intra-chunk duplicate PKs collapse sequentially, never double-insert") {
+    val target = Seq((1L, "a", 10.0)).toDF("id", "name", "bal")
+    JdbcOps.write(target, url, "dup_t", mode = "overwrite")
+    // two rows for ABSENT pk 9 in one chunk: the batched two-step would
+    // insert both; the sequential replay upserts in order (second row's
+    // null name coalesces over the first's)
+    val updates = Seq(
+      (9L, Some("first"), Some(1.0)),
+      (9L, None: Option[String], Some(2.0)),
+      (1L, Some("a2"), None: Option[Double]))
+      .toDF("id", "name", "bal").coalesce(1)
+    JdbcOps.upsert(updates, url, "dup_t", pk = Seq("id"), batchSize = 10)
+    val out = JdbcOps.read(spark, url, "dup_t").orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(out == Seq((1L, "a2", 10.0), (9L, "first", 2.0)), out.toString)
+  }
+
+  test("mysql dialect emits backtick-quoted ON DUPLICATE KEY UPDATE") {
+    val sql = JdbcOps.nativeUpsertSql("jdbc:mysql://h/db", "t",
+      Seq("id", "name"), Seq("name"), Seq("id"), overwriteWithNull = false).get
+    assert(sql == "INSERT INTO t (`id`, `name`) VALUES (?, ?) " +
+      "ON DUPLICATE KEY UPDATE `name` = COALESCE(VALUES(`name`), `name`)")
+    val keysOnly = JdbcOps.nativeUpsertSql("jdbc:mysql://h/db", "t",
+      Seq("id"), Nil, Seq("id"), overwriteWithNull = false).get
+    assert(keysOnly.endsWith("ON DUPLICATE KEY UPDATE `id` = `id`"))
+  }
+
   test("postgres dialect emits a single aliased ON CONFLICT statement") {
     val sql = JdbcOps.nativeUpsertSql("jdbc:postgresql://h/db", "t",
       Seq("id", "name", "bal"), Seq("name", "bal"), Seq("id"),
