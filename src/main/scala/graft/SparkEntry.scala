@@ -76,6 +76,57 @@ object SparkEntry {
       |SELECT a, b, jaccard FROM j WHERE jaccard >= 0.5 ORDER BY a, b""".stripMargin
   }
 
+  /** DuckDB replay of the CROSS-SET MinHash+LSH pipeline for q107: the
+    * corpus/batch split (batch = non-corpus docs plus first-word-dropped
+    * rewrites of corpus docs under offset ids), per-side signatures with
+    * the same 2-universal family, banded candidates restricted to
+    * batch × corpus, exact-Jaccard verify ≥ 0.5 — mirrors
+    * `Dedup.incrementalNearDups(..., portable = true)`. */
+  private val IncrementalMinhashOracleSql: String = {
+    val k = 16; val bands = 4; val r = k / bands
+    val hCols = (0 until k).map(i => s"min(ha + $i * hb) AS h$i").mkString(",\n    ")
+    val bandSelects = (0 until bands).map { b =>
+      val parts = (0 until r).map(i => s"h${b * r + i}").mkString(", '|', ")
+      s"SELECT side, doc_id, $b AS band, md5(concat('$b', '|', $parts)) AS bh FROM sig"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH d2 AS (
+      |  SELECT 'c' AS side, doc_id, text FROM documents WHERE doc_id % 3 = 0
+      |  UNION ALL
+      |  SELECT 'b', doc_id, text FROM documents WHERE doc_id % 3 <> 0
+      |  UNION ALL
+      |  SELECT 'b', doc_id + 100000, regexp_replace(text, '^[^ ]+ ', '') FROM documents WHERE doc_id % 3 = 0),
+      |tk AS (
+      |  SELECT side, doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS tokens FROM d2),
+      |sh AS (
+      |  SELECT side, doc_id, CASE WHEN len(tokens) >= 3 THEN list_distinct(list_transform(range(1, len(tokens) - 1), i -> array_to_string(tokens[i:i+2], ' '))) ELSE [] END AS s FROM tk),
+      |ex AS (SELECT side, doc_id, unnest(s) AS g FROM sh),
+      |hx AS (SELECT side, doc_id,
+      |    CAST(concat('0x', substring(md5(concat('0', '|', g)), 1, 14)) AS BIGINT) AS ha,
+      |    CAST(concat('0x', substring(md5(concat('0', '|', g)), 17, 14)) AS BIGINT) AS hb
+      |  FROM ex),
+      |sig AS (SELECT side, doc_id,
+      |    $hCols
+      |  FROM hx GROUP BY side, doc_id),
+      |bands AS (
+      |  $bandSelects),
+      |cand AS (
+      |  SELECT ba.doc_id AS a, bb.doc_id AS b FROM bands ba
+      |  JOIN bands bb ON ba.band = bb.band AND ba.bh = bb.bh
+      |  WHERE ba.side = 'b' AND bb.side = 'c'
+      |  GROUP BY 1, 2),
+      |sized AS (SELECT side, doc_id, s, len(s) AS n FROM sh),
+      |pairs AS (
+      |  SELECT c.a, c.b, len(list_intersect(sa.s, sb.s)) AS inter, sa.n AS na, sb.n AS nb
+      |  FROM cand c
+      |  JOIN sized sa ON sa.doc_id = c.a AND sa.side = 'b'
+      |  JOIN sized sb ON sb.doc_id = c.b AND sb.side = 'c'),
+      |j AS (
+      |  SELECT a, b, CASE WHEN na + nb - inter = 0 THEN 0.0
+      |    ELSE CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) END AS jaccard
+      |  FROM pairs)
+      |SELECT a, b, jaccard FROM j WHERE jaccard >= 0.5 ORDER BY a, b""".stripMargin
+  }
+
   /** DuckDB replay of the portable 60-bit SimHash pipeline (votes →
     * sign fold → 4×15-bit bands → Hamming ≤ 3) — mirrors
     * `Dedup.simhashNearDups(..., portable = true)` bit for bit. */
@@ -1383,6 +1434,23 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Incremental NEAR-dup (ext.Dedup.incrementalNearDups): the LSH
+    // analogue of q99 — batch docs that are light REWRITES of corpus
+    // content (first word dropped, new ids) must be caught by
+    // signature similarity even though their fingerprints differ;
+    // cross-set candidates only. Oracle replays the per-side pipeline.
+    "q107_incremental_neardup" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val corpus = docs.filter(col("doc_id") % 3 === 0)
+      val batch = docs.filter(col("doc_id") % 3 =!= 0)
+        .unionByName(corpus
+          .withColumn("doc_id", col("doc_id") + 100000)
+          .withColumn("text", regexp_replace(col("text"), "^[^ ]+ ", "")))
+      Dedup.incrementalNearDups(batch, corpus, "doc_id", "text",
+        threshold = 0.5, k = 16, bands = 4, shingleN = 3, portable = true)
+        .orderBy(col("a"), col("b"))
+    }),
+
     // PII scrub (ext.TextOps.scrubPii): Dolma/C4-style masking. The
     // fixture has no natural PII, so the query deterministically
     // injects an email+URL+IP tail into every 7th doc and the oracle
@@ -2321,6 +2389,8 @@ object SparkEntry {
         |  ('contact', 4, 'LastModifiedDate', 'timestamp'), ('contact', 5, 'IsDeleted', 'boolean')
         |) AS t(obj, pos, field, dtype)
         |ORDER BY obj, pos""".stripMargin,
+
+    "q107_incremental_neardup" -> IncrementalMinhashOracleSql,
 
     // staged scrub replay: count each type on the PREVIOUS stage's
     // text (so a URL's host never double-counts as an IP), 'g' flag =

@@ -379,11 +379,10 @@ object Dedup {
     }
   }
 
-  /** LSH candidate pairs from a signature frame: band the k hashes into
-    * `bands` groups of k/bands rows, hash each band, and equi-join on
-    * (bandIndex, bandHash). Returns distinct (a, b) with a < b. */
-  def lshCandidates(sig: DataFrame, idCol: String, k: Int, bands: Int,
-      portable: Boolean = false): DataFrame = {
+  /** One (id, band, bandHash) row per band of each signature — the
+    * exploded form both candidate joins build on. */
+  private def bandRows(sig: DataFrame, idCol: String, k: Int, bands: Int,
+      portable: Boolean): DataFrame = {
     require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
     val r = k / bands
     val bandHashes = (0 until bands).map { b =>
@@ -393,15 +392,34 @@ object Dedup {
       else xxhash64((lit(b) +: parts): _*)
       h.as(s"b$b")
     }
-    val banded = sig.select(col(idCol) +: bandHashes: _*)
-    val e = banded.select(col(idCol),
+    sig.select(col(idCol) +: bandHashes: _*).select(col(idCol),
       posexplode(array((0 until bands).map(i => col(s"b$i")): _*)).as(Seq("__band", "__bh")))
+  }
+
+  /** LSH candidate pairs from a signature frame: band the k hashes into
+    * `bands` groups of k/bands rows, hash each band, and equi-join on
+    * (bandIndex, bandHash). Returns distinct (a, b) with a < b. */
+  def lshCandidates(sig: DataFrame, idCol: String, k: Int, bands: Int,
+      portable: Boolean = false): DataFrame = {
+    val e = bandRows(sig, idCol, k, bands, portable)
     val l = e.select(col(idCol).as("a"), col("__band"), col("__bh"))
     val rgt = e.select(col(idCol).as("b"), col("__band"), col("__bh"))
     l.join(rgt, Seq("__band", "__bh"))
       .filter(col("a") < col("b"))
       .select(col("a"), col("b")).distinct()
   }
+
+  /** CROSS-SET LSH candidates: (a from sigA) × (b from sigB) sharing a
+    * band bucket. No a < b filter — the sides are distinct sets, and
+    * every cross pair must surface even when ids collide numerically. */
+  def lshCandidatesAcross(sigA: DataFrame, sigB: DataFrame, idCol: String,
+      k: Int, bands: Int, portable: Boolean = false): DataFrame =
+    bandRows(sigA, idCol, k, bands, portable)
+      .select(col(idCol).as("a"), col("__band"), col("__bh"))
+      .join(bandRows(sigB, idCol, k, bands, portable)
+        .select(col(idCol).as("b"), col("__band"), col("__bh")),
+        Seq("__band", "__bh"))
+      .select(col("a"), col("b")).distinct()
 
   /** Exact word-n-gram Jaccard over candidate pairs (verification step):
     * joins each side's distinct shingle set and computes
@@ -435,6 +453,43 @@ object Dedup {
     val cand = lshCandidates(sig, idCol, k, bands, portable)
     jaccardVerify(cand, docs, idCol, textCol, shingleN)
       .filter(col("jaccard") >= threshold)
+  }
+
+  /** Incremental NEAR-dup: which arriving batch docs are near-duplicates
+    * (Jaccard ≥ threshold) of the EXISTING corpus — the LSH analogue of
+    * [[incrementalExact]] for an ingest loop, catching light rewrites
+    * that content fingerprints miss. Returns CROSS-SET pairs only,
+    * (a = batch id, b = corpus id, jaccard); batch-internal duplicates
+    * are [[minhashNearDups]] on the batch alone.
+    *
+    * Scale shape: signatures are computed per side with the SAME seeded
+    * hash family, so a long-lived ingest loop should precompute the
+    * corpus signature frame ONCE (persist/write it) and re-band it per
+    * batch — the per-batch cost is then one signature pass over the
+    * (small) batch plus a banded equi-join in which the batch side's
+    * band rows broadcast (AQE decides). Never all-pairs: a batch doc
+    * meets only corpus docs sharing a band bucket. */
+  def incrementalNearDups(batch: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String, threshold: Double = 0.8,
+      k: Int = 32, bands: Int = 8, shingleN: Int = 3,
+      portable: Boolean = false): DataFrame = {
+    val bs = minhashSignature(batch, idCol, textCol, k, shingleN, portable)
+    val cs = minhashSignature(corpus, idCol, textCol, k, shingleN, portable)
+    val cand = lshCandidatesAcross(bs, cs, idCol, k, bands, portable)
+    // cross-set verify: each side's shingle sets come from its own frame
+    val setsOf = (df: DataFrame, as: String) =>
+      TextOps.shingleRows(df.repartition(col(idCol)), idCol, textCol, shingleN)
+        .groupBy(col(idCol)).agg(collect_set(col("shingle")).as(s"__s$as"))
+        .withColumnRenamed(idCol, as)
+    cand
+      .join(setsOf(batch, "a"), "a")
+      .join(setsOf(corpus, "b"), "b")
+      .withColumn("jaccard",
+        when(size(array_union(col("__sa"), col("__sb"))) === 0, lit(0.0))
+          .otherwise(size(array_intersect(col("__sa"), col("__sb"))).cast("double") /
+            size(array_union(col("__sa"), col("__sb"))).cast("double")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), col("jaccard"))
   }
 
   /** Exact n-gram Jaccard pairs ≥ threshold over the df-capped shingle

@@ -167,6 +167,27 @@ class DedupSpec extends SparkSpec {
       s"release() must drop the operator's own caches: $before -> $after")
   }
 
+  test("incrementalNearDups: rewrites pair with their corpus source, cross-set only") {
+    val corpus = Seq(
+      (1L, base),
+      (2L, "totally different corpus content about databases and storage engines running fast")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, base.replace("green", "blue")),      // light rewrite of corpus 1
+      (11L, "fresh novel content that matches nothing in the existing corpus at all today"),
+      (12L, base),                                // verbatim resubmission
+      (13L, base.replace("green", "teal"))        // near-dup of 10 — batch-INTERNAL, must not appear
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.incrementalNearDups(batch, corpus, "doc_id", "text",
+      threshold = 0.5, k = 16, bands = 4)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((10L, 1L)), s"rewrite must match its source: $pairs")
+    assert(pairs.contains((12L, 1L)), s"verbatim resubmission must match: $pairs")
+    assert(!pairs.exists(_._1 == 11L), s"novel doc must not match: $pairs")
+    // strictly cross-set: no batch-batch or corpus-corpus pairs
+    assert(pairs.forall { case (a, b) => a >= 10L && b < 10L }, pairs.toString)
+  }
+
   test("incrementalExact: resubmitted content drops, novel content survives bloom FPs") {
     val corpus = Seq((1L, "alpha text"), (2L, "beta text"), (3L, "gamma text"))
       .toDF("doc_id", "text")
