@@ -476,19 +476,31 @@ object Dedup {
     val bs = minhashSignature(batch, idCol, textCol, k, shingleN, portable)
     val cs = minhashSignature(corpus, idCol, textCol, k, shingleN, portable)
     val cand = lshCandidatesAcross(bs, cs, idCol, k, bands, portable)
-    // cross-set verify: each side's shingle sets come from its own frame
+    jaccardVerifyAcross(cand, batch, corpus, idCol, textCol, shingleN)
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Cross-set exact-Jaccard verification: candidates carry (a = id in
+    * `left`, b = id in `right`); each side's shingle sets come from its
+    * own frame. Public so an ingest loop can compose it with a
+    * PRECOMPUTED corpus signature frame (minhashSignature once, persist
+    * → lshCandidatesAcross per batch → this) instead of paying the
+    * corpus signature pass per batch — DedupSpec pins the composition
+    * equal to the one-shot [[incrementalNearDups]]. */
+  def jaccardVerifyAcross(candidates: DataFrame, left: DataFrame,
+      right: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3): DataFrame = {
     val setsOf = (df: DataFrame, as: String) =>
       TextOps.shingleRows(df.repartition(col(idCol)), idCol, textCol, shingleN)
         .groupBy(col(idCol)).agg(collect_set(col("shingle")).as(s"__s$as"))
         .withColumnRenamed(idCol, as)
-    cand
-      .join(setsOf(batch, "a"), "a")
-      .join(setsOf(corpus, "b"), "b")
+    candidates
+      .join(setsOf(left, "a"), "a")
+      .join(setsOf(right, "b"), "b")
       .withColumn("jaccard",
         when(size(array_union(col("__sa"), col("__sb"))) === 0, lit(0.0))
           .otherwise(size(array_intersect(col("__sa"), col("__sb"))).cast("double") /
             size(array_union(col("__sa"), col("__sb"))).cast("double")))
-      .filter(col("jaccard") >= threshold)
       .select(col("a"), col("b"), col("jaccard"))
   }
 

@@ -188,6 +188,28 @@ class DedupSpec extends SparkSpec {
     assert(pairs.forall { case (a, b) => a >= 10L && b < 10L }, pairs.toString)
   }
 
+  test("ingest-loop composition: a persisted corpus signature reused across batches equals the one-shot API") {
+    val corpus = Seq((1L, base), (2L, "unrelated corpus material entirely")).toDF("doc_id", "text")
+    val batches = Seq(
+      Seq((10L, base.replace("green", "blue")), (11L, "novel one")).toDF("doc_id", "text"),
+      Seq((20L, base), (21L, "novel two entirely different")).toDF("doc_id", "text"))
+    // signature pass over the corpus ONCE, reused for every batch
+    val cs = Dedup.minhashSignature(corpus, "doc_id", "text", k = 16)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try batches.foreach { b =>
+      val bs = Dedup.minhashSignature(b, "doc_id", "text", k = 16)
+      val composed = Dedup.jaccardVerifyAcross(
+        Dedup.lshCandidatesAcross(bs, cs, "doc_id", k = 16, bands = 4),
+        b, corpus, "doc_id", "text")
+        .filter($"jaccard" >= 0.5)
+        .select("a", "b").as[(Long, Long)].collect().toSet
+      val oneShot = Dedup.incrementalNearDups(b, corpus, "doc_id", "text",
+        threshold = 0.5, k = 16, bands = 4)
+        .select("a", "b").as[(Long, Long)].collect().toSet
+      assert(composed == oneShot, s"composition diverged: $composed vs $oneShot")
+    } finally cs.unpersist()
+  }
+
   test("incrementalExact: resubmitted content drops, novel content survives bloom FPs") {
     val corpus = Seq((1L, "alpha text"), (2L, "beta text"), (3L, "gamma text"))
       .toDF("doc_id", "text")
