@@ -1439,6 +1439,10 @@ object SparkEntry {
     // content (first word dropped, new ids) must be caught by
     // signature similarity even though their fingerprints differ;
     // cross-set candidates only. Oracle replays the per-side pipeline.
+    // The +100000 rewrite-id offset assumes max(doc_id) < 100000 (the
+    // q99 convention; true at every driver SF) — on collision the LSH
+    // path would MERGE the colliding docs' shingles while the oracle
+    // keeps them separate, so a larger fixture must raise the offset.
     "q107_incremental_neardup" -> ((s, d) => {
       val docs = T(s, d, "documents")
       val corpus = docs.filter(col("doc_id") % 3 === 0)

@@ -421,23 +421,33 @@ object Dedup {
         Seq("__band", "__bh"))
       .select(col("a"), col("b")).distinct()
 
+  /** Per-doc distinct shingle sets. collect_set both dedups shingles
+    * and acts as an Aggregate barrier: the array is materialized once
+    * instead of the shingle expression being re-inlined into every
+    * consumer by projection collapse. Shared by both verify paths so
+    * shingle-set semantics cannot diverge between them. */
+  private def shingleSets(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int): DataFrame =
+    TextOps.shingleRows(docs.repartition(col(idCol)), idCol, textCol, shingleN)
+      .groupBy(col(idCol)).agg(collect_set(col("shingle")).as("__set"))
+
+  /** |∩| / |∪| with the empty-union guard — the single definition of
+    * verified Jaccard for the in-set and cross-set paths. */
+  private def jaccardCol(sa: Column, sb: Column): Column =
+    when(size(array_union(sa, sb)) === 0, lit(0.0))
+      .otherwise(size(array_intersect(sa, sb)).cast("double") /
+        size(array_union(sa, sb)).cast("double"))
+
   /** Exact word-n-gram Jaccard over candidate pairs (verification step):
     * joins each side's distinct shingle set and computes
     * |∩| / |∪| with array_intersect/array_union. */
   def jaccardVerify(candidates: DataFrame, docs: DataFrame, idCol: String,
       textCol: String, shingleN: Int = 3): DataFrame = {
-    // collect_set both dedups shingles and acts as an Aggregate barrier:
-    // the array is materialized once instead of the shingle expression
-    // being re-inlined into every consumer by projection collapse.
-    val sets = TextOps.shingleRows(docs.repartition(col(idCol)), idCol, textCol, shingleN)
-      .groupBy(col(idCol)).agg(collect_set(col("shingle")).as("__set"))
+    val sets = shingleSets(docs, idCol, textCol, shingleN)
     candidates
       .join(sets.withColumnRenamed(idCol, "a").withColumnRenamed("__set", "__sa"), "a")
       .join(sets.withColumnRenamed(idCol, "b").withColumnRenamed("__set", "__sb"), "b")
-      .withColumn("jaccard",
-        when(size(array_union(col("__sa"), col("__sb"))) === 0, lit(0.0))
-          .otherwise(size(array_intersect(col("__sa"), col("__sb"))).cast("double") /
-            size(array_union(col("__sa"), col("__sb"))).cast("double")))
+      .withColumn("jaccard", jaccardCol(col("__sa"), col("__sb")))
       .select(col("a"), col("b"), col("jaccard"))
   }
 
@@ -486,21 +496,29 @@ object Dedup {
     * PRECOMPUTED corpus signature frame (minhashSignature once, persist
     * → lshCandidatesAcross per batch → this) instead of paying the
     * corpus signature pass per batch — DedupSpec pins the composition
-    * equal to the one-shot [[incrementalNearDups]]. */
+    * equal to the one-shot [[incrementalNearDups]].
+    *
+    * Each side is SEMI-JOINED to the candidate ids BEFORE shingling —
+    * in the ingest loop the corpus is the 100 TB side and candidates
+    * touch a sliver of it, so shingle sets are built only for docs a
+    * candidate names (the id restriction re-derives the candidate
+    * frame once per side; candidate generation reads narrow signature
+    * frames, while unrestricted verification would re-shingle the full
+    * corpus text per batch — persist `candidates` first if its
+    * generation is expensive). */
   def jaccardVerifyAcross(candidates: DataFrame, left: DataFrame,
       right: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3): DataFrame = {
     val setsOf = (df: DataFrame, as: String) =>
-      TextOps.shingleRows(df.repartition(col(idCol)), idCol, textCol, shingleN)
-        .groupBy(col(idCol)).agg(collect_set(col("shingle")).as(s"__s$as"))
-        .withColumnRenamed(idCol, as)
+      shingleSets(
+        df.join(candidates.select(col(as).as(idCol)).distinct(),
+          Seq(idCol), "left_semi"),
+        idCol, textCol, shingleN)
+        .withColumnRenamed(idCol, as).withColumnRenamed("__set", s"__s$as")
     candidates
       .join(setsOf(left, "a"), "a")
       .join(setsOf(right, "b"), "b")
-      .withColumn("jaccard",
-        when(size(array_union(col("__sa"), col("__sb"))) === 0, lit(0.0))
-          .otherwise(size(array_intersect(col("__sa"), col("__sb"))).cast("double") /
-            size(array_union(col("__sa"), col("__sb"))).cast("double")))
+      .withColumn("jaccard", jaccardCol(col("__sa"), col("__sb")))
       .select(col("a"), col("b"), col("jaccard"))
   }
 
