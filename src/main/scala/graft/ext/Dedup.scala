@@ -485,7 +485,13 @@ object Dedup {
       portable: Boolean = false): DataFrame = {
     val bs = minhashSignature(batch, idCol, textCol, k, shingleN, portable)
     val cs = minhashSignature(corpus, idCol, textCol, k, shingleN, portable)
+    // eager checkpoint: verification consumes the candidate frame three
+    // times (two id semi-joins + the pair join); without cutting the
+    // lineage each consumer would replay BOTH signature pipelines. The
+    // frame is id pairs only — tiny — and the executor-local blocks are
+    // reclaimed by the ContextCleaner, so no cache entry outlives use.
     val cand = lshCandidatesAcross(bs, cs, idCol, k, bands, portable)
+      .localCheckpoint(true)
     jaccardVerifyAcross(cand, batch, corpus, idCol, textCol, shingleN)
       .filter(col("jaccard") >= threshold)
   }
