@@ -1,0 +1,43 @@
+package graft.tools
+
+import graft.SparkSpec
+import graft.core.Fx
+
+class DatasetCardSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dataset card over the fixture corpus: totals, mix, and rates are coherent") {
+    val docs = Fx.t(spark, sfDir, "documents")
+    val n = docs.count()
+    val card = DatasetCard.cardFor(docs, "doc_id", "text",
+      langCol = Some("lang"), nearDupThreshold = 0.5)
+    assert(card.nDocs == n)
+    assert(card.langs.values.sum == n, "language mix must partition the corpus")
+    assert(card.totalTokens > 0 && card.tokensP50 > 0)
+    assert(card.tokensP90 >= card.tokensP50)
+    assert(card.exactDupRate >= 0.0 && card.exactDupRate < 1.0)
+    assert(card.qualityMean > 0.0 && card.qualityMean <= 1.0)
+    assert(card.qualityP10 <= card.qualityMean)
+    assert(card.dupWordFracMean >= 0.0 && card.dupWordFracMean < 1.0)
+    // the word-soup fixture carries no natural PII
+    assert(card.piiEmails == 0 && card.piiUrls == 0 && card.piiIps == 0)
+    // JSON line is well-formed enough to round-trip the headline facts
+    val json = DatasetCard.toJson(card)
+    assert(json.startsWith("""{"metric":"dataset_card""""))
+    assert(json.contains(s""""n_docs":$n"""))
+  }
+
+  test("dataset card surfaces planted duplication and PII") {
+    val base = "the quick brown fox jumps over the lazy dog and runs far into the forest"
+    val docs = Seq(
+      (1L, base), (2L, base),                      // exact dup pair
+      (3L, base.replace("forest", "woods")),       // near dup of 1/2
+      (4L, "independent content mentioning a@b.com and http://x.ex plus 10.0.0.1")
+    ).toDF("doc_id", "text")
+    val card = DatasetCard.cardFor(docs, "doc_id", "text", nearDupThreshold = 0.5)
+    assert(card.nDocs == 4 && card.langs.isEmpty)
+    assert(math.abs(card.exactDupRate - 0.25) < 1e-9) // 4 docs, 3 distinct
+    assert(card.nearDupPairs >= 2) // (1,2) and at least one of (1,3)/(2,3)
+    assert(card.piiEmails == 1 && card.piiUrls == 1 && card.piiIps == 1)
+  }
+}
