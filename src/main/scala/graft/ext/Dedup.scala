@@ -81,8 +81,26 @@ object Dedup {
     * known duplicate. Filter or repair NULLs upstream if they should
     * not survive ingest. */
   def incrementalExact(batch: DataFrame, corpus: DataFrame, textCol: String,
-      bloomBits: Int = 1 << 20, seed: Long = 42L): DataFrame =
+      bloomBits: Int = AutoBloomBits, seed: Long = 42L): DataFrame =
     incrementalExactReleasable(batch, corpus, textCol, bloomBits, seed).result
+
+  /** Sentinel: size the bloom gate from the measured corpus-fingerprint
+    * count (the default). A FIXED bit width silently saturates as the
+    * corpus grows — at <~4 bits/key nearly every novel row turns
+    * "maybe-duplicate" and the operator degrades to the full anti-join
+    * it exists to avoid (no correctness loss, total performance loss). */
+  val AutoBloomBits: Int = 0
+
+  /** Auto-sizing policy: next power of two ≥ 10 bits/key (FP ≈ 0.9 % at
+    * 5 hashes), floor 2^20, capped at `maxBloomBits` — the cap bounds
+    * the literal bitmap that ships inside the probe expression (2^24
+    * bits = 2 MiB, the broadcast-variable budget BloomJoin documents). */
+  private[ext] def autoBloomBits(corpusKeys: Long, maxBloomBits: Int): Int = {
+    val want = math.max(1L << 20, corpusKeys * 10L)
+    val pow2 = java.lang.Long.highestOneBit(want)
+    val bits = if (pow2 == want) want else pow2 << 1
+    math.min(bits, maxBloomBits.toLong).toInt
+  }
 
   /** The result of an incremental dedup plus a `release()` handle that
     * unpersists exactly the two fingerprint caches the operator
@@ -95,8 +113,8 @@ object Dedup {
     * the variant a long-lived ingest loop should use (one `release()`
     * per batch keeps the session cache flat). */
   def incrementalExactReleasable(batch: DataFrame, corpus: DataFrame,
-      textCol: String, bloomBits: Int = 1 << 20,
-      seed: Long = 42L): IncrementalDedup = {
+      textCol: String, bloomBits: Int = AutoBloomBits,
+      seed: Long = 42L, maxBloomBits: Int = 1 << 24): IncrementalDedup = {
     import graft.operators.BloomJoin
     import org.apache.spark.storage.StorageLevel
     val fp = TextOps.fingerprintMd5(col(textCol))
@@ -104,9 +122,17 @@ object Dedup {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val corpusFp = corpus.select(fp.as("__fp")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // materializes corpusFp's persist as a side effect
-    val words = BloomJoin.membershipWords(corpusFp, "__fp", bloomBits, 5, seed)
-    val maybeDup = BloomJoin.mightContain(col("__fp"), words, bloomBits, 5, seed)
+    // materializes corpusFp's persist as a side effect; the count then
+    // sizes the filter so bits/key holds whatever the corpus grew to
+    val corpusKeys = corpusFp.count()
+    val bits =
+      if (bloomBits > 0) bloomBits else autoBloomBits(corpusKeys, maxBloomBits)
+    if (corpusKeys > 0 && bits < 8L * corpusKeys)
+      System.err.println(s"[graft] incremental-dedup bloom SATURATED: " +
+        s"$bits bits for $corpusKeys keys (<8 bits/key) — most rows will " +
+        s"take the anti-join path; raise maxBloomBits or shard the corpus")
+    val words = BloomJoin.membershipWords(corpusFp, "__fp", bits, 5, seed)
+    val maybeDup = BloomJoin.mightContain(col("__fp"), words, bits, 5, seed)
     val result = batchFp.filter(!maybeDup)
       .unionByName(batchFp.filter(maybeDup)
         .join(corpusFp, Seq("__fp"), "left_anti"))

@@ -1,7 +1,6 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Approximate-nearest-neighbor / similarity search over an embedding
@@ -11,8 +10,9 @@ import org.apache.spark.sql.functions._
   * Two tiers, per the 100 TB design rule:
   *  - [[bruteForceTopK]]: exact cosine top-k — the recall baseline. The
   *    QUERY side is broadcast (small); the corpus side streams through
-  *    executors; per-query top-k via window row_number. Never use when
-  *    both sides are large.
+  *    executors; per-query top-k via a bounded heap aggregate (map-side
+  *    combine — one query's candidates never sort in a single task).
+  *    Never use when both sides are large.
   *  - [[IvfIndex]]: inverted-file ANN — corpus bucketed by nearest of C
   *    deterministic centroids (one broadcast join at build), queries
   *    probe only `nprobe` buckets ⇒ the scan shrinks by ~C/nprobe.
@@ -85,6 +85,24 @@ object Similarity {
     transform(qv.getField("q"), b =>
       qv.getField("zero") + (b.cast("double") + lit(128.0)) * qv.getField("scale"))
 
+  /** Scale-safe per-query top-k finisher shared by every search path:
+    * a bounded [[graft.functions.TopKByScore]] heap aggregate instead
+    * of a `row_number` window. The window would hash ALL of one query's
+    * candidate rows to ONE task and fully sort them (for brute force /
+    * PQ the candidate set is the whole corpus); the aggregate keeps an
+    * O(k) buffer, combines map-side, and the exchange carries at most
+    * `partitions × k` rows per query. Rank semantics are identical:
+    * score desc, id asc on ties, rank = 1-based position. */
+  private def topKPerQuery(scored: DataFrame, id: Column, score: Column,
+      scoreName: String, k: Int): DataFrame =
+    scored.groupBy(col("query_id"))
+      .agg(graft.functions.TopKByScore.topK(
+        score.cast("double"), id.cast("long"), k).as("__top"))
+      .select(col("query_id"), posexplode(col("__top")).as(Seq("__pos", "__e")))
+      .select(col("query_id"), col("__e.id").as("nn_id"),
+        col("__e.score").as(scoreName),
+        (col("__pos") + 1).cast("int").as("rank"))
+
   /** Exact cosine top-k: for each query vector, the k nearest corpus
     * vectors by cosine (desc), ties broken by corpus id asc. Queries are
     * broadcast — keep the query side small (it is, by construction: you
@@ -99,11 +117,7 @@ object Similarity {
       l2Normalize(col(qVecCol).cast("array<double>")).as("__qv"))
     val scored = c.crossJoin(broadcast(q))
       .withColumn("cosine", dot(col("__cv"), col("__qv")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("nn_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("nn_id"), col("cosine"), col("rank"))
+    topKPerQuery(scored, col("nn_id"), col("cosine"), "cosine", k)
   }
 
   /** IVF index: corpus rows assigned to their nearest centroid.
@@ -328,11 +342,7 @@ object Similarity {
         element_at(col("codes"), j + 1) + 1))
       .reduce(_ + _)
     val scored = encoded.crossJoin(broadcast(q)).withColumn("adc", adc)
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("adc").desc, col(idCol).asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col(idCol).as("nn_id"), col("adc"), col("rank"))
+    topKPerQuery(scored, col(idCol), col("adc"), "adc", k)
   }
 
   /** PQ search with exact RERANK (the production IVF-PQ recipe): ADC
@@ -352,14 +362,10 @@ object Similarity {
       l2Normalize(col(vecCol).cast("array<double>")).as("__cv"))
     val q = queries.select(col(qIdCol).as("query_id"),
       l2Normalize(col(qVecCol).cast("array<double>")).as("__qv"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("nn_id").asc)
-    c.join(broadcast(cand), Seq("nn_id"))
+    val scored = c.join(broadcast(cand), Seq("nn_id"))
       .join(broadcast(q), Seq("query_id"))
       .withColumn("cosine", dot(col("__cv"), col("__qv")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("nn_id"), col("cosine"), col("rank"))
+    topKPerQuery(scored, col("nn_id"), col("cosine"), "cosine", k)
   }
 
   /** IVF search: each query probes its `nprobe` nearest centroids and
@@ -371,19 +377,17 @@ object Similarity {
       l2Normalize(col(qVecCol).cast("array<double>")).as("__qv"))
     val qc = q.crossJoin(broadcast(index.centroids))
       .withColumn("__csim", dot(col("__qv"), col("__cv")))
-    val wProbe = Window.partitionBy(col("query_id"))
-      .orderBy(col("__csim").desc, col("centroid_id").asc)
-    val probes = qc.withColumn("__pk", row_number().over(wProbe))
-      .filter(col("__pk") <= nprobe)
+    // nprobe nearest centroids per query via the same bounded top-k
+    // aggregate (q × C rows — small, but keeps the plan window-free);
+    // the query vector re-joins by id afterwards
+    val probes = topKPerQuery(qc, col("centroid_id"), col("__csim"), "__csim", nprobe)
+      .select(col("query_id"), col("nn_id").cast("int").as("centroid_id"))
+      .join(q, Seq("query_id"))
       .select(col("query_id"), col("__qv"), col("centroid_id"))
     // probes (queries × nprobe rows) broadcast: the corpus-side bucket
     // scan never shuffles — candidate generation is a broadcast join
     val scored = index.assigned.join(broadcast(probes), Seq("centroid_id"))
       .withColumn("cosine", dot(col("__qv"), col("__v")))
-    val wTop = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("__id").asc)
-    scored.withColumn("rank", row_number().over(wTop))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("__id").as("nn_id"), col("cosine"), col("rank"))
+    topKPerQuery(scored, col("__id"), col("cosine"), "cosine", k)
   }
 }

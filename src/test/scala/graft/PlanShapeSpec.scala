@@ -81,6 +81,37 @@ class PlanShapeSpec extends SparkSpec {
     } finally idx.unpersist()
   }
 
+  test("ANN top-k is a bounded heap aggregate in EVERY search path: no per-query window sort") {
+    // the row_number window this replaced hashed ALL of one query's
+    // candidates to a single task (the whole corpus, for brute force /
+    // PQ) and sorted them fully — the one shape that cannot survive a
+    // 100× corpus. Each path must plan the bounded TypedImperativeAgg
+    // (ObjectHashAggregate, map-side partial) and no Window at all.
+    val emb = core.Fx.t(spark, sfDir, "embeddings")
+    val q = emb.filter(col("vec_id") < 3)
+    val idx = graft.ext.Similarity.ivfBuild(emb, "vec_id", "embedding", nCentroids = 4)
+    try {
+      val books = graft.ext.Similarity.pqSeededBooks(dim = 64, m = 8, ksub = 16)
+      val enc = graft.ext.Similarity.pqEncode(emb, "vec_id", "embedding", books)
+      val paths = Map(
+        "bruteForce" -> graft.ext.Similarity.bruteForceTopK(
+          emb, "vec_id", "embedding", q, "vec_id", "embedding", k = 5),
+        "ivf" -> graft.ext.Similarity.ivfSearch(
+          idx, q, "vec_id", "embedding", k = 5, nprobe = 2),
+        "pq" -> graft.ext.Similarity.pqSearch(
+          enc, "vec_id", books, q, "vec_id", "embedding", k = 5),
+        "pqRerank" -> graft.ext.Similarity.pqSearchRerank(
+          enc, "vec_id", books, emb, "vec_id", "embedding",
+          q, "vec_id", "embedding", k = 5, shortlist = 10))
+      paths.foreach { case (name, df) =>
+        val p = plan(df)
+        assert(p.contains("graft_topk_by_score"), s"$name must use the heap agg: $p")
+        assert(p.contains("ObjectHashAggregate"), s"$name must hash-aggregate: $p")
+        assert(!p.contains("Window"), s"$name must not window-sort per query: $p")
+      }
+    } finally idx.unpersist()
+  }
+
   test("df-capped Jaccard filters viral shingles BEFORE the self-join, via aggregates not windows") {
     val p = plan(graft.ext.Dedup.ngramJaccardPairs(
       core.Fx.t(spark, sfDir, "documents"), "doc_id", "text", maxDf = 50))

@@ -231,6 +231,42 @@ class DedupSpec extends SparkSpec {
     assert(kept2 == Set(10L, 12L))
   }
 
+  test("auto bloom sizing: >=10 bits/key until the cap, floor 2^20, power of two") {
+    // floor region: small corpora keep the 2^20 minimum
+    assert(Dedup.autoBloomBits(0L, 1 << 24) == 1 << 20)
+    assert(Dedup.autoBloomBits(100000L, 1 << 24) == 1 << 20) // 1M bits >= 10/key
+    // growth region: next power of two above 10 bits/key
+    assert(Dedup.autoBloomBits(200000L, 1 << 24) == 1 << 21)
+    assert(Dedup.autoBloomBits(1500000L, 1 << 26) == 1 << 24)
+    // cap region: a 100 TB corpus cannot ship a literal bitmap — the
+    // filter saturates (warned) instead of exploding the task binary
+    assert(Dedup.autoBloomBits(100000000L, 1 << 24) == 1 << 24)
+    // every result is a power of two (the probe's mod stays cheap)
+    Seq(0L, 1L, 12345L, 999999L, 123456789L).foreach { n =>
+      val b = Dedup.autoBloomBits(n, 1 << 26)
+      assert(java.lang.Integer.bitCount(b) == 1, s"n=$n -> $b")
+    }
+  }
+
+  test("auto-sized bloom holds the FP-rate bound at the 10x-scale corpus") {
+    // a Scale10x-sized fingerprint corpus (50k keys — sf0.1 documents
+    // replicated 10x): the fixed 2^20 default this replaced was already
+    // down to ~4 bits/key at 250k keys; auto must keep >=10 bits/key so
+    // the maybe-duplicate sliver (= the anti-join path) stays ~1%
+    import graft.operators.BloomJoin
+    val n = 50000L
+    val corpus = spark.range(n).select(md5(concat(lit("doc"), $"id")).as("__fp"))
+    val bits = Dedup.autoBloomBits(n, 1 << 24)
+    assert(bits >= 10L * n, s"auto sizing broke the bits/key bound: $bits")
+    val words = BloomJoin.membershipWords(corpus, "__fp", bits, 5, 42L)
+    // disjoint probe set: every hit is a false positive
+    val probes = spark.range(n).select(md5(concat(lit("novel"), $"id")).as("__fp"))
+    val fps = probes
+      .filter(BloomJoin.mightContain($"__fp", words, bits, 5, 42L)).count()
+    val rate = fps.toDouble / n
+    assert(rate <= 0.02, f"bloom FP rate $rate%.4f exceeds 2%% at $bits bits / $n keys")
+  }
+
   test("connected components: fractional ids converge exactly (no decimal-sum shortcut)") {
     // chain 0.1-0.2-0.3: every label decrease is < 1, so a sum cast to
     // decimal(38,0) never moves — the integral-only gate must route
