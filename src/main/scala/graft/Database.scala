@@ -94,19 +94,35 @@ final class Database(val spark: SparkSession, root: String) {
   // ------------------------------------------------------------- writes
   /** D8: `upsert` — PK merge with COALESCE rule, persisted as a new
     * snapshot; returns the touched PKs (the reference RETURNINGs them,
-    * main.py:106,116). */
+    * main.py:106,116).
+    *
+    * D16: columns the table declared `autoincrement` are ASSIGNED here
+    * when the batch omits them or carries NULLs — dense ids continuing
+    * from the table max, assignment ordered by the batch's remaining
+    * columns ([[core.Ddl.fillAutoincrement]]); a batch that supplies
+    * every id is passed through untouched. This is the reference's
+    * insert-without-id flow (main.py:33: SQLAlchemy autoincrement has
+    * the server produce the id). */
   def upsert(tableName: String, data: DataFrame, pk: Seq[String],
       overwriteWithNull: Boolean = false,
       validatePk: Boolean = false): DataFrame = {
-    val merged = Mutations.upsert(store.read(tableName), data, pk, overwriteWithNull)
+    val target = store.read(tableName)
+    val autoCols = target.schema.fields.filter(f =>
+      f.metadata.contains("autoincrement") &&
+        f.metadata.getBoolean("autoincrement")).map(_.name).toSeq
+    val filled = autoCols.foldLeft(data) { (d, c) =>
+      Ddl.fillAutoincrement(target, d, c,
+        d.columns.filterNot(_.equalsIgnoreCase(c)).toSeq)
+    }
+    val merged = Mutations.upsert(target, filled, pk, overwriteWithNull)
     // Spark can't ENFORCE the PK constraint (SURVEY §7.5); opt-in
     // VALIDATION runs the distributed uniqueness check before the swap
     // so a bad batch never becomes the current snapshot.
     if (validatePk && !Ddl.validateUnique(merged, pk))
       throw new IllegalStateException(
         s"upsert would violate primary key (${pk.mkString(",")}) on $tableName")
-    store.write(tableName, merged)
-    Mutations.upsertedKeys(data, pk)
+    store.write(tableName, Ddl.preserveMetadata(merged, target.schema))
+    Mutations.upsertedKeys(filled, pk)
   }
 
   /** D13: `update` — keyed overwrite; returns the matched-row count
@@ -114,7 +130,8 @@ final class Database(val spark: SparkSession, root: String) {
   def update(tableName: String, data: DataFrame, on: Seq[String]): Long = {
     val target = store.read(tableName)
     val n = Mutations.updateRowCount(target, data, on)
-    store.write(tableName, Mutations.update(target, data, on))
+    store.write(tableName,
+      Ddl.preserveMetadata(Mutations.update(target, data, on), target.schema))
     n
   }
 

@@ -1455,6 +1455,43 @@ object SparkEntry {
         .orderBy(col("a"), col("b"))
     }),
 
+    // ---------------------------------------- D16 autoincrement ASSIGNMENT
+    // The reference's insert-without-id flow (main.py:33, SQLAlchemy
+    // autoincrement = server-assigned ids): batch 1 carries NO id column
+    // at all → dense ids 1..n in (name, bal) order; batch 2 mixes an
+    // explicit-id update (COALESCE keeps its old bal) with two NULL-id
+    // inserts that continue the sequence from the table max. The oracle
+    // replays the sequence with row_number() + max-offset.
+    "q108_autoincrement" -> ((s, d) => {
+      import s.implicits._
+      import graft.core.ColumnSpec
+      import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
+      val rootPath = java.nio.file.Files.createTempDirectory("graft-auto")
+      val db = new graft.Database(s, rootPath.toString)
+      db.createTable("acct", Seq(
+        ColumnSpec("id", LongType, nullable = false, autoincrement = true),
+        ColumnSpec("name", StringType),
+        ColumnSpec("bal", DoubleType)), primaryKey = Seq("id"))
+      val b1 = T(s, d, "customer").filter(col("c_custkey") <= 20)
+        .select(col("c_name").as("name"), col("c_acctbal").as("bal"))
+      db.upsert("acct", b1, pk = Seq("id"))
+      val b2 = Seq(
+        (Some(3L), "patched", Option.empty[Double]),
+        (Option.empty[Long], "aa-new", Some(2.5)),
+        (Option.empty[Long], "zz-new", Some(1.5)))
+        .toDF("id", "name", "bal")
+      db.upsert("acct", b2, pk = Seq("id"))
+      val out = db.getTable("acct").orderBy(col("id"))
+      // freeze driver-side (22 rows) before deleting the store root —
+      // the returned frame must not depend on the temp snapshot files
+      import scala.jdk.CollectionConverters._
+      val frozen = s.createDataFrame(out.collect().toSeq.asJava, out.schema)
+      java.nio.file.Files.walk(rootPath)
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .iterator().asScala.foreach(p => java.nio.file.Files.deleteIfExists(p))
+      frozen
+    }),
+
     // PII scrub (ext.TextOps.scrubPii): Dolma/C4-style masking. The
     // fixture has no natural PII, so the query deterministically
     // injects an email+URL+IP tail into every 7th doc and the oracle
@@ -2395,6 +2432,28 @@ object SparkEntry {
         |ORDER BY obj, pos""".stripMargin,
 
     "q107_incremental_neardup" -> IncrementalMinhashOracleSql,
+
+    // autoincrement sequence replay: batch 1 (no id column) numbers
+    // 1..20 in (name, bal) order; batch 2's NULL-id rows continue from
+    // the table max (20) in the same order; the explicit-id row merges
+    // under the COALESCE rule (patched name, old bal kept)
+    "q108_autoincrement" ->
+      """WITH b1 AS (
+        |  SELECT c_name AS name, c_acctbal AS bal FROM customer WHERE c_custkey <= 20),
+        |t1 AS (
+        |  SELECT row_number() OVER (ORDER BY name, bal) AS id, name, bal FROM b1),
+        |news AS (
+        |  SELECT (SELECT count(*) FROM b1) + row_number() OVER (ORDER BY name, bal) AS id,
+        |    name, bal
+        |  FROM (VALUES ('aa-new', 2.5), ('zz-new', 1.5)) v(name, bal)),
+        |upd(id, name) AS (VALUES (3, 'patched')),
+        |merged AS (
+        |  SELECT t1.id, COALESCE(u.name, t1.name) AS name, t1.bal
+        |  FROM t1 LEFT JOIN upd u ON t1.id = u.id
+        |  UNION ALL
+        |  SELECT id, name, bal FROM news)
+        |SELECT CAST(id AS BIGINT) AS id, name, CAST(bal AS DOUBLE) AS bal
+        |FROM merged ORDER BY id""".stripMargin,
 
     // staged scrub replay: count each type on the PREVIOUS stage's
     // text (so a URL's host never double-counts as an IP), 'g' flag =

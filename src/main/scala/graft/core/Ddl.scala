@@ -94,6 +94,24 @@ object Ddl {
     withAll.select(schema.fieldNames.map(col): _*)
   }
 
+  /** Re-apply declared per-column metadata (PK/unique/autoincrement/
+    * default/FK) from a previous schema onto a mutated frame. Join and
+    * coalesce expressions STRIP field metadata, so without this the
+    * first upsert would silently drop the table's declared constraints
+    * from the stored snapshot (and autoincrement assignment would stop
+    * working on the second batch). Columns new to the frame (additive
+    * evolution) pass through untouched. */
+  def preserveMetadata(df: DataFrame, prev: StructType): DataFrame = {
+    val metaByName = prev.fields
+      .map(f => f.name.toLowerCase -> f.metadata).toMap
+    df.select(df.schema.fields.map { f =>
+      metaByName.get(f.name.toLowerCase) match {
+        case Some(m) if m != Metadata.empty => col(f.name).as(f.name, m)
+        case _ => col(f.name)
+      }
+    }.toSeq: _*)
+  }
+
   /** PK/unique VALIDATION (not enforcement): true iff no duplicate keys.
     * Distributed check — a partial-agg groupBy, no collect. */
   def validateUnique(df: DataFrame, keys: Seq[String]): Boolean =
@@ -121,5 +139,37 @@ object Ddl {
     val rdd = sorted.rdd.zipWithIndex().map { case (r, i) =>
       org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1L)) }
     df.sparkSession.createDataFrame(rdd, out)
+  }
+
+  /** D16 autoincrement ASSIGNMENT (reference main.py:33 — SQLAlchemy
+    * autoincrement means the SERVER assigns ids to inserted rows that
+    * do not provide one; the metadata flag alone does nothing). Batch
+    * rows whose `idCol` is absent or NULL receive DENSE ids continuing
+    * from the current maximum across BOTH the table and the batch's
+    * explicit ids; explicit ids pass through untouched. Assignment
+    * order is `orderBy` over the id-less rows — a Postgres sequence's
+    * assignment order is connection-interleaving trivia, so we promote
+    * determinism to the contract instead (same batch ⇒ same ids,
+    * replayable by an oracle). Ids are assigned via [[assignIds]]'s
+    * two-phase zipWithIndex shape — never a single-partition window —
+    * and an empty table starts the sequence at 1. */
+  def fillAutoincrement(target: DataFrame, batch: DataFrame, idCol: String,
+      orderBy: Seq[String]): DataFrame = {
+    val idType = target.schema.fields
+      .find(_.name.equalsIgnoreCase(idCol)).map(_.dataType).getOrElse(LongType)
+    val hasCol = batch.columns.exists(_.equalsIgnoreCase(idCol))
+    def maxOf(df: DataFrame): Long = {
+      val r = df.agg(max(col(idCol).cast("long"))).head()
+      if (r.isNullAt(0)) 0L else math.max(0L, r.getLong(0))
+    }
+    val base = math.max(maxOf(target), if (hasCol) maxOf(batch) else 0L)
+    def assign(rows: DataFrame): DataFrame =
+      assignIds(rows, idCol, orderBy)
+        .withColumn(idCol, (col(idCol) + base).cast(idType))
+    if (!hasCol) assign(batch)
+    else if (batch.filter(col(idCol).isNull).isEmpty) batch
+    else batch.filter(col(idCol).isNotNull)
+      .unionByName(assign(batch.filter(col(idCol).isNull).drop(idCol))
+        .select(batch.columns.map(col): _*))
   }
 }

@@ -137,6 +137,50 @@ class DdlAndStoreSpec extends SparkSpec {
     assert(ids.sorted == Seq(1L, 2L, 3L)) // dense, 1-based, no gaps
   }
 
+  test("autoincrement ASSIGNMENT: insert-without-id gets dense server ids (D16, main.py:33)") {
+    val root = Files.createTempDirectory("graft-store").toString
+    val db = new graft.Database(spark, root)
+    db.createTable("acct", Seq(
+      ColumnSpec("id", LongType, nullable = false, autoincrement = true),
+      ColumnSpec("name", StringType)), primaryKey = Seq("id"))
+    // batch with NO id column: ids 1..3 in name order
+    db.upsert("acct", Seq("bb", "aa", "cc").toDF("name"), pk = Seq("id"))
+    val t1 = db.getTable("acct").select("id", "name").as[(Long, String)]
+      .collect().toSeq.sorted
+    assert(t1 == Seq((1L, "aa"), (2L, "bb"), (3L, "cc")))
+    // mixed batch: explicit id updates in place, NULL ids continue from max
+    val b2 = Seq((Some(2L), "bb-upd"), (None, "dd"), (None, "a-late"))
+      .toDF("id", "name")
+    db.upsert("acct", b2, pk = Seq("id"))
+    val t2 = db.getTable("acct").select("id", "name").as[(Long, String)]
+      .collect().toSeq.sorted
+    assert(t2 == Seq((1L, "aa"), (2L, "bb-upd"), (3L, "cc"),
+      (4L, "a-late"), (5L, "dd"))) // name order among the NULL-id rows
+    // fully-supplied batch passes through untouched (no re-assignment)
+    db.upsert("acct", Seq((10L, "explicit")).toDF("id", "name"), pk = Seq("id"))
+    assert(db.getTable("acct").count() == 6)
+    assert(db.getTable("acct").filter($"id" === 10L).count() == 1)
+    // the declared constraint metadata SURVIVES mutation writes (join/
+    // coalesce strip field metadata; preserveMetadata restores it) —
+    // without this, assignment silently stops after the first upsert
+    val idField = db.getTable("acct").schema("id")
+    assert(idField.metadata.contains("autoincrement") &&
+      idField.metadata.getBoolean("autoincrement"))
+    assert(idField.metadata.contains("primary_key"))
+  }
+
+  test("fillAutoincrement: empty table starts at 1; explicit batch max advances the sequence") {
+    val target = Seq.empty[(Long, String)].toDF("id", "v")
+    val filled = Ddl.fillAutoincrement(target, Seq("x", "y").toDF("v"), "id", Seq("v"))
+    assert(filled.select("id").as[Long].collect().toSeq.sorted == Seq(1L, 2L))
+    // explicit id 100 in the batch pushes fresh assignments past it
+    val mixed = Seq((Some(100L), "q"), (None, "r")).toDF("id", "v")
+    val filled2 = Ddl.fillAutoincrement(
+      Seq((7L, "old")).toDF("id", "v"), mixed, "id", Seq("v"))
+    assert(filled2.select("id", "v").as[(Long, String)].collect().toSet ==
+      Set((100L, "q"), (101L, "r")))
+  }
+
   test("metadata carries default/autoincrement/fk (D16)") {
     val f = ColumnSpec("id", LongType, autoincrement = true,
       default = Some(0), foreignKey = Some("other.id")).toField
