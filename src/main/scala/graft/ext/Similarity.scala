@@ -135,14 +135,23 @@ object Similarity {
     *    hash-sample (~sampleFactor·C rows whatever the corpus size, a
     *    deterministic top-k by id) — the classic bounded-sample k-means
     *    recipe; the corpus is never iterated more than once per pass;
-    *  - the assignment pass embeds the C trained centroids as LITERAL
-    *    arrays, so nearest-centroid is a NARROW per-row expression
-    *    (C codegen'd dot products + array_position argmax): no
-    *    crossJoin, no per-row window, no shuffle at all;
+    *  - assignment has TWO bit-identical modes (same dot order, same
+    *    lowest-id tie-break). `broadcastCentroids = true` (the
+    *    production default) ships the centroid matrix ONCE per executor
+    *    as a broadcast relation: a BroadcastNestedLoopJoin fan-out,
+    *    per-(row, centroid) dot, then `max_by` per row — the id
+    *    partitioning from the build survives the broadcast join, so
+    *    the argmax aggregate and the vector re-join add NO exchange.
+    *    `false` embeds the C centroids as LITERALS in a narrow argmax
+    *    projection — zero joins, fully codegen'd, but the literals ride
+    *    inside EVERY task binary (fine at contract C, tens of MB of
+    *    plan at production C — the "Broadcasting large task binary"
+    *    warning) and the oracle-replayable form;
     *  - the normalized corpus is persisted once and shared by the
     *    count, sample, and assignment passes. */
   def ivfBuild(corpus: DataFrame, idCol: String, vecCol: String,
-      nCentroids: Int, kmeansIters: Int = 5, sampleFactor: Int = 40): IvfIndex = {
+      nCentroids: Int, kmeansIters: Int = 5, sampleFactor: Int = 40,
+      broadcastCentroids: Boolean = true): IvfIndex = {
     val c = corpus.repartition(col(idCol)).select(col(idCol).as("__id"),
       l2Normalize(col(vecCol).cast("array<double>")).as("__v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -158,18 +167,32 @@ object Similarity {
       .select(col("__v")).collect()
       .map(_.getSeq[Double](0).toArray)
     val cents = lloyds(sample, nCentroids, kmeansIters)
-    // assignment: argmax over C literal-centroid dot products — narrow,
-    // codegen'd, zero-shuffle. Ties break to the lowest centroid_id
-    // (array_position returns the FIRST index holding the max).
-    val scores = array(cents.map(cv => dot(col("__v"), array(cv.map(lit).toSeq: _*))): _*)
-    val assigned = c
-      .withColumn("centroid_id",
-        (array_position(scores, array_max(scores)) - 1).cast("int"))
-      .select(col("__id"), col("__v"), col("centroid_id"))
     val spark = corpus.sparkSession
     import spark.implicits._
     val centroids = cents.zipWithIndex.toSeq
       .map { case (v, i) => (i, v) }.toDF("centroid_id", "__cv")
+    val assigned =
+      if (broadcastCentroids) {
+        // ties break to the LOWEST centroid_id on equal score — the
+        // struct ordering (score asc, -id asc) makes max_by pick it,
+        // matching the literal mode's first-max array_position
+        val best = c.crossJoin(broadcast(centroids))
+          .select(col("__id"), col("centroid_id"),
+            dot(col("__v"), col("__cv")).as("__s"))
+          .groupBy(col("__id"))
+          .agg(max_by(col("centroid_id"),
+            struct(col("__s"), -col("centroid_id"))).as("centroid_id"))
+        c.join(best, Seq("__id")).select(col("__id"), col("__v"), col("centroid_id"))
+      } else {
+        // argmax over C literal-centroid dot products — narrow,
+        // codegen'd, zero-shuffle; array_position returns the FIRST
+        // index holding the max
+        val scores = array(cents.map(cv =>
+          dot(col("__v"), array(cv.map(lit).toSeq: _*))): _*)
+        c.withColumn("centroid_id",
+          (array_position(scores, array_max(scores)) - 1).cast("int"))
+          .select(col("__id"), col("__v"), col("centroid_id"))
+      }
     IvfIndex(assigned, centroids, Some(c))
   }
 
@@ -305,22 +328,48 @@ object Similarity {
   }
 
   /** PQ-encode the corpus: per subspace, the nearest codeword's index
-    * (argmin ‖v_j − c‖² as argmax of codegen'd dot − 0.5‖c‖² literals;
-    * FIRST index wins ties). A NARROW per-row projection — literal
-    * codebooks, no join, no shuffle (the IVF-assignment shape).
+    * (argmin ‖v_j − c‖² as argmax of dot − 0.5‖c‖²; LOWEST code wins
+    * ties). Two bit-identical modes, like [[ivfBuild]]:
+    * `broadcastBooks = true` (production default) joins a broadcast
+    * (subspace, code, codeword, ½‖c‖²) frame — m·ksub rows — scores
+    * per (row, subspace, code), and folds back to one codes array per
+    * row via two partial aggregates that exchange only (id, j, code)
+    * triples, never the vectors; the unrolled m·ksub literal expression
+    * tree otherwise rides in every task binary of every query that
+    * touches the encoded corpus. `false` is that narrow literal
+    * projection — no join, no shuffle, oracle-replayable.
     * Returns (idCol, codes array<int>, one 0-based code per subspace). */
   def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
-      books: PqBooks): DataFrame = {
+      books: PqBooks, broadcastBooks: Boolean = true): DataFrame = {
     val v = l2Normalize(col(vecCol).cast("array<double>"))
-    val codes = (0 until books.m).map { j =>
-      val sub = slice(v, j * books.ds + 1, books.ds)
-      val scores = array((0 until books.ksub).map { cI =>
-        dot(sub, array(books.books(j)(cI).map(lit).toSeq: _*)) -
-          lit(books.halfNormSq(j)(cI))
-      }: _*)
-      (array_position(scores, array_max(scores)) - 1).cast("int")
+    if (broadcastBooks) {
+      val spark = corpus.sparkSession
+      import spark.implicits._
+      val bookRows = for { j <- 0 until books.m; cI <- 0 until books.ksub }
+        yield (j, cI, books.books(j)(cI).toSeq, books.halfNormSq(j)(cI))
+      val bf = bookRows.toDF("__j", "__c", "__bv", "__h")
+      val bestPerSub = corpus.select(col(idCol), v.as("__nv"))
+        .crossJoin(broadcast(bf))
+        .select(col(idCol), col("__j"), col("__c"),
+          (dot(slice(col("__nv"), col("__j") * books.ds + 1, lit(books.ds)),
+            col("__bv")) - col("__h")).as("__s"))
+        .groupBy(col(idCol), col("__j"))
+        .agg(max_by(col("__c"), struct(col("__s"), -col("__c"))).as("__code"))
+      bestPerSub.groupBy(col(idCol))
+        .agg(transform(
+          array_sort(collect_list(struct(col("__j"), col("__code")))),
+          e => e.getField("__code")).as("codes"))
+    } else {
+      val codes = (0 until books.m).map { j =>
+        val sub = slice(v, j * books.ds + 1, books.ds)
+        val scores = array((0 until books.ksub).map { cI =>
+          dot(sub, array(books.books(j)(cI).map(lit).toSeq: _*)) -
+            lit(books.halfNormSq(j)(cI))
+        }: _*)
+        (array_position(scores, array_max(scores)) - 1).cast("int")
+      }
+      corpus.select(col(idCol), array(codes: _*).as("codes"))
     }
-    corpus.select(col(idCol), array(codes: _*).as("codes"))
   }
 
   /** PQ ADC search: each query precomputes its m×ksub dot-product

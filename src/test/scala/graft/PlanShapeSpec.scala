@@ -55,9 +55,10 @@ class PlanShapeSpec extends SparkSpec {
     assert(projLine.findFirstIn(p).isDefined, p)
   }
 
-  test("IVF assignment is a narrow map: one exchange (the id spread), no join, no window") {
+  test("IVF literal-mode assignment is a narrow map: one exchange (the id spread), no join, no window") {
     val idx = graft.ext.Similarity.ivfBuild(
-      core.Fx.t(spark, sfDir, "embeddings"), "vec_id", "embedding", nCentroids = 4)
+      core.Fx.t(spark, sfDir, "embeddings"), "vec_id", "embedding", nCentroids = 4,
+      broadcastCentroids = false)
     try {
       val p = plan(idx.assigned)
       // everything ABOVE the cached normalized corpus must be narrow:
@@ -67,6 +68,27 @@ class PlanShapeSpec extends SparkSpec {
       assert(aboveCache.contains("InMemoryTableScan"), p)
       Seq("Exchange", "Join", "Window").foreach(op =>
         assert(!aboveCache.contains(op), s"assignment must not $op: $p"))
+    } finally idx.unpersist()
+  }
+
+  test("IVF broadcast-mode assignment: centroids travel as a broadcast relation, vectors never re-exchange") {
+    // the production default: the argmax aggregate and the vector
+    // re-join both reuse the build's id hash-partitioning, so the only
+    // exchange in the whole assignment is the one id spread inside the
+    // cached corpus — same count as the literal mode, with the centroid
+    // matrix OUT of the task binaries
+    val idx = graft.ext.Similarity.ivfBuild(
+      core.Fx.t(spark, sfDir, "embeddings"), "vec_id", "embedding", nCentroids = 4)
+    try {
+      val p = plan(idx.assigned)
+      assert(p.contains("BroadcastNestedLoopJoin"),
+        "centroids must broadcast-join, not embed as literals: " + p)
+      // no SHUFFLE exchange above the cached corpus — the argmax agg
+      // and the vector re-join ride the build's id partitioning (AQE
+      // may still BroadcastExchange the tiny fixture side; that's fine)
+      val aboveCache = p.substring(0, math.max(0, p.indexOf("InMemoryRelation")))
+      assert("[+:]- Exchange ".r.findFirstIn(aboveCache).isEmpty,
+        "assignment must reuse the build's id partitioning (no shuffle): " + p)
     } finally idx.unpersist()
   }
 

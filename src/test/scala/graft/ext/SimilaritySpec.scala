@@ -73,6 +73,32 @@ class SimilaritySpec extends SparkSpec {
     assert(idx.assigned.count() == emb.count())
   }
 
+  test("IVF assignment: broadcast mode == literal mode, row for row") {
+    // the two modes must be bit-identical (same left-to-right dot,
+    // same lowest-id tie-break) so the production default stays
+    // oracle-compatible with the literal replay
+    val emb = Fx.t(spark, sfDir, "embeddings")
+    def assignments(bc: Boolean): Map[Long, Int] = {
+      val idx = Similarity.ivfBuild(emb, "vec_id", "embedding",
+        nCentroids = 8, broadcastCentroids = bc)
+      try idx.assigned.select($"__id", $"centroid_id")
+        .as[(Long, Int)].collect().toMap
+      finally idx.unpersist()
+    }
+    val bcast = assignments(bc = true)
+    val lit = assignments(bc = false)
+    assert(bcast == lit, "modes diverged")
+  }
+
+  test("PQ encode: broadcast mode == literal mode, code for code") {
+    val emb = Fx.t(spark, sfDir, "embeddings")
+    val books = Similarity.pqSeededBooks(dim = 64, m = 8, ksub = 16)
+    def codes(bc: Boolean): Map[Long, Seq[Int]] =
+      Similarity.pqEncode(emb, "vec_id", "embedding", books, broadcastBooks = bc)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
+    assert(codes(bc = true) == codes(bc = false), "modes diverged")
+  }
+
   test("PQ encode: one in-range code per subspace, deterministic across runs") {
     val emb = graft.core.Fx.t(spark, sfDir, "embeddings")
     val books = Similarity.pqSeededBooks(dim = 64, m = 8, ksub = 16)
