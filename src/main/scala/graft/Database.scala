@@ -12,12 +12,33 @@ import graft.core._
   * driver-side boundary when genuinely needed.
   *
   * Construction mirrors `Database(db_url, schema)` (main.py:39-46):
-  * here the "database" is a [[TableStore]] root directory of parquet
-  * snapshots, and the liveness probe (main.py:47 `select 1 as
-  * is_alive`) maps to a trivial Spark action.
+  * here the "database" is a root directory holding one [[TableStore]]
+  * PER NAMESPACE (`$root/$namespace/...`), `namespace` plays the
+  * reference's `schema='public'` role, and the liveness probe
+  * (main.py:47 `select 1 as is_alive`) maps to a trivial Spark action.
+  *
+  * Namespace addressing mirrors Postgres schema qualification: every
+  * table-name argument accepts `table` (the handle's namespace) or
+  * `ns.table` (any namespace under the same root), and
+  * [[checkTableExists]] takes the reference's optional explicit schema
+  * (main.py:67-69). Views are per-namespace.
   */
-final class Database(val spark: SparkSession, root: String) {
-  private val store = new TableStore(spark, root)
+final class Database(val spark: SparkSession, root: String,
+    val namespace: String = "public") {
+  private val stores = scala.collection.mutable.Map.empty[String, TableStore]
+  private def storeFor(ns: String): TableStore =
+    stores.getOrElseUpdate(ns,
+      new TableStore(spark, new org.apache.hadoop.fs.Path(root, ns).toString))
+  private val store = storeFor(namespace)
+
+  /** `ns.table` → that namespace's store; bare `table` → this handle's. */
+  private def resolve(name: String): (TableStore, String) =
+    name.split('.') match {
+      case Array(t) => (store, t)
+      case Array(ns, t) if ns.nonEmpty && t.nonEmpty => (storeFor(ns), t)
+      case _ => throw new IllegalArgumentException(
+        s"table name must be 'table' or 'namespace.table': $name")
+    }
 
   /** D1: liveness probe (`select 1 as is_alive`, main.py:47). */
   def isAlive: Boolean =
@@ -25,15 +46,24 @@ final class Database(val spark: SparkSession, root: String) {
 
   // ------------------------------------------------------------- catalog
   /** D2: `get_table` — reflection ⇒ read the current snapshot. */
-  def getTable(tableName: String): DataFrame = store.read(tableName)
+  def getTable(tableName: String): DataFrame =
+    { val (st, t) = resolve(tableName); st.read(t) }
   /** D3: `check_table_exists`. */
-  def checkTableExists(tableName: String): Boolean = store.tableExists(tableName)
+  def checkTableExists(tableName: String): Boolean =
+    { val (st, t) = resolve(tableName); st.tableExists(t) }
+  /** D3 with the reference's explicit-schema form (main.py:67-69). */
+  def checkTableExists(tableName: String, schema: String): Boolean =
+    storeFor(schema).tableExists(tableName)
   /** D4: `get_table_columns`. */
-  def getTableColumns(tableName: String): Seq[String] = store.listColumns(tableName)
+  def getTableColumns(tableName: String): Seq[String] =
+    { val (st, t) = resolve(tableName); st.listColumns(t) }
   /** D5: `get_table_count`. */
-  def getTableCount(tableName: String): Long = store.count(tableName)
-  /** D6: `get_tables`. */
+  def getTableCount(tableName: String): Long =
+    { val (st, t) = resolve(tableName); st.count(t) }
+  /** D6: `get_tables` (this handle's namespace). */
   def getTables: Seq[String] = store.listTables()
+  /** D6 across namespaces: the named schema's tables. */
+  def getTables(schema: String): Seq[String] = storeFor(schema).listTables()
   /** D7: `get_views` — PERSISTENT views stored with the database
     * (reference main.py:85-86 lists real DB views) plus any temp views
     * registered on this session. */
@@ -66,7 +96,7 @@ final class Database(val spark: SparkSession, root: String) {
       ascending: Boolean = true,
       limit: Int = 0,
       offset: Int = 0): DataFrame =
-    Query.get(store.read(tableName), columns, where,
+    Query.get(getTable(tableName), columns, where,
       sortBy.map(SortKey(_, ascending)).toSeq, limit, offset)
 
   /** D15: `execute_raw` — full Catalyst SQL over registered views.
@@ -78,12 +108,13 @@ final class Database(val spark: SparkSession, root: String) {
     * schema; any other statement goes straight to Catalyst. */
   def executeRaw(query: String): DataFrame =
     Sql.parseAlterAddColumns(query) match {
-      case Some((table, added)) if store.tableExists(table) =>
+      case Some((table, added)) if checkTableExists(table) =>
+        val (st, tbl) = resolve(table)
         val specs = added.fields.toSeq.map(f =>
           ColumnSpec(f.name, f.dataType, nullable = f.nullable))
-        store.write(table, Ddl.evolveSchema(store.read(table), specs))
+        st.write(tbl, Ddl.evolveSchema(st.read(tbl), specs))
         registerView(table) // re-point the temp view at the new snapshot
-        store.read(table).limit(0)
+        st.read(tbl).limit(0)
       case _ => Sql.executeRaw(spark, query)
     }
 
@@ -106,7 +137,8 @@ final class Database(val spark: SparkSession, root: String) {
   def upsert(tableName: String, data: DataFrame, pk: Seq[String],
       overwriteWithNull: Boolean = false,
       validatePk: Boolean = false): DataFrame = {
-    val target = store.read(tableName)
+    val (st, tbl) = resolve(tableName)
+    val target = st.read(tbl)
     val autoCols = target.schema.fields.filter(f =>
       f.metadata.contains("autoincrement") &&
         f.metadata.getBoolean("autoincrement")).map(_.name).toSeq
@@ -121,40 +153,46 @@ final class Database(val spark: SparkSession, root: String) {
     if (validatePk && !Ddl.validateUnique(merged, pk))
       throw new IllegalStateException(
         s"upsert would violate primary key (${pk.mkString(",")}) on $tableName")
-    store.write(tableName, Ddl.preserveMetadata(merged, target.schema))
+    st.write(tbl, Ddl.preserveMetadata(merged, target.schema))
     Mutations.upsertedKeys(filled, pk)
   }
 
   /** D13: `update` — keyed overwrite; returns the matched-row count
     * (the reference returns `rowcount`, main.py:268). */
   def update(tableName: String, data: DataFrame, on: Seq[String]): Long = {
-    val target = store.read(tableName)
+    val (st, tbl) = resolve(tableName)
+    val target = st.read(tbl)
     val n = Mutations.updateRowCount(target, data, on)
-    store.write(tableName,
+    st.write(tbl,
       Ddl.preserveMetadata(Mutations.update(target, data, on), target.schema))
     n
   }
 
   /** D14: `delete` — predicate delete; no predicate ⇒ full delete. */
   def delete(tableName: String, where: Seq[Pred] = Nil): Unit = {
-    val target = store.read(tableName)
-    store.write(tableName, Mutations.delete(target, where))
+    val (st, tbl) = resolve(tableName)
+    st.write(tbl, Mutations.delete(st.read(tbl), where))
   }
 
   // ------------------------------------------------------------- DDL
   /** D9/D10: `create_table` with additive evolution; D16 ColumnSpec. */
   def createTable(tableName: String, mappings: Seq[ColumnSpec],
       primaryKey: Seq[String] = Nil, uniqueColumns: Seq[String] = Nil,
-      checkExisting: Boolean = true): Unit =
-    Ddl.createTable(store, spark, tableName, mappings, primaryKey,
+      checkExisting: Boolean = true): Unit = {
+    val (st, tbl) = resolve(tableName)
+    Ddl.createTable(st, spark, tbl, mappings, primaryKey,
       uniqueColumns, checkExisting)
+  }
 
   /** D10: `add_column`. */
-  def addColumn(tableName: String, columnName: String, columnType: DataType): Unit =
-    store.write(tableName,
-      Ddl.addColumn(store.read(tableName), ColumnSpec(columnName, columnType)))
+  def addColumn(tableName: String, columnName: String, columnType: DataType): Unit = {
+    val (st, tbl) = resolve(tableName)
+    st.write(tbl, Ddl.addColumn(st.read(tbl), ColumnSpec(columnName, columnType)))
+  }
 
-  /** Register a table as a temp view so `executeRaw` can address it. */
+  /** Register a table as a temp view so `executeRaw` can address it.
+    * A namespace-qualified name registers as `ns_table` (Spark temp
+    * views are single-part). */
   def registerView(tableName: String): Unit =
-    store.read(tableName).createOrReplaceTempView(tableName)
+    getTable(tableName).createOrReplaceTempView(tableName.replace('.', '_'))
 }

@@ -1455,6 +1455,51 @@ object SparkEntry {
         .orderBy(col("a"), col("b"))
     }),
 
+    // ---------------------------------------- D1 multi-namespace addressing
+    // The reference binds one Postgres schema per Database handle
+    // (main.py:39-46 schema='public') but can address and probe other
+    // schemas (main.py:67-69 explicit-schema exists). Here: two
+    // namespaces under one root carry a same-named table with different
+    // contents; the PUBLIC-bound handle lists/probes/reads the staging
+    // namespace via `staging.geo` and the explicit-schema overload.
+    // region/nation are SF-invariant (5/25 rows), so every fact is
+    // fixture-replayable.
+    "q109_namespaces" -> ((s, d) => {
+      import s.implicits._
+      import graft.core.ColumnSpec
+      import org.apache.spark.sql.types.{LongType, StringType}
+      val rootPath = java.nio.file.Files.createTempDirectory("graft-ns")
+      val dbPub = new graft.Database(s, rootPath.toString)
+      val dbStg = new graft.Database(s, rootPath.toString, namespace = "staging")
+      val specs = Seq(ColumnSpec("geo_id", LongType), ColumnSpec("geo_name", StringType))
+      dbPub.createTable("geo", specs, primaryKey = Seq("geo_id"))
+      dbStg.createTable("geo", specs, primaryKey = Seq("geo_id"))
+      dbPub.upsert("geo", T(s, d, "region")
+        .select(col("r_regionkey").cast("long").as("geo_id"),
+          col("r_name").as("geo_name")), pk = Seq("geo_id"))
+      // qualified addressing WRITES across namespaces too
+      dbPub.upsert("staging.geo", T(s, d, "nation")
+        .select(col("n_nationkey").cast("long").as("geo_id"),
+          col("n_name").as("geo_name")), pk = Seq("geo_id"))
+      val facts = Seq(
+        ("exists:geo", dbPub.checkTableExists("geo").toString),
+        ("exists:staging.geo", dbPub.checkTableExists("staging.geo").toString),
+        ("exists:geo@staging", dbPub.checkTableExists("geo", "staging").toString),
+        ("exists:missing.geo", dbPub.checkTableExists("missing.geo").toString),
+        ("count:public", dbPub.getTableCount("geo").toString),
+        ("count:staging", dbPub.getTableCount("staging.geo").toString),
+        ("tables:public", dbPub.getTables.mkString(",")),
+        ("tables:staging", dbPub.getTables("staging").mkString(","))) ++
+        // cross-namespace READ through the public handle
+        dbPub.getTable("staging.geo").filter(col("geo_id") < 5)
+          .collect().map(r => (s"row:${r.getLong(0)}", r.getString(1))).toSeq
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(rootPath)
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .iterator().asScala.foreach(p => java.nio.file.Files.deleteIfExists(p))
+      facts.toDF("kind", "name").orderBy(col("kind"), col("name"))
+    }),
+
     // ---------------------------------------- D16 autoincrement ASSIGNMENT
     // The reference's insert-without-id flow (main.py:33, SQLAlchemy
     // autoincrement = server-assigned ids): batch 1 carries NO id column
@@ -2432,6 +2477,22 @@ object SparkEntry {
         |ORDER BY obj, pos""".stripMargin,
 
     "q107_incremental_neardup" -> IncrementalMinhashOracleSql,
+
+    // namespace facts replayed from the SF-invariant region/nation
+    // fixtures (counts, probe results, cross-namespace reads)
+    "q109_namespaces" ->
+      """WITH facts(kind, name) AS (
+        |  SELECT 'exists:geo', 'true'
+        |  UNION ALL SELECT 'exists:staging.geo', 'true'
+        |  UNION ALL SELECT 'exists:geo@staging', 'true'
+        |  UNION ALL SELECT 'exists:missing.geo', 'false'
+        |  UNION ALL SELECT 'count:public', CAST((SELECT count(*) FROM region) AS VARCHAR)
+        |  UNION ALL SELECT 'count:staging', CAST((SELECT count(*) FROM nation) AS VARCHAR)
+        |  UNION ALL SELECT 'tables:public', 'geo'
+        |  UNION ALL SELECT 'tables:staging', 'geo'
+        |  UNION ALL SELECT 'row:' || CAST(n_nationkey AS VARCHAR), n_name
+        |  FROM nation WHERE n_nationkey < 5)
+        |SELECT kind, name FROM facts ORDER BY kind, name""".stripMargin,
 
     // autoincrement sequence replay: batch 1 (no id column) numbers
     // 1..20 in (name, bal) order; batch 2's NULL-id rows continue from

@@ -87,11 +87,40 @@ class DatabaseSpec extends SparkSpec {
     assert(db.getTableCount("users") == 0)
   }
 
+  test("multi-namespace addressing: ns.table, explicit-schema probe, per-ns isolation (D1)") {
+    val root = Files.createTempDirectory("graft-ns").toString
+    val pub = new Database(spark, root)
+    val stg = new Database(spark, root, namespace = "staging")
+    pub.createTable("t", Seq(ColumnSpec("id", LongType), ColumnSpec("v", StringType)))
+    stg.createTable("t", Seq(ColumnSpec("id", LongType), ColumnSpec("v", StringType)))
+    pub.upsert("t", Seq((1L, "pub")).toDF("id", "v"), Seq("id"))
+    // qualified write from the OTHER handle
+    pub.upsert("staging.t", Seq((1L, "stg"), (2L, "stg2")).toDF("id", "v"), Seq("id"))
+    // isolation: same table name, different contents per namespace
+    assert(pub.getTableCount("t") == 1)
+    assert(pub.getTableCount("staging.t") == 2)
+    assert(stg.getTableCount("t") == 2)
+    assert(stg.getTableCount("public.t") == 1)
+    assert(stg.getTable("public.t").select("v").as[String].head() == "pub")
+    // probes: qualified name and the reference's explicit-schema form
+    assert(pub.checkTableExists("staging.t"))
+    assert(pub.checkTableExists("t", "staging"))
+    assert(!pub.checkTableExists("missing.t"))
+    assert(pub.getTables == Seq("t"))
+    assert(pub.getTables("staging") == Seq("t"))
+    // qualified DDL + mutation routing
+    pub.addColumn("staging.t", "extra", StringType)
+    assert(stg.getTableColumns("t") == Seq("id", "v", "extra"))
+    pub.delete("staging.t", Seq(Pred.Eq("id", 2)))
+    assert(stg.getTableCount("t") == 1)
+  }
+
   test("opt-in PK validation rejects a merge that would keep duplicate keys") {
     val root = Files.createTempDirectory("graft-dbv").toString
     val db = new Database(spark, root)
-    // a corrupted snapshot (written outside the facade) with dup PKs
-    new graft.core.TableStore(spark, root).write("dup",
+    // a corrupted snapshot (written outside the facade) with dup PKs —
+    // Database namespaces its stores, so write under $root/public
+    new graft.core.TableStore(spark, s"$root/public").write("dup",
       Seq((1L, "x"), (1L, "y")).toDF("id", "name"))
     val updates = Seq((2L, "z")).toDF("id", "name")
     intercept[IllegalStateException](
@@ -99,7 +128,7 @@ class DatabaseSpec extends SparkSpec {
     // without validation the merge goes through (documented: validate,
     // not enforce), and a clean table passes validation silently
     db.upsert("dup", updates, Seq("id"))
-    new graft.core.TableStore(spark, root).write("clean",
+    new graft.core.TableStore(spark, s"$root/public").write("clean",
       Seq((1L, "x")).toDF("id", "name"))
     db.upsert("clean", updates, Seq("id"), validatePk = true)
     assert(db.getTableCount("clean") == 2)

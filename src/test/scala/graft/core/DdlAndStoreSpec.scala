@@ -192,7 +192,8 @@ class DdlAndStoreSpec extends SparkSpec {
   test("ALTER TABLE ADD COLUMNS as raw SQL evolves the store snapshot (D10/D15)") {
     val root = Files.createTempDirectory("graft-store").toString
     val db = new graft.Database(spark, root)
-    val store = new TableStore(spark, root)
+    // Database namespaces its stores: peek through the same path it uses
+    val store = new TableStore(spark, s"$root/public")
     store.write("t", Seq((1L, "a")).toDF("id", "v"))
     // parenthesized multi-column form
     val evolved = db.executeRaw("ALTER TABLE t ADD COLUMNS (quality DOUBLE, note STRING)")
