@@ -224,6 +224,57 @@ object Streams {
     }
   }
 
+  /** Streaming near-dup ingest gate — [[graft.ext.Dedup.incrementalNearDups]]
+    * wired into a foreachBatch loop against ONE precomputed corpus
+    * signature frame. PERSIST `corpusSigs` (one
+    * [[graft.ext.Dedup.minhashSignature]] pass over the corpus, run
+    * once, materialized) — candidate generation then reads the cached
+    * signatures every epoch and the 100 TB corpus is never re-shingled
+    * per batch; exact verification re-reads corpus TEXT only for the
+    * docs a candidate names (jaccardVerifyAcross semi-joins each side
+    * to the candidate ids). Per-epoch flagged pairs
+    * (a = batch id, b = corpus id, jaccard) go to `onBatch` — write
+    * them, anti-join the batch before appending, route to review; the
+    * sink policy is the caller's. NOTE: the signature frame is a
+    * SNAPSHOT — docs admitted mid-stream are not added to it; refresh
+    * it on the cadence your dedup SLA needs (the at-least-once replay
+    * caveat of [[applyChangelogBatch]] applies to the sink you write).
+    */
+  def nearDupIngest(docs: DataFrame, corpusSigs: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String, checkpoint: String,
+      threshold: Double = 0.8, k: Int = 32, bands: Int = 8,
+      shingleN: Int = 3, portable: Boolean = false)
+      (onBatch: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val perEpoch: (Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (batch, epochId) => onBatch(
+        nearDupIngestBatch(batch.toDF(), corpusSigs, corpus, idCol, textCol,
+          threshold, k, bands, shingleN, portable), epochId)
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .foreachBatch(perEpoch)
+      .start()
+  }
+
+  /** One epoch of [[nearDupIngest]]: batch signatures → banded
+    * cross-set candidate join against the precomputed corpus
+    * signatures → exact-Jaccard verify. Exposed for direct use (and so
+    * StreamsSpec can plan-check the epoch: the corpus side of the
+    * candidate join must be an InMemoryTableScan of `corpusSigs`). */
+  def nearDupIngestBatch(batch: DataFrame, corpusSigs: DataFrame,
+      corpus: DataFrame, idCol: String, textCol: String, threshold: Double,
+      k: Int, bands: Int, shingleN: Int, portable: Boolean): DataFrame = {
+    import graft.ext.Dedup
+    val bs = Dedup.minhashSignature(batch, idCol, textCol, k, shingleN, portable)
+    // eager checkpoint: verification consumes the candidate frame three
+    // times (same rationale as incrementalNearDups)
+    val cand = Dedup.lshCandidatesAcross(bs, corpusSigs, idCol, k, bands, portable)
+      .localCheckpoint(true)
+    Dedup.jaccardVerifyAcross(cand, batch, corpus, idCol, textCol, shingleN)
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** Stream-stream INTERVAL join: each left row joins right rows with
     * the same key whose timestamp falls in
     * `[leftTs − lookback, leftTs + lookahead]` — the attribution /

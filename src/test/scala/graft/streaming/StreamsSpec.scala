@@ -122,6 +122,63 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dup ingest: 2+ micro-batches against ONE persisted corpus signature frame") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ext.Dedup
+    val corpus = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog tonight again"),
+      (200L, "completely different content describing spark execution plans here"))
+      .toDF("doc_id", "text")
+    // the ingest-loop contract: corpus signatures computed ONCE,
+    // persisted, shared by every epoch
+    val corpusSigs = Dedup.minhashSignature(corpus, "doc_id", "text", k = 16)
+      .persist()
+    corpusSigs.count() // materialize before the stream starts
+    try {
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-nd-ckpt").toString
+      val mem = MemoryStream[(Long, String)]
+      val flagged = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      var epochs = 0
+      val q = Streams.nearDupIngest(
+        mem.toDS().toDF("doc_id", "text"), corpusSigs, corpus,
+        "doc_id", "text", ckpt, threshold = 0.5, k = 16, bands = 4) {
+        (pairs, _) =>
+          flagged ++= pairs.select("a", "b").as[(Long, Long)].collect()
+          epochs += 1
+      }
+      try {
+        // epoch 1: a light rewrite of corpus doc 100 (first word dropped)
+        // plus a novel doc
+        mem.addData(
+          (1L, "quick brown fox jumps over the lazy dog tonight again"),
+          (2L, "unrelated fresh material nobody has ever written before now"))
+        q.processAllAvailable()
+        assert(flagged.toSet == Set((1L, 100L)), s"epoch 1 flags: $flagged")
+        // epoch 2, SAME signature frame: rewrite of corpus doc 200
+        mem.addData((3L, "different content describing spark execution plans here"))
+        q.processAllAvailable()
+        assert(flagged.toSet == Set((1L, 100L), (3L, 200L)), s"epoch 2 flags: $flagged")
+        assert(epochs >= 2)
+      } finally q.stop()
+      // no corpus re-shingling per epoch: the corpus side of the
+      // candidate join reads the CACHED signature frame. Count the
+      // shingle-expansion generators in the epoch plan — the batch
+      // side contributes the only one; the corpus branch is an
+      // InMemoryTableScan (plus candidate-id-restricted text reads in
+      // the verify stage, which shingle only docs a candidate names)
+      val epoch = Streams.nearDupIngestBatch(
+        Seq((9L, "probe text")).toDF("doc_id", "text"), corpusSigs, corpus,
+        "doc_id", "text", 0.5, 16, 4, 3, portable = false)
+      val cand = Dedup.lshCandidatesAcross(
+        Dedup.minhashSignature(Seq((9L, "probe text")).toDF("doc_id", "text"),
+          "doc_id", "text", k = 16), corpusSigs, "doc_id", k = 16, bands = 4)
+      val candPlan = cand.queryExecution.executedPlan.toString
+      assert(candPlan.contains("InMemoryTableScan"),
+        "corpus signatures must come from the persisted frame:\n" + candPlan)
+      assert(epoch.columns.toSet == Set("a", "b", "jaccard"))
+    } finally corpusSigs.unpersist()
+  }
+
   test("CDC epoch re-delivery is idempotent: replaying a committed batch leaves the snapshot unchanged") {
     // foreachBatch is at-least-once: a crash between sink write and
     // checkpoint commit re-delivers the epoch. The materialization must
