@@ -178,12 +178,28 @@ object Dedup {
     * engine-reproducible (the contract oracle replays it with a
     * recursive-CTE transitive closure).
     *
+    * SMALL-GRAPH FAST PATH: when the verified edge list has at most
+    * `localEdgeLimit` rows (integral ids, no null endpoints), the
+    * components are solved DRIVER-SIDE with a union-by-min union-find
+    * over the collected pairs — the bounded-collect recipe (k-means
+    * sample, BloomJoin bitmap): 2^20 edges ≈ 16 MB on the driver, an
+    * explicit budget, and the same fixpoint bit for bit (property-
+    * tested against the loop). This matters because the loop's cost is
+    * FIXED overhead — rounds × (join job + aggregate job + convergence
+    * action) — which dwarfs the data work on dedup-scale pair lists
+    * (a 64-edge graph paid ~4 s of scheduling for milliseconds of
+    * work). Near-dup edge lists are usually tiny even when the corpus
+    * is 100 TB (they are VERIFIED duplicates, not candidates); when
+    * they aren't, the distributed loop engages automatically.
+    * `localEdgeLimit = 0` forces the loop.
+    *
     * The returned frame is PERSISTED (it is the product of `rounds`
     * joins — recomputing it lazily would replay the whole loop);
     * `.unpersist()` it when done. */
   def connectedComponents(nodes: DataFrame, idCol: String,
       edges: DataFrame, aCol: String, bCol: String,
-      maxIter: Int = 50, shortcut: Boolean = false): DataFrame = {
+      maxIter: Int = 50, shortcut: Boolean = false,
+      localEdgeLimit: Int = 1 << 20): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val ids = nodes.select(col(idCol).as("id")).distinct()
     val idType = ids.schema("id").dataType
@@ -228,6 +244,58 @@ object Dedup {
       case _ => ()
     }
     val e = eFlagged.select(col("src"), col("dst"))
+    val integralIds0 = {
+      import org.apache.spark.sql.types._
+      idType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case d: DecimalType                                => d.scale == 0
+        case _                                             => false
+      }
+    }
+    if (integralIds0 && localEdgeLimit > 0) {
+      val st = e.agg(count(lit(1)).as("n"),
+        sum(when(col("src").isNull || col("dst").isNull, 1L).otherwise(0L))
+          .as("nulls")).first()
+      val nE = st.getLong(0)
+      val nNull = if (st.isNullAt(1)) 0L else st.getLong(1)
+      if (nE <= localEdgeLimit && nNull == 0) {
+        val pairs = e.select(col("src").cast("long"), col("dst").cast("long"))
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+        eFlagged.unpersist()
+        // union-by-min with path compression: every union keeps the
+        // SMALLER root, so each component's root — and thus its label —
+        // is the component minimum, the loop's exact fixpoint
+        val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent(r) != r) r = parent(r)
+          var c = x
+          while (parent(c) != r) { val nxt = parent(c); parent(c) = r; c = nxt }
+          r
+        }
+        pairs.foreach { case (a, b) =>
+          parent.getOrElseUpdate(a, a)
+          parent.getOrElseUpdate(b, b)
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val spark = nodes.sparkSession
+        import spark.implicits._
+        val lbl = parent.keys.toSeq.sorted.map(v => (v, find(v)))
+          .toDF("id", "cluster_id")
+          .select(col("id").cast(idType).as("id"),
+            col("cluster_id").cast(idType).as("cluster_id"))
+        // isolated nodes label themselves; the label keys broadcast
+        val isolated = ids
+          .join(broadcast(lbl.select(col("id"))), Seq("id"), "left_anti")
+          .select(col("id"), col("id").as("cluster_id"))
+        val out = lbl.union(isolated)
+          .select(col("id").as(idCol), col("cluster_id"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        out.count()
+        return out
+      }
+    }
     val active = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id")))
       .distinct()
@@ -250,14 +318,7 @@ object Dedup {
     // label decrease (ids 0.1/0.2/0.3) would read as "unchanged" and
     // declare a false fixpoint. They use the exact changed-row join,
     // like non-numeric ids.
-    val integralIds = {
-      import org.apache.spark.sql.types._
-      ids.schema("id").dataType match {
-        case ByteType | ShortType | IntegerType | LongType => true
-        case d: DecimalType                                => d.scale == 0
-        case _                                             => false
-      }
-    }
+    val integralIds = integralIds0
     // null ⇔ sum unavailable (empty frame, or decimal overflow past 38
     // digits) — callers must treat null as NOT converged, never as a
     // comparable value (two overflowed rounds are not evidence of a

@@ -130,9 +130,12 @@ class DedupSpec extends SparkSpec {
     val ccRev = ccRevDf.as[(Long, Long)].collect().toMap
     ccRevDf.unpersist()
     assert(ccRev == cc)
-    // refusing to return a partial labeling: a 5-path cannot settle in 1 round
+    // refusing to return a partial labeling: a 5-path cannot settle in
+    // 1 round (localEdgeLimit = 0 forces the distributed loop — the
+    // small-graph fast path would solve it driver-side without rounds)
     intercept[IllegalStateException] {
-      Dedup.connectedComponents(nodes, "id", edges, "a", "b", maxIter = 1).count()
+      Dedup.connectedComponents(nodes, "id", edges, "a", "b", maxIter = 1,
+        localEdgeLimit = 0).count()
     }
   }
 

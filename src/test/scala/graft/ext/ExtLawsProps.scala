@@ -108,14 +108,17 @@ object ExtLawsProps extends Properties("graft.ext") {
   // Connected components: the distributed min-label fixpoint must equal
   // a driver-side union-find (roots kept at the component minimum) on
   // any random graph — including duplicate and reversed edges.
-  property("connectedComponents == union-find component minima (plain AND shortcut modes)") =
-    Prop.forAll(genGraph, Gen.oneOf(false, true)) { case ((n, edges), shortcut) =>
+  property("connectedComponents == union-find component minima (local, plain AND shortcut modes)") =
+    Prop.forAll(genGraph, Gen.oneOf(0, 1 << 20), Gen.oneOf(false, true)) {
+      case ((n, edges), localLimit, shortcut) =>
+      // localLimit = 0 forces the distributed loop; 2^20 takes the
+      // driver-side union-find fast path — both must match the oracle
       val nodes = (0L until n.toLong).toDF("id")
       val e =
         if (edges.isEmpty) Seq.empty[(Long, Long)].toDF("a", "b")
         else edges.toDF("a", "b")
       val ccDf = Dedup.connectedComponents(nodes, "id", e, "a", "b",
-        shortcut = shortcut)
+        shortcut = shortcut, localEdgeLimit = localLimit)
       val cc = ccDf.as[(Long, Long)].collect().toMap
       ccDf.unpersist()
       val parent = Array.tabulate(n)(identity)
