@@ -135,6 +135,15 @@ object TextOps {
   // IPs/hosts), then bare IPs.
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val UrlRe = "https?://[^ \t\n\r]+"
+  /** KNOWN RESIDUE (the price of portability): the pattern is
+    * unanchored — word boundaries and lookarounds are exactly the
+    * constructs RE2/DuckDB and Java disagree on (or lack), and a
+    * consuming terminator class would scrub the terminator character
+    * too. So it matches INSIDE longer dotted-digit runs and does not
+    * validate octet range: '10.0.0.1000' scrubs to '<IP>0',
+    * '1.2.3.4.5' to '<IP>.5', and version strings like '1.2.3.4'
+    * scrub entirely. For PII masking this errs toward over-scrubbing
+    * (never leaks a real IP); audit counts inherit the same bias. */
   val IpRe = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
 
   /** Replace emails/URLs/IPv4s with sentinel tokens — all-occurrence,

@@ -174,12 +174,21 @@ object JdbcOps {
                   }
                   val counts = up.executeBatch()
                   chunk.zip(counts).map { case (r, c) =>
-                    if (c != Statement.SUCCESS_NO_INFO) c > 0
-                    else { // driver gave no per-row count: re-run alone
+                    if (c == Statement.SUCCESS_NO_INFO) {
+                      // driver gave no per-row count: re-run alone
                       bindCols(up, schema, nonKey, r, offset = 0)
                       bindCols(up, schema, pk, r, offset = nonKey.length)
                       up.executeUpdate() > 0
-                    }
+                    } else if (c < 0) {
+                      // EXECUTE_FAILED (or any other negative) from a
+                      // driver that continues past errors: classifying
+                      // it as 'no match' would retry the row as an
+                      // INSERT and mask the original failure with a PK
+                      // violation — surface it instead
+                      throw new java.sql.SQLException(
+                        s"batched UPDATE returned failure count $c for a row; " +
+                          "refusing to retry it as an INSERT")
+                    } else c > 0
                   }
                 } finally up.close()
                 val misses = chunk.zip(matched).collect { case (r, false) => r }
@@ -247,7 +256,10 @@ object JdbcOps {
   /** The single-statement native upsert, where the dialect has one.
     * Postgres ≥9.5 and SQLite share the `ON CONFLICT` clause; the
     * target is aliased so the COALESCE old-value reference is
-    * unambiguous next to EXCLUDED. */
+    * unambiguous next to EXCLUDED. NOTE: SQLite gained UPSERT and the
+    * INSERT-target alias together in 3.25 (2018) — against an older
+    * SQLite, return None here so [[upsert]] takes the portable
+    * UPDATE-then-INSERT path instead. */
   private[jdbc] def nativeUpsertSql(url: String, table: String,
       cols: Seq[String], nonKey: Seq[String], pk: Seq[String],
       overwriteWithNull: Boolean): Option[String] =
@@ -282,7 +294,10 @@ object JdbcOps {
     * own JDBC writer creates columns quoted, so unquoted references
     * would fold (to upper case on Derby/Oracle) and miss them. Table
     * names pass through unquoted (they may be schema-qualified). */
-  private def q(id: String): String = "\"" + id + "\""
+  /** Double-quoted identifier; embedded quotes double up (the SQL
+    * standard escape), so a pathological column name cannot break out
+    * of the identifier. */
+  private def q(id: String): String = "\"" + id.replace("\"", "\"\"") + "\""
 
   private def withConnection[A](url: String, props: Map[String, String])
       (body: Connection => A): A = {

@@ -53,6 +53,11 @@ object DatasetCard {
         countDistinct(col("fp")).as("nfp"))
       .head()
     val n = row.getAs[Long]("n")
+    // empty corpus: every percentile/avg cell above is NULL — short-
+    // circuit to a zeroed card instead of unboxing nulls below
+    if (n == 0)
+      return Card(0L, 0L, 0.0, 0.0, Map.empty, 0.0, 0L, 0.0, 0.0, 0.0,
+        0L, 0L, 0L)
     val langs = langCol match {
       case Some(lc) => docs.groupBy(col(lc)).agg(count(lit(1)).as("c"))
         .collect().map(r => Option(r.getString(0)).getOrElse("null") -> r.getLong(1)).toMap
@@ -82,8 +87,15 @@ object DatasetCard {
   }
 
   def toJson(c: Card): String = {
+    // lang values are data — escape them before they become JSON keys
+    def esc(s: String): String = s.flatMap {
+      case '"'           => "\\\""
+      case '\\'          => "\\\\"
+      case c if c < ' '  => f"\\u${c.toInt}%04x"
+      case c             => c.toString
+    }
     val langs = c.langs.toSeq.sortBy(_._1)
-      .map { case (l, n) => s""""$l":$n""" }.mkString("{", ",", "}")
+      .map { case (l, n) => s""""${esc(l)}":$n""" }.mkString("{", ",", "}")
     f"""{"metric":"dataset_card","n_docs":${c.nDocs},"total_tokens":${c.totalTokens},""" +
       f""""tokens_p50":${c.tokensP50}%.1f,"tokens_p90":${c.tokensP90}%.1f,""" +
       f""""langs":$langs,"exact_dup_rate":${c.exactDupRate}%.4f,""" +

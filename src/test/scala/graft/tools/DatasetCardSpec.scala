@@ -27,6 +27,18 @@ class DatasetCardSpec extends SparkSpec {
     assert(json.contains(s""""n_docs":$n"""))
   }
 
+  test("empty corpus yields a zeroed card; pathological lang keys escape in JSON") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val card = DatasetCard.cardFor(empty, "doc_id", "text")
+    assert(card == DatasetCard.Card(0L, 0L, 0.0, 0.0, Map.empty, 0.0, 0L,
+      0.0, 0.0, 0.0, 0L, 0L, 0L))
+    // a lang value with quote/backslash/control chars must not produce
+    // malformed JSON keys
+    val weird = card.copy(langs = Map("e\"n\\x\n" -> 3L))
+    val json = DatasetCard.toJson(weird)
+    assert(json.contains("\"e\\\"n\\\\x\\u000a\":3"), json)
+  }
+
   test("dataset card surfaces planted duplication and PII") {
     val base = "the quick brown fox jumps over the lazy dog and runs far into the forest"
     val docs = Seq(
