@@ -94,7 +94,7 @@ object SparkEntry {
       |  UNION ALL
       |  SELECT 'b', doc_id, text FROM documents WHERE doc_id % 3 <> 0
       |  UNION ALL
-      |  SELECT 'b', doc_id + 100000, regexp_replace(text, '^[^ ]+ ', '') FROM documents WHERE doc_id % 3 = 0),
+      |  SELECT 'b', doc_id + (SELECT max(doc_id) + 1 FROM documents), regexp_replace(text, '^[^ ]+ ', '') FROM documents WHERE doc_id % 3 = 0),
       |tk AS (
       |  SELECT side, doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS tokens FROM d2),
       |sh AS (
@@ -1157,6 +1157,27 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // IVF-PQ — the composed production recipe (bucket probe + ADC
+    // shortlist + exact rerank). At FULL probe (nprobe = C) and a
+    // corpus-sized shortlist the rerank is exact cosine over the whole
+    // corpus, so the entire composition — k-means build, assignment,
+    // PQ encode, probe join, ADC tables, two bounded top-k stages,
+    // rerank — gates against the same oracle as q49. The approximate
+    // path (nprobe < C, bounded shortlist) is spec-covered by a
+    // recall@10 bar in SimilaritySpec.
+    "q110_ann_ivfpq" -> ((s, d) => {
+      val emb = T(s, d, "embeddings")
+      val books = Similarity.pqSeededBooks(dim = 64, m = 8, ksub = 16, seed = 42L)
+      val idx = Similarity.ivfPqBuild(emb, "vec_id", "embedding",
+        nCentroids = 16, books)
+      val out = Similarity.ivfPqSearch(idx, emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+        k = 10, nprobe = 16, shortlist = emb.count().toInt)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy(col("query_id"), col("rank"))
+      out
+    }),
+
     // Distributed centroid computation (array analytics): element-wise
     // mean of embeddings per group, exact via decimal sums. The typed
     // Aggregator twin (functions.VectorAgg.mean) is spec-covered.
@@ -1439,16 +1460,18 @@ object SparkEntry {
     // content (first word dropped, new ids) must be caught by
     // signature similarity even though their fingerprints differ;
     // cross-set candidates only. Oracle replays the per-side pipeline.
-    // The +100000 rewrite-id offset assumes max(doc_id) < 100000 (the
-    // q99 convention; true at every driver SF) — on collision the LSH
-    // path would MERGE the colliding docs' shingles while the oracle
-    // keeps them separate, so a larger fixture must raise the offset.
+    // The rewrite-id offset is DERIVED (max(doc_id) + 1) so rewrite ids
+    // can never collide with real ids at any fixture size — an id
+    // collision would make the LSH path MERGE the colliding docs'
+    // shingles while the oracle kept them separate (r6 verdict noted
+    // the previous fixed +100000 assumed max(doc_id) < 100000).
     "q107_incremental_neardup" -> ((s, d) => {
       val docs = T(s, d, "documents")
+      val offset = docs.agg(max(col("doc_id"))).head().getLong(0) + 1L
       val corpus = docs.filter(col("doc_id") % 3 === 0)
       val batch = docs.filter(col("doc_id") % 3 =!= 0)
         .unionByName(corpus
-          .withColumn("doc_id", col("doc_id") + 100000)
+          .withColumn("doc_id", col("doc_id") + offset)
           .withColumn("text", regexp_replace(col("text"), "^[^ ]+ ", "")))
       Dedup.incrementalNearDups(batch, corpus, "doc_id", "text",
         threshold = 0.5, k = 16, bands = 4, shingleN = 3, portable = true)
@@ -2242,6 +2265,9 @@ object SparkEntry {
     // reproduce the exact top-k bit-for-bit — verifies build + probe +
     // scoring end-to-end.
     "q50_ann_ivf" -> AnnTopkSql,
+    // full probe + corpus-sized shortlist ⇒ the exact-rerank stage IS
+    // brute force — same oracle as q49/q50
+    "q110_ann_ivfpq" -> AnnTopkSql,
 
     "q51_media_meta" ->
       """SELECT doc_id AS media_id, 'application/octet-stream' AS mime,

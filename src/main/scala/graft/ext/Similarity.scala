@@ -417,6 +417,84 @@ object Similarity {
     topKPerQuery(scored, col("nn_id"), col("cosine"), "cosine", k)
   }
 
+  /** IVF-PQ index: the corpus as (id, centroid_id, codes) — bucket
+    * assignment for candidate restriction plus PQ codes for cheap
+    * scoring. `backing` is the build's persisted normalized corpus;
+    * call [[unpersist]] when the index is retired. */
+  final case class IvfPqIndex(encoded: DataFrame, centroids: DataFrame,
+      books: PqBooks, backing: Option[DataFrame] = None) {
+    def unpersist(): Unit = backing.foreach(_.unpersist())
+  }
+
+  /** Build the IVF-PQ composition: one IVF build (bounded-sample
+    * k-means, broadcast assignment) plus one PQ encode over the same
+    * corpus, joined on id — the assignment side is already
+    * hash-partitioned by id, so the join exchanges only the (id,
+    * codes) frame, never the vectors. Codes encode the NORMALIZED
+    * VECTOR directly (the IVFFlat-PQ hybrid), not the centroid
+    * residual — residual encoding would buy a little ADC precision at
+    * the cost of a per-row centroid lookup before every encode, and
+    * the exact rerank in [[ivfPqSearch]] recovers full precision
+    * anyway. */
+  def ivfPqBuild(corpus: DataFrame, idCol: String, vecCol: String,
+      nCentroids: Int, books: PqBooks, kmeansIters: Int = 5,
+      sampleFactor: Int = 40, broadcastConstants: Boolean = true): IvfPqIndex = {
+    val idx = ivfBuild(corpus, idCol, vecCol, nCentroids, kmeansIters,
+      sampleFactor, broadcastCentroids = broadcastConstants)
+    val enc = pqEncode(corpus, idCol, vecCol, books,
+      broadcastBooks = broadcastConstants)
+      .withColumnRenamed(idCol, "__id")
+    val encoded = idx.assigned.join(enc, Seq("__id"))
+      .select(col("__id"), col("centroid_id"), col("codes"))
+    IvfPqIndex(encoded, idx.centroids, books, idx.backing)
+  }
+
+  /** IVF-PQ search — the production ANN recipe (the IVFADC shape,
+    * Jégou et al. 2011, re-expressed as DataFrame ops): the query
+    * probes its `nprobe` nearest buckets (broadcast probe join — the
+    * corpus never shuffles), every candidate in those buckets scores
+    * with m ADC table lookups over its codes, the bounded top-k heap
+    * keeps a `shortlist` per query, and ONLY those rows join back to
+    * full-precision vectors for the exact cosine top-k. Cost per
+    * query ≈ |corpus|·(nprobe/C) candidates × m lookups + `shortlist`
+    * exact dots — at 100 TB the scan shrinks by C/nprobe and the
+    * scored data is ~64× smaller than the vectors. */
+  def ivfPqSearch(index: IvfPqIndex, corpus: DataFrame, idCol: String,
+      vecCol: String, queries: DataFrame, qIdCol: String, qVecCol: String,
+      k: Int, nprobe: Int = 4, shortlist: Int = 50): DataFrame = {
+    val books = index.books
+    val qv = l2Normalize(col(qVecCol).cast("array<double>"))
+    val q = queries.select(col(qIdCol).as("query_id"), qv.as("__qv"))
+    // probe selection (bounded top-k) + the per-query ADC table — both
+    // query-side columns, so the m×ksub dot products run once per
+    // (query, probe) row, never per candidate
+    val qc = q.crossJoin(broadcast(index.centroids))
+      .withColumn("__csim", dot(col("__qv"), col("__cv")))
+    val table = array((0 until books.m).map { j =>
+      val sub = slice(col("__qv"), j * books.ds + 1, books.ds)
+      array((0 until books.ksub).map(cI =>
+        dot(sub, array(books.books(j)(cI).map(lit).toSeq: _*))): _*)
+    }: _*)
+    val probes = topKPerQuery(qc, col("centroid_id"), col("__csim"), "__csim", nprobe)
+      .select(col("query_id"), col("nn_id").cast("int").as("centroid_id"))
+      .join(q, Seq("query_id"))
+      .select(col("query_id"), col("centroid_id"), table.as("__T"))
+    val adc = (0 until books.m)
+      .map(j => element_at(element_at(col("__T"), j + 1),
+        element_at(col("codes"), j + 1) + 1))
+      .reduce(_ + _)
+    val scored = index.encoded.join(broadcast(probes), Seq("centroid_id"))
+      .withColumn("__adc", adc)
+    val cand = topKPerQuery(scored, col("__id"), col("__adc"), "__adc", shortlist)
+      .select(col("query_id"), col("nn_id"))
+    val c = corpus.select(col(idCol).as("nn_id"),
+      l2Normalize(col(vecCol).cast("array<double>")).as("__cv"))
+    val reranked = c.join(broadcast(cand), Seq("nn_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("cosine", dot(col("__cv"), col("__qv")))
+    topKPerQuery(reranked, col("nn_id"), col("cosine"), "cosine", k)
+  }
+
   /** IVF search: each query probes its `nprobe` nearest centroids and
     * scans only those buckets. Equi-join on centroid_id ⇒ bucketed,
     * shuffle-bounded; recall grows with nprobe. */

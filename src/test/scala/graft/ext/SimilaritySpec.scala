@@ -73,6 +73,35 @@ class SimilaritySpec extends SparkSpec {
     assert(idx.assigned.count() == emb.count())
   }
 
+  test("IVF-PQ composed search: recall@10 at nprobe=8; EXACT at full probe + corpus shortlist") {
+    val emb = Fx.t(spark, sfDir, "embeddings")
+    val queries = emb.filter($"vec_id" < 5)
+    def bruteSet(cols: Seq[String]) = Similarity.bruteForceTopK(
+      emb, "vec_id", "embedding", queries, "vec_id", "embedding", k = 10)
+      .select(cols.head, cols.tail: _*)
+    val brute = bruteSet(Seq("query_id", "nn_id")).as[(Long, Long)].collect().toSet
+    val books = Similarity.pqTrainBooks(emb, "vec_id", "embedding", dim = 64)
+    val idx = Similarity.ivfPqBuild(emb, "vec_id", "embedding",
+      nCentroids = 16, books)
+    try {
+      val approx = Similarity.ivfPqSearch(idx, emb, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 10, nprobe = 8, shortlist = 100)
+        .select("query_id", "nn_id").as[(Long, Long)].collect().toSet
+      val recall = (brute intersect approx).size.toDouble / brute.size
+      assert(recall >= 0.8, s"IVF-PQ recall@10 was $recall")
+      // full probe + corpus-sized shortlist: the exact rerank sees the
+      // whole corpus ⇒ bit-identical to brute force, ranks included
+      // (the q110 oracle contract)
+      val full = Similarity.ivfPqSearch(idx, emb, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 10, nprobe = 16,
+        shortlist = emb.count().toInt)
+        .select("query_id", "nn_id", "rank").as[(Long, Long, Int)].collect().toSet
+      val bruteRanked = bruteSet(Seq("query_id", "nn_id", "rank"))
+        .as[(Long, Long, Int)].collect().toSet
+      assert(full == bruteRanked)
+    } finally idx.unpersist()
+  }
+
   test("IVF assignment: broadcast mode == literal mode, row for row") {
     // the two modes must be bit-identical (same left-to-right dot,
     // same lowest-id tie-break) so the production default stays
