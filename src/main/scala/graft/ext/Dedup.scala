@@ -437,12 +437,20 @@ object Dedup {
     * distinct word-n-gram shingles of hash(seed_i, shingle).
     * Single groupBy with k min() aggregates ⇒ map-side partial agg. */
   def minhashSignature(docs: DataFrame, idCol: String, textCol: String,
-      k: Int = 32, shingleN: Int = 3, portable: Boolean = false): DataFrame = {
+      k: Int = 32, shingleN: Int = 3, portable: Boolean = false): DataFrame =
     // Hash-spread docs BEFORE the shingle computation (a single input
     // file otherwise runs it on one core); shingleRows preserves that
-    // partitioning, so the groupBy below needs no second shuffle. min()
-    // is multiplicity-invariant, so no shingle dedup is needed.
-    val sh = TextOps.shingleRows(docs.repartition(col(idCol)), idCol, textCol, shingleN)
+    // partitioning, so the signature groupBy needs no second shuffle.
+    minhashSignatureFromRows(
+      TextOps.shingleRows(docs.repartition(col(idCol)), idCol, textCol, shingleN),
+      idCol, k, portable)
+
+  /** Signature aggregation over an existing (id, shingle) frame — split
+    * out so [[minhashNearDups]] can feed the SAME shingle pass to both
+    * the signatures and the verification sets. min() is
+    * multiplicity-invariant, so no shingle dedup is needed. */
+  private[ext] def minhashSignatureFromRows(sh: DataFrame, idCol: String,
+      k: Int, portable: Boolean): DataFrame = {
     if (!portable) {
       val aggs = (0 until k).map(i => min(xxhash64(lit(i), col("shingle"))).as(s"h$i"))
       sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
@@ -541,14 +549,29 @@ object Dedup {
   /** Full MinHash+LSH near-dup pipeline: signature → banding → candidate
     * join → exact-Jaccard verify ≥ threshold. `portable = true` swaps
     * xxhash64 for the md5-derived hash (engine-reproducible — the
-    * contract query's DuckDB oracle replays the whole pipeline). */
+    * contract query's DuckDB oracle replays the whole pipeline).
+    *
+    * ONE tokenize+shingle pass feeds BOTH the signature pipeline and
+    * the verification shingle sets (r7) — at corpus scale the explode
+    * over the token stream is the dominant per-row cost, and composing
+    * `minhashSignature` with `jaccardVerify` pays it twice. The shingle
+    * rows and signatures stay persisted behind the returned (lazy)
+    * frame; a long-lived session should release them via
+    * `spark.catalog.clearCache()` or by composing the pieces manually. */
   def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.8, k: Int = 32, bands: Int = 8,
       shingleN: Int = 3, portable: Boolean = false): DataFrame = {
-    val sig = minhashSignature(docs, idCol, textCol, k, shingleN, portable)
+    val sh = TextOps.shingleRows(docs.repartition(col(idCol)), idCol, textCol, shingleN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sig = minhashSignatureFromRows(sh, idCol, k, portable)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = lshCandidates(sig, idCol, k, bands, portable)
-    jaccardVerify(cand, docs, idCol, textCol, shingleN)
+    val sets = sh.groupBy(col(idCol)).agg(collect_set(col("shingle")).as("__set"))
+    cand
+      .join(sets.withColumnRenamed(idCol, "a").withColumnRenamed("__set", "__sa"), "a")
+      .join(sets.withColumnRenamed(idCol, "b").withColumnRenamed("__set", "__sb"), "b")
+      .withColumn("jaccard", jaccardCol(col("__sa"), col("__sb")))
+      .select(col("a"), col("b"), col("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 

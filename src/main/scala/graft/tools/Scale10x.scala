@@ -53,7 +53,12 @@ object Scale10x {
       // ANN search family — all finish in the bounded top-k heap
       // aggregate; a per-query window sort would show here as a
       // super-linear ratio driven by the single sorting task
-      "q49_ann_topk", "q50_ann_ivf", "q84_ann_pq")
+      "q49_ann_topk", "q50_ann_ivf", "q84_ann_pq", "q110_ann_ivfpq",
+      // CC-composed curation (r7: bounded union-find fast path — the
+      // ratio checks the LOCAL path absorbs a 10× edge list; the
+      // distributed loop engages past 2^20 edges) and the cross-set
+      // incremental near-dup
+      "q105_leakage_split", "q107_incremental_neardup", "q60_curation_pipeline")
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
