@@ -1438,6 +1438,20 @@ object SparkEntry {
         .groupBy(col("lang")).agg(count(lit(1)).as("cnt"))
         .orderBy(col("lang"))),
 
+    // Domain mixing (ext.Sampling.mixToProportions): target-weight
+    // subsampling under a row budget — en down-samples to its 0.5·300
+    // slot, zh's slot exceeds its size (rate caps at 1, keeps all),
+    // de keeps ~0.86, unweighted es/fr drop. The oracle recomputes the
+    // per-domain IEEE rate arithmetic and the md5 bucket thresholds
+    // from the same counts.
+    "q111_domain_mix" -> ((s, d) =>
+      graft.ext.Sampling.mixToProportions(T(s, d, "documents"),
+        "doc_id", "lang",
+        weights = Map("en" -> 0.5, "zh" -> 0.3, "de" -> 0.2),
+        budget = 300, portable = true)
+        .groupBy(col("lang")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("lang"))),
+
     // Leakage-safe split (ext.Sampling.leakageSafeSplit): near-dup
     // CLUSTERS (winnowing pairs → connected components) are assigned
     // to train/holdout as units, so no near-duplicate ever straddles
@@ -2565,6 +2579,23 @@ object SparkEntry {
         |  SELECT * FROM documents
         |  WHERE CAST(concat('0x', substring(md5(concat('42', '|', CAST(doc_id AS VARCHAR))), 1, 14)) AS BIGINT) % 1000000
         |    < (CASE lang WHEN 'en' THEN 500000 WHEN 'zh' THEN 250000 ELSE 1000000 END))
+        |SELECT lang, count(*) AS cnt FROM s GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // per-domain thresholds replayed from the data: the same IEEE
+    // double formula floor(min(1, w·B/n)·1e6) over the same counts,
+    // weights CAST to DOUBLE (DuckDB parses bare 0.5 as DECIMAL, whose
+    // arithmetic would diverge from Spark's doubles)
+    "q111_domain_mix" ->
+      """WITH w(lang, w) AS (VALUES
+        |    ('en', CAST(0.5 AS DOUBLE)), ('zh', CAST(0.3 AS DOUBLE)), ('de', CAST(0.2 AS DOUBLE))),
+        |cnt AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        |thr AS (
+        |  SELECT c.lang,
+        |    CAST(floor(least(CAST(1 AS DOUBLE), COALESCE(w.w, CAST(0 AS DOUBLE)) * 300 / c.n) * 1000000) AS BIGINT) AS t
+        |  FROM cnt c LEFT JOIN w ON c.lang = w.lang),
+        |s AS (
+        |  SELECT d.lang FROM documents d JOIN thr ON d.lang = thr.lang
+        |  WHERE CAST(concat('0x', substring(md5(concat('42', '|', CAST(doc_id AS VARCHAR))), 1, 14)) AS BIGINT) % 1000000 < thr.t)
         |SELECT lang, count(*) AS cnt FROM s GROUP BY lang ORDER BY lang""".stripMargin,
 
     // the q83 transitive closure labels clusters; the split is the md5

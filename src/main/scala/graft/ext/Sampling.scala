@@ -65,6 +65,47 @@ object Sampling {
     df.filter(bucket < threshold)
   }
 
+  /** Domain MIXING under a row budget — the data-mixing step of a
+    * training pipeline (DoReMi-style target weights applied as
+    * deterministic subsampling): domain d keeps
+    * `rate_d = min(1, w_d · budget / n_d)` of its rows, so the kept
+    * set approximates `budget` rows at the target proportions. Never
+    * up-samples: a domain too small to fill its slot keeps everything
+    * (and the realized mix shifts accordingly — re-run with rebalanced
+    * weights if that matters). `weights` are ABSOLUTE target fractions
+    * of the budget (no hidden normalization — normalization order
+    * would be engine-specific double arithmetic, which breaks exact
+    * replay); domains missing from `weights` drop entirely.
+    *
+    * Determinism/auditability: rates resolve to exact integer
+    * thresholds `floor(rate · 1e6)` over the same per-row hash bucket
+    * as [[deterministicSample]], and the rate arithmetic is plain IEEE
+    * double mult/div/min — an external engine replaying the same
+    * formula over the same counts keeps the same rows (the q111
+    * oracle does exactly that). The domain-count aggregate collects
+    * driver-side — domains are few by construction (sources/languages,
+    * not keys). */
+  def mixToProportions(df: DataFrame, keyCol: String, domainCol: String,
+      weights: Map[String, Double], budget: Long, seed: Long = 42L,
+      portable: Boolean = false): DataFrame = {
+    require(weights.nonEmpty, "mixToProportions requires target weights")
+    weights.foreach { case (d, w) =>
+      require(w >= 0 && w <= 1, s"weight $w for domain '$d' outside [0,1]") }
+    require(budget >= 0, s"budget $budget must be >= 0")
+    val counts = df.groupBy(col(domainCol)).agg(count(lit(1)).as("__n"))
+      .collect().map(r => String.valueOf(r.get(0)) -> r.getLong(1)).toMap
+    val thresholds: Map[String, Long] = counts.map { case (d, n) =>
+      val w = weights.getOrElse(d, 0.0)
+      d -> math.floor(math.min(1.0, w * budget / n) * 1000000.0).toLong
+    }
+    val thr = thresholds.foldLeft(lit(0L)) { case (acc, (d, t)) =>
+      when(col(domainCol) === d, lit(t)).otherwise(acc)
+    }
+    val bucket = if (portable) portableBucket(col(keyCol), seed)
+      else hashBucket(col(keyCol), seed)
+    df.filter(bucket < thr)
+  }
+
   /** Leakage-safe train/holdout split: near-duplicate documents must
     * land in the SAME split — a near-dup of a training doc in the
     * held-out set leaks training content into eval (the reason dedup

@@ -37,6 +37,29 @@ class SamplingSpec extends SparkSpec {
     } else assert(s.count() == 0)
   }
 
+  test("domain mix: hits target slots, caps at domain size, drops unweighted domains") {
+    // 400 a's, 50 b's, 100 c's; budget 200 at (a 0.5, b 0.5):
+    // a keeps ~100 (rate 0.25), b keeps ALL 50 (slot 100 > size —
+    // never up-samples), c drops (no weight)
+    val df = (
+      (0 until 400).map(i => (i.toLong, "a")) ++
+      (400 until 450).map(i => (i.toLong, "b")) ++
+      (450 until 550).map(i => (i.toLong, "c"))).toDF("id", "dom")
+    val kept = Sampling.mixToProportions(df, "id", "dom",
+      weights = Map("a" -> 0.5, "b" -> 0.5), budget = 200)
+    val byDom = kept.groupBy($"dom").count()
+      .as[(String, Long)].collect().toMap
+    assert(byDom.getOrElse("c", 0L) == 0L, "unweighted domain must drop")
+    assert(byDom("b") == 50L, "under-filled slot keeps the whole domain")
+    val a = byDom("a")
+    assert(a > 60 && a < 140, s"a kept $a of a ~100-row slot")
+    // deterministic: the same call keeps the same rows
+    val again = Sampling.mixToProportions(df, "id", "dom",
+      weights = Map("a" -> 0.5, "b" -> 0.5), budget = 200)
+      .select("id").as[Long].collect().toSet
+    assert(again == kept.select("id").as[Long].collect().toSet)
+  }
+
   test("leakage-safe split: near-dup clusters never straddle train/holdout") {
     val ids = (1L to 200L).toDF("doc_id")
     // clusters {1,2,3} (chained) and {10,11}; everyone else singleton
