@@ -1114,6 +1114,17 @@ object SparkEntry {
         threshold = 0.4, dim = 64, planes = 16, bandsOf = 4)
         .orderBy(col("a"), col("b"))),
 
+    // SemDeDup (ext.Dedup.semanticNearDups): k-means-bucketed exact
+    // cosine pairs. At nCentroids = 1 every pair is within-cluster, so
+    // the WHOLE machinery (bounded-sample k-means build, broadcast
+    // assignment, centroid equi-join, normalized-dot cosine, threshold)
+    // gates against an all-pairs SQL replay; the clustered path
+    // (nCentroids > 1) is spec-covered by a recall bar in DedupSpec.
+    "q112_semantic_dedup" -> ((s, d) =>
+      Dedup.semanticNearDups(T(s, d, "embeddings").filter(col("vec_id") < 500),
+        "vec_id", "embedding", threshold = 0.4, nCentroids = 1)
+        .orderBy(col("a"), col("b"))),
+
     "q49_ann_topk" -> ((s, d) => {
       val emb = T(s, d, "embeddings")
       val queries = emb.filter(col("vec_id") < 5)
@@ -2272,6 +2283,20 @@ object SparkEntry {
         |FROM n a JOIN n b ON a.vec_id < b.vec_id
         |WHERE list_sum(list_transform(range(1, 65), i -> a.e[i] * b.e[i])) / (a.nrm * b.nrm) >= 0.4
         |ORDER BY a, b""".stripMargin,
+
+    // all-pairs twin of the C=1 semantic dedup; cosine in the
+    // NORMALIZED-dot form (x/|x| element division, then sum) — the
+    // pipeline's arithmetic, not q47's dot/(na*nb)
+    "q112_semantic_dedup" ->
+      """WITH v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings WHERE vec_id < 500),
+        |n AS (SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v),
+        |p AS (
+        |  SELECT a.vec_id AS a, b.vec_id AS b,
+        |    list_sum(list_transform(range(1, 65), i -> (a.e[i] / a.nrm) * (b.e[i] / b.nrm))) AS cosine
+        |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
+        |SELECT a, b, cosine FROM p WHERE cosine >= 0.4 ORDER BY a, b""".stripMargin,
 
     "q49_ann_topk" -> AnnTopkSql,
 

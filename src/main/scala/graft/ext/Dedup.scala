@@ -835,4 +835,46 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .select(col("a"), col("b"), col("cosine"))
   }
+
+  /** SemDeDup-style SEMANTIC near-dup pairs (Abbas et al. 2023 —
+    * deduplicate by embedding similarity, catching paraphrases and
+    * templated rewrites that token-level schemes miss): cluster the
+    * embedding space with the bounded-sample k-means build
+    * ([[Similarity.ivfBuild]]), then exact cosine over WITHIN-CLUSTER
+    * pairs only. Candidate cost drops from n²/2 to Σ_c n_c²/2 (~n²/2C
+    * balanced); the pair join is an equi-join on centroid_id — AQE
+    * splits skewed clusters, never a cross join. Complementary recall
+    * path: [[embeddingNearDups]] (SRP-LSH) catches cross-cluster
+    * near-dups that a cluster boundary splits; raise `nCentroids` for
+    * tighter (cheaper, lower-recall) buckets.
+    *
+    * With `materialize = true` (default) the pair frame is EAGERLY
+    * checkpointed so the k-means backing cache can be released before
+    * returning — pair lists are dedup-small by construction.
+    * `materialize = false` returns the lazy plan (the index backing
+    * stays cached until the session clears it) — for plan inspection
+    * and custom cache lifecycles. Feed the pairs to
+    * [[removeNearDuplicates]] or [[Sampling.leakageSafeSplit]]. */
+  def semanticNearDups(corpus: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.9, nCentroids: Int = 256,
+      broadcastCentroids: Boolean = true,
+      materialize: Boolean = true): DataFrame = {
+    val idx = Similarity.ivfBuild(corpus, idCol, vecCol, nCentroids,
+      broadcastCentroids = broadcastCentroids)
+    val a = idx.assigned.select(col("centroid_id"), col("__id").as("a"),
+      col("__v").as("__va"))
+    val b = idx.assigned.select(col("centroid_id"), col("__id").as("b"),
+      col("__v").as("__vb"))
+    val pairs = a.join(b, Seq("centroid_id"))
+      .filter(col("a") < col("b"))
+      .withColumn("cosine", Similarity.dot(col("__va"), col("__vb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("a"), col("b"), col("cosine"))
+    if (!materialize) pairs
+    else {
+      val out = pairs.localCheckpoint(true)
+      idx.unpersist()
+      out
+    }
+  }
 }

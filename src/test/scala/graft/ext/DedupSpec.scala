@@ -234,6 +234,48 @@ class DedupSpec extends SparkSpec {
     assert(kept2 == Set(10L, 12L))
   }
 
+  test("semantic near-dups: clustered path finds most brute-force pairs; plan is an equi-join") {
+    val emb = graft.core.Fx.t(spark, sfDir, "embeddings").filter($"vec_id" < 300)
+    val brute = Dedup.embeddingNearDups(emb, "vec_id", "embedding",
+      threshold = 0.4, bruteForce = true)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val sem = Dedup.semanticNearDups(emb, "vec_id", "embedding",
+      threshold = 0.4, nCentroids = 4)
+    val got = sem.select("a", "b").as[(Long, Long)].collect().toSet
+    // within-cluster pairs are a SUBSET of all pairs (no false
+    // positives — the verify is exact cosine) with bounded recall loss
+    // at cluster boundaries
+    assert(got.subsetOf(brute), "semantic pairs must be exact-cosine verified")
+    // boundary recall at this LOW threshold (0.4 on synthetic vectors)
+    // is the worst case — production SemDeDup thresholds (~0.95) pair
+    // near-identical vectors that co-cluster; still, a healthy build
+    // finds a solid fraction and C=1 recovers ALL of them (the q112
+    // oracle pins that equality)
+    if (brute.nonEmpty) {
+      val recall = got.size.toDouble / brute.size
+      assert(recall >= 0.3, s"cluster recall collapsed: $recall " +
+        s"(${got.size}/${brute.size})")
+    }
+    val c1 = Dedup.semanticNearDups(emb, "vec_id", "embedding",
+      threshold = 0.4, nCentroids = 1)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(c1 == brute, "C=1 must equal the all-pairs baseline")
+    // candidate generation is an equi-join on centroid_id, never a
+    // cross product over the corpus (materialize = false keeps the
+    // lazy plan inspectable; the checkpointed default would show only
+    // the checkpoint scan)
+    val p = Dedup.semanticNearDups(emb, "vec_id", "embedding",
+      threshold = 0.4, nCentroids = 4, materialize = false)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    // the corpus-sized pair join keys on centroid_id (hash/sort-merge);
+    // the only nested-loop joins are the C-row centroid fan-outs inside
+    // each side's assignment
+    assert("Join \\[centroid_id".r.findFirstIn(p).isDefined ||
+      p.contains("Join [centroid_id"), p)
+    spark.catalog.clearCache()
+  }
+
   test("auto bloom sizing: >=10 bits/key until the cap, floor 2^20, power of two") {
     // floor region: small corpora keep the 2^20 minimum
     assert(Dedup.autoBloomBits(0L, 1 << 24) == 1 << 20)
