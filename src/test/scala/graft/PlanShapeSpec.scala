@@ -124,7 +124,14 @@ class PlanShapeSpec extends SparkSpec {
           enc, "vec_id", books, q, "vec_id", "embedding", k = 5),
         "pqRerank" -> graft.ext.Similarity.pqSearchRerank(
           enc, "vec_id", books, emb, "vec_id", "embedding",
-          q, "vec_id", "embedding", k = 5, shortlist = 10))
+          q, "vec_id", "embedding", k = 5, shortlist = 10),
+        "ivfPq" -> graft.ext.Similarity.ivfPqSearch(
+          graft.ext.Similarity.IvfPqIndex(
+            idx.assigned.join(enc.withColumnRenamed("vec_id", "__id"), Seq("__id"))
+              .select(col("__id"), col("centroid_id"), col("codes")),
+            idx.centroids, books),
+          emb, "vec_id", "embedding", q, "vec_id", "embedding",
+          k = 5, nprobe = 2, shortlist = 10))
       paths.foreach { case (name, df) =>
         val p = plan(df)
         assert(p.contains("graft_topk_by_score"), s"$name must use the heap agg: $p")
