@@ -592,9 +592,36 @@ object Dedup {
   def incrementalNearDups(batch: DataFrame, corpus: DataFrame,
       idCol: String, textCol: String, threshold: Double = 0.8,
       k: Int = 32, bands: Int = 8, shingleN: Int = 3,
-      portable: Boolean = false): DataFrame = {
-    val bs = minhashSignature(batch, idCol, textCol, k, shingleN, portable)
-    val cs = minhashSignature(corpus, idCol, textCol, k, shingleN, portable)
+      portable: Boolean = false): DataFrame =
+    incrementalNearDupsWithSigs(batch,
+      minhashSignature(corpus, idCol, textCol, k, shingleN, portable),
+      corpus, idCol, textCol, threshold, k, bands, shingleN, portable)
+
+  /** [[incrementalNearDups]] against a PRECOMPUTED corpus signature
+    * frame — the ingest-loop form (compute `minhashSignature(corpus)`
+    * once, persist it, call this per batch; `Streams.nearDupIngest`
+    * wires it into foreachBatch). The per-batch cost is one batch
+    * shingle pass + the banded cross-set join + candidate-restricted
+    * corpus re-shingling for exact verification. */
+  def incrementalNearDupsWithSigs(batch: DataFrame, corpusSigs: DataFrame,
+      corpus: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.8, k: Int = 32, bands: Int = 8,
+      shingleN: Int = 3, portable: Boolean = false): DataFrame = {
+    // The BATCH side shares one shingle pass between its signatures
+    // and its verification sets (the minhashNearDups r7 recipe — the
+    // batch is the small arriving set, so persisting its shingle rows
+    // is cheap and saves a full tokenize+explode). The CORPUS side
+    // deliberately does NOT: persisting the 100 TB corpus' exploded
+    // shingle rows to save re-shingling the candidate SLIVER would be
+    // a catastrophic trade — it keeps the signature pass + candidate-
+    // restricted re-shingle split. The batch shingle rows stay
+    // persisted behind the returned frame (clearCache to release, or
+    // compose the public pieces for a custom lifecycle).
+    val shB = TextOps.shingleRows(
+      batch.repartition(col(idCol)), idCol, textCol, shingleN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bs = minhashSignatureFromRows(shB, idCol, k, portable)
+    val cs = corpusSigs
     // eager checkpoint: verification consumes the candidate frame three
     // times (two id semi-joins + the pair join); without cutting the
     // lineage each consumer would replay BOTH signature pipelines. The
@@ -602,7 +629,19 @@ object Dedup {
     // reclaimed by the ContextCleaner, so no cache entry outlives use.
     val cand = lshCandidatesAcross(bs, cs, idCol, k, bands, portable)
       .localCheckpoint(true)
-    jaccardVerifyAcross(cand, batch, corpus, idCol, textCol, shingleN)
+    val setsA = shB
+      .join(cand.select(col("a").as(idCol)).distinct(), Seq(idCol), "left_semi")
+      .groupBy(col(idCol)).agg(collect_set(col("shingle")).as("__set"))
+      .withColumnRenamed(idCol, "a").withColumnRenamed("__set", "__sa")
+    val setsB = shingleSets(
+      corpus.join(cand.select(col("b").as(idCol)).distinct(), Seq(idCol), "left_semi"),
+      idCol, textCol, shingleN)
+      .withColumnRenamed(idCol, "b").withColumnRenamed("__set", "__sb")
+    cand
+      .join(setsA, "a")
+      .join(setsB, "b")
+      .withColumn("jaccard", jaccardCol(col("__sa"), col("__sb")))
+      .select(col("a"), col("b"), col("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 

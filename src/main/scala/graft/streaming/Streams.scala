@@ -264,16 +264,9 @@ object Streams {
     * candidate join must be an InMemoryTableScan of `corpusSigs`). */
   def nearDupIngestBatch(batch: DataFrame, corpusSigs: DataFrame,
       corpus: DataFrame, idCol: String, textCol: String, threshold: Double,
-      k: Int, bands: Int, shingleN: Int, portable: Boolean): DataFrame = {
-    import graft.ext.Dedup
-    val bs = Dedup.minhashSignature(batch, idCol, textCol, k, shingleN, portable)
-    // eager checkpoint: verification consumes the candidate frame three
-    // times (same rationale as incrementalNearDups)
-    val cand = Dedup.lshCandidatesAcross(bs, corpusSigs, idCol, k, bands, portable)
-      .localCheckpoint(true)
-    Dedup.jaccardVerifyAcross(cand, batch, corpus, idCol, textCol, shingleN)
-      .filter(col("jaccard") >= threshold)
-  }
+      k: Int, bands: Int, shingleN: Int, portable: Boolean): DataFrame =
+    graft.ext.Dedup.incrementalNearDupsWithSigs(batch, corpusSigs, corpus,
+      idCol, textCol, threshold, k, bands, shingleN, portable)
 
   /** Stream-stream INTERVAL join: each left row joins right rows with
     * the same key whose timestamp falls in
