@@ -495,6 +495,37 @@ object Similarity {
     topKPerQuery(reranked, col("nn_id"), col("cosine"), "cosine", k)
   }
 
+  /** Persist an IVF-PQ index into a [[graft.core.TableStore]]: the
+    * encoded corpus and the centroids become snapshot tables
+    * (`<name>_encoded`, `<name>_centroids`) and the codebooks a
+    * single-row nested-array table (`<name>_books`) — build ONCE on
+    * the cluster, search from any later session without re-training
+    * or re-encoding. The encoded table is the ~64×-compressed form,
+    * so the stored index is a small fraction of the corpus. */
+  def saveIvfPq(index: IvfPqIndex, store: graft.core.TableStore,
+      name: String): Unit = {
+    val spark = index.encoded.sparkSession
+    import spark.implicits._
+    store.write(s"${name}_encoded", index.encoded)
+    store.write(s"${name}_centroids", index.centroids)
+    store.write(s"${name}_books", Seq((
+      index.books.dim, index.books.m, index.books.ksub,
+      index.books.books.map(_.map(_.toSeq).toSeq).toSeq))
+      .toDF("dim", "m", "ksub", "books"))
+  }
+
+  /** Load a persisted IVF-PQ index (see [[saveIvfPq]]). The returned
+    * index has no backing cache (`unpersist()` is a no-op) — the
+    * encoded/centroid frames read straight from the store snapshots. */
+  def loadIvfPq(store: graft.core.TableStore, name: String): IvfPqIndex = {
+    val b = store.read(s"${name}_books").head()
+    val books = PqBooks(b.getInt(0), b.getInt(1), b.getInt(2),
+      b.getSeq[scala.collection.Seq[scala.collection.Seq[Double]]](3)
+        .map(_.map(_.toArray).toArray).toArray)
+    IvfPqIndex(store.read(s"${name}_encoded"),
+      store.read(s"${name}_centroids"), books, None)
+  }
+
   /** IVF search: each query probes its `nprobe` nearest centroids and
     * scans only those buckets. Equi-join on centroid_id ⇒ bucketed,
     * shuffle-bounded; recall grows with nprobe. */

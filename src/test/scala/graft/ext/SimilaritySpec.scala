@@ -102,6 +102,30 @@ class SimilaritySpec extends SparkSpec {
     } finally idx.unpersist()
   }
 
+  test("IVF-PQ index round-trips through the snapshot store: loaded search == in-memory search") {
+    val emb = Fx.t(spark, sfDir, "embeddings")
+    val queries = emb.filter($"vec_id" < 3)
+    val books = Similarity.pqSeededBooks(dim = 64, m = 8, ksub = 16)
+    val idx = Similarity.ivfPqBuild(emb, "vec_id", "embedding",
+      nCentroids = 8, books)
+    val store = new graft.core.TableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft-ann").toString)
+    try {
+      val mem = Similarity.ivfPqSearch(idx, emb, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 5, nprobe = 4, shortlist = 20)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+      Similarity.saveIvfPq(idx, store, "ann")
+      val loaded = Similarity.loadIvfPq(store, "ann")
+      assert(loaded.books.dim == 64 && loaded.books.m == 8 && loaded.books.ksub == 16)
+      assert(loaded.books.books.flatten.flatten.toSeq ==
+        books.books.flatten.flatten.toSeq, "codebooks must round-trip exactly")
+      val fromStore = Similarity.ivfPqSearch(loaded, emb, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 5, nprobe = 4, shortlist = 20)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+      assert(fromStore == mem, "search over the stored index must match in-memory")
+    } finally idx.unpersist()
+  }
+
   test("IVF assignment: broadcast mode == literal mode, row for row") {
     // the two modes must be bit-identical (same left-to-right dot,
     // same lowest-id tie-break) so the production default stays
