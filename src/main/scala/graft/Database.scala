@@ -21,14 +21,20 @@ import graft.core._
   * table-name argument accepts `table` (the handle's namespace) or
   * `ns.table` (any namespace under the same root), and
   * [[checkTableExists]] takes the reference's optional explicit schema
-  * (main.py:67-69). Views are per-namespace.
+  * (main.py:67-69). Views are per-namespace. The DEFAULT namespace
+  * (`public`) IS the root directory — pre-namespace stores keep
+  * working unchanged — and every other namespace nests at
+  * `$root/<ns>` ([[core.TableStore.listTables]] requires a committed
+  * snapshot inside a directory, so namespace dirs never masquerade as
+  * tables; avoid naming a namespace after an existing root table).
   */
 final class Database(val spark: SparkSession, root: String,
     val namespace: String = "public") {
   private val stores = scala.collection.mutable.Map.empty[String, TableStore]
   private def storeFor(ns: String): TableStore =
     stores.getOrElseUpdate(ns,
-      new TableStore(spark, new org.apache.hadoop.fs.Path(root, ns).toString))
+      if (ns == "public") new TableStore(spark, root)
+      else new TableStore(spark, new org.apache.hadoop.fs.Path(root, ns).toString))
   private val store = storeFor(namespace)
 
   /** `ns.table` → that namespace's store; bare `table` → this handle's. */
@@ -142,10 +148,14 @@ final class Database(val spark: SparkSession, root: String,
     val autoCols = target.schema.fields.filter(f =>
       f.metadata.contains("autoincrement") &&
         f.metadata.getBoolean("autoincrement")).map(_.name).toSeq
-    val filled = autoCols.foldLeft(data) { (d, c) =>
+    val filled0 = autoCols.foldLeft(data) { (d, c) =>
       Ddl.fillAutoincrement(target, d, c,
         d.columns.filterNot(_.equalsIgnoreCase(c)).toSeq)
     }
+    // the assignment pipeline (max aggregates + sort + zipWithIndex) is
+    // consumed twice — by the merge write and by the RETURNING frame —
+    // so cut its lineage once; batches are write-sized, not corpus-sized
+    val filled = if (autoCols.isEmpty) filled0 else filled0.localCheckpoint(true)
     val merged = Mutations.upsert(target, filled, pk, overwriteWithNull)
     // Spark can't ENFORCE the PK constraint (SURVEY §7.5); opt-in
     // VALIDATION runs the distributed uniqueness check before the swap
@@ -192,7 +202,14 @@ final class Database(val spark: SparkSession, root: String,
 
   /** Register a table as a temp view so `executeRaw` can address it.
     * A namespace-qualified name registers as `ns_table` (Spark temp
-    * views are single-part). */
+    * views are single-part) — NOTE the mangling can collide
+    * (`a.b_c` and `a_b.c` both register as `a_b_c`); use the
+    * two-argument overload to pick an explicit view name when
+    * underscores appear in namespace or table names. */
   def registerView(tableName: String): Unit =
-    getTable(tableName).createOrReplaceTempView(tableName.replace('.', '_'))
+    registerView(tableName, tableName.replace('.', '_'))
+
+  /** [[registerView]] with an explicit temp-view name. */
+  def registerView(tableName: String, viewName: String): Unit =
+    getTable(tableName).createOrReplaceTempView(viewName)
 }

@@ -244,15 +244,18 @@ object Dedup {
       case _ => ()
     }
     val e = eFlagged.select(col("src"), col("dst"))
-    val integralIds0 = {
+    // the fast path keys the union-find on LONG — scale-0 decimals are
+    // integral but can exceed Long range (the cast would null out and
+    // NPE mid-collect), so they stay on the distributed loop, whose
+    // decimal(38,0) arithmetic handles them
+    val fastPathIds = {
       import org.apache.spark.sql.types._
       idType match {
         case ByteType | ShortType | IntegerType | LongType => true
-        case d: DecimalType                                => d.scale == 0
         case _                                             => false
       }
     }
-    if (integralIds0 && localEdgeLimit > 0) {
+    if (fastPathIds && localEdgeLimit > 0) {
       val st = e.agg(count(lit(1)).as("n"),
         sum(when(col("src").isNull || col("dst").isNull, 1L).otherwise(0L))
           .as("nulls")).first()
@@ -318,7 +321,14 @@ object Dedup {
     // label decrease (ids 0.1/0.2/0.3) would read as "unchanged" and
     // declare a false fixpoint. They use the exact changed-row join,
     // like non-numeric ids.
-    val integralIds = integralIds0
+    val integralIds = {
+      import org.apache.spark.sql.types._
+      idType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case d: DecimalType                                => d.scale == 0
+        case _                                             => false
+      }
+    }
     // null ⇔ sum unavailable (empty frame, or decimal overflow past 38
     // digits) — callers must treat null as NOT converged, never as a
     // comparable value (two overflowed rounds are not evidence of a
@@ -560,19 +570,32 @@ object Dedup {
     * `spark.catalog.clearCache()` or by composing the pieces manually. */
   def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.8, k: Int = 32, bands: Int = 8,
-      shingleN: Int = 3, portable: Boolean = false): DataFrame = {
+      shingleN: Int = 3, portable: Boolean = false): DataFrame =
+    minhashNearDupsReleasable(docs, idCol, textCol, threshold, k, bands,
+      shingleN, portable).result
+
+  /** [[minhashNearDups]] with cache ownership handed to the caller:
+    * `release()` (AFTER materializing the result) drops exactly the
+    * shingle-row and signature caches this call created — the variant
+    * for long-lived sessions computing many near-dup passes
+    * (DatasetCard uses it). */
+  def minhashNearDupsReleasable(docs: DataFrame, idCol: String,
+      textCol: String, threshold: Double = 0.8, k: Int = 32,
+      bands: Int = 8, shingleN: Int = 3,
+      portable: Boolean = false): IncrementalDedup = {
     val sh = TextOps.shingleRows(docs.repartition(col(idCol)), idCol, textCol, shingleN)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sig = minhashSignatureFromRows(sh, idCol, k, portable)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = lshCandidates(sig, idCol, k, bands, portable)
     val sets = sh.groupBy(col(idCol)).agg(collect_set(col("shingle")).as("__set"))
-    cand
+    val result = cand
       .join(sets.withColumnRenamed(idCol, "a").withColumnRenamed("__set", "__sa"), "a")
       .join(sets.withColumnRenamed(idCol, "b").withColumnRenamed("__set", "__sb"), "b")
       .withColumn("jaccard", jaccardCol(col("__sa"), col("__sb")))
       .select(col("a"), col("b"), col("jaccard"))
       .filter(col("jaccard") >= threshold)
+    IncrementalDedup(result, () => { sh.unpersist(); sig.unpersist(); () })
   }
 
   /** Incremental NEAR-dup: which arriving batch docs are near-duplicates
@@ -606,7 +629,20 @@ object Dedup {
   def incrementalNearDupsWithSigs(batch: DataFrame, corpusSigs: DataFrame,
       corpus: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.8, k: Int = 32, bands: Int = 8,
-      shingleN: Int = 3, portable: Boolean = false): DataFrame = {
+      shingleN: Int = 3, portable: Boolean = false): DataFrame =
+    incrementalNearDupsWithSigsReleasable(batch, corpusSigs, corpus,
+      idCol, textCol, threshold, k, bands, shingleN, portable).result
+
+  /** [[incrementalNearDupsWithSigs]] with a `release()` handle for the
+    * epoch's batch-shingle cache — the form an ingest LOOP must use
+    * (`Streams.nearDupIngest` releases per epoch; without it a
+    * long-running stream accumulates one cache entry per micro-batch
+    * forever). Release only after the epoch's result is materialized. */
+  def incrementalNearDupsWithSigsReleasable(batch: DataFrame,
+      corpusSigs: DataFrame, corpus: DataFrame, idCol: String,
+      textCol: String, threshold: Double = 0.8, k: Int = 32,
+      bands: Int = 8, shingleN: Int = 3,
+      portable: Boolean = false): IncrementalDedup = {
     // The BATCH side shares one shingle pass between its signatures
     // and its verification sets (the minhashNearDups r7 recipe — the
     // batch is the small arriving set, so persisting its shingle rows
@@ -614,9 +650,7 @@ object Dedup {
     // deliberately does NOT: persisting the 100 TB corpus' exploded
     // shingle rows to save re-shingling the candidate SLIVER would be
     // a catastrophic trade — it keeps the signature pass + candidate-
-    // restricted re-shingle split. The batch shingle rows stay
-    // persisted behind the returned frame (clearCache to release, or
-    // compose the public pieces for a custom lifecycle).
+    // restricted re-shingle split.
     val shB = TextOps.shingleRows(
       batch.repartition(col(idCol)), idCol, textCol, shingleN)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -625,8 +659,10 @@ object Dedup {
     // eager checkpoint: verification consumes the candidate frame three
     // times (two id semi-joins + the pair join); without cutting the
     // lineage each consumer would replay BOTH signature pipelines. The
-    // frame is id pairs only — tiny — and the executor-local blocks are
-    // reclaimed by the ContextCleaner, so no cache entry outlives use.
+    // frame is id pairs only — tiny — but the checkpoint RDD sits in
+    // the persistent-RDD registry until the ContextCleaner happens to
+    // GC it, so release() below drops it explicitly (an ingest loop
+    // can't wait for GC).
     val cand = lshCandidatesAcross(bs, cs, idCol, k, bands, portable)
       .localCheckpoint(true)
     val setsA = shB
@@ -637,13 +673,28 @@ object Dedup {
       corpus.join(cand.select(col("b").as(idCol)).distinct(), Seq(idCol), "left_semi"),
       idCol, textCol, shingleN)
       .withColumnRenamed(idCol, "b").withColumnRenamed("__set", "__sb")
-    cand
+    val result = cand
       .join(setsA, "a")
       .join(setsB, "b")
       .withColumn("jaccard", jaccardCol(col("__sa"), col("__sb")))
       .select(col("a"), col("b"), col("jaccard"))
       .filter(col("jaccard") >= threshold)
+    IncrementalDedup(result,
+      () => { shB.unpersist(); releaseCheckpoint(cand); () })
   }
+
+  /** Unpersist the block-backed RDD behind a locally-checkpointed
+    * frame. `localCheckpoint` registers its RDD as persistent until the
+    * ContextCleaner GCs the last reference — too lazy for an ingest
+    * loop that must keep the cache registry flat per epoch. The frame
+    * must not be consumed again afterwards (lineage is truncated, so
+    * there is nothing to recompute from). */
+  private def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 
   /** Cross-set exact-Jaccard verification: candidates carry (a = id in
     * `left`, b = id in `right`); each side's shingle sets come from its

@@ -92,7 +92,12 @@ object Sampling {
     weights.foreach { case (d, w) =>
       require(w >= 0 && w <= 1, s"weight $w for domain '$d' outside [0,1]") }
     require(budget >= 0, s"budget $budget must be >= 0")
-    val counts = df.groupBy(col(domainCol)).agg(count(lit(1)).as("__n"))
+    // NULL domains always drop (weights cannot name null, and the
+    // threshold CASE never matches a null row anyway) — filtering them
+    // here keeps a null domain from colliding with a domain literally
+    // named "null" in the counts map
+    val counts = df.filter(col(domainCol).isNotNull)
+      .groupBy(col(domainCol)).agg(count(lit(1)).as("__n"))
       .collect().map(r => String.valueOf(r.get(0)) -> r.getLong(1)).toMap
     val thresholds: Map[String, Long] = counts.map { case (d, n) =>
       val w = weights.getOrElse(d, 0.0)

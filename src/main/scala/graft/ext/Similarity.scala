@@ -85,6 +85,25 @@ object Similarity {
     transform(qv.getField("q"), b =>
       qv.getField("zero") + (b.cast("double") + lit(128.0)) * qv.getField("scale"))
 
+  /** The bounded top-k heap keys candidates on LONG ids — a
+    * non-integral id would cast to null and silently vanish from every
+    * result (or throw an opaque ANSI cast error mid-job), so refuse
+    * loudly up front. Map string/UUID ids to a surrogate long
+    * (`Ddl.assignIds`, `xxhash64`) before indexing. */
+  private def requireIntegralId(df: DataFrame, idCol: String,
+      ctx: String): Unit = {
+    import org.apache.spark.sql.types._
+    df.schema.fields.find(_.name.equalsIgnoreCase(idCol))
+      .map(_.dataType) match {
+      case Some(ByteType | ShortType | IntegerType | LongType) => ()
+      case other => throw new IllegalArgumentException(
+        s"$ctx requires an integral id column (the bounded top-k heap " +
+          s"keys on long); '$idCol' is " +
+          other.map(_.simpleString).getOrElse("absent") +
+          " — assign a surrogate long id first")
+    }
+  }
+
   /** Scale-safe per-query top-k finisher shared by every search path:
     * a bounded [[graft.functions.TopKByScore]] heap aggregate instead
     * of a `row_number` window. The window would hash ALL of one query's
@@ -109,6 +128,7 @@ object Similarity {
     * ask for neighbors of a handful of probes at a time). */
   def bruteForceTopK(corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qIdCol: String, qVecCol: String, k: Int): DataFrame = {
+    requireIntegralId(corpus, idCol, "bruteForceTopK")
     // hash-spread the corpus: a single-file input would otherwise score
     // every candidate on one core
     val c = corpus.repartition(col(idCol)).select(col(idCol).as("nn_id"),
@@ -152,6 +172,7 @@ object Similarity {
   def ivfBuild(corpus: DataFrame, idCol: String, vecCol: String,
       nCentroids: Int, kmeansIters: Int = 5, sampleFactor: Int = 40,
       broadcastCentroids: Boolean = true): IvfIndex = {
+    requireIntegralId(corpus, idCol, "ivfBuild")
     val c = corpus.repartition(col(idCol)).select(col(idCol).as("__id"),
       l2Normalize(col(vecCol).cast("array<double>")).as("__v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -379,6 +400,7 @@ object Similarity {
     * the normalized vectors; rank ties break by nn_id. */
   def pqSearch(encoded: DataFrame, idCol: String, books: PqBooks,
       queries: DataFrame, qIdCol: String, qVecCol: String, k: Int): DataFrame = {
+    requireIntegralId(encoded, idCol, "pqSearch")
     val qv = l2Normalize(col(qVecCol).cast("array<double>"))
     val table = array((0 until books.m).map { j =>
       val sub = slice(qv, j * books.ds + 1, books.ds)
@@ -405,6 +427,7 @@ object Similarity {
       corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qIdCol: String, qVecCol: String,
       k: Int, shortlist: Int = 50): DataFrame = {
+    requireIntegralId(corpus, idCol, "pqSearchRerank")
     val cand = pqSearch(encoded, encIdCol, books, queries, qIdCol, qVecCol, shortlist)
       .select(col("query_id"), col("nn_id"))
     val c = corpus.select(col(idCol).as("nn_id"),
@@ -462,6 +485,7 @@ object Similarity {
   def ivfPqSearch(index: IvfPqIndex, corpus: DataFrame, idCol: String,
       vecCol: String, queries: DataFrame, qIdCol: String, qVecCol: String,
       k: Int, nprobe: Int = 4, shortlist: Int = 50): DataFrame = {
+    requireIntegralId(corpus, idCol, "ivfPqSearch")
     val books = index.books
     val qv = l2Normalize(col(qVecCol).cast("array<double>"))
     val q = queries.select(col(qIdCol).as("query_id"), qv.as("__qv"))

@@ -246,10 +246,17 @@ object Streams {
       shingleN: Int = 3, portable: Boolean = false)
       (onBatch: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery = {
+    // release the epoch's batch-shingle cache after the sink consumed
+    // the pairs — a long-running stream would otherwise accumulate one
+    // cache entry per micro-batch forever. onBatch must MATERIALIZE the
+    // frame before returning (foreachBatch sinks do).
     val perEpoch: (Dataset[org.apache.spark.sql.Row], Long) => Unit =
-      (batch, epochId) => onBatch(
-        nearDupIngestBatch(batch.toDF(), corpusSigs, corpus, idCol, textCol,
-          threshold, k, bands, shingleN, portable), epochId)
+      (batch, epochId) => {
+        val epoch = graft.ext.Dedup.incrementalNearDupsWithSigsReleasable(
+          batch.toDF(), corpusSigs, corpus, idCol, textCol,
+          threshold, k, bands, shingleN, portable)
+        try onBatch(epoch.result, epochId) finally epoch.release()
+      }
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Append())

@@ -67,8 +67,11 @@ object DatasetCard {
     // own exchange; the per-doc frame is exactly q97's)
     val dupWord = TextOps.repetitionStats(docs, idCol, textCol)
       .agg(avg(col("dup_word_frac"))).head().getDouble(0)
-    val nearDups = Dedup.minhashNearDups(docs, idCol, textCol,
-      threshold = nearDupThreshold, k = 32, bands = 8).count()
+    // releasable form: the card is the repeated-monitoring use case,
+    // and the plain form would pin the shingle+signature caches per call
+    val nd = Dedup.minhashNearDupsReleasable(docs, idCol, textCol,
+      threshold = nearDupThreshold, k = 32, bands = 8)
+    val nearDups = try nd.result.count() finally nd.release()
     Card(
       nDocs = n,
       totalTokens = row.getAs[Long]("tot"),

@@ -118,9 +118,8 @@ class DatabaseSpec extends SparkSpec {
   test("opt-in PK validation rejects a merge that would keep duplicate keys") {
     val root = Files.createTempDirectory("graft-dbv").toString
     val db = new Database(spark, root)
-    // a corrupted snapshot (written outside the facade) with dup PKs —
-    // Database namespaces its stores, so write under $root/public
-    new graft.core.TableStore(spark, s"$root/public").write("dup",
+    // a corrupted snapshot (written outside the facade) with dup PKs
+    new graft.core.TableStore(spark, root).write("dup",
       Seq((1L, "x"), (1L, "y")).toDF("id", "name"))
     val updates = Seq((2L, "z")).toDF("id", "name")
     intercept[IllegalStateException](
@@ -128,7 +127,7 @@ class DatabaseSpec extends SparkSpec {
     // without validation the merge goes through (documented: validate,
     // not enforce), and a clean table passes validation silently
     db.upsert("dup", updates, Seq("id"))
-    new graft.core.TableStore(spark, s"$root/public").write("clean",
+    new graft.core.TableStore(spark, root).write("clean",
       Seq((1L, "x")).toDF("id", "name"))
     db.upsert("clean", updates, Seq("id"), validatePk = true)
     assert(db.getTableCount("clean") == 2)

@@ -192,8 +192,9 @@ class DdlAndStoreSpec extends SparkSpec {
   test("ALTER TABLE ADD COLUMNS as raw SQL evolves the store snapshot (D10/D15)") {
     val root = Files.createTempDirectory("graft-store").toString
     val db = new graft.Database(spark, root)
-    // Database namespaces its stores: peek through the same path it uses
-    val store = new TableStore(spark, s"$root/public")
+    // the default (public) namespace IS the root — a store pointed at
+    // the same path sees the same tables
+    val store = new TableStore(spark, root)
     store.write("t", Seq((1L, "a")).toDF("id", "v"))
     // parenthesized multi-column form
     val evolved = db.executeRaw("ALTER TABLE t ADD COLUMNS (quality DOUBLE, note STRING)")

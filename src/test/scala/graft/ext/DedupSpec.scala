@@ -234,6 +234,39 @@ class DedupSpec extends SparkSpec {
     assert(kept2 == Set(10L, 12L))
   }
 
+  test("releasable near-dup forms drop exactly their own caches (ingest loops stay flat)") {
+    val docs = Seq((1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon eta")).toDF("doc_id", "text")
+    // id-set assertions (not counts): the shared session's
+    // ContextCleaner may drop OTHER suites' dying caches concurrently,
+    // so only "every id this pass created is gone after release()" is
+    // stable across a full sequential run
+    def ids() = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    val before = ids()
+    val nd = Dedup.minhashNearDupsReleasable(docs, "doc_id", "text",
+      threshold = 0.5, k = 8, bands = 4)
+    nd.result.count()
+    val created = ids() -- before
+    assert(created.nonEmpty, "the pass must have created caches")
+    nd.release()
+    assert((ids() & created).isEmpty,
+      "release() must drop the shingle and signature caches")
+    // the per-epoch streaming form likewise
+    val sigs = Dedup.minhashSignature(docs, "doc_id", "text", k = 8).persist()
+    sigs.count()
+    val base = ids()
+    val epoch = Dedup.incrementalNearDupsWithSigsReleasable(
+      docs.withColumn("doc_id", col("doc_id") + 10), sigs, docs,
+      "doc_id", "text", threshold = 0.5, k = 8, bands = 4)
+    epoch.result.count()
+    val epochCreated = ids() -- base
+    assert(epochCreated.nonEmpty, "the epoch must have created caches")
+    epoch.release()
+    assert((ids() & epochCreated).isEmpty,
+      "epoch release() must drop the batch shingle + candidate caches")
+    sigs.unpersist()
+  }
+
   test("semantic near-dups: clustered path finds most brute-force pairs; plan is an equi-join") {
     val emb = graft.core.Fx.t(spark, sfDir, "embeddings").filter($"vec_id" < 300)
     val brute = Dedup.embeddingNearDups(emb, "vec_id", "embedding",

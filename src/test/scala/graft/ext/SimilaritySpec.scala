@@ -102,6 +102,17 @@ class SimilaritySpec extends SparkSpec {
     } finally idx.unpersist()
   }
 
+  test("non-integral id columns are refused loudly (the heap keys on long)") {
+    val emb = Seq(("a", Seq(1.0, 0.0)), ("b", Seq(0.0, 1.0))).toDF("id", "v")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.bruteForceTopK(emb, "id", "v", emb, "id", "v", k = 1)
+    }
+    assert(e.getMessage.contains("integral id"))
+    intercept[IllegalArgumentException] {
+      Similarity.ivfBuild(emb, "id", "v", nCentroids = 1)
+    }
+  }
+
   test("IVF-PQ index round-trips through the snapshot store: loaded search == in-memory search") {
     val emb = Fx.t(spark, sfDir, "embeddings")
     val queries = emb.filter($"vec_id" < 3)
