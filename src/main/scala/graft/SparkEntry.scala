@@ -1125,6 +1125,25 @@ object SparkEntry {
         "vec_id", "embedding", threshold = 0.4, nCentroids = 1)
         .orderBy(col("a"), col("b"))),
 
+    // Hashed-n-gram linear quality classifier (TextOps.linearModelScore)
+    // — fastText/CCNet-style model-as-broadcast-data scoring. The
+    // md5-derived synthetic weight table is re-derived by the oracle;
+    // integer weight sums divide ONCE at the end, so the double scores
+    // hash-match cross-engine (the q85 log-free recipe).
+    "q113_classifier_score" -> ((s, d) =>
+      TextOps.linearModelScore(docsSpread(s, d), "doc_id", "text",
+        TextOps.syntheticWeights(s, buckets = 64), buckets = 64)
+        .orderBy(col("doc_id"))),
+
+    // Duplicated-span detection (ext.Dedup.duplicatedSpans): Lee
+    // et al.-style exact substring dedup — maximal token spans whose
+    // 8-gram runs appear in ≥ 2 distinct docs (portable gram hashes;
+    // the oracle replays the window/island arithmetic on integers).
+    "q114_dup_spans" -> ((s, d) =>
+      Dedup.duplicatedSpans(docsSpread(s, d), "doc_id", "text",
+        gramLen = 8, minDocs = 2, portable = true)
+        .orderBy(col("doc_id"), col("span_start"))),
+
     "q49_ann_topk" -> ((s, d) => {
       val emb = T(s, d, "embeddings")
       val queries = emb.filter(col("vec_id") < 5)
@@ -2297,6 +2316,67 @@ object SparkEntry {
         |    list_sum(list_transform(range(1, 65), i -> (a.e[i] / a.nrm) * (b.e[i] / b.nrm))) AS cosine
         |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
         |SELECT a, b, cosine FROM p WHERE cosine >= 0.4 ORDER BY a, b""".stripMargin,
+
+    // Replays the hashing-trick classifier end to end: unigram+bigram
+    // features, 60-bit md5 bucket hash mod 64, the md5-derived integer
+    // weight table, integer sum, one final double division.
+    "q113_classifier_score" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS t FROM documents),
+        |uni AS (SELECT doc_id, unnest(t) AS f FROM tk),
+        |bi AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])) AS f
+        |  FROM tk WHERE len(t) >= 2),
+        |feats AS (SELECT doc_id, f FROM uni UNION ALL SELECT doc_id, f FROM bi),
+        |hb AS (
+        |  SELECT doc_id,
+        |    CAST(concat('0x', substring(md5(concat('7', '|', f)), 1, 15)) AS BIGINT) % 64 AS bucket
+        |  FROM feats),
+        |w AS (
+        |  SELECT r.range AS bucket,
+        |    (CAST(concat('0x', substring(md5(concat('11', '|', CAST(r.range AS VARCHAR))), 1, 15)) AS BIGINT) % 2001) - 1000 AS weight
+        |  FROM range(64) r),
+        |agg AS (
+        |  SELECT doc_id, sum(weight) AS sw, count(*) AS nf
+        |  FROM hb JOIN w USING (bucket) GROUP BY 1)
+        |SELECT d.doc_id, coalesce(CAST(agg.sw AS DOUBLE) / CAST(1000 * agg.nf AS DOUBLE), 0.0) AS score
+        |FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+
+    // Replays the span detector: positional 8-grams (lead window),
+    // distinct-doc gram frequency, ≥2-doc gate, gaps-and-islands merge
+    // of [pos, pos+7] intervals. Integer arithmetic throughout.
+    "q114_dup_spans" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS tokens FROM documents),
+        |tok AS (
+        |  SELECT doc_id, unnest(tokens) AS t, unnest(range(1, len(tokens) + 1)) AS pos FROM tk),
+        |g AS (
+        |  SELECT doc_id, pos - 1 AS pos0,
+        |    CAST(concat('0x', substring(md5(concat('0', '|',
+        |      concat_ws(' ', t, lead(t, 1) OVER w, lead(t, 2) OVER w, lead(t, 3) OVER w,
+        |                lead(t, 4) OVER w, lead(t, 5) OVER w, lead(t, 6) OVER w,
+        |                lead(t, 7) OVER w))), 1, 15)) AS BIGINT) AS hh,
+        |    lead(t, 7) OVER w IS NOT NULL AS fullgram
+        |  FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        |gg AS (SELECT doc_id, pos0, hh FROM g WHERE fullgram),
+        |hot AS (
+        |  SELECT hh FROM (SELECT DISTINCT hh, doc_id FROM gg)
+        |  GROUP BY hh HAVING count(*) >= 2),
+        |dup AS (SELECT gg.doc_id, gg.pos0 FROM gg JOIN hot USING (hh)),
+        |brk AS (
+        |  SELECT doc_id, pos0,
+        |    CASE WHEN max(pos0) OVER (PARTITION BY doc_id ORDER BY pos0
+        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 8 >= pos0
+        |         THEN 0 ELSE 1 END AS is_new
+        |  FROM dup),
+        |isl AS (
+        |  SELECT doc_id, pos0,
+        |    sum(is_new) OVER (PARTITION BY doc_id ORDER BY pos0
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM brk)
+        |SELECT doc_id, min(pos0) AS span_start, max(pos0) + 7 AS span_end,
+        |  count(*) AS n_grams
+        |FROM isl GROUP BY doc_id, island ORDER BY doc_id, span_start""".stripMargin,
 
     "q49_ann_topk" -> AnnTopkSql,
 

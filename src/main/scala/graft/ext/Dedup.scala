@@ -945,6 +945,63 @@ object Dedup {
     * stays cached until the session clears it) — for plan inspection
     * and custom cache lifecycles. Feed the pairs to
     * [[removeNearDuplicates]] or [[Sampling.leakageSafeSplit]]. */
+  /** Exact duplicated-SPAN detection (Lee et al. 2021, "Deduplicating
+    * Training Data Makes Language Models Better" — the substring-level
+    * complement of the document-level passes above, for trimming
+    * boilerplate runs out of otherwise-unique documents): per document,
+    * the maximal token spans covered by `gramLen`-token runs that occur
+    * in ≥ `minDocs` DISTINCT documents. The paper's suffix array does
+    * not distribute; the Spark-shaped equivalent hashes every token
+    * `gramLen`-gram (positional lead window — the winnowing machinery,
+    * TextOps.scala), counts each gram's distinct-document frequency
+    * (distinct + hash aggregate, no expand), keeps cross-document grams
+    * via a semi-join on the gram hash, and merges each doc's surviving
+    * [pos, pos+L−1] intervals (overlapping or adjacent) into maximal
+    * spans with a gaps-and-islands window. Returns (idCol, span_start,
+    * span_end, n_grams) — 0-based inclusive token positions.
+    *
+    * Shuffles: one on the doc id (gram windows), two on the gram hash
+    * (distinct doc-count + semi-join), one back on the doc id (island
+    * window + span aggregate) — all equi-keyed, nothing all-pairs, and
+    * the surviving-gram side is naturally small (only grams repeated
+    * ACROSS documents pass the gate; a doc repeating itself does not
+    * qualify). Per-doc windows partition on the doc id — bounded by
+    * document length, never a global sort. */
+  def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+      gramLen: Int = 8, minDocs: Int = 2,
+      portable: Boolean = false): DataFrame = {
+    require(gramLen >= 1, s"gramLen must be >= 1, got $gramLen")
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val tok = docs.select(col(idCol),
+      posexplode(TextOps.tokens(col(textCol))).as(Seq("__pos", "__tok")))
+    val seq = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
+    val parts = (0 until gramLen).map(i =>
+      if (i == 0) col("__tok") else lead(col("__tok"), i).over(seq))
+    val gram = concat_ws(" ", parts: _*)
+    val gramHash =
+      if (portable) TextOps.portableHash64(0, gram) else xxhash64(gram)
+    val grams = tok.select(col(idCol), col("__pos").cast("long").as("__pos"),
+        gramHash.as("__h"),
+        lead(col("__tok"), gramLen - 1).over(seq).isNotNull.as("__full"))
+      .filter(col("__full"))
+    val hot = grams.select(col("__h"), col(idCol)).distinct()
+      .groupBy(col("__h")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= minDocs).select(col("__h"))
+    val dup = grams.join(hot, Seq("__h"), "left_semi")
+    val prevEnd = max(col("__pos")).over(
+      seq.rowsBetween(Window.unboundedPreceding, -1)) + lit(gramLen - 1L)
+    val isNew = when(prevEnd.isNull || col("__pos") > prevEnd + 1L, 1L)
+      .otherwise(0L)
+    val island = sum(isNew).over(
+      seq.rowsBetween(Window.unboundedPreceding, 0))
+    dup.withColumn("__island", island)
+      .groupBy(col(idCol), col("__island"))
+      .agg(min(col("__pos")).as("span_start"),
+        (max(col("__pos")) + lit(gramLen - 1L)).as("span_end"),
+        count(lit(1)).as("n_grams"))
+      .select(col(idCol), col("span_start"), col("span_end"), col("n_grams"))
+  }
+
   def semanticNearDups(corpus: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.9, nCentroids: Int = 256,
       broadcastCentroids: Boolean = true,

@@ -170,6 +170,76 @@ object TextOps {
       regexp_count(afterUrl, lit(IpRe)).cast("long"))
   }
 
+  // ------------------------------ hashed-feature linear classifier
+  // fastText/CCNet-style quality filtering (Joulin et al. 2016; Wenzek
+  // et al. 2020): a linear model over hashed bag-of-n-gram features is
+  // the standard LLM-corpus quality classifier. The model is DATA here
+  // (a (bucket, weight) table, broadcast-joined), not code — swap in a
+  // trained table at production scale; [[syntheticWeights]] provides
+  // the deterministic md5-derived stand-in the cross-engine oracle
+  // replays.
+
+  /** Hashed bag-of-features rows: word unigrams plus bigrams, each
+    * occurrence mapped to one of `buckets` buckets by the portable
+    * 60-bit hash (the hashing trick — Weinberger et al. 2009). Returns
+    * (idCol, bucket LONG), one row per feature OCCURRENCE (linear
+    * models count repeats). Docs with no tokens produce no rows.
+    *
+    * Shape: ONE codegen'd posexplode + one lead window (the
+    * [[shingleRows]] machinery — the interpreted `shingles()`
+    * higher-order form measured ~6× slower here) emits each token row
+    * as [unigram, bigram-starting-here]; a second explode + null
+    * filter flattens the pair. The window's doc-id exchange is the
+    * only shuffle, shared with the downstream per-doc aggregate. */
+  def hashedFeatureRows(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, buckets: Int, seed: Int = 7): org.apache.spark.sql.DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    import org.apache.spark.sql.expressions.Window
+    val tok = docs.select(col(idCol),
+      posexplode(tokens(col(textCol))).as(Seq("__pos", "__tok")))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
+    tok.select(col(idCol), col("__tok"),
+        lead(col("__tok"), 1).over(w).as("__nxt"))
+      .select(col(idCol), explode(array(col("__tok"),
+        when(col("__nxt").isNotNull,
+          concat_ws(" ", col("__tok"), col("__nxt"))))).as("__f"))
+      .filter(col("__f").isNotNull)
+      .select(col(idCol), (portableHash64(seed, col("__f")) % buckets).as("bucket"))
+  }
+
+  /** Deterministic md5-derived INTEGER weight table (bucket, weight ∈
+    * [−1000, 1000]) standing in for trained classifier coefficients.
+    * Integer weights keep the score's arithmetic exact until one final
+    * division, so even the SCORES hash-match cross-engine (the q85
+    * log-free trick applied to a classifier). */
+  def syntheticWeights(spark: org.apache.spark.sql.SparkSession, buckets: Int,
+      seed: Int = 11): org.apache.spark.sql.DataFrame =
+    spark.range(buckets).select(col("id").as("bucket"),
+      ((portableHash64(seed, col("id").cast("string")) % 2001) - 1000)
+        .as("weight"))
+
+  /** Linear-classifier document score: Σ weight(bucket(feature)) /
+    * (1000 · n_features), with the weight table broadcast-joined onto
+    * the exploded feature rows. Docs with no features score 0.0 (every
+    * input doc gets a row). Shape: narrow feature explode → broadcast
+    * equi-join on the bucket (the model table is buckets rows — always
+    * broadcast-small) → one hash aggregate on the doc id → left join
+    * back to the doc-id spine. Integer sum, ONE double division —
+    * bit-identical in any IEEE engine. */
+  def linearModelScore(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, weights: org.apache.spark.sql.DataFrame,
+      buckets: Int, seed: Int = 7): org.apache.spark.sql.DataFrame = {
+    val agg = hashedFeatureRows(docs, idCol, textCol, buckets, seed)
+      .join(broadcast(weights), "bucket")
+      .groupBy(col(idCol))
+      .agg(sum(col("weight")).as("__sw"), count(lit(1)).as("__nf"))
+    docs.select(col(idCol))
+      .join(agg, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__sw").cast("double") /
+          (col("__nf") * lit(1000L)).cast("double"), lit(0.0)).as("score"))
+  }
+
   /** Exact document fingerprint: md5 of normalized text. Stable across
     * engines (used by the exact-dedup oracle). */
   def fingerprintMd5(c: Column): Column = md5(normalize(c))

@@ -267,6 +267,31 @@ class DedupSpec extends SparkSpec {
     sigs.unpersist()
   }
 
+  test("duplicatedSpans: cross-doc runs merge to maximal spans; within-doc repeats don't qualify") {
+    val boiler = (1 to 10).map(i => s"tok$i").mkString(" ") // 10-token shared run
+    val docs = Seq(
+      (1L, s"unique one two three $boiler tail a b c"),
+      (2L, s"$boiler other words entirely different from before here now"),
+      // the same 8-gram twice WITHIN one doc, in no other doc — distinct
+      // doc count is 1, so it must not surface
+      (3L, ("x1 x2 x3 x4 x5 x6 x7 x8 filler " * 2).trim)
+    ).toDF("doc_id", "text")
+    val spans = Dedup.duplicatedSpans(docs, "doc_id", "text",
+      gramLen = 8, minDocs = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // doc 1: boiler occupies token positions 4..13; full 8-grams inside
+    // it start at 4, 5, 6 → ONE merged span [4, 13] of 3 grams
+    // doc 2: boiler at 0..9 → span [0, 9] of 3 grams
+    assert(spans == Set((1L, 4L, 13L, 3L), (2L, 0L, 9L, 3L)), s"got $spans")
+    // portable mode agrees (different hash family, same spans)
+    val p = Dedup.duplicatedSpans(docs, "doc_id", "text",
+      gramLen = 8, minDocs = 2, portable = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(p == spans)
+  }
+
   test("semantic near-dups: clustered path finds most brute-force pairs; plan is an equi-join") {
     val emb = graft.core.Fx.t(spark, sfDir, "embeddings").filter($"vec_id" < 300)
     val brute = Dedup.embeddingNearDups(emb, "vec_id", "embedding",

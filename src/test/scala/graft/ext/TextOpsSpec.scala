@@ -144,4 +144,35 @@ class TextOpsSpec extends SparkSpec {
       .select($"doc_id").as[Long].collect().toSet
     assert(ids == Set(1L), "NULL text has no defined repetition score")
   }
+
+  // independent replay of the portable 60-bit hash in plain JVM code —
+  // guards the classifier against a silent drift in the Column recipe
+  private def h60(seed: Int, v: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$seed|$v".getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.take(8).map(b => f"$b%02x").mkString.take(15), 16)
+  }
+
+  test("linearModelScore: broadcast model join, every doc scored, exact hand-computed score") {
+    val docs = Seq((1L, "alpha beta gamma"), (2L, ""), (3L, "alpha alpha"))
+      .toDF("doc_id", "text")
+    val w = TextOps.syntheticWeights(spark, 64)
+    val scored = TextOps.linearModelScore(docs, "doc_id", "text", w, 64)
+    val m = scored.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(m.keySet == Set(1L, 2L, 3L), "every input doc gets a score row")
+    assert(m(2L) == 0.0, "a doc with no features scores 0.0")
+    // doc 1 features: alpha, beta, gamma, "alpha beta", "beta gamma"
+    val feats = Seq("alpha", "beta", "gamma", "alpha beta", "beta gamma")
+    def weight(b: Long): Long = h60(11, b.toString) % 2001 - 1000
+    val expected = feats.map(f => weight(h60(7, f) % 64)).sum.toDouble /
+      (1000.0 * feats.size)
+    assert(m(1L) == expected, s"got ${m(1L)}, expected $expected")
+    // repeats count with multiplicity: alpha ×2 + "alpha alpha"
+    val e3 = (2 * weight(h60(7, "alpha") % 64) +
+      weight(h60(7, "alpha alpha") % 64)).toDouble / 3000.0
+    assert(m(3L) == e3)
+    // the model join must be broadcast (model-as-data at scale)
+    assert(scored.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"), "weight table should broadcast-join")
+  }
 }
