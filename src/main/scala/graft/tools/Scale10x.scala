@@ -58,7 +58,13 @@ object Scale10x {
       // ratio checks the LOCAL path absorbs a 10× edge list; the
       // distributed loop engages past 2^20 edges) and the cross-set
       // incremental near-dup
-      "q105_leakage_split", "q107_incremental_neardup", "q60_curation_pipeline")
+      "q105_leakage_split", "q107_incremental_neardup", "q60_curation_pipeline",
+      // r7-late additions: the hashed-feature classifier (narrow explode
+      // + broadcast model join — should read ~linear) and duplicated-
+      // span detection (two gram-window passes + equi-joins; the
+      // vocabulary bijection keeps cross-replica grams disjoint, so
+      // surviving-gram volume scales ×10, not ×100)
+      "q113_classifier_score", "q114_dup_spans")
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
