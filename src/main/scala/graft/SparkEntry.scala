@@ -188,6 +188,45 @@ object SparkEntry {
 
   private val WinnowingPairsCtes: String = winnowingPairsCtes("")
 
+  /** Duplicated-span pipeline (Lee et al. exact substring dedup) as a
+    * reusable CTE block ending in `sp` (doc_id, span_start, span_end,
+    * n_grams) with `tok` (doc_id, t, pos 1-based) also in scope —
+    * shared by q114 (the spans) and q115 (removal). Mirrors
+    * `Dedup.duplicatedSpans(gramLen = 8, minDocs = 2, portable)`. */
+  private val DupSpanCtes: String =
+    """tk AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS tokens FROM documents),
+      |tok AS (
+      |  SELECT doc_id, unnest(tokens) AS t, unnest(range(1, len(tokens) + 1)) AS pos FROM tk),
+      |g AS (
+      |  SELECT doc_id, pos - 1 AS pos0,
+      |    CAST(concat('0x', substring(md5(concat('0', '|',
+      |      concat_ws(' ', t, lead(t, 1) OVER w, lead(t, 2) OVER w, lead(t, 3) OVER w,
+      |                lead(t, 4) OVER w, lead(t, 5) OVER w, lead(t, 6) OVER w,
+      |                lead(t, 7) OVER w))), 1, 15)) AS BIGINT) AS hh,
+      |    lead(t, 7) OVER w IS NOT NULL AS fullgram
+      |  FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+      |gg AS (SELECT doc_id, pos0, hh FROM g WHERE fullgram),
+      |hot AS (
+      |  SELECT hh FROM (SELECT DISTINCT hh, doc_id FROM gg)
+      |  GROUP BY hh HAVING count(*) >= 2),
+      |dup AS (SELECT gg.doc_id, gg.pos0 FROM gg JOIN hot USING (hh)),
+      |brk AS (
+      |  SELECT doc_id, pos0,
+      |    CASE WHEN max(pos0) OVER (PARTITION BY doc_id ORDER BY pos0
+      |                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 8 >= pos0
+      |         THEN 0 ELSE 1 END AS is_new
+      |  FROM dup),
+      |isl AS (
+      |  SELECT doc_id, pos0,
+      |    sum(is_new) OVER (PARTITION BY doc_id ORDER BY pos0
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      |  FROM brk),
+      |sp AS (
+      |  SELECT doc_id, min(pos0) AS span_start, max(pos0) + 7 AS span_end,
+      |    count(*) AS n_grams
+      |  FROM isl GROUP BY doc_id, island)""".stripMargin
+
   private val WinnowingOracleSql: String =
     s"WITH $WinnowingPairsCtes\nSELECT a, b, n_shared FROM p ORDER BY a, b"
 
@@ -1143,6 +1182,16 @@ object SparkEntry {
       Dedup.duplicatedSpans(docsSpread(s, d), "doc_id", "text",
         gramLen = 8, minDocs = 2, portable = true)
         .orderBy(col("doc_id"), col("span_start"))),
+
+    // Removal half of the Lee et al. recipe: q114's spans excised,
+    // text rebuilt from the ordered surviving tokens.
+    "q115_span_removal" -> ((s, d) => {
+      val docs = docsSpread(s, d)
+      val spans = Dedup.duplicatedSpans(docs, "doc_id", "text",
+        gramLen = 8, minDocs = 2, portable = true)
+      Dedup.removeDuplicatedSpans(docs, spans, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
 
     "q49_ann_topk" -> ((s, d) => {
       val emb = T(s, d, "embeddings")
@@ -2346,37 +2395,26 @@ object SparkEntry {
     // distinct-doc gram frequency, ≥2-doc gate, gaps-and-islands merge
     // of [pos, pos+7] intervals. Integer arithmetic throughout.
     "q114_dup_spans" ->
-      """WITH tk AS (
-        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS tokens FROM documents),
-        |tok AS (
-        |  SELECT doc_id, unnest(tokens) AS t, unnest(range(1, len(tokens) + 1)) AS pos FROM tk),
-        |g AS (
-        |  SELECT doc_id, pos - 1 AS pos0,
-        |    CAST(concat('0x', substring(md5(concat('0', '|',
-        |      concat_ws(' ', t, lead(t, 1) OVER w, lead(t, 2) OVER w, lead(t, 3) OVER w,
-        |                lead(t, 4) OVER w, lead(t, 5) OVER w, lead(t, 6) OVER w,
-        |                lead(t, 7) OVER w))), 1, 15)) AS BIGINT) AS hh,
-        |    lead(t, 7) OVER w IS NOT NULL AS fullgram
-        |  FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
-        |gg AS (SELECT doc_id, pos0, hh FROM g WHERE fullgram),
-        |hot AS (
-        |  SELECT hh FROM (SELECT DISTINCT hh, doc_id FROM gg)
-        |  GROUP BY hh HAVING count(*) >= 2),
-        |dup AS (SELECT gg.doc_id, gg.pos0 FROM gg JOIN hot USING (hh)),
-        |brk AS (
-        |  SELECT doc_id, pos0,
-        |    CASE WHEN max(pos0) OVER (PARTITION BY doc_id ORDER BY pos0
-        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 8 >= pos0
-        |         THEN 0 ELSE 1 END AS is_new
-        |  FROM dup),
-        |isl AS (
-        |  SELECT doc_id, pos0,
-        |    sum(is_new) OVER (PARTITION BY doc_id ORDER BY pos0
-        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
-        |  FROM brk)
-        |SELECT doc_id, min(pos0) AS span_start, max(pos0) + 7 AS span_end,
-        |  count(*) AS n_grams
-        |FROM isl GROUP BY doc_id, island ORDER BY doc_id, span_start""".stripMargin,
+      s"""WITH $DupSpanCtes
+        |SELECT doc_id, span_start, span_end, n_grams
+        |FROM sp ORDER BY doc_id, span_start""".stripMargin,
+
+    // Removal half: drop tokens covered by any span, rebuild the text
+    // as the ordered space-joined survivors (string_agg ORDER BY ≡
+    // sort_array over (pos, tok) structs). Every doc keeps a row.
+    "q115_span_removal" ->
+      s"""WITH $DupSpanCtes,
+        |clean AS (
+        |  SELECT tok.doc_id, tok.pos, tok.t FROM tok
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM sp WHERE sp.doc_id = tok.doc_id
+        |      AND tok.pos - 1 BETWEEN sp.span_start AND sp.span_end)),
+        |agg AS (
+        |  SELECT doc_id, string_agg(t, ' ' ORDER BY pos) AS clean_text
+        |  FROM clean GROUP BY 1)
+        |SELECT d.doc_id, coalesce(a.clean_text, '') AS clean_text
+        |FROM documents d LEFT JOIN agg a USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
 
     "q49_ann_topk" -> AnnTopkSql,
 

@@ -1002,6 +1002,39 @@ object Dedup {
       .select(col(idCol), col("span_start"), col("span_end"), col("n_grams"))
   }
 
+  /** Excise duplicated spans from documents (the removal half of the
+    * Lee et al. recipe — [[duplicatedSpans]] detects, this trims):
+    * drop every token whose position falls inside a span, rebuild the
+    * text as the space-joined survivors. TOKEN-level (the pipeline
+    * tokenizer is lossy by design — the output is normalized token
+    * text, not the original bytes). Every input doc gets a row; a doc
+    * whose tokens are all covered (or that had none) yields ''.
+    *
+    * Shape: the span frame is dedup-output-sized (small); tokens
+    * anti-join it on the doc id with the range residual — one
+    * equi-keyed shuffle join, codegen'd, no per-token higher-order
+    * lambda — then one doc-id aggregate rebuilds the text
+    * (sort_array over (pos, tok) structs: collect_list order is not
+    * deterministic, the sort is). */
+  def removeDuplicatedSpans(docs: DataFrame, spans: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val tok = docs.select(col(idCol),
+      posexplode(TextOps.tokens(col(textCol))).as(Seq("__pos", "__tok")))
+    val sp = spans.select(col(idCol).as("__sid"),
+      col("span_start"), col("span_end"))
+    val kept = tok.join(sp,
+      tok(idCol) === col("__sid") &&
+        col("__pos").cast("long").between(col("span_start"), col("span_end")),
+      "left_anti")
+    val rebuilt = kept.groupBy(col(idCol))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("__pos"), col("__tok")))),
+        s => s.getField("__tok")), " ").as("clean_text"))
+    docs.select(col(idCol))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   def semanticNearDups(corpus: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.9, nCentroids: Int = 256,
       broadcastCentroids: Boolean = true,

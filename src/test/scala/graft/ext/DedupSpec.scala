@@ -292,6 +292,31 @@ class DedupSpec extends SparkSpec {
     assert(p == spans)
   }
 
+  test("removeDuplicatedSpans excises exactly the covered tokens; untouched docs round-trip") {
+    val boiler = (1 to 10).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"unique one two three $boiler tail a b c"),
+      (2L, s"$boiler other words entirely different from before here now"),
+      (3L, "completely unrelated text that survives intact")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.duplicatedSpans(docs, "doc_id", "text",
+      gramLen = 8, minDocs = 2)
+    val out = Dedup.removeDuplicatedSpans(docs, spans, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // doc 1 loses tokens 4..13 (the boiler); doc 2 loses 0..9
+    assert(out(1L) == "unique one two three tail a b c", s"got ${out(1L)}")
+    assert(out(2L) == "other words entirely different from before here now")
+    // untouched doc: tokenized round trip (lossy normalization only)
+    assert(out(3L) == "completely unrelated text that survives intact")
+    // a doc fully covered by a span yields the empty string
+    val all = Seq((1L, boiler), (2L, boiler)).toDF("doc_id", "text")
+    val allSpans = Dedup.duplicatedSpans(all, "doc_id", "text",
+      gramLen = 8, minDocs = 2)
+    val cleaned = Dedup.removeDuplicatedSpans(all, allSpans, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(cleaned == Map(1L -> "", 2L -> ""))
+  }
+
   test("semantic near-dups: clustered path finds most brute-force pairs; plan is an equi-join") {
     val emb = graft.core.Fx.t(spark, sfDir, "embeddings").filter($"vec_id" < 300)
     val brute = Dedup.embeddingNearDups(emb, "vec_id", "embedding",
