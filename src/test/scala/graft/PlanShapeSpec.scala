@@ -270,6 +270,24 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("Join"), p)
   }
 
+  test("classifier score: model joins as a broadcast relation, features never nested-loop") {
+    val p = planOf("q113_classifier_score")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("duplicated-span detect + removal plan only equi-joins (df gate, span anti-join)") {
+    for (q <- Seq("q114_dup_spans", "q115_span_removal")) {
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct"), s"$q: $p")
+      // the span anti-join carries a range RESIDUAL on an equi key —
+      // a nested-loop would mean the doc-id equality fell out of the
+      // join condition
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q: $p")
+    }
+  }
+
   test("pii scrub is a pure projection: no exchange before the presentation sort") {
     val p = planOf("q106_pii_scrub")
     // regexp scrub + counts must stay per-row (codegen'd projections);
