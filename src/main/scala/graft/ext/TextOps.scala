@@ -218,6 +218,43 @@ object TextOps {
       ((portableHash64(seed, col("id").cast("string")) % 2001) - 1000)
         .as("weight"))
 
+  /** Train hashed-feature log-odds weights from a LABELED corpus —
+    * the in-engine naive-Bayes analogue of fastText's supervised mode
+    * (CCNet trains exactly this shape against Wikipedia-vs-crawl
+    * labels). weight(b) = round(1000 · ln(P̂(b|pos) / P̂(b|neg))) with
+    * add-one smoothing, P̂ normalized by class feature totals. Returns
+    * a COMPLETE (bucket, weight) table (absent buckets get the
+    * smoothed prior) ready for [[linearModelScore]].
+    *
+    * Shape: one feature explode + label equi-join on the doc id, ONE
+    * hash aggregate on the bucket (map-side partial), one broadcast of
+    * the two class totals — no windows, no collect; the result is
+    * `buckets` rows whatever the corpus size. Weights are MODEL DATA:
+    * `ln` never needs cross-engine replay (the q113 oracle gates the
+    * scoring path with the md5-derived synthetic table instead). */
+  def trainLogOddsWeights(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, labelCol: String, buckets: Int,
+      seed: Int = 7): org.apache.spark.sql.DataFrame = {
+    val spark = docs.sparkSession
+    val fr = hashedFeatureRows(docs, idCol, textCol, buckets, seed)
+      .join(docs.select(col(idCol), col(labelCol).cast("boolean").as("__y")), idCol)
+    val perBucket = fr.groupBy(col("bucket")).agg(
+      sum(when(col("__y"), 1L).otherwise(0L)).as("__pos"),
+      sum(when(col("__y"), 0L).otherwise(1L)).as("__neg"))
+    val totals = perBucket.agg(
+      sum(col("__pos")).as("__tp"), sum(col("__neg")).as("__tn"))
+    spark.range(buckets).select(col("id").as("bucket"))
+      .join(perBucket, Seq("bucket"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        round(lit(1000.0) * log(
+          ((coalesce(col("__pos"), lit(0L)) + 1L).cast("double") /
+            (coalesce(col("__tp"), lit(0L)) + buckets).cast("double")) /
+          ((coalesce(col("__neg"), lit(0L)) + 1L).cast("double") /
+            (coalesce(col("__tn"), lit(0L)) + buckets).cast("double"))))
+          .cast("long").as("weight"))
+  }
+
   /** Linear-classifier document score: Σ weight(bucket(feature)) /
     * (1000 · n_features), with the weight table broadcast-joined onto
     * the exploded feature rows. Docs with no features score 0.0 (every

@@ -175,4 +175,27 @@ class TextOpsSpec extends SparkSpec {
     assert(scored.queryExecution.executedPlan.toString
       .contains("BroadcastHashJoin"), "weight table should broadcast-join")
   }
+
+  test("trainLogOddsWeights: trained model separates the classes it was trained on") {
+    val good = Seq("insightful analysis of the experiment results",
+      "careful measurement and thorough discussion",
+      "the detailed study reports clear findings")
+    val bad = Seq("click here buy now free offer",
+      "win free money click this offer now",
+      "buy cheap offer win big prizes now")
+    val labeled = (good.map((_, true)) ++ bad.map((_, false))).zipWithIndex
+      .map { case ((t, y), i) => (i.toLong, t, y) }
+      .toDF("doc_id", "text", "label")
+    val w = TextOps.trainLogOddsWeights(labeled, "doc_id", "text", "label",
+      buckets = 256)
+    assert(w.count() == 256, "weight table must cover every bucket")
+    // held-out docs drawn from each vocabulary score on opposite sides
+    val test = Seq((100L, "thorough analysis with clear results"),
+      (200L, "free money buy now click here")).toDF("doc_id", "text")
+    val s = TextOps.linearModelScore(test, "doc_id", "text", w, 256)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(s(100L) > 0, s"good-vocab doc should score positive, got ${s(100L)}")
+    assert(s(200L) < 0, s"spam-vocab doc should score negative, got ${s(200L)}")
+    assert(s(100L) > s(200L))
+  }
 }
