@@ -1193,6 +1193,18 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Classifier TRAINING sufficient statistics
+    // (TextOps.trainFeatureCounts): per-bucket class feature counts
+    // from a labeled corpus — the pure-integer half of
+    // trainLogOddsWeights, replayed exactly by the oracle (the ln →
+    // weight step is model data, spec-covered in TextOpsSpec). Labels
+    // here: even doc_id = positive class.
+    "q116_train_counts" -> ((s, d) =>
+      TextOps.trainFeatureCounts(
+        docsSpread(s, d).withColumn("label", col("doc_id") % 2 === 0),
+        "doc_id", "text", "label", buckets = 64)
+        .orderBy(col("bucket"))),
+
     "q49_ann_topk" -> ((s, d) => {
       val emb = T(s, d, "embeddings")
       val queries = emb.filter(col("vec_id") < 5)
@@ -2415,6 +2427,31 @@ object SparkEntry {
         |SELECT d.doc_id, coalesce(a.clean_text, '') AS clean_text
         |FROM documents d LEFT JOIN agg a USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+
+    // Replays the classifier-training count aggregate: same feature
+    // CTEs as q113, labels = even doc_id, per-bucket class counts
+    // completed over all 64 buckets. Integer arithmetic throughout.
+    "q116_train_counts" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS t FROM documents),
+        |uni AS (SELECT doc_id, unnest(t) AS f FROM tk),
+        |bi AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])) AS f
+        |  FROM tk WHERE len(t) >= 2),
+        |feats AS (SELECT doc_id, f FROM uni UNION ALL SELECT doc_id, f FROM bi),
+        |hb AS (
+        |  SELECT doc_id,
+        |    CAST(concat('0x', substring(md5(concat('7', '|', f)), 1, 15)) AS BIGINT) % 64 AS bucket
+        |  FROM feats),
+        |agg AS (
+        |  SELECT bucket,
+        |    CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+        |    CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 END) AS BIGINT) AS neg
+        |  FROM hb GROUP BY 1)
+        |SELECT r.range AS bucket, coalesce(pos, CAST(0 AS BIGINT)) AS pos,
+        |  coalesce(neg, CAST(0 AS BIGINT)) AS neg
+        |FROM range(64) r LEFT JOIN agg ON agg.bucket = r.range
+        |ORDER BY bucket""".stripMargin,
 
     "q49_ann_topk" -> AnnTopkSql,
 

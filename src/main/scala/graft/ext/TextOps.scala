@@ -218,6 +218,31 @@ object TextOps {
       ((portableHash64(seed, col("id").cast("string")) % 2001) - 1000)
         .as("weight"))
 
+  /** Per-bucket class feature counts from a LABELED corpus — the
+    * sufficient statistics of naive-Bayes training, and the oracle-
+    * expressible half of [[trainLogOddsWeights]] (pure integer counts,
+    * replayed exactly by DuckDB — q116). Returns a COMPLETE
+    * (bucket, pos, neg) table: every bucket in [0, buckets) gets a
+    * row, absent ones as zeros.
+    *
+    * Shape: one feature explode + label equi-join on the doc id, ONE
+    * hash aggregate on the bucket (map-side partial) — no windows, no
+    * collect; the result is `buckets` rows whatever the corpus size. */
+  def trainFeatureCounts(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, labelCol: String, buckets: Int,
+      seed: Int = 7): org.apache.spark.sql.DataFrame = {
+    val spark = docs.sparkSession
+    val fr = hashedFeatureRows(docs, idCol, textCol, buckets, seed)
+      .join(docs.select(col(idCol), col(labelCol).cast("boolean").as("__y")), idCol)
+    val perBucket = fr.groupBy(col("bucket")).agg(
+      sum(when(col("__y"), 1L).otherwise(0L)).as("__p"),
+      sum(when(col("__y"), 0L).otherwise(1L)).as("__n"))
+    spark.range(buckets).select(col("id").as("bucket"))
+      .join(perBucket, Seq("bucket"), "left")
+      .select(col("bucket"), coalesce(col("__p"), lit(0L)).as("pos"),
+        coalesce(col("__n"), lit(0L)).as("neg"))
+  }
+
   /** Train hashed-feature log-odds weights from a LABELED corpus —
     * the in-engine naive-Bayes analogue of fastText's supervised mode
     * (CCNet trains exactly this shape against Wikipedia-vs-crawl
@@ -226,31 +251,23 @@ object TextOps {
     * a COMPLETE (bucket, weight) table (absent buckets get the
     * smoothed prior) ready for [[linearModelScore]].
     *
-    * Shape: one feature explode + label equi-join on the doc id, ONE
-    * hash aggregate on the bucket (map-side partial), one broadcast of
-    * the two class totals — no windows, no collect; the result is
-    * `buckets` rows whatever the corpus size. Weights are MODEL DATA:
-    * `ln` never needs cross-engine replay (the q113 oracle gates the
-    * scoring path with the md5-derived synthetic table instead). */
+    * Shape: [[trainFeatureCounts]] + one broadcast of the two class
+    * totals. The count table is oracle-gated (q116); the weights
+    * themselves are MODEL DATA — `ln` never needs cross-engine replay
+    * (the q113 oracle gates the scoring path with the md5-derived
+    * synthetic table instead). */
   def trainLogOddsWeights(docs: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, labelCol: String, buckets: Int,
       seed: Int = 7): org.apache.spark.sql.DataFrame = {
-    val spark = docs.sparkSession
-    val fr = hashedFeatureRows(docs, idCol, textCol, buckets, seed)
-      .join(docs.select(col(idCol), col(labelCol).cast("boolean").as("__y")), idCol)
-    val perBucket = fr.groupBy(col("bucket")).agg(
-      sum(when(col("__y"), 1L).otherwise(0L)).as("__pos"),
-      sum(when(col("__y"), 0L).otherwise(1L)).as("__neg"))
-    val totals = perBucket.agg(
-      sum(col("__pos")).as("__tp"), sum(col("__neg")).as("__tn"))
-    spark.range(buckets).select(col("id").as("bucket"))
-      .join(perBucket, Seq("bucket"), "left")
-      .crossJoin(broadcast(totals))
+    val counts = trainFeatureCounts(docs, idCol, textCol, labelCol, buckets, seed)
+    val totals = counts.agg(
+      sum(col("pos")).as("__tp"), sum(col("neg")).as("__tn"))
+    counts.crossJoin(broadcast(totals))
       .select(col("bucket"),
         round(lit(1000.0) * log(
-          ((coalesce(col("__pos"), lit(0L)) + 1L).cast("double") /
+          ((col("pos") + 1L).cast("double") /
             (coalesce(col("__tp"), lit(0L)) + buckets).cast("double")) /
-          ((coalesce(col("__neg"), lit(0L)) + 1L).cast("double") /
+          ((col("neg") + 1L).cast("double") /
             (coalesce(col("__tn"), lit(0L)) + buckets).cast("double"))))
           .cast("long").as("weight"))
   }

@@ -176,6 +176,18 @@ class TextOpsSpec extends SparkSpec {
       .contains("BroadcastHashJoin"), "weight table should broadcast-join")
   }
 
+  test("trainFeatureCounts: complete bucket table, class totals = feature occurrences") {
+    // "a b c" → 3 unigrams + 2 bigrams = 5 features; "d e" → 2 + 1 = 3
+    val labeled = Seq((1L, "a b c", true), (2L, "d e", false))
+      .toDF("doc_id", "text", "label")
+    val c = TextOps.trainFeatureCounts(labeled, "doc_id", "text", "label",
+      buckets = 64)
+    assert(c.count() == 64, "every bucket must have a row")
+    val t = c.agg(sum("pos"), sum("neg")).head()
+    assert(t.getLong(0) == 5, s"pos features: expected 5, got ${t.getLong(0)}")
+    assert(t.getLong(1) == 3, s"neg features: expected 3, got ${t.getLong(1)}")
+  }
+
   test("trainLogOddsWeights: trained model separates the classes it was trained on") {
     val good = Seq("insightful analysis of the experiment results",
       "careful measurement and thorough discussion",
