@@ -1205,6 +1205,26 @@ object SparkEntry {
         "doc_id", "text", "label", buckets = 64)
         .orderBy(col("bucket"))),
 
+    // Perplexity-style LM filtering (TextOps.lmScore) — CCNet's other
+    // filter: per-doc mean bigram milli-log-prob under a hashed-vocab
+    // bigram LM shipped as broadcast model data. The md5-derived
+    // synthetic LM table is re-derived by the oracle; integer weight
+    // sums divide ONCE at the end (the q113 recipe), so the double
+    // scores hash-match cross-engine. Trained-LM behavior is
+    // spec-covered (TextOpsSpec).
+    "q117_lm_score" -> ((s, d) =>
+      TextOps.lmScore(docsSpread(s, d), "doc_id", "text",
+        TextOps.syntheticLmWeights(s, buckets = 64), buckets = 64)
+        .orderBy(col("doc_id"))),
+
+    // LM TRAINING sufficient statistics (TextOps.bigramLmCounts):
+    // hashed bigram counts over the corpus — pure integers, replayed
+    // exactly (the ln → weight step of trainBigramLm is model data).
+    "q118_lm_counts" -> ((s, d) =>
+      TextOps.bigramLmCounts(docsSpread(s, d), "doc_id", "text",
+        buckets = 64)
+        .orderBy(col("ctx"), col("tok"))),
+
     "q49_ann_topk" -> ((s, d) => {
       val emb = T(s, d, "embeddings")
       val queries = emb.filter(col("vec_id") < 5)
@@ -2452,6 +2472,46 @@ object SparkEntry {
         |  coalesce(neg, CAST(0 AS BIGINT)) AS neg
         |FROM range(64) r LEFT JOIN agg ON agg.bucket = r.range
         |ORDER BY bucket""".stripMargin,
+
+    // Replays the hashed-bigram LM scorer: adjacent token pairs (a
+    // struct unnest keeps the sides aligned), per-side 60-bit md5
+    // bucket hashes, the md5-derived synthetic weight grid, integer
+    // sum, one final double division.
+    "q117_lm_score" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS t FROM documents),
+        |bg AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(t)), i -> struct_pack(w1 := t[i], w2 := t[i + 1]))) AS p
+        |  FROM tk WHERE len(t) >= 2),
+        |hb AS (
+        |  SELECT doc_id,
+        |    CAST(concat('0x', substring(md5(concat('7', '|', p.w1)), 1, 15)) AS BIGINT) % 64 AS ctx,
+        |    CAST(concat('0x', substring(md5(concat('7', '|', p.w2)), 1, 15)) AS BIGINT) % 64 AS tok
+        |  FROM bg),
+        |w AS (
+        |  SELECT c.range AS ctx, k.range AS tok,
+        |    -(CAST(concat('0x', substring(md5(concat('13', '|', CAST(c.range AS VARCHAR), '|', CAST(k.range AS VARCHAR))), 1, 15)) AS BIGINT) % 1401) AS weight
+        |  FROM range(64) c CROSS JOIN range(64) k),
+        |agg AS (
+        |  SELECT doc_id, sum(weight) AS sw, count(*) AS nb
+        |  FROM hb JOIN w USING (ctx, tok) GROUP BY 1)
+        |SELECT d.doc_id, coalesce(CAST(agg.sw AS DOUBLE) / CAST(1000 * agg.nb AS DOUBLE), 0.0) AS lm_score
+        |FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+
+    // Replays the bigram-LM count aggregate on the same hashed pairs.
+    "q118_lm_counts" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS t FROM documents),
+        |bg AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(t)), i -> struct_pack(w1 := t[i], w2 := t[i + 1]))) AS p
+        |  FROM tk WHERE len(t) >= 2),
+        |hb AS (
+        |  SELECT doc_id,
+        |    CAST(concat('0x', substring(md5(concat('7', '|', p.w1)), 1, 15)) AS BIGINT) % 64 AS ctx,
+        |    CAST(concat('0x', substring(md5(concat('7', '|', p.w2)), 1, 15)) AS BIGINT) % 64 AS tok
+        |  FROM bg)
+        |SELECT ctx, tok, count(*) AS cnt FROM hb GROUP BY 1, 2
+        |ORDER BY ctx, tok""".stripMargin,
 
     "q49_ann_topk" -> AnnTopkSql,
 

@@ -294,6 +294,109 @@ object TextOps {
           (col("__nf") * lit(1000L)).cast("double"), lit(0.0)).as("score"))
   }
 
+  // ------------------------- hashed-bigram LM (perplexity filtering)
+  // CCNet's OTHER filter (Wenzek et al. 2020): score documents by a
+  // language model's per-token log-probability and drop the tail. A
+  // 5-gram KenLM doesn't distribute; the Spark-native shape is a
+  // hashed-vocabulary bigram model — the MODEL IS DATA (a
+  // (ctx, tok, weight) table, broadcast-joined), the score is one
+  // integer aggregate per doc. Same contract recipe as the classifier:
+  // integer milli-log-prob weights, one final division, so the scores
+  // hash-match cross-engine (q117); training's sufficient statistics
+  // (bigram counts) are pure integers and oracle-gated too (q118).
+
+  /** Hashed bigram occurrences: (idCol, ctx, tok), one row per
+    * adjacent token pair, each side mapped to [0, buckets) by the
+    * portable 60-bit hash. Docs with < 2 tokens produce no rows.
+    * Shape: ONE posexplode + lead window — the doc-id exchange is the
+    * only shuffle (the [[hashedFeatureRows]] machinery). */
+  def bigramRows(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, buckets: Int, seed: Int = 7): org.apache.spark.sql.DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    import org.apache.spark.sql.expressions.Window
+    val tok = docs.select(col(idCol),
+      posexplode(tokens(col(textCol))).as(Seq("__pos", "__tok")))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
+    tok.select(col(idCol), col("__tok"),
+        lead(col("__tok"), 1).over(w).as("__nxt"))
+      .filter(col("__nxt").isNotNull)
+      .select(col(idCol),
+        (portableHash64(seed, col("__tok")) % buckets).as("ctx"),
+        (portableHash64(seed, col("__nxt")) % buckets).as("tok"))
+  }
+
+  /** Bigram LM training counts: non-zero (ctx, tok, cnt) over the
+    * corpus — the sufficient statistics of bigram-LM estimation
+    * (oracle-gated, q118). ONE hash aggregate on (ctx, tok) after the
+    * bigram pass; at most buckets² rows out, whatever the corpus. */
+  def bigramLmCounts(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, buckets: Int, seed: Int = 7): org.apache.spark.sql.DataFrame =
+    bigramRows(docs, idCol, textCol, buckets, seed)
+      .groupBy(col("ctx"), col("tok")).agg(count(lit(1)).as("cnt"))
+
+  /** Train the hashed-bigram LM: a COMPLETE (ctx, tok, weight) table,
+    * weight = round(1000 · ln P̂(tok|ctx)) with add-one smoothing over
+    * the hashed vocabulary, so unseen bigrams get the smoothed floor
+    * (KenLM-style backoff collapses to this under a hashed vocab).
+    * The table is buckets² rows — keep `buckets` ≤ ~512 so the model
+    * stays broadcast-small (512² = 262k rows ≈ 6 MB); the hashing
+    * trick bounds model size regardless of corpus vocabulary.
+    * Weights are MODEL DATA (`ln` never crosses engines — q117 gates
+    * the scoring path with [[syntheticLmWeights]] instead). */
+  def trainBigramLm(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, buckets: Int, seed: Int = 7): org.apache.spark.sql.DataFrame = {
+    val spark = docs.sparkSession
+    val counts = bigramLmCounts(docs, idCol, textCol, buckets, seed)
+    val ctxTotals = counts.groupBy(col("ctx")).agg(sum(col("cnt")).as("__ct"))
+    // single Range leaf + div/mod, not a cross join of two ranges
+    val grid = spark.range(buckets.toLong * buckets).select(
+      (col("id") / buckets).cast("long").as("ctx"),
+      (col("id") % buckets).as("tok"))
+    grid.join(broadcast(counts), Seq("ctx", "tok"), "left")
+      .join(broadcast(ctxTotals), Seq("ctx"), "left")
+      .select(col("ctx"), col("tok"),
+        round(lit(1000.0) * log(
+          (coalesce(col("cnt"), lit(0L)) + 1L).cast("double") /
+          (coalesce(col("__ct"), lit(0L)) + buckets).cast("double")))
+          .cast("long").as("weight"))
+  }
+
+  /** Deterministic md5-derived stand-in LM weight table (weight ∈
+    * [−1400, 0] milli-log-prob — ln of probabilities down to ~e⁻¹·⁴)
+    * for the cross-engine scoring contract, as [[syntheticWeights]] is
+    * to the classifier. */
+  def syntheticLmWeights(spark: org.apache.spark.sql.SparkSession, buckets: Int,
+      seed: Int = 13): org.apache.spark.sql.DataFrame =
+    spark.range(buckets.toLong * buckets).select(
+        (col("id") / buckets).cast("long").as("ctx"),
+        (col("id") % buckets).as("tok"))
+      .select(col("ctx"), col("tok"),
+        (lit(0L) - portableHash64(seed, concat_ws("|",
+          col("ctx").cast("string"), col("tok").cast("string"))) % 1401L)
+          .as("weight"))
+
+  /** Per-document LM score: mean milli-log-prob of its bigrams / 1000
+    * (≈ avg ln P(tok|ctx) — higher is more in-distribution; filter by
+    * quantile downstream). Docs with < 2 tokens score 0.0, and every
+    * input doc gets a row. Shape: narrow bigram explode → broadcast
+    * equi-join on (ctx, tok) (the model table is COMPLETE, so inner) →
+    * one hash aggregate on the doc id → left join back to the doc-id
+    * spine. Integer sum, ONE double division — bit-identical in any
+    * IEEE engine. */
+  def lmScore(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, lm: org.apache.spark.sql.DataFrame,
+      buckets: Int, seed: Int = 7): org.apache.spark.sql.DataFrame = {
+    val agg = bigramRows(docs, idCol, textCol, buckets, seed)
+      .join(broadcast(lm), Seq("ctx", "tok"))
+      .groupBy(col(idCol))
+      .agg(sum(col("weight")).as("__sw"), count(lit(1)).as("__nb"))
+    docs.select(col(idCol))
+      .join(agg, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__sw").cast("double") /
+          (col("__nb") * lit(1000L)).cast("double"), lit(0.0)).as("lm_score"))
+  }
+
   /** Exact document fingerprint: md5 of normalized text. Stable across
     * engines (used by the exact-dedup oracle). */
   def fingerprintMd5(c: Column): Column = md5(normalize(c))

@@ -277,6 +277,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("LM score: model joins as a broadcast relation, bigrams never nested-loop") {
+    val p = planOf("q117_lm_score")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("duplicated-span detect + removal plan only equi-joins (df gate, span anti-join)") {
     for (q <- Seq("q114_dup_spans", "q115_span_removal")) {
       val p = planOf(q)

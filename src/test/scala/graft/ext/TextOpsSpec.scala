@@ -176,6 +176,36 @@ class TextOpsSpec extends SparkSpec {
       .contains("BroadcastHashJoin"), "weight table should broadcast-join")
   }
 
+  test("bigramRows/bigramLmCounts: pair counts, short docs yield no rows") {
+    // "a b c" → (a,b),(b,c); "a b a b" → (a,b)×2,(b,a); "x" → none
+    val docs = Seq((1L, "a b c"), (2L, "a b a b"), (3L, "x"))
+      .toDF("doc_id", "text")
+    val c = TextOps.bigramLmCounts(docs, "doc_id", "text", buckets = 4096)
+    assert(c.agg(sum("cnt")).head().getLong(0) == 5)
+    // with 4096 buckets these tiny tokens don't collide: (a,b) has cnt 3
+    assert(c.agg(max("cnt")).head().getLong(0) == 3,
+      "(a,b) appears 3 times across the corpus")
+    assert(TextOps.bigramRows(docs.filter(col("doc_id") === 3),
+      "doc_id", "text", 4096).count() == 0)
+  }
+
+  test("trainBigramLm + lmScore: in-distribution text outscores shuffled garbage") {
+    val corpus = Seq.tabulate(20)(i =>
+      (i.toLong, "the quick brown fox jumps over the lazy dog every day"))
+      .toDF("doc_id", "text")
+    val lm = TextOps.trainBigramLm(corpus, "doc_id", "text", buckets = 256)
+    assert(lm.count() == 256L * 256L, "LM table must be complete")
+    val test = Seq(
+      (1L, "the quick brown fox jumps"),   // seen bigrams
+      (2L, "dog fox the over quick"),      // same vocab, unseen order
+      (3L, "z")).toDF("doc_id", "text")    // < 2 tokens
+    val s = TextOps.lmScore(test, "doc_id", "text", lm, 256)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(s(1L) > s(2L),
+      s"in-distribution ${s(1L)} should outscore shuffled ${s(2L)}")
+    assert(s(3L) == 0.0, "short docs score 0.0 and keep their row")
+  }
+
   test("trainFeatureCounts: complete bucket table, class totals = feature occurrences") {
     // "a b c" → 3 unigrams + 2 bigrams = 5 features; "d e" → 2 + 1 = 3
     val labeled = Seq((1L, "a b c", true), (2L, "d e", false))
