@@ -64,7 +64,11 @@ object Scale10x {
       // span detection (two gram-window passes + equi-joins; the
       // vocabulary bijection keeps cross-replica grams disjoint, so
       // surviving-gram volume scales ×10, not ×100)
-      "q113_classifier_score", "q114_dup_spans")
+      "q113_classifier_score", "q114_dup_spans",
+      // training/statistics paths: bucket-bounded aggregates (outputs
+      // are buckets / buckets² rows at any corpus size) and the bigram
+      // LM scorer (the q113 shape with a (ctx, tok) model key)
+      "q116_train_counts", "q117_lm_score", "q118_lm_counts")
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
