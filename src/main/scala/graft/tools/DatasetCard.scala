@@ -29,7 +29,8 @@ object DatasetCard {
       exactDupRate: Double, nearDupPairs: Long,
       qualityMean: Double, qualityP10: Double,
       dupWordFracMean: Double,
-      piiEmails: Long, piiUrls: Long, piiIps: Long)
+      piiEmails: Long, piiUrls: Long, piiIps: Long,
+      lmScoreMean: Double = 0.0, lmScoreP10: Double = 0.0)
 
   def cardFor(docs: DataFrame, idCol: String, textCol: String,
       langCol: Option[String] = None,
@@ -72,6 +73,15 @@ object DatasetCard {
     val nd = Dedup.minhashNearDupsReleasable(docs, idCol, textCol,
       threshold = nearDupThreshold, k = 32, bands = 8)
     val nearDups = try nd.result.count() finally nd.release()
+    // perplexity facet: a bigram LM trained on the corpus ITSELF scores
+    // each doc's in-distribution-ness — the p10 tail is the natural
+    // "inspect the weirdest decile" threshold for a release review
+    val lmRow = TextOps.lmScore(docs, idCol, textCol,
+        TextOps.trainBigramLm(docs, idCol, textCol, buckets = 256),
+        buckets = 256)
+      .agg(avg(col("lm_score")).as("m"),
+        percentile_approx(col("lm_score"), lit(0.1), lit(1000)).as("p10"))
+      .head()
     Card(
       nDocs = n,
       totalTokens = row.getAs[Long]("tot"),
@@ -86,7 +96,9 @@ object DatasetCard {
       dupWordFracMean = dupWord,
       piiEmails = row.getAs[Long]("ne"),
       piiUrls = row.getAs[Long]("nu"),
-      piiIps = row.getAs[Long]("ni"))
+      piiIps = row.getAs[Long]("ni"),
+      lmScoreMean = lmRow.getAs[Double]("m"),
+      lmScoreP10 = lmRow.getAs[Number]("p10").doubleValue())
   }
 
   def toJson(c: Card): String = {
@@ -104,7 +116,8 @@ object DatasetCard {
       f""""langs":$langs,"exact_dup_rate":${c.exactDupRate}%.4f,""" +
       f""""near_dup_pairs":${c.nearDupPairs},"quality_mean":${c.qualityMean}%.4f,""" +
       f""""quality_p10":${c.qualityP10}%.4f,"dup_word_frac_mean":${c.dupWordFracMean}%.4f,""" +
-      f""""pii_emails":${c.piiEmails},"pii_urls":${c.piiUrls},"pii_ips":${c.piiIps}}"""
+      f""""pii_emails":${c.piiEmails},"pii_urls":${c.piiUrls},"pii_ips":${c.piiIps},""" +
+      f""""lm_score_mean":${c.lmScoreMean}%.4f,"lm_score_p10":${c.lmScoreP10}%.4f}"""
   }
 
   def main(args: Array[String]): Unit = {
