@@ -30,6 +30,25 @@ object SparkEntry {
   private def docsSpread(s: SparkSession, dir: String): DataFrame =
     T(s, dir, "documents").repartition(col("doc_id"))
 
+  /** Derived MULTI-LINE corpus for the paragraph-dedup contracts
+    * (q119/q120): the fixture bodies carry no newlines, so boilerplate
+    * paragraphs are planted arithmetically — a shared header on every
+    * doc, a promo footer on every third, a unique tail elsewhere —
+    * mirrored term-for-term by the oracle's `d2` CTE. */
+  private def docsMultiline(s: SparkSession, dir: String): DataFrame =
+    docsSpread(s, dir).select(col("doc_id"),
+      concat(
+        lit("shared header line\n"), col("text"), lit("\n"),
+        when(col("doc_id") % 3 === 0, lit("promo footer line"))
+          .otherwise(concat(lit("unique tail "), col("doc_id").cast("string"))),
+        // a line repeated WITHIN one doc only — pins the distinct-doc
+        // rule: df counts documents, so this must never become hot
+        when(col("doc_id") % 7 === 2, concat(
+          lit("\nself repeat "), col("doc_id").cast("string"),
+          lit("\nself repeat "), col("doc_id").cast("string")))
+          .otherwise(lit(""))
+      ).as("text"))
+
   /** Exact, order-independent double aggregate: sum as decimal → double. */
   private def dsum(c: Column): Column = sum(c.cast("decimal(18,4)")).cast("double")
 
@@ -229,6 +248,36 @@ object SparkEntry {
 
   private val WinnowingOracleSql: String =
     s"WITH $WinnowingPairsCtes\nSELECT a, b, n_shared FROM p ORDER BY a, b"
+
+  /** Paragraph-dedup pipeline (Dolma/RefinedWeb line granularity) as a
+    * reusable CTE block: `d2` is the derived MULTI-LINE corpus (the
+    * fixture bodies carry no newlines, so boilerplate paragraphs are
+    * planted arithmetically — a shared header on every doc, a promo
+    * footer on every third, a unique tail elsewhere; exact-dup bodies
+    * planted in the fixture become hot paragraphs on their own), `pp`
+    * the positional segments, `hot` the ≥2-distinct-doc paragraph
+    * hashes. Mirrors `Dedup.duplicatedParagraphs(minDocs = 2)`. */
+  private val ParaDedupCtes: String =
+    """d2 AS (
+      |  SELECT doc_id,
+      |    concat('shared header line', chr(10), text, chr(10),
+      |      CASE WHEN doc_id % 3 = 0 THEN 'promo footer line'
+      |           ELSE concat('unique tail ', CAST(doc_id AS VARCHAR)) END,
+      |      CASE WHEN doc_id % 7 = 2 THEN concat(
+      |          chr(10), 'self repeat ', CAST(doc_id AS VARCHAR),
+      |          chr(10), 'self repeat ', CAST(doc_id AS VARCHAR))
+      |        ELSE '' END) AS text
+      |  FROM documents),
+      |pp AS (
+      |  SELECT doc_id, unnest(string_split(text, chr(10))) AS p,
+      |    unnest(range(1, len(string_split(text, chr(10))) + 1)) AS pos
+      |  FROM d2),
+      |dp AS (
+      |  SELECT DISTINCT md5(p) AS para_hash, doc_id FROM pp
+      |  WHERE len(trim(p)) > 0),
+      |hot AS (
+      |  SELECT para_hash, count(*) AS df FROM dp
+      |  GROUP BY 1 HAVING count(*) >= 2)""".stripMargin
 
   /** DuckDB replay of the SRP-LSH embedding near-dup pipeline: the 16
     * seeded hyperplanes are embedded as literals (Double.toString
@@ -1224,6 +1273,25 @@ object SparkEntry {
       TextOps.bigramLmCounts(docsSpread(s, d), "doc_id", "text",
         buckets = 64)
         .orderBy(col("ctx"), col("tok"))),
+
+    // Paragraph-level dedup (ext.Dedup.duplicatedParagraphs — the
+    // Dolma/RefinedWeb granularity): md5 + document frequency of every
+    // non-blank line occurring in ≥ 2 distinct docs. The fixture
+    // bodies carry no newlines, so the multi-line corpus is derived
+    // arithmetically (shared header on every doc, promo footer on
+    // every third, unique tail elsewhere) — identically in both
+    // engines; planted exact-dup bodies become hot paragraphs too.
+    "q119_dup_paragraphs" -> ((s, d) =>
+      Dedup.duplicatedParagraphs(docsMultiline(s, d), "doc_id", "text",
+        minDocs = 2)
+        .orderBy(col("para_hash"))),
+
+    // Removal half: hot paragraphs dropped, text rebuilt as the
+    // ordered newline-joined survivors; every doc keeps a row.
+    "q120_paragraph_removal" -> ((s, d) =>
+      Dedup.removeDuplicatedParagraphs(docsMultiline(s, d), "doc_id",
+        "text", minDocs = 2)
+        .orderBy(col("doc_id"))),
 
     "q49_ann_topk" -> ((s, d) => {
       val emb = T(s, d, "embeddings")
@@ -2512,6 +2580,27 @@ object SparkEntry {
         |  FROM bg)
         |SELECT ctx, tok, count(*) AS cnt FROM hb GROUP BY 1, 2
         |ORDER BY ctx, tok""".stripMargin,
+
+    // Replays the paragraph-frequency gate: derived multi-line corpus,
+    // per-doc-distinct md5 of non-blank lines, df ≥ 2.
+    "q119_dup_paragraphs" ->
+      s"""WITH $ParaDedupCtes
+        |SELECT para_hash, df FROM hot ORDER BY para_hash""".stripMargin,
+
+    // Removal half: hot lines dropped, text rebuilt as the ordered
+    // newline-joined survivors (string_agg ORDER BY ≡ sort_array over
+    // (pos, segment) structs). Every doc keeps a row.
+    "q120_paragraph_removal" ->
+      s"""WITH $ParaDedupCtes,
+        |kept AS (
+        |  SELECT doc_id, pos, p FROM pp
+        |  WHERE md5(p) NOT IN (SELECT para_hash FROM hot)),
+        |agg AS (
+        |  SELECT doc_id, string_agg(p, chr(10) ORDER BY pos) AS clean_text
+        |  FROM kept GROUP BY 1)
+        |SELECT d.doc_id, coalesce(a.clean_text, '') AS clean_text
+        |FROM d2 d LEFT JOIN agg a USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
 
     "q49_ann_topk" -> AnnTopkSql,
 

@@ -1035,6 +1035,66 @@ object Dedup {
       .select(col(idCol), coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
+  /** Paragraph-level duplicate detection (the Dolma / RefinedWeb
+    * granularity, between document-exact and token-span dedup): the
+    * md5 of every NON-BLANK paragraph (a `sep`-split segment of the
+    * text) that occurs in ≥ `minDocs` DISTINCT documents, with its
+    * document frequency. Catches shared boilerplate — headers, promo
+    * footers, navigation blocks — that repeats verbatim across pages
+    * whose bodies differ, where document-level passes see nothing and
+    * span detection pays token windows for what is a line-keyed
+    * equality problem.
+    *
+    * Shape: paragraphs explode narrowly (no windows anywhere — the
+    * position comes free from `posexplode`), the frequency aggregate
+    * keys on the 16-byte md5 so the exchange never carries paragraph
+    * bodies, and a per-doc `distinct` pre-aggregates before the count
+    * (a doc repeating its own paragraph does not qualify, matching
+    * [[duplicatedSpans]]'s cross-document rule). Two hash exchanges
+    * total, both equi-keyed. Output: (para_hash, df).
+    *
+    * Matching is EXACT on the raw segment (portable across engines);
+    * pre-normalize the text column first if case/whitespace-insensitive
+    * matching is wanted. */
+  def duplicatedParagraphs(docs: DataFrame, idCol: String, textCol: String,
+      minDocs: Int = 2, sep: String = "\n"): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    docs.select(col(idCol),
+        explode(split(col(textCol), java.util.regex.Pattern.quote(sep))).as("__p"))
+      .filter(length(trim(col("__p"))) > 0)
+      .select(md5(col("__p")).as("para_hash"), col(idCol)).distinct()
+      .groupBy(col("para_hash")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDocs)
+  }
+
+  /** Removal half of the paragraph recipe: drop every paragraph whose
+    * hash is hot per [[duplicatedParagraphs]], rebuild each doc as the
+    * `sep`-joined ordered survivors. Every input doc gets a row; a doc
+    * whose paragraphs are all hot yields ''. Blank segments are never
+    * frequency-counted, so interior blank lines survive.
+    *
+    * Shape: the hot side is small by construction (only cross-document
+    * repeats pass the gate) — the anti-join broadcasts; one doc-id
+    * aggregate rebuilds the text (sort_array over (pos, segment)
+    * structs — collect_list order is not deterministic, the sort is). */
+  def removeDuplicatedParagraphs(docs: DataFrame, idCol: String,
+      textCol: String, minDocs: Int = 2, sep: String = "\n"): DataFrame = {
+    val hot = duplicatedParagraphs(docs, idCol, textCol, minDocs, sep)
+      .select(col("para_hash"))
+    val para = docs.select(col(idCol),
+      posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+        .as(Seq("__pos", "__p")))
+    val kept = para.join(broadcast(hot),
+      md5(col("__p")) === col("para_hash"), "left_anti")
+    val rebuilt = kept.groupBy(col(idCol))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("__pos"), col("__p")))),
+        s => s.getField("__p")), sep).as("clean_text"))
+    docs.select(col(idCol))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   def semanticNearDups(corpus: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.9, nCentroids: Int = 256,
       broadcastCentroids: Boolean = true,

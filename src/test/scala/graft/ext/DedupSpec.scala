@@ -317,6 +317,40 @@ class DedupSpec extends SparkSpec {
     assert(cleaned == Map(1L -> "", 2L -> ""))
   }
 
+  test("duplicatedParagraphs: cross-doc lines gate on distinct docs; blanks and self-repeats don't qualify") {
+    val docs = Seq(
+      (1L, "HEADER\nbody of the first page\nFOOTER"),
+      (2L, "HEADER\nbody of the second page\nFOOTER"),
+      (3L, "HEADER\nunique middle\n\n\nunique end"),   // blank lines
+      (4L, "selfsame\nselfsame\nonly here")            // within-doc repeat only
+    ).toDF("doc_id", "text")
+    val hot = Dedup.duplicatedParagraphs(docs, "doc_id", "text", minDocs = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val md5 = (s: String) => java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(hot == Map(md5("HEADER") -> 3L, md5("FOOTER") -> 2L), s"got $hot")
+    // matching is exact on the raw segment: 'HEADER' != 'header'
+    assert(!hot.contains(md5("header")))
+  }
+
+  test("removeDuplicatedParagraphs drops hot lines, keeps order, blanks, and all-removed docs") {
+    val docs = Seq(
+      (1L, "HEADER\nbody of the first page\nFOOTER"),
+      (2L, "HEADER\nbody of the second page\nFOOTER"),
+      (3L, "HEADER\nkeep one\n\nkeep two"),
+      (4L, "HEADER\nFOOTER")                           // fully boilerplate
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicatedParagraphs(docs, "doc_id", "text",
+      minDocs = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "body of the first page")
+    assert(out(2L) == "body of the second page")
+    // interior blank segment survives (blanks are never counted)
+    assert(out(3L) == "keep one\n\nkeep two")
+    // every doc keeps a row; all-hot docs collapse to ''
+    assert(out(4L) == "")
+  }
+
   test("semantic near-dups: clustered path finds most brute-force pairs; plan is an equi-join") {
     val emb = graft.core.Fx.t(spark, sfDir, "embeddings").filter($"vec_id" < 300)
     val brute = Dedup.embeddingNearDups(emb, "vec_id", "embedding",
