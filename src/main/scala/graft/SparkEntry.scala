@@ -279,6 +279,15 @@ object SparkEntry {
       |  SELECT para_hash, count(*) AS df FROM dp
       |  GROUP BY 1 HAVING count(*) >= 2)""".stripMargin
 
+  /** Fixed merge list for the q122 BPE-encode contract — model data
+    * shipped as literals on both sides (the q113 recipe). Chained
+    * merges ('d a'→'da t'→'dat a') exercise multi-character symbols
+    * and merge-order sensitivity. */
+  private val BpeContractMerges: Seq[(String, String)] = Seq(
+    ("d", "a"), ("da", "t"), ("dat", "a"), ("t", "h"), ("th", "e"),
+    ("j", "o"), ("jo", "i"), ("joi", "n"), ("s", "t"), ("o", "r"),
+    ("e", "r"), ("a", "n"))
+
   /** DuckDB replay of the SRP-LSH embedding near-dup pipeline: the 16
     * seeded hyperplanes are embedded as literals (Double.toString
     * round-trips exactly, so DuckDB parses the identical doubles), sign
@@ -1291,6 +1300,27 @@ object SparkEntry {
     "q120_paragraph_removal" -> ((s, d) =>
       Dedup.removeDuplicatedParagraphs(docsMultiline(s, d), "doc_id",
         "text", minDocs = 2)
+        .orderBy(col("doc_id"))),
+
+    // BPE training sufficient statistics (TextOps.bpePairCounts):
+    // word-frequency-weighted adjacent character-pair counts — the
+    // integer table the first merge decision reads, replayed exactly
+    // (the greedy merge loop of trainBpeMerges runs on the bounded
+    // word dictionary and is model data, spec-covered in BpeSpec —
+    // the q116/q118 trainer-gating recipe).
+    "q121_bpe_pair_counts" -> ((s, d) =>
+      TextOps.bpePairCounts(docsSpread(s, d), "text")
+        .orderBy(col("pair"))),
+
+    // BPE ENCODE under a fixed merge list (model-as-literal, like
+    // q113's weights): the no-UDF replace-chain encoder's symbol and
+    // distinct-symbol counts per doc, replayed with the identical
+    // replace chain in SQL. Trained-merge behavior is spec-covered.
+    "q122_bpe_encode" -> ((s, d) =>
+      docsSpread(s, d).select(col("doc_id"),
+        TextOps.bpeTokenCount(col("text"), BpeContractMerges).as("n_bpe"),
+        size(array_distinct(TextOps.bpeSymbols(col("text"), BpeContractMerges)))
+          .cast("long").as("n_types"))
         .orderBy(col("doc_id"))),
 
     "q49_ann_topk" -> ((s, d) => {
@@ -2601,6 +2631,40 @@ object SparkEntry {
         |SELECT d.doc_id, coalesce(a.clean_text, '') AS clean_text
         |FROM d2 d LEFT JOIN agg a USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+
+    // Replays the BPE pair-count aggregate: word counts, then pairs
+    // exploded from the word TABLE (vocabulary-sized). Integer
+    // arithmetic throughout (DuckDB sum(BIGINT) is HUGEINT — cast).
+    "q121_bpe_pair_counts" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS t FROM documents),
+        |w AS (SELECT unnest(t) AS w FROM tk),
+        |wc AS (SELECT w, count(*) AS wc FROM w GROUP BY 1),
+        |pr AS (
+        |  SELECT wc, unnest(list_transform(range(1, len(w)), i -> substring(w, i, 2))) AS pair
+        |  FROM wc WHERE len(w) >= 2)
+        |SELECT pair, CAST(sum(wc) AS BIGINT) AS freq
+        |FROM pr GROUP BY 1 ORDER BY pair""".stripMargin,
+
+    // Replays the replace-chain BPE encoder term for term: the same
+    // fixed merge list as nested replace() calls over the spaced
+    // character stream, '|' word-boundary markers filtered at the end.
+    "q122_bpe_encode" -> {
+      val chain = BpeContractMerges.foldLeft(
+        "concat(' ', regexp_replace(array_to_string(t, '|'), '(.)', '\\1 ', 'g'))") {
+        case (s, (a, b)) => s"replace($s, ' $a $b ', ' ${a + b} ')"
+      }
+      s"""WITH tk AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS t FROM documents),
+        |enc AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(trim($chain), ' '),
+        |      x -> x <> '|' AND len(x) > 0) AS syms
+        |  FROM tk)
+        |SELECT doc_id, CAST(len(syms) AS BIGINT) AS n_bpe,
+        |  CAST(len(list_distinct(syms)) AS BIGINT) AS n_types
+        |FROM enc ORDER BY doc_id""".stripMargin
+    },
 
     "q49_ann_topk" -> AnnTopkSql,
 

@@ -597,4 +597,113 @@ object TextOps {
         lead(col("__tok"), n - 1).over(w).isNotNull.as("__full"))
       .filter(col("__full")).drop("__full")
   }
+
+  // ----------------------------------------- BPE tokenizer (train + encode)
+
+  /** Adjacent character-pair frequencies over the initial BPE symbol
+    * vocabulary, weighted by word frequency — the sufficient statistic
+    * the first merge decision reads (and the oracle-gated half of
+    * [[trainBpeMerges]], like q116/q118 gate the other trainers).
+    *
+    * Shape: ONE word-count aggregate over the corpus (map-side
+    * combine), then pairs explode from the WORD TABLE — vocabulary-
+    * sized, not corpus-sized, so the second aggregate is tiny whatever
+    * the input. Output: (pair, freq). */
+  def bpePairCounts(docs: org.apache.spark.sql.DataFrame,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val words = docs.select(explode(tokens(col(textCol))).as("__w"))
+      .groupBy(col("__w")).agg(count(lit(1)).as("__wc"))
+    words.filter(length(col("__w")) >= 2)
+      .select(col("__wc"), explode(transform(
+        sequence(lit(1), length(col("__w")) - 1),
+        i => col("__w").substr(i, lit(2)))).as("pair"))
+      .groupBy(col("pair")).agg(sum(col("__wc")).as("freq"))
+  }
+
+  /** Train BPE merges the way every production trainer does — on the
+    * WORD-FREQUENCY DICTIONARY, not the corpus (Sennrich et al. 2016
+    * §3; the corpus is scanned exactly once, for the word counts): one
+    * distributed word-count aggregate, a deterministic bounded cut to
+    * the `maxWords` most frequent words (count desc, word asc — at any
+    * corpus size the driver holds ≤ maxWords rows), then the classic
+    * greedy merge loop over the in-memory dictionary. Deterministic
+    * tie-break: highest pair frequency, then lexicographic pair.
+    * Returns the ordered merge list — model data, like the classifier
+    * weights and LM grid; apply with [[bpeSymbols]]/[[bpeTokenCount]],
+    * which ship it as literals. */
+  def trainBpeMerges(docs: org.apache.spark.sql.DataFrame, textCol: String,
+      nMerges: Int, maxWords: Int = 1 << 16): Seq[(String, String)] = {
+    require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
+    val wf: Array[(Array[String], Long)] = docs
+      .select(explode(tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w"))
+      .limit(maxWords)
+      .collect().map(r => (r.getString(0).map(_.toString).toArray, r.getLong(1)))
+    var seqs = wf
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var continue = true
+    while (merges.length < nMerges && continue) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      for ((syms, c) <- seqs; i <- 0 until syms.length - 1) {
+        val p = (syms(i), syms(i + 1))
+        counts(p) = counts.getOrElse(p, 0L) + c
+      }
+      if (counts.isEmpty) continue = false
+      else {
+        val best = counts.toSeq.minBy { case ((a, b), f) => (-f, a, b) }._1
+        merges += best
+        seqs = seqs.map { case (syms, c) => (mergeOnce(syms, best), c) }
+      }
+    }
+    merges.toSeq
+  }
+
+  /** One BPE merge pass over a symbol sequence, leftmost-first (the
+    * driver-side twin of the `replace`-chain column form — BpeSpec
+    * pins their agreement). */
+  private[ext] def mergeOnce(syms: Array[String],
+      p: (String, String)): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i < syms.length - 1 && syms(i) == p._1 && syms(i + 1) == p._2) {
+        out += p._1 + p._2; i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toArray
+  }
+
+  /** Driver-side BPE encode of one word (test/inspection twin of
+    * [[bpeSymbols]]). */
+  private[ext] def bpeEncodeWord(word: String,
+      merges: Seq[(String, String)]): Seq[String] =
+    merges.foldLeft(word.map(_.toString).toArray)(mergeOnce).toSeq
+
+  /** BPE-encode a text column under a trained merge list — array of
+    * BPE symbols, whole document, NO UDFs and no per-word lambdas: the
+    * token stream is joined with a `|` boundary marker (never inside a
+    * symbol — tokens are [a-z0-9] runs), spaced into characters, and
+    * the merge chain applied as NESTED LITERAL `replace` CALLS. Each
+    * merge (a, b) rewrites " a b " → " ab "; `replace` scans leftmost
+    * and resumes after each replacement, which is exactly BPE's greedy
+    * leftmost-first merge order, and the space guards keep matches on
+    * symbol boundaries. The whole chain is one codegen'd string
+    * expression per row — nMerges fused `StringReplace`s, no shuffle,
+    * no interpreted higher-order lambda on the hot path — and replays
+    * verbatim in any engine with `replace` (the oracle does). */
+  def bpeSymbols(c: Column, merges: Seq[(String, String)]): Column = {
+    val spaced = concat(lit(" "),
+      regexp_replace(array_join(tokens(c), "|"), "(.)", "$1 "))
+    val enc = merges.foldLeft(spaced) { case (s, (a, b)) =>
+      org.apache.spark.sql.functions.replace(
+        s, lit(s" $a $b "), lit(s" ${a + b} "))
+    }
+    filter(split(trim(enc), " "), t => t =!= "|" && length(t) > 0)
+  }
+
+  /** BPE token count under a trained merge list (the real-tokenizer
+    * upgrade of [[tokenCountBpe]]'s regex proxy). */
+  def bpeTokenCount(c: Column, merges: Seq[(String, String)]): Column =
+    size(bpeSymbols(c, merges)).cast("long")
 }
