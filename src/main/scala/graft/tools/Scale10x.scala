@@ -68,7 +68,14 @@ object Scale10x {
       // training/statistics paths: bucket-bounded aggregates (outputs
       // are buckets / buckets² rows at any corpus size) and the bigram
       // LM scorer (the q113 shape with a (ctx, tok) model key)
-      "q116_train_counts", "q117_lm_score", "q118_lm_counts")
+      "q116_train_counts", "q117_lm_score", "q118_lm_counts",
+      // final r7 additions: paragraph dedup (hash-keyed df gate +
+      // broadcast-hot removal — the planted boilerplate lines repeat
+      // per replica, so hot-paragraph volume scales ×10, never ×100)
+      // and the BPE paths (word-dictionary aggregate + narrow
+      // replace-chain encode — both ~linear by construction)
+      "q119_dup_paragraphs", "q120_paragraph_removal",
+      "q121_bpe_pair_counts", "q122_bpe_encode")
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
