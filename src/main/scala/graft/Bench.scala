@@ -69,25 +69,28 @@ object Bench {
     val results = order.map { case (name, _) => name -> samples(name).min }
     // a failed query's time-to-failure is noise, not cost: report it as
     // null and keep the headline total an aggregate of SUCCESSFUL runs
-    def fmt(v: Double): String = BigDecimal(v)
-      .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    def entries(short: Boolean) = results.map { case (k, v) =>
+    def fmt(v: Double, scale: Int): String = BigDecimal(v)
+      .setScale(scale, BigDecimal.RoundingMode.HALF_UP).toString
+    def entries(short: Boolean, scale: Int) = results.map { case (k, v) =>
       val key = if (short) k.takeWhile(_ != '_') else k
-      "\"" + key + "\":" + (if (failed.contains(k)) "null" else fmt(v))
+      "\"" + key + "\":" + (if (failed.contains(k)) "null" else fmt(v, scale))
     }.mkString("{", ",", "}")
     val total = results.collect { case (k, v) if !failed.contains(k) => v }.sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    def json(short: Boolean) =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","mode":"min_interleaved_2","failed":$failedJson,"queries":${entries(short)},"sf":"$sfDir"}"""
+    def json(short: Boolean, scale: Int) =
+      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","mode":"min_interleaved_2","failed":$failedJson,"queries":${entries(short, scale)},"sf":"$sfDir"}"""
     // The driver captures only the LAST ~2000 chars of sbt output and
     // parses the JSON line out of it: with 90+ queries, full names +
     // full-precision doubles overflow that window (round 3's line was
-    // truncated mid-line → parsed:null). The stdout line therefore uses
-    // the short qNN keys (unique by construction) and 3-decimal values
-    // (~1.3 KB); the full-name version goes to bench_out.json.
-    println(json(short = true))
+    // truncated mid-line → parsed:null; round 8's 122-query 3-decimal
+    // line left only ~150 chars of margin after sbt's `[info] ` prefix
+    // and `[success]` trailer, and parsed:null again). The stdout line
+    // therefore uses short qNN keys (unique by construction) and
+    // 2-decimal values (~1.5 KB incl. prefix+trailer); the full-name,
+    // 3-decimal version goes to bench_out.json.
+    println(json(short = true, scale = 2))
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
-      json(short = false).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      json(short = false, scale = 3).getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }

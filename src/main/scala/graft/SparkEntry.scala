@@ -2128,7 +2128,7 @@ object SparkEntry {
       """WITH f AS (
         |  SELECT user_id, ts, event_id,
         |    CASE WHEN lag(ts) OVER w IS NULL
-        |      OR epoch_us(ts)//1000000 - epoch_us(lag(ts) OVER w)//1000000 > 1800
+        |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
         |    THEN 1 ELSE 0 END AS new_s
         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         |s AS (

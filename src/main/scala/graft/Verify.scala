@@ -20,10 +20,12 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     SparkEntry.queries.filter(kv => only(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        failed += name
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       spark.catalog.clearCache() // queries are independent; keep memory flat
@@ -44,5 +46,13 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    // tripwire: a query that throws writes NO output parquet and then
+    // silently vanishes from the driver's correctness report (q38 was
+    // red for two rounds before anyone noticed). Dump the oracle JSON
+    // first — partial results still reach the driver — then fail LOUDLY.
+    if (failed.nonEmpty) {
+      System.err.println(s"[verify] MISSING (${failed.size}): ${failed.sorted.mkString(", ")}")
+      sys.exit(1)
+    }
   }
 }

@@ -14,17 +14,26 @@ object Fx {
     StarTables ++ Seq("events", "documents", "embeddings")
 
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    // reader rejects outright ([PARQUET_TYPE_ILLEGAL]). Read nanos as
-    // long and convert with exact integer division (a double division
-    // would lose precision at 1e18 nanos).
+    // The driver has regenerated events.parquet with DIFFERENT physical
+    // ts types across rounds: TIMESTAMP(NANOS) (vectorized reader
+    // rejects it; readable only via nanosAsLong, arriving as LongType)
+    // and, currently, TIMESTAMP_MICROS with isAdjustedToUTC=false
+    // (arriving as TIMESTAMP_NTZ, which e.g. CAST(.. AS BIGINT)
+    // rejects). Normalize BOTH to session-zoned TimestampType at this
+    // single chokepoint so every downstream consumer sees one type.
+    // The session tz is UTC, so the NTZ→LTZ cast is value-preserving.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    df.schema.fields.find(f => f.name == "ts" &&
-        f.dataType == org.apache.spark.sql.types.LongType) match {
-      case Some(_) => df.withColumn("ts",
-        org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-      case None => df
+    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(org.apache.spark.sql.types.LongType) =>
+        // nanos-as-long: exact integer division (a double division
+        // would lose precision at 1e18 nanos)
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case Some(org.apache.spark.sql.types.TimestampNTZType) =>
+        df.withColumn("ts", org.apache.spark.sql.functions.col("ts")
+          .cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
     }
   }
 

@@ -126,13 +126,18 @@ object Streams {
     * revtron/salesforce/main.py:189-202): a parquet file stream over
     * the events table; new files under `dir` arrive as micro-batches,
     * with the watermark as the continuously-advancing date cursor.
-    * Handles the fixture's TIMESTAMP(NANOS) the same way as the batch
-    * reader (nanos-as-long + exact integer division to micros). */
+    * The fixture's ts is physically TIMESTAMP_MICROS with
+    * isAdjustedToUTC=false — declared TIMESTAMP_NTZ in the read schema
+    * and cast to session-zoned TimestampType (UTC session ⇒
+    * value-preserving), the same normalization [[graft.core.Fx.t]]
+    * applies on the batch side, so window boundaries agree between the
+    * two. (Earlier fixture generations used TIMESTAMP(NANOS); a file
+    * STREAM cannot sniff the physical type per file, so this reader
+    * tracks the current generation only — batch `Fx.t` handles both.) */
   def eventsFileStream(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampNTZType),
       org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
       org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
@@ -140,7 +145,7 @@ object Streams {
     spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
   }
 
   /** Latest-value-per-key changelog — the STREAMING form of the
@@ -303,17 +308,25 @@ object Streams {
 
   /** Batch-mode sessionization (gaps-and-islands): a new session starts
     * after `gapMinutes` of inactivity; pure window functions so it is
-    * oracle-checkable in SQL — the batch twin of [[sessionAgg]]. */
+    * oracle-checkable in SQL — the batch twin of [[sessionAgg]].
+    *
+    * Gap arithmetic is in MICROSECONDS (`unix_micros`), so sub-second
+    * gaps are exact — a 30m00.000001s gap opens a new session where
+    * whole-second truncation would not. The `cast("timestamp")` makes
+    * it type-proof: TIMESTAMP_NTZ inputs (the current events fixture
+    * physical type) are normalized to session-zoned timestamps, and a
+    * TimestampType input passes through unchanged. */
   def sessionizeBatch(events: DataFrame, tsCol: String, userCol: String,
       gapMinutes: Int, tieBreak: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ord = col(tsCol) +: tieBreak.map(col).toSeq
     val byUser = Window.partitionBy(col(userCol)).orderBy(ord: _*)
+    def us(c: org.apache.spark.sql.Column) = unix_micros(c.cast("timestamp"))
     val flagged = events
       .withColumn("__prev", lag(col(tsCol), 1).over(byUser))
       .withColumn("__new",
         when(col("__prev").isNull ||
-          col(tsCol).cast("long") - col("__prev").cast("long") > gapMinutes * 60L, 1L)
+          us(col(tsCol)) - us(col("__prev")) > gapMinutes * 60000000L, 1L)
           .otherwise(0L))
       .withColumn("session_id", sum(col("__new")).over(
         byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))

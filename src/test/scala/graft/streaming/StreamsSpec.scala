@@ -18,6 +18,42 @@ class StreamsSpec extends SparkSpec {
     rows.map(r => (r._1, ts(r._2), r._3, r._4, r._5))
       .toDF("event_id", "ts", "user_id", "event_type", "value")
 
+  test("sessionizeBatch: micros-exact gap — 1µs past the gap opens a session, at/under it does not") {
+    def tsUs(us: Long): Timestamp = {
+      val t = new Timestamp(us / 1000000L * 1000L)
+      t.setNanos(((us % 1000000L) * 1000L).toInt)
+      t
+    }
+    val base = ts("2024-01-01 10:00:00").getTime * 1000L
+    val gapUs = 30L * 60000000L
+    val ev = Seq(
+      (1L, tsUs(base)), (1L, tsUs(base + gapUs + 1L)),  // 1µs OVER  → new session
+      (2L, tsUs(base)), (2L, tsUs(base + gapUs)),       // exactly   → same session (strict >)
+      (3L, tsUs(base)), (3L, tsUs(base + gapUs - 1L)))  // 1µs under → same session
+      .toDF("user_id", "ts")
+    val sessions = Streams.sessionizeBatch(ev, "ts", "user_id", gapMinutes = 30)
+      .groupBy("user_id").count().as[(Long, Long)].collect().toMap
+    assert(sessions == Map(1L -> 2L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("sessionAgg (session_window) == sessionizeBatch on the events fixture — batch↔streaming parity") {
+    // the q37/q87-style contract for sessions: the streaming operator
+    // run in batch mode and the gaps-and-islands batch twin agree on
+    // (user, session_start, event count). session_end differs by
+    // construction (session_window pads last_ts + gap; the batch twin
+    // reports max(ts)), so it is excluded. The two differ only on
+    // gaps of EXACTLY 30 minutes (>= vs >), which the fixture lacks.
+    val ev = graft.core.Fx.t(spark, sfDir, "events")
+    val viaWindow = Streams.sessionAgg(ev, "ts", "30 minutes")
+      .select(col("user_id"), col("session_start"), col("n"))
+      .as[(Long, Timestamp, Long)].collect().toSet
+    val viaBatch = Streams.sessionizeBatch(ev, "ts", "user_id", gapMinutes = 30)
+      .select(col("user_id"), col("session_start"), col("n_events"))
+      .as[(Long, Timestamp, Long)].collect().toSet
+    assert(viaWindow.nonEmpty)
+    assert(viaWindow == viaBatch)
+  }
+
   test("sessionizeBatch: new session after gap; counts per session") {
     val ev = mkEvents(
       (1, "2024-01-01 10:00:00", 1, "a", 1.0),
