@@ -22,6 +22,17 @@ object Fx {
     // rejects). Normalize BOTH to session-zoned TimestampType at this
     // single chokepoint so every downstream consumer sees one type.
     // The session tz is UTC, so the NTZ→LTZ cast is value-preserving.
+    //
+    // Scan-native normalization first: disabling NTZ schema inference
+    // makes the parquet scan itself yield session-zoned TimestampType
+    // for micros-NTZ files (the pre-3.4 read behavior, identical micros
+    // decode). This matters at scale — a normalizing cast ABOVE the
+    // scan would block ts predicate pushdown, turning every date-window
+    // incremental pull (q33/q35, reference salesforce/main.py:110-128)
+    // into a full 100 TB scan. PlanShapeSpec locks the PushedFilters.
+    // The NTZ cast branch below stays as a fallback should the conf be
+    // overridden externally.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
     df.schema.fields.find(_.name == "ts").map(_.dataType) match {

@@ -23,6 +23,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("ReadSchema: struct<c_custkey:bigint,c_name:string,c_acctbal:double,c_mktsegment:string>"), p)
   }
 
+  test("events ts filter pushes down to the parquet scan (incremental-pull pattern)") {
+    // the fixture's ts is physically TIMESTAMP_MICROS/NTZ; Fx.t must
+    // normalize it AT THE SCAN (inferTimestampNTZ=false), not with a
+    // cast above it — a cast would block pushdown and a date-window
+    // incremental pull at 100 TB would full-scan
+    val ev = core.Fx.t(spark, sfDir, "events")
+    val p = plan(ev.filter(col("ts") >= lit("2024-01-01 00:00:00").cast("timestamp"))
+      .select("event_id", "ts"))
+    assert(p.contains("GreaterThanOrEqual(ts,"),
+      "ts filter must reach PushedFilters: " + p)
+    assert(p.contains("ReadSchema: struct<event_id:bigint,ts:timestamp"),
+      "scan must yield timestamp directly and prune columns: " + p)
+  }
+
   test("orderBy+limit collapses to TakeOrderedAndProject (no global sort)") {
     assert(planOf("q15_topk").contains("TakeOrderedAndProject"))
   }
