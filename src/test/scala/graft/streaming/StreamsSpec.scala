@@ -90,6 +90,33 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionAgg over a real stream: events merge into one session, watermark closes it") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, Double)]
+    val events = mem.toDF().toDF("event_id", "ts", "user_id", "value")
+    val q = Streams.sessionAgg(events, "ts", "30 minutes", lateness = "5 minutes")
+      .writeStream.format("memory").queryName("session_test")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // two events 10m apart extend ONE session; the third (same user,
+      // 50m later) starts a new one
+      mem.addData(
+        (1L, ts("2024-01-01 10:00:00"), 1L, 1.0),
+        (2L, ts("2024-01-01 10:10:00"), 1L, 2.0),
+        (3L, ts("2024-01-01 11:00:00"), 1L, 4.0))
+      q.processAllAvailable()
+      // advance the watermark past session 1's close (10:40) so Append
+      // mode emits it
+      mem.addData((4L, ts("2024-01-01 12:00:00"), 2L, 8.0))
+      q.processAllAvailable()
+      val rows = spark.table("session_test")
+        .select("user_id", "session_start", "session_end", "n", "sum_value")
+        .as[(Long, Timestamp, Timestamp, Long, Double)].collect().toSet
+      // session 1: [10:00, last_ts 10:10 + 30m gap) with both events
+      assert(rows.contains((1L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:40:00"), 2L, 3.0)), rows.toString)
+    } finally q.stop()
+  }
+
   test("streaming dedup within watermark drops re-deliveries") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp)]
