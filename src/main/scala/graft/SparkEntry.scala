@@ -1323,6 +1323,51 @@ object SparkEntry {
           .cast("long").as("n_types"))
         .orderBy(col("doc_id"))),
 
+    // Session windows via the STREAMING operator run in batch mode —
+    // gates sessionAgg (session_window) itself, complementing q38's
+    // gaps-and-islands twin: >= boundary semantics (an event exactly
+    // `gap` after the previous starts a NEW session) and the
+    // last_ts + gap session end. sum_value is excluded from the
+    // projection (double summation order is engine-dependent);
+    // bounds + counts are exact.
+    "q123_session_window" -> ((s, d) =>
+      Streams.sessionAgg(T(s, d, "events"), "ts", "30 minutes")
+        .select(col("user_id"), col("session_start"), col("session_end"), col("n"))
+        .orderBy(col("user_id"), col("session_start"))),
+
+    // Gopher/MassiveText quality rules (Rae et al. 2021, §A1.1): all
+    // counters are codegen'd regex/length arithmetic (TextOps
+    // .gopherQuality); the oracle replays them with
+    // regexp_extract_all counts and list lambdas.
+    "q124_gopher_quality" -> ((s, d) =>
+      docsSpread(s, d)
+        .select(col("doc_id"), TextOps.gopherQuality(col("text")).as("g"))
+        .select(col("doc_id"),
+          col("g.word_count").as("word_count"),
+          col("g.mean_word_len").as("mean_word_len"),
+          col("g.symbol_ratio").as("symbol_ratio"),
+          col("g.bullet_ratio").as("bullet_ratio"),
+          col("g.ellipsis_ratio").as("ellipsis_ratio"),
+          col("g.alpha_ratio").as("alpha_ratio"),
+          col("g.required_hits").as("required_hits"),
+          col("g.pass").as("pass"))
+        .orderBy(col("doc_id"))),
+
+    // Quality-aware near-dup removal: winnowing pairs → connected
+    // components → keep the HIGHEST-quality doc per cluster (ties →
+    // min id) — the production keeper rule (best copy survives, not
+    // an arbitrary one). Oracle = the q83 recursive-CTE closure + the
+    // q42 quality expression + a row_number keeper pick.
+    "q125_keep_best_dedup" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val pairs = Dedup.winnowingNearDups(docs, "doc_id", "text",
+        k = 5, window = 4, minShared = 3, portable = true)
+      Dedup.removeNearDuplicatesKeepBest(docs, "doc_id",
+        TextOps.qualityScore(col("text")), pairs, "a", "b")
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q49_ann_topk" -> ((s, d) => {
       val emb = T(s, d, "embeddings")
       val queries = emb.filter(col("vec_id") < 5)
@@ -2665,6 +2710,74 @@ object SparkEntry {
         |  CAST(len(list_distinct(syms)) AS BIGINT) AS n_types
         |FROM enc ORDER BY doc_id""".stripMargin
     },
+
+    // session_window semantics: new session at gap >= 30min (the
+    // half-open [ts, ts+gap) merge rule), session_end = last + gap
+    "q123_session_window" ->
+      """WITH f AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+        |    THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (
+        |  SELECT user_id, ts, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM f)
+        |SELECT user_id, min(ts) AS session_start,
+        |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+        |  count(*) AS n
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
+
+    "q124_gopher_quality" ->
+      """WITH tk AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS tokens,
+        |    CAST(len(regexp_extract_all(text, chr(10))) + 1 AS DOUBLE) AS n_lines
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(len(tokens) AS BIGINT) AS word_count,
+        |    CASE WHEN len(tokens) = 0 THEN 0.0 ELSE CAST(length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS DOUBLE) / CAST(len(tokens) AS DOUBLE) END AS mean_word_len,
+        |    CASE WHEN len(tokens) = 0 THEN 0.0 ELSE CAST(len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\.\.\.|…')) AS DOUBLE) / CAST(len(tokens) AS DOUBLE) END AS symbol_ratio,
+        |    CAST(len(regexp_extract_all(text, '(?m)^[-*•]')) AS DOUBLE) / n_lines AS bullet_ratio,
+        |    CAST(len(regexp_extract_all(text, '(?m)(\.\.\.|…)$')) AS DOUBLE) / n_lines AS ellipsis_ratio,
+        |    CASE WHEN len(tokens) = 0 THEN 0.0 ELSE CAST(len(list_filter(tokens, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) / CAST(len(tokens) AS DOUBLE) END AS alpha_ratio,
+        |    CAST(list_contains(tokens, 'the') AS BIGINT) + CAST(list_contains(tokens, 'be') AS BIGINT) + CAST(list_contains(tokens, 'to') AS BIGINT) + CAST(list_contains(tokens, 'of') AS BIGINT) + CAST(list_contains(tokens, 'and') AS BIGINT) + CAST(list_contains(tokens, 'that') AS BIGINT) + CAST(list_contains(tokens, 'have') AS BIGINT) + CAST(list_contains(tokens, 'with') AS BIGINT) AS required_hits
+        |  FROM tk)
+        |SELECT doc_id, word_count, mean_word_len, symbol_ratio, bullet_ratio, ellipsis_ratio, alpha_ratio, required_hits,
+        |  CAST(word_count >= 50 AND word_count <= 100000 AND mean_word_len >= 3.0 AND mean_word_len <= 10.0 AND symbol_ratio <= 0.1 AND bullet_ratio <= 0.9 AND ellipsis_ratio <= 0.3 AND alpha_ratio >= 0.8 AND required_hits >= 2 AS BIGINT) AS pass
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    // the q83 transitive closure + the q42 quality expression; keeper
+    // = row_number 1 per cluster ordered quality DESC, doc_id ASC —
+    // exactly the Spark side's min(struct(-quality, id)) aggregate
+    "q125_keep_best_dedup" ->
+      s"""WITH RECURSIVE $WinnowingPairsCtes,
+        |sym AS (SELECT a AS src, b AS dst FROM p UNION SELECT b, a FROM p),
+        |reach AS (
+        |  SELECT doc_id AS src, doc_id AS dst FROM documents
+        |  UNION
+        |  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src),
+        |cc AS (SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src),
+        |qtk AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS tokens
+        |  FROM documents),
+        |qc AS (
+        |  SELECT doc_id,
+        |    least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) AS len_score,
+        |    CASE WHEN len(tokens) = 0 THEN 0.0 ELSE CAST(len(list_filter(tokens, x -> list_contains([$Stop20], x))) AS DOUBLE) / CAST(len(tokens) AS DOUBLE) END AS stop_ratio,
+        |    CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) END AS punct_ratio
+        |  FROM qtk),
+        |qq AS (
+        |  SELECT doc_id,
+        |    greatest(0.0, least(1.0, len_score * 0.5 + least(stop_ratio * 4.0, 1.0) * 0.5 - least(punct_ratio * 2.0, 1.0) * 0.25)) AS quality
+        |  FROM qc),
+        |rk AS (
+        |  SELECT cc.doc_id AS doc_id, row_number() OVER (PARTITION BY cc.cluster_id ORDER BY qq.quality DESC, cc.doc_id) AS rk
+        |  FROM cc JOIN qq USING (doc_id))
+        |SELECT dd.doc_id, dd.lang FROM documents dd JOIN rk USING (doc_id)
+        |WHERE rk.rk = 1 ORDER BY dd.doc_id""".stripMargin,
 
     "q49_ann_topk" -> AnnTopkSql,
 

@@ -438,6 +438,36 @@ object Dedup {
     docs.join(keepers, Seq(idCol), "left_semi")
   }
 
+  /** Quality-aware variant of [[removeNearDuplicates]]: keep each
+    * cluster's HIGHEST-scoring present doc (ties → min id) rather than
+    * the min-id doc — production curation keeps the best copy of
+    * duplicated content, not an arbitrary one (the RefinedWeb/Dolma
+    * keeper rule). `score` is any deterministic per-doc expression
+    * over `docs`' columns (e.g. [[TextOps.qualityScore]]).
+    *
+    * Same phantom-endpoint seeding as [[removeNearDuplicates]]; the
+    * inner join to the scored frame drops phantoms before keeper
+    * selection. The keeper is ONE `min(struct(-score, id))` hash
+    * aggregate (lexicographic struct-min realizes max-score-then-
+    * min-id) — map-side partial, no window sort over cluster members. */
+  def removeNearDuplicatesKeepBest(docs: DataFrame, idCol: String,
+      score: Column, pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val idType = docs.schema(idCol).dataType
+    val ids = docs.select(col(idCol))
+    val nodes = ids
+      .union(pairs.select(col(aCol).cast(idType).as(idCol)))
+      .union(pairs.select(col(bCol).cast(idType).as(idCol)))
+    val cc = connectedComponents(nodes, idCol, pairs, aCol, bCol)
+    val scored = docs.select(col(idCol), score.cast("double").as("__score"))
+    val keepers = cc.join(scored, Seq(idCol))
+      .groupBy(col("cluster_id"))
+      .agg(min(struct((-col("__score")).as("__ns"), col(idCol).as("__id"))).as("__k"))
+      .select(col("__k.__id").as(idCol))
+      .localCheckpoint(true) // eager: cuts lineage off the CC cache
+    cc.unpersist()
+    docs.join(keepers, Seq(idCol), "left_semi")
+  }
+
   // ---------------------------------------------------------------- MinHash
 
   private def portableHash64(seed: Int, c: Column): Column =

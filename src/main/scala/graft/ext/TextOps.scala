@@ -170,6 +170,84 @@ object TextOps {
       regexp_count(afterUrl, lit(IpRe)).cast("long"))
   }
 
+  // ------------------------------------------------ Gopher quality rules
+  // MassiveText document-quality heuristics (Rae et al. 2021, "Scaling
+  // Language Models: Methods, Analysis & Insights from Training
+  // Gopher", appendix A1.1) — the rule set most LLM curation pipelines
+  // start from. Every counter is codegen'd regex/length arithmetic over
+  // the raw text (no token arrays, no UDFs, zero shuffles); the DuckDB
+  // oracle replays each with `regexp_extract_all`/list lambdas.
+
+  /** Mean token length: alphanumeric chars / token count (0 if empty). */
+  def meanWordLength(c: Column): Column = {
+    val n = tokenCount(c)
+    when(n === 0, lit(0.0)).otherwise(
+      length(regexp_replace(lower(c), "[^a-z0-9]", "")).cast("double") /
+        n.cast("double"))
+  }
+
+  /** Symbol-to-word ratio: '#' and ellipsis occurrences per token
+    * (Gopher drops docs above 0.1). */
+  def symbolToWordRatio(c: Column): Column = {
+    val n = tokenCount(c)
+    when(n === 0, lit(0.0)).otherwise(
+      (regexp_count(c, lit("#")) + regexp_count(c, lit("\\.\\.\\.|…")))
+        .cast("double") / n.cast("double"))
+  }
+
+  /** Fraction of lines starting with a bullet mark. */
+  def bulletLineRatio(c: Column): Column =
+    regexp_count(c, lit("(?m)^[-*•]")).cast("double") /
+      (regexp_count(c, lit("\n")) + 1).cast("double")
+
+  /** Fraction of lines ending in an ellipsis. */
+  def ellipsisLineRatio(c: Column): Column =
+    regexp_count(c, lit("(?m)(\\.\\.\\.|…)$")).cast("double") /
+      (regexp_count(c, lit("\n")) + 1).cast("double")
+
+  /** Fraction of tokens containing at least one alphabetic character.
+    * The boundary-guarded pattern matches each token at most once
+    * (leading digits allowed), so the count equals filtering the token
+    * array for `contains [a-z]` — without building the array. */
+  def alphaWordRatio(c: Column): Column = {
+    val n = tokenCount(c)
+    when(n === 0, lit(0.0)).otherwise(
+      regexp_count(lower(c), lit("(?<![a-z0-9])[0-9]*[a-z][a-z0-9]*"))
+        .cast("double") / n.cast("double"))
+  }
+
+  /** Gopher's "required word" list: a doc must contain ≥2 distinct. */
+  val GopherRequiredWords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** How many DISTINCT required words appear (presence, not count). */
+  def requiredWordHits(c: Column,
+      words: Seq[String] = GopherRequiredWords): Column =
+    words.map(w => when(
+        regexp_count(lower(c), lit(s"(?<![a-z0-9])$w(?![a-z0-9])")) > 0, 1L)
+      .otherwise(0L)).reduce(_ + _)
+
+  /** All Gopher rule metrics plus the composite pass flag, as one
+    * struct (thresholds per the paper: 50 ≤ words ≤ 100k, 3 ≤ mean
+    * word length ≤ 10, symbol ratio ≤ 0.1, ≤90% bullet lines, ≤30%
+    * ellipsis lines, ≥80% alphabetic words, ≥2 required words). */
+  def gopherQuality(c: Column): Column = {
+    val wc = tokenCount(c)
+    val mwl = meanWordLength(c)
+    val swr = symbolToWordRatio(c)
+    val blr = bulletLineRatio(c)
+    val elr = ellipsisLineRatio(c)
+    val awr = alphaWordRatio(c)
+    val rwh = requiredWordHits(c)
+    struct(wc.as("word_count"), mwl.as("mean_word_len"),
+      swr.as("symbol_ratio"), blr.as("bullet_ratio"),
+      elr.as("ellipsis_ratio"), awr.as("alpha_ratio"),
+      rwh.as("required_hits"),
+      (wc >= 50 && wc <= 100000 && mwl >= 3.0 && mwl <= 10.0 &&
+        swr <= 0.1 && blr <= 0.9 && elr <= 0.3 && awr >= 0.8 && rwh >= 2)
+        .cast("long").as("pass"))
+  }
+
   // ------------------------------ hashed-feature linear classifier
   // fastText/CCNet-style quality filtering (Joulin et al. 2016; Wenzek
   // et al. 2020): a linear model over hashed bag-of-n-gram features is

@@ -309,6 +309,15 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("gopher quality rules are a pure projection: no exchange before the presentation sort") {
+    val p = planOf("q124_gopher_quality")
+    // every rule is per-row regex/length arithmetic — any
+    // hashpartitioning exchange here means someone introduced a
+    // token-array groupBy into what must stay a narrow scan
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(p.contains("Project"), p)
+  }
+
   test("pii scrub is a pure projection: no exchange before the presentation sort") {
     val p = planOf("q106_pii_scrub")
     // regexp scrub + counts must stay per-row (codegen'd projections);

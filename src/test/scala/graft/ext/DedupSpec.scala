@@ -464,6 +464,31 @@ class DedupSpec extends SparkSpec {
     assert(kept == Set(2L, 4L))
   }
 
+  test("removeNearDuplicatesKeepBest keeps the highest-scoring doc per cluster, ties to min id") {
+    val corpus = Seq(
+      (1L, "d1", 0.2), (2L, "d2", 0.9), (3L, "d3", 0.9), // cluster {1,2,3}: 2 and 3 tie at 0.9 → keep 2
+      (4L, "d4", 0.1),                                   // untouched
+      (5L, "d5", 0.3), (6L, "d6", 0.8))                  // cluster {5,6}: keep 6 (NOT min id)
+      .toDF("doc_id", "text", "score")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a", "b")
+    val kept = Dedup.removeNearDuplicatesKeepBest(corpus, "doc_id",
+      col("score"), pairs, "a", "b")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 4L, 6L))
+  }
+
+  test("removeNearDuplicatesKeepBest ignores phantom pair endpoints when picking the keeper") {
+    // doc 1 is gone from the corpus; its pairs must still merge {2,3}
+    // transitively, and the keeper must be chosen among PRESENT docs
+    val corpus = Seq((2L, "d2", 0.1), (3L, "d3", 0.7), (4L, "d4", 0.5))
+      .toDF("doc_id", "text", "score")
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("a", "b")
+    val kept = Dedup.removeNearDuplicatesKeepBest(corpus, "doc_id",
+      col("score"), pairs, "a", "b")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(3L, 4L))
+  }
+
   test("removeNearDuplicates leaves no dataset cache entries behind") {
     val corpus = (1L to 4L).map(i => (i, s"d$i")).toDF("doc_id", "text")
     val pairs = Seq((1L, 2L)).toDF("a", "b")

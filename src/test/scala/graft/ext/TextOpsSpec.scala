@@ -240,4 +240,37 @@ class TextOpsSpec extends SparkSpec {
     assert(s(200L) < 0, s"spam-vocab doc should score negative, got ${s(200L)}")
     assert(s(100L) > s(200L))
   }
+
+  test("gopher metrics: bullets, ellipses, symbols, alpha words, required words") {
+    val t = "- one two...\n* three# 42\ntail…"
+    val row = one(t).select(
+      TextOps.tokenCount($"t"), TextOps.meanWordLength($"t"),
+      TextOps.symbolToWordRatio($"t"), TextOps.bulletLineRatio($"t"),
+      TextOps.ellipsisLineRatio($"t"), TextOps.alphaWordRatio($"t"),
+      TextOps.requiredWordHits($"t"))
+      .as[(Long, Double, Double, Double, Double, Double, Long)].first()
+    // tokens: one, two, three, 42, tail → 5; alnum chars 17
+    assert(row._1 == 5L)
+    assert(row._2 == 17.0 / 5.0)
+    // symbols: '...' + '#' + '…' = 3 over 5 tokens
+    assert(row._3 == 3.0 / 5.0)
+    // lines: 3; bullets on lines 1-2; ellipsis endings on lines 1 and 3
+    assert(row._4 == 2.0 / 3.0)
+    assert(row._5 == 2.0 / 3.0)
+    // '42' has no letter → 4/5
+    assert(row._6 == 4.0 / 5.0)
+    assert(row._7 == 0L)
+  }
+
+  test("gopherQuality pass flag: long prose passes, a bullet list and an empty doc fail") {
+    val prose = Iterator.continually(Seq("the", "results", "of", "that",
+      "careful", "study", "have", "appeared", "with", "detailed",
+      "analysis", "and", "discussion")).flatten.take(80).mkString(" ")
+    val bullets = (1 to 60).map(i => s"- item $i").mkString("\n")
+    val rows = Seq((1L, prose), (2L, bullets), (3L, ""))
+      .toDF("doc_id", "t")
+      .select($"doc_id", TextOps.gopherQuality($"t").getField("pass").as("pass"))
+      .as[(Long, Long)].collect().toMap
+    assert(rows == Map(1L -> 1L, 2L -> 0L, 3L -> 0L))
+  }
 }
