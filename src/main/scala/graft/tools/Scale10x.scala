@@ -75,7 +75,16 @@ object Scale10x {
       // and the BPE paths (word-dictionary aggregate + narrow
       // replace-chain encode — both ~linear by construction)
       "q119_dup_paragraphs", "q120_paragraph_removal",
-      "q121_bpe_pair_counts", "q122_bpe_encode")
+      "q121_bpe_pair_counts", "q122_bpe_encode",
+      // r9 additions: sessionization (both forms — user-partitioned
+      // window vs session_window merge; replicas add ×10 USERS with
+      // identical per-user series, so session structure is preserved
+      // and work should read ~linear), the Gopher rule projection
+      // (pure per-row regex — the flattest ratio on the list), and
+      // keep-best near-dup removal (winnowing + CC + one keeper
+      // aggregate; the union-find fast path absorbs the 10× edges)
+      "q38_sessionize", "q123_session_window",
+      "q124_gopher_quality", "q125_keep_best_dedup")
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
@@ -161,6 +170,17 @@ object Scale10x {
       .withColumn("p_partkey", col("p_partkey") + col("k").cast("long") * 20000L)
       .drop("k")
     part.repartition(4).write.mode("overwrite").parquet(s"$out/part.parquet")
+
+    // events: ×10 USERS (ids offset per replica), identical per-user
+    // time series — session structure is preserved bit-for-bit, so
+    // session/window counts scale exactly ×10 with the rows. (Fx.t
+    // already normalized ts to session-zoned TimestampType, so the
+    // replica fixture round-trips as plain parquet TIMESTAMP.)
+    val ev = Fx.t(spark, src, "events").crossJoin(rep)
+      .withColumn("event_id", col("event_id") + col("k").cast("long") * 100000000L)
+      .withColumn("user_id", col("user_id") + col("k").cast("long") * 10000000L)
+      .drop("k")
+    ev.repartition(8).write.mode("overwrite").parquet(s"$out/events.parquet")
   }
 
   /** min-of-2 wall clock through the noop sink (full materialization,
