@@ -1557,6 +1557,17 @@ object SparkEntry {
         .groupBy(col("lang")).agg(count(lit(1)).as("cnt"))
         .orderBy(col("lang"))),
 
+    // Deterministic global shuffle into shards (epoch-0 training
+    // order): hash-defined order + shard assignment, replayed by the
+    // oracle with the same md5 bucket arithmetic and rank. One shard
+    // exchange + per-shard sort — no global sort anywhere.
+    "q126_shuffle_shards" -> ((s, d) =>
+      graft.ext.Sampling.shuffleIntoShards(
+        T(s, d, "documents").select(col("doc_id"), col("lang")),
+        "doc_id", shards = 8, portable = true)
+        .select(col("doc_id"), col("lang"), col("shard"), col("pos"))
+        .orderBy(col("doc_id"))),
+
     // Sequence packing WITHIN a partition key (lang): the scale form —
     // each partition sorts independently instead of one global sort.
     "q68_packing_by_lang" -> ((s, d) =>
@@ -2862,6 +2873,15 @@ object SparkEntry {
         |  SELECT * FROM documents
         |  WHERE CAST(concat('0x', substring(md5(concat('42', '|', CAST(doc_id AS VARCHAR))), 1, 14)) AS BIGINT) % 1000000 < 250000)
         |SELECT lang, count(*) AS cnt FROM s GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q126_shuffle_shards" ->
+      """WITH h AS (
+        |  SELECT doc_id, lang,
+        |    CAST(concat('0x', substring(md5(concat('42', '|', CAST(doc_id AS VARCHAR))), 1, 14)) AS BIGINT) % 1000000 AS hb
+        |  FROM documents)
+        |SELECT doc_id, lang, hb % 8 AS shard,
+        |  CAST(row_number() OVER (PARTITION BY hb % 8 ORDER BY hb, doc_id) AS BIGINT) AS pos
+        |FROM h ORDER BY doc_id""".stripMargin,
 
     "q69_interval_join" ->
       """SELECT a.user_id, count(*) AS n_pairs

@@ -148,6 +148,35 @@ object Sampling {
     docs.join(assign, Seq(idCol))
   }
 
+  /** Deterministic global training-data shuffle into shards: an epoch-0
+    * data loader wants the corpus in a reproducible pseudo-random order,
+    * materialized as `shards` roughly-equal pieces. The order is defined
+    * by hash(seed, key) — stable across retries, partition layouts, and
+    * engines (`portable` = the md5 bucket, auditable outside Spark) —
+    * never by `rand()`, which re-rolls on every recompute of a lost
+    * partition. Returns the input plus `shard` (= bucket mod shards)
+    * and `pos` (the row's 1-based rank within its shard, hash order,
+    * hash ties broken by the key itself so the order is total without
+    * trusting 56-bit hash injectivity). `write.partitionBy("shard")`
+    * with a sort on `pos` materializes the shuffle.
+    *
+    * Scale: ONE hash exchange on shard + a per-shard sort — exactly the
+    * shuffle a distributed sharded writer performs anyway. The global
+    * cross-shard order is defined (interleave shards round-robin by
+    * pos) but never materialized in one place; no single-partition
+    * global sort exists in the plan. */
+  def shuffleIntoShards(df: DataFrame, keyCol: String, shards: Int,
+      seed: Long = 42L, portable: Boolean = false): DataFrame = {
+    require(shards > 0, s"shards must be positive, got $shards")
+    val h = if (portable) portableBucket(col(keyCol), seed)
+      else hashBucket(col(keyCol), seed)
+    val w = Window.partitionBy(col("shard")).orderBy(col("__h"), col(keyCol))
+    df.withColumn("__h", h)
+      .withColumn("shard", pmod(col("__h"), lit(shards.toLong)))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .drop("__h")
+  }
+
   /** Sequence packing: assign documents to training bins of at most
     * `maxTokens` tokens (last doc of a bin may straddle the boundary —
     * the standard streaming-fill approximation; exact bin packing is

@@ -136,4 +136,25 @@ class SamplingSpec extends SparkSpec {
         lit(1L).as("tok")), "tok", "lang", maxTokens = 512L)
     }
   }
+
+  test("shuffleIntoShards: stable across partition layouts, contiguous pos per shard, no row lost") {
+    val df = (1L to 200L).map(i => (i, s"d$i")).toDF("id", "v")
+    val a = Sampling.shuffleIntoShards(df, "id", shards = 4)
+      .select("id", "shard", "pos").as[(Long, Long, Long)].collect().toSet
+    val b = Sampling.shuffleIntoShards(df.repartition(7), "id", shards = 4)
+      .select("id", "shard", "pos").as[(Long, Long, Long)].collect().toSet
+    // the order is a pure function of (seed, key): repartitioning the
+    // input must not move a single row (rand() would)
+    assert(a == b)
+    assert(a.map(_._1).size == 200, "every row exactly once")
+    val byShard = a.groupBy(_._2)
+    assert(byShard.keySet.subsetOf((0L until 4L).toSet))
+    byShard.foreach { case (s, rows) =>
+      assert(rows.map(_._3).toSeq.sorted == (1L to rows.size).toSeq,
+        s"shard $s pos must be contiguous 1..n") }
+    // a different seed defines a different permutation
+    val c = Sampling.shuffleIntoShards(df, "id", shards = 4, seed = 7L)
+      .select("id", "shard", "pos").as[(Long, Long, Long)].collect().toSet
+    assert(c != a)
+  }
 }
