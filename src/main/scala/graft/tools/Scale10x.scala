@@ -84,7 +84,11 @@ object Scale10x {
       // keep-best near-dup removal (winnowing + CC + one keeper
       // aggregate; the union-find fast path absorbs the 10× edges)
       "q38_sessionize", "q123_session_window",
-      "q124_gopher_quality", "q125_keep_best_dedup")
+      "q124_gopher_quality", "q125_keep_best_dedup",
+      // deterministic shuffle: one shard exchange + per-shard sort —
+      // shard count is FIXED while rows grow, so per-shard sorts grow
+      // linearly and the ratio should read near-linear, never worse
+      "q126_shuffle_shards")
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
