@@ -1557,6 +1557,19 @@ object SparkEntry {
         .groupBy(col("lang")).agg(count(lit(1)).as("cnt"))
         .orderBy(col("lang"))),
 
+    // Unicode NFC normalization via the native codegen'd expression
+    // (functions.NfcNormalize): the fixture text is ASCII (NFC
+    // no-op — exercising the zero-allocation fast path), so a
+    // decomposed suffix (e+combining acute, A+combining ring) is
+    // appended to force real composition work; the oracle replays
+    // with DuckDB's nfc_normalize and the full strings hash-compare.
+    "q127_nfc_normalize" -> ((s, d) =>
+      docsSpread(s, d)
+        .select(col("doc_id"),
+          graft.functions.GraftFunctions.nfc(
+            concat(col("text"), lit(" cafe\u0301 A\u030A"))).as("norm"))
+        .orderBy(col("doc_id"))),
+
     // Deterministic global shuffle into shards (epoch-0 training
     // order): hash-defined order + shard assignment, replayed by the
     // oracle with the same md5 bucket arithmetic and rank. One shard
@@ -2873,6 +2886,12 @@ object SparkEntry {
         |  SELECT * FROM documents
         |  WHERE CAST(concat('0x', substring(md5(concat('42', '|', CAST(doc_id AS VARCHAR))), 1, 14)) AS BIGINT) % 1000000 < 250000)
         |SELECT lang, count(*) AS cnt FROM s GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // chr(769) = U+0301 combining acute, chr(778) = U+030A combining
+    // ring — the same decomposed suffix the Spark side appends
+    "q127_nfc_normalize" ->
+      """SELECT doc_id, nfc_normalize(text || ' cafe' || chr(769) || ' A' || chr(778)) AS norm
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q126_shuffle_shards" ->
       """WITH h AS (

@@ -86,6 +86,9 @@ object GraftFunctions {
     val denom = sqrt(dot(a, a)) * sqrt(dot(b, b))
     when(denom === 0, lit(0.0)).otherwise(dot(a, b) / denom)
   }
+
+  /** Unicode normalization (codegen'd; see [[NfcNormalize]]). */
+  def nfc(c: Column, form: String = "NFC"): Column = NfcNormalize(c, form)
 }
 
 /** SparkSessionExtensions hook: makes the native functions addressable
@@ -110,6 +113,17 @@ object GraftExtensions {
         val denom = Multiply(Sqrt(DotProduct(a, a)), Sqrt(DotProduct(b, b)))
         If(EqualTo(denom, Literal(0.0)), Literal(0.0),
           Divide(DotProduct(a, b), denom)): Expression
+      }),
+    (FunctionIdentifier("graft_nfc"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
+      (children: Seq[Expression]) => {
+        // optional 2nd arg: the form, as a string literal
+        val form = children.lift(1).map {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v, _) => String.valueOf(v)
+          case other => throw new IllegalArgumentException(
+            s"graft_nfc form must be a string literal, got $other")
+        }.getOrElse("NFC")
+        NfcNormalize(children.head, form): Expression
       }))
 
   /** Idempotent runtime registration for an existing session. */
