@@ -21,17 +21,19 @@ object Fx {
     // (arriving as TIMESTAMP_NTZ, which e.g. CAST(.. AS BIGINT)
     // rejects). Normalize BOTH to session-zoned TimestampType at this
     // single chokepoint so every downstream consumer sees one type.
-    // The session tz is UTC, so the NTZ→LTZ cast is value-preserving.
-    //
-    // Scan-native normalization first: disabling NTZ schema inference
+    // Normalization is SCAN-NATIVE: disabling NTZ schema inference
     // makes the parquet scan itself yield session-zoned TimestampType
-    // for micros-NTZ files (the pre-3.4 read behavior, identical micros
-    // decode). This matters at scale — a normalizing cast ABOVE the
-    // scan would block ts predicate pushdown, turning every date-window
+    // for micros-NTZ files (the pre-3.4 read behavior — identical
+    // micros decode, and value-preserving since the session tz is
+    // UTC). This matters at scale: a normalizing cast ABOVE the scan
+    // would block ts predicate pushdown, turning every date-window
     // incremental pull (q33/q35, reference salesforce/main.py:110-128)
     // into a full 100 TB scan. PlanShapeSpec locks the PushedFilters.
-    // The NTZ cast branch below stays as a fallback should the conf be
-    // overridden externally.
+    // With inference disabled, no read here can produce TIMESTAMP_NTZ,
+    // so the only remaining special case is the nanos generation
+    // (arriving as LongType via nanosAsLong). Downstream operators
+    // (e.g. Streams.sessionizeBatch) are still NTZ-proof on their own,
+    // for user-supplied frames read outside this chokepoint.
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
@@ -41,9 +43,6 @@ object Fx {
         // would lose precision at 1e18 nanos)
         df.withColumn("ts",
           org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-      case Some(org.apache.spark.sql.types.TimestampNTZType) =>
-        df.withColumn("ts", org.apache.spark.sql.functions.col("ts")
-          .cast(org.apache.spark.sql.types.TimestampType))
       case _ => df
     }
   }

@@ -88,7 +88,9 @@ object Scale10x {
       // deterministic shuffle: one shard exchange + per-shard sort —
       // shard count is FIXED while rows grow, so per-shard sorts grow
       // linearly and the ratio should read near-linear, never worse
-      "q126_shuffle_shards")
+      "q126_shuffle_shards",
+      // native NFC: pure codegen'd projection, compute-proportional
+      "q127_nfc_normalize")
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
