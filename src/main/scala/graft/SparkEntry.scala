@@ -1557,6 +1557,30 @@ object SparkEntry {
         .groupBy(col("lang")).agg(count(lit(1)).as("cnt"))
         .orderBy(col("lang"))),
 
+    // WITHIN-doc duplicate-line removal — the per-document complement
+    // of q120's cross-doc paragraph dedup (Dolma runs both). The
+    // multiline fixture's planted "self repeat" lines (doc_id%7==2)
+    // must collapse to their first occurrence while blanks and unique
+    // lines survive in order.
+    "q128_within_doc_lines" -> ((s, d) =>
+      Dedup.removeWithinDocDuplicateLines(docsMultiline(s, d), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
+    // Quality-ranked selection under a token budget ("take the best
+    // 15k tokens"): rank by (quality DESC, doc_id), keep docs that
+    // START within the budget. The oracle replays the rank + running
+    // sum with the q42 quality expression; integer token cumsum is
+    // exact cross-engine.
+    "q129_token_budget" -> ((s, d) => {
+      val docs = docsSpread(s, d).select(col("doc_id"),
+        TextOps.tokenCount(col("text")).as("tok"),
+        TextOps.qualityScore(col("text")).as("quality"))
+      graft.ext.Sampling.selectByTokenBudget(docs, "tok", "quality",
+        "doc_id", budget = 15000L)
+        .select(col("doc_id"), col("tok"), col("quality"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Unicode NFC normalization via the native codegen'd expression
     // (functions.NfcNormalize): the fixture text is ASCII (NFC
     // no-op — exercising the zero-allocation fast path), so a
@@ -2886,6 +2910,44 @@ object SparkEntry {
         |  SELECT * FROM documents
         |  WHERE CAST(concat('0x', substring(md5(concat('42', '|', CAST(doc_id AS VARCHAR))), 1, 14)) AS BIGINT) % 1000000 < 250000)
         |SELECT lang, count(*) AS cnt FROM s GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // d2/pp from the paragraph CTEs (dp/hot unused here): first
+    // occurrence per (doc, line), blanks always kept, ordered rebuild
+    "q128_within_doc_lines" ->
+      s"""WITH $ParaDedupCtes,
+        |r AS (
+        |  SELECT doc_id, p, pos,
+        |    row_number() OVER (PARTITION BY doc_id, md5(p) ORDER BY pos) AS rn
+        |  FROM pp),
+        |agg AS (
+        |  SELECT doc_id, string_agg(p, chr(10) ORDER BY pos) AS clean_text
+        |  FROM r WHERE trim(p) = '' OR rn = 1 GROUP BY 1)
+        |SELECT d.doc_id, coalesce(a.clean_text, '') AS clean_text
+        |FROM d2 d LEFT JOIN agg a USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "q129_token_budget" ->
+      s"""WITH tk AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) AS len_score,
+        |    CASE WHEN len(tokens) = 0 THEN 0.0 ELSE CAST(len(list_filter(tokens, x -> list_contains([$Stop20], x))) AS DOUBLE) / CAST(len(tokens) AS DOUBLE) END AS stop_ratio,
+        |    CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) END AS punct_ratio,
+        |    CAST(len(tokens) AS BIGINT) AS tok
+        |  FROM tk),
+        |q AS (
+        |  SELECT doc_id, tok,
+        |    greatest(0.0, least(1.0, len_score * 0.5 + least(stop_ratio * 4.0, 1.0) * 0.5 - least(punct_ratio * 2.0, 1.0) * 0.25)) AS quality
+        |  FROM c),
+        |cum AS (
+        |  SELECT doc_id, tok, quality,
+        |    sum(tok) OVER (ORDER BY quality DESC, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+        |  FROM q)
+        |SELECT doc_id, tok, quality FROM cum
+        |WHERE c - tok < 15000 ORDER BY doc_id""".stripMargin,
 
     // chr(769) = U+0301 combining acute, chr(778) = U+030A combining
     // ring — the same decomposed suffix the Spark side appends

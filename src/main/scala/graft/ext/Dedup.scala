@@ -1125,6 +1125,37 @@ object Dedup {
       .select(col(idCol), coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
+  /** WITHIN-doc duplicate-line removal — the per-document complement
+    * of [[removeDuplicatedParagraphs]] (Dolma runs both: cross-doc
+    * dedup drops corpus-wide boilerplate, within-doc dedup drops nav
+    * menus and footers repeated INSIDE one page). Keeps the FIRST
+    * occurrence of each distinct non-blank line, preserves order,
+    * leaves blank lines untouched (they carry layout, not
+    * boilerplate).
+    *
+    * ONE doc-id exchange end to end: lines are spread by id once; the
+    * occurrence window clusters on (id, md5(line)) — satisfied by the
+    * id partitioning, and the sort compares a 16-byte digest instead
+    * of O(line-length) text (the exact-dedup lesson) — and the ordered
+    * rebuild reuses the same partitioning. */
+  def removeWithinDocDuplicateLines(docs: DataFrame, idCol: String,
+      textCol: String, sep: String = "\n"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lines = docs.select(col(idCol),
+      posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+        .as(Seq("__pos", "__p")))
+      .repartition(col(idCol))
+    val w = Window.partitionBy(col(idCol), md5(col("__p"))).orderBy(col("__pos"))
+    val kept = lines.withColumn("__rn", row_number().over(w))
+      .filter(trim(col("__p")) === "" || col("__rn") === 1)
+    val rebuilt = kept.groupBy(col(idCol))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("__pos"), col("__p")))),
+        s => s.getField("__p")), sep).as("clean_text"))
+    docs.select(col(idCol)).join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   def semanticNearDups(corpus: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.9, nCentroids: Int = 256,
       broadcastCentroids: Boolean = true,

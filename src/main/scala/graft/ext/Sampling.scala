@@ -177,6 +177,47 @@ object Sampling {
       .drop("__h")
   }
 
+  /** Quality-ranked corpus selection under a TOKEN budget — "take the
+    * best N tokens", the final selection step of a curation pipeline
+    * (quality-classifier or perplexity scores in, a fixed token budget
+    * out). Docs are ranked by (`scoreCol` DESC, `idCol` ASC — a total
+    * order, so the kept set is exact and engine-replayable), and a doc
+    * is kept iff it STARTS within the budget (cum − tok < budget, the
+    * [[packSequences]] boundary rule: the last kept doc may straddle).
+    *
+    * Distributed like global [[packSequences]]: range-bucket on the
+    * NEGATED score (any monotone bucketing is correct; ties never
+    * split across buckets), per-bucket prefix sums in parallel, and a
+    * tiny bucket-offset aggregate broadcast back — no global sort, no
+    * single-partition window. Same eager-scan caveat as packSequences:
+    * approxQuantile scans the input at construction time. */
+  def selectByTokenBudget(df: DataFrame, tokenCol: String, scoreCol: String,
+      idCol: String, budget: Long, globalBuckets: Int = 32): DataFrame = {
+    require(budget >= 0, s"budget $budget must be >= 0")
+    val withNeg = df.withColumn("__negq", -col(scoreCol).cast("double"))
+    val probes = (1 until globalBuckets).map(_.toDouble / globalBuckets).toArray
+    val bounds =
+      if (probes.isEmpty) Array.empty[Double]
+      else Option(withNeg.stat.approxQuantile("__negq", probes, 0.001))
+        .getOrElse(Array.empty[Double]).filterNot(_.isNaN).distinct.sorted
+    val bucket = bounds.foldLeft(lit(0)) { (acc, b) =>
+      acc + when(col("__negq") > lit(b), 1).otherwise(0)
+    }
+    val withB = withNeg.withColumn("__bkt", bucket)
+    val wIn = Window.partitionBy(col("__bkt"))
+      .orderBy(col("__negq"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = withB.withColumn("__cum", sum(col(tokenCol)).over(wIn))
+    val tot = withB.groupBy(col("__bkt")).agg(sum(col(tokenCol)).as("__tot"))
+    val offsets = tot.as("a")
+      .join(broadcast(tot.as("b")), col("b.__bkt") < col("a.__bkt"), "left")
+      .groupBy(col("a.__bkt").as("__bkt"))
+      .agg(coalesce(sum(col("b.__tot")), lit(0L)).as("__off"))
+    cum.join(broadcast(offsets), Seq("__bkt"))
+      .filter(col("__off") + col("__cum") - col(tokenCol) < budget)
+      .drop("__negq", "__bkt", "__cum", "__off")
+  }
+
   /** Sequence packing: assign documents to training bins of at most
     * `maxTokens` tokens (last doc of a bin may straddle the boundary —
     * the standard streaming-fill approximation; exact bin packing is

@@ -90,7 +90,12 @@ object Scale10x {
       // linearly and the ratio should read near-linear, never worse
       "q126_shuffle_shards",
       // native NFC: pure codegen'd projection, compute-proportional
-      "q127_nfc_normalize")
+      "q127_nfc_normalize",
+      // within-doc line dedup (one id exchange, digest-keyed window)
+      // and token-budget selection (bucketed prefix sum — budget held
+      // FIXED while the corpus grows 10×, so the kept set shrinks to
+      // the best tenth and the cost is the ranking, not the output)
+      "q128_within_doc_lines", "q129_token_budget")
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")

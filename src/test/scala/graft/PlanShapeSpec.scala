@@ -318,6 +318,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("Project"), p)
   }
 
+  test("within-doc line dedup: the occurrence window reuses the id spread, never re-shuffles on the line hash") {
+    val p = planOf("q128_within_doc_lines")
+    assert(!"Exchange hashpartitioning\\([^)]*md5".r.findFirstIn(p).isDefined,
+      "window must ride the id partitioning: " + p)
+  }
+
+  test("token-budget selection: data-sized window is bucket-partitioned; offsets broadcast back") {
+    val p = planOf("q129_token_budget")
+    assert(p.contains("__bkt"), p)
+    assert(p.contains("BroadcastHashJoin"),
+      "bucket offsets must broadcast back: " + p)
+  }
+
   test("pii scrub is a pure projection: no exchange before the presentation sort") {
     val p = planOf("q106_pii_scrub")
     // regexp scrub + counts must stay per-row (codegen'd projections);

@@ -489,6 +489,21 @@ class DedupSpec extends SparkSpec {
     assert(kept == Set(3L, 4L))
   }
 
+  test("removeWithinDocDuplicateLines: repeats collapse to first occurrence; blanks and order survive") {
+    val docs = Seq(
+      (1L, "nav menu\nreal content\n\nnav menu\nmore text\n\nnav menu"),
+      (2L, "a\nb\nc"),
+      (3L, ""))
+      .toDF("doc_id", "text")
+    val out = Dedup.removeWithinDocDuplicateLines(docs, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    // first 'nav menu' kept, later repeats dropped; BOTH blank lines
+    // kept (layout, not boilerplate); relative order preserved
+    assert(out(1L) == "nav menu\nreal content\n\nmore text\n")
+    assert(out(2L) == "a\nb\nc")
+    assert(out(3L) == "")
+  }
+
   test("removeNearDuplicates leaves no dataset cache entries behind") {
     val corpus = (1L to 4L).map(i => (i, s"d$i")).toDF("doc_id", "text")
     val pairs = Seq((1L, 2L)).toDF("a", "b")

@@ -137,6 +137,31 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("selectByTokenBudget: best-first with id tiebreak; last kept doc may straddle; two-phase == global window") {
+    val small = Seq(
+      (1L, 100L, 0.9), (2L, 100L, 0.5), (3L, 100L, 0.7),
+      (4L, 100L, 0.5), (5L, 100L, 0.1))
+      .toDF("id", "tok", "q")
+    // rank: 1(.9), 3(.7), 2(.5, id<4), 4(.5), 5(.1); with budget 350
+    // doc 4 STARTS at 300 < 350 (kept, straddles to 400), doc 5
+    // starts at 400 (dropped)
+    val kept = Sampling.selectByTokenBudget(small, "tok", "q", "id", budget = 350L)
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L, 3L, 4L))
+    // the distributed two-phase prefix sum is bit-identical to the
+    // single global window it replaces (the packSequences law)
+    val big = (1L to 300L).map(i => (i, (i % 37) + 1L, ((i * 2654435761L) % 1000) / 1000.0))
+      .toDF("id", "tok", "q")
+    val twoPhase = Sampling.selectByTokenBudget(big, "tok", "q", "id", budget = 1500L)
+      .select("id").as[Long].collect().toSet
+    val w = org.apache.spark.sql.expressions.Window.orderBy($"q".desc, $"id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val ref = big.withColumn("c", sum($"tok").over(w))
+      .filter($"c" - $"tok" < 1500L).select("id").as[Long].collect().toSet
+    assert(twoPhase == ref)
+  }
+
   test("shuffleIntoShards: stable across partition layouts, contiguous pos per shard, no row lost") {
     val df = (1L to 200L).map(i => (i, s"d$i")).toDF("id", "v")
     val a = Sampling.shuffleIntoShards(df, "id", shards = 4)
