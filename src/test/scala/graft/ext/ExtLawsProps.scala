@@ -222,6 +222,59 @@ object ExtLawsProps extends Properties("graft.ext") {
   // Count-min law: the estimate NEVER underestimates, and equals the
   // exact count whenever the value's depth rows are collision-free —
   // checked here only as est >= exact plus the global sanity bound
+  // Token-budget selection == the greedy reference: sort by
+  // (score desc, id), keep every doc whose exclusive prefix sum is
+  // under the budget. The distributed two-phase bucket machinery must
+  // be invisible in the result for ANY score/token distribution
+  // (ties, zeros, empty buckets included).
+  private val genScored: Gen[List[(Long, Long, Double)]] = for {
+    n <- Gen.chooseNum(1, 40)
+    rows <- Gen.listOfN(n, for {
+      tok <- Gen.chooseNum(0L, 50L)
+      q <- Gen.oneOf(0.0, 0.1, 0.25, 0.25, 0.5, 0.9) // deliberate ties
+    } yield (tok, q))
+  } yield rows.zipWithIndex.map { case ((t, q), i) => (i.toLong, t, q) }
+
+  property("selectByTokenBudget == greedy (score desc, id) reference, ties included") =
+    Prop.forAll(genScored, Gen.chooseNum(0L, 600L)) { (rows, budget) =>
+      val got = Sampling.selectByTokenBudget(
+        rows.toDF("id", "tok", "q"), "tok", "q", "id", budget)
+        .select($"id").as[Long].collect().toSet
+      var cum = 0L
+      val want = rows.sortBy { case (id, _, q) => (-q, id) }
+        .flatMap { case (id, tok, _) =>
+          val start = cum; cum += tok
+          if (start < budget) Some(id) else None
+        }.toSet
+      got == want
+    }
+
+  // Shuffle-into-shards (portable mode) == the md5 arithmetic computed
+  // directly on the driver: same shard, same within-shard rank, for
+  // arbitrary key sets. Pins the exact hash derivation the DuckDB
+  // oracle replays (seed|key md5, first 14 hex chars, mod 1e6).
+  private def md5Bucket(seed: Long, key: Long): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$seed|$key".getBytes("UTF-8"))
+    val hex = d.map("%02x".format(_)).mkString.substring(0, 14)
+    java.lang.Long.parseLong(hex, 16) % 1000000L
+  }
+
+  property("shuffleIntoShards(portable) == driver-side md5 reference") =
+    Prop.forAll(Gen.listOf(Gen.chooseNum(0L, 100000L)).map(_.distinct)
+        .suchThat(_.nonEmpty)) { ids =>
+      val got = Sampling.shuffleIntoShards(
+        ids.map(Tuple1(_)).toDF("id"), "id", shards = 4, portable = true)
+        .select($"id", $"shard", $"pos").as[(Long, Long, Long)].collect().toSet
+      val want = ids.map(id => (id, md5Bucket(42L, id)))
+        .groupBy { case (_, h) => h % 4 }
+        .flatMap { case (shard, members) =>
+          members.sortBy { case (id, h) => (h, id) }.zipWithIndex
+            .map { case ((id, _), i) => (id, shard, i + 1L) }
+        }.toSet
+      got == want
+    }
+
   // est <= total rows (a counter can never exceed the stream length).
   property("countMinFrequency: exact <= estimate <= stream length") =
     Prop.forAll(
