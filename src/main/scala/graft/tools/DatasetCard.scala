@@ -30,7 +30,8 @@ object DatasetCard {
       qualityMean: Double, qualityP10: Double,
       dupWordFracMean: Double,
       piiEmails: Long, piiUrls: Long, piiIps: Long,
-      lmScoreMean: Double = 0.0, lmScoreP10: Double = 0.0)
+      lmScoreMean: Double = 0.0, lmScoreP10: Double = 0.0,
+      gopherPassRate: Double = 0.0)
 
   def cardFor(docs: DataFrame, idCol: String, textCol: String,
       langCol: Option[String] = None,
@@ -42,7 +43,8 @@ object DatasetCard {
       TextOps.tokenCountWs(t).as("tok"),
       TextOps.qualityScore(t).as("q"),
       ne.as("ne"), nu.as("nu"), ni.as("ni"),
-      TextOps.fingerprintMd5(t).as("fp"))
+      TextOps.fingerprintMd5(t).as("fp"),
+      TextOps.gopherQuality(t).getField("pass").as("gp"))
       .agg(
         count(lit(1)).as("n"),
         sum(col("tok")).as("tot"),
@@ -51,7 +53,8 @@ object DatasetCard {
         avg(col("q")).as("qmean"),
         percentile_approx(col("q"), lit(0.1), lit(1000)).as("qp10"),
         sum(col("ne")).as("ne"), sum(col("nu")).as("nu"), sum(col("ni")).as("ni"),
-        countDistinct(col("fp")).as("nfp"))
+        countDistinct(col("fp")).as("nfp"),
+        avg(col("gp")).as("gpr"))
       .head()
     val n = row.getAs[Long]("n")
     // empty corpus: every percentile/avg cell above is NULL — short-
@@ -98,7 +101,8 @@ object DatasetCard {
       piiUrls = row.getAs[Long]("nu"),
       piiIps = row.getAs[Long]("ni"),
       lmScoreMean = lmRow.getAs[Double]("m"),
-      lmScoreP10 = lmRow.getAs[Number]("p10").doubleValue())
+      lmScoreP10 = lmRow.getAs[Number]("p10").doubleValue(),
+      gopherPassRate = row.getAs[Double]("gpr"))
   }
 
   def toJson(c: Card): String = {
@@ -117,7 +121,8 @@ object DatasetCard {
       f""""near_dup_pairs":${c.nearDupPairs},"quality_mean":${c.qualityMean}%.4f,""" +
       f""""quality_p10":${c.qualityP10}%.4f,"dup_word_frac_mean":${c.dupWordFracMean}%.4f,""" +
       f""""pii_emails":${c.piiEmails},"pii_urls":${c.piiUrls},"pii_ips":${c.piiIps},""" +
-      f""""lm_score_mean":${c.lmScoreMean}%.4f,"lm_score_p10":${c.lmScoreP10}%.4f}"""
+      f""""lm_score_mean":${c.lmScoreMean}%.4f,"lm_score_p10":${c.lmScoreP10}%.4f,""" +
+      f""""gopher_pass_rate":${c.gopherPassRate}%.4f}"""
   }
 
   def main(args: Array[String]): Unit = {

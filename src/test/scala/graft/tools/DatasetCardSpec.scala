@@ -19,6 +19,7 @@ class DatasetCardSpec extends SparkSpec {
     assert(card.qualityMean > 0.0 && card.qualityMean <= 1.0)
     assert(card.qualityP10 <= card.qualityMean)
     assert(card.dupWordFracMean >= 0.0 && card.dupWordFracMean < 1.0)
+    assert(card.gopherPassRate >= 0.0 && card.gopherPassRate <= 1.0)
     // the word-soup fixture carries no natural PII
     assert(card.piiEmails == 0 && card.piiUrls == 0 && card.piiIps == 0)
     // JSON line is well-formed enough to round-trip the headline facts
