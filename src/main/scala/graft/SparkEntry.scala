@@ -1557,6 +1557,15 @@ object SparkEntry {
         .groupBy(col("lang")).agg(count(lit(1)).as("cnt"))
         .orderBy(col("lang"))),
 
+    // Per-key cap (C4's host cap): at most 50 docs per lang, chosen by
+    // the seeded portable hash order — reproducible, unbiased, and
+    // replayed exactly by the oracle's rank over the same md5 bucket.
+    "q130_cap_per_domain" -> ((s, d) =>
+      graft.ext.Sampling.capPerKey(T(s, d, "documents"), "lang", "doc_id",
+        n = 50, portable = true)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))),
+
     // WITHIN-doc duplicate-line removal — the per-document complement
     // of q120's cross-doc paragraph dedup (Dolma runs both). The
     // multiline fixture's planted "self repeat" lines (doc_id%7==2)
@@ -2910,6 +2919,17 @@ object SparkEntry {
         |  SELECT * FROM documents
         |  WHERE CAST(concat('0x', substring(md5(concat('42', '|', CAST(doc_id AS VARCHAR))), 1, 14)) AS BIGINT) % 1000000 < 250000)
         |SELECT lang, count(*) AS cnt FROM s GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q130_cap_per_domain" ->
+      """WITH h AS (
+        |  SELECT doc_id, lang,
+        |    CAST(concat('0x', substring(md5(concat('42', '|', CAST(doc_id AS VARCHAR))), 1, 14)) AS BIGINT) % 1000000 AS hb
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang ORDER BY hb, doc_id) AS rn
+        |  FROM h)
+        |SELECT doc_id, lang FROM r WHERE rn <= 50 ORDER BY doc_id""".stripMargin,
 
     // d2/pp from the paragraph CTEs (dp/hot unused here): first
     // occurrence per (doc, line), blanks always kept, ordered rebuild

@@ -177,6 +177,25 @@ object Sampling {
       .drop("__h")
   }
 
+  /** Deterministic per-key cap — "at most `n` docs per domain/host"
+    * (C4's host-level cap; the guard that keeps one prolific source
+    * from dominating the mix). Rows rank within each key by the seeded
+    * hash of their id — a reproducible pseudo-random order, so the
+    * kept subset is unbiased AND stable across retries/engines
+    * (`portable` = the md5 bucket; hash ties broken by the id) — and
+    * the first `n` survive. ONE exchange on the key, per-key sorts
+    * bounded by group size; never a global sort or a rand(). */
+  def capPerKey(df: DataFrame, keyCol: String, idCol: String, n: Int,
+      seed: Long = 42L, portable: Boolean = false): DataFrame = {
+    require(n >= 0, s"cap $n must be >= 0")
+    val h = if (portable) portableBucket(col(idCol), seed)
+      else hashBucket(col(idCol), seed)
+    val w = Window.partitionBy(col(keyCol)).orderBy(h, col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n)
+      .drop("__rn")
+  }
+
   /** Quality-ranked corpus selection under a TOKEN budget — "take the
     * best N tokens", the final selection step of a curation pipeline
     * (quality-classifier or perplexity scores in, a fixed token budget

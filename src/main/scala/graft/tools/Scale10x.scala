@@ -95,7 +95,9 @@ object Scale10x {
       // and token-budget selection (bucketed prefix sum — budget held
       // FIXED while the corpus grows 10×, so the kept set shrinks to
       // the best tenth and the cost is the ranking, not the output)
-      "q128_within_doc_lines", "q129_token_budget")
+      "q128_within_doc_lines", "q129_token_budget",
+      // per-key cap: one key exchange, per-key sorts bounded by group size
+      "q130_cap_per_domain")
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")

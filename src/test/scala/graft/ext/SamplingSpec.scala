@@ -137,6 +137,19 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("capPerKey: at most n per key, small groups intact, stable across partitionings") {
+    val df = (1L to 120L).map(i => (i, s"k${i % 3}")).toDF("id", "k")
+      .union(Seq((200L, "rare")).toDF("id", "k"))
+    val a = Sampling.capPerKey(df, "k", "id", n = 10)
+      .select("id", "k").as[(Long, String)].collect().toSet
+    val b = Sampling.capPerKey(df.repartition(7), "k", "id", n = 10)
+      .select("id", "k").as[(Long, String)].collect().toSet
+    assert(a == b, "kept set must be a pure function of (seed, ids)")
+    val byKey = a.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(byKey("k0") == 10 && byKey("k1") == 10 && byKey("k2") == 10)
+    assert(byKey("rare") == 1, "groups under the cap keep everything")
+  }
+
   test("selectByTokenBudget: best-first with id tiebreak; last kept doc may straddle; two-phase == global window") {
     val small = Seq(
       (1L, 100L, 0.9), (2L, 100L, 0.5), (3L, 100L, 0.7),
