@@ -2920,14 +2920,17 @@ object SparkEntry {
         |  WHERE CAST(concat('0x', substring(md5(concat('42', '|', CAST(doc_id AS VARCHAR))), 1, 14)) AS BIGINT) % 1000000 < 250000)
         |SELECT lang, count(*) AS cnt FROM s GROUP BY lang ORDER BY lang""".stripMargin,
 
+    // rank by the FULL 56-bit md5 prefix (hh), not the mod-1e6 bucket:
+    // bucket collisions past ~1e6 rows/key would bias the kept subset
+    // toward ascending ids (mirrors Sampling.capPerKey)
     "q130_cap_per_domain" ->
       """WITH h AS (
         |  SELECT doc_id, lang,
-        |    CAST(concat('0x', substring(md5(concat('42', '|', CAST(doc_id AS VARCHAR))), 1, 14)) AS BIGINT) % 1000000 AS hb
+        |    CAST(concat('0x', substring(md5(concat('42', '|', CAST(doc_id AS VARCHAR))), 1, 14)) AS BIGINT) AS hh
         |  FROM documents),
         |r AS (
         |  SELECT doc_id, lang,
-        |    row_number() OVER (PARTITION BY lang ORDER BY hb, doc_id) AS rn
+        |    row_number() OVER (PARTITION BY lang ORDER BY hh, doc_id) AS rn
         |  FROM h)
         |SELECT doc_id, lang FROM r WHERE rn <= 50 ORDER BY doc_id""".stripMargin,
 
@@ -2975,13 +2978,16 @@ object SparkEntry {
       """SELECT doc_id, nfc_normalize(text || ' cafe' || chr(769) || ' A' || chr(778)) AS norm
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // shard from the mod-1e6 bucket; ORDER from the full 56-bit md5
+    // prefix (hh) — bucket collisions past ~1e6 rows would degrade the
+    // shuffle order toward ascending-key (mirrors shuffleIntoShards)
     "q126_shuffle_shards" ->
       """WITH h AS (
         |  SELECT doc_id, lang,
-        |    CAST(concat('0x', substring(md5(concat('42', '|', CAST(doc_id AS VARCHAR))), 1, 14)) AS BIGINT) % 1000000 AS hb
+        |    CAST(concat('0x', substring(md5(concat('42', '|', CAST(doc_id AS VARCHAR))), 1, 14)) AS BIGINT) AS hh
         |  FROM documents)
-        |SELECT doc_id, lang, hb % 8 AS shard,
-        |  CAST(row_number() OVER (PARTITION BY hb % 8 ORDER BY hb, doc_id) AS BIGINT) AS pos
+        |SELECT doc_id, lang, (hh % 1000000) % 8 AS shard,
+        |  CAST(row_number() OVER (PARTITION BY (hh % 1000000) % 8 ORDER BY hh, doc_id) AS BIGINT) AS pos
         |FROM h ORDER BY doc_id""".stripMargin,
 
     "q69_interval_join" ->

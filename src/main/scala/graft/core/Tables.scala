@@ -36,6 +36,13 @@ object Fx {
     // for user-supplied frames read outside this chokepoint.
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // The micros-NTZ → session-zoned normalization above is only
+    // value-preserving when the session tz is UTC. Every graft entry
+    // point sets it, but nothing else enforces it at this chokepoint —
+    // and a silent off-UTC read would shift every event timestamp.
+    require(spark.conf.get("spark.sql.session.timeZone") == "UTC",
+      "graft fixture reads require spark.sql.session.timeZone=UTC " +
+        "(NTZ-to-session-zoned normalization is value-preserving only in UTC)")
     val df = spark.read.parquet(s"$dir/$name.parquet")
     df.schema.fields.find(_.name == "ts").map(_.dataType) match {
       case Some(org.apache.spark.sql.types.LongType) =>

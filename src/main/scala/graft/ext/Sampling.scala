@@ -15,18 +15,34 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** Hash bucket in [0, 1e6): fast in-engine form (xxhash64). */
-  def hashBucket(key: Column, seed: Long): Column =
-    pmod(xxhash64(lit(seed), key), lit(1000000L))
+  /** Full-width seeded hash (raw xxhash64, 64 bits, signed). Use this —
+    * never a mod-1e6 bucket — wherever the hash defines an ORDER: a
+    * bucket has only 1e6 distinct values, so past ~1e6 rows collisions
+    * dominate and tie-breaking by key degenerates the "pseudo-random"
+    * order into long ascending-key runs. */
+  def fullHash(key: Column, seed: Long): Column =
+    xxhash64(lit(seed), key)
 
-  /** Engine-PORTABLE hash bucket in [0, 1e6): md5 hex is identical in
-    * Spark, DuckDB, and Postgres, so a sample defined this way can be
-    * reproduced (and audited) outside Spark — xxhash64 cannot. 14 hex
-    * chars = 56 bits, so the modulo bias is 2^56 mod 1e6 ≈ 1e-11 —
-    * negligible (a 24-bit hash would bias the rate by up to ~1.3%). */
-  def portableBucket(key: Column, seed: Long): Column =
+  /** Hash bucket in [0, 1e6): fast in-engine form (xxhash64). For
+    * MEMBERSHIP thresholds only (sampling rates); ordering wants
+    * [[fullHash]]. */
+  def hashBucket(key: Column, seed: Long): Column =
+    pmod(fullHash(key, seed), lit(1000000L))
+
+  /** Engine-PORTABLE full-width hash: all 56 bits of the md5 prefix.
+    * md5 hex is identical in Spark, DuckDB, and Postgres, so anything
+    * defined over this hash can be reproduced (and audited) outside
+    * Spark — xxhash64 cannot. 14 hex chars = 56 bits, non-negative. */
+  def portableHash(key: Column, seed: Long): Column =
     conv(substring(md5(concat_ws("|", lit(seed.toString), key.cast("string"))), 1, 14),
-      16, 10).cast("long") % 1000000L
+      16, 10).cast("long")
+
+  /** Engine-PORTABLE hash bucket in [0, 1e6): [[portableHash]] mod 1e6.
+    * 2^56 mod 1e6 ≈ 1e-11 modulo bias — negligible (a 24-bit hash
+    * would bias the rate by up to ~1.3%). Membership thresholds only;
+    * ordering wants the full 56 bits. */
+  def portableBucket(key: Column, seed: Long): Column =
+    portableHash(key, seed) % 1000000L
 
   /** Deterministic Bernoulli sample: keep rows where
     * hash(seed, key) mod 1e6 < fraction·1e6. `portable = true` switches
@@ -154,11 +170,16 @@ object Sampling {
     * by hash(seed, key) — stable across retries, partition layouts, and
     * engines (`portable` = the md5 bucket, auditable outside Spark) —
     * never by `rand()`, which re-rolls on every recompute of a lost
-    * partition. Returns the input plus `shard` (= bucket mod shards)
-    * and `pos` (the row's 1-based rank within its shard, hash order,
-    * hash ties broken by the key itself so the order is total without
-    * trusting 56-bit hash injectivity). `write.partitionBy("shard")`
-    * with a sort on `pos` materializes the shuffle.
+    * partition. Returns the input plus `shard` (= mod-1e6 bucket mod
+    * shards) and `pos` (the row's 1-based rank within its shard,
+    * FULL-WIDTH hash order — 64 raw xxhash64 bits, or all 56 md5
+    * prefix bits in portable mode — hash ties broken by the key itself
+    * so the order is total without trusting hash injectivity). The
+    * full-width order matters at corpus scale: a mod-1e6 bucket
+    * collides heavily past ~1e6 rows, and key-tie-breaking inside
+    * collision runs would degrade the order toward ascending-key — a
+    * biased epoch-0 curriculum. `write.partitionBy("shard")` with a
+    * sort on `pos` materializes the shuffle.
     *
     * Scale: ONE hash exchange on shard + a per-shard sort — exactly the
     * shuffle a distributed sharded writer performs anyway. The global
@@ -168,11 +189,11 @@ object Sampling {
   def shuffleIntoShards(df: DataFrame, keyCol: String, shards: Int,
       seed: Long = 42L, portable: Boolean = false): DataFrame = {
     require(shards > 0, s"shards must be positive, got $shards")
-    val h = if (portable) portableBucket(col(keyCol), seed)
-      else hashBucket(col(keyCol), seed)
+    val h = if (portable) portableHash(col(keyCol), seed)
+      else fullHash(col(keyCol), seed)
     val w = Window.partitionBy(col("shard")).orderBy(col("__h"), col(keyCol))
     df.withColumn("__h", h)
-      .withColumn("shard", pmod(col("__h"), lit(shards.toLong)))
+      .withColumn("shard", pmod(pmod(col("__h"), lit(1000000L)), lit(shards.toLong)))
       .withColumn("pos", row_number().over(w).cast("long"))
       .drop("__h")
   }
@@ -180,16 +201,18 @@ object Sampling {
   /** Deterministic per-key cap — "at most `n` docs per domain/host"
     * (C4's host-level cap; the guard that keeps one prolific source
     * from dominating the mix). Rows rank within each key by the seeded
-    * hash of their id — a reproducible pseudo-random order, so the
-    * kept subset is unbiased AND stable across retries/engines
-    * (`portable` = the md5 bucket; hash ties broken by the id) — and
-    * the first `n` survive. ONE exchange on the key, per-key sorts
-    * bounded by group size; never a global sort or a rand(). */
+    * FULL-WIDTH hash of their id ([[fullHash]] / [[portableHash]] —
+    * not the mod-1e6 bucket, whose collisions past ~1e6 rows/key would
+    * bias the kept subset toward ascending ids) — a reproducible
+    * pseudo-random order, so the kept subset is unbiased AND stable
+    * across retries/engines (hash ties broken by the id) — and the
+    * first `n` survive. ONE exchange on the key, per-key sorts bounded
+    * by group size; never a global sort or a rand(). */
   def capPerKey(df: DataFrame, keyCol: String, idCol: String, n: Int,
       seed: Long = 42L, portable: Boolean = false): DataFrame = {
     require(n >= 0, s"cap $n must be >= 0")
-    val h = if (portable) portableBucket(col(idCol), seed)
-      else hashBucket(col(idCol), seed)
+    val h = if (portable) portableHash(col(idCol), seed)
+      else fullHash(col(idCol), seed)
     val w = Window.partitionBy(col(keyCol)).orderBy(h, col(idCol))
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= n)
@@ -209,11 +232,22 @@ object Sampling {
     * split across buckets), per-bucket prefix sums in parallel, and a
     * tiny bucket-offset aggregate broadcast back — no global sort, no
     * single-partition window. Same eager-scan caveat as packSequences:
-    * approxQuantile scans the input at construction time. */
+    * approxQuantile scans the input at construction time — AND the
+    * input must be DETERMINISTIC across scans (persist() a
+    * non-deterministic upstream first), or the quantile bounds could
+    * disagree with the later cumulative pass.
+    *
+    * NULL handling is EXPLICIT: rows with a NULL score or NULL token
+    * count are excluded up front (an unscored doc has no rank and a
+    * doc with unknown cost can't be budgeted; previously they fell out
+    * of null-propagating comparisons, which was the same outcome but
+    * invisible). Pre-fill with `na.fill` if nulls should participate. */
   def selectByTokenBudget(df: DataFrame, tokenCol: String, scoreCol: String,
       idCol: String, budget: Long, globalBuckets: Int = 32): DataFrame = {
     require(budget >= 0, s"budget $budget must be >= 0")
-    val withNeg = df.withColumn("__negq", -col(scoreCol).cast("double"))
+    val withNeg = df
+      .filter(col(scoreCol).isNotNull && col(tokenCol).isNotNull)
+      .withColumn("__negq", -col(scoreCol).cast("double"))
     val probes = (1 until globalBuckets).map(_.toDouble / globalBuckets).toArray
     val bounds =
       if (probes.isEmpty) Array.empty[Double]

@@ -126,26 +126,44 @@ object Streams {
     * revtron/salesforce/main.py:189-202): a parquet file stream over
     * the events table; new files under `dir` arrive as micro-batches,
     * with the watermark as the continuously-advancing date cursor.
-    * The fixture's ts is physically TIMESTAMP_MICROS with
-    * isAdjustedToUTC=false — declared TIMESTAMP_NTZ in the read schema
-    * and cast to session-zoned TimestampType (UTC session ⇒
-    * value-preserving), the same normalization [[graft.core.Fx.t]]
-    * applies on the batch side, so window boundaries agree between the
-    * two. (Earlier fixture generations used TIMESTAMP(NANOS); a file
-    * STREAM cannot sniff the physical type per file, so this reader
-    * tracks the current generation only — batch `Fx.t` handles both.) */
+    * The fixture's ts physical type has FLIPPED across driver fixture
+    * generations (TIMESTAMP(NANOS), then TIMESTAMP_MICROS with
+    * isAdjustedToUTC=false); a file STREAM declares ONE fixed schema,
+    * so this reader SNIFFS the footer of the existing events.parquet
+    * at stream construction (one batch schema probe under the same
+    * reader confs `Fx.t` sets) and picks the matching generation:
+    * nanos arrive as LongType (via nanosAsLong) and are integer-divided
+    * to micros; micros-NTZ are declared TIMESTAMP_NTZ and cast to
+    * session-zoned TimestampType (UTC session ⇒ value-preserving) —
+    * either way the stream sees the SAME normalized ts as batch
+    * `Fx.t`, so window boundaries agree between the two. */
   def eventsFileStream(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
-    val schema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampNTZType),
-      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
-      org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType)))
-    spark.readStream.schema(schema)
+    import org.apache.spark.sql.types._
+    // Footer probe: schema-only batch read (no data scan). Must mirror
+    // Fx.t's reader confs or the probe would see a different type than
+    // the stream decodes.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val tsPhysical = spark.read.parquet(s"$dir/events.parquet")
+      .schema.fields.find(_.name == "ts").map(_.dataType)
+    val nanosGen = tsPhysical.contains(LongType)
+    val tsField =
+      if (nanosGen) StructField("ts", LongType)
+      else StructField("ts", TimestampNTZType)
+    val schema = StructType(Seq(
+      StructField("event_id", LongType),
+      tsField,
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType)))
+    val raw = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    if (nanosGen)
+      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else
+      raw.withColumn("ts", col("ts").cast(TimestampType))
   }
 
   /** Latest-value-per-key changelog — the STREAMING form of the

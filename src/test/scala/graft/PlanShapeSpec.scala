@@ -33,8 +33,10 @@ class PlanShapeSpec extends SparkSpec {
       .select("event_id", "ts"))
     assert(p.contains("GreaterThanOrEqual(ts,"),
       "ts filter must reach PushedFilters: " + p)
-    assert(p.contains("ReadSchema: struct<event_id:bigint,ts:timestamp"),
-      "scan must yield timestamp directly and prune columns: " + p)
+    // exact boundary ("timestamp>"), not a prefix — "ts:timestamp"
+    // would also match "ts:timestamp_ntz" and mask an NTZ regression
+    assert(p.contains("ReadSchema: struct<event_id:bigint,ts:timestamp>"),
+      "scan must yield session-zoned timestamp directly and prune columns: " + p)
   }
 
   test("orderBy+limit collapses to TakeOrderedAndProject (no global sort)") {

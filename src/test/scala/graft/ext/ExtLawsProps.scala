@@ -252,12 +252,13 @@ object ExtLawsProps extends Properties("graft.ext") {
   // Shuffle-into-shards (portable mode) == the md5 arithmetic computed
   // directly on the driver: same shard, same within-shard rank, for
   // arbitrary key sets. Pins the exact hash derivation the DuckDB
-  // oracle replays (seed|key md5, first 14 hex chars, mod 1e6).
-  private def md5Bucket(seed: Long, key: Long): Long = {
+  // oracle replays: seed|key md5, first 14 hex chars = the FULL
+  // 56-bit hash (the ORDER); shard comes from its mod-1e6 bucket.
+  private def md5Full(seed: Long, key: Long): Long = {
     val d = java.security.MessageDigest.getInstance("MD5")
       .digest(s"$seed|$key".getBytes("UTF-8"))
     val hex = d.map("%02x".format(_)).mkString.substring(0, 14)
-    java.lang.Long.parseLong(hex, 16) % 1000000L
+    java.lang.Long.parseLong(hex, 16)
   }
 
   property("shuffleIntoShards(portable) == driver-side md5 reference") =
@@ -266,12 +267,31 @@ object ExtLawsProps extends Properties("graft.ext") {
       val got = Sampling.shuffleIntoShards(
         ids.map(Tuple1(_)).toDF("id"), "id", shards = 4, portable = true)
         .select($"id", $"shard", $"pos").as[(Long, Long, Long)].collect().toSet
-      val want = ids.map(id => (id, md5Bucket(42L, id)))
-        .groupBy { case (_, h) => h % 4 }
+      val want = ids.map(id => (id, md5Full(42L, id)))
+        .groupBy { case (_, h) => (h % 1000000L) % 4 }
         .flatMap { case (shard, members) =>
           members.sortBy { case (id, h) => (h, id) }.zipWithIndex
             .map { case ((id, _), i) => (id, shard, i + 1L) }
         }.toSet
+      got == want
+    }
+
+  // Per-key cap (portable mode) == the same driver-side reference:
+  // within each key, the n survivors are the n smallest by
+  // (full 56-bit md5 hash, id) — the full-width order, so the kept
+  // subset stays unbiased past bucket-collision scale.
+  property("capPerKey(portable) == driver-side md5 reference") =
+    Prop.forAll(
+      Gen.listOf(Gen.zip(Gen.chooseNum(0L, 100000L), Gen.oneOf("a", "b", "c")))
+        .map(_.distinctBy(_._1)).suchThat(_.nonEmpty),
+      Gen.chooseNum(0, 6)) { (rows, n) =>
+      val got = Sampling.capPerKey(
+        rows.toDF("id", "k"), "k", "id", n, portable = true)
+        .select($"id", $"k").as[(Long, String)].collect().toSet
+      val want = rows.groupBy(_._2).flatMap { case (k, members) =>
+        members.map(_._1).sortBy(id => (md5Full(42L, id), id)).take(n)
+          .map(id => (id, k))
+      }.toSet
       got == want
     }
 
