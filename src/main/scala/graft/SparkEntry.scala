@@ -207,6 +207,43 @@ object SparkEntry {
 
   private val WinnowingPairsCtes: String = winnowingPairsCtes("")
 
+  /** DuckDB replay of the log-free BM25 contract (q131): per-term tf
+    * columns, ONE single-row stats CTE, and the identical
+    * left-associated IEEE expression tree. Every numeric literal is
+    * forced through CAST(.. AS DOUBLE): DuckDB parses `1.2` as
+    * DECIMAL(2,1) and would fold decimal-decimal arithmetic EXACTLY
+    * where doubles round, diverging from Spark's double fold. */
+  private val Bm25OracleSql: String = {
+    val terms = Seq("data", "model", "learning")
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      s"CAST(len(list_filter(t, x -> x = '$t')) AS BIGINT) AS tf$i"
+    }.mkString(",\n    ")
+    val dfCols = terms.indices.map(i =>
+      s"sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i").mkString(",\n    ")
+    def d(x: String) = s"CAST($x AS DOUBLE)"
+    val contrib = terms.indices.map { i =>
+      s"(${d("n")} - ${d(s"df$i")} + ${d("0.5")}) / (${d(s"df$i")} + ${d("0.5")})" +
+        s" * (${d(s"tf$i")} * (${d("1.2")} + ${d("1.0")}))" +
+        s" / (${d(s"tf$i")} + ${d("1.2")} * (${d("1.0")} - ${d("0.75")}" +
+        s" + ${d("0.75")} * ${d("dl")} / (${d("s")} / ${d("n")})))"
+    }.mkString("\n    + ")
+    s"""WITH tk AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS t FROM documents),
+      |c AS (
+      |  SELECT doc_id, CAST(len(t) AS BIGINT) AS dl,
+      |    $tfCols
+      |  FROM tk),
+      |st AS (
+      |  SELECT count(*) AS n, sum(dl) AS s,
+      |    $dfCols
+      |  FROM c),
+      |sc AS (
+      |  SELECT doc_id,
+      |    $contrib AS score
+      |  FROM c CROSS JOIN st)
+      |SELECT doc_id, score FROM sc ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+  }
+
   /** Duplicated-span pipeline (Lee et al. exact substring dedup) as a
     * reusable CTE block ending in `sp` (doc_id, span_start, span_end,
     * n_grams) with `tok` (doc_id, t, pos 1-based) also in scope —
@@ -1565,6 +1602,65 @@ object SparkEntry {
         n = 50, portable = true)
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))),
+
+    // BM25 ranked retrieval (keyword search): corpus stats as ONE
+    // broadcast single-row aggregate, per-doc tf as narrow columns,
+    // top-20 via TakeOrderedAndProject. The contract gates the
+    // log-free idf form (ln never crosses engines bit-exactly); real
+    // use keeps the textbook logIdf default.
+    "q131_bm25_rank" -> ((s, d) =>
+      TextOps.bm25Rank(T(s, d, "documents"), "doc_id", "text",
+        queryTerms = Seq("data", "model", "learning"), topK = 20,
+        logIdf = false)
+        .orderBy(col("doc_id"))),
+
+    // HTML boilerplate strip: the fixture text is plain prose, so a
+    // deterministic page skeleton (script/style/comment/entities) is
+    // wrapped around it to exercise every rule; the oracle replays the
+    // same regexp/replace chain (all patterns RE2-safe).
+    "q132_html_strip" -> ((s, d) =>
+      docsSpread(s, d).select(col("doc_id"),
+        TextOps.stripHtml(concat(
+          lit("<html><head><title>T</title><style type=\"text/css\">p " +
+            "{color: red}</style><script>var x = 1 < 2 && 2 > 1;" +
+            "</script></head><body><h1>Head</h1><p>"),
+          col("text"),
+          lit("</p><!-- footer comment --><div>&amp; &lt;tag&gt; " +
+            "&quot;q&quot; &#39;s&#39;&nbsp;end</div></body></html>")
+        )).as("clean"))
+        .orderBy(col("doc_id"))),
+
+    // Context-window chunking: 32-token windows, stride 24 (8 tokens
+    // of overlap carry context across each cut); chunk starts while
+    // start < n, so the tail chunk may be short and empty docs vanish.
+    "q133_chunk_windows" -> ((s, d) =>
+      TextOps.chunkTokens(docsSpread(s, d), "doc_id", "text",
+        window = 32, stride = 24)
+        .orderBy(col("doc_id"), col("chunk_id"))),
+
+    // SOFT dedup: duplicate-aware downweighting — every doc kept at
+    // weight 1/cluster_size over the winnowing near-dup clusters
+    // (q83's components), so each cluster contributes total mass 1.
+    "q134_soft_dedup_weights" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val pairs = Dedup.winnowingNearDups(docs, "doc_id", "text",
+        k = 5, window = 4, minShared = 3, portable = true)
+      Dedup.softDedupWeights(docs, "doc_id", pairs, "a", "b")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Character-level fuzzy matching: winnowing candidates verified by
+    // banded Levenshtein (≤ 5 edits keeps the planted one-word
+    // rewrites, drops the distance-8 transitive pair).
+    "q135_edit_distance_pairs" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val pairs = Dedup.winnowingNearDups(docs, "doc_id", "text",
+        k = 5, window = 4, minShared = 3, portable = true)
+      Dedup.editDistancePairs(docs, "doc_id", "text", pairs, "a", "b",
+        maxDistance = 5)
+        .select(col("a"), col("b"), col("dist").cast("long").as("dist"))
+        .orderBy(col("a"), col("b"))
+    }),
 
     // WITHIN-doc duplicate-line removal — the per-document complement
     // of q120's cross-doc paragraph dedup (Dolma runs both). The
@@ -2933,6 +3029,68 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY lang ORDER BY hh, doc_id) AS rn
         |  FROM h)
         |SELECT doc_id, lang FROM r WHERE rn <= 50 ORDER BY doc_id""".stripMargin,
+
+    "q131_bm25_rank" -> Bm25OracleSql,
+
+    // the same regexp/replace chain as TextOps.stripHtml, same order:
+    // script/style blocks with content, comments, tags, entity decode
+    // (&amp; last), whitespace collapse
+    "q132_html_strip" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(
+        |    replace(replace(replace(replace(replace(replace(
+        |      regexp_replace(
+        |        regexp_replace(
+        |          regexp_replace(
+        |            regexp_replace(
+        |              '<html><head><title>T</title><style type="text/css">p {color: red}</style><script>var x = 1 < 2 && 2 > 1;</script></head><body><h1>Head</h1><p>'
+        |                || text ||
+        |                '</p><!-- footer comment --><div>&amp; &lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;end</div></body></html>',
+        |              '<script[^>]*>.*?</script>', ' ', 'gis'),
+        |            '<style[^>]*>.*?</style>', ' ', 'gis'),
+        |          '<!--.*?-->', ' ', 'gs'),
+        |        '<[^>]*>', ' ', 'gs'),
+        |      '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
+        |    '\s+', ' ', 'g')) AS clean
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // chunk starts 0, 24, 48, … while start < n_tokens; 1-based
+    // inclusive list slice == Spark's slice(t, start+1, 32)
+    "q133_chunk_windows" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS t FROM documents),
+        |s AS (
+        |  SELECT doc_id, t, unnest(range(0, len(t), 24)) AS start
+        |  FROM tk WHERE len(t) > 0)
+        |SELECT doc_id, CAST(start // 24 AS BIGINT) AS chunk_id,
+        |  array_to_string(t[start + 1 : start + 32], ' ') AS chunk_text,
+        |  CAST(len(t[start + 1 : start + 32]) AS BIGINT) AS n_tokens
+        |FROM s ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // q83's transitive closure + per-cluster counts; weight is one
+    // double division off an integer count
+    "q134_soft_dedup_weights" ->
+      s"""WITH RECURSIVE $WinnowingPairsCtes,
+        |sym AS (SELECT a AS src, b AS dst FROM p UNION SELECT b, a FROM p),
+        |reach AS (
+        |  SELECT doc_id AS src, doc_id AS dst FROM documents
+        |  UNION
+        |  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src),
+        |cc AS (SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src),
+        |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM cc GROUP BY 1)
+        |SELECT cc.doc_id, cc.cluster_id, sz.cluster_size,
+        |  CAST(1.0 AS DOUBLE) / CAST(sz.cluster_size AS DOUBLE) AS weight
+        |FROM cc JOIN sz USING (cluster_id) ORDER BY cc.doc_id""".stripMargin,
+
+    // winnowing candidates verified by exact Levenshtein, ≤ 5 edits
+    "q135_edit_distance_pairs" ->
+      s"""WITH $WinnowingPairsCtes,
+        |v AS (
+        |  SELECT p.a, p.b, levenshtein(da.text, db.text) AS dist
+        |  FROM p JOIN documents da ON da.doc_id = p.a
+        |         JOIN documents db ON db.doc_id = p.b)
+        |SELECT a, b, CAST(dist AS BIGINT) AS dist FROM v
+        |WHERE dist <= 5 ORDER BY a, b""".stripMargin,
 
     // d2/pp from the paragraph CTEs (dp/hot unused here): first
     // occurrence per (doc, line), blanks always kept, ordered rebuild

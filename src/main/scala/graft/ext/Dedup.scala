@@ -1178,4 +1178,56 @@ object Dedup {
       out
     }
   }
+
+  /** SOFT deduplication — duplicate-aware DOWNWEIGHTING instead of
+    * removal (the SoftDedup idea: hard dedup throws away the signal
+    * that a document was independently published many times; keeping
+    * every copy at weight 1/cluster_size preserves the corpus
+    * distribution while a training loader samples each cluster's
+    * content with total mass 1). Clusters the near-dup pair evidence
+    * (any candidate generator: winnowing/MinHash/SimHash pairs) with
+    * [[connectedComponents]], then emits every doc with its cluster
+    * id, cluster size, and sampling weight 1/size — singletons get
+    * weight 1.0. ONE double division per row after an integer count —
+    * bit-identical in any IEEE engine (the q134 oracle replays it).
+    *
+    * Scale: the CC loop runs over the edge-induced subgraph only; the
+    * size aggregate and join key on cluster_id — one exchange each.
+    * The returned frame inherits the CC persist contract (the caller
+    * releases the cache when done). */
+  def softDedupWeights(docs: DataFrame, idCol: String,
+      pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cc = connectedComponents(docs.select(col(idCol)), idCol,
+      pairs, aCol, bCol)
+    val sizes = cc.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    cc.join(sizes, Seq("cluster_id"))
+      .select(col(idCol), col("cluster_id"), col("cluster_size"),
+        (lit(1.0) / col("cluster_size").cast("double")).as("weight"))
+  }
+
+  /** Edit-distance VERIFICATION of candidate pairs — character-level
+    * fuzzy matching (the record-linkage op: catches typo-level rewrites
+    * whose token shingles still collide, and gives an interpretable
+    * "n edits apart" measure where Jaccard gives a set ratio). Takes a
+    * candidate pair list from any bounded generator (winnowing/LSH —
+    * NEVER all-pairs: Levenshtein is O(len²) per pair, so the
+    * candidate set must already be near-linear), joins both texts, and
+    * keeps pairs within `maxDistance` edits. The banded DP
+    * (`levenshtein(l, r, threshold)`) exits early at the bound, so a
+    * wildly-different candidate costs O(maxDistance·len), not O(len²).
+    * Distances are exact integers — engine-portable by construction. */
+  def editDistancePairs(docs: DataFrame, idCol: String, textCol: String,
+      pairs: DataFrame, aCol: String, bCol: String,
+      maxDistance: Int): DataFrame = {
+    require(maxDistance >= 0, s"maxDistance must be >= 0, got $maxDistance")
+    val ta = docs.select(col(idCol).as("__ia"), col(textCol).as("__ta"))
+    val tb = docs.select(col(idCol).as("__ib"), col(textCol).as("__tb"))
+    pairs.select(col(aCol).as("a"), col(bCol).as("b"))
+      .join(ta, col("a") === col("__ia"))
+      .join(tb, col("b") === col("__ib"))
+      .select(col("a"), col("b"),
+        levenshtein(col("__ta"), col("__tb"), maxDistance).as("dist"))
+      .filter(col("dist") >= 0)
+  }
 }

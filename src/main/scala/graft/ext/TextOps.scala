@@ -784,4 +784,109 @@ object TextOps {
     * upgrade of [[tokenCountBpe]]'s regex proxy). */
   def bpeTokenCount(c: Column, merges: Seq[(String, String)]): Column =
     size(bpeSymbols(c, merges)).cast("long")
+
+  /** HTML boilerplate strip — the extraction step that turns crawled
+    * pages into training text (the trafilatura/jusText niche, reduced
+    * to its deterministic core): drop `<script>`/`<style>` blocks with
+    * their CONTENT (code is not prose), then comments, then all
+    * remaining tags; decode the six ubiquitous entities (`&amp;` LAST,
+    * so `&amp;lt;` decodes to the literal `&lt;` and not twice to `<`);
+    * collapse whitespace. A codegen'd regexp/replace chain — one
+    * narrow per-row expression, no UDF, no shuffle — and every pattern
+    * is RE2-safe (no backrefs/lookarounds), so an external engine
+    * replays it verbatim (the q132 oracle does). */
+  def stripHtml(c: Column): Column = {
+    val noScript = regexp_replace(c, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "(?s)<[^>]*>", " ")
+    val decoded = Seq("&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+        "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(noTags) { case (acc, (ent, ch)) =>
+        org.apache.spark.sql.functions.replace(acc, lit(ent), lit(ch)) }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
+  /** Fixed-size token windows with stride — context-window chunking,
+    * the step between curation and tokenization that turns variable-
+    * length documents into model-sized training examples ([[Sampling
+    * .packSequences]] packs WHOLE docs into bins; this SPLITS long
+    * docs, with `window - stride` tokens of overlap carrying context
+    * across the cut). Chunk starts are 0, stride, 2·stride, … while
+    * start < n_tokens (the final chunk may be short; a doc with no
+    * tokens yields no chunks). Emits (id, chunk_id, chunk_text,
+    * n_tokens). Narrow per-row explode — rows out ≈ rows in ×
+    * n/stride, zero shuffles, and the generated `sequence` is bounded
+    * by the doc's own token count (no corpus-sized arrays). */
+  def chunkTokens(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, window: Int, stride: Int): org.apache.spark.sql.DataFrame = {
+    require(window > 0, s"window must be positive, got $window")
+    require(stride > 0, s"stride must be positive, got $stride")
+    docs.select(col(idCol), tokens(col(textCol)).as("__t"))
+      .withColumn("__n", size(col("__t")))
+      .filter(col("__n") > 0)
+      .select(col(idCol), col("__t"),
+        posexplode(sequence(lit(0), col("__n") - 1, lit(stride)))
+          .as(Seq("__pos", "__start")))
+      .select(col(idCol), col("__pos").cast("long").as("chunk_id"),
+        concat_ws(" ", slice(col("__t"), col("__start") + 1, lit(window)))
+          .as("chunk_text"),
+        size(slice(col("__t"), col("__start") + 1, lit(window)))
+          .cast("long").as("n_tokens"))
+  }
+
+  /** BM25 ranked retrieval: score every document against a bag of
+    * query terms (Robertson-Spärck Jones; the keyword-search half of a
+    * hybrid retrieval stack, next to the ANN family in
+    * [[graft.ext.Similarity]]) and keep the global top-k.
+    *
+    * Shape — NO inverted index materialization and NO explode: the
+    * query is a handful of LITERAL terms, so per-doc term frequencies
+    * are narrow per-row columns (`size(filter(tokens, = term))`), the
+    * corpus statistics (N, Σdl, per-term df) are ONE single-row
+    * aggregate broadcast back, and the top-k is orderBy+limit —
+    * TakeOrderedAndProject, a per-partition heap + driver merge of k
+    * rows, never a global sort. One pass over the corpus total.
+    *
+    * `logIdf = true` (default) is textbook BM25,
+    * idf = ln(1 + (N − df + ½)/(df + ½)). `logIdf = false` drops the
+    * ln and scores with its argument — same per-term monotonicity in
+    * df, and `ln` never crosses engines bit-exactly (the repo-wide
+    * rule; q117's weights are integer for the same reason), so the
+    * cross-engine contract (q131) gates the log-free form while real
+    * use keeps the default. All remaining arithmetic is IEEE
+    * mult/div/add over a FIXED left-associated expression tree, which
+    * any engine replays bit-identically. */
+  def bm25Rank(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, queryTerms: Seq[String], topK: Int,
+      k1: Double = 1.2, b: Double = 0.75,
+      logIdf: Boolean = true): org.apache.spark.sql.DataFrame = {
+    require(queryTerms.nonEmpty, "bm25Rank requires at least one query term")
+    require(topK > 0, s"topK must be positive, got $topK")
+    val terms = queryTerms.distinct
+    val tk = docs.select(col(idCol), tokens(col(textCol)).as("__t"))
+      .withColumn("__dl", size(col("__t")).cast("long"))
+    val withTf = terms.zipWithIndex.foldLeft(tk) { case (acc, (t, i)) =>
+      acc.withColumn(s"__tf$i",
+        size(filter(col("__t"), x => x === lit(t))).cast("long"))
+    }.drop("__t")
+    val dfAggs = sum(col("__dl")).as("__S") +: terms.indices.map(i =>
+      sum(when(col(s"__tf$i") > 0, 1L).otherwise(0L)).as(s"__df$i"))
+    val stats = withTf.agg(count(lit(1)).as("__N"), dfAggs: _*)
+    val joined = withTf.crossJoin(broadcast(stats))
+    val n = col("__N").cast("double")
+    val avgdl = col("__S").cast("double") / n
+    val dl = col("__dl").cast("double")
+    val contribs = terms.indices.map { i =>
+      val tf = col(s"__tf$i").cast("double")
+      val dfc = col(s"__df$i").cast("double")
+      val idfArg = (n - dfc + lit(0.5)) / (dfc + lit(0.5))
+      val idf = if (logIdf) log(lit(1.0) + idfArg) else idfArg
+      idf * (tf * (lit(k1) + lit(1.0))) /
+        (tf + lit(k1) * (lit(1.0) - lit(b) + lit(b) * dl / avgdl))
+    }
+    joined.select(col(idCol), contribs.reduceLeft(_ + _).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(topK)
+  }
 }

@@ -570,4 +570,35 @@ class DedupSpec extends SparkSpec {
       v.fold(conf.unset(k))(conf.set(k, _))
     }
   }
+
+  test("softDedupWeights: each cluster's weights sum to 1, singletons weigh 1.0") {
+    val docs = (1L to 7L).map(Tuple1(_)).toDF("doc_id")
+    // clusters {1,2,3} (transitive), {4,5}; 6 and 7 isolated
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("a", "b")
+    val out = Dedup.softDedupWeights(docs, "doc_id", pairs, "a", "b")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out.keySet == (1L to 7L).toSet)
+    assert(out(1L) == ((1L, 3L, 1.0 / 3.0)) && out(3L)._1 == 1L)
+    assert(out(4L) == ((4L, 2L, 0.5)) && out(5L)._2 == 2L)
+    assert(out(6L) == ((6L, 1L, 1.0)) && out(7L) == ((7L, 1L, 1.0)))
+    // mass conservation: Σ weight == n_clusters
+    val total = out.values.map(_._3).sum
+    assert(math.abs(total - 4.0) < 1e-12, s"total mass $total")
+    spark.catalog.clearCache()
+  }
+
+  test("editDistancePairs: verifies candidates within the bound, drops the rest") {
+    val docs = Seq(
+      (1L, "the quick brown fox"),
+      (2L, "the quick brown fix"),   // 1 edit from doc 1
+      (3L, "the quick brown foxes"), // 2 edits from doc 1, 3 from doc 2
+      (4L, "something else entirely")
+    ).toDF("doc_id", "text")
+    val cand = Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L)).toDF("a", "b")
+    val out = Dedup.editDistancePairs(docs, "doc_id", "text",
+      cand, "a", "b", maxDistance = 2)
+      .as[(Long, Long, Int)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(out == Map((1L, 2L) -> 1, (1L, 3L) -> 2), s"got $out")
+  }
 }

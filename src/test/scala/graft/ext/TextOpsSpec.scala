@@ -273,4 +273,72 @@ class TextOpsSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(rows == Map(1L -> 1L, 2L -> 0L, 3L -> 0L))
   }
+
+  test("stripHtml: blocks with content, tags, comments, entities, whitespace") {
+    val page = "<html><head><style>p{x}</style><script>if (1 < 2) alert('&amp;');" +
+      "</script></head><body><h1>Title</h1><p>Hello <b>world</b></p>" +
+      "<!-- hidden --><div>A &amp;&nbsp;B &lt;kept&gt; &quot;q&quot; &#39;s&#39;</div></body>"
+    val out = one(page).select(TextOps.stripHtml($"t")).as[String].first()
+    // script CONTENT (including its entity and quotes) is gone, tag
+    // text survives, entities decode ONCE, whitespace collapses
+    assert(out == "Title Hello world A & B <kept> \"q\" 's'", s"got [$out]")
+    // &amp;lt; decodes to the literal "&lt;", never twice to "<"
+    assert(one("x &amp;lt; y").select(TextOps.stripHtml($"t"))
+      .as[String].first() == "x &lt; y")
+    // plain prose is untouched (beyond whitespace normalization)
+    assert(one("no markup  here").select(TextOps.stripHtml($"t"))
+      .as[String].first() == "no markup here")
+  }
+
+  test("chunkTokens: stride windows cover every token; tail short; empty doc drops") {
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 tokens
+      (2L, "solo"),                                    // 1 token, 1 chunk
+      (3L, "!!!")                                      // 0 tokens, 0 chunks
+    ).toDF("doc_id", "text")
+    val out = TextOps.chunkTokens(docs, "doc_id", "text", window = 4, stride = 3)
+      .as[(Long, Long, String, Long)].collect().sortBy(r => (r._1, r._2))
+    val d1 = out.filter(_._1 == 1L)
+    // starts 0,3,6,9 → windows of 4,4,4,1
+    assert(d1.map(_._2).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(d1.map(_._4).toSeq == Seq(4L, 4L, 4L, 1L))
+    assert(d1.head._3 == "w1 w2 w3 w4")
+    assert(d1.last._3 == "w10")
+    // overlap: chunk k starts at token 3k+1, so token 4 appears twice
+    assert(d1(1)._3 == "w4 w5 w6 w7")
+    // every token is covered at least once
+    val covered = d1.flatMap(_._3.split(" ")).toSet
+    assert(covered == (1 to 10).map(i => s"w$i").toSet)
+    assert(out.count(_._1 == 2L) == 1 && out.forall(_._1 != 3L))
+  }
+
+  test("bm25Rank matches a driver-side reference and respects topK ties") {
+    val docs = Seq(
+      (1L, "data data model over data"),
+      (2L, "model model model"),
+      (3L, "nothing relevant here at all with many words"),
+      (4L, "data model"),
+      (5L, "")
+    ).toDF("doc_id", "text")
+    val got = TextOps.bm25Rank(docs, "doc_id", "text",
+      Seq("data", "model"), topK = 3).as[(Long, Double)].collect().toSeq
+    // driver-side textbook BM25 (log idf), same tokenizer
+    val toks = Map(1L -> Seq("data","data","model","over","data"),
+      2L -> Seq("model","model","model"),
+      3L -> Seq("nothing","relevant","here","at","all","with","many","words"),
+      4L -> Seq("data","model"), 5L -> Seq.empty[String])
+    val n = toks.size.toDouble
+    val avgdl = toks.values.map(_.size).sum / n
+    def score(id: Long): Double = Seq("data", "model").map { t =>
+      val tf = toks(id).count(_ == t).toDouble
+      val df = toks.values.count(_.contains(t)).toDouble
+      val idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+      idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * toks(id).size / avgdl))
+    }.sum
+    val want = toks.keys.toSeq.map(id => (id, score(id)))
+      .sortBy { case (id, s) => (-s, id) }.take(3)
+    assert(got.map(_._1) == want.map(_._1), s"got $got want $want")
+    got.zip(want).foreach { case ((_, g), (_, w)) =>
+      assert(math.abs(g - w) < 1e-12, s"score $g vs $w") }
+  }
 }
