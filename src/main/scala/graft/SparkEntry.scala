@@ -1662,6 +1662,111 @@ object SparkEntry {
         .orderBy(col("a"), col("b"))
     }),
 
+    // C4 line-level cleaning (Raffel et al. 2020 §2.2): the fixture
+    // bodies are single-line prose, so a synthetic page is assembled
+    // around each — a short header, the body as a sentence, two good
+    // sentences, an unterminated nav line, plus arithmetic plants of
+    // the "lorem ipsum" and curly-brace document kills — mirrored
+    // term-for-term by the oracle. Line rules keep terminal-punctuated
+    // lines of ≥ 5 words; docs keep ≥ 3 such lines or drop entirely.
+    "q136_c4_clean" -> ((s, d) => {
+      val page = docsSpread(s, d).select(col("doc_id"), concat(
+        lit("Header\n"),
+        col("text"), lit(".\n"),
+        lit("This is a sentence with enough words.\n"),
+        lit("Click here to subscribe now today\n"),
+        lit("Another good sentence appears right here."),
+        when(col("doc_id") % 13 === 3,
+          lit("\nOur catalog of lorem ipsum samples ships today."))
+          .otherwise(lit("")),
+        when(col("doc_id") % 17 === 5,
+          lit("\nfunction f() { return 1; }"))
+          .otherwise(lit(""))
+      ).as("text"))
+      TextOps.c4Clean(page, "doc_id", "text").orderBy(col("doc_id"))
+    }),
+
+    // URL canonicalization + URL-level dedup: deterministic noisy URLs
+    // (case soup, www, default ports, tracking params, fragments,
+    // trailing slashes) are derived from (source, doc_id) and must
+    // collide post-canonicalization; the oracle replays the identical
+    // regexp chain (no capture-group replacements — Spark $1 vs DuckDB
+    // \1 never enters the contract).
+    "q137_url_canonical" -> ((s, d) => {
+      val id25 = (col("doc_id") % 25).cast("string")
+      val m6 = col("doc_id") % 6
+      val raw = concat(
+        lit("HTTPS://WWW."), col("source"), lit(".Example.COM"),
+        when(m6 === 0, concat(lit(":443/Docs/"), id25, lit("/")))
+          .when(m6 === 1, concat(lit("/Docs/"), id25,
+            lit("?utm_source=news&page="), (col("doc_id") % 3).cast("string")))
+          .when(m6 === 2, concat(lit("/Docs/"), id25,
+            lit("?page="), (col("doc_id") % 3).cast("string"),
+            lit("&utm_campaign=summer")))
+          .when(m6 === 3, concat(lit("/Docs/"), id25, lit("#frag")))
+          .when(m6 === 4, concat(lit(":80/Docs/"), id25,
+            lit("?utm_medium=email")))
+          .otherwise(concat(lit("/Docs/"), id25)))
+      T(s, d, "documents").select(col("doc_id"),
+          TextOps.canonicalizeUrl(raw).as("canonical_url"))
+        .groupBy(col("canonical_url"))
+        .agg(count(lit(1)).as("n_urls"), min(col("doc_id")).as("keep_doc_id"))
+        .orderBy(col("canonical_url"))
+    }),
+
+    // CCNet-style perplexity bucketing (Wenzek et al. 2020): per-lang
+    // head/middle/tail tertiles of the q117 LM score, computed by the
+    // DISTRIBUTED ntile (Sampling.ntileByKey — range-bucketed per-key
+    // ranks, never one window partition per language) and replayed by
+    // the oracle's plain ntile(3). Scored frame is persisted: ntile's
+    // quantile probe + two rank scans would otherwise recompute the
+    // LM join per scan.
+    "q138_ppl_buckets" -> ((s, d) => {
+      val docs = docsSpread(s, d)
+      val scored = TextOps.lmScore(docs, "doc_id", "text",
+          TextOps.syntheticLmWeights(s, buckets = 64), buckets = 64)
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.ext.Sampling.ntileByKey(scored, "lang", "lm_score", "doc_id", tiles = 3)
+        .select(col("doc_id"), col("lang"), col("lm_score"),
+          when(col("tile") === 1, lit("head"))
+            .when(col("tile") === 2, lit("middle"))
+            .otherwise(lit("tail")).as("ppl_bucket"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // DSIR importance selection (Xie et al. 2023): hashed-uni+bigram
+    // importance scores under the synthetic milli-log-ratio table
+    // (trained weights are model data — TextOpsSpec), then the exact
+    // top-200 by (importance DESC, doc_id) via the token-budget
+    // machinery with unit cost. The oracle replays features, weights,
+    // integer sum, one division, rank ≤ 200.
+    "q139_dsir_select" -> ((s, d) => {
+      val scored = TextOps.dsirScore(docsSpread(s, d), "doc_id", "text",
+          TextOps.dsirSyntheticWeights(s, buckets = 64), buckets = 64)
+        .withColumn("__one", lit(1L))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.ext.Sampling.selectByTokenBudget(scored, "__one", "importance",
+          "doc_id", budget = 200L)
+        .select(col("doc_id"), col("importance"), col("n_features"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Temperature-based mixture allocation (α = ½ "alpha sampling",
+    // Conneau & Lample 2019): per-lang share ∝ √n, quantized to int64
+    // milli-units so the largest-remainder apportionment of the
+    // 300-doc budget is engine-exact.
+    "q140_temperature_mix" -> ((s, d) =>
+      graft.ext.Sampling.temperatureMix(T(s, d, "documents"), "lang", budget = 300L)
+        .orderBy(col("lang"))),
+
+    // Character-diversity filter: unbiased Gini–Simpson over character
+    // counts — the log-free entropy proxy (integer counts, one double
+    // division) that flags repetition garbage and near-random noise.
+    "q141_char_diversity" -> ((s, d) =>
+      TextOps.charDiversity(docsSpread(s, d), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
     // WITHIN-doc duplicate-line removal — the per-document complement
     // of q120's cross-doc paragraph dedup (Dolma runs both). The
     // multiline fixture's planted "self repeat" lines (doc_id%7==2)
@@ -3091,6 +3196,169 @@ object SparkEntry {
         |         JOIN documents db ON db.doc_id = p.b)
         |SELECT a, b, CAST(dist AS BIGINT) AS dist FROM v
         |WHERE dist <= 5 ORDER BY a, b""".stripMargin,
+
+    // same synthetic page, same line rules: terminal punctuation + ≥ 5
+    // words per line, "lorem ipsum" / '{' / < 3 kept lines doc kills
+    "q136_c4_clean" ->
+      """WITH page AS (
+        |  SELECT doc_id,
+        |    'Header' || chr(10) || text || '.' || chr(10) ||
+        |    'This is a sentence with enough words.' || chr(10) ||
+        |    'Click here to subscribe now today' || chr(10) ||
+        |    'Another good sentence appears right here.' ||
+        |    CASE WHEN doc_id % 13 = 3 THEN chr(10) || 'Our catalog of lorem ipsum samples ships today.' ELSE '' END ||
+        |    CASE WHEN doc_id % 17 = 5 THEN chr(10) || 'function f() { return 1; }' ELSE '' END AS text
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, chr(10)), l ->
+        |      regexp_matches(l, '[.!?"]$') AND
+        |      len(list_filter(string_split_regex(lower(l), '[^a-z0-9]+'), x -> len(x) > 0)) >= 5) AS kept,
+        |    len(string_split(text, chr(10))) AS total
+        |  FROM page
+        |  WHERE NOT contains(lower(text), 'lorem ipsum') AND NOT contains(text, '{'))
+        |SELECT doc_id, array_to_string(kept, chr(10)) AS clean_text,
+        |  CAST(len(kept) AS BIGINT) AS n_kept,
+        |  CAST(total - len(kept) AS BIGINT) AS n_dropped
+        |FROM f WHERE len(kept) >= 3 ORDER BY doc_id""".stripMargin,
+
+    // the identical 9-step regexp chain ('g' everywhere — Spark
+    // regexp_replace is always global), then group on the canonical
+    "q137_url_canonical" ->
+      """WITH u AS (
+        |  SELECT doc_id, 'HTTPS://WWW.' || source || '.Example.COM' ||
+        |    CASE doc_id % 6
+        |      WHEN 0 THEN ':443/Docs/' || CAST(doc_id % 25 AS VARCHAR) || '/'
+        |      WHEN 1 THEN '/Docs/' || CAST(doc_id % 25 AS VARCHAR) || '?utm_source=news&page=' || CAST(doc_id % 3 AS VARCHAR)
+        |      WHEN 2 THEN '/Docs/' || CAST(doc_id % 25 AS VARCHAR) || '?page=' || CAST(doc_id % 3 AS VARCHAR) || '&utm_campaign=summer'
+        |      WHEN 3 THEN '/Docs/' || CAST(doc_id % 25 AS VARCHAR) || '#frag'
+        |      WHEN 4 THEN ':80/Docs/' || CAST(doc_id % 25 AS VARCHAR) || '?utm_medium=email'
+        |      ELSE '/Docs/' || CAST(doc_id % 25 AS VARCHAR)
+        |    END AS url
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |      lower(url),
+        |      '#.*$', '', 'g'),
+        |      '(utm_[a-z0-9]+|fbclid|gclid|mc_eid|ref)=[^&#]*&', '', 'g'),
+        |      '[?&](utm_[a-z0-9]+|fbclid|gclid|mc_eid|ref)=[^&#]*$', '', 'g'),
+        |      '^https?://', '', 'g'),
+        |      '^www\.', '', 'g'),
+        |      ':(80|443)/', '/', 'g'),
+        |      ':(80|443)$', '', 'g'),
+        |      '\?$', '', 'g'),
+        |      '/+$', '', 'g') AS canonical_url
+        |  FROM u)
+        |SELECT canonical_url, count(*) AS n_urls, min(doc_id) AS keep_doc_id
+        |FROM c GROUP BY 1 ORDER BY canonical_url""".stripMargin,
+
+    // q117's LM-score CTEs, then plain per-lang ntile(3) on
+    // (lm_score DESC, doc_id) — the distributed ntileByKey must agree
+    // rank for rank
+    "q138_ppl_buckets" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS t FROM documents),
+        |bg AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(t)), i -> struct_pack(w1 := t[i], w2 := t[i + 1]))) AS p
+        |  FROM tk WHERE len(t) >= 2),
+        |hb AS (
+        |  SELECT doc_id,
+        |    CAST(concat('0x', substring(md5(concat('7', '|', p.w1)), 1, 15)) AS BIGINT) % 64 AS ctx,
+        |    CAST(concat('0x', substring(md5(concat('7', '|', p.w2)), 1, 15)) AS BIGINT) % 64 AS tok
+        |  FROM bg),
+        |w AS (
+        |  SELECT c.range AS ctx, k.range AS tok,
+        |    -(CAST(concat('0x', substring(md5(concat('13', '|', CAST(c.range AS VARCHAR), '|', CAST(k.range AS VARCHAR))), 1, 15)) AS BIGINT) % 1401) AS weight
+        |  FROM range(64) c CROSS JOIN range(64) k),
+        |agg AS (
+        |  SELECT doc_id, sum(weight) AS sw, count(*) AS nb
+        |  FROM hb JOIN w USING (ctx, tok) GROUP BY 1),
+        |scored AS (
+        |  SELECT d.doc_id, d.lang,
+        |    coalesce(CAST(agg.sw AS DOUBLE) / CAST(1000 * agg.nb AS DOUBLE), 0.0) AS lm_score
+        |  FROM documents d LEFT JOIN agg USING (doc_id)),
+        |t3 AS (
+        |  SELECT doc_id, lang, lm_score,
+        |    ntile(3) OVER (PARTITION BY lang ORDER BY lm_score DESC, doc_id) AS tile
+        |  FROM scored)
+        |SELECT doc_id, lang, lm_score,
+        |  CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS ppl_bucket
+        |FROM t3 ORDER BY doc_id""".stripMargin,
+
+    // q113's feature CTEs under the DSIR synthetic ratio table
+    // (seed 17, ±700 milli-log-ratio), importance rank ≤ 200
+    "q139_dsir_select" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS t FROM documents),
+        |uni AS (SELECT doc_id, unnest(t) AS f FROM tk),
+        |bi AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])) AS f
+        |  FROM tk WHERE len(t) >= 2),
+        |feats AS (SELECT doc_id, f FROM uni UNION ALL SELECT doc_id, f FROM bi),
+        |hb AS (
+        |  SELECT doc_id,
+        |    CAST(concat('0x', substring(md5(concat('7', '|', f)), 1, 15)) AS BIGINT) % 64 AS bucket
+        |  FROM feats),
+        |w AS (
+        |  SELECT r.range AS bucket,
+        |    (CAST(concat('0x', substring(md5(concat('17', '|', CAST(r.range AS VARCHAR))), 1, 15)) AS BIGINT) % 1401) - 700 AS weight
+        |  FROM range(64) r),
+        |agg AS (
+        |  SELECT doc_id, sum(weight) AS sw, count(*) AS nf
+        |  FROM hb JOIN w USING (bucket) GROUP BY 1),
+        |scored AS (
+        |  SELECT d.doc_id,
+        |    coalesce(CAST(agg.sw AS DOUBLE) / 1000.0, 0.0) AS importance,
+        |    CAST(coalesce(agg.nf, 0) AS BIGINT) AS n_features
+        |  FROM documents d LEFT JOIN agg USING (doc_id)),
+        |r AS (
+        |  SELECT doc_id, importance, n_features,
+        |    row_number() OVER (ORDER BY importance DESC, doc_id) AS rn
+        |  FROM scored)
+        |SELECT doc_id, importance, n_features FROM r
+        |WHERE rn <= 200 ORDER BY doc_id""".stripMargin,
+
+    // √n quantized to int64 milli-units; largest-remainder seats by
+    // (remainder DESC, lang) — all-integer apportionment
+    "q140_temperature_mix" ->
+      """WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
+        |q AS (
+        |  SELECT lang, n_docs,
+        |    CAST(round(1000 * sqrt(CAST(n_docs AS DOUBLE))) AS BIGINT) AS s
+        |  FROM c),
+        |t AS (SELECT CAST(sum(s) AS BIGINT) AS stot FROM q),
+        |a AS (
+        |  SELECT lang, n_docs, s, stot,
+        |    (300 * s) // stot AS fl, (300 * s) % stot AS rmd
+        |  FROM q CROSS JOIN t),
+        |sp AS (SELECT 300 - CAST(sum(fl) AS BIGINT) AS spare FROM a),
+        |r AS (
+        |  SELECT lang, n_docs, s, stot, fl,
+        |    row_number() OVER (ORDER BY rmd DESC, lang) AS rr
+        |  FROM a)
+        |SELECT lang, n_docs, CAST(s AS DOUBLE) / CAST(stot AS DOUBLE) AS share,
+        |  CAST(fl + CASE WHEN rr <= (SELECT spare FROM sp) THEN 1 ELSE 0 END AS BIGINT) AS target_docs
+        |FROM r ORDER BY lang""".stripMargin,
+
+    // per-character counts via positional substring (code-POINT chars,
+    // matching Spark's split on the ASCII fixture), unbiased Simpson
+    "q141_char_diversity" ->
+      """WITH ch AS (
+        |  SELECT doc_id, substring(text, CAST(i AS INT), 1) AS c
+        |  FROM (SELECT doc_id, text, unnest(range(1, len(text) + 1)) AS i FROM documents)),
+        |cnt AS (SELECT doc_id, c, count(*) AS k FROM ch GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT doc_id, sum(k * (k - 1)) AS s2, sum(k) AS n, count(*) AS kk
+        |  FROM cnt GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(agg.n, 0) AS BIGINT) AS n_chars_counted,
+        |  CAST(coalesce(agg.kk, 0) AS BIGINT) AS distinct_chars,
+        |  CASE WHEN coalesce(agg.n, 0) < 2 THEN 0.0
+        |    ELSE 1.0 - CAST(agg.s2 AS DOUBLE) / CAST(agg.n * (agg.n - 1) AS DOUBLE)
+        |  END AS char_diversity
+        |FROM documents d LEFT JOIN agg USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
 
     // d2/pp from the paragraph CTEs (dp/hot unused here): first
     // occurrence per (doc, line), blanks always kept, ordered rebuild

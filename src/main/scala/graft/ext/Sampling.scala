@@ -352,4 +352,140 @@ object Sampling {
         .drop("__bkt", "__cum", "__off")
     }
   }
+
+  /** Distributed per-key NTILE — CCNet's head/middle/tail perplexity
+    * bucketing (Wenzek et al. 2020) without the trap a naive
+    * `ntile(t) OVER (PARTITION BY key ORDER BY …)` hides: one window
+    * partition per key means one TASK sorts an entire language's worth
+    * of a 100 TB corpus. Here the per-key rank is computed the
+    * [[packSequences]] way — a global approxQuantile range-bucketing
+    * of the score (monotone, so per-(key, bucket) `row_number`s plus
+    * per-key bucket-offset sums reproduce the exact per-key rank; the
+    * offset table is keys × buckets rows, broadcast) — then the rank
+    * is folded through NTILE's exact fill rule (first `n mod t` tiles
+    * get the extra row). Rows rank by (`scoreCol` DESC, `idCol` ASC):
+    * ties are totally ordered, so tile assignment is engine-exact and
+    * the DuckDB `ntile` replays it verbatim.
+    *
+    * Returns the input plus an integer `tile` ∈ [1, tiles]. Keys with
+    * fewer than `tiles` rows behave like SQL NTILE (row r → tile r).
+    * NULL scores are excluded (an unscored row has no rank); pre-fill
+    * if they should participate. */
+  def ntileByKey(df: DataFrame, keyCol: String, scoreCol: String,
+      idCol: String, tiles: Int, globalBuckets: Int = 32): DataFrame = {
+    require(tiles > 0, s"tiles must be positive, got $tiles")
+    val withNeg = df.filter(col(scoreCol).isNotNull)
+      .withColumn("__negq", -col(scoreCol).cast("double"))
+    val probes = (1 until globalBuckets).map(_.toDouble / globalBuckets).toArray
+    val bounds =
+      if (probes.isEmpty) Array.empty[Double]
+      else Option(withNeg.stat.approxQuantile("__negq", probes, 0.001))
+        .getOrElse(Array.empty[Double]).filterNot(_.isNaN).distinct.sorted
+    val bucket = bounds.foldLeft(lit(0)) { (acc, b) =>
+      acc + when(col("__negq") > lit(b), 1).otherwise(0)
+    }
+    val withB = withNeg.withColumn("__bkt", bucket)
+    val wIn = Window.partitionBy(col(keyCol), col("__bkt"))
+      .orderBy(col("__negq"), col(idCol))
+    val rn = withB.withColumn("__rn", row_number().over(wIn).cast("long"))
+    val tot = withB.groupBy(col(keyCol), col("__bkt"))
+      .agg(count(lit(1)).as("__tot"))
+    val offsets = tot.as("a")
+      .join(broadcast(tot.as("b")),
+        col("a." + keyCol) === col("b." + keyCol) &&
+          col("b.__bkt") < col("a.__bkt"), "left")
+      .groupBy(col("a." + keyCol).as(keyCol), col("a.__bkt").as("__bkt"))
+      .agg(coalesce(sum(col("b.__tot")), lit(0L)).as("__off"))
+    val nPerKey = withB.groupBy(col(keyCol)).agg(count(lit(1)).as("__n"))
+    // NTILE fill rule: with n rows and t tiles, the first (n mod t)
+    // tiles hold ceil(n/t) rows, the rest floor(n/t). All-INTEGER
+    // arithmetic (`div`, never `/` — Spark's `/` is double division).
+    rn.join(broadcast(offsets), Seq(keyCol, "__bkt"))
+      .join(broadcast(nPerKey), Seq(keyCol))
+      .withColumn("__rank", col("__off") + col("__rn"))
+      .withColumn("__base", expr(s"__n div $tiles"))
+      .withColumn("__rem", col("__n") % tiles)
+      .withColumn("tile",
+        when(col("__rank") <= (col("__base") + 1L) * col("__rem"),
+            expr("(__rank + __base) div (__base + 1)")) // ceil(r/(b+1))
+          .otherwise(col("__rem") + expr(
+            // base = 0 only when n < tiles, where the first branch
+            // always fires (thr = n); the greatest(1) guard just keeps
+            // the dead branch from dividing by zero
+            "(__rank - (__base + 1) * __rem + __base - 1) div greatest(__base, 1)"))
+          .cast("int"))
+      .drop("__negq", "__bkt", "__rn", "__off", "__n", "__rank", "__base", "__rem")
+  }
+
+  /** Temperature-based mixture allocation — the multilingual/domain
+    * rebalancing rule (Conneau & Lample 2019; "alpha sampling"): a
+    * key's share of the training budget is nᵏ^α / Σ nⱼ^α, flattening
+    * the head and boosting the tail (α = 1 is proportional, α → 0
+    * uniform). Returns per key: count, share, and an integer
+    * `target_docs` allocation of `budget` by largest-remainder
+    * apportionment, so Σ target_docs == min(budget-ish, exact) —
+    * deterministic and engine-exact: nᵏ^α is quantized to round(1e6 ·
+    * sqrt(n)) (α is fixed at ½, the common practice value, where pow
+    * IS sqrt — correctly rounded in every IEEE engine, unlike pow);
+    * from there everything is int64 arithmetic, ONE double division
+    * for `share`. All aggregates are key-level (rows ≈ #keys); the
+    * apportionment window sorts that tiny aggregate, not the corpus. */
+  def temperatureMix(df: DataFrame, keyCol: String, budget: Long): DataFrame = {
+    require(budget >= 0, s"budget $budget must be >= 0")
+    // sqrt quantized to 1e3 (≈0.1% share precision at n=1, finer as n
+    // grows) keeps budget·__s inside int64: __s ≤ 1e3·√n ≤ ~1e9 at a
+    // trillion docs/key, so budgets up to ~1e9 multiply safely.
+    // One keyed aggregate reduces the corpus to #keys rows; everything
+    // after runs on a SINGLE packed array row with higher-order
+    // functions — no self-joins (whose duplicated lineage Spark 4's
+    // DeduplicateRelations turns into AMBIGUOUS_REFERENCE minefields),
+    // no windows. The mixture table must fit one row: fine for its
+    // domain (languages/sources/hosts — thousands, not billions).
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("n_docs"))
+      .select(struct(
+        col(keyCol).as("k"),
+        col("n_docs").as("n"),
+        round(lit(1e3) * sqrt(col("n_docs").cast("double"))).cast("long")
+          .as("s")).as("kv"))
+    val packed = counts.agg(collect_list(col("kv")).as("ks"))
+      .select(col("ks"),
+        aggregate(col("ks"), lit(0L), (acc, x) => acc + x.getField("s"))
+          .as("tot"))
+    // floor division in EXACT arithmetic: (p − p mod S) is divisible
+    // by S, and decimal(38,0) division keeps the integer quotient
+    // exact past 2^53 (Spark's long `/` is lossy double division, and
+    // there is no integer-div Column op).
+    val alloc = packed.select(col("tot"),
+      transform(col("ks"), { x =>
+        val prod = lit(budget) * x.getField("s")
+        val rmd = pmod(prod, col("tot"))
+        struct(x.getField("k").as("k"), x.getField("n").as("n"),
+          x.getField("s").as("s"),
+          ((prod - rmd).cast("decimal(38,0)") /
+            col("tot").cast("decimal(38,0)")).cast("long").as("fl"),
+          rmd.as("rmd"))
+      }).as("ks"))
+    // largest-remainder apportionment: sort by (remainder DESC, key),
+    // the first `spare` entries get one extra seat — all-integer,
+    // deterministic, engine-exact
+    val ranked = alloc.select(col("tot"),
+      (lit(budget) - aggregate(col("ks"), lit(0L),
+        (acc, x) => acc + x.getField("fl"))).as("spare"),
+      array_sort(col("ks"), { (l, r) =>
+        when(l.getField("rmd") > r.getField("rmd"), -1)
+          .when(l.getField("rmd") < r.getField("rmd"), 1)
+          .when(l.getField("k") < r.getField("k"), -1)
+          .when(l.getField("k") > r.getField("k"), 1)
+          .otherwise(0)
+      }).as("ks"))
+    ranked.select(col("tot"), col("spare"),
+        posexplode(col("ks")).as(Seq("pos", "kv")))
+      .select(col("kv").getField("k").as(keyCol),
+        col("kv").getField("n").as("n_docs"),
+        (col("kv").getField("s").cast("double") / col("tot").cast("double"))
+          .as("share"),
+        (col("kv").getField("fl") +
+          when(col("pos") < col("spare"), 1L).otherwise(0L))
+          .as("target_docs"))
+  }
 }

@@ -889,4 +889,186 @@ object TextOps {
       .orderBy(col("score").desc, col(idCol))
       .limit(topK)
   }
+
+  // ------------------------------------------------- C4 line-level clean
+  // Raffel et al. 2020 §2.2 ("C4"): line-level rules (keep only lines
+  // ending in a terminal punctuation mark with enough words) plus
+  // document-level drops (pages mentioning "lorem ipsum" or containing
+  // a curly brace, pages left with too few sentences). The line pass
+  // complements the Gopher DOC-level rules (gopherQuality): Gopher
+  // drops whole documents, C4 repairs them line by line first.
+
+  /** Kept lines of a document under the C4 line rules: a line survives
+    * iff it ends in terminal punctuation (`.` `!` `?` or a closing
+    * quote) AND has at least `minWords` words. Higher-order `filter`
+    * over the split — a narrow per-row pass, NO shuffle; the lambda is
+    * interpreted rather than codegen'd, the price of keeping line
+    * ORDER without an explode + re-aggregate exchange (the right trade
+    * for a per-line predicate this cheap). */
+  def c4KeptLines(text: Column, minWords: Int = 5): Column =
+    filter(split(text, "\n"), l =>
+      l.rlike("[.!?\"]$") &&
+        regexp_count(lower(l), lit("[a-z0-9]+")) >= minWords)
+
+  /** C4 cleaning over a corpus: line-filter every document, then drop
+    * documents that mention "lorem ipsum", contain `{` (code/template
+    * debris), or retain fewer than `minLines` kept lines. Returns only
+    * the SURVIVING docs as (id, clean_text, n_kept, n_dropped).
+    * Narrow per-row work end to end — no exchange is introduced. */
+  def c4Clean(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, minWords: Int = 5,
+      minLines: Int = 3): org.apache.spark.sql.DataFrame = {
+    val t = col(textCol)
+    docs
+      .filter(!lower(t).contains("lorem ipsum") && !t.contains("{"))
+      .select(col(idCol), c4KeptLines(t, minWords).as("__kept"),
+        size(split(t, "\n")).cast("long").as("__total"))
+      .filter(size(col("__kept")) >= minLines)
+      .select(col(idCol),
+        array_join(col("__kept"), "\n").as("clean_text"),
+        size(col("__kept")).cast("long").as("n_kept"),
+        (col("__total") - size(col("__kept"))).cast("long").as("n_dropped"))
+  }
+
+  // --------------------------------------------------- URL canonicalize
+  /** Canonical form of a URL for URL-level dedup (every web-crawl
+    * pipeline's cheapest dedup pass — two fetches of the same page
+    * under cosmetically different URLs must collide BEFORE any text
+    * fingerprinting). Rules, in order: lowercase (a documented
+    * simplification — hosts are case-insensitive, paths usually are on
+    * the crawls this targets), drop the fragment, drop tracking
+    * parameters (utm_*, fbclid, gclid, mc_eid, ref), drop the scheme,
+    * a leading `www.`, default ports (`:80`/`:443`), and any trailing
+    * `?` or `/`. Every pattern is RE2-safe with NO capture-group
+    * replacements (Spark says `$1`, DuckDB says `\1` — so the chain
+    * avoids them entirely and replays verbatim in either engine).
+    * Purely narrow, codegen'd. */
+  def canonicalizeUrl(u: Column): Column = {
+    val track = "(utm_[a-z0-9]+|fbclid|gclid|mc_eid|ref)"
+    var c = lower(u)
+    c = regexp_replace(c, "#.*$", "")               // fragment
+    c = regexp_replace(c, s"$track=[^&#]*&", "")    // tracking pair + '&'
+    c = regexp_replace(c, s"[?&]$track=[^&#]*$$", "") // trailing pair + sep
+    c = regexp_replace(c, "^https?://", "")         // scheme
+    c = regexp_replace(c, "^www\\.", "")            // www
+    c = regexp_replace(c, ":(80|443)/", "/")        // default port, mid
+    c = regexp_replace(c, ":(80|443)$", "")         // default port, end
+    c = regexp_replace(c, "\\?$", "")               // bare '?'
+    regexp_replace(c, "/+$", "")                    // trailing slashes
+  }
+
+  // ------------------------------------------- character diversity (log-free)
+  /** Per-document character diversity: the unbiased Gini–Simpson index
+    * 1 − Σ cᵢ(cᵢ−1) / (n(n−1)) over character counts — a LOG-FREE
+    * entropy proxy (monotone with Rényi-2 entropy) for spotting
+    * repetition garbage (`aaaa…` → 0) and near-random noise (→ 1)
+    * without the cross-engine `ln` hazard: integer count arithmetic
+    * with ONE double division, so scores hash-match in any IEEE
+    * engine. Docs with < 2 characters score 0.0 by convention.
+    *
+    * Shape: one char explode, two keyed hash aggregates ((id, ch) then
+    * id — both map-side-combining on the SAME id-hash exchange), left
+    * join back to the doc spine. Linear in corpus size; no windows. */
+  def charDiversity(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val chars = docs.select(col(idCol),
+        explode(split(col(textCol), "")).as("__ch"))
+      .filter(length(col("__ch")) === 1)
+    val agg = chars.groupBy(col(idCol), col("__ch"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__c") * (col("__c") - 1L)).as("__s2"),
+        sum(col("__c")).as("__n"),
+        count(lit(1)).as("__k"))
+    docs.select(col(idCol)).join(agg, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__n"), lit(0L)).as("n_chars_counted"),
+        coalesce(col("__k"), lit(0L)).as("distinct_chars"),
+        when(coalesce(col("__n"), lit(0L)) < 2, lit(0.0))
+          .otherwise(lit(1.0) - col("__s2").cast("double") /
+            (col("__n") * (col("__n") - 1L)).cast("double"))
+          .as("char_diversity"))
+  }
+
+  // ----------------------------------------------------- DSIR importance
+  // Xie et al. 2023 ("Data Selection for Language Models via Importance
+  // Resampling"): score raw documents by the log-likelihood ratio of a
+  // TARGET vs a RAW hashed bag-of-ngrams model, then keep the top of
+  // the importance order. Features are [[hashedFeatureRows]]' hashed
+  // word uni+bigrams; like the classifier (q113) and the bigram LM
+  // (q117), weights are INTEGER milli-log-ratios so scoring stays
+  // exact until one final division — `ln` lives only in training,
+  // which produces model DATA (spec-covered, not oracle-gated).
+
+  /** DSIR sufficient statistics: per hashed feature bucket, occurrence
+    * counts in the target corpus vs the raw corpus — pure integers,
+    * oracle-replayable. Returns a COMPLETE (bucket, target_cnt,
+    * raw_cnt) table, absent buckets as zeros; at most `buckets` rows
+    * whatever the corpus size (one hash aggregate per side). */
+  def dsirFeatureCounts(target: org.apache.spark.sql.DataFrame,
+      raw: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      buckets: Int, seed: Int = 7): org.apache.spark.sql.DataFrame = {
+    val spark = raw.sparkSession
+    def side(df: org.apache.spark.sql.DataFrame, name: String) =
+      hashedFeatureRows(df, idCol, textCol, buckets, seed)
+        .groupBy(col("bucket")).agg(count(lit(1)).as(name))
+    spark.range(buckets).select(col("id").as("bucket"))
+      .join(broadcast(side(target, "target_cnt")), Seq("bucket"), "left")
+      .join(broadcast(side(raw, "raw_cnt")), Seq("bucket"), "left")
+      .select(col("bucket"),
+        coalesce(col("target_cnt"), lit(0L)).as("target_cnt"),
+        coalesce(col("raw_cnt"), lit(0L)).as("raw_cnt"))
+  }
+
+  /** Train DSIR importance weights: weight(bucket) = round(1000 · (ln
+    * P̂_target(bucket) − ln P̂_raw(bucket))) with add-one smoothing over
+    * the hashed feature space. Model DATA (the `ln` stays out of the
+    * cross-engine contract — q139 gates scoring under
+    * [[dsirSyntheticWeights]] instead; this path is spec-covered).
+    * `buckets` rows out; keep ≤ ~1e6 so the table broadcasts. */
+  def trainDsirWeights(target: org.apache.spark.sql.DataFrame,
+      raw: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      buckets: Int, seed: Int = 7): org.apache.spark.sql.DataFrame = {
+    val counts = dsirFeatureCounts(target, raw, idCol, textCol, buckets, seed)
+    val tots = counts.agg(sum(col("target_cnt")).as("__T"),
+      sum(col("raw_cnt")).as("__R"))
+    counts.crossJoin(broadcast(tots)).select(col("bucket"),
+      round(lit(1000.0) * (
+        log((col("target_cnt") + 1L).cast("double") /
+          (col("__T") + buckets).cast("double")) -
+        log((col("raw_cnt") + 1L).cast("double") /
+          (col("__R") + buckets).cast("double"))))
+        .cast("long").as("weight"))
+  }
+
+  /** Deterministic md5-derived stand-in DSIR weight table (weight ∈
+    * [−700, 700] milli-log-ratio) for the cross-engine scoring
+    * contract — [[syntheticWeights]]' role, DSIR-shaped. */
+  def dsirSyntheticWeights(spark: org.apache.spark.sql.SparkSession,
+      buckets: Int, seed: Int = 17): org.apache.spark.sql.DataFrame =
+    spark.range(buckets).select(col("id").as("bucket"),
+      ((portableHash64(seed, col("id").cast("string")) % 1401L) - 700L)
+        .as("weight"))
+
+  /** Per-document DSIR importance: Σ over feature OCCURRENCES of the
+    * bucket's milli-log-ratio, ÷ 1000 — ≈ ln(P_target(doc)/P_raw(doc))
+    * under the hashed models. Integer sum, ONE double division (exact
+    * cross-engine). Every input doc gets a row (no-token docs score
+    * 0.0). Shape: feature explode → broadcast join on the weight
+    * table → one hash aggregate on the doc id → left join to the
+    * spine. Resample downstream by ranking on the score (e.g.
+    * [[Sampling.selectByTokenBudget]] with unit cost = exact top-N). */
+  def dsirScore(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, weights: org.apache.spark.sql.DataFrame,
+      buckets: Int, seed: Int = 7): org.apache.spark.sql.DataFrame = {
+    val agg = hashedFeatureRows(docs, idCol, textCol, buckets, seed)
+      .join(broadcast(weights), Seq("bucket"))
+      .groupBy(col(idCol))
+      .agg(sum(col("weight")).as("__sw"), count(lit(1)).as("__nf"))
+    docs.select(col(idCol)).join(agg, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__sw").cast("double") / lit(1000.0), lit(0.0))
+          .as("importance"),
+        coalesce(col("__nf"), lit(0L)).as("n_features"))
+  }
 }

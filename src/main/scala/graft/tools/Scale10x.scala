@@ -97,7 +97,16 @@ object Scale10x {
       // the best tenth and the cost is the ranking, not the output)
       "q128_within_doc_lines", "q129_token_budget",
       // per-key cap: one key exchange, per-key sorts bounded by group size
-      "q130_cap_per_domain")
+      "q130_cap_per_domain",
+      // r10 additions: BM25 (one broadcast stats row + narrow tf
+      // columns + top-k heap — should read ~linear), distributed
+      // per-key NTILE (range-bucketed ranks; a naive per-lang window
+      // would show here as the single-task sort), DSIR scoring
+      // (feature explode + broadcast weights + doc aggregate — the
+      // q113 shape), and character diversity (char explode + two
+      // keyed aggregates on one id-hash exchange)
+      "q131_bm25_rank", "q138_ppl_buckets", "q139_dsir_select",
+      "q141_char_diversity")
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")

@@ -195,4 +195,48 @@ class SamplingSpec extends SparkSpec {
       .select("id", "shard", "pos").as[(Long, Long, Long)].collect().toSet
     assert(c != a)
   }
+
+  test("ntileByKey == SQL NTILE over every key, including n < tiles") {
+    import org.apache.spark.sql.expressions.Window
+    // skewed key sizes: 1, 2, 3, 50, 101 rows — exercises remainder
+    // tiles, base-0 keys, and multi-bucket ranks
+    val rows = Seq(("a", 1), ("b", 2), ("c", 3), ("d", 50), ("e", 101))
+      .flatMap { case (k, n) => (1 to n).map(i => (k, i.toLong * 31 % 97, k.hashCode.toLong * 1000 + i)) }
+    val df = rows.toDF("k", "score", "id")
+    val got = Sampling.ntileByKey(df, "k", "score", "id", tiles = 3,
+        globalBuckets = 8)
+      .select("k", "id", "tile").as[(String, Long, Int)].collect().toSet
+    val ref = df.withColumn("tile", ntile(3).over(
+        Window.partitionBy($"k").orderBy($"score".desc, $"id")))
+      .select("k", "id", "tile").as[(String, Long, Int)].collect().toSet
+    assert(got == ref)
+    // partition layout must not matter
+    val got7 = Sampling.ntileByKey(df.repartition(7), "k", "score", "id", 3)
+      .select("k", "id", "tile").as[(String, Long, Int)].collect().toSet
+    assert(got7 == ref)
+  }
+
+  test("temperatureMix: exact budget, sqrt flattening, largest remainder") {
+    val df = (Seq.fill(900)("big") ++ Seq.fill(90)("mid") ++ Seq.fill(10)("sml"))
+      .zipWithIndex.map { case (k, i) => (k, i.toLong) }.toDF("k", "id")
+    val out = Sampling.temperatureMix(df, "k", budget = 100L)
+      .orderBy("k")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(out.map(_._1).toSeq == Seq("big", "mid", "sml"))
+    assert(out.map(_._2).toSeq == Seq(900L, 90L, 10L))
+    // target sums EXACTLY to the budget (largest-remainder apportionment)
+    assert(out.map(_._4).sum == 100L)
+    // alpha=1/2 flattening: allocation ratio ~ sqrt of the count ratio
+    val shares = out.map(_._3)
+    assert(math.abs(shares.sum - 1.0) < 1e-9)
+    val wantBig = math.sqrt(900.0) / (math.sqrt(900.0) + math.sqrt(90.0) + math.sqrt(10.0))
+    assert(math.abs(shares(0) - wantBig) < 1e-4)
+    // the tail key gets far MORE than proportional (10/1000 -> 1 doc)
+    assert(out(2)._4 >= 6, s"sml under-allocated: ${out(2)._4}")
+    // determinism across layouts
+    val again = Sampling.temperatureMix(df.repartition(5), "k", budget = 100L)
+      .orderBy("k")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(again.toSeq == out.toSeq)
+  }
 }

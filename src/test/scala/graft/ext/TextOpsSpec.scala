@@ -341,4 +341,85 @@ class TextOpsSpec extends SparkSpec {
     got.zip(want).foreach { case ((_, g), (_, w)) =>
       assert(math.abs(g - w) < 1e-12, s"score $g vs $w") }
   }
+
+  test("c4Clean: line rules + document kills (Raffel et al. 2020)") {
+    import spark.implicits._
+    val docs = Seq(
+      // 3 good lines + 2 bad (short header, no terminal punct) -> kept
+      (1L, "Head\nThis first sentence has five words.\nAnother proper sentence sits right here.\nclick here for more stuff\nA third good sentence ends properly."),
+      // only 2 good lines -> dropped by the min-kept-lines rule
+      (2L, "One good sentence lives right here.\nA second good sentence follows it.\nshort one."),
+      // lorem ipsum anywhere kills the whole doc
+      (3L, "This fine sentence would have survived easily.\nAnother fine sentence would survive too.\nA third one rounds out the set.\nBut lorem ipsum appears."),
+      // a curly brace kills the whole doc
+      (4L, "This fine sentence would have survived easily.\nAnother fine sentence would survive too.\nA third one rounds out the set.\nif (x) { return; }")
+    ).toDF("doc_id", "text")
+    val out = TextOps.c4Clean(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L))
+    val r = out.head
+    assert(r.getString(1) ==
+      "This first sentence has five words.\nAnother proper sentence sits right here.\nA third good sentence ends properly.")
+    assert(r.getLong(2) == 3 && r.getLong(3) == 2)
+  }
+
+  test("canonicalizeUrl: scheme/www/port/tracking/fragment/slash rules") {
+    import spark.implicits._
+    val cases = Seq(
+      "HTTPS://WWW.Example.COM:443/Path/" -> "example.com/path",
+      "http://example.com:80/a?utm_source=x&page=2" -> "example.com/a?page=2",
+      "http://example.com/a?page=2&utm_campaign=y" -> "example.com/a?page=2",
+      "http://example.com/a?utm_medium=z" -> "example.com/a",
+      "http://example.com/a?utm_a=1&utm_b=2" -> "example.com/a",
+      "https://example.com/a#frag" -> "example.com/a",
+      "example.com:8080/a" -> "example.com:8080/a", // non-default port kept
+      "https://www.example.com" -> "example.com")
+    val got = cases.map(_._1).toDF("u")
+      .select(TextOps.canonicalizeUrl(col("u"))).as[String].collect().toSeq
+    got.zip(cases).foreach { case (g, (in, want)) =>
+      assert(g == want, s"canonicalizeUrl($in) = $g, want $want") }
+  }
+
+  test("charDiversity: unbiased Gini-Simpson on known strings") {
+    import spark.implicits._
+    val docs = Seq((1L, "aaaa"), (2L, "ab"), (3L, "aaab"), (4L, ""), (5L, "x"))
+      .toDF("doc_id", "text")
+    val got = TextOps.charDiversity(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // aaaa: s2=4*3=12, n(n-1)=12 -> 0.0; ab: 1.0; aaab: 1-6/12=0.5
+    assert(got(0) == ((1L, 4L, 1L, 0.0)))
+    assert(got(1) == ((2L, 2L, 2L, 1.0)))
+    assert(got(2) == ((3L, 4L, 2L, 0.5)))
+    assert(got(3) == ((4L, 0L, 0L, 0.0))) // empty doc: zero row survives
+    assert(got(4) == ((5L, 1L, 1L, 0.0))) // n < 2 convention
+  }
+
+  test("DSIR: trained log-ratio weights favor target-distribution docs") {
+    import spark.implicits._
+    // target corpus speaks only of alpha/beta; raw mixes in gamma/delta
+    val target = (1L to 20L).map(i => (i, "alpha beta alpha beta alpha"))
+      .toDF("doc_id", "text")
+    val raw = ((1L to 10L).map(i => (i, "alpha beta alpha beta alpha")) ++
+      (11L to 20L).map(i => (i, "gamma delta gamma delta gamma")))
+      .toDF("doc_id", "text")
+    val w = TextOps.trainDsirWeights(target, raw, "doc_id", "text", buckets = 64)
+    // sanity vs a driver-side replay of the same arithmetic
+    val counts = TextOps.dsirFeatureCounts(target, raw, "doc_id", "text", 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val tTot = counts.map(_._2).sum; val rTot = counts.map(_._3).sum
+    val want = counts.map { case (b, t, r) =>
+      b -> math.round(1000.0 * (math.log((t + 1.0) / (tTot + 64.0)) -
+        math.log((r + 1.0) / (rTot + 64.0))))
+    }.toMap
+    w.collect().foreach { r =>
+      assert(r.getLong(1) == want(r.getLong(0)),
+        s"bucket ${r.getLong(0)}: ${r.getLong(1)} vs ${want(r.getLong(0))}") }
+    // scoring under the trained table separates in-target from off-target
+    val scored = TextOps.dsirScore(raw, "doc_id", "text", w, buckets = 64)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val inT = (1L to 10L).map(scored).sum / 10
+    val offT = (11L to 20L).map(scored).sum / 10
+    assert(inT > offT, s"in-target mean $inT must beat off-target $offT")
+  }
 }
