@@ -182,7 +182,7 @@ object SparkEntry {
     * near-dup pairs) — shared by q61 (the pairs themselves), q83
     * (connected components over them), and q105 (cluster-aware split,
     * which scopes the corpus with `where`). */
-  private def winnowingPairsCtes(where: String): String =
+  private def winnowingPairsCtes(where: String, minShared: Int = 3): String =
     s"""tk AS (
       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS tokens FROM documents$where),
       |tok AS (
@@ -203,7 +203,7 @@ object SparkEntry {
       |p AS (
       |  SELECT fa.doc_id AS a, fb.doc_id AS b, count(*) AS n_shared
       |  FROM d fa JOIN d fb ON fa.fingerprint = fb.fingerprint AND fa.doc_id < fb.doc_id
-      |  GROUP BY 1, 2 HAVING count(*) >= 3)""".stripMargin
+      |  GROUP BY 1, 2 HAVING count(*) >= $minShared)""".stripMargin
 
   private val WinnowingPairsCtes: String = winnowingPairsCtes("")
 
@@ -1766,6 +1766,33 @@ object SparkEntry {
     "q141_char_diversity" -> ((s, d) =>
       TextOps.charDiversity(docsSpread(s, d), "doc_id", "text")
         .orderBy(col("doc_id"))),
+
+    // Tokenizer fertility by language: BPE tokens per word and chars
+    // per token under the fixed contract merge list — integer sums,
+    // two divisions, replayed with the q122 replace-chain encoder.
+    "q142_token_fertility" -> ((s, d) =>
+      TextOps.bpeFertility(docsSpread(s, d), "lang", "text",
+        BpeContractMerges)
+        .orderBy(col("lang"))),
+
+    // Contrastive pair mining: winnowing collisions labeled positive
+    // (≥ 3 shared fingerprints — near-dups) vs hard_negative (1–2
+    // shared: lexically close non-duplicates, the negatives that
+    // actually teach an embedding model).
+    "q143_contrastive_pairs" -> ((s, d) =>
+      Dedup.contrastivePairs(T(s, d, "documents"), "doc_id", "text",
+        k = 5, window = 4, posShared = 3, portable = true)
+        .select(col("a"), col("b"), col("n_shared"), col("label"))
+        .orderBy(col("a"), col("b"))),
+
+    // MinHash estimator calibration: per LSH candidate pair, the
+    // signature-match estimate of Jaccard next to the exact
+    // shingle-set Jaccard and the absolute error — the audit that
+    // says whether the sketch can be trusted before banding 100 TB.
+    "q144_sketch_calibration" -> ((s, d) =>
+      Dedup.minhashCalibration(T(s, d, "documents"), "doc_id", "text",
+        k = 16, bands = 4, shingleN = 3, portable = true)
+        .orderBy(col("a"), col("b"))),
 
     // WITHIN-doc duplicate-line removal — the per-document complement
     // of q120's cross-doc paragraph dedup (Dolma runs both). The
@@ -3340,6 +3367,84 @@ object SparkEntry {
         |SELECT lang, n_docs, CAST(s AS DOUBLE) / CAST(stot AS DOUBLE) AS share,
         |  CAST(fl + CASE WHEN rr <= (SELECT spare FROM sp) THEN 1 ELSE 0 END AS BIGINT) AS target_docs
         |FROM r ORDER BY lang""".stripMargin,
+
+    // q122's replace-chain encoder aggregated per lang: integer token/
+    // word/char sums, two final divisions
+    "q142_token_fertility" -> {
+      val chain = BpeContractMerges.foldLeft(
+        "concat(' ', regexp_replace(array_to_string(t, '|'), '(.)', '\\1 ', 'g'))") {
+        case (s, (a, b)) => s"replace($s, ' $a $b ', ' ${a + b} ')"
+      }
+      s"""WITH tk AS (
+        |  SELECT doc_id, lang, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS t,
+        |    length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS nc
+        |  FROM documents),
+        |enc AS (
+        |  SELECT lang, len(t) AS nw, nc,
+        |    len(list_filter(string_split(trim($chain), ' '),
+        |      x -> x <> '|' AND len(x) > 0)) AS nb
+        |  FROM tk WHERE len(t) > 0)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(nb) AS BIGINT) AS n_bpe,
+        |  CAST(sum(nw) AS BIGINT) AS n_words,
+        |  CAST(sum(nb) AS DOUBLE) / CAST(sum(nw) AS DOUBLE) AS fertility,
+        |  CAST(sum(nc) AS DOUBLE) / CAST(sum(nb) AS DOUBLE) AS chars_per_token
+        |FROM enc GROUP BY lang ORDER BY lang""".stripMargin
+    },
+
+    // the winnowing pair CTEs at threshold 1, labeled by overlap
+    "q143_contrastive_pairs" ->
+      s"""WITH ${winnowingPairsCtes("", 1)}
+        |SELECT a, b, n_shared,
+        |  CASE WHEN n_shared >= 3 THEN 'positive' ELSE 'hard_negative' END AS label
+        |FROM p ORDER BY a, b""".stripMargin,
+
+    // the q45 signature/band CTEs, match counting over the 16 hash
+    // positions, exact Jaccard with NO threshold, one division each
+    "q144_sketch_calibration" -> {
+      val k = 16; val bands = 4; val r = k / bands
+      val hCols = (0 until k).map(i => s"min(ha + $i * hb) AS h$i").mkString(",\n    ")
+      val bandSelects = (0 until bands).map { b =>
+        val parts = (0 until r).map(i => s"h${b * r + i}").mkString(", '|', ")
+        s"SELECT doc_id, $b AS band, md5(concat('$b', '|', $parts)) AS bh FROM sig"
+      }.mkString("\n  UNION ALL\n  ")
+      val matchSum = (0 until k).map(i =>
+        s"CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END").mkString(" + ")
+      s"""WITH tk AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS tokens FROM documents),
+        |sh AS (
+        |  SELECT doc_id, CASE WHEN len(tokens) >= 3 THEN list_distinct(list_transform(range(1, len(tokens) - 1), i -> array_to_string(tokens[i:i+2], ' '))) ELSE [] END AS s FROM tk),
+        |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        |hx AS (SELECT doc_id,
+        |    CAST(concat('0x', substring(md5(concat('0', '|', g)), 1, 14)) AS BIGINT) AS ha,
+        |    CAST(concat('0x', substring(md5(concat('0', '|', g)), 17, 14)) AS BIGINT) AS hb
+        |  FROM ex),
+        |sig AS (SELECT doc_id,
+        |    $hCols
+        |  FROM hx GROUP BY doc_id),
+        |bands AS (
+        |  $bandSelects),
+        |cand AS (
+        |  SELECT ba.doc_id AS a, bb.doc_id AS b FROM bands ba
+        |  JOIN bands bb ON ba.band = bb.band AND ba.bh = bb.bh AND ba.doc_id < bb.doc_id
+        |  GROUP BY 1, 2),
+        |m AS (
+        |  SELECT c.a, c.b, CAST($matchSum AS BIGINT) AS n_match
+        |  FROM cand c JOIN sig sa ON sa.doc_id = c.a JOIN sig sb ON sb.doc_id = c.b),
+        |sized AS (SELECT doc_id, s, len(s) AS n FROM sh),
+        |pairs AS (
+        |  SELECT m.a, m.b, m.n_match, len(list_intersect(sa.s, sb.s)) AS inter, sa.n AS na, sb.n AS nb
+        |  FROM m JOIN sized sa ON sa.doc_id = m.a JOIN sized sb ON sb.doc_id = m.b),
+        |j AS (
+        |  SELECT a, b, n_match,
+        |    CAST(n_match AS DOUBLE) / CAST(16 AS DOUBLE) AS est_jaccard,
+        |    CASE WHEN na + nb - inter = 0 THEN 0.0
+        |      ELSE CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) END AS jaccard
+        |  FROM pairs)
+        |SELECT a, b, n_match, est_jaccard, jaccard,
+        |  abs(est_jaccard - jaccard) AS abs_err
+        |FROM j ORDER BY a, b""".stripMargin
+    },
 
     // per-character counts via positional substring (code-POINT chars,
     // matching Spark's split on the ASCII fixture), unbiased Simpson

@@ -848,6 +848,63 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Contrastive pair mining for embedding/reranker training: winnowing
+    * fingerprint collisions labeled by overlap strength. Pairs sharing
+    * ≥ `posShared` fingerprints are `positive` (near-duplicates — the
+    * classic weak-supervision positives); pairs colliding on ≥ 1 but
+    * < `posShared` are `hard_negative` — lexically close enough to
+    * collide, yet not duplicates: exactly the hard negatives
+    * contrastive training wants (random negatives are too easy).
+    * Same plan as [[winnowingNearDups]] at threshold 1: one persisted
+    * fingerprint pass, one fingerprint-keyed self-join. */
+  def contrastivePairs(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 5, window: Int = 4, posShared: Int = 3,
+      portable: Boolean = false, maxDf: Int = 0): DataFrame = {
+    require(posShared >= 2, s"posShared must be >= 2, got $posShared")
+    winnowingNearDups(docs, idCol, textCol, k, window, minShared = 1,
+        portable, maxDf)
+      .select(col("a"), col("b"), col("n_shared"),
+        when(col("n_shared") >= posShared, lit("positive"))
+          .otherwise(lit("hard_negative")).as("label"))
+  }
+
+  /** Sketch-quality calibration: for every LSH candidate pair, the
+    * MinHash ESTIMATE of Jaccard (matching signature positions / k —
+    * the estimator whose expectation IS the Jaccard) next to the exact
+    * shingle-set Jaccard, plus the absolute error. The operational
+    * audit of an LSH deployment: run on a sample, check the estimator
+    * is calibrated before trusting bands at corpus scale.
+    *
+    * ONE tokenize+shingle pass feeds signatures AND exact verification
+    * (the [[minhashNearDups]] sharing rule); match counting is k
+    * codegen'd comparisons, each Jaccard one integer division. */
+  def minhashCalibration(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 16, bands: Int = 4, shingleN: Int = 3,
+      portable: Boolean = false): DataFrame = {
+    val sh = TextOps.shingleRows(
+      docs.repartition(col(idCol)), idCol, textCol, shingleN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sig = minhashSignatureFromRows(sh, idCol, k, portable)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = lshCandidates(sig, idCol, k, bands, portable)
+    val left = sig.select(
+      col(idCol).as("a") +: (0 until k).map(i => col(s"h$i").as(s"__a$i")): _*)
+    val right = sig.select(
+      col(idCol).as("b") +: (0 until k).map(i => col(s"h$i").as(s"__b$i")): _*)
+    val nMatch = (0 until k).map(i =>
+      when(col(s"__a$i") === col(s"__b$i"), 1L).otherwise(0L)).reduce(_ + _)
+    val sets = sh.groupBy(col(idCol)).agg(collect_set(col("shingle")).as("__set"))
+    cand
+      .join(left, "a").join(right, "b")
+      .select(col("a"), col("b"), nMatch.as("n_match"))
+      .join(sets.withColumnRenamed(idCol, "a").withColumnRenamed("__set", "__sa"), "a")
+      .join(sets.withColumnRenamed(idCol, "b").withColumnRenamed("__set", "__sb"), "b")
+      .select(col("a"), col("b"), col("n_match"),
+        (col("n_match").cast("double") / k).as("est_jaccard"),
+        jaccardCol(col("__sa"), col("__sb")).as("jaccard"))
+      .withColumn("abs_err", abs(col("est_jaccard") - col("jaccard")))
+  }
+
   // ---------------------------------------------------------------- SimHash
 
   /** Per-doc SimHash (64-bit; 60-bit in portable mode): each token

@@ -1050,6 +1050,33 @@ object TextOps {
       ((portableHash64(seed, col("id").cast("string")) % 1401L) - 700L)
         .as("weight"))
 
+  /** Tokenizer fertility audit: per key (language/source), BPE tokens
+    * per word and alphanumeric chars per BPE token under a fixed merge
+    * list — the standard "is this tokenizer fair to this language"
+    * diagnostic (high fertility = more tokens per word = more compute
+    * per sentence). Words are the same `[a-z0-9]+` tokens BPE
+    * encodes, so fertility is internally consistent. Integer sums,
+    * two double divisions — exact cross-engine. Zero-word docs are
+    * excluded (they have no fertility). One keyed hash aggregate over
+    * narrow codegen'd per-row counts; no explode. */
+  def bpeFertility(docs: org.apache.spark.sql.DataFrame, keyCol: String,
+      textCol: String,
+      merges: Seq[(String, String)]): org.apache.spark.sql.DataFrame =
+    docs.select(col(keyCol),
+        bpeTokenCount(col(textCol), merges).as("__bpe"),
+        tokenCount(col(textCol)).as("__w"),
+        length(regexp_replace(lower(col(textCol)), "[^a-z0-9]", ""))
+          .cast("long").as("__c"))
+      .filter(col("__w") > 0)
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__bpe")).as("n_bpe"),
+        sum(col("__w")).as("n_words"), sum(col("__c")).as("n_chars"))
+      .select(col(keyCol), col("n_docs"), col("n_bpe"), col("n_words"),
+        (col("n_bpe").cast("double") / col("n_words").cast("double"))
+          .as("fertility"),
+        (col("n_chars").cast("double") / col("n_bpe").cast("double"))
+          .as("chars_per_token"))
+
   /** Per-document DSIR importance: Σ over feature OCCURRENCES of the
     * bucket's milli-log-ratio, ÷ 1000 — ≈ ln(P_target(doc)/P_raw(doc))
     * under the hashed models. Integer sum, ONE double division (exact

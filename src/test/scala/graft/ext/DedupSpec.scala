@@ -601,4 +601,49 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long, Int)].collect().map(r => (r._1, r._2) -> r._3).toMap
     assert(out == Map((1L, 2L) -> 1, (1L, 3L) -> 2), s"got $out")
   }
+
+  test("contrastivePairs: positives are near-dups, hard negatives weak collisions") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega"
+    val docs = Seq(
+      (1L, base),
+      (2L, base + " extra"),                        // near-dup of 1
+      (3L, "alpha beta gamma delta epsilon zeta eta theta nothing shared " +
+        "beyond this point with different following content entirely now"),
+      (4L, "completely different words populate this document body throughout")
+    ).toDF("doc_id", "text")
+    val out = Dedup.contrastivePairs(docs, "doc_id", "text")
+      .select($"a", $"b", $"label").as[(Long, Long, String)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(out((1L, 2L)) == "positive", s"got $out")
+    // doc 3 shares a 5-token prefix: some fingerprint overlap with 1/2
+    // but below the near-dup bar
+    out.get((1L, 3L)).foreach(l => assert(l == "hard_negative"))
+    assert(!out.keySet.exists { case (a, b) => a == 4L || b == 4L },
+      "unrelated doc must not pair with anything")
+    spark.catalog.clearCache()
+  }
+
+  test("minhashCalibration: exact duplicates estimate 1.0; estimates stay in [0,1]") {
+    val a = "one two three four five six seven eight nine ten eleven twelve"
+    val docs = Seq(
+      (1L, a), (2L, a),                               // identical pair
+      (3L, a + " thirteen fourteen fifteen sixteen"), // strong overlap
+      (4L, "unrelated text goes in this one entirely different from others")
+    ).toDF("doc_id", "text")
+    val out = Dedup.minhashCalibration(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    val (nm, est, jac, err) = out((1L, 2L))
+    assert(nm == 16L && est == 1.0 && jac == 1.0 && err == 0.0)
+    out.values.foreach { case (n, e, j, r) =>
+      assert(n >= 0 && n <= 16 && e >= 0.0 && e <= 1.0)
+      assert(j >= 0.0 && j <= 1.0 && math.abs(r - math.abs(e - j)) < 1e-15)
+    }
+    // the estimator and the truth agree in expectation; on the strong-
+    // overlap pair they must at least land in the same half
+    out.get((1L, 3L)).foreach { case (_, e, j, _) =>
+      assert(e > 0.3 && j > 0.3, s"est $e jaccard $j") }
+    spark.catalog.clearCache()
+  }
 }

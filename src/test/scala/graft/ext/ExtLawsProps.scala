@@ -309,4 +309,36 @@ object ExtLawsProps extends Properties("graft.ext") {
         est(v) >= n && est(v) <= values.size
       }
     }
+
+  // Distributed per-key NTILE == the SQL NTILE fill rule computed on
+  // the driver: rank within key by (score DESC, id), first (n mod t)
+  // tiles take ceil(n/t) rows. Arbitrary key mixes, duplicate scores,
+  // any bucket count — the range-bucketed two-phase rank must agree
+  // with the serial reference everywhere.
+  private val genKeyed: Gen[List[(Long, Long, String)]] = for {
+    n <- Gen.chooseNum(1, 60)
+    scores <- Gen.listOfN(n, Gen.chooseNum(-50L, 50L))
+    keys <- Gen.listOfN(n, Gen.oneOf("en", "es", "de", "fr"))
+  } yield scores.zip(keys).zipWithIndex.map { case ((q, k), i) => (i.toLong, q, k) }
+
+  property("ntileByKey == serial NTILE reference for arbitrary keys/ties/tiles") =
+    Prop.forAll(genKeyed, Gen.oneOf(1, 2, 3, 5), Gen.oneOf(2, 8, 32)) {
+      (rows, tiles, buckets) =>
+        val got = Sampling.ntileByKey(
+          rows.toDF("id", "q", "k"), "k", "q", "id", tiles, buckets)
+          .select($"id", $"tile").as[(Long, Int)].collect().toMap
+        val want = rows.groupBy(_._3).flatMap { case (_, members) =>
+          val ordered = members.sortBy { case (id, q, _) => (-q, id) }
+          val n = ordered.size
+          val base = n / tiles; val rem = n % tiles
+          ordered.zipWithIndex.map { case ((id, _, _), idx) =>
+            val rank = idx + 1
+            val thr = (base + 1) * rem
+            val tile = if (rank <= thr) (rank + base) / (base + 1)
+              else rem + (rank - thr + base - 1) / math.max(base, 1)
+            id -> tile
+          }
+        }
+        got == want
+    }
 }

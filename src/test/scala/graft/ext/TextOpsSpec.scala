@@ -395,6 +395,32 @@ class TextOpsSpec extends SparkSpec {
     assert(got(4) == ((5L, 1L, 1L, 0.0))) // n < 2 convention
   }
 
+  test("bpeFertility: hand-computed tokens-per-word and chars-per-token") {
+    import spark.implicits._
+    val merges = Seq(("t", "h"), ("th", "e"))
+    val docs = Seq(
+      (1L, "en", "the theme"),  // the->1 sym; theme -> the,m,e = 3 syms
+      (2L, "en", "me"),         // m,e = 2 syms
+      (3L, "de", ""),           // zero words: excluded
+      // the,th,e = 3 syms: the first " th e "->" the " replacement
+      // CONSUMES the boundary space, so the non-overlapping scan can't
+      // merge the second th+e (the replace-chain semantics the q122
+      // oracle replays verbatim — a real BPE would emit the,the)
+      (4L, "de", "thethe")
+    ).toDF("doc_id", "lang", "text")
+    val out = TextOps.bpeFertility(docs, "lang", "text", merges)
+      .orderBy("lang")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5)))
+    // de: 1 doc, words=1, chars=6, bpe=3 -> fertility 3.0, cpt 2.0
+    assert(out(0) == (("de", 1L, 3L, 1L, 3.0, 2.0)), s"got ${out(0)}")
+    // en: 2 docs, words=3, chars=10, bpe=1+3+2=6 -> fertility 2.0,
+    // chars_per_token 10/6
+    assert(out(1)._1 == "en" && out(1)._2 == 2L && out(1)._3 == 6L &&
+      out(1)._4 == 3L && out(1)._5 == 2.0 &&
+      math.abs(out(1)._6 - 10.0 / 6.0) < 1e-15, s"got ${out(1)}")
+  }
+
   test("DSIR: trained log-ratio weights favor target-distribution docs") {
     import spark.implicits._
     // target corpus speaks only of alpha/beta; raw mixes in gamma/delta
