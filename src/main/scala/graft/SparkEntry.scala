@@ -1752,6 +1752,33 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ftfy-lite text cleanup: smart quotes/dashes/ellipsis → ASCII,
+    // NBSP → space, zero-width + C0 controls stripped, space runs
+    // collapsed. The fixture text is clean ASCII, so a deterministic
+    // messy suffix exercises every rule; full strings hash-compare.
+    "q146_text_cleanup" -> ((s, d) =>
+      docsSpread(s, d).select(col("doc_id"),
+        TextOps.cleanText(concat(col("text"),
+          lit(" \u201Cquoted\u201D \u2018s\u2019 \u2013 a\u2014b\u2026 " +
+            "x\u00A0y z\u200Bw\u0007end\tq  r"))).as("clean"))
+        .orderBy(col("doc_id"))),
+
+    // URL domain blocklist (UT1-style source filtering): canonicalize,
+    // extract the host, drop blocklisted domains, count survivors per
+    // domain — the cheapest "remove known-bad sites" pass.
+    "q147_domain_blocklist" -> ((s, d) => {
+      val raw = concat(lit("HTTPS://WWW."), col("source"),
+        lit(".Example.COM/p/"), (col("doc_id") % 50).cast("string"))
+      T(s, d, "documents")
+        .select(col("doc_id"),
+          TextOps.urlDomain(TextOps.canonicalizeUrl(raw)).as("domain"))
+        .filter(!col("domain").isin(
+          "src3.example.com", "src7.example.com", "src12.example.com"))
+        .groupBy(col("domain"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+        .orderBy(col("domain"))
+    }),
+
     // Temperature-based mixture allocation (α = ½ "alpha sampling",
     // Conneau & Lample 2019): per-lang share ∝ √n, quantized to int64
     // milli-units so the largest-remainder apportionment of the
@@ -1793,6 +1820,33 @@ object SparkEntry {
       Dedup.minhashCalibration(T(s, d, "documents"), "doc_id", "text",
         k = 16, bands = 4, shingleN = 3, portable = true)
         .orderBy(col("a"), col("b"))),
+
+    // Snapshot TIME TRAVEL (storage): three committed versions — base,
+    // keyed balance bump, predicate delete — each read back AS OF its
+    // version (TableStore.readVersion; snapshots are immutable, so
+    // history reads are plain scans of old directories). Counts +
+    // decimal-exact sums per version are driver-side facts
+    // (LocalRelation out, temp store deleted before returning); the
+    // oracle replays each version's mutation arithmetically.
+    "q145_time_travel" -> ((s, d) => {
+      import s.implicits._
+      val root = java.nio.file.Files.createTempDirectory("graft-tt")
+      val store = new graft.core.TableStore(s, root.toString)
+      val base = T(s, d, "customer").select(col("c_custkey"), col("c_acctbal"))
+      store.write("cust", base)                                  // v0
+      val v1 = base.withColumn("c_acctbal",
+        when(col("c_custkey") % 7 === 0, col("c_acctbal") + 100.0)
+          .otherwise(col("c_acctbal")))
+      store.write("cust", v1)                                    // v1
+      store.write("cust", v1.filter(col("c_custkey") % 5 =!= 0)) // v2
+      val rows = store.versions("cust").map { v =>
+        val agg = store.readVersion("cust", v)
+          .agg(count(lit(1)).as("n"), dsum(col("c_acctbal")).as("s")).head
+        (v.toLong, agg.getLong(0), agg.getDouble(1))
+      }
+      org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
+      rows.toDF("version", "n_rows", "sum_bal").orderBy(col("version"))
+    }),
 
     // WITHIN-doc duplicate-line removal — the per-document complement
     // of q120's cross-doc paragraph dedup (Dolma runs both). The
@@ -3346,6 +3400,46 @@ object SparkEntry {
         |SELECT doc_id, importance, n_features FROM r
         |WHERE rn <= 200 ORDER BY doc_id""".stripMargin,
 
+    // the identical cleanup chain: direct replaces (curly quotes,
+    // dashes, ellipsis, NBSP), zero-width strip, C0 strip, space
+    // collapse — invisibles spelled chr() so the SQL stays readable
+    "q146_text_cleanup" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(
+        |        replace(replace(replace(replace(replace(replace(replace(replace(
+        |          text || ' “quoted” ‘s’ – a—b… x' || chr(160) || 'y z' || chr(8203) || 'w' || chr(7) || 'end' || chr(9) || 'q  r',
+        |          '“', '"'), '”', '"'), '‘', ''''), '’', ''''), '–', '-'), '—', '-'), '…', '...'), chr(160), ' '),
+        |        '[\x{200B}\x{200C}\x{200D}\x{FEFF}]', '', 'g'),
+        |      '[\x{00}-\x{08}\x{0B}\x{0C}\x{0E}-\x{1F}]', '', 'g'),
+        |    '[ \t]+', ' ', 'g')) AS clean
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // canonicalize (the q137 chain on a simpler URL), host extract,
+    // blocklist anti-filter, survivors per domain
+    "q147_domain_blocklist" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    regexp_extract(
+        |      regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |        lower('HTTPS://WWW.' || source || '.Example.COM/p/' || CAST(doc_id % 50 AS VARCHAR)),
+        |        '#.*$', '', 'g'),
+        |        '(utm_[a-z0-9]+|fbclid|gclid|mc_eid|ref)=[^&#]*&', '', 'g'),
+        |        '[?&](utm_[a-z0-9]+|fbclid|gclid|mc_eid|ref)=[^&#]*$', '', 'g'),
+        |        '^https?://', '', 'g'),
+        |        '^www\.', '', 'g'),
+        |        ':(80|443)/', '/', 'g'),
+        |        ':(80|443)$', '', 'g'),
+        |        '\?$', '', 'g'),
+        |        '/+$', '', 'g'),
+        |      '^[^/:?#]+') AS domain
+        |  FROM documents)
+        |SELECT domain, count(*) AS n_docs, min(doc_id) AS first_doc
+        |FROM c
+        |WHERE domain NOT IN ('src3.example.com', 'src7.example.com', 'src12.example.com')
+        |GROUP BY 1 ORDER BY domain""".stripMargin,
+
     // √n quantized to int64 milli-units; largest-remainder seats by
     // (remainder DESC, lang) — all-integer apportionment
     "q140_temperature_mix" ->
@@ -3445,6 +3539,24 @@ object SparkEntry {
         |  abs(est_jaccard - jaccard) AS abs_err
         |FROM j ORDER BY a, b""".stripMargin
     },
+
+    // each version's mutation replayed arithmetically: v0 base, v1
+    // +100 on custkey%7, v2 additionally dropping custkey%5
+    "q145_time_travel" ->
+      """WITH v0 AS (
+        |  SELECT CAST(0 AS BIGINT) AS version, count(*) AS n_rows,
+        |    CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
+        |  FROM customer),
+        |v1 AS (
+        |  SELECT CAST(1 AS BIGINT), count(*),
+        |    CAST(sum(CAST(CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100.0 ELSE c_acctbal END AS DECIMAL(18,4))) AS DOUBLE)
+        |  FROM customer),
+        |v2 AS (
+        |  SELECT CAST(2 AS BIGINT), count(*),
+        |    CAST(sum(CAST(CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100.0 ELSE c_acctbal END AS DECIMAL(18,4))) AS DOUBLE)
+        |  FROM customer WHERE c_custkey % 5 <> 0)
+        |SELECT * FROM v0 UNION ALL SELECT * FROM v1 UNION ALL SELECT * FROM v2
+        |ORDER BY version""".stripMargin,
 
     // per-character counts via positional substring (code-POINT chars,
     // matching Spark's split on the ASCII fixture), unbiased Simpson

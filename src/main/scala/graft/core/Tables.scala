@@ -127,6 +127,36 @@ final class TableStore(spark: SparkSession, root: String) {
     spark.read.parquet(new Path(tableDir(name), s"v$v").toString)
   }
 
+  /** All COMMITTED snapshot versions of a table, ascending — every
+    * `v{N}` directory whose parquet job wrote `_SUCCESS`. The history
+    * the time-travel read below addresses; a crash-partial snapshot
+    * never appears. */
+  def versions(name: String): Seq[Int] = {
+    val dir = tableDir(name)
+    if (!fs.exists(dir)) Nil
+    else fs.listStatus(dir).toSeq.filter(_.isDirectory)
+      .filter(s => fs.exists(new Path(s.getPath, "_SUCCESS")))
+      .map(_.getPath.getName)
+      .collect { case VersionDir(n) => n.toInt }
+      .sorted
+  }
+
+  /** Time-travel read: the table AS OF snapshot `version` (Delta-style
+    * `VERSION AS OF`). Snapshots are immutable once committed, so this
+    * is just a scan of the old directory — audits, reproducing a
+    * training run against the exact corpus it saw, and diffing two
+    * curation runs all read history this way. Mutations never rewrite
+    * old versions ([[write]] always creates `v{N+1}`), so the history
+    * stays valid until [[drop]]; compaction/retention policy is the
+    * caller's. */
+  def readVersion(name: String, version: Int): DataFrame = {
+    val dest = new Path(tableDir(name), s"v$version")
+    require(fs.exists(dest) && fs.exists(new Path(dest, "_SUCCESS")),
+      s"no committed snapshot v$version of table $name " +
+        s"(committed: ${versions(name).mkString(",")})")
+    spark.read.parquet(dest.toString)
+  }
+
   /** Write a new snapshot then atomically swap the pointer.
     * `partitionBy` lays the snapshot out hive-style (`col=value/`
     * directories) so reads with a filter on those columns prune whole

@@ -957,6 +957,39 @@ object TextOps {
     regexp_replace(c, "/+$", "")                    // trailing slashes
   }
 
+  /** Mojibake-adjacent text cleanup (the ftfy-lite pass every crawl
+    * pipeline runs before fingerprinting): smart quotes → ASCII
+    * quotes, en/em dashes → '-', the ellipsis char → '...', NBSP →
+    * space, zero-width characters and C0 control characters stripped,
+    * runs of spaces/tabs collapsed, trimmed. Normalizing BEFORE dedup
+    * matters: curly-quote and straight-quote copies of one paragraph
+    * must collide. A fixed codegen'd replace/regexp chain (all
+    * patterns RE2-safe, no capture-group replacements), purely
+    * narrow. Complement of the deeper [[graft.functions.NfcNormalize]]
+    * (canonical composition); this handles the NON-equivalent visual
+    * substitutions NFC leaves alone. */
+  def cleanText(c: Column): Column = {
+    val direct = Seq(
+      "“" -> "\"", "”" -> "\"",       // curly double quotes
+      "‘" -> "'", "’" -> "'",         // curly single quotes
+      "–" -> "-", "—" -> "-",         // en / em dash
+      "…" -> "...",                        // ellipsis char
+      " " -> " ")                          // NBSP
+    val replaced = direct.foldLeft(c) { case (acc, (from, to)) =>
+      org.apache.spark.sql.functions.replace(acc, lit(from), lit(to)) }
+    val noZw = regexp_replace(replaced,
+      "[\\x{200B}\\x{200C}\\x{200D}\\x{FEFF}]", "")
+    val noCtl = regexp_replace(noZw,
+      "[\\x{00}-\\x{08}\\x{0B}\\x{0C}\\x{0E}-\\x{1F}]", "")
+    trim(regexp_replace(noCtl, "[ \\t]+", " "))
+  }
+
+  /** Host part of a CANONICALIZED url ([[canonicalizeUrl]] output —
+    * everything before the first `/`, `:`, `?` or `#`). Group-0
+    * extract, portable to any RE2/Java engine. */
+  def urlDomain(canonical: Column): Column =
+    regexp_extract(canonical, "^[^/:?#]+", 0)
+
   // ------------------------------------------- character diversity (log-free)
   /** Per-document character diversity: the unbiased Gini–Simpson index
     * 1 − Σ cᵢ(cᵢ−1) / (n(n−1)) over character counts — a LOG-FREE

@@ -25,6 +25,23 @@ class DdlAndStoreSpec extends SparkSpec {
     assert(!store.tableExists("t"))
   }
 
+  test("time travel: readVersion serves immutable history; versions lists committed only") {
+    val store = newStore()
+    store.write("tt", Seq((1L, "a"), (2L, "b")).toDF("id", "v"))  // v0
+    store.write("tt", Seq((3L, "c")).toDF("id", "v"))             // v1
+    store.write("tt", Seq((4L, "d"), (5L, "e"), (6L, "f")).toDF("id", "v")) // v2
+    assert(store.versions("tt") == Seq(0, 1, 2))
+    assert(store.readVersion("tt", 0).select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    assert(store.readVersion("tt", 1).select("id").as[Long].collect().toSeq == Seq(3L))
+    // current read == newest version
+    assert(store.read("tt").count() == store.readVersion("tt", 2).count())
+    // a later write never rewrites history
+    store.write("tt", Seq((9L, "z")).toDF("id", "v"))
+    assert(store.readVersion("tt", 0).count() == 2)
+    // uncommitted / absent versions are refused loudly
+    intercept[IllegalArgumentException](store.readVersion("tt", 99))
+  }
+
   test("partitioned snapshots prune partitions at the scan") {
     val store = newStore()
     val df = Seq((1L, "a", "2024-01"), (2L, "b", "2024-01"), (3L, "c", "2024-02"))

@@ -395,6 +395,31 @@ class TextOpsSpec extends SparkSpec {
     assert(got(4) == ((5L, 1L, 1L, 0.0))) // n < 2 convention
   }
 
+  test("cleanText: quotes/dashes/ellipsis/NBSP/zero-width/control/space rules") {
+    import spark.implicits._
+    val messy = "a \u201Cb\u201D \u2018c\u2019 \u2013 d\u2014e\u2026 " +
+      "f\u00A0g h\u200Bi\u0007j\tk  l"
+    val got = Seq(messy).toDF("t")
+      .select(TextOps.cleanText(col("t"))).as[String].head()
+    assert(got == "a \"b\" 'c' - d-e... f g hij k l", s"got <$got>")
+    // idempotent: cleaning clean text is a no-op
+    val again = Seq(got).toDF("t")
+      .select(TextOps.cleanText(col("t"))).as[String].head()
+    assert(again == got)
+  }
+
+  test("urlDomain: host of a canonicalized url") {
+    import spark.implicits._
+    val cases = Seq(
+      "example.com/a/b" -> "example.com",
+      "example.com:8080/a" -> "example.com",
+      "example.com?x=1" -> "example.com",
+      "example.com" -> "example.com")
+    val got = cases.map(_._1).toDF("u")
+      .select(TextOps.urlDomain(col("u"))).as[String].collect().toSeq
+    assert(got == cases.map(_._2), s"got $got")
+  }
+
   test("bpeFertility: hand-computed tokens-per-word and chars-per-token") {
     import spark.implicits._
     val merges = Seq(("t", "h"), ("th", "e"))
