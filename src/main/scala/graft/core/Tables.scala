@@ -187,6 +187,30 @@ final class TableStore(spark: SparkSession, root: String) {
   def drop(name: String): Unit =
     if (fs.exists(tableDir(name))) fs.delete(tableDir(name), true)
 
+  /** Compaction: rewrite the CURRENT snapshot as a new version with a
+    * controlled file layout (small-files repair after many incremental
+    * upserts — each upsert writes a full snapshot, but its file count
+    * follows the shuffle partitioning of the moment, not the table's
+    * ideal layout). Data is byte-identical; only the physical layout
+    * changes, and history stays intact (compaction is just another
+    * committed version). */
+  def compact(name: String, partitionBy: Seq[String] = Nil,
+      maxRecordsPerFile: Long = 0L): Unit =
+    write(name, read(name), partitionBy, maxRecordsPerFile)
+
+  /** Retention: delete all but the newest `keepLast` committed
+    * snapshots. The time-travel horizon is a RESOURCE decision — old
+    * versions cost storage forever otherwise; this is the `VACUUM`
+    * analogue. The current version is always retained (`keepLast` ≥ 1
+    * enforced); returns the versions actually deleted. */
+  def expireVersions(name: String, keepLast: Int): Seq[Int] = {
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    val vs = versions(name)
+    val doomed = vs.dropRight(keepLast)
+    doomed.foreach(v => fs.delete(new Path(tableDir(name), s"v$v"), true))
+    doomed
+  }
+
   // ------------------------------------------------------------- views
   // Persistent views: stored SQL text under `$root/_views/<name>.sql`
   // (the reference's get_views lists REAL database views,

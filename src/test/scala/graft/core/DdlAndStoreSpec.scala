@@ -42,6 +42,24 @@ class DdlAndStoreSpec extends SparkSpec {
     intercept[IllegalArgumentException](store.readVersion("tt", 99))
   }
 
+  test("compact + expireVersions: layout-only rewrite, bounded history, current always kept") {
+    val store = newStore()
+    val df = (1L to 100L).map(i => (i, s"v$i")).toDF("id", "v")
+    store.write("c", df.repartition(8))          // v0: 8 files
+    store.compact("c", maxRecordsPerFile = 1000) // v1: same data, new layout
+    assert(store.versions("c") == Seq(0, 1))
+    assert(store.read("c").select("id").as[Long].collect().sorted.toSeq ==
+      (1L to 100L).toSeq, "compaction must be data-identical")
+    store.write("c", df.filter($"id" <= 50L))    // v2
+    val deleted = store.expireVersions("c", keepLast = 2)
+    assert(deleted == Seq(0))
+    assert(store.versions("c") == Seq(1, 2))
+    // the current version survives even at keepLast = 1
+    assert(store.expireVersions("c", 1) == Seq(1))
+    assert(store.read("c").count() == 50)
+    intercept[IllegalArgumentException](store.expireVersions("c", 0))
+  }
+
   test("partitioned snapshots prune partitions at the scan") {
     val store = newStore()
     val df = Seq((1L, "a", "2024-01"), (2L, "b", "2024-01"), (3L, "c", "2024-02"))
