@@ -1794,6 +1794,38 @@ object SparkEntry {
       TextOps.charDiversity(docsSpread(s, d), "doc_id", "text")
         .orderBy(col("doc_id"))),
 
+    // Trailing event-time feature (behavioral/time-series feature
+    // engineering): per user, count + decimal-exact value sum over the
+    // preceding hour — a RANGE frame on microsecond epoch, so ties are
+    // peers in both engines and the boundary is integer-exact. The
+    // window partitions by user (bounded groups), never globally.
+    "q148_rolling_hour" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(unix_micros(col("ts")))
+        .rangeBetween(-(3600L * 1000000L - 1L), 0L)
+      T(s, d, "events").select(col("event_id"), col("user_id"), col("ts"),
+          count(lit(1)).over(w).as("n_1h"),
+          sum(col("value").cast("decimal(18,4)")).over(w)
+            .cast("double").as("sum_1h"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Per-language document-length percentile bands (winsorize/outlier
+    // flagging) — percentile = the distributed per-key NTILE at 100
+    // tiles (the q138 machinery at a finer grain; a per-lang window
+    // would serialize each language). Longest docs land in band 1;
+    // the outlier flag marks the extreme 2% on both ends.
+    "q149_length_outliers" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      graft.ext.Sampling.ntileByKey(docs, "lang", "n_chars", "doc_id",
+          tiles = 100)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          col("tile").as("pct_band"),
+          (col("tile") <= 2 || col("tile") >= 99).as("is_outlier"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Tokenizer fertility by language: BPE tokens per word and chars
     // per token under the fixed contract merge list — integer sums,
     // two divisions, replayed with the q122 replace-chain encoder.
@@ -3557,6 +3589,28 @@ object SparkEntry {
         |  FROM customer WHERE c_custkey % 5 <> 0)
         |SELECT * FROM v0 UNION ALL SELECT * FROM v1 UNION ALL SELECT * FROM v2
         |ORDER BY version""".stripMargin,
+
+    // the same RANGE frame on epoch micros: integer boundary, ties are
+    // peers, decimal-exact value sum
+    "q148_rolling_hour" ->
+      """SELECT event_id, user_id, ts,
+        |  count(*) OVER w AS n_1h,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS sum_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |  RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+
+    // plain per-lang ntile(100) on (n_chars DESC, doc_id); the
+    // distributed ntileByKey must agree band for band
+    "q149_length_outliers" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    ntile(100) OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS pct_band
+        |  FROM documents)
+        |SELECT doc_id, lang, n_chars, pct_band,
+        |  (pct_band <= 2 OR pct_band >= 99) AS is_outlier
+        |FROM t ORDER BY doc_id""".stripMargin,
 
     // per-character counts via positional substring (code-POINT chars,
     // matching Spark's split on the ASCII fixture), unbiased Simpson
