@@ -1810,6 +1810,23 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // Host-authority ranking: integer-exact PageRank (5 rounds, ppm
+    // mass, exact 85/100 damping under floor division) over a
+    // deterministic 101-node link graph derived from doc ids — the
+    // Common-Crawl-style quality weight for hosts. Every mass is an
+    // int64 the oracle reproduces bit for bit by unrolling the rounds.
+    "q150_pagerank" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val e1 = docs.select((col("doc_id") % 101).as("src"),
+        ((col("doc_id") * 31 + 7) % 101).as("dst"))
+      val e2 = docs.select((col("doc_id") % 101).as("src"),
+        ((col("doc_id") * 57 + 13) % 101).as("dst"))
+      graft.ext.GraphOps.pageRankInt(e1.unionByName(e2), "src", "dst",
+          iterations = 5)
+        .select(col("id").as("node"), col("mass"))
+        .orderBy(col("node"))
+    }),
+
     // Per-language document-length percentile bands (winsorize/outlier
     // flagging) — percentile = the distributed per-key NTILE at 100
     // tiles (the q138 machinery at a finer grain; a per-lang window
@@ -3589,6 +3606,30 @@ object SparkEntry {
         |  FROM customer WHERE c_custkey % 5 <> 0)
         |SELECT * FROM v0 UNION ALL SELECT * FROM v1 UNION ALL SELECT * FROM v2
         |ORDER BY version""".stripMargin,
+
+    // the five PageRank rounds unrolled: distinct edges, window
+    // out-degree, damped floor-div contributions, left-join base —
+    // integer arithmetic end to end
+    "q150_pagerank" -> {
+      val rounds = (1 to 5).map { i =>
+        s"""m$i AS (
+           |  SELECT n.id, CAST(150000 + coalesce(s.c, 0) AS BIGINT) AS mass
+           |  FROM n LEFT JOIN (
+           |    SELECT d.dst AS id, sum((m.mass * 85) // 100 // d.outdeg) AS c
+           |    FROM deg d JOIN m${i - 1} m ON m.id = d.src GROUP BY 1) s USING (id))"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH raw AS (
+        |  SELECT doc_id % 101 AS src, (doc_id * 31 + 7) % 101 AS dst FROM documents
+        |  UNION ALL
+        |  SELECT doc_id % 101, (doc_id * 57 + 13) % 101 FROM documents),
+        |e AS (SELECT DISTINCT src, dst FROM raw),
+        |deg AS (SELECT src, dst, count(*) OVER (PARTITION BY src) AS outdeg FROM e),
+        |n AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+        |m0 AS (SELECT id, CAST(1000000 AS BIGINT) AS mass FROM n),
+        |$rounds
+        |SELECT id AS node, mass FROM m5 ORDER BY node""".stripMargin
+    },
 
     // the same RANGE frame on epoch micros: integer boundary, ties are
     // peers, decimal-exact value sum

@@ -1,0 +1,89 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Link-graph operators for web-corpus curation (north-star extensions;
+  * no counterpart in the reference). The canonical use is HOST
+  * AUTHORITY: Common-Crawl-style pipelines weight document quality by
+  * the standing of the host in the host-link graph (page-level counts
+  * are gameable, the link graph much less so).
+  */
+object GraphOps {
+
+  /** floor(a / b) for non-negative int64 columns in EXACT arithmetic:
+    * (a − a mod b) is divisible by b, and decimal(38,0) division keeps
+    * the integer quotient exact past 2^53 (Spark's `/` on longs is
+    * lossy double division; `expr("a div b")` resolves by NAME, which
+    * iterative self-lineage plans make ambiguous). */
+  private def floorDiv(a: Column, b: Column): Column =
+    ((a - pmod(a, b)).cast("decimal(38,0)") / b.cast("decimal(38,0)"))
+      .cast("long")
+
+  /** Integer-exact PageRank over a directed edge list — every mass is
+    * an int64 in units of 1/`scale` (ppm by default), the damping
+    * factor is the exact rational `dampingPct`/100 under floor
+    * division, and in-flows are INTEGER sums: bit-identical results in
+    * any engine, under any partitioning — the property that lets a
+    * host-authority table be a reproducible, auditable curation input
+    * rather than a float soup that shifts per run.
+    *
+    * Semantics: mass₀ = `scale` per node; each round every node keeps
+    * the base (1−d)·scale and receives Σ over in-edges of
+    * ⌊⌊m·dampingPct/100⌋/outdeg⌋. Floor-division remainders and
+    * dangling-node damped mass are DROPPED, not redistributed (the
+    * usual simplification; total mass is then slightly sub-conserved,
+    * which ranking use cases don't care about). Runs a FIXED
+    * `iterations` rounds — rank stability, not convergence proof, is
+    * the contract (5 rounds separates head/torso/tail hosts; run more
+    * for finer tails).
+    *
+    * Shape per round: one equi-join of the (persisted) out-degree-
+    * annotated edges with the current mass frame on the src id, one
+    * hash aggregate on the dst id, one left join back to the node
+    * spine — all keyed exchanges, no windows over the corpus (the
+    * out-degree window partitions by src: bounded by a host's
+    * out-link count). Old mass frames are unpersisted as soon as the
+    * next is materialized, so the cached footprint is 2 mass frames +
+    * edges regardless of iteration count. */
+  def pageRankInt(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int = 5, dampingPct: Int = 85,
+      scale: Long = 1000000L): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    require(dampingPct >= 0 && dampingPct <= 100,
+      s"dampingPct must be in [0, 100], got $dampingPct")
+    require(scale > 0, s"scale must be positive, got $scale")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct()
+    val w = Window.partitionBy(col("src"))
+    val wEdges = e.withColumn("outdeg", count(lit(1)).over(w))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val base = scale * (100L - dampingPct) / 100L
+    var mass = nodes.select(col("id"), lit(scale).as("mass"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    mass.count()
+    for (_ <- 1 to iterations) {
+      val inflow = wEdges
+        .join(mass, wEdges("src") === mass("id"))
+        .select(wEdges("dst").as("id"),
+          floorDiv(floorDiv(col("mass") * dampingPct, lit(100L)),
+            wEdges("outdeg")).as("__c"))
+        .groupBy(col("id")).agg(sum(col("__c")).as("__in"))
+      val next = nodes
+        .join(inflow, Seq("id"), "left")
+        .select(col("id"),
+          (lit(base) + coalesce(col("__in"), lit(0L))).as("mass"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      next.count() // materialize before releasing the previous round
+      mass.unpersist()
+      mass = next
+    }
+    mass
+  }
+}
