@@ -1810,6 +1810,20 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // SPAN-level benchmark decontamination: excise just the token
+    // spans covered by benchmark 5-grams instead of dropping whole
+    // documents (q100's surgical complement) — bench grams broadcast
+    // into a semi-join, islands merge, token-level removal. Bench
+    // docs themselves (they live in the corpus too) excise fully.
+    "q151_decontaminate_spans" -> ((s, d) => {
+      val docs = docsSpread(s, d)
+      val bench = T(s, d, "documents").filter(col("doc_id") % 17 === 0)
+      val spans = Dedup.contaminatedSpans(docs, "doc_id", "text",
+        bench, "doc_id", "text", gramLen = 5, portable = true)
+      Dedup.removeDuplicatedSpans(docs, spans, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // Host-authority ranking: integer-exact PageRank (5 rounds, ppm
     // mass, exact 85/100 damping under floor division) over a
     // deterministic 101-node link graph derived from doc ids — the
@@ -3606,6 +3620,50 @@ object SparkEntry {
         |  FROM customer WHERE c_custkey % 5 <> 0)
         |SELECT * FROM v0 UNION ALL SELECT * FROM v1 UNION ALL SELECT * FROM v2
         |ORDER BY version""".stripMargin,
+
+    // the q114/q115 span machinery at gramLen 5 with the hot gate
+    // swapped for benchmark membership (doc_id % 17 = 0), then the
+    // q115 removal: ordered surviving-token rebuild
+    "q151_decontaminate_spans" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS tokens FROM documents),
+        |tok AS (
+        |  SELECT doc_id, unnest(tokens) AS t, unnest(range(1, len(tokens) + 1)) AS pos FROM tk),
+        |g AS (
+        |  SELECT doc_id, pos - 1 AS pos0,
+        |    CAST(concat('0x', substring(md5(concat('0', '|',
+        |      concat_ws(' ', t, lead(t, 1) OVER w, lead(t, 2) OVER w,
+        |                lead(t, 3) OVER w, lead(t, 4) OVER w))), 1, 15)) AS BIGINT) AS hh,
+        |    lead(t, 4) OVER w IS NOT NULL AS fullgram
+        |  FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        |gg AS (SELECT doc_id, pos0, hh FROM g WHERE fullgram),
+        |hot AS (SELECT DISTINCT hh FROM gg WHERE doc_id % 17 = 0),
+        |dup AS (SELECT gg.doc_id, gg.pos0 FROM gg JOIN hot USING (hh)),
+        |brk AS (
+        |  SELECT doc_id, pos0,
+        |    CASE WHEN max(pos0) OVER (PARTITION BY doc_id ORDER BY pos0
+        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 5 >= pos0
+        |         THEN 0 ELSE 1 END AS is_new
+        |  FROM dup),
+        |isl AS (
+        |  SELECT doc_id, pos0,
+        |    sum(is_new) OVER (PARTITION BY doc_id ORDER BY pos0
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM brk),
+        |sp AS (
+        |  SELECT doc_id, min(pos0) AS span_start, max(pos0) + 4 AS span_end
+        |  FROM isl GROUP BY doc_id, island),
+        |clean AS (
+        |  SELECT tok.doc_id, tok.pos, tok.t FROM tok
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM sp WHERE sp.doc_id = tok.doc_id
+        |      AND tok.pos - 1 BETWEEN sp.span_start AND sp.span_end)),
+        |agg AS (
+        |  SELECT doc_id, string_agg(t, ' ' ORDER BY pos) AS clean_text
+        |  FROM clean GROUP BY 1)
+        |SELECT d.doc_id, coalesce(a.clean_text, '') AS clean_text
+        |FROM documents d LEFT JOIN agg a USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
 
     // the five PageRank rounds unrolled: distinct edges, window
     // out-degree, damped floor-div contributions, left-join base —

@@ -1089,6 +1089,51 @@ object Dedup {
       .select(col(idCol), col("span_start"), col("span_end"), col("n_grams"))
   }
 
+  /** SPAN-level benchmark decontamination: per document, the maximal
+    * token spans covered by `gramLen`-grams that appear ANYWHERE in
+    * the benchmark — the surgical variant of
+    * [[TextOps.contaminatedDocs]] (which flags whole documents):
+    * excising just the contaminated spans keeps the rest of an
+    * otherwise-good document in the training mix. Detection is the
+    * [[duplicatedSpans]] machinery with the cross-document frequency
+    * gate swapped for benchmark membership: benchmark grams collapse
+    * to a DISTINCT hash set (MBs by construction) and BROADCAST into a
+    * semi-join against the corpus gram stream — the 100 TB side never
+    * shuffles on the gram hash at all. Feed the result to
+    * [[removeDuplicatedSpans]]. */
+  def contaminatedSpans(docs: DataFrame, idCol: String, textCol: String,
+      bench: DataFrame, benchIdCol: String, benchTextCol: String,
+      gramLen: Int = 8, portable: Boolean = false): DataFrame = {
+    require(gramLen >= 1, s"gramLen must be >= 1, got $gramLen")
+    val tok = docs.select(col(idCol),
+      posexplode(TextOps.tokens(col(textCol))).as(Seq("__pos", "__tok")))
+    val seq = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
+    val parts = (0 until gramLen).map(i =>
+      if (i == 0) col("__tok") else lead(col("__tok"), i).over(seq))
+    val gram = concat_ws(" ", parts: _*)
+    def hashOf(c: Column) =
+      if (portable) TextOps.portableHash64(0, c) else xxhash64(c)
+    val grams = tok.select(col(idCol), col("__pos").cast("long").as("__pos"),
+        hashOf(gram).as("__h"),
+        lead(col("__tok"), gramLen - 1).over(seq).isNotNull.as("__full"))
+      .filter(col("__full"))
+    val benchHot = TextOps.shingleRows(bench, benchIdCol, benchTextCol, gramLen)
+      .select(hashOf(col("shingle")).as("__h")).distinct()
+    val dup = grams.join(broadcast(benchHot), Seq("__h"), "left_semi")
+    val prevEnd = max(col("__pos")).over(
+      seq.rowsBetween(Window.unboundedPreceding, -1)) + lit(gramLen - 1L)
+    val isNew = when(prevEnd.isNull || col("__pos") > prevEnd + 1L, 1L)
+      .otherwise(0L)
+    val island = sum(isNew).over(
+      seq.rowsBetween(Window.unboundedPreceding, 0))
+    dup.withColumn("__island", island)
+      .groupBy(col(idCol), col("__island"))
+      .agg(min(col("__pos")).as("span_start"),
+        (max(col("__pos")) + lit(gramLen - 1L)).as("span_end"),
+        count(lit(1)).as("n_grams"))
+      .select(col(idCol), col("span_start"), col("span_end"), col("n_grams"))
+  }
+
   /** Excise duplicated spans from documents (the removal half of the
     * Lee et al. recipe — [[duplicatedSpans]] detects, this trims):
     * drop every token whose position falls inside a span, rebuild the

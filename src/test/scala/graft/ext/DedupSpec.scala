@@ -602,6 +602,30 @@ class DedupSpec extends SparkSpec {
     assert(out == Map((1L, 2L) -> 1, (1L, 3L) -> 2), s"got $out")
   }
 
+  test("contaminatedSpans: excises exactly the benchmark-overlapping runs") {
+    val docs = Seq(
+      (1L, "intro words here then the secret benchmark phrase appears and tail text follows"),
+      (2L, "nothing from the eval set lives in this document at all today"),
+      (3L, "the secret benchmark phrase appears") // fully covered
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "the secret benchmark phrase appears"))
+      .toDF("bid", "btext")
+    val spans = Dedup.contaminatedSpans(docs, "doc_id", "text",
+      bench, "bid", "btext", gramLen = 5)
+    val got = spans.select($"doc_id", $"span_start", $"span_end")
+      .as[(Long, Long, Long)].collect().toSet
+    // doc1 tokens: intro(0) words(1) here(2) then(3) the(4) secret(5)
+    // benchmark(6) phrase(7) appears(8) and(9) ... -> the 5-gram at
+    // pos 4 covers [4, 8]; doc3 covers [0, 4]
+    assert(got == Set((1L, 4L, 8L), (3L, 0L, 4L)), s"got $got")
+    val cleaned = Dedup.removeDuplicatedSpans(docs, spans, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(cleaned(1L) == "intro words here then and tail text follows")
+    assert(cleaned(2L) == "nothing from the eval set lives in this document at all today")
+    assert(cleaned(3L) == "")
+    spark.catalog.clearCache()
+  }
+
   test("contrastivePairs: positives are near-dups, hard negatives weak collisions") {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
       "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega"
