@@ -866,9 +866,13 @@ object TextOps {
     val terms = queryTerms.distinct
     val tk = docs.select(col(idCol), tokens(col(textCol)).as("__t"))
       .withColumn("__dl", size(col("__t")).cast("long"))
+    // per-term tf via the native counting expression — the HOF form
+    // size(filter(t, x => x = term)) allocates a filtered array and
+    // runs an interpreted closure per element per term
     val withTf = terms.zipWithIndex.foldLeft(tk) { case (acc, (t, i)) =>
       acc.withColumn(s"__tf$i",
-        size(filter(col("__t"), x => x === lit(t))).cast("long"))
+        graft.functions.GraftFunctions.countEqual(col("__t"), lit(t))
+          .cast("long"))
     }.drop("__t")
     val dfAggs = sum(col("__dl")).as("__S") +: terms.indices.map(i =>
       sum(when(col(s"__tf$i") > 0, 1L).otherwise(0L)).as(s"__df$i"))

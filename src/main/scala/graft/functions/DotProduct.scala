@@ -89,6 +89,12 @@ object GraftFunctions {
 
   /** Unicode normalization (codegen'd; see [[NfcNormalize]]). */
   def nfc(c: Column, form: String = "NFC"): Column = NfcNormalize(c, form)
+
+  /** Count of array elements equal to `v` (codegen'd; see
+    * [[CountEqualInArray]]) — use instead of
+    * `size(filter(arr, x => x === v))` on hot paths. */
+  def countEqual(arr: Column, v: Column): Column =
+    Bridge.column(CountEqualInArray(Bridge.expression(arr), Bridge.expression(v)))
 }
 
 /** SparkSessionExtensions hook: makes the native functions addressable
@@ -96,8 +102,10 @@ object GraftFunctions {
   * `spark.sql.extensions=graft.functions.GraftExtensions`, or
   * programmatically with `GraftExtensions.register(spark)`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.descriptors.foreach(ext.injectFunction)
+    ext.injectOptimizerRule(_ => RewriteSizeOfEqualityFilter)
+  }
 }
 
 object GraftExtensions {
@@ -124,11 +132,22 @@ object GraftExtensions {
             s"graft_nfc form must be a string literal, got $other")
         }.getOrElse("NFC")
         NfcNormalize(children.head, form): Expression
-      }))
+      }),
+    (FunctionIdentifier("graft_count_eq"),
+      new ExpressionInfo(classOf[CountEqualInArray].getName, "graft_count_eq"),
+      (children: Seq[Expression]) =>
+        CountEqualInArray(children.head, children(1)): Expression))
 
   /** Idempotent runtime registration for an existing session. */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     descriptors.foreach { case (id, info, builder) =>
       spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }
+    // optimizer rules can't be injected into a LIVE session through
+    // SparkSessionExtensions; experimental.extraOptimizations is the
+    // supported runtime seam (idempotent append)
+    if (!spark.experimental.extraOptimizations.contains(RewriteSizeOfEqualityFilter))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ RewriteSizeOfEqualityFilter
+  }
 }
