@@ -333,6 +333,19 @@ class PlanShapeSpec extends SparkSpec {
       "bucket offsets must broadcast back: " + p)
   }
 
+  test("distributed ntile: rank windows partition on (key, bucket), never key alone") {
+    val p = planOf("q138_ppl_buckets")
+    // the CCNet bucketer exists to avoid one window partition per
+    // language; the row_number window must carry BOTH lang and the
+    // range bucket in its partition spec
+    val winSpecs = "windowspecdefinition\\(lang[^)]*".r.findAllIn(p).toList
+    assert(winSpecs.nonEmpty, "expected a lang-partitioned window: " + p)
+    winSpecs.foreach(w =>
+      assert(w.contains("__bkt"), s"window partitions on lang alone: $w"))
+    assert(p.contains("BroadcastHashJoin"),
+      "rank offsets must broadcast back: " + p)
+  }
+
   test("pii scrub is a pure projection: no exchange before the presentation sort") {
     val p = planOf("q106_pii_scrub")
     // regexp scrub + counts must stay per-row (codegen'd projections);
