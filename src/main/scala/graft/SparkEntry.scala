@@ -325,6 +325,36 @@ object SparkEntry {
     ("j", "o"), ("jo", "i"), ("joi", "n"), ("s", "t"), ("o", "r"),
     ("e", "r"), ("a", "n"))
 
+  /** Direct HLL estimate over the full lineitem (q91) — ALSO the
+    * oracle for the merge contract q152: per-shard registers merged
+    * by max are register-identical to the direct union sketch. */
+  private val HllUnionOracleSql: String =
+    s"""WITH h AS (
+        |  SELECT l_returnflag,
+        |    CAST(concat('0x', substring(md5(concat('42', '|', CAST(l_orderkey AS VARCHAR))), 1, 14)) AS BIGINT) AS h
+        |  FROM lineitem),
+        |b AS (
+        |  SELECT l_returnflag, h & 63 AS b,
+        |    CASE WHEN (h >> 6) = 0 THEN 30
+        |         ELSE least(30, 51 - length(bin(h >> 6))) END AS rho
+        |  FROM h),
+        |regs AS (
+        |  SELECT l_returnflag, b, max(rho) AS r FROM b GROUP BY 1, 2),
+        |s AS (
+        |  SELECT l_returnflag,
+        |    sum(${1L << 30} >> r) AS s, count(*) AS present
+        |  FROM regs GROUP BY 1),
+        |e AS (
+        |  SELECT l_returnflag, 64 - present AS zeros,
+        |    ${709L * 4096L * (1L << 30)}
+        |      // (1000 * (s + (64 - present) * ${1L << 30})) AS raw
+        |  FROM s)
+        |SELECT l_returnflag,
+        |  CAST(CASE WHEN raw <= 160 AND zeros > 0
+        |    THEN ([${graft.ext.Sketches.HllLinearCounting.mkString(", ")}])[CAST(zeros AS INTEGER)]
+        |    ELSE raw END AS BIGINT) AS est_distinct
+        |FROM e ORDER BY l_returnflag""".stripMargin
+
   /** DuckDB replay of the SRP-LSH embedding near-dup pipeline: the 16
     * seeded hyperplanes are embedded as literals (Double.toString
     * round-trips exactly, so DuckDB parses the identical doubles), sign
@@ -771,6 +801,24 @@ object SparkEntry {
       graft.ext.Sketches.hllDistinctCount(
         T(s, d, "lineitem"), "l_returnflag", "l_orderkey")
         .orderBy(col("l_returnflag"))),
+
+    // HLL MERGE contract: sketch two disjoint shards independently,
+    // merge the register frames (max per bucket — the lossless HLL
+    // merge law), estimate from the merged state. The oracle is q91's
+    // DIRECT union sketch: merged == direct, register for register —
+    // the mergeable-summary property that lets per-day/per-shard
+    // sketches roll up into global stats with no re-scan.
+    "q152_hll_merge" -> ((s, d) => {
+      val li = T(s, d, "lineitem")
+      val ra = graft.ext.Sketches.hllRegisters(
+        li.filter(col("l_orderkey") % 2 === 0), "l_returnflag", "l_orderkey")
+      val rb = graft.ext.Sketches.hllRegisters(
+        li.filter(col("l_orderkey") % 2 =!= 0), "l_returnflag", "l_orderkey")
+      graft.ext.Sketches.hllFromRegisters(
+        graft.ext.Sketches.hllMergeRegisters("l_returnflag", ra, rb),
+        "l_returnflag")
+        .orderBy(col("l_returnflag"))
+    }),
 
     // Pivot (long→wide conditional aggregation), explicit value list so
     // the plan needs no extra distinct-values pass.
@@ -2662,32 +2710,10 @@ object SparkEntry {
     // bitlength of the top 50), register max per bucket, harmonic sum
     // scaled 2^30 (integer-exact), α₆₄ = 709/1000 as one integer
     // division, linear counting via the same 64-entry table.
-    "q91_hll_distinct" ->
-      s"""WITH h AS (
-        |  SELECT l_returnflag,
-        |    CAST(concat('0x', substring(md5(concat('42', '|', CAST(l_orderkey AS VARCHAR))), 1, 14)) AS BIGINT) AS h
-        |  FROM lineitem),
-        |b AS (
-        |  SELECT l_returnflag, h & 63 AS b,
-        |    CASE WHEN (h >> 6) = 0 THEN 30
-        |         ELSE least(30, 51 - length(bin(h >> 6))) END AS rho
-        |  FROM h),
-        |regs AS (
-        |  SELECT l_returnflag, b, max(rho) AS r FROM b GROUP BY 1, 2),
-        |s AS (
-        |  SELECT l_returnflag,
-        |    sum(${1L << 30} >> r) AS s, count(*) AS present
-        |  FROM regs GROUP BY 1),
-        |e AS (
-        |  SELECT l_returnflag, 64 - present AS zeros,
-        |    ${709L * 4096L * (1L << 30)}
-        |      // (1000 * (s + (64 - present) * ${1L << 30})) AS raw
-        |  FROM s)
-        |SELECT l_returnflag,
-        |  CAST(CASE WHEN raw <= 160 AND zeros > 0
-        |    THEN ([${graft.ext.Sketches.HllLinearCounting.mkString(", ")}])[CAST(zeros AS INTEGER)]
-        |    ELSE raw END AS BIGINT) AS est_distinct
-        |FROM e ORDER BY l_returnflag""".stripMargin,
+    "q91_hll_distinct" -> HllUnionOracleSql,
+    // merged per-shard registers estimate EXACTLY like the direct
+    // union sketch (max is the lossless HLL merge) — same oracle
+    "q152_hll_merge" -> HllUnionOracleSql,
 
     // Writeback round trip: regenerate the fake org's base records
     // (same arithmetic as q55) and apply q81's update rule — Banking

@@ -74,8 +74,16 @@ object Sketches {
     *
     * Returns (groupCol, est_distinct long). */
   def hllDistinctCount(df: DataFrame, groupCol: String, valueCol: String,
+      seed: Long = 42L): DataFrame =
+    hllFromRegisters(hllRegisters(df, groupCol, valueCol, seed), groupCol)
+
+  /** The HLL register frame itself: (groupCol, __b bucket, __r rank) —
+    * the sketch STATE, exposed so shards can sketch independently and
+    * [[hllMergeRegisters]] combine them (mergeable summaries are THE
+    * distributed-aggregation primitive: per-partition/per-day/per-shard
+    * sketches union into the global estimate with no re-scan). */
+  def hllRegisters(df: DataFrame, groupCol: String, valueCol: String,
       seed: Long = 42L): DataFrame = {
-    import org.apache.spark.sql.functions.{expr => e}
     val h = conv(substring(md5(concat_ws("|", lit(seed.toString),
       col(valueCol).cast("string"))), 1, 14), 16, 10).cast("long")
     val bucket = h.bitwiseAND(lit(63L))
@@ -85,8 +93,26 @@ object Sketches {
     // length(bin(rem)); rem = 0 clamps like everything ≥ 30
     val rho = when(rem === 0, lit(HllClamp))
       .otherwise(least(lit(HllClamp), lit(51) - length(bin(rem))))
-    val regs = df.groupBy(col(groupCol), bucket.as("__b"))
+    df.groupBy(col(groupCol), bucket.as("__b"))
       .agg(max(rho).as("__r"))
+  }
+
+  /** Merge register frames: per (group, bucket) the max rank — the HLL
+    * merge law. Lossless: merge(sketch(A), sketch(B)) is EXACTLY
+    * sketch(A ∪ B) register for register (max is associative,
+    * commutative, idempotent), which the q152 contract pins
+    * end-to-end against a direct sketch of the union. */
+  def hllMergeRegisters(groupCol: String, frames: DataFrame*): DataFrame = {
+    require(frames.nonEmpty, "hllMergeRegisters needs at least one frame")
+    frames.reduce(_ unionByName _)
+      .groupBy(col(groupCol), col("__b")).agg(max(col("__r")).as("__r"))
+  }
+
+  /** Estimate from a register frame (the finisher of
+    * [[hllDistinctCount]], split out so merged registers estimate the
+    * same way). Integer arithmetic end to end — see the recipe above. */
+  def hllFromRegisters(regs: DataFrame, groupCol: String): DataFrame = {
+    import org.apache.spark.sql.functions.{expr => e}
     val sums = regs.groupBy(col(groupCol)).agg(
       sum(e(s"shiftright(${1L << HllClamp}, __r)")).as("__s"),
       count(lit(1)).as("__present"))

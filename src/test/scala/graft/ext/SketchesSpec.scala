@@ -97,4 +97,27 @@ class SketchesSpec extends SparkSpec {
       assert(math.abs(e - exact(g)) / exact(g) < 0.25, s"$g: $e vs ${exact(g)}")
     }
   }
+
+  test("HLL merge law: sharded registers merge to the direct union sketch exactly") {
+    val li = Fx.t(spark, sfDir, "lineitem")
+    def regsOf(p: org.apache.spark.sql.DataFrame) =
+      Sketches.hllRegisters(p, "l_returnflag", "l_orderkey")
+    val ra = regsOf(li.filter($"l_orderkey" % 2 === 0))
+    val rb = regsOf(li.filter($"l_orderkey" % 2 =!= 0))
+    val merged = Sketches.hllMergeRegisters("l_returnflag", ra, rb)
+      .as[(String, Long, Int)].collect().toSet
+    val direct = regsOf(li).as[(String, Long, Int)].collect().toSet
+    assert(merged == direct, "merge must be register-identical to direct")
+    // idempotent: merging a sketch with itself changes nothing
+    val self = Sketches.hllMergeRegisters("l_returnflag", ra, ra)
+      .as[(String, Long, Int)].collect().toSet
+    assert(self == ra.as[(String, Long, Int)].collect().toSet)
+    // and the estimates agree end to end
+    val estM = Sketches.hllFromRegisters(
+        Sketches.hllMergeRegisters("l_returnflag", ra, rb), "l_returnflag")
+      .as[(String, Long)].collect().toMap
+    val estD = Sketches.hllDistinctCount(li, "l_returnflag", "l_orderkey")
+      .as[(String, Long)].collect().toMap
+    assert(estM == estD)
+  }
 }
