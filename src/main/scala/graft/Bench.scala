@@ -69,8 +69,15 @@ object Bench {
     val results = order.map { case (name, _) => name -> samples(name).min }
     // a failed query's time-to-failure is noise, not cost: report it as
     // null and keep the headline total an aggregate of SUCCESSFUL runs
-    def fmt(v: Double, scale: Int): String = BigDecimal(v)
-      .setScale(scale, BigDecimal.RoundingMode.HALF_UP).toString
+    // trailing zeros stripped ("0.50" -> "0.5", "2.00" -> "2"): at 150+
+    // queries the stdout line is ~50 chars from the driver's 2000-char
+    // tail window, and every saved char is margin against truncation
+    def fmt(v: Double, scale: Int): String = {
+      val s = BigDecimal(v)
+        .setScale(scale, BigDecimal.RoundingMode.HALF_UP).toString
+      if (s.contains('.')) s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse
+      else s
+    }
     def entries(short: Boolean, scale: Int) = results.map { case (k, v) =>
       val key = if (short) k.takeWhile(_ != '_') else k
       "\"" + key + "\":" + (if (failed.contains(k)) "null" else fmt(v, scale))
