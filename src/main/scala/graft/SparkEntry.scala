@@ -1858,6 +1858,59 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // Robust (10%-trimmed) mean price per return flag: drop the top
+    // and bottom deciles via the distributed per-key NTILE, then a
+    // decimal-exact mean — outlier-insensitive central tendency
+    // without a per-group window sort.
+    "q153_trimmed_mean" -> ((s, d) => {
+      val li = T(s, d, "lineitem").select(col("l_returnflag"),
+        col("l_extendedprice"),
+        (col("l_orderkey") * 10L + col("l_linenumber")).as("__rid"))
+      graft.ext.Sampling.ntileByKey(li, "l_returnflag", "l_extendedprice",
+          "__rid", tiles = 10)
+        .filter(col("tile") > 1 && col("tile") < 10)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_kept"),
+          (dsum(col("l_extendedprice")) / count(lit(1)))
+            .as("trimmed_mean"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // Corpus snapshot DIFF (the time-travel audit): what changed
+    // between two committed versions — additions, removals, text
+    // changes (by content fingerprint), unchanged. v1 derives from v0
+    // arithmetically (drop doc_id%10=0, rewrite text for %7=1 among
+    // survivors, add %13=2 under offset ids), so the oracle replays
+    // the per-class counts directly. Counts are computed DISTRIBUTED
+    // (full outer join on doc_id + fingerprint compare), then
+    // materialized driver-side so the temp store can be deleted.
+    "q154_snapshot_diff" -> ((s, d) => {
+      import s.implicits._
+      val root = java.nio.file.Files.createTempDirectory("graft-diff")
+      val store = new graft.core.TableStore(s, root.toString)
+      val base = T(s, d, "documents").select(col("doc_id"), col("text"))
+      store.write("docs", base)                                  // v0
+      val survivors = base.filter(col("doc_id") % 10 =!= 0)
+        .withColumn("text", when(col("doc_id") % 7 === 1,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      val added = base.filter(col("doc_id") % 13 === 2)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+      store.write("docs", survivors.unionByName(added))          // v1
+      val v0 = store.readVersion("docs", 0)
+        .select(col("doc_id"), md5(col("text")).as("__f0"))
+      val v1 = store.readVersion("docs", 1)
+        .select(col("doc_id"), md5(col("text")).as("__f1"))
+      val cls = v0.join(v1, Seq("doc_id"), "full_outer")
+        .select(when(col("__f1").isNull, lit("removed"))
+          .when(col("__f0").isNull, lit("added"))
+          .when(col("__f0") =!= col("__f1"), lit("changed"))
+          .otherwise(lit("unchanged")).as("change_type"))
+        .groupBy(col("change_type")).agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
+      cls.toDF("change_type", "n").orderBy(col("change_type"))
+    }),
+
     // SPAN-level benchmark decontamination: excise just the token
     // spans covered by benchmark 5-grams instead of dropping whole
     // documents (q100's surgical complement) — bench grams broadcast
@@ -3646,6 +3699,32 @@ object SparkEntry {
         |  FROM customer WHERE c_custkey % 5 <> 0)
         |SELECT * FROM v0 UNION ALL SELECT * FROM v1 UNION ALL SELECT * FROM v2
         |ORDER BY version""".stripMargin,
+
+    // plain per-flag ntile(10) on (price DESC, rid), deciles 2-9,
+    // decimal-exact mean
+    "q153_trimmed_mean" ->
+      """WITH t AS (
+        |  SELECT l_returnflag, l_extendedprice,
+        |    ntile(10) OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_extendedprice DESC, l_orderkey * 10 + l_linenumber) AS tile
+        |  FROM lineitem)
+        |SELECT l_returnflag, count(*) AS n_kept,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS trimmed_mean
+        |FROM t WHERE tile > 1 AND tile < 10
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // the diff classes replayed arithmetically from the v0->v1
+    // construction: removed = %10=0, changed = survivors with %7=1,
+    // added = %13=2 (offset ids), unchanged = the rest
+    "q154_snapshot_diff" ->
+      """SELECT 'added' AS change_type, count(*) AS n FROM documents WHERE doc_id % 13 = 2
+        |UNION ALL
+        |SELECT 'changed', count(*) FROM documents WHERE doc_id % 10 <> 0 AND doc_id % 7 = 1
+        |UNION ALL
+        |SELECT 'removed', count(*) FROM documents WHERE doc_id % 10 = 0
+        |UNION ALL
+        |SELECT 'unchanged', count(*) FROM documents WHERE doc_id % 10 <> 0 AND doc_id % 7 <> 1
+        |ORDER BY change_type""".stripMargin,
 
     // the q114/q115 span machinery at gramLen 5 with the hot gate
     // swapped for benchmark membership (doc_id % 17 = 0), then the

@@ -106,7 +106,15 @@ object Scale10x {
       // q113 shape), and character diversity (char explode + two
       // keyed aggregates on one id-hash exchange)
       "q131_bm25_rank", "q138_ppl_buckets", "q139_dsir_select",
-      "q141_char_diversity")
+      "q141_char_diversity",
+      // late-r10: sketch calibration (shared shingle pass + banded
+      // candidates — the candidate list is the data-sized term),
+      // integer PageRank (fixed-size graph ⇒ per-round work constant,
+      // the ratio reads the edge-derivation scan), span-level
+      // decontamination (gram windows + broadcast bench semi-join),
+      // and the HLL merge (two bounded sketches + register merge)
+      "q144_sketch_calibration", "q150_pagerank",
+      "q151_decontaminate_spans", "q152_hll_merge")
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")

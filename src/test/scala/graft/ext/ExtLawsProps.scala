@@ -321,6 +321,45 @@ object ExtLawsProps extends Properties("graft.ext") {
     keys <- Gen.listOfN(n, Gen.oneOf("en", "es", "de", "fr"))
   } yield scores.zip(keys).zipWithIndex.map { case ((q, k), i) => (i.toLong, q, k) }
 
+  // Largest-remainder apportionment: the targets sum EXACTLY to the
+  // budget, shares sum to 1, and the whole table is a pure function of
+  // the key histogram (layout-independent by construction).
+  property("temperatureMix: exact budget conservation, unit shares") =
+    Prop.forAll(
+      Gen.nonEmptyListOf(Gen.oneOf("a", "b", "c", "d", "e")).map(_.take(60)),
+      Gen.chooseNum(0L, 500L)) { (keys, budget) =>
+      val df = keys.zipWithIndex.map { case (k, i) => (k, i.toLong) }
+        .toDF("k", "id")
+      val out = Sampling.temperatureMix(df, "k", budget)
+        .select($"k", $"n_docs", $"share", $"target_docs")
+        .as[(String, Long, Double, Long)].collect()
+      val counts = keys.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      out.map(_._4).sum == budget &&
+        math.abs(out.map(_._3).sum - 1.0) < 1e-9 &&
+        out.forall { case (k, n, _, t) => counts(k) == n && t >= 0 }
+    }
+
+  // Integer PageRank invariants: every node keeps at least the base
+  // mass, total mass never exceeds the initial V·scale (floors only
+  // lose), and masses are a pure function of the edge SET.
+  property("pageRankInt: base floor, mass sub-conservation, edge-set determinism") =
+    Prop.forAll(
+      Gen.nonEmptyListOf(Gen.zip(Gen.chooseNum(0L, 8L), Gen.chooseNum(0L, 8L)))
+        .map(_.take(30))) { edges =>
+      val df = edges.toDF("s", "t")
+      val out = GraphOps.pageRankInt(df, "s", "t", iterations = 2)
+        .as[(Long, Long)].collect().toMap
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).toSet
+      val ok = out.keySet == nodes &&
+        out.values.forall(_ >= 150000L) &&
+        out.values.sum <= nodes.size * 1000000L
+      // duplicate edges must not change anything (the op takes the SET)
+      val dup = GraphOps.pageRankInt(df.union(df), "s", "t", iterations = 2)
+        .as[(Long, Long)].collect().toMap
+      spark.catalog.clearCache()
+      ok && dup == out
+    }
+
   property("ntileByKey == serial NTILE reference for arbitrary keys/ties/tiles") =
     Prop.forAll(genKeyed, Gen.oneOf(1, 2, 3, 5), Gen.oneOf(2, 8, 32)) {
       (rows, tiles, buckets) =>
