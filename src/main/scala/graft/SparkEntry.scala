@@ -355,6 +355,23 @@ object SparkEntry {
         |    ELSE raw END AS BIGINT) AS est_distinct
         |FROM e ORDER BY l_returnflag""".stripMargin
 
+  /** Direct count-min estimate over the full events stream (q95) —
+    * ALSO the oracle for the merge contract q155: shard counter
+    * matrices summed elementwise are matrix-identical to the direct
+    * sketch. */
+  private val CmDirectOracleSql: String =
+    """WITH v AS (SELECT CAST(user_id AS VARCHAR) AS val FROM events),
+      |h AS (SELECT val,
+      |  CAST(concat('0x', substring(md5(concat_ws('|', '42', val)), 1, 14)) AS BIGINT) AS a,
+      |  CAST(concat('0x', substring(md5(concat_ws('|', '42', val)), 17, 14)) AS BIGINT) AS b
+      |  FROM v),
+      |pos AS (SELECT val, i, (a + i * b) % 256 AS bucket FROM h, range(4) t(i)),
+      |counters AS (SELECT i, bucket, count(*) AS cnt FROM pos GROUP BY 1, 2),
+      |dv AS (SELECT DISTINCT val, i, bucket FROM pos)
+      |SELECT val, min(cnt) AS est_count
+      |FROM dv JOIN counters USING (i, bucket)
+      |GROUP BY val ORDER BY est_count DESC, val LIMIT 50""".stripMargin
+
   /** DuckDB replay of the SRP-LSH embedding near-dup pipeline: the 16
     * seeded hyperplanes are embedded as literals (Double.toString
     * round-trips exactly, so DuckDB parses the identical doubles), sign
@@ -2120,6 +2137,24 @@ object SparkEntry {
         // tie-break order so the NULL val can never reorder the cutoff
         .orderBy(col("est_count").desc, col("val").asc_nulls_last)
         .limit(50)),
+
+    // Count-min MERGE contract (the additive twin of q152's HLL
+    // max-merge): two disjoint shards sketched independently, counter
+    // matrices summed elementwise, probed once — must hash-match
+    // q95's DIRECT whole-stream oracle.
+    "q155_cm_merge" -> ((s, d) => {
+      val ev = T(s, d, "events")
+        .select(col("event_id"), col("user_id").cast("string").as("val"))
+      val ca = graft.ext.Sketches.cmCounters(
+        ev.filter(col("event_id") % 2 === 0), "val", depth = 4, width = 256)
+      val cb = graft.ext.Sketches.cmCounters(
+        ev.filter(col("event_id") % 2 =!= 0), "val", depth = 4, width = 256)
+      graft.ext.Sketches.cmEstimate(ev,
+          graft.ext.Sketches.cmMergeCounters(ca, cb),
+          "val", depth = 4, width = 256)
+        .orderBy(col("est_count").desc, col("val").asc_nulls_last)
+        .limit(50)
+    }),
 
     // Bloom-pruned join (operators.BloomJoin): the big side is
     // filtered against the small side's key bitmap BEFORE the join
@@ -3944,18 +3979,11 @@ object SparkEntry {
 
     // Count-min replay: identical md5 halves → 2-universal buckets →
     // counter matrix → min-of-depth estimate per distinct value
-    "q95_heavy_hitters" ->
-      """WITH v AS (SELECT CAST(user_id AS VARCHAR) AS val FROM events),
-        |h AS (SELECT val,
-        |  CAST(concat('0x', substring(md5(concat_ws('|', '42', val)), 1, 14)) AS BIGINT) AS a,
-        |  CAST(concat('0x', substring(md5(concat_ws('|', '42', val)), 17, 14)) AS BIGINT) AS b
-        |  FROM v),
-        |pos AS (SELECT val, i, (a + i * b) % 256 AS bucket FROM h, range(4) t(i)),
-        |counters AS (SELECT i, bucket, count(*) AS cnt FROM pos GROUP BY 1, 2),
-        |dv AS (SELECT DISTINCT val, i, bucket FROM pos)
-        |SELECT val, min(cnt) AS est_count
-        |FROM dv JOIN counters USING (i, bucket)
-        |GROUP BY val ORDER BY est_count DESC, val LIMIT 50""".stripMargin,
+    "q95_heavy_hitters" -> CmDirectOracleSql,
+    // shard counter matrices summed elementwise == the direct matrix
+    // (counts are additive), so the merged estimates replay q95's
+    // direct oracle verbatim
+    "q155_cm_merge" -> CmDirectOracleSql,
 
     // the bloom filter only PRUNES — the verifying join makes the
     // result exactly the plain join, which is the oracle

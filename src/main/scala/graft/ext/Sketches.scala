@@ -183,7 +183,11 @@ object Sketches {
     *
     * Returns (valueCol, est_count long). */
   def countMinFrequency(df: DataFrame, valueCol: String,
-      depth: Int = 4, width: Int = 256, seed: Long = 42L): DataFrame = {
+      depth: Int = 4, width: Int = 256, seed: Long = 42L): DataFrame =
+    cmEstimate(df, cmCounters(df, valueCol, depth, width, seed),
+      valueCol, depth, width, seed)
+
+  private def cmGuards(depth: Int, width: Int): Unit = {
     require(depth >= 1 && depth <= 8, s"depth $depth outside [1, 8]")
     require(width >= 2, s"width $width must be >= 2")
     // the counter matrix is broadcast back to the values — keep it
@@ -192,17 +196,52 @@ object Sketches {
     require(depth.toLong * width <= (1L << 22),
       s"depth×width = ${depth.toLong * width} exceeds 2^22 counters — " +
         "narrow the sketch (its point is sublinear size)")
-    // one md5 per row; h_i derived arithmetically (a, b < 2^56 and
-    // i ≤ 7, so a + i·b < 2^59 — no overflow)
+  }
+
+  // one md5 per row; h_i derived arithmetically (a, b < 2^56 and
+  // i ≤ 7, so a + i·b < 2^59 — no overflow)
+  private def cmBuckets(valueCol: String, depth: Int, width: Int,
+      seed: Long): org.apache.spark.sql.Column = {
     val (a, b) = PortableHash.pair56(col(valueCol), seed)
-    val buckets = array((0 until depth).map(i =>
+    array((0 until depth).map(i =>
       pmod(a + lit(i.toLong) * b, lit(width.toLong))): _*)
-    val counters = df
-      .select(posexplode(buckets).as(Seq("__row", "__bucket")))
+  }
+
+  /** The count-min counter matrix itself: (__row, __bucket, __cnt) —
+    * the sketch STATE, exposed so shards/days/partitions sketch
+    * independently and [[cmMergeCounters]] roll them up (counter
+    * matrices merge by ELEMENTWISE SUM — the additive twin of the HLL
+    * max-merge; both laws make sketches the distributed-aggregation
+    * primitive). At most depth×width rows whatever the input. */
+  def cmCounters(df: DataFrame, valueCol: String,
+      depth: Int = 4, width: Int = 256, seed: Long = 42L): DataFrame = {
+    cmGuards(depth, width)
+    df.select(posexplode(cmBuckets(valueCol, depth, width, seed))
+        .as(Seq("__row", "__bucket")))
       .groupBy(col("__row"), col("__bucket"))
       .agg(count(lit(1)).as("__cnt"))
+  }
+
+  /** Merge counter matrices: per (row, bucket) the SUM — count-min's
+    * merge law (counts are additive over disjoint streams; q155 pins
+    * merged-shard estimates == direct whole-stream estimates). */
+  def cmMergeCounters(frames: DataFrame*): DataFrame = {
+    require(frames.nonEmpty, "cmMergeCounters needs at least one frame")
+    frames.reduce(_ unionByName _)
+      .groupBy(col("__row"), col("__bucket"))
+      .agg(sum(col("__cnt")).as("__cnt"))
+  }
+
+  /** Estimate per distinct value of `df` from a counter frame (the
+    * probe half of [[countMinFrequency]], split out so merged
+    * counters estimate the same way): min over the depth rows. */
+  def cmEstimate(df: DataFrame, counters: DataFrame, valueCol: String,
+      depth: Int = 4, width: Int = 256, seed: Long = 42L): DataFrame = {
+    cmGuards(depth, width)
     df.select(col(valueCol)).distinct()
-      .select(col(valueCol), posexplode(buckets).as(Seq("__row", "__bucket")))
+      .select(col(valueCol),
+        posexplode(cmBuckets(valueCol, depth, width, seed))
+          .as(Seq("__row", "__bucket")))
       .join(broadcast(counters), Seq("__row", "__bucket"))
       .groupBy(col(valueCol))
       .agg(min(col("__cnt")).as("est_count"))

@@ -120,4 +120,21 @@ class SketchesSpec extends SparkSpec {
       .as[(String, Long)].collect().toMap
     assert(estM == estD)
   }
+
+  test("count-min merge law: shard counters sum to the direct matrix exactly") {
+    val ev = Fx.t(spark, sfDir, "events")
+      .select($"event_id", $"user_id".cast("string").as("val"))
+    val ca = Sketches.cmCounters(ev.filter($"event_id" % 2 === 0), "val")
+    val cb = Sketches.cmCounters(ev.filter($"event_id" % 2 =!= 0), "val")
+    val merged = Sketches.cmMergeCounters(ca, cb)
+      .as[(Int, Long, Long)].collect().toSet
+    val direct = Sketches.cmCounters(ev, "val")
+      .as[(Int, Long, Long)].collect().toSet
+    assert(merged == direct, "counter matrices must sum to the direct sketch")
+    val estM = Sketches.cmEstimate(ev, Sketches.cmMergeCounters(ca, cb), "val")
+      .as[(String, Long)].collect().toMap
+    val estD = Sketches.countMinFrequency(ev, "val")
+      .as[(String, Long)].collect().toMap
+    assert(estM == estD)
+  }
 }
