@@ -1875,6 +1875,46 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // The modern curation pipeline end to end (the round-10 upgrade of
+    // q60): Gopher document gate → character-diversity band (drop
+    // repetition garbage and near-noise) → exact dedup keep-min →
+    // quality-ranked selection under a 10k-token budget. Every stage
+    // is individually oracle-gated elsewhere (q124, q141, q39, q129);
+    // this pins their COMPOSITION.
+    "q156_curation_v2" -> ((s, d) => {
+      val docs = docsSpread(s, d)
+      // the gate applies every Gopher rule EXCEPT required-words: the
+      // synthetic fixture vocabulary contains no English function
+      // words, so that rule would empty the corpus (it stays covered
+      // by q124's flag); the remaining rules discriminate for real
+      val g = TextOps.gopherQuality(col("text"))
+      val gated = docs.filter(
+        g.getField("word_count") >= 50L &&
+          g.getField("word_count") <= 100000L &&
+          g.getField("mean_word_len") >= 3.0 &&
+          g.getField("mean_word_len") <= 10.0 &&
+          g.getField("symbol_ratio") <= 0.1 &&
+          g.getField("bullet_ratio") <= 0.9 &&
+          g.getField("ellipsis_ratio") <= 0.3 &&
+          g.getField("alpha_ratio") >= 0.8)
+      val band = TextOps.charDiversity(gated, "doc_id", "text")
+        .filter(col("char_diversity") >= 0.5 && col("char_diversity") <= 0.98)
+        .select(col("doc_id"))
+      val surv = gated.join(band, Seq("doc_id"))
+      val keep = surv
+        .groupBy(TextOps.fingerprintMd5(col("text")).as("__fp"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"))
+      val scored = surv.join(keep, Seq("doc_id"))
+        .select(col("doc_id"),
+          TextOps.tokenCount(col("text")).as("tok"),
+          TextOps.qualityScore(col("text")).as("quality"))
+      graft.ext.Sampling.selectByTokenBudget(scored, "tok", "quality",
+          "doc_id", budget = 10000L)
+        .select(col("doc_id"), col("tok"), col("quality"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Robust (10%-trimmed) mean price per return flag: drop the top
     // and bottom deciles via the distributed per-key NTILE, then a
     // decimal-exact mean — outlier-insensitive central tendency
@@ -3734,6 +3774,58 @@ object SparkEntry {
         |  FROM customer WHERE c_custkey % 5 <> 0)
         |SELECT * FROM v0 UNION ALL SELECT * FROM v1 UNION ALL SELECT * FROM v2
         |ORDER BY version""".stripMargin,
+
+    // each stage's established oracle fragment composed: q124 gate,
+    // q141 diversity, q39 fingerprint keep-min, q42 quality, q129
+    // rank-and-cumsum budget rule
+    "q156_curation_v2" ->
+      s"""WITH tk0 AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS tokens,
+        |    CAST(len(regexp_extract_all(text, chr(10))) + 1 AS DOUBLE) AS n_lines
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, text, tokens,
+        |    CAST(len(tokens) AS BIGINT) AS wc,
+        |    CASE WHEN len(tokens) = 0 THEN 0.0 ELSE CAST(length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS DOUBLE) / CAST(len(tokens) AS DOUBLE) END AS mwl,
+        |    CASE WHEN len(tokens) = 0 THEN 0.0 ELSE CAST(len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\\.\\.\\.|…')) AS DOUBLE) / CAST(len(tokens) AS DOUBLE) END AS sym,
+        |    CAST(len(regexp_extract_all(text, '(?m)^[-*•]')) AS DOUBLE) / n_lines AS blr,
+        |    CAST(len(regexp_extract_all(text, '(?m)(\\.\\.\\.|…)$$')) AS DOUBLE) / n_lines AS elr,
+        |    CASE WHEN len(tokens) = 0 THEN 0.0 ELSE CAST(len(list_filter(tokens, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) / CAST(len(tokens) AS DOUBLE) END AS awr,
+        |    CAST(list_contains(tokens, 'the') AS BIGINT) + CAST(list_contains(tokens, 'be') AS BIGINT) + CAST(list_contains(tokens, 'to') AS BIGINT) + CAST(list_contains(tokens, 'of') AS BIGINT) + CAST(list_contains(tokens, 'and') AS BIGINT) + CAST(list_contains(tokens, 'that') AS BIGINT) + CAST(list_contains(tokens, 'have') AS BIGINT) + CAST(list_contains(tokens, 'with') AS BIGINT) AS rwh
+        |  FROM tk0),
+        |s1 AS (
+        |  SELECT doc_id, text, tokens FROM m
+        |  WHERE wc >= 50 AND wc <= 100000 AND mwl >= 3.0 AND mwl <= 10.0
+        |    AND sym <= 0.1 AND blr <= 0.9 AND elr <= 0.3 AND awr >= 0.8),
+        |ch AS (
+        |  SELECT doc_id, substring(text, CAST(i AS INT), 1) AS c
+        |  FROM (SELECT doc_id, text, unnest(range(1, len(text) + 1)) AS i FROM s1)),
+        |cnt AS (SELECT doc_id, c, count(*) AS k FROM ch GROUP BY 1, 2),
+        |dvr AS (SELECT doc_id, sum(k * (k - 1)) AS s2, sum(k) AS n FROM cnt GROUP BY 1),
+        |s2 AS (
+        |  SELECT s1.doc_id, s1.text, s1.tokens FROM s1 JOIN dvr USING (doc_id)
+        |  WHERE (1.0 - CAST(dvr.s2 AS DOUBLE) / CAST(dvr.n * (dvr.n - 1) AS DOUBLE)) BETWEEN 0.5 AND 0.98),
+        |keep AS (
+        |  SELECT min(doc_id) AS doc_id FROM s2
+        |  GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))),
+        |c AS (
+        |  SELECT s2.doc_id,
+        |    least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) AS len_score,
+        |    CASE WHEN len(tokens) = 0 THEN 0.0 ELSE CAST(len(list_filter(tokens, x -> list_contains([$Stop20], x))) AS DOUBLE) / CAST(len(tokens) AS DOUBLE) END AS stop_ratio,
+        |    CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) END AS punct_ratio,
+        |    CAST(len(tokens) AS BIGINT) AS tok
+        |  FROM s2 JOIN keep USING (doc_id)),
+        |q AS (
+        |  SELECT doc_id, tok,
+        |    greatest(0.0, least(1.0, len_score * 0.5 + least(stop_ratio * 4.0, 1.0) * 0.5 - least(punct_ratio * 2.0, 1.0) * 0.25)) AS quality
+        |  FROM c),
+        |cum AS (
+        |  SELECT doc_id, tok, quality,
+        |    sum(tok) OVER (ORDER BY quality DESC, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm
+        |  FROM q)
+        |SELECT doc_id, tok, quality FROM cum
+        |WHERE cm - tok < 10000 ORDER BY doc_id""".stripMargin,
 
     // plain per-flag ntile(10) on (price DESC, rid), deciles 2-9,
     // decimal-exact mean
