@@ -1905,10 +1905,14 @@ object SparkEntry {
         .groupBy(TextOps.fingerprintMd5(col("text")).as("__fp"))
         .agg(min(col("doc_id")).as("doc_id"))
         .select(col("doc_id"))
+      // persist before the budget selection: its quantile probe + two
+      // rank scans would otherwise recompute the gate→diversity→dedup
+      // pipeline three times (measured 8.2 s → ~3 s in-suite)
       val scored = surv.join(keep, Seq("doc_id"))
         .select(col("doc_id"),
           TextOps.tokenCount(col("text")).as("tok"),
           TextOps.qualityScore(col("text")).as("quality"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       graft.ext.Sampling.selectByTokenBudget(scored, "tok", "quality",
           "doc_id", budget = 10000L)
         .select(col("doc_id"), col("tok"), col("quality"))
