@@ -325,6 +325,26 @@ object SparkEntry {
     ("j", "o"), ("jo", "i"), ("joi", "n"), ("s", "t"), ("o", "r"),
     ("e", "r"), ("a", "n"))
 
+  /** Direct KMV estimate over the full lineitem (q76) — ALSO the
+    * oracle for the bounded-set merge contract q157: the global k-min
+    * distinct set is contained in the union of per-shard k-min sets,
+    * so the merged estimate equals the direct one. */
+  private val KmvDirectOracleSql: String =
+    """WITH dv AS (SELECT DISTINCT l_returnflag, l_orderkey FROM lineitem),
+      |h AS (
+      |  SELECT l_returnflag,
+      |    CAST(concat('0x', substring(md5(concat('42', '|', CAST(l_orderkey AS VARCHAR))), 1, 14)) AS BIGINT)
+      |      / 72057594037927936.0 AS f
+      |  FROM dv),
+      |r AS (
+      |  SELECT l_returnflag, f,
+      |    row_number() OVER (PARTITION BY l_returnflag ORDER BY f) AS rk,
+      |    count(*) OVER (PARTITION BY l_returnflag) AS n
+      |  FROM h)
+      |SELECT l_returnflag,
+      |  CASE WHEN n < 256 THEN CAST(n AS DOUBLE) ELSE 255.0 / f END AS est_distinct
+      |FROM r WHERE rk = least(256, n) ORDER BY l_returnflag""".stripMargin
+
   /** Direct HLL estimate over the full lineitem (q91) — ALSO the
     * oracle for the merge contract q152: per-shard registers merged
     * by max are register-identical to the direct union sketch. */
@@ -803,6 +823,24 @@ object SparkEntry {
       graft.ext.Sketches.kmvDistinctCount(
         T(s, d, "lineitem"), "l_returnflag", "l_orderkey", k = 256)
         .orderBy(col("l_returnflag"))),
+
+    // KMV MERGE contract — the third mergeable-summary class
+    // (bounded-set merge, after HLL max q152 and count-min sum q155):
+    // per-shard k-minimum sets concatenated, deduped, re-cut at k
+    // estimate exactly like the direct sketch.
+    "q157_kmv_merge" -> ((s, d) => {
+      val li = T(s, d, "lineitem")
+      val sa = graft.ext.Sketches.kmvMinSets(
+        li.filter(col("l_orderkey") % 2 === 0), "l_returnflag",
+        "l_orderkey", k = 256)
+      val sb = graft.ext.Sketches.kmvMinSets(
+        li.filter(col("l_orderkey") % 2 =!= 0), "l_returnflag",
+        "l_orderkey", k = 256)
+      graft.ext.Sketches.kmvEstimateFromSets(
+        graft.ext.Sketches.kmvMergeSets("l_returnflag", 256, sa, sb),
+        "l_returnflag", 256)
+        .orderBy(col("l_returnflag"))
+    }),
 
     "q77_sampled_median" -> ((s, d) =>
       graft.ext.Sketches.sampledQuantile(
@@ -2822,21 +2860,11 @@ object SparkEntry {
 
     // KMV distinct-count sketch: est = (k-1)/f_k over distinct-value
     // hash fractions; exact count when the group has < k distinct.
-    "q76_kmv_distinct" ->
-      """WITH dv AS (SELECT DISTINCT l_returnflag, l_orderkey FROM lineitem),
-        |h AS (
-        |  SELECT l_returnflag,
-        |    CAST(concat('0x', substring(md5(concat('42', '|', CAST(l_orderkey AS VARCHAR))), 1, 14)) AS BIGINT)
-        |      / 72057594037927936.0 AS f
-        |  FROM dv),
-        |r AS (
-        |  SELECT l_returnflag, f,
-        |    row_number() OVER (PARTITION BY l_returnflag ORDER BY f) AS rk,
-        |    count(*) OVER (PARTITION BY l_returnflag) AS n
-        |  FROM h)
-        |SELECT l_returnflag,
-        |  CASE WHEN n < 256 THEN CAST(n AS DOUBLE) ELSE 255.0 / f END AS est_distinct
-        |FROM r WHERE rk = least(256, n) ORDER BY l_returnflag""".stripMargin,
+    "q76_kmv_distinct" -> KmvDirectOracleSql,
+    // per-shard k-min sets merged (dedup, re-sort, keep k smallest)
+    // estimate exactly like the direct sketch — the bounded-set merge
+    // law; the direct oracle replays verbatim
+    "q157_kmv_merge" -> KmvDirectOracleSql,
 
     // Portable HLL: 56-bit hash → (bucket = low 6 bits, ρ = 51 −
     // bitlength of the top 50), register max per bucket, harmonic sum

@@ -32,18 +32,59 @@ object Sketches {
     * 56-bit hash, so an external engine replays it exactly.
     *
     * Returns (groupCols*, est_distinct double). */
+  // 56-bit hash → uniform fraction in [0,1)
+  private def kmvFrac(valueCol: String, seed: Long): org.apache.spark.sql.Column =
+    conv(substring(md5(concat_ws("|", lit(seed.toString),
+      col(valueCol).cast("string"))), 1, 14), 16, 10).cast("double") /
+      lit(72057594037927936.0) // 2^56
+
   def kmvDistinctCount(df: DataFrame, groupCol: String, valueCol: String,
       k: Int = 256, seed: Long = 42L): DataFrame = {
     require(k >= 2, s"k must be >= 2, got $k")
-    // 56-bit hash → uniform fraction in [0,1)
-    val frac =
-      conv(substring(md5(concat_ws("|", lit(seed.toString),
-        col(valueCol).cast("string"))), 1, 14), 16, 10).cast("double") /
-        lit(72057594037927936.0) // 2^56
     df.groupBy(col(groupCol))
       .agg(graft.functions.KmvSketch.estimate(
-        frac, col(valueCol).cast("string"), k).as("est_distinct"))
+        kmvFrac(valueCol, seed), col(valueCol).cast("string"), k)
+        .as("est_distinct"))
   }
+
+  /** The KMV sketch STATE per group: the k-minimum (frac, value) set
+    * as `kmv_set array<struct<frac,value>>` — the third mergeable-
+    * summary class after HLL (max-merge, q152) and count-min
+    * (sum-merge, q155): BOUNDED-SET merge. The global k-min distinct
+    * set is contained in the union of per-shard k-min sets, so
+    * [[kmvMergeSets]] + [[kmvEstimateFromSets]] reproduce the direct
+    * estimate exactly (q157). */
+  def kmvMinSets(df: DataFrame, groupCol: String, valueCol: String,
+      k: Int = 256, seed: Long = 42L): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    df.groupBy(col(groupCol))
+      .agg(graft.functions.KmvSketch.minSet(
+        kmvFrac(valueCol, seed), col(valueCol).cast("string"), k)
+        .as("kmv_set"))
+  }
+
+  /** Merge per-shard min-set frames: concatenate, dedup by (frac,
+    * value), keep the k smallest — plain array functions over frames
+    * whose rows are already ≤ k entries each. */
+  def kmvMergeSets(groupCol: String, k: Int,
+      frames: DataFrame*): DataFrame = {
+    require(frames.nonEmpty, "kmvMergeSets needs at least one frame")
+    frames.reduce(_ unionByName _)
+      .groupBy(col(groupCol))
+      .agg(slice(array_sort(array_distinct(flatten(
+        collect_list(col("kmv_set"))))), 1, k).as("kmv_set"))
+  }
+
+  /** Estimate from a min-set column — the [[kmvDistinctCount]]
+    * estimator over exposed state: exact count below k, else
+    * (k−1)/f(k-th). */
+  def kmvEstimateFromSets(sets: DataFrame, groupCol: String,
+      k: Int): DataFrame =
+    sets.select(col(groupCol),
+      when(size(col("kmv_set")) < k, size(col("kmv_set")).cast("double"))
+        .otherwise(lit((k - 1).toDouble) /
+          element_at(col("kmv_set"), k).getField("frac"))
+        .as("est_distinct"))
 
   /** Engine-PORTABLE HyperLogLog distinct-count estimate per group —
     * the replayable answer to `approx_count_distinct`'s opaque HLL++

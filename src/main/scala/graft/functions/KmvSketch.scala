@@ -10,8 +10,10 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.graft.Bridge
-import org.apache.spark.sql.types.{DataType, DoubleType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, StringType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Bounded-buffer KMV (k-minimum-values) distinct-count sketch
   * (Bar-Yossef et al. 2002) as a real partial aggregate.
@@ -40,6 +42,7 @@ case class KmvSketch(
     frac: Expression,
     value: Expression,
     k: Int,
+    emitSet: Boolean = false,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[mutable.TreeSet[(Double, String)]] {
@@ -48,8 +51,17 @@ case class KmvSketch(
 
   override def children: Seq[Expression] = Seq(frac, value)
   override def nullable: Boolean = true
-  override def dataType: DataType = DoubleType
-  override def prettyName: String = "graft_kmv_distinct"
+  // emitSet mode exposes the sketch STATE (the k-minimum (frac, value)
+  // set itself) instead of the estimate — shards sketch independently,
+  // [[graft.ext.Sketches.kmvMergeSets]] merges, the same estimator
+  // finishes (the bounded-set merge law: the global k-min distinct set
+  // is contained in the union of per-shard k-min sets)
+  override def dataType: DataType =
+    if (emitSet) ArrayType(StructType(Seq(
+      StructField("frac", DoubleType), StructField("value", StringType))))
+    else DoubleType
+  override def prettyName: String =
+    if (emitSet) "graft_kmv_set" else "graft_kmv_distinct"
 
   override def checkInputDataTypes(): TypeCheckResult =
     (frac.dataType, value.dataType) match {
@@ -90,7 +102,10 @@ case class KmvSketch(
   }
 
   override def eval(buf: mutable.TreeSet[(Double, String)]): Any =
-    if (buf.isEmpty) null
+    if (emitSet)
+      new GenericArrayData(buf.toSeq.map { case (f, v) =>
+        InternalRow(f, UTF8String.fromString(v)) })
+    else if (buf.isEmpty) null
     else if (buf.size < k) buf.size.toDouble
     else (k - 1).toDouble / buf.last._1
 
@@ -145,4 +160,12 @@ object KmvSketch {
     Bridge.column(
       KmvSketch(Bridge.expression(frac), Bridge.expression(value), k)
         .toAggregateExpression())
+
+  /** Column form of the SKETCH STATE: the k-minimum (frac, value) set
+    * as array<struct<frac,value>> — for shard-and-merge pipelines
+    * ([[graft.ext.Sketches.kmvMinSets]]). */
+  def minSet(frac: Column, value: Column, k: Int): Column =
+    Bridge.column(
+      KmvSketch(Bridge.expression(frac), Bridge.expression(value), k,
+        emitSet = true).toAggregateExpression())
 }

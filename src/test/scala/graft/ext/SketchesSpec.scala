@@ -121,6 +121,27 @@ class SketchesSpec extends SparkSpec {
     assert(estM == estD)
   }
 
+  test("KMV merge law: merged shard min-sets estimate like the direct sketch") {
+    val li = Fx.t(spark, sfDir, "lineitem")
+    val sa = Sketches.kmvMinSets(li.filter($"l_orderkey" % 2 === 0),
+      "l_returnflag", "l_orderkey", k = 64)
+    val sb = Sketches.kmvMinSets(li.filter($"l_orderkey" % 2 =!= 0),
+      "l_returnflag", "l_orderkey", k = 64)
+    val estM = Sketches.kmvEstimateFromSets(
+        Sketches.kmvMergeSets("l_returnflag", 64, sa, sb), "l_returnflag", 64)
+      .as[(String, Double)].collect().toMap
+    val estD = Sketches.kmvDistinctCount(li, "l_returnflag", "l_orderkey", 64)
+      .as[(String, Double)].collect().toMap
+    assert(estM == estD, s"merged $estM vs direct $estD")
+    // merging a shard with itself is a no-op (sets are idempotent)
+    val self = Sketches.kmvEstimateFromSets(
+        Sketches.kmvMergeSets("l_returnflag", 64, sa, sa), "l_returnflag", 64)
+      .as[(String, Double)].collect().toMap
+    val solo = Sketches.kmvEstimateFromSets(sa, "l_returnflag", 64)
+      .as[(String, Double)].collect().toMap
+    assert(self == solo)
+  }
+
   test("count-min merge law: shard counters sum to the direct matrix exactly") {
     val ev = Fx.t(spark, sfDir, "events")
       .select($"event_id", $"user_id".cast("string").as("val"))
