@@ -2238,6 +2238,48 @@ object SparkEntry {
         .limit(50)
     }),
 
+    // Bloom MERGE contract — the FOURTH mergeable-summary class
+    // (bitwise-OR merge, after HLL max q152, count-min sum q155, KMV
+    // bounded-set q157): per-shard set-bit frames unioned are
+    // bit-identical to the direct filter, so merged membership answers
+    // (false positives included) hash-match the direct replay. The
+    // probe set (every customer key) is 10x the inserted set (event
+    // user ids), so absent-key probes and the no-false-negative law
+    // are both exercised.
+    "q158_bloom_merge" -> ((s, d) => {
+      val ev = T(s, d, "events")
+        .select(col("event_id"), col("user_id").cast("string").as("val"))
+      val ba = graft.ext.Sketches.bloomPositions(
+        ev.filter(col("event_id") % 2 === 0), "val", mBits = 1024, k = 4)
+      val bb = graft.ext.Sketches.bloomPositions(
+        ev.filter(col("event_id") % 2 =!= 0), "val", mBits = 1024, k = 4)
+      graft.ext.Sketches.bloomContains(
+          T(s, d, "customer").select(col("c_custkey").cast("string").as("val")),
+          graft.ext.Sketches.bloomMerge(ba, bb),
+          "val", mBits = 1024, k = 4)
+        .select(col("val").cast("long").as("c_custkey"), col("maybe_present"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // Incremental MV maintenance (ext.Incremental): state(base) merged
+    // with state(delta) reads out EXACTLY like a direct recompute over
+    // the union — counts/sums add (decimal-exact), mins/maxes combine.
+    // The oracle IS the direct recompute; the refresh never re-scans
+    // the base.
+    "q159_incremental_mv" -> ((s, d) => {
+      val li = T(s, d, "lineitem")
+      val cut = lit("1995-01-01 00:00:00").cast("timestamp")
+      val keys = Seq("l_returnflag")
+      val ms = Seq("l_quantity", "l_extendedprice")
+      val base = graft.ext.Incremental.aggState(
+        li.filter(col("l_shipdate") < cut), keys, ms)
+      val delta = graft.ext.Incremental.aggState(
+        li.filter(col("l_shipdate") >= cut), keys, ms)
+      graft.ext.Incremental.readout(
+          graft.ext.Incremental.mergeStates(keys, ms, base, delta), keys, ms)
+        .orderBy(col("l_returnflag"))
+    }),
+
     // Bloom-pruned join (operators.BloomJoin): the big side is
     // filtered against the small side's key bitmap BEFORE the join
     // exchange; false positives are removed by the join itself, so
@@ -4108,6 +4150,43 @@ object SparkEntry {
     // (counts are additive), so the merged estimates replay q95's
     // direct oracle verbatim
     "q155_cm_merge" -> CmDirectOracleSql,
+
+    // Bloom replay: identical md5 halves → k = 4 bit positions mod
+    // 1024 → distinct set-bit set (shard-split is invisible to the
+    // oracle — OR-merge is lossless by construction) → probe counts
+    // per hash index, all-4-set = maybe present. False positives
+    // replay identically; inserted keys (event user ids ⊂ customer
+    // keys) must all probe 1 — the no-false-negative law.
+    "q158_bloom_merge" ->
+      """WITH v AS (SELECT DISTINCT CAST(user_id AS VARCHAR) AS val FROM events),
+        |h AS (SELECT val,
+        |  CAST(concat('0x', substring(md5(concat_ws('|', '42', val)), 1, 14)) AS BIGINT) AS a,
+        |  CAST(concat('0x', substring(md5(concat_ws('|', '42', val)), 17, 14)) AS BIGINT) AS b
+        |  FROM v),
+        |pos AS (SELECT DISTINCT (a + i * b) % 1024 AS p FROM h, range(4) t(i)),
+        |pr AS (SELECT DISTINCT CAST(c_custkey AS VARCHAR) AS val FROM customer),
+        |ph AS (SELECT val,
+        |  CAST(concat('0x', substring(md5(concat_ws('|', '42', val)), 1, 14)) AS BIGINT) AS a,
+        |  CAST(concat('0x', substring(md5(concat_ws('|', '42', val)), 17, 14)) AS BIGINT) AS b
+        |  FROM pr),
+        |ppos AS (SELECT val, i, (a + i * b) % 1024 AS p FROM ph, range(4) t(i)),
+        |hits AS (SELECT val, count(*) AS hit FROM ppos JOIN pos USING (p) GROUP BY val)
+        |SELECT CAST(pr.val AS BIGINT) AS c_custkey,
+        |  CAST(CASE WHEN coalesce(hit, 0) = 4 THEN 1 ELSE 0 END AS BIGINT) AS maybe_present
+        |FROM pr LEFT JOIN hits USING (val)
+        |ORDER BY c_custkey""".stripMargin,
+
+    // incremental refresh law: merged (base, delta) state == direct
+    // recompute — the oracle IS the direct recompute with the same
+    // decimal-exact sums
+    "q159_incremental_mv" ->
+      """SELECT l_returnflag, count(*) AS cnt,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_l_quantity,
+        |  min(l_quantity) AS min_l_quantity, max(l_quantity) AS max_l_quantity,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_l_extendedprice,
+        |  min(l_extendedprice) AS min_l_extendedprice,
+        |  max(l_extendedprice) AS max_l_extendedprice
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // the bloom filter only PRUNES — the verifying join makes the
     // result exactly the plain join, which is the oracle

@@ -287,4 +287,72 @@ object Sketches {
       .groupBy(col(valueCol))
       .agg(min(col("__cnt")).as("est_count"))
   }
+
+  // ------------------------------------------------------------ bloom
+
+  private def bloomGuards(mBits: Int, k: Int): Unit = {
+    require(k >= 1 && k <= 8, s"k $k outside [1, 8]")
+    require(mBits >= 8, s"mBits $mBits must be >= 8")
+    // the set-bit frame is broadcast back to the probes — same budget
+    // rationale as the count-min counter matrix
+    require(mBits <= (1 << 22),
+      s"mBits = $mBits exceeds 2^22 — widen k or shard the filter")
+  }
+
+  // k bit positions per value: h_i = (a + i·b) mod m over the two
+  // 56-bit md5 halves — the count-min bucket family at a different m
+  private def bloomBits(valueCol: String, mBits: Int, k: Int,
+      seed: Long): org.apache.spark.sql.Column = {
+    val (a, b) = PortableHash.pair56(col(valueCol), seed)
+    array((0 until k).map(i =>
+      pmod(a + lit(i.toLong) * b, lit(mBits.toLong))): _*)
+  }
+
+  /** Portable BLOOM filter as its set-bit frame: (__pos) — one row per
+    * SET bit, at most mBits rows whatever the input (Bloom 1970). The
+    * FOURTH mergeable-summary class after HLL (max-merge, q152),
+    * count-min (sum-merge, q155), and KMV (bounded-set merge, q157):
+    * bloom filters merge by bitwise OR, which over the set-bit frame
+    * is plain SET UNION ([[bloomMerge]]) — merge(bloom(A), bloom(B))
+    * is EXACTLY bloom(A ∪ B) bit for bit, so per-shard membership
+    * filters roll up losslessly (q158 pins merged == direct).
+    *
+    * Membership ([[bloomContains]]) has NO false negatives (every
+    * inserted value probes true) and a bounded false-positive rate
+    * (≈ fill^k); like the other sketches here it is a pure function of
+    * (seed, data) via the md5-derived hash, so an external engine
+    * rebuilds the identical bit set and the identical probe answers —
+    * false positives included. */
+  def bloomPositions(df: DataFrame, valueCol: String,
+      mBits: Int = 1024, k: Int = 4, seed: Long = 42L): DataFrame = {
+    bloomGuards(mBits, k)
+    df.select(explode(bloomBits(valueCol, mBits, k, seed)).as("__pos"))
+      .distinct()
+  }
+
+  /** Merge set-bit frames: set union — bloom's bitwise-OR merge law
+    * over the sparse representation. */
+  def bloomMerge(frames: DataFrame*): DataFrame = {
+    require(frames.nonEmpty, "bloomMerge needs at least one frame")
+    frames.reduce(_ unionByName _).distinct()
+  }
+
+  /** Probe per distinct value of `probes`: maybe_present = 1 iff all
+    * k of the value's bit positions are set (counted per hash index,
+    * so a within-value position collision still demands k hits). The
+    * set-bit frame (≤ mBits rows) broadcasts to the probes — the probe
+    * side never shuffles. Returns (valueCol, maybe_present long). */
+  def bloomContains(probes: DataFrame, positions: DataFrame,
+      valueCol: String, mBits: Int = 1024, k: Int = 4,
+      seed: Long = 42L): DataFrame = {
+    bloomGuards(mBits, k)
+    probes.select(col(valueCol)).distinct()
+      .select(col(valueCol),
+        explode(bloomBits(valueCol, mBits, k, seed)).as("__pos"))
+      .join(broadcast(positions.withColumn("__hit", lit(1L))),
+        Seq("__pos"), "left")
+      .groupBy(col(valueCol))
+      .agg(when(sum(coalesce(col("__hit"), lit(0L))) === k, lit(1L))
+        .otherwise(lit(0L)).as("maybe_present"))
+  }
 }

@@ -1,0 +1,73 @@
+package graft.ext
+
+import graft.SparkSpec
+import graft.core.Fx
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+class IncrementalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def direct(df: DataFrame): Map[String, (Long, Double, Double, Double)] =
+    df.groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("cnt"),
+        sum($"l_quantity".cast("decimal(18,4)")).cast("double").as("s"),
+        min($"l_quantity").as("mn"), max($"l_quantity").as("mx"))
+      .as[(String, Long, Double, Double, Double)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4, t._5))).toMap
+
+  private def readout(state: DataFrame): Map[String, (Long, Double, Double, Double)] =
+    Incremental.readout(state, Seq("l_returnflag"), Seq("l_quantity"))
+      .as[(String, Long, Double, Double, Double)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4, t._5))).toMap
+
+  test("merge law: state(base) + state(delta) == direct recompute of the union") {
+    val li = Fx.t(spark, sfDir, "lineitem")
+    val cut = lit("1995-01-01 00:00:00").cast("timestamp")
+    val keys = Seq("l_returnflag")
+    val ms = Seq("l_quantity")
+    val base = Incremental.aggState(li.filter($"l_shipdate" < cut), keys, ms)
+    val delta = Incremental.aggState(li.filter($"l_shipdate" >= cut), keys, ms)
+    val merged = readout(Incremental.mergeStates(keys, ms, base, delta))
+    assert(merged == direct(li), "merged state must equal the direct recompute")
+  }
+
+  test("merge is associative: ((a+b)+c) == (a+(b+c)) == direct over three shards") {
+    val li = Fx.t(spark, sfDir, "lineitem")
+    val keys = Seq("l_returnflag")
+    val ms = Seq("l_quantity")
+    val shards = (0 until 3).map(i =>
+      Incremental.aggState(li.filter($"l_orderkey" % 3 === i), keys, ms))
+    val left = Incremental.mergeStates(keys, ms,
+      Incremental.mergeStates(keys, ms, shards(0), shards(1)), shards(2))
+    val right = Incremental.mergeStates(keys, ms, shards(0),
+      Incremental.mergeStates(keys, ms, shards(1), shards(2)))
+    assert(readout(left) == readout(right))
+    assert(readout(left) == direct(li))
+  }
+
+  test("keys present in only one shard pass through with identity partials") {
+    val a = Incremental.aggState(
+      Seq(("x", 1.0), ("x", 3.0)).toDF("k", "v"), Seq("k"), Seq("v"))
+    val b = Incremental.aggState(
+      Seq(("y", 5.0)).toDF("k", "v"), Seq("k"), Seq("v"))
+    val out = Incremental.readout(
+        Incremental.mergeStates(Seq("k"), Seq("v"), a, b), Seq("k"), Seq("v"))
+      .as[(String, Long, Double, Double, Double)].collect().toSet
+    assert(out == Set(("x", 2L, 4.0, 1.0, 3.0), ("y", 1L, 5.0, 5.0, 5.0)))
+  }
+
+  test("null measures: sums/mins/maxes ignore nulls, cnt counts rows; all-null stays null") {
+    val a = Incremental.aggState(
+      Seq(("x", Some(2.0)), ("x", None), ("z", None)).toDF("k", "v"),
+      Seq("k"), Seq("v"))
+    val b = Incremental.aggState(
+      Seq(("x", Some(6.0)), ("z", None)).toDF("k", "v"), Seq("k"), Seq("v"))
+    val out = Incremental.readout(
+        Incremental.mergeStates(Seq("k"), Seq("v"), a, b), Seq("k"), Seq("v"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), Option(r.get(2)), Option(r.get(3)), Option(r.get(4))))).toMap
+    assert(out("x") == ((3L, Some(8.0), Some(2.0), Some(6.0))))
+    assert(out("z") == ((2L, None, None, None)))
+  }
+}

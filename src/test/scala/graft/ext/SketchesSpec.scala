@@ -158,4 +158,34 @@ class SketchesSpec extends SparkSpec {
       .as[(String, Long)].collect().toMap
     assert(estM == estD)
   }
+
+  test("bloom: no false negatives; OR-merge is bit-identical to direct; bounded FP rate") {
+    val ev = Fx.t(spark, sfDir, "events")
+      .select($"event_id", $"user_id".cast("string").as("val"))
+    val ba = Sketches.bloomPositions(ev.filter($"event_id" % 2 === 0), "val",
+      mBits = 1024, k = 4)
+    val bb = Sketches.bloomPositions(ev.filter($"event_id" % 2 =!= 0), "val",
+      mBits = 1024, k = 4)
+    val merged = Sketches.bloomMerge(ba, bb).as[Long].collect().toSet
+    val direct = Sketches.bloomPositions(ev, "val", mBits = 1024, k = 4)
+      .as[Long].collect().toSet
+    assert(merged == direct, "OR-merge must be bit-identical to the direct filter")
+    assert(direct.size <= 1024 && direct.forall(p => p >= 0 && p < 1024))
+
+    // every inserted value must probe 1 (no false negatives)
+    val inserted = Sketches.bloomContains(ev, Sketches.bloomMerge(ba, bb),
+        "val", mBits = 1024, k = 4)
+      .as[(String, Long)].collect().toMap
+    assert(inserted.values.forall(_ == 1L), "bloom can never miss an inserted key")
+
+    // absent keys mostly probe 0; the FP rate stays under a loose
+    // 4x of the fill^k bound (fill computed from the actual bit set)
+    val probes = (100000L to 101000L).map(i => s"absent$i").toDF("val")
+    val fp = Sketches.bloomContains(probes, Sketches.bloomMerge(ba, bb),
+        "val", mBits = 1024, k = 4)
+      .as[(String, Long)].collect().count(_._2 == 1L)
+    val fill = direct.size.toDouble / 1024
+    assert(fp <= math.max(4, 4 * 1001 * math.pow(fill, 4)),
+      s"$fp false positives at fill $fill")
+  }
 }
