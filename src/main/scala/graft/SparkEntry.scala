@@ -2159,6 +2159,26 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("shard"), col("pos"))
         .orderBy(col("doc_id"))),
 
+    // Weighted fixed-size sampling — sequential Poisson / order
+    // sampling (Ohlsson 1998): order variable q = u/w over the
+    // portable hash, n smallest win, inclusion ≈ proportional to
+    // n_chars. Per-partition top-n + driver merge (TakeOrdered), no
+    // global sort; the oracle replays u, the IEEE division, and the
+    // tie-break exactly.
+    "q160_pps_sample" -> ((s, d) =>
+      graft.ext.Sampling.ppsSample(
+        T(s, d, "documents").select(col("doc_id"), col("n_chars")),
+        "doc_id", "n_chars", n = 200)
+        .orderBy(col("doc_id"))),
+
+    // Join-key skew audit (operators.SkewJoin.keySkew): the topN
+    // hottest fact-side keys with ppm share and ‰-of-mean ratio, all
+    // floor-integer arithmetic — the pre-flight decision input for
+    // plain vs salted vs AQE-split joins.
+    "q161_key_skew" -> ((s, d) =>
+      graft.operators.SkewJoin.keySkew(
+        T(s, d, "events"), "user_id", topN = 25)),
+
     // Sequence packing WITHIN a partition key (lang): the scale form —
     // each partition sorts independently instead of one global sort.
     "q68_packing_by_lang" -> ((s, d) =>
@@ -4091,6 +4111,30 @@ object SparkEntry {
         |SELECT doc_id, lang, (hh % 1000000) % 8 AS shard,
         |  CAST(row_number() OVER (PARTITION BY (hh % 1000000) % 8 ORDER BY hh, doc_id) AS BIGINT) AS pos
         |FROM h ORDER BY doc_id""".stripMargin,
+
+    // sequential Poisson replay: same 56-bit u, same IEEE double
+    // division (correctly rounded in both engines), same tie-break —
+    // the winning set AND the audit column hash-match
+    "q160_pps_sample" ->
+      """WITH h AS (
+        |  SELECT doc_id, n_chars,
+        |    CAST(concat('0x', substring(md5(concat_ws('|', '42', CAST(doc_id AS VARCHAR))), 1, 14)) AS BIGINT) AS u
+        |  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0)
+        |SELECT * FROM (
+        |  SELECT doc_id, n_chars,
+        |    CAST(u AS DOUBLE) / CAST(n_chars AS DOUBLE) AS pps
+        |  FROM h ORDER BY pps, doc_id LIMIT 200)
+        |ORDER BY doc_id""".stripMargin,
+
+    // floor-integer ppm/ratio arithmetic mirrored operator for
+    // operator (the ratio is DEFINED as the division composition)
+    "q161_key_skew" ->
+      """WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY 1),
+        |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total, count(*) AS keys FROM c)
+        |SELECT user_id, cnt,
+        |  CAST((cnt * 1000000) // total AS BIGINT) AS share_ppm,
+        |  CAST((((cnt * 1000000) // total) * keys) // 1000 AS BIGINT) AS ratio_milli
+        |FROM c, t ORDER BY cnt DESC, user_id ASC NULLS FIRST LIMIT 25""".stripMargin,
 
     "q69_interval_join" ->
       """SELECT a.user_id, count(*) AS n_pairs

@@ -60,6 +60,35 @@ object Sampling {
     df.filter(bucket < lit(math.round(fraction * 1000000L)))
   }
 
+  /** WEIGHTED fixed-size sampling — sequential Poisson / order
+    * sampling (Ohlsson 1998): each row gets the order variable
+    * q = u / w (u = the portable 56-bit hash of its key as a uniform
+    * integer, w = its weight) and the n smallest q win, giving
+    * inclusion probability ≈ proportional to weight (PPS). The
+    * "sample 10k documents proportional to token count" primitive —
+    * a Bernoulli rate can't hit an exact n, and true PPS-without-
+    * replacement needs sequential draws a cluster can't do.
+    *
+    * Deterministic and engine-portable like every sampler here: u is
+    * an integer hash of (seed, key), w an input column; q is the IEEE
+    * double u/w (correctly rounded in any engine), ties broken by key.
+    * Rows with NULL or non-positive weight are excluded (they have no
+    * defined draw). Shape: per-partition top-n + driver merge
+    * (TakeOrdered) — never a global sort.
+    *
+    * Output: the input columns plus `pps` (the order variable, kept
+    * for audit — re-running anywhere reproduces it bit for bit). */
+  def ppsSample(df: DataFrame, keyCol: String, weightCol: String, n: Int,
+      seed: Long = 42L): DataFrame = {
+    require(n > 0, s"n must be positive, got $n")
+    df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("__pps", portableHash(col(keyCol), seed).cast("double") /
+        col(weightCol).cast("double"))
+      .orderBy(col("__pps"), col(keyCol))
+      .limit(n)
+      .withColumnRenamed("__pps", "pps")
+  }
+
   /** Per-stratum deterministic sampling: different fraction per value
     * of `strataCol` (e.g. downsample web text, keep all code) — the
     * mixture-targeting knob of a training-data pipeline. Thresholds are

@@ -32,4 +32,31 @@ object SkewJoin {
       explode(sequence(lit(0), lit(saltBuckets - 1))))
     saltedLeft.join(replicatedRight, keys :+ "__salt", joinType).drop("__salt")
   }
+
+  /** Join-key SKEW AUDIT — the pre-flight diagnostic that decides
+    * between plain shuffle join, [[saltedJoin]], and AQE skew
+    * splitting: the topN hottest keys with integer-exact shares.
+    *
+    *  - `cnt`: fact-side rows for the key,
+    *  - `share_ppm`: cnt·10⁶ div total (parts-per-million of all rows),
+    *  - `ratio_milli`: share_ppm·keys div 1000 — ‰ of the mean per-key
+    *    load (1000 = exactly average; a key at 50000 holds 50× its fair
+    *    share and will hot-spot one reducer).
+    *
+    * All-integer floor arithmetic (ratio is DEFINED as the composition
+    * of the two divisions, so any engine reproduces it bit for bit —
+    * the repo-wide ppm idiom). Shape: one hash aggregate, a broadcast
+    * of the 1-row total, per-partition top-N — never a global sort. */
+  def keySkew(df: DataFrame, keyCol: String, topN: Int): DataFrame = {
+    require(topN > 0, "topN must be positive")
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
+    val totals = counts.agg(sum(col("cnt")).as("__total"),
+      count(lit(1)).as("__keys"))
+    counts.crossJoin(broadcast(totals))
+      .select(col(keyCol), col("cnt"),
+        expr("(cnt * 1000000L) div __total").as("share_ppm"),
+        expr("(((cnt * 1000000L) div __total) * __keys) div 1000").as("ratio_milli"))
+      .orderBy(col("cnt").desc, col(keyCol).asc_nulls_first)
+      .limit(topN)
+  }
 }

@@ -239,4 +239,31 @@ class SamplingSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
     assert(again.toSeq == out.toSeq)
   }
+
+  test("ppsSample: exact n, weight-proportional inclusion, deterministic, excludes undefined weights") {
+    val rows = (1L to 2000L).map(i => (i, if (i <= 1000) 1.0 else 9.0)) ++
+      Seq((9001L, 0.0), (9002L, -3.0))
+    val df = rows.toDF("id", "w")
+    val got = Sampling.ppsSample(df, "id", "w", n = 300)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got.size == 300)
+    assert(!got.exists(t => t._1 == 9001L || t._1 == 9002L),
+      "zero/negative weights have no defined draw")
+    // inclusion ~ proportional to weight: 9x-weighted rows should
+    // dominate the sample well beyond their row share
+    val heavy = got.count(_._2 == 9.0)
+    assert(heavy > 200, s"PPS should favor heavy rows 9:1, got $heavy/300")
+    // determinism across partition layouts; seed changes the draw
+    val again = Sampling.ppsSample(df.repartition(7), "id", "w", n = 300)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(again.toSet == got.toSet)
+    val other = Sampling.ppsSample(df, "id", "w", n = 300, seed = 7L)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(other.toSet != got.toSet)
+    // a row whose weight dwarfs everything is (near-)surely included
+    val whale = df.union(Seq((5000L, 1e12)).toDF("id", "w"))
+    val withWhale = Sampling.ppsSample(whale, "id", "w", n = 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(withWhale.contains(5000L))
+  }
 }

@@ -34,4 +34,19 @@ class SkewJoinSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       SkewJoin.saltedJoin(left, right, Seq("k"), 4, "full"))
   }
+
+  test("keySkew: hot keys ranked first, ppm/ratio floor-exact, stable across layouts") {
+    // 1 key with 900 rows + 100 keys with 1 row each: total 1000, 101 keys
+    val rows = (1 to 900).map(_ => 0L) ++ (1L to 100L)
+    val df = rows.toDF("k")
+    val top = SkewJoin.keySkew(df, "k", topN = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(top.head == ((0L, 900L, 900000L, 90900L)),
+      s"hot key share/ratio wrong: ${top.head}")
+    // cold keys: 1/1000 rows -> 1000 ppm; ratio = 1000*101 div 1000 = 101
+    assert(top(1) == ((1L, 1L, 1000L, 101L)) && top(2) == ((2L, 1L, 1000L, 101L)))
+    val again = SkewJoin.keySkew(df.repartition(7), "k", topN = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(again.toSeq == top.toSeq)
+  }
 }
