@@ -2300,6 +2300,53 @@ object SparkEntry {
         .orderBy(col("l_returnflag"))
     }),
 
+    // Histogram MERGE contract — the FIFTH mergeable-summary class
+    // (per-bin addition over a shared equi-width grid): per-shard
+    // histograms summed, median read from the merged state with an
+    // error of at most one bin width and never a sort of the data.
+    // Power-of-two grid (0..131072, 1024 bins → width 128) keeps the
+    // bin arithmetic exact; the oracle replays grid, cumulative scan,
+    // and upper-edge readout.
+    "q162_hist_quantile" -> ((s, d) => {
+      val li = T(s, d, "lineitem")
+      val ha = graft.ext.Sketches.histState(
+        li.filter(col("l_orderkey") % 2 === 0), "l_returnflag",
+        "l_extendedprice", 0.0, 131072.0, 1024)
+      val hb = graft.ext.Sketches.histState(
+        li.filter(col("l_orderkey") % 2 =!= 0), "l_returnflag",
+        "l_extendedprice", 0.0, 131072.0, 1024)
+      graft.ext.Sketches.histQuantile(
+          graft.ext.Sketches.histMerge("l_returnflag", ha, hb),
+          "l_returnflag", q = 0.5, 0.0, 131072.0, 1024)
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // Per-group top-k via the bounded heap aggregate
+    // (functions.TopKByScore) on a RELATIONAL oracle: the ANN paths'
+    // O(k)-state partial aggregate, pinned directly against the
+    // row_number window it replaces (score DESC, id ASC — identical
+    // total order, so results hash-match).
+    "q163_topk_per_group" -> ((s, d) =>
+      T(s, d, "customer")
+        .groupBy(col("c_mktsegment"))
+        .agg(graft.functions.TopKByScore.topK(
+          col("c_acctbal"), col("c_custkey"), 5).as("top"))
+        .select(col("c_mktsegment"),
+          posexplode(col("top")).as(Seq("__i", "e")))
+        .select(col("c_mktsegment"), (col("__i") + 1).cast("long").as("rk"),
+          col("e.id").as("c_custkey"), col("e.score").as("c_acctbal"))
+        .orderBy(col("c_mktsegment"), col("rk"))),
+
+    // SCD TYPE-2 intervalization (ext.History.scd2): collapse the
+    // event stream into per-user validity intervals [valid_from,
+    // valid_to) at each event_type change — "what was true when",
+    // the audit complement of CDC's "what is true now". Two windows
+    // on one (user, ts) partitioning; zero-length intervals retained.
+    "q164_scd2" -> ((s, d) =>
+      graft.ext.History.scd2(
+        T(s, d, "events"), "user_id", "ts", "event_type", "event_id")
+        .orderBy(col("user_id"), col("valid_from"), col("event_type"))),
+
     // Bloom-pruned join (operators.BloomJoin): the big side is
     // filtered against the small side's key bitmap BEFORE the join
     // exchange; false positives are removed by the join itself, so
@@ -4231,6 +4278,55 @@ object SparkEntry {
         |  min(l_extendedprice) AS min_l_extendedprice,
         |  max(l_extendedprice) AS max_l_extendedprice
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // histogram replay: identical power-of-two grid, per-bin counts
+    // (the shard split is invisible — addition is lossless), one
+    // cumulative scan over ≤1024 state rows, upper-edge readout
+    "q162_hist_quantile" ->
+      """WITH b AS (
+        |  SELECT l_returnflag,
+        |    least(1023, greatest(0, CAST(floor((CAST(l_extendedprice AS DOUBLE) - 0.0) / 131072.0 * 1024) AS BIGINT))) AS bin
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |h AS (SELECT l_returnflag, bin, count(*) AS cnt FROM b GROUP BY 1, 2),
+        |c AS (SELECT l_returnflag, bin, cnt,
+        |    sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(cnt) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM h)
+        |SELECT l_returnflag, CAST(max(n) AS BIGINT) AS n,
+        |  0.0 + (CAST(min(bin) + 1 AS DOUBLE) * 131072.0) / 1024 AS q_est
+        |FROM c WHERE cum >= CAST(ceil(0.5 * n) AS BIGINT)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the heap aggregate's total order IS the window's (score DESC,
+    // id ASC), so the relational top-5 replays it row for row; null
+    // scores are ignored by the aggregate, hence the WHERE
+    "q163_topk_per_group" ->
+      """SELECT c_mktsegment, CAST(rk AS BIGINT) AS rk, c_custkey, c_acctbal
+        |FROM (
+        |  SELECT c_mktsegment, c_custkey, c_acctbal,
+        |    row_number() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY c_acctbal DESC, c_custkey) AS rk
+        |  FROM customer WHERE c_acctbal IS NOT NULL)
+        |WHERE rk <= 5 ORDER BY c_mktsegment, rk""".stripMargin,
+
+    // SCD2 replay: change rows by null-safe lag inequality, validity
+    // end by lead over the kept rows — both engines order by
+    // (ts, event_id) so equal-timestamp changes intervalize alike
+    "q164_scd2" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    lag(event_type) OVER w AS prev,
+        |    row_number() OVER w AS rn
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |ch AS (
+        |  SELECT user_id, ts, event_id, event_type FROM o
+        |  WHERE rn = 1 OR event_type IS DISTINCT FROM prev),
+        |iv AS (
+        |  SELECT user_id, event_type, ts AS valid_from,
+        |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+        |  FROM ch)
+        |SELECT user_id, event_type, valid_from, valid_to
+        |FROM iv ORDER BY user_id, valid_from, event_type""".stripMargin,
 
     // the bloom filter only PRUNES — the verifying join makes the
     // result exactly the plain join, which is the oracle

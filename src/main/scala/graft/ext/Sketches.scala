@@ -337,6 +337,67 @@ object Sketches {
     frames.reduce(_ unionByName _).distinct()
   }
 
+  // ------------------------------------------------------- histogram
+
+  private def histGuards(lo: Double, hi: Double, bins: Int): Unit = {
+    require(hi > lo, s"hi $hi must exceed lo $lo")
+    require(bins >= 2 && bins <= (1 << 20),
+      s"bins $bins outside [2, 2^20] — the state must stay tiny")
+  }
+
+  /** Equi-width HISTOGRAM state per group: (groupCol, __bin, __cnt) —
+    * the FIFTH mergeable-summary class: histograms over a shared bin
+    * grid merge by per-bin ADDITION ([[histMerge]]), so per-shard
+    * histograms roll up losslessly and quantiles come from the merged
+    * state with no sort of the data (q162 pins merged == direct).
+    *
+    * bin = clamp(⌊(v − lo)/(hi − lo)·bins⌋, 0, bins−1): IEEE double
+    * arithmetic composed identically in any engine, so the state is
+    * bit-reproducible. Out-of-range values clamp into the edge bins
+    * (the estimate degrades, the contract does not). At most `bins`
+    * rows per group whatever the input; null values are ignored. */
+  def histState(df: DataFrame, groupCol: String, valueCol: String,
+      lo: Double, hi: Double, bins: Int): DataFrame = {
+    histGuards(lo, hi, bins)
+    val v = col(valueCol).cast("double")
+    val raw = floor((v - lit(lo)) / lit(hi - lo) * lit(bins)).cast("long")
+    val bin = least(lit(bins - 1L), greatest(lit(0L), raw))
+    df.filter(v.isNotNull)
+      .groupBy(col(groupCol), bin.as("__bin"))
+      .agg(count(lit(1)).as("__cnt"))
+  }
+
+  /** Merge histogram states: per (group, bin) the SUM — counts are
+    * additive over disjoint shards, exactly like count-min rows. */
+  def histMerge(groupCol: String, frames: DataFrame*): DataFrame = {
+    require(frames.nonEmpty, "histMerge needs at least one frame")
+    frames.reduce(_ unionByName _)
+      .groupBy(col(groupCol), col("__bin"))
+      .agg(sum(col("__cnt")).as("__cnt"))
+  }
+
+  /** Quantile from a histogram state: the UPPER EDGE of the first bin
+    * whose cumulative count reaches ⌈q·n⌉ — a conservative "≥ q of
+    * the data is ≤ this value" bound with error ≤ one bin width. The
+    * window runs over ≤ `bins` state rows per group, never the data.
+    * Returns (groupCol, n long, q_est double). */
+  def histQuantile(state: DataFrame, groupCol: String, q: Double,
+      lo: Double, hi: Double, bins: Int): DataFrame = {
+    histGuards(lo, hi, bins)
+    require(q > 0 && q <= 1, s"quantile $q outside (0,1]")
+    val byGroup = Window.partitionBy(col(groupCol))
+    val cum = Window.partitionBy(col(groupCol)).orderBy(col("__bin"))
+    state
+      .withColumn("__n", sum(col("__cnt")).over(byGroup))
+      .withColumn("__cum", sum(col("__cnt")).over(cum))
+      .withColumn("__rank", ceil(lit(q) * col("__n")).cast("long"))
+      .filter(col("__cum") >= col("__rank"))
+      .groupBy(col(groupCol))
+      .agg(max(col("__n")).as("n"),
+        (lit(lo) + (min(col("__bin")) + lit(1L)).cast("double") *
+          lit(hi - lo) / lit(bins)).as("q_est"))
+  }
+
   /** Probe per distinct value of `probes`: maybe_present = 1 iff all
     * k of the value's bit positions are set (counted per hash index,
     * so a within-value position collision still demands k hits). The

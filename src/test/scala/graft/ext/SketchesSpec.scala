@@ -159,6 +159,38 @@ class SketchesSpec extends SparkSpec {
     assert(estM == estD)
   }
 
+  test("histogram merge law: shard states sum to direct; quantile within one bin width") {
+    val li = Fx.t(spark, sfDir, "lineitem")
+    val (lo, hi, bins) = (0.0, 131072.0, 1024)
+    def st(p: org.apache.spark.sql.DataFrame) =
+      Sketches.histState(p, "l_returnflag", "l_extendedprice", lo, hi, bins)
+    val ha = st(li.filter($"l_orderkey" % 2 === 0))
+    val hb = st(li.filter($"l_orderkey" % 2 =!= 0))
+    val merged = Sketches.histMerge("l_returnflag", ha, hb)
+      .as[(String, Long, Long)].collect().toSet
+    val direct = st(li).as[(String, Long, Long)].collect().toSet
+    assert(merged == direct, "histogram states must sum to the direct state")
+    // state stays tiny: at most `bins` rows per group
+    assert(direct.groupBy(_._1).values.forall(_.size <= bins))
+    // median from merged state within one bin width (128) of exact
+    val est = Sketches.histQuantile(
+        Sketches.histMerge("l_returnflag", ha, hb), "l_returnflag",
+        0.5, lo, hi, bins)
+      .select($"l_returnflag", $"q_est").as[(String, Double)].collect().toMap
+    val exact = li.groupBy($"l_returnflag")
+      .agg(expr("percentile(l_extendedprice, 0.5)").as("m"))
+      .as[(String, Double)].collect().toMap
+    est.foreach { case (g, e) =>
+      assert(e >= exact(g) - 128 && e <= exact(g) + 128,
+        s"$g: hist median $e vs exact ${exact(g)}")
+    }
+    // out-of-range values clamp into edge bins, never throw or vanish
+    val oob = Sketches.histState(
+      Seq(("g", -5.0), ("g", 1e9)).toDF("g", "v"), "g", "v", lo, hi, bins)
+      .as[(String, Long, Long)].collect().toSet
+    assert(oob == Set(("g", 0L, 1L), ("g", 1023L, 1L)))
+  }
+
   test("bloom: no false negatives; OR-merge is bit-identical to direct; bounded FP rate") {
     val ev = Fx.t(spark, sfDir, "events")
       .select($"event_id", $"user_id".cast("string").as("val"))
