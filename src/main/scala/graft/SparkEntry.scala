@@ -2347,6 +2347,24 @@ object SparkEntry {
         T(s, d, "events"), "user_id", "ts", "event_type", "event_id")
         .orderBy(col("user_id"), col("valid_from"), col("event_type"))),
 
+    // Cross-source contamination matrix (ext.Dedup.sourceOverlap):
+    // shared distinct 3-gram shingles per source pair behind the q44
+    // df gate, with integer Jaccard — the provenance-level audit run
+    // before document-level dedup.
+    "q165_source_overlap" -> ((s, d) =>
+      graft.ext.Dedup.sourceOverlap(
+        T(s, d, "documents"), "source", "text", n = 3, dfCap = 100)
+        .orderBy(col("src_a"), col("src_b"))),
+
+    // Robust location/scale with NO per-group sort: median and MAD
+    // via two composed histogram passes (Sketches.histMedianMad),
+    // outliers by Hampel's 3-MAD rule — each estimate within one bin
+    // width (4 chars on this grid). The oracle replays both passes.
+    "q166_mad_outliers" -> ((s, d) =>
+      graft.ext.Sketches.histMedianMad(
+        T(s, d, "documents"), "lang", "n_chars", 0.0, 1024.0, 256)
+        .orderBy(col("lang"))),
+
     // Bloom-pruned join (operators.BloomJoin): the big side is
     // filtered against the small side's key bitmap BEFORE the join
     // exchange; false positives are removed by the join itself, so
@@ -4278,6 +4296,54 @@ object SparkEntry {
         |  min(l_extendedprice) AS min_l_extendedprice,
         |  max(l_extendedprice) AS max_l_extendedprice
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // same tokenize/shingle/df-gate pipeline as q44, aggregated to
+    // the source level; integer Jaccard is floor division
+    "q165_source_overlap" ->
+      """WITH tk AS (
+        |  SELECT doc_id, source, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS tokens
+        |  FROM documents WHERE text IS NOT NULL),
+        |sh AS (
+        |  SELECT doc_id, source, CASE WHEN len(tokens) >= 3 THEN list_distinct(list_transform(range(1, len(tokens) - 1), i -> array_to_string(tokens[i:i+2], ' '))) ELSE [] END AS s FROM tk),
+        |ex AS (SELECT doc_id, source, unnest(s) AS g FROM sh),
+        |df AS (SELECT g, count(*) AS df FROM ex GROUP BY 1),
+        |kept AS (SELECT DISTINCT source, g FROM ex JOIN df USING (g) WHERE df <= 100),
+        |n AS (SELECT source, count(*) AS n FROM kept GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.source AS src_a, b.source AS src_b, count(*) AS shared
+        |  FROM kept a JOIN kept b USING (g) WHERE a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT src_a, src_b, CAST(shared AS BIGINT) AS shared_shingles,
+        |  CAST(na.n AS BIGINT) AS n_a, CAST(nb.n AS BIGINT) AS n_b,
+        |  CAST((shared * 1000) // (na.n + nb.n - shared) AS BIGINT) AS jaccard_milli
+        |FROM pairs JOIN n na ON na.source = src_a JOIN n nb ON nb.source = src_b
+        |ORDER BY src_a, src_b""".stripMargin,
+
+    // two histogram passes replayed on the same power-of-two grid
+    // (width 4), then Hampel's 3-MAD outlier count over the devs
+    "q166_mad_outliers" ->
+      """WITH v AS (SELECT lang, CAST(n_chars AS DOUBLE) AS x FROM documents WHERE n_chars IS NOT NULL),
+        |b1 AS (SELECT lang, least(255, greatest(0, CAST(floor((x - 0.0) / 1024.0 * 256) AS BIGINT))) AS bin FROM v),
+        |h1 AS (SELECT lang, bin, count(*) AS cnt FROM b1 GROUP BY 1, 2),
+        |c1 AS (SELECT lang, bin,
+        |    sum(cnt) OVER (PARTITION BY lang ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(cnt) OVER (PARTITION BY lang) AS n FROM h1),
+        |m1 AS (SELECT lang, CAST(max(n) AS BIGINT) AS n,
+        |    0.0 + (CAST(min(bin) + 1 AS DOUBLE) * 1024.0) / 256 AS med
+        |  FROM c1 WHERE cum >= CAST(ceil(0.5 * n) AS BIGINT) GROUP BY 1),
+        |d AS (SELECT v.lang, abs(v.x - m1.med) AS dev FROM v JOIN m1 ON v.lang = m1.lang),
+        |b2 AS (SELECT lang, least(255, greatest(0, CAST(floor((dev - 0.0) / 1024.0 * 256) AS BIGINT))) AS bin FROM d),
+        |h2 AS (SELECT lang, bin, count(*) AS cnt FROM b2 GROUP BY 1, 2),
+        |c2 AS (SELECT lang, bin,
+        |    sum(cnt) OVER (PARTITION BY lang ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(cnt) OVER (PARTITION BY lang) AS n FROM h2),
+        |m2 AS (SELECT lang, 0.0 + (CAST(min(bin) + 1 AS DOUBLE) * 1024.0) / 256 AS mad
+        |  FROM c2 WHERE cum >= CAST(ceil(0.5 * n) AS BIGINT) GROUP BY 1),
+        |o AS (SELECT d.lang, CAST(sum(CASE WHEN d.dev > 3.0 * m2.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |  FROM d JOIN m2 ON d.lang = m2.lang GROUP BY 1)
+        |SELECT m1.lang, m1.n, m1.med AS med_est, m2.mad AS mad_est, o.n_outliers
+        |FROM m1 JOIN m2 ON m1.lang = m2.lang JOIN o ON m1.lang = o.lang
+        |ORDER BY m1.lang""".stripMargin,
 
     // histogram replay: identical power-of-two grid, per-bin counts
     // (the shard split is invisible — addition is lossless), one

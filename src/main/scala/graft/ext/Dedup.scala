@@ -1332,4 +1332,46 @@ object Dedup {
         levenshtein(col("__ta"), col("__tb"), maxDistance).as("dist"))
       .filter(col("dist") >= 0)
   }
+
+  /** Cross-SOURCE contamination matrix — "which crawls duplicate
+    * which": for every source pair, the count of distinct token
+    * n-gram shingles present in BOTH, with per-source totals and an
+    * integer Jaccard (‰). The provenance-level audit that decides
+    * which source to drop or downweight before document-level dedup
+    * even runs (exact-duplicate DOCS across crawls are rare; shared
+    * PHRASES are the contamination signal).
+    *
+    * Scale shape: docs collapse to their distinct (source, shingle)
+    * pairs first (per-doc `array_distinct`, then a set distinct — the
+    * corpus never self-joins), boilerplate shingles are dropped by a
+    * document-frequency cap BEFORE the pair join (the q44 gate: a
+    * stop-phrase present everywhere would dominate the join and say
+    * nothing), and the kept frame equi-joins itself on the shingle.
+    * Output is at most |sources|² rows. */
+  def sourceOverlap(docs: DataFrame, sourceCol: String, textCol: String,
+      n: Int = 3, dfCap: Int = 100): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    require(dfCap >= 1, s"dfCap must be >= 1, got $dfCap")
+    // one row per (doc, distinct shingle) — doc-frequency by plain count
+    val ex = docs.filter(col(textCol).isNotNull)
+      .select(col(sourceCol).as("__src"),
+        explode(array_distinct(
+          TextOps.shingles(TextOps.tokens(col(textCol)), n))).as("__g"))
+    val dfreq = ex.groupBy(col("__g")).agg(count(lit(1)).as("__df"))
+    val kept = ex.join(dfreq.filter(col("__df") <= dfCap), Seq("__g"))
+      .select(col("__src"), col("__g")).distinct()
+    val totals = kept.groupBy(col("__src")).agg(count(lit(1)).as("__n"))
+    val pairs = kept.select(col("__src").as("src_a"), col("__g"))
+      .join(kept.select(col("__src").as("src_b"), col("__g")), Seq("__g"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("shared_shingles"))
+    pairs
+      .join(broadcast(totals.select(col("__src").as("src_a"), col("__n").as("n_a"))), Seq("src_a"))
+      .join(broadcast(totals.select(col("__src").as("src_b"), col("__n").as("n_b"))), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("shared_shingles"),
+        col("n_a"), col("n_b"),
+        expr("(shared_shingles * 1000L) div (n_a + n_b - shared_shingles)")
+          .as("jaccard_milli"))
+  }
 }

@@ -398,6 +398,44 @@ object Sketches {
           lit(hi - lo) / lit(bins)).as("q_est"))
   }
 
+  /** Robust location/scale per group with NO per-group sort anywhere:
+    * median and MAD (median absolute deviation) estimated via TWO
+    * histogram passes — the [[histState]]/[[histQuantile]] sketch
+    * composed with itself. Pass 1 estimates the median from the value
+    * histogram; pass 2 histograms |v − median_est| on the same-width
+    * grid and reads ITS median — the MAD. Each estimate carries ≤ one
+    * bin width of error; outliers are rows with |v − med| > k·MAD
+    * (Hampel's rule at k = 3).
+    *
+    * The classic per-key `median`/`percentile` needs a sort of every
+    * group; this shape is three scans + hash aggregates and a
+    * broadcast of the ≤|groups| medians frame — the robust-statistics
+    * recipe that survives a 100 TB group. Returns
+    * (groupCol, n, med_est, mad_est, n_outliers). */
+  def histMedianMad(df: DataFrame, groupCol: String, valueCol: String,
+      lo: Double, hi: Double, bins: Int, k: Double = 3.0): DataFrame = {
+    histGuards(lo, hi, bins)
+    require(k > 0, s"k must be positive, got $k")
+    val med = histQuantile(
+        histState(df, groupCol, valueCol, lo, hi, bins),
+        groupCol, 0.5, lo, hi, bins)
+      .select(col(groupCol), col("n"), col("q_est").as("med_est"))
+    val dev = df.filter(col(valueCol).isNotNull)
+      .join(broadcast(med), Seq(groupCol))
+      .withColumn("__dev", abs(col(valueCol).cast("double") - col("med_est")))
+    val mad = histQuantile(
+        histState(dev, groupCol, "__dev", 0.0, hi - lo, bins),
+        groupCol, 0.5, 0.0, hi - lo, bins)
+      .select(col(groupCol), col("q_est").as("mad_est"))
+    val outliers = dev.join(broadcast(mad), Seq(groupCol))
+      .groupBy(col(groupCol))
+      .agg(sum(when(col("__dev") > lit(k) * col("mad_est"), 1L)
+        .otherwise(0L)).as("n_outliers"))
+    med.join(mad, Seq(groupCol)).join(outliers, Seq(groupCol))
+      .select(col(groupCol), col("n"), col("med_est"), col("mad_est"),
+        col("n_outliers"))
+  }
+
   /** Probe per distinct value of `probes`: maybe_present = 1 iff all
     * k of the value's bit positions are set (counted per hash index,
     * so a within-value position collision still demands k hits). The

@@ -670,4 +670,30 @@ class DedupSpec extends SparkSpec {
       assert(e > 0.3 && j > 0.3, s"est $e jaccard $j") }
     spark.catalog.clearCache()
   }
+
+  test("sourceOverlap: shared shingles counted once per source, df gate drops boilerplate") {
+    val docs = Seq(
+      // s1 and s2 share the phrase "alpha beta gamma"; s3 shares nothing
+      (1L, "s1", "alpha beta gamma delta epsilon"),
+      (2L, "s1", "alpha beta gamma delta epsilon"), // dup within s1: counted once
+      (3L, "s2", "zero alpha beta gamma other words here"),
+      (4L, "s3", "completely unrelated body of text with many words")
+    ).toDF("doc_id", "source", "text")
+    val out = Dedup.sourceOverlap(docs, "source", "text", n = 3, dfCap = 100)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // only the (s1, s2) pair overlaps: shingles "alpha beta gamma" and
+    // "beta gamma delta"? no — s2 has "alpha beta gamma" and
+    // "zero alpha beta" etc.; shared = {"alpha beta gamma"}
+    assert(out.keySet == Set(("s1", "s2")))
+    val (shared, na, nb, jm) = out(("s1", "s2"))
+    assert(shared == 1L, s"shared $shared")
+    assert(na == 3L && nb == 5L) // distinct shingles per source
+    assert(jm == (1000L / (3 + 5 - 1)), s"jaccard_milli $jm")
+    // df gate: cap 1 drops every shingle present in >1 doc — the s1-
+    // internal dup pushes its shingles' df to 2, s2's overlap to 3
+    val gated = Dedup.sourceOverlap(docs, "source", "text", n = 3, dfCap = 1)
+      .collect()
+    assert(gated.isEmpty, "df gate must remove the only shared shingle")
+  }
 }

@@ -191,6 +191,21 @@ class SketchesSpec extends SparkSpec {
     assert(oob == Set(("g", 0L, 1L), ("g", 1023L, 1L)))
   }
 
+  test("histMedianMad: median/MAD within a bin width, Hampel rule flags the planted outliers") {
+    // 100 values ~ 500 +- 10, plus 3 wild outliers; bin width 4
+    val base = (1 to 100).map(i => ("g", 490.0 + (i % 21)))
+    val wild = Seq(("g", 2000.0), ("g", 1900.0), ("g", 5.0))
+    val df = (base ++ wild).toDF("g", "v")
+    val out = Sketches.histMedianMad(df, "g", "v", 0.0, 2048.0, 512)
+      .as[(String, Long, Double, Double, Long)].collect().head
+    val (_, n, med, mad, nOut) = out
+    assert(n == 103L)
+    assert(math.abs(med - 500.0) <= 4.0, s"median est $med")
+    // true MAD of the base block is ~5; one bin width of slack
+    assert(mad >= 4.0 && mad <= 12.0, s"mad est $mad")
+    assert(nOut == 3L, s"outliers $nOut")
+  }
+
   test("bloom: no false negatives; OR-merge is bit-identical to direct; bounded FP rate") {
     val ev = Fx.t(spark, sfDir, "events")
       .select($"event_id", $"user_id".cast("string").as("val"))
