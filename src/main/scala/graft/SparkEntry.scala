@@ -2365,6 +2365,32 @@ object SparkEntry {
         T(s, d, "documents"), "lang", "n_chars", 0.0, 1024.0, 256)
         .orderBy(col("lang"))),
 
+    // Winsorization by histogram-estimated percentile bounds
+    // (Sketches.winsorize): per-lang p05/p95 clamp from ONE shared
+    // histogram state, broadcast back over the data — the outlier-
+    // taming transform with no per-group sort.
+    "q167_winsorize" -> ((s, d) =>
+      graft.ext.Sketches.winsorize(
+        T(s, d, "documents").select(col("doc_id"), col("lang"), col("n_chars")),
+        "lang", "n_chars", 0.0, 1024.0, 256)
+        .orderBy(col("doc_id"))),
+
+    // Cohort retention matrix (ext.Behavior.retentionCohorts): users
+    // bucketed by first-event date, counted per active-day offset —
+    // every step a hash aggregate or join on the user key.
+    "q168_retention" -> ((s, d) =>
+      graft.ext.Behavior.retentionCohorts(T(s, d, "events"), "user_id", "ts")
+        .orderBy(col("cohort_date"), col("offset_days"))),
+
+    // Ordered conversion funnel (ext.Behavior.funnel): first-touch
+    // view -> click -> purchase, each stage's earliest event strictly
+    // after the committed prior stage — conditional aggregation per
+    // stage, never a per-user sequence sort.
+    "q169_funnel" -> ((s, d) =>
+      graft.ext.Behavior.funnel(T(s, d, "events"), "user_id", "ts",
+        "event_type", Seq("view", "click", "purchase"))
+        .orderBy(col("stage"))),
+
     // Bloom-pruned join (operators.BloomJoin): the big side is
     // filtered against the small side's key bitmap BEFORE the join
     // exchange; false positives are removed by the join itself, so
@@ -4296,6 +4322,49 @@ object SparkEntry {
         |  min(l_extendedprice) AS min_l_extendedprice,
         |  max(l_extendedprice) AS max_l_extendedprice
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // histogram percentile replay at 0.05/0.95, then the clamp; the
+    // NULL guard mirrors the engine's explicit CASE
+    "q167_winsorize" ->
+      """WITH v AS (SELECT doc_id, lang, n_chars, CAST(n_chars AS DOUBLE) AS x FROM documents),
+        |b AS (SELECT lang, least(255, greatest(0, CAST(floor((x - 0.0) / 1024.0 * 256) AS BIGINT))) AS bin FROM v WHERE x IS NOT NULL),
+        |h AS (SELECT lang, bin, count(*) AS cnt FROM b GROUP BY 1, 2),
+        |c AS (SELECT lang, bin,
+        |    sum(cnt) OVER (PARTITION BY lang ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(cnt) OVER (PARTITION BY lang) AS n FROM h),
+        |plo AS (SELECT lang, 0.0 + (CAST(min(bin) + 1 AS DOUBLE) * 1024.0) / 256 AS wlo
+        |  FROM c WHERE cum >= CAST(ceil(0.05 * n) AS BIGINT) GROUP BY 1),
+        |phi AS (SELECT lang, 0.0 + (CAST(min(bin) + 1 AS DOUBLE) * 1024.0) / 256 AS whi
+        |  FROM c WHERE cum >= CAST(ceil(0.95 * n) AS BIGINT) GROUP BY 1)
+        |SELECT v.doc_id, v.lang, v.n_chars,
+        |  CASE WHEN v.x IS NULL THEN NULL
+        |       ELSE least(greatest(v.x, plo.wlo), phi.whi) END AS n_chars_wins
+        |FROM v JOIN plo ON v.lang = plo.lang JOIN phi ON v.lang = phi.lang
+        |ORDER BY v.doc_id""".stripMargin,
+
+    // first-event-date cohorts, distinct active (user, offset) pairs
+    "q168_retention" ->
+      """WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort_date FROM events GROUP BY 1),
+        |a AS (SELECT DISTINCT e.user_id, f.cohort_date,
+        |    CAST(date_diff('day', f.cohort_date, CAST(e.ts AS DATE)) AS BIGINT) AS offset_days
+        |  FROM events e JOIN f USING (user_id))
+        |SELECT cohort_date, offset_days, count(*) AS n_users
+        |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // stage-k = earliest stage event strictly after the committed
+    // stage-(k-1) time; inner joins carry the qualification forward
+    "q169_funnel" ->
+      """WITH s0 AS (SELECT user_id, min(ts) AS t0 FROM events WHERE event_type = 'view' GROUP BY 1),
+        |s1 AS (SELECT e.user_id, min(e.ts) AS t1 FROM events e JOIN s0 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts > s0.t0 GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > s1.t1 GROUP BY 1)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS stage, 'view' AS event_type,
+        |    (SELECT count(*) FROM s0) AS n_users
+        |  UNION ALL SELECT CAST(2 AS BIGINT), 'click', (SELECT count(*) FROM s1)
+        |  UNION ALL SELECT CAST(3 AS BIGINT), 'purchase', (SELECT count(*) FROM s2))
+        |ORDER BY stage""".stripMargin,
 
     // same tokenize/shingle/df-gate pipeline as q44, aggregated to
     // the source level; integer Jaccard is floor division

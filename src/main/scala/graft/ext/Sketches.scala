@@ -398,6 +398,34 @@ object Sketches {
           lit(hi - lo) / lit(bins)).as("q_est"))
   }
 
+  /** WINSORIZE a column per group using histogram-estimated percentile
+    * bounds: values clamp into [p_lo, p_hi] as read from ONE shared
+    * [[histState]] (each bound is a bin upper edge — within one bin
+    * width of the exact percentile). The outlier-taming transform for
+    * heavy-tailed features before training, with no per-group sort:
+    * two state readouts broadcast back over the data. Appends
+    * `<valueCol>_wins` (double); NULL values pass through NULL. */
+  def winsorize(df: DataFrame, groupCol: String, valueCol: String,
+      lo: Double, hi: Double, bins: Int,
+      pLo: Double = 0.05, pHi: Double = 0.95): DataFrame = {
+    require(pLo > 0 && pHi <= 1 && pLo < pHi,
+      s"need 0 < pLo < pHi <= 1, got ($pLo, $pHi)")
+    val st = histState(df, groupCol, valueCol, lo, hi, bins)
+    val bLo = histQuantile(st, groupCol, pLo, lo, hi, bins)
+      .select(col(groupCol), col("q_est").as("__wlo"))
+    val bHi = histQuantile(st, groupCol, pHi, lo, hi, bins)
+      .select(col(groupCol), col("q_est").as("__whi"))
+    df.join(broadcast(bLo), Seq(groupCol))
+      .join(broadcast(bHi), Seq(groupCol))
+      .withColumn(s"${valueCol}_wins",
+        // explicit NULL guard: least/greatest IGNORE nulls (a null
+        // value would silently clamp to the lower bound)
+        when(col(valueCol).isNull, lit(null).cast("double"))
+          .otherwise(least(greatest(col(valueCol).cast("double"),
+            col("__wlo")), col("__whi"))))
+      .drop("__wlo", "__whi")
+  }
+
   /** Robust location/scale per group with NO per-group sort anywhere:
     * median and MAD (median absolute deviation) estimated via TWO
     * histogram passes — the [[histState]]/[[histQuantile]] sketch

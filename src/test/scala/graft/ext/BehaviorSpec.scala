@@ -1,0 +1,66 @@
+package graft.ext
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+
+class BehaviorSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("retentionCohorts: first-event date defines the cohort; one count per active day") {
+    val ev = Seq(
+      // user 1: cohort Jan 1, active days 0, 1 (twice), 3
+      (1L, ts("2024-01-01 10:00:00")),
+      (1L, ts("2024-01-02 09:00:00")),
+      (1L, ts("2024-01-02 23:00:00")),
+      (1L, ts("2024-01-04 08:00:00")),
+      // user 2: cohort Jan 2, active day 0 only
+      (2L, ts("2024-01-02 12:00:00")),
+      // user 3: cohort Jan 1, active days 0 and 1
+      (3L, ts("2024-01-01 01:00:00")),
+      (3L, ts("2024-01-02 01:00:00"))
+    ).toDF("user_id", "ts")
+    val out = Behavior.retentionCohorts(ev, "user_id", "ts")
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out == Map(
+      ("2024-01-01", 0L) -> 2L, // users 1 and 3 on their day 0
+      ("2024-01-01", 1L) -> 2L, // both active next day (dup events collapse)
+      ("2024-01-01", 3L) -> 1L, // only user 1
+      ("2024-01-02", 0L) -> 1L)) // user 2's cohort
+  }
+
+  test("funnel: ordered stages only; out-of-order and stalled users drop at the right stage") {
+    val ev = Seq(
+      // A: full ordered funnel
+      (1L, ts("2024-01-01 00:00:00"), "view"),
+      (1L, ts("2024-01-01 01:00:00"), "click"),
+      (1L, ts("2024-01-01 02:00:00"), "purchase"),
+      // B: click BEFORE first view, none after -> stalls at view
+      (2L, ts("2024-01-01 00:00:00"), "click"),
+      (2L, ts("2024-01-01 01:00:00"), "view"),
+      // C: view then click, purchase BEFORE the click -> stalls at click
+      (3L, ts("2024-01-01 00:00:00"), "view"),
+      (3L, ts("2024-01-01 00:30:00"), "purchase"),
+      (3L, ts("2024-01-01 01:00:00"), "click"),
+      // D: never views -> counts nowhere
+      (4L, ts("2024-01-01 00:00:00"), "purchase")
+    ).toDF("user_id", "ts", "event_type")
+    val out = Behavior.funnel(ev, "user_id", "ts", "event_type",
+      Seq("view", "click", "purchase"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+      .sortBy(_._1)
+    assert(out == Seq((1L, "view", 3L), (2L, "click", 2L), (3L, "purchase", 1L)))
+  }
+
+  test("funnel: equal timestamps do NOT advance (strictly-after semantics)") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 00:00:00"), "view"),
+      (1L, ts("2024-01-01 00:00:00"), "click")
+    ).toDF("user_id", "ts", "event_type")
+    val out = Behavior.funnel(ev, "user_id", "ts", "event_type", Seq("view", "click"))
+      .collect().map(r => (r.getString(1), r.getLong(2))).toMap
+    assert(out == Map("view" -> 1L, "click" -> 0L))
+  }
+}

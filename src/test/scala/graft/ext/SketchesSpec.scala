@@ -206,6 +206,22 @@ class SketchesSpec extends SparkSpec {
     assert(nOut == 3L, s"outliers $nOut")
   }
 
+  test("winsorize: clamps tails to histogram p05/p95, leaves the body and NULLs alone") {
+    val vals = (1 to 100).map(i => ("g", i.toLong, Some(500.0 + i))) ++
+      Seq(("g", 900L, Some(5.0)), ("g", 901L, Some(2000.0)), ("g", 902L, Option.empty[Double]))
+    val df = vals.toDF("g", "id", "v")
+    val out = Sketches.winsorize(df, "g", "v", 0.0, 2048.0, 512)
+      .collect().map(r => r.getLong(1) ->
+        (Option(r.get(2)).map(_.toString.toDouble), Option(r.get(3)).map(_.toString.toDouble))).toMap
+    // body rows unchanged (bounds land within one 4-wide bin of the tails)
+    assert(out(50L)._2.get == out(50L)._1.get)
+    // tails clamp inward, monotonically
+    assert(out(900L)._2.get > 5.0 && out(900L)._2.get <= 520.0)
+    assert(out(901L)._2.get < 2000.0 && out(901L)._2.get >= 580.0)
+    // NULL passes through as NULL, never clamps to the lower bound
+    assert(out(902L)._2.isEmpty)
+  }
+
   test("bloom: no false negatives; OR-merge is bit-identical to direct; bounded FP rate") {
     val ev = Fx.t(spark, sfDir, "events")
       .select($"event_id", $"user_id".cast("string").as("val"))
