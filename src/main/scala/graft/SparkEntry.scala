@@ -2391,6 +2391,23 @@ object SparkEntry {
         "event_type", Seq("view", "click", "purchase"))
         .orderBy(col("stage"))),
 
+    // Deterministic A/B readout (ext.Behavior.abSplit): portable-hash
+    // arm assignment (the assignment IS the audit trail), distinct-
+    // user conversion, integer-exact ppm rates.
+    "q170_ab_lift" -> ((s, d) =>
+      graft.ext.Behavior.abSplit(T(s, d, "events"), "user_id",
+        "event_type", convType = "purchase")
+        .orderBy(col("variant"))),
+
+    // First-order Markov transition matrix (ext.Behavior
+    // .transitionMatrix): adjacent event pairs per user via one
+    // user-partitioned lead window, row-normalized ppm probabilities
+    // via a broadcast totals frame.
+    "q171_transitions" -> ((s, d) =>
+      graft.ext.Behavior.transitionMatrix(T(s, d, "events"),
+        "user_id", "ts", "event_type", "event_id")
+        .orderBy(col("from_type"), col("to_type"))),
+
     // Bloom-pruned join (operators.BloomJoin): the big side is
     // filtered against the small side's key bitmap BEFORE the join
     // exchange; false positives are removed by the join itself, so
@@ -4365,6 +4382,33 @@ object SparkEntry {
         |  UNION ALL SELECT CAST(2 AS BIGINT), 'click', (SELECT count(*) FROM s1)
         |  UNION ALL SELECT CAST(3 AS BIGINT), 'purchase', (SELECT count(*) FROM s2))
         |ORDER BY stage""".stripMargin,
+
+    // portable-hash arm assignment replayed; rates are floor ppm
+    "q170_ab_lift" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |v AS (SELECT user_id,
+        |    CAST(concat('0x', substring(md5(concat_ws('|', '42', CAST(user_id AS VARCHAR))), 1, 14)) AS BIGINT) % 2 AS variant
+        |  FROM u),
+        |c AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+        |SELECT v.variant, count(*) AS n_users,
+        |  CAST(sum(CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
+        |  CAST((sum(CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END) * 1000000) // count(*) AS BIGINT) AS rate_ppm
+        |FROM v LEFT JOIN c USING (user_id)
+        |GROUP BY v.variant ORDER BY v.variant""".stripMargin,
+
+    // one lead window per user, pair counts, floor-ppm row normalize
+    "q171_transitions" ->
+      """WITH p AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |c AS (SELECT from_type, to_type, count(*) AS cnt FROM p
+        |  WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT from_type, sum(cnt) AS tot FROM c GROUP BY 1)
+        |SELECT c.from_type, c.to_type, c.cnt,
+        |  CAST((c.cnt * 1000000) // t.tot AS BIGINT) AS p_ppm
+        |FROM c JOIN t USING (from_type)
+        |ORDER BY c.from_type, c.to_type""".stripMargin,
 
     // same tokenize/shingle/df-gate pipeline as q44, aggregated to
     // the source level; integer Jaccard is floor division

@@ -36,6 +36,52 @@ object Behavior {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** Deterministic A/B experiment readout: users are assigned to
+    * `variants` arms by the PORTABLE hash of their key (stable across
+    * retries, engines, and cluster layouts — the assignment IS the
+    * audit trail, no assignment table to lose), conversion = the user
+    * fired `convType` at least once. Integer-exact rates (ppm, floor
+    * division — the repo-wide idiom). Returns
+    * (variant long, n_users, n_converted, rate_ppm). */
+  def abSplit(events: DataFrame, userCol: String, typeCol: String,
+      convType: String, variants: Int = 2, seed: Long = 42L): DataFrame = {
+    require(variants >= 2, s"variants must be >= 2, got $variants")
+    val users = events.select(col(userCol)).distinct()
+      .withColumn("variant",
+        pmod(Sampling.portableHash(col(userCol), seed), lit(variants.toLong)))
+    val conv = events.filter(col(typeCol) === convType)
+      .select(col(userCol)).distinct().withColumn("__c", lit(1L))
+    users.join(conv, Seq(userCol), "left")
+      .groupBy(col("variant"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(coalesce(col("__c"), lit(0L))).as("n_converted"))
+      .withColumn("rate_ppm", expr("(n_converted * 1000000L) div n_users"))
+  }
+
+  /** Next-event TRANSITION matrix: per user, events ordered by
+    * (`tsCol`, `tieCol`) yield (from → to) adjacent pairs; counts per
+    * pair plus the row-normalized transition probability (ppm, floor
+    * division) — the first-order Markov summary of user behavior
+    * (where do sessions go after a click?). One window on the user
+    * partitioning, then a pair aggregate; the per-from totals frame
+    * (≤ |event types| rows) broadcasts back. Returns
+    * (from_type, to_type, cnt, p_ppm). */
+  def transitionMatrix(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, tieCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
+    val pairs = events
+      .withColumn("__next", lead(col(typeCol), 1).over(w))
+      .filter(col("__next").isNotNull)
+      .groupBy(col(typeCol).as("from_type"), col("__next").as("to_type"))
+      .agg(count(lit(1)).as("cnt"))
+    val totals = pairs.groupBy(col("from_type"))
+      .agg(sum(col("cnt")).as("__tot"))
+    pairs.join(broadcast(totals), Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("cnt"),
+        expr("(cnt * 1000000L) div __tot").as("p_ppm"))
+  }
+
   /** Ordered conversion FUNNEL: how many users performed the stages in
     * sequence — stage k counts users whose earliest stage-k event
     * strictly follows their committed stage-(k−1) time (the standard

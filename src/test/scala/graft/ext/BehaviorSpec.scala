@@ -54,6 +54,45 @@ class BehaviorSpec extends SparkSpec {
     assert(out == Seq((1L, "view", 3L), (2L, "click", 2L), (3L, "purchase", 1L)))
   }
 
+  test("abSplit: stable hash assignment, distinct-user conversion, floor ppm rates") {
+    val ev = (1L to 100L).flatMap { u =>
+      // even users purchase (twice — must count once); all users click
+      val base = Seq((u, ts("2024-01-01 00:00:00"), "click"))
+      if (u % 2 == 0) base ++ Seq(
+        (u, ts("2024-01-01 01:00:00"), "purchase"),
+        (u, ts("2024-01-01 02:00:00"), "purchase"))
+      else base
+    }.toDF("user_id", "ts", "event_type")
+    val out = Behavior.abSplit(ev, "user_id", "event_type", "purchase")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out.keySet == Set(0L, 1L))
+    assert(out.values.map(_._1).sum == 100L)
+    out.foreach { case (_, (n, c, ppm)) =>
+      assert(c <= n && ppm == c * 1000000L / n)
+    }
+    // assignment is a pure function of (seed, user): re-run identical
+    val again = Behavior.abSplit(ev.repartition(5), "user_id", "event_type", "purchase")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(again == out)
+  }
+
+  test("transitionMatrix: adjacent pairs only, per-row ppm sums to ~1e6") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, "view"),
+      (1L, ts("2024-01-01 01:00:00"), 2L, "click"),
+      (1L, ts("2024-01-01 02:00:00"), 3L, "view"),
+      (2L, ts("2024-01-01 00:00:00"), 4L, "view"),
+      (2L, ts("2024-01-01 01:00:00"), 5L, "view")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val out = Behavior.transitionMatrix(ev, "user_id", "ts", "event_type", "event_id")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    // user 1: view->click, click->view; user 2: view->view
+    assert(out == Map(
+      ("view", "click") -> (1L, 500000L),
+      ("view", "view") -> (1L, 500000L),
+      ("click", "view") -> (1L, 1000000L)))
+  }
+
   test("funnel: equal timestamps do NOT advance (strictly-after semantics)") {
     val ev = Seq(
       (1L, ts("2024-01-01 00:00:00"), "view"),
