@@ -2408,6 +2408,17 @@ object SparkEntry {
         "user_id", "ts", "event_type", "event_id")
         .orderBy(col("from_type"), col("to_type"))),
 
+    // Rolling 7-day distinct users from MERGED daily HLL sketches
+    // (Sketches.hllRollingDistinct) — the merge law's production use:
+    // each day sketched once, every trailing window estimated from
+    // register merges; the range join runs over |days|x64 register
+    // rows, never the event stream.
+    "q172_rolling_wau" -> ((s, d) =>
+      graft.ext.Sketches.hllRollingDistinct(
+        T(s, d, "events").withColumn("day", to_date(col("ts"))),
+        "day", "user_id", window = 7)
+        .orderBy(col("day"))),
+
     // Bloom-pruned join (operators.BloomJoin): the big side is
     // filtered against the small side's key bitmap BEFORE the join
     // exchange; false positives are removed by the join itself, so
@@ -4382,6 +4393,38 @@ object SparkEntry {
         |  UNION ALL SELECT CAST(2 AS BIGINT), 'click', (SELECT count(*) FROM s1)
         |  UNION ALL SELECT CAST(3 AS BIGINT), 'purchase', (SELECT count(*) FROM s2))
         |ORDER BY stage""".stripMargin,
+
+    // per-day registers, 7-day range-join merge by max, then the
+    // standard integer estimator (the q91 recipe with a day dimension)
+    "q172_rolling_wau" ->
+      s"""WITH h AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |    CAST(concat('0x', substring(md5(concat_ws('|', '42', CAST(user_id AS VARCHAR))), 1, 14)) AS BIGINT) AS h
+        |  FROM events),
+        |b AS (
+        |  SELECT day, h & 63 AS b,
+        |    CASE WHEN (h >> 6) = 0 THEN 30
+        |         ELSE least(30, 51 - length(bin(h >> 6))) END AS rho
+        |  FROM h),
+        |regs AS (SELECT day, b, max(rho) AS r FROM b GROUP BY 1, 2),
+        |days AS (SELECT DISTINCT day AS target FROM regs),
+        |merged AS (
+        |  SELECT d.target AS day, r.b, max(r.r) AS r
+        |  FROM days d JOIN regs r ON date_diff('day', r.day, d.target) BETWEEN 0 AND 6
+        |  GROUP BY 1, 2),
+        |s AS (
+        |  SELECT day, sum(${1L << 30} >> r) AS s, count(*) AS present
+        |  FROM merged GROUP BY 1),
+        |e AS (
+        |  SELECT day, 64 - present AS zeros,
+        |    ${709L * 4096L * (1L << 30)}
+        |      // (1000 * (s + (64 - present) * ${1L << 30})) AS raw
+        |  FROM s)
+        |SELECT day,
+        |  CAST(CASE WHEN raw <= 160 AND zeros > 0
+        |    THEN ([${graft.ext.Sketches.HllLinearCounting.mkString(", ")}])[CAST(zeros AS INTEGER)]
+        |    ELSE raw END AS BIGINT) AS est_distinct
+        |FROM e ORDER BY day""".stripMargin,
 
     // portable-hash arm assignment replayed; rates are floor ppm
     "q170_ab_lift" ->

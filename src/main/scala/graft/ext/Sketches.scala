@@ -138,6 +138,30 @@ object Sketches {
       .agg(max(rho).as("__r"))
   }
 
+  /** ROLLING distinct counts from merged per-period sketches — the
+    * production use of the HLL merge law: sketch each calendar period
+    * ONCE, then every length-`window` trailing window's estimate comes
+    * from merging ≤ `window` register frames (the rolling-WAU/MAU
+    * query, with no re-scan of any day's data and no
+    * `approx_count_distinct` over exploded window membership).
+    *
+    * `periodCol` must be a DATE column; windows are
+    * [target − window + 1, target] over the DISTINCT periods present.
+    * The register frame is |periods|·64 rows whatever the corpus size
+    * — the range join runs over sketches, never data. Returns
+    * (periodCol, est_distinct long). */
+  def hllRollingDistinct(df: DataFrame, periodCol: String, valueCol: String,
+      window: Int, seed: Long = 42L): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    val regs = hllRegisters(df, periodCol, valueCol, seed)
+    val targets = regs.select(col(periodCol).as("__target")).distinct()
+    val merged = regs.join(broadcast(targets),
+        datediff(col("__target"), col(periodCol)).between(0, window - 1))
+      .groupBy(col("__target"), col("__b")).agg(max(col("__r")).as("__r"))
+      .withColumnRenamed("__target", periodCol)
+    hllFromRegisters(merged, periodCol)
+  }
+
   /** Merge register frames: per (group, bucket) the max rank — the HLL
     * merge law. Lossless: merge(sketch(A), sketch(B)) is EXACTLY
     * sketch(A ∪ B) register for register (max is associative,

@@ -114,7 +114,22 @@ object Scale10x {
       // decontamination (gram windows + broadcast bench semi-join),
       // and the HLL merge (two bounded sketches + register merge)
       "q144_sketch_calibration", "q150_pagerank",
-      "q151_decontaminate_spans", "q152_hll_merge")
+      "q151_decontaminate_spans", "q152_hll_merge",
+      // r10-close additions. Sketch frames are size-bounded whatever
+      // the input (bloom ≤ mBits set bits, histogram ≤ bins rows per
+      // group, MV state ≤ |keys| rows), so their ratios read the scan;
+      // sourceOverlap's kept-shingle frame scales ×10 (replica
+      // vocabularies are disjoint, so cross-replica pairs are zero and
+      // shared counts are additive); the behavioral family (scd2,
+      // retention, funnel, transitions) rides user-key exchanges with
+      // ×10 users and identical per-user series — per-user work is
+      // constant, totals linear; PPS keeps a FIXED n=200 via
+      // TakeOrdered (per-partition top-n, driver merge of 200-row
+      // partials — the output does not grow with the corpus).
+      "q158_bloom_merge", "q159_incremental_mv", "q160_pps_sample",
+      "q161_key_skew", "q162_hist_quantile", "q164_scd2",
+      "q165_source_overlap", "q166_mad_outliers", "q167_winsorize",
+      "q168_retention", "q169_funnel", "q171_transitions")
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
@@ -211,6 +226,14 @@ object Scale10x {
       .withColumn("user_id", col("user_id") + col("k").cast("long") * 10000000L)
       .drop("k")
     ev.repartition(8).write.mode("overwrite").parquet(s"$out/events.parquet")
+
+    // customer: keys offset by the SAME stride as user ids, so the
+    // events⊂customer membership structure (q158's bloom probe) is
+    // preserved per replica and scales ×10 with the rows
+    val cust = Fx.t(spark, src, "customer").crossJoin(rep)
+      .withColumn("c_custkey", col("c_custkey") + col("k").cast("long") * 10000000L)
+      .drop("k")
+    cust.repartition(4).write.mode("overwrite").parquet(s"$out/customer.parquet")
   }
 
   /** min-of-2 wall clock through the noop sink (full materialization,

@@ -206,6 +206,29 @@ class SketchesSpec extends SparkSpec {
     assert(nOut == 3L, s"outliers $nOut")
   }
 
+  test("hllRollingDistinct: trailing-window merge == direct sketch of the window's union") {
+    val ev = Fx.t(spark, sfDir, "events")
+      .withColumn("day", to_date($"ts"))
+    val rolling = Sketches.hllRollingDistinct(ev, "day", "user_id", window = 7)
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    // direct check on a few target days: sketch the unioned 7-day
+    // slice in one pass — the merge law says estimates must be EQUAL
+    val days = rolling.keys.toSeq.sorted
+    days.take(2) ++ days.takeRight(2) foreach { d =>
+      val direct = Sketches.hllDistinctCount(
+          ev.filter(datediff(lit(d).cast("date"), $"day").between(0, 6))
+            .withColumn("g", lit(d)),
+          "g", "user_id")
+        .collect().head.getLong(1)
+      assert(rolling(d) == direct, s"day $d: rolling ${rolling(d)} vs direct $direct")
+    }
+    // windows only look BACKWARD: first day's window is itself alone
+    val firstDirect = Sketches.hllDistinctCount(
+        ev.filter($"day" === lit(days.head).cast("date")).withColumn("g", lit(1)),
+        "g", "user_id").collect().head.getLong(1)
+    assert(rolling(days.head) == firstDirect)
+  }
+
   test("winsorize: clamps tails to histogram p05/p95, leaves the body and NULLs alone") {
     val vals = (1 to 100).map(i => ("g", i.toLong, Some(500.0 + i))) ++
       Seq(("g", 900L, Some(5.0)), ("g", 901L, Some(2000.0)), ("g", 902L, Option.empty[Double]))
