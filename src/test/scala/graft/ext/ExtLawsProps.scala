@@ -360,6 +360,74 @@ object ExtLawsProps extends Properties("graft.ext") {
       ok && dup == out
     }
 
+  // The five mergeable-summary classes share one law: sketch(A) merged
+  // with sketch(B) == sketch(A ∪ B) for DISJOINT splits. Bloom and
+  // histogram joined HLL/CM/KMV in round 10 — pin them under random
+  // splits (the fixture contracts pin one split; this pins all).
+  property("bloom merge law: any disjoint split's OR-merge == the direct filter") =
+    Prop.forAll(Gen.nonEmptyListOf(Gen.chooseNum(0L, 3000L)).map(_.take(60)),
+      Gen.chooseNum(2L, 5L)) { (vals, mod) =>
+      val df = vals.toDF("v")
+      def pos(p: org.apache.spark.sql.DataFrame) =
+        Sketches.bloomPositions(p, "v", mBits = 256, k = 3).as[Long].collect().toSet
+      val shards = (0L until mod).map(i => pos(df.filter($"v" % mod === i)))
+      shards.reduce(_ union _) == pos(df)
+    }
+
+  property("histogram merge law + conservatism: merged == direct; est >= true quantile") =
+    Prop.forAll(Gen.nonEmptyListOf(Gen.chooseNum(0.0, 1000.0)).map(_.take(80))) { vals =>
+      val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+        .withColumn("g", lit("g"))
+      def st(p: org.apache.spark.sql.DataFrame) =
+        Sketches.histState(p, "g", "v", 0.0, 1024.0, 128)
+      val a = st(df.filter($"id" % 2 === 0))
+      val b = st(df.filter($"id" % 2 =!= 0))
+      val merged = Sketches.histMerge("g", a, b)
+        .as[(String, Long, Long)].collect().toSet
+      val direct = st(df).as[(String, Long, Long)].collect().toSet
+      val est = Sketches.histQuantile(Sketches.histMerge("g", a, b),
+        "g", 0.5, 0.0, 1024.0, 128).select($"q_est").as[Double].collect().head
+      val sorted = vals.sorted
+      val trueMedian = sorted((math.ceil(0.5 * vals.size) - 1).toInt.max(0))
+      // upper-edge readout: the estimate bounds the true quantile from
+      // above, within one bin width (8.0)
+      merged == direct && est >= trueMedian && est <= trueMedian + 8.0
+    }
+
+  property("incremental MV merge law: any 3-way split merges to the direct rollup") =
+    Prop.forAll(Gen.nonEmptyListOf(
+      Gen.zip(Gen.oneOf("x", "y"), Gen.chooseNum(-500.0, 500.0))).map(_.take(40))) { rows =>
+      val df = rows.zipWithIndex.map { case ((k, v), i) => (i.toLong, k, v) }
+        .toDF("id", "k", "v")
+      val shards = (0 until 3).map(i =>
+        Incremental.aggState(df.filter($"id" % 3 === i), Seq("k"), Seq("v")))
+      val merged = Incremental.readout(
+          Incremental.mergeStates(Seq("k"), Seq("v"), shards: _*), Seq("k"), Seq("v"))
+        .as[(String, Long, Double, Double, Double)].collect().toSet
+      val direct = Incremental.readout(
+          Incremental.aggState(df, Seq("k"), Seq("v")), Seq("k"), Seq("v"))
+        .as[(String, Long, Double, Double, Double)].collect().toSet
+      merged == direct
+    }
+
+  // Funnel sanity: stage counts are NON-INCREASING whatever the event
+  // soup (a later stage requires a strictly-earlier prior stage), and
+  // no count exceeds the user universe.
+  property("funnel: monotone non-increasing stage counts, bounded by users") =
+    Prop.forAll(Gen.nonEmptyListOf(Gen.zip(
+      Gen.chooseNum(1L, 6L), Gen.chooseNum(0L, 100L),
+      Gen.oneOf("a", "b", "c"))).map(_.take(60))) { evs =>
+      val df = evs.zipWithIndex.map { case ((u, t, ty), i) =>
+        (u, new java.sql.Timestamp(t * 60000L), i.toLong, ty) }
+        .toDF("user_id", "ts", "event_id", "event_type")
+      val counts = Behavior.funnel(df, "user_id", "ts", "event_type",
+          Seq("a", "b", "c"))
+        .orderBy($"stage").select($"n_users").as[Long].collect().toList
+      val nUsers = evs.map(_._1).distinct.size
+      counts.zip(counts.drop(1)).forall { case (hi, lo) => hi >= lo } &&
+        counts.head <= nUsers && counts.forall(_ >= 0)
+    }
+
   property("ntileByKey == serial NTILE reference for arbitrary keys/ties/tiles") =
     Prop.forAll(genKeyed, Gen.oneOf(1, 2, 3, 5), Gen.oneOf(2, 8, 32)) {
       (rows, tiles, buckets) =>
