@@ -2419,6 +2419,22 @@ object SparkEntry {
         "day", "user_id", window = 7)
         .orderBy(col("day"))),
 
+    // PCA projection (Similarity.pcaFit/pcaProject): one-pass O(d²)
+    // moment aggregate + driver-side Jacobi on the d×d covariance,
+    // projection via broadcast-literal components (no join). Like
+    // q59's native sketches the eigenbasis is not SQL-replayable —
+    // rows-only by design; PcaSpec pins orthonormality, variance
+    // ordering, and reconstruction; the fixed-basis twin q48 (SRP)
+    // IS hash-matched.
+    "q173_pca_project" -> ((s, d) => {
+      val emb = T(s, d, "embeddings")
+      val model = graft.ext.Similarity.pcaFit(emb, "embedding", k = 4)
+      graft.ext.Similarity.pcaProject(
+          emb.select(col("vec_id"), col("embedding")), "embedding", model)
+        .select(col("vec_id"), col("pc1"), col("pc2"), col("pc3"), col("pc4"))
+        .orderBy(col("vec_id"))
+    }),
+
     // Bloom-pruned join (operators.BloomJoin): the big side is
     // filtered against the small side's key bitmap BEFORE the join
     // exchange; false positives are removed by the join itself, so

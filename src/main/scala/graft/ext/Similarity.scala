@@ -572,4 +572,144 @@ object Similarity {
       .withColumn("cosine", dot(col("__qv"), col("__v")))
     topKPerQuery(scored, col("__id"), col("cosine"), "cosine", k)
   }
+
+  // ------------------------------------------------------------- PCA
+
+  /** Fitted PCA basis: `components(j)` is the j-th principal axis (unit
+    * length, variance-descending), `offsets(j)` = components(j)·mean —
+    * precomputed so projection is one dot product per axis. */
+  final case class PcaModel(mean: Array[Double],
+      components: Array[Array[Double]], eigenvalues: Array[Double],
+      totalVariance: Double) {
+    def offsets: Array[Double] = components.map(c =>
+      c.zip(mean).map { case (a, b) => a * b }.sum)
+    /** Fraction of total variance the first k axes capture. */
+    def varianceCaptured(k: Int): Double =
+      if (totalVariance <= 0) 0.0
+      else eigenvalues.take(k).sum / totalVariance
+  }
+
+  /** Fit PCA over an `array<float|double>` column — dimensionality
+    * reduction ahead of ANN (shrink d before bucketing; IVF/PQ recall
+    * holds while every dot product gets cheaper).
+    *
+    * Scale shape: ONE distributed pass accumulates the d first moments
+    * and the d(d+1)/2 upper-triangle second moments in an
+    * `Aggregator` buffer (map-side combine — the corpus streams, the
+    * O(d²) buffer merges associatively; d ≤ 512 keeps it < 2 MB). The
+    * d×d covariance eigendecomposes DRIVER-side with cyclic Jacobi
+    * (O(d³), microseconds at embedding dims — deliberately bounded
+    * work, the [[IvfIndex]] centroid-pull pattern). Component signs
+    * are canonicalized (largest-|entry| positive) so the basis is
+    * deterministic. Vectors shorter than d are skipped (a truncated
+    * vector would silently zero-pad into the moments). */
+  def pcaFit(df: DataFrame, vecCol: String, k: Int): PcaModel = {
+    import df.sparkSession.implicits._
+    val vecs = df.select(col(vecCol).cast("array<double>")).as[Array[Double]]
+    val d = vecs.filter((v: Array[Double]) => v != null && v.nonEmpty)
+      .head().length
+    require(d >= 1 && d <= 512, s"pcaFit supports dims [1, 512], got $d")
+    require(k >= 1 && k <= d, s"k $k outside [1, $d]")
+    val (s1, s2, n) = vecs.filter((v: Array[Double]) => v != null && v.length == d)
+      .select(graft.functions.VectorAgg.moments(d)).head()
+    require(n >= 2, s"pcaFit needs at least 2 vectors, got $n")
+    val mean = s1.map(_ / n)
+    // cov(i,j) = E[xi·xj] − E[xi]E[xj] (population); unpack the triangle
+    val cov = Array.ofDim[Double](d, d)
+    var t = 0
+    var i = 0
+    while (i < d) {
+      var j = i
+      while (j < d) {
+        val c = s2(t) / n - mean(i) * mean(j)
+        cov(i)(j) = c; cov(j)(i) = c
+        t += 1; j += 1
+      }
+      i += 1
+    }
+    val (eigVals, eigVecs) = jacobiEigen(cov)
+    val comps = eigVecs.take(k).map { c =>
+      // canonical sign: the largest-|entry| coordinate is positive
+      val pivot = c.indices.maxBy(idx => math.abs(c(idx)))
+      if (c(pivot) < 0) c.map(-_) else c
+    }
+    PcaModel(mean, comps, eigVals.take(k), eigVals.sum)
+  }
+
+  /** Project onto a fitted basis: pc_j = v·c_j − c_j·mean, one native
+    * codegen'd dot product per axis against the broadcast-literal
+    * component (the q50 literal-centroid pattern — no join at all).
+    * Appends `pc1..pck` double columns. */
+  def pcaProject(df: DataFrame, vecCol: String, model: PcaModel): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    val off = model.offsets
+    model.components.zipWithIndex.foldLeft(df) { case (acc, (comp, j)) =>
+      acc.withColumn(s"pc${j + 1}",
+        dot(v, array(comp.map(lit): _*)) - lit(off(j)))
+    }
+  }
+
+  /** Cyclic Jacobi eigendecomposition of a symmetric matrix: rotations
+    * zero each off-diagonal pair until convergence. Deterministic
+    * (fixed sweep order, fixed tolerance); returns (eigenvalues desc,
+    * matching unit eigenvectors as rows). */
+  private[ext] def jacobiEigen(a0: Array[Array[Double]],
+      maxSweeps: Int = 64): (Array[Double], Array[Array[Double]]) = {
+    val d = a0.length
+    val a = a0.map(_.clone())
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var off = offDiagNorm(a)
+    while (sweep < maxSweeps && off > 1e-14) {
+      var p = 0
+      while (p < d - 1) {
+        var q = p + 1
+        while (q < d) {
+          val apq = a(p)(q)
+          if (math.abs(apq) > 1e-300) {
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
+            val sgn = if (theta >= 0) 1.0 else -1.0
+            val tTan = sgn / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+            val c = 1.0 / math.sqrt(tTan * tTan + 1.0)
+            val s = tTan * c
+            var r = 0
+            while (r < d) {
+              val arp = a(r)(p); val arq = a(r)(q)
+              a(r)(p) = c * arp - s * arq
+              a(r)(q) = s * arp + c * arq
+              r += 1
+            }
+            r = 0
+            while (r < d) {
+              val apr = a(p)(r); val aqr = a(q)(r)
+              a(p)(r) = c * apr - s * aqr
+              a(q)(r) = s * apr + c * aqr
+              val vrp = v(r)(p); val vrq = v(r)(q)
+              v(r)(p) = c * vrp - s * vrq
+              v(r)(q) = s * vrp + c * vrq
+              r += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      off = offDiagNorm(a)
+      sweep += 1
+    }
+    val order = (0 until d).sortBy(i => -a(i)(i))
+    (order.map(i => a(i)(i)).toArray,
+      order.map(i => Array.tabulate(d)(r => v(r)(i))).toArray)
+  }
+
+  private def offDiagNorm(a: Array[Array[Double]]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < a.length) {
+      var j = i + 1
+      while (j < a.length) { s += a(i)(j) * a(i)(j); j += 1 }
+      i += 1
+    }
+    math.sqrt(s)
+  }
 }
