@@ -96,6 +96,15 @@ object Bench {
     // 2-decimal values (~1.5 KB incl. prefix+trailer); the full-name,
     // 3-decimal version goes to bench_out.json.
     println(json(short = true, scale = 2))
+    // At 173 queries even the short-key 2-decimal line is ~2.2 KB —
+    // past the driver's ~2000-char tail window, so ITS start truncates
+    // (r08/r09 recorded parsed:null with the line fully present; a
+    // longer line only makes that worse). Emit a SECOND, compact
+    // summary line afterwards: whatever the tail window cuts, the
+    // final metric line is ~150 chars of guaranteed-parseable JSON
+    // with the headline total and the failed list; per-query values
+    // live in bench_out.json and in the (mostly visible) long line.
+    println(s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","mode":"min_interleaved_2","n_queries":${results.size},"failed":$failedJson,"sf":"$sfDir"}""")
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
       json(short = false, scale = 3).getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()

@@ -1341,29 +1341,40 @@ object Dedup {
     * even runs (exact-duplicate DOCS across crawls are rare; shared
     * PHRASES are the contamination signal).
     *
-    * Scale shape: docs collapse to their distinct (source, shingle)
-    * pairs first (per-doc `array_distinct`, then a set distinct — the
-    * corpus never self-joins), boilerplate shingles are dropped by a
-    * document-frequency cap BEFORE the pair join (the q44 gate: a
-    * stop-phrase present everywhere would dominate the join and say
-    * nothing), and the kept frame equi-joins itself on the shingle.
-    * Output is at most |sources|² rows. */
+    * Scale shape: the exploded (doc, shingle) stream collapses in ONE
+    * wide hash aggregate per shingle — (doc-frequency, sorted distinct
+    * source set) — so the expensive tokenize+shingle scan runs once
+    * and the corpus never self-joins. Boilerplate shingles drop at the
+    * document-frequency cap (the q44 gate: a stop-phrase present
+    * everywhere would dominate and say nothing); pair counts explode
+    * from each surviving shingle's ≤|sources| array (a<b by sorted
+    * position — s² tiny rows per shingle, never a shingle-keyed
+    * equi-join of the corpus against itself). Assumes a MODEST source
+    * cardinality (crawl/provenance labels, ≤ ~10⁴) — with millions of
+    * sources the per-shingle set itself becomes the blowup and a
+    * different contract (pairwise sampling) applies. Output is at most
+    * |sources|² rows. */
   def sourceOverlap(docs: DataFrame, sourceCol: String, textCol: String,
       n: Int = 3, dfCap: Int = 100): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
     require(dfCap >= 1, s"dfCap must be >= 1, got $dfCap")
-    // one row per (doc, distinct shingle) — doc-frequency by plain count
-    val ex = docs.filter(col(textCol).isNotNull)
+    // one row per (doc, distinct shingle); ONE aggregate keyed on the
+    // shingle carries both the df gate and the source set
+    val perShingle = docs.filter(col(textCol).isNotNull)
       .select(col(sourceCol).as("__src"),
         explode(array_distinct(
           TextOps.shingles(TextOps.tokens(col(textCol)), n))).as("__g"))
-    val dfreq = ex.groupBy(col("__g")).agg(count(lit(1)).as("__df"))
-    val kept = ex.join(dfreq.filter(col("__df") <= dfCap), Seq("__g"))
-      .select(col("__src"), col("__g")).distinct()
-    val totals = kept.groupBy(col("__src")).agg(count(lit(1)).as("__n"))
-    val pairs = kept.select(col("__src").as("src_a"), col("__g"))
-      .join(kept.select(col("__src").as("src_b"), col("__g")), Seq("__g"))
-      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("__g"))
+      .agg(count(lit(1)).as("__df"),
+        array_sort(collect_set(col("__src"))).as("__srcs"))
+      .filter(col("__df") <= dfCap)
+    val totals = perShingle
+      .select(explode(col("__srcs")).as("__src"))
+      .groupBy(col("__src")).agg(count(lit(1)).as("__n"))
+    val pairs = perShingle
+      .select(posexplode(col("__srcs")).as(Seq("__i", "src_a")), col("__srcs"))
+      .select(col("src_a"),
+        explode(slice(col("__srcs"), col("__i") + lit(2), size(col("__srcs")))).as("src_b"))
       .groupBy(col("src_a"), col("src_b"))
       .agg(count(lit(1)).as("shared_shingles"))
     pairs
