@@ -2435,6 +2435,29 @@ object SparkEntry {
         .orderBy(col("vec_id"))
     }),
 
+    // Distribution drift per source (Sketches.histDriftTV): total-
+    // variation distance in ppm between each source's length profile
+    // and the rest of the corpus, from ONE histogram state — the
+    // "which crawl changed shape" retrain trigger; work is state-
+    // sized after the single scan.
+    "q174_source_drift" -> ((s, d) =>
+      graft.ext.Sketches.histDriftTV(
+        T(s, d, "documents"), "source", "n_chars", 0.0, 1024.0, 256)
+        .orderBy(col("source"))),
+
+    // ROWS-frame moving aggregate (the positional twin of q148's
+    // RANGE frame): per user, trailing-3-events count and decimal-
+    // exact sum on one (user, ts, id) window.
+    "q175_moving_window" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id")).rowsBetween(-2, 0)
+      T(s, d, "events").select(col("event_id"), col("user_id"),
+          count(lit(1)).over(w).as("n_3"),
+          sum(col("value").cast("decimal(18,4)")).over(w)
+            .cast("double").as("sum_3"))
+        .orderBy(col("event_id"))
+    }),
+
     // Bloom-pruned join (operators.BloomJoin): the big side is
     // filtered against the small side's key bitmap BEFORE the join
     // exchange; false positives are removed by the join itself, so
@@ -4468,6 +4491,38 @@ object SparkEntry {
         |  CAST((c.cnt * 1000000) // t.tot AS BIGINT) AS p_ppm
         |FROM c JOIN t USING (from_type)
         |ORDER BY c.from_type, c.to_type""".stripMargin,
+
+    // shared-grid histogram, per-source vs rest-of-corpus ppm
+    // profiles, floor-TV; absent bins read as zero via the grid join
+    "q174_source_drift" ->
+      """WITH v AS (SELECT source, CAST(n_chars AS DOUBLE) AS x FROM documents WHERE n_chars IS NOT NULL),
+        |b AS (SELECT source, least(255, greatest(0, CAST(floor((x - 0.0) / 1024.0 * 256) AS BIGINT))) AS bin FROM v),
+        |st AS (SELECT source, bin, count(*) AS c FROM b GROUP BY 1, 2),
+        |g AS (SELECT bin, sum(c) AS gc FROM st GROUP BY 1),
+        |t AS (SELECT source, sum(c) AS n FROM st GROUP BY 1),
+        |gt AS (SELECT sum(gc) AS gn FROM g),
+        |grid AS (
+        |  SELECT t.source, t.n, g.bin, g.gc, coalesce(st.c, 0) AS c, gt.gn
+        |  FROM t CROSS JOIN g
+        |  LEFT JOIN st ON st.source = t.source AND st.bin = g.bin
+        |  CROSS JOIN gt),
+        |p AS (SELECT source, n,
+        |    (c * 1000000) // n AS pa,
+        |    CASE WHEN gn > n THEN ((gc - c) * 1000000) // (gn - n) END AS pr
+        |  FROM grid)
+        |SELECT source, CAST(max(n) AS BIGINT) AS n,
+        |  CAST(sum(abs(pa - pr)) // 2 AS BIGINT) AS tv_ppm
+        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the ROWS twin of q148: positional trailing-3 frame
+    "q175_moving_window" ->
+      """SELECT event_id, user_id,
+        |  count(*) OVER w AS n_3,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS sum_3
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
 
     // same tokenize/shingle/df-gate pipeline as q44, aggregated to
     // the source level; integer Jaccard is floor division

@@ -422,6 +422,44 @@ object Sketches {
           lit(hi - lo) / lit(bins)).as("q_est"))
   }
 
+  /** Distribution DRIFT per group: total-variation distance (ppm,
+    * integer-exact) between each group's value histogram and the
+    * REST-of-corpus histogram on a shared grid — the drift auditor
+    * that flags a source/shard/day whose length (or score, or
+    * perplexity) profile diverged from the corpus (retrain/review
+    * trigger; TV is ½·Σ|p_i − q_i|, the standard bounded [0,1]
+    * distance, here in ppm with floor division so any engine
+    * reproduces it bit for bit).
+    *
+    * Work is STATE-sized end to end: one [[histState]] pass over the
+    * data, then |groups|·bins tiny rows (the global histogram derives
+    * from the per-group one; absent bins read as zero via the
+    * grid join). Returns (groupCol, n long, tv_ppm long). */
+  def histDriftTV(df: DataFrame, groupCol: String, valueCol: String,
+      lo: Double, hi: Double, bins: Int): DataFrame = {
+    val st = histState(df, groupCol, valueCol, lo, hi, bins)
+    val global = st.groupBy(col("__bin")).agg(sum(col("__cnt")).as("__gc"))
+    val totals = st.groupBy(col(groupCol)).agg(sum(col("__cnt")).as("__n"))
+    val grandTotal = global.agg(sum(col("__gc")).as("__gn"))
+    // every (group, occupied-bin) cell, absent per-group bins as zero
+    val grid = totals.crossJoin(broadcast(global))
+      .join(st, Seq(groupCol, "__bin"), "left")
+      .na.fill(0L, Seq("__cnt"))
+      .crossJoin(broadcast(grandTotal))
+    grid
+      .select(col(groupCol), col("__n"),
+        expr("(__cnt * 1000000L) div __n").as("__pa"),
+        // a group that IS the whole corpus has no "rest" — drift is
+        // undefined, surfaced as NULL rather than a division error
+        when(col("__gn") > col("__n"),
+          expr("((__gc - __cnt) * 1000000L) div (__gn - __n)"))
+          .as("__pr"))
+      .groupBy(col(groupCol))
+      .agg(max(col("__n")).as("n"),
+        sum(abs(col("__pa") - col("__pr"))).as("__s"))
+      .select(col(groupCol), col("n"), expr("__s div 2").as("tv_ppm"))
+  }
+
   /** WINSORIZE a column per group using histogram-estimated percentile
     * bounds: values clamp into [p_lo, p_hi] as read from ONE shared
     * [[histState]] (each bound is a bin upper edge — within one bin

@@ -229,6 +229,25 @@ class SketchesSpec extends SparkSpec {
     assert(rolling(days.head) == firstDirect)
   }
 
+  test("histDriftTV: identical groups read ~0, a shifted group reads large; bounded by 1e6") {
+    // three groups: a and b share one distribution, c is shifted far away
+    val rows = (1 to 200).flatMap { i =>
+      Seq(("a", 100.0 + (i % 10)), ("b", 100.0 + (i % 10)), ("c", 900.0 + (i % 10)))
+    }
+    val out = Sketches.histDriftTV(rows.toDF("g", "v"), "g", "v", 0.0, 1024.0, 256)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out.keySet == Set("a", "b", "c"))
+    out.values.foreach { case (n, tv) => assert(n == 200L && tv >= 0 && tv <= 1000000L) }
+    // a vs rest(b identical + c shifted): moderate; c vs rest: maximal
+    assert(out("c")._2 > 990000L, s"shifted group should read ~1e6: ${out("c")._2}")
+    assert(out("a")._2 < 600000L && out("a")._2 > 300000L, s"half-overlap: ${out("a")._2}")
+    // single-group corpus: drift undefined -> NULL, not an error
+    val solo = Sketches.histDriftTV(
+      Seq(("only", 5.0), ("only", 7.0)).toDF("g", "v"), "g", "v", 0.0, 1024.0, 256)
+      .collect().head
+    assert(solo.isNullAt(2))
+  }
+
   test("winsorize: clamps tails to histogram p05/p95, leaves the body and NULLs alone") {
     val vals = (1 to 100).map(i => ("g", i.toLong, Some(500.0 + i))) ++
       Seq(("g", 900L, Some(5.0)), ("g", 901L, Some(2000.0)), ("g", 902L, Option.empty[Double]))
