@@ -2458,6 +2458,42 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // One-pass per-column cardinality/null profile (ext.Audit
+    // .columnProfile): six lineitem columns melt to (name, value)
+    // rows in one scan, then portable-HLL distincts per column — the
+    // arrival-time profiling pass.
+    "q176_column_profile" -> ((s, d) =>
+      graft.ext.Audit.columnProfile(T(s, d, "lineitem"),
+        Seq("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag",
+          "l_linestatus", "l_shipdate"))
+        .orderBy(col("col_name"))),
+
+    // Referential-integrity audit (ext.Audit.fkOrphans): three FK
+    // relationships checked by LEFT ANTI joins, labeled counts (all
+    // zero on the TPC-H-consistent fixture — the audit PASSING is the
+    // contract).
+    "q177_fk_orphans" -> ((s, d) =>
+      graft.ext.Audit.fkOrphans(Seq(
+        ("lineitem.orderkey", T(s, d, "lineitem"), "l_orderkey",
+          T(s, d, "orders"), "o_orderkey"),
+        ("orders.custkey", T(s, d, "orders"), "o_custkey",
+          T(s, d, "customer"), "c_custkey"),
+        ("customer.nationkey", T(s, d, "customer"), "c_nationkey",
+          T(s, d, "nation"), "n_nationkey")))
+        .orderBy(col("fk"))),
+
+    // Gap-free daily spine (ext.Audit.fillDailyGaps): sparse per-day
+    // error counts for two users, absent days zero-filled via a
+    // sequence-exploded calendar — the reporting-table shape.
+    "q178_date_spine" -> ((s, d) => {
+      val daily = T(s, d, "events")
+        .filter(col("user_id") < 2 && col("event_type") === "error")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n_events"))
+      graft.ext.Audit.fillDailyGaps(daily, "day", Seq("n_events"))
+        .orderBy(col("day"))
+    }),
+
     // Bloom-pruned join (operators.BloomJoin): the big side is
     // filtered against the small side's key bitmap BEFORE the join
     // exchange; false positives are removed by the join itself, so
@@ -4491,6 +4527,63 @@ object SparkEntry {
         |  CAST((c.cnt * 1000000) // t.tot AS BIGINT) AS p_ppm
         |FROM c JOIN t USING (from_type)
         |ORDER BY c.from_type, c.to_type""".stripMargin,
+
+    // six-column melt via UNION ALL, then the q91 HLL recipe keyed on
+    // the column name; null counts from the same melt
+    "q176_column_profile" ->
+      s"""WITH p AS (
+        |  SELECT 'l_orderkey' AS c, CAST(l_orderkey AS VARCHAR) AS v FROM lineitem
+        |  UNION ALL SELECT 'l_partkey', CAST(l_partkey AS VARCHAR) FROM lineitem
+        |  UNION ALL SELECT 'l_suppkey', CAST(l_suppkey AS VARCHAR) FROM lineitem
+        |  UNION ALL SELECT 'l_returnflag', l_returnflag FROM lineitem
+        |  UNION ALL SELECT 'l_linestatus', l_linestatus FROM lineitem
+        |  UNION ALL SELECT 'l_shipdate', CAST(l_shipdate AS VARCHAR) FROM lineitem),
+        |stats AS (SELECT c, count(*) AS n_rows,
+        |    CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls
+        |  FROM p GROUP BY 1),
+        |h AS (SELECT c,
+        |    CAST(concat('0x', substring(md5(concat_ws('|', '42', v)), 1, 14)) AS BIGINT) AS h
+        |  FROM p WHERE v IS NOT NULL),
+        |b AS (SELECT c, h & 63 AS b,
+        |    CASE WHEN (h >> 6) = 0 THEN 30
+        |         ELSE least(30, 51 - length(bin(h >> 6))) END AS rho FROM h),
+        |regs AS (SELECT c, b, max(rho) AS r FROM b GROUP BY 1, 2),
+        |s AS (SELECT c, sum(${1L << 30} >> r) AS s, count(*) AS present FROM regs GROUP BY 1),
+        |e AS (SELECT c, 64 - present AS zeros,
+        |    ${709L * 4096L * (1L << 30)}
+        |      // (1000 * (s + (64 - present) * ${1L << 30})) AS raw FROM s),
+        |d AS (SELECT c,
+        |    CAST(CASE WHEN raw <= 160 AND zeros > 0
+        |      THEN ([${graft.ext.Sketches.HllLinearCounting.mkString(", ")}])[CAST(zeros AS INTEGER)]
+        |      ELSE raw END AS BIGINT) AS est_distinct FROM e)
+        |SELECT stats.c AS col_name, stats.n_rows, stats.n_nulls, d.est_distinct
+        |FROM stats JOIN d USING (c) ORDER BY col_name""".stripMargin,
+
+    // NOT EXISTS per relationship — the anti-join twin
+    "q177_fk_orphans" ->
+      """SELECT * FROM (
+        |  SELECT 'customer.nationkey' AS fk,
+        |    (SELECT count(*) FROM customer c WHERE c.c_nationkey IS NOT NULL
+        |      AND NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)) AS n_orphans
+        |  UNION ALL SELECT 'lineitem.orderkey',
+        |    (SELECT count(*) FROM lineitem l WHERE l.l_orderkey IS NOT NULL
+        |      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+        |  UNION ALL SELECT 'orders.custkey',
+        |    (SELECT count(*) FROM orders o WHERE o.o_custkey IS NOT NULL
+        |      AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)))
+        |ORDER BY fk""".stripMargin,
+
+    // generate_series calendar between the data's bounds, zero-filled
+    "q178_date_spine" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, count(*) AS n_events FROM events
+        |  WHERE user_id < 2 AND event_type = 'error' GROUP BY 1),
+        |bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM daily),
+        |spine AS (
+        |  SELECT CAST(unnest(generate_series(CAST(lo AS TIMESTAMP), CAST(hi AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM bounds)
+        |SELECT spine.day, CAST(coalesce(n_events, 0) AS BIGINT) AS n_events
+        |FROM spine LEFT JOIN daily USING (day) ORDER BY day""".stripMargin,
 
     // shared-grid histogram, per-source vs rest-of-corpus ppm
     // profiles, floor-TV; absent bins read as zero via the grid join

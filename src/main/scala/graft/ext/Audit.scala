@@ -1,0 +1,65 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Data-quality auditing over arbitrary tables — the profiling pass a
+  * pipeline runs on arrival (before trusting a new drop) and the
+  * referential checks a warehouse runs after every load. Companions:
+  * [[graft.operators.SkewJoin.keySkew]] (join-shape audit),
+  * [[Sketches.histDriftTV]] (distribution drift),
+  * [[graft.tools.DatasetCard]] (the curation-level summary).
+  */
+object Audit {
+
+  /** Per-column cardinality/null PROFILE in ONE pass: every listed
+    * column melts to (name, value-as-string) rows — one scan however
+    * many columns — then a row/null aggregate and the portable HLL
+    * distinct estimate (q91's machinery) per column. Strings keep the
+    * engine-portable cast formats (ints, strings, dates, timestamps;
+    * avoid raw doubles — their string forms are not portable).
+    * Returns (col_name, n_rows, n_nulls, est_distinct). */
+  def columnProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "columnProfile needs at least one column")
+    val pairs = df.select(explode(array(cols.map(c =>
+        struct(lit(c).as("__col"), col(c).cast("string").as("__v"))): _*)).as("p"))
+      .select(col("p.__col").as("__col"), col("p.__v").as("__v"))
+    val stats = pairs.groupBy(col("__col"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("__v").isNull, 1L).otherwise(0L)).as("n_nulls"))
+    val distincts = Sketches.hllDistinctCount(
+      pairs.filter(col("__v").isNotNull), "__col", "__v")
+    stats.join(distincts, Seq("__col"))
+      .select(col("__col").as("col_name"), col("n_rows"), col("n_nulls"),
+        col("est_distinct"))
+  }
+
+  /** Referential-integrity audit: child rows whose non-null foreign
+    * key has no parent — per relationship, as one labeled count row.
+    * A LEFT ANTI join per relationship (shuffle on the key, no row
+    * amplification); NULL keys are not orphans (SQL semantics: an
+    * absent reference, not a broken one). */
+  def fkOrphans(relations: Seq[(String, DataFrame, String, DataFrame, String)]): DataFrame = {
+    require(relations.nonEmpty, "fkOrphans needs at least one relation")
+    relations.map { case (name, child, childKey, parent, parentKey) =>
+      child.filter(col(childKey).isNotNull)
+        .join(parent.select(col(parentKey).as(childKey)), Seq(childKey), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+        .select(lit(name).as("fk"), col("n_orphans"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Gap-free DAILY spine over an aggregate: the contiguous calendar
+    * between the data's min and max day, left-joined to the per-day
+    * rollup with absent days zero-filled — the reporting-table shape
+    * (a missing day must read 0, not vanish). The spine derives from
+    * a 1-row bounds aggregate exploded driver-free via `sequence`. */
+  def fillDailyGaps(daily: DataFrame, dateCol: String,
+      fillCols: Seq[String]): DataFrame = {
+    val bounds = daily.agg(min(col(dateCol)).as("__lo"), max(col(dateCol)).as("__hi"))
+    val spine = bounds.select(explode(
+      sequence(col("__lo"), col("__hi"), expr("interval 1 day"))).as(dateCol))
+    spine.join(daily, Seq(dateCol), "left")
+      .na.fill(0L, fillCols)
+  }
+}
