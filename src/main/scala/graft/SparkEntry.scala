@@ -2494,6 +2494,24 @@ object SparkEntry {
         .orderBy(col("day"))
     }),
 
+    // Market-basket association rules (ext.Behavior.associationRules):
+    // parts co-ordered in the same order — support/confidence/lift as
+    // floor ppm/milli; per-basket pair generation on the basket key,
+    // item totals broadcast back. minPairCount prunes the tail.
+    "q179_assoc_rules" -> ((s, d) =>
+      graft.ext.Behavior.associationRules(
+        T(s, d, "lineitem").filter(col("l_orderkey") < 2000),
+        "l_orderkey", "l_partkey", minPairCount = 2L)
+        .orderBy(col("item_a"), col("item_b"))),
+
+    // Engine-portable Pearson correlation (ext.Audit.exactCorrelation):
+    // decimal-exact sufficient statistics, one double conversion,
+    // fixed operation order — replayable where native corr() is not.
+    "q180_correlation" -> ((s, d) =>
+      graft.ext.Audit.exactCorrelation(T(s, d, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount"))
+        .orderBy(col("col_a"), col("col_b"))),
+
     // Bloom-pruned join (operators.BloomJoin): the big side is
     // filtered against the small side's key bitmap BEFORE the join
     // exchange; false positives are removed by the join itself, so
@@ -4527,6 +4545,64 @@ object SparkEntry {
         |  CAST((c.cnt * 1000000) // t.tot AS BIGINT) AS p_ppm
         |FROM c JOIN t USING (from_type)
         |ORDER BY c.from_type, c.to_type""".stripMargin,
+
+    // distinct (basket, item) rows, basket-keyed pair join, floor
+    // ppm/milli; the basket count enters as the same integer literal
+    "q179_assoc_rules" ->
+      """WITH it AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+        |  FROM lineitem WHERE l_orderkey < 2000 AND l_partkey IS NOT NULL),
+        |nb AS (SELECT count(DISTINCT b) AS n FROM it),
+        |ic AS (SELECT i, count(*) AS ni FROM it GROUP BY 1),
+        |p AS (SELECT a.i AS item_a, c.i AS item_b, count(*) AS n_ab
+        |  FROM it a JOIN it c ON a.b = c.b AND a.i <> c.i
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT item_a, item_b, n_ab,
+        |  CAST((n_ab * 1000000) // nb.n AS BIGINT) AS support_ppm,
+        |  CAST((n_ab * 1000000) // na.ni AS BIGINT) AS conf_ppm,
+        |  CAST((((n_ab * 1000000) // na.ni) * nb.n) // nbi.ni // 1000 AS BIGINT) AS lift_milli
+        |FROM p
+        |CROSS JOIN nb
+        |JOIN ic na ON na.i = item_a
+        |JOIN ic nbi ON nbi.i = item_b
+        |ORDER BY item_a, item_b""".stripMargin,
+
+    // identical sufficient statistics (decimal sums -> one double
+    // conversion) and identical operation order -> bit-equal r
+    "q180_correlation" ->
+      """WITH v AS (SELECT
+        |  CAST(round(l_quantity * 10000) AS BIGINT) AS x0,
+        |  CAST(round(l_extendedprice * 10000) AS BIGINT) AS x1,
+        |  CAST(round(l_discount * 10000) AS BIGINT) AS x2
+        |  FROM lineitem WHERE l_quantity IS NOT NULL
+        |    AND l_extendedprice IS NOT NULL AND l_discount IS NOT NULL),
+        |a AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+        |  CAST(sum(x0) AS DOUBLE) AS s0,
+        |  CAST(sum(x1) AS DOUBLE) AS s1,
+        |  CAST(sum(x2) AS DOUBLE) AS s2,
+        |  CAST(sum(x0 * x0) AS DOUBLE) AS p00,
+        |  CAST(sum(x0 * x1) AS DOUBLE) AS p01,
+        |  CAST(sum(x0 * x2) AS DOUBLE) AS p02,
+        |  CAST(sum(x1 * x1) AS DOUBLE) AS p11,
+        |  CAST(sum(x1 * x2) AS DOUBLE) AS p12,
+        |  CAST(sum(x2 * x2) AS DOUBLE) AS p22
+        |  FROM v)
+        |SELECT * FROM (
+        |  SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+        |    CAST(n AS BIGINT) AS n,
+        |    CASE WHEN sqrt(n * p00 - s0 * s0) * sqrt(n * p11 - s1 * s1) = 0 THEN NULL
+        |         ELSE (n * p01 - s0 * s1) / (sqrt(n * p00 - s0 * s0) * sqrt(n * p11 - s1 * s1)) END AS corr
+        |  FROM a
+        |  UNION ALL
+        |  SELECT 'l_quantity', 'l_discount', CAST(n AS BIGINT),
+        |    CASE WHEN sqrt(n * p00 - s0 * s0) * sqrt(n * p22 - s2 * s2) = 0 THEN NULL
+        |         ELSE (n * p02 - s0 * s2) / (sqrt(n * p00 - s0 * s0) * sqrt(n * p22 - s2 * s2)) END
+        |  FROM a
+        |  UNION ALL
+        |  SELECT 'l_extendedprice', 'l_discount', CAST(n AS BIGINT),
+        |    CASE WHEN sqrt(n * p11 - s1 * s1) * sqrt(n * p22 - s2 * s2) = 0 THEN NULL
+        |         ELSE (n * p12 - s1 * s2) / (sqrt(n * p11 - s1 * s1) * sqrt(n * p22 - s2 * s2)) END
+        |  FROM a)
+        |ORDER BY col_a, col_b""".stripMargin,
 
     // six-column melt via UNION ALL, then the q91 HLL recipe keyed on
     // the column name; null counts from the same melt

@@ -49,6 +49,47 @@ object Audit {
     }.reduce(_ unionByName _)
   }
 
+  /** Pairwise Pearson CORRELATION, engine-portable: the sufficient
+    * statistics (n, Σx, Σx², Σxy) accumulate as EXACT decimals in one
+    * aggregate pass, convert to double once, and compose into
+    * r = (n·Σxy − ΣxΣy) / (√(n·Σx²−(Σx)²)·√(n·Σy²−(Σy)²)) in a FIXED
+    * operation order — so any engine reproduces the doubles bit for
+    * bit (native `corr()` implementations use streaming updates whose
+    * rounding is implementation-defined; this one is replayable).
+    * Rows with a NULL in ANY listed column are dropped (listwise — a
+    * shared n across pairs). Zero-variance pairs read NULL. Returns
+    * (col_a, col_b, n, corr) for every pair col_a < col_b in the
+    * given order. */
+  def exactCorrelation(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "exactCorrelation needs at least two columns")
+    val clean = df.na.drop(cols)
+    // values scale to EXACT 10⁻⁴-precision integers (r is invariant
+    // to positive linear scaling, so the readout is unchanged); the
+    // per-row product stays inside int64 for |value| < ~9·10⁸, and
+    // sums accumulate as decimal(38,0) — DuckDB's int64-backed
+    // DECIMAL(18) overflows on a decimal×decimal product, integers
+    // with hugeint/decimal(38) sums do not
+    def d(c: String) = round(col(c) * lit(10000)).cast("long")
+    val aggs = Seq(count(lit(1)).cast("double").as("__n")) ++
+      cols.map(c => sum(d(c).cast("decimal(38,0)")).cast("double").as(s"__s_$c")) ++
+      (for (i <- cols.indices; j <- i until cols.size) yield
+        sum((d(cols(i)) * d(cols(j))).cast("decimal(38,0)"))
+          .cast("double").as(s"__p_${i}_$j"))
+    val row = clean.agg(aggs.head, aggs.tail: _*)
+    val pairRows = for (i <- cols.indices; j <- (i + 1) until cols.size) yield {
+      val (a, b) = (cols(i), cols(j))
+      val num = col("__n") * col(s"__p_${i}_$j") - col(s"__s_$a") * col(s"__s_$b")
+      val da = sqrt(col("__n") * col(s"__p_${i}_$i") - col(s"__s_$a") * col(s"__s_$a"))
+      val db = sqrt(col("__n") * col(s"__p_${j}_$j") - col(s"__s_$b") * col(s"__s_$b"))
+      struct(lit(a).as("col_a"), lit(b).as("col_b"),
+        col("__n").cast("long").as("n"),
+        when(da * db === 0, lit(null).cast("double"))
+          .otherwise(num / (da * db)).as("corr"))
+    }
+    row.select(explode(array(pairRows: _*)).as("r"))
+      .select(col("r.col_a"), col("r.col_b"), col("r.n"), col("r.corr"))
+  }
+
   /** Gap-free DAILY spine over an aggregate: the contiguous calendar
     * between the data's min and max day, left-joined to the per-day
     * rollup with absent days zero-filled — the reporting-table shape

@@ -82,6 +82,46 @@ object Behavior {
         expr("(cnt * 1000000L) div __tot").as("p_ppm"))
   }
 
+  /** Market-basket ASSOCIATION rules over (basket, item) rows: for
+    * each ordered item pair (a → b), support, confidence, and lift as
+    * floor-integer ppm/milli — "baskets containing a also contain b".
+    *
+    *  - support_ppm  = |a∧b|·10⁶ div |baskets|
+    *  - conf_ppm     = |a∧b|·10⁶ div |a|
+    *  - lift_milli   = conf_ppm·|baskets| div |b| div 1000
+    *    (>1000 ⇒ positive association; DEFINED as this division
+    *    composition, the repo-wide portable-integer idiom)
+    *
+    * Scale shape: baskets collapse to distinct (basket, item) rows,
+    * pairs generate per basket via a self-join ON THE BASKET KEY
+    * (bounded by per-basket item count — baskets are small by nature;
+    * a degenerate mega-basket would need a per-key cap upstream),
+    * item totals broadcast back. `minSupport` prunes BEFORE output.
+    * Returns (item_a, item_b, n_ab, support_ppm, conf_ppm,
+    * lift_milli). */
+  def associationRules(df: DataFrame, basketCol: String, itemCol: String,
+      minPairCount: Long = 1L): DataFrame = {
+    require(minPairCount >= 1, s"minPairCount must be >= 1, got $minPairCount")
+    val items = df.select(col(basketCol).as("__b"), col(itemCol).as("__i"))
+      .filter(col("__i").isNotNull).distinct()
+    val nBaskets = items.select(col("__b")).distinct().count()
+    val itemCounts = items.groupBy(col("__i")).agg(count(lit(1)).as("__ni"))
+    val pairs = items.select(col("__b"), col("__i").as("item_a"))
+      .join(items.select(col("__b"), col("__i").as("item_b")), Seq("__b"))
+      .filter(col("item_a") =!= col("item_b"))
+      .groupBy(col("item_a"), col("item_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minPairCount)
+    pairs
+      .join(broadcast(itemCounts.select(col("__i").as("item_a"), col("__ni").as("__na"))), Seq("item_a"))
+      .join(broadcast(itemCounts.select(col("__i").as("item_b"), col("__ni").as("__nb"))), Seq("item_b"))
+      .select(col("item_a"), col("item_b"), col("n_ab"),
+        expr(s"(n_ab * 1000000L) div ${nBaskets}L").as("support_ppm"),
+        expr("(n_ab * 1000000L) div __na").as("conf_ppm"),
+        expr(s"(((n_ab * 1000000L) div __na) * ${nBaskets}L) div __nb div 1000")
+          .as("lift_milli"))
+  }
+
   /** Ordered conversion FUNNEL: how many users performed the stages in
     * sequence — stage k counts users whose earliest stage-k event
     * strictly follows their committed stage-(k−1) time (the standard

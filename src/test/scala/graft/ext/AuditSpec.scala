@@ -31,6 +31,41 @@ class AuditSpec extends SparkSpec {
     assert(out == Seq(("child.pid", 1L))) // only pid=99 is broken
   }
 
+  test("exactCorrelation: recovers known perfect/zero correlations; listwise null drop") {
+    val rows = (1 to 40).map { i =>
+      val x = i.toDouble
+      // y = 2x + 3 (corr 1); z alternates independent of x (corr ~0)
+      (x, 2.0 * x + 3.0, if (i % 2 == 0) 1.0 else -1.0)
+    }
+    val df = rows.toDF("x", "y", "z")
+    val out = Audit.exactCorrelation(df, Seq("x", "y", "z"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    assert(math.abs(out(("x", "y")) - 1.0) < 1e-12)
+    assert(math.abs(out(("x", "z"))) < 0.05)
+    // constant column -> zero variance -> NULL, not NaN/error
+    val const = Audit.exactCorrelation(
+      rows.map { case (x, y, _) => (x, y, 7.0) }.toDF("x", "y", "z"), Seq("x", "z"))
+      .collect().head
+    assert(const.isNullAt(3))
+  }
+
+  test("associationRules: support/confidence/lift floor arithmetic on a known basket set") {
+    // baskets: {A,B}, {A,B}, {A,C}, {B} -> 4 baskets; A:3 B:3 C:1
+    val df = Seq(
+      (1L, "A"), (1L, "B"), (2L, "A"), (2L, "B"),
+      (3L, "A"), (3L, "C"), (4L, "B"), (4L, "B") // dup item collapses
+    ).toDF("basket", "item")
+    val out = graft.ext.Behavior.associationRules(df, "basket", "item")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // A->B: n_ab 2, support 2/4, conf 2/3, lift (2/3)/(3/4)
+    assert(out(("A", "B")) == ((2L, 500000L, 666666L, 888L)))
+    assert(out(("B", "A")) == ((2L, 500000L, 666666L, 888L)))
+    // A->C: conf 1/3, lift (1/3)/(1/4) = 1.333
+    assert(out(("A", "C")) == ((1L, 250000L, 333333L, 1333L)))
+    assert(!out.contains(("B", "C")) && !out.contains(("C", "B")))
+  }
+
   test("fillDailyGaps: interior missing days appear as zeros, bounds come from the data") {
     val daily = Seq(
       (Date.valueOf("2024-01-01"), 5L),
