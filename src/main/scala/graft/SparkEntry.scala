@@ -2512,6 +2512,43 @@ object SparkEntry {
         Seq("l_quantity", "l_extendedprice", "l_discount"))
         .orderBy(col("col_a"), col("col_b"))),
 
+    // The production MV loop COMPOSED: snapshot v0's state + the
+    // v0→v1 snapshot DELTA (anti join on the row key between two
+    // committed store versions) merged == direct recompute over v1 —
+    // ties q145's time travel to q159's mergeable state; the refresh
+    // reads only the delta, never re-scans the base.
+    "q181_mv_snapshot_refresh" -> ((s, d) => {
+      val root = java.nio.file.Files.createTempDirectory("graft-mv")
+      val store = new graft.core.TableStore(s, root.toString)
+      val li = T(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_returnflag"), col("l_quantity"))
+      store.write("li", li.filter(col("l_orderkey") % 3 =!= 0))   // v0
+      store.write("li", li)                                        // v1
+      val vs = store.versions("li")
+      val v0 = store.readVersion("li", vs.head)
+      val v1 = store.readVersion("li", vs.last)
+      val keys = Seq("l_returnflag")
+      val ms = Seq("l_quantity")
+      val state0 = graft.ext.Incremental.aggState(v0, keys, ms)
+      val delta = v1.join(v0.select(col("l_orderkey"), col("l_linenumber")),
+        Seq("l_orderkey", "l_linenumber"), "left_anti")
+      val out = graft.ext.Incremental.readout(
+          graft.ext.Incremental.mergeStates(keys, ms, state0,
+            graft.ext.Incremental.aggState(delta, keys, ms)), keys, ms)
+        .orderBy(col("l_returnflag"))
+      val rows = out.collect()
+      org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    }),
+
+    // Vocabulary-coverage audit (TextOps.oovRate): per-doc OOV rate
+    // against the corpus's own deterministic top-500 word list —
+    // TakeOrdered vocab broadcast to the token stream.
+    "q182_oov_rate" -> ((s, d) =>
+      TextOps.oovRate(T(s, d, "documents"), "doc_id", "text", vocabSize = 500)
+        .orderBy(col("doc_id"))),
+
     // Bloom-pruned join (operators.BloomJoin): the big side is
     // filtered against the small side's key bitmap BEFORE the join
     // exchange; false positives are removed by the join itself, so
@@ -4545,6 +4582,30 @@ object SparkEntry {
         |  CAST((c.cnt * 1000000) // t.tot AS BIGINT) AS p_ppm
         |FROM c JOIN t USING (from_type)
         |ORDER BY c.from_type, c.to_type""".stripMargin,
+
+    // the snapshot machinery is invisible to the oracle: merged
+    // (v0 state, delta state) == direct recompute over v1 == the
+    // full lineitem rollup (the q159 oracle restricted to one measure)
+    "q181_mv_snapshot_refresh" ->
+      """SELECT l_returnflag, count(*) AS cnt,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_l_quantity,
+        |  min(l_quantity) AS min_l_quantity, max(l_quantity) AS max_l_quantity
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // deterministic top-500 vocab (count DESC, word ASC), left-join
+    // miss rate per doc in floor ppm
+    "q182_oov_rate" ->
+      """WITH tk AS (
+        |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)) AS t
+        |  FROM documents),
+        |vc AS (SELECT t FROM (
+        |  SELECT t, count(*) AS c FROM tk GROUP BY 1
+        |  ORDER BY c DESC, t LIMIT 500)),
+        |j AS (SELECT tk.doc_id, CASE WHEN vc.t IS NULL THEN 1 ELSE 0 END AS oov
+        |  FROM tk LEFT JOIN vc ON tk.t = vc.t)
+        |SELECT doc_id, count(*) AS n_tokens, CAST(sum(oov) AS BIGINT) AS n_oov,
+        |  CAST((sum(oov) * 1000000) // count(*) AS BIGINT) AS oov_ppm
+        |FROM j GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
     // distinct (basket, item) rows, basket-keyed pair join, floor
     // ppm/milli; the basket count enters as the same integer literal

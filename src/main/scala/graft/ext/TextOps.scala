@@ -1135,4 +1135,28 @@ object TextOps {
           .as("importance"),
         coalesce(col("__nf"), lit(0L)).as("n_features"))
   }
+
+  /** Out-of-vocabulary rate per document against the corpus's own
+    * top-`vocabSize` word list — the tokenizer-coverage audit (a doc
+    * whose words mostly miss the vocabulary will fragment into
+    * garbage subwords at training time; run before committing a vocab
+    * size). Deterministic vocabulary: count DESC, word ASC, so the
+    * cut is engine-replayable. The vocab (≤ vocabSize rows) comes
+    * from a TakeOrdered over the word counts and BROADCASTS to the
+    * token stream — the corpus never shuffles on the word twice.
+    * Token-less docs produce no row (no tokens, no rate). Returns
+    * (idCol, n_tokens, n_oov, oov_ppm — floor ppm). */
+  def oovRate(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, vocabSize: Int): org.apache.spark.sql.DataFrame = {
+    require(vocabSize >= 1, s"vocabSize must be >= 1, got $vocabSize")
+    val toks = docs.select(col(idCol), explode(tokens(col(textCol))).as("__t"))
+    val vocab = toks.groupBy(col("__t")).agg(count(lit(1)).as("__c"))
+      .orderBy(col("__c").desc, col("__t")).limit(vocabSize)
+      .select(col("__t"), lit(1L).as("__in"))
+    toks.join(broadcast(vocab), Seq("__t"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_ppm", expr("(n_oov * 1000000L) div n_tokens"))
+  }
 }

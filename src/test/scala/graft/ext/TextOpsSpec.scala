@@ -473,4 +473,21 @@ class TextOpsSpec extends SparkSpec {
     val offT = (11L to 20L).map(scored).sum / 10
     assert(inT > offT, s"in-target mean $inT must beat off-target $offT")
   }
+
+  test("oovRate: rare words read OOV under a small vocab; common-word docs read zero") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),        // all words common (repeated below)
+      (2L, "the cat sat on the mat again"),
+      (3L, "xylophone quixotic zephyr"),     // all words unique -> all OOV at k=6
+      (4L, "")                               // token-less: no output row
+    ).toDF("doc_id", "text")
+    val out = TextOps.oovRate(docs, "doc_id", "text", vocabSize = 6)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // vocab = top 6 by (count desc, word asc): the(4), cat/mat/on/sat(2),
+    // then the count-1 tie resolves alphabetically to "again"
+    assert(out.keySet == Set(1L, 2L, 3L))
+    assert(out(1L)._2 == 0L && out(1L)._3 == 0L, s"doc1 ${out(1L)}")
+    assert(out(2L) == ((7L, 0L, 0L)), s"doc2 ${out(2L)}")
+    assert(out(3L) == ((3L, 3L, 1000000L)), s"doc3 ${out(3L)}")
+  }
 }
