@@ -2549,6 +2549,24 @@ object SparkEntry {
       TextOps.oovRate(T(s, d, "documents"), "doc_id", "text", vocabSize = 500)
         .orderBy(col("doc_id"))),
 
+    // Join-size estimation from count-min sketches (Sketches
+    // .cmJoinSizeEstimate, Cormode & Muthukrishnan §4.2): the inner
+    // product of two counter matrices bounds |A ⋈ B| from above —
+    // the join is priced WITHOUT co-scanning the sides. The contract
+    // also computes the exact size and the floor-ppm overestimate.
+    "q183_join_size_est" -> ((s, d) => {
+      val li = T(s, d, "lineitem")
+      val o = T(s, d, "orders")
+      val est = graft.ext.Sketches.cmJoinSizeEstimate(
+        li, "l_orderkey", o, "o_orderkey", depth = 4, width = 1 << 18)
+      val exact = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .agg(count(lit(1)).as("exact_join_rows"))
+      est.crossJoin(exact)
+        .select(col("est_join_rows"), col("exact_join_rows"),
+          expr("((est_join_rows - exact_join_rows) * 1000000L) div exact_join_rows")
+            .as("err_ppm"))
+    }),
+
     // Bloom-pruned join (operators.BloomJoin): the big side is
     // filtered against the small side's key bitmap BEFORE the join
     // exchange; false positives are removed by the join itself, so
@@ -4582,6 +4600,32 @@ object SparkEntry {
         |  CAST((c.cnt * 1000000) // t.tot AS BIGINT) AS p_ppm
         |FROM c JOIN t USING (from_type)
         |ORDER BY c.from_type, c.to_type""".stripMargin,
+
+    // both counter matrices replayed (the q95 bucket family at width
+    // 2^18), per-row inner products, min, exact join count
+    "q183_join_size_est" ->
+      """WITH va AS (SELECT CAST(l_orderkey AS VARCHAR) AS val FROM lineitem),
+        |ha AS (SELECT
+        |  CAST(concat('0x', substring(md5(concat_ws('|', '42', val)), 1, 14)) AS BIGINT) AS a,
+        |  CAST(concat('0x', substring(md5(concat_ws('|', '42', val)), 17, 14)) AS BIGINT) AS b
+        |  FROM va),
+        |ca AS (SELECT i, (a + i * b) % 262144 AS bucket, count(*) AS cnt
+        |  FROM ha, range(4) t(i) GROUP BY 1, 2),
+        |vb AS (SELECT CAST(o_orderkey AS VARCHAR) AS val FROM orders),
+        |hb AS (SELECT
+        |  CAST(concat('0x', substring(md5(concat_ws('|', '42', val)), 1, 14)) AS BIGINT) AS a,
+        |  CAST(concat('0x', substring(md5(concat_ws('|', '42', val)), 17, 14)) AS BIGINT) AS b
+        |  FROM vb),
+        |cb AS (SELECT i, (a + i * b) % 262144 AS bucket, count(*) AS cnt
+        |  FROM hb, range(4) t(i) GROUP BY 1, 2),
+        |ip AS (SELECT ca.i, sum(ca.cnt * cb.cnt) AS ip
+        |  FROM ca JOIN cb ON ca.i = cb.i AND ca.bucket = cb.bucket GROUP BY 1),
+        |est AS (SELECT CAST(min(ip) AS BIGINT) AS est_join_rows FROM ip),
+        |ex AS (SELECT count(*) AS exact_join_rows
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+        |SELECT est_join_rows, exact_join_rows,
+        |  CAST(((est_join_rows - exact_join_rows) * 1000000) // exact_join_rows AS BIGINT) AS err_ppm
+        |FROM est CROSS JOIN ex""".stripMargin,
 
     // the snapshot machinery is invisible to the oracle: merged
     // (v0 state, delta state) == direct recompute over v1 == the

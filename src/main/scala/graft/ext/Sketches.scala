@@ -312,6 +312,29 @@ object Sketches {
       .agg(min(col("__cnt")).as("est_count"))
   }
 
+  /** JOIN-SIZE estimation from count-min sketches (Cormode &
+    * Muthukrishnan 2005 §4.2): |A ⋈ B| on an equi-key equals the
+    * inner product of the two frequency vectors, which the sketches
+    * bound from above by min over rows of Σ_b cA[r,b]·cB[r,b]. The
+    * pre-flight that prices a join from two counter matrices (≤
+    * depth×width rows EACH, mergeable, buildable per-shard) without
+    * ever co-scanning the inputs — at 100 TB the sides may not even
+    * be co-located. Can only OVERestimate (collisions add). Returns
+    * one row: (est_join_rows long). */
+  def cmJoinSizeEstimate(a: DataFrame, aCol: String, b: DataFrame,
+      bCol: String, depth: Int = 4, width: Int = 256,
+      seed: Long = 42L): DataFrame = {
+    val ca = cmCounters(a.select(col(aCol).cast("string").as("__v")), "__v",
+      depth, width, seed)
+    val cb = cmCounters(b.select(col(bCol).cast("string").as("__v")), "__v",
+      depth, width, seed)
+      .withColumnRenamed("__cnt", "__cntB")
+    ca.join(cb, Seq("__row", "__bucket"))
+      .groupBy(col("__row"))
+      .agg(sum(col("__cnt") * col("__cntB")).as("__ip"))
+      .agg(min(col("__ip")).as("est_join_rows"))
+  }
+
   // ------------------------------------------------------------ bloom
 
   private def bloomGuards(mBits: Int, k: Int): Unit = {

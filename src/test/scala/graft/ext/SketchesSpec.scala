@@ -229,6 +229,20 @@ class SketchesSpec extends SparkSpec {
     assert(rolling(days.head) == firstDirect)
   }
 
+  test("cmJoinSizeEstimate: never underestimates; exact at generous width") {
+    val a = ((1 to 50).map(_ => 1L) ++ (1L to 30L)).toDF("k") // key 1 hot (51x)
+    val b = ((1 to 10).map(_ => 1L) ++ (20L to 40L)).toDF("k")
+    val exact = a.join(b, "k").count()
+    // generous width: collision-free -> inner product IS the join size
+    val wide = Sketches.cmJoinSizeEstimate(a, "k", b, "k", depth = 4, width = 4096)
+      .as[Long].collect().head
+    assert(wide == exact, s"wide $wide vs exact $exact")
+    // narrow width: collisions can only inflate
+    val narrow = Sketches.cmJoinSizeEstimate(a, "k", b, "k", depth = 4, width = 8)
+      .as[Long].collect().head
+    assert(narrow >= exact, s"narrow $narrow must be >= exact $exact")
+  }
+
   test("histDriftTV: identical groups read ~0, a shifted group reads large; bounded by 1e6") {
     // three groups: a and b share one distribution, c is shifted far away
     val rows = (1 to 200).flatMap { i =>
