@@ -298,6 +298,42 @@ object Streams {
     graft.ext.Dedup.incrementalNearDupsWithSigs(batch, corpusSigs, corpus,
       idCol, textCol, threshold, k, bands, shingleN, portable)
 
+  /** Streaming SKETCH ingest — the mergeable-summary loop in
+    * production: each micro-batch is sketched ALONE
+    * ([[graft.ext.Sketches.hllRegisters]] — work ∝ batch size), then
+    * merged into the persisted per-period register table by
+    * per-bucket MAX (the lossless HLL merge law, q152/q172), so
+    * rolling distinct counts are always serveable from
+    * |periods|·64 state rows and the event history is NEVER
+    * re-scanned. Max-merge is IDEMPOTENT, so foreachBatch's
+    * at-least-once replay is harmless here — a replayed batch merges
+    * to the same registers (the retry-safety the changelog sinks
+    * have to document away, this sink gets from algebra). The
+    * register table lives in the snapshot store (read version n while
+    * writing n+1 is safe). `periodExpr` derives the period column
+    * (e.g. `to_date(col("ts"))`). */
+  def sketchIngest(events: DataFrame, store: graft.core.TableStore,
+      table: String, periodExpr: org.apache.spark.sql.Column,
+      periodName: String, valueCol: String, checkpoint: String,
+      seed: Long = 42L): org.apache.spark.sql.streaming.StreamingQuery = {
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val regs = graft.ext.Sketches.hllRegisters(
+          batch.toDF().withColumn(periodName, periodExpr),
+          periodName, valueCol, seed)
+        val merged =
+          if (store.tableExists(table))
+            graft.ext.Sketches.hllMergeRegisters(periodName,
+              store.read(table), regs)
+          else regs
+        store.write(table, merged)
+        ()
+      }
+      .start()
+  }
+
   /** Stream-stream INTERVAL join: each left row joins right rows with
     * the same key whose timestamp falls in
     * `[leftTs − lookback, leftTs + lookahead]` — the attribution /

@@ -34,4 +34,35 @@ class FileStreamSpec extends SparkSpec {
     assert(streamed.size >= batch.size - 10, s"${streamed.size} vs ${batch.size}")
     assert(streamed.nonEmpty)
   }
+
+  test("sketchIngest: streamed per-day HLL registers == one-shot batch registers") {
+    val root = java.nio.file.Files.createTempDirectory("graft-si")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-si-ckpt")
+    val store = new graft.core.TableStore(spark, root.toString)
+    val q = Streams.sketchIngest(
+      Streams.eventsFileStream(spark, sfDir), store, "wau_regs",
+      to_date(col("ts")), "day", "user_id", ckpt.toString)
+    q.processAllAvailable(); q.stop()
+
+    val streamed = store.read("wau_regs")
+      .select(col("day").cast("string"), col("__b"), col("__r"))
+      .as[(String, Long, Int)].collect().toSet
+    val direct = graft.ext.Sketches.hllRegisters(
+        Fx.t(spark, sfDir, "events").withColumn("day", to_date(col("ts"))),
+        "day", "user_id")
+      .select(col("day").cast("string"), col("__b"), col("__r"))
+      .as[(String, Long, Int)].collect().toSet
+    assert(streamed == direct,
+      "incrementally merged registers must equal the one-shot sketch")
+
+    // idempotent merge: re-merging the final frame changes nothing
+    val again = graft.ext.Sketches.hllMergeRegisters("day",
+        store.read("wau_regs"), store.read("wau_regs"))
+      .select(col("day").cast("string"), col("__b"), col("__r"))
+      .as[(String, Long, Int)].collect().toSet
+    assert(again == streamed)
+
+    org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
+    org.apache.commons.io.FileUtils.deleteDirectory(ckpt.toFile)
+  }
 }
