@@ -2567,6 +2567,21 @@ object SparkEntry {
             .as("err_ppm"))
     }),
 
+    // Integer-TF-IDF keywords (TextOps.keywords): idf as the bit
+    // length of the integer df ratio, so scoring replays exactly;
+    // top-3 per doc over bounded per-doc partitions.
+    "q184_keywords" -> ((s, d) =>
+      TextOps.keywords(T(s, d, "documents"), "doc_id", "text", k = 3)
+        .orderBy(col("doc_id"), col("rank"))),
+
+    // Next-word suggestion table (TextOps.nextWordTable): corpus
+    // bigram argmax per context via one min(struct) aggregate —
+    // map-side combine, no vocabulary-sized window.
+    "q185_next_word" -> ((s, d) =>
+      TextOps.nextWordTable(T(s, d, "documents"), "doc_id", "text",
+        minCount = 5L)
+        .orderBy(col("word"))),
+
     // Bloom-pruned join (operators.BloomJoin): the big side is
     // filtered against the small side's key bitmap BEFORE the join
     // exchange; false positives are removed by the join itself, so
@@ -4600,6 +4615,43 @@ object SparkEntry {
         |  CAST((c.cnt * 1000000) // t.tot AS BIGINT) AS p_ppm
         |FROM c JOIN t USING (from_type)
         |ORDER BY c.from_type, c.to_type""".stripMargin,
+
+    // same integer idf (bit length of the floor df ratio), same
+    // (score DESC, term) top-3 window
+    "q184_keywords" ->
+      """WITH tk AS (
+        |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)) AS t
+        |  FROM documents),
+        |tf AS (SELECT doc_id, t, count(*) AS tf FROM tk GROUP BY 1, 2),
+        |nd AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+        |dfq AS (SELECT t, count(*) AS df FROM tf GROUP BY 1),
+        |sc AS (SELECT tf.doc_id, tf.t, tf.tf,
+        |    tf.tf * length(bin(nd.n // dfq.df)) AS score
+        |  FROM tf JOIN dfq USING (t) CROSS JOIN nd
+        |  WHERE dfq.df <= nd.n // 2),
+        |r AS (SELECT doc_id, t, tf, score,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, t) AS rank
+        |  FROM sc)
+        |SELECT doc_id, t AS term, tf, CAST(score AS BIGINT) AS score,
+        |  CAST(rank AS BIGINT) AS rank
+        |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    // positional bigrams, per-context argmax (cnt DESC, next ASC)
+    "q185_next_word" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS tokens
+        |  FROM documents),
+        |bg0 AS (SELECT CASE WHEN len(tokens) >= 2
+        |    THEN list_transform(range(1, len(tokens)), i -> [tokens[i], tokens[i + 1]])
+        |    ELSE [] END AS ps FROM tk),
+        |bg AS (SELECT p[1] AS w, p[2] AS n
+        |  FROM (SELECT unnest(ps) AS p FROM bg0)),
+        |c AS (SELECT w, n, count(*) AS cnt FROM bg GROUP BY 1, 2),
+        |r AS (SELECT w, n, cnt,
+        |    row_number() OVER (PARTITION BY w ORDER BY cnt DESC, n) AS rk
+        |  FROM c)
+        |SELECT w AS word, n AS next_word, cnt
+        |FROM r WHERE rk = 1 AND cnt >= 5 ORDER BY word""".stripMargin,
 
     // both counter matrices replayed (the q95 bucket family at width
     // 2^18), per-row inner products, min, exact join count

@@ -1136,6 +1136,62 @@ object TextOps {
         coalesce(col("__nf"), lit(0L)).as("n_features"))
   }
 
+  /** Per-document KEYWORDS by integer TF-IDF: score = tf ·
+    * bitlen(N div df) — the idf factor is the BIT LENGTH of the
+    * integer document-frequency ratio (⌊log₂⌋+1), so the whole score
+    * is integer arithmetic any engine replays exactly (a float
+    * ln-idf would not hash-match). Terms in more than half the
+    * corpus are dropped (df gate — their idf factor carries no
+    * signal). Top-`k` per doc by (score DESC, term ASC) via a
+    * per-doc window — document token lists are small by nature, so
+    * the per-doc partition is bounded. Returns
+    * (idCol, term, tf, score, rank). */
+  def keywords(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, k: Int): org.apache.spark.sql.DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol), explode(tokens(col(textCol))).as("__t"))
+    val tf = toks.groupBy(col(idCol), col("__t")).agg(count(lit(1)).as("tf"))
+    val nDocs = docs.select(col(idCol)).distinct().count()
+    val dfreq = tf.groupBy(col("__t")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= nDocs / 2)
+    val scored = tf.join(dfreq, Seq("__t"))
+      .withColumn("score",
+        col("tf") * length(bin(expr(s"${nDocs}L div __df"))))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("__t").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("__t").as("term"), col("tf"),
+        col("score").cast("long").as("score"), col("rank").cast("long").as("rank"))
+  }
+
+  /** Next-word SUGGESTION table over raw corpus bigrams: for each
+    * word seen ≥ `minCount` times as a context, the most frequent
+    * successor (ties break to the lexicographically first) — the
+    * first-order autocomplete / language-model argmax, computed as
+    * one `min(struct(-cnt, next))` aggregate per word (map-side
+    * combine, no window over the vocabulary). Returns
+    * (word, next_word, cnt). */
+  def nextWordTable(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, minCount: Long = 1L): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = docs.select(col(idCol),
+      posexplode(tokens(col(textCol))).as(Seq("__pos", "__tok")))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
+    val pairs = tok
+      .select(col(idCol), col("__tok"),
+        lead(col("__tok"), 1).over(w).as("__nxt"))
+      .filter(col("__nxt").isNotNull)
+      .groupBy(col("__tok"), col("__nxt")).agg(count(lit(1)).as("__c"))
+    pairs
+      .groupBy(col("__tok").as("word"))
+      .agg(min(struct((-col("__c")).as("n"), col("__nxt").as("w"))).as("__best"))
+      .select(col("word"), col("__best.w").as("next_word"),
+        (-col("__best.n")).as("cnt"))
+      .filter(col("cnt") >= minCount)
+  }
+
   /** Out-of-vocabulary rate per document against the corpus's own
     * top-`vocabSize` word list — the tokenizer-coverage audit (a doc
     * whose words mostly miss the vocabulary will fragment into
