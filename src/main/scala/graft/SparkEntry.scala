@@ -2582,6 +2582,28 @@ object SparkEntry {
         minCount = 5L)
         .orderBy(col("word"))),
 
+    // Per-type linear trend of daily volume (Audit.groupedTrend):
+    // int64 sufficient statistics over (day index, count) rows, one
+    // double conversion, fixed operation order — replayable where
+    // regr_slope() is not.
+    "q186_trend" -> ((s, d) => {
+      val daily = T(s, d, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n_day"))
+        .withColumn("x",
+          datediff(col("day"), lit("2024-01-01").cast("date")).cast("long"))
+      graft.ext.Audit.groupedTrend(daily, "event_type", "x", "n_day")
+        .orderBy(col("event_type"))
+    }),
+
+    // Integer CUSUM changepoint (Behavior.cusumChangepoint): the day
+    // of maximal cumulative deviation per event type — deviations
+    // scaled through the period count so the statistic stays exact.
+    "q187_changepoint" -> ((s, d) =>
+      graft.ext.Behavior.cusumChangepoint(T(s, d, "events"),
+        "event_type", "ts")
+        .orderBy(col("event_type"))),
+
     // Bloom-pruned join (operators.BloomJoin): the big side is
     // filtered against the small side's key bitmap BEFORE the join
     // exchange; false positives are removed by the join itself, so
@@ -4615,6 +4637,41 @@ object SparkEntry {
         |  CAST((c.cnt * 1000000) // t.tot AS BIGINT) AS p_ppm
         |FROM c JOIN t USING (from_type)
         |ORDER BY c.from_type, c.to_type""".stripMargin,
+
+    // identical integer sufficient statistics and fp composition
+    "q186_trend" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS y
+        |  FROM events GROUP BY 1, 2),
+        |v AS (SELECT event_type,
+        |    CAST(date_diff('day', DATE '2024-01-01', day) AS BIGINT) AS x,
+        |    CAST(y AS BIGINT) AS y FROM daily),
+        |a AS (SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+        |    CAST(sum(x * x) AS DOUBLE) AS sxx, CAST(sum(x * y) AS DOUBLE) AS sxy
+        |  FROM v GROUP BY 1)
+        |SELECT event_type, CAST(n AS BIGINT) AS n,
+        |  CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+        |       ELSE (n * sxy - sx * sy) / (n * sxx - sx * sx) END AS slope,
+        |  CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+        |       ELSE (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n END AS intercept
+        |FROM a ORDER BY event_type""".stripMargin,
+
+    // per-type daily counts, exact scaled deviations, running sum,
+    // argmax by (|cusum| DESC, day ASC)
+    "q187_changepoint" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS p, count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |t AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS tot, count(*) AS np
+        |  FROM daily GROUP BY 1),
+        |cs AS (SELECT d.event_type, d.p,
+        |    sum(d.c * t.np - t.tot) OVER (PARTITION BY d.event_type ORDER BY d.p
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cusum
+        |  FROM daily d JOIN t USING (event_type)),
+        |r AS (SELECT event_type, p, abs(cusum) AS score,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY abs(cusum) DESC, p) AS rk
+        |  FROM cs)
+        |SELECT event_type, p AS change_period, CAST(score AS BIGINT) AS cusum_score
+        |FROM r WHERE rk = 1 ORDER BY event_type""".stripMargin,
 
     // same integer idf (bit length of the floor df ratio), same
     // (score DESC, term) top-3 window

@@ -90,6 +90,36 @@ object Audit {
       .select(col("r.col_a"), col("r.col_b"), col("r.n"), col("r.corr"))
   }
 
+  /** Per-group LINEAR TREND (least-squares slope/intercept) from
+    * integer-valued x/y columns, engine-portable like
+    * [[exactCorrelation]]: int64 sufficient statistics (callers
+    * pre-scale so per-row products fit — e.g. day index × milli
+    * value), ONE double conversion, fixed operation order:
+    * slope = (n·Σxy − ΣxΣy)/(n·Σx² − (Σx)²),
+    * intercept = (Σy − slope·Σx)/n. The drift-over-time readout
+    * ("is this source's quality sliding week over week"). Constant-x
+    * groups read NULL slope. Returns
+    * (groupCol, n, slope, intercept). */
+  def groupedTrend(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val clean = df.na.drop(Seq(xCol, yCol))
+    val x = col(xCol).cast("long")
+    val y = col(yCol).cast("long")
+    val sums = clean.groupBy(col(groupCol)).agg(
+      count(lit(1)).cast("double").as("__n"),
+      sum(x.cast("decimal(38,0)")).cast("double").as("__sx"),
+      sum(y.cast("decimal(38,0)")).cast("double").as("__sy"),
+      sum((x * x).cast("decimal(38,0)")).cast("double").as("__sxx"),
+      sum((x * y).cast("decimal(38,0)")).cast("double").as("__sxy"))
+    val den = col("__n") * col("__sxx") - col("__sx") * col("__sx")
+    val slope = (col("__n") * col("__sxy") - col("__sx") * col("__sy")) / den
+    sums.select(col(groupCol), col("__n").cast("long").as("n"),
+      when(den === 0, lit(null).cast("double")).otherwise(slope).as("slope"),
+      when(den === 0, lit(null).cast("double"))
+        .otherwise((col("__sy") - slope * col("__sx")) / col("__n"))
+        .as("intercept"))
+  }
+
   /** Gap-free DAILY spine over an aggregate: the contiguous calendar
     * between the data's min and max day, left-joined to the per-day
     * rollup with absent days zero-filled — the reporting-table shape

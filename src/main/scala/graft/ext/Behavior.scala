@@ -82,6 +82,35 @@ object Behavior {
         expr("(cnt * 1000000L) div __tot").as("p_ppm"))
   }
 
+  /** CUSUM CHANGEPOINT detection on per-period counts, all-integer:
+    * for each group, the period whose cumulative deviation
+    * |Σ_{k≤d} (cnt_k·P − total)| is maximal (P = #periods, total =
+    * Σcnt — the mean is kept RATIONAL by scaling through P, so the
+    * statistic is exact integers any engine replays). The "when did
+    * this event type change level" audit; a flat series scores near
+    * zero, a level shift peaks at the shift. One window over the
+    * per-group PERIOD series (≤ |periods| rows per group — state-
+    * sized, the data collapsed first). Ties break to the earliest
+    * period. Returns (groupCol, change_period, cusum_score). */
+  def cusumChangepoint(events: DataFrame, groupCol: String,
+      tsCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("__p"))
+    val daily = events
+      .groupBy(col(groupCol), to_date(col(tsCol)).as("__p"))
+      .agg(count(lit(1)).as("__c"))
+    val totals = daily.groupBy(col(groupCol))
+      .agg(sum(col("__c")).as("__tot"), count(lit(1)).as("__np"))
+    daily.join(totals, Seq(groupCol))
+      .withColumn("__cusum",
+        sum(col("__c") * col("__np") - col("__tot")).over(w))
+      .withColumn("__score", abs(col("__cusum")))
+      .groupBy(col(groupCol))
+      .agg(min(struct((-col("__score")).as("s"), col("__p").as("p"))).as("__best"))
+      .select(col(groupCol), col("__best.p").as("change_period"),
+        (-col("__best.s")).as("cusum_score"))
+  }
+
   /** Market-basket ASSOCIATION rules over (basket, item) rows: for
     * each ordered item pair (a → b), support, confidence, and lift as
     * floor-integer ppm/milli — "baskets containing a also contain b".

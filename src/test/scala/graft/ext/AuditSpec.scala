@@ -66,6 +66,20 @@ class AuditSpec extends SparkSpec {
     assert(!out.contains(("B", "C")) && !out.contains(("C", "B")))
   }
 
+  test("groupedTrend: recovers a planted slope/intercept; constant-x reads NULL") {
+    // y = 7x + 100 exactly
+    val rows = (0L to 20L).map(x => ("g", x, 7L * x + 100L)) ++
+      Seq(("c", 5L, 1L), ("c", 5L, 9L)) // constant x -> undefined slope
+    val out = Audit.groupedTrend(rows.toDF("g", "x", "y"), "g", "x", "y")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), Option(r.get(2)), Option(r.get(3)))).toMap
+    val (n, slope, icpt) = out("g")
+    assert(n == 21L)
+    assert(math.abs(slope.get.asInstanceOf[Double] - 7.0) < 1e-12)
+    assert(math.abs(icpt.get.asInstanceOf[Double] - 100.0) < 1e-9)
+    assert(out("c")._2.isEmpty && out("c")._3.isEmpty)
+  }
+
   test("fillDailyGaps: interior missing days appear as zeros, bounds come from the data") {
     val daily = Seq(
       (Date.valueOf("2024-01-01"), 5L),

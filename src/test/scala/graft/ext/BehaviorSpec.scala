@@ -93,6 +93,22 @@ class BehaviorSpec extends SparkSpec {
       ("click", "view") -> (1L, 1000000L)))
   }
 
+  test("cusumChangepoint: peaks at a planted level shift; flat series scores low") {
+    // "shift": 1 event/day for 10 days then 5/day for 10 days — the
+    // cusum extreme lands at the last low day; "flat": 3/day
+    val ev = (0 until 10).flatMap(d => Seq(("shift", d, 1))) ++
+      (10 until 20).flatMap(d => Seq(("shift", d, 5))) ++
+      (0 until 20).flatMap(d => Seq(("flat", d, 3)))
+    val rows = ev.flatMap { case (g, d, n) =>
+      (0 until n).map(i => (g, ts(f"2024-01-${d + 1}%02d 0$i:00:00")))
+    }
+    val out = Behavior.cusumChangepoint(rows.toDF("g", "ts"), "g", "ts")
+      .collect().map(r => r.getString(0) -> (r.getDate(1).toString, r.getLong(2))).toMap
+    assert(out("shift")._1 == "2024-01-10", s"shift at ${out("shift")}")
+    assert(out("flat")._2 == 0L, s"flat series must score 0: ${out("flat")}")
+    assert(out("shift")._2 > 0L)
+  }
+
   test("funnel: equal timestamps do NOT advance (strictly-after semantics)") {
     val ev = Seq(
       (1L, ts("2024-01-01 00:00:00"), "view"),
