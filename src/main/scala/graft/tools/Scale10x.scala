@@ -129,7 +129,22 @@ object Scale10x {
       "q158_bloom_merge", "q159_incremental_mv", "q160_pps_sample",
       "q161_key_skew", "q162_hist_quantile", "q164_scd2",
       "q165_source_overlap", "q166_mad_outliers", "q167_winsorize",
-      "q168_retention", "q169_funnel", "q171_transitions")
+      "q168_retention", "q169_funnel", "q171_transitions",
+      // r10 final tier. Sketch/state-sized readouts (rolling WAU's
+      // range join runs over |days|×64 registers; drift and the
+      // column profile collapse to state after one scan; the CM
+      // join-size estimate joins two counter matrices), behavioral
+      // aggregates on user/day keys (trend/changepoint collapse to
+      // per-day counts first), text ops with one explode pass
+      // (keywords, next-word, OOV — vocab/df frames broadcast), and
+      // the pair generators with bounded per-key fan-out (assoc
+      // rules: per-basket item counts; correlation: one row of
+      // sufficient statistics).
+      "q172_rolling_wau", "q174_source_drift", "q176_column_profile",
+      "q177_fk_orphans", "q178_date_spine", "q179_assoc_rules",
+      "q180_correlation", "q182_oov_rate", "q183_join_size_est",
+      "q184_keywords", "q185_next_word", "q186_trend",
+      "q187_changepoint")
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
@@ -234,6 +249,19 @@ object Scale10x {
       .withColumn("c_custkey", col("c_custkey") + col("k").cast("long") * 10000000L)
       .drop("k")
     cust.repartition(4).write.mode("overwrite").parquet(s"$out/customer.parquet")
+
+    // orders: orderkey stride matches lineitem's, custkey matches
+    // customer's — every FK relationship (q177) and join-size
+    // structure (q183) is preserved per replica; nation is a fixed
+    // dimension and copies through unreplicated (c_nationkey is
+    // untouched, so the FK holds)
+    val ord = Fx.t(spark, src, "orders").crossJoin(rep)
+      .withColumn("o_orderkey", col("o_orderkey") + col("k").cast("long") * 10000000L)
+      .withColumn("o_custkey", col("o_custkey") + col("k").cast("long") * 10000000L)
+      .drop("k")
+    ord.repartition(8).write.mode("overwrite").parquet(s"$out/orders.parquet")
+    Fx.t(spark, src, "nation")
+      .repartition(1).write.mode("overwrite").parquet(s"$out/nation.parquet")
   }
 
   /** min-of-2 wall clock through the noop sink (full materialization,
