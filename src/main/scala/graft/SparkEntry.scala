@@ -2604,6 +2604,31 @@ object SparkEntry {
         "event_type", "ts")
         .orderBy(col("event_type"))),
 
+    // Curation pipeline v3 — the round-10-close composition over the
+    // NEW tier: source drift gate (q174) → per-lang winsorized length
+    // (q167) → exact dedup keep-min (q39) → weight-proportional PPS
+    // sample of 100 docs (q160, weighted by the winsorized length).
+    // Each stage is individually gated; this pins their COMPOSITION.
+    "q188_curation_v3" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val kept = graft.ext.Sketches.histDriftTV(
+          docs, "source", "n_chars", 0.0, 1024.0, 256)
+        .filter(col("tv_ppm") <= 800000L).select(col("source"))
+      val gated = docs.join(broadcast(kept), Seq("source"))
+      val wins = graft.ext.Sketches.winsorize(
+        gated, "lang", "n_chars", 0.0, 1024.0, 256)
+      val keepers = wins
+        .groupBy(TextOps.fingerprintMd5(col("text")).as("__fp"))
+        .agg(min(col("doc_id")).as("doc_id"))
+      val deduped = wins.join(keepers.select(col("doc_id")),
+        Seq("doc_id"), "left_semi")
+      graft.ext.Sampling.ppsSample(
+          deduped.select(col("doc_id"), col("lang"), col("source"),
+            col("n_chars_wins")),
+          "doc_id", "n_chars_wins", n = 100)
+        .orderBy(col("doc_id"))
+    }),
+
     // Bloom-pruned join (operators.BloomJoin): the big side is
     // filtered against the small side's key bitmap BEFORE the join
     // exchange; false positives are removed by the join itself, so
@@ -4637,6 +4662,49 @@ object SparkEntry {
         |  CAST((c.cnt * 1000000) // t.tot AS BIGINT) AS p_ppm
         |FROM c JOIN t USING (from_type)
         |ORDER BY c.from_type, c.to_type""".stripMargin,
+
+    // the four stage fragments (drift TV, histogram winsorize bounds,
+    // md5 fingerprint keep-min, PPS order variable) composed verbatim
+    "q188_curation_v3" ->
+      """WITH v AS (SELECT doc_id, lang, source, text, CAST(n_chars AS DOUBLE) AS x FROM documents),
+        |b1 AS (SELECT source, least(255, greatest(0, CAST(floor((x - 0.0) / 1024.0 * 256) AS BIGINT))) AS bin FROM v WHERE x IS NOT NULL),
+        |st1 AS (SELECT source, bin, count(*) AS c FROM b1 GROUP BY 1, 2),
+        |g1 AS (SELECT bin, sum(c) AS gc FROM st1 GROUP BY 1),
+        |t1 AS (SELECT source, sum(c) AS n FROM st1 GROUP BY 1),
+        |gt1 AS (SELECT sum(gc) AS gn FROM g1),
+        |grid1 AS (SELECT t1.source, t1.n, g1.bin, g1.gc, coalesce(st1.c, 0) AS c, gt1.gn
+        |  FROM t1 CROSS JOIN g1
+        |  LEFT JOIN st1 ON st1.source = t1.source AND st1.bin = g1.bin
+        |  CROSS JOIN gt1),
+        |p1 AS (SELECT source, n, (c * 1000000) // n AS pa,
+        |    CASE WHEN gn > n THEN ((gc - c) * 1000000) // (gn - n) END AS pr FROM grid1),
+        |drift AS (SELECT source, CAST(sum(abs(pa - pr)) // 2 AS BIGINT) AS tv FROM p1 GROUP BY 1),
+        |keeps AS (SELECT source FROM drift WHERE tv <= 800000),
+        |gated AS (SELECT v.* FROM v JOIN keeps USING (source)),
+        |b2 AS (SELECT lang, least(255, greatest(0, CAST(floor((x - 0.0) / 1024.0 * 256) AS BIGINT))) AS bin FROM gated WHERE x IS NOT NULL),
+        |h2 AS (SELECT lang, bin, count(*) AS cnt FROM b2 GROUP BY 1, 2),
+        |c2 AS (SELECT lang, bin,
+        |    sum(cnt) OVER (PARTITION BY lang ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(cnt) OVER (PARTITION BY lang) AS n FROM h2),
+        |plo AS (SELECT lang, 0.0 + (CAST(min(bin) + 1 AS DOUBLE) * 1024.0) / 256 AS wlo
+        |  FROM c2 WHERE cum >= CAST(ceil(0.05 * n) AS BIGINT) GROUP BY 1),
+        |phi AS (SELECT lang, 0.0 + (CAST(min(bin) + 1 AS DOUBLE) * 1024.0) / 256 AS whi
+        |  FROM c2 WHERE cum >= CAST(ceil(0.95 * n) AS BIGINT) GROUP BY 1),
+        |wz AS (SELECT g.doc_id, g.lang, g.source, g.text,
+        |    CASE WHEN g.x IS NULL THEN NULL ELSE least(greatest(g.x, plo.wlo), phi.whi) END AS w
+        |  FROM gated g JOIN plo ON g.lang = plo.lang JOIN phi ON g.lang = phi.lang),
+        |fp AS (SELECT doc_id, lang, source, w,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS f FROM wz),
+        |keep AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY f),
+        |dd AS (SELECT fp.* FROM fp JOIN keep USING (doc_id)),
+        |h AS (SELECT doc_id, lang, source, w,
+        |    CAST(concat('0x', substring(md5(concat_ws('|', '42', CAST(doc_id AS VARCHAR))), 1, 14)) AS BIGINT) AS u
+        |  FROM dd WHERE w IS NOT NULL AND w > 0)
+        |SELECT * FROM (
+        |  SELECT doc_id, lang, source, w AS n_chars_wins,
+        |    CAST(u AS DOUBLE) / CAST(w AS DOUBLE) AS pps
+        |  FROM h ORDER BY pps, doc_id LIMIT 100)
+        |ORDER BY doc_id""".stripMargin,
 
     // identical integer sufficient statistics and fp composition
     "q186_trend" ->

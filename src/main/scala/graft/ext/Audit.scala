@@ -21,12 +21,24 @@ object Audit {
     * Returns (col_name, n_rows, n_nulls, est_distinct). */
   def columnProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "columnProfile needs at least one column")
-    val pairs = df.select(explode(array(cols.map(c =>
+    // row/null counts come from ONE narrow aggregate over the original
+    // frame (no explode — rows and nulls don't need the melt); only
+    // the HLL registers read the k-way exploded stream, once
+    val statAggs = count(lit(1)).as("__n") +: cols.map(c =>
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nn_$c"))
+    val statRow = df.agg(statAggs.head, statAggs.tail: _*)
+    val stats = statRow.select(explode(array(cols.map(c =>
+        struct(lit(c).as("__col"), col("__n").as("n_rows"),
+          col(s"__nn_$c").as("n_nulls"))): _*)).as("s"))
+      .select(col("s.__col").as("__col"), col("s.n_rows"), col("s.n_nulls"))
+    // hash-spread BEFORE the k-way melt: a single-file input is one
+    // split, and the md5-per-value register pass would otherwise run
+    // its map side in one task (the SCALE.md local-fixture rule; at
+    // real scale the split count provides this for free)
+    val pairs = df.repartition(cols.map(col): _*)
+      .select(explode(array(cols.map(c =>
         struct(lit(c).as("__col"), col(c).cast("string").as("__v"))): _*)).as("p"))
       .select(col("p.__col").as("__col"), col("p.__v").as("__v"))
-    val stats = pairs.groupBy(col("__col"))
-      .agg(count(lit(1)).as("n_rows"),
-        sum(when(col("__v").isNull, 1L).otherwise(0L)).as("n_nulls"))
     val distincts = Sketches.hllDistinctCount(
       pairs.filter(col("__v").isNotNull), "__col", "__v")
     stats.join(distincts, Seq("__col"))
