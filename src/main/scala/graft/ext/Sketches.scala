@@ -324,10 +324,13 @@ object Sketches {
   def cmJoinSizeEstimate(a: DataFrame, aCol: String, b: DataFrame,
       bCol: String, depth: Int = 4, width: Int = 256,
       seed: Long = 42L): DataFrame = {
-    val ca = cmCounters(a.select(col(aCol).cast("string").as("__v")), "__v",
-      depth, width, seed)
-    val cb = cmCounters(b.select(col(bCol).cast("string").as("__v")), "__v",
-      depth, width, seed)
+    // hash-spread each side before sketching: the md5-per-row bucket
+    // derivation is the dominant cost and a single-split input would
+    // run it in one task (the SCALE.md local-fixture rule)
+    val ca = cmCounters(a.select(col(aCol).cast("string").as("__v"))
+      .repartition(col("__v")), "__v", depth, width, seed)
+    val cb = cmCounters(b.select(col(bCol).cast("string").as("__v"))
+      .repartition(col("__v")), "__v", depth, width, seed)
       .withColumnRenamed("__cnt", "__cntB")
     ca.join(cb, Seq("__row", "__bucket"))
       .groupBy(col("__row"))
