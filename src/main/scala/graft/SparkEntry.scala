@@ -213,7 +213,9 @@ object SparkEntry {
     * forced through CAST(.. AS DOUBLE): DuckDB parses `1.2` as
     * DECIMAL(2,1) and would fold decimal-decimal arithmetic EXACTLY
     * where doubles round, diverging from Spark's double fold. */
-  private val Bm25OracleSql: String = {
+  private val Bm25OracleSql: String = bm25Sql(20)
+
+  private def bm25Sql(topK: Int): String = {
     val terms = Seq("data", "model", "learning")
     val tfCols = terms.zipWithIndex.map { case (t, i) =>
       s"CAST(len(list_filter(t, x -> x = '$t')) AS BIGINT) AS tf$i"
@@ -241,7 +243,7 @@ object SparkEntry {
       |  SELECT doc_id,
       |    $contrib AS score
       |  FROM c CROSS JOIN st)
-      |SELECT doc_id, score FROM sc ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+      |SELECT doc_id, score FROM sc ORDER BY score DESC, doc_id LIMIT $topK""".stripMargin
   }
 
   /** Duplicated-span pipeline (Lee et al. exact substring dedup) as a
@@ -2629,6 +2631,25 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Hybrid retrieval via reciprocal-rank fusion (Similarity
+    // .rrfFuse): the BM25 lexical top-50 (q131's ranker) fused with
+    // the cosine semantic top-50 for query vector 0 (q49's ranker) —
+    // floor-integer 1000/(10+rank) contributions, no score
+    // calibration. The 50-row rank windows are bounded by topK.
+    "q189_hybrid_rrf" -> ((s, d) => {
+      val emb = T(s, d, "embeddings")
+      val lex = TextOps.bm25Rank(T(s, d, "documents"), "doc_id", "text",
+          Seq("data", "model", "learning"), topK = 50, logIdf = false)
+        .select(col("doc_id").as("id"),
+          row_number().over(Window.orderBy(col("score").desc, col("doc_id")))
+            .cast("long").as("rank"))
+      val sem = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+          emb.filter(col("vec_id") === 0), "vec_id", "embedding", k = 50)
+        .select(col("nn_id").as("id"), col("rank").cast("long").as("rank"))
+      Similarity.rrfFuse(Seq(lex, sem), "id", k = 20)
+        .orderBy(col("rrf_milli").desc, col("id"))
+    }),
+
     // Bloom-pruned join (operators.BloomJoin): the big side is
     // filtered against the small side's key bitmap BEFORE the join
     // exchange; false positives are removed by the join itself, so
@@ -4662,6 +4683,35 @@ object SparkEntry {
         |  CAST((c.cnt * 1000000) // t.tot AS BIGINT) AS p_ppm
         |FROM c JOIN t USING (from_type)
         |ORDER BY c.from_type, c.to_type""".stripMargin,
+
+    // both rankers replayed (BM25 CTEs + the cosine ranking), then
+    // the floor-RRF merge; DuckDB's bm25 CTE names don't clash with
+    // the cosine block's
+    "q189_hybrid_rrf" -> {
+      val bm25 = bm25Sql(50)
+      val bmCtes = bm25.stripPrefix("WITH ")
+        .split("\nSELECT doc_id, score FROM sc")(0)
+      s"""WITH $bmCtes,
+        |lex AS (
+        |  SELECT doc_id AS id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+        |  FROM (SELECT doc_id, score FROM sc ORDER BY score DESC, doc_id LIMIT 50)),
+        |v2 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+        |n2 AS (SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v2),
+        |q2 AS (SELECT e AS qe, nrm AS qn FROM n2 WHERE vec_id = 0),
+        |scored2 AS (
+        |  SELECT n2.vec_id AS id,
+        |    list_sum(list_transform(range(1, 65), i -> (n2.e[i] / n2.nrm) * (q2.qe[i] / q2.qn))) AS cosine
+        |  FROM q2 CROSS JOIN n2),
+        |sem AS (
+        |  SELECT id, CAST(rank AS BIGINT) AS rank FROM (
+        |    SELECT id, row_number() OVER (ORDER BY cosine DESC, id) AS rank FROM scored2)
+        |  WHERE rank <= 50),
+        |u AS (SELECT * FROM lex UNION ALL SELECT * FROM sem),
+        |f AS (SELECT id, CAST(sum(1000 // (10 + rank)) AS BIGINT) AS rrf_milli,
+        |    count(*) AS n_lists FROM u GROUP BY 1)
+        |SELECT * FROM (SELECT * FROM f ORDER BY rrf_milli DESC, id LIMIT 20)
+        |ORDER BY rrf_milli DESC, id""".stripMargin
+    },
 
     // the four stage fragments (drift TV, histogram winsorize bounds,
     // md5 fingerprint keep-min, PPS order variable) composed verbatim

@@ -573,6 +573,29 @@ object Similarity {
     topKPerQuery(scored, col("__id"), col("cosine"), "cosine", k)
   }
 
+  /** Reciprocal-rank FUSION (Cormack et al. 2009) of candidate
+    * rankings — the hybrid-retrieval combiner (lexical BM25 list +
+    * semantic ANN list → one ranking) that needs no score
+    * calibration: each list contributes 1/(c + rank), here as the
+    * floor integer 1000 div (c + rank) so the fused scores replay in
+    * any engine. Inputs are (idCol, rank) frames, rank 1-based within
+    * each list (top-N candidate pools — RRF is defined on ranks, not
+    * scores). One union + one hash aggregate + a bounded TakeOrdered.
+    * Returns (idCol, rrf_milli, n_lists) — n_lists tells how many
+    * pools surfaced the id (agreement is itself a signal). */
+  def rrfFuse(rankings: Seq[DataFrame], idCol: String, k: Int,
+      c: Int = 10): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    require(k >= 1 && c >= 0, s"need k >= 1 and c >= 0, got ($k, $c)")
+    rankings.map(_.select(col(idCol), col("rank")))
+      .reduce(_ unionByName _)
+      .groupBy(col(idCol))
+      .agg(sum(expr(s"1000 div (${c}L + rank)")).as("rrf_milli"),
+        count(lit(1)).as("n_lists"))
+      .orderBy(col("rrf_milli").desc, col(idCol))
+      .limit(k)
+  }
+
   // ------------------------------------------------------------- PCA
 
   /** Fitted PCA basis: `components(j)` is the j-th principal axis (unit

@@ -75,6 +75,19 @@ class PcaSpec extends SparkSpec {
       s"$projTotal vs ${m.totalVariance}")
   }
 
+  test("rrfFuse: consensus ids outrank single-list leaders; floor-integer scores") {
+    val l1 = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("id", "rank")
+    val l2 = Seq((3L, 1L), (1L, 2L), (9L, 3L)).toDF("id", "rank")
+    val out = Similarity.rrfFuse(Seq(l1, l2), "id", k = 10)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // id 1: 1000/11 + 1000/12 = 90 + 83 = 173; id 3: 1000/13 + 1000/11 = 76 + 90 = 166
+    // id 2: 1000/12 = 83; id 9: 1000/13 = 76
+    assert(out(1L) == ((173L, 2L)) && out(3L) == ((166L, 2L)))
+    assert(out(2L) == ((83L, 1L)) && out(9L) == ((76L, 1L)))
+    // both-list ids beat any single-list id here
+    assert(Seq(1L, 3L).forall(i => out(i)._1 > out(2L)._1))
+  }
+
   test("pcaFit skips wrong-length vectors and refuses degenerate inputs") {
     val df = Seq(
       (1L, Array(1.0, 2.0)), (2L, Array(2.0, 1.0)), (3L, Array(0.5))
