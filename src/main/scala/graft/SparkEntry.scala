@@ -2650,6 +2650,23 @@ object SparkEntry {
         .orderBy(col("rrf_milli").desc, col("id"))
     }),
 
+    // WINDOWED funnel (Behavior.funnel with maxGap): view -> click
+    // within 1 hour -> purchase within 1 hour of the click — the
+    // "converted promptly" refinement of q169's unbounded funnel.
+    "q190_windowed_funnel" -> ((s, d) =>
+      graft.ext.Behavior.funnel(T(s, d, "events"), "user_id", "ts",
+        "event_type", Seq("view", "click", "purchase"),
+        maxGap = Some("1 HOUR"))
+        .orderBy(col("stage"))),
+
+    // Rate-anomaly flagging (Behavior.rateAnomalies): each user's
+    // peak trailing-10-minute event count via one microsecond-exact
+    // RANGE frame, thresholded — the bot heuristic.
+    "q191_rate_anomalies" -> ((s, d) =>
+      graft.ext.Behavior.rateAnomalies(T(s, d, "events"), "user_id",
+        "ts", windowSeconds = 600L, threshold = 5L)
+        .orderBy(col("user_id"))),
+
     // Bloom-pruned join (operators.BloomJoin): the big side is
     // filtered against the small side's key bitmap BEFORE the join
     // exchange; false positives are removed by the join itself, so
@@ -4683,6 +4700,32 @@ object SparkEntry {
         |  CAST((c.cnt * 1000000) // t.tot AS BIGINT) AS p_ppm
         |FROM c JOIN t USING (from_type)
         |ORDER BY c.from_type, c.to_type""".stripMargin,
+
+    // q169's staged joins with the additional within-gap bound
+    "q190_windowed_funnel" ->
+      """WITH s0 AS (SELECT user_id, min(ts) AS t0 FROM events WHERE event_type = 'view' GROUP BY 1),
+        |s1 AS (SELECT e.user_id, min(e.ts) AS t1 FROM events e JOIN s0 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts > s0.t0 AND e.ts <= s0.t0 + INTERVAL 1 HOUR GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > s1.t1 AND e.ts <= s1.t1 + INTERVAL 1 HOUR GROUP BY 1)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS stage, 'view' AS event_type,
+        |    (SELECT count(*) FROM s0) AS n_users
+        |  UNION ALL SELECT CAST(2 AS BIGINT), 'click', (SELECT count(*) FROM s1)
+        |  UNION ALL SELECT CAST(3 AS BIGINT), 'purchase', (SELECT count(*) FROM s2))
+        |ORDER BY stage""".stripMargin,
+
+    // the same trailing RANGE frame on epoch micros, then max + flag
+    "q191_rate_anomalies" ->
+      """WITH r AS (
+        |  SELECT user_id, count(*) OVER w AS r
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |    RANGE BETWEEN 599999999 PRECEDING AND CURRENT ROW)),
+        |p AS (SELECT user_id, CAST(max(r) AS BIGINT) AS peak_rate FROM r GROUP BY 1)
+        |SELECT user_id, peak_rate,
+        |  CAST(CASE WHEN peak_rate >= 5 THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+        |FROM p ORDER BY user_id""".stripMargin,
 
     // both rankers replayed (BM25 CTEs + the cosine ranking), then
     // the floor-RRF merge; DuckDB's bm25 CTE names don't clash with

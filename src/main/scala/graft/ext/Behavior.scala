@@ -82,6 +82,30 @@ object Behavior {
         expr("(cnt * 1000000L) div __tot").as("p_ppm"))
   }
 
+  /** RATE-ANOMALY flagging (the bot heuristic): each user's PEAK
+    * event rate — the max number of events inside any trailing
+    * `windowSeconds` interval — computed with one microsecond-exact
+    * RANGE frame on the user partitioning (the q148 machinery), then
+    * thresholded. A human clicks; a scraper bursts — the peak
+    * trailing count separates them far more sharply than a daily
+    * total. Returns (userCol, peak_rate long, is_anomaly long 0/1).
+    */
+  def rateAnomalies(events: DataFrame, userCol: String, tsCol: String,
+      windowSeconds: Long, threshold: Long): DataFrame = {
+    require(windowSeconds >= 1 && threshold >= 1,
+      s"need positive window/threshold, got ($windowSeconds, $threshold)")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol))
+      .orderBy(unix_micros(col(tsCol)))
+      .rangeBetween(-(windowSeconds * 1000000L - 1), 0)
+    events
+      .withColumn("__r", count(lit(1)).over(w))
+      .groupBy(col(userCol))
+      .agg(max(col("__r")).as("peak_rate"))
+      .withColumn("is_anomaly",
+        when(col("peak_rate") >= threshold, 1L).otherwise(0L))
+  }
+
   /** CUSUM CHANGEPOINT detection on per-period counts, all-integer:
     * for each group, the period whose cumulative deviation
     * |Σ_{k≤d} (cnt_k·P − total)| is maximal (P = #periods, total =
@@ -162,9 +186,14 @@ object Behavior {
     * Returns (stage long, event_type string, n_users long), stage
     * 1-indexed in funnel order. */
   def funnel(events: DataFrame, userCol: String, tsCol: String,
-      typeCol: String, stages: Seq[String]): DataFrame = {
+      typeCol: String, stages: Seq[String],
+      maxGap: Option[String] = None): DataFrame = {
     require(stages.nonEmpty, "funnel needs at least one stage")
     require(stages.distinct.size == stages.size, "funnel stages must be distinct")
+    // optional WINDOWED funnel: stage k must land within `maxGap` of
+    // the committed stage-(k−1) time (the "converted within an hour"
+    // refinement); unbounded when absent
+    val gap = maxGap.map(g => expr(s"INTERVAL $g"))
     // per user: earliest qualifying time per stage, built left-to-right
     val perUser = stages.zipWithIndex.foldLeft(
       events.select(col(userCol)).distinct()) { case (acc, (stage, i)) =>
@@ -172,9 +201,13 @@ object Behavior {
         .select(col(userCol), col(tsCol).as("__t"))
       val qualified =
         if (i == 0) evs
-        else evs.join(acc.select(col(userCol), col(s"__s${i - 1}")), Seq(userCol))
-          .filter(col("__t") > col(s"__s${i - 1}"))
-          .select(col(userCol), col("__t"))
+        else {
+          val joined = evs
+            .join(acc.select(col(userCol), col(s"__s${i - 1}")), Seq(userCol))
+            .filter(col("__t") > col(s"__s${i - 1}"))
+          gap.fold(joined)(g => joined.filter(col("__t") <= col(s"__s${i - 1}") + g))
+            .select(col(userCol), col("__t"))
+        }
       acc.join(
         qualified.groupBy(col(userCol)).agg(min(col("__t")).as(s"__s$i")),
         Seq(userCol), "left")

@@ -109,6 +109,38 @@ class BehaviorSpec extends SparkSpec {
     assert(out("shift")._2 > 0L)
   }
 
+  test("windowed funnel: stages past the gap do not count; inside the gap they do") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 00:00:00"), "view"),
+      (1L, ts("2024-01-01 00:30:00"), "click"),   // inside 1h -> counts
+      (2L, ts("2024-01-01 00:00:00"), "view"),
+      (2L, ts("2024-01-01 02:00:00"), "click")    // past 1h -> stalls
+    ).toDF("user_id", "ts", "event_type")
+    val out = Behavior.funnel(ev, "user_id", "ts", "event_type",
+        Seq("view", "click"), maxGap = Some("1 HOUR"))
+      .collect().map(r => (r.getString(1), r.getLong(2))).toMap
+    assert(out == Map("view" -> 2L, "click" -> 1L))
+    // unbounded funnel still counts both
+    val open = Behavior.funnel(ev, "user_id", "ts", "event_type",
+        Seq("view", "click"))
+      .collect().map(r => (r.getString(1), r.getLong(2))).toMap
+    assert(open == Map("view" -> 2L, "click" -> 2L))
+  }
+
+  test("rateAnomalies: a burst inside the window flags; spaced events do not") {
+    val ev = (
+      // bursty user: 6 events in 2 minutes
+      (1 to 6).map(i => (1L, ts(f"2024-01-01 10:0${i % 10}:00"))) ++
+      // steady user: 6 events one hour apart
+      (1 to 6).map(i => (2L, ts(f"2024-01-01 ${9 + i}%02d:00:00")))
+    ).toDF("user_id", "ts")
+    val out = Behavior.rateAnomalies(ev, "user_id", "ts",
+        windowSeconds = 600L, threshold = 5L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1L) == ((6L, 1L)), s"burst ${out(1L)}")
+    assert(out(2L)._1 == 1L && out(2L)._2 == 0L, s"steady ${out(2L)}")
+  }
+
   test("funnel: equal timestamps do NOT advance (strictly-after semantics)") {
     val ev = Seq(
       (1L, ts("2024-01-01 00:00:00"), "view"),
