@@ -2667,6 +2667,26 @@ object SparkEntry {
         "ts", windowSeconds = 600L, threshold = 5L)
         .orderBy(col("user_id"))),
 
+    // Inter-event GAP quantiles per type (time-domain × sketch
+    // composition): per-user lag gaps in floor seconds, median read
+    // from the q162 histogram state — latency/cadence profiling with
+    // no per-type sort.
+    "q192_gap_quantiles" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val gaps = T(s, d, "events")
+        .withColumn("__prev", lag(col("ts"), 1).over(w))
+        .filter(col("__prev").isNotNull)
+        .select(col("event_type"),
+          expr("(unix_micros(ts) - unix_micros(__prev)) div 1000000")
+            .as("gap_sec"))
+      graft.ext.Sketches.histQuantile(
+          graft.ext.Sketches.histState(gaps, "event_type", "gap_sec",
+            0.0, 8192.0, 512),
+          "event_type", 0.5, 0.0, 8192.0, 512)
+        .orderBy(col("event_type"))
+    }),
+
     // Bloom-pruned join (operators.BloomJoin): the big side is
     // filtered against the small side's key bitmap BEFORE the join
     // exchange; false positives are removed by the join itself, so
@@ -4700,6 +4720,25 @@ object SparkEntry {
         |  CAST((c.cnt * 1000000) // t.tot AS BIGINT) AS p_ppm
         |FROM c JOIN t USING (from_type)
         |ORDER BY c.from_type, c.to_type""".stripMargin,
+
+    // per-user lag gaps (floor seconds), the q162 histogram replay
+    // on a 16-second grid
+    "q192_gap_quantiles" ->
+      """WITH g AS (
+        |  SELECT event_type,
+        |    (epoch_us(ts) - epoch_us(lag(ts) OVER w)) // 1000000 AS gap
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |v AS (SELECT event_type, CAST(gap AS DOUBLE) AS x FROM g WHERE gap IS NOT NULL),
+        |b AS (SELECT event_type, least(511, greatest(0, CAST(floor((x - 0.0) / 8192.0 * 512) AS BIGINT))) AS bin FROM v),
+        |h AS (SELECT event_type, bin, count(*) AS cnt FROM b GROUP BY 1, 2),
+        |c AS (SELECT event_type, bin,
+        |    sum(cnt) OVER (PARTITION BY event_type ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(cnt) OVER (PARTITION BY event_type) AS n FROM h)
+        |SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+        |  0.0 + (CAST(min(bin) + 1 AS DOUBLE) * 8192.0) / 512 AS q_est
+        |FROM c WHERE cum >= CAST(ceil(0.5 * n) AS BIGINT)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // q169's staged joins with the additional within-gap bound
     "q190_windowed_funnel" ->
