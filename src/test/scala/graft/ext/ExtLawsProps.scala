@@ -428,6 +428,65 @@ object ExtLawsProps extends Properties("graft.ext") {
         counts.head <= nUsers && counts.forall(_ >= 0)
     }
 
+  // SCD2 round trip: for ANY event soup and ANY probe instant, the
+  // point-in-time lookup over the intervalized history equals the
+  // directly computed "latest value at or before t" — the law that
+  // makes the compressed history a faithful substitute for the log.
+  property("scd2 + asOf == direct latest-at-instant, for any stream and probe") =
+    Prop.forAll(
+      Gen.nonEmptyListOf(Gen.zip(Gen.chooseNum(1L, 4L), Gen.chooseNum(0L, 50L),
+        Gen.oneOf("A", "B", "C"))).map(_.take(40)),
+      Gen.chooseNum(0L, 50L)) { (evs, probeMin) =>
+      val rows = evs.zipWithIndex.map { case ((u, m, v), i) =>
+        (u, new java.sql.Timestamp(m * 60000L), i.toLong, v) }
+      val df = rows.toDF("user_id", "ts", "event_id", "event_type")
+      val probe = new java.sql.Timestamp(probeMin * 60000L)
+      val got = History.asOf(
+          History.scd2(df, "user_id", "ts", "event_type", "event_id"),
+          lit(probe))
+        .select($"user_id", $"event_type").as[(Long, String)].collect().toMap
+      // direct: per user, the value of the last event at or before the
+      // probe (ties by event_id — the scd2 ordering)
+      val want = rows.filter(!_._2.after(probe))
+        .groupBy(_._1)
+        .map { case (u, es) => u -> es.maxBy(e => (e._2.getTime, e._3))._4 }
+      got == want
+    }
+
+  // Winsorize is bounded and monotone: every output lands inside the
+  // group's [lo-bound, hi-bound], and the clamp preserves order.
+  property("winsorize: outputs within bounds; order-preserving within a group") =
+    Prop.forAll(Gen.nonEmptyListOf(Gen.chooseNum(0.0, 900.0)).map(_.take(60))) { vals =>
+      val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, "g", v) }
+        .toDF("id", "g", "v")
+      val out = Sketches.winsorize(df, "g", "v", 0.0, 1024.0, 128)
+        .select($"id", $"v", $"v_wins").as[(Long, Double, Double)].collect()
+      val lo = out.map(_._3).min
+      val hi = out.map(_._3).max
+      val bounded = out.forall(r => r._3 >= lo && r._3 <= hi)
+      val ordered = out.sortBy(_._2).map(_._3).toSeq
+      val monotone = ordered.zip(ordered.drop(1)).forall { case (a, b) => a <= b }
+      bounded && monotone
+    }
+
+  // RRF is monotone in evidence: adding another list never DECREASES
+  // any id's fused score, and the scores are the exact floor sums.
+  property("rrfFuse: extra lists only add; scores are exact floor sums") =
+    Prop.forAll(
+      Gen.nonEmptyListOf(Gen.chooseNum(1L, 9L)).map(_.distinct.take(6)),
+      Gen.nonEmptyListOf(Gen.chooseNum(1L, 9L)).map(_.distinct.take(6))) { (ids1, ids2) =>
+      def ranked(ids: List[Long]) =
+        ids.zipWithIndex.map { case (id, i) => (id, i + 1L) }.toDF("id", "rank")
+      val one = Similarity.rrfFuse(Seq(ranked(ids1)), "id", k = 20)
+        .as[(Long, Long, Long)].collect().map(t => t._1 -> t._2).toMap
+      val both = Similarity.rrfFuse(Seq(ranked(ids1), ranked(ids2)), "id", k = 20)
+        .as[(Long, Long, Long)].collect().map(t => t._1 -> t._2).toMap
+      val wantOne = ids1.zipWithIndex.map { case (id, i) => id -> 1000L / (10 + i + 1) }.toMap
+      one == wantOne &&
+        one.forall { case (id, s) => both(id) >= s } &&
+        ids2.forall(both.contains)
+    }
+
   property("ntileByKey == serial NTILE reference for arbitrary keys/ties/tiles") =
     Prop.forAll(genKeyed, Gen.oneOf(1, 2, 3, 5), Gen.oneOf(2, 8, 32)) {
       (rows, tiles, buckets) =>
