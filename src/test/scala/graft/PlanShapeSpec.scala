@@ -374,4 +374,39 @@ class PlanShapeSpec extends SparkSpec {
     // shuffle-based join over both sides
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
   }
+
+  test("PPS sample runs as TakeOrdered, never a global sort") {
+    assert(planOf("q160_pps_sample").contains("TakeOrderedAndProject"))
+  }
+
+  test("bloom probe broadcasts the set-bit frame; probes never shuffle for the join") {
+    val p = planOf("q158_bloom_merge")
+    assert(p.contains("BroadcastHashJoin LeftOuter"),
+      "the set-bit frame must broadcast to the probes: " + p)
+  }
+
+  test("histogram quantile windows run over state, after the bin aggregate") {
+    val p = planOf("q162_hist_quantile")
+    // the Window must sit ABOVE a HashAggregate (state rows), and the
+    // plan must not sort the raw data (only the <=1024-row state)
+    val winIdx = p.indexOf("Window")
+    assert(winIdx > 0 && p.lastIndexOf("HashAggregate") > 0, p)
+    assert(p.substring(winIdx).contains("HashAggregate") ||
+      p.substring(0, winIdx).contains("HashAggregate"), p)
+  }
+
+  test("source overlap never self-joins the corpus: pairs explode from the source array") {
+    val p = planOf("q165_source_overlap")
+    // one Generate for the shingle explode, one for the pair explode —
+    // and no join keyed on the shingle between corpus-sized sides
+    assert("Generate".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("SortMergeJoin"),
+      "the reshape must not reintroduce the shingle-keyed self-join: " + p)
+  }
+
+  test("heap top-k per group is an ObjectHashAggregate (bounded state, map-side combine)") {
+    val p = planOf("q163_topk_per_group")
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(!p.contains("Window"), "no row_number window on the data: " + p)
+  }
 }
