@@ -31,11 +31,13 @@ object DatasetCard {
       dupWordFracMean: Double,
       piiEmails: Long, piiUrls: Long, piiIps: Long,
       lmScoreMean: Double = 0.0, lmScoreP10: Double = 0.0,
-      gopherPassRate: Double = 0.0)
+      gopherPassRate: Double = 0.0,
+      maxSourceDriftPpm: Long = 0L, oovMeanPpm: Long = 0L)
 
   def cardFor(docs: DataFrame, idCol: String, textCol: String,
       langCol: Option[String] = None,
-      nearDupThreshold: Double = 0.8): Card = {
+      nearDupThreshold: Double = 0.8,
+      sourceCol: Option[String] = None): Card = {
     val t = col(textCol)
     val (ne, nu, ni) = TextOps.piiCounts(t)
     // single wide aggregate over per-row codegen'd expressions
@@ -102,7 +104,23 @@ object DatasetCard {
       piiIps = row.getAs[Long]("ni"),
       lmScoreMean = lmRow.getAs[Double]("m"),
       lmScoreP10 = lmRow.getAs[Number]("p10").doubleValue(),
-      gopherPassRate = row.getAs[Double]("gpr"))
+      gopherPassRate = row.getAs[Double]("gpr"),
+      // provenance drift: the WORST source's length-profile TV vs the
+      // rest of the corpus (the q174 auditor) — a release whose max
+      // drift jumped needs a look before training sees it
+      maxSourceDriftPpm = sourceCol.map { sc =>
+        graft.ext.Sketches.histDriftTV(
+            docs.withColumn("__len", length(t)), sc, "__len",
+            0.0, 8192.0, 512)
+          .agg(max(col("tv_ppm"))).head().getLong(0)
+      }.getOrElse(0L),
+      // vocabulary coverage: mean per-doc OOV rate against the
+      // corpus's own top-512 word list (the q182 auditor)
+      oovMeanPpm = {
+        val o = TextOps.oovRate(docs, idCol, textCol, vocabSize = 512)
+          .agg(avg(col("oov_ppm"))).head()
+        if (o.isNullAt(0)) 0L else o.getDouble(0).round
+      })
   }
 
   def toJson(c: Card): String = {
@@ -122,7 +140,8 @@ object DatasetCard {
       f""""quality_p10":${c.qualityP10}%.4f,"dup_word_frac_mean":${c.dupWordFracMean}%.4f,""" +
       f""""pii_emails":${c.piiEmails},"pii_urls":${c.piiUrls},"pii_ips":${c.piiIps},""" +
       f""""lm_score_mean":${c.lmScoreMean}%.4f,"lm_score_p10":${c.lmScoreP10}%.4f,""" +
-      f""""gopher_pass_rate":${c.gopherPassRate}%.4f}"""
+      f""""gopher_pass_rate":${c.gopherPassRate}%.4f,""" +
+      f""""max_source_drift_ppm":${c.maxSourceDriftPpm},"oov_mean_ppm":${c.oovMeanPpm}}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -133,7 +152,8 @@ object DatasetCard {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val docs = Fx.t(spark, dir, "documents")
-    println(toJson(cardFor(docs, "doc_id", "text", langCol = Some("lang"))))
+    println(toJson(cardFor(docs, "doc_id", "text", langCol = Some("lang"),
+      sourceCol = Some("source"))))
     spark.stop()
   }
 }

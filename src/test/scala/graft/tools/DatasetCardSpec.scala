@@ -10,8 +10,13 @@ class DatasetCardSpec extends SparkSpec {
     val docs = Fx.t(spark, sfDir, "documents")
     val n = docs.count()
     val card = DatasetCard.cardFor(docs, "doc_id", "text",
-      langCol = Some("lang"), nearDupThreshold = 0.5)
+      langCol = Some("lang"), nearDupThreshold = 0.5,
+      sourceCol = Some("source"))
     assert(card.nDocs == n)
+    // new audit facets: drift is a TV ppm (bounded), the corpus's own
+    // top-512 vocab should cover most of a ~5k-word fixture vocabulary
+    assert(card.maxSourceDriftPpm > 0 && card.maxSourceDriftPpm <= 1000000L)
+    assert(card.oovMeanPpm >= 0 && card.oovMeanPpm < 1000000L)
     assert(card.langs.values.sum == n, "language mix must partition the corpus")
     assert(card.totalTokens > 0 && card.tokensP50 > 0)
     assert(card.tokensP90 >= card.tokensP50)
