@@ -487,6 +487,53 @@ object ExtLawsProps extends Properties("graft.ext") {
         ids2.forall(both.contains)
     }
 
+  // Transition rows are probability-like: per from_type the ppm
+  // column floor-sums to ≤ 1e6 (and > 1e6 − |types| — floor loss only),
+  // and pair counts conserve the number of adjacent pairs.
+  property("transitionMatrix: ppm rows ~sum to 1e6; pair counts conserved") =
+    Prop.forAll(Gen.nonEmptyListOf(Gen.zip(
+      Gen.chooseNum(1L, 4L), Gen.chooseNum(0L, 80L),
+      Gen.oneOf("a", "b", "c"))).map(_.take(50))) { evs =>
+      val rows = evs.zipWithIndex.map { case ((u, m, ty), i) =>
+        (u, new java.sql.Timestamp(m * 60000L), i.toLong, ty) }
+      val df = rows.toDF("user_id", "ts", "event_id", "event_type")
+      val out = Behavior.transitionMatrix(df, "user_id", "ts", "event_type", "event_id")
+        .as[(String, String, Long, Long)].collect()
+      val expectedPairs = rows.groupBy(_._1).values.map(es => es.size - 1).sum
+      val byFrom = out.groupBy(_._1)
+      out.map(_._3).sum == expectedPairs &&
+        byFrom.values.forall { rs =>
+          val s = rs.map(_._4).sum
+          s <= 1000000L && s > 1000000L - 3 * rs.size - 3
+        }
+    }
+
+  // keySkew arithmetic invariants: shares are ≤ 1e6 ppm, counts sum
+  // to ≤ the total, the hottest key leads, and a UNIFORM key set reads
+  // ratio ≈ 1000‰ for every key.
+  property("keySkew: ppm bounds, ordering, uniform-ratio sanity") =
+    Prop.forAll(Gen.chooseNum(2L, 20L), Gen.chooseNum(1, 5)) { (keys, repeat) =>
+      val df = (0L until keys).flatMap(k => (0 until repeat).map(_ => k)).toDF("k")
+      val out = graft.operators.SkewJoin.keySkew(df, "k", topN = 50)
+        .as[(Long, Long, Long, Long)].collect()
+      val ordered = out.map(_._2).toSeq
+      ordered.zip(ordered.drop(1)).forall { case (a, b) => a >= b } &&
+        out.forall(r => r._3 <= 1000000L) &&
+        // uniform: every key holds exactly its fair share (floor loss ≤ keys)
+        out.forall(r => math.abs(r._4 - 1000L) <= keys)
+    }
+
+  // Drift symmetry: two groups with IDENTICAL distributions read the
+  // same TV against the rest, whatever the third group does.
+  property("histDriftTV: identical groups read identical drift") =
+    Prop.forAll(Gen.nonEmptyListOf(Gen.chooseNum(0.0, 900.0)).map(_.take(30)),
+      Gen.nonEmptyListOf(Gen.chooseNum(0.0, 900.0)).map(_.take(30))) { (shared, other) =>
+      val rows = shared.map(("a", _)) ++ shared.map(("b", _)) ++ other.map(("c", _))
+      val out = Sketches.histDriftTV(rows.toDF("g", "v"), "g", "v", 0.0, 1024.0, 128)
+        .as[(String, Long, Long)].collect().map(t => t._1 -> t._3).toMap
+      out("a") == out("b")
+    }
+
   property("ntileByKey == serial NTILE reference for arbitrary keys/ties/tiles") =
     Prop.forAll(genKeyed, Gen.oneOf(1, 2, 3, 5), Gen.oneOf(2, 8, 32)) {
       (rows, tiles, buckets) =>
