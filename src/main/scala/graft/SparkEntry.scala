@@ -2687,6 +2687,74 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // Vocabulary GROWTH curve (Heaps'-law audit): each word's first-
+    // occurrence doc bucketed into doc-id quartile ranges — how fast
+    // does the vocabulary still grow at the corpus tail (a saturating
+    // curve says a bigger crawl adds little lexical novelty). One
+    // min() aggregate per word + a 4-row rollup with window cumsum.
+    "q193_vocab_growth" -> ((s, d) => {
+      // BIGRAM vocabulary: the fixture's unigram lexicon is tiny and
+      // saturates in the first docs; word PAIRS keep appearing —
+      // the curve a Heaps'-law audit actually reads
+      val firstDoc = T(s, d, "documents")
+        .select(col("doc_id"),
+          explode(TextOps.shingles(TextOps.tokens(col("text")), 2)).as("__t"))
+        .groupBy(col("__t")).agg(min(col("doc_id")).as("__first"))
+      val bounds = T(s, d, "documents")
+        .agg(min(col("doc_id")).as("__lo"), max(col("doc_id")).as("__hi"))
+      val w = Window.orderBy(col("quartile"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      firstDoc.crossJoin(broadcast(bounds))
+        .select(least(lit(4L), expr(
+          "((__first - __lo) * 4) div (__hi - __lo + 1) + 1")).as("quartile"))
+        .groupBy(col("quartile")).agg(count(lit(1)).as("new_words"))
+        .withColumn("cum_vocab", sum(col("new_words")).over(w))
+        .orderBy(col("quartile"))
+    }),
+
+    // Duplicate-cluster SIZE distribution (dedup health): how many
+    // fingerprint clusters exist at each multiplicity — the shape
+    // that says whether duplication is a few mega-clusters (crawl
+    // boilerplate) or a long tail (mirrors). From the q39 fragment.
+    // (the raw fixture is duplicate-free at this SF, so a
+    // deterministic mirror slice — every 50th doc re-keyed — plants
+    // 2-clusters and a 3-cluster, mirrored by the oracle)
+    "q194_dup_size_dist" -> ((s, d) => {
+      val docs = T(s, d, "documents").select(col("doc_id"), col("text"))
+      val mirrored = docs.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+      val tripled = docs.filter(col("doc_id") === 0)
+        .select((col("doc_id") + 200000L).as("doc_id"), col("text"))
+      docs.unionByName(mirrored).unionByName(tripled)
+        .groupBy(TextOps.fingerprintMd5(col("text")).as("__fp"))
+        .agg(count(lit(1)).as("cluster_size"))
+        .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+        .orderBy(col("cluster_size"))
+    }),
+
+    // EXACT-permille apportionment report (largest remainder over a
+    // tiny per-source aggregate): token shares that sum to exactly
+    // 1000 — the q140 apportionment idiom as a presentation-grade
+    // mix report (floor shares + the remainder ranking window run
+    // over |sources| rows, never data).
+    "q195_source_share" -> ((s, d) => {
+      val counts = T(s, d, "documents")
+        .groupBy(col("source"))
+        .agg(sum(TextOps.tokenCountWs(col("text"))).as("tokens"))
+      val total = Window.partitionBy(lit(1))
+      val rankW = Window.orderBy(
+        expr("(tokens * 1000) % __tot").desc, col("source"))
+      counts
+        .withColumn("__tot", sum(col("tokens")).over(total))
+        .withColumn("__floor", expr("(tokens * 1000) div __tot"))
+        .withColumn("__rk", row_number().over(rankW))
+        .withColumn("__slots", expr("1000 - sum(__floor) over ()"))
+        .select(col("source"), col("tokens"),
+          (col("__floor") + when(col("__rk") <= col("__slots"), 1L)
+            .otherwise(0L)).as("share_permille"))
+        .orderBy(col("source"))
+    }),
+
     // Bloom-pruned join (operators.BloomJoin): the big side is
     // filtered against the small side's key bitmap BEFORE the join
     // exchange; false positives are removed by the join itself, so
@@ -4720,6 +4788,56 @@ object SparkEntry {
         |  CAST((c.cnt * 1000000) // t.tot AS BIGINT) AS p_ppm
         |FROM c JOIN t USING (from_type)
         |ORDER BY c.from_type, c.to_type""".stripMargin,
+
+    // first-occurrence doc per BIGRAM, quartile ranges over the id span
+    "q193_vocab_growth" ->
+      """WITH tk0 AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS tokens
+        |  FROM documents),
+        |tk AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(tokens) >= 2
+        |    THEN list_transform(range(1, len(tokens)), i -> array_to_string(tokens[i:i+1], ' '))
+        |    ELSE [] END) AS t FROM tk0),
+        |fd AS (SELECT t, min(doc_id) AS first FROM tk GROUP BY 1),
+        |b AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM documents),
+        |q AS (SELECT CAST(least(4, ((first - lo) * 4) // (hi - lo + 1) + 1) AS BIGINT) AS quartile
+        |  FROM fd CROSS JOIN b),
+        |g AS (SELECT quartile, count(*) AS new_words FROM q GROUP BY 1)
+        |SELECT quartile, new_words,
+        |  CAST(sum(new_words) OVER (ORDER BY quartile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_vocab
+        |FROM g ORDER BY quartile""".stripMargin,
+
+    // the q39 fingerprint clusters rolled to a size distribution,
+    // over the same mirror-planted corpus
+    "q194_dup_size_dist" ->
+      """WITH d AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id % 50 = 0
+        |  UNION ALL SELECT doc_id + 200000, text FROM documents WHERE doc_id = 0),
+        |c AS (
+        |  SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+        |    count(*) AS cluster_size
+        |  FROM d GROUP BY 1)
+        |SELECT cluster_size, count(*) AS n_clusters
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // floor shares + largest-remainder top-up, slots from the floor
+    // deficit — sums to exactly 1000 by construction
+    "q195_source_share" ->
+      """WITH c AS (
+        |  SELECT source,
+        |    CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text), '\s+')) END) AS BIGINT) AS tokens
+        |  FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(sum(tokens) AS BIGINT) AS tot FROM c),
+        |f AS (SELECT source, tokens,
+        |    (tokens * 1000) // t.tot AS fl, (tokens * 1000) % t.tot AS rem
+        |  FROM c CROSS JOIN t),
+        |r AS (SELECT source, tokens, fl,
+        |    row_number() OVER (ORDER BY rem DESC, source) AS rk,
+        |    (SELECT 1000 - sum(fl) FROM f) AS slots FROM f)
+        |SELECT source, tokens,
+        |  CAST(fl + CASE WHEN rk <= slots THEN 1 ELSE 0 END AS BIGINT) AS share_permille
+        |FROM r ORDER BY source""".stripMargin,
 
     // per-user lag gaps (floor seconds), the q162 histogram replay
     // on a 16-second grid
