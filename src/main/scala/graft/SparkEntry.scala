@@ -2696,7 +2696,7 @@ object SparkEntry {
       // BIGRAM vocabulary: the fixture's unigram lexicon is tiny and
       // saturates in the first docs; word PAIRS keep appearing —
       // the curve a Heaps'-law audit actually reads
-      val firstDoc = T(s, d, "documents")
+      val firstDoc = docsSpread(s, d) // spread: single-split explode rule
         .select(col("doc_id"),
           explode(TextOps.shingles(TextOps.tokens(col("text")), 2)).as("__t"))
         .groupBy(col("__t")).agg(min(col("doc_id")).as("__first"))
