@@ -2755,6 +2755,87 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // Declarative data-CONTRACT validation (Deequ-style): five
+    // row-level checks in ONE scan (each a conditional count inside a
+    // single aggregate) plus one key-group aggregate for uniqueness.
+    "q196_constraints" -> ((s, d) => {
+      import graft.ext.Audit.{Check => C}
+      graft.ext.Audit.checkConstraints(T(s, d, "orders"), Seq(
+          C.notNull("o_custkey"),
+          C.inRange("o_totalprice", 0.0, 600000.0),
+          C.inSet("o_orderstatus", Seq("F", "O", "P")),
+          C.matches("o_orderpriority", "^[1-5]-"),
+          C.satisfies("date_bounds",
+            col("o_orderdate") >= lit("1990-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("2010-01-01").cast("timestamp"))),
+        unique = Seq(Seq("o_orderkey")))
+        .orderBy(col("constraint"))
+    }),
+
+    // Triangle enumeration over the q150 link graph, DEGREE-ORDERED
+    // (Suri & Vassilvitskii) so hub nodes can't explode the wedge
+    // join; the oracle is the textbook a<b<c three-way self-join on
+    // the normalized edge set — exactness of the oriented plan is the
+    // point of the contract.
+    "q197_triangles" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val e1 = docs.select((col("doc_id") % 101).as("src"),
+        ((col("doc_id") * 31 + 7) % 101).as("dst"))
+      val e2 = docs.select((col("doc_id") % 101).as("src"),
+        ((col("doc_id") * 57 + 13) % 101).as("dst"))
+      graft.ext.GraphOps.triangles(e1.unionByName(e2), "src", "dst")
+        .orderBy(col("a"), col("b"), col("c"))
+    }),
+
+    // RFM segmentation: three distributed exact-NTILE cuts (the q138
+    // machinery) over ONE per-customer aggregate — never a global
+    // ntile() window over the customer base.
+    "q198_rfm" -> ((s, d) =>
+      graft.ext.Behavior.rfmSegments(T(s, d, "orders"), "o_custkey",
+          "o_orderdate", "o_totalprice", tiles = 5)
+        .orderBy(col("o_custkey"))),
+
+    // K-anonymity audit over (nation, segment) quasi-identifiers:
+    // group-size histogram + at-risk flag, state = |distinct QI| rows.
+    "q200_k_anonymity" -> ((s, d) =>
+      graft.ext.Audit.kAnonymity(T(s, d, "customer"),
+          Seq("c_nationkey", "c_mktsegment"), k = 5L)
+        .orderBy(col("group_size"))),
+
+    // LINEAR multi-touch attribution: each first purchase splits
+    // exactly 1e6 ppm across its preceding touches (largest-remainder
+    // to the earliest), aggregated per touch type — engine-exact
+    // integer credit.
+    "q201_attribution" -> ((s, d) =>
+      graft.ext.Behavior.linearAttribution(T(s, d, "events"), "user_id",
+          "ts", "event_type", convType = "purchase", tieCol = "event_id")
+        .orderBy(col("event_type"))),
+
+    // CUPED variance-reduced A/B readout: pre-period counts as the
+    // covariate, θ from exact int64 sufficient statistics, sign-split
+    // truncating division — bit-identical across engines.
+    "q202_cuped" -> ((s, d) =>
+      graft.ext.Behavior.cuped(T(s, d, "events"), "user_id", "ts",
+          "event_type", splitTs = "2024-01-15 00:00:00")
+        .orderBy(col("variant"))),
+
+    // Flesch–Kincaid readability BANDS (milli-grade floor integers,
+    // vowel-group syllable proxy): the grade histogram a quality pass
+    // reads to kill both anchor-text soup and minified run-ons.
+    "q203_readability" -> ((s, d) => {
+      val stats = docsSpread(s, d).select(
+        (col("doc_id") +: TextOps.readabilityStats(col("text"))): _*)
+      stats.filter(col("words") > 0)
+        .withColumn("band",
+          when(col("fk_grade_milli") < 0, lit(0L))
+            .otherwise(least(lit(20L), expr("fk_grade_milli div 1000"))))
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("fk_grade_milli")).as("min_grade_milli"),
+          max(col("fk_grade_milli")).as("max_grade_milli"))
+        .orderBy(col("band"))
+    }),
+
     // Bloom-pruned join (operators.BloomJoin): the big side is
     // filtered against the small side's key bitmap BEFORE the join
     // exchange; false positives are removed by the join itself, so
@@ -4838,6 +4919,143 @@ object SparkEntry {
         |SELECT source, tokens,
         |  CAST(fl + CASE WHEN rk <= slots THEN 1 ELSE 0 END AS BIGINT) AS share_permille
         |FROM r ORDER BY source""".stripMargin,
+
+    // each row-level check a conditional count, uniqueness a key-group
+    // aggregate — one report row per constraint
+    "q196_constraints" ->
+      """WITH n AS (SELECT count(*) AS n_rows FROM orders),
+        |v AS (
+        |  SELECT 'not_null(o_custkey)' AS c,
+        |    (SELECT count(*) FROM orders WHERE o_custkey IS NULL) AS nv
+        |  UNION ALL SELECT 'in_range(o_totalprice)',
+        |    (SELECT count(*) FROM orders WHERE o_totalprice IS NULL OR o_totalprice < 0.0 OR o_totalprice > 600000.0)
+        |  UNION ALL SELECT 'in_set(o_orderstatus)',
+        |    (SELECT count(*) FROM orders WHERE o_orderstatus IS NULL OR o_orderstatus NOT IN ('F', 'O', 'P'))
+        |  UNION ALL SELECT 'matches(o_orderpriority)',
+        |    (SELECT count(*) FROM orders WHERE o_orderpriority IS NULL OR NOT regexp_matches(o_orderpriority, '^[1-5]-'))
+        |  UNION ALL SELECT 'satisfies(date_bounds)',
+        |    (SELECT count(*) FROM orders WHERE NOT coalesce(o_orderdate >= TIMESTAMP '1990-01-01' AND o_orderdate < TIMESTAMP '2010-01-01', false))
+        |  UNION ALL SELECT 'unique(o_orderkey)',
+        |    (SELECT CAST(coalesce(sum(g.c - 1), 0) AS BIGINT)
+        |     FROM (SELECT count(*) AS c FROM orders GROUP BY o_orderkey) g))
+        |SELECT v.c AS "constraint", n.n_rows, CAST(v.nv AS BIGINT) AS n_violations,
+        |  CAST(CASE WHEN v.nv = 0 THEN 1 ELSE 0 END AS BIGINT) AS passed
+        |FROM v CROSS JOIN n ORDER BY "constraint"""".stripMargin,
+
+    // the textbook a<b<c three-way self-join on the normalized
+    // undirected edge set — the degree-ordered plan must enumerate
+    // exactly these triangles
+    "q197_triangles" ->
+      """WITH raw AS (
+        |  SELECT doc_id % 101 AS s, (doc_id * 31 + 7) % 101 AS d FROM documents
+        |  UNION ALL
+        |  SELECT doc_id % 101, (doc_id * 57 + 13) % 101 FROM documents),
+        |e AS (SELECT DISTINCT least(s, d) AS u, greatest(s, d) AS v
+        |  FROM raw WHERE s <> d)
+        |SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |FROM e e1
+        |JOIN e e2 ON e2.u = e1.v
+        |JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+        |ORDER BY a, b, c""".stripMargin,
+
+    // three plain ntile() windows over the per-customer rollup —
+    // the distributed cut must agree tile for tile
+    "q198_rfm" ->
+      """WITH base AS (
+        |  SELECT o_custkey,
+        |    max(epoch_us(o_orderdate)) AS recency,
+        |    count(*) AS frequency,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS monetary
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT o_custkey, recency, frequency, monetary,
+        |    CAST(ntile(5) OVER (ORDER BY recency DESC, o_custkey) AS BIGINT) AS r_tile,
+        |    CAST(ntile(5) OVER (ORDER BY frequency DESC, o_custkey) AS BIGINT) AS f_tile,
+        |    CAST(ntile(5) OVER (ORDER BY monetary DESC, o_custkey) AS BIGINT) AS m_tile
+        |  FROM base)
+        |SELECT o_custkey, recency, frequency, monetary, r_tile, f_tile, m_tile,
+        |  concat(r_tile, f_tile, m_tile) AS segment
+        |FROM t ORDER BY o_custkey""".stripMargin,
+
+    // QI group sizes rolled to a size histogram + at-risk flag
+    "q200_k_anonymity" ->
+      """WITH g AS (
+        |  SELECT c_nationkey, c_mktsegment, count(*) AS sz
+        |  FROM customer GROUP BY 1, 2)
+        |SELECT sz AS group_size, count(*) AS n_groups,
+        |  CAST(sum(sz) AS BIGINT) AS n_rows,
+        |  CAST(CASE WHEN sz < 5 THEN 1 ELSE 0 END AS BIGINT) AS at_risk
+        |FROM g GROUP BY sz ORDER BY group_size""".stripMargin,
+
+    // first purchase per user, pre-conversion touches ranked, floor
+    // ppm + largest-remainder credit, per-type rollup
+    "q201_attribution" ->
+      """WITH conv AS (
+        |  SELECT user_id, min(ts) AS cts FROM events
+        |  WHERE event_type = 'purchase' GROUP BY 1),
+        |t AS (
+        |  SELECT e.user_id, e.event_type, e.ts, e.event_id
+        |  FROM events e JOIN conv c ON e.user_id = c.user_id
+        |  WHERE e.event_type <> 'purchase' AND e.ts < c.cts),
+        |r AS (
+        |  SELECT event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rk,
+        |    count(*) OVER (PARTITION BY user_id) AS n
+        |  FROM t)
+        |SELECT event_type, count(*) AS n_touches,
+        |  CAST(sum(1000000 // n + CASE WHEN rk <= 1000000 % n THEN 1 ELSE 0 END) AS BIGINT) AS credit_ppm
+        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // θ from int64 sufficient statistics, sign-split division so
+    // truncating (Spark div) and flooring (//) engines agree
+    "q202_cuped" ->
+      """WITH xy AS (
+        |  SELECT user_id,
+        |    CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00' THEN 1 ELSE 0 END) AS BIGINT) AS x,
+        |    CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-15 00:00:00' THEN 1 ELSE 0 END) AS BIGINT) AS y
+        |  FROM events GROUP BY 1),
+        |v AS (SELECT *,
+        |    CAST(concat('0x', substring(md5(concat_ws('|', '42', CAST(user_id AS VARCHAR))), 1, 14)) AS BIGINT) % 2 AS variant
+        |  FROM xy),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+        |    CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy FROM v),
+        |t AS (SELECT n, sx,
+        |    CASE WHEN (n * sxy - sx * sy) < 0
+        |      THEN -(((-(n * sxy - sx * sy)) * 1000) // (n * sxx - sx * sx))
+        |      ELSE ((n * sxy - sx * sy) * 1000) // (n * sxx - sx * sx) END AS theta_milli,
+        |    (sx * 1000) // n AS xbar_milli FROM s),
+        |a AS (SELECT v.variant, v.y,
+        |    v.y * 1000 - (CASE WHEN t.theta_milli * (v.x * 1000 - t.xbar_milli) < 0
+        |      THEN -((-(t.theta_milli * (v.x * 1000 - t.xbar_milli))) // 1000)
+        |      ELSE (t.theta_milli * (v.x * 1000 - t.xbar_milli)) // 1000 END) AS adj_milli,
+        |    t.theta_milli FROM v CROSS JOIN t)
+        |SELECT variant, count(*) AS n_users,
+        |  CAST((sum(y) * 1000) // count(*) AS BIGINT) AS mean_raw_milli,
+        |  CAST(CASE WHEN sum(adj_milli) < 0
+        |    THEN -((-sum(adj_milli)) // count(*))
+        |    ELSE sum(adj_milli) // count(*) END AS BIGINT) AS mean_adj_milli,
+        |  CAST(min(theta_milli) AS BIGINT) AS theta_milli
+        |FROM a GROUP BY variant ORDER BY variant""".stripMargin,
+
+    // whitespace words, terminal-punct sentence runs, vowel-group
+    // syllables; FK milli-grade under nonneg floor division
+    "q203_readability" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE len(string_split_regex(trim(text), '\s+')) END AS words,
+        |    greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS sentences,
+        |    len(regexp_extract_all(lower(text), '[aeiouy]+')) AS vg
+        |  FROM documents),
+        |g AS (SELECT
+        |    (words * 390) // sentences + (vg * 11800) // words - 15590 AS grade
+        |  FROM s WHERE words > 0),
+        |b AS (SELECT CASE WHEN grade < 0 THEN 0
+        |    ELSE least(20, grade // 1000) END AS band, grade FROM g)
+        |SELECT CAST(band AS BIGINT) AS band, count(*) AS n_docs,
+        |  CAST(min(grade) AS BIGINT) AS min_grade_milli,
+        |  CAST(max(grade) AS BIGINT) AS max_grade_milli
+        |FROM b GROUP BY band ORDER BY band""".stripMargin,
 
     // per-user lag gaps (floor seconds), the q162 histogram replay
     // on a 16-second grid

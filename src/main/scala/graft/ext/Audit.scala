@@ -145,4 +145,86 @@ object Audit {
     spine.join(daily, Seq(dateCol), "left")
       .na.fill(0L, fillCols)
   }
+
+  /** A declarative data-quality CONSTRAINT (Deequ-style): `name`
+    * labels the report row, `violated` is a boolean column that reads
+    * true on a BAD row. Build with the [[Check]] combinators. */
+  final case class Check(name: String, violated: Column)
+
+  object Check {
+    def notNull(c: String): Check =
+      Check(s"not_null($c)", col(c).isNull)
+    def inRange(c: String, lo: Double, hi: Double): Check =
+      Check(s"in_range($c)", col(c).isNull || col(c) < lo || col(c) > hi)
+    def inSet(c: String, values: Seq[String]): Check =
+      Check(s"in_set($c)", col(c).isNull || !col(c).isin(values: _*))
+    def matches(c: String, regex: String): Check =
+      Check(s"matches($c)", col(c).isNull || !col(c).rlike(regex))
+    def satisfies(name: String, predicate: Column): Check =
+      Check(s"satisfies($name)", !coalesce(predicate, lit(false)))
+  }
+
+  /** Declarative data-CONTRACT validation (the Deequ/Great-Expectations
+    * pass a warehouse runs on every load): all row-level [[Check]]s
+    * evaluate in ONE scan — each is a conditional count inside a single
+    * aggregate, so 20 constraints cost one pass, not 20 — plus one
+    * key-group aggregate per `unique` key set (duplicates can't be a
+    * row-local predicate). Returns one row per constraint:
+    * (constraint, n_rows, n_violations, passed 0/1), in declaration
+    * order via the constraint label. */
+  def checkConstraints(df: DataFrame, checks: Seq[Check],
+      unique: Seq[Seq[String]] = Nil): DataFrame = {
+    require(checks.nonEmpty || unique.nonEmpty,
+      "checkConstraints needs at least one constraint")
+    val rowLevel: Option[DataFrame] =
+      if (checks.isEmpty) None
+      else {
+        val aggs = count(lit(1)).as("__n") +: checks.zipWithIndex.map {
+          case (ck, i) => sum(when(ck.violated, 1L).otherwise(0L)).as(s"__v_$i")
+        }
+        val row = df.agg(aggs.head, aggs.tail: _*)
+        Some(row.select(explode(array(checks.zipWithIndex.map { case (ck, i) =>
+            struct(lit(ck.name).as("constraint"), col("__n").as("n_rows"),
+              col(s"__v_$i").as("n_violations"))
+          }: _*)).as("r"))
+          .select(col("r.constraint"), col("r.n_rows"), col("r.n_violations")))
+      }
+    val uniqueLevel: Seq[DataFrame] = unique.map { keys =>
+      require(keys.nonEmpty, "unique constraint needs at least one column")
+      // violations = rows beyond the first in any key group (NULL keys
+      // participate: two all-NULL keys are duplicates for audit
+      // purposes, unlike SQL UNIQUE — an audit wants them surfaced)
+      df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__c"))
+        .agg(coalesce(sum(col("__c")), lit(0L)).as("__n"),
+          coalesce(sum(col("__c") - 1L), lit(0L)).as("__d"))
+        .select(lit(s"unique(${keys.mkString(",")})").as("constraint"),
+          col("__n").as("n_rows"), col("__d").as("n_violations"))
+    }
+    (rowLevel.toSeq ++ uniqueLevel).reduce(_ unionByName _)
+      .withColumn("passed",
+        when(col("n_violations") === 0L, 1L).otherwise(0L))
+  }
+
+  /** K-ANONYMITY audit over quasi-identifier columns (the privacy
+    * check a training-data release runs before shipping anything
+    * user-derived): rows whose quasi-identifier combination is shared
+    * by fewer than `k` rows are re-identifiable. One aggregate on the
+    * QI key builds the group sizes, a second collapses them to the
+    * size histogram — (group_size, n_groups, n_rows, at_risk 0/1) —
+    * and the caller reads risk exposure as Σ n_rows where at_risk.
+    * NULL QI values form their own groups (they still identify).
+    * State after the first aggregate is #distinct-QI rows, never the
+    * data. */
+  def kAnonymity(df: DataFrame, quasiIdentifiers: Seq[String],
+      k: Long = 5L): DataFrame = {
+    require(quasiIdentifiers.nonEmpty, "kAnonymity needs at least one QI column")
+    require(k >= 2, s"k must be >= 2, got $k")
+    df.groupBy(quasiIdentifiers.map(col): _*)
+      .agg(count(lit(1)).as("__sz"))
+      .groupBy(col("__sz").as("group_size"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum(col("__sz")).as("n_rows"))
+      .withColumn("at_risk",
+        when(col("group_size") < k, 1L).otherwise(0L))
+  }
 }

@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Behavioral event analytics over the event stream — the product-
@@ -221,5 +221,135 @@ object Behavior {
     }
     counts.select(explode(array(stageRows: _*)).as("r"))
       .select(col("r.stage"), col("r.event_type"), col("r.n_users"))
+  }
+
+  /** RFM SEGMENTATION over an order stream: per customer, Recency
+    * (latest order time), Frequency (order count), and Monetary
+    * (decimal-exact spend) are each cut into `tiles` quantile bands
+    * with tile 1 = BEST (most recent / most orders / highest spend),
+    * concatenated into the classic "111…555" segment label.
+    *
+    * The quantile cut is [[Sampling.ntileByKey]] — the distributed
+    * exact NTILE (range-bucketed per-key ranks + broadcast offsets),
+    * so a 10⁹-customer base never lands in one window partition the
+    * way `ntile() OVER (ORDER BY …)` would. Ties break by customer id
+    * (deterministic, engine-portable). Returns (customer, recency,
+    * frequency, monetary, r_tile, f_tile, m_tile, segment). */
+  def rfmSegments(orders: DataFrame, custCol: String, tsCol: String,
+      amountCol: String, tiles: Int = 5): DataFrame = {
+    val base = orders.groupBy(col(custCol))
+      .agg(max(unix_micros(col(tsCol))).as("recency"),
+        count(lit(1)).as("frequency"),
+        sum(col(amountCol).cast("decimal(18,4)")).cast("double").as("monetary"))
+      .withColumn("__g", lit(1))
+    val cut = Seq("recency" -> "r_tile", "frequency" -> "f_tile",
+      "monetary" -> "m_tile").foldLeft(base) { case (acc, (score, tile)) =>
+      Sampling.ntileByKey(acc, "__g", score, custCol, tiles)
+        .withColumnRenamed("tile", tile)
+    }
+    cut.select(col(custCol), col("recency"), col("frequency"), col("monetary"),
+      col("r_tile").cast("long").as("r_tile"),
+      col("f_tile").cast("long").as("f_tile"),
+      col("m_tile").cast("long").as("m_tile"),
+      concat(col("r_tile"), col("f_tile"), col("m_tile")).as("segment"))
+  }
+
+  /** LINEAR multi-touch ATTRIBUTION: each user's FIRST `convType`
+    * conversion distributes exactly 1,000,000 ppm of credit equally
+    * across every distinct touch event strictly before it, the
+    * floor-division remainder going to the EARLIEST touches (largest-
+    * remainder, (ts, tie) order) — so per-conversion credit sums to
+    * exactly 1e6 and the channel report is engine-exact integers, not
+    * a float soup that drifts per run. Credit is then aggregated per
+    * touch type.
+    *
+    * Shape: one user-key aggregate for the conversion time, a user-key
+    * join to prune post-conversion events BEFORE any window, one
+    * rank window on the user partitioning (bounded by a user's touch
+    * count), one final type aggregate. Returns
+    * (event_type, n_touches, credit_ppm). */
+  def linearAttribution(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, convType: String, tieCol: String): DataFrame = {
+    val conv = events.filter(col(typeCol) === convType)
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as("__conv"))
+    val touches = events.filter(col(typeCol) =!= convType)
+      .join(conv, Seq(userCol))
+      .filter(col(tsCol) < col("__conv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
+    touches
+      .withColumn("__rk", row_number().over(w).cast("long"))
+      .withColumn("__n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col(userCol))))
+      .withColumn("__credit",
+        expr("1000000L div __n") +
+          when(col("__rk") <= expr("1000000L % __n"), 1L).otherwise(0L))
+      .groupBy(col(typeCol).as("event_type"))
+      .agg(count(lit(1)).as("n_touches"), sum(col("__credit")).as("credit_ppm"))
+  }
+
+  /** Integral division that any engine replays bit-for-bit: divisions
+    * only ever see NON-NEGATIVE operands (truncating and flooring
+    * division agree there — Spark `div` truncates, DuckDB `//` floors,
+    * so a negative dividend would silently diverge by one). */
+  private def nonNegDiv(a: Column, b: Column): Column =
+    ((a - pmod(a, b)).cast("decimal(38,0)") / b.cast("decimal(38,0)"))
+      .cast("long")
+
+  private def signedDiv(a: Column, b: Column): Column =
+    when(a < 0, -nonNegDiv(-a, b)).otherwise(nonNegDiv(a, b))
+
+  /** CUPED variance-reduced A/B readout (Deng et al., WSDM'13): the
+    * experiment metric is each user's POST-`splitTs` event count, the
+    * covariate their PRE-period count; the adjusted metric
+    * y − θ·(x − x̄) removes the variance the pre-period already
+    * explains, tightening the readout without biasing the contrast
+    * (θ is computed on the pooled population, identical for both
+    * arms). Arms are the [[abSplit]] portable-hash assignment.
+    *
+    * Exactness: θ is the integer milli-quotient of the exact int64
+    * sufficient statistics (n·Σxy − Σx·Σy) / (n·Σxx − Σx²); the
+    * adjustment runs in milli-units with sign-split truncating
+    * division, so every engine reproduces the same integers (bounds:
+    * n·Σxy must fit int64 — holds to ~10⁸ users at ~10³ events each;
+    * past that lift the stats into decimal(38,0)). ONE pass builds
+    * the per-user (x, y) frame, the five statistics collapse to a
+    * single broadcast row, and the arm readout is one aggregate on
+    * the user key. Returns (variant, n_users, mean_raw_milli,
+    * mean_adj_milli, theta_milli). */
+  def cuped(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, splitTs: String, variants: Int = 2,
+      seed: Long = 42L): DataFrame = {
+    require(variants >= 2, s"variants must be >= 2, got $variants")
+    val xy = events
+      .groupBy(col(userCol))
+      .agg(
+        sum(when(col(tsCol) < lit(splitTs).cast("timestamp"), 1L)
+          .otherwise(0L)).as("__x"),
+        sum(when(col(tsCol) >= lit(splitTs).cast("timestamp"), 1L)
+          .otherwise(0L)).as("__y"))
+      .withColumn("variant",
+        pmod(Sampling.portableHash(col(userCol), seed), lit(variants.toLong)))
+    val stats = xy.agg(
+      count(lit(1)).as("__n"), sum(col("__x")).as("__sx"),
+      sum(col("__y")).as("__sy"), sum(col("__x") * col("__x")).as("__sxx"),
+      sum(col("__x") * col("__y")).as("__sxy"))
+    val withTheta = stats.select(col("__n"), col("__sx"),
+      signedDiv((col("__n") * col("__sxy") - col("__sx") * col("__sy")) * 1000L,
+        col("__n") * col("__sxx") - col("__sx") * col("__sx")).as("theta_milli"),
+      signedDiv(col("__sx") * 1000L, col("__n")).as("__xbar_milli"))
+    xy.crossJoin(broadcast(withTheta))
+      .withColumn("__adj_milli",
+        col("__y") * 1000L - signedDiv(
+          col("theta_milli") * (col("__x") * 1000L - col("__xbar_milli")),
+          lit(1000L)))
+      .groupBy(col("variant"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("__y")).as("__sy"), sum(col("__adj_milli")).as("__sadj"),
+        first(col("theta_milli")).as("theta_milli"))
+      .select(col("variant"), col("n_users"),
+        signedDiv(col("__sy") * 1000L, col("n_users")).as("mean_raw_milli"),
+        signedDiv(col("__sadj"), col("n_users")).as("mean_adj_milli"),
+        col("theta_milli"))
   }
 }

@@ -483,6 +483,37 @@ object TextOps {
     * than md5 for joins/grouping inside the engine. */
   def fingerprint64(c: Column): Column = xxhash64(normalize(c))
 
+  /** READABILITY statistics (Flesch–Kincaid grade, engine-exact): the
+    * quality-scoring complement to the Gopher rules — FK grade flags
+    * both baby text (grade < 2: listicles, anchor-text soup) and
+    * degenerate run-ons (grade > 20: minified junk, tables flattened
+    * to prose). Counts are codegen'd regexp counters — whitespace
+    * words, terminal-punctuation sentence runs (min 1), and the
+    * classic vowel-GROUP syllable proxy — and the grade is the FK
+    * formula 0.39·w/s + 11.8·syll/w − 15.59 carried as MILLI-units
+    * under floor division on non-negative operands, so every engine
+    * reproduces the same integers. Returns per-row columns
+    * (words, sentences, vowel_groups, fk_grade_milli); empty text
+    * reads words = 0 and NULL grade. */
+  def readabilityStats(textCol: Column): Seq[Column] = {
+    val words = tokenCountWs(textCol)
+    val sentences =
+      greatest(lit(1L), regexp_count(textCol, lit("[.!?]+")).cast("long"))
+    val vg = regexp_count(lower(textCol), lit("[aeiouy]+")).cast("long")
+    val grade = nonNegFloorDiv(words * 390L, sentences) +
+      nonNegFloorDiv(vg * 11800L, words) - 15590L
+    Seq(words.as("words"), sentences.as("sentences"),
+      vg.as("vowel_groups"),
+      when(words === 0L, lit(null).cast("long")).otherwise(grade)
+        .as("fk_grade_milli"))
+  }
+
+  /** floor(a/b) for non-negative int64 (decimal-exact; Spark's `/` is
+    * lossy double division). */
+  private def nonNegFloorDiv(a: Column, b: Column): Column =
+    ((a - pmod(a, b)).cast("decimal(38,0)") / b.cast("decimal(38,0)"))
+      .cast("long")
+
   /** Word n-gram shingles (default 3) over a token array; empty when the
     * doc has fewer than n tokens.
     *
