@@ -246,6 +246,45 @@ object SparkEntry {
       |SELECT doc_id, score FROM sc ORDER BY score DESC, doc_id LIMIT $topK""".stripMargin
   }
 
+  /** DuckDB replay of the retrieval-eval contract (q199): one BM25
+    * block per query term (the [[bm25Sql]] IEEE recipe, single-term),
+    * top-20 ranked, then floor-ppm MRR / hit@k / recall@k arithmetic
+    * against the doc_id%10=3 relevance set. */
+  private val RetrievalEvalSql: String = {
+    val terms = Seq("data", "model", "learning")
+    def d(x: String) = s"CAST($x AS DOUBLE)"
+    val contrib =
+      s"(${d("n")} - ${d("df")} + ${d("0.5")}) / (${d("df")} + ${d("0.5")})" +
+        s" * (${d("tf")} * (${d("1.2")} + ${d("1.0")}))" +
+        s" / (${d("tf")} + ${d("1.2")} * (${d("1.0")} - ${d("0.75")}" +
+        s" + ${d("0.75")} * ${d("dl")} / (${d("s")} / ${d("n")})))"
+    val blocks = terms.zipWithIndex.map { case (t, i) =>
+      s"""c$i AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl,
+        |    CAST(len(list_filter(t, x -> x = '$t')) AS BIGINT) AS tf FROM tk),
+        |st$i AS (SELECT count(*) AS n, sum(dl) AS s,
+        |    sum(CASE WHEN tf > 0 THEN 1 ELSE 0 END) AS df FROM c$i),
+        |sc$i AS (SELECT doc_id, $contrib AS score FROM c$i CROSS JOIN st$i),
+        |rk$i AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+        |  FROM sc$i ORDER BY score DESC, doc_id LIMIT 20),
+        |m$i AS (SELECT '$t' AS term,
+        |    min(CASE WHEN doc_id % 10 = 3 THEN rank END) AS first_rel_rank,
+        |    CAST(sum(CASE WHEN doc_id % 10 = 3 AND rank <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS hits_at_10,
+        |    CAST(sum(CASE WHEN doc_id % 10 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS hits_at_20
+        |  FROM rk$i)""".stripMargin
+    }.mkString(",\n")
+    val union = terms.indices.map(i => s"SELECT * FROM m$i").mkString(" UNION ALL ")
+    s"""WITH tk AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS t FROM documents),
+      |rel AS (SELECT count(*) AS nrel FROM documents WHERE doc_id % 10 = 3),
+      |$blocks,
+      |m AS ($union)
+      |SELECT term, first_rel_rank,
+      |  CAST(coalesce(1000000 // first_rel_rank, 0) AS BIGINT) AS rr_ppm,
+      |  hits_at_10, hits_at_20,
+      |  CAST((hits_at_20 * 1000000) // rel.nrel AS BIGINT) AS recall_at_20_ppm
+      |FROM m CROSS JOIN rel ORDER BY term""".stripMargin
+  }
+
   /** Duplicated-span pipeline (Lee et al. exact substring dedup) as a
     * reusable CTE block ending in `sp` (doc_id, span_start, span_end,
     * n_grams) with `tok` (doc_id, t, pos 1-based) also in scope —
@@ -2755,6 +2794,55 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // Retrieval-quality EVALUATION (MRR / hit@k / recall@k) of the
+    // q131 BM25 ranker against an arithmetic relevance set — the
+    // metrics are floor-integer ppm, the ranking is the IEEE-replayed
+    // score order, so the whole eval harness is oracle-exact. One
+    // ranked top-20 per query term; all metric aggregates run over
+    // those 20 rows + one broadcast corpus-relevance count.
+    "q199_retrieval_eval" -> ((s, d) => {
+      val docs = docsSpread(s, d)
+      val nRel = docs.filter(col("doc_id") % 10 === 3)
+        .agg(count(lit(1)).as("__nrel"))
+      val terms = Seq("data", "model", "learning")
+      terms.map { t =>
+        val ranked = TextOps.bm25Rank(docs, "doc_id", "text", Seq(t),
+            topK = 20, logIdf = false)
+          .select(col("doc_id"),
+            row_number().over(Window.orderBy(col("score").desc, col("doc_id")))
+              .cast("long").as("rank"))
+        ranked.withColumn("__rel", col("doc_id") % 10 === 3)
+          .agg(
+            min(when(col("__rel"), col("rank"))).as("first_rel_rank"),
+            sum(when(col("__rel") && col("rank") <= 10, 1L).otherwise(0L))
+              .as("hits_at_10"),
+            sum(when(col("__rel"), 1L).otherwise(0L)).as("hits_at_20"))
+          .crossJoin(broadcast(nRel))
+          .select(lit(t).as("term"), col("first_rel_rank"),
+            coalesce(expr("1000000 div first_rel_rank"), lit(0L)).as("rr_ppm"),
+            col("hits_at_10"), col("hits_at_20"),
+            expr("(hits_at_20 * 1000000) div __nrel").as("recall_at_20_ppm"))
+      }.reduce(_ unionByName _).orderBy(col("term"))
+    }),
+
+    // Snapshot COMPACTION round trip (TableStore.compact): the orders
+    // table written as a deliberately fragmented snapshot (50-row
+    // files), compacted into a fresh version, and read back through
+    // the store — the oracle is the raw table, so "layout-only
+    // rewrite" is gated on content, not trusted. File-count shrinkage
+    // is pinned in DdlAndStoreSpec.
+    "q204_compaction" -> ((s, d) => {
+      val store = new TableStore(s, "/tmp/graft_store_q204")
+      store.drop("orders_frag") // deterministic v0/v1 history per run
+      store.write("orders_frag", T(s, d, "orders"), maxRecordsPerFile = 50L)
+      store.compact("orders_frag", maxRecordsPerFile = 1000000L)
+      store.read("orders_frag")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"),
+          min(col("o_orderkey")).as("min_key"), max(col("o_orderkey")).as("max_key"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // Declarative data-CONTRACT validation (Deequ-style): five
     // row-level checks in ONE scan (each a conditional count inside a
     // single aggregate) plus one key-group aggregate for uniqueness.
@@ -5056,6 +5144,18 @@ object SparkEntry {
         |  CAST(min(grade) AS BIGINT) AS min_grade_milli,
         |  CAST(max(grade) AS BIGINT) AS max_grade_milli
         |FROM b GROUP BY band ORDER BY band""".stripMargin,
+
+    // per-term BM25 IEEE score replay (the q131 recipe), top-20
+    // ranked, floor-ppm MRR / hit@k / recall@k arithmetic
+    "q199_retrieval_eval" -> RetrievalEvalSql,
+
+    // content gate for the layout-only rewrite: the compacted
+    // store read-back must aggregate identically to the raw table
+    "q204_compaction" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // per-user lag gaps (floor seconds), the q162 histogram replay
     // on a 16-second grid
