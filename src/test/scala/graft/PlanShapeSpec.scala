@@ -409,4 +409,23 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("ObjectHashAggregate"), p)
     assert(!p.contains("Window"), "no row_number window on the data: " + p)
   }
+
+  test("degree-ordered triangles: equi hash joins only, never a cross product") {
+    val p = planOf("q197_triangles")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "triangle enumeration must stay equi-keyed: " + p)
+  }
+
+  test("constraint suite reads the table at most twice (row checks in ONE scan + unique pass)") {
+    val p = planOf("q196_constraints")
+    // formatted mode lists each scan twice (tree line + detail header),
+    // so 2 physical scans == 4 textual matches
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans <= 4, s"expected <= 2 physical scans for 5 row checks + 1 unique, got $scans mentions: " + p)
+  }
+
+  test("retrieval eval ranks via TakeOrdered per term, never a global sort of the corpus") {
+    val p = planOf("q199_retrieval_eval")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
 }

@@ -92,4 +92,42 @@ class AuditSpec extends SparkSpec {
       ("2024-01-01", 5L), ("2024-01-02", 0L),
       ("2024-01-03", 0L), ("2024-01-04", 2L)))
   }
+
+  test("checkConstraints: each check counts its violations; NULL violates value checks; unique counts extras") {
+    import Audit.{Check => C}
+    val df = Seq(
+      (Some(1L), Some("alice"), "A", 10.0),
+      (Some(1L), Some("bob"), "B", 20.0), // dup id
+      (None, Some("carol"), "C", 30.0), // null id; C outside set
+      (Some(3L), None, "A", -5.0), // null name (violates matches too); range low
+      (Some(4L), Some("Dave"), "B", 200.0) // uppercase name fails regex; range high
+    ).toDF("id", "name", "status", "score")
+    val out = Audit.checkConstraints(df, Seq(
+        C.notNull("id"),
+        C.matches("name", "^[a-z]+$"),
+        C.inSet("status", Seq("A", "B")),
+        C.inRange("score", 0.0, 100.0)),
+      unique = Seq(Seq("id")))
+      .collect().map(r => r.getString(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(out("not_null(id)") == ((1L, 0L)))
+    assert(out("matches(name)") == ((2L, 0L))) // NULL name + "Dave"
+    assert(out("in_set(status)") == ((1L, 0L)))
+    assert(out("in_range(score)") == ((2L, 0L)))
+    assert(out("unique(id)") == ((1L, 0L))) // two rows share id 1
+    // and a passing check reads passed = 1
+    val ok = Audit.checkConstraints(df, Seq(C.notNull("status")))
+      .collect().head
+    assert(ok.getLong(2) == 0L && ok.getLong(3) == 1L)
+  }
+
+  test("kAnonymity: group-size histogram with at-risk flag below k") {
+    val df = Seq(
+      ("US", "A"), ("US", "A"), ("US", "A"), // size-3 group
+      ("US", "B"), // singleton
+      ("DE", "A") // singleton
+    ).toDF("country", "seg")
+    val out = Audit.kAnonymity(df, Seq("country", "seg"), k = 2L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out == Map(1L -> ((2L, 2L, 1L)), 3L -> ((1L, 3L, 0L))))
+  }
 }

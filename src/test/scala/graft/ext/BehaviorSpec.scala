@@ -150,4 +150,64 @@ class BehaviorSpec extends SparkSpec {
       .collect().map(r => (r.getString(1), r.getLong(2))).toMap
     assert(out == Map("view" -> 1L, "click" -> 0L))
   }
+
+  test("linearAttribution: each conversion's credit sums to exactly 1e6, remainder to the earliest") {
+    val ev = Seq(
+      // user 1: two touches before the purchase, one after (ignored)
+      (1L, ts("2024-01-01 00:00:00"), "view", 1L),
+      (1L, ts("2024-01-01 00:30:00"), "click", 2L),
+      (1L, ts("2024-01-01 01:00:00"), "purchase", 3L),
+      (1L, ts("2024-01-01 02:00:00"), "view", 4L),
+      // user 2: three touches -> 333334 + 333333 + 333333
+      (2L, ts("2024-01-01 00:00:00"), "view", 5L),
+      (2L, ts("2024-01-01 00:10:00"), "view", 6L),
+      (2L, ts("2024-01-01 00:20:00"), "click", 7L),
+      (2L, ts("2024-01-01 00:30:00"), "purchase", 8L),
+      // a SECOND purchase must not re-credit
+      (2L, ts("2024-01-01 00:40:00"), "purchase", 9L),
+      // user 3: never converts -> no credit at all
+      (3L, ts("2024-01-01 00:00:00"), "view", 10L)
+    ).toDF("user_id", "ts", "event_type", "event_id")
+    val out = Behavior.linearAttribution(ev, "user_id", "ts", "event_type",
+        convType = "purchase", tieCol = "event_id")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // user 1: view 500000, click 500000; user 2: views 333334+333333, click 333333
+    assert(out("view") == ((3L, 500000L + 333334L + 333333L)), s"view ${out("view")}")
+    assert(out("click") == ((2L, 500000L + 333333L)), s"click ${out("click")}")
+    // conservation: total credit == 1e6 per converting user with touches
+    assert(out.values.map(_._2).sum == 2000000L)
+  }
+
+  test("cuped: a perfectly predictive covariate collapses both arm means to the same adjusted value") {
+    // users 1..4: x pre-split events, y = 2x post-split events.
+    // theta = 2000 milli exactly; every adjusted value = 5000 milli.
+    val rows = (1L to 4L).flatMap { u =>
+      val x = u; val y = 2 * u
+      (1L to x).map(i => (u, ts(f"2024-01-10 00:$i%02d:00"), "view")) ++
+        (1L to y).map(i => (u, ts(f"2024-01-20 00:$i%02d:00"), "view"))
+    }
+    val out = Behavior.cuped(rows.toDF("user_id", "ts", "event_type"),
+        "user_id", "ts", "event_type", splitTs = "2024-01-15 00:00:00")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out.values.map(_._1).sum == 4L, s"all users assigned: $out")
+    out.values.foreach { case (_, _, meanAdj, theta) =>
+      assert(theta == 2000L, s"theta $theta")
+      assert(meanAdj == 5000L, s"meanAdj $meanAdj")
+    }
+  }
+
+  test("rfmSegments: clean rank order maps customer k to tile 6-k on all three axes") {
+    // customer k (1..5): k orders, latest at Jan k, each priced 100*k
+    val orders = (1L to 5L).flatMap { k =>
+      (1L to k).map(i => (k, ts(f"2024-01-$k%02d 00:00:00"), 100.0 * k))
+    }.toDF("cust", "ots", "amount")
+    val out = Behavior.rfmSegments(orders, "cust", "ots", "amount", tiles = 5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(4), r.getLong(5), r.getLong(6), r.getString(7))).toMap
+    (1L to 5L).foreach { k =>
+      val t = 6L - k
+      assert(out(k) == ((t, t, t, s"$t$t$t")), s"cust $k -> ${out(k)}")
+    }
+  }
 }

@@ -46,4 +46,27 @@ class GraphOpsSpec extends SparkSpec {
       GraphOps.pageRankInt(e, "s", "t", dampingPct = 101))
     spark.catalog.clearCache()
   }
+
+  test("triangles: K4 yields exactly its 4 triangles; duplicates/reversals/self-loops normalize away") {
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val edges = (k4 ++ Seq((2L, 1L), (3L, 3L), (4L, 5L))) // dup reversed, self-loop, pendant
+      .toDF("s", "t")
+    val got = GraphOps.triangles(edges, "s", "t")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L, 3L), (1L, 2L, 4L), (1L, 3L, 4L), (2L, 3L, 4L)))
+    spark.catalog.clearCache()
+  }
+
+  test("triangles: a hub star has none; orientation bounds the hub's wedge fan-out") {
+    // hub 0 linked to 50 leaves: naive wedge join on the hub would
+    // generate C(50,2) candidates; degree-ordering orients every edge
+    // leaf -> hub (leaves have degree 1), so the hub SOURCES no wedge
+    val star = (1L to 50L).map(l => (0L, l)).toDF("s", "t")
+    assert(GraphOps.triangles(star, "s", "t").count() == 0L)
+    // and adding one leaf-leaf edge closes exactly one triangle
+    val one = star.union(Seq((7L, 9L)).toDF("s", "t"))
+    assert(GraphOps.triangles(one, "s", "t")
+      .as[(Long, Long, Long)].collect().toSet == Set((0L, 7L, 9L)))
+    spark.catalog.clearCache()
+  }
 }

@@ -490,4 +490,19 @@ class TextOpsSpec extends SparkSpec {
     assert(out(2L) == ((7L, 0L, 0L)), s"doc2 ${out(2L)}")
     assert(out(3L) == ((3L, 3L, 1000000L)), s"doc3 ${out(3L)}")
   }
+
+  test("readabilityStats: hand-computed FK milli-grade; empty text reads zero words and NULL grade") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "The cat sat. The dog ran!"),
+      (2L, "")
+    ).toDF("doc_id", "text")
+    val out = docs.select((col("doc_id") +: TextOps.readabilityStats(col("text"))): _*)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), Option(r.get(4)))).toMap
+    // 6 words, 2 sentence runs, 6 vowel groups:
+    // 390*6 div 2 = 1170; 11800*6 div 6 = 11800; -15590 -> -2620
+    assert(out(1L) == ((6L, 2L, 6L, Some(-2620L))), s"doc1 ${out(1L)}")
+    assert(out(2L)._1 == 0L && out(2L)._4.isEmpty, s"empty ${out(2L)}")
+  }
 }
