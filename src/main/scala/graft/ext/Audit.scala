@@ -179,8 +179,11 @@ object Audit {
     val rowLevel: Option[DataFrame] =
       if (checks.isEmpty) None
       else {
+        // count(when(..)) not sum(when(..)): count is 0 on an EMPTY
+        // table where sum reads NULL — an empty drop still gets a
+        // well-formed all-pass report
         val aggs = count(lit(1)).as("__n") +: checks.zipWithIndex.map {
-          case (ck, i) => sum(when(ck.violated, 1L).otherwise(0L)).as(s"__v_$i")
+          case (ck, i) => count(when(ck.violated, 1L)).as(s"__v_$i")
         }
         val row = df.agg(aggs.head, aggs.tail: _*)
         Some(row.select(explode(array(checks.zipWithIndex.map { case (ck, i) =>

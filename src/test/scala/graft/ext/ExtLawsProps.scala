@@ -554,4 +554,96 @@ object ExtLawsProps extends Properties("graft.ext") {
         }
         got == want
     }
+
+  // Degree-ordered triangle enumeration against the brute-force clique
+  // check on the normalized undirected edge SET — and invariance under
+  // edge reversal + duplication (the orientation is an internal detail,
+  // the result is a function of the set).
+  property("triangles == brute force; direction/duplication invariant") =
+    Prop.forAll(
+      Gen.nonEmptyListOf(Gen.zip(Gen.chooseNum(0L, 7L), Gen.chooseNum(0L, 7L)))
+        .map(_.take(25))) { edges =>
+      val df = edges.toDF("s", "t")
+      val got = GraphOps.triangles(df, "s", "t")
+        .as[(Long, Long, Long)].collect().toSet
+      val rev = GraphOps.triangles(
+          df.select($"t".as("s"), $"s".as("t")).union(df), "s", "t")
+        .as[(Long, Long, Long)].collect().toSet
+      val und = edges.filter(e => e._1 != e._2)
+        .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).toSet
+      val nodes = und.flatMap(e => Seq(e._1, e._2)).toList.sorted
+      val want = (for {
+        a <- nodes; b <- nodes if b > a; c <- nodes if c > b
+        if und((a, b)) && und((b, c)) && und((a, c))
+      } yield (a, b, c)).toSet
+      spark.catalog.clearCache()
+      got == want && rev == want
+    }
+
+  // Attribution conservation: total credited ppm == 1e6 × (users with
+  // ≥1 touch strictly before their first conversion), and the touch
+  // count matches the reference enumeration exactly.
+  property("linearAttribution: exact 1e6 credit per crediting conversion") = {
+    val genEv: Gen[List[(Long, Long, String, Long)]] = for {
+      n <- Gen.chooseNum(1, 40)
+      evs <- Gen.listOfN(n, Gen.zip(
+        Gen.chooseNum(0L, 4L), Gen.chooseNum(0L, 50L),
+        Gen.oneOf("view", "click", "buy")))
+    } yield evs.zipWithIndex.map { case ((u, t, ty), i) => (u, t, ty, i.toLong) }
+    Prop.forAll(genEv) { evs =>
+      val out = Behavior.linearAttribution(
+          evs.toDF("u", "ts", "ty", "id"), "u", "ts", "ty", "buy", "id")
+        .as[(String, Long, Long)].collect()
+      val byUser = evs.groupBy(_._1)
+      val refTouches = byUser.toList.flatMap { case (_, rows) =>
+        rows.filter(_._3 == "buy").map(_._2).minOption.toList.flatMap { conv =>
+          rows.filter(r => r._3 != "buy" && r._2 < conv)
+        }
+      }
+      val creditors = byUser.count { case (_, rows) =>
+        rows.filter(_._3 == "buy").map(_._2).minOption
+          .exists(conv => rows.exists(r => r._3 != "buy" && r._2 < conv))
+      }
+      out.map(_._3).sum == creditors * 1000000L &&
+        out.map(_._2).sum == refTouches.size &&
+        out.map(_._1).toSet == refTouches.map(_._3).toSet
+    }
+  }
+
+  // Row-level constraint counts are ADDITIVE over any disjoint split
+  // (the merge law that makes the audit incremental), and an empty
+  // split still reads a well-formed all-zero report.
+  property("checkConstraints: row-level violations additive over any split") = {
+    import Audit.{Check => C}
+    Prop.forAll(
+      Gen.nonEmptyListOf(Gen.option(Gen.chooseNum(-50L, 150L))).map(_.take(40)),
+      Gen.chooseNum(2L, 4L)) { (vals, mod) =>
+      val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("id", "v")
+      val checks = Seq(C.notNull("v"), C.inRange("v", 0.0, 99.0))
+      def counts(d: org.apache.spark.sql.DataFrame): Map[String, Long] =
+        Audit.checkConstraints(d, checks)
+          .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+      val whole = counts(df)
+      val parts = (0L until mod).map(k => counts(df.filter($"id" % mod === k)))
+      checks.forall(c =>
+        parts.map(_(c.name)).sum == whole(c.name))
+    }
+  }
+
+  // k-anonymity histogram identities: rows and groups are conserved,
+  // and the at-risk flag is exactly the size<k predicate.
+  property("kAnonymity: row/group conservation; at-risk == size<k") =
+    Prop.forAll(
+      Gen.nonEmptyListOf(Gen.zip(Gen.chooseNum(0L, 5L), Gen.oneOf("a", "b")))
+        .map(_.take(50)),
+      Gen.chooseNum(2L, 6L)) { (rows, k) =>
+      val out = Audit.kAnonymity(rows.toDF("q1", "q2"), Seq("q1", "q2"), k)
+        .as[(Long, Long, Long, Long)].collect()
+      val sizes = rows.groupBy(identity).map(_._2.size.toLong)
+      out.map(_._3).sum == rows.size.toLong &&
+        out.map(_._2).sum == sizes.size.toLong &&
+        out.forall { case (sz, ng, nr, risk) =>
+          nr == sz * ng && risk == (if (sz < k) 1L else 0L) }
+    }
 }
