@@ -334,6 +334,41 @@ object Streams {
       .start()
   }
 
+  /** Streaming DATA-QUALITY monitor: every micro-batch's
+    * [[graft.ext.Audit.checkConstraints]] report merges ADDITIVELY
+    * (per-constraint n_rows/n_violations sums — the merge law pinned
+    * in ExtLawsProps) into one snapshot-store table, so the
+    * cumulative contract report over an unbounded stream is always
+    * one tiny table read — never a rescan of ingested history.
+    * Row-level checks only: uniqueness is NOT batch-additive
+    * (cross-batch duplicates are invisible to a per-batch count; the
+    * batch [[graft.ext.Audit.checkConstraints]] `unique` pass covers
+    * that over a snapshot). State is |checks| rows per version. */
+  def constraintIngest(events: DataFrame, store: graft.core.TableStore,
+      table: String, checks: Seq[graft.ext.Audit.Check],
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val report = graft.ext.Audit.checkConstraints(batch.toDF(), checks)
+          .select(col("constraint"), col("n_rows"), col("n_violations"))
+        val merged =
+          if (store.tableExists(table))
+            store.read(table)
+              .select(col("constraint"), col("n_rows"), col("n_violations"))
+              .unionByName(report)
+              .groupBy(col("constraint"))
+              .agg(sum(col("n_rows")).as("n_rows"),
+                sum(col("n_violations")).as("n_violations"))
+          else report
+        store.write(table, merged.withColumn("passed",
+          when(col("n_violations") === 0L, 1L).otherwise(0L)))
+        ()
+      }
+      .start()
+  }
+
   /** Stream-stream INTERVAL join: each left row joins right rows with
     * the same key whose timestamp falls in
     * `[leftTs − lookback, leftTs + lookahead]` — the attribution /

@@ -65,4 +65,32 @@ class FileStreamSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
     org.apache.commons.io.FileUtils.deleteDirectory(ckpt.toFile)
   }
+
+  test("constraintIngest: per-batch reports merge additively to the one-shot batch report") {
+    import graft.ext.Audit.{Check => C}
+    val root = java.nio.file.Files.createTempDirectory("graft-ci")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ci-ckpt")
+    val store = new graft.core.TableStore(spark, root.toString)
+    val checks = Seq(
+      C.notNull("user_id"),
+      C.inRange("value", 0.0, 1.0),
+      C.inSet("event_type", Seq("view", "click", "purchase")))
+    val q = Streams.constraintIngest(
+      Streams.eventsFileStream(spark, sfDir), store, "dq", checks, ckpt.toString)
+    q.processAllAvailable(); q.stop()
+
+    val streamed = store.read("dq")
+      .select("constraint", "n_rows", "n_violations", "passed")
+      .as[(String, Long, Long, Long)].collect().toSet
+    val direct = graft.ext.Audit.checkConstraints(
+        Fx.t(spark, sfDir, "events"), checks)
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(streamed == direct,
+      s"cumulative stream report must equal the one-shot batch report: $streamed vs $direct")
+    // the monitor actually saw data and at least one check can fail
+    assert(streamed.exists(_._2 > 0))
+
+    org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
+    org.apache.commons.io.FileUtils.deleteDirectory(ckpt.toFile)
+  }
 }
