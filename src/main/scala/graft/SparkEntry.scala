@@ -246,6 +246,32 @@ object SparkEntry {
       |SELECT doc_id, score FROM sc ORDER BY score DESC, doc_id LIMIT $topK""".stripMargin
   }
 
+  /** The q113 hashing-trick classifier replay as a reusable CTE block
+    * ending in `scored` (doc_id, score) — shared by q113 and the
+    * eval-tier contracts q205 (calibration) / q206 (confusion). */
+  private val ScoredDocsCtes: String =
+    """tk AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS t FROM documents),
+      |uni AS (SELECT doc_id, unnest(t) AS f FROM tk),
+      |bi AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])) AS f
+      |  FROM tk WHERE len(t) >= 2),
+      |feats AS (SELECT doc_id, f FROM uni UNION ALL SELECT doc_id, f FROM bi),
+      |hb AS (
+      |  SELECT doc_id,
+      |    CAST(concat('0x', substring(md5(concat('7', '|', f)), 1, 15)) AS BIGINT) % 64 AS bucket
+      |  FROM feats),
+      |w AS (
+      |  SELECT r.range AS bucket,
+      |    (CAST(concat('0x', substring(md5(concat('11', '|', CAST(r.range AS VARCHAR))), 1, 15)) AS BIGINT) % 2001) - 1000 AS weight
+      |  FROM range(64) r),
+      |agg AS (
+      |  SELECT doc_id, sum(weight) AS sw, count(*) AS nf
+      |  FROM hb JOIN w USING (bucket) GROUP BY 1),
+      |scored AS (
+      |  SELECT d.doc_id, coalesce(CAST(agg.sw AS DOUBLE) / CAST(1000 * agg.nf AS DOUBLE), 0.0) AS score
+      |  FROM documents d LEFT JOIN agg USING (doc_id))""".stripMargin
+
   /** DuckDB replay of the retrieval-eval contract (q199): one BM25
     * block per query term (the [[bm25Sql]] IEEE recipe, single-term),
     * top-20 ranked, then floor-ppm MRR / hit@k / recall@k arithmetic
@@ -2794,6 +2820,37 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // Classifier CALIBRATION table (the reliability diagram a quality
+    // model ships with): the q113 scores cut into deciles by the
+    // distributed exact NTILE, per-decile positive rate against an
+    // arithmetic label — monotone rates = usable ranking. Min/max
+    // score are order statistics (deterministic doubles); no score
+    // sums ever cross engines.
+    "q205_calibration" -> ((s, d) => {
+      val scored = TextOps.linearModelScore(docsSpread(s, d), "doc_id",
+          "text", TextOps.syntheticWeights(s, buckets = 64), buckets = 64)
+        .withColumn("label", when(col("doc_id") % 3 === 0, 1L).otherwise(0L))
+        .withColumn("__g", lit(1))
+      graft.ext.Sampling.ntileByKey(scored, "__g", "score", "doc_id", tiles = 10)
+        .groupBy(col("tile").cast("long").as("decile"))
+        .agg(count(lit(1)).as("n"), sum(col("label")).as("n_pos"),
+          min(col("score")).as("min_score"), max(col("score")).as("max_score"))
+        .withColumn("pos_rate_ppm", expr("(n_pos * 1000000L) div n"))
+        .orderBy(col("decile"))
+    }),
+
+    // Threshold SWEEP confusion matrix (Audit.binaryConfusion) over
+    // the q113 scores: tp/fp/fn/tn + floor-ppm precision/recall/F1
+    // (F1 in its tp-form — one integer division, engine-exact).
+    "q206_confusion" -> ((s, d) => {
+      val scored = TextOps.linearModelScore(docsSpread(s, d), "doc_id",
+          "text", TextOps.syntheticWeights(s, buckets = 64), buckets = 64)
+        .withColumn("label", when(col("doc_id") % 3 === 0, 1L).otherwise(0L))
+      graft.ext.Audit.binaryConfusion(scored, "score", "label",
+          thresholdsMilli = Seq(-100L, 0L, 100L))
+        .orderBy(col("threshold_milli"))
+    }),
+
     // Retrieval-quality EVALUATION (MRR / hit@k / recall@k) of the
     // q131 BM25 ranker against an arithmetic relevance set — the
     // metrics are floor-integer ppm, the ranking is the IEEE-replayed
@@ -5148,6 +5205,39 @@ object SparkEntry {
     // per-term BM25 IEEE score replay (the q131 recipe), top-20
     // ranked, floor-ppm MRR / hit@k / recall@k arithmetic
     "q199_retrieval_eval" -> RetrievalEvalSql,
+
+    // the q113 score replay + plain ntile(10) + per-decile label rate
+    "q205_calibration" ->
+      s"""WITH $ScoredDocsCtes,
+        |lab AS (SELECT doc_id, score,
+        |    CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS label FROM scored),
+        |t AS (SELECT *, CAST(ntile(10) OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS decile FROM lab)
+        |SELECT decile, count(*) AS n, CAST(sum(label) AS BIGINT) AS n_pos,
+        |  min(score) AS min_score, max(score) AS max_score,
+        |  CAST((sum(label) * 1000000) // count(*) AS BIGINT) AS pos_rate_ppm
+        |FROM t GROUP BY decile ORDER BY decile""".stripMargin,
+
+    // the q113 score replay swept over milli thresholds; F1 in its
+    // tp-form so every metric is one integer floor division
+    "q206_confusion" ->
+      s"""WITH $ScoredDocsCtes,
+        |lab AS (SELECT doc_id, score,
+        |    CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS label FROM scored),
+        |th AS (SELECT unnest([-100, 0, 100]) AS threshold_milli),
+        |p AS (SELECT th.threshold_milli,
+        |    (score * CAST(1000 AS DOUBLE) >= threshold_milli) AS pred, label
+        |  FROM lab CROSS JOIN th),
+        |c AS (SELECT threshold_milli,
+        |    CAST(count(*) FILTER (WHERE pred AND label = 1) AS BIGINT) AS tp,
+        |    CAST(count(*) FILTER (WHERE pred AND label = 0) AS BIGINT) AS fp,
+        |    CAST(count(*) FILTER (WHERE NOT pred AND label = 1) AS BIGINT) AS fn,
+        |    CAST(count(*) FILTER (WHERE NOT pred AND label = 0) AS BIGINT) AS tn
+        |  FROM p GROUP BY 1)
+        |SELECT CAST(threshold_milli AS BIGINT) AS threshold_milli, tp, fp, fn, tn,
+        |  CAST(CASE WHEN tp + fp = 0 THEN 0 ELSE (tp * 1000000) // (tp + fp) END AS BIGINT) AS precision_ppm,
+        |  CAST(CASE WHEN tp + fn = 0 THEN 0 ELSE (tp * 1000000) // (tp + fn) END AS BIGINT) AS recall_ppm,
+        |  CAST(CASE WHEN 2 * tp + fp + fn = 0 THEN 0 ELSE (2 * tp * 1000000) // (2 * tp + fp + fn) END AS BIGINT) AS f1_ppm
+        |FROM c ORDER BY threshold_milli""".stripMargin,
 
     // content gate for the layout-only rewrite: the compacted
     // store read-back must aggregate identically to the raw table

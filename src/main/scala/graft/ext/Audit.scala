@@ -208,6 +208,37 @@ object Audit {
         when(col("n_violations") === 0L, 1L).otherwise(0L))
   }
 
+  /** Binary-classifier CONFUSION MATRIX swept over score thresholds
+    * (the eval readout for the q113/q117 quality models): one narrow
+    * |thresholds|-way explode + ONE hash aggregate gives tp/fp/fn/tn
+    * per threshold, with precision/recall/F1 as floor-ppm integers —
+    * F1 via its tp-form 2·tp·10⁶ div (2·tp + fp + fn), so the whole
+    * report is engine-exact (no double division chains). Thresholds
+    * are MILLI-units compared against `score·1000` (one IEEE multiply,
+    * identical rounding everywhere). NULL scores/labels drop. */
+  def binaryConfusion(df: DataFrame, scoreCol: String, labelCol: String,
+      thresholdsMilli: Seq[Long]): DataFrame = {
+    require(thresholdsMilli.nonEmpty, "binaryConfusion needs thresholds")
+    val pred = col(scoreCol) * lit(1000.0) >= col("threshold_milli")
+    val pos = col(labelCol) === 1L
+    df.na.drop(Seq(scoreCol, labelCol))
+      .select(explode(array(thresholdsMilli.map(lit(_)): _*))
+        .as("threshold_milli"), col(scoreCol), col(labelCol))
+      .groupBy(col("threshold_milli"))
+      .agg(
+        count(when(pred && pos, 1L)).as("tp"),
+        count(when(pred && !pos, 1L)).as("fp"),
+        count(when(!pred && pos, 1L)).as("fn"),
+        count(when(!pred && !pos, 1L)).as("tn"))
+      .select(col("threshold_milli"), col("tp"), col("fp"), col("fn"), col("tn"),
+        when(col("tp") + col("fp") === 0L, 0L)
+          .otherwise(expr("(tp * 1000000L) div (tp + fp)")).as("precision_ppm"),
+        when(col("tp") + col("fn") === 0L, 0L)
+          .otherwise(expr("(tp * 1000000L) div (tp + fn)")).as("recall_ppm"),
+        when(lit(2L) * col("tp") + col("fp") + col("fn") === 0L, 0L)
+          .otherwise(expr("(2L * tp * 1000000L) div (2L * tp + fp + fn)")).as("f1_ppm"))
+  }
+
   /** K-ANONYMITY audit over quasi-identifier columns (the privacy
     * check a training-data release runs before shipping anything
     * user-derived): rows whose quasi-identifier combination is shared
