@@ -2891,7 +2891,10 @@ object SparkEntry {
     "q204_compaction" -> ((s, d) => {
       val store = new TableStore(s, "/tmp/graft_store_q204")
       store.drop("orders_frag") // deterministic v0/v1 history per run
-      store.write("orders_frag", T(s, d, "orders"), maxRecordsPerFile = 50L)
+      // 1000-row files: fragmented enough to make compaction real
+      // (sf0.1: ~150 files) without the write itself dominating the
+      // contract (50-row files cost ~28 s of pure file overhead)
+      store.write("orders_frag", T(s, d, "orders"), maxRecordsPerFile = 1000L)
       store.compact("orders_frag", maxRecordsPerFile = 1000000L)
       store.read("orders_frag")
         .groupBy(col("o_orderstatus"))

@@ -242,11 +242,18 @@ object Behavior {
         count(lit(1)).as("frequency"),
         sum(col(amountCol).cast("decimal(18,4)")).cast("double").as("monetary"))
       .withColumn("__g", lit(1))
+      // each NTILE cut reads its input twice (eager quantile probe +
+      // the ranked pass); materialize the per-customer rollup ONCE and
+      // run the three cuts independently off it — a stacked fold would
+      // re-execute every earlier cut's windows on each re-read
+      .localCheckpoint(true)
     val cut = Seq("recency" -> "r_tile", "frequency" -> "f_tile",
-      "monetary" -> "m_tile").foldLeft(base) { case (acc, (score, tile)) =>
-      Sampling.ntileByKey(acc, "__g", score, custCol, tiles)
-        .withColumnRenamed("tile", tile)
-    }
+      "monetary" -> "m_tile").map { case (score, tile) =>
+      Sampling.ntileByKey(
+          base.select(col(custCol), col("__g"), col(score)),
+          "__g", score, custCol, tiles)
+        .select(col(custCol), col("tile").as(tile))
+    }.foldLeft(base) { (acc, c) => acc.join(c, Seq(custCol)) }
     cut.select(col(custCol), col("recency"), col("frequency"), col("monetary"),
       col("r_tile").cast("long").as("r_tile"),
       col("f_tile").cast("long").as("f_tile"),
