@@ -32,7 +32,8 @@ object DatasetCard {
       piiEmails: Long, piiUrls: Long, piiIps: Long,
       lmScoreMean: Double = 0.0, lmScoreP10: Double = 0.0,
       gopherPassRate: Double = 0.0,
-      maxSourceDriftPpm: Long = 0L, oovMeanPpm: Long = 0L)
+      maxSourceDriftPpm: Long = 0L, oovMeanPpm: Long = 0L,
+      fkGradeP50Milli: Long = 0L)
 
   def cardFor(docs: DataFrame, idCol: String, textCol: String,
       langCol: Option[String] = None,
@@ -46,7 +47,8 @@ object DatasetCard {
       TextOps.qualityScore(t).as("q"),
       ne.as("ne"), nu.as("nu"), ni.as("ni"),
       TextOps.fingerprintMd5(t).as("fp"),
-      TextOps.gopherQuality(t).getField("pass").as("gp"))
+      TextOps.gopherQuality(t).getField("pass").as("gp"),
+      TextOps.readabilityStats(t).last.as("fkg"))
       .agg(
         count(lit(1)).as("n"),
         sum(col("tok")).as("tot"),
@@ -56,7 +58,8 @@ object DatasetCard {
         percentile_approx(col("q"), lit(0.1), lit(1000)).as("qp10"),
         sum(col("ne")).as("ne"), sum(col("nu")).as("nu"), sum(col("ni")).as("ni"),
         countDistinct(col("fp")).as("nfp"),
-        avg(col("gp")).as("gpr"))
+        avg(col("gp")).as("gpr"),
+        percentile_approx(col("fkg"), lit(0.5), lit(1000)).as("fkg50"))
       .head()
     val n = row.getAs[Long]("n")
     // empty corpus: every percentile/avg cell above is NULL — short-
@@ -120,7 +123,13 @@ object DatasetCard {
         val o = TextOps.oovRate(docs, idCol, textCol, vocabSize = 512)
           .agg(avg(col("oov_ppm"))).head()
         if (o.isNullAt(0)) 0L else o.getDouble(0).round
-      })
+      },
+      // readability: the median Flesch-Kincaid milli-grade (q203's
+      // per-doc statistic) - a release drifting toward minified junk
+      // or anchor-text soup moves this before eyeballs catch it
+      fkGradeP50Milli =
+        if (row.isNullAt(row.fieldIndex("fkg50"))) 0L
+        else row.getAs[Number]("fkg50").longValue())
   }
 
   def toJson(c: Card): String = {
@@ -141,7 +150,8 @@ object DatasetCard {
       f""""pii_emails":${c.piiEmails},"pii_urls":${c.piiUrls},"pii_ips":${c.piiIps},""" +
       f""""lm_score_mean":${c.lmScoreMean}%.4f,"lm_score_p10":${c.lmScoreP10}%.4f,""" +
       f""""gopher_pass_rate":${c.gopherPassRate}%.4f,""" +
-      f""""max_source_drift_ppm":${c.maxSourceDriftPpm},"oov_mean_ppm":${c.oovMeanPpm}}"""
+      f""""max_source_drift_ppm":${c.maxSourceDriftPpm},"oov_mean_ppm":${c.oovMeanPpm},""" +
+      s""""fk_grade_p50_milli":${c.fkGradeP50Milli}}"""
   }
 
   def main(args: Array[String]): Unit = {

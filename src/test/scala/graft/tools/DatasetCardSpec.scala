@@ -17,6 +17,11 @@ class DatasetCardSpec extends SparkSpec {
     // top-512 vocab should cover most of a ~5k-word fixture vocabulary
     assert(card.maxSourceDriftPpm > 0 && card.maxSourceDriftPpm <= 1000000L)
     assert(card.oovMeanPpm >= 0 && card.oovMeanPpm < 1000000L)
+    // readability facet: a real median milli-grade, inside the FK
+    // formula's plausible envelope for non-empty prose
+    assert(card.fkGradeP50Milli != 0L &&
+      card.fkGradeP50Milli > -16000L && card.fkGradeP50Milli < 40000L,
+      s"fkGradeP50Milli ${card.fkGradeP50Milli}")
     assert(card.langs.values.sum == n, "language mix must partition the corpus")
     assert(card.totalTokens > 0 && card.tokensP50 > 0)
     assert(card.tokensP90 >= card.tokensP50)
