@@ -2820,6 +2820,47 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // Right-to-be-forgotten across snapshot HISTORY
+    // (TableStore.forgetWhere): time travel makes ordinary deletes
+    // insufficient, so erasure rewrites EVERY committed version in
+    // place — gated on per-version content plus the exact removed
+    // count (2 versions × the matching rows).
+    "q207_forget" -> ((s, d) => {
+      val store = new TableStore(s, "/tmp/graft_store_q207")
+      store.drop("cust_hist")
+      val c = T(s, d, "customer")
+      store.write("cust_hist", c) // v0
+      store.write("cust_hist", c.withColumn("flag", lit(1L))) // v1
+      val removed = store.forgetWhere("cust_hist", col("c_custkey") % 7 === 0)
+      store.versions("cust_hist").map { v =>
+        store.readVersion("cust_hist", v)
+          .agg(count(lit(1)).as("n"), dsum(col("c_acctbal")).as("bal"))
+          .select(lit(v.toLong).as("version"), col("n"), col("bal"),
+            lit(removed).as("n_removed"))
+      }.reduce(_ unionByName _).orderBy(col("version"))
+    }),
+
+    // FUNCTIONAL-DEPENDENCY audit (Audit.functionalDependencies):
+    // three fixture relations profiled for determinant→dependent
+    // integrity — one lhs-keyed aggregate per dependency.
+    "q208_fd_audit" -> ((s, d) =>
+      graft.ext.Audit.functionalDependencies(T(s, d, "nation"),
+          Seq(("n_nationkey", "n_regionkey")))
+        .unionByName(graft.ext.Audit.functionalDependencies(T(s, d, "customer"),
+          Seq(("c_nationkey", "c_mktsegment"), ("c_custkey", "c_nationkey"))))
+        .unionByName(graft.ext.Audit.functionalDependencies(T(s, d, "orders"),
+          Seq(("o_orderkey", "o_custkey"))))
+        .orderBy(col("dependency"))),
+
+    // CANDIDATE-KEY discovery (Audit.candidateKeys): declared column
+    // sets checked for row-identifying uniqueness — one distinct
+    // aggregate per set.
+    "q209_keys" -> ((s, d) =>
+      graft.ext.Audit.candidateKeys(T(s, d, "customer"), Seq(
+          Seq("c_custkey"), Seq("c_name"),
+          Seq("c_nationkey", "c_mktsegment")))
+        .orderBy(col("key_cols"))),
+
     // Classifier CALIBRATION table (the reliability diagram a quality
     // model ships with): the q113 scores cut into deciles by the
     // distributed exact NTILE, per-decile positive rate against an
@@ -5208,6 +5249,53 @@ object SparkEntry {
     // per-term BM25 IEEE score replay (the q131 recipe), top-20
     // ranked, floor-ppm MRR / hit@k / recall@k arithmetic
     "q199_retrieval_eval" -> RetrievalEvalSql,
+
+    // both surviving versions must read the erased population; the
+    // removed count is 2 versions x the matching rows
+    "q207_forget" ->
+      """WITH k AS (
+        |  SELECT count(*) AS n,
+        |    CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS bal
+        |  FROM customer WHERE c_custkey % 7 <> 0),
+        |r AS (SELECT 2 * (SELECT count(*) FROM customer WHERE c_custkey % 7 = 0) AS n_removed)
+        |SELECT CAST(v AS BIGINT) AS version, k.n, k.bal,
+        |  CAST(r.n_removed AS BIGINT) AS n_removed
+        |FROM (SELECT unnest([0, 1]) AS v) CROSS JOIN k CROSS JOIN r
+        |ORDER BY version""".stripMargin,
+
+    // one lhs-group rollup per declared dependency
+    "q208_fd_audit" ->
+      """WITH
+        |g1 AS (SELECT n_nationkey, count(DISTINCT n_regionkey) AS d FROM nation GROUP BY 1),
+        |g2 AS (SELECT c_nationkey, count(DISTINCT c_mktsegment) AS d FROM customer GROUP BY 1),
+        |g3 AS (SELECT c_custkey, count(DISTINCT c_nationkey) AS d FROM customer GROUP BY 1),
+        |g4 AS (SELECT o_orderkey, count(DISTINCT o_custkey) AS d FROM orders GROUP BY 1),
+        |u AS (
+        |  SELECT 'n_nationkey->n_regionkey' AS dependency, count(*) AS n_groups,
+        |    count(*) FILTER (WHERE d > 1) AS n_violating, coalesce(sum(d - 1), 0) AS extra_mappings FROM g1
+        |  UNION ALL SELECT 'c_nationkey->c_mktsegment', count(*),
+        |    count(*) FILTER (WHERE d > 1), coalesce(sum(d - 1), 0) FROM g2
+        |  UNION ALL SELECT 'c_custkey->c_nationkey', count(*),
+        |    count(*) FILTER (WHERE d > 1), coalesce(sum(d - 1), 0) FROM g3
+        |  UNION ALL SELECT 'o_orderkey->o_custkey', count(*),
+        |    count(*) FILTER (WHERE d > 1), coalesce(sum(d - 1), 0) FROM g4)
+        |SELECT dependency, n_groups, CAST(n_violating AS BIGINT) AS n_violating,
+        |  CAST(extra_mappings AS BIGINT) AS extra_mappings,
+        |  CAST(CASE WHEN n_violating = 0 THEN 1 ELSE 0 END AS BIGINT) AS holds
+        |FROM u ORDER BY dependency""".stripMargin,
+
+    // one distinct-combination count per declared set
+    "q209_keys" ->
+      """WITH u AS (
+        |  SELECT 'c_custkey' AS key_cols, (SELECT count(*) FROM customer) AS n_rows,
+        |    (SELECT count(*) FROM (SELECT DISTINCT c_custkey FROM customer)) AS n_distinct
+        |  UNION ALL SELECT 'c_name', (SELECT count(*) FROM customer),
+        |    (SELECT count(*) FROM (SELECT DISTINCT c_name FROM customer))
+        |  UNION ALL SELECT 'c_nationkey,c_mktsegment', (SELECT count(*) FROM customer),
+        |    (SELECT count(*) FROM (SELECT DISTINCT c_nationkey, c_mktsegment FROM customer)))
+        |SELECT key_cols, n_rows, n_distinct,
+        |  CAST(CASE WHEN n_rows = n_distinct THEN 1 ELSE 0 END AS BIGINT) AS is_key
+        |FROM u ORDER BY key_cols""".stripMargin,
 
     // the q113 score replay + plain ntile(10) + per-decile label rate
     "q205_calibration" ->

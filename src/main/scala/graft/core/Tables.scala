@@ -198,6 +198,36 @@ final class TableStore(spark: SparkSession, root: String) {
       maxRecordsPerFile: Long = 0L): Unit =
     write(name, read(name), partitionBy, maxRecordsPerFile)
 
+  /** Right-to-be-forgotten: physically excise every row matching
+    * `condition` from EVERY committed snapshot version — time travel
+    * makes ordinary deletes insufficient (a GDPR erasure that leaves
+    * the user in `v3` of history hasn't erased anything), so this is
+    * the one operation allowed to rewrite committed versions in place.
+    * NULL conditions keep the row (only a definite match is erased).
+    * Version numbers, history shape, and the current pointer are all
+    * preserved; returns the total rows removed across versions.
+    *
+    * Each version is one filter scan materialized BEFORE its directory
+    * is overwritten (read-then-overwrite on the same path needs the
+    * barrier), so cost is one pass over history — the expected shape
+    * for an erasure batch job. */
+  def forgetWhere(name: String, condition: org.apache.spark.sql.Column): Long = {
+    var removed = 0L
+    versions(name).foreach { v =>
+      val cur = readVersion(name, v)
+      val before = cur.count()
+      val keep = cur
+        .filter(!org.apache.spark.sql.functions.coalesce(
+          condition, org.apache.spark.sql.functions.lit(false)))
+        .localCheckpoint(true)
+      removed += before - keep.count()
+      keep.write.mode("overwrite")
+        .parquet(new Path(tableDir(name), s"v$v").toString)
+      keep.unpersist()
+    }
+    removed
+  }
+
   /** Retention: delete all but the newest `keepLast` committed
     * snapshots. The time-travel horizon is a RESOURCE decision — old
     * versions cost storage forever otherwise; this is the `VACUUM`

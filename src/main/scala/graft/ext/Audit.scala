@@ -208,6 +208,51 @@ object Audit {
         when(col("n_violations") === 0L, 1L).otherwise(0L))
   }
 
+  /** FUNCTIONAL-DEPENDENCY audit (the profiling pass schema inference
+    * and normalization both start from): for each candidate `lhs → rhs`
+    * the determinant groups, how many map to MORE than one dependent
+    * value, and the surplus mappings — `holds` = 1 iff no group
+    * violates. One hash aggregate on the lhs key per dependency;
+    * NULLs group like values (an audit wants NULL-keyed conflicts
+    * surfaced, not skipped). Returns (dependency, n_groups,
+    * n_violating, extra_mappings, holds). */
+  def functionalDependencies(df: DataFrame,
+      deps: Seq[(String, String)]): DataFrame = {
+    require(deps.nonEmpty, "functionalDependencies needs at least one dependency")
+    deps.map { case (lhs, rhs) =>
+      df.groupBy(col(lhs))
+        // struct() wrap: countDistinct skips bare NULLs, but a NULL
+        // dependent is a real mapping for audit purposes
+        .agg(countDistinct(struct(col(rhs))).as("__d"))
+        .agg(count(lit(1)).as("n_groups"),
+          count(when(col("__d") > 1L, 1L)).as("n_violating"),
+          coalesce(sum(col("__d") - 1L), lit(0L)).as("extra_mappings"))
+        .select(lit(s"$lhs->$rhs").as("dependency"),
+          col("n_groups"), col("n_violating"), col("extra_mappings"),
+          when(col("n_violating") === 0L, 1L).otherwise(0L).as("holds"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** CANDIDATE-KEY discovery over declared column sets: each set's
+    * distinct combination count against the row count — `is_key` = 1
+    * iff the set identifies every row (the uniqueness half of key
+    * discovery; minimality is the caller's reading of the report).
+    * One distinct aggregate per set; NULL-containing combinations
+    * count like values (audit semantics, as in [[checkConstraints]]
+    * unique). Returns (key_cols, n_rows, n_distinct, is_key). */
+  def candidateKeys(df: DataFrame, colSets: Seq[Seq[String]]): DataFrame = {
+    require(colSets.nonEmpty, "candidateKeys needs at least one column set")
+    colSets.map { cols =>
+      require(cols.nonEmpty, "a candidate key needs at least one column")
+      df.agg(count(lit(1)).as("n_rows"),
+          countDistinct(struct(cols.map(col): _*)).as("n_distinct"))
+        .select(lit(cols.mkString(",")).as("key_cols"),
+          col("n_rows"), col("n_distinct"),
+          when(col("n_rows") === col("n_distinct"), 1L).otherwise(0L)
+            .as("is_key"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Binary-classifier CONFUSION MATRIX swept over score thresholds
     * (the eval readout for the q113/q117 quality models): one narrow
     * |thresholds|-way explode + ONE hash aggregate gives tp/fp/fn/tn

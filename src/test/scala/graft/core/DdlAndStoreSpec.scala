@@ -60,6 +60,25 @@ class DdlAndStoreSpec extends SparkSpec {
     intercept[IllegalArgumentException](store.expireVersions("c", 0))
   }
 
+  test("forgetWhere: erasure reaches EVERY committed version; history shape and pointer survive") {
+    val store = newStore()
+    val df = (1L to 40L).map(i => (i, s"u$i")).toDF("id", "v")
+    store.write("gdpr", df)                      // v0
+    store.write("gdpr", df.filter($"id" <= 30L)) // v1 (current)
+    val removed = store.forgetWhere("gdpr", $"id" % 10L === 0L)
+    assert(removed == 4L + 3L, s"removed $removed") // v0: 10,20,30,40; v1: 10,20,30
+    assert(store.versions("gdpr") == Seq(0, 1), "history shape preserved")
+    assert(store.readVersion("gdpr", 0).filter($"id" % 10L === 0L).count() == 0,
+      "erasure must reach historical versions, not just the current one")
+    assert(store.read("gdpr").as[(Long, String)].collect().map(_._1).sorted.toSeq ==
+      (1L to 30L).filter(_ % 10 != 0).toSeq, "current pointer intact, survivors intact")
+    // NULL condition keeps the row (only a definite match erases)
+    val withNull = Seq((Some(1L), "a"), (None, "b")).toDF("k", "v")
+    store.write("gdpr_n", withNull)
+    assert(store.forgetWhere("gdpr_n", $"k" === 1L) == 1L)
+    assert(store.read("gdpr_n").count() == 1L, "NULL-keyed row survives")
+  }
+
   test("partitioned snapshots prune partitions at the scan") {
     val store = newStore()
     val df = Seq((1L, "a", "2024-01"), (2L, "b", "2024-01"), (3L, "c", "2024-02"))

@@ -120,6 +120,32 @@ class AuditSpec extends SparkSpec {
     assert(ok.getLong(2) == 0L && ok.getLong(3) == 1L)
   }
 
+  test("functionalDependencies: violations counted per determinant; NULL dependents are real mappings") {
+    val df = Seq(
+      (1L, Some("a")), (1L, Some("a")), // consistent
+      (2L, Some("a")), (2L, Some("b")), // violating: two dependents
+      (3L, None), (3L, Some("c")) // violating only if NULL counts
+    ).toDF("k", "v")
+    val out = Audit.functionalDependencies(df, Seq(("k", "v")))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).head
+    assert(out == (("k->v", 3L, 2L, 2L, 0L)), s"got $out")
+    // a holding dependency reads holds = 1
+    val ok = Audit.functionalDependencies(df.filter($"k" === 1L), Seq(("k", "v")))
+      .collect().head
+    assert(ok.getLong(2) == 0L && ok.getLong(4) == 1L)
+  }
+
+  test("candidateKeys: uniqueness verdict per column set; composite sets count combinations") {
+    val df = Seq((1L, "x", "p"), (2L, "x", "q"), (3L, "y", "p"))
+      .toDF("id", "a", "b")
+    val out = Audit.candidateKeys(df, Seq(Seq("id"), Seq("a"), Seq("a", "b")))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out("id") == ((3L, 3L, 1L)))
+    assert(out("a") == ((3L, 2L, 0L)))
+    assert(out("a,b") == ((3L, 3L, 1L)), "the pair identifies rows where 'a' alone does not")
+  }
+
   test("kAnonymity: group-size histogram with at-risk flag below k") {
     val df = Seq(
       ("US", "A"), ("US", "A"), ("US", "A"), // size-3 group
