@@ -2820,6 +2820,15 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // Interval-UNION coverage (Behavior.coveredTime): each event opens
+    // a 5-minute window, overlaps merge via gaps-and-islands on the
+    // user partitioning, per-user union length in exact seconds — the
+    // "minutes of activity" measure that double-counts nothing.
+    "q210_covered_time" -> ((s, d) =>
+      graft.ext.Behavior.coveredTime(T(s, d, "events"), "user_id", "ts",
+          windowSeconds = 300L)
+        .orderBy(col("user_id"))),
+
     // Right-to-be-forgotten across snapshot HISTORY
     // (TableStore.forgetWhere): time travel makes ordinary deletes
     // insufficient, so erasure rewrites EVERY committed version in
@@ -5249,6 +5258,23 @@ object SparkEntry {
     // per-term BM25 IEEE score replay (the q131 recipe), top-20
     // ranked, floor-ppm MRR / hit@k / recall@k arithmetic
     "q199_retrieval_eval" -> RetrievalEvalSql,
+
+    // the same gaps-and-islands arithmetic on epoch micros
+    "q210_covered_time" ->
+      """WITH i AS (
+        |  SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + 300000000 AS e FROM events),
+        |m AS (SELECT user_id, s, e,
+        |    max(e) OVER (PARTITION BY user_id ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe
+        |  FROM i),
+        |n AS (SELECT user_id, s, e,
+        |    CASE WHEN pe IS NULL OR s > pe THEN 1 ELSE 0 END AS ni FROM m),
+        |isl AS (SELECT user_id, s, e,
+        |    sum(ni) OVER (PARTITION BY user_id ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM n),
+        |g AS (SELECT user_id, island, min(s) AS is_, max(e) AS ie FROM isl GROUP BY 1, 2)
+        |SELECT user_id, count(*) AS n_islands,
+        |  CAST(sum(ie - is_) // 1000000 AS BIGINT) AS covered_seconds
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     // both surviving versions must read the erased population; the
     // removed count is 2 versions x the matching rows

@@ -295,6 +295,41 @@ object Behavior {
       .agg(count(lit(1)).as("n_touches"), sum(col("__credit")).as("credit_ppm"))
   }
 
+  /** Total COVERED time per key from overlapping intervals (the
+    * interval-union measure): each event opens a window of
+    * `windowSeconds`, overlapping windows merge, and the result is
+    * each key's union length in exact seconds — "minutes of activity"
+    * that double-counts nothing however bursty the stream. The
+    * gaps-and-islands shape: one running-max window on the KEY
+    * partitioning finds island starts (an interval whose start exceeds
+    * every prior end), a running island-id sum groups them, and one
+    * aggregate per island then per key finishes — microsecond-integer
+    * arithmetic end to end, no self-joins, no corpus windows. Returns
+    * (keyCol, n_islands, covered_seconds). */
+  def coveredTime(events: DataFrame, keyCol: String, tsCol: String,
+      windowSeconds: Long): DataFrame = {
+    require(windowSeconds >= 1, s"windowSeconds must be >= 1, got $windowSeconds")
+    val W = org.apache.spark.sql.expressions.Window
+    val w = W.partitionBy(col(keyCol)).orderBy(col("__s"))
+    val wPrev = w.rowsBetween(W.unboundedPreceding, -1)
+    val micros = windowSeconds * 1000000L
+    events
+      .select(col(keyCol), unix_micros(col(tsCol)).as("__s"))
+      .withColumn("__e", col("__s") + micros)
+      .withColumn("__maxPrevEnd", max(col("__e")).over(wPrev))
+      .withColumn("__newIsland",
+        when(col("__maxPrevEnd").isNull || col("__s") > col("__maxPrevEnd"), 1L)
+          .otherwise(0L))
+      .withColumn("__island", sum(col("__newIsland")).over(w))
+      .groupBy(col(keyCol), col("__island"))
+      .agg(min(col("__s")).as("__is"), max(col("__e")).as("__ie"))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_islands"),
+        sum(col("__ie") - col("__is")).as("__cov_us"))
+      .select(col(keyCol), col("n_islands"),
+        expr("__cov_us div 1000000L").as("covered_seconds"))
+  }
+
   /** Integral division that any engine replays bit-for-bit: divisions
     * only ever see NON-NEGATIVE operands (truncating and flooring
     * division agree there — Spark `div` truncates, DuckDB `//` floors,

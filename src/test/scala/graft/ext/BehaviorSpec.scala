@@ -197,6 +197,24 @@ class BehaviorSpec extends SparkSpec {
     }
   }
 
+  test("coveredTime: overlapping windows merge, disjoint ones add; partial overlap never double-counts") {
+    val ev = Seq(
+      // user 1: 00:00 and 00:03 overlap (5-min windows) -> one island
+      // [00:00, 00:08) = 480 s; 01:00 is its own island (300 s)
+      (1L, ts("2024-01-01 00:00:00")),
+      (1L, ts("2024-01-01 00:03:00")),
+      (1L, ts("2024-01-01 01:00:00")),
+      // user 2: exact-touch boundary (00:05:00 starts exactly when the
+      // first window ends) -> still ONE island (s > pe is strict)
+      (2L, ts("2024-01-01 00:00:00")),
+      (2L, ts("2024-01-01 00:05:00"))
+    ).toDF("user_id", "ts")
+    val out = Behavior.coveredTime(ev, "user_id", "ts", windowSeconds = 300L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1L) == ((2L, 780L)), s"user1 ${out(1L)}")
+    assert(out(2L) == ((1L, 600L)), s"user2 ${out(2L)}")
+  }
+
   test("rfmSegments: clean rank order maps customer k to tile 6-k on all three axes") {
     // customer k (1..5): k orders, latest at Jan k, each priced 100*k
     val orders = (1L to 5L).flatMap { k =>
