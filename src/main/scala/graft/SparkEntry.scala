@@ -2820,6 +2820,37 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // Consecutive-day activity STREAKS (Behavior.activeStreaks): the
+    // date-minus-rank island trick on the user partitioning.
+    "q211_streaks" -> ((s, d) =>
+      graft.ext.Behavior.activeStreaks(T(s, d, "events"), "user_id", "ts")
+        .orderBy(col("user_id"))),
+
+    // DEBOUNCE (Behavior.debounce): bursts collapse to island heads —
+    // an event survives iff the previous same-(user,type) event is
+    // > 60 s older. Reported as surviving counts per type next to the
+    // raw counts (the suppression-rate readout).
+    "q212_debounce" -> ((s, d) => {
+      val ev = T(s, d, "events")
+      val kept = graft.ext.Behavior.debounce(ev,
+          Seq("user_id", "event_type"), "ts", minGapSeconds = 60L,
+          tieCol = "event_id")
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n_kept"))
+      ev.groupBy(col("event_type")).agg(count(lit(1)).as("n_raw"))
+        .join(kept, Seq("event_type"))
+        .withColumn("suppressed_ppm",
+          expr("((n_raw - n_kept) * 1000000L) div n_raw"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Deterministic MODE per group (Audit.modeOf): highest count,
+    // ties to the smallest value — min(struct) over the (group,value)
+    // rollup, never a rank window.
+    "q213_mode" -> ((s, d) =>
+      graft.ext.Audit.modeOf(T(s, d, "orders"),
+          Seq("o_orderstatus"), "o_orderpriority")
+        .orderBy(col("o_orderstatus"))),
+
     // Interval-UNION coverage (Behavior.coveredTime): each event opens
     // a 5-minute window, overlaps merge via gaps-and-islands on the
     // user partitioning, per-user union length in exact seconds — the
@@ -5258,6 +5289,42 @@ object SparkEntry {
     // per-term BM25 IEEE score replay (the q131 recipe), top-20
     // ranked, floor-ppm MRR / hit@k / recall@k arithmetic
     "q199_retrieval_eval" -> RetrievalEvalSql,
+
+    // distinct days, date-minus-rank islands, per-user rollup
+    "q211_streaks" ->
+      """WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |g AS (SELECT user_id, day,
+        |    day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day) AS INTEGER) AS grp
+        |  FROM d),
+        |i AS (SELECT user_id, grp, count(*) AS len FROM g GROUP BY 1, 2)
+        |SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days,
+        |  count(*) AS n_streaks, CAST(max(len) AS BIGINT) AS longest_streak
+        |FROM i GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // lag-vs-previous-raw gap filter == island heads; suppression ppm
+    "q212_debounce" ->
+      """WITH l AS (
+        |  SELECT event_type,
+        |    epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS gap
+        |  FROM events),
+        |k AS (SELECT event_type, count(*) AS n_kept FROM l
+        |  WHERE gap IS NULL OR gap > 60000000 GROUP BY 1),
+        |r AS (SELECT event_type, count(*) AS n_raw FROM events GROUP BY 1)
+        |SELECT r.event_type, r.n_raw, k.n_kept,
+        |  CAST(((r.n_raw - k.n_kept) * 1000000) // r.n_raw AS BIGINT) AS suppressed_ppm
+        |FROM r JOIN k USING (event_type) ORDER BY r.event_type""".stripMargin,
+
+    // highest count, ties to the smallest value (rank-1 of the rollup)
+    "q213_mode" ->
+      """WITH c AS (
+        |  SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        |  FROM orders WHERE o_orderpriority IS NOT NULL GROUP BY 1, 2),
+        |r AS (SELECT o_orderstatus, o_orderpriority, n,
+        |    row_number() OVER (PARTITION BY o_orderstatus ORDER BY n DESC, o_orderpriority) AS rk
+        |  FROM c)
+        |SELECT o_orderstatus, o_orderpriority AS mode_value,
+        |  CAST(n AS BIGINT) AS mode_count
+        |FROM r WHERE rk = 1 ORDER BY o_orderstatus""".stripMargin,
 
     // the same gaps-and-islands arithmetic on epoch micros
     "q210_covered_time" ->

@@ -208,6 +208,25 @@ object Audit {
         when(col("n_violations") === 0L, 1L).otherwise(0L))
   }
 
+  /** Deterministic MODE (most frequent value) per group: the winner is
+    * the highest count with ties broken to the SMALLEST value — one
+    * (group, value) aggregate then one min(struct) per group, never a
+    * rank window. NULL values are excluded (a mode of "missing" is a
+    * [[columnProfile]] fact, not a mode). Returns
+    * (groupCols…, mode_value, mode_count). */
+  def modeOf(df: DataFrame, groupCols: Seq[String],
+      valueCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "modeOf needs at least one group column")
+    df.filter(col(valueCol).isNotNull)
+      .groupBy((groupCols :+ valueCol).map(col): _*)
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(groupCols.map(col): _*)
+      .agg(min(struct((-col("__c")).as("nc"), col(valueCol).as("v"))).as("__best"))
+      .select(groupCols.map(col) ++ Seq(
+        col("__best.v").as("mode_value"),
+        (-col("__best.nc")).as("mode_count")): _*)
+  }
+
   /** FUNCTIONAL-DEPENDENCY audit (the profiling pass schema inference
     * and normalization both start from): for each candidate `lhs → rhs`
     * the determinant groups, how many map to MORE than one dependent

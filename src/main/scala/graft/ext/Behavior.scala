@@ -295,6 +295,51 @@ object Behavior {
       .agg(count(lit(1)).as("n_touches"), sum(col("__credit")).as("credit_ppm"))
   }
 
+  /** Longest consecutive-day activity STREAK per user (the engagement
+    * metric): distinct active days collapse to islands by the classic
+    * date-minus-rank trick (consecutive days share `day − rank`), one
+    * island aggregate, one user rollup. Both windows ride the USER
+    * partitioning (bounded by a user's active-day count — the data
+    * collapsed to distinct days first). Returns
+    * (userCol, n_active_days, n_streaks, longest_streak). */
+  def activeStreaks(events: DataFrame, userCol: String,
+      tsCol: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val w = W.partitionBy(col(userCol)).orderBy(col("__day"))
+    events
+      .select(col(userCol), to_date(col(tsCol)).as("__day"))
+      .distinct()
+      .withColumn("__grp", date_sub(col("__day"), row_number().over(w)))
+      .groupBy(col(userCol), col("__grp"))
+      .agg(count(lit(1)).as("__len"))
+      .groupBy(col(userCol))
+      .agg(sum(col("__len")).as("n_active_days"),
+        count(lit(1)).as("n_streaks"),
+        max(col("__len")).as("longest_streak"))
+  }
+
+  /** DEBOUNCE: collapse bursts to their first event — an event
+    * survives iff the previous same-key event (kept or not) is more
+    * than `minGapSeconds` older, i.e. chains of sub-gap events form
+    * islands and only island HEADS survive. The sensor/clickstream
+    * cleaning pass (double-fire suppression) as pure lag arithmetic
+    * on the key partitioning: deterministic, engine-portable
+    * (microsecond integers, ties by `tieCol`), no iterative driver
+    * loop. Returns the surviving rows with original columns. */
+  def debounce(events: DataFrame, keyCols: Seq[String], tsCol: String,
+      minGapSeconds: Long, tieCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "debounce needs at least one key column")
+    require(minGapSeconds >= 1, s"minGapSeconds must be >= 1, got $minGapSeconds")
+    val W = org.apache.spark.sql.expressions.Window
+    val w = W.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol), col(tieCol))
+    events
+      .withColumn("__prev_us", lag(unix_micros(col(tsCol)), 1).over(w))
+      .filter(col("__prev_us").isNull ||
+        unix_micros(col(tsCol)) - col("__prev_us") > minGapSeconds * 1000000L)
+      .drop("__prev_us")
+  }
+
   /** Total COVERED time per key from overlapping intervals (the
     * interval-union measure): each event opens a window of
     * `windowSeconds`, overlapping windows merge, and the result is

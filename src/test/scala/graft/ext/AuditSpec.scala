@@ -146,6 +146,17 @@ class AuditSpec extends SparkSpec {
     assert(out("a,b") == ((3L, 3L, 1L)), "the pair identifies rows where 'a' alone does not")
   }
 
+  test("modeOf: highest count wins, ties break to the smallest value, NULLs excluded") {
+    val df = Seq(
+      ("g1", Some("b")), ("g1", Some("b")), ("g1", Some("a")),
+      ("g2", Some("z")), ("g2", Some("a")), // tie at 1 -> "a"
+      ("g3", None), ("g3", Some("x")) // NULL never the mode
+    ).toDF("g", "v")
+    val out = Audit.modeOf(df, Seq("g"), "v")
+      .collect().map(r => r.getString(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out == Map("g1" -> (("b", 2L)), "g2" -> (("a", 1L)), "g3" -> (("x", 1L))))
+  }
+
   test("kAnonymity: group-size histogram with at-risk flag below k") {
     val df = Seq(
       ("US", "A"), ("US", "A"), ("US", "A"), // size-3 group

@@ -215,6 +215,41 @@ class BehaviorSpec extends SparkSpec {
     assert(out(2L) == ((1L, 600L)), s"user2 ${out(2L)}")
   }
 
+  test("activeStreaks: consecutive days chain, gaps split; multiple events per day collapse") {
+    val ev = Seq(
+      // user 1: Jan 1,2,3 (3-streak, with a dup on day 2), Jan 6,7 (2-streak)
+      (1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-02 09:00:00")),
+      (1L, ts("2024-01-02 23:00:00")), (1L, ts("2024-01-03 01:00:00")),
+      (1L, ts("2024-01-06 08:00:00")), (1L, ts("2024-01-07 08:00:00")),
+      // user 2: one day only
+      (2L, ts("2024-01-05 12:00:00"))
+    ).toDF("user_id", "ts")
+    val out = Behavior.activeStreaks(ev, "user_id", "ts")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) == ((5L, 2L, 3L)), s"user1 ${out(1L)}")
+    assert(out(2L) == ((1L, 1L, 1L)), s"user2 ${out(2L)}")
+  }
+
+  test("debounce: only island heads survive a burst chain; exact-gap events stay suppressed") {
+    val ev = Seq(
+      // chain: 0s, 30s, 55s (each <= 60s after the PREVIOUS raw event)
+      // -> only the head survives, even though 55s is ~1 min after 0s
+      (1L, ts("2024-01-01 00:00:00"), "click", 1L),
+      (1L, ts("2024-01-01 00:00:30"), "click", 2L),
+      (1L, ts("2024-01-01 00:00:55"), "click", 3L),
+      // exactly 60s after the last chain event: still suppressed (strict >)
+      (1L, ts("2024-01-01 00:01:55"), "click", 4L),
+      // 61s after that: a new head
+      (1L, ts("2024-01-01 00:02:56"), "click", 5L),
+      // different type: independent chain
+      (1L, ts("2024-01-01 00:00:10"), "view", 6L)
+    ).toDF("user_id", "ts", "event_type", "event_id")
+    val kept = Behavior.debounce(ev, Seq("user_id", "event_type"), "ts",
+        minGapSeconds = 60L, tieCol = "event_id")
+      .select($"event_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 5L, 6L), s"kept $kept")
+  }
+
   test("rfmSegments: clean rank order maps customer k to tile 6-k on all three axes") {
     // customer k (1..5): k orders, latest at Jan k, each priced 100*k
     val orders = (1L to 5L).flatMap { k =>
