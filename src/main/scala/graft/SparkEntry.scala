@@ -2820,6 +2820,67 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // TPC-H Q3 (shipping priority): the canonical 3-table selective
+    // join-agg-topk — filters push to all three scans, the aggregate
+    // is keyed on the join key, the top-10 is TakeOrdered.
+    "q214_tpch_q3" -> ((s, d) => {
+      val cut = lit("1998-01-01").cast("timestamp")
+      T(s, d, "lineitem").filter(col("l_shipdate") > cut)
+        .join(T(s, d, "orders").filter(col("o_orderdate") < cut),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(T(s, d, "customer").filter(col("c_mktsegment") === "BUILDING"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // TPC-H Q5 (local-supplier revenue): the 6-table star with the
+    // c_nationkey = s_nationkey co-location condition; region/nation
+    // broadcast, the fact-side joins stay keyed.
+    "q215_tpch_q5" -> ((s, d) => {
+      val y0 = lit("1996-01-01").cast("timestamp")
+      val y1 = lit("1997-01-01").cast("timestamp")
+      T(s, d, "lineitem")
+        .join(T(s, d, "orders")
+            .filter(col("o_orderdate") >= y0 && col("o_orderdate") < y1),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(T(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(T(s, d, "supplier"),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(T(s, d, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(T(s, d, "region").filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
+    // TPC-H Q10 (returned-item customers): lost revenue per customer
+    // over one quarter of returns, top 20 — join-agg-topk with the
+    // dimension columns carried through the aggregate key.
+    "q216_tpch_q10" -> ((s, d) => {
+      val y0 = lit("1996-01-01").cast("timestamp")
+      val y1 = lit("1996-04-01").cast("timestamp")
+      T(s, d, "lineitem").filter(col("l_returnflag") === "R")
+        .join(T(s, d, "orders")
+            .filter(col("o_orderdate") >= y0 && col("o_orderdate") < y1),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(T(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(T(s, d, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
     // Consecutive-day activity STREAKS (Behavior.activeStreaks): the
     // date-minus-rank island trick on the user partitioning.
     "q211_streaks" -> ((s, d) =>
@@ -2912,6 +2973,9 @@ object SparkEntry {
           "text", TextOps.syntheticWeights(s, buckets = 64), buckets = 64)
         .withColumn("label", when(col("doc_id") % 3 === 0, 1L).otherwise(0L))
         .withColumn("__g", lit(1))
+        // the NTILE cut reads its input twice (eager quantile probe +
+        // ranked pass) — don't hash the corpus features twice
+        .localCheckpoint(true)
       graft.ext.Sampling.ntileByKey(scored, "__g", "score", "doc_id", tiles = 10)
         .groupBy(col("tile").cast("long").as("decile"))
         .agg(count(lit(1)).as("n"), sum(col("label")).as("n_pos"),
@@ -5289,6 +5353,46 @@ object SparkEntry {
     // per-term BM25 IEEE score replay (the q131 recipe), top-20
     // ranked, floor-ppm MRR / hit@k / recall@k arithmetic
     "q199_retrieval_eval" -> RetrievalEvalSql,
+
+    "q214_tpch_q3" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE l_shipdate > TIMESTAMP '1998-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND c_mktsegment = 'BUILDING'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q215_tpch_q5" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q216_tpch_q10" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01'
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
 
     // distinct days, date-minus-rank islands, per-user rollup
     "q211_streaks" ->
