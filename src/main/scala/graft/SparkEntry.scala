@@ -2881,6 +2881,27 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // TPC-H Q18 (large-volume customers): the agg-filter-rejoin shape
+    // — a HAVING aggregate over the fact table becomes the semi-side
+    // of the enrichment join, then the detail re-aggregates.
+    "q217_tpch_q18" -> ((s, d) => {
+      val big = T(s, d, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity").cast("decimal(18,4)")).as("__q"))
+        .filter(col("__q") > 150)
+        .select(col("l_orderkey").as("__bigkey"))
+      T(s, d, "orders")
+        .join(big, col("o_orderkey") === col("__bigkey"), "left_semi")
+        .join(T(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(T(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"))
+        .agg(sum(col("l_quantity").cast("decimal(18,4)")).cast("double")
+          .as("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    }),
+
     // Consecutive-day activity STREAKS (Behavior.activeStreaks): the
     // date-minus-rank island trick on the user partitioning.
     "q211_streaks" -> ((s, d) =>
@@ -5353,6 +5374,18 @@ object SparkEntry {
     // per-term BM25 IEEE score replay (the q131 recipe), top-20
     // ranked, floor-ppm MRR / hit@k / recall@k arithmetic
     "q199_retrieval_eval" -> RetrievalEvalSql,
+
+    "q217_tpch_q18" ->
+      """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderkey IN (
+        |  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+        |  HAVING sum(CAST(l_quantity AS DECIMAL(18,4))) > 150)
+        |GROUP BY 1, 2, 3, 4, 5
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
 
     "q214_tpch_q3" ->
       """SELECT l_orderkey, o_orderdate, o_orderpriority,

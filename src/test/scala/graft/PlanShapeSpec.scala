@@ -428,4 +428,25 @@ class PlanShapeSpec extends SparkSpec {
     val p = planOf("q199_retrieval_eval")
     assert(p.contains("TakeOrderedAndProject"), p)
   }
+
+  test("TPC-H Q3: filters reach all three scans; top-10 is TakeOrdered, not a global sort") {
+    val p = planOf("q214_tpch_q3")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)"), p)
+    assert(p.contains("GreaterThan(l_shipdate,"), "shipdate filter must reach the fact scan: " + p)
+    assert(p.contains("LessThan(o_orderdate,"), "orderdate filter must reach the orders scan: " + p)
+  }
+
+  test("TPC-H Q5: nation and region broadcast; no cartesian anywhere in the 6-table star") {
+    val p = planOf("q215_tpch_q5")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      "nation and region must broadcast: " + p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("TPC-H Q18: the HAVING side joins semi, and the big-order filter is an aggregate, not a window") {
+    val p = planOf("q217_tpch_q18")
+    assert(p.contains("LeftSemi"), "big-order keys must prune orders via a semi join: " + p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
 }
