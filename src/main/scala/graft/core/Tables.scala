@@ -198,6 +198,22 @@ final class TableStore(spark: SparkSession, root: String) {
       maxRecordsPerFile: Long = 0L): Unit =
     write(name, read(name), partitionBy, maxRecordsPerFile)
 
+  /** Physical-layout stats of the CURRENT snapshot: (file count, total
+    * bytes, min file bytes, max file bytes) from the directory listing
+    * — the small-file observability [[compact]] acts on (a 100 TB
+    * table serving 10⁶ kilobyte files is a metadata DoS on the
+    * planner; this is the number a compaction policy watches). Pure
+    * driver-side metadata, no scan. */
+  def layoutStats(name: String): (Int, Long, Long, Long) = {
+    val v = currentVersion(name).getOrElse(
+      throw new IllegalArgumentException(s"no such table: $name"))
+    val sizes = fs.listStatus(new Path(tableDir(name), s"v$v")).toSeq
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .map(_.getLen)
+    require(sizes.nonEmpty, s"committed snapshot v$v of $name has no data files")
+    (sizes.length, sizes.sum, sizes.min, sizes.max)
+  }
+
   /** Right-to-be-forgotten: physically excise every row matching
     * `condition` from EVERY committed snapshot version — time travel
     * makes ordinary deletes insufficient (a GDPR erasure that leaves

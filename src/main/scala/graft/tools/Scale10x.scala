@@ -144,7 +144,20 @@ object Scale10x {
       "q177_fk_orphans", "q178_date_spine", "q179_assoc_rules",
       "q180_correlation", "q182_oov_rate", "q183_join_size_est",
       "q184_keywords", "q185_next_word", "q186_trend",
-      "q187_changepoint")
+      "q187_changepoint",
+      // r10 session-2 tier. Constraints/FD/mode collapse to
+      // state-sized reports after keyed aggregates; the behavioral
+      // family (attribution, CUPED, covered time, streaks, debounce)
+      // rides user-key windows with ×10 users and constant per-user
+      // work; triangles run over the FIXED mod-101 contract graph
+      // (the ratio reads the edge-derivation scan, like q150); RFM's
+      // three NTILE cuts rank ×10 customers; calibration is the q113
+      // feature hash + one cut; the TPC-H shapes are the selective
+      // join-agg-topk family — filters prune before every exchange
+      "q196_constraints", "q197_triangles", "q198_rfm",
+      "q201_attribution", "q202_cuped", "q205_calibration",
+      "q208_fd_audit", "q210_covered_time", "q211_streaks",
+      "q212_debounce", "q214_tpch_q3", "q215_tpch_q5", "q217_tpch_q18")
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
@@ -260,8 +273,12 @@ object Scale10x {
       .withColumn("o_custkey", col("o_custkey") + col("k").cast("long") * 10000000L)
       .drop("k")
     ord.repartition(8).write.mode("overwrite").parquet(s"$out/orders.parquet")
-    Fx.t(spark, src, "nation")
-      .repartition(1).write.mode("overwrite").parquet(s"$out/nation.parquet")
+    // fixed dimensions copy through unreplicated: nation/region key
+    // spaces are referenced untouched, and supplier keys match
+    // lineitem's unmodified l_suppkey — every star FK holds per replica
+    Seq("nation", "region", "supplier").foreach(t =>
+      Fx.t(spark, src, t)
+        .repartition(1).write.mode("overwrite").parquet(s"$out/$t.parquet"))
   }
 
   /** min-of-2 wall clock through the noop sink (full materialization,

@@ -46,7 +46,13 @@ class DdlAndStoreSpec extends SparkSpec {
     val store = newStore()
     val df = (1L to 100L).map(i => (i, s"v$i")).toDF("id", "v")
     store.write("c", df.repartition(8))          // v0: 8 files
+    val (nFrag, totFrag, _, _) = store.layoutStats("c")
+    assert(nFrag == 8, s"fragmented layout should show 8 files, got $nFrag")
     store.compact("c", maxRecordsPerFile = 1000) // v1: same data, new layout
+    val (nComp, totComp, minComp, maxComp) = store.layoutStats("c")
+    assert(nComp < nFrag, s"compaction must shrink the file count: $nComp")
+    assert(minComp > 0 && maxComp <= totComp && totComp <= totFrag + totFrag / 2,
+      "compacted bytes in a sane envelope (less per-file overhead)")
     assert(store.versions("c") == Seq(0, 1))
     assert(store.read("c").select("id").as[Long].collect().sorted.toSeq ==
       (1L to 100L).toSeq, "compaction must be data-identical")
