@@ -246,6 +246,14 @@ object SparkEntry {
       |SELECT doc_id, score FROM sc ORDER BY score DESC, doc_id LIMIT $topK""".stripMargin
   }
 
+  /** Half-life-7-day decay weights, floor(1e6·2^(−age/7)) for ages
+    * 0–40 — computed ONCE here and shipped to BOTH engines (q218's
+    * Spark join table and its oracle's VALUES list), because pow() is
+    * not bit-portable across engines but a literal table is. */
+  private val RecencyWeights: Seq[(Long, Long)] =
+    (0 to 40).map(k =>
+      (k.toLong, math.floor(1e6 * math.pow(2.0, -k / 7.0)).toLong))
+
   /** The q113 hashing-trick classifier replay as a reusable CTE block
     * ending in `scored` (doc_id, score) — shared by q113 and the
     * eval-tier contracts q205 (calibration) / q206 (confusion). */
@@ -2820,6 +2828,78 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // RECENCY-weighted engagement score: exponential half-life decay
+    // as MODEL-AS-DATA — the weight table floor(1e6·2^(−age/7)) is
+    // computed ONCE driver-side and shipped to both engines as
+    // literals, so the score is integer-exact (in-engine pow() is not
+    // bit-portable; a 41-row broadcast table is). Ages past the table
+    // weigh 0 (fully decayed).
+    "q218_recency_score" -> ((s, d) => {
+      import s.implicits._
+      val wts = RecencyWeights.toDF("age_days", "w_ppm")
+      val ev = T(s, d, "events")
+      val anchor = ev.agg(max(to_date(col("ts"))).as("__anchor"))
+      ev.crossJoin(broadcast(anchor))
+        .withColumn("age_days",
+          datediff(col("__anchor"), to_date(col("ts"))).cast("long"))
+        .join(broadcast(wts), Seq("age_days"), "left")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(coalesce(col("w_ppm"), lit(0L))).as("recency_score_ppm"))
+        .orderBy(col("user_id"))
+    }),
+
+    // Session BOUNCE rate: the q38 sessionizer rolled to per-user
+    // single-event-session shares (floor ppm) — the engagement-quality
+    // readout a product dashboard leads with.
+    "q219_bounce_rate" -> ((s, d) =>
+      Streams.sessionizeBatch(T(s, d, "events"), "ts", "user_id", 30,
+          Some("event_id"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(when(col("n_events") === 1L, 1L).otherwise(0L)).as("n_bounces"))
+        .withColumn("bounce_ppm", expr("(n_bounces * 1000000L) div n_sessions"))
+        .orderBy(col("user_id"))),
+
+    // Time-to-convert DISTRIBUTION: per-user first view → first
+    // later purchase delta in floor seconds, collapsed to converter
+    // count + the q162 histogram-state median — the funnel-latency
+    // readout with no global sort.
+    "q220_time_to_convert" -> ((s, d) => {
+      val ev = T(s, d, "events")
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("__v"))
+      val deltas = ev.filter(col("event_type") === "purchase")
+        .join(v, Seq("user_id"))
+        .filter(col("ts") > col("__v"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("__p"),
+          first(col("__v")).as("__v0"))
+        .select(lit("all").as("g"),
+          expr("(unix_micros(__p) - unix_micros(__v0)) div 1000000")
+            .as("tt_sec"))
+      graft.ext.Sketches.histQuantile(
+          graft.ext.Sketches.histState(deltas, "g", "tt_sec",
+            0.0, 4194304.0, 1024),
+          "g", 0.5, 0.0, 4194304.0, 1024)
+        .orderBy(col("g"))
+    }),
+
+    // Revenue COHORT matrix: customers bucketed by first-order month,
+    // decimal-exact revenue per (cohort, month offset) — the CLV
+    // retention table, exact integer month arithmetic.
+    "q221_revenue_cohorts" -> ((s, d) => {
+      val ord = T(s, d, "orders")
+        .withColumn("__m",
+          (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).cast("long"))
+      val first = ord.groupBy(col("o_custkey")).agg(min(col("__m")).as("__m0"))
+      ord.join(first, Seq("o_custkey"))
+        .groupBy(col("__m0").as("cohort_month"),
+          (col("__m") - col("__m0")).as("offset_months"))
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("revenue"))
+        .orderBy(col("cohort_month"), col("offset_months"))
+    }),
+
     // TPC-H Q3 (shipping priority): the canonical 3-table selective
     // join-agg-topk — filters push to all three scans, the aggregate
     // is keyed on the join key, the top-10 is TakeOrdered.
@@ -5374,6 +5454,72 @@ object SparkEntry {
     // per-term BM25 IEEE score replay (the q131 recipe), top-20
     // ranked, floor-ppm MRR / hit@k / recall@k arithmetic
     "q199_retrieval_eval" -> RetrievalEvalSql,
+
+    // the SAME driver-computed weight literals, joined by age
+    "q218_recency_score" -> {
+      val values = RecencyWeights.map { case (k, w) => s"($k, $w)" }.mkString(", ")
+      s"""WITH w(age_days, w_ppm) AS (VALUES $values),
+        |a AS (SELECT max(CAST(ts AS DATE)) AS anchor FROM events),
+        |e AS (SELECT user_id,
+        |    CAST(a.anchor - CAST(ts AS DATE) AS BIGINT) AS age_days
+        |  FROM events CROSS JOIN a)
+        |SELECT user_id, count(*) AS n_events,
+        |  CAST(sum(coalesce(w.w_ppm, 0)) AS BIGINT) AS recency_score_ppm
+        |FROM e LEFT JOIN w USING (age_days)
+        |GROUP BY user_id ORDER BY user_id""".stripMargin
+    },
+
+    // the q38 session CTE rolled to per-user bounce shares
+    "q219_bounce_rate" ->
+      """WITH f AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |    THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM f),
+        |g AS (SELECT user_id, session_id, count(*) AS n FROM s GROUP BY 1, 2),
+        |u AS (SELECT user_id, count(*) AS n_sessions,
+        |    CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounces
+        |  FROM g GROUP BY 1)
+        |SELECT user_id, n_sessions, n_bounces,
+        |  CAST((n_bounces * 1000000) // n_sessions AS BIGINT) AS bounce_ppm
+        |FROM u ORDER BY user_id""".stripMargin,
+
+    // first view -> first later purchase deltas, the q162/q192
+    // histogram median replay on a 4096-second grid
+    "q220_time_to_convert" ->
+      """WITH v AS (SELECT user_id, min(ts) AS v0 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.ts) AS p0, min(v.v0) AS v0
+        |  FROM events e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > v.v0 GROUP BY 1),
+        |d AS (SELECT 'all' AS g,
+        |    CAST((epoch_us(p0) - epoch_us(v0)) // 1000000 AS DOUBLE) AS x FROM p),
+        |b AS (SELECT g, least(1023, greatest(0, CAST(floor((x - 0.0) / 4194304.0 * 1024) AS BIGINT))) AS bin FROM d),
+        |h AS (SELECT g, bin, count(*) AS cnt FROM b GROUP BY 1, 2),
+        |c AS (SELECT g, bin,
+        |    sum(cnt) OVER (PARTITION BY g ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(cnt) OVER (PARTITION BY g) AS n FROM h)
+        |SELECT g, CAST(max(n) AS BIGINT) AS n,
+        |  0.0 + (CAST(min(bin) + 1 AS DOUBLE) * 4194304.0) / 1024 AS q_est
+        |FROM c WHERE cum >= CAST(ceil(0.5 * n) AS BIGINT)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // exact integer month arithmetic, decimal-exact revenue
+    "q221_revenue_cohorts" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_totalprice,
+        |    CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS m
+        |  FROM orders),
+        |f AS (SELECT o_custkey, min(m) AS m0 FROM o GROUP BY 1)
+        |SELECT f.m0 AS cohort_month, o.m - f.m0 AS offset_months,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM o JOIN f USING (o_custkey)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q217_tpch_q18" ->
       """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
