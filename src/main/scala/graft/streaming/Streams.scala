@@ -350,20 +350,35 @@ object Streams {
     events.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Append())
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val report = graft.ext.Audit.checkConstraints(batch.toDF(), checks)
-          .select(col("constraint"), col("n_rows"), col("n_violations"))
-        val merged =
-          if (store.tableExists(table))
-            store.read(table)
-              .select(col("constraint"), col("n_rows"), col("n_violations"))
-              .unionByName(report)
-              .groupBy(col("constraint"))
-              .agg(sum(col("n_rows")).as("n_rows"),
-                sum(col("n_violations")).as("n_violations"))
-          else report
-        store.write(table, merged.withColumn("passed",
-          when(col("n_violations") === 0L, 1L).otherwise(0L)))
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        // EXACTLY-ONCE under foreachBatch's at-least-once contract:
+        // unlike sketchIngest's max-merge (naturally idempotent), an
+        // ADDITIVE merge double-counts a replayed batch — so each
+        // snapshot carries the last merged batch id, and a replay of
+        // an already-merged id is a no-op (Structured Streaming
+        // replays the LAST batch after failure recovery with the SAME
+        // id; ids are monotone, so one high-water mark suffices).
+        val already = store.tableExists(table) && {
+          val r = store.read(table).select(max(col("last_batch_id"))).head()
+          !r.isNullAt(0) && r.getLong(0) >= batchId
+        }
+        if (!already) {
+          val report = graft.ext.Audit.checkConstraints(batch.toDF(), checks)
+            .select(col("constraint"), col("n_rows"), col("n_violations"))
+          val merged =
+            if (store.tableExists(table))
+              store.read(table)
+                .select(col("constraint"), col("n_rows"), col("n_violations"))
+                .unionByName(report)
+                .groupBy(col("constraint"))
+                .agg(sum(col("n_rows")).as("n_rows"),
+                  sum(col("n_violations")).as("n_violations"))
+            else report
+          store.write(table, merged
+            .withColumn("passed",
+              when(col("n_violations") === 0L, 1L).otherwise(0L))
+            .withColumn("last_batch_id", lit(batchId)))
+        }
         ()
       }
       .start()

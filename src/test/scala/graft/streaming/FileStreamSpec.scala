@@ -90,7 +90,20 @@ class FileStreamSpec extends SparkSpec {
     // the monitor actually saw data and at least one check can fail
     assert(streamed.exists(_._2 > 0))
 
+    // EXACTLY-ONCE guard: a full replay of the same batches (fresh
+    // checkpoint ⇒ ids restart at 0, all ≤ the stored high-water mark)
+    // must NOT double-count the additive report
+    val ckpt2 = java.nio.file.Files.createTempDirectory("graft-ci-ckpt2")
+    val q2 = Streams.constraintIngest(
+      Streams.eventsFileStream(spark, sfDir), store, "dq", checks, ckpt2.toString)
+    q2.processAllAvailable(); q2.stop()
+    val replayed = store.read("dq")
+      .select("constraint", "n_rows", "n_violations", "passed")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(replayed == direct, "replayed batches must merge as no-ops")
+
     org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
     org.apache.commons.io.FileUtils.deleteDirectory(ckpt.toFile)
+    org.apache.commons.io.FileUtils.deleteDirectory(ckpt2.toFile)
   }
 }
