@@ -2828,6 +2828,67 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // Array HIGHER-ORDER functions parity: transform / filter /
+    // aggregate / zip_with / sort + slice over token arrays, checked
+    // value-for-value against DuckDB's list lambdas — the API surface
+    // a feature-engineering user reaches for first.
+    "q222_array_hof" -> ((s, d) =>
+      docsSpread(s, d).filter(col("doc_id") < 200)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("__t"))
+        .select(col("doc_id"),
+          size(col("__t")).cast("long").as("n_tokens"),
+          // transform: per-token lengths, then aggregate: exact sum
+          aggregate(transform(col("__t"), t => length(t).cast("long")),
+            lit(0L), (acc, x) => acc + x).as("chars_total"),
+          // filter: long-token count
+          size(filter(col("__t"), t => length(t) > 5)).cast("long")
+            .as("n_long"),
+          // zip_with adjacent (self shifted via slice): bigram join len
+          size(zip_with(
+            slice(col("__t"), lit(1), greatest(size(col("__t")) - 1, lit(0))),
+            slice(col("__t"), lit(2), greatest(size(col("__t")) - 1, lit(0))),
+            (a, b) => concat(a, lit(" "), b))).cast("long").as("n_bigrams"),
+          // sort + first: lexicographically smallest token
+          element_at(array_sort(col("__t")), 1).as("min_token"))
+        .orderBy(col("doc_id"))),
+
+    // NULL-semantics contract: the aggregate/grouping NULL rules every
+    // engine must agree on — count(*) vs count(col), sum/avg skipping,
+    // NULL group keys, coalesce/nullif — pinned cross-engine on a
+    // derived frame with planted NULLs.
+    "q223_null_semantics" -> ((s, d) => {
+      val c = T(s, d, "customer")
+        .select(col("c_custkey"),
+          when(col("c_custkey") % 5 === 0, lit(null).cast("long"))
+            .otherwise(col("c_nationkey").cast("long")).as("nk"),
+          when(col("c_custkey") % 7 === 0, lit(null).cast("double"))
+            .otherwise(col("c_acctbal")).as("bal"))
+      c.groupBy(coalesce(col("nk"), lit(-1L)).as("nk_group"))
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("bal")).as("n_bal"),
+          dsum(col("bal")).as("sum_bal"),
+          count(when(col("bal").isNull, 1L)).as("n_null_bal"),
+          sum(nullif(col("nk"), lit(3L))).as("sum_nk_not3"))
+        .orderBy(col("nk_group"))
+    }),
+
+    // DATETIME function family parity: trunc/add_months/last_day/
+    // dayofweek/quarter/epoch extraction over order dates — one row
+    // per calendar month with every derived field hash-compared.
+    "q225_datetime_family" -> ((s, d) =>
+      T(s, d, "orders")
+        .select(date_trunc("month", col("o_orderdate")).cast("date").as("m"),
+          col("o_orderdate"))
+        .groupBy(col("m"))
+        .agg(count(lit(1)).as("n"),
+          min(to_date(col("o_orderdate"))).as("first_day"),
+          max(dayofweek(col("o_orderdate")).cast("long")).as("max_dow"),
+          max(quarter(col("o_orderdate")).cast("long")).as("q"),
+          min(unix_micros(col("o_orderdate"))).as("min_us"))
+        .withColumn("month_end", last_day(col("m")))
+        .withColumn("next_month", add_months(col("m"), 1))
+        .orderBy(col("m"))),
+
     // RECENCY-weighted engagement score: exponential half-life decay
     // as MODEL-AS-DATA — the weight table floor(1e6·2^(−age/7)) is
     // computed ONCE driver-side and shipped to both engines as
@@ -5454,6 +5515,47 @@ object SparkEntry {
     // per-term BM25 IEEE score replay (the q131 recipe), top-20
     // ranked, floor-ppm MRR / hit@k / recall@k arithmetic
     "q199_retrieval_eval" -> RetrievalEvalSql,
+
+    // DuckDB list lambdas replay the HOF chain element for element
+    "q222_array_hof" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS t
+        |  FROM documents WHERE doc_id < 200)
+        |SELECT doc_id,
+        |  CAST(len(t) AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(list_sum(list_transform(t, x -> len(x))), 0) AS BIGINT) AS chars_total,
+        |  CAST(len(list_filter(t, x -> len(x) > 5)) AS BIGINT) AS n_long,
+        |  CAST(greatest(len(t) - 1, 0) AS BIGINT) AS n_bigrams,
+        |  list_sort(t)[1] AS min_token
+        |FROM tk ORDER BY doc_id""".stripMargin,
+
+    // the engine-agreement NULL rules, planted and replayed
+    "q223_null_semantics" ->
+      """WITH c AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey % 5 = 0 THEN NULL ELSE CAST(c_nationkey AS BIGINT) END AS nk,
+        |    CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_acctbal END AS bal
+        |  FROM customer)
+        |SELECT coalesce(nk, -1) AS nk_group, count(*) AS n_rows,
+        |  count(bal) AS n_bal,
+        |  CAST(sum(CAST(bal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal,
+        |  CAST(count(CASE WHEN bal IS NULL THEN 1 END) AS BIGINT) AS n_null_bal,
+        |  CAST(sum(nullif(nk, 3)) AS BIGINT) AS sum_nk_not3
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // DuckDB's dayofweek is 0=Sunday where Spark's is 1=Sunday — the
+    // +1 shim IS the parity contract
+    "q225_datetime_family" ->
+      """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+        |  count(*) AS n,
+        |  min(CAST(o_orderdate AS DATE)) AS first_day,
+        |  CAST(max(dayofweek(o_orderdate) + 1) AS BIGINT) AS max_dow,
+        |  CAST(max(quarter(o_orderdate)) AS BIGINT) AS q,
+        |  CAST(min(epoch_us(o_orderdate)) AS BIGINT) AS min_us,
+        |  last_day(CAST(date_trunc('month', o_orderdate) AS DATE)) AS month_end,
+        |  CAST(CAST(date_trunc('month', o_orderdate) AS DATE) + INTERVAL 1 MONTH AS DATE) AS next_month
+        |FROM orders
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // the SAME driver-computed weight literals, joined by age
     "q218_recency_score" -> {
