@@ -2872,6 +2872,23 @@ object SparkEntry {
         .orderBy(col("nk_group"))
     }),
 
+    // DECIMAL-precision contract: exact fixed-point aggregation rules
+    // — decimal sums, decimal×decimal products, floor/ceil to integer
+    // — the arithmetic every money pipeline depends on being
+    // bit-identical across engines.
+    "q224_decimal_edge" -> ((s, d) =>
+      T(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_extendedprice").cast("decimal(18,4)")).cast("double")
+            .as("sum_price"),
+          round(sum(col("l_extendedprice").cast("decimal(18,4)") *
+            col("l_quantity").cast("decimal(18,4)")), 0).cast("double")
+            .as("sum_gross"),
+          sum(floor(col("l_extendedprice")).cast("long")).as("floor_sum"),
+          max(ceil(col("l_extendedprice")).cast("long")).as("ceil_max"))
+        .orderBy(col("l_returnflag"))),
+
     // DATETIME function family parity: trunc/add_months/last_day/
     // dayofweek/quarter/epoch extraction over order dates — one row
     // per calendar month with every derived field hash-compared.
@@ -5542,6 +5559,15 @@ object SparkEntry {
         |  CAST(count(CASE WHEN bal IS NULL THEN 1 END) AS BIGINT) AS n_null_bal,
         |  CAST(sum(nullif(nk, 3)) AS BIGINT) AS sum_nk_not3
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // decimal products summed exactly, floor/ceil to integer
+    "q224_decimal_edge" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_quantity AS DECIMAL(18,4))), 0) AS DOUBLE) AS sum_gross,
+        |  CAST(sum(CAST(floor(l_extendedprice) AS BIGINT)) AS BIGINT) AS floor_sum,
+        |  CAST(max(CAST(ceil(l_extendedprice) AS BIGINT)) AS BIGINT) AS ceil_max
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // DuckDB's dayofweek is 0=Sunday where Spark's is 1=Sunday — the
     // +1 shim IS the parity contract
