@@ -631,6 +631,62 @@ object ExtLawsProps extends Properties("graft.ext") {
     }
   }
 
+  // Debounce is IDEMPOTENT: surviving island heads are pairwise more
+  // than the gap apart (head(k+1) > last(k) + gap >= head(k) + gap),
+  // so a second pass keeps everything — and duplicating the input
+  // changes nothing (duplicates join their event's island).
+  property("debounce: idempotent; duplicate-invariant; heads pairwise > gap apart") = {
+    val genEv: Gen[List[(Long, Long, Long)]] = for {
+      n <- Gen.chooseNum(1, 40)
+      evs <- Gen.listOfN(n, Gen.zip(Gen.chooseNum(0L, 2L), Gen.chooseNum(0L, 400L)))
+    } yield evs.zipWithIndex.map { case ((u, t), i) => (u, t, i.toLong) }
+    Prop.forAll(genEv, Gen.chooseNum(1L, 60L)) { (evs, gap) =>
+      // second-precision fixture: ts as epoch-second timestamps
+      val df = evs.map { case (u, t, i) =>
+        (u, new java.sql.Timestamp(t * 1000L), i) }.toDF("u", "ts", "id")
+      def run(d: org.apache.spark.sql.DataFrame) =
+        Behavior.debounce(d, Seq("u"), "ts", gap, "id")
+      val once = run(df).select($"u", $"id").as[(Long, Long)].collect().toSet
+      val twice = run(run(df)).select($"u", $"id").as[(Long, Long)].collect().toSet
+      val kept = run(df).select($"u", $"ts").as[(Long, java.sql.Timestamp)]
+        .collect().groupBy(_._1).view.mapValues(_.map(_._2.getTime).sorted)
+      once == twice &&
+        kept.values.forall(ts => ts.zip(ts.drop(1)).forall {
+          case (a, b) => b - a > gap * 1000L }) &&
+        // duplicating every row must not move the kept (u, ts) SET:
+        // duplicates never widen an inter-event gap, so islands — and
+        // their head timestamps — are unchanged
+        run(df.union(df)).select($"u", $"ts").distinct()
+          .as[(Long, java.sql.Timestamp)].collect().toSet ==
+          run(df).select($"u", $"ts").distinct()
+            .as[(Long, java.sql.Timestamp)].collect().toSet
+    }
+  }
+
+  // Interval-union measure: duplicating events changes nothing; the
+  // union length is bounded by [window, n_events·window] per key.
+  property("coveredTime: duplicate-invariant, bounded by island structure") = {
+    val genEv: Gen[List[(Long, Long)]] = for {
+      n <- Gen.chooseNum(1, 40)
+      evs <- Gen.listOfN(n, Gen.zip(Gen.chooseNum(0L, 2L), Gen.chooseNum(0L, 5000L)))
+    } yield evs
+    Prop.forAll(genEv, Gen.chooseNum(10L, 300L)) { (evs, win) =>
+      val df = evs.map { case (u, t) => (u, new java.sql.Timestamp(t * 1000L)) }
+        .toDF("u", "ts")
+      def run(d: org.apache.spark.sql.DataFrame) =
+        Behavior.coveredTime(d, "u", "ts", win)
+          .as[(Long, Long, Long)].collect()
+          .map { case (u, a, b) => u -> (a, b) }.toMap
+      val once = run(df)
+      val dup = run(df.union(df))
+      val counts = evs.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      once == dup && once.forall { case (u, (islands, sec)) =>
+        islands >= 1 && sec >= win && sec <= counts(u) * win &&
+          sec >= islands * win // every island is at least one window long
+      }
+    }
+  }
+
   // k-anonymity histogram identities: rows and groups are conserved,
   // and the at-risk flag is exactly the size<k predicate.
   property("kAnonymity: row/group conservation; at-risk == size<k") =
