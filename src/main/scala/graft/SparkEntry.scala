@@ -2828,6 +2828,31 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // BLOCKED fuzzy join (record linkage): dirty customer names
+    // (planted '#'-deletion typos) matched back by last-4-chars
+    // blocking + banded Levenshtein + min(struct) best-match — never
+    // a cross product, never a rank window.
+    "q226_fuzzy_match" -> ((s, d) => {
+      val cust = T(s, d, "customer")
+      val dirty = cust.filter(col("c_custkey") % 10 === 0)
+        .select((col("c_custkey") + 1000000L).as("dirty_id"),
+          concat(substring(col("c_name"), 1, 8),
+            substring(col("c_name"), 10, 30)).as("dirty_name"))
+      graft.ext.Dedup.fuzzyJoin(dirty, "dirty_id", "dirty_name",
+          cust.select(col("c_custkey"), col("c_name")), "c_custkey", "c_name",
+          maxDistance = 1, blockKey = c => substring(c, -4, 4))
+        .orderBy(col("dirty_id"))
+    }),
+
+    // EXACT per-language median length (Sampling.exactQuantileByKey):
+    // the true order statistic via range-bucketed distributed ranks —
+    // no per-key window partition, no sketch error.
+    "q227_exact_median" -> ((s, d) =>
+      graft.ext.Sampling.exactQuantileByKey(
+          T(s, d, "documents").select(col("doc_id"), col("lang"), col("n_chars")),
+          "lang", "n_chars", "doc_id", qPermille = 500L)
+        .orderBy(col("lang"))),
+
     // Array HIGHER-ORDER functions parity: transform / filter /
     // aggregate / zip_with / sort + slice over token arrays, checked
     // value-for-value against DuckDB's list lambdas — the API surface
@@ -5532,6 +5557,34 @@ object SparkEntry {
     // per-term BM25 IEEE score replay (the q131 recipe), top-20
     // ranked, floor-ppm MRR / hit@k / recall@k arithmetic
     "q199_retrieval_eval" -> RetrievalEvalSql,
+
+    // suffix blocking + plain levenshtein + rank-1 per dirty row
+    "q226_fuzzy_match" ->
+      """WITH dirty AS (
+        |  SELECT c_custkey + 1000000 AS dirty_id,
+        |    concat(substring(c_name, 1, 8), substring(c_name, 10, 30)) AS dirty_name
+        |  FROM customer WHERE c_custkey % 10 = 0),
+        |cand AS (
+        |  SELECT d.dirty_id, d.dirty_name, c.c_custkey, c.c_name,
+        |    levenshtein(d.dirty_name, c.c_name) AS dist
+        |  FROM dirty d JOIN customer c
+        |    ON substring(d.dirty_name, length(d.dirty_name) - 3, 4) = substring(c.c_name, length(c.c_name) - 3, 4)
+        |  WHERE levenshtein(d.dirty_name, c.c_name) <= 1),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY dirty_id ORDER BY dist, c_custkey) AS rk FROM cand)
+        |SELECT dirty_id, dirty_name, c_custkey, c_name, CAST(dist AS BIGINT) AS distance
+        |FROM r WHERE rk = 1 ORDER BY dirty_id""".stripMargin,
+
+    // the serial rank-window reference for the distributed order
+    // statistic: value at ascending rank ceil(q*n/1000)
+    "q227_exact_median" ->
+      """WITH r AS (
+        |  SELECT lang, CAST(n_chars AS DOUBLE) AS q, doc_id,
+        |    row_number() OVER (PARTITION BY lang ORDER BY CAST(n_chars AS DOUBLE), doc_id) AS rk,
+        |    count(*) OVER (PARTITION BY lang) AS n
+        |  FROM documents WHERE n_chars IS NOT NULL)
+        |SELECT lang, CAST(n AS BIGINT) AS n, q AS q_value
+        |FROM r WHERE rk = greatest(1, (500 * n + 999) // 1000)
+        |ORDER BY lang""".stripMargin,
 
     // DuckDB list lambdas replay the HOF chain element for element
     "q222_array_hof" ->

@@ -1385,4 +1385,36 @@ object Dedup {
         expr("(shared_shingles * 1000L) div (n_a + n_b - shared_shingles)")
           .as("jaccard_milli"))
   }
+
+  /** BLOCKED fuzzy join (record linkage): match each dirty left row to
+    * its best right-side candidate by edit distance — block first (an
+    * equi-join on a caller-chosen block key, e.g. a name suffix or a
+    * phonetic code: the step that makes linkage linear instead of the
+    * |L|·|R| cross product), verify with the banded Levenshtein
+    * (early-exit at `maxDistance`), keep ONE best match per left row
+    * by min(struct(distance, right id)) — deterministic ties, never a
+    * rank window. Left rows with no candidate within the bound are
+    * absent (inner-match semantics; anti-join the result for the
+    * unmatched report). Column names must be disjoint across sides. */
+  def fuzzyJoin(left: DataFrame, leftId: String, leftCol: String,
+      right: DataFrame, rightId: String, rightCol: String,
+      maxDistance: Int, blockKey: Column => Column): DataFrame = {
+    require(maxDistance >= 0, s"maxDistance must be >= 0, got $maxDistance")
+    require(Set(leftId, leftCol).intersect(Set(rightId, rightCol)).isEmpty,
+      "left and right column names must be disjoint")
+    val l = left.select(col(leftId), col(leftCol))
+      .withColumn("__blk", blockKey(col(leftCol)))
+    val r = right.select(col(rightId), col(rightCol))
+      .withColumn("__blk", blockKey(col(rightCol)))
+    l.join(r, Seq("__blk"))
+      .withColumn("__dist",
+        levenshtein(col(leftCol), col(rightCol), maxDistance).cast("long"))
+      .filter(col("__dist") >= 0)
+      .groupBy(col(leftId), col(leftCol))
+      .agg(min(struct(col("__dist").as("d"), col(rightId).as("rid"),
+        col(rightCol).as("rv"))).as("__best"))
+      .select(col(leftId), col(leftCol),
+        col("__best.rid").as(rightId), col("__best.rv").as(rightCol),
+        col("__best.d").as("distance"))
+  }
 }

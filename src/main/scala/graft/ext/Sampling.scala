@@ -400,6 +400,49 @@ object Sampling {
     * fewer than `tiles` rows behave like SQL NTILE (row r → tile r).
     * NULL scores are excluded (an unscored row has no rank); pre-fill
     * if they should participate. */
+  /** EXACT per-key order statistic (the exact-median/p-quantile the
+    * approximate sketches can't give when an audit demands the true
+    * value): for each key, the value at ascending (score, id) rank
+    * ⌈q‰·n / 1000⌉ (min 1) — the standard lower-order-statistic
+    * definition, deterministic under ties. Distributed exactly like
+    * [[ntileByKey]]: range-bucketed per-key ranks + broadcast bucket
+    * offsets, so no key ever becomes one window partition. NULL scores
+    * drop. Returns (keyCol, n, q_value double). */
+  def exactQuantileByKey(df: DataFrame, keyCol: String, scoreCol: String,
+      idCol: String, qPermille: Long, globalBuckets: Int = 32): DataFrame = {
+    require(qPermille >= 1 && qPermille <= 1000,
+      s"qPermille must be in [1, 1000], got $qPermille")
+    val clean = df.filter(col(scoreCol).isNotNull)
+      .withColumn("__q", col(scoreCol).cast("double"))
+    val probes = (1 until globalBuckets).map(_.toDouble / globalBuckets).toArray
+    val bounds =
+      if (probes.isEmpty) Array.empty[Double]
+      else Option(clean.stat.approxQuantile("__q", probes, 0.001))
+        .getOrElse(Array.empty[Double]).filterNot(_.isNaN).distinct.sorted
+    val bucket = bounds.foldLeft(lit(0)) { (acc, b) =>
+      acc + when(col("__q") > lit(b), 1).otherwise(0)
+    }
+    val withB = clean.withColumn("__bkt", bucket)
+    val wIn = Window.partitionBy(col(keyCol), col("__bkt"))
+      .orderBy(col("__q"), col(idCol))
+    val rn = withB.withColumn("__rn", row_number().over(wIn).cast("long"))
+    val tot = withB.groupBy(col(keyCol), col("__bkt"))
+      .agg(count(lit(1)).as("__tot"))
+    val offsets = tot.as("a")
+      .join(broadcast(tot.as("b")),
+        col("a." + keyCol) === col("b." + keyCol) &&
+          col("b.__bkt") < col("a.__bkt"), "left")
+      .groupBy(col("a." + keyCol).as(keyCol), col("a.__bkt").as("__bkt"))
+      .agg(coalesce(sum(col("b.__tot")), lit(0L)).as("__off"))
+    val nPerKey = withB.groupBy(col(keyCol)).agg(count(lit(1)).as("__n"))
+    rn.join(broadcast(offsets), Seq(keyCol, "__bkt"))
+      .join(broadcast(nPerKey), Seq(keyCol))
+      .withColumn("__rank", col("__off") + col("__rn"))
+      .filter(col("__rank") ===
+        greatest(lit(1L), expr(s"($qPermille * __n + 999) div 1000")))
+      .select(col(keyCol), col("__n").as("n"), col("__q").as("q_value"))
+  }
+
   def ntileByKey(df: DataFrame, keyCol: String, scoreCol: String,
       idCol: String, tiles: Int, globalBuckets: Int = 32): DataFrame = {
     require(tiles > 0, s"tiles must be positive, got $tiles")

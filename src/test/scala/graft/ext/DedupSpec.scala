@@ -696,4 +696,27 @@ class DedupSpec extends SparkSpec {
       .collect()
     assert(gated.isEmpty, "df gate must remove the only shared shingle")
   }
+
+  test("fuzzyJoin: typos match their original, beyond-bound rows drop, ties break to the smaller id") {
+    import org.apache.spark.sql.functions.{col, substring}
+    val clean = Seq((1L, "alpha-0001"), (2L, "alpha-0002"), (3L, "gamma-0001"))
+      .toDF("rid", "rname")
+    val dirty = Seq(
+      (10L, "alpha0001"), // 1 deletion from rid 1 (same "0001" block as rid 3)
+      (11L, "alpha-0002"), // exact: distance 0
+      (12L, "zzzzz-0002"), // blocks with rid 2 but 5 edits away -> no match
+      (13L, "abcde-9999") // no block partner at all
+    ).toDF("did", "dname")
+    val out = Dedup.fuzzyJoin(dirty, "did", "dname", clean, "rid", "rname",
+        maxDistance = 1, blockKey = c => substring(c, -4, 4))
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(4))).toMap
+    assert(out == Map(10L -> ((1L, 1L)), 11L -> ((2L, 0L))), s"got $out")
+    // tie determinism: equidistant candidates resolve to the SMALLER id
+    val twins = Seq((21L, "beta-0001"), (22L, "betb-0001")).toDF("rid", "rname")
+    val mid = Seq((30L, "betx-0001")).toDF("did", "dname") // distance 1 to both
+    val tie = Dedup.fuzzyJoin(mid, "did", "dname", twins, "rid", "rname",
+        maxDistance = 1, blockKey = c => substring(c, -4, 4))
+      .collect().map(r => (r.getLong(2), r.getLong(4))).head
+    assert(tie == ((21L, 1L)), s"tie must break to the smaller right id: $tie")
+  }
 }

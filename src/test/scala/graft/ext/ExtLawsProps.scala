@@ -555,6 +555,24 @@ object ExtLawsProps extends Properties("graft.ext") {
         got == want
     }
 
+  // The distributed exact order statistic against the serial rank
+  // reference, for arbitrary keys/ties/quantiles.
+  property("exactQuantileByKey == serial rank reference for arbitrary keys/ties/q") =
+    Prop.forAll(genKeyed, Gen.oneOf(1L, 250L, 500L, 900L, 1000L),
+      Gen.oneOf(2, 8, 32)) { (rows, qpm, buckets) =>
+      val got = Sampling.exactQuantileByKey(
+          rows.toDF("id", "q", "k"), "k", "q", "id", qpm, buckets)
+        .as[(String, Long, Double)].collect()
+        .map { case (k, n, v) => k -> (n, v) }.toMap
+      val want = rows.groupBy(_._3).map { case (k, members) =>
+        val ordered = members.map(m => (m._2.toDouble, m._1)).sorted
+        val n = ordered.size.toLong
+        val rank = math.max(1L, (qpm * n + 999) / 1000)
+        k -> (n, ordered((rank - 1).toInt)._1)
+      }
+      got == want
+    }
+
   // Degree-ordered triangle enumeration against the brute-force clique
   // check on the normalized undirected edge SET — and invariance under
   // edge reversal + duplication (the orientation is an internal detail,
