@@ -2828,6 +2828,81 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // TIME-WEIGHTED average (TWAP): each observation holds until the
+    // next same-user event; the mean weights values by their holding
+    // duration in floor seconds — integer-exact milli arithmetic
+    // (value quantized once to milli, products bounded, one floor
+    // division) so bursty sampling can't bias the average.
+    "q228_twap" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      T(s, d, "events")
+        .withColumn("__next", lead(col("ts"), 1).over(w))
+        .filter(col("__next").isNotNull)
+        .select(col("user_id"),
+          round(col("value") * 1000).cast("long").as("__vm"),
+          expr("(unix_micros(__next) - unix_micros(ts)) div 1000000")
+            .as("__dt"))
+        .filter(col("__dt") > 0)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_holds"),
+          sum(col("__vm") * col("__dt")).as("__wsum"),
+          sum(col("__dt")).as("held_seconds"))
+        .select(col("user_id"), col("n_holds"), col("held_seconds"),
+          expr("__wsum div held_seconds").as("twap_milli"))
+        .orderBy(col("user_id"))
+    }),
+
+    // OHLC bars (candlesticks): per (user, hour) open/high/low/close
+    // of the value stream — open/close via min/max(struct(ts, id,
+    // value)) argmin/argmax, never a rank window.
+    "q229_ohlc_bars" -> ((s, d) =>
+      T(s, d, "events")
+        .select(col("user_id"),
+          date_trunc("hour", col("ts")).as("bar"),
+          col("ts"), col("event_id"),
+          round(col("value") * 1000).cast("long").as("__vm"))
+        .groupBy(col("user_id"), col("bar"))
+        .agg(count(lit(1)).as("n"),
+          min(struct(col("ts"), col("event_id"), col("__vm"))).as("__o"),
+          max(struct(col("ts"), col("event_id"), col("__vm"))).as("__c"),
+          max(col("__vm")).as("high_milli"),
+          min(col("__vm")).as("low_milli"))
+        .select(col("user_id"), col("bar").cast("timestamp").as("bar"),
+          col("n"), col("__o.__vm").as("open_milli"),
+          col("high_milli"), col("low_milli"),
+          col("__c.__vm").as("close_milli"))
+        .orderBy(col("user_id"), col("bar"))),
+
+    // Top session PATHS: the q38 sessionizer's sessions rendered as
+    // ordered event-type strings (short sessions only — paths are
+    // presentation artifacts, not corpus-sized strings), counted and
+    // top-20'd via TakeOrdered.
+    "q230_top_paths" -> ((s, d) => {
+      val sessions = T(s, d, "events")
+        .withColumn("__prev", lag(col("ts"), 1).over(
+          Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))))
+        .withColumn("__new",
+          when(col("__prev").isNull ||
+            unix_micros(col("ts")) - unix_micros(col("__prev")) > 1800000000L, 1L)
+            .otherwise(0L))
+        .withColumn("__sid", sum(col("__new")).over(
+          Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      sessions
+        .groupBy(col("user_id"), col("__sid"))
+        .agg(count(lit(1)).as("__n"),
+          array_join(transform(
+            array_sort(collect_list(struct(col("ts"), col("event_id"),
+              col("event_type")))),
+            x => x.getField("event_type")), ">").as("path"))
+        .filter(col("__n") <= 8)
+        .groupBy(col("path"))
+        .agg(count(lit(1)).as("n_sessions"))
+        .orderBy(col("n_sessions").desc, col("path"))
+        .limit(20)
+    }),
+
     // BLOCKED fuzzy join (record linkage): dirty customer names
     // (planted '#'-deletion typos) matched back by last-4-chars
     // blocking + banded Levenshtein + min(struct) best-match — never
@@ -5557,6 +5632,61 @@ object SparkEntry {
     // per-term BM25 IEEE score replay (the q131 recipe), top-20
     // ranked, floor-ppm MRR / hit@k / recall@k arithmetic
     "q199_retrieval_eval" -> RetrievalEvalSql,
+
+    // lead window holds, milli quantization, one floor division
+    "q228_twap" ->
+      """WITH h AS (
+        |  SELECT user_id,
+        |    CAST(round(value * 1000) AS BIGINT) AS vm,
+        |    (epoch_us(lead(ts) OVER w) - epoch_us(ts)) // 1000000 AS dt
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |g AS (SELECT user_id, count(*) AS n_holds,
+        |    CAST(sum(vm * dt) AS BIGINT) AS wsum,
+        |    CAST(sum(dt) AS BIGINT) AS held_seconds
+        |  FROM h WHERE dt IS NOT NULL AND dt > 0 GROUP BY 1)
+        |SELECT user_id, n_holds, held_seconds,
+        |  CAST(wsum // held_seconds AS BIGINT) AS twap_milli
+        |FROM g ORDER BY user_id""".stripMargin,
+
+    // argmin/argmax via rank-1 rows, min/max for high/low
+    "q229_ohlc_bars" ->
+      """WITH v AS (
+        |  SELECT user_id, date_trunc('hour', ts) AS bar, ts, event_id,
+        |    CAST(round(value * 1000) AS BIGINT) AS vm
+        |  FROM events),
+        |r AS (SELECT *,
+        |    row_number() OVER (PARTITION BY user_id, bar ORDER BY ts, event_id) AS rka,
+        |    row_number() OVER (PARTITION BY user_id, bar ORDER BY ts DESC, event_id DESC) AS rkz
+        |  FROM v),
+        |g AS (SELECT user_id, bar, count(*) AS n,
+        |    max(CASE WHEN rka = 1 THEN vm END) AS open_milli,
+        |    max(vm) AS high_milli, min(vm) AS low_milli,
+        |    max(CASE WHEN rkz = 1 THEN vm END) AS close_milli
+        |  FROM r GROUP BY 1, 2)
+        |SELECT user_id, CAST(bar AS TIMESTAMP) AS bar, n, open_milli,
+        |  high_milli, low_milli, close_milli
+        |FROM g ORDER BY user_id, bar""".stripMargin,
+
+    // the q38 session CTE + ordered string_agg paths + top-20
+    "q230_top_paths" ->
+      """WITH f AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |    THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM f),
+        |p AS (
+        |  SELECT user_id, sid, count(*) AS n,
+        |    string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+        |  FROM s GROUP BY 1, 2),
+        |c AS (SELECT path, count(*) AS n_sessions FROM p WHERE n <= 8 GROUP BY 1)
+        |SELECT path, n_sessions FROM c
+        |ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin,
 
     // suffix blocking + plain levenshtein + rank-1 per dirty row
     "q226_fuzzy_match" ->
