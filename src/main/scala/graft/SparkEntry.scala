@@ -2828,6 +2828,69 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // Cumulative CONVERSION curve (discrete survival): of users whose
+    // journey starts with a view, what fraction converted within 1h /
+    // 4h / 24h / 1 week — floor-ppm against the view cohort, one row
+    // per horizon via a tiny explode.
+    "q231_conversion_curve" -> ((s, d) => {
+      val ev = T(s, d, "events")
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("__v"))
+      val conv = ev.filter(col("event_type") === "purchase")
+        .join(v, Seq("user_id"))
+        .filter(col("ts") > col("__v"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("__p"),
+          first(col("__v")).as("__v0"))
+        .select(col("user_id"),
+          expr("(unix_micros(__p) - unix_micros(__v0)) div 1000000")
+            .as("__tt"))
+      val cohort = v.agg(count(lit(1)).as("__n"))
+      val horizons = Seq(3600L, 14400L, 86400L, 604800L)
+      conv.crossJoin(broadcast(cohort))
+        .select(explode(array(horizons.map(lit(_)): _*)).as("horizon_sec"),
+          col("__tt"), col("__n"))
+        .groupBy(col("horizon_sec"))
+        .agg(first(col("__n")).as("n_cohort"),
+          count(when(col("__tt") <= col("horizon_sec"), 1L)).as("n_converted"))
+        .withColumn("conv_ppm", expr("(n_converted * 1000000L) div n_cohort"))
+        .orderBy(col("horizon_sec"))
+    }),
+
+    // Order↔lineitem RECONCILIATION (the ledger audit): each order's
+    // header total against its detail sum in exact integer cents —
+    // match / mismatch / childless counts plus the worst absolute
+    // discrepancy. (The synthetic fixture prices are independent, so
+    // discrepancies are EXPECTED — the contract pins the audit
+    // arithmetic, not a clean ledger.)
+    "q232_price_reconcile" -> ((s, d) => {
+      val detail = T(s, d, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("__dc"))
+      T(s, d, "orders")
+        .select(col("o_orderkey"),
+          round(col("o_totalprice") * 100).cast("long").as("__hc"))
+        .join(detail, col("o_orderkey") === col("l_orderkey"), "left")
+        .select(
+          when(col("__dc").isNull, lit("childless"))
+            .when(abs(col("__hc") - col("__dc")) <= 100L, lit("match"))
+            .otherwise(lit("mismatch")).as("status"),
+          abs(col("__hc") - coalesce(col("__dc"), lit(0L))).as("__gap"))
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n_orders"),
+          max(col("__gap")).as("max_gap_cents"))
+        .orderBy(col("status"))
+    }),
+
+    // Language-ID CONFUSION matrix: the q43 classifier against the
+    // fixture's lang labels — per (label, prediction) counts, the
+    // multi-class eval every lang filter ships with.
+    "q233_lang_confusion" -> ((s, d) =>
+      docsSpread(s, d)
+        .select(col("lang"), TextOps.langId(col("text")).as("lang_pred"))
+        .groupBy(col("lang"), col("lang_pred"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("lang"), col("lang_pred"))),
+
     // TIME-WEIGHTED average (TWAP): each observation holds until the
     // next same-user event; the mean weights values by their holding
     // duration in floor seconds — integer-exact milli arithmetic
@@ -5632,6 +5695,54 @@ object SparkEntry {
     // per-term BM25 IEEE score replay (the q131 recipe), top-20
     // ranked, floor-ppm MRR / hit@k / recall@k arithmetic
     "q199_retrieval_eval" -> RetrievalEvalSql,
+
+    // horizons exploded against the first-view cohort
+    "q231_conversion_curve" ->
+      """WITH v AS (SELECT user_id, min(ts) AS v0 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |conv AS (SELECT e.user_id,
+        |    (epoch_us(min(e.ts)) - epoch_us(min(v.v0))) // 1000000 AS tt
+        |  FROM events e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > v.v0 GROUP BY 1),
+        |n AS (SELECT count(*) AS nc FROM v),
+        |h AS (SELECT unnest([3600, 14400, 86400, 604800]) AS horizon_sec)
+        |SELECT CAST(h.horizon_sec AS BIGINT) AS horizon_sec,
+        |  CAST(n.nc AS BIGINT) AS n_cohort,
+        |  CAST(count(CASE WHEN conv.tt <= h.horizon_sec THEN 1 END) AS BIGINT) AS n_converted,
+        |  CAST((count(CASE WHEN conv.tt <= h.horizon_sec THEN 1 END) * 1000000) // n.nc AS BIGINT) AS conv_ppm
+        |FROM conv CROSS JOIN h CROSS JOIN n
+        |GROUP BY h.horizon_sec, n.nc ORDER BY 1""".stripMargin,
+
+    // header cents vs detail-sum cents, 1-dollar tolerance
+    "q232_price_reconcile" ->
+      """WITH d AS (
+        |  SELECT l_orderkey,
+        |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS dc
+        |  FROM lineitem GROUP BY 1),
+        |j AS (
+        |  SELECT o_orderkey,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS hc, d.dc
+        |  FROM orders LEFT JOIN d ON o_orderkey = l_orderkey),
+        |c AS (SELECT
+        |    CASE WHEN dc IS NULL THEN 'childless'
+        |      WHEN abs(hc - dc) <= 100 THEN 'match'
+        |      ELSE 'mismatch' END AS status,
+        |    abs(hc - coalesce(dc, 0)) AS gap
+        |  FROM j)
+        |SELECT status, count(*) AS n_orders,
+        |  CAST(max(gap) AS BIGINT) AS max_gap_cents
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the q43 scorer keyed by the fixture label: per-cell counts
+    "q233_lang_confusion" ->
+      s"""WITH tk AS (
+        |  SELECT doc_id, lang, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS tokens FROM documents),
+        |r AS (
+        |  SELECT doc_id, lang,
+        |    $LangScoreCols
+        |  FROM tk)
+        |SELECT lang, $LangArgmaxSql AS lang_pred, count(*) AS cnt
+        |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // lead window holds, milli quantization, one floor division
     "q228_twap" ->
