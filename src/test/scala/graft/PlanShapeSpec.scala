@@ -449,4 +449,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("LeftSemi"), "big-order keys must prune orders via a semi join: " + p)
     assert(p.contains("TakeOrderedAndProject"), p)
   }
+
+  test("OHLC bars: open/close via struct argmin/argmax aggregates, never a rank window") {
+    val p = planOf("q229_ohlc_bars")
+    assert(!p.contains("Window"), "no rank windows in the bar aggregate: " + p)
+  }
+
+  test("fuzzy join: blocking keeps it equi-keyed, never a cross product") {
+    val p = planOf("q226_fuzzy_match")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "the block key must carry the join: " + p)
+  }
 }
