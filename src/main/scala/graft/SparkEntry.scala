@@ -2828,6 +2828,22 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // STICKINESS (DAU/MAU): exact daily actives over the trailing-30
+    // portable-HLL monthly estimate (the q172 register machinery at a
+    // 30-day window) — the engagement ratio computed without ever
+    // re-scanning a month of history per day.
+    "q234_stickiness" -> ((s, d) => {
+      val ev = T(s, d, "events").withColumn("day", to_date(col("ts")))
+      val dau = ev.groupBy(col("day"))
+        .agg(countDistinct(col("user_id")).as("dau"))
+      val mau = graft.ext.Sketches.hllRollingDistinct(ev, "day", "user_id",
+          window = 30)
+        .withColumnRenamed("est_distinct", "mau_est")
+      dau.join(mau, Seq("day"))
+        .withColumn("stickiness_ppm", expr("(dau * 1000000L) div mau_est"))
+        .orderBy(col("day"))
+    }),
+
     // Cumulative CONVERSION curve (discrete survival): of users whose
     // journey starts with a view, what fraction converted within 1h /
     // 4h / 24h / 1 week — floor-ppm against the view cohort, one row
@@ -5695,6 +5711,42 @@ object SparkEntry {
     // per-term BM25 IEEE score replay (the q131 recipe), top-20
     // ranked, floor-ppm MRR / hit@k / recall@k arithmetic
     "q199_retrieval_eval" -> RetrievalEvalSql,
+
+    // the q172 register replay at a 30-day window + exact DAU + ratio
+    "q234_stickiness" ->
+      s"""WITH h AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |    CAST(concat('0x', substring(md5(concat_ws('|', '42', CAST(user_id AS VARCHAR))), 1, 14)) AS BIGINT) AS h,
+        |    user_id
+        |  FROM events),
+        |dau AS (SELECT day, count(DISTINCT user_id) AS dau FROM h GROUP BY 1),
+        |b AS (
+        |  SELECT day, h & 63 AS b,
+        |    CASE WHEN (h >> 6) = 0 THEN 30
+        |         ELSE least(30, 51 - length(bin(h >> 6))) END AS rho
+        |  FROM h),
+        |regs AS (SELECT day, b, max(rho) AS r FROM b GROUP BY 1, 2),
+        |days AS (SELECT DISTINCT day AS target FROM regs),
+        |merged AS (
+        |  SELECT d.target AS day, r.b, max(r.r) AS r
+        |  FROM days d JOIN regs r ON date_diff('day', r.day, d.target) BETWEEN 0 AND 29
+        |  GROUP BY 1, 2),
+        |s AS (
+        |  SELECT day, sum(${1L << 30} >> r) AS s, count(*) AS present
+        |  FROM merged GROUP BY 1),
+        |e AS (
+        |  SELECT day, 64 - present AS zeros,
+        |    ${709L * 4096L * (1L << 30)}
+        |      // (1000 * (s + (64 - present) * ${1L << 30})) AS raw
+        |  FROM s),
+        |m AS (SELECT day,
+        |    CAST(CASE WHEN raw <= 160 AND zeros > 0
+        |      THEN ([${graft.ext.Sketches.HllLinearCounting.mkString(", ")}])[CAST(zeros AS INTEGER)]
+        |      ELSE raw END AS BIGINT) AS mau_est
+        |  FROM e)
+        |SELECT m.day, CAST(dau.dau AS BIGINT) AS dau, m.mau_est,
+        |  CAST((dau.dau * 1000000) // m.mau_est AS BIGINT) AS stickiness_ppm
+        |FROM m JOIN dau USING (day) ORDER BY m.day""".stripMargin,
 
     // horizons exploded against the first-view cohort
     "q231_conversion_curve" ->
