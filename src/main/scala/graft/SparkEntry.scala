@@ -246,6 +246,13 @@ object SparkEntry {
       |SELECT doc_id, score FROM sc ORDER BY score DESC, doc_id LIMIT $topK""".stripMargin
   }
 
+  /** Benford first-digit expectation, floor(1e6·log10(1 + 1/d)) —
+    * driver-computed once, shipped to both engines as literals
+    * (in-engine log10 is not bit-portable; 9 integers are). */
+  private val BenfordPpm: Seq[(Long, Long)] =
+    (1 to 9).map(dd =>
+      (dd.toLong, math.floor(1e6 * math.log10(1 + 1.0 / dd)).toLong))
+
   /** Half-life-7-day decay weights, floor(1e6·2^(−age/7)) for ages
     * 0–40 — computed ONCE here and shipped to BOTH engines (q218's
     * Spark join table and its oracle's VALUES list), because pow() is
@@ -2826,6 +2833,106 @@ object SparkEntry {
           (col("__floor") + when(col("__rk") <= col("__slots"), 1L)
             .otherwise(0L)).as("share_permille"))
         .orderBy(col("source"))
+    }),
+
+    // GROWTH ACCOUNTING (the new/retained/resurrected/churned ledger):
+    // weekly user states from first-activity and prev-week flags —
+    // two user-keyed passes, never a per-user scan of history.
+    "q235_growth_accounting" -> ((s, d) => {
+      val weeks = T(s, d, "events")
+        .select(col("user_id"),
+          date_trunc("week", col("ts")).cast("date").as("wk"))
+        .distinct()
+      val first = weeks.groupBy(col("user_id")).agg(min(col("wk")).as("__w0"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("wk"))
+      val flagged = weeks.join(first, Seq("user_id"))
+        .withColumn("__prev", lag(col("wk"), 1).over(w))
+        .withColumn("state",
+          when(col("wk") === col("__w0"), lit("new"))
+            .when(col("__prev") === date_sub(col("wk"), 7), lit("retained"))
+            .otherwise(lit("resurrected")))
+      val active = flagged.groupBy(col("wk"), col("state"))
+        .agg(count(lit(1)).as("n_users"))
+      // churned(w) = active in w-7 but not w: prev-week actives LEFT
+      // ANTI current-week actives, keyed per week via a self-join on
+      // the shifted week column
+      val cur = weeks.select(col("user_id"), col("wk"))
+      val nxt = weeks.select(col("user_id"),
+        date_add(col("wk"), 7).as("wk"))
+      val churned = nxt.join(cur, Seq("user_id", "wk"), "left_anti")
+        .groupBy(col("wk")).agg(count(lit(1)).as("n_users"))
+        .withColumn("state", lit("churned"))
+        .select(col("wk"), col("state"), col("n_users"))
+      active.unionByName(churned)
+        .orderBy(col("wk"), col("state"))
+    }),
+
+    // GINI coefficient of customer spend, DISTRIBUTED: Σ rank·x via
+    // the range-bucketed exact-rank machinery (never one global window
+    // partition), all sums exact integers in cents, ONE floor division
+    // composition at the end: gini_ppm = (2·Σi·xᵢ − (n+1)·Σx)·10⁶ div
+    // (n·Σx) over ascending (spend, customer) ranks.
+    "q236_gini" -> ((s, d) => {
+      val spend = T(s, d, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("__cents"))
+      // distributed ascending rank: bucket by approx quantiles, rank
+      // within (bucket), offset by broadcast bucket totals (the q227
+      // machinery inlined over one constant key)
+      val probes = (1 until 32).map(_.toDouble / 32).toArray
+      val withQ = spend.withColumn("__q", col("__cents").cast("double"))
+      val bounds = Option(withQ.stat.approxQuantile("__q", probes, 0.001))
+        .getOrElse(Array.empty[Double]).filterNot(_.isNaN).distinct.sorted
+      val bucket = bounds.foldLeft(lit(0)) { (acc, b) =>
+        acc + when(col("__q") > lit(b), 1).otherwise(0)
+      }
+      val withB = withQ.withColumn("__bkt", bucket)
+      val wIn = Window.partitionBy(col("__bkt"))
+        .orderBy(col("__cents"), col("o_custkey"))
+      val rn = withB.withColumn("__rn", row_number().over(wIn).cast("long"))
+      val tot = withB.groupBy(col("__bkt")).agg(count(lit(1)).as("__tot"))
+      val offsets = tot.as("a")
+        .join(broadcast(tot.as("b")), col("b.__bkt") < col("a.__bkt"), "left")
+        .groupBy(col("a.__bkt").as("__bkt"))
+        .agg(coalesce(sum(col("b.__tot")), lit(0L)).as("__off"))
+      rn.join(broadcast(offsets), Seq("__bkt"))
+        .withColumn("__rank", col("__off") + col("__rn"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("__cents").cast("decimal(38,0)")).as("__sx"),
+          sum((col("__rank") * col("__cents")).cast("decimal(38,0)")).as("__six"))
+        .select(col("n_customers"),
+          col("__sx").cast("long").as("total_cents"),
+          // floor division on nonneg decimals via the exact
+          // (a − a mod b)/b identity — decimal `/` would HALF_UP-round
+          // at scale 6 and diverge from DuckDB's integer floor
+          locally {
+            val a = expr("CAST((2 * __six - (n_customers + 1) * __sx) * 1000000 AS DECIMAL(38,0))")
+            val b = expr("CAST(n_customers AS DECIMAL(38,0)) * __sx")
+            ((a - pmod(a, b)) / b).cast("long")
+          }.as("gini_ppm"))
+    }),
+
+    // BENFORD first-digit audit (the fraud screen): observed leading-
+    // digit counts of order totals against the Benford expectation —
+    // the log10 expectation table ships as driver-computed literals
+    // (model-as-data, the q218 recipe), deviation in floor ppm.
+    "q237_benford" -> ((s, d) => {
+      import s.implicits._
+      val expected = BenfordPpm.toDF("digit", "expected_ppm")
+      val obs = T(s, d, "orders")
+        .select(substring(col("o_totalprice").cast("decimal(18,2)")
+          .cast("string"), 1, 1).cast("long").as("digit"))
+        .filter(col("digit").between(1L, 9L))
+        .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      val tot = obs.agg(sum(col("n")).as("__t"))
+      obs.crossJoin(broadcast(tot))
+        .join(broadcast(expected), Seq("digit"))
+        .select(col("digit"), col("n"),
+          expr("(n * 1000000L) div __t").as("observed_ppm"),
+          col("expected_ppm"),
+          abs(expr("(n * 1000000L) div __t") - col("expected_ppm"))
+            .as("abs_dev_ppm"))
+        .orderBy(col("digit"))
     }),
 
     // STICKINESS (DAU/MAU): exact daily actives over the trailing-30
@@ -5711,6 +5818,57 @@ object SparkEntry {
     // per-term BM25 IEEE score replay (the q131 recipe), top-20
     // ranked, floor-ppm MRR / hit@k / recall@k arithmetic
     "q199_retrieval_eval" -> RetrievalEvalSql,
+
+    // weekly states from first-week and prev-week flags; churned via
+    // the shifted-week anti-join
+    "q235_growth_accounting" ->
+      """WITH wk AS (
+        |  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk FROM events),
+        |f AS (SELECT user_id, min(wk) AS w0 FROM wk GROUP BY 1),
+        |fl AS (SELECT w.user_id, w.wk, f.w0,
+        |    lag(w.wk) OVER (PARTITION BY w.user_id ORDER BY w.wk) AS prev
+        |  FROM wk w JOIN f USING (user_id)),
+        |a AS (SELECT wk,
+        |    CASE WHEN wk = w0 THEN 'new'
+        |      WHEN prev = wk - 7 THEN 'retained'
+        |      ELSE 'resurrected' END AS state
+        |  FROM fl),
+        |ag AS (SELECT wk, state, count(*) AS n_users FROM a GROUP BY 1, 2),
+        |ch AS (SELECT n.wk, 'churned' AS state, count(*) AS n_users
+        |  FROM (SELECT user_id, wk + 7 AS wk FROM wk) n
+        |  LEFT JOIN wk c ON n.user_id = c.user_id AND n.wk = c.wk
+        |  WHERE c.user_id IS NULL GROUP BY 1)
+        |SELECT wk, state, n_users FROM ag
+        |UNION ALL SELECT wk, state, n_users FROM ch
+        |ORDER BY wk, state""".stripMargin,
+
+    // serial rank reference: Σ rank·cents under (cents, custkey) asc
+    "q236_gini" ->
+      """WITH s AS (
+        |  SELECT o_custkey,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |r AS (SELECT cents, row_number() OVER (ORDER BY cents, o_custkey) AS rk FROM s),
+        |t AS (SELECT count(*) AS n, sum(cents) AS sx, sum(rk * cents) AS six FROM r)
+        |SELECT CAST(n AS BIGINT) AS n_customers, CAST(sx AS BIGINT) AS total_cents,
+        |  CAST(((2 * six - (n + 1) * sx) * 1000000) // (n * sx) AS BIGINT) AS gini_ppm
+        |FROM t""".stripMargin,
+
+    // the SAME driver-computed log10 expectation literals
+    "q237_benford" -> {
+      val values = BenfordPpm.map { case (dd, p) => s"($dd, $p)" }.mkString(", ")
+      s"""WITH o AS (
+        |  SELECT CAST(substring(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        |  FROM orders),
+        |g AS (SELECT digit, count(*) AS n FROM o WHERE digit BETWEEN 1 AND 9 GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS tt FROM g),
+        |e(digit, expected_ppm) AS (VALUES $values)
+        |SELECT g.digit, g.n,
+        |  CAST((g.n * 1000000) // t.tt AS BIGINT) AS observed_ppm,
+        |  CAST(e.expected_ppm AS BIGINT) AS expected_ppm,
+        |  CAST(abs((g.n * 1000000) // t.tt - e.expected_ppm) AS BIGINT) AS abs_dev_ppm
+        |FROM g CROSS JOIN t JOIN e USING (digit) ORDER BY g.digit""".stripMargin
+    },
 
     // the q172 register replay at a 30-day window + exact DAU + ratio
     "q234_stickiness" ->
