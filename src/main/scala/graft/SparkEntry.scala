@@ -2835,6 +2835,78 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // ANOMALOUS-day detection by robust z-score: per event type, the
+    // exact median and MAD of daily counts (two exactQuantileByKey
+    // passes — true order statistics, no sketch error), then flag
+    // days with |x − med|·1000 > 3500·MAD (the Iglewicz–Hoban 3.5
+    // modified-z rule as pure integers). Level shifts don't poison
+    // the threshold the way mean/stddev would.
+    "q238_anomalous_days" -> ((s, d) => {
+      val daily = T(s, d, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+        .localCheckpoint(true) // three passes below share it
+      val med = graft.ext.Sampling.exactQuantileByKey(
+          daily, "event_type", "n", "day", qPermille = 500L)
+        .select(col("event_type"), col("q_value").cast("long").as("__med"))
+      val dev = daily.join(broadcast(med), Seq("event_type"))
+        .withColumn("__dev", abs(col("n") - col("__med")))
+      val mad = graft.ext.Sampling.exactQuantileByKey(
+          dev, "event_type", "__dev", "day", qPermille = 500L)
+        .select(col("event_type"), col("q_value").cast("long").as("__mad"))
+      dev.join(broadcast(mad), Seq("event_type"))
+        .filter(col("__dev") * 1000L > lit(3500L) * col("__mad"))
+        .select(col("event_type"), col("day"), col("n"),
+          col("__med").as("median_n"), col("__dev").as("abs_dev"))
+        .orderBy(col("event_type"), col("day"))
+    }),
+
+    // KEYSET pagination contract: three consecutive 50-row pages via
+    // `key > cursor ORDER BY key LIMIT n` — O(page) per fetch where
+    // OFFSET is O(skipped); each page is a TakeOrdered over a pushed
+    // range filter. The cursor arithmetic (last key of page k feeds
+    // page k+1) is deterministic, so the pages are hashable.
+    "q239_keyset_pages" -> ((s, d) => {
+      val o = T(s, d, "orders")
+      def page(after: Column, n: Int): DataFrame =
+        o.filter(col("o_orderkey") > after)
+          .orderBy(col("o_orderkey")).limit(n)
+          .select(col("o_orderkey"), col("o_totalprice"))
+      // cursors resolve as scalar aggregates (no collect): page k+1
+      // filters on max(key) of page k via a broadcast 1-row cross join
+      val p1 = page(lit(0L), 50)
+      val c1 = p1.agg(max(col("o_orderkey")).as("__c"))
+      val p2 = o.crossJoin(broadcast(c1)).filter(col("o_orderkey") > col("__c"))
+        .orderBy(col("o_orderkey")).limit(50)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      val c2 = p2.agg(max(col("o_orderkey")).as("__c"))
+      val p3 = o.crossJoin(broadcast(c2)).filter(col("o_orderkey") > col("__c"))
+        .orderBy(col("o_orderkey")).limit(50)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      p1.withColumn("page", lit(1L))
+        .unionByName(p2.withColumn("page", lit(2L)))
+        .unionByName(p3.withColumn("page", lit(3L)))
+        .orderBy(col("page"), col("o_orderkey"))
+    }),
+
+    // Tie-aware TOP-K semantics: rank() keeps price ties past k where
+    // row_number() cuts arbitrarily — both counts pinned per group so
+    // the tie contract is explicit, not folklore.
+    "q240_topk_ties" -> ((s, d) => {
+      val byRank = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_totalprice").desc)
+      val byRow = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      T(s, d, "orders")
+        .withColumn("__rk", rank().over(byRank))
+        .withColumn("__rn", row_number().over(byRow))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(when(col("__rk") <= 3, 1L)).as("n_rank_top3"),
+          count(when(col("__rn") <= 3, 1L)).as("n_rownum_top3"),
+          max(when(col("__rk") <= 3, col("o_totalprice"))).as("top_price"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // GROWTH ACCOUNTING (the new/retained/resurrected/churned ledger):
     // weekly user states from first-activity and prev-week flags —
     // two user-keyed passes, never a per-user scan of history.
@@ -5818,6 +5890,60 @@ object SparkEntry {
     // per-term BM25 IEEE score replay (the q131 recipe), top-20
     // ranked, floor-ppm MRR / hit@k / recall@k arithmetic
     "q199_retrieval_eval" -> RetrievalEvalSql,
+
+    // two serial order-statistic passes (median, MAD) + the 3.5
+    // modified-z integer rule
+    "q238_anomalous_days" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |m AS (SELECT event_type, n AS med FROM (
+        |    SELECT event_type, n,
+        |      row_number() OVER (PARTITION BY event_type ORDER BY CAST(n AS DOUBLE), day) AS rk,
+        |      count(*) OVER (PARTITION BY event_type) AS c
+        |    FROM daily) t
+        |  WHERE rk = greatest(1, (500 * c + 999) // 1000)),
+        |dev AS (SELECT d.event_type, d.day, d.n, m.med, abs(d.n - m.med) AS adev
+        |  FROM daily d JOIN m USING (event_type)),
+        |mad AS (SELECT event_type, adev AS mad FROM (
+        |    SELECT event_type, adev,
+        |      row_number() OVER (PARTITION BY event_type ORDER BY CAST(adev AS DOUBLE), day) AS rk,
+        |      count(*) OVER (PARTITION BY event_type) AS c
+        |    FROM dev) t
+        |  WHERE rk = greatest(1, (500 * c + 999) // 1000))
+        |SELECT dev.event_type, dev.day, dev.n,
+        |  CAST(dev.med AS BIGINT) AS median_n, CAST(dev.adev AS BIGINT) AS abs_dev
+        |FROM dev JOIN mad USING (event_type)
+        |WHERE dev.adev * 1000 > 3500 * mad.mad
+        |ORDER BY 1, 2""".stripMargin,
+
+    // three cursor-chained LIMIT pages, cursors as scalar max()
+    "q239_keyset_pages" ->
+      """WITH p1 AS (SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_orderkey > 0 ORDER BY o_orderkey LIMIT 50),
+        |c1 AS (SELECT max(o_orderkey) AS c FROM p1),
+        |p2 AS (SELECT o_orderkey, o_totalprice FROM orders, c1
+        |  WHERE o_orderkey > c1.c ORDER BY o_orderkey LIMIT 50),
+        |c2 AS (SELECT max(o_orderkey) AS c FROM p2),
+        |p3 AS (SELECT o_orderkey, o_totalprice FROM orders, c2
+        |  WHERE o_orderkey > c2.c ORDER BY o_orderkey LIMIT 50)
+        |SELECT o_orderkey, o_totalprice, CAST(1 AS BIGINT) AS page FROM p1
+        |UNION ALL SELECT o_orderkey, o_totalprice, 2 FROM p2
+        |UNION ALL SELECT o_orderkey, o_totalprice, 3 FROM p3
+        |ORDER BY page, o_orderkey""".stripMargin,
+
+    // rank() vs row_number() at the k-boundary, per group
+    "q240_topk_ties" ->
+      """WITH r AS (
+        |  SELECT o_orderstatus, o_totalprice,
+        |    rank() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC) AS rk,
+        |    row_number() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |SELECT o_orderstatus,
+        |  CAST(count(CASE WHEN rk <= 3 THEN 1 END) AS BIGINT) AS n_rank_top3,
+        |  CAST(count(CASE WHEN rn <= 3 THEN 1 END) AS BIGINT) AS n_rownum_top3,
+        |  max(CASE WHEN rk <= 3 THEN o_totalprice END) AS top_price
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // weekly states from first-week and prev-week flags; churned via
     // the shifted-week anti-join
