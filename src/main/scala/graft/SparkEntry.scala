@@ -149,6 +149,43 @@ object SparkEntry {
   /** DuckDB replay of the portable 60-bit SimHash pipeline (votes →
     * sign fold → 4×15-bit bands → Hamming ≤ 3) — mirrors
     * `Dedup.simhashNearDups(..., portable = true)` bit for bit. */
+  /** DuckDB replay of the media dHash near-dup: 61 evenly-spaced probe
+    * bytes read from the hex dump (probe i = byte ⌊i·(nb−1)/60⌋, two
+    * hex chars at 2·idx+1), adjacent gradient-sign bits packed into
+    * the 60-bit signature, 15-bit banding, bit_count Hamming ≤ 3. */
+  private val DhashOracleSql: String = {
+    val samples = 61
+    val probes = (0 until samples).map(i =>
+      s"coalesce(try_cast(concat('0x', substring(hx, CAST(2 * (($i * (n_bytes - 1)) // ${samples - 1}) + 1 AS INTEGER), 2)) AS BIGINT), 0) AS s$i")
+      .mkString(",\n    ")
+    val bitsSum = (0 until samples - 1).map(i =>
+      s"CASE WHEN s$i > s${i + 1} THEN (CAST(1 AS BIGINT) << $i) ELSE CAST(0 AS BIGINT) END")
+      .mkString(" + ")
+    val bandVals = (0 until 4).map(b => s"(sig >> ${b * 15}) & ${(1L << 15) - 1}").mkString(", ")
+    s"""WITH docs AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000,
+      |    concat(substring(text, 1, 10), 'X', substring(text, 12))
+      |  FROM documents),
+      |h AS (
+      |  SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+      |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+      |  FROM docs),
+      |p AS (SELECT media_id,
+      |    $probes
+      |  FROM h WHERE n_bytes > 0),
+      |sig AS (SELECT media_id, $bitsSum AS sig FROM p
+      |  UNION ALL SELECT media_id, 0 AS sig FROM h WHERE n_bytes = 0),
+      |b AS (SELECT media_id, sig, unnest([0, 1, 2, 3]) AS band, unnest([$bandVals]) AS bh FROM sig),
+      |cand AS (
+      |  SELECT ba.media_id AS a, bb.media_id AS b, ba.sig AS sa, bb.sig AS sb
+      |  FROM b ba JOIN b bb ON ba.band = bb.band AND ba.bh = bb.bh AND ba.media_id < bb.media_id
+      |  GROUP BY 1, 2, 3, 4)
+      |SELECT a, b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming FROM cand
+      |WHERE bit_count(xor(sa, sb)) <= 3 ORDER BY a, b""".stripMargin
+  }
+
   private val SimhashOracleSql: String = {
     val bits = 60; val bandBits = 15
     val votes = (0 until bits).map(i =>
@@ -2905,6 +2942,100 @@ object SparkEntry {
           count(when(col("__rn") <= 3, 1L)).as("n_rownum_top3"),
           max(when(col("__rk") <= 3, col("o_totalprice"))).as("top_price"))
         .orderBy(col("o_orderstatus"))
+    }),
+
+    // MANN–WHITNEY U: did purchases draw stochastically larger values
+    // than clicks? Exact rank-sum over cents (ext.Stats — distinct-
+    // value aggregate + range-bucketed prefix sum, never one global
+    // window), reported as 2·U and the AUC effect size in floor ppm.
+    "q241_rank_sum" -> ((s, d) =>
+      graft.ext.Stats.rankSumTest(
+        T(s, d, "events")
+          .select(col("event_type"),
+            round(col("value") * 100).cast("long").as("cents")),
+        "event_type", "purchase", "click", "cents")),
+
+    // KOLMOGOROV–SMIRNOV D between the en and fr doc-length CDFs —
+    // the bin-free exact companion to q174's binned TV drift: max
+    // CDF gap in exact integers (DECIMAL(38,0) cross products), one
+    // ppm floor division AFTER the argmax, ties broken to the low
+    // value.
+    "q242_ks_test" -> ((s, d) =>
+      graft.ext.Stats.ksTest(
+        T(s, d, "documents").select(col("lang"), col("n_chars")),
+        "lang", "en", "fr", "n_chars")),
+
+    // L-DIVERSITY (the q200 k-anonymity companion): a large QI group
+    // still leaks if everyone shares the same sensitive value — count
+    // distinct balance bands per (nation, segment) group, histogram
+    // by diversity.
+    "q243_l_diversity" -> ((s, d) =>
+      graft.ext.Audit.lDiversity(
+        T(s, d, "customer")
+          .withColumn("bal_band",
+            floor(col("c_acctbal") / 1000).cast("long")),
+        Seq("c_nationkey", "c_mktsegment"), "bal_band", l = 2L)
+        .orderBy(col("diversity"))),
+
+    // ORDER-INDEPENDENT table fingerprint — the migration checksum:
+    // canonical '|'-joined row strings (NULL → '\N', doubles
+    // pre-quantized to cents, dates to ISO strings) through the
+    // portable 56-bit md5 hash, SUMMED (commutative ⇒ partitioning
+    // and row order are irrelevant) in DECIMAL(38,0), mod 2⁶².
+    "q244_fingerprint" -> ((s, d) =>
+      graft.ext.Audit.fingerprint(T(s, d, "lineitem"), Seq(
+        col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_linenumber"),
+        round(col("l_extendedprice") * 100).cast("long"),
+        round(col("l_quantity")).cast("long"),
+        col("l_returnflag"), col("l_linestatus"),
+        col("l_shipdate").cast("date").cast("string")))),
+
+    // Token(byte)-WEIGHTED per-language median doc length: the
+    // weighted order statistic (ext.Sampling.weightedQuantileByKey,
+    // the q227 machinery summing weights instead of counting rows) —
+    // "what length does the median BYTE of the corpus live in", which
+    // row-median misses when long docs dominate the byte budget.
+    "q245_weighted_median" -> ((s, d) =>
+      graft.ext.Sampling.weightedQuantileByKey(
+        T(s, d, "documents")
+          .withColumn("bytes", octet_length(col("text")).cast("long")),
+        "lang", "n_chars", "bytes", "doc_id", qPermille = 500L)
+        .orderBy(col("lang"))),
+
+    // PERCEPTUAL-hash media near-dup (the image-dedup pass a LAION-
+    // style multimodal pipeline runs before anything expensive): dHash
+    // gradient signs over 61 probe samples of the decoded signal,
+    // 15-bit-band blocking (pigeonhole-complete to Hamming 3), true
+    // Hamming verify — the media twin of q46's SimHash text pass. The
+    // corpus unions with a one-character "re-encode" of every payload
+    // (same byte positions, one sample perturbed — the perturbation
+    // class dHash is BUILT to absorb), so the pass must pair each
+    // original with its variant while exact byte hashing finds nothing.
+    "q246_media_dhash" -> ((s, d) => {
+      val docs = T(s, d, "documents").select(col("doc_id"), col("text"))
+      val variants = docs.select(
+        (col("doc_id") + 1000000L).as("doc_id"),
+        concat(substring(col("text"), 1, 10), lit("X"),
+          expr("substring(text, 12)")).as("text"))
+      graft.ext.Multimodal.dHashNearDups(
+        graft.ext.Multimodal.packAsMedia(
+          docs.unionByName(variants), "doc_id", "text"), maxBits = 3)
+        .orderBy(col("a"), col("b"))
+    }),
+
+    // HARD-NEGATIVE mining (contrastive training): per anchor, the
+    // top-10 highest-cosine corpus vectors with a DIFFERENT label —
+    // the label-mismatch predicate rides the scoring pass before the
+    // bounded top-k heap (q49 machinery), never a post-rank refill.
+    "q247_hard_negatives" -> ((s, d) => {
+      val emb = T(s, d, "embeddings")
+      graft.ext.Similarity.hardNegatives(
+        emb, "vec_id", "embedding", "label",
+        emb.filter(col("vec_id") < 5), "vec_id", "embedding", "label",
+        k = 10)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy(col("query_id"), col("rank"))
     }),
 
     // GROWTH ACCOUNTING (the new/retained/resurrected/churned ledger):
@@ -5944,6 +6075,118 @@ object SparkEntry {
         |  CAST(count(CASE WHEN rn <= 3 THEN 1 END) AS BIGINT) AS n_rownum_top3,
         |  max(CASE WHEN rk <= 3 THEN o_totalprice END) AS top_price
         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // serial rank-sum reference: per distinct value, A-rows beat every
+    // B strictly below twice and ties once; one floor ppm division
+    "q241_rank_sum" ->
+      """WITH e AS (
+        |  SELECT event_type AS g, CAST(round(value * 100) AS BIGINT) AS v
+        |  FROM events
+        |  WHERE event_type IN ('purchase', 'click') AND value IS NOT NULL),
+        |agg AS (SELECT v,
+        |    sum(CASE WHEN g = 'purchase' THEN 1 ELSE 0 END) AS ca,
+        |    sum(CASE WHEN g = 'click' THEN 1 ELSE 0 END) AS cb
+        |  FROM e GROUP BY 1),
+        |c AS (SELECT v, ca, cb, sum(cb) OVER (ORDER BY v) AS cum_b FROM agg),
+        |t AS (SELECT sum(ca) AS na, sum(cb) AS nb,
+        |    sum(ca * (2 * (cum_b - cb) + cb)) AS u2
+        |  FROM c)
+        |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+        |  CAST(u2 AS BIGINT) AS u2,
+        |  CAST((u2 * 1000000) // (2 * na * nb) AS BIGINT) AS auc_ppm
+        |FROM t""".stripMargin,
+
+    // serial KS reference: cumulative counts over the merged support,
+    // max integer gap, ties to the low value, ppm after the argmax
+    "q242_ks_test" ->
+      """WITH e AS (
+        |  SELECT lang AS g, CAST(n_chars AS BIGINT) AS v FROM documents
+        |  WHERE lang IN ('en', 'fr') AND n_chars IS NOT NULL),
+        |agg AS (SELECT v,
+        |    sum(CASE WHEN g = 'en' THEN 1 ELSE 0 END) AS ca,
+        |    sum(CASE WHEN g = 'fr' THEN 1 ELSE 0 END) AS cb
+        |  FROM e GROUP BY 1),
+        |c AS (SELECT v, sum(ca) OVER (ORDER BY v) AS cum_a,
+        |    sum(cb) OVER (ORDER BY v) AS cum_b FROM agg),
+        |t AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM agg),
+        |dev AS (SELECT v, abs(cum_a * t.nb - cum_b * t.na) AS gap
+        |  FROM c CROSS JOIN t),
+        |sel AS (SELECT v, gap FROM dev ORDER BY gap DESC, v ASC LIMIT 1)
+        |SELECT CAST(t.na AS BIGINT) AS n_a, CAST(t.nb AS BIGINT) AS n_b,
+        |  CAST((sel.gap * 1000000) // (t.na * t.nb) AS BIGINT) AS d_ppm,
+        |  CAST(sel.v AS BIGINT) AS at_value
+        |FROM sel CROSS JOIN t""".stripMargin,
+
+    // distinct balance bands per QI group, histogrammed by diversity
+    "q243_l_diversity" ->
+      """WITH g AS (
+        |  SELECT c_nationkey, c_mktsegment, count(*) AS sz,
+        |    count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT)) AS dv
+        |  FROM customer GROUP BY 1, 2),
+        |h AS (SELECT CAST(dv AS BIGINT) AS diversity,
+        |    CAST(count(*) AS BIGINT) AS n_groups, CAST(sum(sz) AS BIGINT) AS n_rows
+        |  FROM g GROUP BY 1)
+        |SELECT diversity, n_groups, n_rows,
+        |  CAST(CASE WHEN diversity < 2 THEN 1 ELSE 0 END AS BIGINT) AS at_risk
+        |FROM h ORDER BY 1""".stripMargin,
+
+    // the same canonical row string, 56-bit md5 hash, hugeint sum
+    "q244_fingerprint" ->
+      """WITH r AS (
+        |  SELECT CAST(concat('0x', substring(md5(concat_ws('|', '42',
+        |      concat_ws('|',
+        |        coalesce(CAST(l_orderkey AS VARCHAR), '\N'),
+        |        coalesce(CAST(l_partkey AS VARCHAR), '\N'),
+        |        coalesce(CAST(l_suppkey AS VARCHAR), '\N'),
+        |        coalesce(CAST(l_linenumber AS VARCHAR), '\N'),
+        |        coalesce(CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS VARCHAR), '\N'),
+        |        coalesce(CAST(CAST(round(l_quantity) AS BIGINT) AS VARCHAR), '\N'),
+        |        coalesce(l_returnflag, '\N'),
+        |        coalesce(l_linestatus, '\N'),
+        |        coalesce(CAST(CAST(l_shipdate AS DATE) AS VARCHAR), '\N')))),
+        |    1, 14)) AS BIGINT) AS h
+        |  FROM lineitem)
+        |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(h) % 4611686018427387904 AS BIGINT) AS checksum
+        |FROM r""".stripMargin,
+
+    // serial weighted-quantile reference: first row whose cumulative
+    // byte weight reaches ceil(500‰ · W / 1000) in (len, id) order
+    "q245_weighted_median" ->
+      """WITH c AS (
+        |  SELECT lang, CAST(n_chars AS DOUBLE) AS q,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS w, doc_id
+        |  FROM documents
+        |  WHERE n_chars IS NOT NULL AND octet_length(encode(text)) > 0),
+        |cum AS (SELECT lang, q, w,
+        |    sum(w) OVER (PARTITION BY lang ORDER BY q, doc_id) AS cw,
+        |    sum(w) OVER (PARTITION BY lang) AS wt
+        |  FROM c)
+        |SELECT lang, CAST(wt AS BIGINT) AS w_total, q AS q_value
+        |FROM cum
+        |WHERE cw >= greatest(1, (500 * wt + 999) // 1000)
+        |  AND cw - w < greatest(1, (500 * wt + 999) // 1000)
+        |ORDER BY lang""".stripMargin,
+
+    "q246_media_dhash" -> DhashOracleSql,
+
+    // the q49 scoring replay plus the label-mismatch predicate
+    "q247_hard_negatives" ->
+      """WITH v AS (
+        |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings WHERE label IS NOT NULL),
+        |n AS (SELECT vec_id, label, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v),
+        |q AS (SELECT vec_id AS query_id, label AS ql, e AS qe, nrm AS qn FROM n WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.query_id, n.vec_id AS nn_id,
+        |    list_sum(list_transform(range(1, 65), i -> (n.e[i] / n.nrm) * (q.qe[i] / q.qn))) AS cosine
+        |  FROM q CROSS JOIN n WHERE n.label <> q.ql),
+        |ranked AS (
+        |  SELECT query_id, nn_id, cosine,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nn_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, nn_id, cosine, rank FROM ranked WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
 
     // weekly states from first-week and prev-week flags; churned via
     // the shifted-week anti-join

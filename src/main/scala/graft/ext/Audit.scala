@@ -325,4 +325,58 @@ object Audit {
       .withColumn("at_risk",
         when(col("group_size") < k, 1L).otherwise(0L))
   }
+
+  /** L-DIVERSITY audit — [[kAnonymity]]'s companion (Machanavajjhala
+    * et al. 2007): a QI group can be large (k-anonymous) yet still
+    * leak if everyone in it shares the SAME sensitive value, so the
+    * unit of risk is the number of DISTINCT sensitive values per
+    * group. One aggregate on the QI key computes per-group size and
+    * sensitive-distinct count, a second collapses to the diversity
+    * histogram — (diversity, n_groups, n_rows, at_risk 0/1 where
+    * diversity < l). NULL sensitive values don't count as a distinct
+    * value (an absent attribute discloses nothing); NULL QI values
+    * form their own groups, as in [[kAnonymity]]. */
+  def lDiversity(df: DataFrame, quasiIdentifiers: Seq[String],
+      sensitiveCol: String, l: Long = 2L): DataFrame = {
+    require(quasiIdentifiers.nonEmpty, "lDiversity needs at least one QI column")
+    require(l >= 2, s"l must be >= 2, got $l")
+    df.groupBy(quasiIdentifiers.map(col): _*)
+      .agg(count(lit(1)).as("__sz"),
+        countDistinct(col(sensitiveCol)).as("__div"))
+      .groupBy(col("__div").as("diversity"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum(col("__sz")).as("n_rows"))
+      .withColumn("at_risk",
+        when(col("diversity") < l, 1L).otherwise(0L))
+  }
+
+  /** ORDER-INDEPENDENT table fingerprint — the cross-engine checksum a
+    * 100 TB migration verifies with (copy the data, fingerprint both
+    * sides in their native engines, compare two numbers — never ship
+    * rows): each row canonicalizes to '|'-joined strings (NULL → the
+    * literal '\N', so NULL and absent differ and the empty string stays
+    * distinct), hashes through the portable 56-bit md5 prefix, and the
+    * hashes SUM (commutative ⇒ row order and partitioning are
+    * irrelevant) in DECIMAL(38,0) — exact far past int64 at 10¹² rows —
+    * reported mod 2⁶² alongside the row count. Collision odds for an
+    * accidental mismatch-hiding cancellation are ~2⁻⁶², and any engine
+    * with md5 + 128-bit sums replays it bit for bit.
+    *
+    * Callers pass CANONICAL columns: integers/strings/dates cast
+    * portably; quantize doubles first (cents/milli) — raw double
+    * string forms differ across engines. */
+  def fingerprint(df: DataFrame, cols: Seq[Column],
+      seed: Long = 42L): DataFrame = {
+    require(cols.nonEmpty, "fingerprint needs at least one column")
+    val canon = concat_ws("|",
+      cols.map(c => coalesce(c.cast("string"), lit("\\N"))): _*)
+    val h = conv(substring(md5(
+        concat_ws("|", lit(seed.toString), canon)), 1, 14), 16, 10)
+      .cast("long")
+    df.agg(count(lit(1)).as("n_rows"),
+        sum(h.cast("decimal(38,0)")).as("__s"))
+      .select(col("n_rows"),
+        pmod(col("__s"), lit(4611686018427387904L).cast("decimal(38,0)"))
+          .cast("long").as("checksum"))
+  }
 }

@@ -443,6 +443,62 @@ object Sampling {
       .select(col(keyCol), col("__n").as("n"), col("__q").as("q_value"))
   }
 
+  /** EXACT per-key WEIGHTED order statistic — the token-weighted twin
+    * of [[exactQuantileByKey]]: a corpus median that weights each doc
+    * by its token count answers "what quality does the median TOKEN
+    * see?", which row-median misses when long docs skew low. For each
+    * key, rows sort ascending (score, id) and the kept row is the
+    * FIRST whose cumulative weight reaches ⌈q‰·W / 1000⌉ (W = the
+    * key's total weight) — the standard weighted lower quantile, which
+    * degenerates to [[exactQuantileByKey]] at weight ≡ 1. Weights are
+    * caller-quantized POSITIVE integers (token counts, cents); rows
+    * with NULL score or NULL/non-positive weight drop. Distributed the
+    * same way: range-bucketed per-key cumulative weights + broadcast
+    * bucket offsets — no key ever becomes one window partition.
+    * Returns (keyCol, w_total, q_value). */
+  def weightedQuantileByKey(df: DataFrame, keyCol: String, scoreCol: String,
+      weightCol: String, idCol: String, qPermille: Long,
+      globalBuckets: Int = 32): DataFrame = {
+    require(qPermille >= 1 && qPermille <= 1000,
+      s"qPermille must be in [1, 1000], got $qPermille")
+    val clean = df
+      .filter(col(scoreCol).isNotNull &&
+        col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("__q", col(scoreCol).cast("double"))
+      .withColumn("__w", col(weightCol).cast("long"))
+    val probes = (1 until globalBuckets).map(_.toDouble / globalBuckets).toArray
+    val bounds =
+      if (probes.isEmpty) Array.empty[Double]
+      else Option(clean.stat.approxQuantile("__q", probes, 0.001))
+        .getOrElse(Array.empty[Double]).filterNot(_.isNaN).distinct.sorted
+    val bucket = bounds.foldLeft(lit(0)) { (acc, b) =>
+      acc + when(col("__q") > lit(b), 1).otherwise(0)
+    }
+    val withB = clean.withColumn("__bkt", bucket)
+    val wIn = Window.partitionBy(col(keyCol), col("__bkt"))
+      .orderBy(col("__q"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = withB.withColumn("__cum", sum(col("__w")).over(wIn))
+    val tot = withB.groupBy(col(keyCol), col("__bkt"))
+      .agg(sum(col("__w")).as("__tot"))
+    val offsets = tot.as("a")
+      .join(broadcast(tot.as("b")),
+        col("a." + keyCol) === col("b." + keyCol) &&
+          col("b.__bkt") < col("a.__bkt"), "left")
+      .groupBy(col("a." + keyCol).as(keyCol), col("a.__bkt").as("__bkt"))
+      .agg(coalesce(sum(col("b.__tot")), lit(0L)).as("__off"))
+    val wPerKey = withB.groupBy(col(keyCol)).agg(sum(col("__w")).as("__wt"))
+    cum.join(broadcast(offsets), Seq(keyCol, "__bkt"))
+      .join(broadcast(wPerKey), Seq(keyCol))
+      .withColumn("__cw", col("__off") + col("__cum"))
+      .withColumn("__target",
+        greatest(lit(1L), expr(s"($qPermille * __wt + 999) div 1000")))
+      // first crossing: cumW reaches the target, previous cum did not
+      .filter(col("__cw") >= col("__target") &&
+        col("__cw") - col("__w") < col("__target"))
+      .select(col(keyCol), col("__wt").as("w_total"), col("__q").as("q_value"))
+  }
+
   def ntileByKey(df: DataFrame, keyCol: String, scoreCol: String,
       idCol: String, tiles: Int, globalBuckets: Int = 32): DataFrame = {
     require(tiles > 0, s"tiles must be positive, got $tiles")

@@ -140,6 +140,36 @@ object Similarity {
     topKPerQuery(scored, col("nn_id"), col("cosine"), "cosine", k)
   }
 
+  /** HARD-NEGATIVE mining for contrastive/embedding training: for each
+    * anchor, the k most-similar corpus vectors whose label DIFFERS from
+    * the anchor's. Random negatives are too easy to carry gradient; the
+    * highest-cosine wrong-label neighbors are the ones a retriever/
+    * reranker actually confuses (the lexical twin is
+    * [[Dedup.contrastivePairs]]). Identical plan to [[bruteForceTopK]] —
+    * broadcast anchors, hash-spread corpus, the bounded TopKByScore
+    * heap — plus ONE label-mismatch predicate BEFORE the heap, so the
+    * filter rides the scoring pass (never a post-rank refill: every
+    * returned row is a true wrong-label neighbor, and the heap still
+    * returns k of them). NULL labels drop on both sides (an unlabeled
+    * row can neither anchor nor serve as a counter-example). Anchors
+    * are bounded by construction (a training batch at a time). */
+  def hardNegatives(corpus: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, anchors: DataFrame, aIdCol: String,
+      aVecCol: String, aLabelCol: String, k: Int): DataFrame = {
+    requireIntegralId(corpus, idCol, "hardNegatives")
+    val c = corpus.filter(col(labelCol).isNotNull)
+      .repartition(col(idCol))
+      .select(col(idCol).as("nn_id"), col(labelCol).as("__cl"),
+        l2Normalize(col(vecCol).cast("array<double>")).as("__cv"))
+    val q = anchors.filter(col(aLabelCol).isNotNull)
+      .select(col(aIdCol).as("query_id"), col(aLabelCol).as("__ql"),
+        l2Normalize(col(aVecCol).cast("array<double>")).as("__qv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("__cl") =!= col("__ql"))
+      .withColumn("cosine", dot(col("__cv"), col("__qv")))
+    topKPerQuery(scored, col("nn_id"), col("cosine"), "cosine", k)
+  }
+
   /** IVF index: corpus rows assigned to their nearest centroid.
     * `backing` is the persisted normalized corpus the index plans read
     * from — call [[IvfIndex.unpersist]] when the index is retired. */

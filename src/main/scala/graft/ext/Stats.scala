@@ -1,0 +1,142 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Two-sample distribution comparison — the statistical tests a data
+  * pipeline runs when a distribution MIGHT have shifted and a binned
+  * drift score ([[Sketches.histDriftTV]], q174) isn't evidence enough:
+  * nonparametric, bin-free, exact.
+  *
+  *  - [[rankSumTest]]: Mann–Whitney U / rank-sum — "are A's values
+  *    stochastically larger than B's?", reported as the exact U
+  *    statistic and its AUC normalization (U / (nA·nB), the
+  *    probability a random A value exceeds a random B value).
+  *  - [[ksTest]]: Kolmogorov–Smirnov D — the maximum gap between the
+  *    two empirical CDFs, and the value where it is attained.
+  *
+  * Both are EXACT and engine-replayable: values are caller-quantized
+  * integers (cents/milli-scores — the repo-wide exactness recipe), all
+  * sufficient statistics are integer sums carried as DECIMAL(38,0)
+  * (cross products reach n² ≈ 10²⁴ at 10¹² rows, past int64), and the
+  * single ppm normalization uses the exact floor-division identity
+  * (a − a mod b)/b, so a DuckDB oracle replays every output bit.
+  *
+  * Scale shape: ONE aggregate collapses the corpus to its distinct
+  * quantized values (bounded by the value domain, not the row count),
+  * then the cumulative counts come from the same range-bucketed
+  * two-phase prefix sum as [[Sampling.exactQuantileByKey]] — per-bucket
+  * windows plus a broadcast bucket-offset table, never one global
+  * window partition, even if the value domain is large.
+  */
+object Stats {
+
+  /** Distinct-value cumulative counts for two groups: collapses `df`
+    * to one row per distinct `valueCol` with per-group counts
+    * (`ca`/`cb`) and INCLUSIVE cumulative counts (`cum_a`/`cum_b`) in
+    * ascending value order. The prefix sum is two-phase range-bucketed
+    * (approxQuantile bounds → per-bucket window → broadcast offsets). */
+  private def cumCountsByValue(df: DataFrame, groupCol: String,
+      groupA: String, groupB: String, valueCol: String,
+      globalBuckets: Int): DataFrame = {
+    val agg = df
+      .filter(col(valueCol).isNotNull && col(groupCol).isin(groupA, groupB))
+      .groupBy(col(valueCol).cast("long").as("__v"))
+      .agg(
+        sum(when(col(groupCol) === groupA, 1L).otherwise(0L)).as("ca"),
+        sum(when(col(groupCol) === groupB, 1L).otherwise(0L)).as("cb"))
+    val probes = (1 until globalBuckets).map(_.toDouble / globalBuckets).toArray
+    val bounds =
+      if (probes.isEmpty) Array.empty[Double]
+      else Option(agg.withColumn("__q", col("__v").cast("double"))
+          .stat.approxQuantile("__q", probes, 0.001))
+        .getOrElse(Array.empty[Double]).filterNot(_.isNaN).distinct.sorted
+    val bucket = bounds.foldLeft(lit(0)) { (acc, b) =>
+      acc + when(col("__v").cast("double") > lit(b), 1).otherwise(0)
+    }
+    val withB = agg.withColumn("__bkt", bucket)
+    val wIn = Window.partitionBy(col("__bkt")).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = withB
+      .withColumn("__cuma", sum(col("ca")).over(wIn))
+      .withColumn("__cumb", sum(col("cb")).over(wIn))
+    val tot = withB.groupBy(col("__bkt"))
+      .agg(sum(col("ca")).as("__ta"), sum(col("cb")).as("__tb"))
+    val offsets = tot.as("a")
+      .join(broadcast(tot.as("b")), col("b.__bkt") < col("a.__bkt"), "left")
+      .groupBy(col("a.__bkt").as("__bkt"))
+      .agg(coalesce(sum(col("b.__ta")), lit(0L)).as("__offa"),
+        coalesce(sum(col("b.__tb")), lit(0L)).as("__offb"))
+    cum.join(broadcast(offsets), Seq("__bkt"))
+      .select(col("__v"), col("ca"), col("cb"),
+        (col("__offa") + col("__cuma")).as("cum_a"),
+        (col("__offb") + col("__cumb")).as("cum_b"))
+  }
+
+  /** Exact floor division on non-negative DECIMAL(38,0) operands via
+    * (a − a mod b)/b — decimal `/` alone would HALF_UP-round. */
+  private def floorDiv(a: Column, b: Column): Column =
+    ((a - pmod(a, b)) / b).cast("long")
+
+  private val Dec = "decimal(38,0)"
+
+  /** Mann–Whitney U (rank-sum) test between `groupA` and `groupB` of
+    * `groupCol`, over a caller-QUANTIZED integral `valueCol` (cents /
+    * milli-score — quantize first; the test is rank-based, so any
+    * monotone quantization only merges ties). Returns ONE row:
+    *   - `n_a`, `n_b` — group sizes;
+    *   - `u2` — 2·U_A, the DOUBLED U statistic of group A (doubling
+    *     keeps the half-credit for ties integral: each tied A–B pair
+    *     contributes 1, each B-below-A pair 2);
+    *   - `auc_ppm` — floor(10⁶ · U_A / (n_a·n_b)), the common-language
+    *     effect size (= ROC AUC of "value predicts membership in A"):
+    *     500000 ⇒ no shift, 1000000 ⇒ A strictly above B.
+    * NULL values drop; rows in neither group are ignored. */
+  def rankSumTest(df: DataFrame, groupCol: String, groupA: String,
+      groupB: String, valueCol: String,
+      globalBuckets: Int = 32): DataFrame = {
+    val c = cumCountsByValue(df, groupCol, groupA, groupB, valueCol, globalBuckets)
+    // per distinct value v: A-rows there beat every B strictly below
+    // (2·(cum_b − cb)) and half-beat the cb ties (+cb), all ×ca
+    c.agg(
+        sum(col("ca")).as("n_a"),
+        sum(col("cb")).as("n_b"),
+        sum((col("ca") * (lit(2L) * (col("cum_b") - col("cb")) + col("cb")))
+          .cast(Dec)).as("__u2"))
+      .select(col("n_a"), col("n_b"),
+        col("__u2").cast("long").as("u2"),
+        floorDiv(col("__u2") * lit(1000000L),
+          (col("n_a") * col("n_b")).cast(Dec) * lit(2L)).as("auc_ppm"))
+  }
+
+  /** Kolmogorov–Smirnov distance between the empirical CDFs of
+    * `groupA` and `groupB` over a caller-quantized integral
+    * `valueCol`. Returns ONE row:
+    *   - `n_a`, `n_b` — group sizes;
+    *   - `d_ppm` — floor(10⁶ · max_v |F_A(v) − F_B(v)|), the KS D
+    *     statistic (the max is over the merged support, where the
+    *     maximum of the step functions' gap is attained);
+    *   - `at_value` — the SMALLEST value attaining the max (ties on
+    *     the gap are broken toward the low value, deterministically).
+    * The gap is compared in exact integers (|cum_a·n_b − cum_b·n_a|,
+    * DECIMAL(38,0)); the one ppm division happens after the argmax. */
+  def ksTest(df: DataFrame, groupCol: String, groupA: String,
+      groupB: String, valueCol: String,
+      globalBuckets: Int = 32): DataFrame = {
+    val c = cumCountsByValue(df, groupCol, groupA, groupB, valueCol, globalBuckets)
+    val tot = c.agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"))
+    // |cum_a·n_b − cum_b·n_a| as decimal; argmax via ONE
+    // min(struct(-gap, v)) aggregate (max gap, then min value)
+    val dev = c.crossJoin(broadcast(tot))
+      .withColumn("__gap",
+        abs(col("cum_a").cast(Dec) * col("n_b") -
+          col("cum_b").cast(Dec) * col("n_a")))
+    dev.groupBy(col("n_a"), col("n_b"))
+      .agg(min(struct((-col("__gap")).as("ng"), col("__v").as("v"))).as("__am"))
+      .select(col("n_a"), col("n_b"),
+        floorDiv((-col("__am").getField("ng")) * lit(1000000L),
+          (col("n_a") * col("n_b")).cast(Dec)).as("d_ppm"),
+        col("__am").getField("v").as("at_value"))
+  }
+}

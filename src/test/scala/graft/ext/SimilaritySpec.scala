@@ -211,4 +211,24 @@ class SimilaritySpec extends SparkSpec {
     assert(rerankedRecall >= 0.7,
       s"rerank recall@10 too low: $rerankedRecall (plain ADC: $trained)")
   }
+
+  test("hardNegatives: top wrong-label neighbors only, nearest same-label excluded") {
+    // anchor 1 (label A) sits next to 2 (A, cosine ~1) and 3 (B,
+    // slightly farther); 4 (B) is orthogonal. Hard negatives for 1
+    // must be [3, 4] — never 2, however close.
+    val emb = Seq(
+      (1L, Seq(1.0, 0.0, 0.0), "A"),
+      (2L, Seq(0.999, 0.01, 0.0), "A"),
+      (3L, Seq(0.9, 0.1, 0.0), "B"),
+      (4L, Seq(0.0, 1.0, 0.0), "B"),
+      (5L, Seq(0.0, 0.0, 1.0), null.asInstanceOf[String]) // unlabeled drops
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.hardNegatives(
+      emb, "vec_id", "embedding", "label",
+      emb.filter($"vec_id" === 1L), "vec_id", "embedding", "label", k = 10)
+      .select("query_id", "nn_id", "rank").as[(Long, Long, Int)].collect()
+      .sortBy(_._3)
+    assert(out.map(_._2).toSeq == Seq(3L, 4L),
+      s"expected wrong-label neighbors [3, 4], got ${out.toSeq}")
+  }
 }

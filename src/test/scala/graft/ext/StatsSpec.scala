@@ -1,0 +1,126 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class StatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def twoGroups(a: Seq[Long], b: Seq[Long]) =
+    (a.map(("A", _)) ++ b.map(("B", _))).toDF("g", "v")
+
+  test("rankSumTest: identical distributions give AUC exactly 1/2") {
+    val vs = Seq(1L, 2L, 2L, 5L, 9L)
+    val out = Stats.rankSumTest(twoGroups(vs, vs), "g", "A", "B", "v")
+      .collect().head
+    assert(out.getAs[Long]("n_a") == 5L && out.getAs[Long]("n_b") == 5L)
+    // u2 = 2·U = 2·(n²/2) = n² when the samples tie pair-for-pair
+    assert(out.getAs[Long]("u2") == 25L)
+    assert(out.getAs[Long]("auc_ppm") == 500000L)
+  }
+
+  test("rankSumTest: strict separation gives AUC 1 (and 0 reversed)") {
+    val hi = Stats.rankSumTest(
+      twoGroups(Seq(10L, 11L, 12L), Seq(1L, 2L)), "g", "A", "B", "v")
+      .collect().head
+    assert(hi.getAs[Long]("u2") == 12L)       // 2·(3·2)
+    assert(hi.getAs[Long]("auc_ppm") == 1000000L)
+    val lo = Stats.rankSumTest(
+      twoGroups(Seq(1L, 2L), Seq(10L, 11L, 12L)), "g", "A", "B", "v")
+      .collect().head
+    assert(lo.getAs[Long]("u2") == 0L && lo.getAs[Long]("auc_ppm") == 0L)
+  }
+
+  test("rankSumTest: matches the brute-force pair count, ties half-credited") {
+    val a = Seq(3L, 7L, 7L, 1L, 9L, 4L)
+    val b = Seq(2L, 7L, 5L, 5L, 8L)
+    val u2Ref = (for (x <- a; y <- b) yield {
+      if (x > y) 2L else if (x == y) 1L else 0L
+    }).sum
+    val out = Stats.rankSumTest(twoGroups(a, b), "g", "A", "B", "v")
+      .collect().head
+    assert(out.getAs[Long]("u2") == u2Ref)
+    assert(out.getAs[Long]("auc_ppm") ==
+      u2Ref * 1000000L / (2L * a.size * b.size))
+  }
+
+  test("ksTest: identical distributions give D = 0; disjoint give D = 1") {
+    val same = Stats.ksTest(
+      twoGroups(Seq(1L, 5L, 9L), Seq(1L, 5L, 9L)), "g", "A", "B", "v")
+      .collect().head
+    assert(same.getAs[Long]("d_ppm") == 0L)
+    val disj = Stats.ksTest(
+      twoGroups(Seq(1L, 2L, 3L), Seq(10L, 11L)), "g", "A", "B", "v")
+      .collect().head
+    assert(disj.getAs[Long]("d_ppm") == 1000000L)
+    assert(disj.getAs[Long]("at_value") == 3L) // gap first maximal at A's top
+  }
+
+  test("ksTest: matches the serial max-CDF-gap reference, low-value ties") {
+    val a = Seq(1L, 2L, 2L, 6L, 9L, 9L)
+    val b = Seq(2L, 3L, 5L, 9L)
+    val support = (a ++ b).distinct.sorted
+    val gaps = support.map { v =>
+      val ga = a.count(_ <= v).toLong * b.size
+      val gb = b.count(_ <= v).toLong * a.size
+      v -> math.abs(ga - gb)
+    }
+    val maxGap = gaps.map(_._2).max
+    val atRef = gaps.filter(_._2 == maxGap).map(_._1).min
+    val out = Stats.ksTest(twoGroups(a, b), "g", "A", "B", "v").collect().head
+    assert(out.getAs[Long]("d_ppm") ==
+      maxGap * 1000000L / (a.size.toLong * b.size))
+    assert(out.getAs[Long]("at_value") == atRef)
+  }
+
+  test("lDiversity: all-same sensitive is diversity 1 and at risk; nulls disclose nothing") {
+    val df = Seq(
+      ("n1", "s1", Some("x")), ("n1", "s1", Some("x")), // big group, 1 value
+      ("n2", "s1", Some("x")), ("n2", "s1", Some("y")), // diverse
+      ("n3", "s1", None), ("n3", "s1", Some("z"))       // null doesn't add
+    ).toDF("nat", "seg", "sens")
+    val out = Audit.lDiversity(df, Seq("nat", "seg"), "sens", l = 2L)
+      .collect().map(r => r.getAs[Long]("diversity") ->
+        (r.getAs[Long]("n_groups"), r.getAs[Long]("n_rows"), r.getAs[Long]("at_risk")))
+      .toMap
+    assert(out(1L) == ((2L, 4L, 1L))) // n1 (one value) + n3 (null + z)
+    assert(out(2L) == ((1L, 2L, 0L)))
+  }
+
+  test("fingerprint: order/partitioning-invariant, any row change shifts it") {
+    val base = Seq((1L, "a"), (2L, "b"), (3L, null: String)).toDF("id", "s")
+    def fp(df: org.apache.spark.sql.DataFrame) =
+      Audit.fingerprint(df, Seq(col("id"), col("s")))
+        .collect().head.getAs[Long]("checksum")
+    val ref = fp(base)
+    assert(fp(base.orderBy(col("id").desc)) == ref)
+    assert(fp(base.repartition(7)) == ref)
+    assert(fp(Seq((1L, "a"), (2L, "b"), (3L, "")).toDF("id", "s")) != ref,
+      "NULL and empty string must fingerprint differently")
+    assert(fp(Seq((1L, "a"), (2L, "X"), (3L, null: String)).toDF("id", "s")) != ref)
+  }
+
+  test("weightedQuantileByKey: weight 1 degenerates to exactQuantileByKey") {
+    val rows = (1 to 57).map(i => ("k" + (i % 3), i.toLong, (i * 37 % 100).toDouble))
+    val df = rows.toDF("k", "id", "score").withColumn("one", lit(1L))
+    for (q <- Seq(250L, 500L, 900L)) {
+      val w = Sampling.weightedQuantileByKey(df, "k", "score", "one", "id", q)
+        .collect().map(r => r.getString(0) -> r.getAs[Double]("q_value")).toMap
+      val e = Sampling.exactQuantileByKey(df, "k", "score", "id", q)
+        .collect().map(r => r.getString(0) -> r.getAs[Double]("q_value")).toMap
+      assert(w == e, s"q=$q: weighted-with-1s $w != exact $e")
+    }
+  }
+
+  test("weightedQuantileByKey: heavy weight drags the median to its row") {
+    val df = Seq(
+      ("k", 1L, 1.0, 1L), ("k", 2L, 2.0, 1L),
+      ("k", 3L, 3.0, 100L), // 100 of 104 total weight lives at score 3
+      ("k", 4L, 4.0, 1L), ("k", 5L, 5.0, 1L)
+    ).toDF("k", "id", "score", "w")
+    val out = Sampling.weightedQuantileByKey(df, "k", "score", "w", "id", 500L)
+      .collect().head
+    assert(out.getAs[Long]("w_total") == 104L)
+    assert(out.getAs[Double]("q_value") == 3.0)
+  }
+}
