@@ -3038,6 +3038,26 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // CHI-SQUARE independence: does the event mix depend on weekday?
+    // Contingency cells + broadcast margins, per-cell exact floor-ppm
+    // deviations (ext.Stats — the one χ² form both engines replay
+    // bit for bit), dof from the level counts.
+    "q248_chi_square" -> ((s, d) =>
+      graft.ext.Stats.chiSquare(
+        T(s, d, "events").select(col("event_type"),
+          dayofweek(col("ts")).cast("long").as("dow")),
+        "event_type", "dow")),
+
+    // IMPACT-ORDERED inverted index (the artifact BM25 serving reads):
+    // per term, exact df/total_tf plus the top-8 highest-tf postings
+    // as a canonical doc:tf string — the posting cap is the bounded
+    // TopKByScore heap ON the term aggregate (O(k) state per term
+    // however hot the stopword), never a per-term window sort.
+    "q249_impact_index" -> ((s, d) =>
+      graft.ext.TextOps.impactIndex(
+        T(s, d, "documents"), "doc_id", "text", topPostings = 8)
+        .orderBy(col("term"))),
+
     // GROWTH ACCOUNTING (the new/retained/resurrected/churned ledger):
     // weekly user states from first-activity and prev-week flags —
     // two user-keyed passes, never a per-user scan of history.
@@ -6187,6 +6207,50 @@ object SparkEntry {
         |  FROM scored)
         |SELECT query_id, nn_id, cosine, rank FROM ranked WHERE rank <= 10
         |ORDER BY query_id, rank""".stripMargin,
+
+    // the same contingency arithmetic; DuckDB's Sunday-0 dayofweek
+    // shimmed +1 to Spark's Sunday-1 (the q225 rule)
+    "q248_chi_square" ->
+      """WITH e AS (
+        |  SELECT event_type AS a, CAST(dayofweek(ts) + 1 AS BIGINT) AS b
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+        |obs AS (SELECT a, b, count(*) AS o FROM e GROUP BY 1, 2),
+        |rt AS (SELECT a, sum(o) AS r FROM obs GROUP BY 1),
+        |ct AS (SELECT b, sum(o) AS c FROM obs GROUP BY 1),
+        |t AS (SELECT sum(o) AS n FROM obs),
+        |cells AS (
+        |  SELECT (coalesce(o.o, 0) * t.n - g.r * g.c) AS dd, g.r, g.c, t.n
+        |  FROM (SELECT rt.a, rt.r, ct.b, ct.c FROM rt CROSS JOIN ct) g
+        |  LEFT JOIN obs o ON o.a = g.a AND o.b = g.b CROSS JOIN t),
+        |s AS (SELECT sum((dd * dd * 1000000) // (r * c * n)) AS chi2_ppm,
+        |    max(n) AS n FROM cells),
+        |dims AS (SELECT count(DISTINCT a) AS a_levels,
+        |    count(DISTINCT b) AS b_levels FROM obs)
+        |SELECT CAST(s.n AS BIGINT) AS n,
+        |  CAST(dims.a_levels AS BIGINT) AS a_levels,
+        |  CAST(dims.b_levels AS BIGINT) AS b_levels,
+        |  CAST((dims.a_levels - 1) * (dims.b_levels - 1) AS BIGINT) AS dof,
+        |  CAST(s.chi2_ppm AS BIGINT) AS chi2_ppm
+        |FROM s CROSS JOIN dims""".stripMargin,
+
+    // serial impact-index reference: per-term window rank replays the
+    // heap's (tf DESC, doc ASC) order; postings string_agg'd in rank order
+    "q249_impact_index" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS tokens
+        |  FROM documents),
+        |tok AS (SELECT doc_id, unnest(tokens) AS t FROM tk),
+        |tf AS (SELECT t AS term, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |rk AS (SELECT term, doc_id, tf,
+        |    row_number() OVER (PARTITION BY term ORDER BY tf DESC, doc_id) AS rn
+        |  FROM tf),
+        |ag AS (SELECT term, CAST(count(*) AS BIGINT) AS df,
+        |    CAST(sum(tf) AS BIGINT) AS total_tf FROM tf GROUP BY 1),
+        |po AS (SELECT term,
+        |    string_agg(concat(CAST(doc_id AS VARCHAR), ':', CAST(tf AS VARCHAR)), ',' ORDER BY rn) AS postings
+        |  FROM rk WHERE rn <= 8 GROUP BY 1)
+        |SELECT ag.term, ag.df, ag.total_tf, po.postings
+        |FROM ag JOIN po USING (term) ORDER BY term""".stripMargin,
 
     // weekly states from first-week and prev-week flags; churned via
     // the shifted-week anti-join

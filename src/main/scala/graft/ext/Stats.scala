@@ -121,6 +121,50 @@ object Stats {
     *     the gap are broken toward the low value, deterministically).
     * The gap is compared in exact integers (|cum_a·n_b − cum_b·n_a|,
     * DECIMAL(38,0)); the one ppm division happens after the argmax. */
+  /** Chi-square test of INDEPENDENCE between two categorical columns
+    * ("does event mix depend on weekday?" — the contingency audit).
+    * Returns ONE row: `n`, `a_levels`, `b_levels`, `dof`
+    * (= (a−1)(b−1)), and `chi2_ppm` — the χ² statistic in parts per
+    * million, summed from per-cell floor(10⁶·(o·N − r·c)²/(r·c·N))
+    * (each cell floored independently: the one form both engines can
+    * replay EXACTLY; the total under-counts true χ² by < #cells ppm,
+    * noise at any realistic scale). All products ride DECIMAL(38,0);
+    * (o·N − r·c)² bounds exactness to N < ~3·10⁹ observations — past
+    * that, pre-aggregate or sample before testing (the statistic
+    * saturates long before that anyway). NULL categories drop.
+    *
+    * Scale shape: one (a, b) aggregate collapses the data to its
+    * contingency cells; margins and N are cell-level aggregates
+    * broadcast back onto the cells. */
+  def chiSquare(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val obs = df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol).as("__a"), col(bCol).as("__b"))
+      .agg(count(lit(1)).as("__o"))
+    val rt = obs.groupBy(col("__a")).agg(sum(col("__o")).as("__r"))
+    val ct = obs.groupBy(col("__b")).agg(sum(col("__o")).as("__c"))
+    val tot = obs.agg(sum(col("__o")).as("__n"))
+    // the FULL margin grid, not just observed cells: an unobserved
+    // (a, b) combination contributes r·c/N to χ² (its expected count,
+    // squared over itself) — dropping zero cells understates exactly
+    // the dependence signal. R·C is margin-sized, never data-sized.
+    val cells = rt.crossJoin(ct)
+      .join(obs, Seq("__a", "__b"), "left")
+      .withColumn("__o", coalesce(col("__o"), lit(0L)))
+      .crossJoin(broadcast(tot))
+    val d = (col("__o") * col("__n") - col("__r") * col("__c")).cast(Dec)
+    val cellPpm = floorDiv(d * d * lit(1000000L),
+      (col("__r") * col("__c")).cast(Dec) * col("__n"))
+    val chi = cells.agg(sum(cellPpm).as("chi2_ppm"),
+      max(col("__n")).as("n"))
+    val dims = obs.agg(
+      countDistinct(col("__a")).as("a_levels"),
+      countDistinct(col("__b")).as("b_levels"))
+    chi.crossJoin(broadcast(dims))
+      .select(col("n"), col("a_levels"), col("b_levels"),
+        ((col("a_levels") - 1L) * (col("b_levels") - 1L)).as("dof"),
+        col("chi2_ppm"))
+  }
+
   def ksTest(df: DataFrame, groupCol: String, groupA: String,
       groupB: String, valueCol: String,
       globalBuckets: Int = 32): DataFrame = {

@@ -925,6 +925,40 @@ object TextOps {
       .limit(topK)
   }
 
+  /** IMPACT-ORDERED inverted index — the retrieval-serving artifact
+    * [[bm25Rank]] implies but never materializes: one row per term
+    * with its document frequency, total term frequency, and the top
+    * `topPostings` highest-tf postings as a canonical
+    * `"doc:tf,doc:tf,…"` string (tf DESC, doc ASC — the impact-sorted
+    * index prefix WAND-style engines serve from: high-impact postings
+    * first, the tail never shipped). The posting cap is the bounded
+    * [[graft.functions.TopKByScore]] heap riding the term aggregate —
+    * per-term state is O(topPostings) however hot the term, so a
+    * stopword with a billion postings costs the same heap as a rare
+    * term; df/total_tf stay exact over ALL postings. One tokenize
+    * pass, one (term, doc) aggregate, one term aggregate. */
+  def impactIndex(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, topPostings: Int = 8): org.apache.spark.sql.DataFrame = {
+    require(topPostings > 0, s"topPostings must be positive, got $topPostings")
+    val tf = docs
+      .select(col(idCol).as("__doc"), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col("term"), col("__doc"))
+      .agg(count(lit(1)).as("__tf"))
+    // the heap orders by (score DESC, id ASC); tf as the score gives
+    // exactly the impact order, doc id breaking ties deterministically
+    tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"),
+        sum(col("__tf")).as("total_tf"),
+        graft.functions.TopKByScore.topK(
+          col("__tf").cast("double"), col("__doc").cast("long"),
+          topPostings).as("__top"))
+      .select(col("term"), col("df"), col("total_tf"),
+        array_join(transform(col("__top"), e =>
+          concat(e.getField("id").cast("string"), lit(":"),
+            e.getField("score").cast("long").cast("string"))), ",")
+          .as("postings"))
+  }
+
   // ------------------------------------------------- C4 line-level clean
   // Raffel et al. 2020 §2.2 ("C4"): line-level rules (keep only lines
   // ending in a terminal punctuation mark with enough words) plus

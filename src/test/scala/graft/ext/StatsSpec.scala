@@ -73,6 +73,38 @@ class StatsSpec extends SparkSpec {
     assert(out.getAs[Long]("at_value") == atRef)
   }
 
+  test("chiSquare: exact independence gives 0; perfect dependence gives N·(k−1)") {
+    // perfectly balanced 2×2: every cell = r·c/N exactly -> chi2 = 0
+    val indep = Seq(("a", "x"), ("a", "y"), ("b", "x"), ("b", "y"))
+      .flatMap(Seq.fill(5)(_)).toDF("u", "v")
+    val zero = Stats.chiSquare(indep, "u", "v").collect().head
+    assert(zero.getAs[Long]("chi2_ppm") == 0L)
+    assert(zero.getAs[Long]("n") == 20L && zero.getAs[Long]("dof") == 1L)
+    // perfect dependence (v determined by u): chi2 = N·(min(R,C)−1) =
+    // 24·10⁶ ppm, minus the per-cell floor losses (9 cells, ≤ 9 ppm)
+    val dep = Seq(("a", "x"), ("b", "y"), ("c", "z"))
+      .flatMap(Seq.fill(4)(_)).toDF("u", "v")
+    val full = Stats.chiSquare(dep, "u", "v").collect().head
+    assert(full.getAs[Long]("chi2_ppm") == 23999997L)
+    assert(full.getAs[Long]("dof") == 4L)
+  }
+
+  test("chiSquare: matches the serial per-cell floor-ppm reference over the FULL grid") {
+    val rows = (1 to 83).map(i => ("u" + (i % 3), "v" + (i * i % 4)))
+    val obs = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val rt = rows.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val ct = rows.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val n = rows.size.toLong
+    // keys.toSeq: a for-yield over Sets would DEDUPE equal cell values
+    val ref = (for (a <- rt.keys.toSeq; b <- ct.keys.toSeq) yield {
+      val o = obs.getOrElse((a, b), 0L) // zero cells contribute r·c/N
+      val d = BigInt(o * n - rt(a) * ct(b))
+      (d * d * 1000000 / (BigInt(rt(a)) * ct(b) * n)).toLong
+    }).sum
+    val out = Stats.chiSquare(rows.toDF("u", "v"), "u", "v").collect().head
+    assert(out.getAs[Long]("chi2_ppm") == ref)
+  }
+
   test("lDiversity: all-same sensitive is diversity 1 and at risk; nulls disclose nothing") {
     val df = Seq(
       ("n1", "s1", Some("x")), ("n1", "s1", Some("x")), // big group, 1 value

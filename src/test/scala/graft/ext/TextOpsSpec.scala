@@ -505,4 +505,30 @@ class TextOpsSpec extends SparkSpec {
     assert(out(1L) == ((6L, 2L, 6L, Some(-2620L))), s"doc1 ${out(1L)}")
     assert(out(2L)._1 == 0L && out(2L)._4.isEmpty, s"empty ${out(2L)}")
   }
+
+  test("impactIndex: exact df/total_tf, impact-ordered capped postings") {
+    val docs = Seq(
+      (1L, "spark spark spark duck"),
+      (2L, "spark duck duck"),
+      (3L, "spark goose")
+    ).toDF("doc_id", "text")
+    val out = TextOps.impactIndex(docs, "doc_id", "text", topPostings = 2)
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getAs[Long]("df"), r.getAs[Long]("total_tf"), r.getString(3))))
+      .toMap
+    // spark: df 3, tf 3+1+1; cap 2 keeps the two highest-tf postings
+    assert(out("spark") == ((3L, 5L, "1:3,2:1")))
+    // duck: doc2 tf 2 outranks doc1 tf 1
+    assert(out("duck") == ((2L, 3L, "2:2,1:1")))
+    assert(out("goose") == ((1L, 1L, "3:1")))
+  }
+
+  test("impactIndex: tf ties order by doc id ascending") {
+    val docs = Seq((9L, "a b"), (4L, "a"), (7L, "a")).toDF("doc_id", "text")
+    val out = TextOps.impactIndex(docs, "doc_id", "text", topPostings = 2)
+      .collect().map(r => r.getString(0) -> r.getString(3)).toMap
+    assert(out("a") == "4:1,7:1") // three tf-1 postings, lowest ids kept
+    assert(out("b") == "9:1")
+  }
 }
