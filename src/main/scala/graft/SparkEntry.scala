@@ -3058,6 +3058,27 @@ object SparkEntry {
         T(s, d, "documents"), "doc_id", "text", topPostings = 8)
         .orderBy(col("term"))),
 
+    // PERCENTILE normalization (the score-fusion primitive): every
+    // doc's exact global length rank → floor-ppm percentile, via the
+    // range-bucketed rank machinery — never one global window.
+    "q250_percentile_norm" -> ((s, d) =>
+      graft.ext.Sampling.percentileNormalize(
+        T(s, d, "documents").select(col("doc_id"), col("n_chars")),
+        "n_chars", "doc_id")
+        .orderBy(col("doc_id"))),
+
+    // ASYMMETRIC n-gram CONTAINMENT (quotation/subset-copy detection —
+    // what Jaccard structurally misses: a short doc fully embedded in
+    // a long one scores Jaccard ≈ 0 but containment ≈ 1). The q44
+    // plan — df-capped shingle sets, one persisted sized pass, an
+    // equi-keyed self-join — with both directed floor-ppm scores per
+    // unordered pair.
+    "q251_containment" -> ((s, d) =>
+      graft.ext.Dedup.containmentPairs(
+        T(s, d, "documents"), "doc_id", "text",
+        minPpm = 500000L, shingleN = 3, maxDf = 100)
+        .orderBy(col("a"), col("b"))),
+
     // GROWTH ACCOUNTING (the new/retained/resurrected/churned ledger):
     // weekly user states from first-activity and prev-week flags —
     // two user-keyed passes, never a per-user scan of history.
@@ -6251,6 +6272,42 @@ object SparkEntry {
         |  FROM rk WHERE rn <= 8 GROUP BY 1)
         |SELECT ag.term, ag.df, ag.total_tf, po.postings
         |FROM ag JOIN po USING (term) ORDER BY term""".stripMargin,
+
+    // serial rank reference under ascending (n_chars, doc_id)
+    "q250_percentile_norm" ->
+      """WITH r AS (
+        |  SELECT doc_id, n_chars,
+        |    CAST(row_number() OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS rank,
+        |    count(*) OVER () AS n
+        |  FROM documents WHERE n_chars IS NOT NULL)
+        |SELECT doc_id, n_chars, rank,
+        |  CAST(CASE WHEN n <= 1 THEN 0
+        |    ELSE ((rank - 1) * 1000000) // (n - 1) END AS BIGINT) AS pct_ppm
+        |FROM r ORDER BY doc_id""".stripMargin,
+
+    // the q44 CTEs with directed floor-ppm containments per pair
+    "q251_containment" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS tokens FROM documents),
+        |sh AS (
+        |  SELECT doc_id, CASE WHEN len(tokens) >= 3 THEN list_distinct(list_transform(range(1, len(tokens) - 1), i -> array_to_string(tokens[i:i+2], ' '))) ELSE [] END AS s FROM tk),
+        |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        |kept AS (
+        |  SELECT doc_id, g FROM (
+        |    SELECT doc_id, g, count(*) OVER (PARTITION BY g) AS df FROM ex)
+        |  WHERE df <= 100),
+        |sized AS (SELECT doc_id, g, count(*) OVER (PARTITION BY doc_id) AS n FROM kept),
+        |pairs AS (
+        |  SELECT ea.doc_id AS a, eb.doc_id AS b, ea.n AS na, eb.n AS nb, count(*) AS c
+        |  FROM sized ea JOIN sized eb ON ea.g = eb.g AND ea.doc_id < eb.doc_id
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT a, b, CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
+        |  CAST(c AS BIGINT) AS n_shared,
+        |  CAST((c * 1000000) // na AS BIGINT) AS cont_a_ppm,
+        |  CAST((c * 1000000) // nb AS BIGINT) AS cont_b_ppm
+        |FROM pairs
+        |WHERE (c * 1000000) // na >= 500000 OR (c * 1000000) // nb >= 500000
+        |ORDER BY a, b""".stripMargin,
 
     // weekly states from first-week and prev-week flags; churned via
     // the shifted-week anti-join

@@ -809,6 +809,48 @@ object Dedup {
       .select(col("a"), col("b"), col("jaccard"))
   }
 
+  /** ASYMMETRIC n-gram containment — the quotation/subset-copy
+    * detector Jaccard misses: a short doc fully embedded in a long one
+    * has containment(short→long) ≈ 1 while Jaccard ≈ |short|/|long| ≈ 0
+    * (so q44 never flags it; this is the "document quotes the
+    * benchmark" and "article embeds the press release" shape).
+    * Identical plan to [[ngramJaccardPairs]] — per-doc distinct-shingle
+    * sets, the df ≤ `maxDf` boilerplate cap BEFORE the equi-keyed
+    * self-join, one persisted sized pass feeding both sides — but the
+    * score is DIRECTED and reported both ways per unordered pair:
+    * `cont_a_ppm` = ⌊10⁶·|A∩B|/|A|⌋ (how much of A lives in B) and
+    * `cont_b_ppm` symmetric, integers both engines floor identically.
+    * Pairs keep rows where EITHER direction reaches `minPpm`. */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+      minPpm: Long = 500000L, shingleN: Int = 3,
+      maxDf: Int = Int.MaxValue): DataFrame = {
+    require(minPpm >= 0 && minPpm <= 1000000L,
+      s"minPpm must be in [0, 1e6], got $minPpm")
+    val sets = TextOps.shingleRows(docs.repartition(col(idCol)), idCol, textCol, shingleN)
+      .groupBy(col(idCol)).agg(collect_set(col("shingle")).as("__set"))
+      .select(col(idCol).as("__id"), explode(col("__set")).as("__sh"))
+    val dfCounts = sets.groupBy(col("__sh")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDf)
+    val kept = sets.join(dfCounts.select(col("__sh")), Seq("__sh"))
+    val sized = kept.groupBy(col("__id"))
+      .agg(collect_list(col("__sh")).as("__shs"), count(lit(1)).as("__n"))
+      .select(col("__id"), col("__n"), explode(col("__shs")).as("__sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val common = sized.select(col("__id").as("a"), col("__n").as("na"), col("__sh"))
+      .join(sized.select(col("__id").as("b"), col("__n").as("nb"), col("__sh")), Seq("__sh"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("__common"))
+    common
+      .withColumn("cont_a_ppm",
+        expr("(__common * 1000000L) div na"))
+      .withColumn("cont_b_ppm",
+        expr("(__common * 1000000L) div nb"))
+      .filter(col("cont_a_ppm") >= minPpm || col("cont_b_ppm") >= minPpm)
+      .select(col("a"), col("b"), col("na"), col("nb"),
+        col("__common").as("n_shared"), col("cont_a_ppm"), col("cont_b_ppm"))
+  }
+
   /** Winnowing near-dups: pairs of docs sharing ≥ `minShared` winnowing
     * fingerprints (local-similarity detection — catches plagiarism-style
     * shared passages that whole-doc hashing misses). Equi-join on the

@@ -499,6 +499,47 @@ object Sampling {
       .select(col(keyCol), col("__wt").as("w_total"), col("__q").as("q_value"))
   }
 
+  /** Rank-to-uniform PERCENTILE normalization — the score-fusion
+    * primitive: classifiers and perplexity filters emit incomparable
+    * scales, but their PERCENTILES combine directly (rank averaging,
+    * the q189 RRF cousin at row level). Every row gets its exact
+    * global rank under ascending (score, id) — the [[packSequences]]
+    * range-bucket machinery, per-bucket `row_number`s + broadcast
+    * bucket offsets, never one global window — and
+    * `pct_ppm` = ⌊10⁶·(rank−1)/(n−1)⌋ ∈ [0, 10⁶] (n = 1 → 0), an
+    * integer both engines floor identically. NULL scores drop.
+    * Returns (idCol, scoreCol, rank, pct_ppm). */
+  def percentileNormalize(df: DataFrame, scoreCol: String, idCol: String,
+      globalBuckets: Int = 32): DataFrame = {
+    val clean = df.filter(col(scoreCol).isNotNull)
+      .withColumn("__q", col(scoreCol).cast("double"))
+    val probes = (1 until globalBuckets).map(_.toDouble / globalBuckets).toArray
+    val bounds =
+      if (probes.isEmpty) Array.empty[Double]
+      else Option(clean.stat.approxQuantile("__q", probes, 0.001))
+        .getOrElse(Array.empty[Double]).filterNot(_.isNaN).distinct.sorted
+    val bucket = bounds.foldLeft(lit(0)) { (acc, b) =>
+      acc + when(col("__q") > lit(b), 1).otherwise(0)
+    }
+    val withB = clean.withColumn("__bkt", bucket)
+    val wIn = Window.partitionBy(col("__bkt"))
+      .orderBy(col("__q"), col(idCol))
+    val rn = withB.withColumn("__rn", row_number().over(wIn).cast("long"))
+    val tot = withB.groupBy(col("__bkt")).agg(count(lit(1)).as("__tot"))
+    val offsets = tot.as("a")
+      .join(broadcast(tot.as("b")), col("b.__bkt") < col("a.__bkt"), "left")
+      .groupBy(col("a.__bkt").as("__bkt"))
+      .agg(coalesce(sum(col("b.__tot")), lit(0L)).as("__off"))
+    val n = withB.agg(count(lit(1)).as("__n"))
+    rn.join(broadcast(offsets), Seq("__bkt"))
+      .crossJoin(broadcast(n))
+      .withColumn("rank", col("__off") + col("__rn"))
+      .withColumn("pct_ppm",
+        when(col("__n") <= 1L, 0L)
+          .otherwise(expr("((rank - 1) * 1000000L) div (__n - 1)")))
+      .select(col(idCol), col(scoreCol), col("rank"), col("pct_ppm"))
+  }
+
   def ntileByKey(df: DataFrame, keyCol: String, scoreCol: String,
       idCol: String, tiles: Int, globalBuckets: Int = 32): DataFrame = {
     require(tiles > 0, s"tiles must be positive, got $tiles")

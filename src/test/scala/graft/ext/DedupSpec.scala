@@ -719,4 +719,21 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(2), r.getLong(4))).head
     assert(tie == ((21L, 1L)), s"tie must break to the smaller right id: $tie")
   }
+
+  test("containmentPairs: a quote embedded in a long doc scores ~1 one way, low the other") {
+    val quote = "the five boxing wizards jump quickly tonight"
+    val long = s"a completely different preamble sentence first then $quote and " +
+      "afterwards much more unrelated material follows here with many words " +
+      "covering other topics entirely for a while longer still"
+    val docs = Seq((1L, quote), (2L, long), (3L, "nothing in common at all here"))
+      .toDF("doc_id", "text")
+    val out = Dedup.containmentPairs(docs, "doc_id", "text", minPpm = 800000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[Long]("cont_a_ppm"), r.getAs[Long]("cont_b_ppm")))
+    assert(out.length == 1 && out.head._1 == 1L && out.head._2 == 2L, s"$out")
+    // every shingle of the quote appears in the long doc; the reverse
+    // containment is the small shared fraction Jaccard would report
+    assert(out.head._3 == 1000000L, s"quote fully contained: $out")
+    assert(out.head._4 < 500000L, s"reverse containment stays low: $out")
+  }
 }

@@ -266,4 +266,23 @@ class SamplingSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(withWhale.contains(5000L))
   }
+
+  test("percentileNormalize: exact serial ranks, endpoints 0 and 1e6, null drop") {
+    import org.apache.spark.sql.functions.col
+    val rows = (1 to 77).map(i => (i.toLong, ((i * 31) % 19).toDouble))
+    val df = rows.toDF("id", "score")
+      .union(Seq((999L, null.asInstanceOf[java.lang.Double]))
+        .toDF("id", "score"))
+    val out = Sampling.percentileNormalize(df, "score", "id")
+      .collect().map(r => r.getLong(0) -> ((r.getAs[Long]("rank"), r.getAs[Long]("pct_ppm"))))
+      .toMap
+    assert(!out.contains(999L))
+    val serial = rows.sortBy(t => (t._2, t._1)).zipWithIndex
+      .map { case ((id, _), i) => id -> (i + 1).toLong }.toMap
+    assert(rows.forall { case (id, _) => out(id)._1 == serial(id) })
+    val n = rows.size.toLong
+    assert(rows.forall { case (id, _) =>
+      out(id)._2 == (serial(id) - 1) * 1000000L / (n - 1) })
+    assert(out.values.map(_._2).min == 0L && out.values.map(_._2).max == 1000000L)
+  }
 }
