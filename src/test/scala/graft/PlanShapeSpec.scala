@@ -460,4 +460,28 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       "the block key must carry the join: " + p)
   }
+
+  test("two-sample tests: every window rides a bucket partition, margins broadcast") {
+    for (q <- Seq("q241_rank_sum", "q242_ks_test", "q250_percentile_norm")) {
+      val p = planOf(q)
+      // the cumulative pass must be the range-bucketed two-phase form:
+      // its window partitions on the bucket column, never unpartitioned
+      assert(p.contains("__bkt"), s"$q must range-bucket its prefix sum: $p")
+      assert(!p.contains("CartesianProduct"), s"$q: $p")
+    }
+  }
+
+  test("impact index: posting cap is the heap aggregate, never a per-term window") {
+    val p = planOf("q249_impact_index")
+    assert(p.contains("ObjectHashAggregate"), "TopKByScore heap expected: " + p)
+    assert(!p.contains("Window"), "no per-term rank window: " + p)
+  }
+
+  test("media dHash: banded self-join stays equi-keyed on the persisted signatures") {
+    val p = planOf("q246_media_dhash")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "band hash must carry the join: " + p)
+    assert(p.contains("InMemoryTableScan"),
+      "signature frame must persist across both self-join sides: " + p)
+  }
 }
