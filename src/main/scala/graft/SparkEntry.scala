@@ -186,6 +186,64 @@ object SparkEntry {
       |WHERE bit_count(xor(sa, sb)) <= 3 ORDER BY a, b""".stripMargin
   }
 
+  /** DuckDB replay of the MMR greedy rerank, UNROLLED: the k sequential
+    * argmax steps become k CTE stages (picks₁ ⊂ picks₂ ⊂ …), each
+    * computing `λ·rel − (1−λ)·max-sim-to-picked` with the exact q49
+    * cosine arithmetic. λ constants are the PLAIN literals 0.7/0.3 —
+    * DuckDB folds decimal literals exactly, and the engine side derives
+    * the same doubles via 700/1000.0 and 300/1000.0 (writing
+    * `1.0 - 0.7` ANYWHERE gives 0.30000000000000004, one ulp off the
+    * 0.3 literal, and the bit-exact compare catches it). */
+  private val MmrOracleSql: String = {
+    val k = 5
+    val lam = "0.7"; val oneMinus = "0.3"
+    def cos(a: String, b: String) =
+      s"list_sum(list_transform(range(1, 65), i -> ($a.e[i] / $a.nrm) * ($b.e[i] / $b.nrm)))"
+    val steps = (2 to k).map { n =>
+      // div via join + max aggregate (DuckDB cannot correlate an outer
+      // column into a lambda inside a scalar subquery), then rel/e/nrm
+      // re-joined from cand for the argmax stage
+      s"""d$n AS (
+      |  SELECT c.query_id, c.nn_id, max(${cos("c", "p")}) AS div
+      |  FROM cand c JOIN picks${n - 1} p ON p.query_id = c.query_id
+      |  WHERE NOT EXISTS (SELECT 1 FROM picks${n - 1} x WHERE x.query_id = c.query_id AND x.nn_id = c.nn_id)
+      |  GROUP BY c.query_id, c.nn_id),
+      |e$n AS (
+      |  SELECT d.query_id, d.nn_id, c.rel, c.e, c.nrm, d.div
+      |  FROM d$n d JOIN cand c ON c.query_id = d.query_id AND c.nn_id = d.nn_id),
+      |s$n AS (
+      |  SELECT query_id, nn_id, e, nrm, ($lam * rel - $oneMinus * div) AS mmr FROM (
+      |    SELECT t.*, row_number() OVER (PARTITION BY query_id ORDER BY ($lam * rel - $oneMinus * div) DESC, nn_id) AS rn
+      |    FROM e$n t) WHERE rn = 1),
+      |picks$n AS (SELECT * FROM picks${n - 1} UNION ALL SELECT query_id, nn_id, e, nrm FROM s$n)"""
+        .stripMargin
+    }.mkString(",\n")
+    val unions = (1 to k).map(n =>
+      s"SELECT query_id, CAST($n AS BIGINT) AS rank, nn_id, mmr FROM s$n")
+      .mkString("\nUNION ALL ")
+    s"""WITH v AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+      |n AS (SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v),
+      |q AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn FROM n WHERE vec_id < 5),
+      |scored AS (
+      |  SELECT q.query_id, n.vec_id AS nn_id,
+      |    list_sum(list_transform(range(1, 65), i -> (n.e[i] / n.nrm) * (q.qe[i] / q.qn))) AS rel,
+      |    n.e, n.nrm
+      |  FROM q CROSS JOIN n),
+      |cand AS (
+      |  SELECT query_id, nn_id, rel, e, nrm FROM (
+      |    SELECT s.*, row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, nn_id) AS rk
+      |    FROM scored s) WHERE rk <= 20),
+      |s1 AS (
+      |  SELECT query_id, nn_id, e, nrm, ($lam * rel - $oneMinus * 0.0) AS mmr FROM (
+      |    SELECT c.*, row_number() OVER (PARTITION BY query_id ORDER BY ($lam * rel - $oneMinus * 0.0) DESC, nn_id) AS rn
+      |    FROM cand c) WHERE rn = 1),
+      |picks1 AS (SELECT query_id, nn_id, e, nrm FROM s1),
+      |$steps
+      |$unions
+      |ORDER BY query_id, rank""".stripMargin
+  }
+
   private val SimhashOracleSql: String = {
     val bits = 60; val bandBits = 15
     val votes = (0 until bits).map(i =>
@@ -3078,6 +3136,21 @@ object SparkEntry {
         T(s, d, "documents"), "doc_id", "text",
         minPpm = 500000L, shingleN = 3, maxDf = 100)
         .orderBy(col("a"), col("b"))),
+
+    // MMR DIVERSIFIED rerank (Carbonell & Goldstein 1998): greedy
+    // λ·rel − (1−λ)·max-sim-to-picked over the distributed top-20
+    // shortlist — the diversity pass that keeps a top-k from
+    // collapsing onto near-duplicates of one hit. The corpus scoring
+    // is the q49 distributed pass; the k-step greedy runs on the
+    // bounded collected shortlist (inherently sequential in k), and
+    // the oracle unrolls the same five argmax stages bit for bit.
+    "q252_mmr_rerank" -> ((s, d) => {
+      val emb = T(s, d, "embeddings")
+      graft.ext.Similarity.mmrRerank(emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+        k = 5, shortlist = 20, lambdaMilli = 700)
+        .orderBy(col("query_id"), col("rank"))
+    }),
 
     // GROWTH ACCOUNTING (the new/retained/resurrected/churned ledger):
     // weekly user states from first-activity and prev-week flags —
@@ -6308,6 +6381,8 @@ object SparkEntry {
         |FROM pairs
         |WHERE (c * 1000000) // na >= 500000 OR (c * 1000000) // nb >= 500000
         |ORDER BY a, b""".stripMargin,
+
+    "q252_mmr_rerank" -> MmrOracleSql,
 
     // weekly states from first-week and prev-week flags; churned via
     // the shifted-week anti-join

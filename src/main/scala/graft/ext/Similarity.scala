@@ -170,6 +170,76 @@ object Similarity {
     topKPerQuery(scored, col("nn_id"), col("cosine"), "cosine", k)
   }
 
+  /** MMR (maximal marginal relevance, Carbonell & Goldstein 1998)
+    * diversified rerank — the shortlist post-processor that keeps a
+    * top-k from collapsing onto near-duplicates of one result: greedily
+    * pick argmax over remaining candidates of
+    * `λ·rel(c) − (1−λ)·max_{p∈picked} cos(c, p)`, ties to the lowest
+    * id. Production shape: the EXPENSIVE part (scoring the corpus) is
+    * the distributed [[bruteForceTopK]] pass (swap in IVF/PQ at scale);
+    * the greedy loop runs driver-side over the collected shortlist —
+    * bounded by construction (queries × `shortlist` rows, the same
+    * API-boundary materializer rule as the centroid pulls), and
+    * inherently sequential in k (each pick changes the next argmax).
+    * All arithmetic is IEEE double in fixed evaluation order (the q49
+    * cosine recipe), so a DuckDB oracle unrolls the same greedy steps
+    * bit for bit. Output: (query_id, rank 1..k, nn_id, mmr). */
+  def mmrRerank(corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      k: Int = 5, shortlist: Int = 20, lambdaMilli: Int = 700): DataFrame = {
+    require(k >= 1 && k <= shortlist,
+      s"need 1 <= k <= shortlist, got k=$k shortlist=$shortlist")
+    require(lambdaMilli >= 0 && lambdaMilli <= 1000,
+      s"lambdaMilli $lambdaMilli outside [0, 1000]")
+    // λ and (1−λ) each derive from ONE integer division — `1.0 - λ` in
+    // doubles is 0.30000000000000004 at λ=0.7 while every SQL engine's
+    // decimal literal 0.3 is 0.29999999999999999, and the bit-exact
+    // oracle compare catches that ulp
+    val lambda = lambdaMilli / 1000.0
+    val oneMinusLambda = (1000 - lambdaMilli) / 1000.0
+    val top = bruteForceTopK(corpus, idCol, vecCol,
+      queries, qIdCol, qVecCol, shortlist)
+    val cn = corpus.repartition(col(idCol)).select(col(idCol).as("nn_id"),
+      l2Normalize(col(vecCol).cast("array<double>")).as("__cv"))
+    val cand = top.join(cn, "nn_id")
+      .select(col("query_id").cast("long"), col("nn_id").cast("long"),
+        col("cosine"), col("__cv"))
+      .collect() // bounded: |queries| × shortlist rows, vectors included
+    val out = cand.groupBy(_.getLong(0)).toSeq.sortBy(_._1).flatMap {
+      case (qid, rows) =>
+        // ascending id + strict > in the scan ⇒ ties pick the lowest id,
+        // matching the oracle's ORDER BY mmr DESC, nn_id
+        val cs = rows.map(r => (r.getLong(1), r.getDouble(2),
+          r.getSeq[Double](3).toArray)).sortBy(_._1)
+        val picked = scala.collection.mutable.ArrayBuffer.empty[Long]
+        val pickedVecs = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+        (1 to math.min(k, cs.length)).map { step =>
+          var bestId = -1L
+          var bestMmr = Double.NegativeInfinity
+          var bestVec: Array[Double] = null
+          for ((id, rel, vec) <- cs if !picked.contains(id)) {
+            // div = max pairwise sim to the picked set — NOT clamped at
+            // 0 (all-negative sims must stay negative, as the oracle's
+            // plain max() computes); empty picked set ⇒ 0 (step 1)
+            var div = Double.NegativeInfinity
+            for (pv <- pickedVecs) {
+              var s = 0.0; var i = 0
+              while (i < vec.length) { s += vec(i) * pv(i); i += 1 }
+              div = math.max(div, s)
+            }
+            if (pickedVecs.isEmpty) div = 0.0
+            val mmr = lambda * rel - oneMinusLambda * div
+            if (mmr > bestMmr) { bestMmr = mmr; bestId = id; bestVec = vec }
+          }
+          picked += bestId; pickedVecs += bestVec
+          (qid, step.toLong, bestId, bestMmr)
+        }
+    }
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    out.toDF("query_id", "rank", "nn_id", "mmr")
+  }
+
   /** IVF index: corpus rows assigned to their nearest centroid.
     * `backing` is the persisted normalized corpus the index plans read
     * from — call [[IvfIndex.unpersist]] when the index is retired. */

@@ -231,4 +231,25 @@ class SimilaritySpec extends SparkSpec {
     assert(out.map(_._2).toSeq == Seq(3L, 4L),
       s"expected wrong-label neighbors [3, 4], got ${out.toSeq}")
   }
+
+  test("mmrRerank: a near-duplicate of the first pick loses to a diverse result") {
+    // unit vectors at angles −10°, −12°, +25° from the query: 1 and 2
+    // are near-duplicates (2° apart, both highly relevant), 3 diverse.
+    // Plain top-3 is [1, 2, 3] by relevance; at λ=0.5 MMR demotes the
+    // duplicate (Δrel 0.007 < Δdiv 0.18): [1, 3, 2].
+    val emb = Seq(
+      (1L, Seq(0.9848, -0.1736, 0.0)),
+      (2L, Seq(0.9781, -0.2079, 0.0)),
+      (3L, Seq(0.9063, 0.4226, 0.0))
+    ).toDF("vec_id", "embedding")
+    val q = Seq((100L, Seq(1.0, 0.0, 0.0))).toDF("vec_id", "embedding")
+    val mmr = Similarity.mmrRerank(emb, "vec_id", "embedding",
+      q, "vec_id", "embedding", k = 3, shortlist = 3, lambdaMilli = 500)
+      .orderBy($"rank").select("nn_id").as[Long].collect().toSeq
+    assert(mmr == Seq(1L, 3L, 2L), s"diversity must reorder: $mmr")
+    val plain = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      q, "vec_id", "embedding", k = 3)
+      .orderBy($"rank").select("nn_id").as[Long].collect().toSeq
+    assert(plain == Seq(1L, 2L, 3L), s"relevance-only control: $plain")
+  }
 }
