@@ -3152,6 +3152,18 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // SPEARMAN rank correlation (monotone association — what Pearson
+    // q180 misses under nonlinearity/outliers): Pearson over doubled
+    // midranks, each column ranked via a distinct-value aggregate +
+    // the range-bucketed prefix sum, sufficient statistics in
+    // DECIMAL(38,0) with one double conversion (the q180 recipe).
+    "q253_spearman" -> ((s, d) =>
+      graft.ext.Stats.spearman(
+        T(s, d, "lineitem").select(
+          round(col("l_quantity")).cast("long").as("qty"),
+          round(col("l_extendedprice") * 100).cast("long").as("cents")),
+        "qty", "cents")),
+
     // GROWTH ACCOUNTING (the new/retained/resurrected/churned ledger):
     // weekly user states from first-activity and prev-week flags —
     // two user-keyed passes, never a per-user scan of history.
@@ -6383,6 +6395,31 @@ object SparkEntry {
         |ORDER BY a, b""".stripMargin,
 
     "q252_mmr_rerank" -> MmrOracleSql,
+
+    // doubled midranks from value-aggregate cumulative counts; the
+    // q180 double recipe term for term
+    "q253_spearman" ->
+      """WITH c AS (
+        |  SELECT CAST(round(l_quantity) AS BIGINT) AS x,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+        |  FROM lineitem WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+        |rx AS (SELECT x AS v, count(*) AS cnt FROM c GROUP BY 1),
+        |rxc AS (SELECT v, 2 * (sum(cnt) OVER (ORDER BY v) - cnt) + cnt + 1 AS r2 FROM rx),
+        |ry AS (SELECT y AS v, count(*) AS cnt FROM c GROUP BY 1),
+        |ryc AS (SELECT v, 2 * (sum(cnt) OVER (ORDER BY v) - cnt) + cnt + 1 AS r2 FROM ry),
+        |j AS (SELECT CAST(rxc.r2 AS HUGEINT) AS a, CAST(ryc.r2 AS HUGEINT) AS b
+        |  FROM c JOIN rxc ON c.x = rxc.v JOIN ryc ON c.y = ryc.v),
+        |t AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(a) AS DOUBLE) AS sa, CAST(sum(b) AS DOUBLE) AS sb,
+        |    CAST(sum(a * b) AS DOUBLE) AS pab,
+        |    CAST(sum(a * a) AS DOUBLE) AS paa,
+        |    CAST(sum(b * b) AS DOUBLE) AS pbb
+        |  FROM j)
+        |SELECT CAST(n AS BIGINT) AS n,
+        |  CASE WHEN sqrt(n * paa - sa * sa) * sqrt(n * pbb - sb * sb) = 0 THEN NULL
+        |    ELSE (n * pab - sa * sb) /
+        |      (sqrt(n * paa - sa * sa) * sqrt(n * pbb - sb * sb)) END AS spearman
+        |FROM t""".stripMargin,
 
     // weekly states from first-week and prev-week flags; churned via
     // the shifted-week anti-join

@@ -165,6 +165,68 @@ object Stats {
         col("chi2_ppm"))
   }
 
+  /** SPEARMAN rank correlation between two integral columns — the
+    * monotone-association readout Pearson (q180) misses when the
+    * relationship is nonlinear or outlier-skewed: Pearson over
+    * MIDRANKS (the tie-correct definition). Ranks are exact integers
+    * carried DOUBLED (2·midrank = 2·#below + #equal + 1, so ties never
+    * leave the integers); the doubling cancels in r. Each column ranks
+    * through one distinct-value aggregate + ordered prefix (value
+    * domain-sized, a window over the AGGREGATE, not the data) joined
+    * back on the value; sufficient statistics follow the
+    * [[Audit.exactCorrelation]] recipe — DECIMAL(38,0) sums (rank
+    * products reach 4n² ≈ 10²⁵ past int64), ONE double conversion,
+    * fixed operation order, so DuckDB replays the double bit for bit.
+    * NULLs drop listwise. Returns (n, spearman). */
+  def spearman(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val clean = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(xCol).cast("long").as("__x"), col(yCol).cast("long").as("__y"))
+    def ranks2(c: String): DataFrame = {
+      // distinct-value aggregate + the range-bucketed two-phase prefix
+      // sum (the cumCountsByValue shape) — a large value domain never
+      // becomes one window partition; 2·midrank = 2·(cum − cnt) + cnt + 1
+      val agg = clean.groupBy(col(c).as("__v")).agg(count(lit(1)).as("__cnt"))
+      val probes = (1 until 32).map(_.toDouble / 32).toArray
+      val bounds = Option(agg.withColumn("__q", col("__v").cast("double"))
+          .stat.approxQuantile("__q", probes, 0.001))
+        .getOrElse(Array.empty[Double]).filterNot(_.isNaN).distinct.sorted
+      val bucket = bounds.foldLeft(lit(0)) { (acc, b) =>
+        acc + when(col("__v").cast("double") > lit(b), 1).otherwise(0)
+      }
+      val withB = agg.withColumn("__bkt", bucket)
+      val w = Window.partitionBy(col("__bkt")).orderBy(col("__v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = withB.withColumn("__cumIn", sum(col("__cnt")).over(w))
+      val tot = withB.groupBy(col("__bkt")).agg(sum(col("__cnt")).as("__tot"))
+      val offsets = tot.as("a")
+        .join(broadcast(tot.as("b")), col("b.__bkt") < col("a.__bkt"), "left")
+        .groupBy(col("a.__bkt").as("__bkt"))
+        .agg(coalesce(sum(col("b.__tot")), lit(0L)).as("__off"))
+      cum.join(broadcast(offsets), Seq("__bkt"))
+        .select(col("__v"),
+          (lit(2L) * (col("__off") + col("__cumIn") - col("__cnt")) +
+            col("__cnt") + 1L).as("__r2"))
+    }
+    val joined = clean
+      .join(ranks2("__x").withColumnRenamed("__v", "__x")
+        .withColumnRenamed("__r2", "__a"), Seq("__x"))
+      .join(ranks2("__y").withColumnRenamed("__v", "__y")
+        .withColumnRenamed("__r2", "__b"), Seq("__y"))
+    val t = joined.agg(
+      count(lit(1)).cast("double").as("__n"),
+      sum(col("__a").cast(Dec)).cast("double").as("__sa"),
+      sum(col("__b").cast(Dec)).cast("double").as("__sb"),
+      sum((col("__a").cast(Dec) * col("__b")).cast(Dec)).cast("double").as("__pab"),
+      sum((col("__a").cast(Dec) * col("__a")).cast(Dec)).cast("double").as("__paa"),
+      sum((col("__b").cast(Dec) * col("__b")).cast(Dec)).cast("double").as("__pbb"))
+    val num = col("__n") * col("__pab") - col("__sa") * col("__sb")
+    val da = sqrt(col("__n") * col("__paa") - col("__sa") * col("__sa"))
+    val db = sqrt(col("__n") * col("__pbb") - col("__sb") * col("__sb"))
+    t.select(col("__n").cast("long").as("n"),
+      when(da * db === 0, lit(null).cast("double"))
+        .otherwise(num / (da * db)).as("spearman"))
+  }
+
   def ksTest(df: DataFrame, groupCol: String, groupA: String,
       groupB: String, valueCol: String,
       globalBuckets: Int = 32): DataFrame = {

@@ -105,6 +105,33 @@ class StatsSpec extends SparkSpec {
     assert(out.getAs[Long]("chi2_ppm") == ref)
   }
 
+  test("spearman: monotone nonlinear -> 1, reversed -> -1, ties match the midrank reference") {
+    val mono = (1 to 40).map(i => (i.toLong, i.toLong * i * i)) // nonlinear but monotone
+    val up = Stats.spearman(mono.toDF("x", "y"), "x", "y").collect().head
+    assert(up.getAs[Long]("n") == 40L &&
+      math.abs(up.getAs[Double]("spearman") - 1.0) < 1e-12)
+    val down = Stats.spearman(
+      mono.map { case (x, y) => (x, -y) }.toDF("x", "y"), "x", "y")
+      .collect().head
+    assert(math.abs(down.getAs[Double]("spearman") + 1.0) < 1e-12)
+    // tie handling: midrank Pearson reference computed serially
+    val xs = Seq(1L, 2L, 2L, 3L, 4L, 4L, 4L, 7L)
+    val ys = Seq(3L, 1L, 4L, 4L, 9L, 2L, 9L, 8L)
+    def ranks(v: Seq[Long]): Seq[Double] =
+      v.map(x => v.count(_ < x) + (v.count(_ == x) + 1) / 2.0)
+    val (ra, rb) = (ranks(xs), ranks(ys))
+    val n = xs.size.toDouble
+    val (sa, sb) = (ra.sum, rb.sum)
+    val pab = ra.zip(rb).map { case (a, b) => a * b }.sum
+    val paa = ra.map(a => a * a).sum
+    val pbb = rb.map(b => b * b).sum
+    val ref = (n * pab - sa * sb) /
+      (math.sqrt(n * paa - sa * sa) * math.sqrt(n * pbb - sb * sb))
+    val out = Stats.spearman(xs.zip(ys).toDF("x", "y"), "x", "y")
+      .collect().head.getAs[Double]("spearman")
+    assert(math.abs(out - ref) < 1e-12, s"got $out, reference $ref")
+  }
+
   test("lDiversity: all-same sensitive is diversity 1 and at risk; nulls disclose nothing") {
     val df = Seq(
       ("n1", "s1", Some("x")), ("n1", "s1", Some("x")), // big group, 1 value
