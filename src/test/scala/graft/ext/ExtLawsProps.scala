@@ -720,4 +720,48 @@ object ExtLawsProps extends Properties("graft.ext") {
         out.forall { case (sz, ng, nr, risk) =>
           nr == sz * ng && risk == (if (sz < k) 1L else 0L) }
     }
+
+  private val genTwoSamples: Gen[(List[Long], List[Long])] = for {
+    a <- Gen.nonEmptyListOf(Gen.chooseNum(0L, 20L)).map(_.take(40))
+    b <- Gen.nonEmptyListOf(Gen.chooseNum(0L, 20L)).map(_.take(40))
+  } yield (a, b)
+
+  // Mann–Whitney antisymmetry: every A–B pair awards 2 points total
+  // (2 to the winner, 1 each on a tie), so u2(A,B) + u2(B,A) = 2·nA·nB.
+  property("rankSumTest: u2(A,B) + u2(B,A) == 2·nA·nB; AUCs complement") =
+    Prop.forAll(genTwoSamples) { case (a, b) =>
+      val df = (a.map(("A", _)) ++ b.map(("B", _))).toDF("g", "v")
+      val ab = Stats.rankSumTest(df, "g", "A", "B", "v").collect().head
+      val ba = Stats.rankSumTest(df, "g", "B", "A", "v").collect().head
+      val n2 = 2L * a.size * b.size
+      ab.getAs[Long]("u2") + ba.getAs[Long]("u2") == n2 &&
+        // floor(x) + floor(1e6 − x) ∈ {1e6 − 1, 1e6}
+        (ab.getAs[Long]("auc_ppm") + ba.getAs[Long]("auc_ppm") - 1000000L).abs <= 1L
+    }
+
+  // KS is symmetric in the two samples: |F_A − F_B| = |F_B − F_A|.
+  property("ksTest: D and its argmax are direction-symmetric") =
+    Prop.forAll(genTwoSamples) { case (a, b) =>
+      val df = (a.map(("A", _)) ++ b.map(("B", _))).toDF("g", "v")
+      val ab = Stats.ksTest(df, "g", "A", "B", "v").collect().head
+      val ba = Stats.ksTest(df, "g", "B", "A", "v").collect().head
+      ab.getAs[Long]("d_ppm") == ba.getAs[Long]("d_ppm") &&
+        ab.getAs[Long]("at_value") == ba.getAs[Long]("at_value")
+    }
+
+  // Spearman: symmetric in its arguments, and 1 on any self-pairing
+  // with at least two distinct values (zero-variance reads NULL).
+  property("spearman: symmetric; self-correlation is 1") =
+    Prop.forAll(Gen.listOfN(20, Gen.zip(Gen.chooseNum(0L, 9L), Gen.chooseNum(0L, 9L)))) { xs =>
+      val df = xs.toDF("x", "y")
+      val xy = Stats.spearman(df, "x", "y").collect().head.getAs[java.lang.Double]("spearman")
+      val yx = Stats.spearman(df, "y", "x").collect().head.getAs[java.lang.Double]("spearman")
+      val self = Stats.spearman(df, "x", "x").collect().head.getAs[java.lang.Double]("spearman")
+      val symmetric = (xy == null && yx == null) ||
+        (xy != null && yx != null && math.abs(xy - yx) < 1e-12)
+      val selfOk =
+        if (xs.map(_._1).distinct.size < 2) self == null
+        else self != null && math.abs(self - 1.0) < 1e-12
+      symmetric && selfOk
+    }
 }
