@@ -3164,6 +3164,17 @@ object SparkEntry {
           round(col("l_extendedprice") * 100).cast("long").as("cents")),
         "qty", "cents")),
 
+    // MARGIN-based aligned-pair mining (Artetxe & Schwenk 2019, the
+    // CCMatrix bitext rule): pairs between two labeled embedding sets
+    // kept when the cosine stands out against BOTH sides' k-NN
+    // neighborhoods — 2k·cos/(Σfwd + Σbwd) as ONE double division,
+    // forward-best per anchor, margin > 1.05.
+    "q254_margin_mine" -> ((s, d) =>
+      graft.ext.Similarity.marginMine(T(s, d, "embeddings"),
+        "vec_id", "embedding", "label", labelA = 0, labelB = 1,
+        k = 4, minMarginMilli = 1050L)
+        .orderBy(col("a_id"))),
+
     // GROWTH ACCOUNTING (the new/retained/resurrected/churned ledger):
     // weekly user states from first-activity and prev-week flags —
     // two user-keyed passes, never a per-user scan of history.
@@ -6420,6 +6431,39 @@ object SparkEntry {
         |    ELSE (n * pab - sa * sb) /
         |      (sqrt(n * paa - sa * sa) * sqrt(n * pbb - sb * sb)) END AS spearman
         |FROM t""".stripMargin,
+
+    // full margin replay: both directional k-NN sums from the same
+    // cross scores (products are commutative-exact), one division,
+    // forward-best with low-id ties
+    "q254_margin_mine" ->
+      """WITH v AS (
+        |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+        |n AS (SELECT vec_id, label, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v),
+        |aa AS (SELECT vec_id, e, nrm FROM n WHERE label = 0),
+        |bb AS (SELECT vec_id, e, nrm FROM n WHERE label = 1),
+        |sc AS (
+        |  SELECT aa.vec_id AS a_id, bb.vec_id AS b_id,
+        |    list_sum(list_transform(range(1, 65), i -> (bb.e[i] / bb.nrm) * (aa.e[i] / aa.nrm))) AS cosine
+        |  FROM aa CROSS JOIN bb),
+        |fwd AS (SELECT a_id, b_id, cosine,
+        |    row_number() OVER (PARTITION BY a_id ORDER BY cosine DESC, b_id) AS rk
+        |  FROM sc),
+        |f4 AS (SELECT a_id, b_id, cosine FROM fwd WHERE rk <= 4),
+        |sa AS (SELECT a_id, sum(cosine) AS s FROM f4 GROUP BY 1),
+        |bwd AS (SELECT b_id, a_id, cosine,
+        |    row_number() OVER (PARTITION BY b_id ORDER BY cosine DESC, a_id) AS rk
+        |  FROM sc),
+        |sb AS (SELECT b_id, sum(cosine) AS s FROM bwd WHERE rk <= 4 GROUP BY 1),
+        |m AS (
+        |  SELECT f4.a_id, f4.b_id, f4.cosine,
+        |    (8.0 * f4.cosine) / (sa.s + sb.s) AS margin
+        |  FROM f4 JOIN sa USING (a_id) JOIN sb USING (b_id)
+        |  WHERE (8.0 * f4.cosine) / (sa.s + sb.s) > 1.05),
+        |best AS (SELECT a_id, b_id, cosine, margin,
+        |    row_number() OVER (PARTITION BY a_id ORDER BY margin DESC, b_id) AS rn
+        |  FROM m)
+        |SELECT a_id, b_id, cosine, margin FROM best WHERE rn = 1
+        |ORDER BY a_id""".stripMargin,
 
     // weekly states from first-week and prev-week flags; churned via
     // the shifted-week anti-join

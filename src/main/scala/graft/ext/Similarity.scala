@@ -240,6 +240,57 @@ object Similarity {
     out.toDF("query_id", "rank", "nn_id", "mmr")
   }
 
+  /** MARGIN-based aligned-pair mining (Artetxe & Schwenk 2019 — the
+    * CCMatrix/LASER bitext-mining rule): a pair (x ∈ A, y ∈ B) is
+    * aligned when its cosine stands OUT against both sides' local
+    * neighborhoods — absolute-threshold mining fails because dense
+    * regions make high cosines cheap. Score:
+    * `margin = 2k·cos(x,y) / (Σ_k cos(x, ·) + Σ_k cos(y, ·))` (the
+    * ratio margin over k-NN sums; 2k·cos multiplies by an exact small
+    * integer so the whole margin is ONE double division, which a SQL
+    * oracle replays bit for bit). Kept: forward-best pairs (y = x's
+    * highest-margin candidate, ties to low id) with margin above
+    * `minMarginMilli`/1000.
+    *
+    * Plan: two bounded [[bruteForceTopK]] passes (A→B candidates +
+    * forward k-NN sums, B→A for the backward sums — broadcast-anchor
+    * batches; swap in IVF candidate generation past broadcast scale),
+    * one broadcast join of the per-anchor sums onto the candidate
+    * pairs, one bounded heap argmax per anchor. Never an unbatched
+    * A×B product. Output: (a_id, b_id, cosine, margin). */
+  def marginMine(emb: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, labelA: Any, labelB: Any,
+      k: Int = 4, minMarginMilli: Long = 1050L): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val a = emb.filter(col(labelCol) === lit(labelA))
+    val b = emb.filter(col(labelCol) === lit(labelB))
+    // forward: per x, its k best in B (candidate pairs AND x's k-NN sum)
+    val fwd = bruteForceTopK(b, idCol, vecCol, a, idCol, vecCol, k)
+      .select(col("query_id").as("a_id"), col("nn_id").as("b_id"),
+        col("cosine"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sumA = fwd.groupBy(col("a_id")).agg(sum(col("cosine")).as("__sa"))
+    // backward: per y, its k-NN sum over A
+    val sumB = bruteForceTopK(a, idCol, vecCol, b, idCol, vecCol, k)
+      .groupBy(col("query_id").as("b_id"))
+      .agg(sum(col("cosine")).as("__sb"))
+    val scored = fwd
+      .join(broadcast(sumA), "a_id")
+      .join(broadcast(sumB), "b_id")
+      .withColumn("margin",
+        (lit((2 * k).toDouble) * col("cosine")) / (col("__sa") + col("__sb")))
+      .filter(col("margin") > lit(minMarginMilli.toDouble / 1000.0))
+    // forward-best: ONE min(struct) argmax per anchor — (−margin,
+    // b_id) ascending ⇒ margin desc, ties to the low id; double
+    // negation is exact, so the margin survives the round trip
+    scored.groupBy(col("a_id"))
+      .agg(min(struct((-col("margin")).as("nm"), col("b_id").as("b"),
+        col("cosine").as("c"))).as("__m"))
+      .select(col("a_id"), col("__m").getField("b").as("b_id"),
+        col("__m").getField("c").as("cosine"),
+        (-col("__m").getField("nm")).as("margin"))
+  }
+
   /** IVF index: corpus rows assigned to their nearest centroid.
     * `backing` is the persisted normalized corpus the index plans read
     * from — call [[IvfIndex.unpersist]] when the index is retired. */

@@ -252,4 +252,27 @@ class SimilaritySpec extends SparkSpec {
       .orderBy($"rank").select("nn_id").as[Long].collect().toSeq
     assert(plain == Seq(1L, 2L, 3L), s"relevance-only control: $plain")
   }
+
+  test("marginMine: finds the true pair, rejects a dense-hub high cosine") {
+    // A-side: 1 has a true counterpart (11, near-identical); 2 sits in
+    // a dense B hub where EVERYTHING scores ~0.99 — absolute cosine
+    // would pair it, but its margin ≈ 1 because the neighborhood sums
+    // are as high as the best candidate.
+    val emb = Seq(
+      (1L, Seq(1.0, 0.0, 0.0, 0.0), 0),
+      (2L, Seq(0.0, 1.0, 0.0, 0.0), 0),   // in the hub
+      (3L, Seq(0.0, 0.99, 0.1, 0.0), 0),  // hub is dense on BOTH sides,
+      (4L, Seq(0.0, 0.99, 0.05, 0.1), 0), // so backward sums stay high
+      (11L, Seq(0.99, 0.141, 0.0, 0.0), 1),   // 1's translation
+      (21L, Seq(0.01, 0.999, 0.02, 0.0), 1),  // the dense hub around 2
+      (22L, Seq(0.0, 0.999, 0.03, 0.0), 1),
+      (23L, Seq(0.02, 0.999, 0.01, 0.0), 1),
+      (24L, Seq(0.01, 0.999, 0.0, 0.02), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.marginMine(emb, "vec_id", "embedding", "label",
+      labelA = 0, labelB = 1, k = 3, minMarginMilli = 1100L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.get(1L).contains(11L), s"true pair must mine: $out")
+    assert(!out.contains(2L), s"dense-hub anchor must yield no pair: $out")
+  }
 }
