@@ -3175,6 +3175,28 @@ object SparkEntry {
         k = 4, minMarginMilli = 1050L)
         .orderBy(col("a_id"))),
 
+    // p50/p90/p99 value bands per event type in ONE distributed rank
+    // pass (exactQuantilesByKey shares the range-bucketed rank across
+    // all quantiles — the latency-band readout without re-ranking per
+    // percentile).
+    "q255_quantile_bands" -> ((s, d) =>
+      graft.ext.Sampling.exactQuantilesByKey(
+        T(s, d, "events").select(col("event_type"),
+          round(col("value") * 100).cast("long").as("cents"),
+          col("event_id")),
+        "event_type", "cents", "event_id", Seq(500L, 900L, 990L))
+        .orderBy(col("event_type"), col("q_permille"))),
+
+    // COHEN'S KAPPA: chance-corrected agreement of the q43 lang-ID
+    // classifier against the fixture labels — the scalar the q233
+    // confusion matrix summarizes to; all-integer (N·D − S)/(N² − S)
+    // in floor ppm, negative when worse than chance.
+    "q256_cohens_kappa" -> ((s, d) =>
+      graft.ext.Stats.cohensKappa(
+        docsSpread(s, d).select(col("lang"),
+          TextOps.langId(col("text")).as("lang_pred")),
+        "lang", "lang_pred")),
+
     // GROWTH ACCOUNTING (the new/retained/resurrected/churned ledger):
     // weekly user states from first-activity and prev-week flags —
     // two user-keyed passes, never a per-user scan of history.
@@ -6464,6 +6486,45 @@ object SparkEntry {
         |  FROM m)
         |SELECT a_id, b_id, cosine, margin FROM best WHERE rn = 1
         |ORDER BY a_id""".stripMargin,
+
+    // serial rank + the same ceil-rank rule per quantile
+    "q255_quantile_bands" ->
+      """WITH c AS (
+        |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v, event_id
+        |  FROM events WHERE value IS NOT NULL),
+        |r AS (SELECT event_type, v,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY v, event_id) AS rk,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM c),
+        |q(q_permille) AS (VALUES (500), (900), (990))
+        |SELECT r.event_type, CAST(q.q_permille AS BIGINT) AS q_permille,
+        |  CAST(r.n AS BIGINT) AS n, CAST(r.v AS DOUBLE) AS q_value
+        |FROM r JOIN q ON r.rk = greatest(1, (q.q_permille * r.n + 999) // 1000)
+        |ORDER BY event_type, q_permille""".stripMargin,
+
+    // the q233 lang-ID replay collapsed to the kappa integers
+    "q256_cohens_kappa" ->
+      s"""WITH tk AS (
+        |  SELECT doc_id, lang, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS tokens FROM documents),
+        |r AS (
+        |  SELECT doc_id, lang,
+        |    $LangScoreCols
+        |  FROM tk),
+        |p AS (SELECT lang AS a, $LangArgmaxSql AS b FROM r),
+        |obs AS (SELECT a, b, count(*) AS o FROM p GROUP BY 1, 2),
+        |t AS (SELECT sum(o) AS n,
+        |    sum(CASE WHEN a = b THEN o ELSE 0 END) AS d FROM obs),
+        |rt AS (SELECT a AS k, sum(o) AS r FROM obs GROUP BY 1),
+        |ct AS (SELECT b AS k, sum(o) AS c FROM obs GROUP BY 1),
+        |s AS (SELECT coalesce(sum(rt.r * ct.c), 0) AS s FROM rt JOIN ct USING (k)),
+        |f AS (SELECT t.n, t.d, (t.n * t.d - s.s) * 1000000 AS num,
+        |    t.n * t.n - s.s AS den FROM t CROSS JOIN s)
+        |SELECT CAST(n AS BIGINT) AS n, CAST(d AS BIGINT) AS agree,
+        |  -- DuckDB // truncates toward zero; kappa can be NEGATIVE and
+        |  -- the engine floors, so floor via the nonneg-mod identity
+        |  CAST(CASE WHEN den = 0 THEN NULL
+        |    ELSE (num - ((num % den) + den) % den) // den END AS BIGINT) AS kappa_ppm
+        |FROM f""".stripMargin,
 
     // weekly states from first-week and prev-week flags; churned via
     // the shifted-week anti-join

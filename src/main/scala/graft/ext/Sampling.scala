@@ -443,6 +443,55 @@ object Sampling {
       .select(col(keyCol), col("__n").as("n"), col("__q").as("q_value"))
   }
 
+  /** EXACT multi-quantile per key in ONE rank pass — the p50/p90/p99
+    * latency-band readout: [[exactQuantileByKey]] recomputes the
+    * distributed rank once per quantile, this shares it across all of
+    * them (the rank is the expensive part; each extra quantile is one
+    * more integer comparison). Same machinery — range-bucketed
+    * per-key ranks + broadcast offsets, rank ⌈q‰·n/1000⌉ (min 1) under
+    * ascending (score, id) — one output row per (key, quantile) even
+    * when one row serves several quantiles. NULL scores drop.
+    * Returns (keyCol, q_permille, n, q_value). */
+  def exactQuantilesByKey(df: DataFrame, keyCol: String, scoreCol: String,
+      idCol: String, qPermilles: Seq[Long],
+      globalBuckets: Int = 32): DataFrame = {
+    require(qPermilles.nonEmpty, "exactQuantilesByKey needs quantiles")
+    qPermilles.foreach(q => require(q >= 1 && q <= 1000,
+      s"qPermille must be in [1, 1000], got $q"))
+    val clean = df.filter(col(scoreCol).isNotNull)
+      .withColumn("__q", col(scoreCol).cast("double"))
+    val probes = (1 until globalBuckets).map(_.toDouble / globalBuckets).toArray
+    val bounds =
+      if (probes.isEmpty) Array.empty[Double]
+      else Option(clean.stat.approxQuantile("__q", probes, 0.001))
+        .getOrElse(Array.empty[Double]).filterNot(_.isNaN).distinct.sorted
+    val bucket = bounds.foldLeft(lit(0)) { (acc, b) =>
+      acc + when(col("__q") > lit(b), 1).otherwise(0)
+    }
+    val withB = clean.withColumn("__bkt", bucket)
+    val wIn = Window.partitionBy(col(keyCol), col("__bkt"))
+      .orderBy(col("__q"), col(idCol))
+    val rn = withB.withColumn("__rn", row_number().over(wIn).cast("long"))
+    val tot = withB.groupBy(col(keyCol), col("__bkt"))
+      .agg(count(lit(1)).as("__tot"))
+    val offsets = tot.as("a")
+      .join(broadcast(tot.as("b")),
+        col("a." + keyCol) === col("b." + keyCol) &&
+          col("b.__bkt") < col("a.__bkt"), "left")
+      .groupBy(col("a." + keyCol).as(keyCol), col("a.__bkt").as("__bkt"))
+      .agg(coalesce(sum(col("b.__tot")), lit(0L)).as("__off"))
+    val nPerKey = withB.groupBy(col(keyCol)).agg(count(lit(1)).as("__n"))
+    val qArr = array(qPermilles.distinct.sorted.map(lit(_)): _*)
+    rn.join(broadcast(offsets), Seq(keyCol, "__bkt"))
+      .join(broadcast(nPerKey), Seq(keyCol))
+      .withColumn("__rank", col("__off") + col("__rn"))
+      .withColumn("q_permille", explode(qArr))
+      .filter(col("__rank") ===
+        greatest(lit(1L), expr("(q_permille * __n + 999) div 1000")))
+      .select(col(keyCol), col("q_permille"), col("__n").as("n"),
+        col("__q").as("q_value"))
+  }
+
   /** EXACT per-key WEIGHTED order statistic — the token-weighted twin
     * of [[exactQuantileByKey]]: a corpus median that weights each doc
     * by its token count answers "what quality does the median TOKEN

@@ -227,6 +227,40 @@ object Stats {
         .otherwise(num / (da * db)).as("spearman"))
   }
 
+  /** COHEN'S KAPPA — chance-corrected agreement between two
+    * categorical columns (two classifiers, or a classifier against
+    * labels): raw accuracy flatters any pair that both guess the
+    * majority class; κ subtracts the agreement their marginals would
+    * produce by chance. All-integer form: with N rows, D agreeing rows
+    * and S = Σ_k rowTotal(k)·colTotal(k),
+    * `kappa_ppm = ⌊10⁶·(N·D − S) / (N² − S)⌋` — no floating point
+    * anywhere, so the oracle replay is exact (including negative κ —
+    * worse-than-chance agreement — where floor division toward −∞
+    * matches on both engines). N² rides DECIMAL(38,0). Degenerate
+    * marginals (N² = S, chance agreement 1) read NULL. NULLs drop
+    * listwise. One contingency aggregate + margin-sized joins.
+    * Returns (n, agree, kappa_ppm). */
+  def cohensKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val obs = df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol).as("__a"), col(bCol).as("__b"))
+      .agg(count(lit(1)).as("__o"))
+    val tot = obs.agg(sum(col("__o")).as("__n"),
+      sum(when(col("__a") === col("__b"), col("__o")).otherwise(0L)).as("__d"))
+    val rt = obs.groupBy(col("__a").as("__k")).agg(sum(col("__o")).as("__r"))
+    val ct = obs.groupBy(col("__b").as("__k")).agg(sum(col("__o")).as("__c"))
+    val s = rt.join(ct, Seq("__k")) // a label absent from one side adds 0
+      .agg(coalesce(sum((col("__r") * col("__c")).cast(Dec)),
+        lit(0L).cast(Dec)).as("__s"))
+    tot.crossJoin(broadcast(s))
+      .select(col("__n").as("n"), col("__d").as("agree"),
+        when(col("__n").cast(Dec) * col("__n") === col("__s"),
+          lit(null).cast("long"))
+          .otherwise(floorDiv(
+            (col("__n").cast(Dec) * col("__d") - col("__s")) * lit(1000000L),
+            col("__n").cast(Dec) * col("__n") - col("__s")))
+          .as("kappa_ppm"))
+  }
+
   def ksTest(df: DataFrame, groupCol: String, groupA: String,
       groupB: String, valueCol: String,
       globalBuckets: Int = 32): DataFrame = {

@@ -132,6 +132,47 @@ class StatsSpec extends SparkSpec {
     assert(math.abs(out - ref) < 1e-12, s"got $out, reference $ref")
   }
 
+  test("cohensKappa: perfect agreement 1e6, label swap negative, serial reference") {
+    val perfect = Seq(("a", "a"), ("b", "b"), ("c", "c"), ("a", "a"))
+      .toDF("x", "y")
+    assert(Stats.cohensKappa(perfect, "x", "y").collect().head
+      .getAs[Long]("kappa_ppm") == 1000000L)
+    // systematic disagreement (labels swapped) reads worse than chance
+    val swapped = Seq(("a", "b"), ("b", "a"), ("a", "b"), ("b", "a"))
+      .toDF("x", "y")
+    assert(Stats.cohensKappa(swapped, "x", "y").collect().head
+      .getAs[Long]("kappa_ppm") < 0L)
+    // serial reference incl. floor on a negative numerator
+    val rows = (1 to 61).map(i => ("l" + (i % 3), "l" + ((i * 2) % 3)))
+    val n = rows.size.toLong
+    val dAgree = rows.count { case (a, b) => a == b }.toLong
+    val rt = rows.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val ct = rows.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val s = rt.keys.toSeq.map(k => rt(k) * ct.getOrElse(k, 0L)).sum
+    val ref = BigDecimal((n * dAgree - s) * 1000000L) / (n * n - s)
+    val refFloor = ref.setScale(0, BigDecimal.RoundingMode.FLOOR).toLong
+    val out = Stats.cohensKappa(rows.toDF("x", "y"), "x", "y").collect().head
+    assert(out.getAs[Long]("n") == n && out.getAs[Long]("agree") == dAgree)
+    assert(out.getAs[Long]("kappa_ppm") == refFloor)
+  }
+
+  test("exactQuantilesByKey: one pass equals exactQuantileByKey per quantile") {
+    val rows = (1 to 83).map(i => ("k" + (i % 2), i.toLong, (i * 53 % 101).toDouble))
+    val df = rows.toDF("k", "id", "score")
+    val qs = Seq(250L, 500L, 900L, 990L)
+    val multi = Sampling.exactQuantilesByKey(df, "k", "score", "id", qs)
+      .collect()
+      .map(r => (r.getString(0), r.getAs[Long]("q_permille")) -> r.getAs[Double]("q_value"))
+      .toMap
+    for (q <- qs) {
+      val single = Sampling.exactQuantileByKey(df, "k", "score", "id", q)
+        .collect().map(r => r.getString(0) -> r.getAs[Double]("q_value")).toMap
+      for ((k, v) <- single)
+        assert(multi((k, q)) == v, s"q=$q k=$k: ${multi((k, q))} != $v")
+    }
+    assert(multi.size == 2 * qs.size, s"one row per (key, q): ${multi.size}")
+  }
+
   test("lDiversity: all-same sensitive is diversity 1 and at risk; nulls disclose nothing") {
     val df = Seq(
       ("n1", "s1", Some("x")), ("n1", "s1", Some("x")), // big group, 1 value
