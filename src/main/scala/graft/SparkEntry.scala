@@ -3197,6 +3197,15 @@ object SparkEntry {
           TextOps.langId(col("text")).as("lang_pred")),
         "lang", "lang_pred")),
 
+    // Per-doc NOVELTY/memorization score: the fraction of each doc's
+    // positional 8-grams duplicated in ≥2 docs (q114 machinery minus
+    // the island pass) — the per-doc signal curation thresholds on,
+    // where q114 only locates spans.
+    "q257_novelty" -> ((s, d) =>
+      graft.ext.Dedup.noveltyScore(docsSpread(s, d), "doc_id", "text",
+        gramLen = 8, minDocs = 2, portable = true)
+        .orderBy(col("doc_id"))),
+
     // GROWTH ACCOUNTING (the new/retained/resurrected/churned ledger):
     // weekly user states from first-activity and prev-week flags —
     // two user-keyed passes, never a per-user scan of history.
@@ -6525,6 +6534,21 @@ object SparkEntry {
         |  CAST(CASE WHEN den = 0 THEN NULL
         |    ELSE (num - ((num % den) + den) % den) // den END AS BIGINT) AS kappa_ppm
         |FROM f""".stripMargin,
+
+    // the q114 gram CTEs, collapsed to per-doc counts (sp unused)
+    "q257_novelty" ->
+      s"""WITH $DupSpanCtes,
+        |tot AS (SELECT doc_id, count(*) AS n_grams FROM gg GROUP BY 1),
+        |dd AS (SELECT doc_id, count(*) AS n_dup FROM dup GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(t.n_grams, 0) AS BIGINT) AS n_grams,
+        |  CAST(coalesce(dd.n_dup, 0) AS BIGINT) AS n_dup,
+        |  CAST(CASE WHEN t.n_grams IS NULL THEN NULL
+        |    ELSE ((t.n_grams - coalesce(dd.n_dup, 0)) * 1000000) // t.n_grams
+        |    END AS BIGINT) AS novelty_ppm
+        |FROM documents d
+        |LEFT JOIN tot t USING (doc_id) LEFT JOIN dd USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
 
     // weekly states from first-week and prev-week flags; churned via
     // the shifted-week anti-join

@@ -1131,6 +1131,50 @@ object Dedup {
       .select(col(idCol), col("span_start"), col("span_end"), col("n_grams"))
   }
 
+  /** Per-document NOVELTY score — the memorization-risk audit
+    * ([[duplicatedSpans]] tells you WHERE the duplicated text is; this
+    * scores HOW MUCH of each document is corpus-duplicated, the per-doc
+    * signal a curation pipeline thresholds on): novelty_ppm =
+    * ⌊10⁶·(n_grams − n_dup)/n_grams⌋ where n_dup counts positional
+    * `gramLen`-grams appearing in ≥ `minDocs` distinct documents.
+    * Same scale shape as duplicatedSpans — one per-doc lead window for
+    * the grams, a distinct-doc frequency gate, one semi-join — minus
+    * the island pass (scores need counts, not span boundaries).
+    * Documents shorter than `gramLen` tokens have no grams and read
+    * NULL novelty (nothing to judge). Returns
+    * (idCol, n_grams, n_dup, novelty_ppm). */
+  def noveltyScore(docs: DataFrame, idCol: String, textCol: String,
+      gramLen: Int = 8, minDocs: Int = 2,
+      portable: Boolean = false): DataFrame = {
+    require(gramLen >= 1, s"gramLen must be >= 1, got $gramLen")
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val tok = docs.select(col(idCol),
+      posexplode(TextOps.tokens(col(textCol))).as(Seq("__pos", "__tok")))
+    val seq = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
+    val parts = (0 until gramLen).map(i =>
+      if (i == 0) col("__tok") else lead(col("__tok"), i).over(seq))
+    val gram = concat_ws(" ", parts: _*)
+    val gramHash =
+      if (portable) TextOps.portableHash64(0, gram) else xxhash64(gram)
+    val grams = tok.select(col(idCol), gramHash.as("__h"),
+        lead(col("__tok"), gramLen - 1).over(seq).isNotNull.as("__full"))
+      .filter(col("__full"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hot = grams.select(col("__h"), col(idCol)).distinct()
+      .groupBy(col("__h")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= minDocs).select(col("__h"))
+    val perDoc = grams.groupBy(col(idCol)).agg(count(lit(1)).as("n_grams"))
+    val dupPerDoc = grams.join(hot, Seq("__h"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_dup"))
+    docs.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .join(dupPerDoc, Seq(idCol), "left")
+      .na.fill(0L, Seq("n_grams", "n_dup"))
+      .withColumn("novelty_ppm",
+        when(col("n_grams") === 0L, lit(null).cast("long"))
+          .otherwise(expr("((n_grams - n_dup) * 1000000L) div n_grams")))
+  }
+
   /** SPAN-level benchmark decontamination: per document, the maximal
     * token spans covered by `gramLen`-grams that appear ANYWHERE in
     * the benchmark — the surgical variant of

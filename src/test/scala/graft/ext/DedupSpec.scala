@@ -736,4 +736,23 @@ class DedupSpec extends SparkSpec {
     assert(out.head._3 == 1000000L, s"quote fully contained: $out")
     assert(out.head._4 < 500000L, s"reverse containment stays low: $out")
   }
+
+  test("noveltyScore: shared text scores low, unique text 1e6, short docs NULL") {
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"   // 8 tokens, 1 gram
+    val docs = Seq(
+      (1L, shared),                                   // gram duplicated with doc 2
+      (2L, shared + " iota kappa"),                   // 3 grams, 1 duplicated
+      (3L, "one two three four five six seven eight"),// unique gram
+      (4L, "too short")                               // < 8 tokens: no grams
+    ).toDF("doc_id", "text")
+    val out = Dedup.noveltyScore(docs, "doc_id", "text", gramLen = 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Long]("n_grams"), r.getAs[Long]("n_dup"),
+          Option(r.getAs[java.lang.Long]("novelty_ppm")).map(_.toLong))))
+      .toMap
+    assert(out(1L) == ((1L, 1L, Some(0L))), s"doc1 ${out(1L)}")
+    assert(out(2L) == ((3L, 1L, Some(666666L))), s"doc2 ${out(2L)}")
+    assert(out(3L) == ((1L, 0L, Some(1000000L))), s"doc3 ${out(3L)}")
+    assert(out(4L) == ((0L, 0L, None)), s"doc4 ${out(4L)}")
+  }
 }
