@@ -176,7 +176,8 @@ object SparkEntry {
       |    $probes
       |  FROM h WHERE n_bytes > 0),
       |sig AS (SELECT media_id, $bitsSum AS sig FROM p
-      |  UNION ALL SELECT media_id, 0 AS sig FROM h WHERE n_bytes = 0),
+      |  UNION ALL SELECT media_id, 0 AS sig FROM h
+      |  WHERE n_bytes = 0 OR n_bytes IS NULL),
       |b AS (SELECT media_id, sig, unnest([0, 1, 2, 3]) AS band, unnest([$bandVals]) AS bh FROM sig),
       |cand AS (
       |  SELECT ba.media_id AS a, bb.media_id AS b, ba.sig AS sa, bb.sig AS sb

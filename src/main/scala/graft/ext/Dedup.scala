@@ -776,38 +776,46 @@ object Dedup {
     * Shape: document frequency and per-doc set size are hash
     * AGGREGATES (map-side partial) + re-joins, not windows — the former
     * two stacked full-sort windows were the dominant cost at sf0.1. */
-  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-      threshold: Double = 0.5, shingleN: Int = 3,
-      maxDf: Int = Int.MaxValue): DataFrame = {
-    // collect_set dedups shingles per doc (set semantics) without an
-    // extra shuffle — the groupBy rides the repartition(id)
+  /** Shared candidate machinery of [[ngramJaccardPairs]] and
+    * [[containmentPairs]] — per unordered pair (a < b) of docs sharing
+    * ≥ 1 kept shingle: their distinct-set sizes and shared-shingle
+    * count. collect_set dedups shingles per doc (set semantics)
+    * without an extra shuffle — the groupBy rides the repartition(id);
+    * df per shingle is ONE hash aggregate whose semi-join back onto
+    * `sets` shares the exchange key (ReuseExchange collapses the two
+    * scans), dropping shingles in more than `maxDf` docs BEFORE the
+    * self-join (boilerplate would otherwise cost df²/2 pairs); the
+    * per-doc size is computed AFTER the cap in one hash agg carrying
+    * the shingle list, re-exploded with `__n` attached — no join, no
+    * sort — and persisted to feed both sides of the pair join.
+    * Output: (a, b, na, nb, __common). */
+  private def shingleCommonCounts(docs: DataFrame, idCol: String,
+      textCol: String, shingleN: Int, maxDf: Int): DataFrame = {
     val sets = TextOps.shingleRows(docs.repartition(col(idCol)), idCol, textCol, shingleN)
       .groupBy(col(idCol)).agg(collect_set(col("shingle")).as("__set"))
       .select(col(idCol).as("__id"), explode(col("__set")).as("__sh"))
-    // df per shingle: ONE hash aggregate (no sort); the semi-join back
-    // onto `sets` shares the same exchange key, so the shuffled shingle
-    // rows are exchanged once (ReuseExchange collapses the two scans)
     val dfCounts = sets.groupBy(col("__sh")).agg(count(lit(1)).as("__df"))
       .filter(col("__df") <= maxDf)
     val kept = sets.join(dfCounts.select(col("__sh")), Seq("__sh"))
-    // per-doc set size AFTER the cap: one hash agg to __id carrying the
-    // shingle list, re-exploded with __n attached — no join, no sort.
-    // Persisted — feeds both sides of the pair join below.
     val sized = kept.groupBy(col("__id"))
       .agg(collect_list(col("__sh")).as("__shs"), count(lit(1)).as("__n"))
       .select(col("__id"), col("__n"), explode(col("__shs")).as("__sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val common = sized.select(col("__id").as("a"), col("__n").as("na"), col("__sh"))
+    sized.select(col("__id").as("a"), col("__n").as("na"), col("__sh"))
       .join(sized.select(col("__id").as("b"), col("__n").as("nb"), col("__sh")), Seq("__sh"))
       .filter(col("a") < col("b"))
       .groupBy(col("a"), col("b"), col("na"), col("nb"))
       .agg(count(lit(1)).as("__common"))
-    common
+  }
+
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.5, shingleN: Int = 3,
+      maxDf: Int = Int.MaxValue): DataFrame =
+    shingleCommonCounts(docs, idCol, textCol, shingleN, maxDf)
       .withColumn("jaccard", col("__common").cast("double") /
         (col("na") + col("nb") - col("__common")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("a"), col("b"), col("jaccard"))
-  }
 
   /** ASYMMETRIC n-gram containment — the quotation/subset-copy
     * detector Jaccard misses: a short doc fully embedded in a long one
@@ -826,22 +834,7 @@ object Dedup {
       maxDf: Int = Int.MaxValue): DataFrame = {
     require(minPpm >= 0 && minPpm <= 1000000L,
       s"minPpm must be in [0, 1e6], got $minPpm")
-    val sets = TextOps.shingleRows(docs.repartition(col(idCol)), idCol, textCol, shingleN)
-      .groupBy(col(idCol)).agg(collect_set(col("shingle")).as("__set"))
-      .select(col(idCol).as("__id"), explode(col("__set")).as("__sh"))
-    val dfCounts = sets.groupBy(col("__sh")).agg(count(lit(1)).as("__df"))
-      .filter(col("__df") <= maxDf)
-    val kept = sets.join(dfCounts.select(col("__sh")), Seq("__sh"))
-    val sized = kept.groupBy(col("__id"))
-      .agg(collect_list(col("__sh")).as("__shs"), count(lit(1)).as("__n"))
-      .select(col("__id"), col("__n"), explode(col("__shs")).as("__sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val common = sized.select(col("__id").as("a"), col("__n").as("na"), col("__sh"))
-      .join(sized.select(col("__id").as("b"), col("__n").as("nb"), col("__sh")), Seq("__sh"))
-      .filter(col("a") < col("b"))
-      .groupBy(col("a"), col("b"), col("na"), col("nb"))
-      .agg(count(lit(1)).as("__common"))
-    common
+    shingleCommonCounts(docs, idCol, textCol, shingleN, maxDf)
       .withColumn("cont_a_ppm",
         expr("(__common * 1000000L) div na"))
       .withColumn("cont_b_ppm",

@@ -23,6 +23,28 @@ object Sampling {
   def fullHash(key: Column, seed: Long): Column =
     xxhash64(lit(seed), key)
 
+  /** THE range-bucketing step every two-phase prefix-sum operator here
+    * (and in [[Stats]]) shares: approxQuantile bounds over `qCol`
+    * (NaN-stripped, deduped) folded into a monotone bucket-id
+    * expression. Any monotone bucketing yields bit-identical results
+    * downstream — the quantile estimate needs NO determinism — so the
+    * only contract is monotonicity, which the strict `>` fold
+    * guarantees. Callers pair this with their own per-bucket window +
+    * broadcast bucket-offset join (the offset shapes differ: global,
+    * per-key, weighted). */
+  private[ext] def rangeBucketExpr(df: DataFrame, qCol: Column,
+      buckets: Int): Column = {
+    val probes = (1 until buckets).map(_.toDouble / buckets).toArray
+    val bounds =
+      if (probes.isEmpty) Array.empty[Double]
+      else Option(df.select(qCol.cast("double").as("__rbq"))
+          .stat.approxQuantile("__rbq", probes, 0.001))
+        .getOrElse(Array.empty[Double]).filterNot(_.isNaN).distinct.sorted
+    bounds.foldLeft(lit(0)) { (acc, b) =>
+      acc + when(qCol.cast("double") > lit(b), 1).otherwise(0)
+    }
+  }
+
   /** Hash bucket in [0, 1e6): fast in-engine form (xxhash64). For
     * MEMBERSHIP thresholds only (sampling rates); ordering wants
     * [[fullHash]]. */
@@ -409,39 +431,12 @@ object Sampling {
     * offsets, so no key ever becomes one window partition. NULL scores
     * drop. Returns (keyCol, n, q_value double). */
   def exactQuantileByKey(df: DataFrame, keyCol: String, scoreCol: String,
-      idCol: String, qPermille: Long, globalBuckets: Int = 32): DataFrame = {
-    require(qPermille >= 1 && qPermille <= 1000,
-      s"qPermille must be in [1, 1000], got $qPermille")
-    val clean = df.filter(col(scoreCol).isNotNull)
-      .withColumn("__q", col(scoreCol).cast("double"))
-    val probes = (1 until globalBuckets).map(_.toDouble / globalBuckets).toArray
-    val bounds =
-      if (probes.isEmpty) Array.empty[Double]
-      else Option(clean.stat.approxQuantile("__q", probes, 0.001))
-        .getOrElse(Array.empty[Double]).filterNot(_.isNaN).distinct.sorted
-    val bucket = bounds.foldLeft(lit(0)) { (acc, b) =>
-      acc + when(col("__q") > lit(b), 1).otherwise(0)
-    }
-    val withB = clean.withColumn("__bkt", bucket)
-    val wIn = Window.partitionBy(col(keyCol), col("__bkt"))
-      .orderBy(col("__q"), col(idCol))
-    val rn = withB.withColumn("__rn", row_number().over(wIn).cast("long"))
-    val tot = withB.groupBy(col(keyCol), col("__bkt"))
-      .agg(count(lit(1)).as("__tot"))
-    val offsets = tot.as("a")
-      .join(broadcast(tot.as("b")),
-        col("a." + keyCol) === col("b." + keyCol) &&
-          col("b.__bkt") < col("a.__bkt"), "left")
-      .groupBy(col("a." + keyCol).as(keyCol), col("a.__bkt").as("__bkt"))
-      .agg(coalesce(sum(col("b.__tot")), lit(0L)).as("__off"))
-    val nPerKey = withB.groupBy(col(keyCol)).agg(count(lit(1)).as("__n"))
-    rn.join(broadcast(offsets), Seq(keyCol, "__bkt"))
-      .join(broadcast(nPerKey), Seq(keyCol))
-      .withColumn("__rank", col("__off") + col("__rn"))
-      .filter(col("__rank") ===
-        greatest(lit(1L), expr(s"($qPermille * __n + 999) div 1000")))
-      .select(col(keyCol), col("__n").as("n"), col("__q").as("q_value"))
-  }
+      idCol: String, qPermille: Long, globalBuckets: Int = 32): DataFrame =
+    // the exact special case of the multi-quantile pass — one shared
+    // implementation, one set of rank semantics to maintain
+    exactQuantilesByKey(df, keyCol, scoreCol, idCol, Seq(qPermille),
+        globalBuckets)
+      .select(col(keyCol), col("n"), col("q_value"))
 
   /** EXACT multi-quantile per key in ONE rank pass — the p50/p90/p99
     * latency-band readout: [[exactQuantileByKey]] recomputes the
@@ -460,15 +455,8 @@ object Sampling {
       s"qPermille must be in [1, 1000], got $q"))
     val clean = df.filter(col(scoreCol).isNotNull)
       .withColumn("__q", col(scoreCol).cast("double"))
-    val probes = (1 until globalBuckets).map(_.toDouble / globalBuckets).toArray
-    val bounds =
-      if (probes.isEmpty) Array.empty[Double]
-      else Option(clean.stat.approxQuantile("__q", probes, 0.001))
-        .getOrElse(Array.empty[Double]).filterNot(_.isNaN).distinct.sorted
-    val bucket = bounds.foldLeft(lit(0)) { (acc, b) =>
-      acc + when(col("__q") > lit(b), 1).otherwise(0)
-    }
-    val withB = clean.withColumn("__bkt", bucket)
+    val withB = clean.withColumn("__bkt",
+      rangeBucketExpr(clean, col("__q"), globalBuckets))
     val wIn = Window.partitionBy(col(keyCol), col("__bkt"))
       .orderBy(col("__q"), col(idCol))
     val rn = withB.withColumn("__rn", row_number().over(wIn).cast("long"))
@@ -515,15 +503,8 @@ object Sampling {
         col(weightCol).isNotNull && col(weightCol) > 0)
       .withColumn("__q", col(scoreCol).cast("double"))
       .withColumn("__w", col(weightCol).cast("long"))
-    val probes = (1 until globalBuckets).map(_.toDouble / globalBuckets).toArray
-    val bounds =
-      if (probes.isEmpty) Array.empty[Double]
-      else Option(clean.stat.approxQuantile("__q", probes, 0.001))
-        .getOrElse(Array.empty[Double]).filterNot(_.isNaN).distinct.sorted
-    val bucket = bounds.foldLeft(lit(0)) { (acc, b) =>
-      acc + when(col("__q") > lit(b), 1).otherwise(0)
-    }
-    val withB = clean.withColumn("__bkt", bucket)
+    val withB = clean.withColumn("__bkt",
+      rangeBucketExpr(clean, col("__q"), globalBuckets))
     val wIn = Window.partitionBy(col(keyCol), col("__bkt"))
       .orderBy(col("__q"), col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -562,15 +543,8 @@ object Sampling {
       globalBuckets: Int = 32): DataFrame = {
     val clean = df.filter(col(scoreCol).isNotNull)
       .withColumn("__q", col(scoreCol).cast("double"))
-    val probes = (1 until globalBuckets).map(_.toDouble / globalBuckets).toArray
-    val bounds =
-      if (probes.isEmpty) Array.empty[Double]
-      else Option(clean.stat.approxQuantile("__q", probes, 0.001))
-        .getOrElse(Array.empty[Double]).filterNot(_.isNaN).distinct.sorted
-    val bucket = bounds.foldLeft(lit(0)) { (acc, b) =>
-      acc + when(col("__q") > lit(b), 1).otherwise(0)
-    }
-    val withB = clean.withColumn("__bkt", bucket)
+    val withB = clean.withColumn("__bkt",
+      rangeBucketExpr(clean, col("__q"), globalBuckets))
     val wIn = Window.partitionBy(col("__bkt"))
       .orderBy(col("__q"), col(idCol))
     val rn = withB.withColumn("__rn", row_number().over(wIn).cast("long"))

@@ -46,16 +46,8 @@ object Stats {
       .agg(
         sum(when(col(groupCol) === groupA, 1L).otherwise(0L)).as("ca"),
         sum(when(col(groupCol) === groupB, 1L).otherwise(0L)).as("cb"))
-    val probes = (1 until globalBuckets).map(_.toDouble / globalBuckets).toArray
-    val bounds =
-      if (probes.isEmpty) Array.empty[Double]
-      else Option(agg.withColumn("__q", col("__v").cast("double"))
-          .stat.approxQuantile("__q", probes, 0.001))
-        .getOrElse(Array.empty[Double]).filterNot(_.isNaN).distinct.sorted
-    val bucket = bounds.foldLeft(lit(0)) { (acc, b) =>
-      acc + when(col("__v").cast("double") > lit(b), 1).otherwise(0)
-    }
-    val withB = agg.withColumn("__bkt", bucket)
+    val withB = agg.withColumn("__bkt",
+      Sampling.rangeBucketExpr(agg, col("__v"), globalBuckets))
     val wIn = Window.partitionBy(col("__bkt")).orderBy(col("__v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = withB
@@ -74,8 +66,11 @@ object Stats {
         (col("__offb") + col("__cumb")).as("cum_b"))
   }
 
-  /** Exact floor division on non-negative DECIMAL(38,0) operands via
-    * (a − a mod b)/b — decimal `/` alone would HALF_UP-round. */
+  /** Exact floor division on DECIMAL(38,0) operands (b > 0) via
+    * (a − a mod b)/b — decimal `/` alone would HALF_UP-round. pmod is
+    * non-negative, so this floors toward −∞ for NEGATIVE dividends
+    * too ([[cohensKappa]]'s worse-than-chance κ relies on it; DuckDB
+    * oracles must shim their truncating `//` to match). */
   private def floorDiv(a: Column, b: Column): Column =
     ((a - pmod(a, b)) / b).cast("long")
 
@@ -102,25 +97,17 @@ object Stats {
     c.agg(
         sum(col("ca")).as("n_a"),
         sum(col("cb")).as("n_b"),
-        sum((col("ca") * (lit(2L) * (col("cum_b") - col("cb")) + col("cb")))
+        // cast to DECIMAL BEFORE multiplying: ca·cum reaches 2n² — a
+        // long product would silently wrap past nA·nB ≈ 4.6·10¹⁸
+        sum((col("ca").cast(Dec) *
+            (lit(2L) * (col("cum_b") - col("cb")) + col("cb")))
           .cast(Dec)).as("__u2"))
       .select(col("n_a"), col("n_b"),
         col("__u2").cast("long").as("u2"),
         floorDiv(col("__u2") * lit(1000000L),
-          (col("n_a") * col("n_b")).cast(Dec) * lit(2L)).as("auc_ppm"))
+          col("n_a").cast(Dec) * col("n_b") * lit(2L)).as("auc_ppm"))
   }
 
-  /** Kolmogorov–Smirnov distance between the empirical CDFs of
-    * `groupA` and `groupB` over a caller-quantized integral
-    * `valueCol`. Returns ONE row:
-    *   - `n_a`, `n_b` — group sizes;
-    *   - `d_ppm` — floor(10⁶ · max_v |F_A(v) − F_B(v)|), the KS D
-    *     statistic (the max is over the merged support, where the
-    *     maximum of the step functions' gap is attained);
-    *   - `at_value` — the SMALLEST value attaining the max (ties on
-    *     the gap are broken toward the low value, deterministically).
-    * The gap is compared in exact integers (|cum_a·n_b − cum_b·n_a|,
-    * DECIMAL(38,0)); the one ppm division happens after the argmax. */
   /** Chi-square test of INDEPENDENCE between two categorical columns
     * ("does event mix depend on weekday?" — the contingency audit).
     * Returns ONE row: `n`, `a_levels`, `b_levels`, `dof`
@@ -129,9 +116,10 @@ object Stats {
     * (each cell floored independently: the one form both engines can
     * replay EXACTLY; the total under-counts true χ² by < #cells ppm,
     * noise at any realistic scale). All products ride DECIMAL(38,0);
-    * (o·N − r·c)² bounds exactness to N < ~3·10⁹ observations — past
+    * the per-cell (o·N − r·c)²·10⁶ term bounds exactness to N < ~10⁸
+    * observations (|d| ≤ N² and d²·10⁶ must stay under 10³⁸) — past
     * that, pre-aggregate or sample before testing (the statistic
-    * saturates long before that anyway). NULL categories drop.
+    * saturates far earlier anyway). NULL categories drop.
     *
     * Scale shape: one (a, b) aggregate collapses the data to its
     * contingency cells; margins and N are cell-level aggregates
@@ -151,9 +139,11 @@ object Stats {
       .join(obs, Seq("__a", "__b"), "left")
       .withColumn("__o", coalesce(col("__o"), lit(0L)))
       .crossJoin(broadcast(tot))
-    val d = (col("__o") * col("__n") - col("__r") * col("__c")).cast(Dec)
+    // decimal BEFORE the products: o·N and r·c wrap int64 past ~3·10⁹
+    val d = col("__o").cast(Dec) * col("__n") -
+      col("__r").cast(Dec) * col("__c")
     val cellPpm = floorDiv(d * d * lit(1000000L),
-      (col("__r") * col("__c")).cast(Dec) * col("__n"))
+      col("__r").cast(Dec) * col("__c") * col("__n"))
     val chi = cells.agg(sum(cellPpm).as("chi2_ppm"),
       max(col("__n")).as("n"))
     val dims = obs.agg(
@@ -186,14 +176,8 @@ object Stats {
       // sum (the cumCountsByValue shape) — a large value domain never
       // becomes one window partition; 2·midrank = 2·(cum − cnt) + cnt + 1
       val agg = clean.groupBy(col(c).as("__v")).agg(count(lit(1)).as("__cnt"))
-      val probes = (1 until 32).map(_.toDouble / 32).toArray
-      val bounds = Option(agg.withColumn("__q", col("__v").cast("double"))
-          .stat.approxQuantile("__q", probes, 0.001))
-        .getOrElse(Array.empty[Double]).filterNot(_.isNaN).distinct.sorted
-      val bucket = bounds.foldLeft(lit(0)) { (acc, b) =>
-        acc + when(col("__v").cast("double") > lit(b), 1).otherwise(0)
-      }
-      val withB = agg.withColumn("__bkt", bucket)
+      val withB = agg.withColumn("__bkt",
+        Sampling.rangeBucketExpr(agg, col("__v"), 32))
       val w = Window.partitionBy(col("__bkt")).orderBy(col("__v"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val cum = withB.withColumn("__cumIn", sum(col("__cnt")).over(w))
@@ -249,7 +233,7 @@ object Stats {
     val rt = obs.groupBy(col("__a").as("__k")).agg(sum(col("__o")).as("__r"))
     val ct = obs.groupBy(col("__b").as("__k")).agg(sum(col("__o")).as("__c"))
     val s = rt.join(ct, Seq("__k")) // a label absent from one side adds 0
-      .agg(coalesce(sum((col("__r") * col("__c")).cast(Dec)),
+      .agg(coalesce(sum((col("__r").cast(Dec) * col("__c")).cast(Dec)),
         lit(0L).cast(Dec)).as("__s"))
     tot.crossJoin(broadcast(s))
       .select(col("__n").as("n"), col("__d").as("agree"),
@@ -261,6 +245,17 @@ object Stats {
           .as("kappa_ppm"))
   }
 
+  /** Kolmogorov–Smirnov distance between the empirical CDFs of
+    * `groupA` and `groupB` over a caller-quantized integral
+    * `valueCol`. Returns ONE row:
+    *   - `n_a`, `n_b` — group sizes;
+    *   - `d_ppm` — floor(10⁶ · max_v |F_A(v) − F_B(v)|), the KS D
+    *     statistic (the max is over the merged support, where the
+    *     maximum of the step functions' gap is attained);
+    *   - `at_value` — the SMALLEST value attaining the max (ties on
+    *     the gap are broken toward the low value, deterministically).
+    * The gap is compared in exact integers (|cum_a·n_b − cum_b·n_a|,
+    * DECIMAL(38,0)); the one ppm division happens after the argmax. */
   def ksTest(df: DataFrame, groupCol: String, groupA: String,
       groupB: String, valueCol: String,
       globalBuckets: Int = 32): DataFrame = {
@@ -276,7 +271,7 @@ object Stats {
       .agg(min(struct((-col("__gap")).as("ng"), col("__v").as("v"))).as("__am"))
       .select(col("n_a"), col("n_b"),
         floorDiv((-col("__am").getField("ng")) * lit(1000000L),
-          (col("n_a") * col("n_b")).cast(Dec)).as("d_ppm"),
+          col("n_a").cast(Dec) * col("n_b")).as("d_ppm"),
         col("__am").getField("v").as("at_value"))
   }
 }
