@@ -169,8 +169,12 @@ object Stats {
     * fixed operation order, so DuckDB replays the double bit for bit.
     * NULLs drop listwise. Returns (n, spearman). */
   def spearman(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    // persisted: the narrow (x, y) projection feeds both rank passes
+    // (each with an eager approxQuantile scan) plus the final join —
+    // without the barrier the upstream scan re-runs ~6 times
     val clean = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
       .select(col(xCol).cast("long").as("__x"), col(yCol).cast("long").as("__y"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def ranks2(c: String): DataFrame = {
       // distinct-value aggregate + the range-bucketed two-phase prefix
       // sum (the cumCountsByValue shape) — a large value domain never
