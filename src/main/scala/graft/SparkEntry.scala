@@ -3207,6 +3207,19 @@ object SparkEntry {
         gramLen = 8, minDocs = 2, portable = true)
         .orderBy(col("doc_id"))),
 
+    // Paired SIGN test (q241's paired sibling): did each user's event
+    // values rise from the first half of January to the second? Each
+    // user compares against itself via the exact integer cross-product
+    // sign(ΣB·nA − ΣA·nB); directions count into the tie-dropping
+    // normal z in floor milli.
+    "q258_sign_test" -> ((s, d) =>
+      graft.ext.Stats.signTest(
+        T(s, d, "events").select(col("user_id"),
+          when(col("ts") < lit("2024-01-16 00:00:00").cast("timestamp"),
+            lit("h1")).otherwise(lit("h2")).as("half"),
+          round(col("value") * 100).cast("long").as("cents")),
+        "user_id", "half", "h1", "h2", "cents")),
+
     // GROWTH ACCOUNTING (the new/retained/resurrected/churned ledger):
     // weekly user states from first-activity and prev-week flags —
     // two user-keyed passes, never a per-user scan of history.
@@ -6550,6 +6563,33 @@ object SparkEntry {
         |FROM documents d
         |LEFT JOIN tot t USING (doc_id) LEFT JOIN dd USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+
+    // per-user half sums, exact cross-product mean compare, floor-milli z
+    "q258_sign_test" ->
+      """WITH e AS (
+        |  SELECT user_id,
+        |    CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 'h1' ELSE 'h2' END AS half,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE value IS NOT NULL),
+        |p AS (
+        |  SELECT user_id,
+        |    sum(CASE WHEN half = 'h1' THEN cents END) AS sa,
+        |    count(CASE WHEN half = 'h1' THEN 1 END) AS na,
+        |    sum(CASE WHEN half = 'h2' THEN cents END) AS sb,
+        |    count(CASE WHEN half = 'h2' THEN 1 END) AS nb
+        |  FROM e GROUP BY 1),
+        |s AS (
+        |  SELECT
+        |    sum(CASE WHEN sb * na - sa * nb > 0 THEN 1 ELSE 0 END) AS n_pos,
+        |    sum(CASE WHEN sb * na - sa * nb < 0 THEN 1 ELSE 0 END) AS n_neg,
+        |    sum(CASE WHEN sb * na - sa * nb = 0 THEN 1 ELSE 0 END) AS n_tie
+        |  FROM p WHERE na > 0 AND nb > 0)
+        |SELECT CAST(n_pos AS BIGINT) AS n_pos, CAST(n_neg AS BIGINT) AS n_neg,
+        |  CAST(n_tie AS BIGINT) AS n_tie,
+        |  CAST(CASE WHEN n_pos + n_neg = 0 THEN NULL
+        |    ELSE floor((1000.0 * CAST(n_pos - n_neg AS DOUBLE)) /
+        |      sqrt(CAST(n_pos + n_neg AS DOUBLE))) END AS BIGINT) AS z_milli
+        |FROM s""".stripMargin,
 
     // weekly states from first-week and prev-week flags; churned via
     // the shifted-week anti-join

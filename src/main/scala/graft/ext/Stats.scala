@@ -249,6 +249,45 @@ object Stats {
           .as("kappa_ppm"))
   }
 
+  /** Paired SIGN test — [[rankSumTest]]'s PAIRED sibling ("did each
+    * user's values rise from period A to period B?"): unpaired tests
+    * drown the within-key signal in between-key variance; the sign
+    * test compares each key AGAINST ITSELF and counts directions.
+    * Per key present in BOTH conditions, the mean comparison is the
+    * exact integer cross-product sign(Σ_B·n_A − Σ_A·n_B) (never two
+    * lossy divisions); keys in one condition only are excluded (no
+    * pair). Returns ONE row: `n_pos` (B above A), `n_neg`, `n_tie`,
+    * and `z_milli` = ⌊10³·(n_pos − n_neg)/√(n_pos + n_neg)⌋ — the
+    * tie-dropping normal approximation, |z| ≳ 1.96 the usual bar;
+    * sqrt and one division are correctly-rounded IEEE in any engine,
+    * so the oracle replays the value bit for bit (NULL when every
+    * pair ties). Caller quantizes `valueCol` to integers. */
+  def signTest(df: DataFrame, keyCol: String, condCol: String,
+      condA: String, condB: String, valueCol: String): DataFrame = {
+    val per = df
+      .filter(col(valueCol).isNotNull && col(condCol).isin(condA, condB))
+      .groupBy(col(keyCol))
+      .agg(
+        sum(when(col(condCol) === condA, col(valueCol))).as("__sa"),
+        count(when(col(condCol) === condA, 1L)).as("__na"),
+        sum(when(col(condCol) === condB, col(valueCol))).as("__sb"),
+        count(when(col(condCol) === condB, 1L)).as("__nb"))
+      .filter(col("__na") > 0 && col("__nb") > 0)
+    // mean_B vs mean_A exactly: sB·nA − sA·nB in DECIMAL(38,0)
+    val d = col("__sb").cast(Dec) * col("__na") -
+      col("__sa").cast(Dec) * col("__nb")
+    val out = per.agg(
+      sum(when(d > 0, 1L).otherwise(0L)).as("n_pos"),
+      sum(when(d < 0, 1L).otherwise(0L)).as("n_neg"),
+      sum(when(d === 0, 1L).otherwise(0L)).as("n_tie"))
+    out.select(col("n_pos"), col("n_neg"), col("n_tie"),
+      when(col("n_pos") + col("n_neg") === 0L, lit(null).cast("long"))
+        .otherwise(floor(
+          (lit(1000.0) * (col("n_pos") - col("n_neg")).cast("double")) /
+            sqrt((col("n_pos") + col("n_neg")).cast("double"))).cast("long"))
+        .as("z_milli"))
+  }
+
   /** Kolmogorov–Smirnov distance between the empirical CDFs of
     * `groupA` and `groupB` over a caller-quantized integral
     * `valueCol`. Returns ONE row:

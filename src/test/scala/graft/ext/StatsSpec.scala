@@ -173,6 +173,26 @@ class StatsSpec extends SparkSpec {
     assert(multi.size == 2 * qs.size, s"one row per (key, q): ${multi.size}")
   }
 
+  test("signTest: exact mean compare per key, unpaired keys drop, z matches reference") {
+    val df = Seq(
+      ("u1", "A", 10L), ("u1", "A", 20L), ("u1", "B", 40L),  // mean up
+      ("u2", "A", 50L), ("u2", "B", 10L), ("u2", "B", 20L),  // mean down
+      ("u3", "A", 30L), ("u3", "B", 30L),                    // tie
+      ("u4", "A", 7L),  ("u4", "B", 8L),                     // up
+      ("u5", "A", 99L)                                       // unpaired: drops
+    ).toDF("k", "cond", "v")
+    val out = Stats.signTest(df, "k", "cond", "A", "B", "v").collect().head
+    assert(out.getAs[Long]("n_pos") == 2L)
+    assert(out.getAs[Long]("n_neg") == 1L)
+    assert(out.getAs[Long]("n_tie") == 1L)
+    val zRef = math.floor(1000.0 * (2 - 1) / math.sqrt(3.0)).toLong
+    assert(out.getAs[Long]("z_milli") == zRef)
+    // all-tie degenerate: z is NULL
+    val ties = Seq(("u", "A", 5L), ("u", "B", 5L)).toDF("k", "cond", "v")
+    assert(Stats.signTest(ties, "k", "cond", "A", "B", "v")
+      .collect().head.isNullAt(3))
+  }
+
   test("lDiversity: all-same sensitive is diversity 1 and at risk; nulls disclose nothing") {
     val df = Seq(
       ("n1", "s1", Some("x")), ("n1", "s1", Some("x")), // big group, 1 value
