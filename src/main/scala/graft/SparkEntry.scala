@@ -3220,6 +3220,82 @@ object SparkEntry {
           round(col("value") * 100).cast("long").as("cents")),
         "user_id", "half", "h1", "h2", "cents")),
 
+    // DISTRIBUTED connected-components engaged for real — the gate's
+    // one >2^20-edge graph: 355,000 four-node chains = 1,065,000
+    // verified edges, past connectedComponents' 2^20-edge union-find
+    // budget, so the distributed min-label-propagation loop (the
+    // 100 TB path no fixture-sized pair list can reach) provably runs
+    // (branch taken by edge-count arithmetic; CcDistributedSpec pins
+    // the same constants). Chain links are arithmetic, so the oracle
+    // knows every label in closed form — the FULL 1.42M-row labeling
+    // is hash-pinned node by node, not summarized. Pointer-doubling
+    // (`shortcut`) keeps the diameter-3 chains to two join rounds.
+    "q259_cc_distributed" -> ((s, d) => {
+      val n = 1420000L // 355,000 chains of 4; edges = 3n/4 > 2^20
+      val nodes = s.range(n).select(col("id"))
+      val edges = s.range(n).filter(col("id") % 4 =!= 3)
+        .select(col("id").as("a"), (col("id") + 1L).as("b"))
+      graft.ext.Dedup.connectedComponents(nodes, "id", edges, "a", "b",
+          shortcut = true)
+        .orderBy(col("id"))
+    }),
+
+    // Streaming SKETCH-INGEST under at-least-once replay (q123's
+    // batch-mode pattern applied to Streams.sketchIngest): the events
+    // stream arrives as three arbitrary micro-batches driven through
+    // sketchIngestBatch — the EXACT foreachBatch body — with batch 2
+    // deliberately ingested TWICE (foreachBatch redelivery after a
+    // failure). Max-merge idempotence makes the persisted register
+    // table, and so every daily estimate, bit-identical to the direct
+    // one-shot sketch — which IS the oracle (the q172 register replay
+    // without the rolling window). A non-idempotent sink would
+    // double-rank a third of the stream and shift the estimates.
+    // Store facts collect driver-side (|days|-bounded) so the temp
+    // store deletes before returning, the q145 recipe.
+    "q260_sketch_ingest_replay" -> ((s, d) => {
+      import s.implicits._
+      val root = java.nio.file.Files.createTempDirectory("graft-si")
+      val store = new graft.core.TableStore(s, root.toString)
+      val ev = T(s, d, "events").select(col("ts"), col("user_id"))
+      def ingest(b: org.apache.spark.sql.DataFrame): Unit =
+        Streams.sketchIngestBatch(b, store, "daily_users",
+          to_date(col("ts")), "day", "user_id")
+      val b2Pred = dayofmonth(col("ts")) > 10 && dayofmonth(col("ts")) <= 20
+      ingest(ev.filter(dayofmonth(col("ts")) <= 10))
+      ingest(ev.filter(b2Pred))
+      ingest(ev.filter(b2Pred)) // the replayed delivery
+      ingest(ev.filter(dayofmonth(col("ts")) > 20))
+      val rows = graft.ext.Sketches
+        .hllFromRegisters(store.read("daily_users"), "day")
+        .collect().map(r => (r.getDate(0), r.getLong(1)))
+      org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
+      rows.toSeq.toDF("day", "est_distinct").orderBy(col("day"))
+    }),
+
+    // DELETE-AWARE incremental MV (closes q159's retraction boundary,
+    // Incremental object doc): the lineitem rollup absorbs an insert
+    // batch AND a delete batch purely from per-batch RETRACTABLE
+    // states — cnt/sum group algebra under signed merge, never a
+    // rescan of the base; min/max stay append-only by contract.
+    // Oracle = direct recompute over (base ∪ inserts) ∖ deletes.
+    "q261_mv_retract" -> ((s, d) => {
+      val li = T(s, d, "lineitem").select(col("l_orderkey"),
+        col("l_returnflag"), col("l_linestatus"),
+        col("l_quantity"), col("l_extendedprice"))
+      val keys = Seq("l_returnflag", "l_linestatus")
+      val ms = Seq("l_quantity", "l_extendedprice")
+      val base = li.filter(col("l_orderkey") % 3 =!= 0)
+      val ins = li.filter(col("l_orderkey") % 3 === 0)
+      val del = base.filter(col("l_orderkey") % 5 === 1) // ⊆ base rows
+      def st(f: org.apache.spark.sql.DataFrame) =
+        graft.ext.Incremental.retractableState(f, keys, ms)
+      graft.ext.Incremental.readoutRetractable(
+          graft.ext.Incremental.mergeRetractable(keys, ms,
+            Seq(st(base), st(ins)), Seq(st(del))),
+          keys, ms)
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
     // GROWTH ACCOUNTING (the new/retained/resurrected/churned ledger):
     // weekly user states from first-activity and prev-week flags —
     // two user-keyed passes, never a per-user scan of history.
@@ -6590,6 +6666,50 @@ object SparkEntry {
         |    ELSE floor((1000.0 * CAST(n_pos - n_neg AS DOUBLE)) /
         |      sqrt(CAST(n_pos + n_neg AS DOUBLE))) END AS BIGINT) AS z_milli
         |FROM s""".stripMargin,
+
+    // every chain label in closed form: cluster = id − id mod 4
+    "q259_cc_distributed" ->
+      """SELECT CAST(r.range AS BIGINT) AS id,
+        |  CAST(r.range - r.range % 4 AS BIGINT) AS cluster_id
+        |FROM range(0, 1420000) r ORDER BY id""".stripMargin,
+
+    // the q172 register replay without the rolling window: the direct
+    // one-shot daily sketch — what an idempotent ingest must equal
+    // even after the duplicated batch delivery
+    "q260_sketch_ingest_replay" ->
+      s"""WITH h AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |    CAST(concat('0x', substring(md5(concat_ws('|', '42', CAST(user_id AS VARCHAR))), 1, 14)) AS BIGINT) AS h
+        |  FROM events),
+        |b AS (
+        |  SELECT day, h & 63 AS b,
+        |    CASE WHEN (h >> 6) = 0 THEN 30
+        |         ELSE least(30, 51 - length(bin(h >> 6))) END AS rho
+        |  FROM h),
+        |regs AS (SELECT day, b, max(rho) AS r FROM b GROUP BY 1, 2),
+        |s AS (
+        |  SELECT day, sum(${1L << 30} >> r) AS s, count(*) AS present
+        |  FROM regs GROUP BY 1),
+        |e AS (
+        |  SELECT day, 64 - present AS zeros,
+        |    ${709L * 4096L * (1L << 30)}
+        |      // (1000 * (s + (64 - present) * ${1L << 30})) AS raw
+        |  FROM s)
+        |SELECT day,
+        |  CAST(CASE WHEN raw <= 160 AND zeros > 0
+        |    THEN ([${graft.ext.Sketches.HllLinearCounting.mkString(", ")}])[CAST(zeros AS INTEGER)]
+        |    ELSE raw END AS BIGINT) AS est_distinct
+        |FROM e ORDER BY day""".stripMargin,
+
+    // direct recompute over (base ∪ inserts) ∖ deletes — the survivor
+    // predicate is the complement of the delete batch's
+    "q261_mv_retract" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_l_quantity,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_l_extendedprice
+        |FROM lineitem
+        |WHERE NOT (l_orderkey % 3 <> 0 AND l_orderkey % 5 = 1)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // weekly states from first-week and prev-week flags; churned via
     // the shifted-week anti-join

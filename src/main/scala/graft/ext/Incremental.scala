@@ -12,14 +12,23 @@ import org.apache.spark.sql.functions._
   * runs instead of inside one job's shuffle.
   *
   * State per key: `cnt` plus, per measure m, `sum_m` (decimal-exact,
-  * so merge order cannot perturb the total), `min_m`, `max_m`. Inserts
-  * only: sums/counts are retractable in principle, min/max are not —
-  * deletions require recompute of the affected keys (documented
-  * limitation, shared with every min/max MV).
+  * so merge order cannot perturb the total), `min_m`, `max_m`.
   *
-  * The q159 contract pins the law end-to-end: state(base) merged with
-  * state(delta) reads out EXACTLY like a direct recompute over
-  * base ∪ delta (the DuckDB oracle IS the direct recompute).
+  * RETRACTION BOUNDARY (the contract line every min/max MV shares):
+  * counts and sums form a GROUP under signed deltas — a delete is
+  * merge with sign −1 ([[retractableState]]/[[mergeRetractable]],
+  * contract q261) — but min/max only form a SEMILATTICE: once the
+  * extreme row is deleted, no summary of the survivors can say what
+  * the new extreme is, so [[aggState]]/[[mergeStates]] (which carry
+  * min/max) are APPEND-ONLY by construction. Under deletes, either
+  * maintain the retractable subset incrementally and recompute min/max
+  * keys on demand, or recompute the affected keys outright.
+  *
+  * The q159 contract pins the append-only law end-to-end: state(base)
+  * merged with state(delta) reads out EXACTLY like a direct recompute
+  * over base ∪ delta (the DuckDB oracle IS the direct recompute); the
+  * q261 contract pins the signed law: state(base) + state(inserts) −
+  * state(deletes) == direct recompute over (base ∪ inserts) ∖ deletes.
   */
 object Incremental {
 
@@ -54,6 +63,52 @@ object Incremental {
       max(col(s"max_$m")).as(s"max_$m")))
     frames.reduce(_ unionByName _)
       .groupBy(keyCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** The RETRACTABLE state frame: (keys*, cnt, __sum_m decimal) — the
+    * subset of [[aggState]] that stays maintainable under deletes
+    * (counts and sums form a group; min/max don't — see the object
+    * doc). Same one-hash-aggregate shape. */
+  def retractableState(df: DataFrame, keyCols: Seq[String],
+      measureCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty && measureCols.nonEmpty,
+      "retractableState needs at least one key and one measure")
+    val aggs = count(lit(1)).as("cnt") +: measureCols.map(sumCol)
+    df.groupBy(keyCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Signed merge of retractable states: `add` frames contribute +1,
+    * `subtract` frames −1 (a delete batch is just its own
+    * [[retractableState]], subtracted) — so a 100 TB MV absorbs
+    * deletes from the delta's summary alone, never a rescan. Keys
+    * whose merged cnt reaches 0 DROP (a fully-deleted key has no row
+    * in a direct recompute either). A NEGATIVE merged cnt means the
+    * subtracted rows were never inserted — a caller-side data bug the
+    * group algebra cannot detect locally; such keys also drop, so
+    * over-deletion surfaces as a missing key, not a poisoned sum.
+    * Associative/commutative like [[mergeStates]]; partial sums
+    * re-widen to decimal(28,4) so merged states stay mergeable. */
+  def mergeRetractable(keyCols: Seq[String], measureCols: Seq[String],
+      add: Seq[DataFrame], subtract: Seq[DataFrame]): DataFrame = {
+    require(add.nonEmpty, "mergeRetractable needs at least one add frame")
+    val signed = add.map(_.withColumn("__sign", lit(1L))) ++
+      subtract.map(_.withColumn("__sign", lit(-1L)))
+    val aggs = sum(col("cnt") * col("__sign")).as("cnt") +:
+      measureCols.map(m =>
+        sum(col(s"__sum_$m") * col("__sign"))
+          .cast("decimal(28,4)").as(s"__sum_$m"))
+    signed.reduce(_ unionByName _)
+      .groupBy(keyCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+      .filter(col("cnt") > 0L)
+  }
+
+  /** Read a retractable state out as the user-facing rollup: cnt and
+    * per-measure sum_m (double, from the exact decimal). */
+  def readoutRetractable(state: DataFrame, keyCols: Seq[String],
+      measureCols: Seq[String]): DataFrame = {
+    val cols = keyCols.map(col) ++ (col("cnt") +: measureCols.map(m =>
+      col(s"__sum_$m").cast("double").as(s"sum_$m")))
+    state.select(cols: _*)
   }
 
   /** Read a state frame out as the user-facing rollup: cnt, and per

@@ -24,6 +24,12 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Hard cap on rows any API-boundary materializer may pull onto the
+    * driver (mmrRerank's shortlist collect): 2^20 rows ≈ tens of MB
+    * with vectors attached — the same explicit-budget rule as the
+    * connected-components union-find edge bound. */
+  private val MaxDriverShortlistRows: Long = 1L << 20
+
   /** Σ aᵢ·bᵢ over two array<double> columns (left-to-right, bit-stable).
     * Backed by the native codegen'd [[graft.functions.DotProduct]]
     * expression — bit-identical to the HOF formulation
@@ -156,6 +162,7 @@ object Similarity {
   def hardNegatives(corpus: DataFrame, idCol: String, vecCol: String,
       labelCol: String, anchors: DataFrame, aIdCol: String,
       aVecCol: String, aLabelCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
     requireIntegralId(corpus, idCol, "hardNegatives")
     val c = corpus.filter(col(labelCol).isNotNull)
       .repartition(col(idCol))
@@ -191,6 +198,17 @@ object Similarity {
       s"need 1 <= k <= shortlist, got k=$k shortlist=$shortlist")
     require(lambdaMilli >= 0 && lambdaMilli <= 1000,
       s"lambdaMilli $lambdaMilli outside [0, 1000]")
+    // enforce the "bounded by construction" contract BEFORE the
+    // driver-side collect: an oversized query frame would otherwise
+    // silently pull |queries|·shortlist vector rows onto the driver.
+    // One tiny count job against the (small, by contract) query frame
+    // buys a named error instead of an OOM.
+    val nq = queries.count()
+    require(nq * shortlist <= MaxDriverShortlistRows,
+      s"mmrRerank shortlist collect would be ${nq * shortlist} rows " +
+      s"(queries=$nq x shortlist=$shortlist) — over the " +
+      s"$MaxDriverShortlistRows driver-materialization budget; rerank " +
+      "query batches (MMR is per-query: results are unchanged)")
     // λ and (1−λ) each derive from ONE integer division — `1.0 - λ` in
     // doubles is 0.30000000000000004 at λ=0.7 while every SQL engine's
     // decimal literal 0.3 is 0.29999999999999999, and the bit-exact
@@ -257,7 +275,16 @@ object Similarity {
     * batches; swap in IVF candidate generation past broadcast scale),
     * one broadcast join of the per-anchor sums onto the candidate
     * pairs, one bounded heap argmax per anchor. Never an unbatched
-    * A×B product. Output: (a_id, b_id, cosine, margin). */
+    * A×B product. Output: (a_id, b_id, cosine, margin).
+    *
+    * Cache lifecycle (caller-owned, the [[IvfIndex.unpersist]] rule):
+    * the forward top-k frame is persisted — the returned plan reads
+    * it twice (pair candidates + forward sums), so an internal
+    * unpersist would silently replay the whole k-NN pass on first
+    * use. The blocks live until the session drops them; a long-lived
+    * session making repeated mining calls should materialize each
+    * result and `spark.catalog.clearCache()` (or scope calls per
+    * batch, as incrementalExactReleasable does). */
   def marginMine(emb: DataFrame, idCol: String, vecCol: String,
       labelCol: String, labelA: Any, labelB: Any,
       k: Int = 4, minMarginMilli: Long = 1050L): DataFrame = {

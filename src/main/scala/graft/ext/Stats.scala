@@ -40,12 +40,19 @@ object Stats {
   private def cumCountsByValue(df: DataFrame, groupCol: String,
       groupA: String, groupB: String, valueCol: String,
       globalBuckets: Int): DataFrame = {
+    // persisted (the spearman barrier, 1c6a465): rangeBucketExpr runs
+    // an EAGER approxQuantile over this aggregate, and the aggregate
+    // then feeds both the in-bucket window and the bucket-total branch
+    // — unpersisted, the base scan + groupBy would replay ~3× per
+    // test call. Domain-sized (one row per distinct value), so the
+    // cached footprint is bounded; session cache lifecycle owns it.
     val agg = df
       .filter(col(valueCol).isNotNull && col(groupCol).isin(groupA, groupB))
       .groupBy(col(valueCol).cast("long").as("__v"))
       .agg(
         sum(when(col(groupCol) === groupA, 1L).otherwise(0L)).as("ca"),
         sum(when(col(groupCol) === groupB, 1L).otherwise(0L)).as("cb"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val withB = agg.withColumn("__bkt",
       Sampling.rangeBucketExpr(agg, col("__v"), globalBuckets))
     val wIn = Window.partitionBy(col("__bkt")).orderBy(col("__v"))
@@ -83,7 +90,12 @@ object Stats {
     *   - `n_a`, `n_b` — group sizes;
     *   - `u2` — 2·U_A, the DOUBLED U statistic of group A (doubling
     *     keeps the half-credit for ties integral: each tied A–B pair
-    *     contributes 1, each B-below-A pair 2);
+    *     contributes 1, each B-below-A pair 2). u2 is computed in
+    *     DECIMAL(38,0) but REPORTED as int64, so the u2 COLUMN (alone)
+    *     saturates to NULL once 2·U_A exceeds 2⁶³ — n_a·n_b ≳ 4.6·10¹⁸,
+    *     i.e. ~2·10⁹ rows per group. `auc_ppm` divides the decimal
+    *     BEFORE any narrowing and stays exact to the module's 10¹²-row
+    *     envelope; read effect size from auc_ppm at that scale;
     *   - `auc_ppm` — floor(10⁶ · U_A / (n_a·n_b)), the common-language
     *     effect size (= ROC AUC of "value predicts membership in A"):
     *     500000 ⇒ no shift, 1000000 ⇒ A strictly above B.

@@ -320,18 +320,33 @@ object Streams {
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val regs = graft.ext.Sketches.hllRegisters(
-          batch.toDF().withColumn(periodName, periodExpr),
+        sketchIngestBatch(batch.toDF(), store, table, periodExpr,
           periodName, valueCol, seed)
-        val merged =
-          if (store.tableExists(table))
-            graft.ext.Sketches.hllMergeRegisters(periodName,
-              store.read(table), regs)
-          else regs
-        store.write(table, merged)
-        ()
       }
       .start()
+  }
+
+  /** ONE micro-batch step of [[sketchIngest]] — the exact per-batch
+    * body the streaming sink runs, exposed so the q260 contract can
+    * drive it batch-mode (the q123 pattern: gate the operator itself,
+    * not a lookalike): sketch the batch alone, max-merge into the
+    * persisted register table. Calling this twice with the SAME batch
+    * is a register-level no-op — the idempotence that makes
+    * foreachBatch's at-least-once replay safe, hash-pinned by q260's
+    * deliberate replay against the direct-sketch oracle. */
+  def sketchIngestBatch(batch: DataFrame, store: graft.core.TableStore,
+      table: String, periodExpr: org.apache.spark.sql.Column,
+      periodName: String, valueCol: String, seed: Long = 42L): Unit = {
+    val regs = graft.ext.Sketches.hllRegisters(
+      batch.withColumn(periodName, periodExpr),
+      periodName, valueCol, seed)
+    val merged =
+      if (store.tableExists(table))
+        graft.ext.Sketches.hllMergeRegisters(periodName,
+          store.read(table), regs)
+      else regs
+    store.write(table, merged)
+    ()
   }
 
   /** Streaming DATA-QUALITY monitor: every micro-batch's

@@ -139,6 +139,28 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("connected components: q259's chain-graph closed form on the distributed loop") {
+    // the q259 gate constants: 3n/4 arithmetic chain edges genuinely
+    // exceed the default union-find budget, so the GATE run provably
+    // takes the distributed branch — pinned here so a future budget
+    // bump cannot silently demote q259 to the driver path
+    assert(1420000L * 3 / 4 > (1L << 20))
+    // same chain topology at test scale, loop FORCED (localEdgeLimit=0),
+    // pointer-doubling on: every label must equal the closed form
+    // cluster = id - id % 4
+    val n = 4000L
+    val nodes = spark.range(n).select($"id")
+    val edges = spark.range(n).filter($"id" % 4 =!= 3)
+      .select($"id".as("a"), ($"id" + 1L).as("b"))
+    val ccDf = Dedup.connectedComponents(nodes, "id", edges, "a", "b",
+      shortcut = true, localEdgeLimit = 0)
+    val bad = ccDf.filter($"cluster_id" =!= $"id" - $"id" % 4).count()
+    val total = ccDf.count()
+    ccDf.unpersist()
+    assert(total == n)
+    assert(bad == 0L, s"$bad chain nodes mislabeled")
+  }
+
   test("connected components: unparseable edge ids fail loudly, widening casts pass") {
     val nodes = (1L to 4L).toDF("id")
     // a string edge id that does not parse as long would cast to NULL

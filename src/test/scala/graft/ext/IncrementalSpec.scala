@@ -57,6 +57,57 @@ class IncrementalSpec extends SparkSpec {
     assert(out == Set(("x", 2L, 4.0, 1.0, 3.0), ("y", 1L, 5.0, 5.0, 5.0)))
   }
 
+  private def readoutR(state: DataFrame): Map[String, (Long, Double)] =
+    Incremental.readoutRetractable(state, Seq("l_returnflag"), Seq("l_quantity"))
+      .as[(String, Long, Double)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+
+  test("signed law: state(base) + state(ins) - state(del) == direct over survivors") {
+    val li = Fx.t(spark, sfDir, "lineitem")
+    val keys = Seq("l_returnflag")
+    val ms = Seq("l_quantity")
+    val base = li.filter($"l_orderkey" % 3 =!= 0)
+    val ins = li.filter($"l_orderkey" % 3 === 0)
+    val del = base.filter($"l_orderkey" % 5 === 1)
+    val merged = Incremental.mergeRetractable(keys, ms,
+      Seq(Incremental.retractableState(base, keys, ms),
+        Incremental.retractableState(ins, keys, ms)),
+      Seq(Incremental.retractableState(del, keys, ms)))
+    val survivors = li.filter(!($"l_orderkey" % 3 =!= 0 && $"l_orderkey" % 5 === 1))
+    val want = survivors.groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("cnt"),
+        sum($"l_quantity".cast("decimal(18,4)")).cast("double").as("s"))
+      .as[(String, Long, Double)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(readoutR(merged) == want)
+  }
+
+  test("retraction: fully-deleted keys drop; over-deleted keys drop (not poison)") {
+    val keys = Seq("k"); val ms = Seq("v")
+    val add = Incremental.retractableState(
+      Seq(("x", 1.0), ("x", 3.0), ("y", 5.0)).toDF("k", "v"), keys, ms)
+    // y fully deleted; z deleted without ever being inserted (caller bug)
+    val sub = Incremental.retractableState(
+      Seq(("y", 5.0), ("z", 9.0)).toDF("k", "v"), keys, ms)
+    val out = Incremental.readoutRetractable(
+        Incremental.mergeRetractable(keys, ms, Seq(add), Seq(sub)), keys, ms)
+      .as[(String, Long, Double)].collect().toSet
+    assert(out == Set(("x", 2L, 4.0)))
+  }
+
+  test("signed merge is associative/commutative like the append-only merge") {
+    val li = Fx.t(spark, sfDir, "lineitem")
+    val keys = Seq("l_returnflag"); val ms = Seq("l_quantity")
+    val s0 = Incremental.retractableState(li.filter($"l_orderkey" % 3 === 0), keys, ms)
+    val s1 = Incremental.retractableState(li.filter($"l_orderkey" % 3 === 1), keys, ms)
+    val d = Incremental.retractableState(
+      li.filter($"l_orderkey" % 3 === 0 && $"l_orderkey" % 7 === 2), keys, ms)
+    val a = Incremental.mergeRetractable(keys, ms, Seq(s0, s1), Seq(d))
+    val b = Incremental.mergeRetractable(keys, ms,
+      Seq(Incremental.mergeRetractable(keys, ms, Seq(s0), Seq(d)), s1), Seq())
+    assert(readoutR(a) == readoutR(b))
+  }
+
   test("null measures: sums/mins/maxes ignore nulls, cnt counts rows; all-null stays null") {
     val a = Incremental.aggState(
       Seq(("x", Some(2.0)), ("x", None), ("z", None)).toDF("k", "v"),

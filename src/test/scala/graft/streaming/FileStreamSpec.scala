@@ -66,6 +66,37 @@ class FileStreamSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteDirectory(ckpt.toFile)
   }
 
+  test("sketchIngestBatch: a REPLAYED batch is a register-level no-op (q260's law)") {
+    val root = java.nio.file.Files.createTempDirectory("graft-sib")
+    val store = new graft.core.TableStore(spark, root.toString)
+    val ev = Fx.t(spark, sfDir, "events").select(col("ts"), col("user_id"))
+    def ingest(pred: org.apache.spark.sql.Column): Unit =
+      Streams.sketchIngestBatch(ev.filter(pred), store, "regs",
+        to_date(col("ts")), "day", "user_id")
+    val mid = dayofmonth(col("ts")) > 10 && dayofmonth(col("ts")) <= 20
+    ingest(dayofmonth(col("ts")) <= 10)
+    ingest(mid)
+    val before = store.read("regs")
+      .select(col("day").cast("string"), col("__b"), col("__r"))
+      .as[(String, Long, Int)].collect().toSet
+    ingest(mid) // at-least-once redelivery of the same batch
+    val after = store.read("regs")
+      .select(col("day").cast("string"), col("__b"), col("__r"))
+      .as[(String, Long, Int)].collect().toSet
+    assert(after == before, "replaying a merged batch must not move a register")
+    ingest(dayofmonth(col("ts")) > 20)
+    val full = store.read("regs")
+      .select(col("day").cast("string"), col("__b"), col("__r"))
+      .as[(String, Long, Int)].collect().toSet
+    val direct = graft.ext.Sketches.hllRegisters(
+        ev.withColumn("day", to_date(col("ts"))), "day", "user_id")
+      .select(col("day").cast("string"), col("__b"), col("__r"))
+      .as[(String, Long, Int)].collect().toSet
+    assert(full == direct,
+      "batch-driven ingest with a replay must equal the one-shot sketch")
+    org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
+  }
+
   test("constraintIngest: per-batch reports merge additively to the one-shot batch report") {
     import graft.ext.Audit.{Check => C}
     val root = java.nio.file.Files.createTempDirectory("graft-ci")
