@@ -157,7 +157,35 @@ object Scale10x {
       "q196_constraints", "q197_triangles", "q198_rfm",
       "q201_attribution", "q202_cuped", "q205_calibration",
       "q208_fd_audit", "q210_covered_time", "q211_streaks",
-      "q212_debounce", "q214_tpch_q3", "q215_tpch_q5", "q217_tpch_q18")
+      "q212_debounce", "q214_tpch_q3", "q215_tpch_q5", "q217_tpch_q18",
+      // r11: the statistics/audit tier. Rank machinery (rank-sum, KS,
+      // Spearman, percentile-norm, quantile bands, weighted median,
+      // top-k ties) is range-bucketed everywhere — distinct-value
+      // aggregates + per-bucket windows + broadcast offsets, so a
+      // value domain never becomes one window partition; contingency
+      // tests (chi-square, kappa) collapse to margin-sized cells;
+      // fingerprint is one commutative decimal sum; dHash/novelty ride
+      // the banded-candidate machinery; anomalous-days/impact/keyset/
+      // l-diversity are keyed aggregates. ANN-adjacent paths with
+      // FIXED anchors (hard negatives, MMR: vec_id < 5 per replica
+      // stride) read linear; margin mining deliberately scales BOTH
+      // label sets ×10 — its brute-force candidate pass is the
+      // documented ×100 boundary (swap in IVF candidate generation
+      // past broadcast scale), measured here to show exactly that.
+      "q238_anomalous_days", "q239_keyset_pages", "q240_topk_ties",
+      "q241_rank_sum", "q242_ks_test", "q243_l_diversity",
+      "q244_fingerprint", "q245_weighted_median", "q246_media_dhash",
+      "q247_hard_negatives", "q248_chi_square", "q249_impact_index",
+      "q250_percentile_norm", "q251_containment", "q252_mmr_rerank",
+      "q253_spearman", "q254_margin_mine", "q255_quantile_bands",
+      "q256_cohens_kappa", "q257_novelty", "q258_sign_test",
+      // r11 gates: sketch-ingest replay (3 batches + 1 replay of ×10
+      // users — register table stays |days|×64) and the retractable MV
+      // (three shard states collapse to |keys| rows before the signed
+      // merge). q259 is EXCLUDED by design: its 1.42M-node chain graph
+      // is fixture-independent (the constants ARE the scale test), so
+      // a base/×10 ratio would read an empty 1.0.
+      "q260_sketch_ingest_replay", "q261_mv_retract")
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
