@@ -3225,11 +3225,15 @@ object SparkEntry {
     // verified edges, past connectedComponents' 2^20-edge union-find
     // budget, so the distributed min-label-propagation loop (the
     // 100 TB path no fixture-sized pair list can reach) provably runs
-    // (branch taken by edge-count arithmetic; CcDistributedSpec pins
-    // the same constants). Chain links are arithmetic, so the oracle
-    // knows every label in closed form — the FULL 1.42M-row labeling
-    // is hash-pinned node by node, not summarized. Pointer-doubling
-    // (`shortcut`) keeps the diameter-3 chains to two join rounds.
+    // (branch taken by edge-count arithmetic; DedupSpec pins the same
+    // constants against Dedup.DefaultLocalEdgeLimit itself). Chain
+    // links are arithmetic, so the oracle knows every label in closed
+    // form — the FULL 1.42M-row labeling is hash-pinned node by node,
+    // not summarized. Pointer-doubling (`shortcut`) keeps the
+    // diameter-3 chains to two join rounds. The returned frame is
+    // persisted per the connectedComponents contract (caller owns the
+    // release); both harnesses clearCache between queries, so the
+    // 1.42M-row block does not outlive this entry in a sweep.
     "q259_cc_distributed" -> ((s, d) => {
       val n = 1420000L // 355,000 chains of 4; edges = 3n/4 > 2^20
       val nodes = s.range(n).select(col("id"))
@@ -3255,21 +3259,23 @@ object SparkEntry {
     "q260_sketch_ingest_replay" -> ((s, d) => {
       import s.implicits._
       val root = java.nio.file.Files.createTempDirectory("graft-si")
-      val store = new graft.core.TableStore(s, root.toString)
-      val ev = T(s, d, "events").select(col("ts"), col("user_id"))
-      def ingest(b: org.apache.spark.sql.DataFrame): Unit =
-        Streams.sketchIngestBatch(b, store, "daily_users",
-          to_date(col("ts")), "day", "user_id")
-      val b2Pred = dayofmonth(col("ts")) > 10 && dayofmonth(col("ts")) <= 20
-      ingest(ev.filter(dayofmonth(col("ts")) <= 10))
-      ingest(ev.filter(b2Pred))
-      ingest(ev.filter(b2Pred)) // the replayed delivery
-      ingest(ev.filter(dayofmonth(col("ts")) > 20))
-      val rows = graft.ext.Sketches
-        .hllFromRegisters(store.read("daily_users"), "day")
-        .collect().map(r => (r.getDate(0), r.getLong(1)))
-      org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
-      rows.toSeq.toDF("day", "est_distinct").orderBy(col("day"))
+      try {
+        val store = new graft.core.TableStore(s, root.toString)
+        val ev = T(s, d, "events").select(col("ts"), col("user_id"))
+        def ingest(b: org.apache.spark.sql.DataFrame): Unit =
+          Streams.sketchIngestBatch(b, store, "daily_users",
+            to_date(col("ts")), "day", "user_id")
+        val b2Pred = dayofmonth(col("ts")) > 10 && dayofmonth(col("ts")) <= 20
+        ingest(ev.filter(dayofmonth(col("ts")) <= 10))
+        ingest(ev.filter(b2Pred))
+        ingest(ev.filter(b2Pred)) // the replayed delivery
+        ingest(ev.filter(dayofmonth(col("ts")) > 20))
+        graft.ext.Sketches
+          .hllFromRegisters(store.read("daily_users"), "day")
+          .collect().map(r => (r.getDate(0), r.getLong(1)))
+          .toSeq.toDF("day", "est_distinct").orderBy(col("day"))
+      } finally
+        org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
     }),
 
     // DELETE-AWARE incremental MV (closes q159's retraction boundary,

@@ -21,6 +21,14 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Default edge budget for [[connectedComponents]]' driver-side
+    * union-find fast path: at most 2^20 collected edges (≈16 MB).
+    * Public so contracts can pin against THE branch boundary itself —
+    * q259's chain graph asserts its edge count exceeds this constant
+    * (DedupSpec), so a future budget bump cannot silently demote the
+    * gate's distributed-loop run to the driver path. */
+  val DefaultLocalEdgeLimit: Int = 1 << 20
+
   /** Exact dedup: keep the row with the minimum `idCol` per duplicate
     * group (group = equal values of `keyCols`). Implemented as
     * row_number over a hash-partitioned window — one shuffle.
@@ -199,7 +207,7 @@ object Dedup {
   def connectedComponents(nodes: DataFrame, idCol: String,
       edges: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 50, shortcut: Boolean = false,
-      localEdgeLimit: Int = 1 << 20): DataFrame = {
+      localEdgeLimit: Int = DefaultLocalEdgeLimit): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val ids = nodes.select(col(idCol).as("id")).distinct()
     val idType = ids.schema("id").dataType

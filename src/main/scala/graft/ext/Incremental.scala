@@ -80,14 +80,21 @@ object Incremental {
   /** Signed merge of retractable states: `add` frames contribute +1,
     * `subtract` frames −1 (a delete batch is just its own
     * [[retractableState]], subtracted) — so a 100 TB MV absorbs
-    * deletes from the delta's summary alone, never a rescan. Keys
-    * whose merged cnt reaches 0 DROP (a fully-deleted key has no row
-    * in a direct recompute either). A NEGATIVE merged cnt means the
-    * subtracted rows were never inserted — a caller-side data bug the
-    * group algebra cannot detect locally; such keys also drop, so
-    * over-deletion surfaces as a missing key, not a poisoned sum.
-    * Associative/commutative like [[mergeStates]]; partial sums
-    * re-widen to decimal(28,4) so merged states stay mergeable. */
+    * deletes from the delta's summary alone, never a rescan.
+    * Associative/commutative like [[mergeStates]] — which is exactly
+    * why the merge output KEEPS keys at cnt ≤ 0: a staged rollup may
+    * legally apply a delete before the shard that inserted those rows
+    * arrives (state(A) − state(del), THEN + state(B)), and the
+    * negative balance is the information that makes the later stage
+    * land on the right total. Dropping such keys mid-merge would
+    * silently resurrect the deleted rows — the group has no zombies
+    * only if nobody truncates it. Keys at cnt ≤ 0 drop at READOUT
+    * ([[readoutRetractable]]): cnt = 0 is a fully-deleted key (absent
+    * from a direct recompute too), cnt < 0 in a FINAL state means the
+    * subtracted rows were never inserted anywhere — a caller-side
+    * data bug the algebra cannot detect locally, surfaced as a
+    * missing key rather than a poisoned sum. Partial sums re-widen to
+    * decimal(28,4) so merged states stay mergeable. */
   def mergeRetractable(keyCols: Seq[String], measureCols: Seq[String],
       add: Seq[DataFrame], subtract: Seq[DataFrame]): DataFrame = {
     require(add.nonEmpty, "mergeRetractable needs at least one add frame")
@@ -99,16 +106,18 @@ object Incremental {
           .cast("decimal(28,4)").as(s"__sum_$m"))
     signed.reduce(_ unionByName _)
       .groupBy(keyCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
-      .filter(col("cnt") > 0L)
   }
 
   /** Read a retractable state out as the user-facing rollup: cnt and
-    * per-measure sum_m (double, from the exact decimal). */
+    * per-measure sum_m (double, from the exact decimal). Keys at
+    * cnt ≤ 0 drop HERE, not in the merge (see [[mergeRetractable]]:
+    * truncating mid-merge breaks associativity under staged
+    * deletes). */
   def readoutRetractable(state: DataFrame, keyCols: Seq[String],
       measureCols: Seq[String]): DataFrame = {
     val cols = keyCols.map(col) ++ (col("cnt") +: measureCols.map(m =>
       col(s"__sum_$m").cast("double").as(s"sum_$m")))
-    state.select(cols: _*)
+    state.filter(col("cnt") > 0L).select(cols: _*)
   }
 
   /** Read a state frame out as the user-facing rollup: cnt, and per

@@ -201,14 +201,18 @@ object Similarity {
     // enforce the "bounded by construction" contract BEFORE the
     // driver-side collect: an oversized query frame would otherwise
     // silently pull |queries|·shortlist vector rows onto the driver.
-    // One tiny count job against the (small, by contract) query frame
-    // buys a named error instead of an OOM.
-    val nq = queries.count()
-    require(nq * shortlist <= MaxDriverShortlistRows,
-      s"mmrRerank shortlist collect would be ${nq * shortlist} rows " +
-      s"(queries=$nq x shortlist=$shortlist) — over the " +
-      s"$MaxDriverShortlistRows driver-materialization budget; rerank " +
-      "query batches (MMR is per-query: results are unchanged)")
+    // The probe is limit(budget+1).count() — CollectLimit short-
+    // circuits once the cap is witnessed, so an expensive uncached
+    // query lineage is never scanned past the budget just for the
+    // guard; the +1 distinguishes "at the cap" from "over it".
+    val maxQ = MaxDriverShortlistRows / shortlist
+    val probed = queries.limit((math.min(maxQ, Int.MaxValue - 1L) + 1L).toInt)
+      .count()
+    require(probed <= maxQ,
+      s"mmrRerank shortlist collect would exceed $MaxDriverShortlistRows " +
+      s"rows (> $maxQ queries x shortlist=$shortlist) — over the " +
+      "driver-materialization budget; rerank query batches (MMR is " +
+      "per-query: results are unchanged)")
     // λ and (1−λ) each derive from ONE integer division — `1.0 - λ` in
     // doubles is 0.30000000000000004 at λ=0.7 while every SQL engine's
     // decimal literal 0.3 is 0.29999999999999999, and the bit-exact

@@ -99,7 +99,14 @@ object Stats {
     *   - `auc_ppm` — floor(10⁶ · U_A / (n_a·n_b)), the common-language
     *     effect size (= ROC AUC of "value predicts membership in A"):
     *     500000 ⇒ no shift, 1000000 ⇒ A strictly above B.
-    * NULL values drop; rows in neither group are ignored. */
+    * NULL values drop; rows in neither group are ignored.
+    *
+    * Cache note (the marginMine rule): each call persists its
+    * domain-sized distinct-value aggregate (it feeds an eager
+    * approxQuantile plus two downstream branches); the blocks are
+    * session-owned — a long-lived session sweeping many metrics
+    * should materialize each result and `spark.catalog.clearCache()`
+    * between sweeps. Same applies to [[ksTest]]. */
   def rankSumTest(df: DataFrame, groupCol: String, groupA: String,
       groupB: String, valueCol: String,
       globalBuckets: Int = 32): DataFrame = {
@@ -310,7 +317,9 @@ object Stats {
     *   - `at_value` — the SMALLEST value attaining the max (ties on
     *     the gap are broken toward the low value, deterministically).
     * The gap is compared in exact integers (|cum_a·n_b − cum_b·n_a|,
-    * DECIMAL(38,0)); the one ppm division happens after the argmax. */
+    * DECIMAL(38,0)); the one ppm division happens after the argmax.
+    * Cache note: persists its distinct-value aggregate per call —
+    * see [[rankSumTest]]'s lifecycle note. */
   def ksTest(df: DataFrame, groupCol: String, groupA: String,
       groupB: String, valueCol: String,
       globalBuckets: Int = 32): DataFrame = {

@@ -141,10 +141,11 @@ class DedupSpec extends SparkSpec {
 
   test("connected components: q259's chain-graph closed form on the distributed loop") {
     // the q259 gate constants: 3n/4 arithmetic chain edges genuinely
-    // exceed the default union-find budget, so the GATE run provably
-    // takes the distributed branch — pinned here so a future budget
-    // bump cannot silently demote q259 to the driver path
-    assert(1420000L * 3 / 4 > (1L << 20))
+    // exceed the ACTUAL default union-find budget (the named constant
+    // the signature defaults to, not a copied literal), so the GATE
+    // run provably takes the distributed branch — a future budget bump
+    // past 1,065,000 edges fails here, not silently in the gate
+    assert(1420000L * 3 / 4 > Dedup.DefaultLocalEdgeLimit.toLong)
     // same chain topology at test scale, loop FORCED (localEdgeLimit=0),
     // pointer-doubling on: every label must equal the closed form
     // cluster = id - id % 4

@@ -82,17 +82,41 @@ class IncrementalSpec extends SparkSpec {
     assert(readoutR(merged) == want)
   }
 
-  test("retraction: fully-deleted keys drop; over-deleted keys drop (not poison)") {
+  test("retraction: fully-deleted keys drop at readout; over-deleted keys drop (not poison)") {
     val keys = Seq("k"); val ms = Seq("v")
     val add = Incremental.retractableState(
       Seq(("x", 1.0), ("x", 3.0), ("y", 5.0)).toDF("k", "v"), keys, ms)
     // y fully deleted; z deleted without ever being inserted (caller bug)
     val sub = Incremental.retractableState(
       Seq(("y", 5.0), ("z", 9.0)).toDF("k", "v"), keys, ms)
-    val out = Incremental.readoutRetractable(
-        Incremental.mergeRetractable(keys, ms, Seq(add), Seq(sub)), keys, ms)
+    val merged = Incremental.mergeRetractable(keys, ms, Seq(add), Seq(sub))
+    // the MERGE keeps y (cnt 0) and z (cnt −1) — truncating here would
+    // break staged associativity; only the READOUT drops them
+    assert(merged.count() == 3)
+    val out = Incremental.readoutRetractable(merged, keys, ms)
       .as[(String, Long, Double)].collect().toSet
     assert(out == Set(("x", 2L, 4.0)))
+  }
+
+  test("staged delete-before-insert does NOT resurrect rows (merge keeps negative balances)") {
+    // the review counterexample: sB's rows are deleted in a stage that
+    // runs BEFORE sB itself merges in — a mid-merge cnt>0 truncation
+    // would lose the −3 balance and read the deleted rows as alive
+    val keys = Seq("k"); val ms = Seq("v")
+    val sA = Incremental.retractableState(
+      Seq(("k", 4.0), ("k", 6.0)).toDF("k", "v"), keys, ms)          // cnt 2, sum 10
+    val sB = Incremental.retractableState(
+      Seq(("k", 10.0), ("k", 10.0), ("k", 10.0)).toDF("k", "v"), keys, ms) // cnt 3, sum 30
+    val del = Incremental.retractableState(
+      Seq(("k", 10.0), ("k", 10.0), ("k", 10.0)).toDF("k", "v"), keys, ms) // deletes all of sB
+    val staged = Incremental.mergeRetractable(keys, ms,
+      Seq(Incremental.mergeRetractable(keys, ms, Seq(sA), Seq(del)), sB), Seq())
+    val oneShot = Incremental.mergeRetractable(keys, ms, Seq(sA, sB), Seq(del))
+    val want = Set(("k", 2L, 10.0))
+    assert(Incremental.readoutRetractable(staged, keys, ms)
+      .as[(String, Long, Double)].collect().toSet == want)
+    assert(Incremental.readoutRetractable(oneShot, keys, ms)
+      .as[(String, Long, Double)].collect().toSet == want)
   }
 
   test("signed merge is associative/commutative like the append-only merge") {

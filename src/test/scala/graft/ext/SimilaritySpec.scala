@@ -253,6 +253,25 @@ class SimilaritySpec extends SparkSpec {
     assert(plain == Seq(1L, 2L, 3L), s"relevance-only control: $plain")
   }
 
+  test("guards: hardNegatives rejects k < 1; mmrRerank rejects an over-budget query frame") {
+    val emb = Seq((1L, Seq(1.0, 0.0), "A"), (2L, Seq(0.0, 1.0), "B"))
+      .toDF("vec_id", "embedding", "label")
+    val exK = intercept[IllegalArgumentException] {
+      Similarity.hardNegatives(emb, "vec_id", "embedding", "label",
+        emb.filter($"vec_id" === 1L), "vec_id", "embedding", "label", k = 0)
+    }
+    assert(exK.getMessage.contains("k must be >= 1"))
+    // shortlist = 2^20 makes the budget exactly ONE query; two queries
+    // must trip the driver-collect guard BEFORE any scoring runs
+    val q2 = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0)))
+      .toDF("vec_id", "embedding")
+    val exB = intercept[IllegalArgumentException] {
+      Similarity.mmrRerank(emb.drop("label"), "vec_id", "embedding",
+        q2, "vec_id", "embedding", k = 1, shortlist = 1 << 20)
+    }
+    assert(exB.getMessage.contains("driver-materialization budget"))
+  }
+
   test("marginMine: finds the true pair, rejects a dense-hub high cosine") {
     // A-side: 1 has a true counterpart (11, near-identical); 2 sits in
     // a dense B hub where EVERYTHING scores ~0.99 — absolute cosine

@@ -68,6 +68,7 @@ class FileStreamSpec extends SparkSpec {
 
   test("sketchIngestBatch: a REPLAYED batch is a register-level no-op (q260's law)") {
     val root = java.nio.file.Files.createTempDirectory("graft-sib")
+    try {
     val store = new graft.core.TableStore(spark, root.toString)
     val ev = Fx.t(spark, sfDir, "events").select(col("ts"), col("user_id"))
     def ingest(pred: org.apache.spark.sql.Column): Unit =
@@ -94,7 +95,7 @@ class FileStreamSpec extends SparkSpec {
       .as[(String, Long, Int)].collect().toSet
     assert(full == direct,
       "batch-driven ingest with a replay must equal the one-shot sketch")
-    org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
   }
 
   test("constraintIngest: per-batch reports merge additively to the one-shot batch report") {
