@@ -484,4 +484,48 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("InMemoryTableScan"),
       "signature frame must persist across both self-join sides: " + p)
   }
+
+  test("retractable MV merge: keyed hash aggregates end to end — no join, no window") {
+    // the q261 shape: three one-aggregate states union into ONE signed
+    // merge aggregate; a join- or window-based formulation would stop
+    // being a pure group-algebra rollup (and would not scale as one)
+    val li = core.Fx.t(spark, sfDir, "lineitem")
+    val keys = Seq("l_returnflag"); val ms = Seq("l_quantity")
+    val st = (f: DataFrame) => graft.ext.Incremental.retractableState(f, keys, ms)
+    val p = plan(graft.ext.Incremental.mergeRetractable(keys, ms,
+      Seq(st(li.filter(col("l_orderkey") % 3 =!= 0)),
+        st(li.filter(col("l_orderkey") % 3 === 0))),
+      Seq(st(li.filter(col("l_orderkey") % 5 === 1)))))
+    assert(!p.contains("Join") && !p.contains("Window"),
+      "signed merge must be union + aggregate only: " + p)
+    assert("HashAggregate".r.findAllIn(p).nonEmpty, p)
+  }
+
+  test("HLL register build (the sketch-ingest batch step) is one keyed aggregate") {
+    // q260's per-batch work: sketch the batch ALONE — one explode-free
+    // projection + one (period, bucket) hash aggregate; no join, no
+    // window, nothing data-sized retained
+    val ev = core.Fx.t(spark, sfDir, "events")
+      .withColumn("day", to_date(col("ts")))
+    val p = plan(graft.ext.Sketches.hllRegisters(ev, "day", "user_id"))
+    assert(!p.contains("Join") && !p.contains("Window"), p)
+    assert("(?m)^\\(\\d+\\) Exchange".r.findAllIn(p).size == 1,
+      "register build must exchange once, on the group key: " + p)
+  }
+
+  test("distributed CC labeling: equi-joins and aggregates only, persisted result") {
+    // the q259 path (loop FORCED): every round is edge⋈label + min
+    // aggregate; the returned labeling must show no cross product and
+    // come back persisted (the loop's product is not replayable for free)
+    val nodes = spark.range(64).select(col("id"))
+    val edges = spark.range(64).filter(col("id") % 4 =!= 3)
+      .select(col("id").as("a"), (col("id") + 1L).as("b"))
+    val cc = graft.ext.Dedup.connectedComponents(nodes, "id", edges, "a", "b",
+      shortcut = true, localEdgeLimit = 0)
+    val p = plan(cc)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("InMemoryTableScan"),
+      "loop labeling must return persisted: " + p)
+    cc.unpersist()
+  }
 }
