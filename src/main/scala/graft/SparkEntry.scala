@@ -3278,6 +3278,30 @@ object SparkEntry {
         org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
     }),
 
+    // WARM-START connected components (the continuous-dedup cluster
+    // maintenance q99/q107 feed): epoch 1's edges build the {0,1} and
+    // {2,3} pairs of every 4-chain; epoch 2 delivers only the middle
+    // (1,2) links, and connectedComponentsIncremental folds them into
+    // epoch 1's LABEL FRAME — never the historical edges — merging
+    // each pair of clusters into the full chain (new label = min of
+    // the two old minima, propagated through the star edges). The
+    // 100k-row labeling is hash-pinned against the same closed form
+    // as q259; the ScalaCheck law pins warm == one-shot on arbitrary
+    // graphs and both execution branches.
+    "q262_cc_warm_start" -> ((s, d) => {
+      val n = 100000L // 25,000 chains of 4
+      val nodes = s.range(n).select(col("id"))
+      def links(rem: Long*) = s.range(n)
+        .filter((col("id") % 4).isin(rem: _*))
+        .select(col("id").as("a"), (col("id") + 1L).as("b"))
+      val l1 = graft.ext.Dedup.connectedComponents(
+        nodes, "id", links(0L, 2L), "a", "b")
+      val out = graft.ext.Dedup.connectedComponentsIncremental(
+        nodes, "id", l1, links(1L), "a", "b")
+      l1.unpersist() // `out` is materialized by contract before return
+      out.orderBy(col("id"))
+    }),
+
     // DELETE-AWARE incremental MV (closes q159's retraction boundary,
     // Incremental object doc): the lineitem rollup absorbs an insert
     // batch AND a delete batch purely from per-batch RETRACTABLE
@@ -6706,6 +6730,12 @@ object SparkEntry {
         |    THEN ([${graft.ext.Sketches.HllLinearCounting.mkString(", ")}])[CAST(zeros AS INTEGER)]
         |    ELSE raw END AS BIGINT) AS est_distinct
         |FROM e ORDER BY day""".stripMargin,
+
+    // warm-start chains land on the identical closed form
+    "q262_cc_warm_start" ->
+      """SELECT CAST(r.range AS BIGINT) AS id,
+        |  CAST(r.range - r.range % 4 AS BIGINT) AS cluster_id
+        |FROM range(0, 100000) r ORDER BY id""".stripMargin,
 
     // direct recompute over (base ∪ inserts) ∖ deletes — the survivor
     // predicate is the complement of the delete batch's

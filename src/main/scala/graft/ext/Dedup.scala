@@ -412,6 +412,44 @@ object Dedup {
     out
   }
 
+  /** WARM-START connected components: fold a NEW epoch's edge list
+    * into an EXISTING labeling without replaying history — the
+    * continuous-dedup shape (q99/q107 find each epoch's new pair
+    * evidence; this maintains the cluster assignment across epochs).
+    *
+    * Correctness rests on one identity: a labeling IS its own edge
+    * set. `prevLabels` (id, cluster_id) encodes exactly the star
+    * graph id—cluster_id, and stars have the same connectivity as the
+    * edges that produced them — so components(stars ∪ newEdges) ==
+    * components(allHistoricalEdges ∪ newEdges), label for label (the
+    * ScalaCheck law in ExtLawsProps; the label is still the component
+    * MINIMUM because star centers are their components' minima).
+    * State carried between epochs is the label frame — bounded by the
+    * ACTIVE node count, not by the unbounded historical edge stream.
+    *
+    * Scale detail: SELF-labeled rows (cluster_id = id — isolated
+    * nodes and cluster minima) are dropped from the star set before
+    * the union. They add no connectivity (a self-loop, or a star
+    * center reachable through its members' rows), and keeping them
+    * would promote every previously-ISOLATED node into the active
+    * subgraph — the loop would shuffle the whole corpus' ids per
+    * round to propagate nothing (the same argument as the base
+    * operator's edge-induced-subgraph rule). Isolation is re-derived
+    * from `nodes` each call, so docs deleted upstream simply stop
+    * appearing. Same contract as [[connectedComponents]] otherwise
+    * (returned frame persisted, caller releases). */
+  def connectedComponentsIncremental(nodes: DataFrame, idCol: String,
+      prevLabels: DataFrame, edges: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 50, shortcut: Boolean = false,
+      localEdgeLimit: Int = DefaultLocalEdgeLimit): DataFrame = {
+    val stars = prevLabels
+      .filter(col("cluster_id") =!= col(idCol))
+      .select(col(idCol).as("__wa"), col("cluster_id").as("__wb"))
+    val fresh = edges.select(col(aCol).as("__wa"), col(bCol).as("__wb"))
+    connectedComponents(nodes, idCol, stars.unionByName(fresh),
+      "__wa", "__wb", maxIter, shortcut, localEdgeLimit)
+  }
+
   /** End-to-end near-dup REMOVAL: cluster the pair evidence with
     * [[connectedComponents]] and keep each cluster's minimum-PRESENT
     * row — the step every curation pipeline runs after candidate

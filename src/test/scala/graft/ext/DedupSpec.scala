@@ -162,6 +162,20 @@ class DedupSpec extends SparkSpec {
     assert(bad == 0L, s"$bad chain nodes mislabeled")
   }
 
+  test("warm-start CC: epoch-2 edges merge epoch-1 clusters through the label frame") {
+    val nodes = (1L to 6L).toDF("id")
+    val l1Df = Dedup.connectedComponents(nodes, "id",
+      Seq((1L, 2L), (4L, 5L)).toDF("a", "b"), "a", "b")
+    // epoch 2: (2,3) extends cluster {1,2}; (3,4) then MERGES it with
+    // {4,5} — the new minimum must flow across both old clusters
+    val warm = Dedup.connectedComponentsIncremental(nodes, "id", l1Df,
+      Seq((2L, 3L), (3L, 4L)).toDF("a", "b"), "a", "b")
+    val got = warm.as[(Long, Long)].collect().toMap
+    l1Df.unpersist(); warm.unpersist()
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      6L -> 6L))
+  }
+
   test("connected components: unparseable edge ids fail loudly, widening casts pass") {
     val nodes = (1L to 4L).toDF("id")
     // a string edge id that does not parse as long would cast to NULL

@@ -132,6 +132,30 @@ object ExtLawsProps extends Properties("graft.ext") {
       cc == expect
     }
 
+  // Warm-start law: a labeling IS its own (star) edge set, so folding
+  // epoch-2 edges into epoch-1's labels must equal the one-shot
+  // components over all edges — on any random graph and any random
+  // split of its edges into two epochs, both execution branches.
+  property("connectedComponentsIncremental(labels(E1), E2) == connectedComponents(E1 ++ E2)") =
+    Prop.forAll(genGraph, Gen.chooseNum(0, 10), Gen.oneOf(0, 1 << 20)) {
+      case ((n, edges), cut, localLimit) =>
+      val nodes = (0L until n.toLong).toDF("id")
+      def df(es: List[(Long, Long)]) =
+        if (es.isEmpty) Seq.empty[(Long, Long)].toDF("a", "b")
+        else es.toDF("a", "b")
+      val (e1, e2) = edges.splitAt(math.min(cut, edges.length))
+      val l1 = Dedup.connectedComponents(nodes, "id", df(e1), "a", "b",
+        localEdgeLimit = localLimit)
+      val warm = Dedup.connectedComponentsIncremental(nodes, "id", l1,
+        df(e2), "a", "b", localEdgeLimit = localLimit)
+      val oneShot = Dedup.connectedComponents(nodes, "id", df(edges),
+        "a", "b", localEdgeLimit = localLimit)
+      val got = warm.as[(Long, Long)].collect().toMap
+      val want = oneShot.as[(Long, Long)].collect().toMap
+      l1.unpersist(); warm.unpersist(); oneShot.unpersist()
+      got == want
+    }
+
   // Leakage-safe split law: every doc assigned exactly once, and ALL
   // members of any union-find component share one split — on any
   // random pair graph (the property that makes the split leakage-safe
