@@ -6033,7 +6033,7 @@ object SparkEntry {
         |SELECT v.doc_id, v.lang, v.n_chars,
         |  CASE WHEN v.x IS NULL THEN NULL
         |       ELSE least(greatest(v.x, plo.wlo), phi.whi) END AS n_chars_wins
-        |FROM v JOIN plo ON v.lang = plo.lang JOIN phi ON v.lang = phi.lang
+        |FROM v LEFT JOIN plo ON v.lang = plo.lang LEFT JOIN phi ON v.lang = phi.lang
         |ORDER BY v.doc_id""".stripMargin,
 
     // first-event-date cohorts, distinct active (user, offset) pairs

@@ -155,9 +155,17 @@ object Behavior {
   def associationRules(df: DataFrame, basketCol: String, itemCol: String,
       minPairCount: Long = 1L): DataFrame = {
     require(minPairCount >= 1, s"minPairCount must be >= 1, got $minPairCount")
+    // persisted: four consumers read the distinct (basket, item) frame
+    // (basket total, item totals, both pair-join sides) — unpersisted,
+    // the upstream distinct would replay per consumer. Session-owned
+    // blocks (the marginMine lifecycle rule). The basket total rides a
+    // broadcast 1-row aggregate instead of a driver-side count(): the
+    // operator stays fully LAZY and composes without firing a job at
+    // construction time (the histDriftTV grandTotal shape).
     val items = df.select(col(basketCol).as("__b"), col(itemCol).as("__i"))
       .filter(col("__i").isNotNull).distinct()
-    val nBaskets = items.select(col("__b")).distinct().count()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nb = items.agg(countDistinct(col("__b")).as("__nbk"))
     val itemCounts = items.groupBy(col("__i")).agg(count(lit(1)).as("__ni"))
     val pairs = items.select(col("__b"), col("__i").as("item_a"))
       .join(items.select(col("__b"), col("__i").as("item_b")), Seq("__b"))
@@ -168,10 +176,11 @@ object Behavior {
     pairs
       .join(broadcast(itemCounts.select(col("__i").as("item_a"), col("__ni").as("__na"))), Seq("item_a"))
       .join(broadcast(itemCounts.select(col("__i").as("item_b"), col("__ni").as("__nb"))), Seq("item_b"))
+      .crossJoin(broadcast(nb))
       .select(col("item_a"), col("item_b"), col("n_ab"),
-        expr(s"(n_ab * 1000000L) div ${nBaskets}L").as("support_ppm"),
+        expr("(n_ab * 1000000L) div __nbk").as("support_ppm"),
         expr("(n_ab * 1000000L) div __na").as("conf_ppm"),
-        expr(s"(((n_ab * 1000000L) div __na) * ${nBaskets}L) div __nb div 1000")
+        expr("(((n_ab * 1000000L) div __na) * __nbk) div __nb div 1000")
           .as("lift_milli"))
   }
 
@@ -212,9 +221,12 @@ object Behavior {
         qualified.groupBy(col(userCol)).agg(min(col("__t")).as(s"__s$i")),
         Seq(userCol), "left")
     }
+    // coalesce-0: sum() over an EMPTY user spine is NULL, and a funnel
+    // over an empty stream must read 0 at every stage, not NULL
     val counts = perUser.select(
       (0 until stages.size).map(i =>
-        sum(when(col(s"__s$i").isNotNull, 1L).otherwise(0L)).as(s"__n$i")): _*)
+        coalesce(sum(when(col(s"__s$i").isNotNull, 1L).otherwise(0L)),
+          lit(0L)).as(s"__n$i")): _*)
     val stageRows = stages.zipWithIndex.map { case (stage, i) =>
       struct(lit(i + 1L).as("stage"), lit(stage).as("event_type"),
         col(s"__n$i").as("n_users"))
@@ -379,12 +391,9 @@ object Behavior {
     * only ever see NON-NEGATIVE operands (truncating and flooring
     * division agree there — Spark `div` truncates, DuckDB `//` floors,
     * so a negative dividend would silently diverge by one). */
-  private def nonNegDiv(a: Column, b: Column): Column =
-    ((a - pmod(a, b)).cast("decimal(38,0)") / b.cast("decimal(38,0)"))
-      .cast("long")
+  private def nonNegDiv(a: Column, b: Column): Column = PortableDiv.nonNeg(a, b)
 
-  private def signedDiv(a: Column, b: Column): Column =
-    when(a < 0, -nonNegDiv(-a, b)).otherwise(nonNegDiv(a, b))
+  private def signedDiv(a: Column, b: Column): Column = PortableDiv.signed(a, b)
 
   /** CUPED variance-reduced A/B readout (Deng et al., WSDM'13): the
     * experiment metric is each user's POST-`splitTs` event count, the
@@ -421,9 +430,16 @@ object Behavior {
       count(lit(1)).as("__n"), sum(col("__x")).as("__sx"),
       sum(col("__y")).as("__sy"), sum(col("__x") * col("__x")).as("__sxx"),
       sum(col("__x") * col("__y")).as("__sxy"))
+    // zero-variance guard: a pre-period with identical per-user counts
+    // (e.g. splitTs before every event ⇒ all __x = 0) zeroes the
+    // denominator; the natural CUPED semantics there is θ = 0
+    // (adjusted ≡ raw) — without the guard the division reads NULL
+    // (or throws under ANSI) and poisons every arm's adjusted mean
+    val denom = col("__n") * col("__sxx") - col("__sx") * col("__sx")
     val withTheta = stats.select(col("__n"), col("__sx"),
-      signedDiv((col("__n") * col("__sxy") - col("__sx") * col("__sy")) * 1000L,
-        col("__n") * col("__sxx") - col("__sx") * col("__sx")).as("theta_milli"),
+      when(denom === 0L, lit(0L)).otherwise(
+        signedDiv((col("__n") * col("__sxy") - col("__sx") * col("__sy")) * 1000L,
+          denom)).as("theta_milli"),
       signedDiv(col("__sx") * 1000L, col("__n")).as("__xbar_milli"))
     xy.crossJoin(broadcast(withTheta))
       .withColumn("__adj_milli",

@@ -18,9 +18,7 @@ object GraphOps {
     * the integer quotient exact past 2^53 (Spark's `/` on longs is
     * lossy double division; `expr("a div b")` resolves by NAME, which
     * iterative self-lineage plans make ambiguous). */
-  private def floorDiv(a: Column, b: Column): Column =
-    ((a - pmod(a, b)).cast("decimal(38,0)") / b.cast("decimal(38,0)"))
-      .cast("long")
+  private def floorDiv(a: Column, b: Column): Column = PortableDiv.nonNeg(a, b)
 
   /** Integer-exact PageRank over a directed edge list — every mass is
     * an int64 in units of 1/`scale` (ppm by default), the damping
@@ -84,6 +82,12 @@ object GraphOps {
       mass.unpersist()
       mass = next
     }
+    // the final mass frame is persisted AND materialized, so the loop
+    // inputs can release now — holding them would leak |E|+|V| cached
+    // rows per call (the connectedComponents cleanup rule). The caller
+    // owns the returned frame's release.
+    wEdges.unpersist()
+    nodes.unpersist()
     mass
   }
 
@@ -132,14 +136,22 @@ object GraphOps {
     val w2 = oriented.select(col("a"), col("b").as("y"), col("__ob").as("__oy"))
     val wedges = w1.join(w2, Seq("a")).filter(col("__ox") < col("__oy"))
     val closing = oriented.select(col("a").as("x"), col("b").as("y"))
+    // canonical (a < b < c) via ONE type-agnostic sort of the 3-array:
+    // the old sum-minus-extremes middle-vertex arithmetic was numeric-
+    // only — on STRING node ids (host graphs, the documented canonical
+    // use) the implicit double cast made every middle vertex NULL
     val tri = wedges.join(closing, Seq("x", "y"), "left_semi")
-      .select(
-        least(col("a"), col("x"), col("y")).as("ta"),
-        greatest(col("a"), col("x"), col("y")).as("tc"),
-        (col("a") + col("x") + col("y")).as("__sum"))
-      .select(col("ta").as("a"),
-        (col("__sum") - col("ta") - col("tc")).as("b"),
-        col("tc").as("c"))
+      .select(sort_array(array(col("a"), col("x"), col("y"))).as("__t"))
+      .select(col("__t").getItem(0).as("a"),
+        col("__t").getItem(1).as("b"),
+        col("__t").getItem(2).as("c"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // materialize, then drop the two loop-internal caches — otherwise
+    // every call leaks the normalized edge list and its orientation
+    // (the connectedComponents cleanup rule; caller releases `tri`)
+    tri.count()
+    e.unpersist()
+    oriented.unpersist()
     tri
   }
 }

@@ -33,4 +33,36 @@ object PortableHash {
     (conv(substring(h, 1, 14), 16, 10).cast("long"),
       conv(substring(h, 17, 14), 16, 10).cast("long"))
   }
+
+  /** The single-half 56-bit form (hex chars 1–14) — the hash behind
+    * Sampling.portableHash, HLL registers, and the KMV fraction. One
+    * definition so the "change ONLY together" warning above has one
+    * Spark-side site to change. */
+  def first56(c: Column, seed: Long): Column =
+    conv(substring(md5Hex(c, seed), 1, 14), 16, 10).cast("long")
+}
+
+/** THE portable integer-division recipe (the divisor twin of
+  * [[PortableHash]]): Spark's `div` TRUNCATES while DuckDB's `//`
+  * FLOORS, so cross-engine-exact quotients route every division
+  * through non-negative operands, where the two agree. One shared
+  * definition — GraphOps' PageRank masses, Behavior's ppm/milli
+  * rates, and any future floor-quotient must not fork their own copy
+  * (Stats keeps a DECIMAL(38,0)-domain variant whose operands are
+  * already decimal — different input contract, same identity). */
+object PortableDiv {
+
+  /** Floor quotient for NON-NEGATIVE operands (truncation == floor
+    * there). pmod keeps the remainder non-negative, the decimal cast
+    * keeps a·quotient exact at int64 edges. */
+  def nonNeg(a: Column, b: Column): Column =
+    ((a - pmod(a, b)).cast("decimal(38,0)") / b.cast("decimal(38,0)"))
+      .cast("long")
+
+  /** Sign-split floor-magnitude quotient: −(−a div b) for a < 0 —
+    * TRUNCATION toward zero in both engines (the documented milli/ppm
+    * rate semantics; NOT floor toward −∞, which Stats.floorDiv
+    * provides for its decimal domain). */
+  def signed(a: Column, b: Column): Column =
+    when(a < 0, -nonNeg(-a, b)).otherwise(nonNeg(a, b))
 }

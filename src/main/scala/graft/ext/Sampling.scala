@@ -56,8 +56,7 @@ object Sampling {
     * defined over this hash can be reproduced (and audited) outside
     * Spark — xxhash64 cannot. 14 hex chars = 56 bits, non-negative. */
   def portableHash(key: Column, seed: Long): Column =
-    conv(substring(md5(concat_ws("|", lit(seed.toString), key.cast("string"))), 1, 14),
-      16, 10).cast("long")
+    PortableHash.first56(key, seed)
 
   /** Engine-PORTABLE hash bucket in [0, 1e6): [[portableHash]] mod 1e6.
     * 2^56 mod 1e6 ≈ 1e-11 modulo bias — negligible (a 24-bit hash

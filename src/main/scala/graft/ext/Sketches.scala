@@ -34,8 +34,10 @@ object Sketches {
     * Returns (groupCols*, est_distinct double). */
   // 56-bit hash → uniform fraction in [0,1)
   private def kmvFrac(valueCol: String, seed: Long): org.apache.spark.sql.Column =
-    conv(substring(md5(concat_ws("|", lit(seed.toString),
-      col(valueCol).cast("string"))), 1, 14), 16, 10).cast("double") /
+    // first56 casts the digit string through LONG; long→double and
+    // string→double both round the same exact integer to the nearest
+    // double, so the fraction is bit-identical to the old direct parse
+    PortableHash.first56(col(valueCol), seed).cast("double") /
       lit(72057594037927936.0) // 2^56
 
   def kmvDistinctCount(df: DataFrame, groupCol: String, valueCol: String,
@@ -125,8 +127,7 @@ object Sketches {
     * sketches union into the global estimate with no re-scan). */
   def hllRegisters(df: DataFrame, groupCol: String, valueCol: String,
       seed: Long = 42L): DataFrame = {
-    val h = conv(substring(md5(concat_ws("|", lit(seed.toString),
-      col(valueCol).cast("string"))), 1, 14), 16, 10).cast("long")
+    val h = PortableHash.first56(col(valueCol), seed)
     val bucket = h.bitwiseAND(lit(63L))
     val rem = shiftright(h, 6) // 50-bit remainder
     // ρ = (# leading zeros of rem in 50 bits) + 1 = 51 - bitlength;
@@ -303,13 +304,19 @@ object Sketches {
   def cmEstimate(df: DataFrame, counters: DataFrame, valueCol: String,
       depth: Int = 4, width: Int = 256, seed: Long = 42L): DataFrame = {
     cmGuards(depth, width)
+    // LEFT join + coalesce-0: a probed value never inserted hashes to
+    // buckets ABSENT from the counter frame — an inner join would
+    // silently drop it (or overestimate from the buckets that happen
+    // to collide), where the sketch's true answer is min(..., 0) = 0.
+    // For inserted values every bucket exists, so this is exactly the
+    // old result (the bloomContains rule at the membership probe).
     df.select(col(valueCol)).distinct()
       .select(col(valueCol),
         posexplode(cmBuckets(valueCol, depth, width, seed))
           .as(Seq("__row", "__bucket")))
-      .join(broadcast(counters), Seq("__row", "__bucket"))
+      .join(broadcast(counters), Seq("__row", "__bucket"), "left")
       .groupBy(col(valueCol))
-      .agg(min(col("__cnt")).as("est_count"))
+      .agg(min(coalesce(col("__cnt"), lit(0L))).as("est_count"))
   }
 
   /** JOIN-SIZE estimation from count-min sketches (Cormode &
@@ -332,10 +339,19 @@ object Sketches {
     val cb = cmCounters(b.select(col(bCol).cast("string").as("__v"))
       .repartition(col("__v")), "__v", depth, width, seed)
       .withColumnRenamed("__cnt", "__cntB")
-    ca.join(cb, Seq("__row", "__bucket"))
+    // per-row inner products: buckets present on only one side add 0
+    // to the SUM, so the inner join is right for the Σ — but a depth
+    // row with ZERO bucket overlap vanishes from it entirely, and its
+    // inner product (0, the best possible bound) must still win the
+    // min. Re-seat the row sums on the full 0..depth-1 spine with
+    // coalesce-0 so disjoint (or empty) sides estimate 0, not NULL.
+    val rowSpine = a.sparkSession.range(depth)
+      .select(col("id").cast("int").as("__row"))
+    val ip = ca.join(cb, Seq("__row", "__bucket"))
       .groupBy(col("__row"))
       .agg(sum(col("__cnt") * col("__cntB")).as("__ip"))
-      .agg(min(col("__ip")).as("est_join_rows"))
+    rowSpine.join(broadcast(ip), Seq("__row"), "left")
+      .agg(min(coalesce(col("__ip"), lit(0L))).as("est_join_rows"))
   }
 
   // ------------------------------------------------------------ bloom
@@ -503,8 +519,13 @@ object Sketches {
       .select(col(groupCol), col("q_est").as("__wlo"))
     val bHi = histQuantile(st, groupCol, pHi, lo, hi, bins)
       .select(col(groupCol), col("q_est").as("__whi"))
-    df.join(broadcast(bLo), Seq(groupCol))
-      .join(broadcast(bHi), Seq(groupCol))
+    // LEFT joins: a group whose values are ALL NULL has no histogram,
+    // hence no bounds row — an inner join would silently DELETE the
+    // group's rows instead of passing their NULLs through. A non-null
+    // value always has bounds (its group histogrammed it), so the
+    // clamp arm never sees a null bound.
+    df.join(broadcast(bLo), Seq(groupCol), "left")
+      .join(broadcast(bHi), Seq(groupCol), "left")
       .withColumn(s"${valueCol}_wins",
         // explicit NULL guard: least/greatest IGNORE nulls (a null
         // value would silently clamp to the lower bound)

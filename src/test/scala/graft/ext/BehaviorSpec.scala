@@ -197,6 +197,31 @@ class BehaviorSpec extends SparkSpec {
     }
   }
 
+  test("cuped: zero-variance pre-period reads theta = 0 (adjusted == raw), not NULL") {
+    // splitTs before every event: all covariates are 0 -> the theta
+    // denominator is 0; without the guard every arm's adjusted mean
+    // read NULL
+    val rows = (1L to 4L).flatMap { u =>
+      (1L to u).map(i => (u, ts(f"2024-01-20 00:$i%02d:00"), "view")) }
+    val out = Behavior.cuped(rows.toDF("user_id", "ts", "event_type"),
+        "user_id", "ts", "event_type", splitTs = "2024-01-01 00:00:00")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    out.values.foreach { case (meanRaw, meanAdj, theta) =>
+      assert(theta == 0L, s"theta $theta")
+      assert(meanAdj == meanRaw, s"adjusted $meanAdj must equal raw $meanRaw")
+    }
+  }
+
+  test("funnel: an empty event stream reads 0 at every stage, never NULL") {
+    val ev = Seq.empty[(Long, java.sql.Timestamp, String)]
+      .toDF("user_id", "ts", "event_type")
+    val out = Behavior.funnel(ev, "user_id", "ts", "event_type",
+        Seq("view", "click"))
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(out == Map("view" -> 0L, "click" -> 0L))
+  }
+
   test("coveredTime: overlapping windows merge, disjoint ones add; partial overlap never double-counts") {
     val ev = Seq(
       // user 1: 00:00 and 00:03 overlap (5-min windows) -> one island

@@ -57,6 +57,17 @@ class GraphOpsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("triangles: STRING node ids (host graphs, the canonical use) enumerate correctly") {
+    // regression: the middle vertex used sum-minus-extremes NUMERIC
+    // arithmetic, which null'd every b on string ids
+    val edges = Seq(("a.com", "b.com"), ("b.com", "c.com"), ("a.com", "c.com"),
+      ("c.com", "d.com")).toDF("s", "t")
+    val got = GraphOps.triangles(edges, "s", "t")
+      .as[(String, String, String)].collect().toSet
+    assert(got == Set(("a.com", "b.com", "c.com")))
+    spark.catalog.clearCache()
+  }
+
   test("triangles: a hub star has none; orientation bounds the hub's wedge fan-out") {
     // hub 0 linked to 50 leaves: naive wedge join on the hub would
     // generate C(50,2) candidates; degree-ordering orients every edge

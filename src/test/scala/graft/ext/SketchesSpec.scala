@@ -243,6 +243,42 @@ class SketchesSpec extends SparkSpec {
     assert(narrow >= exact, s"narrow $narrow must be >= exact $exact")
   }
 
+  test("cmEstimate: a never-inserted probe value reads 0, not missing/inflated") {
+    val counters = Sketches.cmCounters(
+      (1L to 40L).map(_.toString).toDF("val"), "val")
+    val probes = Seq("1", "7", "never-inserted-xyz").toDF("val")
+    val est = Sketches.cmEstimate(probes, counters, "val")
+      .as[(String, Long)].collect().toMap
+    assert(est.keySet == Set("1", "7", "never-inserted-xyz"),
+      "every probed value must appear in the estimate")
+    assert(est("1") >= 1L && est("7") >= 1L)
+    assert(est("never-inserted-xyz") == 0L,
+      "absent buckets are zero counters — the sketch min must be 0")
+  }
+
+  test("cmJoinSizeEstimate: disjoint sides estimate 0, empty side estimates 0") {
+    val a = (1L to 30L).toDF("k")
+    val b = (1000L to 1030L).toDF("k")
+    // wide sketch: no collisions, so some depth row has zero overlap
+    // and its inner product (0) must win the min — not vanish from it
+    val disjoint = Sketches.cmJoinSizeEstimate(a, "k", b, "k",
+      depth = 4, width = 4096).as[Long].collect().head
+    assert(disjoint == 0L, s"disjoint keys must estimate 0, got $disjoint")
+    val empty = Sketches.cmJoinSizeEstimate(a, "k",
+      Seq.empty[Long].toDF("k"), "k").as[Long].collect().head
+    assert(empty == 0L, s"empty side must estimate 0, got $empty")
+  }
+
+  test("winsorize: an all-NULL group keeps its rows (NULL wins), not silently dropped") {
+    val df = Seq(("g", 1L, Some(10.0)), ("g", 2L, Some(20.0)),
+      ("h", 3L, Option.empty[Double]), ("h", 4L, Option.empty[Double]))
+      .toDF("g", "id", "v")
+    val out = Sketches.winsorize(df, "g", "v", 0.0, 1024.0, 256)
+    assert(out.count() == 4L, "no row may vanish on an all-NULL group")
+    val h = out.filter($"g" === "h").collect()
+    assert(h.length == 2 && h.forall(_.isNullAt(3)))
+  }
+
   test("histDriftTV: identical groups read ~0, a shifted group reads large; bounded by 1e6") {
     // three groups: a and b share one distribution, c is shifted far away
     val rows = (1 to 200).flatMap { i =>
