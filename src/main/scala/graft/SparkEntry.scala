@@ -3302,6 +3302,52 @@ object SparkEntry {
       out.orderBy(col("id"))
     }),
 
+    // WELCH'S t: are click and view event values drawn from the same
+    // mean? The inference step q170's lift point-estimate stops short
+    // of — exact decimal moments, one IEEE double expression, floor
+    // milli (the q258 replay recipe).
+    "q263_welch_t" -> ((s, d) =>
+      graft.ext.Stats.welchT(
+        T(s, d, "events").select(col("event_type"),
+          round(col("value") * 100).cast("long").as("cents")),
+        "event_type", "click", "view", "cents")),
+
+    // THEIL–SEN robust slope of each event type's daily revenue — the
+    // median-of-pairwise-slopes trend q186's least squares can't hold
+    // under outlier days; pairs explode from the 30-day DAILY series
+    // (days², never rows²), each slope floor-ppm exact.
+    "q264_theil_sen" -> ((s, d) =>
+      graft.ext.Stats.theilSen(
+        T(s, d, "events")
+          .groupBy(col("event_type"), dayofmonth(col("ts")).as("day"))
+          .agg(sum(round(col("value") * 100).cast("long")).as("cents")),
+        "event_type", "day", "cents")
+        .orderBy(col("event_type"))),
+
+    // LAG-k AUTOCORRELATION of daily event volume (lags 1–3): the
+    // serial-dependence audit behind q187's CUSUM — per-lag Pearson
+    // over the domain-sized daily series, exact sufficient statistics,
+    // one double expression per (type, lag).
+    "q265_acf" -> ((s, d) =>
+      graft.ext.Stats.autocorr(
+        T(s, d, "events")
+          .groupBy(col("event_type"), dayofmonth(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n_ev")),
+        "event_type", "day", "n_ev", maxLag = 3)
+        .orderBy(col("event_type"), col("lag"))),
+
+    // WALD–WOLFOWITZ runs test on daily revenue around its low median
+    // — too few runs = trending/level-shifted days (the q187 signal
+    // read as a significance test), too many = alternation; exact
+    // integer runs, IEEE z in floor milli.
+    "q266_runs_test" -> ((s, d) =>
+      graft.ext.Stats.runsTest(
+        T(s, d, "events")
+          .groupBy(col("event_type"), dayofmonth(col("ts")).as("day"))
+          .agg(sum(round(col("value") * 100).cast("long")).as("cents")),
+        "event_type", "day", "cents")
+        .orderBy(col("event_type"))),
+
     // DELETE-AWARE incremental MV (closes q159's retraction boundary,
     // Incremental object doc): the lineitem rollup absorbs an insert
     // batch AND a delete batch purely from per-batch RETRACTABLE
@@ -6736,6 +6782,139 @@ object SparkEntry {
       """SELECT CAST(r.range AS BIGINT) AS id,
         |  CAST(r.range - r.range % 4 AS BIGINT) AS cluster_id
         |FROM range(0, 100000) r ORDER BY id""".stripMargin,
+
+    // exact HUGEINT moments, then the IDENTICAL double expression
+    // order as the engine (every op IEEE correctly-rounded)
+    "q263_welch_t" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE value IS NOT NULL AND event_type IN ('click', 'view')),
+        |a AS (
+        |  SELECT
+        |    count(CASE WHEN event_type = 'click' THEN 1 END) AS na,
+        |    sum(CASE WHEN event_type = 'click' THEN CAST(cents AS HUGEINT) END) AS sa,
+        |    sum(CASE WHEN event_type = 'click' THEN CAST(cents AS HUGEINT) * cents END) AS qa,
+        |    count(CASE WHEN event_type = 'view' THEN 1 END) AS nb,
+        |    sum(CASE WHEN event_type = 'view' THEN CAST(cents AS HUGEINT) END) AS sb,
+        |    sum(CASE WHEN event_type = 'view' THEN CAST(cents AS HUGEINT) * cents END) AS qb
+        |  FROM e),
+        |d AS (
+        |  SELECT na, nb,
+        |    CAST(na AS DOUBLE) AS nad, CAST(sa AS DOUBLE) AS sad, CAST(qa AS DOUBLE) AS qad,
+        |    CAST(nb AS DOUBLE) AS nbd, CAST(sb AS DOUBLE) AS sbd, CAST(qb AS DOUBLE) AS qbd
+        |  FROM a),
+        |v AS (
+        |  SELECT *,
+        |    (nad * qad - sad * sad) / (nad * (nad - 1.0)) AS va,
+        |    (nbd * qbd - sbd * sbd) / (nbd * (nbd - 1.0)) AS vb
+        |  FROM d),
+        |w AS (SELECT *, va / nad AS sea, vb / nbd AS seb FROM v)
+        |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+        |  sad / nad AS mean_a, sbd / nbd AS mean_b,
+        |  CASE WHEN na > 1 AND nb > 1 AND (va + vb) > 0
+        |    THEN CAST(floor(1000.0 * ((sad / nad - sbd / nbd) / sqrt(sea + seb))) AS BIGINT)
+        |    ELSE NULL END AS t_milli,
+        |  CASE WHEN na > 1 AND nb > 1 AND (va + vb) > 0
+        |    THEN CAST(floor(1000.0 * (((sea + seb) * (sea + seb)) /
+        |      (sea * sea / (nad - 1.0) + seb * seb / (nbd - 1.0)))) AS BIGINT)
+        |    ELSE NULL END AS df_milli
+        |FROM w""".stripMargin,
+
+    // daily-series pairwise slopes, each floored through the signed
+    // shim (DuckDB // truncates; the engine floors toward −∞), low
+    // median = rank ⌊(m+1)/2⌋ order statistic
+    "q264_theil_sen" ->
+      """WITH dly AS (
+        |  SELECT event_type, CAST(date_part('day', ts) AS BIGINT) AS day,
+        |    sum(CAST(round(value * 100) AS BIGINT)) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |p AS (
+        |  SELECT a.event_type,
+        |    ((CAST(b.cents AS HUGEINT) - a.cents) * 1000000
+        |      - ((((CAST(b.cents AS HUGEINT) - a.cents) * 1000000) % (b.day - a.day))
+        |         + (b.day - a.day)) % (b.day - a.day)) // (b.day - a.day) AS slope,
+        |    a.day AS x1, b.day AS x2
+        |  FROM dly a JOIN dly b ON b.event_type = a.event_type AND b.day > a.day),
+        |r AS (SELECT event_type, slope,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY slope, x1, x2) AS rk,
+        |    count(*) OVER (PARTITION BY event_type) AS m
+        |  FROM p)
+        |SELECT event_type, CAST(m AS BIGINT) AS n_pairs, CAST(slope AS BIGINT) AS slope_ppm
+        |FROM r WHERE rk = (m + 1) // 2
+        |ORDER BY event_type""".stripMargin,
+
+    // per-lag pair join on the daily series, exact HUGEINT sufficient
+    // stats, the q253 double expression term for term
+    "q265_acf" ->
+      """WITH dly AS (
+        |  SELECT event_type, CAST(date_part('day', ts) AS BIGINT) AS day, count(*) AS v
+        |  FROM events GROUP BY 1, 2),
+        |l(lag) AS (VALUES (1), (2), (3)),
+        |p AS (
+        |  SELECT a.event_type, l.lag, CAST(a.v AS HUGEINT) AS x, CAST(b.v AS HUGEINT) AS y
+        |  FROM dly a CROSS JOIN l JOIN dly b
+        |    ON b.event_type = a.event_type AND b.day = a.day + l.lag),
+        |t AS (
+        |  SELECT event_type, lag, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |    sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+        |  FROM p GROUP BY 1, 2),
+        |d AS (
+        |  SELECT event_type, lag, n,
+        |    CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+        |    CAST(sxy AS DOUBLE) AS sxyd, CAST(sxx AS DOUBLE) AS sxxd, CAST(syy AS DOUBLE) AS syyd
+        |  FROM t),
+        |f AS (
+        |  SELECT event_type, lag, n,
+        |    sqrt(nd * sxxd - sxd * sxd) * sqrt(nd * syyd - syd * syd) AS den,
+        |    nd * sxyd - sxd * syd AS num
+        |  FROM d)
+        |SELECT event_type, CAST(lag AS BIGINT) AS lag, CAST(n AS BIGINT) AS n,
+        |  CASE WHEN den = 0 THEN NULL ELSE num / den END AS acf
+        |FROM f ORDER BY event_type, lag""".stripMargin,
+
+    // the engine's window pass replayed: low-median per key, equal
+    // values dropped, runs from sign changes, IEEE z in floor milli
+    "q266_runs_test" ->
+      """WITH dly AS (
+        |  SELECT event_type, CAST(date_part('day', ts) AS BIGINT) AS day,
+        |    sum(CAST(round(value * 100) AS BIGINT)) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT event_type, day, cents,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY cents, day) AS rk,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM dly),
+        |med AS (SELECT event_type, cents AS med FROM r WHERE rk = (n + 1) // 2),
+        |sg AS (
+        |  SELECT d.event_type, d.day, CASE WHEN d.cents > m.med THEN 1 ELSE 0 END AS up
+        |  FROM dly d JOIN med m USING (event_type) WHERE d.cents <> m.med),
+        |ch AS (
+        |  SELECT event_type, up,
+        |    CASE WHEN lag(up) OVER (PARTITION BY event_type ORDER BY day) IS NULL THEN 0
+        |         WHEN lag(up) OVER (PARTITION BY event_type ORDER BY day) <> up THEN 1
+        |         ELSE 0 END AS chg
+        |  FROM sg),
+        |a AS (
+        |  SELECT event_type, sum(up) AS n1, sum(1 - up) AS n2, sum(chg) + 1 AS runs
+        |  FROM ch GROUP BY 1),
+        |d2 AS (
+        |  SELECT event_type, n1, n2, runs,
+        |    CAST(n1 AS DOUBLE) AS n1d, CAST(n2 AS DOUBLE) AS n2d
+        |  FROM a),
+        |f AS (
+        |  SELECT event_type, n1, n2, runs, n1d, n2d,
+        |    n1d + n2d AS nd, 2.0 * n1d * n2d AS p2
+        |  FROM d2),
+        |g AS (
+        |  SELECT *, 1.0 + p2 / nd AS e,
+        |    (p2 * (p2 - nd)) / (nd * nd * (nd - 1.0)) AS vr
+        |  FROM f)
+        |SELECT event_type, CAST(n1 AS BIGINT) AS n_above, CAST(n2 AS BIGINT) AS n_below,
+        |  CAST(runs AS BIGINT) AS runs,
+        |  CASE WHEN n1 > 0 AND n2 > 0 AND n1 + n2 > 2 AND vr > 0
+        |    THEN CAST(floor(1000.0 * (CAST(runs AS DOUBLE) - e) / sqrt(vr)) AS BIGINT)
+        |    ELSE NULL END AS z_milli
+        |FROM g ORDER BY event_type""".stripMargin,
 
     // direct recompute over (base ∪ inserts) ∖ deletes — the survivor
     // predicate is the complement of the delete batch's

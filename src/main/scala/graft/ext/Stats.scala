@@ -338,4 +338,199 @@ object Stats {
           col("n_a").cast(Dec) * col("n_b")).as("d_ppm"),
         col("__am").getField("v").as("at_value"))
   }
+
+  /** Welch's unequal-variance t-test between `groupA` and `groupB` of
+    * `groupCol`, over a caller-quantized integral `valueCol` — the
+    * parametric companion to [[rankSumTest]] (means, not ranks) and
+    * the inference step [[Behavior.abLift]]'s point estimates stop
+    * short of. Returns ONE row:
+    *   - `n_a`, `n_b`, `mean_a`, `mean_b` (doubles, sum/n);
+    *   - `t_milli` — floor(1000·t), t = (m_a − m_b)/√(v_a/n_a + v_b/n_b);
+    *   - `df_milli` — floor(1000·df), the Welch–Satterthwaite degrees
+    *     of freedom (df ≥ min(n_a,n_b) − 1; |t| ≳ 1.96 at df ≳ 30 is
+    *     the usual bar).
+    * Sufficient statistics (n, Σx, Σx²) ride DECIMAL(38,0) — Σx²
+    * reaches 10²⁶ at 10¹² cent-quantized rows, past int64 — and are
+    * cast to double ONCE; every downstream step is IEEE-correctly-
+    * rounded (+,−,×,/,√), so an oracle replaying the same expression
+    * order reproduces both floors bit for bit. t/df are NULL when
+    * either group has < 2 rows or both variances are 0.
+    *
+    * Scale shape: ONE hash aggregate over the filtered scan — no
+    * window, no join; map-side partials collapse each partition to
+    * six numbers. */
+  def welchT(df: DataFrame, groupCol: String, groupA: String,
+      groupB: String, valueCol: String): DataFrame = {
+    val v = col(valueCol).cast(Dec)
+    val agg = df
+      .filter(col(valueCol).isNotNull && col(groupCol).isin(groupA, groupB))
+      .agg(
+        count(when(col(groupCol) === groupA, 1L)).as("n_a"),
+        sum(when(col(groupCol) === groupA, v)).cast(Dec).as("__sa"),
+        sum(when(col(groupCol) === groupA, v * v)).cast(Dec).as("__qa"),
+        count(when(col(groupCol) === groupB, 1L)).as("n_b"),
+        sum(when(col(groupCol) === groupB, v)).cast(Dec).as("__sb"),
+        sum(when(col(groupCol) === groupB, v * v)).cast(Dec).as("__qb"))
+    val (na, nb) = (col("n_a").cast("double"), col("n_b").cast("double"))
+    val (sa, sb) = (col("__sa").cast("double"), col("__sb").cast("double"))
+    val (qa, qb) = (col("__qa").cast("double"), col("__qb").cast("double"))
+    // sample variance via the n·Σx² − (Σx)² form, in doubles AFTER the
+    // exact decimal sums (the one decimal→double rounding per stat)
+    val va = (na * qa - sa * sa) / (na * (na - lit(1.0)))
+    val vb = (nb * qb - sb * sb) / (nb * (nb - lit(1.0)))
+    val (sea, seb) = (va / na, vb / nb)
+    val t = (sa / na - sb / nb) / sqrt(sea + seb)
+    val dfw = ((sea + seb) * (sea + seb)) /
+      (sea * sea / (na - lit(1.0)) + seb * seb / (nb - lit(1.0)))
+    val ok = col("n_a") > 1L && col("n_b") > 1L && (va + vb) > 0.0
+    agg.select(col("n_a"), col("n_b"),
+      (sa / na).as("mean_a"), (sb / nb).as("mean_b"),
+      when(ok, floor(lit(1000.0) * t).cast("long"))
+        .otherwise(lit(null).cast("long")).as("t_milli"),
+      when(ok, floor(lit(1000.0) * dfw).cast("long"))
+        .otherwise(lit(null).cast("long")).as("df_milli"))
+  }
+
+  /** Theil–Sen robust slope per key: the LOW MEDIAN of all pairwise
+    * slopes (y_j − y_i)/(x_j − x_i), x_i < x_j, in floor ppm — the
+    * trend estimate a 29%-outlier-contaminated series cannot drag
+    * (Sen 1968), where [[Audit.groupedTrend]]'s least squares follows
+    * every spike. Input contract: ONE integral y per (key, x) — the
+    * caller pre-aggregates (e.g. daily totals), which is also what
+    * bounds the pair explosion: pairs per key = C(|x-domain|, 2),
+    * days², NOT rows². Each slope floors independently through the
+    * exact decimal identity ([[floorDiv]], toward −∞ for falling
+    * trends); the low median is the slope at rank ⌊(m+1)/2⌋ of the m
+    * ascending slopes — an ORDER STATISTIC, exact and replayable, not
+    * an interpolated midpoint. Returns (key, n_pairs,
+    * slope_ppm) — slope in y-units-per-million-x-units.
+    *
+    * Scale shape: per-key self-join on the pre-aggregated series
+    * (domain-sized both sides), per-key window over ≤ days² pair
+    * rows. Keys partition independently — the 100 TB path is many
+    * keys, never a big window. */
+  def theilSen(df: DataFrame, keyCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val s1 = df.select(col(keyCol).as("__k"), col(xCol).cast("long").as("__x1"),
+      col(yCol).cast("long").as("__y1"))
+    val s2 = df.select(col(keyCol).as("__k"), col(xCol).cast("long").as("__x2"),
+      col(yCol).cast("long").as("__y2"))
+    val pairs = s1.join(s2, Seq("__k")).filter(col("__x2") > col("__x1"))
+      .select(col("__k"),
+        floorDiv((col("__y2").cast(Dec) - col("__y1")) * lit(1000000L),
+          (col("__x2").cast(Dec) - col("__x1"))).as("__slope"),
+        col("__x1"), col("__x2"))
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__slope"), col("__x1"), col("__x2"))
+    pairs
+      .withColumn("__rk", row_number().over(w))
+      .withColumn("__m", count(lit(1)).over(Window.partitionBy(col("__k"))))
+      // low-median rank ⌊(m+1)/2⌋ — floor() because Spark's `/` on
+      // longs is DOUBLE division (odd m+1 would match no row)
+      .filter(col("__rk") ===
+        floor((col("__m") + lit(1L)) / lit(2L)).cast("long"))
+      .select(col("__k").as(keyCol), col("__m").as("n_pairs"),
+        col("__slope").as("slope_ppm"))
+  }
+
+  /** Lag-k autocorrelation (ACF) of a per-key integral series, lags
+    * 1..maxLag — "does yesterday predict today?" for the daily-volume
+    * audits [[Audit.groupedTrend]] and CUSUM read in level terms.
+    * Input contract: ONE integral value per (key, t) with integer t
+    * (day number / hour index), caller pre-aggregated. For each lag k
+    * the (v_t, v_{t+k}) pairs feed the exact-sufficient-statistics
+    * Pearson of [[spearman]]'s final step: six DECIMAL(38,0) sums,
+    * then ONE double expression — so the oracle replays the double
+    * bit for bit. Returns (key, lag, n, acf) with acf NULL when
+    * either margin is constant (n ≤ 1 or zero variance).
+    *
+    * Note this is the CORRELATION form (per-lag margins), not the
+    * autocovariance-over-variance form classical ACF tables use —
+    * equal in the stationary limit, and exactly replayable, which the
+    * classical form (global mean subtraction) also would be, but with
+    * weaker small-n behavior at the series edges.
+    *
+    * Scale shape: the series is domain-sized (keys × time grain); the
+    * lag grid is a broadcast ≤maxLag-row explode; one equi-join on
+    * (key, t+k) and one (key, lag) hash aggregate. */
+  def autocorr(df: DataFrame, keyCol: String, tCol: String,
+      vCol: String, maxLag: Int): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
+    val s = df.select(col(keyCol).as("__k"), col(tCol).cast("long").as("__t"),
+      col(vCol).cast("long").as("__v"))
+    val agg = s.as("a")
+      .select(col("a.__k"), col("a.__t"), col("a.__v").as("__x"))
+      .withColumn("lag", explode(sequence(lit(1), lit(maxLag))))
+      .join(s.as("b").select(col("b.__k").as("__k2"), col("b.__t").as("__t2"),
+          col("b.__v").as("__y")),
+        col("__k") === col("__k2") && col("__t2") === col("__t") + col("lag"))
+      .groupBy(col("__k"), col("lag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__x").cast(Dec)).cast(Dec).as("__sx"),
+        sum(col("__y").cast(Dec)).cast(Dec).as("__sy"),
+        sum(col("__x").cast(Dec) * col("__y")).cast(Dec).as("__sxy"),
+        sum(col("__x").cast(Dec) * col("__x")).cast(Dec).as("__sxx"),
+        sum(col("__y").cast(Dec) * col("__y")).cast(Dec).as("__syy"))
+    val (n, sx, sy) = (col("n").cast("double"),
+      col("__sx").cast("double"), col("__sy").cast("double"))
+    val (sxy, sxx, syy) = (col("__sxy").cast("double"),
+      col("__sxx").cast("double"), col("__syy").cast("double"))
+    val den = sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)
+    agg.select(col("__k").as(keyCol), col("lag").cast("long").as("lag"),
+      col("n"),
+      when(den === 0.0, lit(null).cast("double"))
+        .otherwise((n * sxy - sx * sy) / den).as("acf"))
+  }
+
+  /** Wald–Wolfowitz RUNS test per key: is the sign sequence of a
+    * series around its median random, or does it trend/oscillate?
+    * (Too FEW runs ⇒ level shifts / trending — the q187 CUSUM
+    * signal; too MANY ⇒ alternation.) Input contract: one integral
+    * value per (key, t), caller pre-aggregated. Per key:
+    *   - the LOW MEDIAN (order statistic at rank ⌊(n+1)/2⌋ — exact,
+    *     the [[theilSen]] rule) of the values;
+    *   - values EQUAL to the median drop (the standard tie rule);
+    *     `n_above`/`n_below` count the survivors;
+    *   - `runs` = 1 + #sign changes in t-order;
+    *   - `z_milli` = floor(1000·(R − E)/√V) with E = 1 + 2n₁n₂/n and
+    *     V = 2n₁n₂(2n₁n₂ − n)/(n²(n − 1)) — doubles from exact
+    *     integers, IEEE-replayable; NULL when either side is empty or
+    *     V = 0.
+    * Scale shape: per-key windows over the DOMAIN-sized series (days
+    * per key), never over raw rows; keys partition independently. */
+  def runsTest(df: DataFrame, keyCol: String, tCol: String,
+      vCol: String): DataFrame = {
+    val s = df.select(col(keyCol).as("__k"), col(tCol).cast("long").as("__t"),
+      col(vCol).cast("long").as("__v"))
+    val wRank = Window.partitionBy(col("__k")).orderBy(col("__v"), col("__t"))
+    val wKey = Window.partitionBy(col("__k"))
+    val med = s
+      .withColumn("__rk", row_number().over(wRank))
+      .withColumn("__n", count(lit(1)).over(wKey))
+      .filter(col("__rk") ===
+        floor((col("__n") + lit(1L)) / lit(2L)).cast("long"))
+      .select(col("__k"), col("__v").as("__med"))
+    val wT = Window.partitionBy(col("__k")).orderBy(col("__t"))
+    val signs = s.join(med, Seq("__k")).filter(col("__v") =!= col("__med"))
+      .withColumn("__up", (col("__v") > col("__med")).cast("int"))
+      .withColumn("__chg",
+        when(lag(col("__up"), 1).over(wT).isNull, 0)
+          .when(lag(col("__up"), 1).over(wT) =!= col("__up"), 1)
+          .otherwise(0))
+    val agg = signs.groupBy(col("__k"))
+      .agg(sum(col("__up")).as("n_above"),
+        sum(lit(1) - col("__up")).as("n_below"),
+        (sum(col("__chg")) + lit(1L)).as("runs"))
+    val (n1, n2) = (col("n_above").cast("double"), col("n_below").cast("double"))
+    val n = n1 + n2
+    val p2 = lit(2.0) * n1 * n2
+    val e = lit(1.0) + p2 / n
+    val vr = (p2 * (p2 - n)) / (n * n * (n - lit(1.0)))
+    val ok = col("n_above") > 0L && col("n_below") > 0L &&
+      (col("n_above") + col("n_below")) > 2L && vr > 0.0
+    agg.select(col("__k").as(keyCol), col("n_above"), col("n_below"),
+      col("runs"),
+      when(ok, floor(lit(1000.0) * (col("runs").cast("double") - e) / sqrt(vr))
+        .cast("long")).otherwise(lit(null).cast("long")).as("z_milli"))
+  }
 }

@@ -243,4 +243,113 @@ class StatsSpec extends SparkSpec {
     assert(out.getAs[Long]("w_total") == 104L)
     assert(out.getAs[Double]("q_value") == 3.0)
   }
+
+  test("welchT: identical samples give t = 0 and the textbook df") {
+    val out = Stats.welchT(twoGroups(Seq(1L, 2L, 3L), Seq(1L, 2L, 3L)),
+      "g", "A", "B", "v").collect().head
+    assert(out.getAs[Long]("t_milli") == 0L)
+    // va = vb = 1, sea = seb = 1/3: df = (2/3)^2 / (2·(1/9)/2) = 4
+    assert(out.getAs[Long]("df_milli") == 4000L)
+    assert(out.getAs[Double]("mean_a") == 2.0 && out.getAs[Double]("mean_b") == 2.0)
+  }
+
+  test("welchT: matches the hand-evaluated formula; <2 rows gives NULL") {
+    val a = Seq(10L, 12L, 19L, 25L, 31L)
+    val b = Seq(8L, 9L, 11L, 12L)
+    val out = Stats.welchT(twoGroups(a, b), "g", "A", "B", "v").collect().head
+    def stats(x: Seq[Long]) = {
+      val n = x.size.toDouble; val s = x.sum.toDouble
+      val q = x.map(v => v.toDouble * v).sum
+      (n, s, (n * q - s * s) / (n * (n - 1.0)))
+    }
+    val (na, sa, va) = stats(a); val (nb, sb, vb) = stats(b)
+    val (sea, seb) = (va / na, vb / nb)
+    val t = (sa / na - sb / nb) / math.sqrt(sea + seb)
+    val dfw = ((sea + seb) * (sea + seb)) /
+      (sea * sea / (na - 1.0) + seb * seb / (nb - 1.0))
+    assert(out.getAs[Long]("t_milli") == math.floor(1000.0 * t).toLong)
+    assert(out.getAs[Long]("df_milli") == math.floor(1000.0 * dfw).toLong)
+    val tiny = Stats.welchT(twoGroups(Seq(5L), Seq(1L, 2L)), "g", "A", "B", "v")
+      .collect().head
+    assert(tiny.isNullAt(tiny.fieldIndex("t_milli")))
+    assert(tiny.isNullAt(tiny.fieldIndex("df_milli")))
+  }
+
+  private def series(k: String, pts: (Long, Long)*) =
+    pts.map { case (x, y) => (k, x, y) }.toDF("k", "x", "y")
+
+  test("theilSen: exact line recovers its slope; falling line floors negative") {
+    val up = Stats.theilSen(series("k", 1L -> 1L, 2L -> 3L, 3L -> 5L),
+      "k", "x", "y").collect().head
+    assert(up.getAs[Long]("n_pairs") == 3L)
+    assert(up.getAs[Long]("slope_ppm") == 2000000L)
+    val dn = Stats.theilSen(series("k", 1L -> 5L, 2L -> 3L, 3L -> 1L),
+      "k", "x", "y").collect().head
+    assert(dn.getAs[Long]("slope_ppm") == -2000000L)
+    // fractional slope floors: (1 − 0)/(3 − 1) = 0.5 → 500000
+    val half = Stats.theilSen(series("k", 1L -> 0L, 3L -> 1L), "k", "x", "y")
+      .collect().head
+    assert(half.getAs[Long]("n_pairs") == 1L)
+    assert(half.getAs[Long]("slope_ppm") == 500000L)
+  }
+
+  test("theilSen: one outlier does not drag the median slope") {
+    // y = x except y(5) = 1000: 6 of 10 pairwise slopes stay 1
+    val out = Stats.theilSen(
+      series("k", 1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L, 5L -> 1000L),
+      "k", "x", "y").collect().head
+    assert(out.getAs[Long]("n_pairs") == 10L)
+    assert(out.getAs[Long]("slope_ppm") == 1000000L)
+  }
+
+  test("autocorr: a linear series is perfectly lag-correlated") {
+    val df = series("k", (1L to 6L).map(t => t -> t): _*)
+    val out = Stats.autocorr(df, "k", "x", "y", maxLag = 2)
+      .collect().map(r => r.getAs[Long]("lag") ->
+        (r.getAs[Long]("n"), r.getAs[Double]("acf"))).toMap
+    assert(out(1L)._1 == 5L && math.abs(out(1L)._2 - 1.0) < 1e-12)
+    assert(out(2L)._1 == 4L && math.abs(out(2L)._2 - 1.0) < 1e-12)
+  }
+
+  test("autocorr: constant series and single-pair lags give NULL acf") {
+    val flat = Stats.autocorr(series("k", 1L -> 7L, 2L -> 7L, 3L -> 7L),
+      "k", "x", "y", maxLag = 1).collect().head
+    assert(flat.isNullAt(flat.fieldIndex("acf")))
+    // 2-point series at lag 1: one pair, zero variance margins
+    val single = Stats.autocorr(series("k", 1L -> 1L, 2L -> 2L),
+      "k", "x", "y", maxLag = 1).collect().head
+    assert(single.getAs[Long]("n") == 1L)
+    assert(single.isNullAt(single.fieldIndex("acf")))
+  }
+
+  test("autocorr: alternating series anti-correlates at lag 1, correlates at 2") {
+    val df = series("k", 1L -> 0L, 2L -> 10L, 3L -> 0L, 4L -> 10L, 5L -> 0L, 6L -> 10L)
+    val out = Stats.autocorr(df, "k", "x", "y", maxLag = 2)
+      .collect().map(r => r.getAs[Long]("lag") -> r.getAs[Double]("acf")).toMap
+    assert(out(1L) < -0.9 && out(2L) > 0.99)
+  }
+
+  test("runsTest: monotone series collapses to 2 runs; median row drops") {
+    // values 1..10: low median 5 drops; signs 0000 11111 → 2 runs
+    val df = series("k", (1L to 10L).map(t => t -> t): _*)
+    val out = Stats.runsTest(df, "k", "x", "y").collect().head
+    assert(out.getAs[Long]("n_above") == 5L)
+    assert(out.getAs[Long]("n_below") == 4L)
+    assert(out.getAs[Long]("runs") == 2L)
+    val (n1, n2) = (5.0, 4.0); val n = n1 + n2; val p2 = 2.0 * n1 * n2
+    val e = 1.0 + p2 / n
+    val vr = (p2 * (p2 - n)) / (n * n * (n - 1.0))
+    val z = math.floor(1000.0 * (2.0 - e) / math.sqrt(vr)).toLong
+    assert(out.getAs[Long]("z_milli") == z && z < -2000)
+  }
+
+  test("runsTest: perfect alternation maximizes runs with positive z") {
+    val vals = Seq(1L, 10L, 2L, 11L, 3L, 12L, 4L, 13L) // low median 4 drops
+    val df = series("k", vals.zipWithIndex.map { case (v, i) => (i + 1).toLong -> v }: _*)
+    val out = Stats.runsTest(df, "k", "x", "y").collect().head
+    assert(out.getAs[Long]("n_above") == 4L && out.getAs[Long]("n_below") == 3L)
+    // median row (4) drops mid-sequence: 1,10,2,11,3,12,13 → 6 runs
+    assert(out.getAs[Long]("runs") == 6L)
+    assert(out.getAs[Long]("z_milli") > 1000L)
+  }
 }
