@@ -3348,6 +3348,45 @@ object SparkEntry {
         "event_type", "day", "cents")
         .orderBy(col("event_type"))),
 
+    // T-CLOSENESS: the skew rung of the privacy ladder (q200 size,
+    // q243 diversity, THIS distance) — per-(segment, nation) TV
+    // distance between the group's $1000-acctbal-band distribution
+    // and the global one, exact rational floor ppm; the release gate
+    // reads max(tv_ppm) against its t.
+    "q267_t_closeness" -> ((s, d) =>
+      graft.ext.Audit.tCloseness(
+        T(s, d, "customer").select(col("c_mktsegment"), col("c_nationkey"),
+          floor(col("c_acctbal") / 1000.0).cast("long").as("bal_band")),
+        Seq("c_mktsegment", "c_nationkey"), "bal_band")
+        .orderBy(col("c_mktsegment"), col("c_nationkey"))),
+
+    // KMV set-operation estimates (the capability q157's union-only
+    // merge stops short of): |urgent ∩ high| customer overlap and
+    // Jaccard from two 256-min sketches — both priorities have ~1300
+    // distinct customers, so the (k−1)/f_k estimator branch (not the
+    // exact small-set branch) is what's hash-pinned.
+    "q268_kmv_intersect" -> ((s, d) =>
+      graft.ext.Sketches.kmvIntersectEstimate(
+        T(s, d, "orders"), "o_orderpriority", "1-URGENT", "2-HIGH",
+        "o_custkey")),
+
+    // ZIPF rank–frequency audit: top-64 tokens, cnt·rank/cnt(1) in
+    // floor ppm — ≈10⁶ everywhere is healthy language, a flat head is
+    // boilerplate flood, and the fixture's planted template tokens
+    // show exactly that.
+    "q269_zipf_profile" -> ((s, d) =>
+      graft.ext.TextOps.zipfProfile(docsSpread(s, d), "text", topR = 64)
+        .orderBy(col("rank"))),
+
+    // RESOURCE-ALLOCATION link prediction on the supplier–part
+    // bipartite graph: supplier pairs scored by Σ 1/deg(part) over
+    // shared parts (rare parts say more), deg-capped before the pair
+    // explode, per-term floor ppm, top-20.
+    "q270_link_predict" -> ((s, d) =>
+      graft.ext.GraphOps.resourceAllocation(
+        T(s, d, "lineitem"), "l_suppkey", "l_partkey",
+        maxDeg = 64, topN = 20)),
+
     // DELETE-AWARE incremental MV (closes q159's retraction boundary,
     // Incremental object doc): the lineitem rollup absorbs an insert
     // batch AND a delete batch purely from per-batch RETRACTABLE
@@ -6915,6 +6954,110 @@ object SparkEntry {
         |    THEN CAST(floor(1000.0 * (CAST(runs AS DOUBLE) - e) / sqrt(vr)) AS BIGINT)
         |    ELSE NULL END AS z_milli
         |FROM g ORDER BY event_type""".stripMargin,
+
+    // exact rational TV replay: present-value terms summed in
+    // HUGEINT, absent mass added arithmetically, one floor division
+    "q267_t_closeness" ->
+      """WITH b AS (
+        |  SELECT c_mktsegment, c_nationkey,
+        |    CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS v
+        |  FROM customer WHERE c_acctbal IS NOT NULL),
+        |g AS (SELECT v, count(*) AS gc FROM b GROUP BY 1),
+        |-- "tot", not "N": DuckDB resolves identifiers case-insensitively
+        |-- too, so N would silently bind to the per-group n
+        |nn AS (SELECT CAST(sum(gc) AS HUGEINT) AS tot FROM g),
+        |c AS (SELECT c_mktsegment, c_nationkey, v, count(*) AS c FROM b GROUP BY 1, 2, 3),
+        |cn AS (SELECT c.*,
+        |    sum(c.c) OVER (PARTITION BY c_mktsegment, c_nationkey) AS n
+        |  FROM c),
+        |j AS (SELECT cn.*, g.gc, nn.tot FROM cn JOIN g USING (v) CROSS JOIN nn),
+        |p AS (
+        |  SELECT c_mktsegment, c_nationkey, min(n) AS n, min(tot) AS tot,
+        |    sum(abs(CAST(c AS HUGEINT) * tot - CAST(gc AS HUGEINT) * n)) AS present,
+        |    sum(gc) AS gmatch
+        |  FROM j GROUP BY 1, 2),
+        |f AS (
+        |  SELECT c_mktsegment, c_nationkey, n,
+        |    present + (tot - gmatch) * CAST(n AS HUGEINT) AS num,
+        |    2 * CAST(n AS HUGEINT) * tot AS den
+        |  FROM p)
+        |SELECT c_mktsegment, c_nationkey, CAST(n AS BIGINT) AS n,
+        |  CAST((num * 1000000) // den AS BIGINT) AS tv_ppm
+        |FROM f ORDER BY c_mktsegment, c_nationkey""".stripMargin,
+
+    // full sketch replay: per-group 256-min sets over the portable
+    // md5 fraction, k-min of the union, coincidence count, the
+    // (k−1)/f_k estimator — every double op in engine order
+    "q268_kmv_intersect" ->
+      """WITH v AS (
+        |  SELECT DISTINCT o_orderpriority AS g, CAST(o_custkey AS VARCHAR) AS val
+        |  FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')),
+        |h AS (
+        |  SELECT g, val,
+        |    CAST(CAST(concat('0x', substring(md5(concat_ws('|', '42', val)), 1, 14)) AS BIGINT) AS DOUBLE)
+        |      / 72057594037927936.0 AS frac
+        |  FROM v),
+        |r AS (SELECT g, val, frac,
+        |    row_number() OVER (PARTITION BY g ORDER BY frac, val) AS rk
+        |  FROM h),
+        |sa AS (SELECT val, frac FROM r WHERE g = '1-URGENT' AND rk <= 256),
+        |sb AS (SELECT val, frac FROM r WHERE g = '2-HIGH' AND rk <= 256),
+        |u0 AS (SELECT DISTINCT frac, val FROM (SELECT * FROM sa UNION ALL SELECT * FROM sb)),
+        |u AS (SELECT frac, val, row_number() OVER (ORDER BY frac, val) AS rk FROM u0),
+        |uk AS (SELECT * FROM u WHERE rk <= 256),
+        |m AS (
+        |  SELECT count(*) AS n_both FROM uk
+        |  WHERE EXISTS (SELECT 1 FROM sa WHERE sa.val = uk.val AND sa.frac = uk.frac)
+        |    AND EXISTS (SELECT 1 FROM sb WHERE sb.val = uk.val AND sb.frac = uk.frac)),
+        |t AS (
+        |  SELECT (SELECT count(*) FROM sa) AS n_a_set,
+        |    (SELECT count(*) FROM sb) AS n_b_set,
+        |    (SELECT count(*) FROM uk) AS nu,
+        |    (SELECT n_both FROM m) AS n_both,
+        |    (SELECT frac FROM uk WHERE rk = 256) AS fk),
+        |e AS (
+        |  SELECT *, CASE WHEN nu < 256 THEN CAST(nu AS DOUBLE)
+        |    ELSE 255.0 / fk END AS est_union
+        |  FROM t)
+        |SELECT CAST(n_a_set AS BIGINT) AS n_a_set, CAST(n_b_set AS BIGINT) AS n_b_set,
+        |  CAST(nu AS BIGINT) AS n_union_set, CAST(n_both AS BIGINT) AS n_both,
+        |  CAST((n_both * 1000000) // nu AS BIGINT) AS jaccard_ppm,
+        |  est_union,
+        |  (CAST(n_both AS DOUBLE) / CAST(nu AS DOUBLE)) * est_union AS est_intersection
+        |FROM e""".stripMargin,
+
+    // the q256 tokenization, global counts, serial top-64 rank, exact
+    // cnt·rank/cnt(1) floor ppm
+    "q269_zipf_profile" ->
+      """WITH tk AS (
+        |  SELECT list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |t AS (SELECT unnest(toks) AS tok FROM tk),
+        |c AS (SELECT tok, count(*) AS cnt FROM t GROUP BY 1),
+        |r AS (SELECT tok, cnt, row_number() OVER (ORDER BY cnt DESC, tok) AS rank FROM c),
+        |top AS (SELECT * FROM r WHERE rank <= 64),
+        |c1 AS (SELECT max(cnt) AS c1 FROM top)
+        |SELECT CAST(rank AS BIGINT) AS rank, tok AS token, CAST(cnt AS BIGINT) AS cnt,
+        |  CAST((CAST(cnt AS HUGEINT) * rank * 1000000) // c1 AS BIGINT) AS zipf_ppm
+        |FROM top CROSS JOIN c1 ORDER BY rank""".stripMargin,
+
+    // deg-capped shared-part pairs, per-term 10⁶//deg (positive:
+    // truncation == floor), top-20 with the full tie-break
+    "q270_link_predict" ->
+      """WITH e AS (
+        |  SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
+        |  WHERE l_suppkey IS NOT NULL AND l_partkey IS NOT NULL),
+        |d AS (SELECT p, count(*) AS deg FROM e GROUP BY 1
+        |  HAVING count(*) BETWEEN 2 AND 64),
+        |g AS (SELECT e.s, e.p, d.deg FROM e JOIN d USING (p)),
+        |pr AS (SELECT a.s AS left_a, b.s AS left_b, a.deg
+        |  FROM g a JOIN g b ON a.p = b.p AND a.s < b.s),
+        |ag AS (SELECT left_a, left_b, count(*) AS n_shared,
+        |    sum(1000000 // deg) AS ra_ppm
+        |  FROM pr GROUP BY 1, 2)
+        |SELECT left_a, left_b, CAST(n_shared AS BIGINT) AS n_shared,
+        |  CAST(ra_ppm AS BIGINT) AS ra_ppm
+        |FROM ag ORDER BY ra_ppm DESC, left_a, left_b LIMIT 20""".stripMargin,
 
     // direct recompute over (base ∪ inserts) ∖ deletes — the survivor
     // predicate is the complement of the delete batch's

@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Data-quality auditing over arbitrary tables — the profiling pass a
@@ -348,6 +349,67 @@ object Audit {
         sum(col("__sz")).as("n_rows"))
       .withColumn("at_risk",
         when(col("diversity") < l, 1L).otherwise(0L))
+  }
+
+  /** T-CLOSENESS audit — the third rung of the privacy ladder after
+    * [[kAnonymity]] (group size) and [[lDiversity]] (distinct
+    * sensitive values): a group can be large AND diverse yet still
+    * leak by SKEW — 19 of 20 members sharing one salary band tells an
+    * attacker plenty. Li, Li & Venkatasubramanian (ICDE 2007) bound
+    * the distance between each QI group's sensitive-value
+    * distribution and the global one; this implementation reports
+    * that distance as TOTAL VARIATION in exact floor ppm (the
+    * categorical form of [[Sketches.histDriftTV]]'s binned drift):
+    *
+    *   tv = ½ Σ_v |c_g(v)/n_g − c(v)/N|
+    *      = Σ_v |c_g(v)·N − c(v)·n_g| / (2·n_g·N)   — one rational.
+    *
+    * The numerator sums in DECIMAL(38,0) over the values PRESENT in
+    * the group; values the group misses contribute (N − Σ_matched
+    * c(v))·n_g arithmetically — no group×value grid join. One ppm
+    * floor division at the end ([[PortableDiv.nonNeg]]); a DuckDB
+    * oracle replays every bit. Rows with NULL sensitive values drop
+    * from BOTH distributions (an absent attribute discloses nothing
+    * — the [[lDiversity]] rule); NULL QI values form their own
+    * groups. Returns one row per QI group: (QI cols, n, tv_ppm).
+    *
+    * Scale shape: one (QI, value) cell aggregate collapses the data;
+    * the global value table (value-domain-sized) and the scalar N
+    * broadcast onto the cells; one QI-keyed aggregate finishes. */
+  def tCloseness(df: DataFrame, quasiIdentifiers: Seq[String],
+      sensitiveCol: String): DataFrame = {
+    require(quasiIdentifiers.nonEmpty, "tCloseness needs at least one QI column")
+    val Dec = "decimal(38,0)"
+    val qi = quasiIdentifiers.map(col)
+    val base = df.filter(col(sensitiveCol).isNotNull)
+    val glob = base.groupBy(col(sensitiveCol).as("__v"))
+      .agg(count(lit(1)).as("__gc"))
+    // "__tot", not "__N": Spark resolves names case-INsensitively, so
+    // a __N column would collide with the per-group __n
+    val n = glob.agg(sum(col("__gc")).cast(Dec).as("__tot"))
+    // group size via a QI-partitioned window over the CELL frame
+    // (domain-sized), not a join — window partitioning groups NULL QI
+    // values together, preserving the NULL-QI-is-its-own-group rule a
+    // usingColumns equi-join would silently drop
+    val wg = Window.partitionBy(qi: _*)
+    val cells = base
+      .groupBy(qi :+ col(sensitiveCol).as("__v"): _*)
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__n", sum(col("__c")).over(wg))
+      .join(broadcast(glob), Seq("__v"))
+      .crossJoin(broadcast(n))
+    val perGroup = cells.groupBy(qi: _*)
+      .agg(min(col("__n")).as("n"),
+        min(col("__tot")).as("__tot"),
+        sum(abs(col("__c").cast(Dec) * col("__tot") -
+          col("__gc").cast(Dec) * col("__n"))).cast(Dec).as("__present"),
+        sum(col("__gc")).cast(Dec).as("__gmatch"))
+    // absent values contribute c(v)·n_g each: (N − Σ_matched c(v))·n_g
+    val num = (col("__present") +
+      (col("__tot") - col("__gmatch")) * col("n").cast(Dec)).cast(Dec)
+    perGroup.select(qi ++ Seq(col("n"),
+      PortableDiv.nonNeg(num * lit(1000000L),
+        lit(2L).cast(Dec) * col("n") * col("__tot")).as("tv_ppm")): _*)
   }
 
   /** ORDER-INDEPENDENT table fingerprint — the cross-engine checksum a

@@ -154,4 +154,43 @@ object GraphOps {
     oriented.unpersist()
     tri
   }
+  /** RESOURCE-ALLOCATION link prediction over a bipartite graph
+    * (Zhou, Lü & Zhang, Eur. Phys. J. B 2009): score a left-node pair
+    * by Σ over shared right-neighbors of 1/deg(z) — common neighbors,
+    * discounted by how promiscuous each shared neighbor is (a part
+    * stocked by every supplier says little; a rare part says a lot).
+    * Each 1/deg term is floor(10⁶/deg) ([[PortableDiv.nonNeg]]) so
+    * the per-pair sum `ra_ppm` is integer-exact and replayable; the
+    * per-term floor under-counts the real-valued index by < n_shared
+    * ppm. Returns the topN pairs (left_a < left_b) by (ra_ppm desc,
+    * left_a, left_b): (left_a, left_b, n_shared, ra_ppm).
+    *
+    * Scale: the pair explosion is bounded by `maxDeg` — right nodes
+    * with deg > maxDeg are DROPPED before the self-join (they carry
+    * the least signal and all the quadratic cost: the df-cap rule of
+    * the n-gram dedups), deg < 2 can't form a pair, so the join emits
+    * ≤ C(maxDeg, 2) rows per right node. The topN is a bounded
+    * TakeOrdered, never a materialized global sort. */
+  def resourceAllocation(edges: DataFrame, leftCol: String,
+      rightCol: String, maxDeg: Int, topN: Int): DataFrame = {
+    require(maxDeg >= 2, s"maxDeg must be >= 2, got $maxDeg")
+    require(topN >= 1, s"topN must be >= 1, got $topN")
+    val e = edges
+      .filter(col(leftCol).isNotNull && col(rightCol).isNotNull)
+      .select(col(leftCol).as("__l"), col(rightCol).as("__r"))
+      .distinct()
+    val deg = e.groupBy(col("__r")).agg(count(lit(1)).as("__deg"))
+      .filter(col("__deg") >= 2 && col("__deg") <= maxDeg)
+    val gated = e.join(deg, Seq("__r"))
+    gated.as("a")
+      .join(gated.as("b"),
+        col("a.__r") === col("b.__r") && col("a.__l") < col("b.__l"))
+      .select(col("a.__l").as("left_a"), col("b.__l").as("left_b"),
+        col("a.__deg").as("__deg"))
+      .groupBy(col("left_a"), col("left_b"))
+      .agg(count(lit(1)).as("n_shared"),
+        sum(PortableDiv.nonNeg(lit(1000000L), col("__deg"))).as("ra_ppm"))
+      .orderBy(col("ra_ppm").desc, col("left_a"), col("left_b"))
+      .limit(topN)
+  }
 }

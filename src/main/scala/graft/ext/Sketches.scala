@@ -88,6 +88,60 @@ object Sketches {
           element_at(col("kmv_set"), k).getField("frac"))
         .as("est_distinct"))
 
+  /** KMV SET-OPERATION estimates — the capability union-only merge
+    * ([[kmvMergeSets]], q157) stops short of: |A∩B| and Jaccard from
+    * two k-min sketches, WITHOUT touching the raw sets again (Beyer
+    * et al., SIGMOD 2007 §5; the min-wise coincidence argument is
+    * Broder 1997). The k smallest hashes of A∪B are a uniform sample
+    * of the union, so the fraction of them present in BOTH sketches
+    * estimates Jaccard, and intersection = Jaccard · |A∪B|-estimate.
+    * Everything derives from the portable 56-bit md5 fraction, so an
+    * external engine replays every output bit.
+    *
+    * Returns ONE row:
+    *   - `n_a_set`, `n_b_set` — sketch sizes (= min(k, distinct));
+    *   - `n_union_set` — |k-min of A∪B| (= min(k, |A∪B|));
+    *   - `n_both` — union-sample members present in both sketches;
+    *   - `jaccard_ppm` — floor(10⁶·n_both/n_union_set); EXACT Jaccard
+    *     when both sets fit under k (the sketches are then the sets);
+    *   - `est_union` — the [[kmvEstimateFromSets]] estimator on the
+    *     merged sketch;
+    *   - `est_intersection` — (n_both/n_union_set)·est_union, one
+    *     IEEE double product.
+    * Relative error ~1/√k on each factor; raise k off-contract for
+    * tighter bounds. Scale shape: two bounded-set aggregates (the
+    * kmv map-side-combine shape), then a 1×1 broadcast join — the
+    * arrays never exceed k entries. */
+  def kmvIntersectEstimate(df: DataFrame, groupCol: String, groupA: String,
+      groupB: String, valueCol: String, k: Int = 256,
+      seed: Long = 42L): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val sets = kmvMinSets(
+      df.filter(col(groupCol).isin(groupA, groupB)), groupCol, valueCol, k, seed)
+    val a = sets.filter(col(groupCol) === groupA).select(col("kmv_set").as("__sa"))
+    val b = sets.filter(col(groupCol) === groupB).select(col("kmv_set").as("__sb"))
+    val estU = when(col("__nu") < k, col("__nu").cast("double"))
+      .otherwise(lit((k - 1).toDouble) /
+        element_at(col("__u"), k).getField("frac"))
+    a.crossJoin(broadcast(b))
+      .withColumn("__u",
+        slice(array_sort(array_distinct(concat(col("__sa"), col("__sb")))), 1, k))
+      .withColumn("__nu", size(col("__u")).cast("long"))
+      .withColumn("__both", size(filter(col("__u"),
+        x => array_contains(col("__sa"), x) && array_contains(col("__sb"), x)))
+        .cast("long"))
+      .select(
+        size(col("__sa")).cast("long").as("n_a_set"),
+        size(col("__sb")).cast("long").as("n_b_set"),
+        col("__nu").as("n_union_set"),
+        col("__both").as("n_both"),
+        PortableDiv.nonNeg(col("__both") * lit(1000000L), col("__nu"))
+          .as("jaccard_ppm"),
+        estU.as("est_union"),
+        ((col("__both").cast("double") / col("__nu").cast("double")) * estU)
+          .as("est_intersection"))
+  }
+
   /** Engine-PORTABLE HyperLogLog distinct-count estimate per group —
     * the replayable answer to `approx_count_distinct`'s opaque HLL++
     * state (Flajolet et al. 2007, plain HLL). Everything is integer

@@ -1,6 +1,7 @@
 package graft.ext
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for LLM training-data pipelines (north-star
@@ -1279,5 +1280,34 @@ object TextOps {
       .agg(count(lit(1)).as("n_tokens"),
         sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
       .withColumn("oov_ppm", expr("(n_oov * 1000000L) div n_tokens"))
+  }
+  /** ZIPF rank–frequency profile of the corpus unigram distribution —
+    * the release audit that catches boilerplate floods and template
+    * corpora (a healthy natural-language corpus follows freq(r) ≈
+    * freq(1)/r, Zipf 1949; duplicated boilerplate shows as a flat
+    * head, OCR noise as a heavy tail). For the top `topR` tokens by
+    * frequency (ties broken by token, deterministically) reports
+    * `zipf_ppm` = floor(10⁶ · cnt(r)·r / cnt(1)) — Zipf predicts
+    * ≈ 10⁶ at every rank, so the deviation IS the signal. The product
+    * rides DECIMAL(38,0) (cnt·r·10⁶ passes int64 at ~10¹²-token
+    * corpora); one exact floor division per row.
+    *
+    * Scale shape: one token explode + hash aggregate (vocab-sized),
+    * a TakeOrdered top-R (bounded, never a global sort materialized),
+    * then rank/head-share arithmetic on the ≤topR-row result. */
+  def zipfProfile(df: DataFrame, textCol: String, topR: Int): DataFrame = {
+    require(topR >= 1, s"topR must be >= 1, got $topR")
+    val Dec = "decimal(38,0)"
+    val counts = df.select(explode(tokens(col(textCol))).as("__tok"))
+      .groupBy(col("__tok")).agg(count(lit(1)).as("cnt"))
+    val top = counts.orderBy(col("cnt").desc, col("__tok")).limit(topR)
+    // ≤ topR rows from here on: the single-partition window is bounded
+    val w = Window.orderBy(col("cnt").desc, col("__tok"))
+    top.withColumn("rank", row_number().over(w).cast("long"))
+      .crossJoin(broadcast(top.agg(max(col("cnt")).as("__c1"))))
+      .select(col("rank"), col("__tok").as("token"), col("cnt"),
+        PortableDiv.nonNeg(
+          col("cnt").cast(Dec) * col("rank") * lit(1000000L),
+          col("__c1").cast(Dec)).as("zipf_ppm"))
   }
 }

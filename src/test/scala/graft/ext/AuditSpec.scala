@@ -167,4 +167,36 @@ class AuditSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
     assert(out == Map(1L -> ((2L, 2L, 1L)), 3L -> ((1L, 3L, 0L))))
   }
+
+  test("tCloseness: matching distribution reads 0; skewed group reads its TV") {
+    import spark.implicits._
+    // global = {A:3, B:1}; g1 = {A,B} (TV 1/4), g2 = {A,A} (TV 1/4)
+    val df = Seq(("g1", "A"), ("g1", "B"), ("g2", "A"), ("g2", "A"))
+      .toDF("qi", "s")
+    val out = Audit.tCloseness(df, Seq("qi"), "s")
+      .collect().map(r => r.getString(0) -> (r.getAs[Long]("n"), r.getAs[Long]("tv_ppm"))).toMap
+    assert(out == Map("g1" -> ((2L, 250000L)), "g2" -> ((2L, 250000L))))
+    // identical groups ⇒ every group matches the global mix exactly
+    val same = Seq(("g1", "A"), ("g1", "B"), ("g2", "A"), ("g2", "B")).toDF("qi", "s")
+    assert(Audit.tCloseness(same, Seq("qi"), "s")
+      .collect().forall(_.getAs[Long]("tv_ppm") == 0L))
+  }
+
+  test("tCloseness: NULL sensitive rows drop from both distributions") {
+    import spark.implicits._
+    val df = Seq(("g1", "A"), ("g1", "B"), ("g2", "A"), ("g2", "A"),
+      ("g1", null: String)).toDF("qi", "s")
+    val out = Audit.tCloseness(df, Seq("qi"), "s")
+      .collect().map(r => r.getString(0) -> (r.getAs[Long]("n"), r.getAs[Long]("tv_ppm"))).toMap
+    assert(out == Map("g1" -> ((2L, 250000L)), "g2" -> ((2L, 250000L))))
+  }
+
+  test("tCloseness: a group missing a global value pays the absent mass") {
+    import spark.implicits._
+    // global {A:2, B:2}; gA = {A,A}: TV = 1/2
+    val df = Seq(("gA", "A"), ("gA", "A"), ("gB", "B"), ("gB", "B")).toDF("qi", "s")
+    val out = Audit.tCloseness(df, Seq("qi"), "s")
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("tv_ppm")).toMap
+    assert(out == Map("gA" -> 500000L, "gB" -> 500000L))
+  }
 }

@@ -80,4 +80,25 @@ class GraphOpsSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSet == Set((0L, 7L, 9L)))
     spark.catalog.clearCache()
   }
+
+  test("resourceAllocation: shared-neighbor terms floor per degree; caps gate") {
+    import spark.implicits._
+    val edges = Seq(
+      ("s1", "p1"), ("s2", "p1"),               // deg 2 → 500000
+      ("s1", "p2"), ("s2", "p2"), ("s3", "p2"), // deg 3 → 333333
+      ("s3", "p3"),                             // deg 1 → no pair
+      ("s1", "p1")                              // duplicate edge dedups
+    ).toDF("s", "p")
+    val out = GraphOps.resourceAllocation(edges, "s", "p", maxDeg = 64, topN = 10)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getAs[Long]("n_shared"), r.getAs[Long]("ra_ppm")))
+    assert(out.toSeq == Seq(
+      ("s1", "s2", 2L, 833333L),
+      ("s1", "s3", 1L, 333333L),
+      ("s2", "s3", 1L, 333333L)))
+    // deg cap drops the deg-3 part entirely
+    val capped = GraphOps.resourceAllocation(edges, "s", "p", maxDeg = 2, topN = 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getAs[Long]("ra_ppm")))
+    assert(capped.toSeq == Seq(("s1", "s2", 500000L)))
+  }
 }

@@ -343,4 +343,45 @@ class SketchesSpec extends SparkSpec {
     assert(fp <= math.max(4, 4 * 1001 * math.pow(fill, 4)),
       s"$fp false positives at fill $fill")
   }
+
+  test("kmvIntersectEstimate: below k the sketch IS the set — exact Jaccard") {
+    import spark.implicits._
+    val df = ((1 to 10).map(("A", _)) ++ (6 to 15).map(("B", _)))
+      .toDF("g", "v")
+    val out = Sketches.kmvIntersectEstimate(df, "g", "A", "B", "v", k = 64)
+      .collect().head
+    assert(out.getAs[Long]("n_a_set") == 10L && out.getAs[Long]("n_b_set") == 10L)
+    assert(out.getAs[Long]("n_union_set") == 15L)
+    assert(out.getAs[Long]("n_both") == 5L)
+    assert(out.getAs[Long]("jaccard_ppm") == 333333L)
+    assert(out.getAs[Double]("est_union") == 15.0)
+    assert(out.getAs[Double]("est_intersection") == 5.0)
+  }
+
+  test("kmvIntersectEstimate: estimator branch lands near truth and is symmetric") {
+    import spark.implicits._
+    val df = ((1 to 300).map(("A", _)) ++ (151 to 450).map(("B", _))).toDF("g", "v")
+    val out = Sketches.kmvIntersectEstimate(df, "g", "A", "B", "v", k = 64)
+      .collect().head
+    assert(out.getAs[Long]("n_union_set") == 64L)
+    val eu = out.getAs[Double]("est_union")        // truth 450
+    val ei = out.getAs[Double]("est_intersection") // truth 150
+    assert(eu > 250 && eu < 800, s"est_union $eu")
+    assert(ei > 40 && ei < 400, s"est_intersection $ei")
+    val sym = Sketches.kmvIntersectEstimate(df, "g", "B", "A", "v", k = 64)
+      .collect().head
+    assert(sym.getAs[Long]("n_both") == out.getAs[Long]("n_both"))
+    assert(sym.getAs[Double]("est_union") == eu)
+    assert(sym.getAs[Long]("jaccard_ppm") == out.getAs[Long]("jaccard_ppm"))
+  }
+
+  test("kmvIntersectEstimate: disjoint sets read zero overlap") {
+    import spark.implicits._
+    val df = ((1 to 200).map(("A", _)) ++ (1001 to 1200).map(("B", _))).toDF("g", "v")
+    val out = Sketches.kmvIntersectEstimate(df, "g", "A", "B", "v", k = 32)
+      .collect().head
+    assert(out.getAs[Long]("n_both") == 0L)
+    assert(out.getAs[Long]("jaccard_ppm") == 0L)
+    assert(out.getAs[Double]("est_intersection") == 0.0)
+  }
 }

@@ -531,4 +531,21 @@ class TextOpsSpec extends SparkSpec {
     assert(out("a") == "4:1,7:1") // three tf-1 postings, lowest ids kept
     assert(out("b") == "9:1")
   }
+
+  test("zipfProfile: exact ppm per rank, ties broken by token, topR bounds") {
+    import spark.implicits._
+    // counts: a=8, b=4, c=2, d=2 → ranks a,b,c,d
+    val docs = Seq(
+      ("a a a a a a a a"), ("b b b b"), ("c c"), ("d d")
+    ).toDF("text")
+    val out = TextOps.zipfProfile(docs, "text", topR = 10)
+      .collect().map(r => (r.getAs[Long]("rank"), r.getAs[String]("token"),
+        r.getAs[Long]("cnt"), r.getAs[Long]("zipf_ppm")))
+    assert(out.toSeq == Seq(
+      (1L, "a", 8L, 1000000L),   // 8·1/8
+      (2L, "b", 4L, 1000000L),   // 4·2/8
+      (3L, "c", 2L, 750000L),    // 2·3/8
+      (4L, "d", 2L, 1000000L)))  // 2·4/8
+    assert(TextOps.zipfProfile(docs, "text", topR = 2).count() == 2L)
+  }
 }
