@@ -3387,6 +3387,16 @@ object SparkEntry {
         T(s, d, "lineitem"), "l_suppkey", "l_partkey",
         maxDeg = 64, topN = 20)),
 
+    // POISSON BOOTSTRAP CI on the mean event value — the bootstrap
+    // that works at 100 TB (one pass, all 200 replicates via per-row
+    // Poisson(1) weights from ONE md5, B-row shuffle); CI bounds are
+    // order statistics of the replicate means, every bit replayable.
+    "q271_poisson_bootstrap" -> ((s, d) =>
+      graft.ext.Sampling.poissonBootstrapMean(
+        T(s, d, "events").select(col("event_id"),
+          round(col("value") * 100).cast("long").as("cents")),
+        "event_id", "cents", b = 200, tailPermille = 25)),
+
     // DELETE-AWARE incremental MV (closes q159's retraction boundary,
     // Incremental object doc): the lineitem rollup absorbs an insert
     // batch AND a delete batch purely from per-batch RETRACTABLE
@@ -7058,6 +7068,41 @@ object SparkEntry {
         |SELECT left_a, left_b, CAST(n_shared AS BIGINT) AS n_shared,
         |  CAST(ra_ppm AS BIGINT) AS ra_ppm
         |FROM ag ORDER BY ra_ppm DESC, left_a, left_b LIMIT 20""".stripMargin,
+
+    // full bootstrap replay: the same (a, b) 56-bit halves, the same
+    // h_r = (a + r·b) mod 2^56 family, the same 8 CDF thresholds, the
+    // same order-statistic ranks
+    "q271_poisson_bootstrap" ->
+      s"""WITH base AS (
+        |  SELECT CAST(round(value * 100) AS BIGINT) AS v,
+        |    CAST(concat('0x', substring(md5(concat_ws('|', '42', CAST(event_id AS VARCHAR))), 1, 14)) AS BIGINT) AS a,
+        |    CAST(concat('0x', substring(md5(concat_ws('|', '42', CAST(event_id AS VARCHAR))), 17, 14)) AS BIGINT) AS b
+        |  FROM events WHERE value IS NOT NULL),
+        |rep AS (
+        |  SELECT v, a, b, CAST(r.range AS BIGINT) AS r
+        |  FROM base CROSS JOIN range(0, 200) r),
+        |h AS (SELECT v, r,
+        |    (CAST(a AS HUGEINT) + r * CAST(b AS HUGEINT)) % 72057594037927936 AS hv
+        |  FROM rep),
+        |w AS (SELECT v, r,
+        |    ${graft.ext.Sampling.PoissonThresholds.map(t =>
+              s"(CASE WHEN hv >= $t THEN 1 ELSE 0 END)").mkString(" + ")} AS w
+        |  FROM h),
+        |pr AS (SELECT r, sum(w) AS sw, sum(CAST(w AS HUGEINT) * v) AS swv
+        |  FROM w GROUP BY 1 HAVING sum(w) > 0),
+        |m AS (SELECT r, CAST(swv AS DOUBLE) / CAST(sw AS DOUBLE) AS m FROM pr),
+        |rk AS (SELECT r, m, row_number() OVER (ORDER BY m, r) AS rk,
+        |    count(*) OVER () AS bn FROM m),
+        |ci AS (SELECT
+        |    min(CASE WHEN rk = greatest(1, CAST(floor(bn * 25 / 1000.0) AS BIGINT)) THEN m END) AS ci_lo,
+        |    min(CASE WHEN rk = bn + 1 - greatest(1, CAST(floor(bn * 25 / 1000.0) AS BIGINT)) THEN m END) AS ci_hi,
+        |    min(bn) AS be FROM rk),
+        |tot AS (SELECT count(*) AS n_rows,
+        |    CAST(sum(CAST(v AS HUGEINT)) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean
+        |  FROM base)
+        |SELECT CAST(n_rows AS BIGINT) AS n_rows, mean, CAST(be AS BIGINT) AS b,
+        |  ci_lo, ci_hi
+        |FROM tot CROSS JOIN ci""".stripMargin,
 
     // direct recompute over (base ∪ inserts) ∖ deletes — the survivor
     // predicate is the complement of the delete batch's

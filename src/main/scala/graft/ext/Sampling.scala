@@ -679,4 +679,89 @@ object Sampling {
           when(col("pos") < col("spare"), 1L).otherwise(0L))
           .as("target_docs"))
   }
+
+  /** Poisson(1) CDF thresholds on the 2⁵⁶ hash scale —
+    * floor(2⁵⁶·CDF(w)) for w = 0..7, precomputed to 60 decimal digits
+    * so both engines compare against the SAME integers. A draw's
+    * weight is the count of thresholds at or below its hash (inverse
+    * CDF); truncation at 8 loses ~1e-5 of the tail mass, identically
+    * on every engine. */
+  val PoissonThresholds: Seq[Long] = Seq(
+    26508507426831583L, 53017014853663166L, 66271268567078957L,
+    70689353138217554L, 71793874281002204L, 72014778509559134L,
+    72051595880985289L, 72056855505474739L)
+
+  /** POISSON BOOTSTRAP confidence interval for a mean — the bootstrap
+    * that works at 100 TB (Chamandy, Muralidharan, Najmi & Naidu 2012,
+    * "Estimating Uncertainty for Massive Data Streams"): classical
+    * resampling needs n draws from n rows per replicate (a per-
+    * replicate shuffle of the corpus); the Poisson approximation gives
+    * every row an INDEPENDENT Poisson(1) multiplicity per replicate,
+    * so one streaming pass computes all B replicates with map-side
+    * partial aggregation and a B-row shuffle.
+    *
+    * Deterministic and engine-replayable: ONE md5 per row
+    * ([[PortableHash.pair56]] on `idCol`) seeds the 2-universal family
+    * h_r = (a + r·b) mod 2⁵⁶ — B hashes from one digest, not B
+    * digests — and each h_r inverts the Poisson(1) CDF through
+    * [[PoissonThresholds]] (weight = #thresholds ≤ h_r, truncated at
+    * 8). Replicate means are Σw·v / Σw with exact DECIMAL(38,0)
+    * numerators; the CI bounds are ORDER STATISTICS of the replicate
+    * means (ranks max(1,⌊B'·p/1000⌋) and B'+1−that over the B'
+    * replicates with nonzero weight), not interpolated percentiles —
+    * exact and replayable. Caller quantizes `valueCol` to integers.
+    *
+    * Returns ONE row: (n_rows, mean, b, ci_lo, ci_hi) — `b` the
+    * effective replicate count, `mean` the plain Σv/n.
+    *
+    * Scale shape: scan ×B row amplification in the explode, but the
+    * per-(replicate) hash aggregate combines map-side, so the shuffle
+    * carries B rows per partition; the rank pass runs over ≤B rows.
+    * B and the decimal pmod dominate cost — size B to the precision
+    * the decision needs (B = 200 gives ~±7% CI-endpoint noise). */
+  def poissonBootstrapMean(df: DataFrame, idCol: String, valueCol: String,
+      b: Int = 200, tailPermille: Int = 25, seed: Long = 42L): DataFrame = {
+    require(b >= 4, s"b must be >= 4, got $b")
+    require(tailPermille >= 1 && tailPermille < 500,
+      s"tailPermille must be in [1, 500), got $tailPermille")
+    val Dec = "decimal(38,0)"
+    val (ha, hb) = PortableHash.pair56(col(idCol), seed)
+    val base = df.filter(col(valueCol).isNotNull)
+      .select(col(valueCol).cast("long").as("__v"),
+        ha.as("__ha"), hb.as("__hb"))
+    val M = lit(72057594037927936L).cast(Dec) // 2^56
+    val rep = base
+      .select(col("__v"), col("__ha"), col("__hb"),
+        explode(sequence(lit(0), lit(b - 1))).as("__r"))
+      // a + r·b reaches ~201·2⁵⁶ ≈ 1.4e19 — past int64, ride decimal
+      .withColumn("__h", pmod(
+        col("__ha").cast(Dec) + col("__r").cast(Dec) * col("__hb"), M))
+    val w = PoissonThresholds
+      .map(t => when(col("__h") >= lit(t).cast(Dec), 1).otherwise(0))
+      .reduce(_ + _)
+    val perRep = rep.withColumn("__w", w)
+      .groupBy(col("__r"))
+      .agg(sum(col("__w").cast("long")).as("__sw"),
+        sum(col("__w").cast(Dec) * col("__v")).cast(Dec).as("__swv"))
+      .filter(col("__sw") > 0L)
+      .select(col("__r"),
+        (col("__swv").cast("double") / col("__sw").cast("double")).as("__m"))
+    // ≤ B rows from here: the single-partition window is bounded
+    val ranked = perRep
+      .withColumn("__rk", row_number().over(Window.orderBy(col("__m"), col("__r"))))
+      .withColumn("__bn", count(lit(1)).over(Window.partitionBy()))
+    val lo = greatest(lit(1L),
+      floor(col("__bn") * lit(tailPermille) / lit(1000.0)).cast("long"))
+    val hi = col("__bn") + lit(1L) - lo
+    val ci = ranked.filter(col("__rk") === lo || col("__rk") === hi)
+      .agg(min(when(col("__rk") === lo, col("__m"))).as("ci_lo"),
+        min(when(col("__rk") === hi, col("__m"))).as("ci_hi"),
+        min(col("__bn")).as("__be"))
+    base.agg(count(lit(1)).as("n_rows"),
+        (sum(col("__v").cast(Dec)).cast("double") /
+          count(lit(1)).cast("double")).as("mean"))
+      .crossJoin(broadcast(ci))
+      .select(col("n_rows"), col("mean"), col("__be").as("b"),
+        col("ci_lo"), col("ci_hi"))
+  }
 }

@@ -285,4 +285,31 @@ class SamplingSpec extends SparkSpec {
       out(id)._2 == (serial(id) - 1) * 1000000L / (n - 1) })
     assert(out.values.map(_._2).min == 0L && out.values.map(_._2).max == 1000000L)
   }
+
+  test("poissonBootstrapMean: weights average 1, CI brackets the mean, deterministic") {
+    import spark.implicits._
+    val df = (1 to 500).map(i => (i.toLong, (i % 97).toLong * 10L)).toDF("id", "v")
+    val out = Sampling.poissonBootstrapMean(df, "id", "v", b = 50).collect().head
+    assert(out.getAs[Long]("n_rows") == 500L)
+    val mean = out.getAs[Double]("mean")
+    assert(math.abs(mean - df.agg(avg(col("v"))).head.getDouble(0)) < 1e-9)
+    assert(out.getAs[Long]("b") == 50L)
+    val (lo, hi) = (out.getAs[Double]("ci_lo"), out.getAs[Double]("ci_hi"))
+    assert(lo < mean && mean < hi, s"CI [$lo, $hi] should bracket $mean")
+    // ±2.5%-tail order statistics of a 500-row mean stay within a few
+    // percent of the point estimate
+    assert(hi - lo < mean * 0.25)
+    val again = Sampling.poissonBootstrapMean(df, "id", "v", b = 50).collect().head
+    assert(again == out, "bootstrap must be bit-deterministic")
+  }
+
+  test("poissonBootstrapMean: wide tails degenerate to min/max replicate means") {
+    import spark.implicits._
+    val df = (1 to 40).map(i => (i.toLong, i.toLong)).toDF("id", "v")
+    // tailPermille 250 at b=4: lo rank 1, hi rank 4 — the extremes
+    val out = Sampling.poissonBootstrapMean(df, "id", "v", b = 4,
+      tailPermille = 250).collect().head
+    assert(out.getAs[Long]("b") == 4L)
+    assert(out.getAs[Double]("ci_lo") <= out.getAs[Double]("ci_hi"))
+  }
 }
