@@ -1,0 +1,1235 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core._
+import graft.ext.{Dedup, Multimodal, Similarity, TextOps}
+import graft.operators.AsOfJoin
+import graft.streaming.Streams
+
+/** Driver contract — every operator in SURVEY.md §2 (D1–D17, S6/S7
+  * batch semantics, T1) plus the north-star LLM-pipeline extensions,
+  * each as a `queries` entry with (where SQL-expressible) a DuckDB
+  * oracle in `oracleSql`. Column names AND types are aligned between
+  * the Spark result and the oracle; all floating-point aggregates go
+  * through exact DECIMAL(18,4) sums cast back to double so results are
+  * order-independent and engine-portable.
+  */
+import graft.QueryHelpers._
+
+/** Statistics tier (q238+): exact engine-replayable inference
+  * (rank-sum, KS, chi-square, Spearman, kappa, Welch t, Theil-Sen,
+  * ACF, runs, bootstrap), sketch set ops, link prediction,
+  * distributed CC.
+  * One `queries` entry per operator, one `oracleSql` ANSI-SQL twin per
+  * oracle-expressible entry; merged into the gate by [[SparkEntry]]. */
+private[graft] object QueriesStats {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+
+    // ANOMALOUS-day detection by robust z-score: per event type, the
+    // exact median and MAD of daily counts (two exactQuantileByKey
+    // passes — true order statistics, no sketch error), then flag
+    // days with |x − med|·1000 > 3500·MAD (the Iglewicz–Hoban 3.5
+    // modified-z rule as pure integers). Level shifts don't poison
+    // the threshold the way mean/stddev would.
+    "q238_anomalous_days" -> ((s, d) => {
+      val daily = T(s, d, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+        .localCheckpoint(true) // three passes below share it
+      val med = graft.ext.Sampling.exactQuantileByKey(
+          daily, "event_type", "n", "day", qPermille = 500L)
+        .select(col("event_type"), col("q_value").cast("long").as("__med"))
+      val dev = daily.join(broadcast(med), Seq("event_type"))
+        .withColumn("__dev", abs(col("n") - col("__med")))
+      val mad = graft.ext.Sampling.exactQuantileByKey(
+          dev, "event_type", "__dev", "day", qPermille = 500L)
+        .select(col("event_type"), col("q_value").cast("long").as("__mad"))
+      dev.join(broadcast(mad), Seq("event_type"))
+        .filter(col("__dev") * 1000L > lit(3500L) * col("__mad"))
+        .select(col("event_type"), col("day"), col("n"),
+          col("__med").as("median_n"), col("__dev").as("abs_dev"))
+        .orderBy(col("event_type"), col("day"))
+    }),
+
+    // KEYSET pagination contract: three consecutive 50-row pages via
+    // `key > cursor ORDER BY key LIMIT n` — O(page) per fetch where
+    // OFFSET is O(skipped); each page is a TakeOrdered over a pushed
+    // range filter. The cursor arithmetic (last key of page k feeds
+    // page k+1) is deterministic, so the pages are hashable.
+    "q239_keyset_pages" -> ((s, d) => {
+      val o = T(s, d, "orders")
+      def page(after: Column, n: Int): DataFrame =
+        o.filter(col("o_orderkey") > after)
+          .orderBy(col("o_orderkey")).limit(n)
+          .select(col("o_orderkey"), col("o_totalprice"))
+      // cursors resolve as scalar aggregates (no collect): page k+1
+      // filters on max(key) of page k via a broadcast 1-row cross join
+      val p1 = page(lit(0L), 50)
+      val c1 = p1.agg(max(col("o_orderkey")).as("__c"))
+      val p2 = o.crossJoin(broadcast(c1)).filter(col("o_orderkey") > col("__c"))
+        .orderBy(col("o_orderkey")).limit(50)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      val c2 = p2.agg(max(col("o_orderkey")).as("__c"))
+      val p3 = o.crossJoin(broadcast(c2)).filter(col("o_orderkey") > col("__c"))
+        .orderBy(col("o_orderkey")).limit(50)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      p1.withColumn("page", lit(1L))
+        .unionByName(p2.withColumn("page", lit(2L)))
+        .unionByName(p3.withColumn("page", lit(3L)))
+        .orderBy(col("page"), col("o_orderkey"))
+    }),
+
+    // Tie-aware TOP-K semantics: rank() keeps price ties past k where
+    // row_number() cuts arbitrarily — both counts pinned per group so
+    // the tie contract is explicit, not folklore.
+    "q240_topk_ties" -> ((s, d) => {
+      val byRank = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_totalprice").desc)
+      val byRow = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      T(s, d, "orders")
+        .withColumn("__rk", rank().over(byRank))
+        .withColumn("__rn", row_number().over(byRow))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(when(col("__rk") <= 3, 1L)).as("n_rank_top3"),
+          count(when(col("__rn") <= 3, 1L)).as("n_rownum_top3"),
+          max(when(col("__rk") <= 3, col("o_totalprice"))).as("top_price"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    // MANN–WHITNEY U: did purchases draw stochastically larger values
+    // than clicks? Exact rank-sum over cents (ext.Stats — distinct-
+    // value aggregate + range-bucketed prefix sum, never one global
+    // window), reported as 2·U and the AUC effect size in floor ppm.
+    "q241_rank_sum" -> ((s, d) =>
+      graft.ext.Stats.rankSumTest(
+        T(s, d, "events")
+          .select(col("event_type"),
+            round(col("value") * 100).cast("long").as("cents")),
+        "event_type", "purchase", "click", "cents")),
+
+    // KOLMOGOROV–SMIRNOV D between the en and fr doc-length CDFs —
+    // the bin-free exact companion to q174's binned TV drift: max
+    // CDF gap in exact integers (DECIMAL(38,0) cross products), one
+    // ppm floor division AFTER the argmax, ties broken to the low
+    // value.
+    "q242_ks_test" -> ((s, d) =>
+      graft.ext.Stats.ksTest(
+        T(s, d, "documents").select(col("lang"), col("n_chars")),
+        "lang", "en", "fr", "n_chars")),
+
+    // L-DIVERSITY (the q200 k-anonymity companion): a large QI group
+    // still leaks if everyone shares the same sensitive value — count
+    // distinct balance bands per (nation, segment) group, histogram
+    // by diversity.
+    "q243_l_diversity" -> ((s, d) =>
+      graft.ext.Audit.lDiversity(
+        T(s, d, "customer")
+          .withColumn("bal_band",
+            floor(col("c_acctbal") / 1000).cast("long")),
+        Seq("c_nationkey", "c_mktsegment"), "bal_band", l = 2L)
+        .orderBy(col("diversity"))),
+
+    // ORDER-INDEPENDENT table fingerprint — the migration checksum:
+    // canonical '|'-joined row strings (NULL → '\N', doubles
+    // pre-quantized to cents, dates to ISO strings) through the
+    // portable 56-bit md5 hash, SUMMED (commutative ⇒ partitioning
+    // and row order are irrelevant) in DECIMAL(38,0), mod 2⁶².
+    "q244_fingerprint" -> ((s, d) =>
+      graft.ext.Audit.fingerprint(T(s, d, "lineitem"), Seq(
+        col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_linenumber"),
+        round(col("l_extendedprice") * 100).cast("long"),
+        round(col("l_quantity")).cast("long"),
+        col("l_returnflag"), col("l_linestatus"),
+        col("l_shipdate").cast("date").cast("string")))),
+
+    // Token(byte)-WEIGHTED per-language median doc length: the
+    // weighted order statistic (ext.Sampling.weightedQuantileByKey,
+    // the q227 machinery summing weights instead of counting rows) —
+    // "what length does the median BYTE of the corpus live in", which
+    // row-median misses when long docs dominate the byte budget.
+    "q245_weighted_median" -> ((s, d) =>
+      graft.ext.Sampling.weightedQuantileByKey(
+        T(s, d, "documents")
+          .withColumn("bytes", octet_length(col("text")).cast("long")),
+        "lang", "n_chars", "bytes", "doc_id", qPermille = 500L)
+        .orderBy(col("lang"))),
+
+    // PERCEPTUAL-hash media near-dup (the image-dedup pass a LAION-
+    // style multimodal pipeline runs before anything expensive): dHash
+    // gradient signs over 61 probe samples of the decoded signal,
+    // 15-bit-band blocking (pigeonhole-complete to Hamming 3), true
+    // Hamming verify — the media twin of q46's SimHash text pass. The
+    // corpus unions with a one-character "re-encode" of every payload
+    // (same byte positions, one sample perturbed — the perturbation
+    // class dHash is BUILT to absorb), so the pass must pair each
+    // original with its variant while exact byte hashing finds nothing.
+    "q246_media_dhash" -> ((s, d) => {
+      val docs = T(s, d, "documents").select(col("doc_id"), col("text"))
+      val variants = docs.select(
+        (col("doc_id") + 1000000L).as("doc_id"),
+        concat(substring(col("text"), 1, 10), lit("X"),
+          expr("substring(text, 12)")).as("text"))
+      graft.ext.Multimodal.dHashNearDups(
+        graft.ext.Multimodal.packAsMedia(
+          docs.unionByName(variants), "doc_id", "text"), maxBits = 3)
+        .orderBy(col("a"), col("b"))
+    }),
+
+    // HARD-NEGATIVE mining (contrastive training): per anchor, the
+    // top-10 highest-cosine corpus vectors with a DIFFERENT label —
+    // the label-mismatch predicate rides the scoring pass before the
+    // bounded top-k heap (q49 machinery), never a post-rank refill.
+    "q247_hard_negatives" -> ((s, d) => {
+      val emb = T(s, d, "embeddings")
+      graft.ext.Similarity.hardNegatives(
+        emb, "vec_id", "embedding", "label",
+        emb.filter(col("vec_id") < 5), "vec_id", "embedding", "label",
+        k = 10)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // CHI-SQUARE independence: does the event mix depend on weekday?
+    // Contingency cells + broadcast margins, per-cell exact floor-ppm
+    // deviations (ext.Stats — the one χ² form both engines replay
+    // bit for bit), dof from the level counts.
+    "q248_chi_square" -> ((s, d) =>
+      graft.ext.Stats.chiSquare(
+        T(s, d, "events").select(col("event_type"),
+          dayofweek(col("ts")).cast("long").as("dow")),
+        "event_type", "dow")),
+
+    // IMPACT-ORDERED inverted index (the artifact BM25 serving reads):
+    // per term, exact df/total_tf plus the top-8 highest-tf postings
+    // as a canonical doc:tf string — the posting cap is the bounded
+    // TopKByScore heap ON the term aggregate (O(k) state per term
+    // however hot the stopword), never a per-term window sort.
+    "q249_impact_index" -> ((s, d) =>
+      graft.ext.TextOps.impactIndex(
+        T(s, d, "documents"), "doc_id", "text", topPostings = 8)
+        .orderBy(col("term"))),
+
+    // PERCENTILE normalization (the score-fusion primitive): every
+    // doc's exact global length rank → floor-ppm percentile, via the
+    // range-bucketed rank machinery — never one global window.
+    "q250_percentile_norm" -> ((s, d) =>
+      graft.ext.Sampling.percentileNormalize(
+        T(s, d, "documents").select(col("doc_id"), col("n_chars")),
+        "n_chars", "doc_id")
+        .orderBy(col("doc_id"))),
+
+    // ASYMMETRIC n-gram CONTAINMENT (quotation/subset-copy detection —
+    // what Jaccard structurally misses: a short doc fully embedded in
+    // a long one scores Jaccard ≈ 0 but containment ≈ 1). The q44
+    // plan — df-capped shingle sets, one persisted sized pass, an
+    // equi-keyed self-join — with both directed floor-ppm scores per
+    // unordered pair.
+    "q251_containment" -> ((s, d) =>
+      graft.ext.Dedup.containmentPairs(
+        T(s, d, "documents"), "doc_id", "text",
+        minPpm = 500000L, shingleN = 3, maxDf = 100)
+        .orderBy(col("a"), col("b"))),
+
+    // MMR DIVERSIFIED rerank (Carbonell & Goldstein 1998): greedy
+    // λ·rel − (1−λ)·max-sim-to-picked over the distributed top-20
+    // shortlist — the diversity pass that keeps a top-k from
+    // collapsing onto near-duplicates of one hit. The corpus scoring
+    // is the q49 distributed pass; the k-step greedy runs on the
+    // bounded collected shortlist (inherently sequential in k), and
+    // the oracle unrolls the same five argmax stages bit for bit.
+    "q252_mmr_rerank" -> ((s, d) => {
+      val emb = T(s, d, "embeddings")
+      graft.ext.Similarity.mmrRerank(emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+        k = 5, shortlist = 20, lambdaMilli = 700)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // SPEARMAN rank correlation (monotone association — what Pearson
+    // q180 misses under nonlinearity/outliers): Pearson over doubled
+    // midranks, each column ranked via a distinct-value aggregate +
+    // the range-bucketed prefix sum, sufficient statistics in
+    // DECIMAL(38,0) with one double conversion (the q180 recipe).
+    "q253_spearman" -> ((s, d) =>
+      graft.ext.Stats.spearman(
+        T(s, d, "lineitem").select(
+          round(col("l_quantity")).cast("long").as("qty"),
+          round(col("l_extendedprice") * 100).cast("long").as("cents")),
+        "qty", "cents")),
+
+    // MARGIN-based aligned-pair mining (Artetxe & Schwenk 2019, the
+    // CCMatrix bitext rule): pairs between two labeled embedding sets
+    // kept when the cosine stands out against BOTH sides' k-NN
+    // neighborhoods — 2k·cos/(Σfwd + Σbwd) as ONE double division,
+    // forward-best per anchor, margin > 1.05.
+    "q254_margin_mine" -> ((s, d) =>
+      graft.ext.Similarity.marginMine(T(s, d, "embeddings"),
+        "vec_id", "embedding", "label", labelA = 0, labelB = 1,
+        k = 4, minMarginMilli = 1050L)
+        .orderBy(col("a_id"))),
+
+    // p50/p90/p99 value bands per event type in ONE distributed rank
+    // pass (exactQuantilesByKey shares the range-bucketed rank across
+    // all quantiles — the latency-band readout without re-ranking per
+    // percentile).
+    "q255_quantile_bands" -> ((s, d) =>
+      graft.ext.Sampling.exactQuantilesByKey(
+        T(s, d, "events").select(col("event_type"),
+          round(col("value") * 100).cast("long").as("cents"),
+          col("event_id")),
+        "event_type", "cents", "event_id", Seq(500L, 900L, 990L))
+        .orderBy(col("event_type"), col("q_permille"))),
+
+    // COHEN'S KAPPA: chance-corrected agreement of the q43 lang-ID
+    // classifier against the fixture labels — the scalar the q233
+    // confusion matrix summarizes to; all-integer (N·D − S)/(N² − S)
+    // in floor ppm, negative when worse than chance.
+    "q256_cohens_kappa" -> ((s, d) =>
+      graft.ext.Stats.cohensKappa(
+        docsSpread(s, d).select(col("lang"),
+          TextOps.langId(col("text")).as("lang_pred")),
+        "lang", "lang_pred")),
+
+    // Per-doc NOVELTY/memorization score: the fraction of each doc's
+    // positional 8-grams duplicated in ≥2 docs (q114 machinery minus
+    // the island pass) — the per-doc signal curation thresholds on,
+    // where q114 only locates spans.
+    "q257_novelty" -> ((s, d) =>
+      graft.ext.Dedup.noveltyScore(docsSpread(s, d), "doc_id", "text",
+        gramLen = 8, minDocs = 2, portable = true)
+        .orderBy(col("doc_id"))),
+
+    // Paired SIGN test (q241's paired sibling): did each user's event
+    // values rise from the first half of January to the second? Each
+    // user compares against itself via the exact integer cross-product
+    // sign(ΣB·nA − ΣA·nB); directions count into the tie-dropping
+    // normal z in floor milli.
+    "q258_sign_test" -> ((s, d) =>
+      graft.ext.Stats.signTest(
+        T(s, d, "events").select(col("user_id"),
+          when(col("ts") < lit("2024-01-16 00:00:00").cast("timestamp"),
+            lit("h1")).otherwise(lit("h2")).as("half"),
+          round(col("value") * 100).cast("long").as("cents")),
+        "user_id", "half", "h1", "h2", "cents")),
+
+    // DISTRIBUTED connected-components engaged for real — the gate's
+    // one >2^20-edge graph: 355,000 four-node chains = 1,065,000
+    // verified edges, past connectedComponents' 2^20-edge union-find
+    // budget, so the distributed min-label-propagation loop (the
+    // 100 TB path no fixture-sized pair list can reach) provably runs
+    // (branch taken by edge-count arithmetic; DedupSpec pins the same
+    // constants against Dedup.DefaultLocalEdgeLimit itself). Chain
+    // links are arithmetic, so the oracle knows every label in closed
+    // form — the FULL 1.42M-row labeling is hash-pinned node by node,
+    // not summarized. Pointer-doubling (`shortcut`) keeps the
+    // diameter-3 chains to two join rounds. The returned frame is
+    // persisted per the connectedComponents contract (caller owns the
+    // release); both harnesses clearCache between queries, so the
+    // 1.42M-row block does not outlive this entry in a sweep.
+    "q259_cc_distributed" -> ((s, d) => {
+      val n = 1420000L // 355,000 chains of 4; edges = 3n/4 > 2^20
+      val nodes = s.range(n).select(col("id"))
+      val edges = s.range(n).filter(col("id") % 4 =!= 3)
+        .select(col("id").as("a"), (col("id") + 1L).as("b"))
+      graft.ext.Dedup.connectedComponents(nodes, "id", edges, "a", "b",
+          shortcut = true)
+        .orderBy(col("id"))
+    }),
+
+    // Streaming SKETCH-INGEST under at-least-once replay (q123's
+    // batch-mode pattern applied to Streams.sketchIngest): the events
+    // stream arrives as three arbitrary micro-batches driven through
+    // sketchIngestBatch — the EXACT foreachBatch body — with batch 2
+    // deliberately ingested TWICE (foreachBatch redelivery after a
+    // failure). Max-merge idempotence makes the persisted register
+    // table, and so every daily estimate, bit-identical to the direct
+    // one-shot sketch — which IS the oracle (the q172 register replay
+    // without the rolling window). A non-idempotent sink would
+    // double-rank a third of the stream and shift the estimates.
+    // Store facts collect driver-side (|days|-bounded) so the temp
+    // store deletes before returning, the q145 recipe.
+    "q260_sketch_ingest_replay" -> ((s, d) => {
+      import s.implicits._
+      val root = java.nio.file.Files.createTempDirectory("graft-si")
+      try {
+        val store = new graft.core.TableStore(s, root.toString)
+        val ev = T(s, d, "events").select(col("ts"), col("user_id"))
+        def ingest(b: org.apache.spark.sql.DataFrame): Unit =
+          Streams.sketchIngestBatch(b, store, "daily_users",
+            to_date(col("ts")), "day", "user_id")
+        val b2Pred = dayofmonth(col("ts")) > 10 && dayofmonth(col("ts")) <= 20
+        ingest(ev.filter(dayofmonth(col("ts")) <= 10))
+        ingest(ev.filter(b2Pred))
+        ingest(ev.filter(b2Pred)) // the replayed delivery
+        ingest(ev.filter(dayofmonth(col("ts")) > 20))
+        graft.ext.Sketches
+          .hllFromRegisters(store.read("daily_users"), "day")
+          .collect().map(r => (r.getDate(0), r.getLong(1)))
+          .toSeq.toDF("day", "est_distinct").orderBy(col("day"))
+      } finally
+        org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
+    }),
+
+    // WARM-START connected components (the continuous-dedup cluster
+    // maintenance q99/q107 feed): epoch 1's edges build the {0,1} and
+    // {2,3} pairs of every 4-chain; epoch 2 delivers only the middle
+    // (1,2) links, and connectedComponentsIncremental folds them into
+    // epoch 1's LABEL FRAME — never the historical edges — merging
+    // each pair of clusters into the full chain (new label = min of
+    // the two old minima, propagated through the star edges). The
+    // 100k-row labeling is hash-pinned against the same closed form
+    // as q259; the ScalaCheck law pins warm == one-shot on arbitrary
+    // graphs and both execution branches.
+    "q262_cc_warm_start" -> ((s, d) => {
+      val n = 100000L // 25,000 chains of 4
+      val nodes = s.range(n).select(col("id"))
+      def links(rem: Long*) = s.range(n)
+        .filter((col("id") % 4).isin(rem: _*))
+        .select(col("id").as("a"), (col("id") + 1L).as("b"))
+      val l1 = graft.ext.Dedup.connectedComponents(
+        nodes, "id", links(0L, 2L), "a", "b")
+      val out = graft.ext.Dedup.connectedComponentsIncremental(
+        nodes, "id", l1, links(1L), "a", "b")
+      l1.unpersist() // `out` is materialized by contract before return
+      out.orderBy(col("id"))
+    }),
+
+    // WELCH'S t: are click and view event values drawn from the same
+    // mean? The inference step q170's lift point-estimate stops short
+    // of — exact decimal moments, one IEEE double expression, floor
+    // milli (the q258 replay recipe).
+    "q263_welch_t" -> ((s, d) =>
+      graft.ext.Stats.welchT(
+        T(s, d, "events").select(col("event_type"),
+          round(col("value") * 100).cast("long").as("cents")),
+        "event_type", "click", "view", "cents")),
+
+    // THEIL–SEN robust slope of each event type's daily revenue — the
+    // median-of-pairwise-slopes trend q186's least squares can't hold
+    // under outlier days; pairs explode from the 30-day DAILY series
+    // (days², never rows²), each slope floor-ppm exact.
+    "q264_theil_sen" -> ((s, d) =>
+      graft.ext.Stats.theilSen(
+        T(s, d, "events")
+          .groupBy(col("event_type"), dayofmonth(col("ts")).as("day"))
+          .agg(sum(round(col("value") * 100).cast("long")).as("cents")),
+        "event_type", "day", "cents")
+        .orderBy(col("event_type"))),
+
+    // LAG-k AUTOCORRELATION of daily event volume (lags 1–3): the
+    // serial-dependence audit behind q187's CUSUM — per-lag Pearson
+    // over the domain-sized daily series, exact sufficient statistics,
+    // one double expression per (type, lag).
+    "q265_acf" -> ((s, d) =>
+      graft.ext.Stats.autocorr(
+        T(s, d, "events")
+          .groupBy(col("event_type"), dayofmonth(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n_ev")),
+        "event_type", "day", "n_ev", maxLag = 3)
+        .orderBy(col("event_type"), col("lag"))),
+
+    // WALD–WOLFOWITZ runs test on daily revenue around its low median
+    // — too few runs = trending/level-shifted days (the q187 signal
+    // read as a significance test), too many = alternation; exact
+    // integer runs, IEEE z in floor milli.
+    "q266_runs_test" -> ((s, d) =>
+      graft.ext.Stats.runsTest(
+        T(s, d, "events")
+          .groupBy(col("event_type"), dayofmonth(col("ts")).as("day"))
+          .agg(sum(round(col("value") * 100).cast("long")).as("cents")),
+        "event_type", "day", "cents")
+        .orderBy(col("event_type"))),
+
+    // T-CLOSENESS: the skew rung of the privacy ladder (q200 size,
+    // q243 diversity, THIS distance) — per-(segment, nation) TV
+    // distance between the group's $1000-acctbal-band distribution
+    // and the global one, exact rational floor ppm; the release gate
+    // reads max(tv_ppm) against its t.
+    "q267_t_closeness" -> ((s, d) =>
+      graft.ext.Audit.tCloseness(
+        T(s, d, "customer").select(col("c_mktsegment"), col("c_nationkey"),
+          floor(col("c_acctbal") / 1000.0).cast("long").as("bal_band")),
+        Seq("c_mktsegment", "c_nationkey"), "bal_band")
+        .orderBy(col("c_mktsegment"), col("c_nationkey"))),
+
+    // KMV set-operation estimates (the capability q157's union-only
+    // merge stops short of): |urgent ∩ high| customer overlap and
+    // Jaccard from two 256-min sketches — both priorities have ~1300
+    // distinct customers, so the (k−1)/f_k estimator branch (not the
+    // exact small-set branch) is what's hash-pinned.
+    "q268_kmv_intersect" -> ((s, d) =>
+      graft.ext.Sketches.kmvIntersectEstimate(
+        T(s, d, "orders"), "o_orderpriority", "1-URGENT", "2-HIGH",
+        "o_custkey")),
+
+    // ZIPF rank–frequency audit: top-64 tokens, cnt·rank/cnt(1) in
+    // floor ppm — ≈10⁶ everywhere is healthy language, a flat head is
+    // boilerplate flood, and the fixture's planted template tokens
+    // show exactly that.
+    "q269_zipf_profile" -> ((s, d) =>
+      graft.ext.TextOps.zipfProfile(docsSpread(s, d), "text", topR = 64)
+        .orderBy(col("rank"))),
+
+    // RESOURCE-ALLOCATION link prediction on the supplier–part
+    // bipartite graph: supplier pairs scored by Σ 1/deg(part) over
+    // shared parts (rare parts say more), deg-capped before the pair
+    // explode, per-term floor ppm, top-20.
+    "q270_link_predict" -> ((s, d) =>
+      graft.ext.GraphOps.resourceAllocation(
+        T(s, d, "lineitem"), "l_suppkey", "l_partkey",
+        maxDeg = 64, topN = 20)),
+
+    // POISSON BOOTSTRAP CI on the mean event value — the bootstrap
+    // that works at 100 TB (one pass, all 200 replicates via per-row
+    // Poisson(1) weights from ONE md5, B-row shuffle); CI bounds are
+    // order statistics of the replicate means, every bit replayable.
+    "q271_poisson_bootstrap" -> ((s, d) =>
+      graft.ext.Sampling.poissonBootstrapMean(
+        T(s, d, "events").select(col("event_id"),
+          round(col("value") * 100).cast("long").as("cents")),
+        "event_id", "cents", b = 200, tailPermille = 25)),
+
+    // DELETE-AWARE incremental MV (closes q159's retraction boundary,
+    // Incremental object doc): the lineitem rollup absorbs an insert
+    // batch AND a delete batch purely from per-batch RETRACTABLE
+    // states — cnt/sum group algebra under signed merge, never a
+    // rescan of the base; min/max stay append-only by contract.
+    // Oracle = direct recompute over (base ∪ inserts) ∖ deletes.
+    "q261_mv_retract" -> ((s, d) => {
+      val li = T(s, d, "lineitem").select(col("l_orderkey"),
+        col("l_returnflag"), col("l_linestatus"),
+        col("l_quantity"), col("l_extendedprice"))
+      val keys = Seq("l_returnflag", "l_linestatus")
+      val ms = Seq("l_quantity", "l_extendedprice")
+      val base = li.filter(col("l_orderkey") % 3 =!= 0)
+      val ins = li.filter(col("l_orderkey") % 3 === 0)
+      val del = base.filter(col("l_orderkey") % 5 === 1) // ⊆ base rows
+      def st(f: org.apache.spark.sql.DataFrame) =
+        graft.ext.Incremental.retractableState(f, keys, ms)
+      graft.ext.Incremental.readoutRetractable(
+          graft.ext.Incremental.mergeRetractable(keys, ms,
+            Seq(st(base), st(ins)), Seq(st(del))),
+          keys, ms)
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }))
+
+  def oracleSql: Map[String, String] = Map(
+
+
+    // two serial order-statistic passes (median, MAD) + the 3.5
+    // modified-z integer rule
+    "q238_anomalous_days" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |m AS (SELECT event_type, n AS med FROM (
+        |    SELECT event_type, n,
+        |      row_number() OVER (PARTITION BY event_type ORDER BY CAST(n AS DOUBLE), day) AS rk,
+        |      count(*) OVER (PARTITION BY event_type) AS c
+        |    FROM daily) t
+        |  WHERE rk = greatest(1, (500 * c + 999) // 1000)),
+        |dev AS (SELECT d.event_type, d.day, d.n, m.med, abs(d.n - m.med) AS adev
+        |  FROM daily d JOIN m USING (event_type)),
+        |mad AS (SELECT event_type, adev AS mad FROM (
+        |    SELECT event_type, adev,
+        |      row_number() OVER (PARTITION BY event_type ORDER BY CAST(adev AS DOUBLE), day) AS rk,
+        |      count(*) OVER (PARTITION BY event_type) AS c
+        |    FROM dev) t
+        |  WHERE rk = greatest(1, (500 * c + 999) // 1000))
+        |SELECT dev.event_type, dev.day, dev.n,
+        |  CAST(dev.med AS BIGINT) AS median_n, CAST(dev.adev AS BIGINT) AS abs_dev
+        |FROM dev JOIN mad USING (event_type)
+        |WHERE dev.adev * 1000 > 3500 * mad.mad
+        |ORDER BY 1, 2""".stripMargin,
+
+    // three cursor-chained LIMIT pages, cursors as scalar max()
+    "q239_keyset_pages" ->
+      """WITH p1 AS (SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_orderkey > 0 ORDER BY o_orderkey LIMIT 50),
+        |c1 AS (SELECT max(o_orderkey) AS c FROM p1),
+        |p2 AS (SELECT o_orderkey, o_totalprice FROM orders, c1
+        |  WHERE o_orderkey > c1.c ORDER BY o_orderkey LIMIT 50),
+        |c2 AS (SELECT max(o_orderkey) AS c FROM p2),
+        |p3 AS (SELECT o_orderkey, o_totalprice FROM orders, c2
+        |  WHERE o_orderkey > c2.c ORDER BY o_orderkey LIMIT 50)
+        |SELECT o_orderkey, o_totalprice, CAST(1 AS BIGINT) AS page FROM p1
+        |UNION ALL SELECT o_orderkey, o_totalprice, 2 FROM p2
+        |UNION ALL SELECT o_orderkey, o_totalprice, 3 FROM p3
+        |ORDER BY page, o_orderkey""".stripMargin,
+
+    // rank() vs row_number() at the k-boundary, per group
+    "q240_topk_ties" ->
+      """WITH r AS (
+        |  SELECT o_orderstatus, o_totalprice,
+        |    rank() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC) AS rk,
+        |    row_number() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |SELECT o_orderstatus,
+        |  CAST(count(CASE WHEN rk <= 3 THEN 1 END) AS BIGINT) AS n_rank_top3,
+        |  CAST(count(CASE WHEN rn <= 3 THEN 1 END) AS BIGINT) AS n_rownum_top3,
+        |  max(CASE WHEN rk <= 3 THEN o_totalprice END) AS top_price
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // serial rank-sum reference: per distinct value, A-rows beat every
+    // B strictly below twice and ties once; one floor ppm division
+    "q241_rank_sum" ->
+      """WITH e AS (
+        |  SELECT event_type AS g, CAST(round(value * 100) AS BIGINT) AS v
+        |  FROM events
+        |  WHERE event_type IN ('purchase', 'click') AND value IS NOT NULL),
+        |agg AS (SELECT v,
+        |    sum(CASE WHEN g = 'purchase' THEN 1 ELSE 0 END) AS ca,
+        |    sum(CASE WHEN g = 'click' THEN 1 ELSE 0 END) AS cb
+        |  FROM e GROUP BY 1),
+        |c AS (SELECT v, ca, cb, sum(cb) OVER (ORDER BY v) AS cum_b FROM agg),
+        |t AS (SELECT sum(ca) AS na, sum(cb) AS nb,
+        |    sum(ca * (2 * (cum_b - cb) + cb)) AS u2
+        |  FROM c)
+        |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+        |  CAST(u2 AS BIGINT) AS u2,
+        |  CAST((u2 * 1000000) // (2 * na * nb) AS BIGINT) AS auc_ppm
+        |FROM t""".stripMargin,
+
+    // serial KS reference: cumulative counts over the merged support,
+    // max integer gap, ties to the low value, ppm after the argmax
+    "q242_ks_test" ->
+      """WITH e AS (
+        |  SELECT lang AS g, CAST(n_chars AS BIGINT) AS v FROM documents
+        |  WHERE lang IN ('en', 'fr') AND n_chars IS NOT NULL),
+        |agg AS (SELECT v,
+        |    sum(CASE WHEN g = 'en' THEN 1 ELSE 0 END) AS ca,
+        |    sum(CASE WHEN g = 'fr' THEN 1 ELSE 0 END) AS cb
+        |  FROM e GROUP BY 1),
+        |c AS (SELECT v, sum(ca) OVER (ORDER BY v) AS cum_a,
+        |    sum(cb) OVER (ORDER BY v) AS cum_b FROM agg),
+        |t AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM agg),
+        |dev AS (SELECT v, abs(cum_a * t.nb - cum_b * t.na) AS gap
+        |  FROM c CROSS JOIN t),
+        |sel AS (SELECT v, gap FROM dev ORDER BY gap DESC, v ASC LIMIT 1)
+        |SELECT CAST(t.na AS BIGINT) AS n_a, CAST(t.nb AS BIGINT) AS n_b,
+        |  CAST((sel.gap * 1000000) // (t.na * t.nb) AS BIGINT) AS d_ppm,
+        |  CAST(sel.v AS BIGINT) AS at_value
+        |FROM sel CROSS JOIN t""".stripMargin,
+
+    // distinct balance bands per QI group, histogrammed by diversity
+    "q243_l_diversity" ->
+      """WITH g AS (
+        |  SELECT c_nationkey, c_mktsegment, count(*) AS sz,
+        |    count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT)) AS dv
+        |  FROM customer GROUP BY 1, 2),
+        |h AS (SELECT CAST(dv AS BIGINT) AS diversity,
+        |    CAST(count(*) AS BIGINT) AS n_groups, CAST(sum(sz) AS BIGINT) AS n_rows
+        |  FROM g GROUP BY 1)
+        |SELECT diversity, n_groups, n_rows,
+        |  CAST(CASE WHEN diversity < 2 THEN 1 ELSE 0 END AS BIGINT) AS at_risk
+        |FROM h ORDER BY 1""".stripMargin,
+
+    // the same canonical row string, 56-bit md5 hash, hugeint sum
+    "q244_fingerprint" ->
+      """WITH r AS (
+        |  SELECT CAST(concat('0x', substring(md5(concat_ws('|', '42',
+        |      concat_ws('|',
+        |        coalesce(CAST(l_orderkey AS VARCHAR), '\N'),
+        |        coalesce(CAST(l_partkey AS VARCHAR), '\N'),
+        |        coalesce(CAST(l_suppkey AS VARCHAR), '\N'),
+        |        coalesce(CAST(l_linenumber AS VARCHAR), '\N'),
+        |        coalesce(CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS VARCHAR), '\N'),
+        |        coalesce(CAST(CAST(round(l_quantity) AS BIGINT) AS VARCHAR), '\N'),
+        |        coalesce(l_returnflag, '\N'),
+        |        coalesce(l_linestatus, '\N'),
+        |        coalesce(CAST(CAST(l_shipdate AS DATE) AS VARCHAR), '\N')))),
+        |    1, 14)) AS BIGINT) AS h
+        |  FROM lineitem)
+        |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(h) % 4611686018427387904 AS BIGINT) AS checksum
+        |FROM r""".stripMargin,
+
+    // serial weighted-quantile reference: first row whose cumulative
+    // byte weight reaches ceil(500‰ · W / 1000) in (len, id) order
+    "q245_weighted_median" ->
+      """WITH c AS (
+        |  SELECT lang, CAST(n_chars AS DOUBLE) AS q,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS w, doc_id
+        |  FROM documents
+        |  WHERE n_chars IS NOT NULL AND octet_length(encode(text)) > 0),
+        |cum AS (SELECT lang, q, w,
+        |    sum(w) OVER (PARTITION BY lang ORDER BY q, doc_id) AS cw,
+        |    sum(w) OVER (PARTITION BY lang) AS wt
+        |  FROM c)
+        |SELECT lang, CAST(wt AS BIGINT) AS w_total, q AS q_value
+        |FROM cum
+        |WHERE cw >= greatest(1, (500 * wt + 999) // 1000)
+        |  AND cw - w < greatest(1, (500 * wt + 999) // 1000)
+        |ORDER BY lang""".stripMargin,
+
+    "q246_media_dhash" -> DhashOracleSql,
+
+    // the q49 scoring replay plus the label-mismatch predicate
+    "q247_hard_negatives" ->
+      """WITH v AS (
+        |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings WHERE label IS NOT NULL),
+        |n AS (SELECT vec_id, label, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v),
+        |q AS (SELECT vec_id AS query_id, label AS ql, e AS qe, nrm AS qn FROM n WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.query_id, n.vec_id AS nn_id,
+        |    list_sum(list_transform(range(1, 65), i -> (n.e[i] / n.nrm) * (q.qe[i] / q.qn))) AS cosine
+        |  FROM q CROSS JOIN n WHERE n.label <> q.ql),
+        |ranked AS (
+        |  SELECT query_id, nn_id, cosine,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nn_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, nn_id, cosine, rank FROM ranked WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
+
+    // the same contingency arithmetic; DuckDB's Sunday-0 dayofweek
+    // shimmed +1 to Spark's Sunday-1 (the q225 rule)
+    "q248_chi_square" ->
+      """WITH e AS (
+        |  SELECT event_type AS a, CAST(dayofweek(ts) + 1 AS BIGINT) AS b
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+        |obs AS (SELECT a, b, count(*) AS o FROM e GROUP BY 1, 2),
+        |rt AS (SELECT a, sum(o) AS r FROM obs GROUP BY 1),
+        |ct AS (SELECT b, sum(o) AS c FROM obs GROUP BY 1),
+        |t AS (SELECT sum(o) AS n FROM obs),
+        |cells AS (
+        |  SELECT (coalesce(o.o, 0) * t.n - g.r * g.c) AS dd, g.r, g.c, t.n
+        |  FROM (SELECT rt.a, rt.r, ct.b, ct.c FROM rt CROSS JOIN ct) g
+        |  LEFT JOIN obs o ON o.a = g.a AND o.b = g.b CROSS JOIN t),
+        |s AS (SELECT sum((dd * dd * 1000000) // (r * c * n)) AS chi2_ppm,
+        |    max(n) AS n FROM cells),
+        |dims AS (SELECT count(DISTINCT a) AS a_levels,
+        |    count(DISTINCT b) AS b_levels FROM obs)
+        |SELECT CAST(s.n AS BIGINT) AS n,
+        |  CAST(dims.a_levels AS BIGINT) AS a_levels,
+        |  CAST(dims.b_levels AS BIGINT) AS b_levels,
+        |  CAST((dims.a_levels - 1) * (dims.b_levels - 1) AS BIGINT) AS dof,
+        |  CAST(s.chi2_ppm AS BIGINT) AS chi2_ppm
+        |FROM s CROSS JOIN dims""".stripMargin,
+
+    // serial impact-index reference: per-term window rank replays the
+    // heap's (tf DESC, doc ASC) order; postings string_agg'd in rank order
+    "q249_impact_index" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS tokens
+        |  FROM documents),
+        |tok AS (SELECT doc_id, unnest(tokens) AS t FROM tk),
+        |tf AS (SELECT t AS term, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |rk AS (SELECT term, doc_id, tf,
+        |    row_number() OVER (PARTITION BY term ORDER BY tf DESC, doc_id) AS rn
+        |  FROM tf),
+        |ag AS (SELECT term, CAST(count(*) AS BIGINT) AS df,
+        |    CAST(sum(tf) AS BIGINT) AS total_tf FROM tf GROUP BY 1),
+        |po AS (SELECT term,
+        |    string_agg(concat(CAST(doc_id AS VARCHAR), ':', CAST(tf AS VARCHAR)), ',' ORDER BY rn) AS postings
+        |  FROM rk WHERE rn <= 8 GROUP BY 1)
+        |SELECT ag.term, ag.df, ag.total_tf, po.postings
+        |FROM ag JOIN po USING (term) ORDER BY term""".stripMargin,
+
+    // serial rank reference under ascending (n_chars, doc_id)
+    "q250_percentile_norm" ->
+      """WITH r AS (
+        |  SELECT doc_id, n_chars,
+        |    CAST(row_number() OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS rank,
+        |    count(*) OVER () AS n
+        |  FROM documents WHERE n_chars IS NOT NULL)
+        |SELECT doc_id, n_chars, rank,
+        |  CAST(CASE WHEN n <= 1 THEN 0
+        |    ELSE ((rank - 1) * 1000000) // (n - 1) END AS BIGINT) AS pct_ppm
+        |FROM r ORDER BY doc_id""".stripMargin,
+
+    // the q44 CTEs with directed floor-ppm containments per pair
+    "q251_containment" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS tokens FROM documents),
+        |sh AS (
+        |  SELECT doc_id, CASE WHEN len(tokens) >= 3 THEN list_distinct(list_transform(range(1, len(tokens) - 1), i -> array_to_string(tokens[i:i+2], ' '))) ELSE [] END AS s FROM tk),
+        |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        |kept AS (
+        |  SELECT doc_id, g FROM (
+        |    SELECT doc_id, g, count(*) OVER (PARTITION BY g) AS df FROM ex)
+        |  WHERE df <= 100),
+        |sized AS (SELECT doc_id, g, count(*) OVER (PARTITION BY doc_id) AS n FROM kept),
+        |pairs AS (
+        |  SELECT ea.doc_id AS a, eb.doc_id AS b, ea.n AS na, eb.n AS nb, count(*) AS c
+        |  FROM sized ea JOIN sized eb ON ea.g = eb.g AND ea.doc_id < eb.doc_id
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT a, b, CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
+        |  CAST(c AS BIGINT) AS n_shared,
+        |  CAST((c * 1000000) // na AS BIGINT) AS cont_a_ppm,
+        |  CAST((c * 1000000) // nb AS BIGINT) AS cont_b_ppm
+        |FROM pairs
+        |WHERE (c * 1000000) // na >= 500000 OR (c * 1000000) // nb >= 500000
+        |ORDER BY a, b""".stripMargin,
+
+    "q252_mmr_rerank" -> MmrOracleSql,
+
+    // doubled midranks from value-aggregate cumulative counts; the
+    // q180 double recipe term for term
+    "q253_spearman" ->
+      """WITH c AS (
+        |  SELECT CAST(round(l_quantity) AS BIGINT) AS x,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+        |  FROM lineitem WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+        |rx AS (SELECT x AS v, count(*) AS cnt FROM c GROUP BY 1),
+        |rxc AS (SELECT v, 2 * (sum(cnt) OVER (ORDER BY v) - cnt) + cnt + 1 AS r2 FROM rx),
+        |ry AS (SELECT y AS v, count(*) AS cnt FROM c GROUP BY 1),
+        |ryc AS (SELECT v, 2 * (sum(cnt) OVER (ORDER BY v) - cnt) + cnt + 1 AS r2 FROM ry),
+        |j AS (SELECT CAST(rxc.r2 AS HUGEINT) AS a, CAST(ryc.r2 AS HUGEINT) AS b
+        |  FROM c JOIN rxc ON c.x = rxc.v JOIN ryc ON c.y = ryc.v),
+        |t AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(a) AS DOUBLE) AS sa, CAST(sum(b) AS DOUBLE) AS sb,
+        |    CAST(sum(a * b) AS DOUBLE) AS pab,
+        |    CAST(sum(a * a) AS DOUBLE) AS paa,
+        |    CAST(sum(b * b) AS DOUBLE) AS pbb
+        |  FROM j)
+        |SELECT CAST(n AS BIGINT) AS n,
+        |  CASE WHEN sqrt(n * paa - sa * sa) * sqrt(n * pbb - sb * sb) = 0 THEN NULL
+        |    ELSE (n * pab - sa * sb) /
+        |      (sqrt(n * paa - sa * sa) * sqrt(n * pbb - sb * sb)) END AS spearman
+        |FROM t""".stripMargin,
+
+    // full margin replay: both directional k-NN sums from the same
+    // cross scores (products are commutative-exact), one division,
+    // forward-best with low-id ties
+    "q254_margin_mine" ->
+      """WITH v AS (
+        |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+        |n AS (SELECT vec_id, label, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v),
+        |aa AS (SELECT vec_id, e, nrm FROM n WHERE label = 0),
+        |bb AS (SELECT vec_id, e, nrm FROM n WHERE label = 1),
+        |sc AS (
+        |  SELECT aa.vec_id AS a_id, bb.vec_id AS b_id,
+        |    list_sum(list_transform(range(1, 65), i -> (bb.e[i] / bb.nrm) * (aa.e[i] / aa.nrm))) AS cosine
+        |  FROM aa CROSS JOIN bb),
+        |fwd AS (SELECT a_id, b_id, cosine,
+        |    row_number() OVER (PARTITION BY a_id ORDER BY cosine DESC, b_id) AS rk
+        |  FROM sc),
+        |f4 AS (SELECT a_id, b_id, cosine FROM fwd WHERE rk <= 4),
+        |sa AS (SELECT a_id, sum(cosine) AS s FROM f4 GROUP BY 1),
+        |bwd AS (SELECT b_id, a_id, cosine,
+        |    row_number() OVER (PARTITION BY b_id ORDER BY cosine DESC, a_id) AS rk
+        |  FROM sc),
+        |sb AS (SELECT b_id, sum(cosine) AS s FROM bwd WHERE rk <= 4 GROUP BY 1),
+        |m AS (
+        |  SELECT f4.a_id, f4.b_id, f4.cosine,
+        |    (8.0 * f4.cosine) / (sa.s + sb.s) AS margin
+        |  FROM f4 JOIN sa USING (a_id) JOIN sb USING (b_id)
+        |  WHERE (8.0 * f4.cosine) / (sa.s + sb.s) > 1.05),
+        |best AS (SELECT a_id, b_id, cosine, margin,
+        |    row_number() OVER (PARTITION BY a_id ORDER BY margin DESC, b_id) AS rn
+        |  FROM m)
+        |SELECT a_id, b_id, cosine, margin FROM best WHERE rn = 1
+        |ORDER BY a_id""".stripMargin,
+
+    // serial rank + the same ceil-rank rule per quantile
+    "q255_quantile_bands" ->
+      """WITH c AS (
+        |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v, event_id
+        |  FROM events WHERE value IS NOT NULL),
+        |r AS (SELECT event_type, v,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY v, event_id) AS rk,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM c),
+        |q(q_permille) AS (VALUES (500), (900), (990))
+        |SELECT r.event_type, CAST(q.q_permille AS BIGINT) AS q_permille,
+        |  CAST(r.n AS BIGINT) AS n, CAST(r.v AS DOUBLE) AS q_value
+        |FROM r JOIN q ON r.rk = greatest(1, (q.q_permille * r.n + 999) // 1000)
+        |ORDER BY event_type, q_permille""".stripMargin,
+
+    // the q233 lang-ID replay collapsed to the kappa integers
+    "q256_cohens_kappa" ->
+      s"""WITH tk AS (
+        |  SELECT doc_id, lang, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS tokens FROM documents),
+        |r AS (
+        |  SELECT doc_id, lang,
+        |    $LangScoreCols
+        |  FROM tk),
+        |p AS (SELECT lang AS a, $LangArgmaxSql AS b FROM r),
+        |obs AS (SELECT a, b, count(*) AS o FROM p GROUP BY 1, 2),
+        |t AS (SELECT sum(o) AS n,
+        |    sum(CASE WHEN a = b THEN o ELSE 0 END) AS d FROM obs),
+        |rt AS (SELECT a AS k, sum(o) AS r FROM obs GROUP BY 1),
+        |ct AS (SELECT b AS k, sum(o) AS c FROM obs GROUP BY 1),
+        |s AS (SELECT coalesce(sum(rt.r * ct.c), 0) AS s FROM rt JOIN ct USING (k)),
+        |f AS (SELECT t.n, t.d, (t.n * t.d - s.s) * 1000000 AS num,
+        |    t.n * t.n - s.s AS den FROM t CROSS JOIN s)
+        |SELECT CAST(n AS BIGINT) AS n, CAST(d AS BIGINT) AS agree,
+        |  -- DuckDB // truncates toward zero; kappa can be NEGATIVE and
+        |  -- the engine floors, so floor via the nonneg-mod identity
+        |  CAST(CASE WHEN den = 0 THEN NULL
+        |    ELSE (num - ((num % den) + den) % den) // den END AS BIGINT) AS kappa_ppm
+        |FROM f""".stripMargin,
+
+    // the q114 gram CTEs, collapsed to per-doc counts (sp unused)
+    "q257_novelty" ->
+      s"""WITH $DupSpanCtes,
+        |tot AS (SELECT doc_id, count(*) AS n_grams FROM gg GROUP BY 1),
+        |dd AS (SELECT doc_id, count(*) AS n_dup FROM dup GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(t.n_grams, 0) AS BIGINT) AS n_grams,
+        |  CAST(coalesce(dd.n_dup, 0) AS BIGINT) AS n_dup,
+        |  CAST(CASE WHEN t.n_grams IS NULL THEN NULL
+        |    ELSE ((t.n_grams - coalesce(dd.n_dup, 0)) * 1000000) // t.n_grams
+        |    END AS BIGINT) AS novelty_ppm
+        |FROM documents d
+        |LEFT JOIN tot t USING (doc_id) LEFT JOIN dd USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // per-user half sums, exact cross-product mean compare, floor-milli z
+    "q258_sign_test" ->
+      """WITH e AS (
+        |  SELECT user_id,
+        |    CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 'h1' ELSE 'h2' END AS half,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE value IS NOT NULL),
+        |p AS (
+        |  SELECT user_id,
+        |    sum(CASE WHEN half = 'h1' THEN cents END) AS sa,
+        |    count(CASE WHEN half = 'h1' THEN 1 END) AS na,
+        |    sum(CASE WHEN half = 'h2' THEN cents END) AS sb,
+        |    count(CASE WHEN half = 'h2' THEN 1 END) AS nb
+        |  FROM e GROUP BY 1),
+        |s AS (
+        |  SELECT
+        |    sum(CASE WHEN sb * na - sa * nb > 0 THEN 1 ELSE 0 END) AS n_pos,
+        |    sum(CASE WHEN sb * na - sa * nb < 0 THEN 1 ELSE 0 END) AS n_neg,
+        |    sum(CASE WHEN sb * na - sa * nb = 0 THEN 1 ELSE 0 END) AS n_tie
+        |  FROM p WHERE na > 0 AND nb > 0)
+        |SELECT CAST(n_pos AS BIGINT) AS n_pos, CAST(n_neg AS BIGINT) AS n_neg,
+        |  CAST(n_tie AS BIGINT) AS n_tie,
+        |  CAST(CASE WHEN n_pos + n_neg = 0 THEN NULL
+        |    ELSE floor((1000.0 * CAST(n_pos - n_neg AS DOUBLE)) /
+        |      sqrt(CAST(n_pos + n_neg AS DOUBLE))) END AS BIGINT) AS z_milli
+        |FROM s""".stripMargin,
+
+    // every chain label in closed form: cluster = id − id mod 4
+    "q259_cc_distributed" ->
+      """SELECT CAST(r.range AS BIGINT) AS id,
+        |  CAST(r.range - r.range % 4 AS BIGINT) AS cluster_id
+        |FROM range(0, 1420000) r ORDER BY id""".stripMargin,
+
+    // the q172 register replay without the rolling window: the direct
+    // one-shot daily sketch — what an idempotent ingest must equal
+    // even after the duplicated batch delivery
+    "q260_sketch_ingest_replay" ->
+      s"""WITH h AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |    CAST(concat('0x', substring(md5(concat_ws('|', '42', CAST(user_id AS VARCHAR))), 1, 14)) AS BIGINT) AS h
+        |  FROM events),
+        |b AS (
+        |  SELECT day, h & 63 AS b,
+        |    CASE WHEN (h >> 6) = 0 THEN 30
+        |         ELSE least(30, 51 - length(bin(h >> 6))) END AS rho
+        |  FROM h),
+        |regs AS (SELECT day, b, max(rho) AS r FROM b GROUP BY 1, 2),
+        |s AS (
+        |  SELECT day, sum(${1L << 30} >> r) AS s, count(*) AS present
+        |  FROM regs GROUP BY 1),
+        |e AS (
+        |  SELECT day, 64 - present AS zeros,
+        |    ${709L * 4096L * (1L << 30)}
+        |      // (1000 * (s + (64 - present) * ${1L << 30})) AS raw
+        |  FROM s)
+        |SELECT day,
+        |  CAST(CASE WHEN raw <= 160 AND zeros > 0
+        |    THEN ([${graft.ext.Sketches.HllLinearCounting.mkString(", ")}])[CAST(zeros AS INTEGER)]
+        |    ELSE raw END AS BIGINT) AS est_distinct
+        |FROM e ORDER BY day""".stripMargin,
+
+    // warm-start chains land on the identical closed form
+    "q262_cc_warm_start" ->
+      """SELECT CAST(r.range AS BIGINT) AS id,
+        |  CAST(r.range - r.range % 4 AS BIGINT) AS cluster_id
+        |FROM range(0, 100000) r ORDER BY id""".stripMargin,
+
+    // exact HUGEINT moments, then the IDENTICAL double expression
+    // order as the engine (every op IEEE correctly-rounded)
+    "q263_welch_t" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE value IS NOT NULL AND event_type IN ('click', 'view')),
+        |a AS (
+        |  SELECT
+        |    count(CASE WHEN event_type = 'click' THEN 1 END) AS na,
+        |    sum(CASE WHEN event_type = 'click' THEN CAST(cents AS HUGEINT) END) AS sa,
+        |    sum(CASE WHEN event_type = 'click' THEN CAST(cents AS HUGEINT) * cents END) AS qa,
+        |    count(CASE WHEN event_type = 'view' THEN 1 END) AS nb,
+        |    sum(CASE WHEN event_type = 'view' THEN CAST(cents AS HUGEINT) END) AS sb,
+        |    sum(CASE WHEN event_type = 'view' THEN CAST(cents AS HUGEINT) * cents END) AS qb
+        |  FROM e),
+        |d AS (
+        |  SELECT na, nb,
+        |    CAST(na AS DOUBLE) AS nad, CAST(sa AS DOUBLE) AS sad, CAST(qa AS DOUBLE) AS qad,
+        |    CAST(nb AS DOUBLE) AS nbd, CAST(sb AS DOUBLE) AS sbd, CAST(qb AS DOUBLE) AS qbd
+        |  FROM a),
+        |v AS (
+        |  SELECT *,
+        |    (nad * qad - sad * sad) / (nad * (nad - 1.0)) AS va,
+        |    (nbd * qbd - sbd * sbd) / (nbd * (nbd - 1.0)) AS vb
+        |  FROM d),
+        |w AS (SELECT *, va / nad AS sea, vb / nbd AS seb FROM v)
+        |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+        |  sad / nad AS mean_a, sbd / nbd AS mean_b,
+        |  CASE WHEN na > 1 AND nb > 1 AND (va + vb) > 0
+        |    THEN CAST(floor(1000.0 * ((sad / nad - sbd / nbd) / sqrt(sea + seb))) AS BIGINT)
+        |    ELSE NULL END AS t_milli,
+        |  CASE WHEN na > 1 AND nb > 1 AND (va + vb) > 0
+        |    THEN CAST(floor(1000.0 * (((sea + seb) * (sea + seb)) /
+        |      (sea * sea / (nad - 1.0) + seb * seb / (nbd - 1.0)))) AS BIGINT)
+        |    ELSE NULL END AS df_milli
+        |FROM w""".stripMargin,
+
+    // daily-series pairwise slopes, each floored through the signed
+    // shim (DuckDB // truncates; the engine floors toward −∞), low
+    // median = rank ⌊(m+1)/2⌋ order statistic
+    "q264_theil_sen" ->
+      """WITH dly AS (
+        |  SELECT event_type, CAST(date_part('day', ts) AS BIGINT) AS day,
+        |    sum(CAST(round(value * 100) AS BIGINT)) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |p AS (
+        |  SELECT a.event_type,
+        |    ((CAST(b.cents AS HUGEINT) - a.cents) * 1000000
+        |      - ((((CAST(b.cents AS HUGEINT) - a.cents) * 1000000) % (b.day - a.day))
+        |         + (b.day - a.day)) % (b.day - a.day)) // (b.day - a.day) AS slope,
+        |    a.day AS x1, b.day AS x2
+        |  FROM dly a JOIN dly b ON b.event_type = a.event_type AND b.day > a.day),
+        |r AS (SELECT event_type, slope,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY slope, x1, x2) AS rk,
+        |    count(*) OVER (PARTITION BY event_type) AS m
+        |  FROM p)
+        |SELECT event_type, CAST(m AS BIGINT) AS n_pairs, CAST(slope AS BIGINT) AS slope_ppm
+        |FROM r WHERE rk = (m + 1) // 2
+        |ORDER BY event_type""".stripMargin,
+
+    // per-lag pair join on the daily series, exact HUGEINT sufficient
+    // stats, the q253 double expression term for term
+    "q265_acf" ->
+      """WITH dly AS (
+        |  SELECT event_type, CAST(date_part('day', ts) AS BIGINT) AS day, count(*) AS v
+        |  FROM events GROUP BY 1, 2),
+        |l(lag) AS (VALUES (1), (2), (3)),
+        |p AS (
+        |  SELECT a.event_type, l.lag, CAST(a.v AS HUGEINT) AS x, CAST(b.v AS HUGEINT) AS y
+        |  FROM dly a CROSS JOIN l JOIN dly b
+        |    ON b.event_type = a.event_type AND b.day = a.day + l.lag),
+        |t AS (
+        |  SELECT event_type, lag, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |    sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+        |  FROM p GROUP BY 1, 2),
+        |d AS (
+        |  SELECT event_type, lag, n,
+        |    CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+        |    CAST(sxy AS DOUBLE) AS sxyd, CAST(sxx AS DOUBLE) AS sxxd, CAST(syy AS DOUBLE) AS syyd
+        |  FROM t),
+        |f AS (
+        |  SELECT event_type, lag, n,
+        |    sqrt(nd * sxxd - sxd * sxd) * sqrt(nd * syyd - syd * syd) AS den,
+        |    nd * sxyd - sxd * syd AS num
+        |  FROM d)
+        |SELECT event_type, CAST(lag AS BIGINT) AS lag, CAST(n AS BIGINT) AS n,
+        |  CASE WHEN den = 0 THEN NULL ELSE num / den END AS acf
+        |FROM f ORDER BY event_type, lag""".stripMargin,
+
+    // the engine's window pass replayed: low-median per key, equal
+    // values dropped, runs from sign changes, IEEE z in floor milli
+    "q266_runs_test" ->
+      """WITH dly AS (
+        |  SELECT event_type, CAST(date_part('day', ts) AS BIGINT) AS day,
+        |    sum(CAST(round(value * 100) AS BIGINT)) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT event_type, day, cents,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY cents, day) AS rk,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM dly),
+        |med AS (SELECT event_type, cents AS med FROM r WHERE rk = (n + 1) // 2),
+        |sg AS (
+        |  SELECT d.event_type, d.day, CASE WHEN d.cents > m.med THEN 1 ELSE 0 END AS up
+        |  FROM dly d JOIN med m USING (event_type) WHERE d.cents <> m.med),
+        |ch AS (
+        |  SELECT event_type, up,
+        |    CASE WHEN lag(up) OVER (PARTITION BY event_type ORDER BY day) IS NULL THEN 0
+        |         WHEN lag(up) OVER (PARTITION BY event_type ORDER BY day) <> up THEN 1
+        |         ELSE 0 END AS chg
+        |  FROM sg),
+        |a AS (
+        |  SELECT event_type, sum(up) AS n1, sum(1 - up) AS n2, sum(chg) + 1 AS runs
+        |  FROM ch GROUP BY 1),
+        |d2 AS (
+        |  SELECT event_type, n1, n2, runs,
+        |    CAST(n1 AS DOUBLE) AS n1d, CAST(n2 AS DOUBLE) AS n2d
+        |  FROM a),
+        |f AS (
+        |  SELECT event_type, n1, n2, runs, n1d, n2d,
+        |    n1d + n2d AS nd, 2.0 * n1d * n2d AS p2
+        |  FROM d2),
+        |g AS (
+        |  SELECT *, 1.0 + p2 / nd AS e,
+        |    (p2 * (p2 - nd)) / (nd * nd * (nd - 1.0)) AS vr
+        |  FROM f)
+        |SELECT event_type, CAST(n1 AS BIGINT) AS n_above, CAST(n2 AS BIGINT) AS n_below,
+        |  CAST(runs AS BIGINT) AS runs,
+        |  CASE WHEN n1 > 0 AND n2 > 0 AND n1 + n2 > 2 AND vr > 0
+        |    THEN CAST(floor(1000.0 * (CAST(runs AS DOUBLE) - e) / sqrt(vr)) AS BIGINT)
+        |    ELSE NULL END AS z_milli
+        |FROM g ORDER BY event_type""".stripMargin,
+
+    // exact rational TV replay: present-value terms summed in
+    // HUGEINT, absent mass added arithmetically, one floor division
+    "q267_t_closeness" ->
+      """WITH b AS (
+        |  SELECT c_mktsegment, c_nationkey,
+        |    CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS v
+        |  FROM customer WHERE c_acctbal IS NOT NULL),
+        |g AS (SELECT v, count(*) AS gc FROM b GROUP BY 1),
+        |-- "tot", not "N": DuckDB resolves identifiers case-insensitively
+        |-- too, so N would silently bind to the per-group n
+        |nn AS (SELECT CAST(sum(gc) AS HUGEINT) AS tot FROM g),
+        |c AS (SELECT c_mktsegment, c_nationkey, v, count(*) AS c FROM b GROUP BY 1, 2, 3),
+        |cn AS (SELECT c.*,
+        |    sum(c.c) OVER (PARTITION BY c_mktsegment, c_nationkey) AS n
+        |  FROM c),
+        |j AS (SELECT cn.*, g.gc, nn.tot FROM cn JOIN g USING (v) CROSS JOIN nn),
+        |p AS (
+        |  SELECT c_mktsegment, c_nationkey, min(n) AS n, min(tot) AS tot,
+        |    sum(abs(CAST(c AS HUGEINT) * tot - CAST(gc AS HUGEINT) * n)) AS present,
+        |    sum(gc) AS gmatch
+        |  FROM j GROUP BY 1, 2),
+        |f AS (
+        |  SELECT c_mktsegment, c_nationkey, n,
+        |    present + (tot - gmatch) * CAST(n AS HUGEINT) AS num,
+        |    2 * CAST(n AS HUGEINT) * tot AS den
+        |  FROM p)
+        |SELECT c_mktsegment, c_nationkey, CAST(n AS BIGINT) AS n,
+        |  CAST((num * 1000000) // den AS BIGINT) AS tv_ppm
+        |FROM f ORDER BY c_mktsegment, c_nationkey""".stripMargin,
+
+    // full sketch replay: per-group 256-min sets over the portable
+    // md5 fraction, k-min of the union, coincidence count, the
+    // (k−1)/f_k estimator — every double op in engine order
+    "q268_kmv_intersect" ->
+      """WITH v AS (
+        |  SELECT DISTINCT o_orderpriority AS g, CAST(o_custkey AS VARCHAR) AS val
+        |  FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')),
+        |h AS (
+        |  SELECT g, val,
+        |    CAST(CAST(concat('0x', substring(md5(concat_ws('|', '42', val)), 1, 14)) AS BIGINT) AS DOUBLE)
+        |      / 72057594037927936.0 AS frac
+        |  FROM v),
+        |r AS (SELECT g, val, frac,
+        |    row_number() OVER (PARTITION BY g ORDER BY frac, val) AS rk
+        |  FROM h),
+        |sa AS (SELECT val, frac FROM r WHERE g = '1-URGENT' AND rk <= 256),
+        |sb AS (SELECT val, frac FROM r WHERE g = '2-HIGH' AND rk <= 256),
+        |u0 AS (SELECT DISTINCT frac, val FROM (SELECT * FROM sa UNION ALL SELECT * FROM sb)),
+        |u AS (SELECT frac, val, row_number() OVER (ORDER BY frac, val) AS rk FROM u0),
+        |uk AS (SELECT * FROM u WHERE rk <= 256),
+        |m AS (
+        |  SELECT count(*) AS n_both FROM uk
+        |  WHERE EXISTS (SELECT 1 FROM sa WHERE sa.val = uk.val AND sa.frac = uk.frac)
+        |    AND EXISTS (SELECT 1 FROM sb WHERE sb.val = uk.val AND sb.frac = uk.frac)),
+        |t AS (
+        |  SELECT (SELECT count(*) FROM sa) AS n_a_set,
+        |    (SELECT count(*) FROM sb) AS n_b_set,
+        |    (SELECT count(*) FROM uk) AS nu,
+        |    (SELECT n_both FROM m) AS n_both,
+        |    (SELECT frac FROM uk WHERE rk = 256) AS fk),
+        |e AS (
+        |  SELECT *, CASE WHEN nu < 256 THEN CAST(nu AS DOUBLE)
+        |    ELSE 255.0 / fk END AS est_union
+        |  FROM t)
+        |SELECT CAST(n_a_set AS BIGINT) AS n_a_set, CAST(n_b_set AS BIGINT) AS n_b_set,
+        |  CAST(nu AS BIGINT) AS n_union_set, CAST(n_both AS BIGINT) AS n_both,
+        |  CAST((n_both * 1000000) // nu AS BIGINT) AS jaccard_ppm,
+        |  est_union,
+        |  (CAST(n_both AS DOUBLE) / CAST(nu AS DOUBLE)) * est_union AS est_intersection
+        |FROM e""".stripMargin,
+
+    // the q256 tokenization, global counts, serial top-64 rank, exact
+    // cnt·rank/cnt(1) floor ppm
+    "q269_zipf_profile" ->
+      """WITH tk AS (
+        |  SELECT list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |t AS (SELECT unnest(toks) AS tok FROM tk),
+        |c AS (SELECT tok, count(*) AS cnt FROM t GROUP BY 1),
+        |r AS (SELECT tok, cnt, row_number() OVER (ORDER BY cnt DESC, tok) AS rank FROM c),
+        |top AS (SELECT * FROM r WHERE rank <= 64),
+        |c1 AS (SELECT max(cnt) AS c1 FROM top)
+        |SELECT CAST(rank AS BIGINT) AS rank, tok AS token, CAST(cnt AS BIGINT) AS cnt,
+        |  CAST((CAST(cnt AS HUGEINT) * rank * 1000000) // c1 AS BIGINT) AS zipf_ppm
+        |FROM top CROSS JOIN c1 ORDER BY rank""".stripMargin,
+
+    // deg-capped shared-part pairs, per-term 10⁶//deg (positive:
+    // truncation == floor), top-20 with the full tie-break
+    "q270_link_predict" ->
+      """WITH e AS (
+        |  SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
+        |  WHERE l_suppkey IS NOT NULL AND l_partkey IS NOT NULL),
+        |d AS (SELECT p, count(*) AS deg FROM e GROUP BY 1
+        |  HAVING count(*) BETWEEN 2 AND 64),
+        |g AS (SELECT e.s, e.p, d.deg FROM e JOIN d USING (p)),
+        |pr AS (SELECT a.s AS left_a, b.s AS left_b, a.deg
+        |  FROM g a JOIN g b ON a.p = b.p AND a.s < b.s),
+        |ag AS (SELECT left_a, left_b, count(*) AS n_shared,
+        |    sum(1000000 // deg) AS ra_ppm
+        |  FROM pr GROUP BY 1, 2)
+        |SELECT left_a, left_b, CAST(n_shared AS BIGINT) AS n_shared,
+        |  CAST(ra_ppm AS BIGINT) AS ra_ppm
+        |FROM ag ORDER BY ra_ppm DESC, left_a, left_b LIMIT 20""".stripMargin,
+
+    // full bootstrap replay: the same (a, b) 56-bit halves, the same
+    // h_r = (a + r·b) mod 2^56 family, the same 8 CDF thresholds, the
+    // same order-statistic ranks
+    "q271_poisson_bootstrap" ->
+      s"""WITH base AS (
+        |  SELECT CAST(round(value * 100) AS BIGINT) AS v,
+        |    CAST(concat('0x', substring(md5(concat_ws('|', '42', CAST(event_id AS VARCHAR))), 1, 14)) AS BIGINT) AS a,
+        |    CAST(concat('0x', substring(md5(concat_ws('|', '42', CAST(event_id AS VARCHAR))), 17, 14)) AS BIGINT) AS b
+        |  FROM events WHERE value IS NOT NULL),
+        |rep AS (
+        |  SELECT v, a, b, CAST(r.range AS BIGINT) AS r
+        |  FROM base CROSS JOIN range(0, 200) r),
+        |h AS (SELECT v, r,
+        |    (CAST(a AS HUGEINT) + r * CAST(b AS HUGEINT)) % 72057594037927936 AS hv
+        |  FROM rep),
+        |w AS (SELECT v, r,
+        |    ${graft.ext.Sampling.PoissonThresholds.map(t =>
+              s"(CASE WHEN hv >= $t THEN 1 ELSE 0 END)").mkString(" + ")} AS w
+        |  FROM h),
+        |pr AS (SELECT r, sum(w) AS sw, sum(CAST(w AS HUGEINT) * v) AS swv
+        |  FROM w GROUP BY 1 HAVING sum(w) > 0),
+        |m AS (SELECT r, CAST(swv AS DOUBLE) / CAST(sw AS DOUBLE) AS m FROM pr),
+        |rk AS (SELECT r, m, row_number() OVER (ORDER BY m, r) AS rk,
+        |    count(*) OVER () AS bn FROM m),
+        |ci AS (SELECT
+        |    min(CASE WHEN rk = greatest(1, CAST(floor(bn * 25 / 1000.0) AS BIGINT)) THEN m END) AS ci_lo,
+        |    min(CASE WHEN rk = bn + 1 - greatest(1, CAST(floor(bn * 25 / 1000.0) AS BIGINT)) THEN m END) AS ci_hi,
+        |    min(bn) AS be FROM rk),
+        |tot AS (SELECT count(*) AS n_rows,
+        |    CAST(sum(CAST(v AS HUGEINT)) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean
+        |  FROM base)
+        |SELECT CAST(n_rows AS BIGINT) AS n_rows, mean, CAST(be AS BIGINT) AS b,
+        |  ci_lo, ci_hi
+        |FROM tot CROSS JOIN ci""".stripMargin,
+
+    // direct recompute over (base ∪ inserts) ∖ deletes — the survivor
+    // predicate is the complement of the delete batch's
+    "q261_mv_retract" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_l_quantity,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_l_extendedprice
+        |FROM lineitem
+        |WHERE NOT (l_orderkey % 3 <> 0 AND l_orderkey % 5 = 1)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+}
