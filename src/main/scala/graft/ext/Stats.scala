@@ -533,4 +533,48 @@ object Stats {
       when(ok, floor(lit(1000.0) * (col("runs").cast("double") - e) / sqrt(vr))
         .cast("long")).otherwise(lit(null).cast("long")).as("z_milli"))
   }
+
+  /** MANN–KENDALL trend test per key — the significance companion to
+    * [[theilSen]]'s magnitude (Mann 1945, Kendall's S over time
+    * order): S = Σ_{i<j} sign(y_j − y_i) counts concordant-minus-
+    * discordant day pairs, so monotone drift pushes |S| toward
+    * n(n−1)/2 regardless of the values' scale or outliers. Input
+    * contract: one integral value per (key, t), caller pre-aggregated
+    * (pairs = days², never rows² — the [[theilSen]] rule). Returns
+    * (key, n_obs, s, z_milli):
+    *   - `s` — the exact integer statistic;
+    *   - `z_milli` — floor(1000·(S∓1)/√Var) with the standard
+    *     continuity correction and the tie-corrected variance
+    *     Var = [n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)]/18 (t = tie-group
+    *     sizes); doubles from exact integers, IEEE-replayable; NULL
+    *     when Var = 0 (all values tied or n < 2). z = 0 when S = 0.
+    * Scale shape: a per-key self-join on the domain-sized series plus
+    * two key-level aggregates; keys partition independently. */
+  def mannKendall(df: DataFrame, keyCol: String, tCol: String,
+      vCol: String): DataFrame = {
+    val s1 = df.select(col(keyCol).as("__k"), col(tCol).cast("long").as("__t1"),
+      col(vCol).cast("long").as("__v1"))
+    val s2 = df.select(col(keyCol).as("__k"), col(tCol).cast("long").as("__t2"),
+      col(vCol).cast("long").as("__v2"))
+    val sAgg = s1.join(s2, Seq("__k")).filter(col("__t2") > col("__t1"))
+      .groupBy(col("__k"))
+      .agg(sum(signum(col("__v2") - col("__v1")).cast("long")).as("s"))
+    val ties = s1.groupBy(col("__k"), col("__v1"))
+      .agg(count(lit(1)).as("__t"))
+      .groupBy(col("__k"))
+      .agg(count(lit(1)).as("__groups"), sum(col("__t")).as("n_obs"),
+        sum(col("__t") * (col("__t") - 1L) * (lit(2L) * col("__t") + 5L))
+          .as("__tt"))
+    val n = col("n_obs")
+    val varNum = (n * (n - lit(1L)) * (lit(2L) * n + lit(5L)) - col("__tt"))
+      .cast("double")
+    val vr = varNum / lit(18.0)
+    val z = when(col("s") > 0L, (col("s").cast("double") - lit(1.0)) / sqrt(vr))
+      .when(col("s") < 0L, (col("s").cast("double") + lit(1.0)) / sqrt(vr))
+      .otherwise(lit(0.0))
+    sAgg.join(ties, Seq("__k"))
+      .select(col("__k").as(keyCol), col("n_obs"), col("s"),
+        when(vr > 0.0, floor(lit(1000.0) * z).cast("long"))
+          .otherwise(lit(null).cast("long")).as("z_milli"))
+  }
 }

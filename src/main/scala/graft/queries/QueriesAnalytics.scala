@@ -10,14 +10,6 @@ import graft.ext.{Dedup, Multimodal, Similarity, TextOps}
 import graft.operators.AsOfJoin
 import graft.streaming.Streams
 
-/** Driver contract — every operator in SURVEY.md §2 (D1–D17, S6/S7
-  * batch semantics, T1) plus the north-star LLM-pipeline extensions,
-  * each as a `queries` entry with (where SQL-expressible) a DuckDB
-  * oracle in `oracleSql`. Column names AND types are aligned between
-  * the Spark result and the oracle; all floating-point aggregates go
-  * through exact DECIMAL(18,4) sums cast back to double so results are
-  * order-independent and engine-portable.
-  */
 import graft.QueryHelpers._
 
 /** Analytics tier (q161-q237): behavioral/funnel/attribution, audits,

@@ -10,14 +10,6 @@ import graft.ext.{Dedup, Multimodal, Similarity, TextOps}
 import graft.operators.AsOfJoin
 import graft.streaming.Streams
 
-/** Driver contract — every operator in SURVEY.md §2 (D1–D17, S6/S7
-  * batch semantics, T1) plus the north-star LLM-pipeline extensions,
-  * each as a `queries` entry with (where SQL-expressible) a DuckDB
-  * oracle in `oracleSql`. Column names AND types are aligned between
-  * the Spark result and the oracle; all floating-point aggregates go
-  * through exact DECIMAL(18,4) sums cast back to double so results are
-  * order-independent and engine-portable.
-  */
 import graft.QueryHelpers._
 
 /** Statistics tier (q238+): exact engine-replayable inference
@@ -491,6 +483,28 @@ private[graft] object QueriesStats {
     // that works at 100 TB (one pass, all 200 replicates via per-row
     // Poisson(1) weights from ONE md5, B-row shuffle); CI bounds are
     // order statistics of the replicate means, every bit replayable.
+    // VOCAB DRIFT per source — the t-closeness machinery COMPOSED over
+    // the token stream: TV distance between each source's unigram
+    // distribution and the corpus-wide one, exact floor ppm (the
+    // categorical twin of q174's binned embedding drift).
+    "q272_vocab_drift" -> ((s, d) =>
+      graft.ext.Audit.tCloseness(
+        docsSpread(s, d).select(col("source"),
+          explode(TextOps.tokens(col("text"))).as("tok")),
+        Seq("source"), "tok")
+        .orderBy(col("source"))),
+
+    // MANN–KENDALL trend significance per event type — q264's
+    // Theil–Sen gives the slope magnitude, this gives the monotone-
+    // trend z (exact integer S, tie-corrected variance, floor milli).
+    "q273_mann_kendall" -> ((s, d) =>
+      graft.ext.Stats.mannKendall(
+        T(s, d, "events")
+          .groupBy(col("event_type"), dayofmonth(col("ts")).as("day"))
+          .agg(sum(round(col("value") * 100).cast("long")).as("cents")),
+        "event_type", "day", "cents")
+        .orderBy(col("event_type"))),
+
     "q271_poisson_bootstrap" -> ((s, d) =>
       graft.ext.Sampling.poissonBootstrapMean(
         T(s, d, "events").select(col("event_id"),
@@ -1187,6 +1201,57 @@ private[graft] object QueriesStats {
         |SELECT left_a, left_b, CAST(n_shared AS BIGINT) AS n_shared,
         |  CAST(ra_ppm AS BIGINT) AS ra_ppm
         |FROM ag ORDER BY ra_ppm DESC, left_a, left_b LIMIT 20""".stripMargin,
+
+    // the q267 TV replay with (source, token) cells
+    "q272_vocab_drift" ->
+      """WITH b AS (
+        |  SELECT source,
+        |    unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)) AS v
+        |  FROM documents),
+        |g AS (SELECT v, count(*) AS gc FROM b GROUP BY 1),
+        |nn AS (SELECT CAST(sum(gc) AS HUGEINT) AS tot FROM g),
+        |c AS (SELECT source, v, count(*) AS c FROM b GROUP BY 1, 2),
+        |cn AS (SELECT c.*, sum(c.c) OVER (PARTITION BY source) AS n FROM c),
+        |j AS (SELECT cn.*, g.gc, nn.tot FROM cn JOIN g USING (v) CROSS JOIN nn),
+        |p AS (
+        |  SELECT source, min(n) AS n, min(tot) AS tot,
+        |    sum(abs(CAST(c AS HUGEINT) * tot - CAST(gc AS HUGEINT) * n)) AS present,
+        |    sum(gc) AS gmatch
+        |  FROM j GROUP BY 1),
+        |f AS (
+        |  SELECT source, n,
+        |    present + (tot - gmatch) * CAST(n AS HUGEINT) AS num,
+        |    2 * CAST(n AS HUGEINT) * tot AS den
+        |  FROM p)
+        |SELECT source, CAST(n AS BIGINT) AS n,
+        |  CAST((num * 1000000) // den AS BIGINT) AS tv_ppm
+        |FROM f ORDER BY source""".stripMargin,
+
+    // exact integer S over day pairs, tie-corrected variance, the
+    // engine's continuity-corrected z expression order
+    "q273_mann_kendall" ->
+      """WITH dly AS (
+        |  SELECT event_type, CAST(date_part('day', ts) AS BIGINT) AS day,
+        |    sum(CAST(round(value * 100) AS BIGINT)) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |p AS (
+        |  SELECT a.event_type,
+        |    CASE WHEN b.cents > a.cents THEN 1 WHEN b.cents < a.cents THEN -1 ELSE 0 END AS sg
+        |  FROM dly a JOIN dly b ON b.event_type = a.event_type AND b.day > a.day),
+        |sg AS (SELECT event_type, sum(sg) AS s FROM p GROUP BY 1),
+        |tg AS (SELECT event_type, cents, count(*) AS t FROM dly GROUP BY 1, 2),
+        |ti AS (SELECT event_type, sum(t) AS n_obs,
+        |    sum(t * (t - 1) * (2 * t + 5)) AS tt FROM tg GROUP BY 1),
+        |f AS (SELECT sg.event_type, ti.n_obs, sg.s,
+        |    CAST(ti.n_obs * (ti.n_obs - 1) * (2 * ti.n_obs + 5) - ti.tt AS DOUBLE) / 18.0 AS vr
+        |  FROM sg JOIN ti USING (event_type))
+        |SELECT event_type, CAST(n_obs AS BIGINT) AS n_obs, CAST(s AS BIGINT) AS s,
+        |  CASE WHEN vr > 0 THEN CAST(floor(1000.0 *
+        |    (CASE WHEN s > 0 THEN (CAST(s AS DOUBLE) - 1.0) / sqrt(vr)
+        |          WHEN s < 0 THEN (CAST(s AS DOUBLE) + 1.0) / sqrt(vr)
+        |          ELSE 0.0 END)) AS BIGINT)
+        |  ELSE NULL END AS z_milli
+        |FROM f ORDER BY event_type""".stripMargin,
 
     // full bootstrap replay: the same (a, b) 56-bit halves, the same
     // h_r = (a + r·b) mod 2^56 family, the same 8 CDF thresholds, the

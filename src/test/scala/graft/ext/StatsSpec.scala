@@ -352,4 +352,31 @@ class StatsSpec extends SparkSpec {
     assert(out.getAs[Long]("runs") == 6L)
     assert(out.getAs[Long]("z_milli") > 1000L)
   }
+
+  test("mannKendall: monotone series maxes S; constant series has no variance") {
+    val up = Stats.mannKendall(series("k", (1L to 10L).map(t => t -> (t * 7L)): _*),
+      "k", "x", "y").collect().head
+    assert(up.getAs[Long]("n_obs") == 10L)
+    assert(up.getAs[Long]("s") == 45L) // n(n-1)/2, every pair concordant
+    val vr = (10.0 * 9 * 25) / 18.0    // no ties
+    assert(up.getAs[Long]("z_milli") ==
+      math.floor(1000.0 * (45.0 - 1.0) / math.sqrt(vr)).toLong)
+    val flat = Stats.mannKendall(series("k", 1L -> 5L, 2L -> 5L, 3L -> 5L),
+      "k", "x", "y").collect().head
+    assert(flat.getAs[Long]("s") == 0L)
+    assert(flat.isNullAt(flat.fieldIndex("z_milli")))
+  }
+
+  test("mannKendall: S counts concordant minus discordant; S=±1 zeroes z") {
+    // values 1,3,2: pairs +1,+1,-1 → S = 1 → continuity-corrected z = 0
+    val out = Stats.mannKendall(series("k", 1L -> 1L, 2L -> 3L, 3L -> 2L),
+      "k", "x", "y").collect().head
+    assert(out.getAs[Long]("s") == 1L)
+    assert(out.getAs[Long]("z_milli") == 0L)
+    // falling series: S negative, z negative
+    val dn = Stats.mannKendall(series("k", (1L to 8L).map(t => t -> (100L - t)): _*),
+      "k", "x", "y").collect().head
+    assert(dn.getAs[Long]("s") == -28L)
+    assert(dn.getAs[Long]("z_milli") < -2000L)
+  }
 }
