@@ -917,4 +917,70 @@ object Similarity {
     }
     math.sqrt(s)
   }
+
+  /** LABEL-SEPARATION audit: the EXACT mean pairwise cosine within and
+    * between every label pair — "are my classes actually separated in
+    * embedding space?", the one-number check before training a
+    * classifier head or trusting [[Dedup.semanticNearDup]]'s buckets.
+    * The O(n²) pair sum collapses via the sum-vector identity
+    * Σᵢⱼ cos(aᵢ,bⱼ) = ⟨Σâᵢ, Σb̂ⱼ⟩, so the whole audit is ONE pass:
+    * unit-normalize, QUANTIZE each component to round(10⁹·x̂) (the
+    * repo-wide integers-first rule — double sums are order-dependent,
+    * integer sums are not), per-(label, dim) DECIMAL(38,0) sums, and a
+    * label×label dot of the sum vectors. Within-label rows subtract
+    * the exact Σ⟨q,q⟩ self-terms and divide by n(n−1); the one floor
+    * division maps the 10¹⁸-scaled sum to `mean_cos_ppm` (toward −∞ —
+    * anti-correlated labels read negative). Quantization injects
+    * < dim·10⁻⁹ absolute error per cosine — invisible at ppm readout —
+    * and both engines compute the SAME integers, so the oracle replays
+    * every bit. Exact to ~10⁹ rows per label (the sum-product then
+    * approaches DECIMAL(38,0)'s ceiling).
+    *
+    * Returns one row per label pair (label_a ≤ label_b):
+    * (label_a, label_b, n_pairs, mean_cos_ppm).
+    *
+    * Scale shape: one posexplode + (label, dim) hash aggregate (the
+    * only data-sized pass), then label²·dim-sized joins — no pair
+    * explosion anywhere. */
+  def labelSeparation(df: DataFrame, vecCol: String,
+      labelCol: String): DataFrame = {
+    val Dec = "decimal(38,0)"
+    def floorDivDec(a: Column, b: Column): Column =
+      ((a - pmod(a, b)) / b).cast("long")
+    val unit = l2Normalize(transform(col(vecCol), x => x.cast("double")))
+    val base = df
+      .filter(col(labelCol).isNotNull && col(vecCol).isNotNull)
+      .select(col(labelCol).as("label"),
+        transform(unit, x => round(x * lit(1000000000.0)).cast("long"))
+          .as("__q"))
+    val rows = base.select(col("label"),
+      posexplode(col("__q")).as(Seq("__j", "__x")))
+    val sums = rows.groupBy(col("label"), col("__j"))
+      .agg(sum(col("__x").cast(Dec)).cast(Dec).as("__s"))
+    val cnt = base.groupBy(col("label")).agg(count(lit(1)).as("__n"))
+    val selfd = rows.groupBy(col("label"))
+      .agg(sum(col("__x").cast(Dec) * col("__x")).cast(Dec).as("__sqq"))
+      .join(cnt, Seq("label"))
+    val pd = sums.as("a")
+      .join(sums.as("b"),
+        col("a.__j") === col("b.__j") && col("a.label") <= col("b.label"))
+      .groupBy(col("a.label").as("label_a"), col("b.label").as("label_b"))
+      .agg(sum(col("a.__s") * col("b.__s")).cast(Dec).as("__dot"))
+    val j = pd
+      .join(selfd.select(col("label").as("label_a"), col("__n").as("__na"),
+        col("__sqq").as("__sqa")), Seq("label_a"))
+      .join(selfd.select(col("label").as("label_b"), col("__n").as("__nb")),
+        Seq("label_b"))
+    val within = col("label_a") === col("label_b")
+    val nPairs = when(within,
+      col("__na").cast(Dec) * (col("__na") - lit(1L)))
+      .otherwise(col("__na").cast(Dec) * col("__nb"))
+    val num = when(within, col("__dot") - col("__sqa")).otherwise(col("__dot"))
+    j.select(col("label_a"), col("label_b"),
+        nPairs.cast("long").as("n_pairs"),
+        // a singleton label has no within-pairs: NULL, not a div-by-0
+        when(nPairs === 0, lit(null).cast("long"))
+          .otherwise(floorDivDec(num, lit(1000000000000L).cast(Dec) * nPairs))
+          .as("mean_cos_ppm"))
+  }
 }

@@ -505,6 +505,15 @@ private[graft] object QueriesStats {
         "event_type", "day", "cents")
         .orderBy(col("event_type"))),
 
+    // LABEL SEPARATION over the embedding space: exact mean pairwise
+    // cosine within/between every label pair via the sum-vector
+    // identity — one pass, no pair explosion; quantized-integer exact,
+    // so the 55-row separation matrix is hash-pinned.
+    "q274_label_separation" -> ((s, d) =>
+      graft.ext.Similarity.labelSeparation(
+        T(s, d, "embeddings"), "embedding", "label")
+        .orderBy(col("label_a"), col("label_b"))),
+
     "q271_poisson_bootstrap" -> ((s, d) =>
       graft.ext.Sampling.poissonBootstrapMean(
         T(s, d, "events").select(col("event_id"),
@@ -1252,6 +1261,44 @@ private[graft] object QueriesStats {
         |          ELSE 0.0 END)) AS BIGINT)
         |  ELSE NULL END AS z_milli
         |FROM f ORDER BY event_type""".stripMargin,
+
+    // the same normalize -> round(1e9) -> per-dim HUGEINT sums -> dot
+    // of sums -> signed floor division
+    "q274_label_separation" ->
+      """WITH v AS (
+        |  SELECT label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings WHERE label IS NOT NULL AND embedding IS NOT NULL),
+        |n2 AS (SELECT label, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v),
+        |nv AS (SELECT label,
+        |    CASE WHEN nrm = 0 THEN e ELSE list_transform(e, x -> x / nrm) END AS u
+        |  FROM n2),
+        |qv AS (SELECT label,
+        |    list_transform(u, x -> CAST(round(x * 1000000000.0) AS HUGEINT)) AS q
+        |  FROM nv),
+        |dims AS (SELECT label, r.range AS j, q[CAST(r.range AS INTEGER)] AS x
+        |  FROM qv CROSS JOIN range(1, 65) r),
+        |sums AS (SELECT label, j, sum(x) AS s FROM dims GROUP BY 1, 2),
+        |cnt AS (SELECT label, count(*) AS n FROM qv GROUP BY 1),
+        |selfd AS (SELECT label, sum(x * x) AS sqq FROM dims GROUP BY 1),
+        |pd AS (SELECT a.label AS label_a, b.label AS label_b, sum(a.s * b.s) AS dotp
+        |  FROM sums a JOIN sums b ON a.j = b.j AND a.label <= b.label
+        |  GROUP BY 1, 2),
+        |f AS (SELECT pd.label_a, pd.label_b,
+        |    CASE WHEN pd.label_a = pd.label_b THEN ca.n * (ca.n - 1)
+        |         ELSE ca.n * cb.n END AS np,
+        |    CASE WHEN pd.label_a = pd.label_b THEN pd.dotp - sa.sqq
+        |         ELSE pd.dotp END AS num
+        |  FROM pd
+        |  JOIN cnt ca ON ca.label = pd.label_a
+        |  JOIN cnt cb ON cb.label = pd.label_b
+        |  JOIN selfd sa ON sa.label = pd.label_a),
+        |g AS (SELECT label_a, label_b, np, num,
+        |    1000000000000 * CAST(np AS HUGEINT) AS den FROM f)
+        |SELECT label_a, label_b, CAST(np AS BIGINT) AS n_pairs,
+        |  CASE WHEN np = 0 THEN NULL
+        |    ELSE CAST((num - ((num % den) + den) % den) // den AS BIGINT)
+        |  END AS mean_cos_ppm
+        |FROM g ORDER BY label_a, label_b""".stripMargin,
 
     // full bootstrap replay: the same (a, b) 56-bit halves, the same
     // h_r = (a + r·b) mod 2^56 family, the same 8 CDF thresholds, the

@@ -294,4 +294,65 @@ class SimilaritySpec extends SparkSpec {
     assert(out.get(1L).contains(11L), s"true pair must mine: $out")
     assert(!out.contains(2L), s"dense-hub anchor must yield no pair: $out")
   }
+
+  test("labelSeparation: identical vectors read 1e6 within, orthogonal 0 across") {
+    import spark.implicits._
+    val e1 = Array(1.0f, 0.0f, 0.0f)
+    val e2 = Array(0.0f, 1.0f, 0.0f)
+    val df = (Seq.fill(3)((0, e1)) ++ Seq.fill(2)((1, e2))).toDF("label", "embedding")
+    val out = Similarity.labelSeparation(df, "embedding", "label")
+      .collect().map(r => (r.getInt(0), r.getInt(1)) ->
+        (r.getAs[Long]("n_pairs"), r.getAs[Long]("mean_cos_ppm"))).toMap
+    assert(out((0, 0)) == ((6L, 1000000L)))
+    assert(out((1, 1)) == ((2L, 1000000L)))
+    assert(out((0, 1)) == ((6L, 0L)))
+  }
+
+  test("labelSeparation: opposed vectors floor to exactly -1e6 across") {
+    import spark.implicits._
+    val df = Seq((0, Array(1.0f, 0.0f)), (1, Array(-1.0f, 0.0f)),
+      (1, Array(-1.0f, 0.0f))).toDF("label", "embedding")
+    val rows = Similarity.labelSeparation(df, "embedding", "label").collect()
+    val out = rows.map(r => (r.getInt(0), r.getInt(1)) -> r).toMap
+    assert(out((0, 1)).getAs[Long]("mean_cos_ppm") == -1000000L)
+    // label 0 is a singleton: zero within-pairs must read NULL, not fail
+    val solo = out((0, 0))
+    assert(solo.getAs[Long]("n_pairs") == 0L)
+    assert(solo.isNullAt(solo.fieldIndex("mean_cos_ppm")))
+  }
+
+  test("labelSeparation: sum-vector identity equals the brute-force pair mean") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val vecs = (0 until 12).map(i => (i % 3, Array.fill(5)(rnd.nextGaussian().toFloat)))
+    val df = vecs.toDF("label", "embedding")
+    def unit(v: Array[Float]): Array[Double] = {
+      val d = v.map(_.toDouble)
+      val n = math.sqrt(d.map(x => x * x).sum)
+      if (n == 0) d else d.map(_ / n)
+    }
+    def quant(v: Array[Float]): Array[Long] =
+      unit(v).map(x => math.round(x * 1e9))
+    val qs = vecs.map { case (l, v) => (l, quant(v)) }
+    def dotq(a: Array[Long], b: Array[Long]): BigInt =
+      a.zip(b).map { case (x, y) => BigInt(x) * y }.sum
+    val out = Similarity.labelSeparation(df, "embedding", "label").collect()
+    out.foreach { r =>
+      val (la, lb) = (r.getInt(0), r.getInt(1))
+      val as = qs.filter(_._1 == la).map(_._2)
+      val bs = qs.filter(_._1 == lb).map(_._2)
+      val (num, np) =
+        if (la == lb) {
+          val pairs = for (i <- as.indices; j <- as.indices if i != j) yield dotq(as(i), as(j))
+          (pairs.sum, as.size.toLong * (as.size - 1))
+        } else {
+          val pairs = for (a <- as; b <- bs) yield dotq(a, b)
+          (pairs.sum, as.size.toLong * bs.size)
+        }
+      val den = BigInt("1000000000000") * np
+      val expected = ((num - (((num % den) + den) % den)) / den).toLong
+      assert(r.getAs[Long]("n_pairs") == np, s"pair count ($la,$lb)")
+      assert(r.getAs[Long]("mean_cos_ppm") == expected, s"mean ($la,$lb)")
+    }
+  }
 }
