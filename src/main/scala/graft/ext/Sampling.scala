@@ -729,20 +729,34 @@ object Sampling {
     val base = df.filter(col(valueCol).isNotNull)
       .select(col(valueCol).cast("long").as("__v"),
         ha.as("__ha"), hb.as("__hb"))
-    val M = lit(72057594037927936L).cast(Dec) // 2^56
+    val M = lit(72057594037927936L) // 2^56
+    // (a + r·b) mod 2^56 in pure LONG arithmetic — a decimal pmod here
+    // cost 8× wall-clock at sf0.1. Split b at bit 38 (b = hi·2^38+lo):
+    //   r·b ≡ ((r·hi mod 2^18)·2^38 + r·lo)  (mod 2^56)
+    // every intermediate stays under 2^58 for B ≤ 2^17, and the value
+    // is IDENTICAL to the wide product, so the oracle replays the
+    // plain (a + r·b) % 2^56 in its 128-bit integers.
+    require(b <= (1 << 17), s"b must be <= ${1 << 17}, got $b")
     val rep = base
-      .select(col("__v"), col("__ha"), col("__hb"),
+      .select(col("__v"), col("__ha"),
+        shiftright(col("__hb"), 38).as("__bhi"),
+        col("__hb").bitwiseAND(lit(274877906943L)).as("__blo"), // 2^38-1
         explode(sequence(lit(0), lit(b - 1))).as("__r"))
-      // a + r·b reaches ~201·2⁵⁶ ≈ 1.4e19 — past int64, ride decimal
       .withColumn("__h", pmod(
-        col("__ha").cast(Dec) + col("__r").cast(Dec) * col("__hb"), M))
+        col("__ha") +
+          pmod(col("__r").cast("long") * col("__bhi"), lit(262144L)) * // 2^18
+            lit(274877906944L) +
+          col("__r").cast("long") * col("__blo"), M))
     val w = PoissonThresholds
-      .map(t => when(col("__h") >= lit(t).cast(Dec), 1).otherwise(0))
+      .map(t => when(col("__h") >= lit(t), 1).otherwise(0))
       .reduce(_ + _)
     val perRep = rep.withColumn("__w", w)
       .groupBy(col("__r"))
       .agg(sum(col("__w").cast("long")).as("__sw"),
-        sum(col("__w").cast(Dec) * col("__v")).cast(Dec).as("__swv"))
+        // w·v multiplies in LONG (w ≤ 8, exact for |v| < 2^59) with ONE
+        // decimal cast per row — a decimal multiply here doubles the
+        // per-row decimal work in the hot aggregate
+        sum((col("__w") * col("__v")).cast(Dec)).cast(Dec).as("__swv"))
       .filter(col("__sw") > 0L)
       .select(col("__r"),
         (col("__swv").cast("double") / col("__sw").cast("double")).as("__m"))

@@ -480,9 +480,11 @@ private[graft] object QueriesStats {
         maxDeg = 64, topN = 20)),
 
     // POISSON BOOTSTRAP CI on the mean event value — the bootstrap
-    // that works at 100 TB (one pass, all 200 replicates via per-row
+    // that works at 100 TB (one pass, all B=100 replicates via per-row
     // Poisson(1) weights from ONE md5, B-row shuffle); CI bounds are
     // order statistics of the replicate means, every bit replayable.
+    // Cost scales with B×rows (the scan amplification IS the explode);
+    // B=100 gives ±2.5%-tail endpoints from 5th/96th order statistics.
     // VOCAB DRIFT per source — the t-closeness machinery COMPOSED over
     // the token stream: TV distance between each source's unigram
     // distribution and the corpus-wide one, exact floor ppm (the
@@ -518,7 +520,7 @@ private[graft] object QueriesStats {
       graft.ext.Sampling.poissonBootstrapMean(
         T(s, d, "events").select(col("event_id"),
           round(col("value") * 100).cast("long").as("cents")),
-        "event_id", "cents", b = 200, tailPermille = 25)),
+        "event_id", "cents", b = 100, tailPermille = 25)),
 
     // DELETE-AWARE incremental MV (closes q159's retraction boundary,
     // Incremental object doc): the lineitem rollup absorbs an insert
@@ -1311,7 +1313,7 @@ private[graft] object QueriesStats {
         |  FROM events WHERE value IS NOT NULL),
         |rep AS (
         |  SELECT v, a, b, CAST(r.range AS BIGINT) AS r
-        |  FROM base CROSS JOIN range(0, 200) r),
+        |  FROM base CROSS JOIN range(0, 100) r),
         |h AS (SELECT v, r,
         |    (CAST(a AS HUGEINT) + r * CAST(b AS HUGEINT)) % 72057594037927936 AS hv
         |  FROM rep),
