@@ -61,8 +61,18 @@ object PortableDiv {
 
   /** Sign-split floor-magnitude quotient: −(−a div b) for a < 0 —
     * TRUNCATION toward zero in both engines (the documented milli/ppm
-    * rate semantics; NOT floor toward −∞, which Stats.floorDiv
-    * provides for its decimal domain). */
+    * rate semantics; NOT floor toward −∞, which [[floorDec]]
+    * provides for the decimal domain). */
   def signed(a: Column, b: Column): Column =
     when(a < 0, -nonNeg(-a, b)).otherwise(nonNeg(a, b))
+
+  /** Floor-toward-−∞ quotient for DECIMAL(38,0) operands (b > 0) via
+    * (a − pmod(a, b))/b — decimal `/` alone would HALF_UP-round, and
+    * pmod's non-negative remainder makes the identity floor NEGATIVE
+    * dividends too (DuckDB oracles shim their truncating `//` with
+    * the same non-negative-mod identity). THE one decimal-domain
+    * floor-quotient definition — Stats and Similarity delegate here;
+    * do not fork per-module copies. */
+  def floorDec(a: Column, b: Column): Column =
+    ((a - pmod(a, b)) / b).cast("long")
 }

@@ -945,8 +945,6 @@ object Similarity {
   def labelSeparation(df: DataFrame, vecCol: String,
       labelCol: String): DataFrame = {
     val Dec = "decimal(38,0)"
-    def floorDivDec(a: Column, b: Column): Column =
-      ((a - pmod(a, b)) / b).cast("long")
     val unit = l2Normalize(transform(col(vecCol), x => x.cast("double")))
     val base = df
       .filter(col(labelCol).isNotNull && col(vecCol).isNotNull)
@@ -980,7 +978,8 @@ object Similarity {
         nPairs.cast("long").as("n_pairs"),
         // a singleton label has no within-pairs: NULL, not a div-by-0
         when(nPairs === 0, lit(null).cast("long"))
-          .otherwise(floorDivDec(num, lit(1000000000000L).cast(Dec) * nPairs))
+          .otherwise(PortableDiv.floorDec(num,
+            lit(1000000000000L).cast(Dec) * nPairs))
           .as("mean_cos_ppm"))
   }
 }

@@ -118,12 +118,21 @@ object Sketches {
     require(k >= 2, s"k must be >= 2, got $k")
     val sets = kmvMinSets(
       df.filter(col(groupCol).isin(groupA, groupB)), groupCol, valueCol, k, seed)
-    val a = sets.filter(col(groupCol) === groupA).select(col("kmv_set").as("__sa"))
-    val b = sets.filter(col(groupCol) === groupB).select(col("kmv_set").as("__sb"))
+    // collapse to ONE row in the same pass: a groupA/groupB filter
+    // split would execute the scan+sketch aggregate subtree twice (the
+    // spearman persist rule, solved here without a cache), and an
+    // absent group would crossJoin to ZERO rows instead of the
+    // documented one (its sketch reads as the empty set)
+    val emptySet = array().cast("array<struct<frac:double,value:string>>")
+    val one = sets.agg(
+        min(when(col(groupCol) === groupA, col("kmv_set"))).as("__sa0"),
+        min(when(col(groupCol) === groupB, col("kmv_set"))).as("__sb0"))
+      .select(coalesce(col("__sa0"), emptySet).as("__sa"),
+        coalesce(col("__sb0"), emptySet).as("__sb"))
     val estU = when(col("__nu") < k, col("__nu").cast("double"))
       .otherwise(lit((k - 1).toDouble) /
         element_at(col("__u"), k).getField("frac"))
-    a.crossJoin(broadcast(b))
+    one
       .withColumn("__u",
         slice(array_sort(array_distinct(concat(col("__sa"), col("__sb")))), 1, k))
       .withColumn("__nu", size(col("__u")).cast("long"))
@@ -135,11 +144,13 @@ object Sketches {
         size(col("__sb")).cast("long").as("n_b_set"),
         col("__nu").as("n_union_set"),
         col("__both").as("n_both"),
-        PortableDiv.nonNeg(col("__both") * lit(1000000L), col("__nu"))
-          .as("jaccard_ppm"),
+        when(col("__nu") === 0L, lit(null).cast("long"))
+          .otherwise(PortableDiv.nonNeg(col("__both") * lit(1000000L),
+            col("__nu"))).as("jaccard_ppm"),
         estU.as("est_union"),
-        ((col("__both").cast("double") / col("__nu").cast("double")) * estU)
-          .as("est_intersection"))
+        when(col("__nu") === 0L, lit(null).cast("double"))
+          .otherwise((col("__both").cast("double") / col("__nu").cast("double"))
+            * estU).as("est_intersection"))
   }
 
   /** Engine-PORTABLE HyperLogLog distinct-count estimate per group —

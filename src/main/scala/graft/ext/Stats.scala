@@ -73,13 +73,12 @@ object Stats {
         (col("__offb") + col("__cumb")).as("cum_b"))
   }
 
-  /** Exact floor division on DECIMAL(38,0) operands (b > 0) via
-    * (a − a mod b)/b — decimal `/` alone would HALF_UP-round. pmod is
-    * non-negative, so this floors toward −∞ for NEGATIVE dividends
-    * too ([[cohensKappa]]'s worse-than-chance κ relies on it; DuckDB
-    * oracles must shim their truncating `//` to match). */
+  /** Exact floor division on DECIMAL(38,0) operands — the shared
+    * [[PortableDiv.floorDec]] identity ([[cohensKappa]]'s
+    * worse-than-chance κ relies on the toward-−∞ floor; DuckDB
+    * oracles shim their truncating `//` to match). */
   private def floorDiv(a: Column, b: Column): Column =
-    ((a - pmod(a, b)) / b).cast("long")
+    PortableDiv.floorDec(a, b)
 
   private val Dec = "decimal(38,0)"
 
@@ -411,9 +410,13 @@ object Stats {
     * keys, never a big window. */
   def theilSen(df: DataFrame, keyCol: String, xCol: String,
       yCol: String): DataFrame = {
-    val s1 = df.select(col(keyCol).as("__k"), col(xCol).cast("long").as("__x1"),
+    // NULL x/y rows drop (the welchT rule) — engines disagree on NULL
+    // sort order, so a NULL slope would shift the median rank
+    // differently per engine
+    val base = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+    val s1 = base.select(col(keyCol).as("__k"), col(xCol).cast("long").as("__x1"),
       col(yCol).cast("long").as("__y1"))
-    val s2 = df.select(col(keyCol).as("__k"), col(xCol).cast("long").as("__x2"),
+    val s2 = base.select(col(keyCol).as("__k"), col(xCol).cast("long").as("__x2"),
       col(yCol).cast("long").as("__y2"))
     val pairs = s1.join(s2, Seq("__k")).filter(col("__x2") > col("__x1"))
       .select(col("__k"),
@@ -456,8 +459,11 @@ object Stats {
   def autocorr(df: DataFrame, keyCol: String, tCol: String,
       vCol: String, maxLag: Int): DataFrame = {
     require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
-    val s = df.select(col(keyCol).as("__k"), col(tCol).cast("long").as("__t"),
-      col(vCol).cast("long").as("__v"))
+    // NULL t/v rows drop: sum() would skip them while count() counted
+    // them — inconsistent sufficient statistics
+    val s = df.filter(col(tCol).isNotNull && col(vCol).isNotNull)
+      .select(col(keyCol).as("__k"), col(tCol).cast("long").as("__t"),
+        col(vCol).cast("long").as("__v"))
     val agg = s.as("a")
       .select(col("a.__k"), col("a.__t"), col("a.__v").as("__x"))
       .withColumn("lag", explode(sequence(lit(1), lit(maxLag))))
@@ -475,11 +481,17 @@ object Stats {
       col("__sx").cast("double"), col("__sy").cast("double"))
     val (sxy, sxx, syy) = (col("__sxy").cast("double"),
       col("__sxx").cast("double"), col("__syy").cast("double"))
-    val den = sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)
+    // sign-checked guard (the welchT rule): a constant margin whose
+    // exact sum exceeds 2^53 can round to a TINY nonzero n·Σx²−(Σx)²
+    // on the decimal→double cast — `den === 0` would then pass NaN
+    // (sqrt of a tiny negative) or a junk ratio through the NULL
+    // contract. Require both variance terms strictly positive.
+    val (dx, dy) = (n * sxx - sx * sx, n * syy - sy * sy)
     agg.select(col("__k").as(keyCol), col("lag").cast("long").as("lag"),
       col("n"),
-      when(den === 0.0, lit(null).cast("double"))
-        .otherwise((n * sxy - sx * sy) / den).as("acf"))
+      when(dx > 0.0 && dy > 0.0,
+        (n * sxy - sx * sy) / (sqrt(dx) * sqrt(dy)))
+        .otherwise(lit(null).cast("double")).as("acf"))
   }
 
   /** Wald–Wolfowitz RUNS test per key: is the sign sequence of a
@@ -500,8 +512,11 @@ object Stats {
     * per key), never over raw rows; keys partition independently. */
   def runsTest(df: DataFrame, keyCol: String, tCol: String,
       vCol: String): DataFrame = {
-    val s = df.select(col(keyCol).as("__k"), col(tCol).cast("long").as("__t"),
-      col(vCol).cast("long").as("__v"))
+    // NULL t/v rows drop BEFORE the median rank window — engines
+    // disagree on NULL sort order (the theilSen rule)
+    val s = df.filter(col(tCol).isNotNull && col(vCol).isNotNull)
+      .select(col(keyCol).as("__k"), col(tCol).cast("long").as("__t"),
+        col(vCol).cast("long").as("__v"))
     val wRank = Window.partitionBy(col("__k")).orderBy(col("__v"), col("__t"))
     val wKey = Window.partitionBy(col("__k"))
     val med = s
@@ -552,9 +567,12 @@ object Stats {
     * two key-level aggregates; keys partition independently. */
   def mannKendall(df: DataFrame, keyCol: String, tCol: String,
       vCol: String): DataFrame = {
-    val s1 = df.select(col(keyCol).as("__k"), col(tCol).cast("long").as("__t1"),
+    // NULL t/v rows drop: they carry no sign information but would
+    // count into n_obs and the tie-corrected variance (the welchT rule)
+    val base = df.filter(col(tCol).isNotNull && col(vCol).isNotNull)
+    val s1 = base.select(col(keyCol).as("__k"), col(tCol).cast("long").as("__t1"),
       col(vCol).cast("long").as("__v1"))
-    val s2 = df.select(col(keyCol).as("__k"), col(tCol).cast("long").as("__t2"),
+    val s2 = base.select(col(keyCol).as("__k"), col(tCol).cast("long").as("__t2"),
       col(vCol).cast("long").as("__v2"))
     val sAgg = s1.join(s2, Seq("__k")).filter(col("__t2") > col("__t1"))
       .groupBy(col("__k"))

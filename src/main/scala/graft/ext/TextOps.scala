@@ -1301,10 +1301,14 @@ object TextOps {
     val counts = df.select(explode(tokens(col(textCol))).as("__tok"))
       .groupBy(col("__tok")).agg(count(lit(1)).as("cnt"))
     val top = counts.orderBy(col("cnt").desc, col("__tok")).limit(topR)
-    // ≤ topR rows from here on: the single-partition window is bounded
+    // ≤ topR rows from here on: the single-partition windows are
+    // bounded — and cnt(1) comes from a full-frame window max, NOT a
+    // `top.agg(max)` re-aggregate, which would replay the corpus-sized
+    // explode+count+TakeOrdered pipeline a second time
     val w = Window.orderBy(col("cnt").desc, col("__tok"))
+    val wAll = Window.partitionBy()
     top.withColumn("rank", row_number().over(w).cast("long"))
-      .crossJoin(broadcast(top.agg(max(col("cnt")).as("__c1"))))
+      .withColumn("__c1", max(col("cnt")).over(wAll))
       .select(col("rank"), col("__tok").as("token"), col("cnt"),
         PortableDiv.nonNeg(
           col("cnt").cast(Dec) * col("rank") * lit(1000000L),

@@ -479,12 +479,6 @@ private[graft] object QueriesStats {
         T(s, d, "lineitem"), "l_suppkey", "l_partkey",
         maxDeg = 64, topN = 20)),
 
-    // POISSON BOOTSTRAP CI on the mean event value — the bootstrap
-    // that works at 100 TB (one pass, all B=100 replicates via per-row
-    // Poisson(1) weights from ONE md5, B-row shuffle); CI bounds are
-    // order statistics of the replicate means, every bit replayable.
-    // Cost scales with B×rows (the scan amplification IS the explode);
-    // B=100 gives ±2.5%-tail endpoints from 5th/96th order statistics.
     // VOCAB DRIFT per source — the t-closeness machinery COMPOSED over
     // the token stream: TV distance between each source's unigram
     // distribution and the corpus-wide one, exact floor ppm (the
@@ -516,6 +510,13 @@ private[graft] object QueriesStats {
         T(s, d, "embeddings"), "embedding", "label")
         .orderBy(col("label_a"), col("label_b"))),
 
+    // POISSON BOOTSTRAP CI on the mean event value — the bootstrap
+    // that works at 100 TB (one pass, all B=100 replicates via per-row
+    // Poisson(1) weights from ONE md5, B-row shuffle); CI bounds are
+    // order statistics of the replicate means, every bit replayable.
+    // Cost scales with B×rows (the scan amplification IS the explode);
+    // B=100 puts the ±2.5%-tail endpoints at the 2nd/99th order
+    // statistics of the replicate means.
     "q271_poisson_bootstrap" -> ((s, d) =>
       graft.ext.Sampling.poissonBootstrapMean(
         T(s, d, "events").select(col("event_id"),
@@ -1058,11 +1059,12 @@ private[graft] object QueriesStats {
         |  FROM t),
         |f AS (
         |  SELECT event_type, lag, n,
-        |    sqrt(nd * sxxd - sxd * sxd) * sqrt(nd * syyd - syd * syd) AS den,
+        |    nd * sxxd - sxd * sxd AS dx, nd * syyd - syd * syd AS dy,
         |    nd * sxyd - sxd * syd AS num
         |  FROM d)
         |SELECT event_type, CAST(lag AS BIGINT) AS lag, CAST(n AS BIGINT) AS n,
-        |  CASE WHEN den = 0 THEN NULL ELSE num / den END AS acf
+        |  CASE WHEN dx > 0 AND dy > 0 THEN num / (sqrt(dx) * sqrt(dy))
+        |    ELSE NULL END AS acf
         |FROM f ORDER BY event_type, lag""".stripMargin,
 
     // the engine's window pass replayed: low-median per key, equal

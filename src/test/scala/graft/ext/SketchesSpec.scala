@@ -384,4 +384,22 @@ class SketchesSpec extends SparkSpec {
     assert(out.getAs[Long]("jaccard_ppm") == 0L)
     assert(out.getAs[Double]("est_intersection") == 0.0)
   }
+
+  test("kmvIntersectEstimate: an absent group reads as the empty set, one row") {
+    import spark.implicits._
+    val df = (1 to 50).map(("A", _)).toDF("g", "v")
+    val out = Sketches.kmvIntersectEstimate(df, "g", "A", "MISSING", "v", k = 16)
+      .collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_a_set") == 16L)
+    assert(r.getAs[Long]("n_b_set") == 0L)
+    assert(r.getAs[Long]("n_both") == 0L)
+    // both groups absent: zero union set must read NULL, not divide
+    val none = Sketches.kmvIntersectEstimate(df, "g", "X", "Y", "v", k = 16)
+      .collect().head
+    assert(none.getAs[Long]("n_union_set") == 0L)
+    assert(none.isNullAt(none.fieldIndex("jaccard_ppm")))
+    assert(none.isNullAt(none.fieldIndex("est_intersection")))
+  }
 }
