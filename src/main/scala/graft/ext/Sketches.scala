@@ -129,17 +129,25 @@ object Sketches {
         min(when(col(groupCol) === groupB, col("kmv_set"))).as("__sb0"))
       .select(coalesce(col("__sa0"), emptySet).as("__sa"),
         coalesce(col("__sb0"), emptySet).as("__sb"))
+    intersectEstimates(one, k, keep = Seq.empty)
+  }
+
+  /** The shared min-set intersection arithmetic: given a frame with
+    * `__sa`/`__sb` sketch columns, compute the k-min-of-union
+    * coincidence estimates. `keep` columns pass through (pair keys). */
+  private def intersectEstimates(df: DataFrame, k: Int,
+      keep: Seq[String]): DataFrame = {
     val estU = when(col("__nu") < k, col("__nu").cast("double"))
       .otherwise(lit((k - 1).toDouble) /
         element_at(col("__u"), k).getField("frac"))
-    one
+    df
       .withColumn("__u",
         slice(array_sort(array_distinct(concat(col("__sa"), col("__sb")))), 1, k))
       .withColumn("__nu", size(col("__u")).cast("long"))
       .withColumn("__both", size(filter(col("__u"),
         x => array_contains(col("__sa"), x) && array_contains(col("__sb"), x)))
         .cast("long"))
-      .select(
+      .select(keep.map(col) ++ Seq(
         size(col("__sa")).cast("long").as("n_a_set"),
         size(col("__sb")).cast("long").as("n_b_set"),
         col("__nu").as("n_union_set"),
@@ -150,7 +158,35 @@ object Sketches {
         estU.as("est_union"),
         when(col("__nu") === 0L, lit(null).cast("double"))
           .otherwise((col("__both").cast("double") / col("__nu").cast("double"))
-            * estU).as("est_intersection"))
+            * estU).as("est_intersection")): _*)
+  }
+
+  /** PAIRWISE intersection estimates over EVERY group pair — the
+    * sketch RETENTION MATRIX: per-day user sketches once, then all
+    * day×day overlap/Jaccard estimates from ≤k-entry array arithmetic
+    * alone (the production shape for "how many of day-a's users were
+    * back on day b" across a whole month at 100 TB: the corpus is
+    * touched once, the |groups|² work never sees a raw row — compare
+    * the exact q168 retention, which joins the event log against
+    * itself). Same estimator as [[kmvIntersectEstimate]] per pair.
+    * Returns (groupCol_a, groupCol_b, n_a_set, n_b_set, n_union_set,
+    * n_both, jaccard_ppm, est_union, est_intersection) for every
+    * group_a < group_b.
+    *
+    * Scale shape: one O(k)-state sketch aggregate over the data, then
+    * a groups² broadcast-nested-loop pair join over the SETS frame
+    * (|groups| rows — bounded by contract: days, cohorts, sources). */
+  def kmvPairwiseIntersect(df: DataFrame, groupCol: String,
+      valueCol: String, k: Int = 256, seed: Long = 42L): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val sets = kmvMinSets(df, groupCol, valueCol, k, seed)
+    val pairs = sets.as("a")
+      .join(sets.as("b"), col(s"a.$groupCol") < col(s"b.$groupCol"))
+      .select(col(s"a.$groupCol").as(s"${groupCol}_a"),
+        col(s"b.$groupCol").as(s"${groupCol}_b"),
+        col("a.kmv_set").as("__sa"), col("b.kmv_set").as("__sb"))
+    intersectEstimates(pairs, k,
+      keep = Seq(s"${groupCol}_a", s"${groupCol}_b"))
   }
 
   /** Engine-PORTABLE HyperLogLog distinct-count estimate per group —

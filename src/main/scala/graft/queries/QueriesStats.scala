@@ -479,6 +479,33 @@ private[graft] object QueriesStats {
         T(s, d, "lineitem"), "l_suppkey", "l_partkey",
         maxDeg = 64, topN = 20)),
 
+    // HIERARCHICAL TREE ROLLUP (the CRM account-hierarchy readout):
+    // subtree (count, sum) for EVERY node of a 50k-node heap-shaped
+    // forest via ancestor-closure pointer doubling — 4 join rounds
+    // close depth 15 (vs 15 sequential bottom-up joins); heap
+    // numbering gives the oracle every subtree as ≤16 arithmetic
+    // intervals, so all 50k rollups are hash-pinned in closed form.
+    "q275_tree_rollup" -> ((s, d) => {
+      val n = 50000L
+      val nodes = s.range(1, n + 1).select(col("id"),
+        when(col("id") > 1L, shiftright(col("id"), 1)).as("parent"),
+        col("id").as("value"))
+      graft.ext.GraphOps.treeRollup(nodes, "id", "parent", "value",
+          maxDepth = 16)
+        .orderBy(col("id"))
+    }),
+
+    // SKETCH RETENTION MATRIX: all 435 day×day user-overlap and
+    // Jaccard estimates of the month from ONE pass of per-day 64-min
+    // sketches — the 100 TB retention shape (q168 is the exact
+    // self-join twin); every pair estimate hash-pinned.
+    "q276_sketch_retention" -> ((s, d) =>
+      graft.ext.Sketches.kmvPairwiseIntersect(
+        T(s, d, "events").select(dayofmonth(col("ts")).cast("long").as("day"),
+          col("user_id")),
+        "day", "user_id", k = 64)
+        .orderBy(col("day_a"), col("day_b"))),
+
     // VOCAB DRIFT per source — the t-closeness machinery COMPOSED over
     // the token stream: TV distance between each source's unigram
     // distribution and the corpus-wide one, exact floor ppm (the
@@ -1214,6 +1241,76 @@ private[graft] object QueriesStats {
         |SELECT left_a, left_b, CAST(n_shared AS BIGINT) AS n_shared,
         |  CAST(ra_ppm AS BIGINT) AS ra_ppm
         |FROM ag ORDER BY ra_ppm DESC, left_a, left_b LIMIT 20""".stripMargin,
+
+    // per-day 64-min sets, every pair's k-min-of-union coincidence
+    // replayed; zero-match pairs survive via the left join (absent
+    // key == zero, the count-min rule)
+    "q276_sketch_retention" ->
+      """WITH e AS (
+        |  SELECT DISTINCT CAST(date_part('day', ts) AS BIGINT) AS day,
+        |    CAST(user_id AS VARCHAR) AS val
+        |  FROM events),
+        |h AS (
+        |  SELECT day, val,
+        |    CAST(CAST(concat('0x', substring(md5(concat_ws('|', '42', val)), 1, 14)) AS BIGINT) AS DOUBLE)
+        |      / 72057594037927936.0 AS frac
+        |  FROM e),
+        |r AS (SELECT day, val, frac,
+        |    row_number() OVER (PARTITION BY day ORDER BY frac, val) AS rk
+        |  FROM h),
+        |s AS (SELECT day, val, frac FROM r WHERE rk <= 64),
+        |p AS (SELECT a.day AS da, b.day AS db
+        |  FROM (SELECT DISTINCT day FROM s) a
+        |  JOIN (SELECT DISTINCT day FROM s) b ON a.day < b.day),
+        |u1 AS (SELECT DISTINCT p.da, p.db, s.val, s.frac
+        |  FROM p JOIN s ON s.day = p.da OR s.day = p.db),
+        |u AS (SELECT da, db, val, frac,
+        |    row_number() OVER (PARTITION BY da, db ORDER BY frac, val) AS rk
+        |  FROM u1),
+        |uk AS (SELECT * FROM u WHERE rk <= 64),
+        |m AS (SELECT uk.da, uk.db, count(*) AS n_both FROM uk
+        |  WHERE EXISTS (SELECT 1 FROM s WHERE s.day = uk.da AND s.val = uk.val AND s.frac = uk.frac)
+        |    AND EXISTS (SELECT 1 FROM s WHERE s.day = uk.db AND s.val = uk.val AND s.frac = uk.frac)
+        |  GROUP BY 1, 2),
+        |nu AS (SELECT da, db, count(*) AS nu,
+        |    max(CASE WHEN rk = 64 THEN frac END) AS fk
+        |  FROM uk GROUP BY 1, 2),
+        |sz AS (SELECT day, count(*) AS nset FROM s GROUP BY 1),
+        |f AS (SELECT nu.da, nu.db, sa.nset AS n_a_set, sb.nset AS n_b_set,
+        |    nu.nu, coalesce(m.n_both, 0) AS n_both, nu.fk
+        |  FROM nu
+        |  JOIN sz sa ON sa.day = nu.da
+        |  JOIN sz sb ON sb.day = nu.db
+        |  LEFT JOIN m ON m.da = nu.da AND m.db = nu.db),
+        |g AS (SELECT *, CASE WHEN nu < 64 THEN CAST(nu AS DOUBLE)
+        |    ELSE 63.0 / fk END AS est_union FROM f)
+        |SELECT da AS day_a, db AS day_b,
+        |  CAST(n_a_set AS BIGINT) AS n_a_set, CAST(n_b_set AS BIGINT) AS n_b_set,
+        |  CAST(nu AS BIGINT) AS n_union_set, CAST(n_both AS BIGINT) AS n_both,
+        |  CASE WHEN nu = 0 THEN NULL
+        |    ELSE CAST((n_both * 1000000) // nu AS BIGINT) END AS jaccard_ppm,
+        |  est_union,
+        |  CASE WHEN nu = 0 THEN NULL
+        |    ELSE (CAST(n_both AS DOUBLE) / CAST(nu AS DOUBLE)) * est_union END AS est_intersection
+        |FROM g ORDER BY day_a, day_b""".stripMargin,
+
+    // heap subtrees are unions of ≤16 arithmetic intervals
+    // [v·2^k, v·2^k+2^k−1] ∩ [1, n]: count and sum in closed form
+    "q275_tree_rollup" ->
+      """WITH v AS (SELECT CAST(r.range AS BIGINT) AS id FROM range(1, 50001) r),
+        |l AS (SELECT CAST(r.range AS BIGINT) AS k FROM range(0, 17) r),
+        |iv AS (
+        |  SELECT v.id, v.id * (1 << k) AS lo,
+        |    least(50000, v.id * (1 << k) + (1 << k) - 1) AS hi
+        |  FROM v CROSS JOIN l
+        |  WHERE v.id * (1 << k) <= 50000),
+        |agg AS (
+        |  SELECT id, sum(hi - lo + 1) AS n_subtree,
+        |    sum((lo + hi) * CAST(hi - lo + 1 AS HUGEINT) // 2) AS subtree_sum
+        |  FROM iv GROUP BY 1)
+        |SELECT id, CAST(n_subtree AS BIGINT) AS n_subtree,
+        |  CAST(subtree_sum AS BIGINT) AS subtree_sum
+        |FROM agg ORDER BY id""".stripMargin,
 
     // the q267 TV replay with (source, token) cells
     "q272_vocab_drift" ->

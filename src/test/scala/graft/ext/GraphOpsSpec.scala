@@ -101,4 +101,35 @@ class GraphOpsSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getString(1), r.getAs[Long]("ra_ppm")))
     assert(capped.toSeq == Seq(("s1", "s2", 500000L)))
   }
+
+  test("treeRollup: subtree sums and counts on an explicit forest") {
+    import spark.implicits._
+    // 1 <- {2, 3}, 2 <- {4, 5}, 5 <- 6; plus a second root 7
+    val nodes = Seq(
+      (1L, None, 1L), (2L, Some(1L), 2L), (3L, Some(1L), 3L),
+      (4L, Some(2L), 4L), (5L, Some(2L), 5L), (6L, Some(5L), 6L),
+      (7L, None, 7L)
+    ).toDF("id", "parent", "value")
+    val out = GraphOps.treeRollup(nodes, "id", "parent", "value", maxDepth = 8)
+    val m = out.collect().map(r => r.getLong(0) ->
+      (r.getAs[Long]("n_subtree"), r.getAs[Long]("subtree_sum"))).toMap
+    out.unpersist()
+    assert(m == Map(
+      1L -> ((6L, 21L)), 2L -> ((4L, 17L)), 3L -> ((1L, 3L)),
+      4L -> ((1L, 4L)), 5L -> ((2L, 11L)), 6L -> ((1L, 6L)),
+      7L -> ((1L, 7L))))
+  }
+
+  test("treeRollup: a deep chain closes when maxDepth covers it") {
+    import spark.implicits._
+    val n = 9L
+    val nodes = (1L to n).map(i =>
+      (i, if (i == 1) None else Some(i - 1), 1L)).toDF("id", "parent", "value")
+    val out = GraphOps.treeRollup(nodes, "id", "parent", "value",
+      maxDepth = n.toInt - 1)
+    val m = out.collect().map(r => r.getLong(0) -> r.getAs[Long]("subtree_sum")).toMap
+    out.unpersist()
+    // chain: subtree of node i is {i..n}
+    (1L to n).foreach(i => assert(m(i) == n - i + 1, s"node $i"))
+  }
 }

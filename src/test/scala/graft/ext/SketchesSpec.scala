@@ -402,4 +402,22 @@ class SketchesSpec extends SparkSpec {
     assert(none.isNullAt(none.fieldIndex("jaccard_ppm")))
     assert(none.isNullAt(none.fieldIndex("est_intersection")))
   }
+
+  test("kmvPairwiseIntersect: every pair matches the two-group estimator") {
+    import spark.implicits._
+    val df = ((1 to 10).map(("A", _)) ++ (6 to 15).map(("B", _)) ++
+      (11 to 20).map(("C", _))).toDF("g", "v")
+    val pw = Sketches.kmvPairwiseIntersect(df, "g", "v", k = 64)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n_both"), r.getAs[Long]("jaccard_ppm"),
+          r.getAs[Double]("est_intersection"))).toMap
+    assert(pw.keySet == Set(("A", "B"), ("A", "C"), ("B", "C")))
+    for (((a, b), got) <- pw) {
+      val one = Sketches.kmvIntersectEstimate(df, "g", a, b, "v", k = 64)
+        .collect().head
+      assert(got == ((one.getAs[Long]("n_both"), one.getAs[Long]("jaccard_ppm"),
+        one.getAs[Double]("est_intersection"))), s"pair ($a,$b)")
+    }
+    assert(pw(("A", "B"))._1 == 5L && pw(("A", "C"))._1 == 0L)
+  }
 }
