@@ -982,4 +982,71 @@ object Similarity {
             lit(1000000000000L).cast(Dec) * nPairs))
           .as("mean_cos_ppm"))
   }
+
+  /** CLUSTER-QUALITY audit: the Calinski–Harabasz variance-ratio
+    * index over a labeled embedding column — "did this clustering
+    * (IVF cells, k-means buckets, class labels) actually separate
+    * anything?", the one-number companion to [[labelSeparation]]'s
+    * pairwise matrix (CH reads variance geometry; silhouette would
+    * cost O(n²)). Sum-of-squares identities keep it ONE pass:
+    *
+    *   WSS = Σ|qᵢ|² − Σ_c |S_c|²/n_c,   BSS = Σ_c |S_c|²/n_c − |S|²/N
+    *
+    * over components quantized to round(10⁶·x) (integers-first:
+    * exact, order-independent sums in DECIMAL(38,0)); the per-cluster
+    * |S_c|²/n_c terms floor independently ([[PortableDiv.floorDec]] —
+    * under-counts each by < 1 quantization unit², invisible at the
+    * readout), and CH = (BSS/(k−1))/(WSS/(N−k)) is one IEEE double
+    * expression, reported floor-milli. Exact to ~10⁹ rows per cluster
+    * (the |S_c|² product nears DECIMAL(38,0)'s ceiling past that; the
+    * long-narrowed wss/bss columns saturate first and say so here).
+    * Returns ONE row: (n, k, wss, bss, ch_milli) — ch_milli NULL when
+    * k < 2 or WSS = 0.
+    *
+    * Scale shape: one posexplode + (label, dim) aggregate is the only
+    * data-sized pass (the [[labelSeparation]] shape); cluster and
+    * global reductions run over labels·dim rows. */
+  def clusterQuality(df: DataFrame, vecCol: String,
+      labelCol: String): DataFrame = {
+    val Dec = "decimal(38,0)"
+    val q = transform(transform(col(vecCol), x => x.cast("double")),
+      x => round(x * lit(1000000.0)).cast("long"))
+    val base = df
+      .filter(col(labelCol).isNotNull && col(vecCol).isNotNull)
+      .select(col(labelCol).as("__c"), q.as("__q"))
+    val rows = base.select(col("__c"),
+      posexplode(col("__q")).as(Seq("__j", "__x")))
+    val tss = rows.agg(
+      sum(col("__x").cast(Dec) * col("__x")).cast(Dec).as("__tssq"))
+    val perDim = rows.groupBy(col("__c"), col("__j"))
+      .agg(sum(col("__x").cast(Dec)).cast(Dec).as("__s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cnt = base.groupBy(col("__c")).agg(count(lit(1)).as("__n"))
+    val perCluster = perDim.groupBy(col("__c"))
+      .agg(sum(col("__s") * col("__s")).cast(Dec).as("__sc2"))
+      .join(cnt, Seq("__c"))
+    val a = perCluster.agg(
+      count(lit(1)).as("__k"), sum(col("__n")).as("__N"),
+      sum(PortableDiv.floorDec(col("__sc2"), col("__n").cast(Dec))
+        .cast(Dec)).cast(Dec).as("__a"))
+    val glob = perDim.groupBy(col("__j"))
+      .agg(sum(col("__s")).cast(Dec).as("__gs"))
+      .agg(sum(col("__gs") * col("__gs")).cast(Dec).as("__g2"))
+    val out = a.crossJoin(broadcast(glob)).crossJoin(broadcast(tss))
+      .withColumn("__b",
+        PortableDiv.floorDec(col("__g2"), col("__N").cast(Dec)))
+      .withColumn("wss", (col("__tssq") - col("__a")).cast("long"))
+      .withColumn("bss", (col("__a") - col("__b")).cast("long"))
+    val (kD, nD) = (col("__k").cast("double"), col("__N").cast("double"))
+    val ch = (col("bss").cast("double") / (kD - lit(1.0))) /
+      (col("wss").cast("double") / (nD - kD))
+    val res = out.select(col("__N").as("n"), col("__k").as("k"),
+      col("wss"), col("bss"),
+      when(col("__k") > 1L && col("wss") > 0L,
+        floor(lit(1000.0) * ch).cast("long"))
+        .otherwise(lit(null).cast("long")).as("ch_milli"))
+    res.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).count()
+    perDim.unpersist()
+    res
+  }
 }

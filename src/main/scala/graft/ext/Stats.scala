@@ -595,4 +595,54 @@ object Stats {
         when(vr > 0.0, floor(lit(1000.0) * z).cast("long"))
           .otherwise(lit(null).cast("long")).as("z_milli"))
   }
+
+  /** SEASONAL DECOMPOSITION of a per-key daily series into
+    * trend + day-of-week seasonal + residual — the classical-
+    * decomposition baseline (Makridakis et al.; STL's moving-average
+    * ancestor) that turns "traffic dropped Sunday" into "traffic
+    * dropped 12% below its usual Sunday": 
+    *   - `trend` — centered 7-day moving average, floor-divided
+    *     (full windows only: the 3 edge days each side read NULL);
+    *   - `seasonal` — per day-of-week floor-mean of the detrended
+    *     values (Σ(v − trend) over that weekday / its count);
+    *   - `resid` — v − trend − seasonal (NULL at the edges).
+    * All integer arithmetic over the caller-quantized values with the
+    * exact floor identity ([[floorDiv]], toward −∞ — negative
+    * detrended means floor consistently), so a DuckDB oracle replays
+    * every bit. `dowCol` is the caller's day-of-week key (0–6 or
+    * 1–7, any convention — it is only a group key).
+    * Input contract: one integral value per (key, t), t an integer
+    * DAY index with consecutive days adjacent (gaps shrink the moving
+    * window's membership and are the caller's contract to fill via
+    * [[Audit.fillDailyGaps]]).
+    *
+    * Scale shape: rows-between windows over the per-key DAY series
+    * (domain-sized, the [[theilSen]] rule) + one (key, dow) aggregate
+    * broadcast back. Returns (key, t, dow, v, trend, seasonal,
+    * resid). */
+  def seasonalDecompose(df: DataFrame, keyCol: String, tCol: String,
+      dowCol: String, vCol: String): DataFrame = {
+    val s = df.filter(col(tCol).isNotNull && col(vCol).isNotNull)
+      .select(col(keyCol).as("__k"), col(tCol).cast("long").as("__t"),
+        col(dowCol).cast("long").as("__dow"), col(vCol).cast("long").as("__v"))
+    val w7 = Window.partitionBy(col("__k")).orderBy(col("__t"))
+      .rowsBetween(-3, 3)
+    val trended = s
+      .withColumn("__n7", count(lit(1)).over(w7))
+      .withColumn("__s7", sum(col("__v")).over(w7))
+      .withColumn("trend",
+        when(col("__n7") === 7L,
+          floorDiv(col("__s7").cast(Dec), lit(7L).cast(Dec)))
+          .otherwise(lit(null).cast("long")))
+      .withColumn("__detr", col("__v") - col("trend"))
+    val seas = trended.filter(col("__detr").isNotNull)
+      .groupBy(col("__k"), col("__dow"))
+      .agg(floorDiv(sum(col("__detr")).cast(Dec),
+        count(lit(1)).cast(Dec)).as("seasonal"))
+    trended.join(seas, Seq("__k", "__dow"), "left")
+      .select(col("__k").as(keyCol), col("__t").as(tCol),
+        col("__dow").as("dow"), col("__v").as(vCol),
+        col("trend"), col("seasonal"),
+        (col("__v") - col("trend") - col("seasonal")).as("resid"))
+  }
 }

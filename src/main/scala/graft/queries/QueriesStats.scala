@@ -495,6 +495,28 @@ private[graft] object QueriesStats {
         .orderBy(col("id"))
     }),
 
+    // CALINSKI–HARABASZ cluster quality of the embedding labels: the
+    // one-number "did the clustering separate anything" from exact
+    // sum-of-squares identities (one pass, no pair work); WSS/BSS
+    // integer-exact, CH floor-milli.
+    "q278_cluster_quality" -> ((s, d) =>
+      graft.ext.Similarity.clusterQuality(
+        T(s, d, "embeddings"), "embedding", "label")),
+
+    // SEASONAL DECOMPOSITION of daily revenue per event type:
+    // centered 7-day trend, day-of-week seasonal, residual — all
+    // integer floor arithmetic over the domain-sized daily series,
+    // every cell hash-pinned ("Sunday is 12% low" vs "Sunday is
+    // broken", made exact).
+    "q277_seasonal" -> ((s, d) =>
+      graft.ext.Stats.seasonalDecompose(
+        T(s, d, "events")
+          .groupBy(col("event_type"), dayofmonth(col("ts")).as("day"))
+          .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+          .withColumn("dow", col("day") % 7),
+        "event_type", "day", "dow", "cents")
+        .orderBy(col("event_type"), col("day"))),
+
     // SKETCH RETENTION MATRIX: all 435 day×day user-overlap and
     // Jaccard estimates of the month from ONE pass of per-day 64-min
     // sketches — the 100 TB retention shape (q168 is the exact
@@ -1241,6 +1263,67 @@ private[graft] object QueriesStats {
         |SELECT left_a, left_b, CAST(n_shared AS BIGINT) AS n_shared,
         |  CAST(ra_ppm AS BIGINT) AS ra_ppm
         |FROM ag ORDER BY ra_ppm DESC, left_a, left_b LIMIT 20""".stripMargin,
+
+    // the same quantize -> per-(label, dim) sums -> SS identities with
+    // per-cluster floors -> one IEEE double ratio
+    "q278_cluster_quality" ->
+      """WITH v AS (
+        |  SELECT label,
+        |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS HUGEINT)) AS q
+        |  FROM embeddings WHERE label IS NOT NULL AND embedding IS NOT NULL),
+        |dims AS (SELECT label, r.range AS j, q[CAST(r.range AS INTEGER)] AS x
+        |  FROM v CROSS JOIN range(1, 65) r),
+        |tss AS (SELECT sum(x * x) AS tssq FROM dims),
+        |pd AS (SELECT label, j, sum(x) AS s FROM dims GROUP BY 1, 2),
+        |cnt AS (SELECT label, count(*) AS n FROM v GROUP BY 1),
+        |pc AS (SELECT pd.label, sum(pd.s * pd.s) AS sc2 FROM pd GROUP BY 1),
+        |a AS (SELECT count(*) AS k, sum(cnt.n) AS nn,
+        |    sum((pc.sc2 - pc.sc2 % cnt.n) // cnt.n) AS a
+        |  FROM pc JOIN cnt ON cnt.label = pc.label),
+        |g AS (SELECT sum(gs * gs) AS g2 FROM
+        |  (SELECT j, sum(s) AS gs FROM pd GROUP BY 1)),
+        |f AS (SELECT a.nn, a.k, tss.tssq, a.a,
+        |    (g.g2 - g.g2 % a.nn) // a.nn AS b
+        |  FROM a CROSS JOIN g CROSS JOIN tss),
+        |o AS (SELECT nn, k, CAST(tssq - a AS BIGINT) AS wss,
+        |    CAST(a - b AS BIGINT) AS bss
+        |  FROM f)
+        |SELECT CAST(nn AS BIGINT) AS n, CAST(k AS BIGINT) AS k, wss, bss,
+        |  CASE WHEN k > 1 AND wss > 0
+        |    THEN CAST(floor(1000.0 *
+        |      ((CAST(bss AS DOUBLE) / (CAST(k AS DOUBLE) - 1.0)) /
+        |       (CAST(wss AS DOUBLE) / (CAST(nn AS DOUBLE) - CAST(k AS DOUBLE)))))
+        |      AS BIGINT)
+        |    ELSE NULL END AS ch_milli
+        |FROM o""".stripMargin,
+
+    // rows-based 7-windows, floor trend, per-dow floor mean of the
+    // detrended values — the signed floor shim on every division
+    "q277_seasonal" ->
+      """WITH dly AS (
+        |  SELECT event_type, CAST(date_part('day', ts) AS BIGINT) AS day,
+        |    sum(CAST(round(value * 100) AS BIGINT)) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |d2 AS (SELECT *, day % 7 AS dow FROM dly WHERE cents IS NOT NULL),
+        |t AS (SELECT event_type, day, dow, cents,
+        |    count(*) OVER w AS n7, sum(cents) OVER w AS s7
+        |  FROM d2 WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |de AS (SELECT event_type, day, dow, cents,
+        |    CASE WHEN n7 = 7 THEN (s7 - ((s7 % 7) + 7) % 7) // 7
+        |      ELSE NULL END AS trend,
+        |    cents - (CASE WHEN n7 = 7 THEN (s7 - ((s7 % 7) + 7) % 7) // 7
+        |      ELSE NULL END) AS detr
+        |  FROM t),
+        |se AS (SELECT event_type, dow,
+        |    (sum(detr) - ((sum(detr) % count(*)) + count(*)) % count(*)) // count(*) AS seasonal
+        |  FROM de WHERE detr IS NOT NULL GROUP BY 1, 2)
+        |SELECT de.event_type, de.day, de.dow,
+        |  CAST(de.cents AS BIGINT) AS cents, CAST(de.trend AS BIGINT) AS trend,
+        |  CAST(se.seasonal AS BIGINT) AS seasonal,
+        |  CAST(de.cents - de.trend - se.seasonal AS BIGINT) AS resid
+        |FROM de LEFT JOIN se ON se.event_type = de.event_type AND se.dow = de.dow
+        |ORDER BY de.event_type, de.day""".stripMargin,
 
     // per-day 64-min sets, every pair's k-min-of-union coincidence
     // replayed; zero-match pairs survive via the left join (absent

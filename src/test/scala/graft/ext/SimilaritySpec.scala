@@ -355,4 +355,36 @@ class SimilaritySpec extends SparkSpec {
       assert(r.getAs[Long]("mean_cos_ppm") == expected, s"mean ($la,$lb)")
     }
   }
+
+  test("clusterQuality: matches the BigInt sum-of-squares reference; k=1 is NULL") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0, Array(0.0f, 0.0f)), (0, Array(0.0f, 2.0f)),
+      (1, Array(10.0f, 0.0f)), (1, Array(10.0f, 2.0f)),
+      (2, Array(5.0f, 50.0f)))
+    val out = Similarity.clusterQuality(vecs.toDF("label", "embedding"),
+      "embedding", "label").collect().head
+    def q(v: Float): BigInt = BigInt(math.round(v.toDouble * 1e6))
+    val byC = vecs.groupBy(_._1).view.mapValues(_.map(_._2.map(q))).toMap
+    val tssq = vecs.flatMap(_._2.map(q)).map(x => x * x).sum
+    val a = byC.values.map { vs =>
+      val dims = vs.head.indices.map(j => vs.map(_(j)).sum)
+      val sc2 = dims.map(s => s * s).sum
+      sc2 / vs.size // nonneg floor
+    }.sum
+    val n = vecs.size
+    val gdims = (0 to 1).map(j => vecs.flatMap(v => Seq(v._2(j))).map(q).sum)
+    val b = gdims.map(s => s * s).sum / n
+    val (wss, bss) = (tssq - a, a - b)
+    assert(out.getAs[Long]("n") == n && out.getAs[Long]("k") == 3L)
+    assert(BigInt(out.getAs[Long]("wss")) == wss)
+    assert(BigInt(out.getAs[Long]("bss")) == bss)
+    val k = 3.0
+    val ch = (bss.toDouble / (k - 1.0)) / (wss.toDouble / (n - k))
+    assert(out.getAs[Long]("ch_milli") == math.floor(1000.0 * ch).toLong)
+    val solo = Similarity.clusterQuality(
+      vecs.filter(_._1 == 0).toDF("label", "embedding"), "embedding", "label")
+      .collect().head
+    assert(solo.isNullAt(solo.fieldIndex("ch_milli")))
+  }
 }
