@@ -441,4 +441,35 @@ object Audit {
         pmod(col("__s"), lit(4611686018427387904L).cast("decimal(38,0)"))
           .cast("long").as("checksum"))
   }
+
+  /** CONCENTRATION audit: the Herfindahl–Hirschman index of a
+    * nonnegative measure over a key — "is revenue (tokens, traffic)
+    * dangerously concentrated in a few customers (domains, sources)?"
+    * — the scalar q195's per-source share table rolls up to.
+    * HHI = Σ(sᵢ/S)² reported as floor ppm (10⁶ = monopoly; 10⁶/n =
+    * perfectly even), plus the single largest share. Sums and the
+    * Σsᵢ² product ride DECIMAL(38,0); the two floor divisions are
+    * exact ([[PortableDiv.nonNeg]] — caller supplies a NONNEGATIVE
+    * measure; negative weights make shares meaningless and are the
+    * caller's contract to exclude). NULL measures drop. Returns ONE
+    * row: (n_keys, total, hhi_ppm, top_share_ppm).
+    *
+    * Scale shape: one key aggregate + one reduction row — map-side
+    * partials end to end. */
+  def concentration(df: DataFrame, keyCol: String,
+      valueCol: String): DataFrame = {
+    val Dec = "decimal(38,0)"
+    val per = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(keyCol))
+      .agg(sum(col(valueCol).cast(Dec)).cast(Dec).as("__s"))
+    per.agg(count(lit(1)).as("n_keys"),
+        sum(col("__s")).cast(Dec).as("__S"),
+        sum(col("__s") * col("__s")).cast(Dec).as("__s2"),
+        max(col("__s")).cast(Dec).as("__top"))
+      .select(col("n_keys"), col("__S").cast("long").as("total"),
+        PortableDiv.nonNeg(col("__s2") * lit(1000000L),
+          col("__S") * col("__S")).as("hhi_ppm"),
+        PortableDiv.nonNeg(col("__top") * lit(1000000L), col("__S"))
+          .as("top_share_ppm"))
+  }
 }

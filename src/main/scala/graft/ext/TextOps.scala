@@ -1314,4 +1314,46 @@ object TextOps {
           col("cnt").cast(Dec) * col("rank") * lit(1000000L),
           col("__c1").cast(Dec)).as("zipf_ppm"))
   }
+
+  /** VOCABULARY COVERAGE estimate — Good–Turing missing mass and
+    * Chao1 richness from the frequency-of-frequencies profile (Good
+    * 1953; Chao 1984): "how much of the language have we actually
+    * collected, and how big is the vocabulary we haven't seen?" — the
+    * release audit that says whether another crawl epoch is worth it
+    * (the quantitative companion to [[zipfProfile]]'s shape check and
+    * q193's growth curve):
+    *   - `missing_mass_ppm` = floor(10⁶·n₁/N) — the Good–Turing
+    *     probability the NEXT token is unseen (n₁ = singleton types);
+    *   - `chao1` = V + floor(n₁²/(2·n₂)) — the Chao1 lower bound on
+    *     total vocabulary (NULL when no doubletons: the estimator is
+    *     undefined and the corpus is far from coverage anyway).
+    * All integer arithmetic ([[PortableDiv.nonNeg]]), DECIMAL(38,0)
+    * for n₁² — exact and oracle-replayable at any corpus size.
+    * Returns ONE row: (n_tokens, vocab, n_singletons, n_doubletons,
+    * missing_mass_ppm, chao1).
+    *
+    * Scale shape: token explode → vocab-sized count aggregate →
+    * frequency-of-frequency aggregate (≤ distinct-count rows) → one
+    * reduction row. No window, no join. */
+  def vocabCoverage(df: DataFrame, textCol: String): DataFrame = {
+    val Dec = "decimal(38,0)"
+    val counts = df.select(explode(tokens(col(textCol))).as("__tok"))
+      .groupBy(col("__tok")).agg(count(lit(1)).as("__f"))
+    val fof = counts.groupBy(col("__f")).agg(count(lit(1)).as("__nf"))
+    fof.agg(
+        sum(col("__f").cast(Dec) * col("__nf")).cast(Dec).as("__N"),
+        sum(col("__nf")).as("vocab"),
+        sum(when(col("__f") === 1L, col("__nf")).otherwise(0L)).as("n_singletons"),
+        sum(when(col("__f") === 2L, col("__nf")).otherwise(0L)).as("n_doubletons"))
+      .select(
+        col("__N").cast("long").as("n_tokens"),
+        col("vocab"), col("n_singletons"), col("n_doubletons"),
+        PortableDiv.nonNeg(col("n_singletons").cast(Dec) * lit(1000000L),
+          col("__N")).as("missing_mass_ppm"),
+        when(col("n_doubletons") > 0L,
+          col("vocab") + PortableDiv.nonNeg(
+            col("n_singletons").cast(Dec) * col("n_singletons"),
+            lit(2L).cast(Dec) * col("n_doubletons")))
+          .otherwise(lit(null).cast("long")).as("chao1"))
+  }
 }

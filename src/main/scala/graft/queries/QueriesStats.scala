@@ -495,6 +495,21 @@ private[graft] object QueriesStats {
         .orderBy(col("id"))
     }),
 
+    // GOOD–TURING missing mass + Chao1 richness: "how much language
+    // is still unseen, and how big is the true vocabulary" — the
+    // worth-another-crawl-epoch audit, exact from the frequency-of-
+    // frequencies profile.
+    "q279_vocab_coverage" -> ((s, d) =>
+      graft.ext.TextOps.vocabCoverage(docsSpread(s, d), "text")),
+
+    // HERFINDAHL revenue concentration over customers — the scalar
+    // q195's share table rolls up to; monopoly = 1e6 ppm, even = 1e6/n.
+    "q280_concentration" -> ((s, d) =>
+      graft.ext.Audit.concentration(
+        T(s, d, "orders").select(col("o_custkey"),
+          round(col("o_totalprice") * 100).cast("long").as("cents")),
+        "o_custkey", "cents")),
+
     // CALINSKI–HARABASZ cluster quality of the embedding labels: the
     // one-number "did the clustering separate anything" from exact
     // sum-of-squares identities (one pass, no pair work); WSS/BSS
@@ -1263,6 +1278,39 @@ private[graft] object QueriesStats {
         |SELECT left_a, left_b, CAST(n_shared AS BIGINT) AS n_shared,
         |  CAST(ra_ppm AS BIGINT) AS ra_ppm
         |FROM ag ORDER BY ra_ppm DESC, left_a, left_b LIMIT 20""".stripMargin,
+
+    // freq-of-freq profile, integer Good–Turing/Chao1
+    "q279_vocab_coverage" ->
+      """WITH tk AS (
+        |  SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)) AS tok
+        |  FROM documents),
+        |c AS (SELECT tok, count(*) AS f FROM tk GROUP BY 1),
+        |fof AS (SELECT f, count(*) AS nf FROM c GROUP BY 1),
+        |a AS (SELECT sum(CAST(f AS HUGEINT) * nf) AS n,
+        |    sum(nf) AS vocab,
+        |    sum(CASE WHEN f = 1 THEN nf ELSE 0 END) AS n1,
+        |    sum(CASE WHEN f = 2 THEN nf ELSE 0 END) AS n2
+        |  FROM fof)
+        |SELECT CAST(n AS BIGINT) AS n_tokens, CAST(vocab AS BIGINT) AS vocab,
+        |  CAST(n1 AS BIGINT) AS n_singletons, CAST(n2 AS BIGINT) AS n_doubletons,
+        |  CAST((CAST(n1 AS HUGEINT) * 1000000) // n AS BIGINT) AS missing_mass_ppm,
+        |  CASE WHEN n2 > 0
+        |    THEN CAST(vocab + (CAST(n1 AS HUGEINT) * n1) // (2 * n2) AS BIGINT)
+        |    ELSE NULL END AS chao1
+        |FROM a""".stripMargin,
+
+    // per-customer cent sums, Σs² / S² in exact HUGEINT floor ppm
+    "q280_concentration" ->
+      """WITH p AS (
+        |  SELECT o_custkey, sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS s
+        |  FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1),
+        |a AS (SELECT count(*) AS n_keys, sum(CAST(s AS HUGEINT)) AS tot,
+        |    sum(CAST(s AS HUGEINT) * s) AS s2, max(CAST(s AS HUGEINT)) AS top
+        |  FROM p)
+        |SELECT CAST(n_keys AS BIGINT) AS n_keys, CAST(tot AS BIGINT) AS total,
+        |  CAST((s2 * 1000000) // (tot * tot) AS BIGINT) AS hhi_ppm,
+        |  CAST((top * 1000000) // tot AS BIGINT) AS top_share_ppm
+        |FROM a""".stripMargin,
 
     // the same quantize -> per-(label, dim) sums -> SS identities with
     // per-cluster floors -> one IEEE double ratio

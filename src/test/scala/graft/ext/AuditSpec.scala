@@ -199,4 +199,22 @@ class AuditSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getAs[Long]("tv_ppm")).toMap
     assert(out == Map("gA" -> 500000L, "gB" -> 500000L))
   }
+
+  test("concentration: monopoly reads 1e6, even split reads 1e6/n") {
+    import spark.implicits._
+    val mono = Audit.concentration(
+      Seq(("a", 100L), ("b", 0L)).toDF("k", "v"), "k", "v").collect().head
+    assert(mono.getAs[Long]("hhi_ppm") == 1000000L)
+    assert(mono.getAs[Long]("top_share_ppm") == 1000000L)
+    val even = Audit.concentration(
+      (1 to 4).map(i => (s"k$i", 25L)).toDF("k", "v"), "k", "v").collect().head
+    assert(even.getAs[Long]("n_keys") == 4L)
+    assert(even.getAs[Long]("hhi_ppm") == 250000L)
+    assert(even.getAs[Long]("top_share_ppm") == 250000L)
+    // 80/20: HHI = 0.8^2 + 0.2^2 = 0.68
+    val skew = Audit.concentration(
+      Seq(("a", 80L), ("b", 20L)).toDF("k", "v"), "k", "v").collect().head
+    assert(skew.getAs[Long]("hhi_ppm") == 680000L)
+    assert(skew.getAs[Long]("top_share_ppm") == 800000L)
+  }
 }

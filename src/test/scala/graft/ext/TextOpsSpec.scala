@@ -548,4 +548,22 @@ class TextOpsSpec extends SparkSpec {
       (4L, "d", 2L, 1000000L)))  // 2·4/8
     assert(TextOps.zipfProfile(docs, "text", topR = 2).count() == 2L)
   }
+
+  test("vocabCoverage: hand-counted freq-of-freq profile") {
+    import spark.implicits._
+    // tokens: a x4, b x2, c x2, d, e, f  -> N=11, V=6, n1=3, n2=2
+    val docs = Seq("a a a a b b", "c c d e f").toDF("text")
+    val out = TextOps.vocabCoverage(docs, "text").collect().head
+    assert(out.getAs[Long]("n_tokens") == 11L)
+    assert(out.getAs[Long]("vocab") == 6L)
+    assert(out.getAs[Long]("n_singletons") == 3L)
+    assert(out.getAs[Long]("n_doubletons") == 2L)
+    assert(out.getAs[Long]("missing_mass_ppm") == 3000000L / 11L) // floor(3/11 ppm)
+    assert(out.getAs[Long]("chao1") == 6L + 9L / 4L)       // V + floor(9/4)
+    // no doubletons -> Chao1 undefined
+    val nodbl = TextOps.vocabCoverage(Seq("x y z").toDF("text"), "text")
+      .collect().head
+    assert(nodbl.isNullAt(nodbl.fieldIndex("chao1")))
+    assert(nodbl.getAs[Long]("missing_mass_ppm") == 1000000L)
+  }
 }
