@@ -645,4 +645,86 @@ object Stats {
         col("trend"), col("seasonal"),
         (col("__v") - col("trend") - col("seasonal")).as("resid"))
   }
+
+  /** EXACT EWMA (exponentially weighted moving average) per key with
+    * α = 1/8: E_t = v_t/8 + 7·E_{t-1}/8, E_1 = v_1 — the recursive
+    * smoother every monitoring stack runs, made EXACT and engine-
+    * replayable: the recursion unrolls to one PREFIX SUM by
+    * prefactorizing each row's coefficient,
+    *
+    *   B_t = Σ_{j≤t} w_j·v_j,  w_1 = 7^{T-1}, w_j = 8^{j-2}·7^{T-j},
+    *   E_t = B_t / (7^{T-t}·8^{t-1})   — an exact integer division,
+    *
+    * so "smooth this series" is a cumulative window over DECIMAL(38,0)
+    * products, with one exact floor at readout (toward −∞ for
+    * negative series). `maxLen` bounds the series length per key
+    * (coefficients reach 8^{maxLen-2}·values — maxLen ≤ 32 keeps a
+    * 10⁹-cent daily series inside DECIMAL(38,0); longer series chunk
+    * by month and chain, or accept the classical double form).
+    * Input contract: one integral value per (key, t) ([[theilSen]]
+    * rules: pre-aggregated, NULLs dropped). Returns
+    * (key, t, v, ewma) — ewma floored to the value's unit.
+    *
+    * Scale shape: row_number + one cumulative-sum window over the
+    * DOMAIN-sized per-key series; keys partition independently. */
+  def ewmaExact(df: DataFrame, keyCol: String, tCol: String,
+      vCol: String, maxLen: Int = 31): DataFrame = {
+    require(maxLen >= 1 && maxLen <= 32,
+      s"maxLen must be in [1, 32], got $maxLen")
+    val s = df.filter(col(tCol).isNotNull && col(vCol).isNotNull)
+      .select(col(keyCol).as("__k"), col(tCol).cast("long").as("__t"),
+        col(vCol).cast("long").as("__v"))
+    val wOrd = Window.partitionBy(col("__k")).orderBy(col("__t"))
+    val pow7 = (0 until maxLen).scanLeft(BigDecimal(1))((a, _) => a * 7)
+    val pow8 = (0 until maxLen).scanLeft(BigDecimal(1))((a, _) => a * 8)
+    def lit7(e: Column) = element_at(
+      array(pow7.take(maxLen).map(p => lit(p.toBigInt.toString).cast(Dec)): _*),
+      e.cast("int"))
+    def lit8(e: Column) = element_at(
+      array(pow8.take(maxLen).map(p => lit(p.toBigInt.toString).cast(Dec)): _*),
+      e.cast("int"))
+    val t = maxLen.toLong
+    val withJ = s.withColumn("__j", row_number().over(wOrd).cast("long"))
+    // w_j = 7^(T-j) · (j = 1 ? 7^(j-1)=1 scaled form : 8^(j-2));
+    // element_at is 1-based: index i holds the (i-1)-th power
+    val w = when(col("__j") === 1L, lit7(lit(t)))
+      .otherwise(lit8(col("__j") - 1L) * lit7(lit(t) - col("__j") + 1L))
+    val b = withJ
+      .withColumn("__w", w)
+      .withColumn("__b", sum((col("__w") * col("__v")).cast(Dec))
+        .over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast(Dec))
+    b.select(col("__k").as(keyCol), col("__t").as(tCol),
+      col("__v").as(vCol),
+      floorDiv(col("__b"),
+        lit7(lit(t) - col("__j") + 1L) * lit8(col("__j"))).as("ewma"))
+  }
+
+  /** TWO-PROPORTION z-test: are two conversion rates different? —
+    * the funnel-significance readout ([[Behavior.funnel]] gives the
+    * counts; this gives the inference). Pooled-variance z from four
+    * exact integers (x_a/n_a, x_b/n_b), every double op IEEE in a
+    * fixed order, reported floor-milli with the exact floor-ppm rates
+    * alongside. NULL when either n is 0 or the pooled rate is 0 or 1
+    * (no variance). Returns ONE row:
+    * (n_a, x_a, n_b, x_b, rate_a_ppm, rate_b_ppm, z_milli).
+    *
+    * Scale shape: callers aggregate the counts (one row in); this is
+    * pure arithmetic — compose with any counting pipeline. */
+  def twoProportionZ(counts: DataFrame, nACol: String, xACol: String,
+      nBCol: String, xBCol: String): DataFrame = {
+    val (na, xa) = (col(nACol).cast("long"), col(xACol).cast("long"))
+    val (nb, xb) = (col(nBCol).cast("long"), col(xBCol).cast("long"))
+    val (naD, xaD) = (na.cast("double"), xa.cast("double"))
+    val (nbD, xbD) = (nb.cast("double"), xb.cast("double"))
+    val p = (xaD + xbD) / (naD + nbD)
+    val z = (xaD / naD - xbD / nbD) /
+      sqrt(p * (lit(1.0) - p) * (lit(1.0) / naD + lit(1.0) / nbD))
+    val ok = na > 0L && nb > 0L && (xa + xb) > 0L && (xa + xb) < (na + nb)
+    counts.select(na.as("n_a"), xa.as("x_a"), nb.as("n_b"), xb.as("x_b"),
+      floorDiv(xa.cast(Dec) * lit(1000000L), na.cast(Dec)).as("rate_a_ppm"),
+      floorDiv(xb.cast(Dec) * lit(1000000L), nb.cast(Dec)).as("rate_b_ppm"),
+      when(ok, floor(lit(1000.0) * z).cast("long"))
+        .otherwise(lit(null).cast("long")).as("z_milli"))
+  }
 }

@@ -495,6 +495,38 @@ private[graft] object QueriesStats {
         .orderBy(col("id"))
     }),
 
+    // EXACT EWMA (α=1/8) of daily revenue per event type — the
+    // recursive smoother unrolled to ONE prefix sum by coefficient
+    // prefactorization (B_t/(7^(T-t)·8^(t-1)) is an exact integer
+    // division), every smoothed cent hash-pinned.
+    "q281_ewma" -> ((s, d) =>
+      graft.ext.Stats.ewmaExact(
+        T(s, d, "events")
+          .groupBy(col("event_type"), dayofmonth(col("ts")).as("day"))
+          .agg(sum(round(col("value") * 100).cast("long")).as("cents")),
+        "event_type", "day", "cents", maxLen = 31)
+        .orderBy(col("event_type"), col("day"))),
+
+    // TWO-PROPORTION z: did the purchase conversion rate of active
+    // users change between the halves of the month? Counts from one
+    // user-half aggregate, inference exact floor-ppm/milli.
+    "q282_two_proportion" -> ((s, d) => {
+      val per = T(s, d, "events")
+        .select(col("user_id"),
+          when(col("ts") < lit("2024-01-16 00:00:00").cast("timestamp"),
+            lit("h1")).otherwise(lit("h2")).as("h"),
+          col("event_type"))
+        .groupBy(col("user_id"), col("h"))
+        .agg(max(when(col("event_type") === "purchase", 1).otherwise(0))
+          .as("__pur"))
+      val counts = per.agg(
+        sum(when(col("h") === "h1", 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("h") === "h1", col("__pur").cast("long")).otherwise(0L)).as("x_a"),
+        sum(when(col("h") === "h2", 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("h") === "h2", col("__pur").cast("long")).otherwise(0L)).as("x_b"))
+      graft.ext.Stats.twoProportionZ(counts, "n_a", "x_a", "n_b", "x_b")
+    }),
+
     // GOOD–TURING missing mass + Chao1 richness: "how much language
     // is still unseen, and how big is the true vocabulary" — the
     // worth-another-crawl-epoch audit, exact from the frequency-of-
@@ -1278,6 +1310,86 @@ private[graft] object QueriesStats {
         |SELECT left_a, left_b, CAST(n_shared AS BIGINT) AS n_shared,
         |  CAST(ra_ppm AS BIGINT) AS ra_ppm
         |FROM ag ORDER BY ra_ppm DESC, left_a, left_b LIMIT 20""".stripMargin,
+
+    // the same coefficient table as the engine (literal HUGEINT powers
+    // of 7 and 8), cumulative sum, signed floor at readout
+    "q281_ewma" ->
+      """WITH dly AS (
+        |  SELECT event_type, CAST(date_part('day', ts) AS BIGINT) AS day,
+        |    sum(CAST(round(value * 100) AS BIGINT)) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |d2 AS (SELECT * FROM dly WHERE cents IS NOT NULL),
+        |pw(j, w, den) AS (VALUES
+        |    (1, CAST('22539340290692258087863249' AS HUGEINT), CAST('22539340290692258087863249' AS HUGEINT)),
+        |    (2, CAST('3219905755813179726837607' AS HUGEINT), CAST('25759246046505437814700856' AS HUGEINT)),
+        |    (3, CAST('3679892292357919687814408' AS HUGEINT), CAST('29439138338863357502515264' AS HUGEINT)),
+        |    (4, CAST('4205591191266193928930752' AS HUGEINT), CAST('33644729530129551431446016' AS HUGEINT)),
+        |    (5, CAST('4806389932875650204492288' AS HUGEINT), CAST('38451119463005201635938304' AS HUGEINT)),
+        |    (6, CAST('5493017066143600233705472' AS HUGEINT), CAST('43944136529148801869643776' AS HUGEINT)),
+        |    (7, CAST('6277733789878400267091968' AS HUGEINT), CAST('50221870319027202136735744' AS HUGEINT)),
+        |    (8, CAST('7174552902718171733819392' AS HUGEINT), CAST('57396423221745373870555136' AS HUGEINT)),
+        |    (9, CAST('8199489031677910552936448' AS HUGEINT), CAST('65595912253423284423491584' AS HUGEINT)),
+        |    (10, CAST('9370844607631897774784512' AS HUGEINT), CAST('74966756861055182198276096' AS HUGEINT)),
+        |    (11, CAST('10709536694436454599753728' AS HUGEINT), CAST('85676293555491636798029824' AS HUGEINT)),
+        |    (12, CAST('12239470507927376685432832' AS HUGEINT), CAST('97915764063419013483462656' AS HUGEINT)),
+        |    (13, CAST('13987966294774144783351808' AS HUGEINT), CAST('111903730358193158266814464' AS HUGEINT)),
+        |    (14, CAST('15986247194027594038116352' AS HUGEINT), CAST('127889977552220752304930816' AS HUGEINT)),
+        |    (15, CAST('18269996793174393186418688' AS HUGEINT), CAST('146159974345395145491349504' AS HUGEINT)),
+        |    (16, CAST('20879996335056449355907072' AS HUGEINT), CAST('167039970680451594847256576' AS HUGEINT)),
+        |    (17, CAST('23862852954350227835322368' AS HUGEINT), CAST('190902823634801822682578944' AS HUGEINT)),
+        |    (18, CAST('27271831947828831811796992' AS HUGEINT), CAST('218174655582630654494375936' AS HUGEINT)),
+        |    (19, CAST('31167807940375807784910848' AS HUGEINT), CAST('249342463523006462279286784' AS HUGEINT)),
+        |    (20, CAST('35620351931858066039898112' AS HUGEINT), CAST('284962815454864528319184896' AS HUGEINT)),
+        |    (21, CAST('40708973636409218331312128' AS HUGEINT), CAST('325671789091273746650497024' AS HUGEINT)),
+        |    (22, CAST('46524541298753392378642432' AS HUGEINT), CAST('372196330390027139029139456' AS HUGEINT)),
+        |    (23, CAST('53170904341432448432734208' AS HUGEINT), CAST('425367234731459587461873664' AS HUGEINT)),
+        |    (24, CAST('60766747818779941065981952' AS HUGEINT), CAST('486133982550239528527855616' AS HUGEINT)),
+        |    (25, CAST('69447711792891361218265088' AS HUGEINT), CAST('555581694343130889746120704' AS HUGEINT)),
+        |    (26, CAST('79368813477590127106588672' AS HUGEINT), CAST('634950507820721016852709376' AS HUGEINT)),
+        |    (27, CAST('90707215402960145264672768' AS HUGEINT), CAST('725657723223681162117382144' AS HUGEINT)),
+        |    (28, CAST('103665389031954451731054592' AS HUGEINT), CAST('829323112255635613848436736' AS HUGEINT)),
+        |    (29, CAST('118474730322233659121205248' AS HUGEINT), CAST('947797842577869272969641984' AS HUGEINT)),
+        |    (30, CAST('135399691796838467567091712' AS HUGEINT), CAST('1083197534374707740536733696' AS HUGEINT)),
+        |    (31, CAST('154742504910672534362390528' AS HUGEINT), CAST('1237940039285380274899124224' AS HUGEINT))),
+        |r AS (SELECT event_type, day, cents,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS j
+        |  FROM d2),
+        |b AS (SELECT r.event_type, r.day, r.cents, pw.den,
+        |    sum(pw.w * r.cents) OVER (PARTITION BY r.event_type ORDER BY r.day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bsum
+        |  FROM r JOIN pw ON pw.j = r.j)
+        |SELECT event_type, day, CAST(cents AS BIGINT) AS cents,
+        |  CAST((bsum - ((bsum % den) + den) % den) // den AS BIGINT) AS ewma
+        |FROM b ORDER BY event_type, day""".stripMargin,
+
+    // one user-half aggregate to four integers; the engine's pooled-z
+    // expression order
+    "q282_two_proportion" ->
+      """WITH per AS (
+        |  SELECT user_id,
+        |    CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 'h1' ELSE 'h2' END AS h,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS pur
+        |  FROM events GROUP BY 1, 2),
+        |c AS (SELECT
+        |    sum(CASE WHEN h = 'h1' THEN 1 ELSE 0 END) AS na,
+        |    sum(CASE WHEN h = 'h1' THEN pur ELSE 0 END) AS xa,
+        |    sum(CASE WHEN h = 'h2' THEN 1 ELSE 0 END) AS nb,
+        |    sum(CASE WHEN h = 'h2' THEN pur ELSE 0 END) AS xb
+        |  FROM per),
+        |d AS (SELECT na, xa, nb, xb,
+        |    CAST(na AS DOUBLE) AS nad, CAST(xa AS DOUBLE) AS xad,
+        |    CAST(nb AS DOUBLE) AS nbd, CAST(xb AS DOUBLE) AS xbd
+        |  FROM c),
+        |e AS (SELECT *, (xad + xbd) / (nad + nbd) AS p FROM d)
+        |SELECT CAST(na AS BIGINT) AS n_a, CAST(xa AS BIGINT) AS x_a,
+        |  CAST(nb AS BIGINT) AS n_b, CAST(xb AS BIGINT) AS x_b,
+        |  CAST((CAST(xa AS HUGEINT) * 1000000) // na AS BIGINT) AS rate_a_ppm,
+        |  CAST((CAST(xb AS HUGEINT) * 1000000) // nb AS BIGINT) AS rate_b_ppm,
+        |  CASE WHEN na > 0 AND nb > 0 AND xa + xb > 0 AND xa + xb < na + nb
+        |    THEN CAST(floor(1000.0 * ((xad / nad - xbd / nbd) /
+        |      sqrt(p * (1.0 - p) * (1.0 / nad + 1.0 / nbd)))) AS BIGINT)
+        |    ELSE NULL END AS z_milli
+        |FROM e""".stripMargin,
 
     // freq-of-freq profile, integer Good–Turing/Chao1
     "q279_vocab_coverage" ->

@@ -416,4 +416,49 @@ class StatsSpec extends SparkSpec {
         r.getAs[Long]("trend") + r.getAs[Long]("seasonal") + r.getAs[Long]("resid"))
     }
   }
+
+  test("ewmaExact: matches the exact-rational recursion, floors toward -inf") {
+    import spark.implicits._
+    val vals = Seq(0L, 0L, 800L, 800L, -100L, 40L, 0L, 1000L)
+    val df = vals.zipWithIndex.map { case (v, i) => ("k", (i + 1).toLong, v) }
+      .toDF("k", "t", "v")
+    val out = Stats.ewmaExact(df, "k", "t", "v", maxLen = 31)
+      .collect().map(r => r.getAs[Long]("t") -> r.getAs[Long]("ewma")).toMap
+    // exact recursion over BigInt fractions: E_t = n_t / 8^(t-1),
+    // n_1 = v_1, n_t = 7*n_(t-1) + v_t*8^(t-2)
+    var n = BigInt(vals.head); var den = BigInt(1)
+    assert(out(1L) == vals.head)
+    for (t <- 2 to vals.size) {
+      n = 7 * n + BigInt(vals(t - 1)) * den // den = 8^(t-2) entering round t
+      den *= 8
+      val e = out(t.toLong)
+      val fl = (n - (((n % den) + den) % den)) / den
+      assert(BigInt(e) == fl, s"t=$t")
+    }
+    // constant series is a fixed point
+    val flat = Stats.ewmaExact(
+      (1L to 5L).map(t => ("k", t, 700L)).toDF("k", "t", "v"), "k", "t", "v")
+      .collect()
+    assert(flat.forall(_.getAs[Long]("ewma") == 700L))
+  }
+
+  test("twoProportionZ: equal rates read z = 0; degenerate pools read NULL") {
+    import spark.implicits._
+    val eq = Stats.twoProportionZ(
+      Seq((100L, 20L, 50L, 10L)).toDF("na", "xa", "nb", "xb"),
+      "na", "xa", "nb", "xb").collect().head
+    assert(eq.getAs[Long]("rate_a_ppm") == 200000L)
+    assert(eq.getAs[Long]("rate_b_ppm") == 200000L)
+    assert(eq.getAs[Long]("z_milli") == 0L)
+    val skew = Stats.twoProportionZ(
+      Seq((200L, 60L, 200L, 40L)).toDF("na", "xa", "nb", "xb"),
+      "na", "xa", "nb", "xb").collect().head
+    val p = 100.0 / 400.0
+    val z = (0.3 - 0.2) / math.sqrt(p * (1.0 - p) * (1.0 / 200.0 + 1.0 / 200.0))
+    assert(skew.getAs[Long]("z_milli") == math.floor(1000.0 * z).toLong)
+    val allWin = Stats.twoProportionZ(
+      Seq((10L, 10L, 10L, 10L)).toDF("na", "xa", "nb", "xb"),
+      "na", "xa", "nb", "xb").collect().head
+    assert(allWin.isNullAt(allWin.fieldIndex("z_milli")))
+  }
 }
