@@ -258,6 +258,23 @@ object GraphOps {
       closure.unpersist(); jump.unpersist()
       closure = nextClosure; jump = nextJump
     }
+    // completeness tripwire: one more doubling step must add NOTHING —
+    // otherwise the forest is deeper than maxDepth and every high
+    // ancestor would silently undercount its subtree. Sound because
+    // the closure covers distances [0, 2^iters] ⊇ [0, maxDepth]: a
+    // deeper forest leaves some (v, a)∘jump pair outside it.
+    val leftover = closure.join(
+        jump.select(col("__id").as("__mid"), col("__j")),
+        col("__anc") === col("__mid"))
+      .select(col("__id"), col("__j").as("__anc"))
+      .join(closure, Seq("__id", "__anc"), "left_anti")
+      .limit(1).count()
+    if (leftover > 0L) {
+      closure.unpersist(); jump.unpersist(); base.unpersist()
+      throw new IllegalArgumentException(
+        s"treeRollup: forest is deeper than maxDepth=$maxDepth - " +
+          "raise maxDepth (rounds grow only logarithmically)")
+    }
     val out = closure
       .join(base.select(col("__id"), col("__v")), Seq("__id"))
       .groupBy(col("__anc"))

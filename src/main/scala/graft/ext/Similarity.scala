@@ -1014,27 +1014,37 @@ object Similarity {
     val base = df
       .filter(col(labelCol).isNotNull && col(vecCol).isNotNull)
       .select(col(labelCol).as("__c"), q.as("__q"))
+    // the ONE data-sized pass: per-(label, dim) sum, sum-of-squares,
+    // and row count together (tss / cluster sizes derive from this
+    // persisted frame — a separate tss or count branch would re-run
+    // the corpus posexplode)
     val rows = base.select(col("__c"),
       posexplode(col("__q")).as(Seq("__j", "__x")))
-    val tss = rows.agg(
-      sum(col("__x").cast(Dec) * col("__x")).cast(Dec).as("__tssq"))
     val perDim = rows.groupBy(col("__c"), col("__j"))
-      .agg(sum(col("__x").cast(Dec)).cast(Dec).as("__s"))
+      .agg(sum(col("__x").cast(Dec)).cast(Dec).as("__s"),
+        sum(col("__x").cast(Dec) * col("__x")).cast(Dec).as("__q2"),
+        count(lit(1)).as("__nrows"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cnt = base.groupBy(col("__c")).agg(count(lit(1)).as("__n"))
+    val tss = perDim.agg(sum(col("__q2")).cast(Dec).as("__tssq"))
+    val cnt = perDim.filter(col("__j") === 0)
+      .select(col("__c"), col("__nrows").as("__n"))
+    // quotients floor in the DECIMAL domain — a long-narrowed
+    // intermediate would overflow near 1e19 (≈2e6 unit-scale rows per
+    // cluster) and silently NULL the cluster's term out of the sum
+    def floorDecWide(a: Column, b: Column): Column = (a - pmod(a, b)) / b
     val perCluster = perDim.groupBy(col("__c"))
       .agg(sum(col("__s") * col("__s")).cast(Dec).as("__sc2"))
       .join(cnt, Seq("__c"))
     val a = perCluster.agg(
       count(lit(1)).as("__k"), sum(col("__n")).as("__N"),
-      sum(PortableDiv.floorDec(col("__sc2"), col("__n").cast(Dec))
-        .cast(Dec)).cast(Dec).as("__a"))
+      sum(floorDecWide(col("__sc2"), col("__n").cast(Dec)))
+        .cast(Dec).as("__a"))
     val glob = perDim.groupBy(col("__j"))
       .agg(sum(col("__s")).cast(Dec).as("__gs"))
       .agg(sum(col("__gs") * col("__gs")).cast(Dec).as("__g2"))
     val out = a.crossJoin(broadcast(glob)).crossJoin(broadcast(tss))
       .withColumn("__b",
-        PortableDiv.floorDec(col("__g2"), col("__N").cast(Dec)))
+        floorDecWide(col("__g2"), col("__N").cast(Dec)).cast(Dec))
       .withColumn("wss", (col("__tssq") - col("__a")).cast("long"))
       .withColumn("bss", (col("__a") - col("__b")).cast("long"))
     val (kD, nD) = (col("__k").cast("double"), col("__N").cast("double"))

@@ -685,10 +685,20 @@ object Stats {
       e.cast("int"))
     val t = maxLen.toLong
     val withJ = s.withColumn("__j", row_number().over(wOrd).cast("long"))
+    // a series longer than maxLen must fail LOUDLY with the fix named
+    // — bare element_at would throw an obscure index-0 error (or read
+    // powers from the wrong end); coalesce evaluates the guard first
+    val guard = when(col("__j") > lit(t),
+      raise_error(concat(
+        lit(s"ewmaExact: series exceeds maxLen=$maxLen for key "),
+        col("__k").cast("string"),
+        lit(" - raise maxLen (<= 32) or chunk the series"))))
+      .otherwise(lit(null)).cast(Dec)
     // w_j = 7^(T-j) · (j = 1 ? 7^(j-1)=1 scaled form : 8^(j-2));
     // element_at is 1-based: index i holds the (i-1)-th power
-    val w = when(col("__j") === 1L, lit7(lit(t)))
-      .otherwise(lit8(col("__j") - 1L) * lit7(lit(t) - col("__j") + 1L))
+    val w = coalesce(guard,
+      when(col("__j") === 1L, lit7(lit(t)))
+        .otherwise(lit8(col("__j") - 1L) * lit7(lit(t) - col("__j") + 1L)))
     val b = withJ
       .withColumn("__w", w)
       .withColumn("__b", sum((col("__w") * col("__v")).cast(Dec))

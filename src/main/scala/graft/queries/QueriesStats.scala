@@ -410,9 +410,7 @@ private[graft] object QueriesStats {
     // (days², never rows²), each slope floor-ppm exact.
     "q264_theil_sen" -> ((s, d) =>
       graft.ext.Stats.theilSen(
-        T(s, d, "events")
-          .groupBy(col("event_type"), dayofmonth(col("ts")).as("day"))
-          .agg(sum(round(col("value") * 100).cast("long")).as("cents")),
+        dailyCents(s, d),
         "event_type", "day", "cents")
         .orderBy(col("event_type"))),
 
@@ -434,9 +432,7 @@ private[graft] object QueriesStats {
     // integer runs, IEEE z in floor milli.
     "q266_runs_test" -> ((s, d) =>
       graft.ext.Stats.runsTest(
-        T(s, d, "events")
-          .groupBy(col("event_type"), dayofmonth(col("ts")).as("day"))
-          .agg(sum(round(col("value") * 100).cast("long")).as("cents")),
+        dailyCents(s, d),
         "event_type", "day", "cents")
         .orderBy(col("event_type"))),
 
@@ -501,9 +497,7 @@ private[graft] object QueriesStats {
     // division), every smoothed cent hash-pinned.
     "q281_ewma" -> ((s, d) =>
       graft.ext.Stats.ewmaExact(
-        T(s, d, "events")
-          .groupBy(col("event_type"), dayofmonth(col("ts")).as("day"))
-          .agg(sum(round(col("value") * 100).cast("long")).as("cents")),
+        dailyCents(s, d),
         "event_type", "day", "cents", maxLen = 31)
         .orderBy(col("event_type"), col("day"))),
 
@@ -557,9 +551,7 @@ private[graft] object QueriesStats {
     // broken", made exact).
     "q277_seasonal" -> ((s, d) =>
       graft.ext.Stats.seasonalDecompose(
-        T(s, d, "events")
-          .groupBy(col("event_type"), dayofmonth(col("ts")).as("day"))
-          .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+        dailyCents(s, d)
           .withColumn("dow", col("day") % 7),
         "event_type", "day", "dow", "cents")
         .orderBy(col("event_type"), col("day"))),
@@ -591,9 +583,7 @@ private[graft] object QueriesStats {
     // trend z (exact integer S, tie-corrected variance, floor milli).
     "q273_mann_kendall" -> ((s, d) =>
       graft.ext.Stats.mannKendall(
-        T(s, d, "events")
-          .groupBy(col("event_type"), dayofmonth(col("ts")).as("day"))
-          .agg(sum(round(col("value") * 100).cast("long")).as("cents")),
+        dailyCents(s, d),
         "event_type", "day", "cents")
         .orderBy(col("event_type"))),
 

@@ -26,6 +26,17 @@ private[graft] object QueryHelpers {
   private[graft] def docsSpread(s: SparkSession, dir: String): DataFrame =
     T(s, dir, "documents").repartition(col("doc_id"))
 
+  /** The per-event-type DAILY revenue series (cents, integer) — the
+    * shared input of every series-statistics contract (q264 Theil–Sen,
+    * q266 runs, q273 Mann–Kendall, q277 seasonal, q281 EWMA). ONE
+    * definition: the matching oracle `dly` CTEs replay this expression
+    * bit for bit, so a drift in any copy would silently desynchronize
+    * a subset of the gate. */
+  private[graft] def dailyCents(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "events")
+      .groupBy(col("event_type"), dayofmonth(col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+
   /** Derived MULTI-LINE corpus for the paragraph-dedup contracts
     * (q119/q120): the fixture bodies carry no newlines, so boilerplate
     * paragraphs are planted arithmetically — a shared header on every

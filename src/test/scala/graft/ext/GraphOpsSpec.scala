@@ -132,4 +132,18 @@ class GraphOpsSpec extends SparkSpec {
     // chain: subtree of node i is {i..n}
     (1L to n).foreach(i => assert(m(i) == n - i + 1, s"node $i"))
   }
+
+  test("treeRollup: a forest deeper than maxDepth fails loudly, not silently") {
+    import spark.implicits._
+    val chain = (1L to 12L).map(i =>
+      (i, if (i == 1) None else Some(i - 1), 1L)).toDF("id", "parent", "value")
+    val e = intercept[IllegalArgumentException] {
+      GraphOps.treeRollup(chain, "id", "parent", "value", maxDepth = 4)
+    }
+    assert(e.getMessage.contains("deeper than maxDepth"))
+    // exactly-covering maxDepth still succeeds (depth 11 <= 2^4 = 16)
+    val ok = GraphOps.treeRollup(chain, "id", "parent", "value", maxDepth = 11)
+    assert(ok.collect().map(_.getAs[Long]("subtree_sum")).max == 12L)
+    ok.unpersist()
+  }
 }

@@ -461,4 +461,14 @@ class StatsSpec extends SparkSpec {
       "na", "xa", "nb", "xb").collect().head
     assert(allWin.isNullAt(allWin.fieldIndex("z_milli")))
   }
+
+  test("ewmaExact: a series longer than maxLen raises a named error") {
+    import spark.implicits._
+    val df = (1L to 6L).map(t => ("k", t, 1L)).toDF("k", "t", "v")
+    val e = intercept[Exception] {
+      Stats.ewmaExact(df, "k", "t", "v", maxLen = 5).collect()
+    }
+    assert(e.getMessage.contains("maxLen") ||
+      Option(e.getCause).exists(_.getMessage.contains("maxLen")))
+  }
 }
