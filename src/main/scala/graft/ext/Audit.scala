@@ -472,4 +472,52 @@ object Audit {
         PortableDiv.nonNeg(col("__top") * lit(1000000L), col("__S"))
           .as("top_share_ppm"))
   }
+
+  /** HELLINGER drift per group — the second distance on the drift
+    * dashboard next to [[tCloseness]]'s total variation: TV reads
+    * worst-case mass movement, Hellinger (via the Bhattacharyya
+    * coefficient BC = Σ_v √(p_v·q_v)) reads geometric overlap and
+    * punishes support mismatch harder. Per (group, value) cell the
+    * BC term √((c/n_g)·(C/N)) evaluates as ONE IEEE double
+    * expression over exact integers (√ is correctly rounded — the
+    * z-test discipline), floors to micro units, and integer-sums per
+    * group (order-independent); values a group lacks contribute
+    * exactly 0 (√(0·q) = 0), so — unlike TV — absent cells need no
+    * arithmetic correction. H² = 1 − BC in ppm; `hellinger_milli` =
+    * ⌊√(h2_ppm)⌋ (≡ ⌊1000·√(H²)⌋ exactly, since 1000/√10⁶ = 1).
+    * NULL sensitive values drop; NULL group keys form their own
+    * group (window partitioning, the tCloseness rule). Returns one
+    * row per group: (groupCols…, n, bc_ppm, h2_ppm, hellinger_milli).
+    *
+    * Scale shape: one (group, value) cell aggregate is the only
+    * data-sized pass; group sizes ride a group-partitioned window
+    * over the CELL frame; the global value table and N broadcast. */
+  def hellingerDrift(df: DataFrame, groupCols: Seq[String],
+      valueCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "hellingerDrift needs at least one group column")
+    val Dec = "decimal(38,0)"
+    val g = groupCols.map(col)
+    val base = df.filter(col(valueCol).isNotNull)
+    val glob = base.groupBy(col(valueCol).as("__v"))
+      .agg(count(lit(1)).as("__gc"))
+    val n = glob.agg(sum(col("__gc")).cast(Dec).as("__tot"))
+    val wg = Window.partitionBy(g: _*)
+    val cells = base
+      .groupBy(g :+ col(valueCol).as("__v"): _*)
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__n", sum(col("__c")).over(wg))
+      .join(broadcast(glob), Seq("__v"))
+      .crossJoin(broadcast(n))
+    val term = floor(lit(1000000.0) * sqrt(
+      (col("__c").cast("double") / col("__n").cast("double")) *
+      (col("__gc").cast("double") / col("__tot").cast("double"))))
+      .cast("long")
+    cells.withColumn("__bc", term)
+      .groupBy(g: _*)
+      .agg(min(col("__n")).as("n"), sum(col("__bc")).as("bc_ppm"))
+      .select(g ++ Seq(col("n"), col("bc_ppm"),
+        (lit(1000000L) - col("bc_ppm")).as("h2_ppm"),
+        floor(sqrt((lit(1000000L) - col("bc_ppm")).cast("double")))
+          .cast("long").as("hellinger_milli")): _*)
+  }
 }

@@ -455,4 +455,80 @@ object Behavior {
         signedDiv(col("__sadj"), col("n_users")).as("mean_adj_milli"),
         col("theta_milli"))
   }
+
+
+  /** INTER-ARRIVAL burstiness per event type — is traffic Poisson or
+    * bursty? Gaps are per-(user, type) consecutive-event differences
+    * in ms (lag over the user×type window, (ts, id) order — the
+    * transitions rule: keyed windows, never a global sequence sort);
+    * per type the squared coefficient of variation CV² = var/mean²
+    * and the index of dispersion var/mean come exactly from three
+    * integer sums: CV²·10⁶ = ⌊(n·Σg² − S²)·10⁶ / S²⌋ and D·10³ =
+    * ⌊(n·Σg² − S²)·10³ / (n·S)⌋ — population variance, all products
+    * in DECIMAL(38,0) (Σg² reaches 10²⁴ at ms gaps ≪ int64's
+    * ceiling… n·Σg² nears 10³⁸ only past ~10¹⁰ gaps per type —
+    * documented envelope). CV² ≈ 10⁶ reads Poisson-like; ≫ 10⁶
+    * bursty; NULL when S = 0 or n < 2. Returns one row per type:
+    * (typeCol, n_gaps, mean_gap_ms, cv2_ppm, dispersion_milli).
+    *
+    * Scale shape: one keyed window pass (user×type partitions) + one
+    * type aggregate with map-side partials; no global window, no
+    * self-join. */
+  def interArrival(df: DataFrame, userCol: String, tsCol: String,
+      idCol: String, typeCol: String): DataFrame = {
+    val Dec = "decimal(38,0)"
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol), col(typeCol))
+      .orderBy(col(tsCol), col(idCol))
+    val gaps = df
+      .select(col(userCol), col(typeCol), col(tsCol), col(idCol))
+      .withColumn("__t", unix_millis(col(tsCol)))
+      .withColumn("__prev", lag(col("__t"), 1).over(w))
+      .filter(col("__prev").isNotNull)
+      .select(col(typeCol), (col("__t") - col("__prev")).as("__g"))
+    val agg = gaps.groupBy(col(typeCol))
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("__g").cast(Dec)).cast(Dec).as("__sg"),
+        sum((col("__g").cast(Dec) * col("__g")).cast(Dec)).cast(Dec)
+          .as("__sg2"))
+    val varNum = (col("n_gaps").cast(Dec) * col("__sg2") -
+      col("__sg") * col("__sg")).cast(Dec)
+    agg.select(col(typeCol), col("n_gaps"),
+      PortableDiv.nonNeg(col("__sg"), col("n_gaps").cast(Dec))
+        .as("mean_gap_ms"),
+      when(col("n_gaps") >= 2L && col("__sg") > 0L,
+        PortableDiv.nonNeg(varNum * lit(1000000L),
+          col("__sg") * col("__sg")))
+        .otherwise(lit(null).cast("long")).as("cv2_ppm"),
+      when(col("n_gaps") >= 2L && col("__sg") > 0L,
+        PortableDiv.nonNeg(varNum * lit(1000L),
+          col("n_gaps").cast(Dec) * col("__sg")))
+        .otherwise(lit(null).cast("long")).as("dispersion_milli"))
+  }
+
+  /** EVENT TRIGRAMS — the top length-3 behavior paths ("what do
+    * users actually DO, in order?"), funnel discovery without a
+    * hypothesis: two leads over the per-user (ts, id) window form
+    * every consecutive event-type triple, one hash aggregate counts
+    * them, and the top-k by (count desc, path asc) is a bounded
+    * TakeOrdered. Returns (step_1, step_2, step_3, n).
+    *
+    * Scale shape: one keyed window pass (user partitions — the
+    * transitions rule) + one path aggregate (|types|³-bounded
+    * domain) + TakeOrdered; no self-join, no collect. */
+  def eventTrigrams(df: DataFrame, userCol: String, tsCol: String,
+      idCol: String, typeCol: String, topK: Int): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    df.select(col(userCol), col(tsCol), col(idCol), col(typeCol))
+      .withColumn("__e2", lead(col(typeCol), 1).over(w))
+      .withColumn("__e3", lead(col(typeCol), 2).over(w))
+      .filter(col("__e2").isNotNull && col("__e3").isNotNull)
+      .groupBy(col(typeCol).as("step_1"), col("__e2").as("step_2"),
+        col("__e3").as("step_3"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("step_1"), col("step_2"), col("step_3"))
+      .limit(topK)
+  }
 }

@@ -737,4 +737,99 @@ object Stats {
       when(ok, floor(lit(1000.0) * z).cast("long"))
         .otherwise(lit(null).cast("long")).as("z_milli"))
   }
+
+  /** CALIBRATION audit — reliability diagram + expected calibration
+    * error (the binned ECE of Naeini et al. 2015, the standard
+    * readout): does a score of 0.8 WIN ~80 % of the time? Rows carry
+    * a caller-quantized score in [0, 10⁶] ppm and a {0,1} label;
+    * bin = min(⌊score·bins/10⁶⌋, bins−1) (the right edge closes the
+    * top bin; out-of-range scores clamp). Per non-empty bin: n, mean
+    * claimed confidence (exact DECIMAL(38,0) score sum, floor ppm),
+    * observed accuracy (floor ppm), their absolute gap; `ece_ppm` =
+    * ⌊Σ_b n_b·gap_b / N⌋ repeats on every row — computed by a
+    * full-frame window over the ≤bins-row result (bounded, the
+    * [[TextOps.zipfProfile]] rule). All arithmetic exact integer;
+    * NULL scores/labels drop. Returns (bin, n, conf_ppm, acc_ppm,
+    * gap_ppm, ece_ppm).
+    *
+    * Scale shape: ONE bin aggregate (≤bins groups, map-side
+    * partials) is the only data-sized pass; the ECE reduction runs
+    * over ≤bins rows. */
+  def calibrationBins(df: DataFrame, scorePpmCol: String,
+      labelCol: String, bins: Int): DataFrame = {
+    require(bins >= 1, s"bins must be >= 1, got $bins")
+    val s = col(scorePpmCol).cast("long")
+    val l = col(labelCol).cast("long")
+    // s·bins ≤ 10⁶·bins ≪ 2⁵³: the double floor-divide is exact
+    val rawBin = floor((s * lit(bins.toLong)).cast("double") /
+      lit(1000000.0)).cast("long")
+    val binned = df.filter(s.isNotNull && l.isNotNull)
+      .select(greatest(least(rawBin, lit(bins - 1L)), lit(0L)).as("bin"),
+        s.as("__s"), l.as("__l"))
+    val perBin = binned.groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__s").cast(Dec)).cast(Dec).as("__ss"),
+        sum(col("__l")).cast(Dec).as("__pos"))
+      .select(col("bin"), col("n"),
+        PortableDiv.nonNeg(col("__ss"), col("n").cast(Dec)).as("conf_ppm"),
+        PortableDiv.nonNeg(col("__pos") * lit(1000000L),
+          col("n").cast(Dec)).as("acc_ppm"))
+      .withColumn("gap_ppm", abs(col("conf_ppm") - col("acc_ppm")))
+    val wAll = Window.partitionBy()
+    perBin.withColumn("ece_ppm",
+      PortableDiv.nonNeg(
+        sum((col("gap_ppm").cast(Dec) * col("n")).cast(Dec)).over(wAll).cast(Dec),
+        sum(col("n")).over(wAll).cast(Dec)))
+  }
+
+  /** CRAMÉR'S V — association strength between two categoricals
+    * ("does event mix depend on weekday?"), the effect size the
+    * chi-square test (q248) omits: χ² says "dependent", V says "how
+    * much" on [0, 1]. The contingency grid is margin-COMPLETE
+    * (rows × cols with absent cells at o = 0 — dropping them would
+    * understate χ²); per cell, (o·N − r·c)²/(N·r·c) — the (o−e)²/e
+    * identity cleared of the e = r·c/N fraction — evaluates as ONE
+    * IEEE double expression over exact DECIMAL(38,0) integers,
+    * floors to micro units, and integer-sums (order-independent);
+    * V = √(χ²/(N·min(R−1,C−1))) is one more double op, floor-milli.
+    * NULL x/y rows drop; V is NULL when either side has < 2 levels.
+    * Returns ONE row: (n, r_levels, c_levels, chi2_micro, v_milli).
+    *
+    * Scale shape: one (x, y) cell aggregate is the only data-sized
+    * pass; margins and the completed grid are level-domain-sized
+    * (the broadcast bounded-grid pattern — levels are a contract,
+    * not a row count). */
+  def cramersV(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val base = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(xCol).cast("string").as("__x"),
+        col(yCol).cast("string").as("__y"))
+    val cells = base.groupBy(col("__x"), col("__y"))
+      .agg(count(lit(1)).as("__o"))
+    val rowsM = base.groupBy(col("__x")).agg(count(lit(1)).as("__r"))
+    val colsM = base.groupBy(col("__y")).agg(count(lit(1)).as("__c"))
+    val nTot = base.agg(count(lit(1)).cast(Dec).as("__tot"))
+    val grid = rowsM.crossJoin(broadcast(colsM)).crossJoin(broadcast(nTot))
+      .join(cells, Seq("__x", "__y"), "left")
+      .na.fill(0L, Seq("__o"))
+    val d = (col("__o").cast(Dec) * col("__tot") -
+      col("__r").cast(Dec) * col("__c")).cast(Dec).cast("double")
+    val term = floor(lit(1000000.0) * d * d /
+      (col("__tot").cast("double") * col("__r").cast("double") *
+        col("__c").cast("double"))).cast("long")
+    val agg = grid.select(term.as("__t"), col("__tot"),
+        col("__x"), col("__y"))
+      .agg(sum(col("__t")).as("chi2_micro"),
+        countDistinct(col("__x")).as("r_levels"),
+        countDistinct(col("__y")).as("c_levels"),
+        min(col("__tot")).cast("long").as("n"))
+    agg.select(col("n"), col("r_levels"), col("c_levels"),
+      col("chi2_micro"),
+      when(col("r_levels") >= 2 && col("c_levels") >= 2 && col("n") > 0,
+        floor(lit(1000.0) * sqrt(
+          (col("chi2_micro").cast("double") / lit(1000000.0)) /
+          (col("n").cast("double") *
+            least(col("r_levels") - 1L, col("c_levels") - 1L)
+              .cast("double")))).cast("long"))
+        .otherwise(lit(null).cast("long")).as("v_milli"))
+  }
 }

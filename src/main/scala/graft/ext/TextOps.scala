@@ -1356,4 +1356,98 @@ object TextOps {
             lit(2L).cast(Dec) * col("n_doubletons")))
           .otherwise(lit(null).cast("long")).as("chao1"))
   }
+
+  /** CO-OCCURRENCE LIFT mining — the top document-level token pairs
+    * with their exact association lift: lift = P(a,b)/(P(a)·P(b)) =
+    * c_ab·D/(c_a·c_b), reported floor ppm (10⁶ = independent; the
+    * PMI ranking without the log — PMI = ln lift is monotone in it,
+    * and ln never needs cross-engine replay). The collocation /
+    * boilerplate-phrase audit: which tokens travel together far more
+    * than chance?
+    *
+    * The df-gate comes FIRST (the df-cap rule): tokens outside
+    * [minDf, maxDfPpm·D] never reach the pair stage — stopwords
+    * would otherwise dominate both pair volume and the output. Per
+    * document, surviving DISTINCT tokens order lexicographically and
+    * only the first maxPerDoc enter the pair join (deterministic
+    * cap, C(maxPerDoc, 2) bounds per-doc pair work at any document
+    * length; the cap is part of the contract and the oracle replays
+    * it). Pairs below minPair support drop; the top-k by (support
+    * desc, pair asc) is a bounded TakeOrdered, never a global sort.
+    * Returns (token_a, token_b, n_pair, df_a, df_b, lift_ppm).
+    *
+    * Scale shape: one token explode + (doc, token) distinct and one
+    * vocab-sized df aggregate; the pair stage is a doc-keyed
+    * self-join over ≤maxPerDoc rows per doc (equi-join on the doc
+    * id, the a.tok < b.tok theta as a post-join filter); the final
+    * lift arithmetic runs on the ≤topK result. */
+  def cooccurLift(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, minDf: Long, maxDfPpm: Long, maxPerDoc: Int,
+      minPair: Long, topK: Int): org.apache.spark.sql.DataFrame = {
+    require(maxPerDoc >= 2, s"maxPerDoc must be >= 2, got $maxPerDoc")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val Dec = "decimal(38,0)"
+    val docTok = df.select(col(idCol).as("__doc"),
+      explode(array_distinct(tokens(col(textCol)))).as("__tok"))
+    val dCount = df.agg(count(lit(1)).cast(Dec).as("__d"))
+    val dfT = docTok.groupBy(col("__tok")).agg(count(lit(1)).as("__df"))
+    val kept = dfT.crossJoin(broadcast(dCount))
+      .filter(col("__df") >= minDf &&
+        col("__df").cast(Dec) * lit(1000000L) <= lit(maxDfPpm) * col("__d"))
+    val dt = docTok.join(kept, Seq("__tok"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("__doc")).orderBy(col("__tok"))))
+      .filter(col("__rn") <= maxPerDoc)
+      .select(col("__doc"), col("__tok"), col("__df"), col("__d"))
+    val pairs = dt.as("a").join(dt.as("b"),
+        col("a.__doc") === col("b.__doc") &&
+          col("a.__tok") < col("b.__tok"))
+      .groupBy(col("a.__tok").as("token_a"), col("b.__tok").as("token_b"))
+      .agg(count(lit(1)).as("n_pair"),
+        min(col("a.__df")).as("df_a"), min(col("b.__df")).as("df_b"),
+        min(col("a.__d")).cast(Dec).as("__d"))
+      .filter(col("n_pair") >= minPair)
+    pairs.orderBy(col("n_pair").desc, col("token_a"), col("token_b"))
+      .limit(topK)
+      .select(col("token_a"), col("token_b"), col("n_pair"),
+        col("df_a"), col("df_b"),
+        PortableDiv.nonNeg(
+          col("n_pair").cast(Dec) * col("__d") * lit(1000000L),
+          col("df_a").cast(Dec) * col("df_b")).as("lift_ppm"))
+  }
+
+  /** WEAK-SUPERVISION label vote — the majority-vote baseline of the
+    * data-programming line (Ratner et al. 2017): combine noisy
+    * binary labeling functions, given as columns voting 1 (flag) /
+    * 0 (clear) / NULL (abstain), into one per-row label. Ties and
+    * all-abstain rows read NULL (downstream decides — don't invent
+    * a label the evidence doesn't carry); `vote_conf_ppm` =
+    * ⌊10⁶·max(pos, neg)/(pos+neg)⌋ (vote counts ≪ 2⁵³, the double
+    * floor-divide is exact). Adds (n_pos_votes, n_neg_votes,
+    * vote_label, vote_conf_ppm).
+    *
+    * Scale shape: pure per-row projection — whole-stage codegen, no
+    * shuffle, no state; LF columns are the caller's expressions and
+    * stay inside the same stage. */
+  def labelVote(df: org.apache.spark.sql.DataFrame,
+      lfCols: Seq[String]): org.apache.spark.sql.DataFrame = {
+    require(lfCols.nonEmpty, "labelVote needs at least one labeling function")
+    val pos = lfCols.map(c =>
+      when(col(c) === 1, 1L).otherwise(0L)).reduce(_ + _)
+    val neg = lfCols.map(c =>
+      when(col(c) === 0, 1L).otherwise(0L)).reduce(_ + _)
+    df.withColumn("n_pos_votes", pos)
+      .withColumn("n_neg_votes", neg)
+      .withColumn("vote_label",
+        when(col("n_pos_votes") > col("n_neg_votes"), 1L)
+          .when(col("n_neg_votes") > col("n_pos_votes"), 0L)
+          .otherwise(lit(null).cast("long")))
+      .withColumn("vote_conf_ppm",
+        when(col("n_pos_votes") + col("n_neg_votes") > 0L,
+          floor(greatest(col("n_pos_votes"), col("n_neg_votes"))
+            .cast("double") * lit(1000000.0) /
+            (col("n_pos_votes") + col("n_neg_votes")).cast("double"))
+            .cast("long"))
+          .otherwise(lit(null).cast("long")))
+  }
 }

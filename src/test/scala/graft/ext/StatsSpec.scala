@@ -471,4 +471,72 @@ class StatsSpec extends SparkSpec {
     assert(e.getMessage.contains("maxLen") ||
       Option(e.getCause).exists(_.getMessage.contains("maxLen")))
   }
+
+
+  test("calibrationBins: perfectly calibrated bins read gap 0 and ECE 0") {
+    import spark.implicits._
+    // bin 2 (scores 250000): 1 of 4 positive = 250000 acc; bin 7
+    // (scores 750000): 3 of 4 positive
+    val rows =
+      Seq.fill(3)((250000L, 0L)) ++ Seq((250000L, 1L)) ++
+      Seq.fill(3)((750000L, 1L)) ++ Seq((750000L, 0L))
+    val out = Stats.calibrationBins(rows.toDF("s", "l"), "s", "l", 10)
+      .collect().map(r => r.getAs[Long]("bin") -> r).toMap
+    assert(out.keySet == Set(2L, 7L))
+    assert(out(2L).getAs[Long]("conf_ppm") == 250000L)
+    assert(out(2L).getAs[Long]("acc_ppm") == 250000L)
+    assert(out(2L).getAs[Long]("gap_ppm") == 0L)
+    assert(out(7L).getAs[Long]("gap_ppm") == 0L)
+    assert(out.values.forall(_.getAs[Long]("ece_ppm") == 0L))
+  }
+
+  test("calibrationBins: ECE is the n-weighted mean gap; edges clamp") {
+    import spark.implicits._
+    // bin 0: 2 rows, conf 50000, acc 1000000 -> gap 950000
+    // bin 9: 6 rows, conf 999999, acc 0 -> gap 999999
+    val rows = Seq.fill(2)((50000L, 1L)) ++ Seq.fill(6)((999999L, 0L))
+    val out = Stats.calibrationBins(rows.toDF("s", "l"), "s", "l", 10)
+      .collect().map(r => r.getAs[Long]("bin") -> r).toMap
+    assert(out(0L).getAs[Long]("gap_ppm") == 950000L)
+    assert(out(9L).getAs[Long]("gap_ppm") == 999999L)
+    // ece = floor((2*950000 + 6*999999) / 8)
+    val ece = (2L * 950000L + 6L * 999999L) / 8L
+    assert(out.values.forall(_.getAs[Long]("ece_ppm") == ece))
+    // the top edge: score exactly 10^6 lands in the last bin
+    val top = Stats.calibrationBins(
+      Seq((1000000L, 1L)).toDF("s", "l"), "s", "l", 10).collect().head
+    assert(top.getAs[Long]("bin") == 9L)
+  }
+
+  test("cramersV: an independent grid reads V = 0; a diagonal reads 1000") {
+    import spark.implicits._
+    // independence: every (x, y) cell has the same count
+    val indep = for { x <- Seq("a", "b"); y <- Seq("p", "q"); _ <- 1 to 5 }
+      yield (x, y)
+    val vi = Stats.cramersV(indep.toDF("x", "y"), "x", "y").collect().head
+    assert(vi.getAs[Long]("chi2_micro") == 0L)
+    assert(vi.getAs[Long]("v_milli") == 0L)
+    // perfect association: x determines y — true V = 1, and the
+    // per-cell micro floors shave at most 1 milli off the readout
+    val diag = for { x <- Seq("a", "b", "c"); _ <- 1 to 4 } yield (x, "y" + x)
+    val vd = Stats.cramersV(diag.toDF("x", "y"), "x", "y").collect().head
+    assert(vd.getAs[Long]("r_levels") == 3L && vd.getAs[Long]("c_levels") == 3L)
+    // replay the per-cell floor arithmetic: 3 diagonal + 6 absent cells
+    val n = 12.0
+    val chi2Micro = 3L * math.floor(1e6 * 32.0 * 32.0 / (12.0 * 4.0 * 4.0)).toLong +
+      6L * math.floor(1e6 * 16.0 * 16.0 / (12.0 * 4.0 * 4.0)).toLong
+    assert(vd.getAs[Long]("chi2_micro") == chi2Micro)
+    val expV = math.floor(1000.0 *
+      math.sqrt((chi2Micro.toDouble / 1e6) / (n * 2.0))).toLong
+    assert(vd.getAs[Long]("v_milli") == expV && expV >= 999L)
+  }
+
+  test("cramersV: degenerate single-level side reads NULL V") {
+    import spark.implicits._
+    val one = Stats.cramersV(
+      Seq(("a", "p"), ("b", "p"), ("a", "p")).toDF("x", "y"), "x", "y")
+      .collect().head
+    assert(one.getAs[Long]("c_levels") == 1L)
+    assert(one.isNullAt(one.fieldIndex("v_milli")))
+  }
 }

@@ -566,4 +566,54 @@ class TextOpsSpec extends SparkSpec {
     assert(nodbl.isNullAt(nodbl.fieldIndex("chao1")))
     assert(nodbl.getAs[Long]("missing_mass_ppm") == 1000000L)
   }
+
+
+  test("cooccurLift: counts pair support and exact lift; df gate holds") {
+    import spark.implicits._
+    // 10 docs: "alpha beta" in 6, "alpha" alone in 2, "gamma delta"
+    // in 2. minDf 2, maxDfPpm 900000 (gate nothing by ceiling).
+    val docs = (1 to 6).map(i => (i.toLong, "alpha beta")) ++
+      Seq((7L, "alpha"), (8L, "alpha"), (9L, "gamma delta"), (10L, "gamma delta"))
+    val out = TextOps.cooccurLift(docs.toDF("id", "text"), "id", "text",
+      minDf = 2L, maxDfPpm = 900000L, maxPerDoc = 24, minPair = 2L, topK = 10)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    // (alpha, beta): support 6, df_a 8, df_b 6 -> lift = 6*10/(8*6)
+    val ab = out(("alpha", "beta"))
+    assert(ab.getAs[Long]("n_pair") == 6L)
+    assert(ab.getAs[Long]("df_a") == 8L && ab.getAs[Long]("df_b") == 6L)
+    assert(ab.getAs[Long]("lift_ppm") == 6L * 10L * 1000000L / (8L * 6L))
+    // (gamma, delta): support 2, lift = 2*10/(2*2) = 5x
+    assert(out(("delta", "gamma")).getAs[Long]("lift_ppm") == 5000000L)
+  }
+
+  test("cooccurLift: the maxPerDoc cap keeps the lexicographic prefix") {
+    import spark.implicits._
+    // one doc with 4 kept tokens, cap 2 -> only (a1, a2) survives
+    val docs = Seq((1L, "a1 a2 z8 z9"), (2L, "a1 a2 z8 z9"))
+    val out = TextOps.cooccurLift(docs.toDF("id", "text"), "id", "text",
+      minDf = 1L, maxDfPpm = 1000000L, maxPerDoc = 2, minPair = 1L, topK = 10)
+      .collect()
+    assert(out.map(r => (r.getString(0), r.getString(1))).toSet ==
+      Set(("a1", "a2")))
+  }
+
+  test("labelVote: majority wins, ties and all-abstain read NULL") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, Some(1L), Some(1L), Some(0L)),   // 2 pos 1 neg -> 1, conf 666666
+      (2L, Some(0L), Some(0L), None),       // 0 pos 2 neg -> 0, conf 1e6
+      (3L, Some(1L), Some(0L), None),       // tie -> NULL, conf 500000
+      (4L, None, None, None))               // all abstain -> NULL conf NULL
+    val out = TextOps.labelVote(
+      rows.toDF("id", "f1", "f2", "f3"), Seq("f1", "f2", "f3"))
+      .collect().map(r => r.getAs[Long]("id") -> r).toMap
+    assert(out(1L).getAs[Long]("vote_label") == 1L)
+    assert(out(1L).getAs[Long]("vote_conf_ppm") == 666666L)
+    assert(out(2L).getAs[Long]("vote_label") == 0L)
+    assert(out(2L).getAs[Long]("vote_conf_ppm") == 1000000L)
+    assert(out(3L).isNullAt(out(3L).fieldIndex("vote_label")))
+    assert(out(3L).getAs[Long]("vote_conf_ppm") == 500000L)
+    assert(out(4L).isNullAt(out(4L).fieldIndex("vote_label")))
+    assert(out(4L).isNullAt(out(4L).fieldIndex("vote_conf_ppm")))
+  }
 }
