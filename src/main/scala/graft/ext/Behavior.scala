@@ -531,4 +531,75 @@ object Behavior {
       .orderBy(col("n").desc, col("step_1"), col("step_2"), col("step_3"))
       .limit(topK)
   }
+
+  /** COHORT REVENUE triangle — the LTV readout: users cohorted by
+    * their first-activity day, revenue accumulated by cohort AGE
+    * ("how much has the day-3 cohort earned by day 12 of life?").
+    * Caller pre-quantizes the day (integer) and the value (cents).
+    * Per (cohort_day, age) cell: distinct active users, exact cent
+    * sum, and the running cumulative over age (a window over the
+    * ≤days² cell frame, cohort-partitioned — domain-sized, never the
+    * event stream). Returns (cohort_day, age, n_users, cents,
+    * cum_cents) with cum_cents exact DECIMAL(38,0) narrowed to long.
+    *
+    * Scale shape: one user aggregate (cohort assignment) + one
+    * user-keyed equi-join + one (cohort, age) cell aggregate — all
+    * on the user key or the bounded cell frame; no global window. */
+  def cohortRevenue(df: DataFrame, userCol: String, dayCol: String,
+      centsCol: String): DataFrame = {
+    val Dec = "decimal(38,0)"
+    val base = df.select(col(userCol).as("__u"),
+      col(dayCol).cast("long").as("__d"),
+      coalesce(col(centsCol).cast("long"), lit(0L)).as("__c"))
+    val cohorts = base.groupBy(col("__u"))
+      .agg(min(col("__d")).as("__cd"))
+    val cells = base.join(cohorts, Seq("__u"))
+      .groupBy(col("__cd").as("cohort_day"),
+        (col("__d") - col("__cd")).as("age"))
+      .agg(countDistinct(col("__u")).as("n_users"),
+        sum(col("__c").cast(Dec)).cast(Dec).as("__cents"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cohort_day")).orderBy(col("age"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    cells
+      .withColumn("cum_cents", sum(col("__cents")).over(w).cast(Dec))
+      .select(col("cohort_day"), col("age"), col("n_users"),
+        col("__cents").cast("long").as("cents"),
+        col("cum_cents").cast("long").as("cum_cents"))
+  }
+
+  /** CHURN HAZARD by tenure — "at which week of life do users
+    * leave?": tenure = last-activity day − first-activity day per
+    * user; hazard(t) = ⌊10⁶ · ended(t) / atRisk(t)⌋ where atRisk(t)
+    * = users whose tenure reached t (the reverse-cumulative of the
+    * tenure histogram — survival analysis' discrete hazard over the
+    * closed observation window; the right-censoring caveat is the
+    * caller's: users still active at window end count as ended at
+    * their observed tenure). Returns one row per observed tenure:
+    * (tenure, n_ended, n_at_risk, hazard_ppm).
+    *
+    * Scale shape: one user aggregate (first/last day) + one
+    * tenure-histogram aggregate (≤days rows) + a reverse-cumulative
+    * window over that bounded frame. */
+  def churnByTenure(df: DataFrame, userCol: String,
+      dayCol: String): DataFrame = {
+    val Dec = "decimal(38,0)"
+    val per = df.select(col(userCol).as("__u"),
+        col(dayCol).cast("long").as("__d"))
+      .groupBy(col("__u"))
+      .agg((max(col("__d")) - min(col("__d"))).as("tenure"))
+    val hist = per.groupBy(col("tenure"))
+      .agg(count(lit(1)).as("n_ended"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("tenure").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    // full-frame window over the ≤days-row histogram (bounded — the
+    // zipfProfile rule)
+    hist.withColumn("n_at_risk", sum(col("n_ended")).over(w))
+      .select(col("tenure"), col("n_ended"), col("n_at_risk"),
+        PortableDiv.nonNeg(col("n_ended").cast(Dec) * lit(1000000L),
+          col("n_at_risk").cast(Dec)).as("hazard_ppm"))
+  }
 }

@@ -285,4 +285,95 @@ object GraphOps {
     closure.unpersist(); jump.unpersist(); base.unpersist()
     out
   }
+
+  /** DEGREE ASSORTATIVITY — Pearson correlation of endpoint degrees
+    * over the (deduplicated) edge list: do hubs link to hubs
+    * (assortative, r > 0) or to leaves (disassortative, r < 0)? The
+    * directed-bipartite form: x = deg(src), y = deg(dst) per edge.
+    * Degrees are exact integer aggregates; the six correlation sums
+    * ride DECIMAL(38,0); r is one IEEE double expression over the
+    * exact integers, floor-milli. NULL when either side's degrees
+    * are constant (zero variance). Returns ONE row:
+    * (n_edges, r_milli).
+    *
+    * Scale shape: two degree aggregates + two src/dst-keyed
+    * equi-joins (the only data-sized exchanges) + one six-stat hash
+    * aggregate with map-side partials; no self-join, no window. */
+  def degreeAssortativity(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val Dec = "decimal(38,0)"
+    val e = edges.select(col(srcCol).as("__s"), col(dstCol).as("__t"))
+      .filter(col("__s").isNotNull && col("__t").isNotNull)
+      .distinct()
+    val ds = e.groupBy(col("__s")).agg(count(lit(1)).as("__dx"))
+    val dt = e.groupBy(col("__t")).agg(count(lit(1)).as("__dy"))
+    val xy = e.join(ds, Seq("__s")).join(dt, Seq("__t"))
+    val agg = xy.agg(
+      count(lit(1)).as("n_edges"),
+      sum(col("__dx").cast(Dec)).cast(Dec).as("__sx"),
+      sum(col("__dy").cast(Dec)).cast(Dec).as("__sy"),
+      sum((col("__dx").cast(Dec) * col("__dx")).cast(Dec)).cast(Dec).as("__sx2"),
+      sum((col("__dy").cast(Dec) * col("__dy")).cast(Dec)).cast(Dec).as("__sy2"),
+      sum((col("__dx").cast(Dec) * col("__dy")).cast(Dec)).cast(Dec).as("__sxy"))
+    val n = col("n_edges").cast("double")
+    val (sx, sy) = (col("__sx").cast("double"), col("__sy").cast("double"))
+    val (sx2, sy2) = (col("__sx2").cast("double"), col("__sy2").cast("double"))
+    val sxy = col("__sxy").cast("double")
+    val num = n * sxy - sx * sy
+    val vx = n * sx2 - sx * sx
+    val vy = n * sy2 - sy * sy
+    agg.select(col("n_edges"),
+      when(col("n_edges") >= 2L && vx > 0.0 && vy > 0.0,
+        floor(lit(1000.0) * num / sqrt(vx * vy)).cast("long"))
+        .otherwise(lit(null).cast("long")).as("r_milli"))
+  }
+
+  /** BOUNDED k-CORE PEEL — `rounds` rounds of "drop every node with
+    * degree < k, then every edge touching a dropped node" over an
+    * undirected simple edge list. Reaching a fixpoint within the
+    * bound yields the true k-core (Matula & Beck 1983's peeling,
+    * round-synchronous); the bound makes the distributed shape
+    * replayable and the cost contract explicit — callers size
+    * `rounds` to their graph's peel depth (a cascade peels one layer
+    * per round; the q297 fixture reaches fixpoint in 5). Returns the
+    * surviving nodes with their residual degree: (node, degree).
+    *
+    * Scale shape: per round ONE degree aggregate + two semi-joins
+    * (edge endpoints against surviving nodes, both node-keyed);
+    * per-round lineage truncation via eager local checkpoint (see the
+    * body comment — persist alone leaves a 3^r logical plan); no
+    * driver-side graph state. */
+  def kCorePeel(edges: DataFrame, srcCol: String, dstCol: String,
+      k: Int, rounds: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    // Lineage is TRUNCATED per round (eager localCheckpoint), not just
+    // cached: each round references the previous edge frame THREE
+    // times (the frame itself + the keep set on both endpoints), so a
+    // plain persist leaves a logical plan growing 3^r — Catalyst
+    // re-analyzes the whole tree every round and the driver OOMs near
+    // r = 7 even on a 500-edge graph (measured). pageRankInt gets away
+    // with persist because its recurrence references the previous
+    // frame linearly. Checkpoint blocks are executor-local and freed
+    // by the ContextCleaner as rounds unreference them; `rounds` is
+    // the caller's explicit cost bound.
+    // undirected: orient both ways once; dedup to a simple graph
+    val base = edges.select(col(srcCol).as("__a"), col(dstCol).as("__b"))
+      .filter(col("__a").isNotNull && col("__b").isNotNull &&
+        col("__a") =!= col("__b"))
+    var e = base.union(base.select(col("__b").as("__a"), col("__a").as("__b")))
+      .distinct()
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val keep = e.groupBy(col("__a")).agg(count(lit(1)).as("__deg"))
+        .filter(col("__deg") >= k)
+        .select(col("__a").as("__keep"))
+      e = e
+        .join(keep.withColumnRenamed("__keep", "__a"), Seq("__a"), "left_semi")
+        .join(keep.withColumnRenamed("__keep", "__b"), Seq("__b"), "left_semi")
+        .localCheckpoint(true)
+    }
+    e.groupBy(col("__a").as("node"))
+      .agg(count(lit(1)).as("degree"))
+  }
 }

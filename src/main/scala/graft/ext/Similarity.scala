@@ -765,6 +765,32 @@ object Similarity {
     * scores). One union + one hash aggregate + a bounded TakeOrdered.
     * Returns (idCol, rrf_milli, n_lists) — n_lists tells how many
     * pools surfaced the id (agreement is itself a signal). */
+  /** RECALL audit between two ranked retrievals — the eval every ANN
+    * index deployment runs before trusting the approximation: per
+    * query, how many of the ground truth's top-k did the candidate
+    * list recover? `recall_ppm` = ⌊10⁶·|truth ∩ candidate|/k⌋ (counts
+    * ≪ 2⁵³, the double floor-divide is exact). Both inputs carry one
+    * row per (query, id); truth queries with no candidate rows read
+    * overlap 0, not a dropped row. Returns (queryCol, n_overlap,
+    * recall_ppm).
+    *
+    * Scale shape: ONE (query, id)-keyed equi-join over two ≤k-per-
+    * query frames + one query aggregate — the frames are output-sized
+    * (queries·k), never corpus-sized. */
+  def rankedOverlap(truth: DataFrame, candidate: DataFrame,
+      queryCol: String, idCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val t = truth.select(col(queryCol).as("__q"), col(idCol).as("__id"))
+    val c = candidate.select(col(queryCol).as("__q"), col(idCol).as("__id"))
+      .withColumn("__hit", lit(1L))
+    t.join(c, Seq("__q", "__id"), "left")
+      .groupBy(col("__q"))
+      .agg(sum(coalesce(col("__hit"), lit(0L))).as("n_overlap"))
+      .select(col("__q").as(queryCol), col("n_overlap"),
+        floor(col("n_overlap").cast("double") * lit(1000000.0) /
+          lit(k.toDouble)).cast("long").as("recall_ppm"))
+  }
+
   def rrfFuse(rankings: Seq[DataFrame], idCol: String, k: Int,
       c: Int = 10): DataFrame = {
     require(rankings.nonEmpty, "rrfFuse needs at least one ranking")

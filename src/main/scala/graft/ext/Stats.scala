@@ -832,4 +832,101 @@ object Stats {
               .cast("double")))).cast("long"))
         .otherwise(lit(null).cast("long")).as("v_milli"))
   }
+
+  /** STANDARDIZED MEAN DIFFERENCE (Cohen's d with pooled-arm SD) —
+    * the covariate-balance check an A/B pipeline runs BEFORE trusting
+    * the experiment ([[Behavior.cuped]]'s sanity precondition): were
+    * the arms comparable on the pre-period metric? SMD = (x̄_a − x̄_b)
+    * / √((s²_a + s²_b)/2) from six exact DECIMAL(38,0) sufficient
+    * statistics (the welchT shape — ONE hash aggregate, map-side
+    * partials), evaluated as one IEEE double expression, floor-milli.
+    * |SMD| < 0.1 is the conventional balance bar. NULL when either
+    * arm has < 2 rows or both variances are 0. Returns ONE row:
+    * (n_a, n_b, mean_a_milli, mean_b_milli, smd_milli).
+    *
+    * Scale shape: one six-stat hash aggregate — the flattest shape;
+    * pure arithmetic after. */
+  def standardizedMeanDiff(df: DataFrame, groupCol: String,
+      groupA: String, groupB: String, valueCol: String): DataFrame = {
+    val v = col(valueCol).cast("long")
+    val isA = col(groupCol) === groupA
+    val isB = col(groupCol) === groupB
+    val agg = df.filter(v.isNotNull && (isA || isB)).agg(
+      sum(when(isA, 1L).otherwise(0L)).as("n_a"),
+      sum(when(isA, v).otherwise(0L).cast(Dec)).cast(Dec).as("__sa"),
+      sum(when(isA, v * v).otherwise(0L).cast(Dec)).cast(Dec).as("__sa2"),
+      sum(when(isB, 1L).otherwise(0L)).as("n_b"),
+      sum(when(isB, v).otherwise(0L).cast(Dec)).cast(Dec).as("__sb"),
+      sum(when(isB, v * v).otherwise(0L).cast(Dec)).cast(Dec).as("__sb2"))
+    val (na, nb) = (col("n_a").cast("double"), col("n_b").cast("double"))
+    val (sa, sb) = (col("__sa").cast("double"), col("__sb").cast("double"))
+    val (sa2, sb2) = (col("__sa2").cast("double"), col("__sb2").cast("double"))
+    // unbiased per-arm variance, one fixed-order double expression
+    val va = (sa2 - sa * sa / na) / (na - lit(1.0))
+    val vb = (sb2 - sb * sb / nb) / (nb - lit(1.0))
+    val smd = (sa / na - sb / nb) / sqrt((va + vb) / lit(2.0))
+    val ok = col("n_a") >= 2L && col("n_b") >= 2L
+    agg.select(col("n_a"), col("n_b"),
+      floorDiv(col("__sa") * lit(1000L), col("n_a").cast(Dec)).as("mean_a_milli"),
+      floorDiv(col("__sb") * lit(1000L), col("n_b").cast(Dec)).as("mean_b_milli"),
+      when(ok && (va + vb) > 0.0,
+        floor(lit(1000.0) * smd).cast("long"))
+        .otherwise(lit(null).cast("long")).as("smd_milli"))
+  }
+
+  /** DIFFERENCE-IN-DIFFERENCES — the quasi-experimental effect
+    * estimate over a natural split: DiD = (ȳ_t,post − ȳ_t,pre) −
+    * (ȳ_c,post − ȳ_c,pre) from four exact cell sums, evaluated over
+    * the COMMON denominator as one exact DECIMAL(38,0) rational and
+    * floored at milli units (floorDec, toward −∞ — the estimate is
+    * signed). Cell means are reported floor-milli alongside. The
+    * caller supplies rows (group ∈ {a=treated, b=control}, period ∈
+    * {0=pre, 1=post}, value) — one row per observation unit,
+    * INCLUDING zero rows for units inactive in a period (dropping
+    * them changes the mean's denominator; the contract is the
+    * caller's unit×period grid). did_milli is NULL when any cell is
+    * empty; each mean is NULL when ITS cell is empty.
+    * Returns ONE row: (n_a_pre, n_a_post, n_b_pre, n_b_post,
+    * mean_a_pre_milli, mean_a_post_milli, mean_b_pre_milli,
+    * mean_b_post_milli, did_milli).
+    *
+    * Scale shape: one four-cell hash aggregate with map-side
+    * partials; pure arithmetic after. The four-count product in the
+    * common denominator stays inside DECIMAL(38,0) to ~10⁸ units per
+    * cell with cent values (documented envelope). */
+  def diffInDiff(df: DataFrame, groupCol: String, groupA: String,
+      groupB: String, periodCol: String, valueCol: String): DataFrame = {
+    val v = col(valueCol).cast("long")
+    val p = col(periodCol).cast("long")
+    val isA = col(groupCol) === groupA
+    val isB = col(groupCol) === groupB
+    def cnt(g: Column, pp: Long) =
+      sum(when(g && p === pp, 1L).otherwise(0L))
+    def sm(g: Column, pp: Long) =
+      sum(when(g && p === pp, v).otherwise(0L).cast(Dec)).cast(Dec)
+    val agg = df.filter(v.isNotNull && (isA || isB)).agg(
+      cnt(isA, 0L).as("n_a_pre"), sm(isA, 0L).as("__sa0"),
+      cnt(isA, 1L).as("n_a_post"), sm(isA, 1L).as("__sa1"),
+      cnt(isB, 0L).as("n_b_pre"), sm(isB, 0L).as("__sb0"),
+      cnt(isB, 1L).as("n_b_post"), sm(isB, 1L).as("__sb1"))
+    def d(c: String) = col(c).cast(Dec)
+    val num = ((col("__sa1") * d("n_a_pre") - col("__sa0") * d("n_a_post"))
+        * d("n_b_pre") * d("n_b_post") -
+      (col("__sb1") * d("n_b_pre") - col("__sb0") * d("n_b_post"))
+        * d("n_a_pre") * d("n_a_post")).cast(Dec)
+    val den = (d("n_a_pre") * d("n_a_post") * d("n_b_pre") * d("n_b_post"))
+      .cast(Dec)
+    val ok = col("n_a_pre") > 0L && col("n_a_post") > 0L &&
+      col("n_b_pre") > 0L && col("n_b_post") > 0L
+    def mean(s: String, n: String, as: String) =
+      when(col(n) > 0L, floorDiv(col(s) * lit(1000L), d(n)))
+        .otherwise(lit(null).cast("long")).as(as)
+    agg.select(col("n_a_pre"), col("n_a_post"), col("n_b_pre"), col("n_b_post"),
+      mean("__sa0", "n_a_pre", "mean_a_pre_milli"),
+      mean("__sa1", "n_a_post", "mean_a_post_milli"),
+      mean("__sb0", "n_b_pre", "mean_b_pre_milli"),
+      mean("__sb1", "n_b_post", "mean_b_post_milli"),
+      when(ok, floorDiv(num * lit(1000L), den))
+        .otherwise(lit(null).cast("long")).as("did_milli"))
+  }
 }

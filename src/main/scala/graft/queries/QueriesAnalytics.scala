@@ -19,6 +19,26 @@ import graft.QueryHelpers._
 private[graft] object QueriesAnalytics {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // COHORT REVENUE triangle: users cohorted by first-activity day,
+    // exact cents by cohort age with running cumulative — the LTV
+    // readout.
+    "q291_cohort_revenue" -> ((s, d) =>
+      graft.ext.Behavior.cohortRevenue(
+        T(s, d, "events").select(col("user_id"),
+          dayofmonth(col("ts")).cast("long").as("day"),
+          round(col("value") * 100).cast("long").as("cents")),
+        "user_id", "day", "cents")
+        .orderBy(col("cohort_day"), col("age"))),
+
+    // CHURN HAZARD by tenure: hazard(t) = ended(t) / at-risk(t) over
+    // the first-to-last activity span, exact floor ppm.
+    "q293_churn_tenure" -> ((s, d) =>
+      graft.ext.Behavior.churnByTenure(
+        T(s, d, "events").select(col("user_id"),
+          dayofmonth(col("ts")).cast("long").as("day")),
+        "user_id", "day")
+        .orderBy(col("tenure"))),
+
     // INTER-ARRIVAL burstiness per event type: CV² and index of
     // dispersion of per-user gap sequences, exact from three sums.
     "q287_burstiness" -> ((s, d) =>
@@ -1256,6 +1276,38 @@ private[graft] object QueriesAnalytics {
     }))
 
   def oracleSql: Map[String, String] = Map(
+    // cohort = per-user min day; cells exact; cum over the cell frame
+    "q291_cohort_revenue" ->
+      """WITH b AS (
+        |  SELECT user_id AS u, CAST(date_part('day', ts) AS BIGINT) AS d,
+        |    CAST(round(value * 100) AS BIGINT) AS c
+        |  FROM events),
+        |ch AS (SELECT u, min(d) AS cd FROM b GROUP BY 1),
+        |cells AS (SELECT ch.cd AS cohort_day, b.d - ch.cd AS age,
+        |    count(DISTINCT b.u) AS n_users,
+        |    sum(CAST(b.c AS HUGEINT)) AS cents
+        |  FROM b JOIN ch ON ch.u = b.u GROUP BY 1, 2)
+        |SELECT cohort_day, age, n_users, CAST(cents AS BIGINT) AS cents,
+        |  CAST(sum(cents) OVER (PARTITION BY cohort_day ORDER BY age
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cents
+        |FROM cells ORDER BY cohort_day, age""".stripMargin,
+
+    // tenure histogram + reverse-cumulative at-risk, floor-ppm hazard
+    "q293_churn_tenure" ->
+      """WITH per AS (
+        |  SELECT user_id,
+        |    max(CAST(date_part('day', ts) AS BIGINT))
+        |      - min(CAST(date_part('day', ts) AS BIGINT)) AS tenure
+        |  FROM events GROUP BY 1),
+        |h AS (SELECT tenure, count(*) AS n_ended FROM per GROUP BY 1),
+        |r AS (SELECT tenure, n_ended,
+        |    sum(n_ended) OVER (ORDER BY tenure DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_at_risk
+        |  FROM h)
+        |SELECT tenure, n_ended, CAST(n_at_risk AS BIGINT) AS n_at_risk,
+        |  CAST((CAST(n_ended AS HUGEINT) * 1000000) // n_at_risk AS BIGINT) AS hazard_ppm
+        |FROM r ORDER BY tenure""".stripMargin,
+
     // per-(user, type) lag gaps; CV2/dispersion exact from three sums
     "q287_burstiness" ->
       """WITH g AS (

@@ -19,6 +19,22 @@ import graft.QueryHelpers._
 private[graft] object QueriesCuration {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ANN RECALL audit: recall@10 of the PQ/ADC index against the
+    // brute-force ground truth, per query — the eval every index
+    // deployment runs; both sides individually gated (q49, q84).
+    "q296_ann_recall" -> ((s, d) => {
+      val emb = T(s, d, "embeddings")
+      val queries = emb.filter(col("vec_id") < 5)
+      val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 10)
+      val books = Similarity.pqSeededBooks(dim = 64, m = 8, ksub = 16, seed = 42L)
+      val enc = Similarity.pqEncode(emb, "vec_id", "embedding", books)
+      val pq = Similarity.pqSearch(enc, "vec_id", books, queries,
+        "vec_id", "embedding", k = 10)
+      Similarity.rankedOverlap(brute, pq, "query_id", "nn_id", k = 10)
+        .orderBy(col("query_id"))
+    }),
+
     // CO-OCCURRENCE LIFT: top token pairs by doc-level support with
     // exact lift ppm — df-gated [5, 80%], ≤24 kept tokens per doc
     // (the fixture vocabulary is 31 near-universal tokens; a crawl
@@ -1566,6 +1582,16 @@ private[graft] object QueriesCuration {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // both sides individually gated (q49 brute, q84 PQ); the recall
+    // join composes their oracle CTEs verbatim
+    "q296_ann_recall" ->
+      s"""WITH bt AS (SELECT query_id, nn_id FROM ($AnnTopkSql)),
+         |cd AS (SELECT query_id, nn_id FROM ($PqOracleSql))
+         |SELECT bt.query_id, count(cd.nn_id) AS n_overlap,
+         |  CAST(floor(CAST(count(cd.nn_id) AS DOUBLE) * 1000000.0 / 10.0) AS BIGINT) AS recall_ppm
+         |FROM bt LEFT JOIN cd ON cd.query_id = bt.query_id AND cd.nn_id = bt.nn_id
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // df-gate -> per-doc lexicographic cap -> doc-keyed pair self-join
     "q285_cooccur_lift" ->
       """WITH dt AS (

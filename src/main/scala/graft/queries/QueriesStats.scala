@@ -21,6 +21,67 @@ import graft.QueryHelpers._
 private[graft] object QueriesStats {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // COVARIATE BALANCE: standardized mean difference of the
+    // pre-period (first-half) revenue between the user_id-parity arms
+    // — the check that gates q202's CUPED adjustment.
+    "q292_covariate_balance" -> ((s, d) => {
+      val pre = T(s, d, "events")
+        .filter(col("ts") < lit("2024-01-16 00:00:00").cast("timestamp"))
+        .groupBy(col("user_id"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+        .select(when(col("user_id") % 2 === 0, "a").otherwise("b").as("g"),
+          col("cents"))
+      graft.ext.Stats.standardizedMeanDiff(pre, "g", "a", "b", "cents")
+    }),
+
+    // DIFFERENCE-IN-DIFFERENCES of purchase revenue between the
+    // user-parity arms across the month halves, over the full
+    // user×period grid (inactive cells count as 0 — the mean's
+    // denominator is the unit count, not the active count).
+    "q295_diff_in_diff" -> ((s, d) => {
+      val ev = T(s, d, "events")
+      val users = ev.select(col("user_id")).distinct()
+      val grid = users.select(col("user_id"),
+        explode(array(lit(0L), lit(1L))).as("period"))
+      val sums = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"),
+          when(col("ts") < lit("2024-01-16 00:00:00").cast("timestamp"), 0L)
+            .otherwise(1L).as("period"),
+          round(col("value") * 100).cast("long").as("__c"))
+        .groupBy(col("user_id"), col("period"))
+        .agg(sum(col("__c")).as("cents"))
+      val cells = grid.join(sums, Seq("user_id", "period"), "left")
+        .select(when(col("user_id") % 2 === 0, "a").otherwise("b").as("g"),
+          col("period"), coalesce(col("cents"), lit(0L)).as("cents"))
+      graft.ext.Stats.diffInDiff(cells, "g", "a", "b", "period", "cents")
+    }),
+
+    // DEGREE ASSORTATIVITY of the supplier-part bipartite graph: do
+    // high-degree suppliers stock high-degree parts?
+    "q294_assortativity" -> ((s, d) =>
+      graft.ext.GraphOps.degreeAssortativity(
+        T(s, d, "lineitem").select(col("l_suppkey"), col("l_partkey")),
+        "l_suppkey", "l_partkey")),
+
+    // BOUNDED k-CORE PEEL on a synthetic clique(32) + ladder(8): the
+    // ladder cascades away one layer per round (fixpoint in 5), the
+    // clique is the 3-core. Six rounds replayed join-for-join in SQL.
+    "q297_kcore" -> ((s, d) => {
+      val clique = s.range(32L * 32L).select(
+          (shiftright(col("id"), 5) + 1L).as("a"),
+          ((col("id") % 32L) + 1L).as("b"))
+        .filter(col("a") < col("b"))
+      val rails = s.range(7).select((col("id") + 101L).as("a"),
+          (col("id") + 102L).as("b"))
+        .union(s.range(7).select((col("id") + 201L).as("a"),
+          (col("id") + 202L).as("b")))
+      val rungs = s.range(8).select((col("id") + 101L).as("a"),
+        (col("id") + 201L).as("b"))
+      graft.ext.GraphOps.kCorePeel(
+        clique.union(rails).union(rungs), "a", "b", k = 3, rounds = 6)
+        .orderBy(col("node"))
+    }),
+
     // CALIBRATION of the stopword-ratio language signal: score =
     // English function-word hit ppm over tokens, label = (lang='en');
     // 10-bin reliability diagram + ECE, all exact integer.
@@ -678,6 +739,104 @@ private[graft] object QueriesStats {
     }))
 
   def oracleSql: Map[String, String] = Map(
+    // the clique+ladder fixture and six peel rounds, join-for-join
+    "q297_kcore" -> KcoreOracleSql,
+
+    // six exact sufficient statistics, one IEEE double expression
+    "q292_covariate_balance" ->
+      """WITH pre AS (
+        |  SELECT CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END AS g,
+        |    sum(CAST(round(value * 100) AS BIGINT)) AS v
+        |  FROM events WHERE ts < TIMESTAMP '2024-01-16 00:00:00'
+        |  GROUP BY user_id),
+        |a AS (SELECT
+        |    sum(CASE WHEN g = 'a' THEN 1 ELSE 0 END) AS na,
+        |    sum(CASE WHEN g = 'a' THEN CAST(v AS HUGEINT) ELSE 0 END) AS sa,
+        |    sum(CASE WHEN g = 'a' THEN CAST(v AS HUGEINT) * v ELSE 0 END) AS sa2,
+        |    sum(CASE WHEN g = 'b' THEN 1 ELSE 0 END) AS nb,
+        |    sum(CASE WHEN g = 'b' THEN CAST(v AS HUGEINT) ELSE 0 END) AS sb,
+        |    sum(CASE WHEN g = 'b' THEN CAST(v AS HUGEINT) * v ELSE 0 END) AS sb2
+        |  FROM pre WHERE v IS NOT NULL),
+        |e AS (SELECT *,
+        |    (CAST(sa2 AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)) / (CAST(na AS DOUBLE) - 1.0) AS va,
+        |    (CAST(sb2 AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE)) / (CAST(nb AS DOUBLE) - 1.0) AS vb
+        |  FROM a)
+        |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+        |  CAST((sa * 1000) // na AS BIGINT) AS mean_a_milli,
+        |  CAST((sb * 1000) // nb AS BIGINT) AS mean_b_milli,
+        |  CASE WHEN na >= 2 AND nb >= 2 AND (va + vb) > 0
+        |    THEN CAST(floor(1000.0 * ((CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)
+        |      - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE))
+        |      / sqrt((va + vb) / 2.0))) AS BIGINT)
+        |    ELSE NULL END AS smd_milli
+        |FROM e""".stripMargin,
+
+    // four-cell exact rational over the common denominator
+    "q295_diff_in_diff" ->
+      """WITH users AS (SELECT DISTINCT user_id FROM events),
+        |grid AS (SELECT user_id, p.period
+        |  FROM users CROSS JOIN (VALUES (CAST(0 AS BIGINT)), (CAST(1 AS BIGINT))) AS p(period)),
+        |sums AS (SELECT user_id,
+        |    CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 0 ELSE 1 END AS period,
+        |    sum(CAST(round(value * 100) AS BIGINT)) AS cents
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |cells AS (SELECT
+        |    CASE WHEN g.user_id % 2 = 0 THEN 'a' ELSE 'b' END AS grp,
+        |    g.period, coalesce(s.cents, 0) AS v
+        |  FROM grid g LEFT JOIN sums s
+        |    ON s.user_id = g.user_id AND s.period = g.period),
+        |a AS (SELECT
+        |    sum(CASE WHEN grp = 'a' AND period = 0 THEN 1 ELSE 0 END) AS nap,
+        |    sum(CASE WHEN grp = 'a' AND period = 0 THEN CAST(v AS HUGEINT) ELSE 0 END) AS sa0,
+        |    sum(CASE WHEN grp = 'a' AND period = 1 THEN 1 ELSE 0 END) AS naq,
+        |    sum(CASE WHEN grp = 'a' AND period = 1 THEN CAST(v AS HUGEINT) ELSE 0 END) AS sa1,
+        |    sum(CASE WHEN grp = 'b' AND period = 0 THEN 1 ELSE 0 END) AS nbp,
+        |    sum(CASE WHEN grp = 'b' AND period = 0 THEN CAST(v AS HUGEINT) ELSE 0 END) AS sb0,
+        |    sum(CASE WHEN grp = 'b' AND period = 1 THEN 1 ELSE 0 END) AS nbq,
+        |    sum(CASE WHEN grp = 'b' AND period = 1 THEN CAST(v AS HUGEINT) ELSE 0 END) AS sb1
+        |  FROM cells),
+        |f AS (SELECT *,
+        |    ((sa1 * nap - sa0 * naq) * nbp * nbq
+        |      - (sb1 * nbp - sb0 * nbq) * nap * naq) * 1000 AS num,
+        |    nap * naq * nbp * nbq AS den FROM a)
+        |SELECT CAST(nap AS BIGINT) AS n_a_pre, CAST(naq AS BIGINT) AS n_a_post,
+        |  CAST(nbp AS BIGINT) AS n_b_pre, CAST(nbq AS BIGINT) AS n_b_post,
+        |  -- DuckDB // truncates toward zero; the engine floors toward
+        |  -- -inf, so floor via the nonneg-mod identity (the kappa shim)
+        |  CAST((sa0 * 1000 - (((sa0 * 1000) % nap) + nap) % nap) // nap AS BIGINT) AS mean_a_pre_milli,
+        |  CAST((sa1 * 1000 - (((sa1 * 1000) % naq) + naq) % naq) // naq AS BIGINT) AS mean_a_post_milli,
+        |  CAST((sb0 * 1000 - (((sb0 * 1000) % nbp) + nbp) % nbp) // nbp AS BIGINT) AS mean_b_pre_milli,
+        |  CAST((sb1 * 1000 - (((sb1 * 1000) % nbq) + nbq) % nbq) // nbq AS BIGINT) AS mean_b_post_milli,
+        |  CASE WHEN nap > 0 AND naq > 0 AND nbp > 0 AND nbq > 0
+        |    THEN CAST((num - ((num % den) + den) % den) // den AS BIGINT)
+        |    ELSE NULL END AS did_milli
+        |FROM f""".stripMargin,
+
+    // degrees exact, six decimal sums, one IEEE double r
+    "q294_assortativity" ->
+      """WITH e AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p
+        |  FROM lineitem WHERE l_suppkey IS NOT NULL AND l_partkey IS NOT NULL),
+        |ds AS (SELECT s, count(*) AS dx FROM e GROUP BY 1),
+        |dp AS (SELECT p, count(*) AS dy FROM e GROUP BY 1),
+        |xy AS (SELECT ds.dx, dp.dy FROM e
+        |  JOIN ds ON ds.s = e.s JOIN dp ON dp.p = e.p),
+        |a AS (SELECT count(*) AS n,
+        |    sum(CAST(dx AS HUGEINT)) AS sx, sum(CAST(dy AS HUGEINT)) AS sy,
+        |    sum(CAST(dx AS HUGEINT) * dx) AS sx2,
+        |    sum(CAST(dy AS HUGEINT) * dy) AS sy2,
+        |    sum(CAST(dx AS HUGEINT) * dy) AS sxy
+        |  FROM xy),
+        |b AS (SELECT n, sx, sy,
+        |    CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num,
+        |    CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS vx,
+        |    CAST(n AS DOUBLE) * CAST(sy2 AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vy
+        |  FROM a)
+        |SELECT CAST(n AS BIGINT) AS n_edges,
+        |  CASE WHEN n >= 2 AND vx > 0 AND vy > 0
+        |    THEN CAST(floor(1000.0 * num / sqrt(vx * vy)) AS BIGINT)
+        |    ELSE NULL END AS r_milli
+        |FROM b""".stripMargin,
+
     // 10-bin reliability diagram + ECE, exact integer throughout
     "q283_calibration" ->
       """WITH tk AS (

@@ -815,6 +815,29 @@ private[graft] object QueryHelpers {
       |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
       |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
 
-  /** Flagship query on sf=0.001 (driver smoke-checks rows>0): Q3-shaped
-    * star join + agg + top-k through the library combinators. */
+  /** DuckDB replay of the q297 bounded k-core peel: the synthetic
+    * clique(32) + ladder(8) fixture via range arithmetic, then six
+    * unrolled peel rounds (degree >= 3 gate + endpoint semi-joins) —
+    * the SAME round-synchronous recursion the engine runs. */
+  private[graft] val KcoreOracleSql: String = {
+    val rounds = (1 to 6).map(i =>
+      s"""k$i AS (SELECT a FROM e${i - 1} GROUP BY a HAVING count(*) >= 3),
+         |e$i AS (SELECT e.a, e.b FROM e${i - 1} e
+         |  JOIN k$i ka ON ka.a = e.a JOIN k$i kb ON kb.a = e.b)""".stripMargin)
+      .mkString(",\n")
+    s"""WITH cl AS (
+       |  SELECT (r.range // 32) + 1 AS a, (r.range % 32) + 1 AS b
+       |  FROM range(0, 1024) r WHERE (r.range // 32) + 1 < (r.range % 32) + 1),
+       |ra AS (SELECT r.range + 101 AS a, r.range + 102 AS b FROM range(0, 7) r
+       |  UNION ALL SELECT r.range + 201, r.range + 202 FROM range(0, 7) r),
+       |ru AS (SELECT r.range + 101 AS a, r.range + 201 AS b FROM range(0, 8) r),
+       |und AS (SELECT a, b FROM cl UNION ALL SELECT a, b FROM ra
+       |  UNION ALL SELECT a, b FROM ru),
+       |e0 AS (SELECT DISTINCT a, b FROM (
+       |  SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b FROM und
+       |  UNION ALL SELECT CAST(b AS BIGINT), CAST(a AS BIGINT) FROM und)),
+       |$rounds
+       |SELECT a AS node, count(*) AS degree FROM e6 GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
 }

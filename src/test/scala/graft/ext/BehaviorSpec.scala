@@ -342,4 +342,38 @@ class BehaviorSpec extends SparkSpec {
         r.getAs[Long]("n")).toMap
     assert(out == Map(("a", "b", "a") -> 2L, ("b", "a", "b") -> 1L))
   }
+
+
+  test("cohortRevenue: cohort by first day, exact cents and cumulative") {
+    import spark.implicits._
+    // u1 first day 1 (ages 0, 2); u2 first day 1 (age 0); u3 first day 3
+    val rows = Seq(
+      (1L, 1L, 100L), (1L, 3L, 50L),
+      (2L, 1L, 10L), (2L, 1L, 5L),
+      (3L, 3L, 7L))
+    val out = Behavior.cohortRevenue(rows.toDF("u", "day", "c"), "u", "day", "c")
+      .collect().map(r => (r.getAs[Long]("cohort_day"), r.getAs[Long]("age")) -> r).toMap
+    val c10 = out((1L, 0L))
+    assert(c10.getAs[Long]("n_users") == 2L && c10.getAs[Long]("cents") == 115L)
+    assert(c10.getAs[Long]("cum_cents") == 115L)
+    val c12 = out((1L, 2L))
+    assert(c12.getAs[Long]("n_users") == 1L && c12.getAs[Long]("cents") == 50L)
+    assert(c12.getAs[Long]("cum_cents") == 165L)
+    assert(out((3L, 0L)).getAs[Long]("cents") == 7L)
+  }
+
+  test("churnByTenure: hazard = ended / at-risk over the reverse cumulative") {
+    import spark.implicits._
+    // tenures: u1 -> 0, u2 -> 0, u3 -> 2, u4 -> 5
+    val rows = Seq((1L, 4L), (2L, 9L), (3L, 1L), (3L, 3L), (4L, 2L), (4L, 7L))
+    val out = Behavior.churnByTenure(rows.toDF("u", "day"), "u", "day")
+      .collect().map(r => r.getAs[Long]("tenure") -> r).toMap
+    assert(out(0L).getAs[Long]("n_ended") == 2L)
+    assert(out(0L).getAs[Long]("n_at_risk") == 4L)
+    assert(out(0L).getAs[Long]("hazard_ppm") == 500000L)
+    assert(out(2L).getAs[Long]("n_at_risk") == 2L)
+    assert(out(2L).getAs[Long]("hazard_ppm") == 500000L)
+    assert(out(5L).getAs[Long]("n_at_risk") == 1L)
+    assert(out(5L).getAs[Long]("hazard_ppm") == 1000000L)
+  }
 }

@@ -146,4 +146,39 @@ class GraphOpsSpec extends SparkSpec {
     assert(ok.collect().map(_.getAs[Long]("subtree_sum")).max == 12L)
     ok.unpersist()
   }
+
+
+  test("degreeAssortativity: replay of a hand graph; constant side reads NULL") {
+    import spark.implicits._
+    // edges: (a,x) (a,y) (b,x) -> deg a=2 b=1; x=2 y=1
+    val e = Seq(("a", "x"), ("a", "y"), ("b", "x")).toDF("s", "t")
+    val out = GraphOps.degreeAssortativity(e, "s", "t").collect().head
+    assert(out.getAs[Long]("n_edges") == 3L)
+    // pairs (2,2) (2,1) (1,2): n=3 sx=5 sy=5 sx2=9 sy2=9 sxy=8
+    val (n, sx, sy, sx2, sy2, sxy) = (3.0, 5.0, 5.0, 9.0, 9.0, 8.0)
+    val exp = math.floor(1000.0 * (n * sxy - sx * sy) /
+      math.sqrt((n * sx2 - sx * sx) * (n * sy2 - sy * sy))).toLong
+    assert(out.getAs[Long]("r_milli") == exp)
+    // star: the hub side is constant-degree across edges of each src?
+    // two-edge star from one hub: src degrees constant -> NULL
+    val star = Seq(("h", "x"), ("h", "y")).toDF("s", "t")
+    val so = GraphOps.degreeAssortativity(star, "s", "t").collect().head
+    assert(so.isNullAt(so.fieldIndex("r_milli")))
+  }
+
+  test("kCorePeel: the ladder cascades away, the clique survives; duplicates collapse") {
+    import spark.implicits._
+    val clique = for { a <- 1 to 6; b <- (a + 1) to 6 } yield (a.toLong, b.toLong)
+    // ladder(6): rails a101..a106 / b201..b206 + rungs
+    val rails = (0 until 5).flatMap(i =>
+      Seq((101L + i, 102L + i), (201L + i, 202L + i)))
+    val rungs = (0 until 6).map(i => (101L + i, 201L + i))
+    // a duplicate + a reversed edge must not inflate degrees
+    val edges = (clique ++ rails ++ rungs ++ Seq((1L, 2L), (2L, 1L)))
+      .toDF("a", "b")
+    val out = GraphOps.kCorePeel(edges, "a", "b", k = 3, rounds = 5)
+      .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("degree")).toMap
+    assert(out.keySet == (1L to 6L).toSet)
+    assert(out.values.forall(_ == 5L))
+  }
 }

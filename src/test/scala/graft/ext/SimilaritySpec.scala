@@ -387,4 +387,20 @@ class SimilaritySpec extends SparkSpec {
       .collect().head
     assert(solo.isNullAt(solo.fieldIndex("ch_milli")))
   }
+
+
+  test("rankedOverlap: identical lists read recall 1e6, disjoint read 0") {
+    import spark.implicits._
+    val a = Seq((1L, 10L), (1L, 11L), (2L, 20L), (2L, 21L)).toDF("q", "id")
+    val same = Similarity.rankedOverlap(a, a, "q", "id", k = 2)
+      .collect().map(r => r.getAs[Long]("q") -> r).toMap
+    assert(same(1L).getAs[Long]("n_overlap") == 2L)
+    assert(same(1L).getAs[Long]("recall_ppm") == 1000000L)
+    val b = Seq((1L, 99L), (1L, 98L), (2L, 20L), (2L, 97L)).toDF("q", "id")
+    val mixed = Similarity.rankedOverlap(a, b, "q", "id", k = 2)
+      .collect().map(r => r.getAs[Long]("q") -> r).toMap
+    assert(mixed(1L).getAs[Long]("recall_ppm") == 0L)
+    assert(mixed(2L).getAs[Long]("n_overlap") == 1L)
+    assert(mixed(2L).getAs[Long]("recall_ppm") == 500000L)
+  }
 }

@@ -539,4 +539,50 @@ class StatsSpec extends SparkSpec {
     assert(one.getAs[Long]("c_levels") == 1L)
     assert(one.isNullAt(one.fieldIndex("v_milli")))
   }
+
+
+  test("standardizedMeanDiff: identical arms read 0; known case replays") {
+    import spark.implicits._
+    val same = Stats.standardizedMeanDiff(
+      (Seq(10L, 20L, 30L).map(("a", _)) ++ Seq(10L, 20L, 30L).map(("b", _)))
+        .toDF("g", "v"), "g", "a", "b", "v").collect().head
+    assert(same.getAs[Long]("smd_milli") == 0L)
+    // a = {0, 10}, b = {0, 0}: means 5, 0; va = 50, vb = 0
+    // smd = 5 / sqrt(25) = 1.0
+    val known = Stats.standardizedMeanDiff(
+      Seq(("a", 0L), ("a", 10L), ("b", 0L), ("b", 0L)).toDF("g", "v"),
+      "g", "a", "b", "v").collect().head
+    assert(known.getAs[Long]("mean_a_milli") == 5000L)
+    assert(known.getAs[Long]("mean_b_milli") == 0L)
+    assert(known.getAs[Long]("smd_milli") == 1000L)
+    // both arms constant: no variance -> NULL
+    val const = Stats.standardizedMeanDiff(
+      Seq(("a", 5L), ("a", 5L), ("b", 3L), ("b", 3L)).toDF("g", "v"),
+      "g", "a", "b", "v").collect().head
+    assert(const.isNullAt(const.fieldIndex("smd_milli")))
+  }
+
+  test("diffInDiff: parallel trends read 0; known case exact; empty cell NULL") {
+    import spark.implicits._
+    // parallel: both arms gain exactly +5
+    val par = Seq(
+      ("a", 0L, 10L), ("a", 1L, 15L), ("a", 0L, 20L), ("a", 1L, 25L),
+      ("b", 0L, 1L), ("b", 1L, 6L))
+    val p = Stats.diffInDiff(par.toDF("g", "p", "v"), "g", "a", "b", "p", "v")
+      .collect().head
+    assert(p.getAs[Long]("did_milli") == 0L)
+    // treated gains +10, control +4 -> DiD = 6
+    val kn = Seq(
+      ("a", 0L, 10L), ("a", 1L, 20L),
+      ("b", 0L, 10L), ("b", 1L, 14L))
+    val k = Stats.diffInDiff(kn.toDF("g", "p", "v"), "g", "a", "b", "p", "v")
+      .collect().head
+    assert(k.getAs[Long]("did_milli") == 6000L)
+    assert(k.getAs[Long]("mean_a_post_milli") == 20000L)
+    // missing control-post cell -> NULL
+    val miss = Stats.diffInDiff(
+      Seq(("a", 0L, 1L), ("a", 1L, 2L), ("b", 0L, 1L))
+        .toDF("g", "p", "v"), "g", "a", "b", "p", "v").collect().head
+    assert(miss.isNullAt(miss.fieldIndex("did_milli")))
+  }
 }
