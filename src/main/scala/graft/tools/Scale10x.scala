@@ -185,7 +185,31 @@ object Scale10x {
       // merge). q259 is EXCLUDED by design: its 1.42M-node chain graph
       // is fixture-independent (the constants ARE the scale test), so
       // a base/×10 ratio would read an empty 1.0.
-      "q260_sketch_ingest_replay", "q261_mv_retract")
+      "q260_sketch_ingest_replay", "q261_mv_retract",
+      // r11 sessions 3-5. Sketch/series readouts (retention matrix,
+      // EWMA, seasonal: the data-sized term is one keyed aggregate,
+      // everything after runs on day-domain frames; vocab coverage /
+      // concentration / calibration / Cramér's V collapse to
+      // profile-, key-, bin- and margin-sized frames), text passes
+      // with df gates (co-occur lift's pair join is capped at
+      // C(24,2) per doc; NOTE the ×10 fixture's disjoint replica
+      // vocabularies drop every token's df ppm ~10×, so MORE tokens
+      // clear the 80% ceiling than at base — the ratio carries that
+      // gate-population shift, not a shape change), drift over
+      // (group, value) cells, behavioral keyed windows (burstiness,
+      // trigrams, cohort LTV, churn, SMD, DiD), graph degree joins
+      // (assortativity), and the ANN-recall composition (brute + PQ
+      // with FIXED vec_id < 5 anchors). q275/q297 are EXCLUDED by
+      // the q259 rule: their synthetic range fixtures are
+      // fixture-independent, a ratio would read an empty 1.0.
+      "q276_sketch_retention", "q277_seasonal", "q278_cluster_quality",
+      "q279_vocab_coverage", "q280_concentration", "q281_ewma",
+      "q282_two_proportion", "q283_calibration", "q284_cramers_v",
+      "q285_cooccur_lift", "q286_hellinger_drift", "q287_burstiness",
+      "q288_event_trigrams", "q289_label_vote", "q290_vocab_overlap",
+      "q291_cohort_revenue", "q292_covariate_balance",
+      "q293_churn_tenure", "q294_assortativity", "q295_diff_in_diff",
+      "q296_ann_recall")
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
