@@ -1542,4 +1542,62 @@ object Dedup {
         col("__best.rid").as(rightId), col("__best.rv").as(rightCol),
         col("__best.d").as("distance"))
   }
+
+  /** LSH RECALL/PRECISION audit — the banding-quality companion to
+    * [[minhashCalibration]] (that one audits the ESTIMATOR; this one
+    * audits the CANDIDATE GENERATOR): exhaustive ground truth = every
+    * pair with exact shingle-set Jaccard ≥ threshold (enumerated via
+    * the shared-shingle join — any pair with J > 0 shares a shingle,
+    * so enumeration is complete; deliberately NO df cap, which is why
+    * the contract is to run this on a deterministic SAMPLE, the
+    * standard eval methodology — an uncapped shared-shingle join over
+    * a full crawl corpus is exactly the explosion the production
+    * pipelines df-gate away). Candidates = [[lshCandidates]] over the
+    * same signatures. ONE tokenize+shingle pass feeds truth AND
+    * signatures (the minhashNearDups sharing rule). Returns ONE row:
+    * (n_truth, n_candidates, n_hit, recall_ppm, precision_ppm) —
+    * floor ppm; NULL when the respective denominator is 0.
+    *
+    * Scale shape (on the sample): shingle self-join for truth,
+    * signature aggregate + band join for candidates, one (a, b)
+    * equi-join between the two pair sets, one counting reduction. */
+  def lshRecallAudit(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.5, k: Int = 16, bands: Int = 4,
+      shingleN: Int = 3, portable: Boolean = false): DataFrame = {
+    val Dec = "decimal(38,0)"
+    val sh = TextOps.shingleRows(
+      docs.repartition(col(idCol)), idCol, textCol, shingleN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sets = sh.groupBy(col(idCol))
+      .agg(collect_set(col("shingle")).as("__set"))
+    val shared = sh.select(col(idCol).as("a"), col("shingle"))
+      .join(sh.select(col(idCol).as("b"), col("shingle")), Seq("shingle"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+    val truth = shared
+      .join(sets.withColumnRenamed(idCol, "a").withColumnRenamed("__set", "__sa"), "a")
+      .join(sets.withColumnRenamed(idCol, "b").withColumnRenamed("__set", "__sb"), "b")
+      .filter(jaccardCol(col("__sa"), col("__sb")) >= threshold)
+      .select(col("a"), col("b"))
+    val sig = minhashSignatureFromRows(sh, idCol, k, portable)
+    val cand = lshCandidates(sig, idCol, k, bands, portable)
+    val t = truth.withColumn("__t", lit(1L))
+    val c = cand.withColumn("__c", lit(1L))
+    val joined = t.join(c, Seq("a", "b"), "full_outer")
+    joined.agg(
+        sum(coalesce(col("__t"), lit(0L))).as("n_truth"),
+        sum(coalesce(col("__c"), lit(0L))).as("n_candidates"),
+        sum(when(col("__t").isNotNull && col("__c").isNotNull, 1L)
+          .otherwise(0L)).as("n_hit"))
+      .select(col("n_truth"), col("n_candidates"), col("n_hit"),
+        when(col("n_truth") > 0L,
+          PortableDiv.nonNeg(col("n_hit").cast(Dec) * lit(1000000L),
+            col("n_truth").cast(Dec)))
+          .otherwise(lit(null).cast("long")).as("recall_ppm"),
+        when(col("n_candidates") > 0L,
+          PortableDiv.nonNeg(col("n_hit").cast(Dec) * lit(1000000L),
+            col("n_candidates").cast(Dec)))
+          .otherwise(lit(null).cast("long")).as("precision_ppm"))
+  }
+
 }

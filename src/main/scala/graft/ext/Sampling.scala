@@ -778,4 +778,52 @@ object Sampling {
       .select(col("n_rows"), col("mean"), col("__be").as("b"),
         col("ci_lo"), col("ci_hi"))
   }
+
+  /** CUMULATIVE SHARE by descending value — the Pareto/ABC readout
+    * ("which keys carry 80 % of the revenue?"): per key, its exact
+    * long value, the running total in (value DESC, key ASC) order,
+    * and the cumulative share as exact floor ppm. Distributed like
+    * [[ntileByKey]]: range-bucketed per-bucket prefix sums (bucketed
+    * on the NEGATED value so ascending buckets read descending
+    * values) + broadcast bucket offsets and the broadcast grand
+    * total — no global window even at millions of keys. The caller
+    * supplies a NONNEGATIVE measure (the concentration rule — shares
+    * of a signed measure are meaningless). The
+    * rangeBucketExpr note applies: bucket bounds come from an EAGER
+    * approxQuantile, so the input aggregate persists here for the
+    * duration of the call (domain-sized — one row per key). NULL
+    * values drop. Returns (keyCol, valueCol, cum_value,
+    * cum_share_ppm).
+    *
+    * Scale shape: one key-domain frame in, two bounded exchanges
+    * (per-bucket window + offsets), map-side partials on the total. */
+  def cumulativeShare(df: DataFrame, keyCol: String, valueCol: String,
+      globalBuckets: Int = 32): DataFrame = {
+    val Dec = "decimal(38,0)"
+    val clean = df.filter(col(valueCol).isNotNull)
+      .select(col(keyCol), col(valueCol).cast("long").as("__v"))
+      .withColumn("__nv", (-col("__v")).cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val withB = clean.withColumn("__bkt",
+      rangeBucketExpr(clean, col("__nv"), globalBuckets))
+    val wIn = Window.partitionBy(col("__bkt"))
+      .orderBy(col("__nv"), col(keyCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = withB.withColumn("__cum",
+      sum(col("__v").cast(Dec)).over(wIn).cast(Dec))
+    val tot = withB.groupBy(col("__bkt"))
+      .agg(sum(col("__v").cast(Dec)).cast(Dec).as("__t"))
+    val offsets = tot.as("a")
+      .join(broadcast(tot.as("b")), col("b.__bkt") < col("a.__bkt"), "left")
+      .groupBy(col("a.__bkt").as("__bkt"))
+      .agg(coalesce(sum(col("b.__t")), lit(0L).cast(Dec)).cast(Dec).as("__off"))
+    val grand = withB.agg(sum(col("__v").cast(Dec)).cast(Dec).as("__total"))
+    cum.join(broadcast(offsets), Seq("__bkt"))
+      .crossJoin(broadcast(grand))
+      .select(col(keyCol), col("__v").as(valueCol),
+        (col("__off") + col("__cum")).cast(Dec).cast("long").as("cum_value"),
+        PortableDiv.nonNeg((col("__off") + col("__cum")).cast(Dec) * lit(1000000L),
+          col("__total")).as("cum_share_ppm"))
+  }
+
 }

@@ -19,6 +19,57 @@ import graft.QueryHelpers._
 private[graft] object QueriesAnalytics {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // BOUNCE RATE: share of 30-min-gap sessions with exactly one event
+    // — the q38 sessionizer rolled up to the product KPI.
+    "q298_bounce_rate" -> ((s, d) => {
+      val sess = Streams.sessionizeBatch(
+        T(s, d, "events"), "ts", "user_id", gapMinutes = 30,
+        tieBreak = Some("event_id"))
+      sess.agg(count(lit(1)).as("n_sessions"),
+          sum(when(col("n_events") === 1L, 1L).otherwise(0L)).as("n_bounce"))
+        .select(col("n_sessions"), col("n_bounce"),
+          expr("(n_bounce * 1000000L) div n_sessions").as("bounce_ppm"))
+    }),
+
+    // TIME-TO-CONVERT: minutes from first signup to first subsequent
+    // purchase per user; exact p50/p90/p99 over the converted set via
+    // the range-bucketed multi-quantile pass.
+    "q299_time_to_convert" -> ((s, d) => {
+      val ev = T(s, d, "events")
+      val su = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("__s"))
+      val lat = ev.filter(col("event_type") === "purchase")
+        .join(su, Seq("user_id"))
+        .filter(col("ts") >= col("__s"))
+        .groupBy(col("user_id"), col("__s")).agg(min(col("ts")).as("__p"))
+        .select(col("user_id"),
+          floor((unix_micros(col("__p")) - unix_micros(col("__s")))
+            .cast("double") / lit(60000000.0)).cast("long").as("lat_min"))
+        .withColumn("__k", lit("all"))
+      graft.ext.Sampling.exactQuantilesByKey(
+          lat, "__k", "lat_min", "user_id", Seq(500L, 900L, 990L))
+        .select(col("q_permille"), col("n"), col("q_value"))
+        .orderBy(col("q_permille"))
+    }),
+
+    // ABC/PARETO CLASSES: parts bucketed A (≤80 % cumulative revenue
+    // share), B (≤95 %), C — the inventory-analytics rollup of the
+    // range-bucketed cumulative-share machinery.
+    "q300_abc_classes" -> ((s, d) => {
+      val rev = T(s, d, "lineitem")
+        .groupBy(col("l_partkey"))
+        .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("cents"))
+      graft.ext.Sampling.cumulativeShare(rev, "l_partkey", "cents")
+        .select(when(col("cum_share_ppm") <= 800000L, "A")
+            .when(col("cum_share_ppm") <= 950000L, "B")
+            .otherwise("C").as("abc_class"),
+          col("cents"))
+        .groupBy(col("abc_class"))
+        .agg(count(lit(1)).as("n_keys"),
+          sum(col("cents").cast("decimal(38,0)")).cast("long").as("cents"))
+        .orderBy(col("abc_class"))
+    }),
+
     // COHORT REVENUE triangle: users cohorted by first-activity day,
     // exact cents by cohort age with running cumulative — the LTV
     // readout.
@@ -1276,6 +1327,65 @@ private[graft] object QueriesAnalytics {
     }))
 
   def oracleSql: Map[String, String] = Map(
+    // the q38 session CTEs rolled up to one KPI row
+    "q298_bounce_rate" ->
+      """WITH f AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |    THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM f),
+        |g AS (SELECT user_id, session_id, count(*) AS n FROM s GROUP BY 1, 2),
+        |a AS (SELECT count(*) AS n_sessions,
+        |    sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS n_bounce FROM g)
+        |SELECT CAST(n_sessions AS BIGINT) AS n_sessions,
+        |  CAST(n_bounce AS BIGINT) AS n_bounce,
+        |  CAST((CAST(n_bounce AS HUGEINT) * 1000000) // n_sessions AS BIGINT) AS bounce_ppm
+        |FROM a""".stripMargin,
+
+    // first signup -> first subsequent purchase; the q255 rank rule
+    "q299_time_to_convert" ->
+      """WITH su AS (
+        |  SELECT user_id, min(ts) AS s FROM events
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |lat AS (
+        |  SELECT e.user_id,
+        |    CAST(floor(CAST(epoch_us(min(e.ts)) - epoch_us(su.s) AS DOUBLE) / 60000000.0) AS BIGINT) AS lat_min
+        |  FROM events e JOIN su ON su.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts >= su.s
+        |  GROUP BY e.user_id, su.s),
+        |r AS (SELECT lat_min,
+        |    row_number() OVER (ORDER BY lat_min, user_id) AS rk,
+        |    count(*) OVER () AS n
+        |  FROM lat),
+        |q(q_permille) AS (VALUES (500), (900), (990))
+        |SELECT CAST(q.q_permille AS BIGINT) AS q_permille,
+        |  CAST(r.n AS BIGINT) AS n, CAST(r.lat_min AS DOUBLE) AS q_value
+        |FROM r JOIN q ON r.rk = greatest(1, (q.q_permille * r.n + 999) // 1000)
+        |ORDER BY q_permille""".stripMargin,
+
+    // global cumulative share over (cents DESC, partkey), exact ppm
+    "q300_abc_classes" ->
+      """WITH rev AS (
+        |  SELECT l_partkey, sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cents
+        |  FROM lineitem GROUP BY 1),
+        |c AS (SELECT l_partkey, cents,
+        |    sum(CAST(cents AS HUGEINT)) OVER (ORDER BY cents DESC, l_partkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    (SELECT sum(CAST(cents AS HUGEINT)) FROM rev) AS tot
+        |  FROM rev),
+        |cl AS (SELECT
+        |    CASE WHEN (cum * 1000000) // tot <= 800000 THEN 'A'
+        |         WHEN (cum * 1000000) // tot <= 950000 THEN 'B'
+        |         ELSE 'C' END AS abc_class, cents
+        |  FROM c)
+        |SELECT abc_class, count(*) AS n_keys,
+        |  CAST(sum(CAST(cents AS HUGEINT)) AS BIGINT) AS cents
+        |FROM cl GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // cohort = per-user min day; cells exact; cum over the cell frame
     "q291_cohort_revenue" ->
       """WITH b AS (

@@ -19,6 +19,16 @@ import graft.QueryHelpers._
 private[graft] object QueriesCuration {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // LSH RECALL/PRECISION audit: banding quality against the
+    // exhaustive exact-Jaccard ground truth (q194's calibration
+    // audits the estimator; this audits the candidate generator).
+    // The fixture corpus IS the eval sample — at crawl scale the
+    // operator contract is a deterministic sample (see its scaladoc).
+    "q302_lsh_recall" -> ((s, d) =>
+      Dedup.lshRecallAudit(docsSpread(s, d),
+        "doc_id", "text", threshold = 0.5, k = 16, bands = 4,
+        shingleN = 3, portable = true)),
+
     // ANN RECALL audit: recall@10 of the PQ/ADC index against the
     // brute-force ground truth, per query — the eval every index
     // deployment runs; both sides individually gated (q49, q84).
@@ -1582,6 +1592,9 @@ private[graft] object QueriesCuration {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // exhaustive shingle-join truth + the q45 banding CTEs + counts
+    "q302_lsh_recall" -> LshRecallOracleSql,
+
     // both sides individually gated (q49 brute, q84 PQ); the recall
     // join composes their oracle CTEs verbatim
     "q296_ann_recall" ->

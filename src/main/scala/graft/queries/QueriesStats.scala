@@ -21,6 +21,29 @@ import graft.QueryHelpers._
 private[graft] object QueriesStats {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // QUANTILE TREATMENT EFFECT: exact per-arm p50/p90 of per-user
+    // purchase cents and their difference — the A/B readout on the
+    // TAILS that the mean-based q282/q292 can't see.
+    "q301_qte" -> ((s, d) => {
+      val per = T(s, d, "events")
+        .filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+        .select(when(col("user_id") % 2 === 0, "a").otherwise("b").as("g"),
+          col("cents"), col("user_id"))
+      val q = graft.ext.Sampling.exactQuantilesByKey(
+        per, "g", "cents", "user_id", Seq(500L, 900L))
+      val a = q.filter(col("g") === "a")
+        .select(col("q_permille"), col("n").as("n_a"), col("q_value").as("value_a"))
+      val b = q.filter(col("g") === "b")
+        .select(col("q_permille"), col("n").as("n_b"), col("q_value").as("value_b"))
+      a.join(b, Seq("q_permille"))
+        .select(col("q_permille"), col("n_a"), col("n_b"),
+          col("value_a"), col("value_b"),
+          (col("value_a") - col("value_b")).as("qte"))
+        .orderBy(col("q_permille"))
+    }),
+
     // COVARIATE BALANCE: standardized mean difference of the
     // pre-period (first-half) revenue between the user_id-parity arms
     // — the check that gates q202's CUPED adjustment.
@@ -739,6 +762,26 @@ private[graft] object QueriesStats {
     }))
 
   def oracleSql: Map[String, String] = Map(
+    // per-arm q255 rank rule + arm join
+    "q301_qte" ->
+      """WITH per AS (
+        |  SELECT CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END AS g,
+        |    sum(CAST(round(value * 100) AS BIGINT)) AS cents, user_id
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+        |r AS (SELECT g, cents,
+        |    row_number() OVER (PARTITION BY g ORDER BY cents, user_id) AS rk,
+        |    count(*) OVER (PARTITION BY g) AS n
+        |  FROM per),
+        |q(q_permille) AS (VALUES (500), (900)),
+        |x AS (SELECT r.g, q.q_permille, r.n, CAST(r.cents AS DOUBLE) AS v
+        |  FROM r JOIN q ON r.rk = greatest(1, (q.q_permille * r.n + 999) // 1000))
+        |SELECT CAST(a.q_permille AS BIGINT) AS q_permille,
+        |  CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
+        |  a.v AS value_a, b.v AS value_b, a.v - b.v AS qte
+        |FROM x a JOIN x b ON b.q_permille = a.q_permille
+        |WHERE a.g = 'a' AND b.g = 'b'
+        |ORDER BY q_permille""".stripMargin,
+
     // the clique+ladder fixture and six peel rounds, join-for-join
     "q297_kcore" -> KcoreOracleSql,
 

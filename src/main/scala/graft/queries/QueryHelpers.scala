@@ -840,4 +840,60 @@ private[graft] object QueryHelpers {
        |SELECT a AS node, count(*) AS degree FROM e6 GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+
+  /** DuckDB replay of the q302 LSH recall/precision audit: exhaustive
+    * exact-Jaccard ground truth via the shared-shingle join (complete
+    * for J > 0 — any such pair shares a shingle), the q45 signature/
+    * banding CTEs for the candidates, one (a, b) overlap count. */
+  private[graft] val LshRecallOracleSql: String = {
+    val k = 16; val bands = 4; val r = k / bands
+    val hCols = (0 until k).map(i => s"min(ha + $i * hb) AS h$i").mkString(",\n    ")
+    val bandSelects = (0 until bands).map { b =>
+      val parts = (0 until r).map(i => s"h${b * r + i}").mkString(", '|', ")
+      s"SELECT doc_id, $b AS band, md5(concat('$b', '|', $parts)) AS bh FROM sig"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH tk AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS tokens FROM documents),
+      |sh AS (
+      |  SELECT doc_id, CASE WHEN len(tokens) >= 3 THEN list_distinct(list_transform(range(1, len(tokens) - 1), i -> array_to_string(tokens[i:i+2], ' '))) ELSE [] END AS s FROM tk),
+      |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+      |shared AS (
+      |  SELECT a.doc_id AS a, b.doc_id AS b FROM ex a
+      |  JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      |sized AS (SELECT doc_id, s, len(s) AS n FROM sh),
+      |truth AS (
+      |  SELECT shared.a, shared.b FROM shared
+      |  JOIN sized sa ON sa.doc_id = shared.a JOIN sized sb ON sb.doc_id = shared.b
+      |  WHERE CASE WHEN sa.n + sb.n - len(list_intersect(sa.s, sb.s)) = 0 THEN 0.0
+      |    ELSE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+      |      / CAST(sa.n + sb.n - len(list_intersect(sa.s, sb.s)) AS DOUBLE) END >= 0.5),
+      |hx AS (SELECT doc_id,
+      |    CAST(concat('0x', substring(md5(concat('0', '|', g)), 1, 14)) AS BIGINT) AS ha,
+      |    CAST(concat('0x', substring(md5(concat('0', '|', g)), 17, 14)) AS BIGINT) AS hb
+      |  FROM ex),
+      |sig AS (SELECT doc_id,
+      |    $hCols
+      |  FROM hx GROUP BY doc_id),
+      |bands AS (
+      |  $bandSelects),
+      |cand AS (
+      |  SELECT ba.doc_id AS a, bb.doc_id AS b FROM bands ba
+      |  JOIN bands bb ON ba.band = bb.band AND ba.bh = bb.bh AND ba.doc_id < bb.doc_id
+      |  GROUP BY 1, 2),
+      |cnt AS (SELECT
+      |    (SELECT count(*) FROM truth) AS n_truth,
+      |    (SELECT count(*) FROM cand) AS n_candidates,
+      |    (SELECT count(*) FROM truth t JOIN cand c ON c.a = t.a AND c.b = t.b) AS n_hit)
+      |SELECT CAST(n_truth AS BIGINT) AS n_truth,
+      |  CAST(n_candidates AS BIGINT) AS n_candidates,
+      |  CAST(n_hit AS BIGINT) AS n_hit,
+      |  CASE WHEN n_truth > 0
+      |    THEN CAST((CAST(n_hit AS HUGEINT) * 1000000) // n_truth AS BIGINT)
+      |    ELSE NULL END AS recall_ppm,
+      |  CASE WHEN n_candidates > 0
+      |    THEN CAST((CAST(n_hit AS HUGEINT) * 1000000) // n_candidates AS BIGINT)
+      |    ELSE NULL END AS precision_ppm
+      |FROM cnt""".stripMargin
+  }
+
 }

@@ -792,4 +792,30 @@ class DedupSpec extends SparkSpec {
     assert(out(3L) == ((1L, 0L, Some(1000000L))), s"doc3 ${out(3L)}")
     assert(out(4L) == ((0L, 0L, None)), s"doc4 ${out(4L)}")
   }
+
+  test("lshRecallAudit: candidates vs exhaustive truth on a planted corpus") {
+    import spark.implicits._
+    // two exact near-dup pairs + unrelated docs
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),     // J(1,2) = 1
+      (3L, "one two three four five six seven"),
+      (4L, "one two three four five six eight"),       // high overlap
+      (5L, "completely different words entirely here"),
+      (6L, "nothing shared with anything else at all"))
+    val out = Dedup.lshRecallAudit(docs.toDF("id", "text"), "id", "text",
+      threshold = 0.5, k = 16, bands = 4, shingleN = 3, portable = true)
+      .collect().head
+    val nTruth = out.getAs[Long]("n_truth")
+    val nCand = out.getAs[Long]("n_candidates")
+    val nHit = out.getAs[Long]("n_hit")
+    assert(nTruth >= 1L)          // (1,2) is J = 1 by construction
+    assert(nHit <= nTruth && nHit <= nCand)
+    assert(out.getAs[Long]("recall_ppm") == nHit * 1000000L / nTruth)
+    assert(out.getAs[Long]("precision_ppm") == nHit * 1000000L / nCand)
+    // identical docs share every band: (1,2) must be a candidate AND a
+    // hit, so recall is strictly positive
+    assert(nHit >= 1L)
+  }
+
 }

@@ -312,4 +312,20 @@ class SamplingSpec extends SparkSpec {
     assert(out.getAs[Long]("b") == 4L)
     assert(out.getAs[Double]("ci_lo") <= out.getAs[Double]("ci_hi"))
   }
+
+  test("cumulativeShare: exact running share in (value desc, key asc) order") {
+    import spark.implicits._
+    val rows = Seq(("a", 50L), ("b", 30L), ("c", 15L), ("d", 5L), ("e", 30L))
+    val out = Sampling.cumulativeShare(rows.toDF("k", "v"), "k", "v")
+      .collect().map(r => r.getAs[String]("k") -> r).toMap
+    // order: a(50) b(30) e(30) c(15) d(5); total 130
+    assert(out("a").getAs[Long]("cum_value") == 50L)
+    assert(out("a").getAs[Long]("cum_share_ppm") == 50L * 1000000L / 130L)
+    assert(out("b").getAs[Long]("cum_value") == 80L)
+    assert(out("e").getAs[Long]("cum_value") == 110L)   // tie after b by key
+    assert(out("c").getAs[Long]("cum_value") == 125L)
+    assert(out("d").getAs[Long]("cum_value") == 130L)
+    assert(out("d").getAs[Long]("cum_share_ppm") == 1000000L)
+  }
+
 }
