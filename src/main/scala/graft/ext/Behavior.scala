@@ -602,4 +602,30 @@ object Behavior {
         PortableDiv.nonNeg(col("n_ended").cast(Dec) * lit(1000000L),
           col("n_at_risk").cast(Dec)).as("hazard_ppm"))
   }
+
+
+  /** NEW-vs-RETURNING daily mix — the DAU decomposition every growth
+    * dashboard opens with: per day, active users, first-ever-seen
+    * users, returning users, and the new share as exact floor ppm.
+    * First-seen day comes from one user aggregate; the daily cells
+    * from one (day, is-new) aggregate over the user×day distinct
+    * frame. Returns (day, n_active, n_new, n_returning, new_ppm).
+    *
+    * Scale shape: one user aggregate + one user-keyed equi-join + one
+    * day-domain cell aggregate — all on the user key; no windows. */
+  def newVsReturning(df: DataFrame, userCol: String,
+      dayCol: String): DataFrame = {
+    val Dec = "decimal(38,0)"
+    val ud = df.select(col(userCol).as("__u"),
+      col(dayCol).cast("long").as("__d")).distinct()
+    val first = ud.groupBy(col("__u")).agg(min(col("__d")).as("__fd"))
+    ud.join(first, Seq("__u"))
+      .groupBy(col("__d").as("day"))
+      .agg(count(lit(1)).as("n_active"),
+        sum(when(col("__d") === col("__fd"), 1L).otherwise(0L)).as("n_new"))
+      .select(col("day"), col("n_active"), col("n_new"),
+        (col("n_active") - col("n_new")).as("n_returning"),
+        PortableDiv.nonNeg(col("n_new").cast(Dec) * lit(1000000L),
+          col("n_active").cast(Dec)).as("new_ppm"))
+  }
 }

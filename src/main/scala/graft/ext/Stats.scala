@@ -929,4 +929,38 @@ object Stats {
       when(ok, floorDiv(num * lit(1000L), den))
         .otherwise(lit(null).cast("long")).as("did_milli"))
   }
+
+
+  /** MINIMUM DETECTABLE EFFECT for the two-proportion test — the
+    * power-analysis readout an experimentation pipeline publishes
+    * NEXT TO every A/B result ([[twoProportionZ]] answers "did it
+    * move?", this answers "how small a move could we even have
+    * seen?"): MDE = (z_α/2 + z_β)·√(p̂(1−p̂)·(1/n_a + 1/n_b)) at
+    * α = 5 % two-sided and 80 % power (the industry defaults,
+    * embedded as exact double literals), with p̂ the pooled rate.
+    * One IEEE double expression over four exact counts, floor ppm;
+    * the exact floor-ppm pooled rate reported alongside. NULL when
+    * either n is 0 or p̂ ∈ {0, 1}. Returns ONE row:
+    * (n_a, n_b, pooled_rate_ppm, mde_ppm).
+    *
+    * Scale shape: pure arithmetic on one pre-aggregated counts row —
+    * composes with any counting pipeline (the twoProportionZ rule). */
+  def minDetectableEffect(counts: DataFrame, nACol: String, xACol: String,
+      nBCol: String, xBCol: String): DataFrame = {
+    val (na, xa) = (col(nACol).cast("long"), col(xACol).cast("long"))
+    val (nb, xb) = (col(nBCol).cast("long"), col(xBCol).cast("long"))
+    val (naD, nbD) = (na.cast("double"), nb.cast("double"))
+    val p = (xa + xb).cast("double") / (na + nb).cast("double")
+    // z_{0.975} and z_{0.80}: standard-normal quantiles as exact
+    // double literals (both engines parse the identical bits)
+    val z = lit(1.959963984540054) + lit(0.8416212335729143)
+    val mde = z * sqrt(p * (lit(1.0) - p) *
+      (lit(1.0) / naD + lit(1.0) / nbD))
+    val ok = na > 0L && nb > 0L && (xa + xb) > 0L && (xa + xb) < (na + nb)
+    counts.select(na.as("n_a"), nb.as("n_b"),
+      PortableDiv.nonNeg((xa + xb).cast(Dec) * lit(1000000L),
+        (na + nb).cast(Dec)).as("pooled_rate_ppm"),
+      when(ok, floor(lit(1000000.0) * mde).cast("long"))
+        .otherwise(lit(null).cast("long")).as("mde_ppm"))
+  }
 }

@@ -19,6 +19,36 @@ import graft.QueryHelpers._
 private[graft] object QueriesAnalytics {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // POINT-IN-TIME feature join — the feature-store correctness
+    // primitive: each purchase enriched with the user's SCD2 state
+    // (last event type) AS OF the purchase instant; zero-length
+    // intervals (two changes at one ts) drop so the as-of match is
+    // unique, leakage-free by construction (backward join: state
+    // from the FUTURE can never attach).
+    "q303_pit_join" -> ((s, d) => {
+      val ev = T(s, d, "events")
+      val dim = graft.ext.History.scd2(ev, "user_id", "ts", "event_type",
+          "event_id")
+        .filter(col("valid_to").isNull || col("valid_to") > col("valid_from"))
+        .select(col("user_id").as("d_user"), col("event_type").as("state"),
+          col("valid_from"))
+      val facts = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      graft.operators.AsOfJoin.backward(
+          facts, "user_id", "ts", dim, "d_user", "valid_from")
+        .select(col("event_id"), col("user_id"), col("state"),
+          col("valid_from"))
+        .orderBy(col("event_id"))
+    }),
+
+    // NEW vs RETURNING daily mix: the DAU decomposition, exact ppm.
+    "q305_new_returning" -> ((s, d) =>
+      graft.ext.Behavior.newVsReturning(
+        T(s, d, "events").select(col("user_id"),
+          dayofmonth(col("ts")).cast("long").as("day")),
+        "user_id", "day")
+        .orderBy(col("day"))),
+
     // BOUNCE RATE: share of 30-min-gap sessions with exactly one event
     // — the q38 sessionizer rolled up to the product KPI.
     "q298_bounce_rate" -> ((s, d) => {
@@ -1327,6 +1357,41 @@ private[graft] object QueriesAnalytics {
     }))
 
   def oracleSql: Map[String, String] = Map(
+    // SCD2 change rows (zero-length dropped) + DuckDB ASOF backward
+    "q303_pit_join" ->
+      """WITH ch AS (
+        |  SELECT user_id, event_type, ts,
+        |    lag(event_type) OVER w AS prev,
+        |    row_number() OVER w AS rn
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |scd AS (
+        |  SELECT user_id, event_type AS state, ts AS valid_from,
+        |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, rn) AS valid_to
+        |  FROM ch WHERE rn = 1 OR event_type IS DISTINCT FROM prev),
+        |dim AS (SELECT user_id, state, valid_from FROM scd
+        |  WHERE valid_to IS NULL OR valid_to > valid_from),
+        |facts AS (SELECT event_id, user_id, ts FROM events
+        |  WHERE event_type = 'purchase')
+        |SELECT f.event_id, f.user_id, d.state, d.valid_from
+        |FROM facts f ASOF LEFT JOIN dim d
+        |  ON f.user_id = d.user_id AND f.ts >= d.valid_from
+        |ORDER BY event_id""".stripMargin,
+
+    // first-seen day per user, day cells, exact ppm
+    "q305_new_returning" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, CAST(date_part('day', ts) AS BIGINT) AS d
+        |  FROM events),
+        |f AS (SELECT user_id, min(d) AS fd FROM ud GROUP BY 1),
+        |c AS (SELECT ud.d AS day, count(*) AS n_active,
+        |    sum(CASE WHEN ud.d = f.fd THEN 1 ELSE 0 END) AS n_new
+        |  FROM ud JOIN f ON f.user_id = ud.user_id GROUP BY 1)
+        |SELECT day, CAST(n_active AS BIGINT) AS n_active,
+        |  CAST(n_new AS BIGINT) AS n_new,
+        |  CAST(n_active - n_new AS BIGINT) AS n_returning,
+        |  CAST((CAST(n_new AS HUGEINT) * 1000000) // n_active AS BIGINT) AS new_ppm
+        |FROM c ORDER BY day""".stripMargin,
+
     // the q38 session CTEs rolled up to one KPI row
     "q298_bounce_rate" ->
       """WITH f AS (

@@ -21,6 +21,25 @@ import graft.QueryHelpers._
 private[graft] object QueriesStats {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // MINIMUM DETECTABLE EFFECT at the q282 experiment's sample sizes
+    // — "how small a conversion move could this split even see?"
+    "q304_mde" -> ((s, d) => {
+      val per = T(s, d, "events")
+        .select(col("user_id"),
+          when(col("ts") < lit("2024-01-16 00:00:00").cast("timestamp"),
+            lit("h1")).otherwise(lit("h2")).as("h"),
+          col("event_type"))
+        .groupBy(col("user_id"), col("h"))
+        .agg(max(when(col("event_type") === "purchase", 1).otherwise(0))
+          .as("__pur"))
+      val counts = per.agg(
+        sum(when(col("h") === "h1", 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("h") === "h1", col("__pur").cast("long")).otherwise(0L)).as("x_a"),
+        sum(when(col("h") === "h2", 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("h") === "h2", col("__pur").cast("long")).otherwise(0L)).as("x_b"))
+      graft.ext.Stats.minDetectableEffect(counts, "n_a", "x_a", "n_b", "x_b")
+    }),
+
     // QUANTILE TREATMENT EFFECT: exact per-arm p50/p90 of per-user
     // purchase cents and their difference — the A/B readout on the
     // TAILS that the mean-based q282/q292 can't see.
@@ -762,6 +781,31 @@ private[graft] object QueriesStats {
     }))
 
   def oracleSql: Map[String, String] = Map(
+    // the q282 counts + one IEEE double expression, floor ppm
+    "q304_mde" ->
+      """WITH per AS (
+        |  SELECT user_id,
+        |    CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 'h1' ELSE 'h2' END AS h,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS pur
+        |  FROM events GROUP BY 1, 2),
+        |c AS (SELECT
+        |    sum(CASE WHEN h = 'h1' THEN 1 ELSE 0 END) AS na,
+        |    sum(CASE WHEN h = 'h1' THEN pur ELSE 0 END) AS xa,
+        |    sum(CASE WHEN h = 'h2' THEN 1 ELSE 0 END) AS nb,
+        |    sum(CASE WHEN h = 'h2' THEN pur ELSE 0 END) AS xb
+        |  FROM per),
+        |e AS (SELECT *,
+        |    CAST(xa + xb AS DOUBLE) / CAST(na + nb AS DOUBLE) AS p
+        |  FROM c)
+        |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+        |  CAST((CAST(xa + xb AS HUGEINT) * 1000000) // (na + nb) AS BIGINT) AS pooled_rate_ppm,
+        |  CASE WHEN na > 0 AND nb > 0 AND xa + xb > 0 AND xa + xb < na + nb
+        |    THEN CAST(floor(1000000.0 * ((1.959963984540054 + 0.8416212335729143)
+        |      * sqrt(p * (1.0 - p) * (1.0 / CAST(na AS DOUBLE) + 1.0 / CAST(nb AS DOUBLE)))))
+        |      AS BIGINT)
+        |    ELSE NULL END AS mde_ppm
+        |FROM e""".stripMargin,
+
     // per-arm q255 rank rule + arm join
     "q301_qte" ->
       """WITH per AS (

@@ -376,4 +376,19 @@ class BehaviorSpec extends SparkSpec {
     assert(out(5L).getAs[Long]("n_at_risk") == 1L)
     assert(out(5L).getAs[Long]("hazard_ppm") == 1000000L)
   }
+
+  test("newVsReturning: first day is new, later days returning; dups collapse") {
+    import spark.implicits._
+    val rows = Seq((1L, 1L), (1L, 1L), (1L, 2L), (2L, 2L), (2L, 3L), (3L, 3L))
+    val out = Behavior.newVsReturning(rows.toDF("u", "d"), "u", "d")
+      .collect().map(r => r.getAs[Long]("day") -> r).toMap
+    assert(out(1L).getAs[Long]("n_active") == 1L &&
+      out(1L).getAs[Long]("n_new") == 1L)
+    assert(out(2L).getAs[Long]("n_active") == 2L)
+    assert(out(2L).getAs[Long]("n_new") == 1L)       // u2 new, u1 returning
+    assert(out(2L).getAs[Long]("new_ppm") == 500000L)
+    assert(out(3L).getAs[Long]("n_new") == 1L)       // u3 new, u2 returning
+    assert(out(3L).getAs[Long]("n_returning") == 1L)
+  }
+
 }

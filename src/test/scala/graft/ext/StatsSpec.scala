@@ -585,4 +585,21 @@ class StatsSpec extends SparkSpec {
         .toDF("g", "p", "v"), "g", "a", "b", "p", "v").collect().head
     assert(miss.isNullAt(miss.fieldIndex("did_milli")))
   }
+
+  test("minDetectableEffect: replay of the closed form; degenerate pools NULL") {
+    import spark.implicits._
+    val out = Stats.minDetectableEffect(
+      Seq((200L, 60L, 200L, 40L)).toDF("na", "xa", "nb", "xb"),
+      "na", "xa", "nb", "xb").collect().head
+    val p = 100.0 / 400.0
+    val mde = (1.959963984540054 + 0.8416212335729143) *
+      math.sqrt(p * (1.0 - p) * (1.0 / 200.0 + 1.0 / 200.0))
+    assert(out.getAs[Long]("pooled_rate_ppm") == 250000L)
+    assert(out.getAs[Long]("mde_ppm") == math.floor(1000000.0 * mde).toLong)
+    val allWin = Stats.minDetectableEffect(
+      Seq((10L, 10L, 10L, 10L)).toDF("na", "xa", "nb", "xb"),
+      "na", "xa", "nb", "xb").collect().head
+    assert(allWin.isNullAt(allWin.fieldIndex("mde_ppm")))
+  }
+
 }
