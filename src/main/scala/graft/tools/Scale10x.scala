@@ -209,7 +209,18 @@ object Scale10x {
       "q288_event_trigrams", "q289_label_vote", "q290_vocab_overlap",
       "q291_cohort_revenue", "q292_covariate_balance",
       "q293_churn_tenure", "q294_assortativity", "q295_diff_in_diff",
-      "q296_ann_recall")
+      "q296_ann_recall",
+      // r11 sessions 6-7. Bounce/time-to-convert/new-returning/PIT
+      // ride user-keyed windows and aggregates (×10 users, constant
+      // per-user work); ABC's cumulative share runs over the ×10 part
+      // domain; QTE/MDE collapse to per-arm rank passes / one counts
+      // row. q302's ground-truth join is the DOCUMENTED quadratic-in-
+      // hot-shingles term — replica vocabularies are disjoint, so
+      // pairs scale ×10 with the corpus here (the eval-sample
+      // contract is what bounds it in production).
+      "q298_bounce_rate", "q299_time_to_convert", "q300_abc_classes",
+      "q301_qte", "q302_lsh_recall", "q303_pit_join", "q304_mde",
+      "q305_new_returning")
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
