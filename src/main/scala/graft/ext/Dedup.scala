@@ -1560,7 +1560,10 @@ object Dedup {
     *
     * Scale shape (on the sample): shingle self-join for truth,
     * signature aggregate + band join for candidates, one (a, b)
-    * equi-join between the two pair sets, one counting reduction. */
+    * equi-join between the two pair sets, one counting reduction.
+    * Cache note (the minhashCalibration rule): the shared shingle
+    * frame persists for the call and is session-owned — sweep
+    * callers materialize the one-row result and clearCache. */
   def lshRecallAudit(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.5, k: Int = 16, bands: Int = 4,
       shingleN: Int = 3, portable: Boolean = false): DataFrame = {

@@ -822,8 +822,11 @@ object Sampling {
       .crossJoin(broadcast(grand))
       .select(col(keyCol), col("__v").as(valueCol),
         (col("__off") + col("__cum")).cast(Dec).cast("long").as("cum_value"),
-        PortableDiv.nonNeg((col("__off") + col("__cum")).cast(Dec) * lit(1000000L),
-          col("__total")).as("cum_share_ppm"))
+        // an all-zero measure has no shares — NULL, not a div-by-zero
+        when(col("__total") > 0L,
+          PortableDiv.nonNeg((col("__off") + col("__cum")).cast(Dec) * lit(1000000L),
+            col("__total")))
+          .otherwise(lit(null).cast("long")).as("cum_share_ppm"))
   }
 
 }

@@ -732,8 +732,10 @@ object Stats {
       sqrt(p * (lit(1.0) - p) * (lit(1.0) / naD + lit(1.0) / nbD))
     val ok = na > 0L && nb > 0L && (xa + xb) > 0L && (xa + xb) < (na + nb)
     counts.select(na.as("n_a"), xa.as("x_a"), nb.as("n_b"), xb.as("x_b"),
-      floorDiv(xa.cast(Dec) * lit(1000000L), na.cast(Dec)).as("rate_a_ppm"),
-      floorDiv(xb.cast(Dec) * lit(1000000L), nb.cast(Dec)).as("rate_b_ppm"),
+      when(na > 0L, floorDiv(xa.cast(Dec) * lit(1000000L), na.cast(Dec)))
+        .otherwise(lit(null).cast("long")).as("rate_a_ppm"),
+      when(nb > 0L, floorDiv(xb.cast(Dec) * lit(1000000L), nb.cast(Dec)))
+        .otherwise(lit(null).cast("long")).as("rate_b_ppm"),
       when(ok, floor(lit(1000.0) * z).cast("long"))
         .otherwise(lit(null).cast("long")).as("z_milli"))
   }
@@ -867,8 +869,12 @@ object Stats {
     val smd = (sa / na - sb / nb) / sqrt((va + vb) / lit(2.0))
     val ok = col("n_a") >= 2L && col("n_b") >= 2L
     agg.select(col("n_a"), col("n_b"),
-      floorDiv(col("__sa") * lit(1000L), col("n_a").cast(Dec)).as("mean_a_milli"),
-      floorDiv(col("__sb") * lit(1000L), col("n_b").cast(Dec)).as("mean_b_milli"),
+      when(col("n_a") > 0L,
+        floorDiv(col("__sa") * lit(1000L), col("n_a").cast(Dec)))
+        .otherwise(lit(null).cast("long")).as("mean_a_milli"),
+      when(col("n_b") > 0L,
+        floorDiv(col("__sb") * lit(1000L), col("n_b").cast(Dec)))
+        .otherwise(lit(null).cast("long")).as("mean_b_milli"),
       when(ok && (va + vb) > 0.0,
         floor(lit(1000.0) * smd).cast("long"))
         .otherwise(lit(null).cast("long")).as("smd_milli"))
@@ -958,8 +964,10 @@ object Stats {
       (lit(1.0) / naD + lit(1.0) / nbD))
     val ok = na > 0L && nb > 0L && (xa + xb) > 0L && (xa + xb) < (na + nb)
     counts.select(na.as("n_a"), nb.as("n_b"),
-      PortableDiv.nonNeg((xa + xb).cast(Dec) * lit(1000000L),
-        (na + nb).cast(Dec)).as("pooled_rate_ppm"),
+      when((na + nb) > 0L,
+        PortableDiv.nonNeg((xa + xb).cast(Dec) * lit(1000000L),
+          (na + nb).cast(Dec)))
+        .otherwise(lit(null).cast("long")).as("pooled_rate_ppm"),
       when(ok, floor(lit(1000000.0) * mde).cast("long"))
         .otherwise(lit(null).cast("long")).as("mde_ppm"))
   }

@@ -328,4 +328,13 @@ class SamplingSpec extends SparkSpec {
     assert(out("d").getAs[Long]("cum_share_ppm") == 1000000L)
   }
 
+
+  test("cumulativeShare: an all-zero measure reads NULL shares, not an error") {
+    import spark.implicits._
+    val out = Sampling.cumulativeShare(
+      Seq(("a", 0L), ("b", 0L)).toDF("k", "v"), "k", "v").collect()
+    assert(out.length == 2)
+    assert(out.forall(_.isNullAt(out.head.fieldIndex("cum_share_ppm"))))
+  }
+
 }

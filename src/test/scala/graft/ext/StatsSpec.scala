@@ -602,4 +602,28 @@ class StatsSpec extends SparkSpec {
     assert(allWin.isNullAt(allWin.fieldIndex("mde_ppm")))
   }
 
+
+  test("degenerate inputs read NULL, never a division error") {
+    import spark.implicits._
+    // SMD with an empty arm: means/smd NULL
+    val oneArm = Stats.standardizedMeanDiff(
+      Seq(("a", 1L), ("a", 2L)).toDF("g", "v"), "g", "a", "b", "v")
+      .collect().head
+    assert(oneArm.getAs[Long]("n_b") == 0L)
+    assert(oneArm.isNullAt(oneArm.fieldIndex("mean_b_milli")))
+    assert(oneArm.isNullAt(oneArm.fieldIndex("smd_milli")))
+    // two-proportion with an empty side: rates/z NULL on that side
+    val z = Stats.twoProportionZ(
+      Seq((0L, 0L, 10L, 5L)).toDF("na", "xa", "nb", "xb"),
+      "na", "xa", "nb", "xb").collect().head
+    assert(z.isNullAt(z.fieldIndex("rate_a_ppm")))
+    assert(z.getAs[Long]("rate_b_ppm") == 500000L)
+    // MDE over an empty experiment: everything NULL
+    val m = Stats.minDetectableEffect(
+      Seq((0L, 0L, 0L, 0L)).toDF("na", "xa", "nb", "xb"),
+      "na", "xa", "nb", "xb").collect().head
+    assert(m.isNullAt(m.fieldIndex("pooled_rate_ppm")))
+    assert(m.isNullAt(m.fieldIndex("mde_ppm")))
+  }
+
 }
