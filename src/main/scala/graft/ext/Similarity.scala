@@ -755,16 +755,6 @@ object Similarity {
     topKPerQuery(scored, col("__id"), col("cosine"), "cosine", k)
   }
 
-  /** Reciprocal-rank FUSION (Cormack et al. 2009) of candidate
-    * rankings — the hybrid-retrieval combiner (lexical BM25 list +
-    * semantic ANN list → one ranking) that needs no score
-    * calibration: each list contributes 1/(c + rank), here as the
-    * floor integer 1000 div (c + rank) so the fused scores replay in
-    * any engine. Inputs are (idCol, rank) frames, rank 1-based within
-    * each list (top-N candidate pools — RRF is defined on ranks, not
-    * scores). One union + one hash aggregate + a bounded TakeOrdered.
-    * Returns (idCol, rrf_milli, n_lists) — n_lists tells how many
-    * pools surfaced the id (agreement is itself a signal). */
   /** RECALL audit between two ranked retrievals — the eval every ANN
     * index deployment runs before trusting the approximation: per
     * query, how many of the ground truth's top-k did the candidate
@@ -791,6 +781,16 @@ object Similarity {
           lit(k.toDouble)).cast("long").as("recall_ppm"))
   }
 
+  /** Reciprocal-rank FUSION (Cormack et al. 2009) of candidate
+    * rankings — the hybrid-retrieval combiner (lexical BM25 list +
+    * semantic ANN list → one ranking) that needs no score
+    * calibration: each list contributes 1/(c + rank), here as the
+    * floor integer 1000 div (c + rank) so the fused scores replay in
+    * any engine. Inputs are (idCol, rank) frames, rank 1-based within
+    * each list (top-N candidate pools — RRF is defined on ranks, not
+    * scores). One union + one hash aggregate + a bounded TakeOrdered.
+    * Returns (idCol, rrf_milli, n_lists) — n_lists tells how many
+    * pools surfaced the id (agreement is itself a signal). */
   def rrfFuse(rankings: Seq[DataFrame], idCol: String, k: Int,
       c: Int = 10): DataFrame = {
     require(rankings.nonEmpty, "rrfFuse needs at least one ranking")

@@ -851,15 +851,18 @@ object Stats {
   def standardizedMeanDiff(df: DataFrame, groupCol: String,
       groupA: String, groupB: String, valueCol: String): DataFrame = {
     val v = col(valueCol).cast("long")
+    // square AFTER the decimal cast (the welchT shape) — v*v in
+    // LongType overflows int64 at |v| >= ~3.04e9 and ANSI Spark throws
+    val vd = v.cast(Dec)
     val isA = col(groupCol) === groupA
     val isB = col(groupCol) === groupB
     val agg = df.filter(v.isNotNull && (isA || isB)).agg(
       sum(when(isA, 1L).otherwise(0L)).as("n_a"),
       sum(when(isA, v).otherwise(0L).cast(Dec)).cast(Dec).as("__sa"),
-      sum(when(isA, v * v).otherwise(0L).cast(Dec)).cast(Dec).as("__sa2"),
+      sum(when(isA, vd * vd).otherwise(lit(0L).cast(Dec))).cast(Dec).as("__sa2"),
       sum(when(isB, 1L).otherwise(0L)).as("n_b"),
       sum(when(isB, v).otherwise(0L).cast(Dec)).cast(Dec).as("__sb"),
-      sum(when(isB, v * v).otherwise(0L).cast(Dec)).cast(Dec).as("__sb2"))
+      sum(when(isB, vd * vd).otherwise(lit(0L).cast(Dec))).cast(Dec).as("__sb2"))
     val (na, nb) = (col("n_a").cast("double"), col("n_b").cast("double"))
     val (sa, sb) = (col("__sa").cast("double"), col("__sb").cast("double"))
     val (sa2, sb2) = (col("__sa2").cast("double"), col("__sb2").cast("double"))

@@ -58,7 +58,10 @@ private[graft] object QueriesAnalytics {
       sess.agg(count(lit(1)).as("n_sessions"),
           sum(when(col("n_events") === 1L, 1L).otherwise(0L)).as("n_bounce"))
         .select(col("n_sessions"), col("n_bounce"),
-          expr("(n_bounce * 1000000L) div n_sessions").as("bounce_ppm"))
+          when(col("n_sessions") > 0L, graft.ext.PortableDiv.nonNeg(
+              col("n_bounce").cast("decimal(38,0)") * lit(1000000L),
+              col("n_sessions").cast("decimal(38,0)")))
+            .otherwise(lit(null).cast("long")).as("bounce_ppm"))
     }),
 
     // TIME-TO-CONVERT: minutes from first signup to first subsequent
@@ -1408,7 +1411,9 @@ private[graft] object QueriesAnalytics {
         |    sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS n_bounce FROM g)
         |SELECT CAST(n_sessions AS BIGINT) AS n_sessions,
         |  CAST(n_bounce AS BIGINT) AS n_bounce,
-        |  CAST((CAST(n_bounce AS HUGEINT) * 1000000) // n_sessions AS BIGINT) AS bounce_ppm
+        |  CASE WHEN n_sessions > 0
+        |    THEN CAST((CAST(n_bounce AS HUGEINT) * 1000000) // n_sessions AS BIGINT)
+        |    ELSE NULL END AS bounce_ppm
         |FROM a""".stripMargin,
 
     // first signup -> first subsequent purchase; the q255 rank rule

@@ -79,8 +79,8 @@ private[graft] object QueryHelpers {
       |  SELECT doc_id, CASE WHEN len(tokens) >= 3 THEN list_distinct(list_transform(range(1, len(tokens) - 1), i -> array_to_string(tokens[i:i+2], ' '))) ELSE [] END AS s FROM tk),
       |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
       |hx AS (SELECT doc_id,
-      |    CAST(concat('0x', substring(md5(concat('0', '|', g)), 1, 14)) AS BIGINT) AS ha,
-      |    CAST(concat('0x', substring(md5(concat('0', '|', g)), 17, 14)) AS BIGINT) AS hb
+      |    CAST(concat('0x', substring(md5(concat_ws('|', '0', g)), 1, 14)) AS BIGINT) AS ha,
+      |    CAST(concat('0x', substring(md5(concat_ws('|', '0', g)), 17, 14)) AS BIGINT) AS hb
       |  FROM ex),
       |sig AS (SELECT doc_id,
       |    $hCols
@@ -127,8 +127,8 @@ private[graft] object QueryHelpers {
       |  SELECT side, doc_id, CASE WHEN len(tokens) >= 3 THEN list_distinct(list_transform(range(1, len(tokens) - 1), i -> array_to_string(tokens[i:i+2], ' '))) ELSE [] END AS s FROM tk),
       |ex AS (SELECT side, doc_id, unnest(s) AS g FROM sh),
       |hx AS (SELECT side, doc_id,
-      |    CAST(concat('0x', substring(md5(concat('0', '|', g)), 1, 14)) AS BIGINT) AS ha,
-      |    CAST(concat('0x', substring(md5(concat('0', '|', g)), 17, 14)) AS BIGINT) AS hb
+      |    CAST(concat('0x', substring(md5(concat_ws('|', '0', g)), 1, 14)) AS BIGINT) AS ha,
+      |    CAST(concat('0x', substring(md5(concat_ws('|', '0', g)), 17, 14)) AS BIGINT) AS hb
       |  FROM ex),
       |sig AS (SELECT side, doc_id,
       |    $hCols
@@ -868,8 +868,8 @@ private[graft] object QueryHelpers {
       |    ELSE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
       |      / CAST(sa.n + sb.n - len(list_intersect(sa.s, sb.s)) AS DOUBLE) END >= 0.5),
       |hx AS (SELECT doc_id,
-      |    CAST(concat('0x', substring(md5(concat('0', '|', g)), 1, 14)) AS BIGINT) AS ha,
-      |    CAST(concat('0x', substring(md5(concat('0', '|', g)), 17, 14)) AS BIGINT) AS hb
+      |    CAST(concat('0x', substring(md5(concat_ws('|', '0', g)), 1, 14)) AS BIGINT) AS ha,
+      |    CAST(concat('0x', substring(md5(concat_ws('|', '0', g)), 17, 14)) AS BIGINT) AS hb
       |  FROM ex),
       |sig AS (SELECT doc_id,
       |    $hCols

@@ -562,6 +562,24 @@ class StatsSpec extends SparkSpec {
     assert(const.isNullAt(const.fieldIndex("smd_milli")))
   }
 
+  test("standardizedMeanDiff: |v| past the int64 square root does not overflow") {
+    import spark.implicits._
+    // v = 4e9: v*v = 1.6e19 > Long.MaxValue — the sum-of-squares must
+    // ride DECIMAL(38,0) BEFORE squaring (ANSI Spark throws
+    // ARITHMETIC_OVERFLOW on the long multiply; non-ANSI silently
+    // wraps). The decimal sums (counts, Σv, means) stay EXACT at this
+    // magnitude; smd itself is a documented one-IEEE-expression value
+    // (cancellation-dominated out here), so assert the exact decimal
+    // outputs and that the query runs, not a double identity.
+    val big = 4000000000L
+    val r = Stats.standardizedMeanDiff(
+      Seq(("a", big), ("a", big + 2L), ("b", big - 2L), ("b", big))
+        .toDF("g", "v"), "g", "a", "b", "v").collect().head
+    assert(r.getAs[Long]("n_a") == 2L && r.getAs[Long]("n_b") == 2L)
+    assert(r.getAs[Long]("mean_a_milli") == (big + 1L) * 1000L)
+    assert(r.getAs[Long]("mean_b_milli") == (big - 1L) * 1000L)
+  }
+
   test("diffInDiff: parallel trends read 0; known case exact; empty cell NULL") {
     import spark.implicits._
     // parallel: both arms gain exactly +5
