@@ -29,6 +29,15 @@ object Dedup {
     * gate's distributed-loop run to the driver path. */
   val DefaultLocalEdgeLimit: Int = 1 << 20
 
+  /** Default doc budget for [[lshRecallAudit]]'s enforced eval-sample
+    * contract: 2^17 documents. The audit's exhaustive ground truth is
+    * a deliberately UNCAPPED shared-shingle self-join (completeness
+    * for J > 0 requires it), whose pair count is Σ_shingle df² — fine
+    * on an eval sample, an explosion on a crawl corpus. Public for the
+    * same reason as [[DefaultLocalEdgeLimit]]: specs pin the refusal
+    * against THE boundary constant. */
+  val LshAuditMaxDocs: Long = 1L << 17
+
   /** Exact dedup: keep the row with the minimum `idCol` per duplicate
     * group (group = equal values of `keyCols`). Implemented as
     * row_number over a hash-partitioned window — one shuffle.
@@ -1563,13 +1572,42 @@ object Dedup {
     * equi-join between the two pair sets, one counting reduction.
     * Cache note (the minhashCalibration rule): the shared shingle
     * frame persists for the call and is session-owned — sweep
-    * callers materialize the one-row result and clearCache. */
+    * callers materialize the one-row result and clearCache.
+    *
+    * The eval-sample contract is ENFORCED, not advisory (the
+    * [[Similarity.mmrRerank]] explicit-budget rule): the input is
+    * counted through a short-circuiting `limit(maxDocs+1).count()`
+    * probe and the call REFUSES with a named error past `maxDocs`
+    * (default [[LshAuditMaxDocs]] = 2^17 — comfortably above the
+    * 10k–100k docs standard eval samples use, far below crawl-corpus
+    * scale where the uncapped truth join explodes). Callers holding a
+    * full corpus pass `sampleFraction` — a deterministic
+    * [[Sampling.deterministicSample]] on the doc id (seed 42, same
+    * `portable` arm as the signatures) applied BEFORE the probe, so
+    * the audit is replayable and the budget checks the frame the
+    * join actually sees. */
   def lshRecallAudit(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.5, k: Int = 16, bands: Int = 4,
-      shingleN: Int = 3, portable: Boolean = false): DataFrame = {
+      shingleN: Int = 3, portable: Boolean = false,
+      maxDocs: Long = LshAuditMaxDocs,
+      sampleFraction: Option[Double] = None): DataFrame = {
+    require(maxDocs >= 1L, s"maxDocs must be >= 1, got $maxDocs")
+    sampleFraction.foreach(f => require(f > 0.0 && f <= 1.0,
+      s"sampleFraction $f outside (0, 1]"))
+    val evalDocs = sampleFraction.fold(docs)(f =>
+      Sampling.deterministicSample(docs, idCol, f, seed = 42L,
+        portable = portable))
+    val cap = math.min(maxDocs, Int.MaxValue - 1L)
+    val probed = evalDocs.limit((cap + 1L).toInt).count()
+    require(probed <= maxDocs,
+      s"lshRecallAudit ground truth is a deliberately UNCAPPED " +
+      s"shared-shingle self-join — refusing >= $probed docs " +
+      s"(budget maxDocs=$maxDocs). Run the audit on a deterministic " +
+      "eval sample (pass sampleFraction), or raise maxDocs knowingly " +
+      "for a corpus whose shingle-sharing profile you have priced.")
     val Dec = "decimal(38,0)"
     val sh = TextOps.shingleRows(
-      docs.repartition(col(idCol)), idCol, textCol, shingleN)
+      evalDocs.repartition(col(idCol)), idCol, textCol, shingleN)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sets = sh.groupBy(col(idCol))
       .agg(collect_set(col("shingle")).as("__set"))

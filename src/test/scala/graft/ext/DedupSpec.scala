@@ -818,4 +818,51 @@ class DedupSpec extends SparkSpec {
     assert(nHit >= 1L)
   }
 
+  test("lshRecallAudit: the enforced doc budget refuses oversized input by name") {
+    import spark.implicits._
+    val docs = (1L to 8L).map(i => (i, s"alpha beta gamma delta word$i"))
+      .toDF("id", "text")
+    // over-budget input refuses BEFORE the uncapped truth join, with
+    // the named error (the mmrRerank explicit-budget pattern)
+    val err = intercept[IllegalArgumentException] {
+      Dedup.lshRecallAudit(docs, "id", "text", portable = true,
+        maxDocs = 4L).collect()
+    }
+    assert(err.getMessage.contains("lshRecallAudit"))
+    assert(err.getMessage.contains("maxDocs=4"))
+    assert(err.getMessage.contains("sampleFraction"))
+    // exactly at the budget: runs (the probe's +1 distinguishes
+    // at-the-cap from over-it)
+    val atCap = Dedup.lshRecallAudit(docs, "id", "text", portable = true,
+      maxDocs = 8L).collect().head
+    assert(atCap.getAs[Long]("n_truth") >= 0L)
+    // the default budget is THE published constant
+    assert(Dedup.LshAuditMaxDocs == (1L << 17))
+  }
+
+  test("lshRecallAudit: sampleFraction takes a deterministic eval sample pre-probe") {
+    import spark.implicits._
+    val docs = (1L to 40L).map(i => (i, s"alpha beta gamma delta word$i"))
+      .toDF("id", "text")
+    // the sample is applied BEFORE the budget probe: a fraction that
+    // lands under maxDocs lets an over-budget corpus run…
+    val sampled = Dedup.lshRecallAudit(docs, "id", "text", portable = true,
+      maxDocs = 20L, sampleFraction = Some(0.25)).collect().head
+    assert(sampled.getAs[Long]("n_truth") >= 0L)
+    // …and the sample is deterministic: same fraction+seed replays to
+    // the identical one-row audit
+    val replay = Dedup.lshRecallAudit(docs, "id", "text", portable = true,
+      maxDocs = 20L, sampleFraction = Some(0.25)).collect().head
+    assert(sampled == replay)
+    // full-corpus run on the same 40 docs still refuses at maxDocs=20
+    intercept[IllegalArgumentException] {
+      Dedup.lshRecallAudit(docs, "id", "text", portable = true,
+        maxDocs = 20L).collect()
+    }
+    // degenerate fractions refuse loudly
+    intercept[IllegalArgumentException] {
+      Dedup.lshRecallAudit(docs, "id", "text", sampleFraction = Some(0.0))
+    }
+  }
+
 }
