@@ -464,6 +464,36 @@ private[graft] object QueriesCore {
         .agg(count(lit(1)).as("cnt"), dsum(col("Amount")).as("sum_amount"))
         .orderBy(col("Industry"))),
 
+    // S7 THROUGH THE SQL PATH: a global COUNT/MIN/MAX over the
+    // connector collapses to ONE remote stats probe (DSv2 complete
+    // aggregate pushdown, the reference's sobject_size SOQL at
+    // salesforce/main.py:195) — the proof columns carry the transport
+    // call log: one stats call, ZERO id-cursor walks, ZERO row
+    // fetches. The oracle regenerates the fake org arithmetically
+    // (the q55 recipe) and pins the call counts as literals.
+    "q306_rest_agg_pushdown" -> ((s, d) => {
+      import graft.sources.rest.FakeTransport
+      FakeTransport.CallLog.clear()
+      val df = graft.sources.rest.RestOps.read(s, Map(
+        "object" -> "account", "org" -> "q306",
+        "numRecords" -> "2000", "seed" -> "42"))
+      val r = df.agg(
+        count(lit(1)).as("n"),
+        min(col("Amount")).as("min_amount"),
+        max(col("Amount")).as("max_amount"),
+        max(col("NumEmployees")).as("max_employees"),
+        min(col("Name")).as("min_name")).collect().head
+      import s.implicits._
+      Seq((r.getAs[Long]("n"), r.getAs[Double]("min_amount"),
+          r.getAs[Double]("max_amount"), r.getAs[Long]("max_employees"),
+          r.getAs[String]("min_name"),
+          FakeTransport.CallLog.stats.size.toLong,
+          FakeTransport.CallLog.idQueries.size.toLong,
+          FakeTransport.CallLog.fetches.size.toLong))
+        .toDF("n", "min_amount", "max_amount", "max_employees",
+          "min_name", "stats_calls", "id_cursor_calls", "fetch_calls")
+    }),
+
     // Rows-only: end-to-end training-data curation pipeline — quality
     // gate → language filter → exact dedup → per-doc stats. The shape a
     // 100 TB corpus job takes: all narrow ops + one dedup shuffle.
@@ -726,6 +756,28 @@ private[graft] object QueriesCore {
         |  CAST(sum(CAST(Amount AS DECIMAL(18,4))) AS DOUBLE) AS sum_amount
         |FROM r WHERE IsActive AND Amount > 1000.0
         |GROUP BY Industry ORDER BY Industry""".stripMargin,
+
+    // same arithmetic regeneration as q55; the call-count columns are
+    // literals BY CONTRACT — the Spark side reads them off the live
+    // transport log, so a pushdown regression (cursor walk, row fetch)
+    // hash-mismatches here
+    "q306_rest_agg_pushdown" ->
+      """WITH g AS (
+        |  SELECT i, xor(CAST(42 AS BIGINT) * 1315423911, CAST(i AS BIGINT) * 2654435761) AS h
+        |  FROM range(0, 2000) t(i)),
+        |r AS (
+        |  SELECT i, 'Account ' || i AS Name,
+        |    CAST(abs(h % 1000000) AS DOUBLE) / 100.0 AS Amount,
+        |    abs(h % 10000) AS NumEmployees
+        |  FROM g)
+        |SELECT CAST(count(*) AS BIGINT) AS n,
+        |  min(Amount) AS min_amount, max(Amount) AS max_amount,
+        |  CAST(max(NumEmployees) AS BIGINT) AS max_employees,
+        |  min(Name) AS min_name,
+        |  CAST(1 AS BIGINT) AS stats_calls,
+        |  CAST(0 AS BIGINT) AS id_cursor_calls,
+        |  CAST(0 AS BIGINT) AS fetch_calls
+        |FROM r""".stripMargin,
 
     "q45_minhash_neardup" -> MinhashOracleSql,
 

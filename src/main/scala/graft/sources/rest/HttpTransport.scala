@@ -352,6 +352,42 @@ final class HttpTransport(
     }
   }
 
+  /** One aggregate SOQL round trip — the reference's `sobject_size`
+    * probe (revtron/salesforce/main.py:195 `SELECT COUNT(Id), MIN(f),
+    * MAX(f)`) generalized to the pushed [[RAgg]] list. The response is
+    * one record with positional `expr0…exprN` aliases; datetime
+    * strings normalize to epoch micros like every other read path. */
+  override def stats(obj: String, aggs: Seq[RAgg], preds: Seq[RPred],
+      includeDeleted: Boolean): Seq[Any] = {
+    val items = aggs.map {
+      case RAgg.CountStar     => "COUNT(Id)" // SOQL COUNT() has no alias slot
+      case RAgg.CountField(f) => s"COUNT(${Soql.field(f)})"
+      case RAgg.Min(f)        => s"MIN(${Soql.field(f)})"
+      case RAgg.Max(f)        => s"MAX(${Soql.field(f)})"
+    }
+    val soql = s"SELECT ${items.mkString(", ")} FROM ${Soql.field(obj)}" +
+      Soql.where(preds)
+    val resp = request("GET", s"${queryPath(includeDeleted)}?q=${urlenc(soql)}")
+    val rec = (JsonMethods.parse(resp.body()) \ "records") match {
+      case JArray((o: JObject) :: _) => o
+      case _ => throw RestHttpError(200, "stats: no aggregate record")
+    }
+    lazy val tags = describe(obj).toMap // cached; datetime wire strings → micros
+    aggs.zipWithIndex.map { case (agg, i) =>
+      val v = jvalue(rec \ s"expr$i")
+      agg match {
+        case RAgg.CountStar | _: RAgg.CountField => v match {
+          case l: Long => l
+          case d: Double => d.toLong
+          case _ => throw RestHttpError(200, s"stats: expr$i is not a count")
+        }
+        case RAgg.Min(f) if tags.get(f).contains("datetime") => toMicros(v)
+        case RAgg.Max(f) if tags.get(f).contains("datetime") => toMicros(v)
+        case _ => v
+      }
+    }
+  }
+
   override def queryIds(obj: String, preds: Seq[RPred], includeDeleted: Boolean,
       limit: Option[Int], pageSize: Int): Iterator[Seq[String]] = {
     val soql = s"SELECT Id FROM ${Soql.field(obj)}${Soql.where(preds)}" +

@@ -6,7 +6,8 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
 import org.apache.spark.sql.connector.metric.{CustomMetric, CustomSumMetric, CustomTaskMetric}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write._
@@ -113,11 +114,13 @@ class RestTable(schema: StructType, rawOptions: Map[String, String])
   * SOQL. */
 class RestScanBuilder(schema: StructType, options: Map[String, String], obj: String)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns with SupportsPushDownLimit {
+    with SupportsPushDownRequiredColumns with SupportsPushDownLimit
+    with SupportsPushDownAggregates {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = schema
   private var limit: Option[Int] = None
+  private var aggPushed: Option[(Seq[RAgg], StructType)] = None
 
   private def toMicros(v: Any): Any = v match {
     case t: java.sql.Timestamp => t.getTime * 1000L + (t.getNanos / 1000) % 1000
@@ -150,8 +153,128 @@ class RestScanBuilder(schema: StructType, options: Map[String, String], obj: Str
 
   override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
 
-  override def build(): Scan =
-    new RestScan(required, options, obj, pushed.flatMap(translate).toSeq, pushed, limit)
+  /** S7 through the SQL path: a global COUNT(*)/COUNT(col)/MIN/MAX
+    * aggregation over this scan collapses to ONE remote stats probe
+    * (the reference's `sobject_size` SOQL, salesforce/main.py:195) —
+    * never the two-phase cursor walk. COMPLETE pushdown only (one
+    * probe IS the final answer; there is nothing partial to
+    * re-aggregate); group-bys, DISTINCT counts, and every other
+    * aggregate stay in Spark over the normal scan. Pushed filters
+    * compose — the probe carries the same WHERE the scan would. */
+  private def translateAgg(agg: Aggregation): Option[(Seq[RAgg], StructType)] = {
+    if (agg.groupByExpressions.nonEmpty || limit.isDefined) return None
+    def fieldOf(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[StructField] = e match {
+      case nr: NamedReference if nr.fieldNames.length == 1 =>
+        schema.fields.find(_.name.equalsIgnoreCase(nr.fieldNames.head))
+      case _ => None
+    }
+    val translated: Seq[Option[(RAgg, StructField)]] =
+      agg.aggregateExpressions.toSeq.map {
+        case _: CountStar =>
+          Some((RAgg.CountStar, StructField("count(*)", LongType, nullable = false)))
+        case c: Count if !c.isDistinct => fieldOf(c.column).map(f =>
+          (RAgg.CountField(f.name),
+            StructField(s"count(${f.name})", LongType, nullable = false)))
+        case m: Min => fieldOf(m.column).map(f =>
+          (RAgg.Min(f.name), StructField(s"min(${f.name})", f.dataType)))
+        case m: Max => fieldOf(m.column).map(f =>
+          (RAgg.Max(f.name), StructField(s"max(${f.name})", f.dataType)))
+        case _: AggregateFunc => None
+      }
+    if (translated.isEmpty || translated.exists(_.isEmpty)) None
+    else {
+      val pairs = translated.flatten
+      Some((pairs.map(_._1), StructType(pairs.map(_._2))))
+    }
+  }
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    translateAgg(agg).isDefined
+
+  override def pushAggregation(agg: Aggregation): Boolean =
+    translateAgg(agg) match {
+      case some @ Some(_) => aggPushed = some; true
+      case None => false
+    }
+
+  override def build(): Scan = aggPushed match {
+    case Some((aggs, aggSchema)) =>
+      new RestAggScan(aggSchema, options, obj,
+        pushed.flatMap(translate).toSeq, pushed, aggs)
+    case None =>
+      new RestScan(required, options, obj, pushed.flatMap(translate).toSeq,
+        pushed, limit)
+  }
+}
+
+/** The pushed-aggregate scan: ONE partition whose reader makes ONE
+  * remote stats call — phase 1's id cursor never runs, phase 2 never
+  * fetches a row. readSchema is positionally aligned with the pushed
+  * aggregate list (the DSv2 complete-pushdown contract). */
+class RestAggScan(aggSchema: StructType, options: Map[String, String],
+    obj: String, preds: Seq[RPred], pushedV1: Array[Filter], aggs: Seq[RAgg])
+    extends Scan with Batch {
+
+  override def readSchema(): StructType = aggSchema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-rest $obj AGGREGATE PUSHED [${aggs.mkString(", ")}] " +
+      s"pushed=[${pushedV1.mkString(", ")}]"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(RestAggPartition(aggs, preds))
+
+  override def supportedCustomMetrics(): Array[CustomMetric] =
+    Array(new RestApiCallsMetric)
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new RestAggReaderFactory(aggSchema, options, obj)
+}
+
+case class RestAggPartition(aggs: Seq[RAgg], preds: Seq[RPred])
+    extends InputPartition
+
+class RestAggReaderFactory(aggSchema: StructType,
+    options: Map[String, String], obj: String) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[RestAggPartition]
+    new RestAggReader(aggSchema, options, obj, p.aggs, p.preds)
+  }
+}
+
+/** Emits the single aggregate row from one transport.stats call. */
+class RestAggReader(aggSchema: StructType, options: Map[String, String],
+    obj: String, aggs: Seq[RAgg], preds: Seq[RPred])
+    extends PartitionReader[InternalRow] {
+
+  private var done = false
+  private var apiCalls = 0L
+
+  override def next(): Boolean = !done
+
+  override def get(): InternalRow = {
+    val t = RestTable.transportFor(options)
+    val includeDeleted = options.getOrElse("includedeleted", "true").toBoolean
+    apiCalls += 1
+    val values = t.stats(obj, aggs, preds, includeDeleted)
+      .zip(aggSchema.fields).map { case (v, f) => (v, f.dataType) match {
+        case (null, _) => null
+        case (s: String, StringType) => UTF8String.fromString(s)
+        case (d: Double, DoubleType) => d
+        case (l: Long, LongType | TimestampType) => l
+        case (b: Boolean, BooleanType) => b
+        case (other, dt) => throw new IllegalStateException(
+          s"stats ${f.name}: unexpected value $other for $dt")
+      }}
+    done = true
+    new GenericInternalRow(values.toArray.asInstanceOf[Array[Any]])
+  }
+
+  override def currentMetricsValues(): Array[CustomTaskMetric] =
+    Array(RestMetric(RestApiCallsMetric.Name, apiCalls))
+
+  override def close(): Unit = ()
 }
 
 class RestScan(readSchema0: StructType, options: Map[String, String], obj: String,

@@ -21,6 +21,20 @@ object RPred {
   final case class Contains(field: String, s: String) extends RPred
 }
 
+/** Remote-computable aggregate — the probe vocabulary of the
+  * reference's `sobject_size` one-shot `SELECT COUNT(Id), MIN(f),
+  * MAX(f)` (reference: revtron/salesforce/main.py:185-228, SOQL at
+  * main.py:195). DSv2 aggregate pushdown translates Spark's
+  * CountStar/Count/Min/Max into these; anything else stays a Spark
+  * aggregate over the scan. */
+sealed trait RAgg
+object RAgg {
+  case object CountStar                    extends RAgg
+  final case class CountField(field: String) extends RAgg
+  final case class Min(field: String)        extends RAgg
+  final case class Max(field: String)        extends RAgg
+}
+
 /** The transport seam — everything the reference's `Salesforce` class
   * does over HTTP (auth/request/describe/query/upsert, reference:
   * revtron/salesforce/main.py:14-104,230-249), as an interface the
@@ -39,6 +53,15 @@ trait RestTransport extends Serializable {
   def describe(obj: String): Seq[(String, String)]
   /** S7: remote COUNT with pushed predicates. */
   def count(obj: String, preds: Seq[RPred], includeDeleted: Boolean): Long
+  /** S7 generalized: ONE remote aggregate call evaluating every
+    * requested [[RAgg]] (with pushed predicates) — the probe DSv2
+    * aggregate pushdown lands on, so `SELECT count(*)/min/max FROM
+    * rest_tbl` never walks the id cursor. Returns values aligned with
+    * `aggs`: counts as Long, min/max in the field's wire type
+    * (String/Double/Long/Boolean, datetimes as epoch micros), null
+    * over an empty match set. */
+  def stats(obj: String, aggs: Seq[RAgg], preds: Seq[RPred],
+      includeDeleted: Boolean): Seq[Any]
   /** S6 phase 1: the id scan, following the remote cursor page by page
     * (inherently serial — runs on the DRIVER at planInputPartitions). */
   def queryIds(obj: String, preds: Seq[RPred], includeDeleted: Boolean,
@@ -81,7 +104,8 @@ final class FakeTransport(org: String, numRecords: Int, seed: Long,
   override def listObjects(): Seq[String] = objects.keys.toSeq.sorted
 
   override def limits(): Map[String, Long] = {
-    val used = CallLog.describes.size + CallLog.idQueries.size + CallLog.fetches.size
+    val used = CallLog.describes.size + CallLog.idQueries.size +
+      CallLog.fetches.size + CallLog.stats.size
     Map("DailyApiRequests.Max" -> 100000L,
       "DailyApiRequests.Remaining" -> (100000L - used))
   }
@@ -154,6 +178,28 @@ final class FakeTransport(org: String, numRecords: Int, seed: Long,
   override def count(obj: String, preds: Seq[RPred], includeDeleted: Boolean): Long =
     filtered(obj, preds, includeDeleted).size.toLong
 
+  override def stats(obj: String, aggs: Seq[RAgg], preds: Seq[RPred],
+      includeDeleted: Boolean): Seq[Any] = {
+    CallLog.stats.add(s"$org/$obj aggs=${aggs.size} preds=${preds.size}")
+    val rows = filtered(obj, preds, includeDeleted)
+    def vals(f: String): Seq[Any] = rows.flatMap(r => Option(r.get(f).orNull))
+    def pick(f: String, keepLeft: (Any, Any) => Boolean): Any =
+      vals(f).reduceOption((a, b) => if (keepLeft(a, b)) a else b).orNull
+    def le(a: Any, b: Any): Boolean = (a, b) match {
+      case (x: String, y: String)   => x.compareTo(y) <= 0
+      case (x: Double, y: Double)   => x <= y
+      case (x: Long, y: Long)       => x <= y
+      case (x: Boolean, y: Boolean) => x.compareTo(y) <= 0
+      case _ => true
+    }
+    aggs.map {
+      case RAgg.CountStar     => rows.size.toLong
+      case RAgg.CountField(f) => vals(f).size.toLong
+      case RAgg.Min(f)        => pick(f, le)
+      case RAgg.Max(f)        => pick(f, (a, b) => !le(a, b))
+    }
+  }
+
   override def latestModified(obj: String, dateField: String): Long =
     all(obj).flatMap(_.get(dateField)).collect { case l: Long => l }
       .foldLeft(0L)(math.max)
@@ -217,7 +263,9 @@ object FakeTransport {
     val describes = new ConcurrentLinkedQueue[String]()
     val idQueries = new ConcurrentLinkedQueue[String]()
     val fetches = new ConcurrentLinkedQueue[String]()
-    def clear(): Unit = { describes.clear(); idQueries.clear(); fetches.clear() }
+    val stats = new ConcurrentLinkedQueue[String]()
+    def clear(): Unit =
+      { describes.clear(); idQueries.clear(); fetches.clear(); stats.clear() }
     def fetchCount: Int = fetches.size()
   }
 

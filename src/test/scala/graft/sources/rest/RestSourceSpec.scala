@@ -22,7 +22,10 @@ class RestSourceSpec extends SparkSpec {
   test("deterministic full read; two-phase partitioning = ceil(n/batchSize) fetches (S6)") {
     FakeTransport.CallLog.clear()
     val df = reader("t-read").load()
-    assert(df.count() == 500)
+    // collect(), not count() — a bare count() now collapses to the
+    // pushed stats probe and never runs the two-phase scan this test
+    // is about
+    assert(df.collect().length == 500)
     // phase 2 ran once per 100-id batch
     assert(FakeTransport.CallLog.fetchCount == 5)
     // deterministic content
@@ -81,6 +84,66 @@ class RestSourceSpec extends SparkSpec {
     assert(RestOps.listObjects(Map("org" -> "t-stats")) == Seq("account", "contact"))
   }
 
+  test("aggregate pushdown: global COUNT/MIN/MAX collapse to ONE stats probe (S7 via SQL)") {
+    FakeTransport.CallLog.clear()
+    val df = reader("t-aggpush").load()
+    val agg = df.agg(count(lit(1)).as("n"), count($"Industry").as("n_ind"),
+      min($"Amount").as("min_amt"), max($"Amount").as("max_amt"),
+      max($"NumEmployees").as("max_emp"), min($"Name").as("min_name"))
+    assert(agg.queryExecution.executedPlan.toString.contains("AGGREGATE PUSHED"),
+      agg.queryExecution.executedPlan.toString)
+    val r = agg.collect().head
+    // ONE remote probe; the id cursor and the row fetch never ran
+    assert(FakeTransport.CallLog.stats.size == 1, FakeTransport.CallLog.stats)
+    assert(FakeTransport.CallLog.idQueries.isEmpty)
+    assert(FakeTransport.CallLog.fetches.isEmpty)
+    // values equal a full-scan recomputation
+    val full = reader("t-aggpush").load().collect()
+    assert(r.getAs[Long]("n") == 500L && r.getAs[Long]("n_ind") == 500L)
+    assert(r.getAs[Double]("min_amt") == full.map(_.getDouble(3)).min)
+    assert(r.getAs[Double]("max_amt") == full.map(_.getDouble(3)).max)
+    assert(r.getAs[Long]("max_emp") == full.map(_.getLong(4)).max)
+    assert(r.getAs[String]("min_name") == "Account 0")
+  }
+
+  test("aggregate pushdown composes with pushed filters; unsupported shapes fall back") {
+    FakeTransport.CallLog.clear()
+    val filtered = reader("t-aggfil").load()
+      .filter($"Industry" === "Banking")
+      .agg(count(lit(1)).as("n"))
+    val n = filtered.collect().head.getAs[Long]("n")
+    assert(FakeTransport.CallLog.stats.size == 1)
+    assert(FakeTransport.CallLog.idQueries.isEmpty)
+    val expected = reader("t-aggfil").load().collect()
+      .count(_.getString(2) == "Banking")
+    assert(n == expected && n > 0)
+    // group-by: NOT pushed — the normal two-phase scan runs instead
+    FakeTransport.CallLog.clear()
+    val grouped = reader("t-agggrp").load()
+      .groupBy($"Industry").agg(count(lit(1)).as("n")).collect()
+    assert(grouped.length == 6)
+    assert(FakeTransport.CallLog.stats.isEmpty)
+    assert(!FakeTransport.CallLog.idQueries.isEmpty)
+    // distinct count: NOT pushed
+    FakeTransport.CallLog.clear()
+    val nd = reader("t-aggdst").load()
+      .agg(countDistinct($"Industry").as("n")).collect().head.getAs[Long]("n")
+    assert(nd == 6L)
+    assert(FakeTransport.CallLog.stats.isEmpty)
+  }
+
+  test("aggregate pushdown respects includeDeleted like the scan path") {
+    FakeTransport.CallLog.clear()
+    val n = reader("t-aggdel").load().agg(count(lit(1))).collect().head.getLong(0)
+    val nLive = spark.read.format("graft-rest")
+      .option("object", "account").option("org", "t-aggdel")
+      .option("numRecords", "500").option("seed", "42")
+      .option("includeDeleted", "false").load()
+      .agg(count(lit(1))).collect().head.getLong(0)
+    assert(FakeTransport.CallLog.stats.size == 2)
+    assert(n == 500L && nLive == 490L) // every 50th record is soft-deleted
+  }
+
   test("S5 quota probe + S1 environment fallback") {
     val lim = RestOps.limits(Map("org" -> "t-quota"))
     assert(lim("DailyApiRequests.Max") == 100000L)
@@ -94,29 +157,31 @@ class RestSourceSpec extends SparkSpec {
     // it must abort BEFORE the id cursor spends anything
     FakeTransport.CallLog.clear()
     val ex = intercept[Exception] {
-      reader("t-admit").option("minRemainingQuota", "200000").load().count()
+      reader("t-admit").option("minRemainingQuota", "200000").load().collect()
     }
     assert(ex.getMessage.contains("refusing to start the scan"), ex.getMessage)
     assert(FakeTransport.CallLog.idQueries.isEmpty,
       "the id cursor must not run after a quota refusal")
     // a floor below the remaining quota admits the scan
-    assert(reader("t-admit", 100).option("minRemainingQuota", "10").load().count() == 100)
+    assert(reader("t-admit", 100).option("minRemainingQuota", "10")
+      .load().collect().length == 100)
   }
 
   test("maxPartitions caps phase-2 API spend; maxIds is the driver-memory cap") {
     // 500 ids / batchSize 100 = 5 partitions; a 2-partition budget must
     // refuse (trimming would silently drop rows) with an actionable error
     val ex = intercept[Exception] {
-      reader("t-cap").option("maxPartitions", "2").load().count()
+      reader("t-cap").option("maxPartitions", "2").load().collect()
     }
     assert(ex.getMessage.contains("API-budget cap"), ex.getMessage)
     val ex2 = intercept[Exception] {
-      reader("t-cap").option("maxIds", "300").load().count()
+      reader("t-cap").option("maxIds", "300").load().collect()
     }
     assert(ex2.getMessage.contains("driver-memory cap"), ex2.getMessage)
-    // under the caps the same scan runs
+    // under the caps the same scan runs (collect: the caps guard the
+    // cursor walk, which a pushed count() never takes)
     assert(reader("t-cap").option("maxPartitions", "5")
-      .option("maxIds", "500").load().count() == 500)
+      .option("maxIds", "500").load().collect().length == 500)
   }
 
   test("API-spend custom metrics: fetch calls per task, planned partitions from the driver") {
