@@ -212,11 +212,24 @@ object Dedup {
     *
     * The returned frame is PERSISTED (it is the product of `rounds`
     * joins — recomputing it lazily would replay the whole loop);
-    * `.unpersist()` it when done. */
+    * `.unpersist()` it when done.
+    *
+    * `assumeConvergedAfter`: expert knob for graphs with a KNOWN
+    * round bound (a chain fixture, a pointer-doubled tree of known
+    * depth) — the loop stops after that many rounds WITHOUT the
+    * confirming round, cutting the fixpoint loop's one structurally
+    * wasted round (a fixpoint check can only confirm by running one
+    * round past convergence). The bound is caller-owned truth: an
+    * UNDERSTATED bound returns a non-converged labeling with no
+    * error (DedupSpec pins exactly that), so gate queries using it
+    * must be hash-pinned against a closed form — q259 is. */
   def connectedComponents(nodes: DataFrame, idCol: String,
       edges: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 50, shortcut: Boolean = false,
-      localEdgeLimit: Int = DefaultLocalEdgeLimit): DataFrame = {
+      localEdgeLimit: Int = DefaultLocalEdgeLimit,
+      assumeConvergedAfter: Option[Int] = None): DataFrame = {
+    require(assumeConvergedAfter.forall(_ >= 1),
+      s"assumeConvergedAfter must be >= 1, got $assumeConvergedAfter")
     import org.apache.spark.storage.StorageLevel
     val ids = nodes.select(col(idCol).as("id")).distinct()
     val idType = ids.schema("id").dataType
@@ -378,8 +391,12 @@ object Dedup {
           .select(col("x.id").as("id"),
             least(col("x.label"), col("y.label")).as("label")))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      // labels only decrease ⇒ fixpoint ⇔ nothing decreased this round
-      if (integralIds) {
+      // labels only decrease ⇒ fixpoint ⇔ nothing decreased this round;
+      // a caller-asserted bound skips the check (and the confirming
+      // round it would otherwise buy) on its final round
+      if (assumeConvergedAfter.exists(_ <= it + 1)) {
+        done = true
+      } else if (integralIds) {
         val curSum = labelSum(next) // also materializes next's persist
         if (curSum != null && prevSum != null)
           done = curSum.compareTo(prevSum) == 0

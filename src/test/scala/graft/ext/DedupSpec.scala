@@ -162,6 +162,34 @@ class DedupSpec extends SparkSpec {
     assert(bad == 0L, s"$bad chain nodes mislabeled")
   }
 
+  test("assumeConvergedAfter: a true bound replays the unhinted fixpoint; an understated one returns non-converged labels") {
+    val n = 4000L
+    val nodes = spark.range(n).select($"id")
+    val edges = spark.range(n).filter($"id" % 4 =!= 3)
+      .select($"id".as("a"), ($"id" + 1L).as("b"))
+    // diameter-3 chains converge in 2 pointer-doubled rounds: the hint
+    // skips ONLY the confirming round, labels identical to closed form
+    val hinted = Dedup.connectedComponents(nodes, "id", edges, "a", "b",
+      shortcut = true, localEdgeLimit = 0, assumeConvergedAfter = Some(2))
+    val bad = hinted.filter($"cluster_id" =!= $"id" - $"id" % 4).count()
+    assert(hinted.count() == n)
+    hinted.unpersist()
+    assert(bad == 0L, s"$bad mislabeled under a TRUE round bound")
+    // the knob is caller-owned truth: bound 1 stops a round early and
+    // hands back a NON-fixpoint labeling with no error — callers must
+    // hash-pin (q259 does); this pins the documented failure mode
+    val lied = Dedup.connectedComponents(nodes, "id", edges, "a", "b",
+      shortcut = true, localEdgeLimit = 0, assumeConvergedAfter = Some(1))
+    val notConverged = lied.filter($"cluster_id" =!= $"id" - $"id" % 4).count()
+    lied.unpersist()
+    assert(notConverged > 0L,
+      "an understated bound should have returned a partial labeling")
+    intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(nodes, "id", edges, "a", "b",
+        assumeConvergedAfter = Some(0))
+    }
+  }
+
   test("warm-start CC: epoch-2 edges merge epoch-1 clusters through the label frame") {
     val nodes = (1L to 6L).toDF("id")
     val l1Df = Dedup.connectedComponents(nodes, "id",
