@@ -1571,7 +1571,10 @@ private[graft] object QueriesCuration {
     // cursor query + ceil(400/100) = 4 id-batch fetches = 6 calls.
     // The aggregate reads a real column so column pruning keeps the
     // fetch column list non-empty (an empty list would re-describe per
-    // partition and change the arithmetic).
+    // partition and change the arithmetic). count DISTINCT on purpose:
+    // a plain count(Id) now collapses to the pushed stats probe (q306
+    // prices THAT path — 1 describe + 1 stats = 2 calls) and would
+    // never walk the cursor this contract is pricing.
     "q103_rest_limits" -> ((s, d) => {
       import s.implicits._
       import graft.sources.rest.{FakeTransport, RestOps}
@@ -1580,7 +1583,7 @@ private[graft] object QueriesCuration {
       FakeTransport.CallLog.clear()
       val before = RestOps.limits(opts)
       val scanned = RestOps.read(s, opts)
-        .agg(count(col("Id"))).head().getLong(0)
+        .agg(count_distinct(col("Id"))).head().getLong(0)
       val after = RestOps.limits(opts)
       Seq(
         ("max", before("DailyApiRequests.Max").toString),
