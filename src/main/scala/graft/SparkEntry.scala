@@ -46,9 +46,11 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     QueriesCore.queries ++ QueriesCuration.queries ++
+      QueriesGovernance.queries ++
       QueriesAnalytics.queries ++ QueriesStats.queries
 
   def oracleSql: Map[String, String] =
     QueriesCore.oracleSql ++ QueriesCuration.oracleSql ++
+      QueriesGovernance.oracleSql ++
       QueriesAnalytics.oracleSql ++ QueriesStats.oracleSql
 }
