@@ -122,8 +122,12 @@ object Stats {
           .cast(Dec)).as("__u2"))
       .select(col("n_a"), col("n_b"),
         col("__u2").cast("long").as("u2"),
-        floorDiv(col("__u2") * lit(1000000L),
-          col("n_a").cast(Dec) * col("n_b") * lit(2L)).as("auc_ppm"))
+        // guard the degenerate denominator (the 428abfd class): one
+        // empty arm must read NULL, not REMAINDER_BY_ZERO under ANSI
+        when(col("n_a") > 0L && col("n_b") > 0L,
+          floorDiv(col("__u2") * lit(1000000L),
+            col("n_a").cast(Dec) * col("n_b") * lit(2L)))
+          .otherwise(lit(null).cast("long")).as("auc_ppm"))
   }
 
   /** Chi-square test of INDEPENDENCE between two categorical columns
@@ -333,8 +337,12 @@ object Stats {
     dev.groupBy(col("n_a"), col("n_b"))
       .agg(min(struct((-col("__gap")).as("ng"), col("__v").as("v"))).as("__am"))
       .select(col("n_a"), col("n_b"),
-        floorDiv((-col("__am").getField("ng")) * lit(1000000L),
-          col("n_a").cast(Dec) * col("n_b")).as("d_ppm"),
+        // guard the degenerate denominator (the 428abfd class): one
+        // empty arm must read NULL, not REMAINDER_BY_ZERO under ANSI
+        when(col("n_a") > 0L && col("n_b") > 0L,
+          floorDiv((-col("__am").getField("ng")) * lit(1000000L),
+            col("n_a").cast(Dec) * col("n_b")))
+          .otherwise(lit(null).cast("long")).as("d_ppm"),
         col("__am").getField("v").as("at_value"))
   }
 

@@ -464,6 +464,56 @@ private[graft] object QueriesCore {
         .agg(count(lit(1)).as("cnt"), dsum(col("Amount")).as("sum_amount"))
         .orderBy(col("Industry"))),
 
+    // SESSION WINDOWS THROUGH THE REAL STREAMING PATH (q123 runs the
+    // same operator in batch mode; THIS entry executes readStream →
+    // watermark → session_window state → append-mode emission): the
+    // events table is replayed as a 3-file parquet stream (one
+    // micro-batch per file, chronological), then two far-future
+    // SENTINEL batches advance the watermark past every real session
+    // so append mode emits them all (watermark_N applies in batch
+    // N+1 — one sentinel raises it, the next flushes). The sentinel
+    // user (-1) is excluded from the result, which hash-matches the
+    // SAME oracle as q123 — proving stream == batch on the full
+    // fixture. Memory-sink rows freeze driver-side before the temp
+    // source/checkpoint dirs delete (the q145 recipe); the temp view
+    // drops so interleaved bench re-runs start clean.
+    "q307_session_stream" -> ((s, d) => {
+      import s.implicits._
+      val ev = T(s, d, "events")
+        .select(col("ts"), col("user_id"), col("value"))
+      val root = java.nio.file.Files.createTempDirectory("graft-ss")
+      val src = root.resolve("in").toString
+      val chk = root.resolve("chk").toString
+      try {
+        val dom = dayofmonth(col("ts"))
+        Seq(dom <= 10, dom > 10 && dom <= 20, dom > 20).foreach(p =>
+          ev.filter(p).coalesce(1).write.mode("append").parquet(src))
+        val maxTs = ev.agg(max(unix_micros(col("ts")))).head().getLong(0)
+        Seq(1L, 2L).foreach(k =>
+          Seq((new java.sql.Timestamp(maxTs / 1000L + k * 86400000L),
+              -1L, 0.0))
+            .toDF("ts", "user_id", "value")
+            .coalesce(1).write.mode("append").parquet(src))
+        val stream = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 1).parquet(src)
+        val q = Streams.sessionAgg(stream, "ts", "30 minutes")
+          .select(col("user_id"), col("session_start"),
+            col("session_end"), col("n"))
+          .writeStream.outputMode("append").format("memory")
+          .queryName("q307_mem").option("checkpointLocation", chk)
+          .start()
+        q.processAllAvailable()
+        q.stop()
+        val got = s.table("q307_mem").filter(col("user_id") >= 0L)
+        import scala.jdk.CollectionConverters._
+        val frozen = s.createDataFrame(got.collect().toSeq.asJava, got.schema)
+        frozen.orderBy(col("user_id"), col("session_start"))
+      } finally {
+        s.catalog.dropTempView("q307_mem")
+        org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
+      }
+    }),
+
     // S7 THROUGH THE SQL PATH: a global COUNT/MIN/MAX over the
     // connector collapses to ONE remote stats probe (DSv2 complete
     // aggregate pushdown, the reference's sobject_size SOQL at
@@ -756,6 +806,23 @@ private[graft] object QueriesCore {
         |  CAST(sum(CAST(Amount AS DECIMAL(18,4))) AS DOUBLE) AS sum_amount
         |FROM r WHERE IsActive AND Amount > 1000.0
         |GROUP BY Industry ORDER BY Industry""".stripMargin,
+
+    // IDENTICAL SQL to q123: the streaming run must equal the batch
+    // operator on the full fixture (stream == batch is the contract)
+    "q307_session_stream" ->
+      """WITH f AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+        |    THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (
+        |  SELECT user_id, ts, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM f)
+        |SELECT user_id, min(ts) AS session_start,
+        |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+        |  count(*) AS n
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
 
     // same arithmetic regeneration as q55; the call-count columns are
     // literals BY CONTRACT — the Spark side reads them off the live

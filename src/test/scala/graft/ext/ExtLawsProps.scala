@@ -788,4 +788,83 @@ object ExtLawsProps extends Properties("graft.ext") {
         else self != null && math.abs(self - 1.0) < 1e-12
       symmetric && selfOk
     }
+
+  // THE GUARD-CLASS LAW (428abfd fixed degenerate denominators in four
+  // operators after review caught ONE — this pins the whole class so a
+  // new ratio operator can't reintroduce it): every ratio-returning
+  // Stats/Sampling operator, driven over the canonical degenerate
+  // shapes — empty input, single-arm, all-zero values, one row, and
+  // all-NULL values — must return NULL in its ratio column (or an
+  // empty/zero-ratio frame), NEVER an ANSI DIVIDE_BY_ZERO /
+  // ARITHMETIC_OVERFLOW throw or a NaN-floor crash.
+  private val degenerateShapes =
+    Seq("empty", "singleArm", "allZero", "oneRow", "nullV")
+
+  property("guard-class law: ratio operators are NULL-not-throw on degenerate inputs") =
+    Prop.forAll(Gen.oneOf(degenerateShapes)) { shape =>
+      val df = (shape match {
+        case "empty"     => Seq.empty[(String, Long, Option[Long])]
+        case "singleArm" => Seq(("a", 1L, Some(5L)), ("a", 2L, Some(7L)))
+        case "allZero"   => Seq(("a", 1L, Some(0L)), ("a", 2L, Some(0L)),
+                                ("b", 1L, Some(0L)), ("b", 2L, Some(0L)))
+        case "oneRow"    => Seq(("a", 1L, Some(3L)))
+        case "nullV"     => Seq(("a", 1L, Option.empty[Long]),
+                                ("b", 2L, Option.empty[Long]))
+      }).toDF("g", "t", "v")
+      val counts = (shape match {
+        case "empty" => Seq.empty[(Long, Long, Long, Long)]
+        case "singleArm" => Seq((10L, 5L, 0L, 0L))
+        case "oneRow" => Seq((10L, 10L, 10L, 10L)) // all-win: p(1-p) = 0
+        case _ => Seq((0L, 0L, 0L, 0L))
+      }).toDF("na", "xa", "nb", "xb")
+      val battery: Seq[(String, () => Unit)] = Seq(
+        "welchT" -> (() => Stats.welchT(df, "g", "a", "b", "v").collect()),
+        "standardizedMeanDiff" -> (() =>
+          Stats.standardizedMeanDiff(df, "g", "a", "b", "v").collect()),
+        "rankSumTest" -> (() =>
+          Stats.rankSumTest(df, "g", "a", "b", "v").collect()),
+        "ksTest" -> (() => Stats.ksTest(df, "g", "a", "b", "v").collect()),
+        "signTest" -> (() =>
+          Stats.signTest(df, "t", "g", "a", "b", "v").collect()),
+        "diffInDiff" -> (() => Stats.diffInDiff(
+          df.withColumn("p", col("t") % 2L), "g", "a", "b", "p", "v").collect()),
+        "theilSen" -> (() => Stats.theilSen(df, "g", "t", "v").collect()),
+        "autocorr" -> (() => Stats.autocorr(df, "g", "t", "v", 2).collect()),
+        "runsTest" -> (() => Stats.runsTest(df, "g", "t", "v").collect()),
+        "mannKendall" -> (() => Stats.mannKendall(df, "g", "t", "v").collect()),
+        "seasonalDecompose" -> (() => Stats.seasonalDecompose(
+          df.withColumn("dow", col("t") % 7L), "g", "t", "dow", "v").collect()),
+        "ewmaExact" -> (() => Stats.ewmaExact(df, "g", "t", "v").collect()),
+        "chiSquare" -> (() => Stats.chiSquare(df, "g", "t").collect()),
+        "cramersV" -> (() => Stats.cramersV(df, "g", "t").collect()),
+        "spearman" -> (() => Stats.spearman(df, "t", "v").collect()),
+        "cohensKappa" -> (() => Stats.cohensKappa(df, "t", "v").collect()),
+        "calibrationBins" -> (() =>
+          Stats.calibrationBins(df, "v", "t", 4).collect()),
+        "twoProportionZ" -> (() =>
+          Stats.twoProportionZ(counts, "na", "xa", "nb", "xb").collect()),
+        "minDetectableEffect" -> (() =>
+          Stats.minDetectableEffect(counts, "na", "xa", "nb", "xb").collect()),
+        "cumulativeShare" -> (() =>
+          Sampling.cumulativeShare(df, "g", "v").collect()))
+      val noThrow = battery.map { case (name, run) =>
+        try { run(); true } catch {
+          case e: Throwable =>
+            println(s"guard-class violation: $name threw on '$shape': $e")
+            false
+        }
+      }.forall(identity)
+      // the 428abfd four additionally pin NULL, not just no-throw
+      val smd = Stats.standardizedMeanDiff(df, "g", "a", "b", "v")
+        .collect().head
+      val smdNull = smd.isNullAt(smd.fieldIndex("smd_milli"))
+      val mdeNull = Stats.minDetectableEffect(counts, "na", "xa", "nb", "xb")
+        .collect().forall(r => r.isNullAt(r.fieldIndex("mde_ppm")))
+      val zNull = Stats.twoProportionZ(counts, "na", "xa", "nb", "xb")
+        .collect().forall(r => r.isNullAt(r.fieldIndex("z_milli")))
+      val shareNull = Sampling.cumulativeShare(df, "g", "v").collect()
+        .forall(r => shape == "singleArm" || shape == "oneRow" ||
+          r.isNullAt(r.fieldIndex("cum_share_ppm")))
+      noThrow && smdNull && mdeNull && zNull && shareNull
+    }
 }
