@@ -84,6 +84,11 @@ object Scale10x {
       // keep-best near-dup removal (winnowing + CC + one keeper
       // aggregate; the union-find fast path absorbs the 10× edges)
       "q38_sessionize", "q123_session_window",
+      // r12: the REAL streaming session path — same ×10-users
+      // preservation argument as q123, plus the fixed 5-micro-batch
+      // streaming overhead that amortizes as rows grow (the ratio
+      // should read SUB-linear)
+      "q307_session_stream",
       "q124_gopher_quality", "q125_keep_best_dedup",
       // deterministic shuffle: one shard exchange + per-shard sort —
       // shard count is FIXED while rows grow, so per-shard sorts grow
