@@ -604,6 +604,83 @@ object Behavior {
   }
 
 
+  /** KAPLAN–MEIER survival curve over the tenure histogram — the
+    * product-limit estimator [[churnByTenure]]'s per-step hazard
+    * composes into: S(t) = Π_{t'≤t} (1 − d_{t'}/n_{t'}), the "what
+    * fraction of users survives past tenure t" readout every
+    * retention review reads next to the hazard. Engine-replayable
+    * WITHOUT ln (banned) or an exact rational product (n^steps
+    * overflows any fixed precision): the recurrence runs in ppm with
+    * a floor at EACH step — S_ppm(t) = ⌊S_ppm(prev)·(n_t − d_t)/n_t⌋,
+    * S_ppm(start) = ⌊10⁶·(n₁ − d₁)/n₁⌋ — a documented ≤1-ppm-per-step
+    * downward bias (≤ #steps ppm total, noise against the estimator's
+    * own sampling variance), and a DuckDB recursive CTE replays every
+    * floor bit for bit. Input contract and the right-censoring caveat
+    * are [[churnByTenure]]'s (activity frame; users still active at
+    * window end count as ended at their observed tenure). Returns one
+    * row per observed tenure: (tenure, n_ended, n_at_risk,
+    * survival_ppm).
+    *
+    * Scale shape: one user aggregate + one ≤days-row tenure histogram
+    * + a reverse-cumulative window over that bounded frame (the
+    * zipfProfile rule), then ONE ordered higher-order fold over the
+    * histogram collected into a single ≤`maxSteps`-element array —
+    * the recurrence is inherently sequential, so it runs where the
+    * data is already one bounded row, never as a driver loop or a
+    * per-step job. A histogram longer than `maxSteps` fails loudly
+    * with the fix named (the ewmaExact rule). */
+  def kaplanMeier(df: DataFrame, userCol: String, dayCol: String,
+      maxSteps: Int = 512): DataFrame = {
+    require(maxSteps >= 1, s"maxSteps must be >= 1, got $maxSteps")
+    val per = df.select(col(userCol).as("__u"),
+        col(dayCol).cast("long").as("__d"))
+      .groupBy(col("__u"))
+      .agg((max(col("__d")) - min(col("__d"))).as("tenure"))
+    val hist = per.groupBy(col("tenure"))
+      .agg(count(lit(1)).as("n_ended"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("tenure").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val risky = hist.withColumn("n_at_risk", sum(col("n_ended")).over(w))
+    val stepT = "struct<tenure:bigint,n_ended:bigint,n_at_risk:bigint>"
+    val outT = "array<struct<tenure:bigint,n_ended:bigint," +
+      "n_at_risk:bigint,survival_ppm:bigint>>"
+    val arr = risky
+      .agg(sort_array(collect_list(struct(col("tenure"), col("n_ended"),
+        col("n_at_risk")).cast(stepT))).as("__a"))
+    // the guard rides INSIDE the consumed expression (the ewmaExact
+    // coalesce rule) — a standalone guard column would be pruned away
+    // and never fire
+    val guarded = coalesce(
+      when(size(col("__a")) > maxSteps,
+        raise_error(concat(
+          lit(s"kaplanMeier: tenure histogram exceeds maxSteps=$maxSteps ("),
+          size(col("__a")).cast("string"),
+          lit(" steps) - coarsen the tenure unit or raise maxSteps"))))
+        .otherwise(lit(null)).cast(s"array<$stepT>"),
+      col("__a"))
+    val folded = arr.select(
+      aggregate(guarded, array().cast(outT),
+        (acc, x) => {
+          val prev = when(size(acc) === 0, lit(1000000L))
+            .otherwise(element_at(acc, size(acc)).getField("survival_ppm"))
+          val s = PortableDiv.nonNeg(
+            prev * (x.getField("n_at_risk") - x.getField("n_ended")),
+            x.getField("n_at_risk"))
+          concat(acc, array(struct(
+            x.getField("tenure").as("tenure"),
+            x.getField("n_ended").as("n_ended"),
+            x.getField("n_at_risk").as("n_at_risk"),
+            s.as("survival_ppm"))))
+        }).as("__r"))
+    folded.select(explode(col("__r")).as("__s"))
+      .select(col("__s.tenure").as("tenure"),
+        col("__s.n_ended").as("n_ended"),
+        col("__s.n_at_risk").as("n_at_risk"),
+        col("__s.survival_ppm").as("survival_ppm"))
+  }
+
   /** NEW-vs-RETURNING daily mix — the DAU decomposition every growth
     * dashboard opens with: per day, active users, first-ever-seen
     * users, returning users, and the new share as exact floor ppm.

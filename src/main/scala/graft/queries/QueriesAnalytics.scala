@@ -123,6 +123,17 @@ private[graft] object QueriesAnalytics {
         "user_id", "day")
         .orderBy(col("tenure"))),
 
+    // KAPLAN–MEIER survival curve: the q293 hazard composed into the
+    // product-limit estimator, per-step floor ppm (the recurrence
+    // runs as ONE higher-order fold over the bounded tenure
+    // histogram; the oracle replays every floor with a recursive CTE).
+    "q310_kaplan_meier" -> ((s, d) =>
+      graft.ext.Behavior.kaplanMeier(
+        T(s, d, "events").select(col("user_id"),
+          dayofmonth(col("ts")).cast("long").as("day")),
+        "user_id", "day")
+        .orderBy(col("tenure"))),
+
     // INTER-ARRIVAL burstiness per event type: CV² and index of
     // dispersion of per-user gap sequences, exact from three sums.
     "q287_burstiness" -> ((s, d) =>
@@ -1487,6 +1498,32 @@ private[graft] object QueriesAnalytics {
         |SELECT tenure, n_ended, CAST(n_at_risk AS BIGINT) AS n_at_risk,
         |  CAST((CAST(n_ended AS HUGEINT) * 1000000) // n_at_risk AS BIGINT) AS hazard_ppm
         |FROM r ORDER BY tenure""".stripMargin,
+
+    // the q293 CTEs + a recursive CTE replaying the per-step ppm
+    // floor of the product-limit recurrence, step for step
+    "q310_kaplan_meier" ->
+      """WITH RECURSIVE per AS (
+        |  SELECT user_id,
+        |    max(CAST(date_part('day', ts) AS BIGINT))
+        |      - min(CAST(date_part('day', ts) AS BIGINT)) AS tenure
+        |  FROM events GROUP BY 1),
+        |h AS (SELECT tenure, count(*) AS n_ended FROM per GROUP BY 1),
+        |r AS (SELECT tenure, n_ended,
+        |    sum(n_ended) OVER (ORDER BY tenure DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_at_risk,
+        |    row_number() OVER (ORDER BY tenure) AS rn
+        |  FROM h),
+        |rec AS (
+        |  SELECT rn, tenure, n_ended, n_at_risk,
+        |    CAST((CAST(1000000 AS HUGEINT) * (n_at_risk - n_ended)) // n_at_risk AS BIGINT) AS s_ppm
+        |  FROM r WHERE rn = 1
+        |  UNION ALL
+        |  SELECT r.rn, r.tenure, r.n_ended, r.n_at_risk,
+        |    CAST((CAST(rec.s_ppm AS HUGEINT) * (r.n_at_risk - r.n_ended)) // r.n_at_risk AS BIGINT)
+        |  FROM r JOIN rec ON r.rn = rec.rn + 1)
+        |SELECT tenure, n_ended, CAST(n_at_risk AS BIGINT) AS n_at_risk,
+        |  s_ppm AS survival_ppm
+        |FROM rec ORDER BY tenure""".stripMargin,
 
     // per-(user, type) lag gaps; CV2/dispersion exact from three sums
     "q287_burstiness" ->

@@ -391,4 +391,31 @@ class BehaviorSpec extends SparkSpec {
     assert(out(3L).getAs[Long]("n_returning") == 1L)
   }
 
+  test("kaplanMeier: per-step floored product-limit curve replays the known case") {
+    import spark.implicits._
+    // tenures: u1=0, u2=1, u3=u4=2 -> hist (0:1, 1:1, 2:2),
+    // at-risk (4, 3, 2); S = 3/4, then *2/3, then *0/2 with ppm floors
+    val rows = Seq(
+      (1L, 1L),
+      (2L, 1L), (2L, 2L),
+      (3L, 1L), (3L, 3L),
+      (4L, 1L), (4L, 3L))
+    val out = Behavior.kaplanMeier(rows.toDF("u", "day"), "u", "day")
+      .collect().map(r => r.getAs[Long]("tenure") ->
+        (r.getAs[Long]("n_ended"), r.getAs[Long]("n_at_risk"),
+          r.getAs[Long]("survival_ppm"))).toMap
+    assert(out(0L) == ((1L, 4L, 750000L)))
+    assert(out(1L) == ((1L, 3L, 500000L)))
+    assert(out(2L) == ((2L, 2L, 0L)))
+    // survival is non-increasing in tenure by construction
+    val curve = out.toSeq.sortBy(_._1).map(_._2._3)
+    assert(curve.zip(curve.tail).forall { case (a, b) => b <= a })
+    // histogram longer than maxSteps refuses loudly with the fix named
+    val err = intercept[Exception] {
+      Behavior.kaplanMeier(rows.toDF("u", "day"), "u", "day",
+        maxSteps = 2).collect()
+    }
+    assert(err.getMessage.contains("maxSteps=2"), err.getMessage)
+  }
+
 }
