@@ -982,4 +982,58 @@ object Stats {
       when(ok, floor(lit(1000000.0) * mde).cast("long"))
         .otherwise(lit(null).cast("long")).as("mde_ppm"))
   }
+
+  /** SPLIT-CONFORMAL calibration quantile (Vovk et al.; the Angelopoulos
+    * & Bates 2021 recipe) — the distribution-free prediction-interval
+    * radius a model-serving pipeline computes from a held-out
+    * calibration set: with n nonconformity scores and miscoverage
+    * α, q̂ = the k-th smallest score at k = ⌈(n+1)·(1−α)⌉, and
+    * [pred − q̂, pred + q̂] covers with probability ≥ 1 − α. Scores
+    * are caller-quantized INTEGERS (|residual| in cents/milli — the
+    * repo's integer-first rule), α arrives in ppm, and the rank rule
+    * is exact integer arithmetic: k = ⌈(n+1)·(10⁶ − α_ppm)/10⁶⌉.
+    * k > n (α too small for the calibration size) reads qhat = NULL —
+    * the honest "infinite interval", never a clamped max. Ties and
+    * determinism: ascending (score, `idCol`), the
+    * [[Sampling.exactQuantilesByKey]] rule. NULL scores drop.
+    * Returns one row per key — INCLUDING keys whose k exceeds n —
+    * (keyCol, n, k_rank, qhat).
+    *
+    * Scale shape: the range-bucketed distributed rank (per-(key,
+    * bucket) row_number + broadcast bucket offsets — no key ever
+    * becomes one window partition) + one broadcast per-key count
+    * join; one output row per key. */
+  def conformalQuantile(df: DataFrame, keyCol: String, scoreCol: String,
+      idCol: String, alphaPpm: Long, globalBuckets: Int = 32): DataFrame = {
+    require(alphaPpm >= 1 && alphaPpm <= 999999,
+      s"alphaPpm must be in [1, 999999], got $alphaPpm")
+    val clean = df.filter(col(scoreCol).isNotNull)
+      .select(col(keyCol), col(scoreCol).cast("long").as("__s"),
+        col(idCol).as("__id"))
+      .withColumn("__q", col("__s").cast("double"))
+    val withB = clean.withColumn("__bkt",
+      Sampling.rangeBucketExpr(clean, col("__q"), globalBuckets))
+    val wIn = Window.partitionBy(col(keyCol), col("__bkt"))
+      .orderBy(col("__s"), col("__id"))
+    val rn = withB.withColumn("__rn", row_number().over(wIn).cast("long"))
+    val tot = withB.groupBy(col(keyCol), col("__bkt"))
+      .agg(count(lit(1)).as("__tot"))
+    val offsets = tot.as("a")
+      .join(broadcast(tot.as("b")),
+        col("a." + keyCol) === col("b." + keyCol) &&
+          col("b.__bkt") < col("a.__bkt"), "left")
+      .groupBy(col("a." + keyCol).as(keyCol), col("a.__bkt").as("__bkt"))
+      .agg(coalesce(sum(col("b.__tot")), lit(0L)).as("__off"))
+    // k = ceil((n+1)·(1e6 − α)/1e6), exact integer ceil-div
+    val nPerKey = withB.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
+      .withColumn("k_rank",
+        expr(s"((n + 1L) * ${1000000L - alphaPpm}L + 999999L) div 1000000L"))
+    val hit = rn.join(broadcast(offsets), Seq(keyCol, "__bkt"))
+      .join(broadcast(nPerKey), Seq(keyCol))
+      .filter(col("__off") + col("__rn") === col("k_rank"))
+      .select(col(keyCol), col("__s").as("qhat"))
+    // keys with k > n keep their row with NULL qhat (infinite interval)
+    nPerKey.join(hit, Seq(keyCol), "left")
+      .select(col(keyCol), col("n"), col("k_rank"), col("qhat"))
+  }
 }

@@ -21,6 +21,19 @@ import graft.QueryHelpers._
 private[graft] object QueriesStats {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // SPLIT-CONFORMAL calibration quantile per event type: the
+    // distribution-free interval radius q̂ = the ⌈(n+1)(1−α)⌉-th
+    // smallest nonconformity score at α = 10 % — exact integer rank
+    // rule over the range-bucketed distributed rank (no per-key
+    // window partition), NULL qhat when k > n.
+    "q308_conformal" -> ((s, d) =>
+      graft.ext.Stats.conformalQuantile(
+        T(s, d, "events").select(col("event_type"),
+          round(col("value") * 100).cast("long").as("cents"),
+          col("event_id")),
+        "event_type", "cents", "event_id", alphaPpm = 100000L)
+        .orderBy(col("event_type"))),
+
     // MINIMUM DETECTABLE EFFECT at the q282 experiment's sample sizes
     // — "how small a conversion move could this split even see?"
     "q304_mde" -> ((s, d) => {
@@ -786,6 +799,26 @@ private[graft] object QueriesStats {
     }))
 
   def oracleSql: Map[String, String] = Map(
+    // same rank rule: k = ceil-div((n+1)·(1e6−α), 1e6); the k-th
+    // smallest (cents, event_id) row, LEFT-joined so k > n reads NULL
+    "q308_conformal" ->
+      """WITH t AS (
+        |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents, event_id
+        |  FROM events WHERE value IS NOT NULL),
+        |r AS (
+        |  SELECT event_type, cents,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY cents, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM t),
+        |k AS (
+        |  SELECT event_type AS ket, n,
+        |    ((CAST(n AS HUGEINT) + 1) * 900000 + 999999) // 1000000 AS k_rank
+        |  FROM (SELECT DISTINCT event_type, n FROM r))
+        |SELECT k.ket AS event_type, CAST(k.n AS BIGINT) AS n,
+        |  CAST(k.k_rank AS BIGINT) AS k_rank, r.cents AS qhat
+        |FROM k LEFT JOIN r ON r.event_type = k.ket AND r.rn = k.k_rank
+        |ORDER BY event_type""".stripMargin,
+
     // the q282 counts + one IEEE double expression, floor ppm
     "q304_mde" ->
       """WITH per AS (

@@ -841,6 +841,8 @@ object ExtLawsProps extends Properties("graft.ext") {
         "cohensKappa" -> (() => Stats.cohensKappa(df, "t", "v").collect()),
         "calibrationBins" -> (() =>
           Stats.calibrationBins(df, "v", "t", 4).collect()),
+        "conformalQuantile" -> (() =>
+          Stats.conformalQuantile(df, "g", "v", "t", 100000L).collect()),
         "twoProportionZ" -> (() =>
           Stats.twoProportionZ(counts, "na", "xa", "nb", "xb").collect()),
         "minDetectableEffect" -> (() =>

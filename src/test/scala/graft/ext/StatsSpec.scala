@@ -621,6 +621,32 @@ class StatsSpec extends SparkSpec {
   }
 
 
+  test("conformalQuantile: the (n+1)(1-alpha) rank rule, ties by id, k > n reads NULL") {
+    import spark.implicits._
+    // n = 10, alpha = 0.2: k = ceil(11 * 0.8) = 9 -> 9th smallest
+    val df = (1L to 10L).map(i => ("a", i, i)).toDF("g", "s", "id")
+    val out = Stats.conformalQuantile(df, "g", "s", "id", 200000L)
+      .collect().head
+    assert(out.getAs[Long]("n") == 10L)
+    assert(out.getAs[Long]("k_rank") == 9L)
+    assert(out.getAs[Long]("qhat") == 9L)
+    // alpha = 10% over n = 3: k = ceil(4 * 0.9) = 4 > 3 -> NULL qhat,
+    // the key still present (the honest infinite interval)
+    val small = Stats.conformalQuantile(
+      (1L to 3L).map(i => ("b", i, i)).toDF("g", "s", "id"),
+      "g", "s", "id", 100000L).collect().head
+    assert(small.getAs[Long]("k_rank") == 4L)
+    assert(small.isNullAt(small.fieldIndex("qhat")))
+    // ties break by ascending id: scores all equal -> k-th row's score
+    val tied = Stats.conformalQuantile(
+      Seq(("c", 5L, 1L), ("c", 5L, 2L), ("c", 5L, 3L)).toDF("g", "s", "id"),
+      "g", "s", "id", 500000L).collect().head
+    assert(tied.getAs[Long]("k_rank") == 2L && tied.getAs[Long]("qhat") == 5L)
+    intercept[IllegalArgumentException] {
+      Stats.conformalQuantile(df, "g", "s", "id", 0L)
+    }
+  }
+
   test("degenerate inputs read NULL, never a division error") {
     import spark.implicits._
     // SMD with an empty arm: means/smd NULL
