@@ -412,6 +412,80 @@ object Audit {
         lit(2L).cast(Dec) * col("n") * col("__tot")).as("tv_ppm")): _*)
   }
 
+  /** K-ANONYMITY GENERALIZATION LATTICE — the release-planning step
+    * [[kAnonymity]]'s audit feeds (Samarati/Sweeney; the search space
+    * of Incognito, LeFevre et al. 2005): given per-QI generalization
+    * LADDERS (level 0 = the raw value; each further level a COARSER
+    * deterministic function of it — zip prefixes, value bands, full
+    * suppression), evaluate EVERY lattice node (one level choice per
+    * QI) and report its anonymity profile, so the publisher picks the
+    * least-general node that clears k. Returns one row per node:
+    * (lvl_<qi>…, n_groups, min_group_size, n_at_risk_rows,
+    * k_anonymous 0/1) — n_at_risk_rows = rows in groups smaller than
+    * k, the re-identification exposure at that node.
+    *
+    * Contract: each level expression must be a deterministic function
+    * of the SAME row (levels of one QI need not nest, but coarser
+    * levels only make sense if they do); NULL raw values form their
+    * own groups (the [[kAnonymity]] rule — NULL still identifies).
+    *
+    * Scale shape: ONE data-sized aggregate to the raw-QI cell frame
+    * (every generalized value is constant per cell, so min() carries
+    * it), then the ≤`maxNodes` lattice explodes the DOMAIN-sized cell
+    * frame — cells × nodes rows, never data × nodes — into one
+    * (node, values) aggregate and one node summary. The data is read
+    * once no matter how many nodes the lattice has. */
+  def kAnonymityLattice(df: DataFrame, specs: Seq[(String, Seq[Column])],
+      k: Long = 5L, maxNodes: Int = 64): DataFrame = {
+    require(specs.nonEmpty, "kAnonymityLattice needs at least one QI ladder")
+    require(k >= 2, s"k must be >= 2, got $k")
+    require(specs.forall(_._2.nonEmpty), "every QI needs at least level 0")
+    val nNodes = specs.map(_._2.size.toLong).product
+    require(nNodes <= maxNodes,
+      s"lattice has $nNodes nodes (> maxNodes=$maxNodes) — prune the " +
+      "ladders (Incognito-style) or raise maxNodes knowingly")
+    val names = specs.map(_._1)
+    // one narrow projection carries every (qi, level) generalization
+    val proj = df.select(specs.flatMap { case (n, lvls) =>
+      lvls.zipWithIndex.map { case (c, i) =>
+        c.cast("string").as(s"__g_${n}_$i") }
+    }: _*)
+    // finest cells: group by the level-0 values; every other level is
+    // a function of them, so min() reads the per-cell constant
+    val reps = specs.flatMap { case (n, lvls) =>
+      (1 until lvls.size).map(i =>
+        min(col(s"__g_${n}_$i")).as(s"__g_${n}_$i")) }
+    val counted = count(lit(1)).as("__c")
+    val cells = proj
+      .groupBy(names.map(n => col(s"__g_${n}_0")): _*)
+      .agg(reps.headOption.getOrElse(counted),
+        (if (reps.isEmpty) Seq.empty else reps.tail :+ counted): _*)
+    // the lattice: every level-choice combination, as literal structs
+    val combos = specs.map(_._2.indices.toSeq)
+      .foldLeft(Seq(Seq.empty[Int]))((acc, ls) => acc.flatMap(a => ls.map(a :+ _)))
+    val nodeLit = array(combos.map(c => struct(c.zip(names).map {
+      case (l, n) => lit(l).as(s"lvl_$n") }: _*)): _*)
+    val chosen = specs.map { case (n, lvls) =>
+      lvls.indices.map(i => (i, col(s"__g_${n}_$i")))
+        .foldLeft(lit(null).cast("string")) { case (acc, (i, c)) =>
+          when(col("__node").getField(s"lvl_$n") === i, c).otherwise(acc) }
+        .as(s"__v_$n") }
+    val groups = cells.withColumn("__node", explode(nodeLit))
+      .select(col("__node") +: col("__c") +: chosen: _*)
+      .groupBy(col("__node") +: names.map(n => col(s"__v_$n")): _*)
+      .agg(sum(col("__c")).as("__sz"))
+    groups.groupBy(col("__node"))
+      .agg(count(lit(1)).as("n_groups"),
+        min(col("__sz")).cast("long").as("min_group_size"),
+        sum(when(col("__sz") < k, col("__sz")).otherwise(0L))
+          .cast("long").as("n_at_risk_rows"))
+      .select(names.map(n =>
+          col("__node").getField(s"lvl_$n").cast("long").as(s"lvl_$n")) ++
+        Seq(col("n_groups"), col("min_group_size"), col("n_at_risk_rows"),
+          when(col("min_group_size") >= k, 1L).otherwise(0L)
+            .as("k_anonymous")): _*)
+  }
+
   /** ORDER-INDEPENDENT table fingerprint — the cross-engine checksum a
     * 100 TB migration verifies with (copy the data, fingerprint both
     * sides in their native engines, compare two numbers — never ship

@@ -1336,6 +1336,25 @@ private[graft] object QueriesAnalytics {
           Seq("c_nationkey", "c_mktsegment"), k = 5L)
         .orderBy(col("group_size"))),
 
+    // K-ANONYMITY GENERALIZATION LATTICE: every (nation, balance-band,
+    // segment) generalization combo evaluated in ONE data pass (cells
+    // first, then the 18-node lattice over the domain-sized cell
+    // frame) — the release-planning sweep q200's single-node audit
+    // feeds. Ladder: nation raw -> mod-5 -> '*'; balance fine band
+    // (1000s of dollars) -> coarse band (10,000s) -> '*'; segment raw
+    // -> '*'.
+    "q309_k_anon_lattice" -> ((s, d) => {
+      val cents = round(col("c_acctbal") * 100).cast("long")
+      graft.ext.Audit.kAnonymityLattice(T(s, d, "customer"), Seq(
+          "nation" -> Seq(col("c_nationkey"), col("c_nationkey") % 5, lit("*")),
+          "bal" -> Seq(
+            floor(cents.cast("double") / lit(100000.0)).cast("long"),
+            floor(cents.cast("double") / lit(1000000.0)).cast("long"),
+            lit("*")),
+          "seg" -> Seq(col("c_mktsegment"), lit("*"))), k = 5L)
+        .orderBy(col("lvl_nation"), col("lvl_bal"), col("lvl_seg"))
+    }),
+
     // LINEAR multi-touch attribution: each first purchase splits
     // exactly 1e6 ppm across its preceding touches (largest-remainder
     // to the earliest), aggregated per touch type — engine-exact
@@ -1787,6 +1806,31 @@ private[graft] object QueriesAnalytics {
         |  CAST(sum(sz) AS BIGINT) AS n_rows,
         |  CAST(CASE WHEN sz < 5 THEN 1 ELSE 0 END AS BIGINT) AS at_risk
         |FROM g GROUP BY sz ORDER BY group_size""".stripMargin,
+
+    // one generated SELECT per lattice node over the same
+    // generalization expressions, UNION ALL'd — the node summaries
+    // replay the engine's two-aggregate pass group for group
+    "q309_k_anon_lattice" -> {
+      val nationLv = Seq("CAST(c_nationkey AS VARCHAR)",
+        "CAST(c_nationkey % 5 AS VARCHAR)", "'*'")
+      val balLv = Seq(
+        "CAST(CAST(floor(CAST(round(c_acctbal * 100) AS BIGINT) / 100000.0) AS BIGINT) AS VARCHAR)",
+        "CAST(CAST(floor(CAST(round(c_acctbal * 100) AS BIGINT) / 1000000.0) AS BIGINT) AS VARCHAR)",
+        "'*'")
+      val segLv = Seq("c_mktsegment", "'*'")
+      val nodes = for {
+        a <- nationLv.indices; b <- balLv.indices; c <- segLv.indices
+      } yield
+        s"""SELECT CAST($a AS BIGINT) AS lvl_nation, CAST($b AS BIGINT) AS lvl_bal,
+           |  CAST($c AS BIGINT) AS lvl_seg, count(*) AS n_groups,
+           |  CAST(min(sz) AS BIGINT) AS min_group_size,
+           |  CAST(sum(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT) AS n_at_risk_rows,
+           |  CAST(CASE WHEN min(sz) >= 5 THEN 1 ELSE 0 END AS BIGINT) AS k_anonymous
+           |FROM (SELECT ${nationLv(a)} AS g1, ${balLv(b)} AS g2, ${segLv(c)} AS g3,
+           |    count(*) AS sz FROM customer GROUP BY 1, 2, 3)""".stripMargin
+      nodes.mkString("", "\nUNION ALL\n",
+        "\nORDER BY lvl_nation, lvl_bal, lvl_seg")
+    },
 
     // first purchase per user, pre-conversion touches ranked, floor
     // ppm + largest-remainder credit, per-type rollup

@@ -249,4 +249,40 @@ class AuditSpec extends SparkSpec {
     assert(out("A").getAs[Long]("hellinger_milli") ==
       math.floor(math.sqrt((1000000L - bcA).toDouble)).toLong)
   }
+
+  test("kAnonymityLattice: every node's profile matches a brute-force replay") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 8 rows over (zip, age): full zips nearly unique, 2-digit zips
+    // form k>=2 groups, suppression is one group of 8
+    val rows = Seq(
+      ("10001", 25L), ("10001", 31L), ("10002", 25L), ("10002", 31L),
+      ("20001", 42L), ("20001", 44L), ("20002", 42L), ("20003", 44L))
+    val df = rows.toDF("zip", "age")
+    val specs = Seq(
+      "zip" -> Seq(col("zip"), substring(col("zip"), 1, 2), lit("*")),
+      "age" -> Seq(col("age"), (col("age") / 10L).cast("long"), lit("*")))
+    val out = Audit.kAnonymityLattice(df, specs, k = 2L)
+      .collect().map(r => (r.getAs[Long]("lvl_zip"), r.getAs[Long]("lvl_age")) ->
+        (r.getAs[Long]("n_groups"), r.getAs[Long]("min_group_size"),
+          r.getAs[Long]("n_at_risk_rows"), r.getAs[Long]("k_anonymous"))).toMap
+    assert(out.size == 9) // 3 x 3 lattice
+    // brute-force each node with plain Scala
+    val lvlZip = Seq[String => String](identity, _.take(2), _ => "*")
+    val lvlAge = Seq[Long => String](_.toString, a => (a / 10).toString, _ => "*")
+    for (a <- 0 to 2; b <- 0 to 2) {
+      val sizes = rows.groupBy { case (z, g) => (lvlZip(a)(z), lvlAge(b)(g)) }
+        .values.map(_.size.toLong)
+      val expect = (sizes.size.toLong, sizes.min,
+        sizes.filter(_ < 2L).sum, if (sizes.min >= 2L) 1L else 0L)
+      assert(out((a.toLong, b.toLong)) == expect, s"node ($a,$b)")
+    }
+    // full suppression is always k-anonymous (one group of everything)
+    assert(out((2L, 2L)) == ((1L, 8L, 0L, 1L)))
+    // oversized lattice refuses by name
+    val err = intercept[IllegalArgumentException] {
+      Audit.kAnonymityLattice(df, specs, k = 2L, maxNodes = 4)
+    }
+    assert(err.getMessage.contains("maxNodes=4"))
+  }
 }
