@@ -1569,6 +1569,50 @@ object Dedup {
         col("__best.d").as("distance"))
   }
 
+  /** RECORD LINKAGE (within-table entity resolution) — [[fuzzyJoin]]'s
+    * machinery composed into the full workflow a master-data/identity
+    * pipeline runs: BLOCK (equi-join on a caller-chosen key — the step
+    * that keeps linkage linear instead of |R|² — same contract as
+    * fuzzyJoin), VERIFY (banded Levenshtein with early exit at
+    * `maxDistance`), CLUSTER (transitive closure over the verified
+    * pairs via [[connectedComponents]] — A~B and B~C link A and C even
+    * past the distance bound, the standard linkage semantics), and
+    * CANONICALIZE (each record points at its cluster's MINIMUM id; the
+    * survivorship rule beyond "min id" is the caller's next step).
+    * Returns one row per input record: (idCol, valueCol, canonical_id,
+    * cluster_size) — singletons included with cluster_size 1.
+    *
+    * Scale shape: one block-keyed self-equi-join (pair volume =
+    * Σ_block n_b², the caller's blocking quality), a codegen'd
+    * bounded Levenshtein on the pairs, then connectedComponents'
+    * driver/distributed branching on the VERIFIED edge list (verified
+    * duplicates are sparse even when candidates aren't — the
+    * [[connectedComponents]] note) and one broadcast-able label join
+    * back. The returned frame rides the CC persist (the q83 contract:
+    * harness/caller releases). */
+  def linkRecords(df: DataFrame, idCol: String, valueCol: String,
+      maxDistance: Int, blockKey: Column => Column,
+      localEdgeLimit: Int = DefaultLocalEdgeLimit): DataFrame = {
+    require(maxDistance >= 0, s"maxDistance must be >= 0, got $maxDistance")
+    val base = df.select(col(idCol).as("__id"), col(valueCol).as("__v"))
+      .withColumn("__blk", blockKey(col("__v")))
+    val pairs = base.select(col("__id").as("a"), col("__v").as("__va"),
+        col("__blk"))
+      .join(base.select(col("__id").as("b"), col("__v").as("__vb"),
+        col("__blk")), Seq("__blk"))
+      .filter(col("a") < col("b"))
+      .filter(levenshtein(col("__va"), col("__vb"), maxDistance) >= 0)
+      .select(col("a"), col("b"))
+    val labels = connectedComponents(base.select(col("__id").as("id")),
+      "id", pairs, "a", "b", localEdgeLimit = localEdgeLimit)
+    val sizes = labels.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, Seq("cluster_id"))
+      .join(base.select(col("__id").as("id"), col("__v")), Seq("id"))
+      .select(col("id").as(idCol), col("__v").as(valueCol),
+        col("cluster_id").as("canonical_id"), col("cluster_size"))
+  }
+
   /** LSH RECALL/PRECISION audit — the banding-quality companion to
     * [[minhashCalibration]] (that one audits the ESTIMATOR; this one
     * audits the CANDIDATE GENERATOR): exhaustive ground truth = every

@@ -78,6 +78,27 @@ private[graft] object QueriesCuration {
     }),
 
 
+    // RECORD LINKAGE end to end: a dirty directory (customer names +
+    // a deterministic 1-char-corrupted variant for every 3rd record)
+    // blocked on the name tail, verified by banded Levenshtein <= 1,
+    // clustered transitively, canonicalized to the min id — clusters
+    // also bridge DISTINCT customers whose names collide in the block
+    // at distance 1 (…004999 vs …014999), so the closure is doing
+    // real work. The oracle replays block+verify with DuckDB's
+    // levenshtein and the closure with the q83 recursive CTE.
+    "q311_record_linkage" -> ((s, d) => {
+      val cust = T(s, d, "customer")
+      val dirty = cust.filter(col("c_custkey") % 3 === 0)
+        .select((col("c_custkey") + 1000000L).as("id"),
+          concat(substring(col("c_name"), 1, 10), lit("X"),
+            substring(col("c_name"), 12, 9)).as("name"))
+      val recs = cust.select(col("c_custkey").as("id"),
+        col("c_name").as("name")).unionByName(dirty)
+      graft.ext.Dedup.linkRecords(recs, "id", "name", maxDistance = 1,
+          v => substring(v, 15, 4))
+        .orderBy(col("id"))
+    }),
+
     "q64_sql_q6" -> ((s, d) => { Fx.registerAll(s, d); Sql.executeRaw(s, Q6Sql) }),
     "q65_sql_q12" -> ((s, d) => { Fx.registerAll(s, d); Sql.executeRaw(s, Q12Sql) }),
     "q66_sql_q14" -> ((s, d) => { Fx.registerAll(s, d); Sql.executeRaw(s, Q14Sql) }),
@@ -1463,6 +1484,34 @@ private[graft] object QueriesCuration {
         |    ELSE NULL END AS vote_conf_ppm
         |FROM v ORDER BY doc_id""".stripMargin,
 
+
+    // block + levenshtein verify + recursive-CTE closure + min-id
+    // canonicalization, replaying linkRecords stage for stage
+    "q311_record_linkage" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT c_custkey AS id, c_name AS name FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000,
+        |    substring(c_name, 1, 10) || 'X' || substring(c_name, 12)
+        |  FROM customer WHERE c_custkey % 3 = 0),
+        |b AS (SELECT id, name, substring(name, 15, 4) AS blk FROM base),
+        |p AS (
+        |  SELECT x.id AS a, y.id AS b FROM b x JOIN b y
+        |  ON x.blk = y.blk AND x.id < y.id
+        |    AND levenshtein(x.name, y.name) <= 1),
+        |sym AS (SELECT a AS src, b AS dst FROM p UNION SELECT b, a FROM p),
+        |reach AS (
+        |  SELECT id AS src, id AS dst FROM b
+        |  UNION
+        |  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src),
+        |cc AS (SELECT src AS id, min(dst) AS canonical_id FROM reach GROUP BY 1),
+        |sz AS (SELECT canonical_id, count(*) AS cluster_size FROM cc GROUP BY 1)
+        |SELECT CAST(b.id AS BIGINT) AS id, b.name,
+        |  CAST(cc.canonical_id AS BIGINT) AS canonical_id,
+        |  CAST(sz.cluster_size AS BIGINT) AS cluster_size
+        |FROM b JOIN cc ON cc.id = b.id
+        |JOIN sz ON sz.canonical_id = cc.canonical_id
+        |ORDER BY b.id""".stripMargin,
 
     "q70_sql_exists" -> ExistsSql,
     "q71_sql_custdist" -> CustDistSql,

@@ -821,6 +821,30 @@ class DedupSpec extends SparkSpec {
     assert(out(4L) == ((0L, 0L, None)), s"doc4 ${out(4L)}")
   }
 
+  test("linkRecords: block + verify + transitive closure + min-id canonical") {
+    import spark.implicits._
+    // kitten~sitten and sitten~sittin at distance 1; kitten~sittin is
+    // distance 2 (over the bound) but links TRANSITIVELY; banana is in
+    // the same block (length 6) yet verifies against nothing
+    val recs = Seq((1L, "kitten"), (2L, "sitten"), (3L, "sittin"),
+      (4L, "banana")).toDF("id", "name")
+    val out = Dedup.linkRecords(recs, "id", "name", maxDistance = 1,
+        v => length(v).cast("string"))
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("canonical_id"), r.getAs[Long]("cluster_size"))).toMap
+    assert(out(1L) == ((1L, 3L)))
+    assert(out(2L) == ((1L, 3L)))
+    assert(out(3L) == ((1L, 3L)))
+    assert(out(4L) == ((4L, 1L))) // singleton survives with size 1
+    // different blocks are never compared: same strings, disjoint blocks
+    val blocked = Dedup.linkRecords(
+      Seq((1L, "abc"), (2L, "abcd")).toDF("id", "name"),
+      "id", "name", maxDistance = 1, v => length(v).cast("string"))
+      .collect().map(r => r.getAs[Long]("id") ->
+        r.getAs[Long]("canonical_id")).toMap
+    assert(blocked == Map(1L -> 1L, 2L -> 2L))
+  }
+
   test("lshRecallAudit: candidates vs exhaustive truth on a planted corpus") {
     import spark.implicits._
     // two exact near-dup pairs + unrelated docs
