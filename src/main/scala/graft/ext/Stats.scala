@@ -346,6 +346,45 @@ object Stats {
         col("__am").getField("v").as("at_value"))
   }
 
+  /** CRAMÉR–VON MISES two-sample test — the whole-distribution
+    * companion to [[ksTest]] (KS reads the single WORST ECDF gap; CvM
+    * integrates EVERY gap, so spread-out small departures that never
+    * spike still register): in the ECDF form over the pooled sample,
+    *   T = n·m/(n+m)² · Σ_pooled (F_A(x) − F_B(x))²
+    * evaluated at every pooled observation (ties weighted by their
+    * multiplicity — the natural discrete-data form of the Anderson
+    * 1962 statistic). EXACT: with D(x) = cum_a(x)·m − cum_b(x)·n (the
+    * q242 integer gap), T = Σ mult·D² / (n·m·(n+m)²) — one
+    * DECIMAL(38,0) rational, reported floor ppm. D² ≤ (nm)² keeps the
+    * numerator inside 38 digits to ~10⁶ rows per arm at 10⁶ distinct
+    * values (past that, pre-bin values — the chiSquare envelope
+    * note). NULL when either arm is empty. Returns ONE row:
+    * (n_a, n_b, t_ppm).
+    *
+    * Scale shape: the shared [[cumCountsByValue]] machinery — one
+    * value-domain aggregate + range-bucketed cumulatives (never one
+    * global window) + one counting reduction. */
+  def cvmTest(df: DataFrame, groupCol: String, groupA: String,
+      groupB: String, valueCol: String,
+      globalBuckets: Int = 32): DataFrame = {
+    val c = cumCountsByValue(df, groupCol, groupA, groupB, valueCol,
+      globalBuckets)
+    val tot = c.agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"))
+    val d = col("cum_a").cast(Dec) * col("n_b") -
+      col("cum_b").cast(Dec) * col("n_a")
+    c.crossJoin(broadcast(tot))
+      .groupBy(col("n_a"), col("n_b"))
+      .agg(sum(((col("ca") + col("cb")).cast(Dec) * d * d).cast(Dec))
+        .cast(Dec).as("__num"))
+      .select(col("n_a"), col("n_b"),
+        when(col("n_a") > 0L && col("n_b") > 0L,
+          floorDiv(col("__num") * lit(1000000L),
+            col("n_a").cast(Dec) * col("n_b") *
+              (col("n_a") + col("n_b")).cast(Dec) *
+              (col("n_a") + col("n_b")).cast(Dec)))
+          .otherwise(lit(null).cast("long")).as("t_ppm"))
+  }
+
   /** Welch's unequal-variance t-test between `groupA` and `groupB` of
     * `groupCol`, over a caller-quantized integral `valueCol` — the
     * parametric companion to [[rankSumTest]] (means, not ranks) and

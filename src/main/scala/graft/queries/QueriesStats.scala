@@ -276,6 +276,14 @@ private[graft] object QueriesStats {
         T(s, d, "documents").select(col("lang"), col("n_chars")),
         "lang", "en", "fr", "n_chars")),
 
+    // CRAMÉR–VON MISES two-sample: the whole-distribution companion
+    // to q242's KS — every ECDF gap integrates (ties weighted by
+    // multiplicity), one exact DECIMAL rational, floor ppm.
+    "q312_cvm_test" -> ((s, d) =>
+      graft.ext.Stats.cvmTest(
+        T(s, d, "documents").select(col("lang"), col("n_chars")),
+        "lang", "en", "fr", "n_chars")),
+
     // L-DIVERSITY (the q200 k-anonymity companion): a large QI group
     // still leaks if everyone shares the same sensitive value — count
     // distinct balance bands per (nation, segment) group, histogram
@@ -1196,6 +1204,28 @@ private[graft] object QueriesStats {
         |  CAST((sel.gap * 1000000) // (t.na * t.nb) AS BIGINT) AS d_ppm,
         |  CAST(sel.v AS BIGINT) AS at_value
         |FROM sel CROSS JOIN t""".stripMargin,
+
+    // the q242 cum CTEs; numerator = sum mult * D^2, one HUGEINT
+    // rational floored at ppm
+    "q312_cvm_test" ->
+      """WITH e AS (
+        |  SELECT lang AS g, CAST(n_chars AS BIGINT) AS v FROM documents
+        |  WHERE lang IN ('en', 'fr') AND n_chars IS NOT NULL),
+        |agg AS (SELECT v,
+        |    sum(CASE WHEN g = 'en' THEN 1 ELSE 0 END) AS ca,
+        |    sum(CASE WHEN g = 'fr' THEN 1 ELSE 0 END) AS cb
+        |  FROM e GROUP BY 1),
+        |c AS (SELECT v, ca, cb, sum(ca) OVER (ORDER BY v) AS cum_a,
+        |    sum(cb) OVER (ORDER BY v) AS cum_b FROM agg),
+        |t AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM agg),
+        |num AS (SELECT sum(CAST(ca + cb AS HUGEINT) *
+        |      (CAST(cum_a AS HUGEINT) * t.nb - CAST(cum_b AS HUGEINT) * t.na)
+        |      * (CAST(cum_a AS HUGEINT) * t.nb - CAST(cum_b AS HUGEINT) * t.na)) AS u
+        |  FROM c CROSS JOIN t)
+        |SELECT CAST(t.na AS BIGINT) AS n_a, CAST(t.nb AS BIGINT) AS n_b,
+        |  CAST((num.u * 1000000) // (CAST(t.na AS HUGEINT) * t.nb
+        |    * (t.na + t.nb) * (t.na + t.nb)) AS BIGINT) AS t_ppm
+        |FROM num CROSS JOIN t""".stripMargin,
 
     // distinct balance bands per QI group, histogrammed by diversity
     "q243_l_diversity" ->

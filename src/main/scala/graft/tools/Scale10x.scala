@@ -89,6 +89,15 @@ object Scale10x {
       // streaming overhead that amortizes as rows grow (the ratio
       // should read SUB-linear)
       "q307_session_stream",
+      // r12 operators: conformal rank (range-bucketed distributed
+      // rank — the q129 machinery), Kaplan–Meier (one user aggregate
+      // + a bounded-histogram fold: the fold is size-invariant),
+      // k-anonymity lattice (ONE data aggregate to cells, lattice
+      // over the domain-sized cell frame), record linkage (block
+      // self-join + verified-edge CC — ×10 users keep per-block
+      // membership structure, so pairs scale ×10)
+      "q308_conformal", "q310_kaplan_meier",
+      "q309_k_anon_lattice", "q311_record_linkage",
       "q124_gopher_quality", "q125_keep_best_dedup",
       // deterministic shuffle: one shard exchange + per-shard sort —
       // shard count is FIXED while rows grow, so per-shard sorts grow

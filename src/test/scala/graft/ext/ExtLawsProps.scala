@@ -824,6 +824,7 @@ object ExtLawsProps extends Properties("graft.ext") {
         "rankSumTest" -> (() =>
           Stats.rankSumTest(df, "g", "a", "b", "v").collect()),
         "ksTest" -> (() => Stats.ksTest(df, "g", "a", "b", "v").collect()),
+        "cvmTest" -> (() => Stats.cvmTest(df, "g", "a", "b", "v").collect()),
         "signTest" -> (() =>
           Stats.signTest(df, "t", "g", "a", "b", "v").collect()),
         "diffInDiff" -> (() => Stats.diffInDiff(

@@ -621,6 +621,31 @@ class StatsSpec extends SparkSpec {
   }
 
 
+  test("cvmTest: exact ECDF-integral statistic; zero on identical samples; ties weighted") {
+    import spark.implicits._
+    // A={1,2}, B={3,4}: D = (2,4,2,0), sum mult*D^2 = 24,
+    // T = 24/(2*2*16) = 0.375
+    val sep = Stats.cvmTest(
+      Seq(("a", 1L), ("a", 2L), ("b", 3L), ("b", 4L)).toDF("g", "v"),
+      "g", "a", "b", "v").collect().head
+    assert(sep.getAs[Long]("n_a") == 2L && sep.getAs[Long]("n_b") == 2L)
+    assert(sep.getAs[Long]("t_ppm") == 375000L)
+    // identical samples: every gap is zero
+    val same = Stats.cvmTest(
+      Seq(("a", 1L), ("a", 2L), ("b", 1L), ("b", 2L)).toDF("g", "v"),
+      "g", "a", "b", "v").collect().head
+    assert(same.getAs[Long]("t_ppm") == 0L)
+    // ties weighted by multiplicity: A={1,1}, B={1,2} -> 12/64
+    val tied = Stats.cvmTest(
+      Seq(("a", 1L), ("a", 1L), ("b", 1L), ("b", 2L)).toDF("g", "v"),
+      "g", "a", "b", "v").collect().head
+    assert(tied.getAs[Long]("t_ppm") == 187500L)
+    // one empty arm reads NULL (the guard-class law)
+    val one = Stats.cvmTest(
+      Seq(("a", 1L)).toDF("g", "v"), "g", "a", "b", "v").collect().head
+    assert(one.isNullAt(one.fieldIndex("t_ppm")))
+  }
+
   test("conformalQuantile: the (n+1)(1-alpha) rank rule, ties by id, k > n reads NULL") {
     import spark.implicits._
     // n = 10, alpha = 0.2: k = ceil(11 * 0.8) = 9 -> 9th smallest
