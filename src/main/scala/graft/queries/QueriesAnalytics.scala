@@ -1336,6 +1336,19 @@ private[graft] object QueriesAnalytics {
           Seq("c_nationkey", "c_mktsegment"), k = 5L)
         .orderBy(col("group_size"))),
 
+    // PRIORITY SAMPLING with the DLT estimator: 100 customers kept
+    // proportional to positive balance cents, each with the unbiased
+    // est_weight = max(w, tau) — subset sums over the sample estimate
+    // true balance totals. Exact DECIMAL(38,0) priorities (w*2^56/h,
+    // floor), portable hash, tau = the 101st priority.
+    "q313_priority_sample" -> ((s, d) => {
+      val base = T(s, d, "customer").select(
+        col("c_custkey").as("id"),
+        round(col("c_acctbal") * 100).cast("long").as("w"))
+      graft.ext.Sampling.prioritySample(base, "id", "w", n = 100)
+        .orderBy(col("id"))
+    }),
+
     // K-ANONYMITY GENERALIZATION LATTICE: every (nation, balance-band,
     // segment) generalization combo evaluated in ONE data pass (cells
     // first, then the 18-node lattice over the domain-sized cell
@@ -1806,6 +1819,25 @@ private[graft] object QueriesAnalytics {
         |  CAST(sum(sz) AS BIGINT) AS n_rows,
         |  CAST(CASE WHEN sz < 5 THEN 1 ELSE 0 END AS BIGINT) AS at_risk
         |FROM g GROUP BY sz ORDER BY group_size""".stripMargin,
+
+    // same hash, same floor division, same tie rule; tau via the
+    // rank-101 row, estimates as DECIMAL(38,0)
+    "q313_priority_sample" ->
+      """WITH b AS (
+        |  SELECT c_custkey AS id, CAST(round(c_acctbal * 100) AS BIGINT) AS w
+        |  FROM customer WHERE CAST(round(c_acctbal * 100) AS BIGINT) > 0),
+        |h AS (SELECT id, w,
+        |    greatest(CAST(concat('0x', substring(md5(concat_ws('|', '42', CAST(id AS VARCHAR))), 1, 14)) AS BIGINT), 1) AS hh
+        |  FROM b),
+        |p AS (SELECT id, w,
+        |    (CAST(w AS HUGEINT) * 72057594037927936) // hh AS pr FROM h),
+        |r AS (SELECT id, w, pr,
+        |    row_number() OVER (ORDER BY pr DESC, id) AS rn FROM p),
+        |tau AS (SELECT max(CASE WHEN rn = 101 THEN pr END) AS t
+        |  FROM r WHERE rn <= 101)
+        |SELECT r.id, r.w, CAST(r.pr AS DECIMAL(38,0)) AS priority,
+        |  CAST(greatest(CAST(r.w AS HUGEINT), coalesce(tau.t, 0)) AS DECIMAL(38,0)) AS est_weight
+        |FROM r CROSS JOIN tau WHERE r.rn <= 100 ORDER BY r.id""".stripMargin,
 
     // one generated SELECT per lattice node over the same
     // generalization expressions, UNION ALL'd — the node summaries

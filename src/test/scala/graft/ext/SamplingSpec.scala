@@ -337,4 +337,37 @@ class SamplingSpec extends SparkSpec {
     assert(out.forall(_.isNullAt(out.head.fieldIndex("cum_share_ppm"))))
   }
 
+  test("prioritySample: DLT estimates = max(w, tau); full population keeps exact weights") {
+    import spark.implicits._
+    val df = (1L to 40L).map(i => (i, i * 10L)).toDF("id", "w")
+    // n >= population: everything kept, tau = 0, est == w exactly
+    val full = Sampling.prioritySample(df, "id", "w", n = 40)
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getDecimal(r.fieldIndex("priority")),
+          r.getDecimal(r.fieldIndex("est_weight")))).toMap
+    assert(full.size == 40)
+    assert(full.forall { case (id, (_, est)) => est.longValueExact == id * 10L })
+    // n < population: kept = the n largest priorities from the full
+    // ranking; tau = the (n+1)-th; every estimate = max(w, tau)
+    val ranking = full.toSeq.sortWith { case ((id1, (p1, _)), (id2, (p2, _))) =>
+      val c = p1.compareTo(p2)
+      c > 0 || (c == 0 && id1 < id2)
+    }
+    val expectKept = ranking.take(10).map(_._1).toSet
+    val tau = ranking(10)._2._1
+    val got = Sampling.prioritySample(df, "id", "w", n = 10)
+      .collect().map(r => r.getAs[Long]("id") ->
+        r.getDecimal(r.fieldIndex("est_weight"))).toMap
+    assert(got.keySet == expectKept)
+    got.foreach { case (id, est) =>
+      val w = java.math.BigDecimal.valueOf(id * 10L)
+      assert(est.compareTo(w.max(tau)) == 0, s"id $id est $est tau $tau")
+    }
+    // non-positive and NULL weights have no defined draw
+    val drop = Sampling.prioritySample(
+      Seq((1L, Some(5L)), (2L, Some(0L)), (3L, Option.empty[Long]))
+        .toDF("id", "w"), "id", "w", n = 5).collect()
+    assert(drop.map(_.getAs[Long]("id")).toSeq == Seq(1L))
+  }
+
 }
