@@ -98,6 +98,9 @@ object Scale10x {
       // membership structure, so pairs scale ×10)
       "q308_conformal", "q310_kaplan_meier",
       "q309_k_anon_lattice", "q311_record_linkage",
+      // CvM rides the q242 value-domain machinery; priority sampling
+      // is a TakeOrdered(n+1) — both should read near-flat
+      "q312_cvm_test", "q313_priority_sample",
       "q124_gopher_quality", "q125_keep_best_dedup",
       // deterministic shuffle: one shard exchange + per-shard sort —
       // shard count is FIXED while rows grow, so per-shard sorts grow
