@@ -514,6 +514,50 @@ private[graft] object QueriesCore {
       }
     }),
 
+    // TUMBLING WINDOWS THROUGH THE REAL STREAMING PATH — q307's
+    // recipe applied to the other windowed shape (q37 is the batch
+    // twin): 3 chronological micro-batches + 2 sentinel batches flush
+    // every hourly window through the watermark; counts hash-match
+    // the batch aggregation (sum_value is excluded from the
+    // projection — cross-batch double partials re-order the sum, the
+    // q123 rule; counts and bounds are exact).
+    "q314_tumbling_stream" -> ((s, d) => {
+      import s.implicits._
+      val ev = T(s, d, "events")
+        .select(col("ts"), col("event_type"), col("value"))
+      val root = java.nio.file.Files.createTempDirectory("graft-ts")
+      val src = root.resolve("in").toString
+      val chk = root.resolve("chk").toString
+      try {
+        val dom = dayofmonth(col("ts"))
+        Seq(dom <= 10, dom > 10 && dom <= 20, dom > 20).foreach(p =>
+          ev.filter(p).coalesce(1).write.mode("append").parquet(src))
+        val maxTs = ev.agg(max(unix_micros(col("ts")))).head().getLong(0)
+        Seq(1L, 2L).foreach(k =>
+          Seq((new java.sql.Timestamp(maxTs / 1000L + k * 86400000L),
+              "sentinel", 0.0))
+            .toDF("ts", "event_type", "value")
+            .coalesce(1).write.mode("append").parquet(src))
+        val stream = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 1).parquet(src)
+        val q = Streams.tumblingAgg(stream, "ts", "1 hour")
+          .select(col("window_start"), col("window_end"),
+            col("event_type"), col("n"))
+          .writeStream.outputMode("append").format("memory")
+          .queryName("q314_mem").option("checkpointLocation", chk)
+          .start()
+        q.processAllAvailable()
+        q.stop()
+        val got = s.table("q314_mem").filter(col("event_type") =!= "sentinel")
+        import scala.jdk.CollectionConverters._
+        val frozen = s.createDataFrame(got.collect().toSeq.asJava, got.schema)
+        frozen.orderBy(col("window_start"), col("event_type"))
+      } finally {
+        s.catalog.dropTempView("q314_mem")
+        org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
+      }
+    }),
+
     // S7 THROUGH THE SQL PATH: a global COUNT/MIN/MAX over the
     // connector collapses to ONE remote stats probe (DSv2 complete
     // aggregate pushdown, the reference's sobject_size SOQL at
@@ -806,6 +850,14 @@ private[graft] object QueriesCore {
         |  CAST(sum(CAST(Amount AS DECIMAL(18,4))) AS DOUBLE) AS sum_amount
         |FROM r WHERE IsActive AND Amount > 1000.0
         |GROUP BY Industry ORDER BY Industry""".stripMargin,
+
+    // the q37 aggregation (counts only) + the window end bound —
+    // stream == batch on the tumbling shape
+    "q314_tumbling_stream" ->
+      """SELECT date_trunc('hour', ts) AS window_start,
+        |  date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+        |  event_type, count(*) AS n
+        |FROM events GROUP BY 1, 2, 3 ORDER BY 1, 3""".stripMargin,
 
     // IDENTICAL SQL to q123: the streaming run must equal the batch
     // operator on the full fixture (stream == batch is the contract)
