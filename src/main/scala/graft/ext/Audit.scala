@@ -425,9 +425,17 @@ object Audit {
     * k, the re-identification exposure at that node.
     *
     * Contract: each level expression must be a deterministic function
-    * of the SAME row (levels of one QI need not nest, but coarser
-    * levels only make sense if they do); NULL raw values form their
-    * own groups (the [[kAnonymity]] rule — NULL still identifies).
+    * of that QI's LEVEL-0 VALUE (the joint level-0 tuple at the
+    * loosest) — not merely "of the same row": the cell pass below
+    * groups by the level-0 values and carries every coarser level as
+    * a per-cell constant, so a level that reads any NON-QI column
+    * would silently misprofile the node. The contract is VALIDATED in
+    * the same pass (per-cell min = max and constant null-ness per
+    * generalized level; a violating ladder fails loudly at execution
+    * instead of returning wrong n_groups). Levels of one
+    * QI need not nest, but coarser levels only make sense if they do;
+    * NULL raw values form their own groups (the [[kAnonymity]] rule —
+    * NULL still identifies).
     *
     * Scale shape: ONE data-sized aggregate to the raw-QI cell frame
     * (every generalized value is constant per cell, so min() carries
@@ -451,15 +459,33 @@ object Audit {
         c.cast("string").as(s"__g_${n}_$i") }
     }: _*)
     // finest cells: group by the level-0 values; every other level is
-    // a function of them, so min() reads the per-cell constant
-    val reps = specs.flatMap { case (n, lvls) =>
-      (1 until lvls.size).map(i =>
-        min(col(s"__g_${n}_$i")).as(s"__g_${n}_$i")) }
+    // a function of them, so min() reads the per-cell constant — and
+    // max()/count() ride along to VALIDATE that contract (min <=> max
+    // catches two distinct values; count(lvl) ∈ {0, count(*)} catches
+    // nullness varying within a cell, which min/max skip over)
+    val lvlKeys = specs.flatMap { case (n, lvls) =>
+      (1 until lvls.size).map(i => (n, i)) }
+    val reps = lvlKeys.flatMap { case (n, i) => Seq(
+      min(col(s"__g_${n}_$i")).as(s"__g_${n}_$i"),
+      max(col(s"__g_${n}_$i")).as(s"__mx_${n}_$i"),
+      count(col(s"__g_${n}_$i")).as(s"__cn_${n}_$i")) }
     val counted = count(lit(1)).as("__c")
-    val cells = proj
+    val cellsRaw = proj
       .groupBy(names.map(n => col(s"__g_${n}_0")): _*)
       .agg(reps.headOption.getOrElse(counted),
         (if (reps.isEmpty) Seq.empty else reps.tail :+ counted): _*)
+    // the guard rides INSIDE the carried value (a detached assertion
+    // column would be pruned away before it could fire)
+    val cells = lvlKeys.foldLeft(cellsRaw) { case (acc, (n, i)) =>
+      val g = col(s"__g_${n}_$i")
+      val ok = (g <=> col(s"__mx_${n}_$i")) &&
+        (col(s"__cn_${n}_$i") === 0L || col(s"__cn_${n}_$i") === col("__c"))
+      acc.withColumn(s"__g_${n}_$i", when(ok, g).otherwise(raise_error(
+          lit(s"kAnonymityLattice: level $i of QI '$n' is not a " +
+            "deterministic function of the level-0 value (a level-0 " +
+            "cell holds multiple generalized values)"))))
+        .drop(s"__mx_${n}_$i", s"__cn_${n}_$i")
+    }
     // the lattice: every level-choice combination, as literal structs
     val combos = specs.map(_._2.indices.toSeq)
       .foldLeft(Seq(Seq.empty[Int]))((acc, ls) => acc.flatMap(a => ls.map(a :+ _)))

@@ -71,8 +71,16 @@ object PortableDiv {
     * pmod's non-negative remainder makes the identity floor NEGATIVE
     * dividends too (DuckDB oracles shim their truncating `//` with
     * the same non-negative-mod identity). THE one decimal-domain
-    * floor-quotient definition — Stats and Similarity delegate here;
-    * do not fork per-module copies. */
+    * floor-quotient definition — Stats, Similarity and Sampling
+    * delegate here; do not fork per-module copies. */
   def floorDec(a: Column, b: Column): Column =
-    ((a - pmod(a, b)) / b).cast("long")
+    floorDecWide(a, b).cast("long")
+
+  /** [[floorDec]] WITHOUT the long narrowing — for quotients that
+    * legitimately exceed int64 (DLT priorities, per-cluster |S|²/n
+    * terms). Caveat: Spark types DECIMAL(38,0)/DECIMAL(38,0) as
+    * DECIMAL(38,6) — 32 INTEGRAL digits — so the dividend must stay
+    * below 10³² or ANSI mode throws (callers document their bound;
+    * [[graft.ext.Sampling.prioritySample]] requires w < 1.38e15). */
+  def floorDecWide(a: Column, b: Column): Column = (a - pmod(a, b)) / b
 }

@@ -123,9 +123,15 @@ object Sampling {
     * EXACT arithmetic throughout — the blocker that kept this out
     * earlier was u^(1/w)-style pow (not correctly rounded
     * cross-engine); the DLT form needs only ⌊w·2⁵⁶/h⌋, one
-    * DECIMAL(38,0) floor division both engines replay bit for bit
-    * (priorities and estimates stay DECIMAL(38,0): a tiny hash makes
-    * q exceed int64 legitimately). h clamps to ≥1 (a zero hash would
+    * DECIMAL(38,0) floor division ([[PortableDiv.floorDecWide]])
+    * both engines replay bit for bit (priorities and estimates stay
+    * DECIMAL(38,0): a tiny hash makes q exceed int64 legitimately —
+    * downstream hashes/serializers that coerce through int64 or
+    * float must re-encode, e.g. split hi/lo at 10¹⁸ like the q313
+    * contract does). Weight bound: Spark types the quotient
+    * DECIMAL(38,6) (32 integral digits), so w·2⁵⁶ must stay below
+    * 10³² ⇒ w < 1.38e15 — beyond that ANSI mode throws (loudly, not
+    * wrongly). h clamps to ≥1 (a zero hash would
     * divide by zero at probability 2⁻⁵⁶). Rows with NULL/non-positive
     * weight drop (no defined draw); ties break by key. When the
     * population fits in n, τ = 0 and every estimate is the exact
@@ -146,7 +152,7 @@ object Sampling {
     val h = greatest(portableHash(col(keyCol), seed), lit(1L)).cast(Dec)
     val num = col(weightCol).cast("long").cast(Dec) * two56
     val ranked = base
-      .withColumn("__p", ((num - pmod(num, h)) / h).cast(Dec))
+      .withColumn("__p", PortableDiv.floorDecWide(num, h).cast(Dec))
       .orderBy(col("__p").desc, col(keyCol))
       .limit(n + 1)
     val w = org.apache.spark.sql.expressions.Window

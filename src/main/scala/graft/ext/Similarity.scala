@@ -1057,7 +1057,8 @@ object Similarity {
     // quotients floor in the DECIMAL domain — a long-narrowed
     // intermediate would overflow near 1e19 (≈2e6 unit-scale rows per
     // cluster) and silently NULL the cluster's term out of the sum
-    def floorDecWide(a: Column, b: Column): Column = (a - pmod(a, b)) / b
+    def floorDecWide(a: Column, b: Column): Column =
+      PortableDiv.floorDecWide(a, b)
     val perCluster = perDim.groupBy(col("__c"))
       .agg(sum(col("__s") * col("__s")).cast(Dec).as("__sc2"))
       .join(cnt, Seq("__c"))

@@ -1340,12 +1340,25 @@ private[graft] object QueriesAnalytics {
     // proportional to positive balance cents, each with the unbiased
     // est_weight = max(w, tau) — subset sums over the sample estimate
     // true balance totals. Exact DECIMAL(38,0) priorities (w*2^56/h,
-    // floor), portable hash, tau = the 101st priority.
+    // floor), portable hash, tau = the 101st priority. The contract
+    // carries the >int64 decimals SPLIT at 10^18 into (hi, lo) BIGINT
+    // pairs — DECIMAL(38,0) values past 2^63 render differently under
+    // pyarrow/pandas/float canonicalizers (the r12 driver-vs-local
+    // hash divergence), so no >int64 value may ride the gate hash.
     "q313_priority_sample" -> ((s, d) => {
       val base = T(s, d, "customer").select(
         col("c_custkey").as("id"),
         round(col("c_acctbal") * 100).cast("long").as("w"))
+      val Dec = "decimal(38,0)"
+      val B = lit("1000000000000000000").cast(Dec) // 10^18
+      def hi(c: Column) = graft.ext.PortableDiv.floorDec(c, B)
+      def lo(c: Column) = pmod(c, B).cast("long")
       graft.ext.Sampling.prioritySample(base, "id", "w", n = 100)
+        .select(col("id"), col("w"),
+          hi(col("priority")).as("priority_hi"),
+          lo(col("priority")).as("priority_lo"),
+          hi(col("est_weight")).as("est_hi"),
+          lo(col("est_weight")).as("est_lo"))
         .orderBy(col("id"))
     }),
 
@@ -1821,7 +1834,9 @@ private[graft] object QueriesAnalytics {
         |FROM g GROUP BY sz ORDER BY group_size""".stripMargin,
 
     // same hash, same floor division, same tie rule; tau via the
-    // rank-101 row, estimates as DECIMAL(38,0)
+    // rank-101 row; the >int64 HUGEINT priority/estimate split at
+    // 10^18 into int64-safe (hi, lo) BIGINT pairs (// and % floor on
+    // the non-negative operands, matching the engine's pmod identity)
     "q313_priority_sample" ->
       """WITH b AS (
         |  SELECT c_custkey AS id, CAST(round(c_acctbal * 100) AS BIGINT) AS w
@@ -1834,10 +1849,16 @@ private[graft] object QueriesAnalytics {
         |r AS (SELECT id, w, pr,
         |    row_number() OVER (ORDER BY pr DESC, id) AS rn FROM p),
         |tau AS (SELECT max(CASE WHEN rn = 101 THEN pr END) AS t
-        |  FROM r WHERE rn <= 101)
-        |SELECT r.id, r.w, CAST(r.pr AS DECIMAL(38,0)) AS priority,
-        |  CAST(greatest(CAST(r.w AS HUGEINT), coalesce(tau.t, 0)) AS DECIMAL(38,0)) AS est_weight
-        |FROM r CROSS JOIN tau WHERE r.rn <= 100 ORDER BY r.id""".stripMargin,
+        |  FROM r WHERE rn <= 101),
+        |k AS (SELECT r.id, r.w, r.pr,
+        |    greatest(CAST(r.w AS HUGEINT), coalesce(tau.t, 0)) AS est
+        |  FROM r CROSS JOIN tau WHERE r.rn <= 100)
+        |SELECT id, w,
+        |  CAST(pr // 1000000000000000000 AS BIGINT) AS priority_hi,
+        |  CAST(pr % 1000000000000000000 AS BIGINT) AS priority_lo,
+        |  CAST(est // 1000000000000000000 AS BIGINT) AS est_hi,
+        |  CAST(est % 1000000000000000000 AS BIGINT) AS est_lo
+        |FROM k ORDER BY id""".stripMargin,
 
     // one generated SELECT per lattice node over the same
     // generalization expressions, UNION ALL'd — the node summaries

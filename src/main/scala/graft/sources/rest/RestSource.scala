@@ -211,7 +211,13 @@ class RestScanBuilder(schema: StructType, options: Map[String, String], obj: Str
 /** The pushed-aggregate scan: ONE partition whose reader makes ONE
   * remote stats call — phase 1's id cursor never runs, phase 2 never
   * fetches a row. readSchema is positionally aligned with the pushed
-  * aggregate list (the DSv2 complete-pushdown contract). */
+  * aggregate list (the DSv2 complete-pushdown contract).
+  *
+  * Admission control applies HERE too (reference salesforce/
+  * main.py:102-104): a pushed aggregate still spends one remote call,
+  * so `minRemainingQuota` refuses it up front exactly like the row
+  * scan — a caller's quota floor must hold no matter which physical
+  * scan the optimizer collapses the query to. */
 class RestAggScan(aggSchema: StructType, options: Map[String, String],
     obj: String, preds: Seq[RPred], pushedV1: Array[Filter], aggs: Seq[RAgg])
     extends Scan with Batch {
@@ -222,8 +228,18 @@ class RestAggScan(aggSchema: StructType, options: Map[String, String],
     s"graft-rest $obj AGGREGATE PUSHED [${aggs.mkString(", ")}] " +
       s"pushed=[${pushedV1.mkString(", ")}]"
 
-  override def planInputPartitions(): Array[InputPartition] =
+  override def planInputPartitions(): Array[InputPartition] = {
+    val minQuota = options.getOrElse("minremainingquota", "0").toLong
+    if (minQuota > 0) {
+      val t = RestTable.transportFor(options)
+      val remaining = t.limits().getOrElse("DailyApiRequests.Remaining", Long.MaxValue)
+      if (remaining < minQuota) throw new IllegalStateException(
+        s"graft-rest $obj: remaining API quota $remaining is below " +
+          s"minRemainingQuota=$minQuota — refusing the pushed-aggregate " +
+          "scan (the stats probe is still a remote call)")
+    }
     Array(RestAggPartition(aggs, preds))
+  }
 
   override def supportedCustomMetrics(): Array[CustomMetric] =
     Array(new RestApiCallsMetric)

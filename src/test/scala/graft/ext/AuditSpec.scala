@@ -285,4 +285,38 @@ class AuditSpec extends SparkSpec {
     }
     assert(err.getMessage.contains("maxNodes=4"))
   }
+
+  test("kAnonymityLattice: a ladder level reading ANOTHER column fails loudly") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // salary is NOT a QI — it is outside the joint level-0 cell key,
+    // so a ladder level reading it varies within a cell
+    val df = Seq(("10001", 25L, 50L), ("10001", 25L, 70L), ("10002", 25L, 50L))
+      .toDF("zip", "age", "salary")
+    // level 1 of 'zip' illegally reads salary — two distinct
+    // generalized values inside the (zip=10001, age=25) level-0 cell;
+    // the r12 advice case: this used to silently produce wrong n_groups
+    val badSpecs = Seq(
+      "zip" -> Seq(col("zip"), col("salary").cast("string")),
+      "age" -> Seq(col("age")))
+    val err = intercept[Exception] {
+      Audit.kAnonymityLattice(df, badSpecs, k = 2L).collect()
+    }
+    val msg = Option(err.getMessage).getOrElse("") +
+      Option(err.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("not a deterministic function"), msg)
+    // nullness varying within a cell is caught too (min/max alone skip
+    // nulls and would miss it)
+    val badNull = Seq(
+      "zip" -> Seq(col("zip"),
+        when(col("salary") === 50L, lit(null).cast("string"))
+          .otherwise(substring(col("zip"), 1, 2))),
+      "age" -> Seq(col("age")))
+    val err2 = intercept[Exception] {
+      Audit.kAnonymityLattice(df, badNull, k = 2L).collect()
+    }
+    val msg2 = Option(err2.getMessage).getOrElse("") +
+      Option(err2.getCause).map(_.getMessage).getOrElse("")
+    assert(msg2.contains("not a deterministic function"), msg2)
+  }
 }

@@ -165,6 +165,19 @@ class RestSourceSpec extends SparkSpec {
     // a floor below the remaining quota admits the scan
     assert(reader("t-admit", 100).option("minRemainingQuota", "10")
       .load().collect().length == 100)
+    // the PUSHED-AGGREGATE scan honors the same floor: count() collapses
+    // to one remote stats probe, but a probe is still a remote call —
+    // the quota refusal must hold no matter which physical scan the
+    // optimizer picks (r12 advice: RestAggScan used to bypass this)
+    FakeTransport.CallLog.clear()
+    val exAgg = intercept[Exception] {
+      reader("t-admit").option("minRemainingQuota", "200000").load().count()
+    }
+    assert(exAgg.getMessage.contains("pushed-aggregate"), exAgg.getMessage)
+    assert(FakeTransport.CallLog.stats.isEmpty,
+      "the stats probe must not run after a quota refusal")
+    assert(reader("t-admit", 100).option("minRemainingQuota", "10")
+      .load().count() == 100)
   }
 
   test("maxPartitions caps phase-2 API spend; maxIds is the driver-memory cap") {
