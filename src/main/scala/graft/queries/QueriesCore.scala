@@ -171,6 +171,40 @@ private[graft] object QueriesCore {
     "q57_subquery_corr" -> ((s, d) => { Fx.registerAll(s, d); Sql.executeRaw(s, SubquerySql) }),
     "q58_grouping_sets" -> ((s, d) => { Fx.registerAll(s, d); Sql.executeRaw(s, GroupingSetsSql) }),
 
+    // TPC-H remainder through D15 (r12 verdict item 3) — the same SQL
+    // string is the oracle; see QueryHelpers for per-query shape notes.
+    "q318_sql_q2" -> ((s, d) => { Fx.registerAll(s, d); Sql.executeRaw(s, Q2Sql) }),
+    "q319_sql_q4" -> ((s, d) => { Fx.registerAll(s, d); Sql.executeRaw(s, Q4Sql) }),
+    "q320_sql_q7" -> ((s, d) => { Fx.registerAll(s, d); Sql.executeRaw(s, Q7Sql) }),
+    "q321_sql_q8" -> ((s, d) => { Fx.registerAll(s, d); Sql.executeRaw(s, Q8Sql) }),
+    "q322_sql_q9" -> ((s, d) => { Fx.registerAll(s, d); Sql.executeRaw(s, Q9Sql) }),
+    "q323_sql_q11" -> ((s, d) => { Fx.registerAll(s, d); Sql.executeRaw(s, Q11Sql) }),
+    // Q15 ROUND-TRIPS THROUGH D7: the revenue view is STORED (persisted
+    // SQL, not a temp view), resolved via getView — proving persistent
+    // view storage + re-planning, then consumed by the raw-SQL top query
+    "q324_sql_q15_view" -> ((s, d) => {
+      Fx.registerAll(s, d)
+      val root = java.nio.file.Files.createTempDirectory("graft-q15")
+      try {
+        val db = new graft.Database(s, root.toString)
+        db.createView("revenue0_stored", Q15ViewSql)
+        db.getView("revenue0_stored").createOrReplaceTempView("revenue0")
+        val out = Sql.executeRaw(s, Q15Sql)
+        // materialize before the temp dir (the stored-view file) deletes
+        import scala.jdk.CollectionConverters._
+        s.createDataFrame(out.collect().toSeq.asJava, out.schema)
+      } finally {
+        scala.util.Try(s.catalog.dropTempView("revenue0"))
+        org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
+      }
+    }),
+    "q325_sql_q16" -> ((s, d) => { Fx.registerAll(s, d); Sql.executeRaw(s, Q16Sql) }),
+    "q326_sql_q17" -> ((s, d) => { Fx.registerAll(s, d); Sql.executeRaw(s, Q17Sql) }),
+    "q327_sql_q19" -> ((s, d) => { Fx.registerAll(s, d); Sql.executeRaw(s, Q19Sql) }),
+    "q328_sql_q20" -> ((s, d) => { Fx.registerAll(s, d); Sql.executeRaw(s, Q20Sql) }),
+    "q329_sql_q21" -> ((s, d) => { Fx.registerAll(s, d); Sql.executeRaw(s, Q21Sql) }),
+    "q330_sql_q22" -> ((s, d) => { Fx.registerAll(s, d); Sql.executeRaw(s, Q22Sql) }),
+
     // Rows-only: approximate aggregates (sketches differ across engines
     // by design — sanity-bounded in ScalaTest instead).
     "q59_approx_agg" -> ((s, d) =>
@@ -485,10 +519,19 @@ private[graft] object QueriesCore {
       val src = root.resolve("in").toString
       val chk = root.resolve("chk").toString
       try {
-        val dom = dayofmonth(col("ts"))
-        Seq(dom <= 10, dom > 10 && dom <= 20, dom > 20).foreach(p =>
+        // split on FULL-timestamp terciles, not dayofmonth — a
+        // multi-month fixture would interleave months out of
+        // watermark order and silently drop late rows (r12 advice)
+        val (minTs, maxTs) = {
+          val r = ev.agg(min(unix_micros(col("ts"))),
+            max(unix_micros(col("ts")))).head()
+          (r.getLong(0), r.getLong(1))
+        }
+        val cut1 = minTs + (maxTs - minTs) / 3
+        val cut2 = minTs + 2L * (maxTs - minTs) / 3
+        val us = unix_micros(col("ts"))
+        Seq(us <= cut1, us > cut1 && us <= cut2, us > cut2).foreach(p =>
           ev.filter(p).coalesce(1).write.mode("append").parquet(src))
-        val maxTs = ev.agg(max(unix_micros(col("ts")))).head().getLong(0)
         Seq(1L, 2L).foreach(k =>
           Seq((new java.sql.Timestamp(maxTs / 1000L + k * 86400000L),
               -1L, 0.0))
@@ -509,7 +552,9 @@ private[graft] object QueriesCore {
         val frozen = s.createDataFrame(got.collect().toSeq.asJava, got.schema)
         frozen.orderBy(col("user_id"), col("session_start"))
       } finally {
-        s.catalog.dropTempView("q307_mem")
+        // non-throwing: a failure before start() registers the view
+        // must not abort the finally before the temp dir deletes
+        scala.util.Try(s.catalog.dropTempView("q307_mem"))
         org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
       }
     }),
@@ -529,10 +574,17 @@ private[graft] object QueriesCore {
       val src = root.resolve("in").toString
       val chk = root.resolve("chk").toString
       try {
-        val dom = dayofmonth(col("ts"))
-        Seq(dom <= 10, dom > 10 && dom <= 20, dom > 20).foreach(p =>
+        // full-timestamp terciles, same reasoning as q307
+        val (minTs, maxTs) = {
+          val r = ev.agg(min(unix_micros(col("ts"))),
+            max(unix_micros(col("ts")))).head()
+          (r.getLong(0), r.getLong(1))
+        }
+        val cut1 = minTs + (maxTs - minTs) / 3
+        val cut2 = minTs + 2L * (maxTs - minTs) / 3
+        val us = unix_micros(col("ts"))
+        Seq(us <= cut1, us > cut1 && us <= cut2, us > cut2).foreach(p =>
           ev.filter(p).coalesce(1).write.mode("append").parquet(src))
-        val maxTs = ev.agg(max(unix_micros(col("ts")))).head().getLong(0)
         Seq(1L, 2L).foreach(k =>
           Seq((new java.sql.Timestamp(maxTs / 1000L + k * 86400000L),
               "sentinel", 0.0))
@@ -553,7 +605,7 @@ private[graft] object QueriesCore {
         val frozen = s.createDataFrame(got.collect().toSeq.asJava, got.schema)
         frozen.orderBy(col("window_start"), col("event_type"))
       } finally {
-        s.catalog.dropTempView("q314_mem")
+        scala.util.Try(s.catalog.dropTempView("q314_mem"))
         org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
       }
     }),
@@ -699,6 +751,20 @@ private[graft] object QueriesCore {
     "q20_sql_q1" -> Q1Sql,
     "q21_sql_q3" -> Q3Sql,
     "q56_sql_q5" -> Q5Sql,
+    "q318_sql_q2" -> Q2Sql,
+    "q319_sql_q4" -> Q4Sql,
+    "q320_sql_q7" -> Q7Sql,
+    "q321_sql_q8" -> Q8Sql,
+    "q322_sql_q9" -> Q9Sql,
+    "q323_sql_q11" -> Q11Sql,
+    // the oracle inlines the stored view as a CTE — same body, same name
+    "q324_sql_q15_view" -> s"WITH revenue0 AS (\n$Q15ViewSql)\n$Q15Sql",
+    "q325_sql_q16" -> Q16Sql,
+    "q326_sql_q17" -> Q17Sql,
+    "q327_sql_q19" -> Q19Sql,
+    "q328_sql_q20" -> Q20Sql,
+    "q329_sql_q21" -> Q21Sql,
+    "q330_sql_q22" -> Q22Sql,
     "q57_subquery_corr" -> SubquerySql,
     "q58_grouping_sets" -> GroupingSetsSql,
 

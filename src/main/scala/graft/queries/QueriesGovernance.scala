@@ -223,10 +223,143 @@ private[graft] object QueriesGovernance {
         ("remaining_after", after("DailyApiRequests.Remaining").toString),
         ("rows_scanned", scanned.toString))
         .toDF("metric", "value").orderBy(col("metric"))
+    }),
+
+    // ------------------------------------------------ D17 verbose plan
+    // The reference's verbose compiled-SQL print (database/
+    // main.py:165-170) maps to Database.explain's formatted physical
+    // plan. Driver-visible proof (the q306 recipe): the plan STRING of
+    // a filtered projection carries the pushed filter, the pruned read
+    // schema, and the scan node — each fact a deterministic boolean
+    // row, so a pushdown/pruning regression hash-mismatches the gate,
+    // not just a spec. (PlanShapeSpec pins more shapes; this entry is
+    // the driver-run subset.)
+    "q315_plan_print" -> ((s, d) => {
+      import s.implicits._
+      val root = java.nio.file.Files.createTempDirectory("graft-d17")
+      try {
+        val db = new graft.Database(s, root.toString)
+        val df = T(s, d, "customer")
+          .filter(col("c_mktsegment") === "BUILDING")
+          .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+            col("c_mktsegment"))
+        val p = db.explain(df)
+        Seq(
+          ("plan:header", p.contains("== Physical Plan ==").toString),
+          ("plan:pushed_filter", p.contains(
+            "PushedFilters: [IsNotNull(c_mktsegment), " +
+              "EqualTo(c_mktsegment,BUILDING)]").toString),
+          ("plan:read_schema_pruned", p.contains(
+            "ReadSchema: struct<c_custkey:bigint,c_name:string," +
+              "c_acctbal:double,c_mktsegment:string>").toString),
+          ("plan:scan_parquet", p.contains("Scan parquet").toString),
+          ("plan:nationkey_pruned", (!p.contains("c_nationkey")).toString))
+          .toDF("probe", "value").orderBy(col("probe"))
+      } finally {
+        org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
+      }
+    }),
+
+    // ------------------------------------------------ S1 auth fallback
+    // The reference's login→test environment fallback + env-var
+    // credential resolution (salesforce/main.py:79-87). Driver-visible
+    // proof: the fake transport's environment normalization (login and
+    // test pass through, anything else falls back to test — the
+    // reference's try-login-then-test collapsed to its fixed point)
+    // and RestCredentials.fromEnv's all-three-or-nothing contract,
+    // each a literal row. (HttpTransportSpec drives the real-wire
+    // endpoint-order fallback against a local HTTP server.)
+    "q316_rest_auth_env" -> ((s, d) => {
+      import s.implicits._
+      import graft.sources.rest.{FakeTransport, RestCredentials}
+      val envRows = Seq("login", "test", "sandbox", "").map(e => (
+        s"env:${if (e.isEmpty) "<empty>" else e}",
+        new FakeTransport("t-q316", 1, 42, e).authenticatedEnv))
+      val all = Map(
+        "GRAFT_REST_CLIENT_ID" -> "cid",
+        "GRAFT_REST_CLIENT_SECRET" -> "csec",
+        "GRAFT_REST_REFRESH_TOKEN" -> "rtok")
+      val credRows = Seq(
+        ("creds:complete",
+          RestCredentials.fromEnv(all).isDefined.toString),
+        ("creds:missing_id",
+          RestCredentials.fromEnv(all - "GRAFT_REST_CLIENT_ID").isDefined.toString),
+        ("creds:missing_secret",
+          RestCredentials.fromEnv(all - "GRAFT_REST_CLIENT_SECRET").isDefined.toString),
+        ("creds:missing_token",
+          RestCredentials.fromEnv(all - "GRAFT_REST_REFRESH_TOKEN").isDefined.toString),
+        ("creds:resolved", RestCredentials.fromEnv(all)
+          .map(c => s"${c.clientId}|${c.clientSecret}|${c.refreshToken}")
+          .getOrElse("none")))
+      (envRows ++ credRows).toDF("probe", "value").orderBy(col("probe"))
+    }),
+
+    // ------------------------------------------------ T1 timer
+    // The reference's wall-clock decorator (timer.py:6-24) as
+    // Timed.timed/timedValue + the Spark-native observe() analogue.
+    // Driver-visible proof: elapsed > 0 over a real job, the wrapped
+    // value passes through unchanged, and observed() is a transparent
+    // decorator (row-preserving).
+    "q317_timed" -> ((s, d) => {
+      import s.implicits._
+      import graft.util.Timed
+      val (sc, secsScalar) = Timed.timedValue {
+        Thread.sleep(1L); (1L to 1000L).sum }
+      val (cnt, secsJob) = Timed.timedValue(T(s, d, "region").count())
+      val viaTimed = Timed.timed("q317_probe")(T(s, d, "nation").count())
+      val observed = Timed.observed(T(s, d, "nation"), "q317_obs",
+        Seq(count(lit(1)).as("n_rows"))).count()
+      Seq(
+        ("timed:job_elapsed_positive", (secsJob > 0.0).toString),
+        ("timed:job_result", (cnt == 5L).toString),
+        ("timed:label_passthrough", (viaTimed == 25L).toString),
+        ("timed:observed_row_preserving", (observed == 25L).toString),
+        ("timed:scalar_elapsed_positive", (secsScalar > 0.0).toString),
+        ("timed:scalar_result", (sc == 500500L).toString))
+        .toDF("probe", "value").orderBy(col("probe"))
     })
   )
 
   def oracleSql: Map[String, String] = Map(
+    // every plan fact is a boolean BY CONTRACT — the Spark side reads
+    // them off the live formatted plan, so a pushdown or pruning
+    // regression hash-mismatches here (the q306 rule)
+    "q315_plan_print" ->
+      """SELECT * FROM (VALUES
+        |  ('plan:header', 'true'),
+        |  ('plan:nationkey_pruned', 'true'),
+        |  ('plan:pushed_filter', 'true'),
+        |  ('plan:read_schema_pruned', 'true'),
+        |  ('plan:scan_parquet', 'true')) AS t(probe, value)
+        |ORDER BY probe""".stripMargin,
+
+    // environment normalization fixed points + the all-three-or-nothing
+    // env-credential rule, as literals
+    "q316_rest_auth_env" ->
+      """SELECT * FROM (VALUES
+        |  ('creds:complete', 'true'),
+        |  ('creds:missing_id', 'false'),
+        |  ('creds:missing_secret', 'false'),
+        |  ('creds:missing_token', 'false'),
+        |  ('creds:resolved', 'cid|csec|rtok'),
+        |  ('env:<empty>', 'test'),
+        |  ('env:login', 'login'),
+        |  ('env:sandbox', 'test'),
+        |  ('env:test', 'test')) AS t(probe, value)
+        |ORDER BY probe""".stripMargin,
+
+    // the timer's contract: elapsed strictly positive, wrapped values
+    // pass through, observe() row-preserving — all booleans
+    "q317_timed" ->
+      """SELECT * FROM (VALUES
+        |  ('timed:job_elapsed_positive', 'true'),
+        |  ('timed:job_result', 'true'),
+        |  ('timed:label_passthrough', 'true'),
+        |  ('timed:observed_row_preserving', 'true'),
+        |  ('timed:scalar_elapsed_positive', 'true'),
+        |  ('timed:scalar_result', 'true')) AS t(probe, value)
+        |ORDER BY probe""".stripMargin,
+
     // every q101 fact is a deterministic driver-side value (the q90
     // recipe): the created constraint metadata, the post-evolution
     // column set, the upserted row count, and both validateUnique

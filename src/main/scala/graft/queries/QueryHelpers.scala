@@ -747,6 +747,261 @@ private[graft] object QueryHelpers {
       |FROM lineitem JOIN part ON l_partkey = p_partkey
       |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-03-01'""".stripMargin
 
+  // ------------------------------------------------------------------
+  // TPC-H remainder through the D15 raw-SQL surface (r12 verdict item
+  // 3): the same string runs verbatim in Spark SQL and DuckDB. Shapes
+  // the earlier set (Q1/Q3/Q5/Q6/Q10/Q12/Q13/Q14/Q18) does not pin:
+  // correlated scalar aggregates (Q2/Q17/Q20), correlated EXISTS
+  // (Q4/Q21), nested NOT IN (Q16), scalar-subquery HAVING (Q11),
+  // view round-trips (Q15), disjunctive join predicates (Q19), and
+  // multi-way anti-joins (Q21/Q22). The fixture lacks partsupp,
+  // l_commitdate/receiptdate, c_phone and p_container, so each query
+  // is the standard TPC-H ANALOGUE over the columns that exist — the
+  // plan shape is the contract, the filter constants are adapted.
+  // Exactness: money sums ride DECIMAL(18,4), rounded in the decimal
+  // domain before any double cast (the Q1Sql rule); count/min/max and
+  // integral-double sums (l_quantity) are exact as-is.
+
+  /** Q2 analogue: min-cost supplier per part via a join-correlated
+    * scalar MIN subquery (no partsupp ⇒ lineitem is the part-supplier
+    * association and l_extendedprice the cost). */
+  private[graft] val Q2Sql =
+    """SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_name,
+      |  l.l_extendedprice AS min_price
+      |FROM part p
+      |JOIN lineitem l ON p.p_partkey = l.l_partkey
+      |JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      |JOIN nation n ON s.s_nationkey = n.n_nationkey
+      |JOIN region r ON n.n_regionkey = r.r_regionkey
+      |WHERE p.p_size = 15 AND r.r_name = 'EUROPE'
+      |  AND l.l_extendedprice = (
+      |    SELECT min(l2.l_extendedprice)
+      |    FROM lineitem l2
+      |    JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
+      |    JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+      |    JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+      |    WHERE l2.l_partkey = p.p_partkey AND r2.r_name = 'EUROPE')
+      |ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, p.p_partkey, min_price
+      |LIMIT 100""".stripMargin
+
+  /** Q4 analogue: order-priority checking via correlated EXISTS; the
+    * lateness predicate is l_shipdate > o_orderdate (no commitdate /
+    * receiptdate in the fixture) — a non-equi correlated reference. */
+  private[graft] val Q4Sql =
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+      |  AND o_orderdate < TIMESTAMP '1996-10-01'
+      |  AND EXISTS (
+      |    SELECT 1 FROM lineitem
+      |    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** Q7 analogue: bi-directional volume shipping between two nations,
+    * yearly — the double-nation-role join (n1 supplier side, n2
+    * customer side) with a symmetric pair filter. */
+  private[graft] val Q7Sql =
+    """SELECT supp_nation, cust_nation, l_year,
+      |  CAST(round(sum(volume), 4) AS DOUBLE) AS revenue
+      |FROM (
+      |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |    CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS l_year,
+      |    CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4)) AS volume
+      |  FROM supplier
+      |  JOIN lineitem ON s_suppkey = l_suppkey
+      |  JOIN orders ON o_orderkey = l_orderkey
+      |  JOIN customer ON c_custkey = o_custkey
+      |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |  WHERE ((n1.n_name = 'NATION_13' AND n2.n_name = 'NATION_19')
+      |      OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_13'))
+      |    AND l_shipdate >= TIMESTAMP '1996-01-01'
+      |    AND l_shipdate < TIMESTAMP '1998-01-01'
+      |) shipping
+      |GROUP BY supp_nation, cust_nation, l_year
+      |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+
+  /** Q8 analogue: one nation's market share inside one region's
+    * customer orders for one part type, yearly. The share divides two
+    * decimal-rounded sums as ONE IEEE double division. */
+  private[graft] val Q8Sql =
+    """SELECT o_year,
+      |  CAST(round(sum(CASE WHEN nation = 'NATION_3' THEN volume
+      |      ELSE CAST(0 AS DECIMAL(18,4)) END), 4) AS DOUBLE)
+      |    / CAST(round(sum(volume), 4) AS DOUBLE) AS mkt_share
+      |FROM (
+      |  SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+      |    CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4)) AS volume,
+      |    n2.n_name AS nation
+      |  FROM part
+      |  JOIN lineitem ON p_partkey = l_partkey
+      |  JOIN supplier ON s_suppkey = l_suppkey
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      |  JOIN region ON n1.n_regionkey = r_regionkey
+      |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      |  WHERE r_name = 'AMERICA' AND p_type = 'PROMO'
+      |    AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |    AND o_orderdate < TIMESTAMP '1998-01-01'
+      |) all_nations
+      |GROUP BY o_year ORDER BY o_year""".stripMargin
+
+  /** Q9 analogue: product-type profit by (supplier nation, year);
+    * profit = revenue − p_retailprice·quantity (no ps_supplycost). */
+  private[graft] val Q9Sql =
+    """SELECT nation, o_year, CAST(round(sum(amount), 4) AS DOUBLE) AS sum_profit
+      |FROM (
+      |  SELECT n_name AS nation,
+      |    CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+      |    CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))
+      |      - CAST(p_retailprice AS DECIMAL(18,4)) * CAST(l_quantity AS DECIMAL(18,4)) AS amount
+      |  FROM part
+      |  JOIN lineitem ON p_partkey = l_partkey
+      |  JOIN supplier ON s_suppkey = l_suppkey
+      |  JOIN orders ON o_orderkey = l_orderkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  WHERE p_name LIKE '%gear%'
+      |) profit
+      |GROUP BY nation, o_year ORDER BY nation, o_year""".stripMargin
+
+  /** Q11 analogue: important-stock scan — per-part value vs a scalar
+    * share of the total, in EXACT integer cents (a decimal-literal
+    * fraction would round differently per engine). TPC-H scales its
+    * fraction with SF (0.0001/SF); here the cut is value > the
+    * AVERAGE part value (× part count > total), which self-scales —
+    * non-vacuous at every fixture SF with the same SQL string. */
+  private[graft] val Q11Sql =
+    """WITH pv AS (
+      |  SELECT l_partkey,
+      |    CAST(sum(CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS DECIMAL(38,0))
+      |      * CAST(l_quantity AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS vc
+      |  FROM lineitem
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |  WHERE r_name = 'ASIA'
+      |  GROUP BY l_partkey),
+      |tot AS (SELECT CAST(sum(vc) AS DECIMAL(38,0)) AS total_cents,
+      |    CAST(count(*) AS DECIMAL(38,0)) AS n_parts FROM pv)
+      |SELECT l_partkey, CAST(vc AS BIGINT) AS value_cents
+      |FROM pv CROSS JOIN tot
+      |WHERE vc * n_parts > total_cents
+      |ORDER BY value_cents DESC, l_partkey""".stripMargin
+
+  /** Q15's VIEW body: per-supplier quarterly revenue — stored through
+    * D7 (createView), re-planned on every getView. */
+  private[graft] val Q15ViewSql =
+    """SELECT l_suppkey AS supplier_no,
+      |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))), 4) AS DOUBLE) AS total_revenue
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate < TIMESTAMP '1996-04-01'
+      |GROUP BY l_suppkey""".stripMargin
+
+  /** Q15 top query: suppliers at the view's max revenue (double
+    * equality is exact — both sides are the identical rounded sum). */
+  private[graft] val Q15Sql =
+    """SELECT s_suppkey, s_name, total_revenue
+      |FROM supplier JOIN revenue0 ON s_suppkey = supplier_no
+      |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue0)
+      |ORDER BY s_suppkey""".stripMargin
+
+  /** Q16 analogue: supplier count per part profile with a NOT IN
+    * supplier-exclusion subquery. */
+  private[graft] val Q16Sql =
+    """SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE p_brand <> 'Brand#5'
+      |  AND p_type <> 'PROMO'
+      |  AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+      |  AND l_suppkey NOT IN (
+      |    SELECT s_suppkey FROM supplier WHERE s_name LIKE '%9')
+      |GROUP BY p_brand, p_type, p_size
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+
+  /** Q17 analogue: small-quantity-order revenue — the per-part
+    * correlated 0.2·avg threshold. avg(l_quantity) is exact (integral
+    * doubles), so the whole threshold is one deterministic double. */
+  private[graft] val Q17Sql =
+    """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0 AS avg_yearly
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE p_brand = 'Brand#23' AND p_type = 'MEDIUM'
+      |  AND l_quantity < (
+      |    SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
+      |    WHERE l2.l_partkey = p_partkey)""".stripMargin
+
+  /** Q19 analogue: disjunctive (OR-of-ANDs) join predicate — the
+    * shape that forces predicate CNF handling around a join. */
+  private[graft] val Q19Sql =
+    """SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))), 4) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+      |    AND l_quantity >= 1 AND l_quantity <= 11)
+      |  OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+      |    AND l_quantity >= 10 AND l_quantity <= 20)
+      |  OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+      |    AND l_quantity >= 20 AND l_quantity <= 30)""".stripMargin
+
+  /** Q20 analogue: nested IN + doubly-correlated scalar aggregate
+    * (the availqty > half-sum shape, over max since the fixture has
+    * no partsupp). */
+  private[graft] val Q20Sql =
+    """SELECT s_suppkey, s_name FROM supplier
+      |WHERE s_suppkey IN (
+      |  SELECT l1.l_suppkey FROM lineitem l1
+      |  WHERE l1.l_partkey IN (
+      |      SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+      |    AND l1.l_quantity > (
+      |      SELECT 0.5 * max(l2.l_quantity) FROM lineitem l2
+      |      WHERE l2.l_partkey = l1.l_partkey AND l2.l_suppkey = l1.l_suppkey))
+      |ORDER BY s_suppkey""".stripMargin
+
+  /** Q21 analogue: suppliers who were the ONLY late line on a
+    * multi-supplier finished order — correlated EXISTS (another
+    * supplier participated) + correlated NOT EXISTS (no OTHER supplier
+    * was late), lateness = shipped after the order date. */
+  private[graft] val Q21Sql =
+    """SELECT s_name, count(*) AS numwait
+      |FROM supplier
+      |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+      |JOIN orders ON o_orderkey = l1.l_orderkey
+      |WHERE o_orderstatus = 'F' AND l1.l_shipdate > o_orderdate
+      |  AND EXISTS (
+      |    SELECT 1 FROM lineitem l2
+      |    WHERE l2.l_orderkey = l1.l_orderkey
+      |      AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (
+      |    SELECT 1 FROM lineitem l3
+      |    JOIN orders o2 ON l3.l_orderkey = o2.o_orderkey
+      |    WHERE l3.l_orderkey = l1.l_orderkey
+      |      AND l3.l_suppkey <> l1.l_suppkey
+      |      AND l3.l_shipdate > o2.o_orderdate)
+      |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin
+
+  /** Q22 analogue: global-customer anti-join — above-average balances
+    * (scalar avg subquery as exact decimal-sum/count) among customers
+    * with no RECENT orders (every fixture customer has at least one
+    * order ever, so the anti-join is windowed to stay non-vacuous),
+    * grouped by a nationkey-derived "country code". */
+  private[graft] val Q22Sql =
+    """SELECT cntrycode, count(*) AS numcust,
+      |  CAST(sum(CAST(bal AS DECIMAL(18,4))) AS DOUBLE) AS totacctbal
+      |FROM (
+      |  SELECT CAST(c_nationkey % 10 AS BIGINT) AS cntrycode, c_acctbal AS bal
+      |  FROM customer c
+      |  WHERE c_nationkey % 10 IN (1, 2, 3, 4, 5, 6, 7)
+      |    AND c_acctbal > (
+      |      SELECT CAST(sum(CAST(c2.c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / count(*)
+      |      FROM customer c2
+      |      WHERE c2.c_acctbal > 0.0
+      |        AND c2.c_nationkey % 10 IN (1, 2, 3, 4, 5, 6, 7))
+      |    AND NOT EXISTS (
+      |      SELECT 1 FROM orders WHERE o_custkey = c.c_custkey
+      |        AND o_orderdate >= TIMESTAMP '2000-01-01')
+      |) custsale
+      |GROUP BY cntrycode ORDER BY cntrycode""".stripMargin
+
   private[graft] val SubquerySql =
     """SELECT c_custkey, c_acctbal FROM customer c
       |WHERE c_acctbal > (
