@@ -128,16 +128,22 @@ final class TableStore(spark: SparkSession, root: String) {
   }
 
   /** All COMMITTED snapshot versions of a table, ascending — every
-    * `v{N}` directory whose parquet job wrote `_SUCCESS`. The history
-    * the time-travel read below addresses; a crash-partial snapshot
-    * never appears. */
+    * `v{N}` directory whose parquet job wrote `_SUCCESS`, capped at
+    * the current pointer. The history the time-travel read below
+    * addresses; a crash-partial snapshot (no `_SUCCESS`) never
+    * appears, and neither does a PHANTOM snapshot — one whose parquet
+    * job committed but whose pointer swap never landed (a kill in the
+    * write-to-swap window): it is not history until the swap makes it
+    * so, and the next [[write]] overwrites it. */
   def versions(name: String): Seq[Int] = {
     val dir = tableDir(name)
+    val cap = currentVersion(name)
     if (!fs.exists(dir)) Nil
     else fs.listStatus(dir).toSeq.filter(_.isDirectory)
       .filter(s => fs.exists(new Path(s.getPath, "_SUCCESS")))
       .map(_.getPath.getName)
       .collect { case VersionDir(n) => n.toInt }
+      .filter(v => cap.exists(v <= _))
       .sorted
   }
 
@@ -151,7 +157,8 @@ final class TableStore(spark: SparkSession, root: String) {
     * caller's. */
   def readVersion(name: String, version: Int): DataFrame = {
     val dest = new Path(tableDir(name), s"v$version")
-    require(fs.exists(dest) && fs.exists(new Path(dest, "_SUCCESS")),
+    require(fs.exists(dest) && fs.exists(new Path(dest, "_SUCCESS")) &&
+        currentVersion(name).exists(version <= _),
       s"no committed snapshot v$version of table $name " +
         s"(committed: ${versions(name).mkString(",")})")
     spark.read.parquet(dest.toString)
@@ -165,6 +172,21 @@ final class TableStore(spark: SparkSession, root: String) {
     * caps rows per output file (0 = Spark default): the small-files /
     * giant-files guard — a 100 TB snapshot wants ~128 MB-to-1 GB files,
     * not one file per shuffle partition of arbitrary size. */
+  /** CRASH-SAFETY PROTOCOL (single-writer; every kill window is
+    * spec-pinned in TableStoreCrashSpec):
+    *   1. parquet job → `v{N}` (partial dir has no `_SUCCESS`; never
+    *      served, overwritten by the next write);
+    *   2. pointer text → `_LATEST.tmp{N}`, hsync'd before close (the
+    *      bytes are durable before the swap can expose them);
+    *   3. ONE atomic overwrite-rename → `_LATEST` (no delete-then-
+    *      rename window in which a crash leaves the table
+    *      pointer-less; a failed rename throws, never passes silently);
+    *   4. stray `_LATEST.tmp*` from earlier kills are swept after the
+    *      swap ([[gc]] sweeps orphan snapshot dirs on demand).
+    * A kill between 1 and 3 leaves the previous version serving and
+    * the re-run converging onto the same `v{N}`; a kill before the
+    * very first swap is recovered by [[currentVersion]]'s
+    * newest-complete-dir fallback. */
   def write(name: String, df: DataFrame, partitionBy: Seq[String] = Nil,
       maxRecordsPerFile: Long = 0L): Unit = {
     val next = currentVersion(name).getOrElse(-1) + 1
@@ -175,13 +197,45 @@ final class TableStore(spark: SparkSession, root: String) {
       .parquet(dest.toString)
     val tmp = new Path(tableDir(name), s"_LATEST.tmp$next")
     val out = fs.create(tmp, true)
-    try out.write(next.toString.getBytes("UTF-8")) finally out.close()
-    // single atomic overwrite-rename: no delete-then-rename window in
-    // which a crash would leave the table pointer-less (and the result
-    // is checked — a failed swap must not pass silently)
+    // durable before visible: hsync (or flush where the fs has no
+    // Syncable) so a post-swap crash cannot surface a truncated pointer
+    try { out.write(next.toString.getBytes("UTF-8")); out.hsync() }
+    finally out.close()
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(
       new Path(root).toUri, spark.sparkContext.hadoopConfiguration)
     fc.rename(tmp, latestFile(name), org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    // sweep pointer temps a previous kill stranded (cheap: name-match
+    // on the table dir listing only)
+    fs.listStatus(tableDir(name)).toSeq.filter(_.isFile)
+      .map(_.getPath).filter(_.getName.startsWith("_LATEST.tmp"))
+      .foreach(p => fs.delete(p, false))
+  }
+
+  /** Orphan GC — the explicit sweep for leftovers a kill stranded:
+    * crash-PARTIAL snapshot dirs (no `_SUCCESS`), PHANTOM dirs above
+    * the current pointer (parquet committed, swap never landed — the
+    * next write would overwrite `v{pointer+1}` anyway, but later
+    * phantoms from repeated kills would linger), and stray
+    * `_LATEST.tmp*` pointer temps. Never touches committed history at
+    * or below the pointer. Returns the deleted path names. Safe to run
+    * any time under the single-writer contract. */
+  def gc(name: String): Seq[String] = {
+    val dir = tableDir(name)
+    if (!fs.exists(dir)) return Nil
+    val cap = currentVersion(name)
+    val doomed = fs.listStatus(dir).toSeq.flatMap { st =>
+      val n = st.getPath.getName
+      n match {
+        case _ if st.isFile && n.startsWith("_LATEST.tmp") => Some(st.getPath)
+        case VersionDir(v) if st.isDirectory =>
+          val committed = fs.exists(new Path(st.getPath, "_SUCCESS"))
+          val pointed = cap.exists(v.toInt <= _)
+          if (!committed || !pointed) Some(st.getPath) else None
+        case _ => None
+      }
+    }
+    doomed.foreach(p => fs.delete(p, true))
+    doomed.map(_.getName)
   }
 
   def drop(name: String): Unit =
