@@ -222,12 +222,29 @@ object Dedup {
     * round past convergence). The bound is caller-owned truth: an
     * UNDERSTATED bound returns a non-converged labeling with no
     * error (DedupSpec pins exactly that), so gate queries using it
-    * must be hash-pinned against a closed form — q259 is. */
+    * must be hash-pinned against a closed form — q259 is.
+    *
+    * `saltBuckets`: HUB-GRAPH skew protection. A power-law graph (one
+    * boilerplate cluster holding a double-digit share of all edges)
+    * concentrates the propagation join's hot key on one task — and
+    * AQE's skew-join CANNOT split it here: the labels side rides its
+    * cache's hash partitioning (no per-round re-shuffle, by design),
+    * and OptimizeSkewedJoin only fires when BOTH join children are
+    * fresh shuffles (CcSkewSpec pins this Spark limitation as a
+    * negative law). saltBuckets > 1 salts the edge side by
+    * xxhash64(dst) mod k and replicates each label row k ways, so the
+    * hot key spreads over k tasks — trading the labels-side exchange
+    * reuse (k× label replication + a (id, salt) shuffle per round)
+    * for straggler immunity. Labels are identical either way
+    * (salting only re-routes rows; the min is commutative); engine-
+    * internal xxhash64 is fine because the salt never reaches the
+    * output. 0/1 = off. */
   def connectedComponents(nodes: DataFrame, idCol: String,
       edges: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 50, shortcut: Boolean = false,
       localEdgeLimit: Int = DefaultLocalEdgeLimit,
-      assumeConvergedAfter: Option[Int] = None): DataFrame = {
+      assumeConvergedAfter: Option[Int] = None,
+      saltBuckets: Int = 0): DataFrame = {
     require(assumeConvergedAfter.forall(_ >= 1),
       s"assumeConvergedAfter must be >= 1, got $assumeConvergedAfter")
     import org.apache.spark.storage.StorageLevel
@@ -373,10 +390,26 @@ object Dedup {
     var prevSum = if (integralIds) labelSum(labels) else null
     var it = 0
     var done = false
+    // salted propagation: the edge side hashes dst into k buckets, the
+    // label side replicates into every bucket — the hot src key's rows
+    // land on k tasks instead of one (see saltBuckets scaladoc)
+    val saltCols = if (saltBuckets > 1)
+      Some(array((0 until saltBuckets).map(lit): _*)) else None
     while (!done && it < maxIter) {
-      val prop0 = sym.join(labels, sym("src") === labels("id"))
-        .select(sym("dst").as("id"), col("label"))
-        .groupBy(col("id")).agg(min(col("label")).as("label"))
+      val prop0 = saltCols match {
+        case Some(buckets) =>
+          val symS = sym.withColumn("__salt",
+            pmod(xxhash64(col("dst")), lit(saltBuckets.toLong)))
+          val labS = labels.withColumn("__salt", explode(buckets))
+          symS.join(labS, symS("src") === labS("id") &&
+              symS("__salt") === labS("__salt").cast("long"))
+            .select(symS("dst").as("id"), col("label"))
+            .groupBy(col("id")).agg(min(col("label")).as("label"))
+        case None =>
+          sym.join(labels, sym("src") === labels("id"))
+            .select(sym("dst").as("id"), col("label"))
+            .groupBy(col("id")).agg(min(col("label")).as("label"))
+      }
       // shortcut mode: persist prop (the doubling join consumes it on
       // TWO different keys, which would otherwise recompute the whole
       // propagation subtree twice), then follow the label's OWN label

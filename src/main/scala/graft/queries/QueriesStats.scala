@@ -508,6 +508,84 @@ private[graft] object QueriesStats {
         .orderBy(col("id"))
     }),
 
+    // POWER-LAW SKEW STRESS for the distributed CC loop (r12 verdict
+    // item 5): q259 proves the >2^20-edge path on a uniform-degree
+    // chain graph; the realistic dedup topology is a HUB — one
+    // boilerplate cluster holding a large share of all edges. Here a
+    // hub star carries 40% of 20k edges (8000 spokes + 6000 chain
+    // pairs) and the loop is FORCED distributed (localEdgeLimit = 0).
+    // Proof columns: the full labeling rides the gate as the portable
+    // fingerprint CHECKSUM (the q244 recipe — the oracle regenerates
+    // every label in closed form and re-hashes it), computed from a
+    // run with saltBuckets = 8, the loop's hub protection;
+    // skew_split_seen reads `skew=true` off the SYNCHRONOUSLY
+    // inspected executed plan of the round-1 edge⋈label join with
+    // BOTH sides freshly shuffled — the shape AQE does handle.
+    // (INSIDE the loop AQE cannot split: the labels side reuses its
+    // cache's hash partitioning and OptimizeSkewedJoin needs both
+    // children shuffled — CcSkewSpec pins that negative law and the
+    // salted spread; salting is therefore the 100 TB hub answer, not
+    // AQE.) Confs save/restore so interleaved runs stay clean.
+    "q331_cc_skew" -> ((s, d) => {
+      import s.implicits._
+      val hub = 8000L; val chains = 6000L
+      val nNodes = hub + 1 + 2 * chains // 20001
+      val nodes = s.range(nNodes).select(col("id"))
+      val star = s.range(1L, hub + 1).select(lit(0L).as("a"), col("id").as("b"))
+      val chain = s.range(chains).select(
+        (lit(hub + 1) + col("id") * 2).as("a"),
+        (lit(hub + 2) + col("id") * 2).as("b"))
+      val edges = star.unionByName(chain)
+      val conf = s.conf
+      val saved = Seq(
+        "spark.sql.adaptive.skewJoin.enabled",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.adaptive.coalescePartitions.enabled",
+        "spark.sql.adaptive.forceOptimizeSkewedJoin",
+        "spark.sql.autoBroadcastJoinThreshold")
+        .map(k => k -> conf.getOption(k)).toMap
+      try {
+        conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "100b")
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "100b")
+        conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        // round-1 probe: the loop's sym⋈labels shape, inspected after
+        // its own collect() so the adaptive plan is final
+        val sym = edges.select(col("a").as("src"), col("b").as("dst"))
+          .union(edges.select(col("b").as("src"), col("a").as("dst")))
+          .union(nodes.select(col("id").as("src"), col("id").as("dst")))
+          .distinct()
+        val labels0 = nodes.select(col("id"), col("id").as("label"))
+        val prop = sym.join(labels0, sym("src") === labels0("id"))
+          .select(sym("dst").as("id"), col("label"))
+          .groupBy(col("id")).agg(min(col("label")).as("label"))
+        prop.collect()
+        val skewSeen = prop.queryExecution.executedPlan.toString
+          .contains("skew=true")
+        val lab = graft.ext.Dedup.connectedComponents(nodes, "id",
+          edges, "a", "b", localEdgeLimit = 0, saltBuckets = 8)
+        val fp = graft.ext.Audit.fingerprint(lab,
+          Seq(col("id"), col("cluster_id"))).head()
+        val nClusters = lab.agg(countDistinct(col("cluster_id"))).head().getLong(0)
+        val hubSize = lab.filter(col("cluster_id") === 0L).count()
+        lab.unpersist()
+        Seq(
+          ("checksum", fp.getAs[Long]("checksum").toString),
+          ("hub_cluster_size", hubSize.toString),
+          ("n_clusters", nClusters.toString),
+          ("n_rows", fp.getAs[Long]("n_rows").toString),
+          ("skew_split_seen", skewSeen.toString))
+          .toDF("probe", "value").orderBy(col("probe"))
+      } finally saved.foreach { case (k, v) =>
+        v.fold(conf.unset(k))(conf.set(k, _))
+      }
+    }),
+
     // Streaming SKETCH-INGEST under at-least-once replay (q123's
     // batch-mode pattern applied to Streams.sketchIngest): the events
     // stream arrives as three arbitrary micro-batches driven through
@@ -1524,6 +1602,35 @@ private[graft] object QueriesStats {
       """SELECT CAST(r.range AS BIGINT) AS id,
         |  CAST(r.range - r.range % 4 AS BIGINT) AS cluster_id
         |FROM range(0, 1420000) r ORDER BY id""".stripMargin,
+
+    // the power-law labeling regenerated in closed form (star → 0,
+    // chain pairs → pair head) and re-hashed through the q244
+    // fingerprint recipe; skew_split_seen is a literal BY CONTRACT —
+    // the Spark side reads it off the executed adaptive plan
+    "q331_cc_skew" ->
+      """WITH lab AS (
+        |  SELECT CAST(r.range AS BIGINT) AS id, CAST(0 AS BIGINT) AS lbl
+        |  FROM range(0, 8001) r
+        |  UNION ALL
+        |  SELECT CAST(8001 + r.range AS BIGINT),
+        |    CAST(8001 + r.range - (r.range % 2) AS BIGINT)
+        |  FROM range(0, 12000) r),
+        |h AS (
+        |  SELECT CAST(concat('0x', substring(md5(concat_ws('|', '42',
+        |      concat_ws('|',
+        |        coalesce(CAST(id AS VARCHAR), '\N'),
+        |        coalesce(CAST(lbl AS VARCHAR), '\N')))),
+        |    1, 14)) AS BIGINT) AS hv
+        |  FROM lab)
+        |SELECT 'checksum' AS probe,
+        |  CAST(CAST(sum(hv) % 4611686018427387904 AS BIGINT) AS VARCHAR) AS value
+        |FROM h
+        |UNION ALL SELECT 'hub_cluster_size', '8001'
+        |UNION ALL SELECT 'n_clusters',
+        |  (SELECT CAST(count(DISTINCT lbl) AS VARCHAR) FROM lab)
+        |UNION ALL SELECT 'n_rows', '20001'
+        |UNION ALL SELECT 'skew_split_seen', 'true'
+        |ORDER BY probe""".stripMargin,
 
     // the q172 register replay without the rolling window: the direct
     // one-shot daily sketch — what an idempotent ingest must equal
