@@ -266,6 +266,74 @@ class StreamsSpec extends SparkSpec {
     assert(snapshot() == Map(1L -> 2.0, 2L -> 7.0))
   }
 
+  test("kill MID-batch: partial sink write + crash, checkpoint restart → table equals the one-shot result") {
+    // the r12 verdict's missing failure mode: the idempotence test
+    // above replays a COMPLETED epoch; here the sink dies AFTER a
+    // partial write (a torn batch), the query crashes, and a fresh
+    // query on the SAME checkpoint re-delivers the epoch in full —
+    // exactly-once TABLE STATE must come out of at-least-once
+    // delivery + PK-upsert idempotence, not from never failing.
+    import org.apache.spark.sql.Dataset
+    val root = java.nio.file.Files.createTempDirectory("graft-kill")
+    val src = root.resolve("in").toString
+    val ckpt = root.resolve("ckpt").toString
+    val dbRoot = root.resolve("db").toString
+    try {
+      val db = new graft.Database(spark, dbRoot)
+      def writeFile(rows: Streams.UserEvent*): Unit =
+        rows.toSeq.toDS().coalesce(1).write.mode("append").parquet(src)
+      def stream = spark.readStream
+        .schema(implicitly[org.apache.spark.sql.Encoder[Streams.UserEvent]].schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+        .as[Streams.UserEvent]
+      val injected = new java.util.concurrent.atomic.AtomicBoolean(false)
+      def faultySink(batch: Dataset[Streams.UserEvent], epochId: Long): Unit =
+        if (epochId >= 1 && !batch.isEmpty && injected.compareAndSet(false, true)) {
+          // the torn write: ONE row of the batch lands, then the sink dies
+          val part = batch.orderBy("user_id").limit(1)
+          Streams.applyChangelogBatch(db, "cdc_t")(
+            part.as[Streams.UserEvent], epochId)
+          throw new RuntimeException("injected sink failure after partial write")
+        } else Streams.applyChangelogBatch(db, "cdc_t")(batch, epochId)
+      def snapshot() = db.getTable("cdc_t")
+        .select("user_id", "value").as[(Long, Double)].collect().toMap
+
+      writeFile(
+        Streams.UserEvent(1L, ts("2024-01-01 10:00:00"), 1.0),
+        Streams.UserEvent(2L, ts("2024-01-01 10:30:00"), 7.0))
+      val q1 = Streams.latestPerKey(stream).writeStream
+        .option("checkpointLocation", ckpt).outputMode(OutputMode.Append())
+        .foreachBatch(faultySink _).start()
+      q1.processAllAvailable() // epoch 0 lands clean
+      assert(snapshot() == Map(1L -> 1.0, 2L -> 7.0))
+      writeFile(
+        Streams.UserEvent(1L, ts("2024-01-01 11:00:00"), 2.0),
+        Streams.UserEvent(3L, ts("2024-01-01 11:30:00"), 9.0))
+      intercept[Exception](q1.processAllAvailable()) // the injected crash
+      scala.util.Try(q1.stop())
+      // the torn state is REAL: user 1 advanced, user 3 never landed
+      assert(snapshot() == Map(1L -> 2.0, 2L -> 7.0),
+        s"expected the partial write to be visible, got ${snapshot()}")
+      // restart from the same checkpoint with the (now healthy) sink:
+      // the failed epoch re-delivers IN FULL and upserts over the torn
+      // write; a later epoch then advances normally
+      val q2 = Streams.latestPerKey(stream).writeStream
+        .option("checkpointLocation", ckpt).outputMode(OutputMode.Append())
+        .foreachBatch(faultySink _).start()
+      try {
+        q2.processAllAvailable()
+        assert(snapshot() == Map(1L -> 2.0, 2L -> 7.0, 3L -> 9.0),
+          "checkpoint restart must complete the torn epoch")
+        writeFile(Streams.UserEvent(2L, ts("2024-01-01 12:00:00"), 8.0))
+        q2.processAllAvailable()
+      } finally scala.util.Try(q2.stop())
+      // final state == the one-shot batch result over ALL events
+      assert(snapshot() == Map(1L -> 2.0, 2L -> 8.0, 3L -> 9.0))
+      assert(db.getTableCount("cdc_t") == 3, "no duplicated keys from the replay")
+    } finally
+      org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
+  }
+
   test("intervalJoin over two real streams: click attributed to impression within window") {
     implicit val sqlCtx = spark.sqlContext
     val imps = MemoryStream[(Long, Timestamp, Long)]
