@@ -640,6 +640,35 @@ private[graft] object QueriesCore {
           "min_name", "stats_calls", "id_cursor_calls", "fetch_calls")
     }),
 
+    // S7 GROUPED through the SQL path (r13): a GROUP BY + COUNT/MIN/
+    // MAX over the connector collapses to ONE remote GROUP BY
+    // aggregate call (SOQL GROUP BY — DSv2 complete pushdown with
+    // grouping columns), never the cursor walk. Same proof-column
+    // recipe as q306: one stats call, zero id-cursor walks, zero row
+    // fetches; the oracle regenerates the fake org arithmetically and
+    // replays the grouped aggregate with the call counts as literals.
+    "q332_rest_groupby_pushdown" -> ((s, d) => {
+      import s.implicits._
+      import graft.sources.rest.FakeTransport
+      FakeTransport.CallLog.clear()
+      val df = graft.sources.rest.RestOps.read(s, Map(
+        "object" -> "account", "org" -> "q332",
+        "numRecords" -> "2000", "seed" -> "42"))
+      val grouped = df.filter(col("IsActive") === true)
+        .groupBy(col("Industry"))
+        .agg(count(lit(1)).as("n"),
+          min(col("Amount")).as("min_amount"),
+          max(col("NumEmployees")).as("max_employees"))
+        .collect()
+      val rows = grouped.map(r => (r.getString(0), r.getLong(1),
+        r.getDouble(2), r.getLong(3))).toSeq
+      rows.toDF("Industry", "n", "min_amount", "max_employees")
+        .withColumn("stats_calls", lit(FakeTransport.CallLog.stats.size.toLong))
+        .withColumn("id_cursor_calls", lit(FakeTransport.CallLog.idQueries.size.toLong))
+        .withColumn("fetch_calls", lit(FakeTransport.CallLog.fetches.size.toLong))
+        .orderBy(col("Industry"))
+    }),
+
     // Rows-only: end-to-end training-data curation pipeline — quality
     // gate → language filter → exact dedup → per-doc stats. The shape a
     // 100 TB corpus job takes: all narrow ops + one dedup shuffle.
@@ -963,6 +992,31 @@ private[graft] object QueriesCore {
         |  CAST(0 AS BIGINT) AS id_cursor_calls,
         |  CAST(0 AS BIGINT) AS fetch_calls
         |FROM r""".stripMargin,
+
+    // the q306 arithmetic regeneration, grouped: Industry from the
+    // 6-way abs(h%6) case, IsActive = (h%3 <> 0); call counts are
+    // literals BY CONTRACT (a pushdown regression — cursor walk or
+    // row fetch — hash-mismatches here)
+    "q332_rest_groupby_pushdown" ->
+      """WITH g AS (
+        |  SELECT i, xor(CAST(42 AS BIGINT) * 1315423911, CAST(i AS BIGINT) * 2654435761) AS h
+        |  FROM range(0, 2000) t(i)),
+        |r AS (
+        |  SELECT i,
+        |    CASE abs(h % 6) WHEN 0 THEN 'Agriculture' WHEN 1 THEN 'Banking'
+        |      WHEN 2 THEN 'Consulting' WHEN 3 THEN 'Energy'
+        |      WHEN 4 THEN 'Media' ELSE 'Retail' END AS Industry,
+        |    CAST(abs(h % 1000000) AS DOUBLE) / 100.0 AS Amount,
+        |    abs(h % 10000) AS NumEmployees,
+        |    (h % 3 <> 0) AS IsActive
+        |  FROM g)
+        |SELECT Industry, count(*) AS n, min(Amount) AS min_amount,
+        |  CAST(max(NumEmployees) AS BIGINT) AS max_employees,
+        |  CAST(1 AS BIGINT) AS stats_calls,
+        |  CAST(0 AS BIGINT) AS id_cursor_calls,
+        |  CAST(0 AS BIGINT) AS fetch_calls
+        |FROM r WHERE IsActive
+        |GROUP BY Industry ORDER BY Industry""".stripMargin,
 
     "q45_minhash_neardup" -> MinhashOracleSql,
 

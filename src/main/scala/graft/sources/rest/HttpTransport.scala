@@ -388,6 +388,42 @@ final class HttpTransport(
     }
   }
 
+  /** GROUP BY aggregate SOQL: group fields return by NAME, aggregates
+    * as positional `expr0…exprN` (numbered over the aggregate list
+    * only — SOQL's aliasing rule). Cursor-paginated like any query
+    * (grouped responses are usually one page; following
+    * `nextRecordsUrl` costs nothing when absent). */
+  override def statsGrouped(obj: String, groupBy: Seq[String], aggs: Seq[RAgg],
+      preds: Seq[RPred], includeDeleted: Boolean): Seq[Seq[Any]] = {
+    val aggItems = aggs.map {
+      case RAgg.CountStar     => "COUNT(Id)"
+      case RAgg.CountField(f) => s"COUNT(${Soql.field(f)})"
+      case RAgg.Min(f)        => s"MIN(${Soql.field(f)})"
+      case RAgg.Max(f)        => s"MAX(${Soql.field(f)})"
+    }
+    val soql = s"SELECT ${(groupBy.map(Soql.field) ++ aggItems).mkString(", ")}" +
+      s" FROM ${Soql.field(obj)}${Soql.where(preds)}" +
+      s" GROUP BY ${groupBy.map(Soql.field).mkString(", ")}"
+    lazy val tags = describe(obj).toMap
+    def conv(f: String, v: Any): Any =
+      if (tags.get(f).contains("datetime")) toMicros(v) else v
+    queryAllPages(soql, includeDeleted, 2000).flatMap(_.map { rec =>
+      groupBy.map(g => conv(g, jvalue(rec \ g))) ++
+        aggs.zipWithIndex.map { case (agg, i) =>
+          val v = jvalue(rec \ s"expr$i")
+          agg match {
+            case RAgg.CountStar | _: RAgg.CountField => v match {
+              case l: Long => l
+              case d: Double => d.toLong
+              case _ => throw RestHttpError(200, s"statsGrouped: expr$i is not a count")
+            }
+            case RAgg.Min(f) => conv(f, v)
+            case RAgg.Max(f) => conv(f, v)
+          }
+        }
+    }).toSeq
+  }
+
   override def queryIds(obj: String, preds: Seq[RPred], includeDeleted: Boolean,
       limit: Option[Int], pageSize: Int): Iterator[Seq[String]] = {
     val soql = s"SELECT Id FROM ${Soql.field(obj)}${Soql.where(preds)}" +

@@ -120,7 +120,7 @@ class RestScanBuilder(schema: StructType, options: Map[String, String], obj: Str
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = schema
   private var limit: Option[Int] = None
-  private var aggPushed: Option[(Seq[RAgg], StructType)] = None
+  private var aggPushed: Option[(Seq[String], Seq[RAgg], StructType)] = None
 
   private def toMicros(v: Any): Any = v match {
     case t: java.sql.Timestamp => t.getTime * 1000L + (t.getNanos / 1000) % 1000
@@ -153,22 +153,29 @@ class RestScanBuilder(schema: StructType, options: Map[String, String], obj: Str
 
   override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
 
-  /** S7 through the SQL path: a global COUNT(*)/COUNT(col)/MIN/MAX
-    * aggregation over this scan collapses to ONE remote stats probe
-    * (the reference's `sobject_size` SOQL, salesforce/main.py:195) —
-    * never the two-phase cursor walk. COMPLETE pushdown only (one
-    * probe IS the final answer; there is nothing partial to
-    * re-aggregate); group-bys, DISTINCT counts, and every other
-    * aggregate stay in Spark over the normal scan. Pushed filters
-    * compose — the probe carries the same WHERE the scan would. */
-  private def translateAgg(agg: Aggregation): Option[(Seq[RAgg], StructType)] = {
-    if (agg.groupByExpressions.nonEmpty || limit.isDefined) return None
+  /** S7 through the SQL path: a COUNT(*)/COUNT(col)/MIN/MAX
+    * aggregation over this scan — global OR grouped by plain columns
+    * (SOQL has GROUP BY) — collapses to ONE remote stats probe (the
+    * reference's `sobject_size` SOQL, salesforce/main.py:195) — never
+    * the two-phase cursor walk. COMPLETE pushdown only (one probe IS
+    * the final answer; there is nothing partial to re-aggregate);
+    * DISTINCT counts and every other aggregate stay in Spark over the
+    * normal scan. Pushed filters compose — the probe carries the same
+    * WHERE the scan would. Complete-pushdown output layout is the
+    * DSv2 contract: group columns first, then the aggregates, both
+    * positional. */
+  private def translateAgg(agg: Aggregation)
+      : Option[(Seq[String], Seq[RAgg], StructType)] = {
+    if (limit.isDefined) return None
     def fieldOf(e: org.apache.spark.sql.connector.expressions.Expression)
         : Option[StructField] = e match {
       case nr: NamedReference if nr.fieldNames.length == 1 =>
         schema.fields.find(_.name.equalsIgnoreCase(nr.fieldNames.head))
       case _ => None
     }
+    val groupFields: Seq[Option[StructField]] =
+      agg.groupByExpressions.toSeq.map(fieldOf)
+    if (groupFields.exists(_.isEmpty)) return None
     val translated: Seq[Option[(RAgg, StructField)]] =
       agg.aggregateExpressions.toSeq.map {
         case _: CountStar =>
@@ -185,7 +192,10 @@ class RestScanBuilder(schema: StructType, options: Map[String, String], obj: Str
     if (translated.isEmpty || translated.exists(_.isEmpty)) None
     else {
       val pairs = translated.flatten
-      Some((pairs.map(_._1), StructType(pairs.map(_._2))))
+      val groups = groupFields.flatten
+      Some((groups.map(_.name),
+        pairs.map(_._1),
+        StructType(groups ++ pairs.map(_._2))))
     }
   }
 
@@ -199,9 +209,9 @@ class RestScanBuilder(schema: StructType, options: Map[String, String], obj: Str
     }
 
   override def build(): Scan = aggPushed match {
-    case Some((aggs, aggSchema)) =>
+    case Some((groupBy, aggs, aggSchema)) =>
       new RestAggScan(aggSchema, options, obj,
-        pushed.flatMap(translate).toSeq, pushed, aggs)
+        pushed.flatMap(translate).toSeq, pushed, aggs, groupBy)
     case None =>
       new RestScan(required, options, obj, pushed.flatMap(translate).toSeq,
         pushed, limit)
@@ -219,13 +229,15 @@ class RestScanBuilder(schema: StructType, options: Map[String, String], obj: Str
   * scan — a caller's quota floor must hold no matter which physical
   * scan the optimizer collapses the query to. */
 class RestAggScan(aggSchema: StructType, options: Map[String, String],
-    obj: String, preds: Seq[RPred], pushedV1: Array[Filter], aggs: Seq[RAgg])
+    obj: String, preds: Seq[RPred], pushedV1: Array[Filter], aggs: Seq[RAgg],
+    groupBy: Seq[String] = Nil)
     extends Scan with Batch {
 
   override def readSchema(): StructType = aggSchema
   override def toBatch: Batch = this
   override def description(): String =
     s"graft-rest $obj AGGREGATE PUSHED [${aggs.mkString(", ")}] " +
+      (if (groupBy.isEmpty) "" else s"GROUP BY [${groupBy.mkString(", ")}] ") +
       s"pushed=[${pushedV1.mkString(", ")}]"
 
   override def planInputPartitions(): Array[InputPartition] = {
@@ -238,7 +250,7 @@ class RestAggScan(aggSchema: StructType, options: Map[String, String],
           s"minRemainingQuota=$minQuota — refusing the pushed-aggregate " +
           "scan (the stats probe is still a remote call)")
     }
-    Array(RestAggPartition(aggs, preds))
+    Array(RestAggPartition(aggs, preds, groupBy))
   }
 
   override def supportedCustomMetrics(): Array[CustomMetric] =
@@ -248,33 +260,30 @@ class RestAggScan(aggSchema: StructType, options: Map[String, String],
     new RestAggReaderFactory(aggSchema, options, obj)
 }
 
-case class RestAggPartition(aggs: Seq[RAgg], preds: Seq[RPred])
-    extends InputPartition
+case class RestAggPartition(aggs: Seq[RAgg], preds: Seq[RPred],
+    groupBy: Seq[String] = Nil) extends InputPartition
 
 class RestAggReaderFactory(aggSchema: StructType,
     options: Map[String, String], obj: String) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[RestAggPartition]
-    new RestAggReader(aggSchema, options, obj, p.aggs, p.preds)
+    new RestAggReader(aggSchema, options, obj, p.aggs, p.preds, p.groupBy)
   }
 }
 
-/** Emits the single aggregate row from one transport.stats call. */
+/** Emits the aggregate row(s) from ONE transport stats call — a
+  * single global row, or one row per group when `groupBy` pushed. */
 class RestAggReader(aggSchema: StructType, options: Map[String, String],
-    obj: String, aggs: Seq[RAgg], preds: Seq[RPred])
+    obj: String, aggs: Seq[RAgg], preds: Seq[RPred],
+    groupBy: Seq[String] = Nil)
     extends PartitionReader[InternalRow] {
 
-  private var done = false
   private var apiCalls = 0L
+  private var rows: Iterator[Seq[Any]] = _
 
-  override def next(): Boolean = !done
-
-  override def get(): InternalRow = {
-    val t = RestTable.transportFor(options)
-    val includeDeleted = options.getOrElse("includedeleted", "true").toBoolean
-    apiCalls += 1
-    val values = t.stats(obj, aggs, preds, includeDeleted)
-      .zip(aggSchema.fields).map { case (v, f) => (v, f.dataType) match {
+  private def toInternal(values: Seq[Any]): InternalRow =
+    new GenericInternalRow(values.zip(aggSchema.fields).map {
+      case (v, f) => (v, f.dataType) match {
         case (null, _) => null
         case (s: String, StringType) => UTF8String.fromString(s)
         case (d: Double, DoubleType) => d
@@ -282,10 +291,22 @@ class RestAggReader(aggSchema: StructType, options: Map[String, String],
         case (b: Boolean, BooleanType) => b
         case (other, dt) => throw new IllegalStateException(
           s"stats ${f.name}: unexpected value $other for $dt")
-      }}
-    done = true
-    new GenericInternalRow(values.toArray.asInstanceOf[Array[Any]])
+      }
+    }.toArray.asInstanceOf[Array[Any]])
+
+  override def next(): Boolean = {
+    if (rows == null) {
+      val t = RestTable.transportFor(options)
+      val includeDeleted = options.getOrElse("includedeleted", "true").toBoolean
+      apiCalls += 1
+      rows =
+        if (groupBy.isEmpty) Iterator(t.stats(obj, aggs, preds, includeDeleted))
+        else t.statsGrouped(obj, groupBy, aggs, preds, includeDeleted).iterator
+    }
+    rows.hasNext
   }
+
+  override def get(): InternalRow = toInternal(rows.next())
 
   override def currentMetricsValues(): Array[CustomTaskMetric] =
     Array(RestMetric(RestApiCallsMetric.Name, apiCalls))

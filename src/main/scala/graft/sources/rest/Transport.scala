@@ -62,6 +62,13 @@ trait RestTransport extends Serializable {
     * over an empty match set. */
   def stats(obj: String, aggs: Seq[RAgg], preds: Seq[RPred],
       includeDeleted: Boolean): Seq[Any]
+  /** S7 grouped: ONE remote GROUP BY aggregate call (SOQL has GROUP
+    * BY; the reference builds such SOQL strings by hand) — returns
+    * one row per group, values aligned with `groupBy ++ aggs` (group
+    * values in the field's wire type, datetimes as epoch micros;
+    * aggregates as in [[stats]]). Empty match set ⇒ no rows. */
+  def statsGrouped(obj: String, groupBy: Seq[String], aggs: Seq[RAgg],
+      preds: Seq[RPred], includeDeleted: Boolean): Seq[Seq[Any]]
   /** S6 phase 1: the id scan, following the remote cursor page by page
     * (inherently serial — runs on the DRIVER at planInputPartitions). */
   def queryIds(obj: String, preds: Seq[RPred], includeDeleted: Boolean,
@@ -198,6 +205,33 @@ final class FakeTransport(org: String, numRecords: Int, seed: Long,
       case RAgg.Min(f)        => pick(f, le)
       case RAgg.Max(f)        => pick(f, (a, b) => !le(a, b))
     }
+  }
+
+  override def statsGrouped(obj: String, groupBy: Seq[String], aggs: Seq[RAgg],
+      preds: Seq[RPred], includeDeleted: Boolean): Seq[Seq[Any]] = {
+    CallLog.stats.add(
+      s"$org/$obj groupBy=${groupBy.mkString(",")} aggs=${aggs.size} preds=${preds.size}")
+    val rows = filtered(obj, preds, includeDeleted)
+    def le(a: Any, b: Any): Boolean = (a, b) match {
+      case (x: String, y: String)   => x.compareTo(y) <= 0
+      case (x: Double, y: Double)   => x <= y
+      case (x: Long, y: Long)       => x <= y
+      case (x: Boolean, y: Boolean) => x.compareTo(y) <= 0
+      case _ => true
+    }
+    rows.groupBy(r => groupBy.map(g => r.get(g).orNull)).toSeq
+      .sortBy(_._1.map(String.valueOf).mkString("|"))
+      .map { case (key, grp) =>
+        def vals(f: String): Seq[Any] = grp.flatMap(r => Option(r.get(f).orNull))
+        key ++ aggs.map {
+          case RAgg.CountStar     => grp.size.toLong
+          case RAgg.CountField(f) => vals(f).size.toLong
+          case RAgg.Min(f)        =>
+            vals(f).reduceOption((a, b) => if (le(a, b)) a else b).orNull
+          case RAgg.Max(f)        =>
+            vals(f).reduceOption((a, b) => if (!le(a, b)) a else b).orNull
+        }
+      }
   }
 
   override def latestModified(obj: String, dateField: String): Long =

@@ -260,10 +260,20 @@ object Scale10x {
     if (!new java.io.File(s"$out/documents.parquet").exists())
       generate(spark, src, out, reps)
 
-    // --only=q49,q50 restricts the measured set (fixture unaffected)
+    // --only=q49,q50 restricts the measured set (fixture unaffected).
+    // Patterns match against the FULL gate registry, not just the
+    // curated default list — a newly added query is measurable without
+    // editing this file (unmatched patterns are reported, not ignored).
     val selected = args.find(_.startsWith("--only="))
       .map(_.stripPrefix("--only=").split(','))
-      .map(pats => Queries.filter(q => pats.exists(q.contains)))
+      .map { pats =>
+        val all = graft.SparkEntry.queries.keys.toSeq.sorted
+        val hit = all.filter(q => pats.exists(q.contains))
+        val missed = pats.filterNot(p => all.exists(_.contains(p)))
+        if (missed.nonEmpty)
+          println(s"[scale10x] WARNING: no gate query matches: ${missed.mkString(",")}")
+        hit
+      }
       .getOrElse(Queries)
     val results = selected.map { name =>
       val base = timeQuery(spark, name, src)

@@ -106,6 +106,34 @@ class RestSourceSpec extends SparkSpec {
     assert(r.getAs[String]("min_name") == "Account 0")
   }
 
+  test("GROUP BY aggregate pushdown: grouped COUNT/MIN/MAX collapse to ONE grouped probe (S7b)") {
+    FakeTransport.CallLog.clear()
+    val df = reader("t-aggby").load()
+    val agg = df.filter($"IsActive" === true)
+      .groupBy($"Industry")
+      .agg(count(lit(1)).as("n"), min($"Amount").as("min_amt"),
+        max($"NumEmployees").as("max_emp"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("AGGREGATE PUSHED") && plan.contains("GROUP BY [Industry]"),
+      plan)
+    val rows = agg.collect().map(r => r.getString(0) ->
+      ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
+    assert(FakeTransport.CallLog.stats.size == 1, FakeTransport.CallLog.stats)
+    assert(FakeTransport.CallLog.idQueries.isEmpty)
+    assert(FakeTransport.CallLog.fetches.isEmpty)
+    // parity vs a full-scan recomputation of the same grouped aggregate
+    val full = reader("t-aggby").load().collect()
+      .filter(_.getAs[Boolean]("IsActive"))
+      .groupBy(_.getString(2))
+    assert(rows.keySet == full.keySet)
+    full.foreach { case (ind, rs) =>
+      val (n, minAmt, maxEmp) = rows(ind)
+      assert(n == rs.length.toLong, s"$ind count")
+      assert(minAmt == rs.map(_.getDouble(3)).min, s"$ind min")
+      assert(maxEmp == rs.map(_.getLong(4)).max, s"$ind max")
+    }
+  }
+
   test("aggregate pushdown composes with pushed filters; unsupported shapes fall back") {
     FakeTransport.CallLog.clear()
     val filtered = reader("t-aggfil").load()
@@ -117,13 +145,14 @@ class RestSourceSpec extends SparkSpec {
     val expected = reader("t-aggfil").load().collect()
       .count(_.getString(2) == "Banking")
     assert(n == expected && n > 0)
-    // group-by: NOT pushed — the normal two-phase scan runs instead
+    // group-by on a plain column: pushed as ONE grouped probe (r13 —
+    // SOQL GROUP BY); the cursor walk never runs
     FakeTransport.CallLog.clear()
     val grouped = reader("t-agggrp").load()
       .groupBy($"Industry").agg(count(lit(1)).as("n")).collect()
     assert(grouped.length == 6)
-    assert(FakeTransport.CallLog.stats.isEmpty)
-    assert(!FakeTransport.CallLog.idQueries.isEmpty)
+    assert(FakeTransport.CallLog.stats.size == 1, FakeTransport.CallLog.stats)
+    assert(FakeTransport.CallLog.idQueries.isEmpty)
     // distinct count: NOT pushed
     FakeTransport.CallLog.clear()
     val nd = reader("t-aggdst").load()
