@@ -691,6 +691,75 @@ object Dedup {
       .select(col("a"), col("b"), col("jaccard"))
   }
 
+  /** WEIGHTED MinHash + LSH near-dups — weighted Jaccard over per-doc
+    * WORD COUNTS (tf), capped at `weightCap`:
+    *
+    *   J_w(A, B) = Σ_w min(a_w, b_w) / Σ_w max(a_w, b_w)
+    *
+    * "Two docs are near-dups when they share most of their word MASS"
+    * — the form that sees a doc which repeats its boilerplate header
+    * fifty times as different from one that mentions it once, which
+    * set-Jaccard ([[minhashNearDups]]) cannot. The classic
+    * consistent-weighted-sampling constructions (Ioffe 2010) need
+    * log/exp — not correctly rounded cross-engine — so this takes the
+    * INTEGER-REPLICATION construction instead: word w with capped
+    * count c expands to elements w#0 … w#(c−1), and plain MinHash /
+    * Jaccard over the expanded sets IS the weighted form (min(a,b)
+    * replicas shared, max(a,b) in the union). Everything downstream
+    * reuses the portable banded-LSH machinery verbatim; the verify
+    * stage computes Σmin and J_w = Σmin/(Σa + Σb − Σmin) in exact
+    * integer ppm ([[PortableDiv.nonNeg]]) — the whole pipeline is
+    * oracle-replayable (q333).
+    *
+    * `weightCap` bounds the expansion (≤cap× the tf frame) AND the
+    * boilerplate sensitivity — the standard truncated-weight trade.
+    * '#' never appears in [a-z0-9]+ tokens, so replica elements cannot
+    * collide with each other or with real words.
+    *
+    * Scale shape: one (id, word) count aggregate, ≤cap× element
+    * explode into [[minhashSignatureFromRows]] + [[lshCandidates]]
+    * (banded equi-join — never all-pairs), verify = capped-tf joins on
+    * the CANDIDATE pairs only. The tf frame persists behind the lazy
+    * result (four consumers); release via `spark.catalog.clearCache()`
+    * like the other minhash pipelines. */
+  def weightedMinhashNearDups(docs: DataFrame, idCol: String,
+      textCol: String, thresholdPpm: Long = 500000L, k: Int = 16,
+      bands: Int = 4, weightCap: Int = 8): DataFrame = {
+    require(weightCap >= 1, s"weightCap must be >= 1, got $weightCap")
+    require(thresholdPpm >= 0 && thresholdPpm <= 1000000L,
+      s"thresholdPpm must be in [0, 1e6], got $thresholdPpm")
+    import org.apache.spark.storage.StorageLevel
+    val tf = docs.repartition(col(idCol))
+      .select(col(idCol), explode(TextOps.tokens(col(textCol))).as("__w"))
+      .groupBy(col(idCol), col("__w"))
+      .agg(least(count(lit(1)), lit(weightCap.toLong)).as("__c"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val ex = tf.select(col(idCol),
+        col("__w"), explode(sequence(lit(0L), col("__c") - 1L)).as("__r"))
+      .select(col(idCol),
+        concat(col("__w"), lit("#"), col("__r").cast("string")).as("shingle"))
+    val sig = minhashSignatureFromRows(ex, idCol, k, portable = true)
+    val cand = lshCandidates(sig, idCol, k, bands, portable = true)
+    val sums = tf.groupBy(col(idCol)).agg(sum(col("__c")).as("__s"))
+    val inter = cand
+      .join(tf.select(col(idCol).as("a"), col("__w"), col("__c").as("__ca")), Seq("a"))
+      .join(tf.select(col(idCol).as("b"), col("__w"), col("__c").as("__cb")),
+        Seq("b", "__w"))
+      .groupBy(col("a"), col("b"))
+      .agg(sum(least(col("__ca"), col("__cb"))).as("__i"))
+    val denom = col("__sa") + col("__sb") - col("__i")
+    cand
+      .join(inter, Seq("a", "b"), "left")
+      .join(sums.select(col(idCol).as("a"), col("__s").as("__sa")), Seq("a"))
+      .join(sums.select(col(idCol).as("b"), col("__s").as("__sb")), Seq("b"))
+      .withColumn("__i", coalesce(col("__i"), lit(0L)))
+      .select(col("a"), col("b"),
+        when(denom === 0, lit(0L))
+          .otherwise(PortableDiv.nonNeg(lit(1000000L) * col("__i"), denom))
+          .as("jw_ppm"))
+      .filter(col("jw_ppm") >= thresholdPpm)
+  }
+
   /** Full MinHash+LSH near-dup pipeline: signature → banding → candidate
     * join → exact-Jaccard verify ≥ threshold. `portable = true` swaps
     * xxhash64 for the md5-derived hash (engine-reproducible — the

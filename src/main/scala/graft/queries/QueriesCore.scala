@@ -414,6 +414,15 @@ private[graft] object QueriesCore {
         maxDistance = 3, portable = true)
         .orderBy(col("a"), col("b"))),
 
+    // WEIGHTED MinHash (r13): tf-weighted Jaccard via the integer-
+    // replication construction (word#0..word#(c-1) elements, c capped
+    // at 8) — the DuckDB oracle replays the expansion, the 2-universal
+    // signatures, the banding, and the exact Σmin/(Σa+Σb−Σmin) ppm.
+    "q333_weighted_minhash" -> ((s, d) =>
+      Dedup.weightedMinhashNearDups(T(s, d, "documents"), "doc_id",
+        "text", thresholdPpm = 800000L, k = 16, bands = 4, weightCap = 8)
+        .orderBy(col("a"), col("b"))),
+
     // ----------------------------------------------------- similarity search
     "q47_embed_neardup" -> ((s, d) => {
       val v = T(s, d, "embeddings").filter(col("vec_id") < 500)
@@ -1019,6 +1028,8 @@ private[graft] object QueriesCore {
         |GROUP BY Industry ORDER BY Industry""".stripMargin,
 
     "q45_minhash_neardup" -> MinhashOracleSql,
+
+    "q333_weighted_minhash" -> WeightedMinhashOracleSql,
 
     "q46_simhash_neardup" -> SimhashOracleSql,
 

@@ -102,6 +102,56 @@ private[graft] object QueryHelpers {
       |SELECT a, b, jaccard FROM j WHERE jaccard >= 0.5 ORDER BY a, b""".stripMargin
   }
 
+  /** DuckDB replay of the WEIGHTED MinHash pipeline (q333): per-doc
+    * capped word counts, integer-replication expansion (w#0..w#(c−1)),
+    * the same 2-universal signature family and banding as
+    * [[MinhashOracleSql]], and the exact Σmin/(Σa+Σb−Σmin) weighted
+    * Jaccard in floor ppm — mirrors
+    * `Dedup.weightedMinhashNearDups(k=16, bands=4, weightCap=8)`. */
+  private[graft] val WeightedMinhashOracleSql: String = {
+    val k = 16; val bands = 4; val r = k / bands; val cap = 8
+    val hCols = (0 until k).map(i => s"min(ha + $i * hb) AS h$i").mkString(",\n    ")
+    val bandSelects = (0 until bands).map { b =>
+      val parts = (0 until r).map(i => s"h${b * r + i}").mkString(", '|', ")
+      s"SELECT doc_id, $b AS band, md5(concat('$b', '|', $parts)) AS bh FROM sig"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH tk AS (
+      |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)) AS w
+      |  FROM documents),
+      |tf AS (SELECT doc_id, w, least(count(*), $cap) AS c FROM tk GROUP BY 1, 2),
+      |ex AS (SELECT doc_id, w || '#' || CAST(unnest(range(c)) AS VARCHAR) AS el FROM tf),
+      |hx AS (SELECT doc_id,
+      |    CAST(concat('0x', substring(md5(concat_ws('|', '0', el)), 1, 14)) AS BIGINT) AS ha,
+      |    CAST(concat('0x', substring(md5(concat_ws('|', '0', el)), 17, 14)) AS BIGINT) AS hb
+      |  FROM ex),
+      |sig AS (SELECT doc_id,
+      |    $hCols
+      |  FROM hx GROUP BY doc_id),
+      |bands AS (
+      |  $bandSelects),
+      |cand AS (
+      |  SELECT ba.doc_id AS a, bb.doc_id AS b FROM bands ba
+      |  JOIN bands bb ON ba.band = bb.band AND ba.bh = bb.bh AND ba.doc_id < bb.doc_id
+      |  GROUP BY 1, 2),
+      |sums AS (SELECT doc_id, sum(c) AS s FROM tf GROUP BY 1),
+      |inter AS (
+      |  SELECT c.a, c.b, sum(least(ta.c, tb.c)) AS i
+      |  FROM cand c
+      |  JOIN tf ta ON ta.doc_id = c.a
+      |  JOIN tf tb ON tb.doc_id = c.b AND tb.w = ta.w
+      |  GROUP BY 1, 2),
+      |j AS (
+      |  SELECT c.a, c.b,
+      |    CASE WHEN sa.s + sb.s - coalesce(i.i, 0) = 0 THEN 0
+      |      ELSE (1000000 * coalesce(i.i, 0)) // (sa.s + sb.s - coalesce(i.i, 0)) END AS jw_ppm
+      |  FROM cand c
+      |  LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
+      |  JOIN sums sa ON sa.doc_id = c.a
+      |  JOIN sums sb ON sb.doc_id = c.b)
+      |SELECT a, b, CAST(jw_ppm AS BIGINT) AS jw_ppm FROM j
+      |WHERE jw_ppm >= 800000 ORDER BY a, b""".stripMargin
+  }
+
   /** DuckDB replay of the CROSS-SET MinHash+LSH pipeline for q107: the
     * corpus/batch split (batch = non-corpus docs plus first-word-dropped
     * rewrites of corpus docs under offset ids), per-side signatures with

@@ -38,6 +38,32 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("weightedMinhashNearDups: tf-weighted Jaccard, hand-checked; weights change the verdict set-Jaccard can't see") {
+    import spark.implicits._
+    // A and B share the same word SET but very different word MASS:
+    // A says "spark" once in ten filler words; B says it ten times.
+    // Set-Jaccard(A,B) over words = 1.0-ish; weighted is low.
+    val a = "spark " + (1 to 10).map(i => s"filler$i").mkString(" ")
+    val b = ("spark " * 10).trim + " " + (1 to 10).map(i => s"filler$i").mkString(" ")
+    // C is a verbatim copy of A — weighted Jaccard 1.0
+    val docs = Seq((1L, a), (2L, b), (3L, a)).toDF("doc_id", "text")
+    val out = Dedup.weightedMinhashNearDups(docs, "doc_id", "text",
+        thresholdPpm = 0L, k = 16, bands = 4, weightCap = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // verbatim pair: full weighted mass shared
+    assert(out((1L, 3L)) == 1000000L, out.toString)
+    // hand check (1,2): tf_A = {spark:1, filler*:1 ×10} Σ=11;
+    // tf_B = {spark:8 (capped), filler*:1 ×10} Σ=18;
+    // Σmin = 1 + 10 = 11; J_w = 11 / (11 + 18 − 11) = 11/18
+    val expect12 = 1000000L * 11 / 18
+    assert(out.get((1L, 2L)).forall(_ == expect12), out.toString)
+    // the SET near-dup path would have called (1,2) identical-ish:
+    // word sets are equal, so 1-gram set Jaccard is exactly 1.0 —
+    // weighted is the only form that separates them
+    assert(expect12 < 650000L)
+    spark.catalog.clearCache()
+  }
+
   test("exact n-gram jaccard: hand-checked value") {
     val two = Seq((1L, "a b c d"), (2L, "a b c e")).toDF("doc_id", "text")
     // shingles(3): {abc, bcd} vs {abc, bce} -> |∩|=1, |∪|=3
