@@ -716,21 +716,30 @@ object Dedup {
     * '#' never appears in [a-z0-9]+ tokens, so replica elements cannot
     * collide with each other or with real words.
     *
-    * Scale shape: one (id, word) count aggregate, ≤cap× element
-    * explode into [[minhashSignatureFromRows]] + [[lshCandidates]]
-    * (banded equi-join — never all-pairs), verify = capped-tf joins on
-    * the CANDIDATE pairs only. The tf frame persists behind the lazy
-    * result (four consumers); release via `spark.catalog.clearCache()`
-    * like the other minhash pipelines. */
+    * `shingleN` picks the weighted element basis: 1 = word tf (the
+    * textbook weighted-Jaccard form), ≥2 = word-n-gram tf. CAVEAT for
+    * n = 1 at corpus scale: raw word mass is dominated by
+    * common/stop words, which DEGENERATES the signatures — the
+    * globally minimal common-word replica becomes most docs' minimum,
+    * band buckets collapse into a handful of hot buckets, and the
+    * candidate join goes quadratic (measured: 41 s, 340 total
+    * buckets on the 50k-doc fixture). Natural-language corpora
+    * should either gate high-df words upstream or use n ≥ 2, where
+    * gram mass is discriminative (the gate query q333 runs n = 3). */
   def weightedMinhashNearDups(docs: DataFrame, idCol: String,
       textCol: String, thresholdPpm: Long = 500000L, k: Int = 16,
-      bands: Int = 4, weightCap: Int = 8): DataFrame = {
+      bands: Int = 4, weightCap: Int = 8, shingleN: Int = 1): DataFrame = {
     require(weightCap >= 1, s"weightCap must be >= 1, got $weightCap")
+    require(shingleN >= 1, s"shingleN must be >= 1, got $shingleN")
     require(thresholdPpm >= 0 && thresholdPpm <= 1000000L,
       s"thresholdPpm must be in [0, 1e6], got $thresholdPpm")
     import org.apache.spark.storage.StorageLevel
-    val tf = docs.repartition(col(idCol))
-      .select(col(idCol), explode(TextOps.tokens(col(textCol))).as("__w"))
+    val elems =
+      if (shingleN == 1) docs.repartition(col(idCol))
+        .select(col(idCol), explode(TextOps.tokens(col(textCol))).as("__w"))
+      else TextOps.shingleRows(docs.repartition(col(idCol)), idCol,
+        textCol, shingleN).withColumnRenamed("shingle", "__w")
+    val tf = elems
       .groupBy(col(idCol), col("__w"))
       .agg(least(count(lit(1)), lit(weightCap.toLong)).as("__c"))
       .persist(StorageLevel.MEMORY_AND_DISK)

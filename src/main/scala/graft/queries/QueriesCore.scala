@@ -415,12 +415,16 @@ private[graft] object QueriesCore {
         .orderBy(col("a"), col("b"))),
 
     // WEIGHTED MinHash (r13): tf-weighted Jaccard via the integer-
-    // replication construction (word#0..word#(c-1) elements, c capped
-    // at 8) — the DuckDB oracle replays the expansion, the 2-universal
-    // signatures, the banding, and the exact Σmin/(Σa+Σb−Σmin) ppm.
+    // replication construction (gram#0..gram#(c-1) elements, c capped
+    // at 8) over the 3-GRAM basis — word mass degenerates on this
+    // small-vocabulary fixture (the operator doc prices it); gram
+    // mass is discriminative. The DuckDB oracle replays the
+    // expansion, the 2-universal signatures, the banding, and the
+    // exact Σmin/(Σa+Σb−Σmin) ppm.
     "q333_weighted_minhash" -> ((s, d) =>
       Dedup.weightedMinhashNearDups(T(s, d, "documents"), "doc_id",
-        "text", thresholdPpm = 800000L, k = 16, bands = 4, weightCap = 8)
+        "text", thresholdPpm = 500000L, k = 16, bands = 4,
+        weightCap = 8, shingleN = 3)
         .orderBy(col("a"), col("b"))),
 
     // ----------------------------------------------------- similarity search

@@ -567,8 +567,12 @@ private[graft] object QueriesStats {
         prop.collect()
         val skewSeen = prop.queryExecution.executedPlan.toString
           .contains("skew=true")
+        // diameter 1 (star + 2-chains): one round reaches the fixpoint;
+        // the bound is caller-owned truth the checksum oracle enforces
+        // (the q259 rule — an understated bound hash-mismatches)
         val lab = graft.ext.Dedup.connectedComponents(nodes, "id",
-          edges, "a", "b", localEdgeLimit = 0, saltBuckets = 8)
+          edges, "a", "b", localEdgeLimit = 0, saltBuckets = 8,
+          assumeConvergedAfter = Some(1))
         val fp = graft.ext.Audit.fingerprint(lab,
           Seq(col("id"), col("cluster_id"))).head()
         val nClusters = lab.agg(countDistinct(col("cluster_id"))).head().getLong(0)

@@ -107,7 +107,7 @@ private[graft] object QueryHelpers {
     * the same 2-universal signature family and banding as
     * [[MinhashOracleSql]], and the exact Σmin/(Σa+Σb−Σmin) weighted
     * Jaccard in floor ppm — mirrors
-    * `Dedup.weightedMinhashNearDups(k=16, bands=4, weightCap=8)`. */
+    * `Dedup.weightedMinhashNearDups(k=16, bands=4, weightCap=8, shingleN=3)`. */
   private[graft] val WeightedMinhashOracleSql: String = {
     val k = 16; val bands = 4; val r = k / bands; val cap = 8
     val hCols = (0 until k).map(i => s"min(ha + $i * hb) AS h$i").mkString(",\n    ")
@@ -115,9 +115,14 @@ private[graft] object QueryHelpers {
       val parts = (0 until r).map(i => s"h${b * r + i}").mkString(", '|', ")
       s"SELECT doc_id, $b AS band, md5(concat('$b', '|', $parts)) AS bh FROM sig"
     }.mkString("\n  UNION ALL\n  ")
-    s"""WITH tk AS (
-      |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)) AS w
+    s"""WITH tkl AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS tokens
       |  FROM documents),
+      |tk AS (
+      |  SELECT doc_id, unnest(CASE WHEN len(tokens) >= 3
+      |    THEN list_transform(range(1, len(tokens) - 1), i -> array_to_string(tokens[i:i+2], ' '))
+      |    ELSE [] END) AS w
+      |  FROM tkl),
       |tf AS (SELECT doc_id, w, least(count(*), $cap) AS c FROM tk GROUP BY 1, 2),
       |ex AS (SELECT doc_id, w || '#' || CAST(unnest(range(c)) AS VARCHAR) AS el FROM tf),
       |hx AS (SELECT doc_id,
@@ -149,7 +154,7 @@ private[graft] object QueryHelpers {
       |  JOIN sums sa ON sa.doc_id = c.a
       |  JOIN sums sb ON sb.doc_id = c.b)
       |SELECT a, b, CAST(jw_ppm AS BIGINT) AS jw_ppm FROM j
-      |WHERE jw_ppm >= 800000 ORDER BY a, b""".stripMargin
+      |WHERE jw_ppm >= 500000 ORDER BY a, b""".stripMargin
   }
 
   /** DuckDB replay of the CROSS-SET MinHash+LSH pipeline for q107: the
