@@ -23,6 +23,7 @@ class HttpTransportSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
   private val lastBatchHeader = new AtomicReference[String]("")
   private val lastTokenForm = new AtomicReference[String]("")
   private val lastPatchBody = new AtomicReference[String]("")
+  private val lastGroupBySoql = new AtomicReference[String]("")
 
   private def base: String = s"http://127.0.0.1:$port"
 
@@ -133,6 +134,15 @@ class HttpTransportSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
       } else if (soql.contains("ORDER BY LastModifiedDate DESC"))
         send(x, 200,
           """{"totalSize":1,"done":true,"records":[{"LastModifiedDate":"2024-01-01T00:04:00.000+0000"}]}""")
+      else if (soql.contains(" GROUP BY IsActive")) {
+        lastGroupBySoql.set(soql)
+        // SOQL aggregate responses: group fields by NAME, aggregates
+        // as positional expr0..exprN over the aggregate list only
+        send(x, 200, """{"totalSize":2,"done":true,"records":[
+          |{"IsActive":false,"expr0":2,"expr1":10.5,"expr2":"2024-01-01T00:03:00.000+0000"},
+          |{"IsActive":true,"expr0":3,"expr1":0.5,"expr2":"2024-01-01T00:04:00.000+0000"}]}"""
+          .stripMargin.replace("\n", ""))
+      }
       else send(x, 400, s"unexpected soql: $soql")
     })
     server.setExecutor(null)
@@ -251,6 +261,22 @@ class HttpTransportSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     val dbody = lastPatchBody.get()
     assert(dbody.contains(""""CloseDate":"2024-01-01""""), dbody)
     assert(!dbody.contains("2024-01-01T"), dbody)
+  }
+
+  test("statsGrouped builds GROUP BY SOQL; group fields by name, aggregates as exprN, datetimes to micros") {
+    val t = transport()
+    val rows = t.statsGrouped("account", Seq("IsActive"),
+      Seq(RAgg.CountStar, RAgg.Min("Amount"), RAgg.Max("LastModifiedDate")),
+      Seq(RPred.Gt("Amount", 0.0)), includeDeleted = true)
+    assert(lastGroupBySoql.get() ==
+      "SELECT IsActive, COUNT(Id), MIN(Amount), MAX(LastModifiedDate) " +
+        "FROM account WHERE Amount > 0 GROUP BY IsActive",
+      lastGroupBySoql.get())
+    val byActive = rows.map(r => r.head -> r.tail).toMap
+    assert(byActive(false) == Seq(2L, 10.5,
+      1704067200000000L + 3L * 60L * 1000000L))
+    assert(byActive(true) == Seq(3L, 0.5,
+      1704067200000000L + 4L * 60L * 1000000L))
   }
 
   test("latestModified reads the ORDER BY DESC LIMIT 1 cursor probe") {
