@@ -649,6 +649,39 @@ object Dedup {
       .select(col("a"), col("b")).distinct()
   }
 
+  /** [[lshCandidates]] with an IN-PLAN bucket-occupancy tripwire:
+    * band-bucket counts are aggregated on the same (band, hash) key
+    * the candidate self-join shuffles on (the exchange is reusable),
+    * and a `raise_error` guard on the count rides the join input — a
+    * bucket holding more than `maxBucketSize` docs (m docs →
+    * m(m−1)/2 candidate pairs) fails the job LOUDLY at execution
+    * time, exactly where a degenerate signature basis would
+    * otherwise go quadratic. Healthy LSH buckets hold a handful of
+    * docs; the guard costs one count aggregate on rows the join
+    * reads anyway and changes no surviving row. */
+  def lshCandidatesGuarded(sig: DataFrame, idCol: String, k: Int,
+      bands: Int, portable: Boolean = false,
+      maxBucketSize: Int = 10000): DataFrame = {
+    val e = bandRows(sig, idCol, k, bands, portable)
+    val occ = e.groupBy(col("__band"), col("__bh"))
+      .agg(count(lit(1)).as("__occ"))
+      .select(col("__band"), col("__bh"),
+        when(col("__occ") <= lit(maxBucketSize.toLong), lit(1))
+          .otherwise(raise_error(concat(
+            lit("LSH band-bucket occupancy "), col("__occ"),
+            lit(s" docs exceeds maxBucketSize = $maxBucketSize (band "),
+            col("__band"), lit(", bucket "), col("__bh"),
+            lit(") — degenerate signature basis; use shingleN >= 2 " +
+              "or gate high-df elements upstream")))).as("__g"))
+    val l = e.select(col(idCol).as("a"), col("__band"), col("__bh"))
+      .join(occ, Seq("__band", "__bh"))
+      .filter(col("__g") === 1)
+    val rgt = e.select(col(idCol).as("b"), col("__band"), col("__bh"))
+    l.join(rgt, Seq("__band", "__bh"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+  }
+
   /** CROSS-SET LSH candidates: (a from sigA) × (b from sigB) sharing a
     * band bucket. No a < b filter — the sides are distinct sets, and
     * every cross pair must surface even when ids collide numerically. */
@@ -717,20 +750,49 @@ object Dedup {
     * collide with each other or with real words.
     *
     * `shingleN` picks the weighted element basis: 1 = word tf (the
-    * textbook weighted-Jaccard form), ≥2 = word-n-gram tf. CAVEAT for
-    * n = 1 at corpus scale: raw word mass is dominated by
-    * common/stop words, which DEGENERATES the signatures — the
-    * globally minimal common-word replica becomes most docs' minimum,
-    * band buckets collapse into a handful of hot buckets, and the
-    * candidate join goes quadratic (measured: 41 s, 340 total
-    * buckets on the 50k-doc fixture). Natural-language corpora
-    * should either gate high-df words upstream or use n ≥ 2, where
-    * gram mass is discriminative (the gate query q333 runs n = 3). */
+    * textbook weighted-Jaccard form), ≥2 = word-n-gram tf. The
+    * DEFAULT is 3 (matching [[minhashNearDups]]): raw word mass
+    * (n = 1) is dominated by common/stop words on natural-language
+    * corpora, which DEGENERATES the signatures — the globally minimal
+    * common-word replica becomes most docs' minimum, band buckets
+    * collapse into a handful of hot buckets, and the candidate join
+    * goes quadratic (measured: 41 s, 340 total buckets on the
+    * 50k-doc fixture). Callers who want the textbook word-tf form
+    * must opt into n = 1 AND either gate high-df words upstream or
+    * accept the `maxBucketSize` tripwire: every band bucket's
+    * occupancy is checked IN-PLAN (an `assert_true` on the bucket
+    * count, joined into the candidate path), so a degenerate basis
+    * fails loudly at exactly the point the candidate join would have
+    * gone quadratic — never silently melts the cluster. A bucket of
+    * m docs yields m(m−1)/2 pairs; the default bound of 10,000 docs
+    * per bucket (≤5·10⁷ pairs) is far above any healthy LSH bucket
+    * and far below the degenerate collapse.
+    *
+    * Caches: the per-doc tf frame is persisted (it feeds the replica
+    * expansion AND both verify joins). This convenience form leaves
+    * it cached behind the returned lazy frame — a long-lived session
+    * computing many passes should use
+    * [[weightedMinhashNearDupsReleasable]] and call `release()` after
+    * materializing the result, or `spark.catalog.clearCache()`. */
   def weightedMinhashNearDups(docs: DataFrame, idCol: String,
       textCol: String, thresholdPpm: Long = 500000L, k: Int = 16,
-      bands: Int = 4, weightCap: Int = 8, shingleN: Int = 1): DataFrame = {
+      bands: Int = 4, weightCap: Int = 8, shingleN: Int = 3,
+      maxBucketSize: Int = 10000): DataFrame =
+    weightedMinhashNearDupsReleasable(docs, idCol, textCol, thresholdPpm,
+      k, bands, weightCap, shingleN, maxBucketSize).result
+
+  /** [[weightedMinhashNearDups]] with cache ownership handed to the
+    * caller: `release()` (AFTER materializing the result) drops the
+    * per-doc tf cache this call created — the variant for long-lived
+    * sessions computing many weighted passes. */
+  def weightedMinhashNearDupsReleasable(docs: DataFrame, idCol: String,
+      textCol: String, thresholdPpm: Long = 500000L, k: Int = 16,
+      bands: Int = 4, weightCap: Int = 8, shingleN: Int = 3,
+      maxBucketSize: Int = 10000): IncrementalDedup = {
     require(weightCap >= 1, s"weightCap must be >= 1, got $weightCap")
     require(shingleN >= 1, s"shingleN must be >= 1, got $shingleN")
+    require(maxBucketSize >= 2,
+      s"maxBucketSize must be >= 2, got $maxBucketSize")
     require(thresholdPpm >= 0 && thresholdPpm <= 1000000L,
       s"thresholdPpm must be in [0, 1e6], got $thresholdPpm")
     import org.apache.spark.storage.StorageLevel
@@ -748,7 +810,8 @@ object Dedup {
       .select(col(idCol),
         concat(col("__w"), lit("#"), col("__r").cast("string")).as("shingle"))
     val sig = minhashSignatureFromRows(ex, idCol, k, portable = true)
-    val cand = lshCandidates(sig, idCol, k, bands, portable = true)
+    val cand = lshCandidatesGuarded(sig, idCol, k, bands, portable = true,
+      maxBucketSize = maxBucketSize)
     val sums = tf.groupBy(col(idCol)).agg(sum(col("__c")).as("__s"))
     val inter = cand
       .join(tf.select(col(idCol).as("a"), col("__w"), col("__c").as("__ca")), Seq("a"))
@@ -757,7 +820,7 @@ object Dedup {
       .groupBy(col("a"), col("b"))
       .agg(sum(least(col("__ca"), col("__cb"))).as("__i"))
     val denom = col("__sa") + col("__sb") - col("__i")
-    cand
+    val result = cand
       .join(inter, Seq("a", "b"), "left")
       .join(sums.select(col(idCol).as("a"), col("__s").as("__sa")), Seq("a"))
       .join(sums.select(col(idCol).as("b"), col("__s").as("__sb")), Seq("b"))
@@ -767,6 +830,7 @@ object Dedup {
           .otherwise(PortableDiv.nonNeg(lit(1000000L) * col("__i"), denom))
           .as("jw_ppm"))
       .filter(col("jw_ppm") >= thresholdPpm)
+    IncrementalDedup(result, () => { tf.unpersist(); () })
   }
 
   /** Full MinHash+LSH near-dup pipeline: signature → banding → candidate

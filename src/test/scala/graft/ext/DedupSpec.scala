@@ -47,8 +47,10 @@ class DedupSpec extends SparkSpec {
     val b = ("spark " * 10).trim + " " + (1 to 10).map(i => s"filler$i").mkString(" ")
     // C is a verbatim copy of A — weighted Jaccard 1.0
     val docs = Seq((1L, a), (2L, b), (3L, a)).toDF("doc_id", "text")
+    // shingleN = 1 pins the textbook word-tf basis the hand math
+    // below assumes (the DEFAULT is the non-degenerate 3-gram basis)
     val out = Dedup.weightedMinhashNearDups(docs, "doc_id", "text",
-        thresholdPpm = 0L, k = 16, bands = 4, weightCap = 8)
+        thresholdPpm = 0L, k = 16, bands = 4, weightCap = 8, shingleN = 1)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     // verbatim pair: full weighted mass shared
     assert(out((1L, 3L)) == 1000000L, out.toString)
@@ -62,6 +64,50 @@ class DedupSpec extends SparkSpec {
     // weighted is the only form that separates them
     assert(expect12 < 650000L)
     spark.catalog.clearCache()
+  }
+
+  test("weightedMinhashNearDups: bucket-occupancy tripwire fails loudly on a degenerate basis") {
+    import spark.implicits._
+    // 12 docs all dominated by the same stop-word mass: with the
+    // word-tf basis (n = 1) every signature's minimum is a "the#r"
+    // replica, so all docs collapse into the same band buckets —
+    // the measured degeneracy in miniature. maxBucketSize = 4 makes
+    // the in-plan guard trip instead of letting the candidate join
+    // go quadratic.
+    val deg = (1 to 12).map(i =>
+      (i.toLong, ("the " * 20).trim + s" unique$i")).toDF("doc_id", "text")
+    val ex = intercept[Exception] {
+      Dedup.weightedMinhashNearDups(deg, "doc_id", "text",
+        thresholdPpm = 0L, k = 16, bands = 4, weightCap = 8,
+        shingleN = 1, maxBucketSize = 4).collect()
+    }
+    val msg = Option(ex.getMessage).getOrElse("") +
+      Option(ex.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
+    assert(msg.contains("maxBucketSize"), s"unexpected error: $ex")
+    spark.catalog.clearCache()
+  }
+
+  test("weightedMinhashNearDups: default basis is the non-degenerate 3-gram; guard passes on healthy corpora") {
+    import spark.implicits._
+    // The same degenerate corpus is FINE under the default n = 3
+    // basis (gram mass is discriminative), and a verbatim pair still
+    // surfaces at full weighted mass.
+    val docsN = Seq(
+      (1L, base), (2L, base),
+      (3L, "completely different content about spark query engines")
+    ).toDF("doc_id", "text")
+    spark.catalog.clearCache() // isolate: only THIS call's cache below
+    val handle = Dedup.weightedMinhashNearDupsReleasable(docsN, "doc_id",
+      "text", thresholdPpm = 500000L, maxBucketSize = 4)
+    val out = handle.result.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out((1L, 2L)) == 1000000L, out.toString)
+    assert(!out.keySet.exists(p => p._1 == 3L || p._2 == 3L))
+    assert(spark.sparkContext.getPersistentRDDs.nonEmpty,
+      "materializing the result must have built the tf cache")
+    handle.release()
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "release() must drop the tf cache this call created")
   }
 
   test("exact n-gram jaccard: hand-checked value") {
