@@ -682,6 +682,30 @@ private[graft] object QueriesCore {
         .orderBy(col("Industry"))
     }),
 
+    // THROTTLE-SURVIVAL contract (r14): an org under quota pressure
+    // (FakeTransport throttleFirst=2 — every transport instance
+    // bounces its first two data calls with 429 + Retry-After) must
+    // yield the SAME scan result, with the retry spend deterministic:
+    // the planner's id cursor re-requests twice (2) and each of the
+    // ceil(500/100)=5 fetch partitions bounces twice (10) = 12
+    // throttles served, all absorbed by the bounded connector retry
+    // (RestRetry). A retry regression either fails the scan (no rows
+    // → rows mismatch) or double-fetches (n_distinct < n).
+    "q334_rest_throttle_retry" -> ((s, d) => {
+      import s.implicits._
+      import graft.sources.rest.FakeTransport
+      FakeTransport.CallLog.clear()
+      val ids = graft.sources.rest.RestOps.read(s, Map(
+        "object" -> "account", "org" -> "q334",
+        "numRecords" -> "500", "seed" -> "42",
+        "throttleFirst" -> "2", "maxRetries" -> "3",
+        "retryBaseMs" -> "0", "retryMaxMs" -> "0"))
+        .select("Id").collect().map(_.getString(0))
+      Seq((ids.length.toLong, ids.distinct.length.toLong,
+          FakeTransport.CallLog.throttles.size.toLong))
+        .toDF("n", "n_distinct", "throttles_served")
+    }),
+
     // Rows-only: end-to-end training-data curation pipeline — quality
     // gate → language filter → exact dedup → per-doc stats. The shape a
     // 100 TB corpus job takes: all narrow ops + one dedup shuffle.
@@ -1030,6 +1054,14 @@ private[graft] object QueriesCore {
         |  CAST(0 AS BIGINT) AS fetch_calls
         |FROM r WHERE IsActive
         |GROUP BY Industry ORDER BY Industry""".stripMargin,
+
+    // throttle-survival proof columns BY CONTRACT: 500 rows all
+    // distinct (no double-fetch under retry), exactly 12 throttles
+    // absorbed (2 planner-cursor + 5 partitions × 2)
+    "q334_rest_throttle_retry" ->
+      """SELECT CAST(500 AS BIGINT) AS n,
+        |  CAST(500 AS BIGINT) AS n_distinct,
+        |  CAST(12 AS BIGINT) AS throttles_served""".stripMargin,
 
     "q45_minhash_neardup" -> MinhashOracleSql,
 

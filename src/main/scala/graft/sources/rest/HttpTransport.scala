@@ -13,8 +13,12 @@ import org.json4s.jackson.JsonMethods
 
 /** Error envelope for non-OK responses. Status discipline mirrors the
   * reference's request wrapper (revtron/salesforce/main.py:89-100):
-  * 200/201/204 pass, everything else raises with the response body. */
-final case class RestHttpError(status: Int, body: String)
+  * 200/201/204 pass, everything else raises with the response body.
+  * `retryAfterMs` carries a parsed Retry-After header (429/503) so the
+  * connector-level retry ([[RestRetry]]) can honor the server's own
+  * pacing instead of guessing a backoff. */
+final case class RestHttpError(status: Int, body: String,
+    retryAfterMs: Option[Long] = None)
   extends RuntimeException(s"HTTP $status: $body")
 
 /** OAuth refresh-token credentials (reference salesforce/main.py:29-46):
@@ -196,7 +200,14 @@ final class HttpTransport(
       case 401 if !retried => // expired token: one transparent re-auth
         sessionRef.set(null)
         request(method, pathOrUrl, jsonBody, headers, retried = true)
-      case code => throw RestHttpError(code, resp.body())
+      case code =>
+        // integer-seconds Retry-After (the throttle form); HTTP-date
+        // forms are ignored and the retry layer falls back to backoff
+        val retryAfter = Option(resp.headers().firstValue("Retry-After")
+            .orElse(null))
+          .flatMap(v => scala.util.Try(v.trim.toLong * 1000L).toOption)
+          .filter(_ >= 0L)
+        throw RestHttpError(code, resp.body(), retryAfter)
     }
   }
 
@@ -508,8 +519,15 @@ final class HttpTransport(
             case _ => Left(s"no id in create response: ${resp.body()}")
           }
       }
-    } catch { // error ENVELOPE, never a throw (main.py:230-249)
-      case RestHttpError(status, b) => Left(s"HTTP $status: $b")
+    } catch {
+      // error ENVELOPE for record-level failures (main.py:230-249).
+      // A throttle (429) or transient 5xx is NOT a record failure —
+      // the org refused or failed admission, so it PROPAGATES to the
+      // connector-level retry ([[RestRetry]]); enveloping it would
+      // mark a good record failed because the org was busy.
+      case e @ RestHttpError(status, _, _)
+          if RestRetry.RetryableStatuses.contains(status) => throw e
+      case RestHttpError(status, b, _) => Left(s"HTTP $status: $b")
       case scala.util.control.NonFatal(e) => Left(e.toString)
     }
   }

@@ -12,17 +12,23 @@ object RestOps {
 
   /** S3: catalog listing. */
   def listObjects(options: Map[String, String]): Seq[String] =
-    RestTable.transportFor(options).listObjects()
+    RestRetry.withRetry(RetryPolicy.fromOptions(lc(options)))(
+      RestTable.transportFor(options).listObjects())
 
   /** S5: remaining API quota (reference: salesforce/main.py:102-104). */
   def limits(options: Map[String, String]): Map[String, Long] =
-    RestTable.transportFor(options).limits()
+    RestRetry.withRetry(RetryPolicy.fromOptions(lc(options)))(
+      RestTable.transportFor(options).limits())
 
   /** S7: one-shot remote stats probe (COUNT pushed to the API, no scan
     * — reference: revtron/salesforce/main.py:185-228). */
   def sobjectSize(options: Map[String, String], obj: String,
       preds: Seq[RPred] = Nil, includeDeleted: Boolean = true): Long =
-    RestTable.transportFor(options).count(obj, preds, includeDeleted)
+    RestRetry.withRetry(RetryPolicy.fromOptions(lc(options)))(
+      RestTable.transportFor(options).count(obj, preds, includeDeleted))
+
+  private def lc(options: Map[String, String]): Map[String, String] =
+    options.map { case (k, v) => k.toLowerCase -> v }
 
   private val StatusSchema = StructType(Seq(
     StructField("record_id", StringType),
@@ -38,6 +44,7 @@ object RestOps {
   def upsertWithStatus(df: DataFrame, obj: String,
       options: Map[String, String]): DataFrame = {
     val schema = df.schema
+    val policy = RetryPolicy.fromOptions(lc(options))
     df.mapPartitions { rows =>
       val t = RestTable.transportFor(options) // per-partition client init
       rows.map { r =>
@@ -49,7 +56,7 @@ object RestOps {
             case _ => r.get(i)
           }))
         }.toMap
-        t.upsert(obj, rec) match {
+        RestRetry.withRetry(policy)(t.upsert(obj, rec)) match {
           case Right(id) => Row(id, true, null)
           case Left(e)   => Row(rec.get("Id").map(String.valueOf).orNull, false, e)
         }

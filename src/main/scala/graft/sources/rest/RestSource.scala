@@ -244,7 +244,8 @@ class RestAggScan(aggSchema: StructType, options: Map[String, String],
     val minQuota = options.getOrElse("minremainingquota", "0").toLong
     if (minQuota > 0) {
       val t = RestTable.transportFor(options)
-      val remaining = t.limits().getOrElse("DailyApiRequests.Remaining", Long.MaxValue)
+      val remaining = RestRetry.withRetry(RetryPolicy.fromOptions(options))(
+        t.limits()).getOrElse("DailyApiRequests.Remaining", Long.MaxValue)
       if (remaining < minQuota) throw new IllegalStateException(
         s"graft-rest $obj: remaining API quota $remaining is below " +
           s"minRemainingQuota=$minQuota — refusing the pushed-aggregate " +
@@ -254,7 +255,7 @@ class RestAggScan(aggSchema: StructType, options: Map[String, String],
   }
 
   override def supportedCustomMetrics(): Array[CustomMetric] =
-    Array(new RestApiCallsMetric)
+    Array(new RestApiCallsMetric, new RestRetriesMetric)
 
   override def createReaderFactory(): PartitionReaderFactory =
     new RestAggReaderFactory(aggSchema, options, obj)
@@ -279,6 +280,7 @@ class RestAggReader(aggSchema: StructType, options: Map[String, String],
     extends PartitionReader[InternalRow] {
 
   private var apiCalls = 0L
+  private var retries = 0L
   private var rows: Iterator[Seq[Any]] = _
 
   private def toInternal(values: Seq[Any]): InternalRow =
@@ -298,10 +300,11 @@ class RestAggReader(aggSchema: StructType, options: Map[String, String],
     if (rows == null) {
       val t = RestTable.transportFor(options)
       val includeDeleted = options.getOrElse("includedeleted", "true").toBoolean
+      val policy = RetryPolicy.fromOptions(options)
       apiCalls += 1
-      rows =
+      rows = RestRetry.withRetry(policy, () => retries += 1)(
         if (groupBy.isEmpty) Iterator(t.stats(obj, aggs, preds, includeDeleted))
-        else t.statsGrouped(obj, groupBy, aggs, preds, includeDeleted).iterator
+        else t.statsGrouped(obj, groupBy, aggs, preds, includeDeleted).iterator)
     }
     rows.hasNext
   }
@@ -309,7 +312,8 @@ class RestAggReader(aggSchema: StructType, options: Map[String, String],
   override def get(): InternalRow = toInternal(rows.next())
 
   override def currentMetricsValues(): Array[CustomTaskMetric] =
-    Array(RestMetric(RestApiCallsMetric.Name, apiCalls))
+    Array(RestMetric(RestApiCallsMetric.Name, apiCalls),
+      RestMetric(RestRetriesMetric.Name, retries))
 
   override def close(): Unit = ()
 }
@@ -353,6 +357,7 @@ class RestScan(readSchema0: StructType, options: Map[String, String], obj: Strin
     * DURING the cursor walk, never after the budget is gone. */
   override def planInputPartitions(): Array[InputPartition] = planned
 
+  private var driverRetries = 0L
   private lazy val planned: Array[InputPartition] = {
     val t = RestTable.transportFor(options)
     val pageSize = options.getOrElse("pagesize", "200").toInt
@@ -361,8 +366,10 @@ class RestScan(readSchema0: StructType, options: Map[String, String], obj: Strin
     val maxIds = options.getOrElse("maxids", "5000000").toLong
     val maxPartitions = options.get("maxpartitions").map(_.toInt)
     val minQuota = options.getOrElse("minremainingquota", "0").toLong
+    val policy = RetryPolicy.fromOptions(options)
     if (minQuota > 0) {
-      val remaining = t.limits().getOrElse("DailyApiRequests.Remaining", Long.MaxValue)
+      val remaining = RestRetry.withRetry(policy, () => driverRetries += 1)(
+        t.limits()).getOrElse("DailyApiRequests.Remaining", Long.MaxValue)
       if (remaining < minQuota) throw new IllegalStateException(
         s"graft-rest $obj: remaining API quota $remaining is below " +
           s"minRemainingQuota=$minQuota — refusing to start the scan " +
@@ -375,7 +382,11 @@ class RestScan(readSchema0: StructType, options: Map[String, String], obj: Strin
     val out = Array.newBuilder[InputPartition]
     val buf = new scala.collection.mutable.ArrayBuffer[String](batchSize)
     var total = 0L
-    val pages = t.queryIds(obj, preds, includeDeleted, limit, pageSize)
+    // same-page retry around the serial cursor: a throttled page is
+    // re-requested (unfold state advances only on success) — a 100k-id
+    // walk survives a mid-cursor 429 without restarting from page 1
+    val pages = RestRetry.retryingIterator(policy, () => driverRetries += 1)(
+      t.queryIds(obj, preds, includeDeleted, limit, pageSize))
     while (pages.hasNext) {
       pages.next().foreach { id =>
         total += 1
@@ -403,10 +414,12 @@ class RestScan(readSchema0: StructType, options: Map[String, String], obj: Strin
     * cursor state as driver metrics (S5 quota probe made observable —
     * reference salesforce/main.py:102-104). */
   override def supportedCustomMetrics(): Array[CustomMetric] =
-    Array(new RestApiCallsMetric, new RestPlannedPartitionsMetric)
+    Array(new RestApiCallsMetric, new RestPlannedPartitionsMetric,
+      new RestRetriesMetric)
 
   override def reportDriverMetrics(): Array[CustomTaskMetric] =
-    Array(RestMetric(RestPlannedPartitionsMetric.Name, planned.length.toLong))
+    Array(RestMetric(RestPlannedPartitionsMetric.Name, planned.length.toLong),
+      RestMetric(RestRetriesMetric.Name, driverRetries))
 
   override def createReaderFactory(): PartitionReaderFactory =
     new RestReaderFactory(readSchema0, options, obj)
@@ -425,6 +438,15 @@ class RestPlannedPartitionsMetric extends CustomSumMetric {
   override def description(): String = "planned fetch partitions (phase-2 API calls)"
 }
 object RestPlannedPartitionsMetric { val Name = "restPlannedPartitions" }
+
+/** Throttle/transient-failure retries spent (driver cursor + executor
+  * fetch/stats/write), summed across tasks — quota pressure made
+  * observable in the Spark UI. */
+class RestRetriesMetric extends CustomSumMetric {
+  override def name(): String = RestRetriesMetric.Name
+  override def description(): String = "remote API retries (429/5xx)"
+}
+object RestRetriesMetric { val Name = "restRetries" }
 
 case class RestMetric(metricName: String, value: Long) extends CustomTaskMetric {
   override def name(): String = metricName
@@ -446,10 +468,12 @@ class RestPartitionReader(schema: StructType, options: Map[String, String],
     obj: String, ids: Array[String]) extends PartitionReader[InternalRow] {
 
   private var apiCalls = 0L
+  private var retries = 0L
   private lazy val rows: Iterator[Map[String, Any]] = {
     val t = RestTable.transportFor(options)
     apiCalls += 1
-    t.fetchByIds(obj, ids.toSeq, schema.fieldNames.toSeq).iterator
+    RestRetry.withRetry(RetryPolicy.fromOptions(options), () => retries += 1)(
+      t.fetchByIds(obj, ids.toSeq, schema.fieldNames.toSeq)).iterator
   }
   private var current: Map[String, Any] = _
 
@@ -457,7 +481,8 @@ class RestPartitionReader(schema: StructType, options: Map[String, String],
     if (rows.hasNext) { current = rows.next(); true } else false
 
   override def currentMetricsValues(): Array[CustomTaskMetric] =
-    Array(RestMetric(RestApiCallsMetric.Name, apiCalls))
+    Array(RestMetric(RestApiCallsMetric.Name, apiCalls),
+      RestMetric(RestRetriesMetric.Name, retries))
 
   override def get(): InternalRow = {
     val values = schema.fields.map { f =>
@@ -484,6 +509,8 @@ class RestWriteBuilder(schema: StructType, options: Map[String, String], obj: St
     extends WriteBuilder {
   override def build(): Write = new Write {
     override def toBatch: BatchWrite = new RestBatchWrite(schema, options, obj)
+    override def supportedCustomMetrics(): Array[CustomMetric] =
+      Array(new RestRetriesMetric)
   }
 }
 
@@ -518,8 +545,10 @@ class RestDataWriterFactory(schema: StructType, options: Map[String, String], ob
 class RestDataWriter(schema: StructType, options: Map[String, String], obj: String)
     extends DataWriter[InternalRow] {
   private val t = RestTable.transportFor(options)
+  private val policy = RetryPolicy.fromOptions(options)
   private var ok = 0L
   private var err = 0L
+  private var retries = 0L
 
   override def write(row: InternalRow): Unit = {
     val rec = schema.fields.zipWithIndex.flatMap { case (f, i) =>
@@ -532,11 +561,16 @@ class RestDataWriter(schema: StructType, options: Map[String, String], obj: Stri
         case dt => throw new IllegalStateException(s"unsupported write type $dt")
       }))
     }.toMap
-    t.upsert(obj, rec) match {
+    // a throttled upsert THROWS (the transport only envelopes
+    // record-level failures) and retries here; record errors count
+    RestRetry.withRetry(policy, () => retries += 1)(t.upsert(obj, rec)) match {
       case Right(_) => ok += 1
       case Left(_)  => err += 1
     }
   }
+
+  override def currentMetricsValues(): Array[CustomTaskMetric] =
+    Array(RestMetric(RestRetriesMetric.Name, retries))
 
   override def commit(): WriterCommitMessage = RestCommit(ok, err)
   override def abort(): Unit = ()

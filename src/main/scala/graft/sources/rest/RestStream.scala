@@ -21,11 +21,13 @@ class RestMicroBatchStream(schema: StructType, options: Map[String, String],
   private val pageSize = options.getOrElse("pagesize", "200").toInt
   private val batchSize = options.getOrElse("batchsize", "100").toInt
   private val includeDeleted = options.getOrElse("includedeleted", "true").toBoolean
+  private val policy = RetryPolicy.fromOptions(options)
 
   override def initialOffset(): Offset = RestOffset(0L)
 
   override def latestOffset(): Offset =
-    RestOffset(transport.latestModified(obj, dateField))
+    RestOffset(RestRetry.withRetry(policy)(
+      transport.latestModified(obj, dateField)))
 
   override def deserializeOffset(json: String): Offset =
     RestOffset(json.trim.toLong)
@@ -37,7 +39,8 @@ class RestMicroBatchStream(schema: StructType, options: Map[String, String],
     // (lo, hi] window on the modification timestamp — the reference's
     // start_date/end_date predicate, pushed remotely
     val preds = Seq(RPred.Gt(dateField, lo), RPred.Le(dateField, hi))
-    val ids = transport.queryIds(obj, preds, includeDeleted, None, pageSize)
+    val ids = RestRetry.retryingIterator(policy)(
+      transport.queryIds(obj, preds, includeDeleted, None, pageSize))
       .flatten.toArray
     ids.grouped(batchSize).map(c => RestInputPartition(c): InputPartition).toArray
   }

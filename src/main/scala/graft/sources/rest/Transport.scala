@@ -89,8 +89,23 @@ trait RestTransport extends Serializable {
   * (200-row pages, salesforce/main.py:152; soft-delete filtering via
   * query vs queryAll, main.py:150,175). */
 final class FakeTransport(org: String, numRecords: Int, seed: Long,
-    environment: String = "login") extends RestTransport {
+    environment: String = "login", throttleFirst: Int = 0) extends RestTransport {
   import FakeTransport._
+
+  /** Throttle mode (zero-egress stand-in for an org under quota
+    * pressure): the first `throttleFirst` data calls on THIS transport
+    * instance are refused with a 429 + Retry-After before any work —
+    * exactly the admission rejection [[RestRetry]] exists for. Each
+    * reader/writer builds its own transport, so `throttleFirst = n`
+    * means every partition's first n attempts bounce, deterministically. */
+  private val throttledCalls = new java.util.concurrent.atomic.AtomicInteger(0)
+  private def admission(what: String): Unit =
+    if (throttleFirst > 0 && throttledCalls.incrementAndGet() <= throttleFirst) {
+      CallLog.throttles.add(s"$org/$what")
+      throw RestHttpError(429,
+        """[{"errorCode":"REQUEST_LIMIT_EXCEEDED","message":"TotalRequests Limit exceeded."}]""",
+        retryAfterMs = Some(0L)) // tests pace by count, not wall-clock
+    }
 
   /** S1: the reference's OAuth env fallback — a token refresh against
     * 'login' falls back to the 'test' endpoint on failure
@@ -182,11 +197,14 @@ final class FakeTransport(org: String, numRecords: Int, seed: Long,
     all(obj).filter(r => includeDeleted || r("IsDeleted") == false)
       .filter(r => preds.forall(matches(r, _)))
 
-  override def count(obj: String, preds: Seq[RPred], includeDeleted: Boolean): Long =
+  override def count(obj: String, preds: Seq[RPred], includeDeleted: Boolean): Long = {
+    admission(s"count:$obj")
     filtered(obj, preds, includeDeleted).size.toLong
+  }
 
   override def stats(obj: String, aggs: Seq[RAgg], preds: Seq[RPred],
       includeDeleted: Boolean): Seq[Any] = {
+    admission(s"stats:$obj")
     CallLog.stats.add(s"$org/$obj aggs=${aggs.size} preds=${preds.size}")
     val rows = filtered(obj, preds, includeDeleted)
     def vals(f: String): Seq[Any] = rows.flatMap(r => Option(r.get(f).orNull))
@@ -209,6 +227,7 @@ final class FakeTransport(org: String, numRecords: Int, seed: Long,
 
   override def statsGrouped(obj: String, groupBy: Seq[String], aggs: Seq[RAgg],
       preds: Seq[RPred], includeDeleted: Boolean): Seq[Seq[Any]] = {
+    admission(s"statsGrouped:$obj")
     CallLog.stats.add(
       s"$org/$obj groupBy=${groupBy.mkString(",")} aggs=${aggs.size} preds=${preds.size}")
     val rows = filtered(obj, preds, includeDeleted)
@@ -234,12 +253,15 @@ final class FakeTransport(org: String, numRecords: Int, seed: Long,
       }
   }
 
-  override def latestModified(obj: String, dateField: String): Long =
+  override def latestModified(obj: String, dateField: String): Long = {
+    admission(s"latestModified:$obj")
     all(obj).flatMap(_.get(dateField)).collect { case l: Long => l }
       .foldLeft(0L)(math.max)
+  }
 
   override def queryIds(obj: String, preds: Seq[RPred], includeDeleted: Boolean,
       limit: Option[Int], pageSize: Int): Iterator[Seq[String]] = {
+    admission(s"queryIds:$obj")
     CallLog.idQueries.add(s"$org/$obj preds=${preds.size} limit=$limit")
     val ids = filtered(obj, preds, includeDeleted).map(_("Id").asInstanceOf[String])
     val limited = limit.fold(ids)(ids.take)
@@ -248,6 +270,7 @@ final class FakeTransport(org: String, numRecords: Int, seed: Long,
 
   override def fetchByIds(obj: String, ids: Seq[String],
       columns: Seq[String]): Seq[Map[String, Any]] = {
+    admission(s"fetchByIds:$obj")
     CallLog.fetches.add(s"$org/$obj n=${ids.size} cols=${columns.mkString(",")}")
     val idSet = ids.toSet
     val cols = if (columns.isEmpty) describe(obj).map(_._1) else columns
@@ -256,6 +279,7 @@ final class FakeTransport(org: String, numRecords: Int, seed: Long,
   }
 
   override def upsert(obj: String, record: Map[String, Any]): Either[String, String] = {
+    admission(s"upsert:$obj")
     record.get("Id") match {
       case Some(id: String) if id.nonEmpty =>
         if (id.startsWith("BAD")) Left(s"MALFORMED_ID: $id")  // error channel, never throws
@@ -295,11 +319,12 @@ object FakeTransport {
   /** Driver/test-visible call log (local mode shares the JVM). */
   object CallLog {
     val describes = new ConcurrentLinkedQueue[String]()
+    val throttles = new ConcurrentLinkedQueue[String]()
     val idQueries = new ConcurrentLinkedQueue[String]()
     val fetches = new ConcurrentLinkedQueue[String]()
     val stats = new ConcurrentLinkedQueue[String]()
-    def clear(): Unit =
-      { describes.clear(); idQueries.clear(); fetches.clear(); stats.clear() }
+    def clear(): Unit = { describes.clear(); idQueries.clear()
+      fetches.clear(); stats.clear(); throttles.clear() }
     def fetchCount: Int = fetches.size()
   }
 
@@ -309,5 +334,6 @@ object FakeTransport {
       options.getOrElse("org", "default"),
       options.getOrElse("numrecords", "1000").toInt,
       options.getOrElse("seed", "42").toLong,
-      options.getOrElse("environment", "login"))
+      options.getOrElse("environment", "login"),
+      options.getOrElse("throttlefirst", "0").toInt)
 }

@@ -24,8 +24,22 @@ class HttpTransportSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
   private val lastTokenForm = new AtomicReference[String]("")
   private val lastPatchBody = new AtomicReference[String]("")
   private val lastGroupBySoql = new AtomicReference[String]("")
+  // throttle mode: the next N data requests bounce with 429 + Retry-After
+  private val throttleNext = new AtomicInteger(0)
+  private val throttlesServed = new AtomicInteger(0)
 
   private def base: String = s"http://127.0.0.1:$port"
+
+  /** Serve a 429 with Retry-After: 0 while the throttle budget lasts;
+    * true = this request was bounced. */
+  private def throttled(x: HttpExchange): Boolean =
+    if (throttleNext.getAndUpdate(n => math.max(0, n - 1)) > 0) {
+      throttlesServed.incrementAndGet()
+      x.getResponseHeaders.add("Retry-After", "0")
+      send(x, 429,
+        """[{"errorCode":"REQUEST_LIMIT_EXCEEDED","message":"TotalRequests Limit exceeded."}]""")
+      true
+    } else false
 
   private def send(x: HttpExchange, status: Int, body: String): Unit = {
     val bytes = body.getBytes(StandardCharsets.UTF_8)
@@ -87,6 +101,8 @@ class HttpTransportSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     server.createContext("/services/data/v56.0/sobjects", { x =>
       val path = x.getRequestURI.getPath
       if (!authorized(x)) send(x, 401, "expired")
+      else if ((x.getRequestMethod == "PATCH" || x.getRequestMethod == "POST")
+        && throttled(x)) ()
       else if (x.getRequestMethod == "GET" &&
         path == "/services/data/v56.0/sobjects")
         send(x, 200, """{"sobjects":[{"name":"account"},{"name":"contact"}]}""")
@@ -105,6 +121,7 @@ class HttpTransportSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
 
     server.createContext("/services/data/v56.0/query", { x =>
       if (!authorized(x)) { send(x, 401, "expired"); return }
+      if (throttled(x)) return
       lastBatchHeader.set(x.getRequestHeaders.getFirst("Sforce-Query-Options"))
       val path = x.getRequestURI.getPath
       val soql = q(x)
@@ -291,6 +308,56 @@ class HttpTransportSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     val grants = tokenGrants.get()
     assert(t.listObjects() == Seq("account", "contact")) // 401 → re-auth → ok
     assert(tokenGrants.get() == grants + 1)
+  }
+
+  test("429 raises RestHttpError with the parsed Retry-After; RestRetry completes the call") {
+    throttleNext.set(1)
+    val e = intercept[RestHttpError] {
+      transport().count("account", Nil, includeDeleted = false)
+    }
+    assert(e.status == 429 && e.retryAfterMs.contains(0L), e)
+    assert(e.body.contains("REQUEST_LIMIT_EXCEEDED"))
+    assert(throttleNext.get() == 0)
+    // the connector-level policy turns the same condition into success
+    throttleNext.set(2)
+    val n = RestRetry.withRetry(RetryPolicy(3, 0L, 0L))(
+      transport().count("account", Nil, includeDeleted = false))
+    assert(n == 5L)
+  }
+
+  test("throttled upsert RETHROWS for the retry layer instead of enveloping a good record as failed") {
+    val t = transport()
+    t.describe("account") // warm the date-field cache outside the throttle window
+    throttleNext.set(1)
+    intercept[RestHttpError] {
+      t.upsert("account", Map("Id" -> "00A0000002", "Name" -> "busy-org"))
+    }
+    // record-level failures still use the never-throwing envelope
+    throttleNext.set(0)
+    assert(t.upsert("account", Map("Id" -> "BAD1", "Name" -> "x")).isLeft)
+    // and the retry wrapper lands the write
+    throttleNext.set(1)
+    assert(RestRetry.withRetry(RetryPolicy(2, 0L, 0L))(
+      t.upsert("account", Map("Id" -> "00A0000002", "Name" -> "retried"))) ==
+      Right("00A0000002"))
+  }
+
+  test("end-to-end DSv2 read over real HTTP survives a throttled cursor (429 → retry → rows)") {
+    throttlesServed.set(0)
+    throttleNext.set(3)
+    val rows = spark.read.format("graft-rest")
+      .option("transport", "http")
+      .option("object", "account")
+      .option("tokenUrl", s"$base/token/bad,$base/token/good")
+      .option("clientId", "cid").option("clientSecret", "csecret")
+      .option("refreshToken", "rtok")
+      .option("maxRetries", "3").option("retryBaseMs", "0")
+      .option("retryMaxMs", "0")
+      .load()
+      .select("Id", "Name").collect()
+    assert(rows.length == 5)
+    assert(throttlesServed.get() == 3) // the 429s really were served
+    assert(throttleNext.get() == 0)
   }
 
   test("end-to-end DSv2 read over real HTTP (transport=http)") {

@@ -232,7 +232,7 @@ class RestSourceSpec extends SparkSpec {
     val schema = RestTable.schemaFor(RestTable.transportFor(opts), "account")
     val scan = new RestScanBuilder(schema, opts, "account").build()
     assert(scan.supportedCustomMetrics().map(_.name()).toSet ==
-      Set("restApiCalls", "restPlannedPartitions"))
+      Set("restApiCalls", "restPlannedPartitions", "restRetries"))
     val batch = scan.toBatch
     val parts = batch.planInputPartitions()
     assert(parts.length == 3) // ceil(250/100)
@@ -291,6 +291,71 @@ class RestSourceSpec extends SparkSpec {
       .filter($"Id" === "00A0000003").select("Name", "Amount").first()
     assert(after.getString(0) == "Renamed 3")
     assert(!after.isNullAt(1)) // untouched fields preserved (PATCH semantics)
+  }
+
+  test("throttled scan completes: 429s are retried per-partition, result identical, retries in metrics") {
+    FakeTransport.CallLog.clear()
+    val clean = reader("t-throttle").load().collect().map(_.getString(0)).sorted
+    // every transport instance (planner + each partition reader)
+    // bounces its first 2 calls with 429 Retry-After:0
+    val throttled = reader("t-throttle")
+      .option("throttleFirst", "2").option("maxRetries", "3")
+      .option("retryBaseMs", "0").option("retryMaxMs", "0")
+      .load()
+    assert(throttled.collect().map(_.getString(0)).sorted.toSeq == clean.toSeq)
+    // throttles actually happened (planner cursor + 5 fetch partitions)
+    assert(FakeTransport.CallLog.throttles.size >= 3,
+      FakeTransport.CallLog.throttles)
+    // the reader surfaces its retry spend as the restRetries task metric
+    val opts = Map("object" -> "account", "org" -> "t-throttle2",
+      "numrecords" -> "100", "seed" -> "42", "throttlefirst" -> "1",
+      "maxretries" -> "3", "retrybasems" -> "0", "retrymaxms" -> "0")
+    val schema = RestTable.schemaFor(RestTable.transportFor(
+      opts - "throttlefirst"), "account")
+    val scan = new RestScanBuilder(schema, opts, "account").build()
+    val batch = scan.toBatch
+    val parts = batch.planInputPartitions()
+    val rdr = batch.createReaderFactory().createReader(parts(0))
+    var n = 0
+    while (rdr.next()) n += 1
+    assert(n == 100)
+    assert(rdr.currentMetricsValues()
+      .exists(m => m.name() == "restRetries" && m.value() == 1L))
+    assert(scan.asInstanceOf[RestScan].reportDriverMetrics()
+      .exists(m => m.name() == "restRetries" && m.value() == 1L))
+  }
+
+  test("retry budget exhausted: the scan fails LOUDLY with the throttle error, never truncates") {
+    val e = intercept[Exception] {
+      reader("t-throttle3")
+        .option("throttleFirst", "3").option("maxRetries", "1")
+        .option("retryBaseMs", "0").option("retryMaxMs", "0")
+        .load().collect()
+    }
+    val msg = Option(e.getMessage).getOrElse("") +
+      Option(e.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
+    assert(msg.contains("REQUEST_LIMIT_EXCEEDED") || msg.contains("429"), e.toString)
+    // maxRetries=0 reproduces the reference's raise-on-anything discipline
+    intercept[Exception] {
+      reader("t-throttle4").option("throttleFirst", "1")
+        .option("maxRetries", "0").load().collect()
+    }
+  }
+
+  test("throttled write completes: 429 on upsert retries instead of marking the record failed") {
+    FakeTransport.Store.clear("t-throttle-w")
+    FakeTransport.CallLog.clear()
+    val updates = Seq(("00A0000004", "Renamed 4")).toDF("Id", "Name")
+    updates.coalesce(1).write.format("graft-rest")
+      .option("object", "account").option("org", "t-throttle-w")
+      .option("numRecords", "50").option("seed", "42")
+      .option("throttleFirst", "1").option("maxRetries", "2")
+      .option("retryBaseMs", "0").option("retryMaxMs", "0")
+      .mode("append").save()
+    assert(FakeTransport.CallLog.throttles.size == 1)
+    val after = reader("t-throttle-w", 50).load()
+      .filter($"Id" === "00A0000004").select("Name").first()
+    assert(after.getString(0) == "Renamed 4") // retried, not dropped
   }
 
   test("write-then-report: per-record status envelope, errors never throw (S8/S9)") {
