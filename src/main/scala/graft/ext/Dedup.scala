@@ -29,6 +29,39 @@ object Dedup {
     * gate's distributed-loop run to the driver path. */
   val DefaultLocalEdgeLimit: Int = 1 << 20
 
+  /** Sentinel for [[connectedComponents]]' `saltBuckets`: probe the
+    * edge list's degree skew and pick the bucket count automatically
+    * ([[autoSaltBuckets]]). */
+  val AutoSalt: Int = -1
+
+  /** Auto-salt ceiling: every label row replicates `saltBuckets` ways
+    * EVERY round, so k is capped where the replication tax stops
+    * buying straggler relief (16 tasks on one hot key already moves a
+    * double-digit-share hub off the critical path). */
+  val MaxAutoSaltBuckets: Int = 16
+
+  /** The [[AutoSalt]] decision rule, pure and unit-testable: given the
+    * edge-endpoint degree profile (max per-node degree, distinct
+    * nodes, total endpoint rows = 2|E|), return 0 for graphs whose
+    * hottest node holds < 8× the mean per-node load (uniform, chain —
+    * AQE and plain hashing cope; salting would only tax every round
+    * with label replication), else the next power of two of
+    * max/mean, capped at [[MaxAutoSaltBuckets]]. Exact integer
+    * arithmetic (BigInt cross-multiplication) — the probe's verdict
+    * must not flip on float rounding. */
+  def autoSaltBuckets(maxDegree: Long, nodes: Long, totalDegree: Long,
+      skewThreshold: Int = 8): Int = {
+    require(skewThreshold >= 2, s"skewThreshold must be >= 2, got $skewThreshold")
+    if (nodes <= 0L || totalDegree <= 0L || maxDegree <= 0L) return 0
+    // ratio = maxDegree / (totalDegree/nodes) >= threshold, exactly:
+    if (BigInt(maxDegree) * nodes < BigInt(totalDegree) * skewThreshold) return 0
+    var k = 2
+    // smallest power of two >= ratio (floor), capped
+    while (k < MaxAutoSaltBuckets &&
+      BigInt(k) * totalDegree < BigInt(maxDegree) * nodes) k <<= 1
+    k
+  }
+
   /** Default doc budget for [[lshRecallAudit]]'s enforced eval-sample
     * contract: 2^17 documents. The audit's exhaustive ground truth is
     * a deliberately UNCAPPED shared-shingle self-join (completeness
@@ -226,27 +259,50 @@ object Dedup {
     *
     * `saltBuckets`: HUB-GRAPH skew protection. A power-law graph (one
     * boilerplate cluster holding a double-digit share of all edges)
-    * concentrates the propagation join's hot key on one task — and
-    * AQE's skew-join CANNOT split it here: the labels side rides its
-    * cache's hash partitioning (no per-round re-shuffle, by design),
-    * and OptimizeSkewedJoin only fires when BOTH join children are
-    * fresh shuffles (CcSkewSpec pins this Spark limitation as a
-    * negative law). saltBuckets > 1 salts the edge side by
+    * concentrates the propagation join's hot key on one task. Since
+    * r14's per-round plan barrier both join children are fresh
+    * shuffles, so AQE's OptimizeSkewedJoin fires INSIDE the loop and
+    * the default path is skew-protected whenever AQE is on
+    * (CcSkewSpec pins this — through r13 the labels side rode its
+    * cache partitioning and AQE structurally could not split).
+    * Salting remains the DETERMINISTIC protection: for AQE-off
+    * deployments, and when runtime split thresholds would miss
+    * (skew-split reasons about bytes per partition, not about one
+    * key). saltBuckets > 1 salts the edge side by
     * xxhash64(dst) mod k and replicates each label row k ways, so the
-    * hot key spreads over k tasks — trading the labels-side exchange
-    * reuse (k× label replication + a (id, salt) shuffle per round)
-    * for straggler immunity. Labels are identical either way
+    * hot key spreads over k tasks (k× label replication + a
+    * (id, salt) shuffle per round). Labels are identical either way
     * (salting only re-routes rows; the min is commutative); engine-
     * internal xxhash64 is fine because the salt never reaches the
-    * output. 0/1 = off. */
+    * output. 0/1 = off; [[AutoSalt]] (-1) runs a one-aggregate degree
+    * probe on the edge list and picks k itself ([[autoSaltBuckets]]):
+    * uniform/chain graphs resolve to 0 (no replication tax), hub
+    * graphs to the next power of two of max-degree/mean-degree,
+    * capped at [[MaxAutoSaltBuckets]].
+    *
+    * `autoShortcutAfter`: plain min-label propagation needs
+    * diameter-many rounds; `shortcut = true` (pointer doubling) makes
+    * rounds logarithmic but costs an extra join per round — wasted on
+    * the shallow star-shaped graphs near-dup clustering produces.
+    * This knob is the decision rule: if the loop is still not
+    * converged after this many rounds, the graph has demonstrated a
+    * long path and the loop SWITCHES to pointer doubling for the
+    * remaining rounds (labels are mode-invariant — the spec-pinned
+    * law — so the switch changes round count, never the answer).
+    * Default 8: near-dup graphs converge in 2-3 rounds, so only
+    * genuinely deep graphs (URL chains, crawl paths) ever switch.
+    * <= 0 disables (plain propagation until maxIter, the pre-r14
+    * behavior). */
   def connectedComponents(nodes: DataFrame, idCol: String,
       edges: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 50, shortcut: Boolean = false,
       localEdgeLimit: Int = DefaultLocalEdgeLimit,
       assumeConvergedAfter: Option[Int] = None,
-      saltBuckets: Int = 0): DataFrame = {
+      saltBuckets: Int = 0, autoShortcutAfter: Int = 8): DataFrame = {
     require(assumeConvergedAfter.forall(_ >= 1),
       s"assumeConvergedAfter must be >= 1, got $assumeConvergedAfter")
+    require(saltBuckets >= AutoSalt,
+      s"saltBuckets must be >= 0 (or AutoSalt = $AutoSalt), got $saltBuckets")
     import org.apache.spark.storage.StorageLevel
     val ids = nodes.select(col(idCol).as("id")).distinct()
     val idType = ids.schema("id").dataType
@@ -346,6 +402,22 @@ object Dedup {
         return out
       }
     }
+    // AutoSalt pre-flight: ONE hash aggregate over the persisted edge
+    // frame (degree profile → max/mean skew ratio) decides k before
+    // any loop machinery is built — the q161 keySkew measurement,
+    // reduced to the three numbers the decision rule needs. Uniform
+    // graphs come back 0 and pay nothing further.
+    val resolvedSalt =
+      if (saltBuckets != AutoSalt) saltBuckets
+      else {
+        val prof = e.select(col("src").as("id"))
+          .union(e.select(col("dst").as("id")))
+          .groupBy(col("id")).agg(count(lit(1)).as("cnt"))
+          .agg(max(col("cnt")).as("mx"), count(lit(1)).as("keys"),
+            sum(col("cnt")).as("tot")).first()
+        if (prof.isNullAt(0)) 0
+        else autoSaltBuckets(prof.getLong(0), prof.getLong(1), prof.getLong(2))
+      }
     val active = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id")))
       .distinct()
@@ -359,6 +431,10 @@ object Dedup {
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = active.select(col("id"), col("id").as("label"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // the frame whose CACHE the current `labels` rides on — what the
+    // next round must unpersist (after the barrier below, `labels`
+    // itself is a plan-barrier leaf, not the persisted frame)
+    var labelsCache = labels
     // Convergence check: labels are monotonically non-increasing, so
     // for INTEGRAL ids the labeling is a fixpoint iff Σlabel is
     // unchanged — one scalar aggregate per round (decimal(38,0): lossless
@@ -390,16 +466,22 @@ object Dedup {
     var prevSum = if (integralIds) labelSum(labels) else null
     var it = 0
     var done = false
+    // pointer doubling: forced from round 0 by `shortcut`, or engaged
+    // mid-loop once `autoShortcutAfter` rounds pass without a fixpoint
+    // (the graph has demonstrated a long path — see scaladoc)
+    var useShortcut = shortcut
     // salted propagation: the edge side hashes dst into k buckets, the
     // label side replicates into every bucket — the hot src key's rows
     // land on k tasks instead of one (see saltBuckets scaladoc)
-    val saltCols = if (saltBuckets > 1)
-      Some(array((0 until saltBuckets).map(lit): _*)) else None
+    val saltCols = if (resolvedSalt > 1)
+      Some(array((0 until resolvedSalt).map(lit): _*)) else None
     while (!done && it < maxIter) {
+      if (!useShortcut && autoShortcutAfter > 0 && it >= autoShortcutAfter)
+        useShortcut = true
       val prop0 = saltCols match {
         case Some(buckets) =>
           val symS = sym.withColumn("__salt",
-            pmod(xxhash64(col("dst")), lit(saltBuckets.toLong)))
+            pmod(xxhash64(col("dst")), lit(resolvedSalt.toLong)))
           val labS = labels.withColumn("__salt", explode(buckets))
           symS.join(labS, symS("src") === labS("id") &&
               symS("__salt") === labS("__salt").cast("long"))
@@ -416,9 +498,9 @@ object Dedup {
       // — every label is a node id and self-loops keep every node
       // present, so the inner join is total; labels only shrink, so
       // l(l(v)) ≤ l(v)
-      val prop = if (!shortcut) prop0
+      val prop = if (!useShortcut) prop0
         else prop0.persist(StorageLevel.MEMORY_AND_DISK)
-      val next = (if (!shortcut) prop
+      val next = (if (!useShortcut) prop
         else prop.as("x")
           .join(prop.as("y"), col("x.label") === col("y.id"))
           .select(col("x.id").as("id"),
@@ -439,13 +521,22 @@ object Dedup {
       } else {
         done = noLabelDecreased(next, labels)
       }
-      if (shortcut) prop.unpersist()
-      labels.unpersist()
-      labels = next
+      if (useShortcut) prop.unpersist()
+      labelsCache.unpersist()
+      labelsCache = next
+      // PLAN barrier (Bridge.planBarrier): round k+1 must build on a
+      // LEAF, not on round k's nested plan — without it Catalyst's
+      // per-round analysis/optimization/cache-lookup work compounds
+      // super-linearly with round count (measured: ~2s/round at round
+      // 6 growing to >10s/round by round 10, driver OOM near round 18
+      // on a 151-row chain). The barrier wraps next's physical RDD,
+      // so the data still comes off next's cache and stays
+      // recomputable through the RDD lineage if blocks are lost.
+      labels = org.apache.spark.sql.graft.Bridge.planBarrier(next)
       it += 1
     }
     if (!done) {
-      sym.unpersist(); labels.unpersist(); eFlagged.unpersist()
+      sym.unpersist(); labelsCache.unpersist(); eFlagged.unpersist()
       active.unpersist()
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds — " +
@@ -465,7 +556,7 @@ object Dedup {
       .persist(StorageLevel.MEMORY_AND_DISK)
     out.count()
     sym.unpersist()
-    labels.unpersist()
+    labelsCache.unpersist()
     eFlagged.unpersist()
     active.unpersist()
     out

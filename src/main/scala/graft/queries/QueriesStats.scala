@@ -520,12 +520,12 @@ private[graft] object QueriesStats {
     // run with saltBuckets = 8, the loop's hub protection;
     // skew_split_seen reads `skew=true` off the SYNCHRONOUSLY
     // inspected executed plan of the round-1 edge⋈label join with
-    // BOTH sides freshly shuffled — the shape AQE does handle.
-    // (INSIDE the loop AQE cannot split: the labels side reuses its
-    // cache's hash partitioning and OptimizeSkewedJoin needs both
-    // children shuffled — CcSkewSpec pins that negative law and the
-    // salted spread; salting is therefore the 100 TB hub answer, not
-    // AQE.) Confs save/restore so interleaved runs stay clean.
+    // BOTH sides freshly shuffled. Since r14's per-round plan
+    // barrier the IN-LOOP join has that same both-sides-shuffled
+    // shape, so AQE skew-split fires inside the loop too (CcSkewSpec
+    // pins the flipped law); salting remains the deterministic
+    // protection for AQE-off deployments, auto-sized by q335's
+    // probe. Confs save/restore so interleaved runs stay clean.
     "q331_cc_skew" -> ((s, d) => {
       import s.implicits._
       val hub = 8000L; val chains = 6000L
@@ -588,6 +588,58 @@ private[graft] object QueriesStats {
       } finally saved.foreach { case (k, v) =>
         v.fold(conf.unset(k))(conf.set(k, _))
       }
+    }),
+
+    // AUTO-SALT contract (r14): saltBuckets = AutoSalt probes the
+    // edge list's degree profile (ONE hash aggregate) and picks the
+    // bucket count itself — the q331 knob turned into a guarantee.
+    // Proof columns: the decision rule's verdicts on both topologies
+    // (hub star → the 16 cap, since max-degree/mean ≈ 1333×; uniform
+    // 2-chains → 0, no replication tax), and labels from the AutoSalt
+    // run fingerprint-identical to the manual saltBuckets = 8 run
+    // (salting only re-routes rows — min is commutative). The bound
+    // assumeConvergedAfter = 1 is caller-owned truth (star + 2-chains
+    // have diameter 1) enforced by the pinned cluster facts.
+    "q335_cc_autosalt" -> ((s, d) => {
+      import s.implicits._
+      val hub = 2000L; val chains = 1000L
+      val nNodes = hub + 1 + 2 * chains // 4001
+      val nodes = s.range(nNodes).select(col("id"))
+      val star = s.range(1L, hub + 1).select(lit(0L).as("a"), col("id").as("b"))
+      val chain = s.range(chains).select(
+        (lit(hub + 1) + col("id") * 2).as("a"),
+        (lit(hub + 2) + col("id") * 2).as("b"))
+      val edges = star.unionByName(chain)
+      // the probe's three numbers, computed exactly as the operator does
+      def probe(e: org.apache.spark.sql.DataFrame): Int = {
+        val r = e.select(col("a").as("id")).union(e.select(col("b").as("id")))
+          .groupBy(col("id")).agg(count(lit(1)).as("cnt"))
+          .agg(max(col("cnt")), count(lit(1)), sum(col("cnt"))).first()
+        graft.ext.Dedup.autoSaltBuckets(r.getLong(0), r.getLong(1), r.getLong(2))
+      }
+      val autoKHub = probe(edges)
+      val autoKChain = probe(chain)
+      def fp(lab: org.apache.spark.sql.DataFrame) = {
+        val r = graft.ext.Audit.fingerprint(lab,
+          Seq(col("id"), col("cluster_id"))).head()
+        val hubSize = lab.filter(col("cluster_id") === 0L).count()
+        lab.unpersist()
+        (r.getAs[Long]("checksum"), r.getAs[Long]("n_rows"), hubSize)
+      }
+      val auto = fp(graft.ext.Dedup.connectedComponents(nodes, "id",
+        edges, "a", "b", localEdgeLimit = 0,
+        saltBuckets = graft.ext.Dedup.AutoSalt,
+        assumeConvergedAfter = Some(1)))
+      val manual = fp(graft.ext.Dedup.connectedComponents(nodes, "id",
+        edges, "a", "b", localEdgeLimit = 0, saltBuckets = 8,
+        assumeConvergedAfter = Some(1)))
+      Seq(
+        ("auto_k_chain", autoKChain.toString),
+        ("auto_k_hub", autoKHub.toString),
+        ("hub_cluster_size", auto._3.toString),
+        ("labels_match_manual", (auto == manual).toString),
+        ("n_rows", auto._2.toString))
+        .toDF("probe", "value").orderBy(col("probe"))
     }),
 
     // Streaming SKETCH-INGEST under at-least-once replay (q123's
@@ -1634,6 +1686,19 @@ private[graft] object QueriesStats {
         |  (SELECT CAST(count(DISTINCT lbl) AS VARCHAR) FROM lab)
         |UNION ALL SELECT 'n_rows', '20001'
         |UNION ALL SELECT 'skew_split_seen', 'true'
+        |ORDER BY probe""".stripMargin,
+
+    // auto-salt proof columns BY CONTRACT: the hub star probes to the
+    // 16 cap (max-degree 2000 over mean 6000/4001 ≈ 1333× the mean),
+    // the uniform chain probes to 0, and the AutoSalt labeling is
+    // fingerprint-identical to the manual saltBuckets=8 run
+    "q335_cc_autosalt" ->
+      """SELECT * FROM (VALUES
+        |  ('auto_k_chain', '0'),
+        |  ('auto_k_hub', '16'),
+        |  ('hub_cluster_size', '2001'),
+        |  ('labels_match_manual', 'true'),
+        |  ('n_rows', '4001')) AS t(probe, value)
         |ORDER BY probe""".stripMargin,
 
     // the q172 register replay without the rolling window: the direct

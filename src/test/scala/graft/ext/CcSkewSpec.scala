@@ -15,20 +15,17 @@ import graft.SparkSpec
   * holding a double-digit share of all edges) that concentrates the
   * edge⋈label join's hot key on one task.
   *
-  * Two laws, captured off the loop's INTERNAL query executions with a
+  * Laws, captured off the loop's INTERNAL query executions with a
   * QueryExecutionListener:
   *
-  *  1. NEGATIVE (the Spark limitation that motivates the knob): AQE
-  *     skew-join does NOT protect the loop, even fully enabled with
-  *     fixture-scaled thresholds and adaptive cached plans — the
-  *     labels side reuses its cache's hash partitioning (no per-round
-  *     re-shuffle, by design), and OptimizeSkewedJoin fires only when
-  *     BOTH join children are fresh shuffles. The same join shape
-  *     with both sides shuffled DOES split (q331's synchronous
-  *     probe).
+  *  1. AQE (flipped in r14 — it was the NEGATIVE law through r13):
+  *     with the per-round plan barrier, BOTH join children are fresh
+  *     shuffles, so OptimizeSkewedJoin now fires INSIDE the loop —
+  *     the default path is skew-protected whenever AQE is on.
   *  2. POSITIVE: `saltBuckets` spreads the hot key — the in-loop
   *     exchange keys on (src, __salt) — and the labeling is
-  *     bit-identical to the unsalted run.
+  *     bit-identical to the unsalted run. Still the deterministic
+  *     protection for AQE-off deployments; AutoSalt sizes it.
   */
 class CcSkewSpec extends SparkSpec {
   import spark.implicits._
@@ -59,8 +56,13 @@ class CcSkewSpec extends SparkSpec {
   }
 
   /** Run `body` with fixture-scaled AQE skew confs and an execution
-    * listener; returns every captured executed-plan string. */
-  private def withSkewConfsCapturing(body: => Unit): Seq[String] = {
+    * listener; returns every captured executed-plan string. The
+    * listener bus is async, so the wait is PATTERN-based: block (with
+    * a bounded deadline) until a captured plan satisfies `expect` —
+    * a fixed post-capture sleep was flake-prone on loaded machines
+    * (late plan captures could be missed). */
+  private def withSkewConfsCapturing(expect: String => Boolean = _ => true)
+      (body: => Unit): Seq[String] = {
     val conf = spark.conf
     val saved = Seq(
       "spark.sql.adaptive.skewJoin.enabled",
@@ -96,10 +98,11 @@ class CcSkewSpec extends SparkSpec {
       // disabled) — without it the loop's joins are not adaptive at all
       conf.set("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       body
-      // the listener bus is async — give stragglers a beat to land
-      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
-      while (plans.isEmpty && System.nanoTime() < deadline) Thread.sleep(50)
-      Thread.sleep(500)
+      // the listener bus is async — wait until the EXPECTED plan has
+      // landed (bounded), not just any plan plus a fixed sleep
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (!plans.values.exists(expect) && System.nanoTime() < deadline)
+        Thread.sleep(50)
       plans.values.toSeq
     } finally {
       spark.listenerManager.unregister(listener)
@@ -107,9 +110,20 @@ class CcSkewSpec extends SparkSpec {
     }
   }
 
-  test("NEGATIVE law: AQE skew-join cannot split the loop's hot partition (labels side reuses cache partitioning)") {
+  test("AQE law: post-barrier, the in-loop join's children are fresh shuffles and skew-split FIRES inside the loop") {
+    // HISTORY: through r13 this was the NEGATIVE law — the labels side
+    // rode its cache's hash partitioning, OptimizeSkewedJoin needs
+    // both children freshly shuffled, so AQE could never split the
+    // loop's hot partition and saltBuckets was the only protection.
+    // The r14 per-round PLAN BARRIER (Bridge.planBarrier — added to
+    // stop Catalyst's per-round cost compounding, see the loop's
+    // comment) makes the labels side a LogicalRDD leaf: both join
+    // children now exchange freshly, and AQE's skew-split fires
+    // in-loop exactly as it does on the round-1-shaped probe (q331).
+    // This law pins the LIFTED restriction; saltBuckets remains the
+    // deterministic protection for AQE-off deployments.
     val (nodes, edges) = hubGraph
-    val plans = withSkewConfsCapturing {
+    val plans = withSkewConfsCapturing(_.contains("skew=true")) {
       val lab = Dedup.connectedComponents(nodes, "id", edges, "a", "b",
         localEdgeLimit = 0) // force the distributed loop
       assertLabelsExact(lab)
@@ -118,19 +132,17 @@ class CcSkewSpec extends SparkSpec {
     // the propagation join ran inside the rounds...
     assert(plans.exists(_.contains("SortMergeJoin [src")),
       s"expected the in-loop edge⋈label join in ${plans.size} captured plans")
-    // ...and NO skew split happened anywhere, despite forced skew
-    // confs: the labels child is a cache-partitioning reuse, not a
-    // shuffle, and OptimizeSkewedJoin needs both children shuffled.
-    // If this assertion ever starts failing, Spark lifted the
-    // limitation — saltBuckets can then be retired.
-    assert(!plans.exists(_.contains("skew=true")),
-      "AQE split the in-loop join — the Spark limitation this law " +
-        "pins has been lifted; revisit the saltBuckets knob")
+    // ...and the hub key's partition was split by AQE under the
+    // forced skew confs — unsalted runs are no longer one-task-bound
+    assert(plans.exists(_.contains("skew=true")),
+      "AQE did not split the in-loop join — the r14 plan barrier " +
+        "should have made both children fresh shuffles")
   }
 
   test("POSITIVE law: saltBuckets spreads the hot key over (src, __salt) and labels stay exact") {
     val (nodes, edges) = hubGraph
-    val plans = withSkewConfsCapturing {
+    val plans = withSkewConfsCapturing(p =>
+        p.contains("hashpartitioning(src") && p.contains("__salt")) {
       val lab = Dedup.connectedComponents(nodes, "id", edges, "a", "b",
         localEdgeLimit = 0, saltBuckets = 8)
       assertLabelsExact(lab)
@@ -141,5 +153,53 @@ class CcSkewSpec extends SparkSpec {
     assert(plans.exists(p => p.contains("hashpartitioning(src") &&
         p.contains("__salt")),
       s"no salted (src, __salt) exchange in ${plans.size} captured plans")
+  }
+
+  test("autoSaltBuckets decision rule: uniform graphs pick 0, hubs the next pow2 of max/mean, capped") {
+    // chain: every node degree <= 2, mean ~2 — never salts
+    assert(Dedup.autoSaltBuckets(maxDegree = 2, nodes = 1000, totalDegree = 1998) == 0)
+    // below threshold (7.99x mean) — still 0, exact integer boundary
+    assert(Dedup.autoSaltBuckets(maxDegree = 799, nodes = 1000, totalDegree = 100000) == 0)
+    // at threshold (8x mean exactly) — salts, k = next pow2 of 8
+    assert(Dedup.autoSaltBuckets(maxDegree = 800, nodes = 1000, totalDegree = 100000) == 8)
+    // 20x mean -> 32 would exceed the cap? no: next pow2 of 20 is 32,
+    // but the cap is 16
+    assert(Dedup.autoSaltBuckets(maxDegree = 2000, nodes = 1000, totalDegree = 100000) == 16)
+    // 9x mean -> next pow2 is 16, equals the cap
+    assert(Dedup.autoSaltBuckets(maxDegree = 900, nodes = 1000, totalDegree = 100000) == 16)
+    // degenerate inputs never salt
+    assert(Dedup.autoSaltBuckets(0, 0, 0) == 0)
+    // the q331/CcSkewSpec hub fixture: hub degree 8001 over 20001
+    // nodes, 2*(8000+6000) endpoint rows -> ratio ~5715x, cap 16
+    assert(Dedup.autoSaltBuckets(8001, nNodes, 2 * (hub + chains)) == 16)
+  }
+
+  test("AutoSalt: the hub graph probes skewed and salts (k>1), labels exact; a chain probes uniform and does not") {
+    val (nodes, edges) = hubGraph
+    val plans = withSkewConfsCapturing(p =>
+        p.contains("hashpartitioning(src") && p.contains("__salt")) {
+      val lab = Dedup.connectedComponents(nodes, "id", edges, "a", "b",
+        localEdgeLimit = 0, saltBuckets = Dedup.AutoSalt)
+      assertLabelsExact(lab) // identical to the manual-k and unsalted runs
+      lab.unpersist()
+    }
+    assert(plans.exists(p => p.contains("hashpartitioning(src") &&
+        p.contains("__salt")),
+      s"AutoSalt did not salt the hub graph (${plans.size} plans)")
+
+    // uniform chain: the probe must resolve 0 — no __salt anywhere
+    val cn = spark.range(400L).select(col("id"))
+    val ce = spark.range(400L).filter(col("id") % 2 === 0)
+      .select(col("id").as("a"), (col("id") + 1L).as("b"))
+    val chainPlans = withSkewConfsCapturing(_.contains("SortMergeJoin [src")) {
+      val lab = Dedup.connectedComponents(cn, "id", ce, "a", "b",
+        localEdgeLimit = 0, saltBuckets = Dedup.AutoSalt)
+      assert(lab.filter(col("cluster_id") =!= col("id") - col("id") % 2)
+        .count() == 0L)
+      lab.unpersist()
+    }
+    assert(chainPlans.exists(_.contains("SortMergeJoin [src")))
+    assert(!chainPlans.exists(_.contains("__salt")),
+      "AutoSalt salted a uniform chain graph — the probe should pick 0")
   }
 }

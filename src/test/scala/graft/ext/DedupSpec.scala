@@ -234,6 +234,26 @@ class DedupSpec extends SparkSpec {
     assert(bad == 0L, s"$bad chain nodes mislabeled")
   }
 
+  test("auto-shortcut: a deep chain that plain propagation cannot finish converges once pointer doubling engages") {
+    val n = 151L // one chain, diameter 150
+    val nodes = spark.range(n).select($"id")
+    val edges = spark.range(n - 1).select($"id".as("a"), ($"id" + 1L).as("b"))
+    // pre-r14 behavior (autoShortcutAfter = 0): plain propagation
+    // needs ~150 rounds — refuses loudly at maxIter
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(nodes, "id", edges, "a", "b", maxIter = 18,
+        localEdgeLimit = 0, autoShortcutAfter = 0).count()
+    }
+    // the default decision rule: 8 plain rounds demonstrate the long
+    // path, pointer doubling engages, and the SAME round budget
+    // converges (reach doubles per doubled round: 8→17→35→71→143→287)
+    val lab = Dedup.connectedComponents(nodes, "id", edges, "a", "b",
+      maxIter = 18, localEdgeLimit = 0)
+    assert(lab.count() == n)
+    assert(lab.filter($"cluster_id" =!= 0L).count() == 0L)
+    lab.unpersist()
+  }
+
   test("assumeConvergedAfter: a true bound replays the unhinted fixpoint; an understated one returns non-converged labels") {
     val n = 4000L
     val nodes = spark.range(n).select($"id")
