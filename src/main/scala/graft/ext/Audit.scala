@@ -445,6 +445,14 @@ object Audit {
     * once no matter how many nodes the lattice has. */
   def kAnonymityLattice(df: DataFrame, specs: Seq[(String, Seq[Column])],
       k: Long = 5L, maxNodes: Int = 64): DataFrame = {
+    latticeRequire(specs, k, maxNodes)
+    val combos = specs.map(_._2.indices.toSeq)
+      .foldLeft(Seq(Seq.empty[Int]))((acc, ls) => acc.flatMap(a => ls.map(a :+ _)))
+    latticeSummarize(latticeCells(df, specs), specs, combos, k)
+  }
+
+  private def latticeRequire(specs: Seq[(String, Seq[Column])], k: Long,
+      maxNodes: Int): Unit = {
     require(specs.nonEmpty, "kAnonymityLattice needs at least one QI ladder")
     require(k >= 2, s"k must be >= 2, got $k")
     require(specs.forall(_._2.nonEmpty), "every QI needs at least level 0")
@@ -452,6 +460,13 @@ object Audit {
     require(nNodes <= maxNodes,
       s"lattice has $nNodes nodes (> maxNodes=$maxNodes) — prune the " +
       "ladders (Incognito-style) or raise maxNodes knowingly")
+  }
+
+  /** The ONE data-sized pass shared by the lattice methods: finest
+    * cells keyed by the level-0 values, every coarser level carried as
+    * a validated per-cell constant (see [[kAnonymityLattice]]). */
+  private def latticeCells(df: DataFrame,
+      specs: Seq[(String, Seq[Column])]): DataFrame = {
     val names = specs.map(_._1)
     // one narrow projection carries every (qi, level) generalization
     val proj = df.select(specs.flatMap { case (n, lvls) =>
@@ -486,9 +501,16 @@ object Audit {
             "cell holds multiple generalized values)"))))
         .drop(s"__mx_${n}_$i", s"__cn_${n}_$i")
     }
-    // the lattice: every level-choice combination, as literal structs
-    val combos = specs.map(_._2.indices.toSeq)
-      .foldLeft(Seq(Seq.empty[Int]))((acc, ls) => acc.flatMap(a => ls.map(a :+ _)))
+    cells
+  }
+
+  /** Evaluate the given lattice NODES over the domain-sized cell frame
+    * (cells × |combos| exploded rows, never data × nodes) — the
+    * two-aggregate tail shared by the lattice methods. */
+  private def latticeSummarize(cells: DataFrame,
+      specs: Seq[(String, Seq[Column])], combos: Seq[Seq[Int]],
+      k: Long): DataFrame = {
+    val names = specs.map(_._1)
     val nodeLit = array(combos.map(c => struct(c.zip(names).map {
       case (l, n) => lit(l).as(s"lvl_$n") }: _*)): _*)
     val chosen = specs.map { case (n, lvls) =>
@@ -510,6 +532,106 @@ object Audit {
         Seq(col("n_groups"), col("min_group_size"), col("n_at_risk_rows"),
           when(col("min_group_size") >= k, 1L).otherwise(0L)
             .as("k_anonymous")): _*)
+  }
+
+  /** INCOGNITO-PRUNED lattice sweep (LeFevre et al. 2005, the
+    * monotonicity half): k-anonymity is MONOTONE up a NESTED
+    * generalization lattice — coarsening any QI only merges groups, so
+    * group sizes only grow — therefore once a node clears k, every
+    * node that dominates it (componentwise ≥ levels) clears k too and
+    * need never be evaluated. [[kAnonymityLattice]] evaluates all
+    * ∏(levels) nodes; this sweeps bottom-up by lattice height (Σ of
+    * levels), evaluates only the nodes no already-anonymous node
+    * dominates, and INFERS the rest. With more QI columns/levels the
+    * full lattice is exponential while the frontier of minimal
+    * k-anonymous nodes — exactly what a publisher picks from — stays
+    * small, so the pruned sweep is the 100 TB-release answer.
+    *
+    * Returns one row per node, full-lattice coverage:
+    * (lvl_<qi>…, n_groups, min_group_size, n_at_risk_rows,
+    * k_anonymous, evaluated). Inferred nodes carry k_anonymous = 1
+    * with NULL profile columns (their exact profile was never
+    * computed — that is the point); `evaluated` is deterministic
+    * given the data: a node is evaluated iff NO strictly-dominated
+    * node is k-anonymous (the oracle replays it in closed form).
+    * Σ(1 − evaluated) × cells is the explode work saved.
+    *
+    * STRICTER CONTRACT than the full sweep: ladders must NEST (each
+    * level a deterministic function of the PREVIOUS level, not merely
+    * of level 0) — monotonicity, the pruning license, fails for
+    * non-nested ladders. Nesting is VALIDATED eagerly on the
+    * domain-sized cell frame (one small aggregate per consecutive
+    * level pair); a violating ladder fails loudly by name.
+    *
+    * Scale shape: the data-sized cell pass runs ONCE (persisted for
+    * the sweep, released before returning — results are collected:
+    * ≤ maxNodes ≤ 4096 rows, a deliberate driver bound); each height
+    * is one explode job over cells × that height's UNPRUNED nodes. */
+  def kAnonymityLatticePruned(df: DataFrame,
+      specs: Seq[(String, Seq[Column])], k: Long = 5L,
+      maxNodes: Int = 4096): DataFrame = {
+    latticeRequire(specs, k, maxNodes)
+    require(maxNodes <= 4096,
+      s"maxNodes must be <= 4096 (results collect driver-side), got $maxNodes")
+    val names = specs.map(_._1)
+    val spark = df.sparkSession
+    import org.apache.spark.storage.StorageLevel
+    val cells = latticeCells(df, specs).persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      // nesting validation (NULL-safe: a sentinel no cast("string")
+      // value can produce stands in for NULL so countDistinct sees it)
+      specs.foreach { case (n, lvls) =>
+        (0 until lvls.size - 1).foreach { i =>
+          val bad = cells.groupBy(col(s"__g_${n}_$i"))
+            .agg(countDistinct(coalesce(col(s"__g_${n}_${i + 1}"),
+              lit("\u0000NULL"))).as("__d"))
+            .filter(col("__d") > 1L).limit(1).count()
+          require(bad == 0L,
+            s"kAnonymityLatticePruned: QI '$n' level ${i + 1} does not " +
+            s"NEST in level $i (one level-$i value generalizes to " +
+            "multiple level-" + (i + 1) + " values) — monotonicity, " +
+            "the pruning license, needs nested ladders; use " +
+            "kAnonymityLattice for non-nested ones")
+        }
+      }
+      val combos = specs.map(_._2.indices.toSeq)
+        .foldLeft(Seq(Seq.empty[Int]))((acc, ls) => acc.flatMap(a => ls.map(a :+ _)))
+      def dominates(a: Seq[Int], c: Seq[Int]): Boolean =
+        a != c && a.lazyZip(c).forall(_ <= _)
+      val anon = scala.collection.mutable.ArrayBuffer.empty[Seq[Int]]
+      val rows = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+      def jl(v: Long): java.lang.Long = java.lang.Long.valueOf(v)
+      combos.groupBy(_.sum).toSeq.sortBy(_._1).foreach { case (_, atH) =>
+        val (inferred, toEval) = atH.partition(c => anon.exists(dominates(_, c)))
+        inferred.foreach { c =>
+          anon += c
+          rows += org.apache.spark.sql.Row.fromSeq(c.map(l => jl(l.toLong)) ++
+            Seq(null, null, null, jl(1L), jl(0L)))
+        }
+        if (toEval.nonEmpty) {
+          latticeSummarize(cells, specs, toEval, k).collect().foreach { r =>
+            val c = names.map(n => r.getAs[Long](s"lvl_$n").toInt)
+            if (r.getAs[Long]("k_anonymous") == 1L) anon += c
+            rows += org.apache.spark.sql.Row.fromSeq(c.map(l => jl(l.toLong)) ++ Seq(
+              jl(r.getAs[Long]("n_groups")),
+              jl(r.getAs[Long]("min_group_size")),
+              jl(r.getAs[Long]("n_at_risk_rows")),
+              jl(r.getAs[Long]("k_anonymous")), jl(1L)))
+          }
+        }
+      }
+      val schema = org.apache.spark.sql.types.StructType(
+        names.map(n => org.apache.spark.sql.types.StructField(
+          s"lvl_$n", org.apache.spark.sql.types.LongType, nullable = false)) ++
+        Seq("n_groups", "min_group_size", "n_at_risk_rows").map(c =>
+          org.apache.spark.sql.types.StructField(c,
+            org.apache.spark.sql.types.LongType, nullable = true)) ++
+        Seq("k_anonymous", "evaluated").map(c =>
+          org.apache.spark.sql.types.StructField(c,
+            org.apache.spark.sql.types.LongType, nullable = false)))
+      spark.createDataFrame(
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows.toSeq).asJava, schema)
+    } finally { cells.unpersist(); () }
   }
 
   /** ORDER-INDEPENDENT table fingerprint — the cross-engine checksum a

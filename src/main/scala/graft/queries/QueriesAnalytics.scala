@@ -1381,6 +1381,26 @@ private[graft] object QueriesAnalytics {
         .orderBy(col("lvl_nation"), col("lvl_bal"), col("lvl_seg"))
     }),
 
+    // INCOGNITO-PRUNED lattice (r14): the q309 sweep with
+    // monotonicity pruning — bottom-up by height, nodes dominated by
+    // an already-k-anonymous node are INFERRED (k_anonymous = 1, NULL
+    // profile) instead of evaluated. `evaluated` is closed-form (a
+    // node evaluates iff no strictly-dominated node is k-anonymous),
+    // so the oracle replays the whole sweep including what was
+    // SKIPPED — an inference bug (wrong verdict or wrong frontier)
+    // hash-mismatches.
+    "q336_k_anon_lattice_pruned" -> ((s, d) => {
+      val cents = round(col("c_acctbal") * 100).cast("long")
+      graft.ext.Audit.kAnonymityLatticePruned(T(s, d, "customer"), Seq(
+          "nation" -> Seq(col("c_nationkey"), col("c_nationkey") % 5, lit("*")),
+          "bal" -> Seq(
+            floor(cents.cast("double") / lit(100000.0)).cast("long"),
+            floor(cents.cast("double") / lit(1000000.0)).cast("long"),
+            lit("*")),
+          "seg" -> Seq(col("c_mktsegment"), lit("*"))), k = 5L)
+        .orderBy(col("lvl_nation"), col("lvl_bal"), col("lvl_seg"))
+    }),
+
     // LINEAR multi-touch attribution: each first purchase splits
     // exactly 1e6 ppm across its preceding touches (largest-remainder
     // to the earliest), aggregated per touch type — engine-exact
@@ -1883,6 +1903,47 @@ private[graft] object QueriesAnalytics {
            |    count(*) AS sz FROM customer GROUP BY 1, 2, 3)""".stripMargin
       nodes.mkString("", "\nUNION ALL\n",
         "\nORDER BY lvl_nation, lvl_bal, lvl_seg")
+    },
+
+    // the q309 node summaries + the closed-form frontier: a node is
+    // evaluated iff NO strictly-dominated node is k-anonymous;
+    // inferred nodes read k_anonymous = 1 with NULL profiles
+    "q336_k_anon_lattice_pruned" -> {
+      val nationLv = Seq("CAST(c_nationkey AS VARCHAR)",
+        "CAST(c_nationkey % 5 AS VARCHAR)", "'*'")
+      val balLv = Seq(
+        "CAST(CAST(floor(CAST(round(c_acctbal * 100) AS BIGINT) / 100000.0) AS BIGINT) AS VARCHAR)",
+        "CAST(CAST(floor(CAST(round(c_acctbal * 100) AS BIGINT) / 1000000.0) AS BIGINT) AS VARCHAR)",
+        "'*'")
+      val segLv = Seq("c_mktsegment", "'*'")
+      val nodes = for {
+        a <- nationLv.indices; b <- balLv.indices; c <- segLv.indices
+      } yield
+        s"""SELECT CAST($a AS BIGINT) AS lvl_nation, CAST($b AS BIGINT) AS lvl_bal,
+           |  CAST($c AS BIGINT) AS lvl_seg, count(*) AS n_groups,
+           |  CAST(min(sz) AS BIGINT) AS min_group_size,
+           |  CAST(sum(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT) AS n_at_risk_rows,
+           |  CAST(CASE WHEN min(sz) >= 5 THEN 1 ELSE 0 END AS BIGINT) AS k_anonymous
+           |FROM (SELECT ${nationLv(a)} AS g1, ${balLv(b)} AS g2, ${segLv(c)} AS g3,
+           |    count(*) AS sz FROM customer GROUP BY 1, 2, 3)""".stripMargin
+      s"""WITH nodes AS (
+         |${nodes.mkString("\nUNION ALL\n")}
+         |)
+         |SELECT n.lvl_nation, n.lvl_bal, n.lvl_seg,
+         |  CASE WHEN ev = 1 THEN n.n_groups END AS n_groups,
+         |  CASE WHEN ev = 1 THEN n.min_group_size END AS min_group_size,
+         |  CASE WHEN ev = 1 THEN n.n_at_risk_rows END AS n_at_risk_rows,
+         |  n.k_anonymous, CAST(ev AS BIGINT) AS evaluated
+         |FROM (
+         |  SELECT n.*, CASE WHEN EXISTS (SELECT 1 FROM nodes a
+         |      WHERE a.k_anonymous = 1
+         |        AND a.lvl_nation <= n.lvl_nation AND a.lvl_bal <= n.lvl_bal
+         |        AND a.lvl_seg <= n.lvl_seg
+         |        AND (a.lvl_nation < n.lvl_nation OR a.lvl_bal < n.lvl_bal
+         |          OR a.lvl_seg < n.lvl_seg))
+         |    THEN 0 ELSE 1 END AS ev
+         |  FROM nodes n) n
+         |ORDER BY lvl_nation, lvl_bal, lvl_seg""".stripMargin
     },
 
     // first purchase per user, pre-conversion touches ranked, floor

@@ -745,6 +745,62 @@ object ExtLawsProps extends Properties("graft.ext") {
           nr == sz * ng && risk == (if (sz < k) 1L else 0L) }
     }
 
+  // Incognito pruning law: on NESTED ladders the pruned sweep's
+  // k-anonymous verdicts match the full enumeration node for node,
+  // evaluated nodes carry the full sweep's exact profile, and every
+  // inferred node is dominated by some evaluated-or-inferred
+  // k-anonymous node (monotonicity is never assumed beyond its license).
+  property("kAnonymityLatticePruned == kAnonymityLattice verdicts on random nested ladders") =
+    Prop.forAll(
+      Gen.nonEmptyListOf(Gen.zip(Gen.chooseNum(0L, 99L), Gen.chooseNum(0L, 9L)))
+        .map(_.take(60)),
+      Gen.chooseNum(2L, 5L)) { (rows, k) =>
+      val df = rows.toDF("v", "w")
+      // nested by construction: each level a coarser div of the previous
+      val specs = Seq(
+        "v" -> Seq(col("v"), (col("v") / 10).cast("long"),
+          (col("v") / 100).cast("long"), lit("*")),
+        "w" -> Seq(col("w"), (col("w") / 5).cast("long"), lit("*")))
+      type Node = (Long, Long)
+      val full = Audit.kAnonymityLattice(df, specs, k)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+          (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+      val pruned = Audit.kAnonymityLatticePruned(df, specs, k)
+        .collect().map { r =>
+          (r.getLong(0), r.getLong(1)) ->
+            (Option(r.get(2)), Option(r.get(3)), Option(r.get(4)),
+              r.getAs[Long]("k_anonymous"), r.getAs[Long]("evaluated"))
+        }.toMap
+      def dominates(a: Node, c: Node) =
+        a != c && a._1 <= c._1 && a._2 <= c._2
+      pruned.keySet == full.keySet &&
+        pruned.forall { case (node, (ng, mn, ar, anon, ev)) =>
+          val f = full(node)
+          anon == f._4 &&
+            (if (ev == 1L) (ng, mn, ar) == (Some(f._1), Some(f._2), Some(f._3))
+             else ng.isEmpty && mn.isEmpty && ar.isEmpty && anon == 1L &&
+               pruned.keys.exists(a => dominates(a, node) && full(a)._4 == 1L))
+        } &&
+        // evaluated is the closed form: no strictly-dominated anon node
+        pruned.forall { case (node, (_, _, _, _, ev)) =>
+          val hasDomAnon = full.keys.exists(a => dominates(a, node) && full(a)._4 == 1L)
+          ev == (if (hasDomAnon) 0L else 1L)
+        }
+    }
+
+  // the pruning license is VALIDATED: a non-nested ladder must be
+  // refused by name, not silently mis-inferred
+  property("kAnonymityLatticePruned refuses non-nested ladders loudly") =
+    Prop.forAll(Gen.chooseNum(2L, 5L)) { k =>
+      val df = (0L to 9L).map(v => (v, v)).toDF("v", "w")
+      // level 1 = v % 3 is NOT a function of level 0's... it is; make
+      // level 2 non-nested in level 1: v / 2 is not a function of v % 3
+      val specs = Seq("v" -> Seq(col("v"), (col("v") % 3).cast("long"),
+        (col("v") / 2).cast("long")))
+      val e = scala.util.Try(Audit.kAnonymityLatticePruned(df, specs, k))
+      e.isFailure && e.failed.get.getMessage.contains("NEST")
+    }
+
   private val genTwoSamples: Gen[(List[Long], List[Long])] = for {
     a <- Gen.nonEmptyListOf(Gen.chooseNum(0L, 20L)).map(_.take(40))
     b <- Gen.nonEmptyListOf(Gen.chooseNum(0L, 20L)).map(_.take(40))
