@@ -283,7 +283,9 @@ private[graft] object QueriesAnalytics {
     // q59's native sketches the eigenbasis is not SQL-replayable —
     // rows-only by design; PcaSpec pins orthonormality, variance
     // ordering, and reconstruction; the fixed-basis twin q48 (SRP)
-    // IS hash-matched.
+    // IS hash-matched, and q337 hash-matches the basis-INVARIANT
+    // spectrum facts (exact covariance trace from integer moments +
+    // every Jacobi invariant as proof columns).
     "q173_pca_project" -> ((s, d) => {
       val emb = T(s, d, "embeddings")
       val model = graft.ext.Similarity.pcaFit(emb, "embedding", k = 4)
@@ -291,6 +293,77 @@ private[graft] object QueriesAnalytics {
           emb.select(col("vec_id"), col("embedding")), "embedding", model)
         .select(col("vec_id"), col("pc1"), col("pc2"), col("pc3"), col("pc4"))
         .orderBy(col("vec_id"))
+    }),
+
+    // BASIS-INVARIANT PCA proof gate (r14, the q315 recipe): q173's
+    // eigenBASIS is data-dependent (rows-only by design), but the
+    // SPECTRUM facts are basis-free and this row set is hash-matched.
+    // Embedding coordinates quantize to the 1e-4 grid first, so the
+    // covariance TRACE is an exact integer ratio both engines compute
+    // bit for bit: trace_num = Σ_i (n·Σxq_i² − (Σxq_i)²) over den
+    // n²·1e8 — DuckDB replays it from the moments, never the
+    // eigenbasis. The Jacobi-side facts ride as booleans: Σλ (all d)
+    // equals the exact trace (rel 1e-8), the basis is orthonormal,
+    // eigenvalues descend non-negative, per-axis projected variance
+    // equals its eigenvalue, and captured variance is a unit share.
+    "q337_pca_invariants" -> ((s, d) => {
+      import s.implicits._
+      val emb = T(s, d, "embeddings")
+      val xq = transform(col("embedding"),
+        v => round(v.cast("double") * 10000).cast("long"))
+      val m = emb.select(posexplode(xq).as(Seq("pos", "xq")))
+        .groupBy(col("pos")).agg(
+          sum(col("xq").cast("decimal(38,0)")).as("s1"),
+          sum((col("xq") * col("xq")).cast("decimal(38,0)")).as("s2"),
+          count(lit(1)).as("n"))
+      val tr = m.agg(
+        sum(col("n").cast("decimal(38,0)") * col("s2") - col("s1") * col("s1"))
+          .as("num"), min(col("n")).as("n")).head()
+      val traceNum = tr.getDecimal(0).toBigInteger
+      val n = tr.getLong(1)
+      val traceExact = new java.math.BigDecimal(traceNum).doubleValue() /
+        (n.toDouble * n.toDouble * 1e8)
+      // Jacobi on the SAME quantized (descaled) data
+      val qd = emb.select(col("vec_id"),
+        transform(col("embedding"),
+          v => round(v.cast("double") * 10000) / 10000.0).as("qe"))
+      val model = graft.ext.Similarity.pcaFit(qd, "qe", k = 4)
+      def relEq(a: Double, b: Double, tol: Double): Boolean =
+        math.abs(a - b) <= tol * math.max(math.abs(a), math.abs(b)) ||
+          math.abs(a - b) <= 1e-12
+      val eigSumOk = relEq(model.totalVariance, traceExact, 1e-8)
+      val ortho = {
+        val c = model.components
+        val worst = (for (i <- c.indices; j <- c.indices) yield {
+          val dotIj = c(i).zip(c(j)).map { case (a, b) => a * b }.sum
+          math.abs(dotIj - (if (i == j) 1.0 else 0.0))
+        }).max
+        worst <= 1e-9
+      }
+      val descNonNeg = model.eigenvalues.sliding(2).forall(p =>
+        p.length < 2 || p(0) >= p(1) - 1e-12) &&
+        model.eigenvalues.forall(_ >= -1e-12)
+      val projected = graft.ext.Similarity.pcaProject(qd, "qe", model)
+      val varAggs = (1 to 4).flatMap(j => Seq(
+        avg(col(s"pc$j") * col(s"pc$j")).as(s"e2_$j"),
+        avg(col(s"pc$j")).as(s"e1_$j")))
+      val vrow = projected.agg(varAggs.head, varAggs.tail: _*).head()
+      val projVarOk = (1 to 4).forall { j =>
+        val v = vrow.getAs[Double](s"e2_$j") -
+          math.pow(vrow.getAs[Double](s"e1_$j"), 2)
+        relEq(v, model.eigenvalues(j - 1), 1e-6)
+      }
+      val captured = model.varianceCaptured(4)
+      val captureOk = captured > 0.0 && captured <= 1.0 + 1e-12
+      Seq(
+        ("capture_in_unit_range", captureOk.toString),
+        ("eig_sum_matches_trace", eigSumOk.toString),
+        ("eigvals_desc_nonneg", descNonNeg.toString),
+        ("orthonormal_basis", ortho.toString),
+        ("proj_var_matches_eigvals", projVarOk.toString),
+        ("trace_den_n", n.toString),
+        ("trace_num", traceNum.toString))
+        .toDF("probe", "value").orderBy(col("probe"))
     }),
 
     // Distribution drift per source (Sketches.histDriftTV): total-
@@ -1879,6 +1952,30 @@ private[graft] object QueriesAnalytics {
         |  CAST(est // 1000000000000000000 AS BIGINT) AS est_hi,
         |  CAST(est % 1000000000000000000 AS BIGINT) AS est_lo
         |FROM k ORDER BY id""".stripMargin,
+
+    // the exact covariance trace from integer moments on the 1e-4
+    // quantized grid (hugeint arithmetic — never the eigenbasis);
+    // every Jacobi-side invariant pinned as a literal 'true'
+    "q337_pca_invariants" ->
+      """WITH q AS (
+        |  SELECT CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000) AS BIGINT) AS xq,
+        |    unnest(range(len(embedding))) AS pos
+        |  FROM embeddings),
+        |m AS (
+        |  SELECT pos, sum(CAST(xq AS HUGEINT)) AS s1,
+        |    sum(CAST(xq AS HUGEINT) * xq) AS s2, count(*) AS n
+        |  FROM q GROUP BY pos)
+        |SELECT * FROM (
+        |  SELECT 'trace_num' AS probe,
+        |    CAST(sum(n * s2 - s1 * s1) AS VARCHAR) AS value FROM m
+        |  UNION ALL SELECT 'trace_den_n',
+        |    (SELECT CAST(count(*) AS VARCHAR) FROM embeddings)
+        |  UNION ALL SELECT 'capture_in_unit_range', 'true'
+        |  UNION ALL SELECT 'eig_sum_matches_trace', 'true'
+        |  UNION ALL SELECT 'eigvals_desc_nonneg', 'true'
+        |  UNION ALL SELECT 'orthonormal_basis', 'true'
+        |  UNION ALL SELECT 'proj_var_matches_eigvals', 'true')
+        |ORDER BY probe""".stripMargin,
 
     // one generated SELECT per lattice node over the same
     // generalization expressions, UNION ALL'd — the node summaries
