@@ -83,28 +83,57 @@ object Fx {
   */
 final class TableStore(spark: SparkSession, root: String) {
   private val VersionDir = "v(\\d+)".r
+  private val ClaimFile = "v(\\d+)\\._CLAIM".r
   private def fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
   private def tableDir(name: String) = new Path(root, name)
   private def latestFile(name: String) = new Path(tableDir(name), "_LATEST")
+  private def claimFile(name: String, v: Int) =
+    new Path(tableDir(name), s"v$v._CLAIM")
+  // breadcrumb created after the FIRST successful swap: distinguishes
+  // "pointer never existed" (pre-first-swap kill — recoverable from the
+  // newest complete dir) from "pointer LOST on a swapped table" (manual
+  // damage — recovery must not silently promote a phantom snapshot)
+  private def swappedMarker(name: String) = new Path(tableDir(name), "_SWAPPED")
 
-  private def currentVersion(name: String): Option[Int] = {
+  /** The raw `_LATEST` pointer, no recovery fallback — what the write
+    * fence watches (the fallback would see the fencing writer's OWN
+    * freshly committed dir and misread it as a racer). */
+  private def readPointer(name: String): Option[Int] = {
     val lf = latestFile(name)
-    if (fs.exists(lf)) {
+    if (!fs.exists(lf)) None
+    else {
       val in = fs.open(lf)
       try Some(new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim.toInt)
       finally in.close()
-    } else {
-      // pointer missing (e.g. crash mid-swap before the overwrite-rename
-      // landed): recover the newest COMPLETE snapshot directory — only
-      // dirs whose parquet job committed (_SUCCESS) qualify; a crash
-      // mid-write leaves a partial dir that must never be served
+    }
+  }
+
+  private def currentVersion(name: String): Option[Int] = {
+    val ptr = readPointer(name)
+    if (ptr.isDefined) ptr
+    else {
       val dir = tableDir(name)
       if (!fs.exists(dir)) None
-      else fs.listStatus(dir).toSeq.filter(_.isDirectory)
-        .filter(s => fs.exists(new Path(s.getPath, "_SUCCESS")))
-        .map(_.getPath.getName)
-        .collect { case VersionDir(n) => n.toInt }
-        .maxOption
+      else if (fs.exists(swappedMarker(name)))
+        // a swap HAS landed on this table before, so a missing pointer
+        // is damage, not a first-swap kill — refusing beats silently
+        // promoting a committed-but-never-current phantom dir
+        throw new IllegalStateException(
+          s"table $name: _LATEST pointer is missing but the table has " +
+          "swapped before (_SWAPPED marker present) — the newest " +
+          "complete dir may be a phantom that was never current. " +
+          "Restore _LATEST to the intended version (then gc() sweeps " +
+          "the rest); refusing to guess")
+      else
+        // pointer never existed (kill before the very FIRST swap):
+        // recover the newest COMPLETE snapshot directory — only dirs
+        // whose parquet job committed (_SUCCESS) qualify; a crash
+        // mid-write leaves a partial dir that must never be served
+        fs.listStatus(dir).toSeq.filter(_.isDirectory)
+          .filter(s => fs.exists(new Path(s.getPath, "_SUCCESS")))
+          .map(_.getPath.getName)
+          .collect { case VersionDir(n) => n.toInt }
+          .maxOption
     }
   }
 
@@ -172,43 +201,81 @@ final class TableStore(spark: SparkSession, root: String) {
     * caps rows per output file (0 = Spark default): the small-files /
     * giant-files guard — a 100 TB snapshot wants ~128 MB-to-1 GB files,
     * not one file per shuffle partition of arbitrary size. */
-  /** CRASH-SAFETY PROTOCOL (single-writer; every kill window is
-    * spec-pinned in TableStoreCrashSpec):
+  /** CRASH-SAFETY PROTOCOL (every kill window is spec-pinned in
+    * TableStoreCrashSpec):
+    *   0. WRITER FENCE: exclusive-create `v{N}._CLAIM` (atomic on
+    *      HDFS/local), then re-validate the base pointer — a second
+    *      writer racing this version either loses the claim or sees a
+    *      moved base, and THROWS before its parquet job can clobber
+    *      `v{N}`; silent last-wins is impossible;
     *   1. parquet job → `v{N}` (partial dir has no `_SUCCESS`; never
     *      served, overwritten by the next write);
-    *   2. pointer text → `_LATEST.tmp{N}`, hsync'd before close (the
-    *      bytes are durable before the swap can expose them);
+    *   2. re-validate the base pointer, then pointer text →
+    *      `_LATEST.tmp{N}`, hsync'd before close (the bytes are
+    *      durable before the swap can expose them);
     *   3. ONE atomic overwrite-rename → `_LATEST` (no delete-then-
     *      rename window in which a crash leaves the table
     *      pointer-less; a failed rename throws, never passes silently);
-    *   4. stray `_LATEST.tmp*` from earlier kills are swept after the
-    *      swap ([[gc]] sweeps orphan snapshot dirs on demand).
-    * A kill between 1 and 3 leaves the previous version serving and
-    * the re-run converging onto the same `v{N}`; a kill before the
-    * very first swap is recovered by [[currentVersion]]'s
-    * newest-complete-dir fallback. */
+    *   4. the claim releases (finally — a FAILED write never blocks
+    *      the retry); stray `_LATEST.tmp*` from earlier kills are
+    *      swept after the swap ([[gc]] sweeps orphan snapshot dirs
+    *      and stale claims on demand).
+    * A kill between 0 and 3 leaves the previous version serving AND a
+    * stale claim: the store cannot distinguish a dead writer from a
+    * live concurrent one, so the re-run throws BY NAME and [[gc]]
+    * clears the claim — then the re-run converges onto the same
+    * `v{N}`. A kill before the very first swap is recovered by
+    * [[currentVersion]]'s newest-complete-dir fallback (guarded by
+    * the `_SWAPPED` breadcrumb: once any swap has landed, a missing
+    * pointer refuses loudly instead of promoting a phantom). */
   def write(name: String, df: DataFrame, partitionBy: Seq[String] = Nil,
       maxRecordsPerFile: Long = 0L): Unit = {
-    val next = currentVersion(name).getOrElse(-1) + 1
+    val basedOn = currentVersion(name)
+    // the fence watches the RAW pointer: before the first-ever swap it
+    // is None even when the fallback recovers a committed dir, and our
+    // own parquet commit never moves it — only a racer's swap does
+    val basePointer = readPointer(name)
+    val next = basedOn.getOrElse(-1) + 1
     val dest = new Path(tableDir(name), s"v$next")
-    val w0 = df.write.mode("overwrite")
-    val w = if (maxRecordsPerFile > 0) w0.option("maxRecordsPerFile", maxRecordsPerFile) else w0
-    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
-      .parquet(dest.toString)
-    val tmp = new Path(tableDir(name), s"_LATEST.tmp$next")
-    val out = fs.create(tmp, true)
-    // durable before visible: hsync (or flush where the fs has no
-    // Syncable) so a post-swap crash cannot surface a truncated pointer
-    try { out.write(next.toString.getBytes("UTF-8")); out.hsync() }
-    finally out.close()
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-      new Path(root).toUri, spark.sparkContext.hadoopConfiguration)
-    fc.rename(tmp, latestFile(name), org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-    // sweep pointer temps a previous kill stranded (cheap: name-match
-    // on the table dir listing only)
-    fs.listStatus(tableDir(name)).toSeq.filter(_.isFile)
-      .map(_.getPath).filter(_.getName.startsWith("_LATEST.tmp"))
-      .foreach(p => fs.delete(p, false))
+    fs.mkdirs(tableDir(name)) // createNewFile needs the parent
+    if (!fs.createNewFile(claimFile(name, next)))
+      throw new IllegalStateException(
+        s"table $name: v$next is already claimed by another writer " +
+        s"(${claimFile(name, next).getName} present). If that writer " +
+        "is dead (killed mid-write), run gc() to clear stale claims " +
+        "and retry; if it is alive, this write would have clobbered " +
+        "its snapshot")
+    try {
+      def fence(): Unit = {
+        val cur = readPointer(name)
+        if (cur != basePointer) throw new IllegalStateException(
+          s"table $name: concurrent writer detected — the pointer " +
+          s"moved from $basePointer to $cur while this write was in " +
+          s"flight; aborting (any v$next output is orphaned, gc() " +
+          "sweeps it). Re-read and retry on the new current version")
+      }
+      fence() // the claim may have been won AFTER a racer's swap landed
+      val w0 = df.write.mode("overwrite")
+      val w = if (maxRecordsPerFile > 0) w0.option("maxRecordsPerFile", maxRecordsPerFile) else w0
+      (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+        .parquet(dest.toString)
+      fence() // last look before the swap becomes visible
+      val tmp = new Path(tableDir(name), s"_LATEST.tmp$next")
+      val out = fs.create(tmp, true)
+      // durable before visible: hsync (or flush where the fs has no
+      // Syncable) so a post-swap crash cannot surface a truncated pointer
+      try { out.write(next.toString.getBytes("UTF-8")); out.hsync() }
+      finally out.close()
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        new Path(root).toUri, spark.sparkContext.hadoopConfiguration)
+      fc.rename(tmp, latestFile(name), org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      if (!fs.exists(swappedMarker(name))) fs.createNewFile(swappedMarker(name))
+      // sweep pointer temps a previous kill stranded (cheap: name-match
+      // on the table dir listing only)
+      fs.listStatus(tableDir(name)).toSeq.filter(_.isFile)
+        .map(_.getPath).filter(_.getName.startsWith("_LATEST.tmp"))
+        .foreach(p => fs.delete(p, false))
+    } finally fs.delete(claimFile(name, next), false)
   }
 
   /** Orphan GC — the explicit sweep for leftovers a kill stranded:
@@ -216,9 +283,14 @@ final class TableStore(spark: SparkSession, root: String) {
     * the current pointer (parquet committed, swap never landed — the
     * next write would overwrite `v{pointer+1}` anyway, but later
     * phantoms from repeated kills would linger), and stray
-    * `_LATEST.tmp*` pointer temps. Never touches committed history at
-    * or below the pointer. Returns the deleted path names. Safe to run
-    * any time under the single-writer contract. */
+    * `_LATEST.tmp*` pointer temps, and STALE WRITER CLAIMS
+    * (`v{N}._CLAIM` a kill stranded — claims only exist mid-write, so
+    * at rest every claim is stale). Never touches committed history
+    * at or below the pointer, nor the `_SWAPPED` breadcrumb. Returns
+    * the deleted path names. Safe to run any time under the
+    * single-writer contract — with concurrent writers, running gc
+    * while another writer is mid-flight would break ITS claim, so
+    * quiesce first. */
   def gc(name: String): Seq[String] = {
     val dir = tableDir(name)
     if (!fs.exists(dir)) return Nil
@@ -227,6 +299,7 @@ final class TableStore(spark: SparkSession, root: String) {
       val n = st.getPath.getName
       n match {
         case _ if st.isFile && n.startsWith("_LATEST.tmp") => Some(st.getPath)
+        case ClaimFile(_) if st.isFile => Some(st.getPath)
         case VersionDir(v) if st.isDirectory =>
           val committed = fs.exists(new Path(st.getPath, "_SUCCESS"))
           val pointed = cap.exists(v.toInt <= _)

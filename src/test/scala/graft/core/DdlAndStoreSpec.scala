@@ -137,32 +137,35 @@ class DdlAndStoreSpec extends SparkSpec {
     assert(!fields("v").contains("primary_key"))
   }
 
-  test("TableStore recovers the newest snapshot when the _LATEST pointer is missing") {
+  test("pointer LOSS on a swapped table refuses loudly; restoring the pointer recovers (r14 fence)") {
     val dir = Files.createTempDirectory("graft-store").toString
     val store = new TableStore(spark, dir)
     store.write("t", Seq((1L, "a")).toDF("id", "v"))
     store.write("t", Seq((2L, "b")).toDF("id", "v")) // v1 is current
-    // simulate a crash that lost the pointer
+    // manual damage that lost the pointer: pre-r14 this silently served
+    // the newest complete dir (which can be a never-current phantom);
+    // the _SWAPPED breadcrumb now makes it refuse by name instead
     val latest = new java.io.File(s"$dir/t/_LATEST")
     assert(latest.delete())
-    assert(store.tableExists("t"))
+    intercept[IllegalStateException](store.tableExists("t"))
+    intercept[IllegalStateException](store.read("t"))
+    // the operator restores the pointer; the chain continues
+    java.nio.file.Files.write(latest.toPath, "1".getBytes("UTF-8"))
     assert(store.read("t").select("id").as[Long].collect().toSeq == Seq(2L))
-    // and the next write continues the version chain
     store.write("t", Seq((3L, "c")).toDF("id", "v"))
     assert(store.read("t").select("id").as[Long].collect().toSeq == Seq(3L))
   }
 
-  test("pointer recovery ignores INCOMPLETE snapshot dirs (no _SUCCESS)") {
+  test("pre-first-swap recovery ignores INCOMPLETE snapshot dirs (no _SUCCESS)") {
     val dir = Files.createTempDirectory("graft-store").toString
     val store = new TableStore(spark, dir)
-    store.write("t", Seq((1L, "a")).toDF("id", "v"))   // v0, complete
-    store.write("t", Seq((2L, "b")).toDF("id", "v"))   // v1, complete
-    // simulate a crash: partial v9 (no _SUCCESS) + lost pointer
+    // a table that NEVER swapped: v1 committed directly, torn v9 beside
+    // it, no pointer — the fallback must serve v1, never the torn v9
+    Seq((2L, "b")).toDF("id", "v").write.mode("overwrite")
+      .parquet(s"$dir/t/v1")
     val partial = new java.io.File(s"$dir/t/v9"); partial.mkdirs()
     java.nio.file.Files.write(partial.toPath.resolve("part-junk.parquet"),
       Array[Byte](1, 2, 3))
-    assert(new java.io.File(s"$dir/t/_LATEST").delete())
-    // recovery must serve v1, never the torn v9
     assert(store.read("t").select("id").as[Long].collect().toSeq == Seq(2L))
   }
 

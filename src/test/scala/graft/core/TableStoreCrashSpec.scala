@@ -103,6 +103,64 @@ class TableStoreCrashSpec extends SparkSpec {
     assert(store.versions("t") == Seq(0, 1))
   }
 
+  test("writer fence: a claimed version makes the second writer THROW before it can clobber") {
+    val (store, root) = newStore()
+    store.write("t", Seq((1L, "a")).toDF("id", "v")) // v0
+    val f = fs(root)
+    // a live concurrent writer holds the claim on v1
+    assert(f.createNewFile(new Path(root, "t/v1._CLAIM")))
+    val e = intercept[IllegalStateException] {
+      store.write("t", Seq((2L, "b")).toDF("id", "v"))
+    }
+    assert(e.getMessage.contains("v1._CLAIM") && e.getMessage.contains("gc()"),
+      e.getMessage)
+    // the loser never started its parquet job — nothing clobbered
+    assert(!f.exists(new Path(root, "t/v1")))
+    assert(ids(store.read("t")) == Seq(1L))
+    // the claimant releases; the retry proceeds normally
+    f.delete(new Path(root, "t/v1._CLAIM"), false)
+    store.write("t", Seq((2L, "b")).toDF("id", "v"))
+    assert(ids(store.read("t")) == Seq(2L))
+    assert(store.versions("t") == Seq(0, 1))
+  }
+
+  test("stale claim from a kill: re-run refuses BY NAME, gc clears it, re-run converges") {
+    val (store, root) = newStore()
+    store.write("t", Seq((1L, "a")).toDF("id", "v")) // v0
+    val f = fs(root)
+    // manufacture a kill inside write(): claim held, v1 partial
+    assert(f.createNewFile(new Path(root, "t/v1._CLAIM")))
+    f.mkdirs(new Path(root, "t/v1"))
+    intercept[IllegalStateException] {
+      store.write("t", Seq((2L, "b")).toDF("id", "v"))
+    }
+    val removed = store.gc("t").sorted
+    assert(removed == Seq("v1", "v1._CLAIM"), removed)
+    store.write("t", Seq((2L, "b")).toDF("id", "v")) // converges onto v1
+    assert(ids(store.read("t")) == Seq(2L))
+    assert(store.versions("t") == Seq(0, 1))
+  }
+
+  test("pointer LOSS on a swapped table refuses loudly instead of promoting a phantom") {
+    val (store, root) = newStore()
+    store.write("t", Seq((1L, "a")).toDF("id", "v")) // v0
+    store.write("t", Seq((2L, "b")).toDF("id", "v")) // v1
+    val f = fs(root)
+    // phantom v2 (committed, never swapped), then the pointer is LOST
+    Seq((99L, "phantom")).toDF("id", "v").write.mode("overwrite")
+      .parquet(new Path(root, "t/v2").toString)
+    f.delete(new Path(root, "t/_LATEST"), false)
+    // pre-r14 behavior silently served phantom v2 here; now it refuses
+    val e = intercept[IllegalStateException](store.read("t"))
+    assert(e.getMessage.contains("_LATEST") && e.getMessage.contains("phantom"),
+      e.getMessage)
+    // operator restores the pointer to the intended version; all good
+    val out = f.create(new Path(root, "t/_LATEST"), true)
+    try out.write("1".getBytes("UTF-8")) finally out.close()
+    assert(ids(store.read("t")) == Seq(2L))
+    assert(store.gc("t").sorted == Seq("v2"))
+  }
+
   test("gc sweeps partials, phantoms and pointer temps; committed history is untouchable") {
     val (store, root) = newStore()
     store.write("t", Seq((1L, "a")).toDF("id", "v")) // v0
