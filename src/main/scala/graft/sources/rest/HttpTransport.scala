@@ -394,9 +394,19 @@ final class HttpTransport(
         }
         case RAgg.Min(f) if tags.get(f).contains("datetime") => toMicros(v)
         case RAgg.Max(f) if tags.get(f).contains("datetime") => toMicros(v)
+        // integral JSON for a double-typed field ("MIN(Amount)": 10)
+        // parses as Long — widen like fetchByIds does, or the reader's
+        // type guard throws on (Long, DoubleType)
+        case RAgg.Min(f) if tags.get(f).contains("double") => widen(v)
+        case RAgg.Max(f) if tags.get(f).contains("double") => widen(v)
         case _ => v
       }
     }
+  }
+
+  private def widen(v: Any): Any = v match {
+    case l: Long => l.toDouble
+    case other => other
   }
 
   /** GROUP BY aggregate SOQL: group fields return by NAME, aggregates
@@ -417,7 +427,9 @@ final class HttpTransport(
       s" GROUP BY ${groupBy.map(Soql.field).mkString(", ")}"
     lazy val tags = describe(obj).toMap
     def conv(f: String, v: Any): Any =
-      if (tags.get(f).contains("datetime")) toMicros(v) else v
+      if (tags.get(f).contains("datetime")) toMicros(v)
+      else if (tags.get(f).contains("double")) widen(v) // "MIN(Amount)": 10
+      else v
     queryAllPages(soql, includeDeleted, 2000).flatMap(_.map { rec =>
       groupBy.map(g => conv(g, jvalue(rec \ g))) ++
         aggs.zipWithIndex.map { case (agg, i) =>

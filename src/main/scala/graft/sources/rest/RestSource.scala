@@ -289,6 +289,9 @@ class RestAggReader(aggSchema: StructType, options: Map[String, String],
         case (null, _) => null
         case (s: String, StringType) => UTF8String.fromString(s)
         case (d: Double, DoubleType) => d
+        // backstop for any transport that hands an integral value to a
+        // double field (JSON "10" parses as Long)
+        case (l: Long, DoubleType) => l.toDouble
         case (l: Long, LongType | TimestampType) => l
         case (b: Boolean, BooleanType) => b
         case (other, dt) => throw new IllegalStateException(

@@ -154,12 +154,19 @@ class HttpTransportSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
       else if (soql.contains(" GROUP BY IsActive")) {
         lastGroupBySoql.set(soql)
         // SOQL aggregate responses: group fields by NAME, aggregates
-        // as positional expr0..exprN over the aggregate list only
+        // as positional expr0..exprN over the aggregate list only.
+        // expr1 for the false group is deliberately INTEGRAL JSON for
+        // a double-typed field (MIN(Amount) = 10) — the widening the
+        // reader's type guard depends on
         send(x, 200, """{"totalSize":2,"done":true,"records":[
-          |{"IsActive":false,"expr0":2,"expr1":10.5,"expr2":"2024-01-01T00:03:00.000+0000"},
+          |{"IsActive":false,"expr0":2,"expr1":10,"expr2":"2024-01-01T00:03:00.000+0000"},
           |{"IsActive":true,"expr0":3,"expr1":0.5,"expr2":"2024-01-01T00:04:00.000+0000"}]}"""
           .stripMargin.replace("\n", ""))
       }
+      else if (soql.startsWith("SELECT COUNT(Id), MIN(Amount), MAX(Amount) FROM account"))
+        // global stats probe with integral JSON on double-typed fields
+        send(x, 200,
+          """{"totalSize":1,"done":true,"records":[{"expr0":5,"expr1":10,"expr2":40}]}""")
       else send(x, 400, s"unexpected soql: $soql")
     })
     server.setExecutor(null)
@@ -290,10 +297,19 @@ class HttpTransportSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
         "FROM account WHERE Amount > 0 GROUP BY IsActive",
       lastGroupBySoql.get())
     val byActive = rows.map(r => r.head -> r.tail).toMap
-    assert(byActive(false) == Seq(2L, 10.5,
+    // expr1 arrived as integral JSON (10) for the double-typed Amount:
+    // the transport widens it to 10.0, never hands a Long to a double
+    assert(byActive(false) == Seq(2L, 10.0,
       1704067200000000L + 3L * 60L * 1000000L))
     assert(byActive(true) == Seq(3L, 0.5,
       1704067200000000L + 4L * 60L * 1000000L))
+  }
+
+  test("global stats widens integral JSON on double-typed MIN/MAX") {
+    val got = transport().stats("account",
+      Seq(RAgg.CountStar, RAgg.Min("Amount"), RAgg.Max("Amount")),
+      Nil, includeDeleted = true)
+    assert(got == Seq(5L, 10.0, 40.0), got.toString)
   }
 
   test("latestModified reads the ORDER BY DESC LIMIT 1 cursor probe") {
