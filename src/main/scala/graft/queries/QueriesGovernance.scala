@@ -244,14 +244,26 @@ private[graft] object QueriesGovernance {
           .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
             col("c_mktsegment"))
         val p = db.explain(df)
+        // STRUCTURAL fact extraction (r14 advice): locate the
+        // PushedFilters/ReadSchema sections and match their CONTENTS
+        // order-independently, so a Spark version reordering filters
+        // or reformatting the struct rendering cannot hash-mismatch a
+        // gate whose pushdown/pruning still hold
+        val pushedOk =
+          "PushedFilters: \\[([^\\]]*)\\]".r.findFirstMatchIn(p).exists { m =>
+            m.group(1).contains("EqualTo(c_mktsegment,BUILDING)") &&
+              m.group(1).contains("IsNotNull(c_mktsegment)")
+          }
+        val schemaOk =
+          "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p).exists { m =>
+            m.group(1).split(",").map(_.trim).toSet == Set(
+              "c_custkey:bigint", "c_name:string",
+              "c_acctbal:double", "c_mktsegment:string")
+          }
         Seq(
           ("plan:header", p.contains("== Physical Plan ==").toString),
-          ("plan:pushed_filter", p.contains(
-            "PushedFilters: [IsNotNull(c_mktsegment), " +
-              "EqualTo(c_mktsegment,BUILDING)]").toString),
-          ("plan:read_schema_pruned", p.contains(
-            "ReadSchema: struct<c_custkey:bigint,c_name:string," +
-              "c_acctbal:double,c_mktsegment:string>").toString),
+          ("plan:pushed_filter", pushedOk.toString),
+          ("plan:read_schema_pruned", schemaOk.toString),
           ("plan:scan_parquet", p.contains("Scan parquet").toString),
           ("plan:nationkey_pruned", (!p.contains("c_nationkey")).toString))
           .toDF("probe", "value").orderBy(col("probe"))
