@@ -591,13 +591,18 @@ object Dedup {
   def connectedComponentsIncremental(nodes: DataFrame, idCol: String,
       prevLabels: DataFrame, edges: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 50, shortcut: Boolean = false,
-      localEdgeLimit: Int = DefaultLocalEdgeLimit): DataFrame = {
+      localEdgeLimit: Int = DefaultLocalEdgeLimit,
+      saltBuckets: Int = 0, autoShortcutAfter: Int = 8): DataFrame = {
     val stars = prevLabels
       .filter(col("cluster_id") =!= col(idCol))
       .select(col(idCol).as("__wa"), col("cluster_id").as("__wb"))
     val fresh = edges.select(col(aCol).as("__wa"), col(bCol).as("__wb"))
+    // the star∪fresh edge list is what the probe must see, so the
+    // hub knobs forward (AutoSalt probes the UNION's degree profile —
+    // a warm-started hub cluster's star is itself a hub)
     connectedComponents(nodes, idCol, stars.unionByName(fresh),
-      "__wa", "__wb", maxIter, shortcut, localEdgeLimit)
+      "__wa", "__wb", maxIter, shortcut, localEdgeLimit,
+      saltBuckets = saltBuckets, autoShortcutAfter = autoShortcutAfter)
   }
 
   /** End-to-end near-dup REMOVAL: cluster the pair evidence with
