@@ -59,13 +59,55 @@ object Bench {
     }
     val samples = scala.collection.mutable.Map.empty[String, List[Double]]
       .withDefaultValue(Nil)
-    for (_ <- 0 until 2; (name, fn) <- order)
-      samples(name) ::= timeOne(name, fn)
+    // PARTIAL-RESULT GUARANTEE (r14 lesson: the driver's timeout
+    // SIGTERM'd the run mid-suite and the round's bench artifact was
+    // rc=124 with parsed:null — no per-query data at all). A shutdown
+    // hook flushes a VALID compact JSON line (completed-query total +
+    // counts + truncated:true) and writes the per-query partial to
+    // bench_out.json, so a timeout can never again yield an artifact
+    // with nothing in it. `samples` is only touched under `lock`; the
+    // hook is disarmed before the normal final print (one JSON line
+    // per invocation either way).
+    val lock = new Object
+    @volatile var finished = false
+    def partialJson(full: Boolean): String = lock.synchronized {
+      val done = order.collect {
+        case (k, _) if samples(k).nonEmpty || failed.contains(k) =>
+          k -> (if (failed.contains(k)) -1.0 else samples(k).min)
+      }
+      val total = done.collect { case (_, v) if v >= 0 => v }.sum
+      val failedJson0 = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+      // locale-proof decimal formatting (the f interpolator follows the
+      // JVM default locale; a comma decimal would corrupt the JSON)
+      def d3(v: Double): String = BigDecimal(v)
+        .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+      val per = if (!full) "" else ",\"queries\":" + done.map { case (k, v) =>
+        "\"" + k + "\":" + (if (v < 0) "null" else d3(v))
+      }.mkString("{", ",", "}")
+      s"""{"metric":"total","value":${d3(total)},"unit":"sec","mode":"min_interleaved_2","truncated":true,"n_done":${done.size},"n_queries":${order.size},"failed":$failedJson0$per,"sf":"$sfDir"}"""
+    }
+    val hook = new Thread(() => if (!finished) {
+      println(partialJson(full = false))
+      System.out.flush()
+      try java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
+        partialJson(full = true).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      catch { case _: Throwable => () }
+    })
+    Runtime.getRuntime.addShutdownHook(hook)
+    for (_ <- 0 until 2; (name, fn) <- order) {
+      val t = timeOne(name, fn)
+      lock.synchronized { samples(name) ::= t }
+    }
     for ((name, fn) <- order) {
       val ts = samples(name)
-      if (!failed.contains(name) && ts.min > 0.3 && ts.max / ts.min >= 1.5)
-        samples(name) ::= timeOne(name, fn)
+      if (!failed.contains(name) && ts.min > 0.3 && ts.max / ts.min >= 1.5) {
+        val t = timeOne(name, fn)
+        lock.synchronized { samples(name) ::= t }
+      }
     }
+    finished = true
+    try Runtime.getRuntime.removeShutdownHook(hook)
+    catch { case _: IllegalStateException => () } // already shutting down
     val results = order.map { case (name, _) => name -> samples(name).min }
     // a failed query's time-to-failure is noise, not cost: report it as
     // null and keep the headline total an aggregate of SUCCESSFUL runs

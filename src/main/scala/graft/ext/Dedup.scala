@@ -62,6 +62,42 @@ object Dedup {
     k
   }
 
+  /** AutoSalt × AQE arbitration predicate: true iff the session's
+    * RUNTIME skew protection can actually fire inside the CC loop.
+    * Since the r14 per-round plan barrier, the propagation join's
+    * label side is a fresh LogicalRDD leaf, so AQE's
+    * OptimizeSkewedJoin splits the hot partition at runtime
+    * (CcSkewSpec's flipped law) — but only when ALL THREE hold:
+    * adaptive execution on, skew-join on, AND
+    * `canChangeCachedPlanOutputPartitioning` on (the loop's edge side
+    * is a persisted frame; with the conf at its shipped-false default
+    * AQE leaves plans reading cached data non-adaptive, SPARK-35332).
+    * Each conf is read against its Spark default, so an unset conf
+    * resolves exactly as Spark would. */
+  def aqeSkewProtectionLive(spark: org.apache.spark.sql.SparkSession): Boolean = {
+    def on(key: String, default: Boolean): Boolean =
+      spark.conf.getOption(key).map(_.trim.equalsIgnoreCase("true"))
+        .getOrElse(default)
+    on("spark.sql.adaptive.enabled", default = true) &&
+      on("spark.sql.adaptive.skewJoin.enabled", default = true) &&
+      on("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        default = false)
+  }
+
+  /** The arbitration rule itself, pure and gate-pinnable (q335): when
+    * runtime skew-splitting is live, deterministic salting is a
+    * REDUNDANT tax — every label row replicates `ruleK`× every round
+    * on top of AQE re-splitting the same hot partition — so AutoSalt
+    * resolves 0 and skips the degree probe entirely. When runtime
+    * protection cannot fire (AQE off, skew-join off, or cached-plan
+    * adaptivity at its shipped-false default), the degree-profile
+    * rule's k stands: salting is then the ONLY hub protection.
+    * Labels are identical either way (salting only re-routes rows;
+    * min is commutative — the CcSkewSpec-pinned law); the arbitrated
+    * run just shuffles `ruleK`× fewer label rows per round. */
+  def arbitratedSaltBuckets(ruleK: Int, aqeSkewLive: Boolean): Int =
+    if (aqeSkewLive) 0 else ruleK
+
   /** Default doc budget for [[lshRecallAudit]]'s enforced eval-sample
     * contract: 2^17 documents. The audit's exhaustive ground truth is
     * a deliberately UNCAPPED shared-shingle self-join (completeness
@@ -274,11 +310,18 @@ object Dedup {
     * (id, salt) shuffle per round). Labels are identical either way
     * (salting only re-routes rows; the min is commutative); engine-
     * internal xxhash64 is fine because the salt never reaches the
-    * output. 0/1 = off; [[AutoSalt]] (-1) runs a one-aggregate degree
-    * probe on the edge list and picks k itself ([[autoSaltBuckets]]):
-    * uniform/chain graphs resolve to 0 (no replication tax), hub
-    * graphs to the next power of two of max-degree/mean-degree,
-    * capped at [[MaxAutoSaltBuckets]].
+    * output. 0/1 = off; [[AutoSalt]] (-1) first ARBITRATES against
+    * the session's runtime protection ([[arbitratedSaltBuckets]]):
+    * when AQE skew-splitting can fire in-loop
+    * ([[aqeSkewProtectionLive]] — adaptive + skewJoin +
+    * cached-plan adaptivity all on) it resolves 0 outright, paying
+    * neither the probe nor the per-round replication tax; otherwise
+    * it runs a one-aggregate degree probe on the edge list and picks
+    * k itself ([[autoSaltBuckets]]): uniform/chain graphs resolve to
+    * 0 (no replication tax), hub graphs to the next power of two of
+    * max-degree/mean-degree, capped at [[MaxAutoSaltBuckets]].
+    * Explicit k (> 1) is never arbitrated — a caller-chosen salt is
+    * caller-owned truth.
     *
     * `autoShortcutAfter`: plain min-label propagation needs
     * diameter-many rounds; `shortcut = true` (pointer doubling) makes
@@ -409,6 +452,10 @@ object Dedup {
     // graphs come back 0 and pay nothing further.
     val resolvedSalt =
       if (saltBuckets != AutoSalt) saltBuckets
+      else if (aqeSkewProtectionLive(nodes.sparkSession)) 0
+      // runtime skew-split fires in-loop (post-barrier) — salting
+      // would be a redundant k× replication tax, and the degree
+      // probe itself is skipped ([[arbitratedSaltBuckets]])
       else {
         val prof = e.select(col("src").as("id"))
           .union(e.select(col("dst").as("id")))
@@ -746,33 +793,36 @@ object Dedup {
   }
 
   /** [[lshCandidates]] with an IN-PLAN bucket-occupancy tripwire:
-    * band-bucket counts are aggregated on the same (band, hash) key
-    * the candidate self-join shuffles on (the exchange is reusable),
-    * and a `raise_error` guard on the count rides the join input — a
-    * bucket holding more than `maxBucketSize` docs (m docs →
-    * m(m−1)/2 candidate pairs) fails the job LOUDLY at execution
-    * time, exactly where a degenerate signature basis would
-    * otherwise go quadratic. Healthy LSH buckets hold a handful of
-    * docs; the guard costs one count aggregate on rows the join
-    * reads anyway and changes no surviving row. */
+    * band-bucket occupancy is computed as a WINDOW count over the
+    * exact (band, hash) partitioning the candidate self-join shuffles
+    * on — the guard rides the join input's own exchange instead of
+    * joining in a separately-aggregated side (the r14 shape paid a
+    * THIRD evaluation of the signature subtree plus an extra join;
+    * the window's sort is within already-shuffled band buckets and
+    * the second join side reuses the first's exchange). A
+    * `raise_error` guard on the count fails the job LOUDLY at
+    * execution time when any bucket holds more than `maxBucketSize`
+    * docs (m docs → m(m−1)/2 candidate pairs) — exactly where a
+    * degenerate signature basis would otherwise go quadratic. Healthy
+    * LSH buckets hold a handful of docs; the guard changes no
+    * surviving row. */
   def lshCandidatesGuarded(sig: DataFrame, idCol: String, k: Int,
       bands: Int, portable: Boolean = false,
       maxBucketSize: Int = 10000): DataFrame = {
     val e = bandRows(sig, idCol, k, bands, portable)
-    val occ = e.groupBy(col("__band"), col("__bh"))
-      .agg(count(lit(1)).as("__occ"))
-      .select(col("__band"), col("__bh"),
-        when(col("__occ") <= lit(maxBucketSize.toLong), lit(1))
-          .otherwise(raise_error(concat(
-            lit("LSH band-bucket occupancy "), col("__occ"),
-            lit(s" docs exceeds maxBucketSize = $maxBucketSize (band "),
-            col("__band"), lit(", bucket "), col("__bh"),
-            lit(") — degenerate signature basis; use shingleN >= 2 " +
-              "or gate high-df elements upstream")))).as("__g"))
-    val l = e.select(col(idCol).as("a"), col("__band"), col("__bh"))
-      .join(occ, Seq("__band", "__bh"))
-      .filter(col("__g") === 1)
-    val rgt = e.select(col(idCol).as("b"), col("__band"), col("__bh"))
+    val occ = count(lit(1))
+      .over(Window.partitionBy(col("__band"), col("__bh")))
+    val guarded = e.withColumn("__g",
+      when(occ <= lit(maxBucketSize.toLong), lit(1))
+        .otherwise(raise_error(concat(
+          lit("LSH band-bucket occupancy "), occ,
+          lit(s" docs exceeds maxBucketSize = $maxBucketSize (band "),
+          col("__band"), lit(", bucket "), col("__bh"),
+          lit(") — degenerate signature basis; use shingleN >= 2 " +
+            "or gate high-df elements upstream")))))
+    val l = guarded.filter(col("__g") === 1)
+      .select(col(idCol).as("a"), col("__band"), col("__bh"))
+    val rgt = guarded.select(col(idCol).as("b"), col("__band"), col("__bh"))
     l.join(rgt, Seq("__band", "__bh"))
       .filter(col("a") < col("b"))
       .select(col("a"), col("b")).distinct()

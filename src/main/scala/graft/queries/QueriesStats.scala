@@ -590,16 +590,26 @@ private[graft] object QueriesStats {
       }
     }),
 
-    // AUTO-SALT contract (r14): saltBuckets = AutoSalt probes the
-    // edge list's degree profile (ONE hash aggregate) and picks the
-    // bucket count itself — the q331 knob turned into a guarantee.
-    // Proof columns: the decision rule's verdicts on both topologies
-    // (hub star → the 16 cap, since max-degree/mean ≈ 1333×; uniform
-    // 2-chains → 0, no replication tax), and labels from the AutoSalt
-    // run fingerprint-identical to the manual saltBuckets = 8 run
-    // (salting only re-routes rows — min is commutative). The bound
-    // assumeConvergedAfter = 1 is caller-owned truth (star + 2-chains
-    // have diameter 1) enforced by the pinned cluster facts.
+    // AUTO-SALT contract (r14; r15 adds the AQE ARBITRATION and
+    // drops the second CC invocation): saltBuckets = AutoSalt probes
+    // the edge list's degree profile (ONE hash aggregate) and picks
+    // the bucket count itself — UNLESS the session's runtime skew
+    // protection can fire in-loop (adaptive + skewJoin + cached-plan
+    // adaptivity all on), in which case the arbitration rule stands
+    // the salt down to 0: AQE re-splits the hot partition at runtime,
+    // so deterministic salting would only add a k× label-replication
+    // tax on top (r14 verdict What's-missing #2). Proof columns: the
+    // decision rule's verdicts on both topologies (hub star → the 16
+    // cap, max-degree/mean ≈ 1333×; uniform 2-chains → 0), the
+    // arbitrated k under live protection (0 — what THIS run's engine
+    // path used, arbitration_live pins that the predicate held), and
+    // ONE AutoSalt CC run pinned by the closed-form md5 checksum
+    // (star → 0, each 2-chain → its head — the q331 recipe). r14's
+    // second, manual-k run is gone: the salt/label identity law lives
+    // in CcSkewSpec/DedupSpec, so the gate pays for one run (r14
+    // verdict What's-wrong #2 — this halves the suite's costliest
+    // new gate). assumeConvergedAfter = 1 is caller-owned truth
+    // (star + 2-chains have diameter 1) enforced by the checksum.
     "q335_cc_autosalt" -> ((s, d) => {
       import s.implicits._
       val hub = 2000L; val chains = 1000L
@@ -619,27 +629,48 @@ private[graft] object QueriesStats {
       }
       val autoKHub = probe(edges)
       val autoKChain = probe(chain)
-      def fp(lab: org.apache.spark.sql.DataFrame) = {
-        val r = graft.ext.Audit.fingerprint(lab,
+      // the arbitration rule's verdict under live runtime protection:
+      // the rule-k hub salt stands down to 0 (pure function — no run)
+      val arbitratedAqe =
+        graft.ext.Dedup.arbitratedSaltBuckets(autoKHub, aqeSkewLive = true)
+      val conf = s.conf
+      val saved = Seq(
+        "spark.sql.adaptive.enabled",
+        "spark.sql.adaptive.skewJoin.enabled",
+        "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning")
+        .map(k => k -> conf.getOption(k)).toMap
+      try {
+        // make runtime skew protection LIVE for the one CC run, so
+        // AutoSalt arbitrates to k = 0 in-engine (no probe aggregate,
+        // no per-round label replication) — the labeling is pinned by
+        // the closed-form checksum either way (salt never changes
+        // labels; that identity law is CcSkewSpec/DedupSpec-pinned)
+        conf.set("spark.sql.adaptive.enabled", "true")
+        conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        conf.set("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+        val arbitrationLive = graft.ext.Dedup.aqeSkewProtectionLive(s)
+        val lab = graft.ext.Dedup.connectedComponents(nodes, "id",
+          edges, "a", "b", localEdgeLimit = 0,
+          saltBuckets = graft.ext.Dedup.AutoSalt,
+          assumeConvergedAfter = Some(1))
+        val fp = graft.ext.Audit.fingerprint(lab,
           Seq(col("id"), col("cluster_id"))).head()
+        val nClusters = lab.agg(countDistinct(col("cluster_id"))).head().getLong(0)
         val hubSize = lab.filter(col("cluster_id") === 0L).count()
         lab.unpersist()
-        (r.getAs[Long]("checksum"), r.getAs[Long]("n_rows"), hubSize)
+        Seq(
+          ("arbitrated_k_aqe", arbitratedAqe.toString),
+          ("arbitration_live", arbitrationLive.toString),
+          ("auto_k_chain", autoKChain.toString),
+          ("auto_k_hub", autoKHub.toString),
+          ("checksum", fp.getAs[Long]("checksum").toString),
+          ("hub_cluster_size", hubSize.toString),
+          ("n_clusters", nClusters.toString),
+          ("n_rows", fp.getAs[Long]("n_rows").toString))
+          .toDF("probe", "value").orderBy(col("probe"))
+      } finally saved.foreach { case (k, v) =>
+        v.fold(conf.unset(k))(conf.set(k, _))
       }
-      val auto = fp(graft.ext.Dedup.connectedComponents(nodes, "id",
-        edges, "a", "b", localEdgeLimit = 0,
-        saltBuckets = graft.ext.Dedup.AutoSalt,
-        assumeConvergedAfter = Some(1)))
-      val manual = fp(graft.ext.Dedup.connectedComponents(nodes, "id",
-        edges, "a", "b", localEdgeLimit = 0, saltBuckets = 8,
-        assumeConvergedAfter = Some(1)))
-      Seq(
-        ("auto_k_chain", autoKChain.toString),
-        ("auto_k_hub", autoKHub.toString),
-        ("hub_cluster_size", auto._3.toString),
-        ("labels_match_manual", (auto == manual).toString),
-        ("n_rows", auto._2.toString))
-        .toDF("probe", "value").orderBy(col("probe"))
     }),
 
     // Streaming SKETCH-INGEST under at-least-once replay (q123's
@@ -1690,15 +1721,35 @@ private[graft] object QueriesStats {
 
     // auto-salt proof columns BY CONTRACT: the hub star probes to the
     // 16 cap (max-degree 2000 over mean 6000/4001 ≈ 1333× the mean),
-    // the uniform chain probes to 0, and the AutoSalt labeling is
-    // fingerprint-identical to the manual saltBuckets=8 run
+    // the uniform chain probes to 0, the AQE arbitration stands the
+    // hub salt down to 0 when runtime protection is live, and the ONE
+    // AutoSalt CC run's labeling is re-hashed from its closed form
+    // (star → 0, each 2-chain → its head) via the q331/q244
+    // fingerprint recipe
     "q335_cc_autosalt" ->
-      """SELECT * FROM (VALUES
-        |  ('auto_k_chain', '0'),
-        |  ('auto_k_hub', '16'),
-        |  ('hub_cluster_size', '2001'),
-        |  ('labels_match_manual', 'true'),
-        |  ('n_rows', '4001')) AS t(probe, value)
+      """WITH lab AS (
+        |  SELECT CAST(r.range AS BIGINT) AS id, CAST(0 AS BIGINT) AS lbl
+        |  FROM range(0, 2001) r
+        |  UNION ALL
+        |  SELECT CAST(2001 + r.range AS BIGINT),
+        |    CAST(2001 + r.range - (r.range % 2) AS BIGINT)
+        |  FROM range(0, 2000) r),
+        |h AS (
+        |  SELECT CAST(concat('0x', substring(md5(concat_ws('|', '42',
+        |      concat_ws('|',
+        |        coalesce(CAST(id AS VARCHAR), '\N'),
+        |        coalesce(CAST(lbl AS VARCHAR), '\N')))),
+        |    1, 14)) AS BIGINT) AS hv
+        |  FROM lab)
+        |SELECT 'arbitrated_k_aqe' AS probe, '0' AS value
+        |UNION ALL SELECT 'arbitration_live', 'true'
+        |UNION ALL SELECT 'auto_k_chain', '0'
+        |UNION ALL SELECT 'auto_k_hub', '16'
+        |UNION ALL SELECT 'checksum',
+        |  (SELECT CAST(CAST(sum(hv) % 4611686018427387904 AS BIGINT) AS VARCHAR) FROM h)
+        |UNION ALL SELECT 'hub_cluster_size', '2001'
+        |UNION ALL SELECT 'n_clusters', '1001'
+        |UNION ALL SELECT 'n_rows', '4001'
         |ORDER BY probe""".stripMargin,
 
     // the q172 register replay without the rolling window: the direct

@@ -60,8 +60,11 @@ class CcSkewSpec extends SparkSpec {
     * listener bus is async, so the wait is PATTERN-based: block (with
     * a bounded deadline) until a captured plan satisfies `expect` —
     * a fixed post-capture sleep was flake-prone on loaded machines
-    * (late plan captures could be missed). */
-  private def withSkewConfsCapturing(expect: String => Boolean = _ => true)
+    * (late plan captures could be missed). `skewJoinOn = false` turns
+    * runtime skew protection OFF while keeping the rest of the
+    * fixture confs — the arbitration tests need both worlds. */
+  private def withSkewConfsCapturing(expect: String => Boolean = _ => true,
+      skewJoinOn: Boolean = true)
       (body: => Unit): Seq[String] = {
     val conf = spark.conf
     val saved = Seq(
@@ -86,7 +89,7 @@ class CcSkewSpec extends SparkSpec {
     }
     spark.listenerManager.register(listener)
     try {
-      conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.enabled", skewJoinOn.toString)
       conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
       conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "100b")
       conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "100b")
@@ -174,10 +177,14 @@ class CcSkewSpec extends SparkSpec {
     assert(Dedup.autoSaltBuckets(8001, nNodes, 2 * (hub + chains)) == 16)
   }
 
-  test("AutoSalt: the hub graph probes skewed and salts (k>1), labels exact; a chain probes uniform and does not") {
+  test("AutoSalt: with runtime skew protection OFF the hub graph probes skewed and salts (k>1), labels exact; a chain probes uniform and does not") {
+    // skewJoinOn = false: runtime protection cannot fire, so the
+    // arbitration leaves the degree-profile rule in charge — salting
+    // is then the ONLY hub protection and MUST engage
     val (nodes, edges) = hubGraph
     val plans = withSkewConfsCapturing(p =>
-        p.contains("hashpartitioning(src") && p.contains("__salt")) {
+        p.contains("hashpartitioning(src") && p.contains("__salt"),
+        skewJoinOn = false) {
       val lab = Dedup.connectedComponents(nodes, "id", edges, "a", "b",
         localEdgeLimit = 0, saltBuckets = Dedup.AutoSalt)
       assertLabelsExact(lab) // identical to the manual-k and unsalted runs
@@ -191,7 +198,8 @@ class CcSkewSpec extends SparkSpec {
     val cn = spark.range(400L).select(col("id"))
     val ce = spark.range(400L).filter(col("id") % 2 === 0)
       .select(col("id").as("a"), (col("id") + 1L).as("b"))
-    val chainPlans = withSkewConfsCapturing(_.contains("SortMergeJoin [src")) {
+    val chainPlans = withSkewConfsCapturing(_.contains("SortMergeJoin [src"),
+        skewJoinOn = false) {
       val lab = Dedup.connectedComponents(cn, "id", ce, "a", "b",
         localEdgeLimit = 0, saltBuckets = Dedup.AutoSalt)
       assert(lab.filter(col("cluster_id") =!= col("id") - col("id") % 2)
@@ -201,5 +209,81 @@ class CcSkewSpec extends SparkSpec {
     assert(chainPlans.exists(_.contains("SortMergeJoin [src")))
     assert(!chainPlans.exists(_.contains("__salt")),
       "AutoSalt salted a uniform chain graph — the probe should pick 0")
+  }
+
+  test("arbitration law: with runtime protection LIVE, AutoSalt stands down to 0 — no salt, skew-split still fires, labels exact") {
+    // the r15 arbitration (r14 verdict What's-missing #2): all three
+    // protection confs are on inside withSkewConfsCapturing, so
+    // AutoSalt must resolve 0 (no __salt anywhere in the loop) and
+    // the hot partition is split by AQE instead
+    assert(Dedup.arbitratedSaltBuckets(16, aqeSkewLive = true) == 0)
+    assert(Dedup.arbitratedSaltBuckets(16, aqeSkewLive = false) == 16)
+    val (nodes, edges) = hubGraph
+    val plans = withSkewConfsCapturing(_.contains("skew=true")) {
+      assert(Dedup.aqeSkewProtectionLive(spark),
+        "fixture confs should make the arbitration predicate true")
+      val lab = Dedup.connectedComponents(nodes, "id", edges, "a", "b",
+        localEdgeLimit = 0, saltBuckets = Dedup.AutoSalt)
+      assertLabelsExact(lab)
+      lab.unpersist()
+    }
+    assert(!plans.exists(_.contains("__salt")),
+      "AutoSalt salted despite live runtime protection — the " +
+        "arbitration should have resolved 0")
+    assert(plans.exists(_.contains("skew=true")),
+      "runtime skew-split did not fire on the arbitrated (unsalted) run")
+  }
+
+  test("arbitration law: the arbitrated k=0 run shuffles strictly fewer records than the salted k=16 run (labels identical)") {
+    // the replication tax made concrete: with salt k every label row
+    // explodes k ways into the propagation exchange every round, so
+    // standing the salt down under live AQE protection must shrink
+    // total shuffle-write records. Measured off TaskEnd metrics with
+    // a bounded settle-wait (the listener bus is async — round-gotchas
+    // rule: never a bare fixed sleep).
+    val records = new AtomicLong(0)
+    val sl = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (te.taskMetrics != null)
+          records.addAndGet(te.taskMetrics.shuffleWriteMetrics.recordsWritten)
+    }
+    def measure(body: => Unit): Long = {
+      records.set(0)
+      spark.sparkContext.addSparkListener(sl)
+      try {
+        body
+        // settle: wait until no new records arrive for 500 ms (bounded)
+        val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+        var last = -1L
+        while (records.get() != last && System.nanoTime() < deadline) {
+          last = records.get()
+          Thread.sleep(500)
+        }
+        records.get()
+      } finally spark.sparkContext.removeSparkListener(sl)
+    }
+    val (nodes, edges) = hubGraph
+    var arbitrated = 0L
+    var salted = 0L
+    withSkewConfsCapturing() {
+      arbitrated = measure {
+        val lab = Dedup.connectedComponents(nodes, "id", edges, "a", "b",
+          localEdgeLimit = 0, saltBuckets = Dedup.AutoSalt) // arbitrates to 0
+        assertLabelsExact(lab)
+        lab.unpersist()
+      }
+      salted = measure {
+        val lab = Dedup.connectedComponents(nodes, "id", edges, "a", "b",
+          localEdgeLimit = 0, saltBuckets = 16) // explicit k is never arbitrated
+        assertLabelsExact(lab) // identical labeling — the salt identity law
+        lab.unpersist()
+      }
+    }
+    assert(arbitrated > 0L && salted > 0L,
+      s"shuffle metrics not captured (arbitrated=$arbitrated salted=$salted)")
+    assert(arbitrated < salted,
+      s"arbitrated k=0 run should shuffle fewer records than k=16 " +
+        s"(got $arbitrated vs $salted)")
   }
 }
