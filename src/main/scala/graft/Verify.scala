@@ -45,6 +45,30 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Rows-only justification tripwire (r14 verdict item 5): the gate
+    // carries exactly two BY-DESIGN rows-only entries — q59 (opaque
+    // native approx-agg sketch values), justified by its HASH-MATCHED
+    // portable twins q76/q77/q91, and q173 (data-dependent PCA
+    // eigenbasis), justified by fixed-basis twin q48 plus the
+    // basis-invariant spectrum gate q337. If a refactor ever drops a
+    // twin (or its oracle) from the contract, the rows-only status
+    // silently loses its justification and 335/337 degrades without
+    // any red row — fail the WHOLE dump loudly instead. Asserted on
+    // the full declaration maps, so targeted runs check it too.
+    val rowsOnlyJustifiedBy = Map(
+      "q59_approx_agg" -> Seq("q76_kmv_distinct", "q77_sampled_median",
+        "q91_hll_distinct"),
+      "q173_pca_project" -> Seq("q48_embed_neardup_lsh", "q337_pca_invariants"))
+    rowsOnlyJustifiedBy.foreach { case (rowsOnly, twins) =>
+      if (SparkEntry.queries.contains(rowsOnly)) {
+        require(!SparkEntry.oracleSql.contains(rowsOnly),
+          s"$rowsOnly now HAS an oracle — drop it from the rows-only tripwire")
+        twins.foreach(t => require(
+          SparkEntry.queries.contains(t) && SparkEntry.oracleSql.contains(t),
+          s"rows-only gate $rowsOnly lost its hash-matched twin $t — " +
+            "restore the twin (query + oracle) or retire the rows-only entry"))
+      }
+    }
     spark.stop()
     // tripwire: a query that throws writes NO output parquet and then
     // silently vanishes from the driver's correctness report (q38 was

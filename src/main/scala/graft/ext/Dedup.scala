@@ -919,7 +919,13 @@ object Dedup {
     * it cached behind the returned lazy frame — a long-lived session
     * computing many passes should use
     * [[weightedMinhashNearDupsReleasable]] and call `release()` after
-    * materializing the result, or `spark.catalog.clearCache()`. */
+    * materializing the result, or `spark.catalog.clearCache()`.
+    *
+    * @note BREAKING DEFAULT CHANGE (since r14): `shingleN` default
+    *       moved 1 → 3. Callers who relied on the r13 word-tf default
+    *       get different (n-gram-mass) results and must pass
+    *       `shingleN = 1` explicitly — which also opts into the
+    *       degenerate-basis tripwire pricing described above. */
   def weightedMinhashNearDups(docs: DataFrame, idCol: String,
       textCol: String, thresholdPpm: Long = 500000L, k: Int = 16,
       bands: Int = 4, weightCap: Int = 8, shingleN: Int = 3,

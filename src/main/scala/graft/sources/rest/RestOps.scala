@@ -56,7 +56,12 @@ object RestOps {
             case _ => r.get(i)
           }))
         }.toMap
-        RestRetry.withRetry(policy)(t.upsert(obj, rec)) match {
+        // mutation retry class: 5xx only for keyed (idempotent) records
+        val keyed = rec.get("Id") match {
+          case Some(s: String) => s.nonEmpty
+          case _ => false
+        }
+        RestRetry.withMutationRetry(policy, keyed)(t.upsert(obj, rec)) match {
           case Right(id) => Row(id, true, null)
           case Left(e)   => Row(rec.get("Id").map(String.valueOf).orNull, false, e)
         }

@@ -32,19 +32,29 @@ object RetryPolicy {
 /** Executor/driver-side retry wrapper the connector puts around every
   * transport call. Retry scope is deliberately narrow:
   *
-  *  - ONLY [[RestHttpError]] with status 429/500/502/503/504 retries.
-  *    401 never lands here (the transport re-auths transparently) and
-  *    other 4xx are caller errors — retrying them spends quota on a
-  *    request that can never succeed.
-  *  - Mutations are safe to retry through this path because
-  *    [[HttpTransport.upsert]] only rethrows REJECTED admission
-  *    (429/5xx raised before the connector sees a result); record-level
-  *    failures stay in the never-throwing error envelope.
+  *  - READ path ([[withRetry]]): ONLY [[RestHttpError]] with status
+  *    429/500/502/503/504 retries. 401 never lands here (the
+  *    transport re-auths transparently) and other 4xx are caller
+  *    errors — retrying them spends quota on a request that can never
+  *    succeed. Reads are side-effect-free, so the full transient
+  *    family is safe.
+  *  - MUTATION path ([[withMutationRetry]], r14 advice): 429 always
+  *    retries — it is an admission refusal raised BEFORE the server
+  *    does work, so a retry can never duplicate. A transient 5xx on
+  *    an UNKEYED create (no Id → POST, reference main.py:236) can
+  *    arrive AFTER the server committed the insert — a gateway
+  *    502/504 on the response leg — so an automatic retry would
+  *    create a duplicate record; 5xx therefore retries only when the
+  *    record carries its idempotency key (Id present → PATCH update,
+  *    idempotent by construction). An unkeyed create's 5xx propagates
+  *    to the caller's record-level error envelope instead.
   *  - A `Retry-After` header wins over computed backoff — the server
   *    knows its own pacing. Otherwise exponential: baseMs · 2^attempt,
-  *    capped at maxMs, plus ±25% jitter so a 1000-partition scan that
-  *    got throttled in lockstep does not come back in lockstep (the
-  *    thundering-herd standard).
+  *    plus ±25% jitter so a 1000-partition scan that got throttled in
+  *    lockstep does not come back in lockstep (the thundering-herd
+  *    standard). The SLEPT value is capped at maxMs AFTER jitter —
+  *    jitter can never push the wait past the configured ceiling or
+  *    past a server-sent Retry-After bound by it (r14 advice).
   *
   * Exhausted retries rethrow the last error: the task fails LOUDLY
   * (and Spark's own task retry may move it to a calmer moment) rather
@@ -58,6 +68,17 @@ object RestRetry {
     case RestHttpError(status, _, _) => RetryableStatuses.contains(status)
     case _ => false
   }
+
+  /** Mutation-path retry class: see the object scaladoc. `idempotent`
+    * = the record carries its key (a retried PATCH re-applies the
+    * same state; a retried POST creates a second record). */
+  def isMutationRetryable(e: Throwable, idempotent: Boolean): Boolean =
+    e match {
+      case RestHttpError(429, _, _) => true
+      case RestHttpError(status, _, _) =>
+        idempotent && RetryableStatuses.contains(status)
+      case _ => false
+    }
 
   /** Pure backoff schedule (pre-jitter), unit-testable: Retry-After
     * wins; else baseMs << attempt, capped at maxMs. */
@@ -74,18 +95,31 @@ object RestRetry {
         .nextLong(2 * quarter)
     }
 
-  /** Run `op`, retrying retryable failures up to `policy.maxRetries`
-    * times. `onRetry` fires once per retry (metrics hook). */
+  /** Run `op`, retrying READ-path retryable failures up to
+    * `policy.maxRetries` times. `onRetry` fires once per retry
+    * (metrics hook). */
   def withRetry[T](policy: RetryPolicy, onRetry: () => Unit = () => ())
-      (op: => T): T = {
+      (op: => T): T =
+    retryLoop(policy, isRetryable, onRetry)(op)
+
+  /** [[withRetry]] with the MUTATION retry class: 429 always, 5xx
+    * only when `idempotent` (see the object scaladoc). */
+  def withMutationRetry[T](policy: RetryPolicy, idempotent: Boolean,
+      onRetry: () => Unit = () => ())(op: => T): T =
+    retryLoop(policy, isMutationRetryable(_, idempotent), onRetry)(op)
+
+  private def retryLoop[T](policy: RetryPolicy,
+      retryable: Throwable => Boolean, onRetry: () => Unit)(op: => T): T = {
     var attempt = 0
     while (true) {
       try return op
       catch {
-        case e: RestHttpError if isRetryable(e) && attempt < policy.maxRetries =>
+        case e: RestHttpError if retryable(e) && attempt < policy.maxRetries =>
           val ms = backoffMs(policy, attempt, e.retryAfterMs)
           onRetry()
-          if (ms > 0) Thread.sleep(jittered(ms))
+          // jitter INSIDE the cap: the contract is "never sleeps past
+          // maxMs", and jitter must not break it (r14 advice)
+          if (ms > 0) Thread.sleep(math.min(policy.maxMs, jittered(ms)))
           attempt += 1
       }
     }

@@ -565,8 +565,17 @@ class RestDataWriter(schema: StructType, options: Map[String, String], obj: Stri
       }))
     }.toMap
     // a throttled upsert THROWS (the transport only envelopes
-    // record-level failures) and retries here; record errors count
-    RestRetry.withRetry(policy, () => retries += 1)(t.upsert(obj, rec)) match {
+    // record-level failures) and retries here; record errors count.
+    // MUTATION retry class: 5xx only retries for keyed records (Id →
+    // PATCH, idempotent) — a gateway 5xx on an unkeyed POST create
+    // can land after the insert committed, and retrying would
+    // duplicate the record (r14 advice)
+    val keyed = rec.get("Id") match {
+      case Some(s: String) => s.nonEmpty
+      case _ => false
+    }
+    RestRetry.withMutationRetry(policy, keyed, () => retries += 1)(
+      t.upsert(obj, rec)) match {
       case Right(_) => ok += 1
       case Left(_)  => err += 1
     }

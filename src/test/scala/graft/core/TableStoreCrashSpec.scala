@@ -182,4 +182,137 @@ class TableStoreCrashSpec extends SparkSpec {
     assert(store.gc("t").isEmpty)
     assert(store.gc("no_such_table").isEmpty)
   }
+
+  // ---------------------------------------------- AtomicOps seam (r15)
+  // The fence's two-writer guarantees proven THROUGH the seam: a
+  // FakeFs-style AtomicOps double injects exactly the contention /
+  // failure each primitive can exhibit on a non-atomic store, and the
+  // protocol must refuse loudly at that point — so a deployment that
+  // plugs a conditional-write implementation inherits a tested
+  // contract, not a hopeful one.
+
+  /** The default primitives, reconstructed for wrapping. */
+  private def hadoopOps(root: String): AtomicOps = new AtomicOps {
+    override def createExclusive(p: Path): Boolean = fs(root).createNewFile(p)
+    override def renameOverwrite(src: Path, dst: Path): Unit = {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        new Path(root).toUri, spark.sparkContext.hadoopConfiguration)
+      fc.rename(src, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    }
+  }
+
+  test("seam: a lost claim race (createExclusive=false) refuses BEFORE the parquet job — no clobber") {
+    val root = Files.createTempDirectory("graft-seam").toString
+    val under = hadoopOps(root)
+    // a store whose exclusive-create always loses the race on claims
+    val losing = new TableStore(spark, root, Some(new AtomicOps {
+      override def createExclusive(p: Path): Boolean =
+        if (p.getName.endsWith("._CLAIM")) false else under.createExclusive(p)
+      override def renameOverwrite(src: Path, dst: Path): Unit =
+        under.renameOverwrite(src, dst)
+    }))
+    val honest = new TableStore(spark, root)
+    honest.write("t", Seq((1L, "a")).toDF("id", "v")) // v0
+    val e = intercept[IllegalStateException] {
+      losing.write("t", Seq((2L, "b")).toDF("id", "v"))
+    }
+    assert(e.getMessage.contains("claimed by another writer"), e.getMessage)
+    // the loser never started its parquet job and the table is intact
+    assert(!fs(root).exists(new Path(root, "t/v1")))
+    assert(ids(honest.read("t")) == Seq(1L))
+  }
+
+  test("seam: a racer committing between claim and fence is detected — the late writer aborts, the racer's snapshot serves") {
+    val root = Files.createTempDirectory("graft-seam").toString
+    val under = hadoopOps(root)
+    val racer = new TableStore(spark, root)
+    racer.write("t", Seq((1L, "a")).toDF("id", "v")) // v0
+    // the slow writer's claim succeeds, but the racer's FULL commit
+    // lands first (claim → write → swap → release) — simulated inside
+    // createExclusive, i.e. in the win-the-claim-after-the-racer's-
+    // swap window the fence exists for
+    var injected = false
+    val slow = new TableStore(spark, root, Some(new AtomicOps {
+      override def createExclusive(p: Path): Boolean = {
+        if (p.getName.endsWith("._CLAIM") && !injected) {
+          injected = true
+          racer.write("t", Seq((7L, "racer")).toDF("id", "v")) // v1 commits
+        }
+        under.createExclusive(p)
+      }
+      override def renameOverwrite(src: Path, dst: Path): Unit =
+        under.renameOverwrite(src, dst)
+    }))
+    val e = intercept[IllegalStateException] {
+      slow.write("t", Seq((2L, "late")).toDF("id", "v"))
+    }
+    assert(e.getMessage.contains("concurrent writer detected"), e.getMessage)
+    // the racer's snapshot is untouched and current
+    assert(ids(racer.read("t")) == Seq(7L))
+    assert(racer.versions("t") == Seq(0, 1))
+  }
+
+  test("seam: a failed pointer swap (renameOverwrite throws) leaves the old version serving; the retry converges") {
+    val root = Files.createTempDirectory("graft-seam").toString
+    val under = hadoopOps(root)
+    var failNext = false
+    val store = new TableStore(spark, root, Some(new AtomicOps {
+      override def createExclusive(p: Path): Boolean = under.createExclusive(p)
+      override def renameOverwrite(src: Path, dst: Path): Unit = {
+        if (failNext) { failNext = false
+          throw new java.io.IOException("injected: conditional PUT precondition failed")
+        }
+        under.renameOverwrite(src, dst)
+      }
+    }))
+    store.write("t", Seq((1L, "a")).toDF("id", "v")) // v0 (clean)
+    failNext = true
+    intercept[java.io.IOException] {
+      store.write("t", Seq((2L, "b")).toDF("id", "v")) // v1 swap dies
+    }
+    // old version serves; v1 is a phantom; the claim was released
+    assert(ids(store.read("t")) == Seq(1L))
+    assert(store.versions("t") == Seq(0))
+    assert(!fs(root).exists(new Path(root, "t/v1._CLAIM")))
+    // the retry converges onto the same v1
+    store.write("t", Seq((2L, "b")).toDF("id", "v"))
+    assert(ids(store.read("t")) == Seq(2L))
+    assert(store.versions("t") == Seq(0, 1))
+  }
+
+  test("seam: marker-BEFORE-rename — a first-swap crash in the window refuses loudly instead of promoting the never-current dir") {
+    val root = Files.createTempDirectory("graft-seam").toString
+    val under = hadoopOps(root)
+    val store = new TableStore(spark, root, Some(new AtomicOps {
+      override def createExclusive(p: Path): Boolean = under.createExclusive(p)
+      override def renameOverwrite(src: Path, dst: Path): Unit =
+        throw new java.io.IOException("injected: crash before the first swap")
+    }))
+    intercept[java.io.IOException] {
+      store.write("t", Seq((1L, "a")).toDF("id", "v")) // v0, swap never lands
+    }
+    // pre-r15 (marker after rename) this silently promoted v0 via the
+    // newest-complete-dir fallback even though no swap ever landed;
+    // the marker now rides ahead of the rename, so the read REFUSES
+    val e = intercept[IllegalStateException](store.read("t"))
+    assert(e.getMessage.contains("_LATEST") && e.getMessage.contains("refusing"),
+      e.getMessage)
+    // operator restores the pointer; the table serves
+    val out = fs(root).create(new Path(root, "t/_LATEST"), true)
+    try out.write("0".getBytes("UTF-8")) finally out.close()
+    assert(ids(store.read("t")) == Seq(1L))
+  }
+
+  test("gc staleClaimMs: a FRESH claim is refused (a live writer's fence survives); 0 sweeps at-rest claims") {
+    val (store, root) = newStore()
+    store.write("t", Seq((1L, "a")).toDF("id", "v")) // v0
+    val f = fs(root)
+    assert(f.createNewFile(new Path(root, "t/v1._CLAIM"))) // live writer
+    // an hour-threshold gc must NOT break the seconds-old claim
+    assert(!store.gc("t", staleClaimMs = 3600L * 1000).contains("v1._CLAIM"))
+    assert(f.exists(new Path(root, "t/v1._CLAIM")))
+    // the at-rest default presumes every claim stranded and sweeps it
+    assert(store.gc("t").contains("v1._CLAIM"))
+    assert(!f.exists(new Path(root, "t/v1._CLAIM")))
+  }
 }

@@ -105,4 +105,66 @@ class RestRetrySpec extends AnyFunSuite {
       RetryPolicy.fromOptions(Map("retrybasems" -> "100", "retrymaxms" -> "50"))
     }
   }
+
+  // ----------------------------------------- mutation retry class (r15)
+  // r14 advice (medium): an upsert WITHOUT Id is a POST create, and a
+  // gateway 5xx can arrive AFTER the server committed the insert — an
+  // automatic retry would create a duplicate record. The mutation path
+  // therefore retries 5xx only for keyed (idempotent PATCH) records;
+  // 429 — admission refused before any work — always retries.
+
+  test("mutation class: 429 retries for keyed AND unkeyed; 5xx only for keyed") {
+    for (s <- Seq(500, 502, 503, 504)) {
+      assert(RestRetry.isMutationRetryable(RestHttpError(s, "x"), idempotent = true))
+      assert(!RestRetry.isMutationRetryable(RestHttpError(s, "x"), idempotent = false),
+        s"unkeyed create must NOT auto-retry a $s — the insert may have committed")
+    }
+    assert(RestRetry.isMutationRetryable(RestHttpError(429, "x"), idempotent = false))
+    assert(RestRetry.isMutationRetryable(RestHttpError(429, "x"), idempotent = true))
+    assert(!RestRetry.isMutationRetryable(RestHttpError(400, "x"), idempotent = true))
+    assert(!RestRetry.isMutationRetryable(new IllegalStateException, idempotent = true))
+  }
+
+  test("withMutationRetry: an unkeyed create's 502 propagates on the FIRST failure; a keyed update's 502 is absorbed") {
+    val fast = RetryPolicy(maxRetries = 3, baseMs = 0L, maxMs = 0L)
+    var creates = 0
+    intercept[RestHttpError] {
+      RestRetry.withMutationRetry(fast, idempotent = false) {
+        creates += 1; throw RestHttpError(502, "gateway")
+      }
+    }
+    assert(creates == 1, "the create must not be re-sent — it may have committed")
+    var patches = 0
+    val out = RestRetry.withMutationRetry(fast, idempotent = true) {
+      patches += 1
+      if (patches < 3) throw RestHttpError(502, "gateway") else "ok"
+    }
+    assert(out == "ok" && patches == 3)
+    // 429 is admission-refused-before-work: retried even for creates
+    var throttled = 0
+    val out2 = RestRetry.withMutationRetry(fast, idempotent = false) {
+      throttled += 1
+      if (throttled < 2) throw RestHttpError(429, "busy") else "created"
+    }
+    assert(out2 == "created" && throttled == 2)
+  }
+
+  test("slept backoff never exceeds maxMs even with jitter (r14 advice: jitter inside the cap)") {
+    // maxMs = 50: pre-fix, +25% jitter on a capped 50 ms could sleep
+    // ~62 ms; three retries at the cap must now stay under ~3*50 plus
+    // scheduler slack. Generous bound — this is a contract test, not
+    // a timing benchmark.
+    val tight = RetryPolicy(maxRetries = 3, baseMs = 50L, maxMs = 50L)
+    val t0 = System.nanoTime()
+    intercept[RestHttpError] {
+      RestRetry.withMutationRetry(tight, idempotent = true) {
+        throw RestHttpError(503, "x", retryAfterMs = Some(5000L))
+      }
+    }
+    val elapsedMs = (System.nanoTime() - t0) / 1000000L
+    // Retry-After asked for 5 s ×3; the cap must have bounded each
+    // sleep to ≤50 ms (jitter included)
+    assert(elapsedMs < 1500L, s"slept too long: ${elapsedMs}ms — jitter or " +
+      "Retry-After escaped the maxMs cap")
+  }
 }
