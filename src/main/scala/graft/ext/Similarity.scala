@@ -722,14 +722,24 @@ object Similarity {
 
   /** Load a persisted IVF-PQ index (see [[saveIvfPq]]). The returned
     * index has no backing cache (`unpersist()` is a no-op) — the
-    * encoded/centroid frames read straight from the store snapshots. */
-  def loadIvfPq(store: graft.core.TableStore, name: String): IvfPqIndex = {
-    val b = store.read(s"${name}_books").head()
+    * encoded/centroid frames read straight from the store snapshots.
+    *
+    * `version` time-travels the INDEX (index-as-table, r14 verdict
+    * item 6): every [[saveIvfPq]] is one more snapshot version of the
+    * three index tables, so a training run can be reproduced against
+    * the exact codebook + encoding it searched with — even after the
+    * index was retrained on a drifted corpus (q338 gates this; the
+    * three tables version in lockstep because saveIvfPq writes them
+    * together). None = current. */
+  def loadIvfPq(store: graft.core.TableStore, name: String,
+      version: Option[Int] = None): IvfPqIndex = {
+    def rd(t: String) =
+      version.fold(store.read(t))(v => store.readVersion(t, v))
+    val b = rd(s"${name}_books").head()
     val books = PqBooks(b.getInt(0), b.getInt(1), b.getInt(2),
       b.getSeq[scala.collection.Seq[scala.collection.Seq[Double]]](3)
         .map(_.map(_.toArray).toArray).toArray)
-    IvfPqIndex(store.read(s"${name}_encoded"),
-      store.read(s"${name}_centroids"), books, None)
+    IvfPqIndex(rd(s"${name}_encoded"), rd(s"${name}_centroids"), books, None)
   }
 
   /** IVF search: each query probes its `nprobe` nearest centroids and

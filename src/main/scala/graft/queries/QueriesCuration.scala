@@ -620,6 +620,50 @@ private[graft] object QueriesCuration {
       out
     }),
 
+    // INDEX-AS-TABLE (r15, r14 verdict item 6): the IVF-PQ index
+    // persists as versioned TableStore snapshots (saveIvfPq → one
+    // version of <name>_{encoded,centroids,books} per call), so a
+    // training run can TIME-TRAVEL to the exact codebook + encoding
+    // it searched with — q110's operator composed with q145's store.
+    // The fixture: build on the full corpus (v0), RETRAIN on a
+    // drifted corpus (odd ids only → v1, the current index), then
+    // load version 0 and search it at full probe + corpus shortlist —
+    // the result must hash-match the SAME exact-cosine oracle as
+    // q110/q49, proving the persisted v0 codebook replays identically
+    // after the index moved on. That the drift is real is asserted
+    // in-body: the CURRENT index must encode no even id (a violation
+    // throws and fails the gate loudly). Results freeze driver-side
+    // (5 queries × k = 50 rows) before the temp store deletes — the
+    // q145 recipe.
+    "q338_ivfpq_index_table" -> ((s, d) => {
+      val emb = T(s, d, "embeddings")
+      val books = Similarity.pqSeededBooks(dim = 64, m = 8, ksub = 16, seed = 42L)
+      val root = java.nio.file.Files.createTempDirectory("graft-idx")
+      try {
+        val store = new graft.core.TableStore(s, root.toString)
+        val v0 = Similarity.ivfPqBuild(emb, "vec_id", "embedding",
+          nCentroids = 16, books)
+        Similarity.saveIvfPq(v0, store, "ann") // v0 of each index table
+        v0.unpersist()
+        val drifted = Similarity.ivfPqBuild(
+          emb.filter(col("vec_id") % 2 === 1), "vec_id", "embedding",
+          nCentroids = 16, books)
+        Similarity.saveIvfPq(drifted, store, "ann") // v1 = current
+        drifted.unpersist()
+        val cur = Similarity.loadIvfPq(store, "ann")
+        require(cur.encoded.filter(col("__id") % 2 === 0).isEmpty,
+          "q338: the CURRENT index should be the drifted (odd-id) retrain")
+        val trainTime = Similarity.loadIvfPq(store, "ann", version = Some(0))
+        val out = Similarity.ivfPqSearch(trainTime, emb, "vec_id", "embedding",
+          emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+          k = 10, nprobe = 16, shortlist = emb.count().toInt)
+          .withColumn("rank", col("rank").cast("long"))
+        import scala.jdk.CollectionConverters._
+        val frozen = s.createDataFrame(out.collect().toSeq.asJava, out.schema)
+        frozen.orderBy(col("query_id"), col("rank"))
+      } finally org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
+    }),
+
     // Distributed centroid computation (array analytics): element-wise
     // mean of embeddings per group, exact via decimal sums. The typed
     // Aggregator twin (functions.VectorAgg.mean) is spec-covered.
@@ -2017,6 +2061,9 @@ private[graft] object QueriesCuration {
     // full probe + corpus-sized shortlist ⇒ the exact-rerank stage IS
     // brute force — same oracle as q49/q50
     "q110_ann_ivfpq" -> AnnTopkSql,
+    // time-traveled v0 index at full probe + corpus shortlist = the
+    // same exact-cosine closed form (see the query's comment)
+    "q338_ivfpq_index_table" -> AnnTopkSql,
 
     // md5-bucket sample (Sampling.portableBucket): same membership set
     // in any engine with md5 — the sample itself is what's verified.

@@ -134,6 +134,25 @@ class SimilaritySpec extends SparkSpec {
         queries, "vec_id", "embedding", k = 5, nprobe = 4, shortlist = 20)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
       assert(fromStore == mem, "search over the stored index must match in-memory")
+      // index-as-table time travel (r15): retrain onto the store (v1)
+      // and load the ORIGINAL v0 — it must still encode the full
+      // corpus while the current index carries only the retrain set
+      val drifted = Similarity.ivfPqBuild(emb.filter($"vec_id" % 2 === 1),
+        "vec_id", "embedding", nCentroids = 8, books)
+      try {
+        Similarity.saveIvfPq(drifted, store, "ann")
+        val cur = Similarity.loadIvfPq(store, "ann")
+        assert(cur.encoded.filter($"__id" % 2 === 0).isEmpty,
+          "current index should be the drifted retrain")
+        val v0 = Similarity.loadIvfPq(store, "ann", version = Some(0))
+        assert(v0.encoded.count() == emb.count(),
+          "time-traveled v0 must encode the full original corpus")
+        val replay = Similarity.ivfPqSearch(v0, emb, "vec_id", "embedding",
+          queries, "vec_id", "embedding", k = 5, nprobe = 4, shortlist = 20)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+        assert(replay == mem,
+          "the time-traveled index must replay the original search exactly")
+      } finally drifted.unpersist()
     } finally idx.unpersist()
   }
 
