@@ -94,13 +94,34 @@ object Bench {
       catch { case _: Throwable => () }
     })
     Runtime.getRuntime.addShutdownHook(hook)
-    for (_ <- 0 until 2; (name, fn) <- order) {
-      val t = timeOne(name, fn)
-      lock.synchronized { samples(name) ::= t }
+    // SELF-BUDGET (r15, the robust half of the r14 rc=124 fix): the
+    // hook only helps if the SIGTERM reaches this forked JVM and hooks
+    // get to run — the sure fix is to never meet the driver's timeout
+    // at all. A wall budget (SPARK_GRAFT_BENCH_BUDGET_S, default
+    // 1320 s ≈ 22 min — under any plausible driver timeout with
+    // startup margin) DEGRADES the protocol instead of dying: past
+    // the budget, pass 2/3 re-timings stop (a query keeps its pass-1
+    // sample — min-of-2 merely loses its second, load-independent
+    // sample) and, only if even pass 1 cannot finish on a pathological
+    // box, the un-run tail reports null and is listed in "skipped".
+    // Either way the process EXITS CLEANLY with a valid JSON line.
+    val budgetS = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "1320").toDouble
+    val tStart = System.nanoTime()
+    def overBudget: Boolean = (System.nanoTime() - tStart) / 1e9 > budgetS
+    val skipped = scala.collection.mutable.LinkedHashSet.empty[String]
+    for (pass <- 0 until 2; (name, fn) <- order) {
+      if (overBudget) {
+        if (pass == 0 && samples(name).isEmpty && !failed.contains(name))
+          skipped += name
+      } else {
+        val t = timeOne(name, fn)
+        lock.synchronized { samples(name) ::= t }
+      }
     }
-    for ((name, fn) <- order) {
+    for ((name, fn) <- order if !overBudget) {
       val ts = samples(name)
-      if (!failed.contains(name) && ts.min > 0.3 && ts.max / ts.min >= 1.5) {
+      if (ts.nonEmpty && !failed.contains(name) &&
+          ts.min > 0.3 && ts.max / ts.min >= 1.5) {
         val t = timeOne(name, fn)
         lock.synchronized { samples(name) ::= t }
       }
@@ -108,7 +129,10 @@ object Bench {
     finished = true
     try Runtime.getRuntime.removeShutdownHook(hook)
     catch { case _: IllegalStateException => () } // already shutting down
-    val results = order.map { case (name, _) => name -> samples(name).min }
+    val results = order.map { case (name, _) =>
+      val ts = samples(name)
+      name -> (if (ts.isEmpty) Double.NaN else ts.min)
+    }
     // a failed query's time-to-failure is noise, not cost: report it as
     // null and keep the headline total an aggregate of SUCCESSFUL runs
     // trailing zeros stripped ("0.50" -> "0.5", "2.00" -> "2"): at 150+
@@ -122,12 +146,20 @@ object Bench {
     }
     def entries(short: Boolean, scale: Int) = results.map { case (k, v) =>
       val key = if (short) k.takeWhile(_ != '_') else k
-      "\"" + key + "\":" + (if (failed.contains(k)) "null" else fmt(v, scale))
+      "\"" + key + "\":" + (if (failed.contains(k) || skipped.contains(k) ||
+        v.isNaN) "null" else fmt(v, scale))
     }.mkString("{", ",", "}")
-    val total = results.collect { case (k, v) if !failed.contains(k) => v }.sum
+    val total = results.collect {
+      case (k, v) if !failed.contains(k) && !skipped.contains(k) && !v.isNaN => v
+    }.sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // only surfaced when the budget actually degraded the run — the
+    // normal artifact stays byte-compatible with earlier rounds
+    val skippedJson = if (skipped.isEmpty) ""
+      else ",\"budget_degraded\":true,\"skipped\":" +
+        skipped.map("\"" + _ + "\"").mkString("[", ",", "]")
     def json(short: Boolean, scale: Int) =
-      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","mode":"min_interleaved_2","failed":$failedJson,"queries":${entries(short, scale)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","mode":"min_interleaved_2","failed":$failedJson$skippedJson,"queries":${entries(short, scale)},"sf":"$sfDir"}"""
     // The driver captures only the LAST ~2000 chars of sbt output and
     // parses the JSON line out of it: with 90+ queries, full names +
     // full-precision doubles overflow that window (round 3's line was
@@ -146,7 +178,7 @@ object Bench {
     // final metric line is ~150 chars of guaranteed-parseable JSON
     // with the headline total and the failed list; per-query values
     // live in bench_out.json and in the (mostly visible) long line.
-    println(s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","mode":"min_interleaved_2","n_queries":${results.size},"failed":$failedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","mode":"min_interleaved_2","n_queries":${results.size},"failed":$failedJson$skippedJson,"sf":"$sfDir"}""")
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
       json(short = false, scale = 3).getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
