@@ -47,7 +47,12 @@ object Bench {
       spark.catalog.clearCache()
       t
     }
+    // dev-only filter (comma substrings) for targeted local timing —
+    // the driver never sets it, so the gate always runs the full suite
+    val onlyPats = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').toSeq).getOrElse(Nil)
     val order = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => onlyPats.isEmpty || onlyPats.exists(n.contains) }
     // the stdout line keys queries by qNN prefix — fail BEFORE the
     // first timed pass (the keys are known now; discovering a
     // duplicate after minutes of measurement would waste the run and
