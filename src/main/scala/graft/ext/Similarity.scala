@@ -713,11 +713,14 @@ object Similarity {
     val spark = index.encoded.sparkSession
     import spark.implicits._
     store.write(s"${name}_encoded", index.encoded)
-    store.write(s"${name}_centroids", index.centroids)
+    // constants-sized tables (C rows / 1 row): one file each — writing
+    // them at the session's shuffle parallelism would scatter a
+    // 16-row table over 32 mostly-empty files per version
+    store.write(s"${name}_centroids", index.centroids.coalesce(1))
     store.write(s"${name}_books", Seq((
       index.books.dim, index.books.m, index.books.ksub,
       index.books.books.map(_.map(_.toSeq).toSeq).toSeq))
-      .toDF("dim", "m", "ksub", "books"))
+      .toDF("dim", "m", "ksub", "books").coalesce(1))
   }
 
   /** Load a persisted IVF-PQ index (see [[saveIvfPq]]). The returned

@@ -645,9 +645,12 @@ private[graft] object QueriesCuration {
           nCentroids = 16, books)
         Similarity.saveIvfPq(v0, store, "ann") // v0 of each index table
         v0.unpersist()
+        // the drifted retrain is never searched — only its encoded ids
+        // are asserted — so it trains at the cheapest shape (4
+        // centroids) rather than paying a second full k-means
         val drifted = Similarity.ivfPqBuild(
           emb.filter(col("vec_id") % 2 === 1), "vec_id", "embedding",
-          nCentroids = 16, books)
+          nCentroids = 4, books)
         Similarity.saveIvfPq(drifted, store, "ann") // v1 = current
         drifted.unpersist()
         val cur = Similarity.loadIvfPq(store, "ann")
