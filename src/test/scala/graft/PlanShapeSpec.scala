@@ -528,4 +528,26 @@ class PlanShapeSpec extends SparkSpec {
       "loop labeling must return persisted: " + p)
     cc.unpersist()
   }
+
+  test("guarded LSH candidates ride ONE exchange: the occupancy window shares the join's (band, hash) shuffle and the second join side is a ReusedExchange") {
+    // r15 rewrite (r14 verdict next-round #1c): the r14 shape joined a
+    // separately-aggregated occupancy side, paying a THIRD evaluation
+    // of the signature subtree plus an extra join; the window form
+    // must show (a) a Window over the same keys the join shuffles on
+    // and (b) the rgt side reusing the l side's exchange. Static plan
+    // (AQE off — reuse markers are not printed through query stages).
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val docs = graft.core.Fx.t(spark, sfDir, "documents").limit(500)
+      val sig = graft.ext.Dedup.minhashSignature(docs, "doc_id", "text",
+        k = 16, shingleN = 3, portable = true)
+      val cand = graft.ext.Dedup.lshCandidatesGuarded(sig, "doc_id",
+        k = 16, bands = 4, portable = true)
+      val p = plan(cand)
+      assert(p.contains("ReusedExchange"),
+        "the guard's window must share the candidate join's exchange: " + p)
+      assert(p.contains("Window"), p)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
 }
