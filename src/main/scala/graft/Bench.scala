@@ -159,10 +159,16 @@ object Bench {
     }.sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     // only surfaced when the budget actually degraded the run — the
-    // normal artifact stays byte-compatible with earlier rounds
+    // normal artifact stays byte-compatible with earlier rounds. The
+    // full skipped list goes to the LONG line / bench_out.json only;
+    // the compact tail-window line carries just the count (a 200-name
+    // array would re-create the very truncation the line exists to
+    // survive).
     val skippedJson = if (skipped.isEmpty) ""
       else ",\"budget_degraded\":true,\"skipped\":" +
         skipped.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val skippedCompact = if (skipped.isEmpty) ""
+      else s""","budget_degraded":true,"n_skipped":${skipped.size}"""
     def json(short: Boolean, scale: Int) =
       s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","mode":"min_interleaved_2","failed":$failedJson$skippedJson,"queries":${entries(short, scale)},"sf":"$sfDir"}"""
     // The driver captures only the LAST ~2000 chars of sbt output and
@@ -183,7 +189,7 @@ object Bench {
     // final metric line is ~150 chars of guaranteed-parseable JSON
     // with the headline total and the failed list; per-query values
     // live in bench_out.json and in the (mostly visible) long line.
-    println(s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","mode":"min_interleaved_2","n_queries":${results.size},"failed":$failedJson$skippedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","mode":"min_interleaved_2","n_queries":${results.size},"failed":$failedJson$skippedCompact,"sf":"$sfDir"}""")
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
       json(short = false, scale = 3).getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
