@@ -164,11 +164,17 @@ object Bench {
     // the compact tail-window line carries just the count (a 200-name
     // array would re-create the very truncation the line exists to
     // survive).
-    val skippedJson = if (skipped.isEmpty) ""
-      else ",\"budget_degraded\":true,\"skipped\":" +
-        skipped.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val skippedCompact = if (skipped.isEmpty) ""
-      else s""","budget_degraded":true,"n_skipped":${skipped.size}"""
+    // a budget trip mid-pass-2 leaves some queries with ONE sample
+    // (min-of-1 reads hotter than min-of-2) — surface the count so a
+    // degraded total is never mistaken for a comparable one
+    val singleSample = order.count { case (n, _) =>
+      !failed.contains(n) && !skipped.contains(n) && samples(n).size == 1 }
+    val degraded = skipped.nonEmpty || (overBudget && singleSample > 0)
+    val skippedJson = if (!degraded) ""
+      else ",\"budget_degraded\":true,\"n_single_sample\":" + singleSample +
+        ",\"skipped\":" + skipped.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val skippedCompact = if (!degraded) ""
+      else s""","budget_degraded":true,"n_single_sample":$singleSample,"n_skipped":${skipped.size}"""
     def json(short: Boolean, scale: Int) =
       s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","mode":"min_interleaved_2","failed":$failedJson$skippedJson,"queries":${entries(short, scale)},"sf":"$sfDir"}"""
     // The driver captures only the LAST ~2000 chars of sbt output and
