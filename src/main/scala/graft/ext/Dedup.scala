@@ -73,7 +73,19 @@ object Dedup {
     * is a persisted frame; with the conf at its shipped-false default
     * AQE leaves plans reading cached data non-adaptive, SPARK-35332).
     * Each conf is read against its Spark default, so an unset conf
-    * resolves exactly as Spark would. */
+    * resolves exactly as Spark would.
+    *
+    * CAVEAT (r15 advice): this checks the three SWITCHES, not the
+    * runtime TRIGGER — OptimizeSkewedJoin additionally requires the
+    * hot partition to clear `skewedPartitionFactor` (default 5.0) AND
+    * `skewedPartitionThresholdInBytes` (default 256 MB) on a
+    * sort-merge / shuffled-hash join. A hub partition that is heavily
+    * skewed but UNDER a (possibly raised) byte threshold gets neither
+    * an AQE split nor a salt once AutoSalt stands down — labels stay
+    * correct (the arbitration never affects results), but straggler
+    * protection may silently not fire. Deployments that raise the
+    * thresholds should force salting back on via the explicit
+    * `saltBuckets` argument rather than relying on the arbitration. */
   def aqeSkewProtectionLive(spark: org.apache.spark.sql.SparkSession): Boolean = {
     def on(key: String, default: Boolean): Boolean =
       spark.conf.getOption(key).map(_.trim.equalsIgnoreCase("true"))

@@ -630,7 +630,9 @@ private[graft] object QueriesCuration {
     // load version 0 and search it at full probe + corpus shortlist —
     // the result must hash-match the SAME exact-cosine oracle as
     // q110/q49, proving the persisted v0 codebook replays identically
-    // after the index moved on. That the drift is real is asserted
+    // after the index moved on (versions resolve through the r16
+    // group-commit MANIFEST — version N = the Nth save's triple).
+    // That the drift is real is asserted
     // in-body: the CURRENT index must encode no even id (a violation
     // throws and fails the gate loudly). Results freeze driver-side
     // (5 queries × k = 50 rows) before the temp store deletes — the
@@ -658,6 +660,52 @@ private[graft] object QueriesCuration {
           "q338: the CURRENT index should be the drifted (odd-id) retrain")
         val trainTime = Similarity.loadIvfPq(store, "ann", version = Some(0))
         val out = Similarity.ivfPqSearch(trainTime, emb, "vec_id", "embedding",
+          emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+          k = 10, nprobe = 16, shortlist = emb.count().toInt)
+          .withColumn("rank", col("rank").cast("long"))
+        import scala.jdk.CollectionConverters._
+        val frozen = s.createDataFrame(out.collect().toSeq.asJava, out.schema)
+        frozen.orderBy(col("query_id"), col("rank"))
+      } finally org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
+    }),
+
+    // INCREMENTAL INDEX MAINTENANCE (r16, r15 verdict next-round item
+    // 6): a new document batch ENCODE-APPENDS against the persisted
+    // codebook + centroids — no retrain, no re-encode of the existing
+    // corpus — and commits through the index-group MANIFEST (r15
+    // verdict missing #2: the manifest row names the exact
+    // (encoded_v, centroids_v, books_v) triple; loadIvfPq resolves
+    // only through it, so a crash mid-append can never serve a
+    // mixed-version index). The fixture: build on the even-id half
+    // (manifest v0 = triple (0,0,0)), appendIvfPq the odd-id half —
+    // then two proofs: (1) in-body, the new manifest pins (1, 0, 0),
+    // i.e. the append bumped ONLY encoded_v and reuses the persisted
+    // codebook verbatim; (2) the appended index searched at full
+    // probe + corpus shortlist hash-matches the SAME exact-cosine
+    // oracle as q110/q338 — every corpus row is present exactly once
+    // and decodes against the right codebook, which is precisely the
+    // "append == full re-encode" equivalence (the frame-level
+    // equality is additionally spec-pinned in SimilaritySpec).
+    // Results freeze driver-side (50 rows) before the temp store
+    // deletes — the q145/q338 recipe.
+    "q339_ivfpq_append" -> ((s, d) => {
+      val emb = T(s, d, "embeddings")
+      val books = Similarity.pqSeededBooks(dim = 64, m = 8, ksub = 16, seed = 42L)
+      val root = java.nio.file.Files.createTempDirectory("graft-idx")
+      try {
+        val store = new graft.core.TableStore(s, root.toString)
+        val base = Similarity.ivfPqBuild(
+          emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding",
+          nCentroids = 16, books)
+        Similarity.saveIvfPq(base, store, "ann") // manifest v0 = (0,0,0)
+        base.unpersist()
+        Similarity.appendIvfPq(store, "ann",
+          emb.filter(col("vec_id") % 2 === 1), "vec_id", "embedding")
+        val (encV, cenV, bkV) = Similarity.ivfPqManifest(store, "ann")
+        require(encV == 1 && cenV == 0 && bkV == 0,
+          s"q339: append must bump ONLY encoded_v — got ($encV,$cenV,$bkV)")
+        val idx = Similarity.loadIvfPq(store, "ann")
+        val out = Similarity.ivfPqSearch(idx, emb, "vec_id", "embedding",
           emb.filter(col("vec_id") < 5), "vec_id", "embedding",
           k = 10, nprobe = 16, shortlist = emb.count().toInt)
           .withColumn("rank", col("rank").cast("long"))
@@ -2067,6 +2115,10 @@ private[graft] object QueriesCuration {
     // time-traveled v0 index at full probe + corpus shortlist = the
     // same exact-cosine closed form (see the query's comment)
     "q338_ivfpq_index_table" -> AnnTopkSql,
+    // encode-appended index at full probe + corpus shortlist = the
+    // same exact-cosine closed form (every row present exactly once,
+    // decoded against the manifest-pinned codebook)
+    "q339_ivfpq_append" -> AnnTopkSql,
 
     // md5-bucket sample (Sampling.portableBucket): same membership set
     // in any engine with md5 — the sample itself is what's verified.

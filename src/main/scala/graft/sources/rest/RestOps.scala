@@ -61,7 +61,11 @@ object RestOps {
           case Some(s: String) => s.nonEmpty
           case _ => false
         }
-        RestRetry.withMutationRetry(policy, keyed)(t.upsert(obj, rec)) match {
+        // NEVER throws (r15 advice): an escaping RestHttpError would
+        // fail the task and task retry would replay the partition's
+        // already-committed unkeyed creates — mutationToEnvelope
+        // converts it to a record-level error row instead
+        RestRetry.mutationToEnvelope(policy, keyed)(t.upsert(obj, rec)) match {
           case Right(id) => Row(id, true, null)
           case Left(e)   => Row(rec.get("Id").map(String.valueOf).orNull, false, e)
         }

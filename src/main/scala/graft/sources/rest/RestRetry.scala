@@ -56,9 +56,14 @@ object RetryPolicy {
   *    jitter can never push the wait past the configured ceiling or
   *    past a server-sent Retry-After bound by it (r14 advice).
   *
-  * Exhausted retries rethrow the last error: the task fails LOUDLY
-  * (and Spark's own task retry may move it to a calmer moment) rather
-  * than silently truncating a scan. */
+  * Exhausted READ retries rethrow the last error: the task fails
+  * LOUDLY (and Spark's own task retry may move it to a calmer moment)
+  * rather than silently truncating a scan — reads are side-effect-
+  * free, so a partition replay costs only time. MUTATION record-loop
+  * callers instead route every escaping [[RestHttpError]] into the
+  * record-level envelope via [[RestRetry.mutationToEnvelope]]: a
+  * thrown error there would trigger a partition replay that re-POSTs
+  * already-committed unkeyed creates (r15 advice). */
 object RestRetry {
 
   /** 429 (throttle) + the transient 5xx family. */
@@ -107,6 +112,33 @@ object RestRetry {
   def withMutationRetry[T](policy: RetryPolicy, idempotent: Boolean,
       onRetry: () => Unit = () => ())(op: => T): T =
     retryLoop(policy, isMutationRetryable(_, idempotent), onRetry)(op)
+
+  /** [[withMutationRetry]] for a RECORD-LOOP caller (the status frame
+    * / DSv2 writer): any [[RestHttpError]] that still escapes the
+    * retry loop is converted to the record-level error envelope
+    * instead of rethrown (r15 advice). Rationale: these callers
+    * process many records per Spark task, so a thrown error fails the
+    * task and task retry REPLAYS THE WHOLE PARTITION's upserts —
+    * re-POSTing every already-committed unkeyed create in it, a far
+    * wider duplicate window than the single record the envelope
+    * marks failed. Only two error shapes can reach the catch (the
+    * transport already envelopes non-retryable statuses itself):
+    * a retryable status whose bounded retries exhausted, or an
+    * unkeyed create's transient 5xx that the mutation class refuses
+    * to auto-retry; the envelope text names which. */
+  def mutationToEnvelope(policy: RetryPolicy, keyed: Boolean,
+      onRetry: () => Unit = () => ())
+      (op: => Either[String, String]): Either[String, String] =
+    try withMutationRetry(policy, keyed, onRetry)(op)
+    catch {
+      case RestHttpError(status, b, _) =>
+        val why =
+          if (!keyed && status != 429)
+            "unkeyed create: transient error not auto-retried — a " +
+              "retry could duplicate a committed insert"
+          else "retries exhausted"
+        Left(s"HTTP $status ($why): $b")
+    }
 
   private def retryLoop[T](policy: RetryPolicy,
       retryable: Throwable => Boolean, onRetry: () => Unit)(op: => T): T = {

@@ -574,7 +574,13 @@ class RestDataWriter(schema: StructType, options: Map[String, String], obj: Stri
       case Some(s: String) => s.nonEmpty
       case _ => false
     }
-    RestRetry.withMutationRetry(policy, keyed, () => retries += 1)(
+    // mutationToEnvelope, not withMutationRetry (r15 advice): a thrown
+    // error here fails the task, and task retry replays the WHOLE
+    // partition's upserts — re-POSTing every already-committed unkeyed
+    // create. The escaping error becomes an err-counted record instead
+    // (commit() still fails the JOB loudly with the counts, but no
+    // partition ever replays).
+    RestRetry.mutationToEnvelope(policy, keyed, () => retries += 1)(
       t.upsert(obj, rec)) match {
       case Right(_) => ok += 1
       case Left(_)  => err += 1

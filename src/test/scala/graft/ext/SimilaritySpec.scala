@@ -156,6 +156,90 @@ class SimilaritySpec extends SparkSpec {
     } finally idx.unpersist()
   }
 
+  test("index group commit: a kill between member writes leaves the previous manifest triple serving (r15 verdict missing #2)") {
+    val emb = Fx.t(spark, sfDir, "embeddings")
+    val books = Similarity.pqSeededBooks(dim = 64, m = 8, ksub = 16)
+    val store = new graft.core.TableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft-annmf").toString)
+    val idx = Similarity.ivfPqBuild(emb, "vec_id", "embedding",
+      nCentroids = 8, books)
+    try {
+      Similarity.saveIvfPq(idx, store, "ann") // manifest v0 = (0,0,0)
+      assert(Similarity.ivfPqManifest(store, "ann") == ((0, 0, 0)))
+      val n = emb.count()
+      // simulate a save/append KILLED after its encoded write but
+      // before its manifest commit: a bare member-table write with no
+      // manifest — exactly what the crash window leaves behind
+      store.write("ann_encoded",
+        idx.encoded.filter($"__id" % 2 === 1))
+      // the current manifest still pins the PREVIOUS triple: readers
+      // serve the full v0 encoding, never the orphaned half-write
+      assert(Similarity.ivfPqManifest(store, "ann") == ((0, 0, 0)))
+      assert(Similarity.loadIvfPq(store, "ann").encoded.count() == n,
+        "a crashed group write must stay invisible to loads")
+      // the next SUCCESSFUL save commits a manifest that skips the
+      // orphan: no manifest version ever names encoded v1
+      Similarity.saveIvfPq(idx, store, "ann")
+      assert(Similarity.ivfPqManifest(store, "ann") == ((2, 1, 1)))
+      assert(Similarity.ivfPqManifest(store, "ann", Some(0)) == ((0, 0, 0)))
+      assert(Similarity.loadIvfPq(store, "ann").encoded.count() == n)
+    } finally idx.unpersist()
+  }
+
+  test("loadIvfPq refuses a store with no committed manifest, by name") {
+    val store = new graft.core.TableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft-annmf2").toString)
+    // member tables without a manifest = uncommitted group state (a
+    // first save crashed mid-group, or a pre-manifest layout)
+    store.write("ann_encoded",
+      Seq((1L, 0, Seq(1, 2))).toDF("__id", "centroid_id", "codes"))
+    val e = intercept[IllegalArgumentException] {
+      Similarity.loadIvfPq(store, "ann")
+    }
+    assert(e.getMessage.contains("manifest"))
+  }
+
+  test("appendIvfPq == re-encode under the same codebook: old rows byte-identical, new rows carry pqEncode's exact codes (q339's frame-level twin)") {
+    val emb = Fx.t(spark, sfDir, "embeddings")
+    val books = Similarity.pqSeededBooks(dim = 64, m = 8, ksub = 16)
+    val store = new graft.core.TableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft-annap").toString)
+    val even = emb.filter($"vec_id" % 2 === 0)
+    val odd = emb.filter($"vec_id" % 2 === 1)
+    val base = Similarity.ivfPqBuild(even, "vec_id", "embedding",
+      nCentroids = 8, books)
+    try {
+      Similarity.saveIvfPq(base, store, "ann")
+      Similarity.appendIvfPq(store, "ann", odd, "vec_id", "embedding")
+      // group commit: only encoded_v advanced — centroids and books
+      // are the persisted v0 objects, reused verbatim
+      assert(Similarity.ivfPqManifest(store, "ann") == ((1, 0, 0)))
+      val cur = Similarity.loadIvfPq(store, "ann")
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getInt(1), r.getSeq[Int](2).toList)
+      val got = cur.encoded.select($"__id", $"centroid_id", $"codes")
+        .collect().map(key).toSet
+      // exactly one row per corpus id
+      assert(got.size == emb.count() &&
+        got.map(_._1) == emb.select($"vec_id").as[Long].collect().toSet)
+      // the pre-append rows are BYTE-IDENTICAL to the v0 snapshot (no
+      // re-encode of the existing corpus)
+      val v0 = Similarity.loadIvfPq(store, "ann", version = Some(0))
+        .encoded.select($"__id", $"centroid_id", $"codes")
+        .collect().map(key).toSet
+      assert(got.filter(r => r._1 % 2 == 0) == v0)
+      // the appended rows carry pqEncode's exact codes for the same
+      // codebook (the re-encode equivalence), assigned to a live bucket
+      val oddCodes = Similarity.pqEncode(odd, "vec_id", "embedding", books)
+        .select($"vec_id", $"codes").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Int](1).toList).toMap
+      got.filter(_._1 % 2 == 1).foreach { case (id, cid, codes) =>
+        assert(codes == oddCodes(id), s"appended codes differ for id $id")
+        assert(cid >= 0 && cid < 8, s"appended row $id assigned to $cid")
+      }
+    } finally base.unpersist()
+  }
+
   test("IVF assignment: broadcast mode == literal mode, row for row") {
     // the two modes must be bit-identical (same left-to-right dot,
     // same lowest-id tie-break) so the production default stays

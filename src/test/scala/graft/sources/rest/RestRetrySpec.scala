@@ -149,6 +149,46 @@ class RestRetrySpec extends AnyFunSuite {
     assert(out2 == "created" && throttled == 2)
   }
 
+  // ------------------------------------ record-loop envelope (r15 advice)
+  // an escaping RestHttpError in a record-loop caller fails the Spark
+  // task, and task retry replays the WHOLE partition's upserts —
+  // re-POSTing already-committed unkeyed creates. mutationToEnvelope
+  // therefore converts every escape into the record-level envelope.
+
+  test("mutationToEnvelope: unkeyed create's 502 becomes a Left on the FIRST failure, never a throw") {
+    val fast = RetryPolicy(maxRetries = 3, baseMs = 0L, maxMs = 0L)
+    var creates = 0
+    val out = RestRetry.mutationToEnvelope(fast, keyed = false) {
+      creates += 1; throw RestHttpError(502, "gateway")
+    }
+    assert(creates == 1, "the create must not be re-sent — it may have committed")
+    assert(out.isLeft && out.swap.exists(_.contains("unkeyed create")),
+      s"envelope must name the unkeyed-create path: $out")
+  }
+
+  test("mutationToEnvelope: keyed 5xx and any 429 exhaust their retries, then envelope as 'retries exhausted'") {
+    val fast = RetryPolicy(maxRetries = 2, baseMs = 0L, maxMs = 0L)
+    var patches = 0
+    val keyedOut = RestRetry.mutationToEnvelope(fast, keyed = true) {
+      patches += 1; throw RestHttpError(503, "down")
+    }
+    assert(patches == 3 && keyedOut.swap.exists(_.contains("retries exhausted")))
+    var throttled = 0
+    val createOut = RestRetry.mutationToEnvelope(fast, keyed = false) {
+      throttled += 1; throw RestHttpError(429, "busy")
+    }
+    assert(throttled == 3 && createOut.swap.exists(_.contains("retries exhausted")),
+      "an exhausted 429 on a create must envelope, not throw — a task " +
+        "replay would re-POST the partition's committed creates")
+  }
+
+  test("mutationToEnvelope: success and transport-level Left pass through untouched") {
+    val fast = RetryPolicy(maxRetries = 1, baseMs = 0L, maxMs = 0L)
+    assert(RestRetry.mutationToEnvelope(fast, keyed = true)(Right("id1")) == Right("id1"))
+    assert(RestRetry.mutationToEnvelope(fast, keyed = false)(
+      Left("HTTP 400: bad")) == Left("HTTP 400: bad"))
+  }
+
   test("slept backoff never exceeds maxMs even with jitter (r14 advice: jitter inside the cap)") {
     // maxMs = 50: pre-fix, +25% jitter on a capped 50 ms could sleep
     // ~62 ms; three retries at the cap must now stay under ~3*50 plus
