@@ -5,8 +5,86 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main (driver contract): runs every SparkEntry query on
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line. Queries are fully
   * materialized through the `noop` sink (count() alone would let
-  * Catalyst prune projections and under-report work). */
+  * Catalyst prune projections and under-report work).
+  *
+  * COVERAGE-FIRST DEGRADATION (r16, r15 verdict item 1). Two rounds
+  * running, the driver's box was slow enough (~10× the builder's
+  * rate) that the r15 alphabetical pass-1 burned the whole self
+  * budget on a name-ordered prefix — 77 of 338 timed, comparable to
+  * nothing. The protocol now degrades by VALUE, not by name:
+  *  - CHEAPEST-FIRST order, by the previous round's committed
+  *    per-query costs (`bench_ref.json`; fallback name order): a
+  *    budget trip then skips only the few priced audits at the tail,
+  *    and the timed set is the maximum the budget could buy.
+  *  - CALIBRATION PROBE: the first few timed queries estimate the
+  *    box's slowdown vs the reference; if two interleaved passes
+  *    plus the retime margin cannot fit the budget, the run switches
+  *    to SINGLE-PASS mode immediately — it never discovers the slow
+  *    box dozens of queries in.
+  *  - PREDICTIVE SKIPS: a query predicted to blow the remaining
+  *    budget (slowdown × its reference cost) is skipped BEFORE it
+  *    starts — the budget is never overshot by a 15 s audit that was
+  *    already doomed.
+  *  - COMPARABILITY ANCHOR: the compact line carries `obs_on_ref`
+  *    (observed seconds summed over timed ∩ reference) next to
+  *    `ref_sum` (the reference's seconds over the SAME set), so ANY
+  *    timed subset yields one cross-round-comparable ratio — a
+  *    degraded artifact is no longer informationally empty.
+  *  - CHUNKED PARTIALS: per-query values stream as
+  *    `{"metric":"partial",...}` lines sized for the driver's
+  *    ~2000-char stdout tail window, ahead of the compact line.
+  *
+  * `SPARK_GRAFT_BENCH_TIER` (r15 verdict item 5): `fast` runs only
+  * queries under the 5 s reference bar (the deliberately-priced
+  * audits defer to a `heavy`-tier run as a second artifact — named
+  * in `deferred`, never silently dropped); `heavy` runs the
+  * complement; unset runs everything. */
 object Bench {
+
+  /** Reference cost bar between the `fast` and `heavy` tiers. */
+  private[graft] val HeavyRefS = 5.0
+
+  /** Parse `bench_ref.json` — the committed previous-round per-query
+    * seconds (full names, the bench_out.json shape). A hand-rolled
+    * key-scan, not a JSON parser: the only consumers are q-named
+    * numeric entries and the optional `ref_round` marker, and the
+    * file is trusted repo content. */
+  private[graft] def parseRefCosts(text: String): Map[String, Double] =
+    "\"(q\\d+[A-Za-z0-9_]*)\"\\s*:\\s*([0-9]+(?:\\.[0-9]+)?)".r
+      .findAllMatchIn(text)
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+
+  private[graft] def parseRefRound(text: String): Option[String] =
+    "\"ref_round\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(text)
+      .map(_.group(1))
+
+  /** Median of the reference costs — the cost assigned to a query the
+    * reference has never seen (new this round): mid-pack, so it runs
+    * neither first (untrusted) nor last (skipped first). */
+  private[graft] def medianCost(ref: Map[String, Double]): Double =
+    if (ref.isEmpty) 1.0
+    else {
+      val v = ref.values.toIndexedSeq.sorted
+      v(v.size / 2)
+    }
+
+  /** Coverage-first order: cheapest reference cost first, name as the
+    * tiebreak (and the total order when no reference exists). */
+  private[graft] def cheapestFirst[A](entries: Seq[(String, A)],
+      refCost: String => Double): Seq[(String, A)] =
+    entries.sortBy { case (n, _) => (refCost(n), n) }
+
+  /** Calibration verdict: can the full interleaved protocol (two
+    * passes + ~10% pass-3 retime margin) fit the remaining budget at
+    * the observed slowdown? `refObsS` = reference seconds of the
+    * already-timed probe (its second pass is still to pay). */
+  private[graft] def twoPassFits(elapsedS: Double, slowdown: Double,
+      refTotalS: Double, refObsS: Double, budgetS: Double): Boolean = {
+    val pass1Remaining = slowdown * (refTotalS - refObsS)
+    val pass2 = slowdown * refTotalS
+    elapsedS + pass1Remaining + 1.1 * pass2 <= 0.95 * budgetS
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -22,23 +100,67 @@ object Bench {
     // footer cache) so the first timed query isn't charged for it
     SparkEntry.queries.get("q01_count")
       .foreach(fn => try fn(spark, sfDir).count() catch { case _: Throwable => () })
-    // Two timed runs per query, report the MIN — but as two full
-    // PASSES over the suite, not back-to-back repeats. min-of-2 only
-    // rejects noise the two samples don't share: back-to-back runs sit
-    // inside the same ambient-load burst on this shared box (r4: q69
-    // 46.9 s driver-run vs 1.6 s clean — BOTH back-to-back runs were
-    // inside the burst, so min kept the inflated number). Interleaving
-    // puts a query's two samples minutes apart, so any burst shorter
-    // than a pass inflates at most one of them. A third, targeted pass
-    // re-times only queries whose two samples still disagree ≥1.5× —
-    // bounded extra cost, and it converts "burst longer than a pass"
-    // into three load-independent samples.
+
+    // ---- reference costs (previous round, committed) ----------------
+    val refText = {
+      val p = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_REF", "bench_ref.json"))
+      try new String(java.nio.file.Files.readAllBytes(p),
+        java.nio.charset.StandardCharsets.UTF_8)
+      catch { case _: Throwable => "" }
+    }
+    val ref = parseRefCosts(refText)
+    val refRound = parseRefRound(refText).getOrElse("none")
+    val refDefault = medianCost(ref)
+    def refCost(name: String): Double =
+      ref.getOrElse(name, ref.getOrElse(name.takeWhile(_ != '_'), refDefault))
+    def hasRef(name: String): Boolean =
+      ref.contains(name) || ref.contains(name.takeWhile(_ != '_'))
+
+    // ---- suite selection: dev filter, tier, cheapest-first order ----
+    // dev-only filter (comma substrings) for targeted local timing —
+    // the driver never sets it, so the gate always runs the full suite
+    val onlyPats = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').toSeq).getOrElse(Nil)
+    val all = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => onlyPats.isEmpty || onlyPats.exists(n.contains) }
+    val tier = sys.env.get("SPARK_GRAFT_BENCH_TIER").map(_.trim.toLowerCase)
+      .filter(t => t == "fast" || t == "heavy")
+    val (selected, deferred) = tier match {
+      case Some("fast")  => all.partition { case (n, _) => refCost(n) < HeavyRefS }
+      case Some("heavy") => all.partition { case (n, _) => refCost(n) >= HeavyRefS }
+      case _             => (all, Seq.empty)
+    }
+    val order = cheapestFirst(selected, refCost)
+    // the stdout line keys queries by qNN prefix — fail BEFORE the
+    // first timed pass (the keys are known now; discovering a
+    // duplicate after minutes of measurement would waste the run and
+    // emit no JSON at all)
+    locally {
+      val shortKeys = all.map(_._1.takeWhile(_ != '_'))
+      val dups = shortKeys.diff(shortKeys.distinct).distinct
+      require(dups.isEmpty, s"duplicate short bench keys: ${dups.mkString(",")}")
+    }
+    val refTotal = order.map { case (n, _) => refCost(n) }.sum
+
+    // ---- shared state: EVERY mutation under `lock` (r15 advice: the
+    // SIGTERM hook snapshots these from another thread; LinkedHashSet
+    // and mutable.Map are not thread-safe, and a torn read would
+    // corrupt the partial flush — the exact path the hook guarantees)
+    val lock = new Object
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
+    val skipped = scala.collection.mutable.LinkedHashSet.empty[String]
+    val samples = scala.collection.mutable.Map.empty[String, List[Double]]
+      .withDefaultValue(Nil)
+    @volatile var finished = false
+    @volatile var mode = "min_interleaved_2_cf"
+    @volatile var degradedFlag = false
+
     def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
-        failed += name // a failed query must not read as a fast one
+        lock.synchronized { failed += name } // a failed query must not read as a fast one
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
       val t = (System.nanoTime() - t0) / 1e9
@@ -47,49 +169,45 @@ object Bench {
       spark.catalog.clearCache()
       t
     }
-    // dev-only filter (comma substrings) for targeted local timing —
-    // the driver never sets it, so the gate always runs the full suite
-    val onlyPats = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
-      .map(_.split(',').toSeq).getOrElse(Nil)
-    val order = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (n, _) => onlyPats.isEmpty || onlyPats.exists(n.contains) }
-    // the stdout line keys queries by qNN prefix — fail BEFORE the
-    // first timed pass (the keys are known now; discovering a
-    // duplicate after minutes of measurement would waste the run and
-    // emit no JSON at all)
-    locally {
-      val shortKeys = order.map(_._1.takeWhile(_ != '_'))
-      val dups = shortKeys.diff(shortKeys.distinct).distinct
-      require(dups.isEmpty, s"duplicate short bench keys: ${dups.mkString(",")}")
+
+    // locale-proof decimal formatting (the f interpolator follows the
+    // JVM default locale; a comma decimal would corrupt the JSON);
+    // trailing zeros stripped ("0.50" -> "0.5") — every saved char is
+    // margin against the driver's ~2000-char stdout tail window
+    def fmt(v: Double, scale: Int): String = {
+      val s = BigDecimal(v)
+        .setScale(scale, BigDecimal.RoundingMode.HALF_UP).toString
+      if (s.contains('.')) s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse
+      else s
     }
-    val samples = scala.collection.mutable.Map.empty[String, List[Double]]
-      .withDefaultValue(Nil)
+
+    // comparability anchor over a done-set: observed and reference
+    // seconds summed over the SAME timed ∩ reference queries — one
+    // division away from a cross-round ratio whatever subset got timed
+    def anchor(done: Seq[(String, Double)]): (Double, Double) = {
+      val onRef = done.filter { case (k, v) => v >= 0 && hasRef(k) }
+      (onRef.map(_._2).sum, onRef.map { case (k, _) => refCost(k) }.sum)
+    }
+
     // PARTIAL-RESULT GUARANTEE (r14 lesson: the driver's timeout
     // SIGTERM'd the run mid-suite and the round's bench artifact was
-    // rc=124 with parsed:null — no per-query data at all). A shutdown
-    // hook flushes a VALID compact JSON line (completed-query total +
-    // counts + truncated:true) and writes the per-query partial to
-    // bench_out.json, so a timeout can never again yield an artifact
-    // with nothing in it. `samples` is only touched under `lock`; the
-    // hook is disarmed before the normal final print (one JSON line
-    // per invocation either way).
-    val lock = new Object
-    @volatile var finished = false
+    // rc=124 with parsed:null). A shutdown hook flushes a VALID
+    // compact JSON line (completed-query total + counts + the
+    // obs_on_ref/ref_sum anchor + truncated:true) and writes the
+    // per-query partial to bench_out.json. The hook is disarmed
+    // before the normal final print (one artifact either way).
     def partialJson(full: Boolean): String = lock.synchronized {
       val done = order.collect {
         case (k, _) if samples(k).nonEmpty || failed.contains(k) =>
           k -> (if (failed.contains(k)) -1.0 else samples(k).min)
       }
       val total = done.collect { case (_, v) if v >= 0 => v }.sum
+      val (obsOnRef, refSum) = anchor(done)
       val failedJson0 = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-      // locale-proof decimal formatting (the f interpolator follows the
-      // JVM default locale; a comma decimal would corrupt the JSON)
-      def d3(v: Double): String = BigDecimal(v)
-        .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
       val per = if (!full) "" else ",\"queries\":" + done.map { case (k, v) =>
-        "\"" + k + "\":" + (if (v < 0) "null" else d3(v))
+        "\"" + k + "\":" + (if (v < 0) "null" else fmt(v, 3))
       }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${d3(total)},"unit":"sec","mode":"min_interleaved_2","truncated":true,"n_done":${done.size},"n_queries":${order.size},"failed":$failedJson0$per,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","mode":"$mode","truncated":true,"n_done":${done.size},"n_queries":${order.size},"obs_on_ref":${fmt(obsOnRef, 1)},"ref_sum":${fmt(refSum, 1)},"ref_round":"$refRound","failed":$failedJson0$per,"sf":"$sfDir"}"""
     }
     val hook = new Thread(() => if (!finished) {
       println(partialJson(full = false))
@@ -99,103 +217,167 @@ object Bench {
       catch { case _: Throwable => () }
     })
     Runtime.getRuntime.addShutdownHook(hook)
-    // SELF-BUDGET (r15, the robust half of the r14 rc=124 fix): the
-    // hook only helps if the SIGTERM reaches this forked JVM and hooks
-    // get to run — the sure fix is to never meet the driver's timeout
-    // at all. A wall budget (SPARK_GRAFT_BENCH_BUDGET_S, default
-    // 1320 s ≈ 22 min — under any plausible driver timeout with
-    // startup margin) DEGRADES the protocol instead of dying: past
-    // the budget, pass 2/3 re-timings stop (a query keeps its pass-1
-    // sample — min-of-2 merely loses its second, load-independent
-    // sample) and, only if even pass 1 cannot finish on a pathological
-    // box, the un-run tail reports null and is listed in "skipped".
-    // Either way the process EXITS CLEANLY with a valid JSON line.
+
+    // SELF-BUDGET (r15): never meet the driver's timeout — degrade
+    // instead. Default 1320 s ≈ 22 min, under any plausible driver
+    // timeout with startup margin.
     val budgetS = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "1320").toDouble
     val tStart = System.nanoTime()
-    def overBudget: Boolean = (System.nanoTime() - tStart) / 1e9 > budgetS
-    val skipped = scala.collection.mutable.LinkedHashSet.empty[String]
-    for (pass <- 0 until 2; (name, fn) <- order) {
-      if (overBudget) {
-        if (pass == 0 && samples(name).isEmpty && !failed.contains(name))
-          skipped += name
+    def elapsedS: Double = (System.nanoTime() - tStart) / 1e9
+
+    // live slowdown estimate vs the reference: observed pass-1 sum /
+    // reference sum over the timed-so-far set. Starts at 1 (trust the
+    // reference) and sharpens with every timed query; a floor on the
+    // denominator keeps the first sub-ms queries from swinging it.
+    var obsSum = 0.0
+    var refObs = 0.0
+    def slowdown: Double = if (refObs > 0.05) obsSum / refObs else 1.0
+
+    // ---- pass 1: cheapest-first, calibrated, predictive ------------
+    var calibrated = ref.isEmpty // no reference → nothing to calibrate against
+    var timedCount = 0
+    for ((name, fn) <- order) {
+      // predictive skip: don't START a query the remaining budget
+      // cannot absorb (cheapest-first ⇒ the skipped tail is the few
+      // priced audits, not an alphabetical prefix)
+      if (elapsedS + slowdown * refCost(name) > budgetS) {
+        lock.synchronized {
+          if (samples(name).isEmpty && !failed.contains(name)) skipped += name
+        }
+        degradedFlag = true
       } else {
         val t = timeOne(name, fn)
         lock.synchronized { samples(name) ::= t }
+        obsSum += t; refObs += refCost(name); timedCount += 1
+        // calibration probe: once the estimate has substance (≥5
+        // queries and ≥2 s observed, or 15 queries), decide the mode
+        // ONCE — a slow box switches to single-pass here, queries in,
+        // not 77 queries in
+        if (!calibrated && ((timedCount >= 5 && obsSum >= 2.0) || timedCount >= 15)) {
+          calibrated = true
+          if (!twoPassFits(elapsedS, slowdown, refTotal, refObs, budgetS)) {
+            mode = "single_pass_cf"
+            degradedFlag = true
+            System.err.println(f"[bench] calibration: slowdown ${slowdown}%.2fx vs $refRound, " +
+              f"two-pass needs ~${slowdown * refTotal * 2.1}%.0f s of ${budgetS}%.0f s budget " +
+              "— switching to single-pass coverage-first mode")
+          }
+        }
       }
     }
-    for ((name, fn) <- order if !overBudget) {
-      val ts = samples(name)
-      if (ts.nonEmpty && !failed.contains(name) &&
-          ts.min > 0.3 && ts.max / ts.min >= 1.5) {
-        val t = timeOne(name, fn)
-        lock.synchronized { samples(name) ::= t }
+
+    // ---- pass 2 (interleaved min-of-2) + pass 3 (disagreement) -----
+    // the second sample runs minutes after the first (a full pass
+    // apart), so an ambient burst shorter than a pass inflates at
+    // most one of them; a third, targeted retime converts "burst
+    // longer than a pass" into three load-independent samples. After
+    // pass 1 the slowdown estimate is exact, so the two-pass decision
+    // re-checks against ACTUALS before committing to pass 2.
+    if (mode != "single_pass_cf" &&
+        elapsedS + 1.1 * obsSum > 0.95 * budgetS) {
+      mode = "single_pass_cf"
+      degradedFlag = true
+      System.err.println("[bench] post-pass-1 check: pass 2 does not fit the " +
+        "remaining budget — keeping single-pass samples")
+    }
+    if (mode != "single_pass_cf") {
+      for ((name, fn) <- order) {
+        val hasOne = lock.synchronized {
+          samples(name).size == 1 && !failed.contains(name)
+        }
+        if (hasOne) {
+          if (elapsedS + slowdown * refCost(name) > budgetS) degradedFlag = true
+          else {
+            val t = timeOne(name, fn)
+            lock.synchronized { samples(name) ::= t }
+          }
+        }
+      }
+      for ((name, fn) <- order) {
+        val retime = lock.synchronized {
+          val ts = samples(name)
+          ts.nonEmpty && !failed.contains(name) &&
+            ts.min > 0.3 && ts.max / ts.min >= 1.5
+        }
+        if (retime && elapsedS + slowdown * refCost(name) <= budgetS) {
+          val t = timeOne(name, fn)
+          lock.synchronized { samples(name) ::= t }
+        }
       }
     }
+
     finished = true
     try Runtime.getRuntime.removeShutdownHook(hook)
     catch { case _: IllegalStateException => () } // already shutting down
-    val results = order.map { case (name, _) =>
-      val ts = samples(name)
-      name -> (if (ts.isEmpty) Double.NaN else ts.min)
+
+    // ---- report ------------------------------------------------------
+    val (results, failedNames, skippedNames) = lock.synchronized {
+      (order.map { case (name, _) =>
+        val ts = samples(name)
+        name -> (if (ts.isEmpty) Double.NaN else ts.min)
+      }, failed.toSeq, skipped.toSeq)
     }
-    // a failed query's time-to-failure is noise, not cost: report it as
-    // null and keep the headline total an aggregate of SUCCESSFUL runs
-    // trailing zeros stripped ("0.50" -> "0.5", "2.00" -> "2"): at 150+
-    // queries the stdout line is ~50 chars from the driver's 2000-char
-    // tail window, and every saved char is margin against truncation
-    def fmt(v: Double, scale: Int): String = {
-      val s = BigDecimal(v)
-        .setScale(scale, BigDecimal.RoundingMode.HALF_UP).toString
-      if (s.contains('.')) s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse
-      else s
-    }
-    def entries(short: Boolean, scale: Int) = results.map { case (k, v) =>
-      val key = if (short) k.takeWhile(_ != '_') else k
-      "\"" + key + "\":" + (if (failed.contains(k) || skipped.contains(k) ||
-        v.isNaN) "null" else fmt(v, scale))
-    }.mkString("{", ",", "}")
-    val total = results.collect {
-      case (k, v) if !failed.contains(k) && !skipped.contains(k) && !v.isNaN => v
-    }.sum
-    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    // only surfaced when the budget actually degraded the run — the
-    // normal artifact stays byte-compatible with earlier rounds. The
-    // full skipped list goes to the LONG line / bench_out.json only;
-    // the compact tail-window line carries just the count (a 200-name
-    // array would re-create the very truncation the line exists to
-    // survive).
+    val failedSet = failedNames.toSet
+    val skippedSet = skippedNames.toSet
+    def entries(short: Boolean, scale: Int, omitNull: Boolean) = results
+      .filter { case (k, v) =>
+        !omitNull || (!failedSet.contains(k) && !skippedSet.contains(k) && !v.isNaN) }
+      .map { case (k, v) =>
+        val key = if (short) k.takeWhile(_ != '_') else k
+        "\"" + key + "\":" + (if (failedSet.contains(k) || skippedSet.contains(k) ||
+          v.isNaN) "null" else fmt(v, scale))
+      }
+    // a failed query's time-to-failure is noise, not cost: report it
+    // as null and keep the headline total an aggregate of successes
+    val timed = results.filter { case (k, v) =>
+      !failedSet.contains(k) && !skippedSet.contains(k) && !v.isNaN }
+    val total = timed.map(_._2).sum
+    val (obsOnRef, refSum) = anchor(timed)
+    val failedJson = failedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
     // a budget trip mid-pass-2 leaves some queries with ONE sample
     // (min-of-1 reads hotter than min-of-2) — surface the count so a
     // degraded total is never mistaken for a comparable one
-    val singleSample = order.count { case (n, _) =>
-      !failed.contains(n) && !skipped.contains(n) && samples(n).size == 1 }
-    val degraded = skipped.nonEmpty || (overBudget && singleSample > 0)
-    val skippedJson = if (!degraded) ""
+    val singleSample = lock.synchronized {
+      order.count { case (n, _) =>
+        !failedSet.contains(n) && !skippedSet.contains(n) && samples(n).size == 1 }
+    }
+    val degraded = degradedFlag || skippedNames.nonEmpty
+    val degradedLong = if (!degraded) ""
       else ",\"budget_degraded\":true,\"n_single_sample\":" + singleSample +
-        ",\"skipped\":" + skipped.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val skippedCompact = if (!degraded) ""
-      else s""","budget_degraded":true,"n_single_sample":$singleSample,"n_skipped":${skipped.size}"""
+        ",\"skipped\":" + skippedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val degradedCompact = if (!degraded) ""
+      else s""","budget_degraded":true,"n_single_sample":$singleSample,"n_skipped":${skippedNames.size}"""
+    val tierLong = if (tier.isEmpty) ""
+      else s""","tier":"${tier.get}","deferred":""" +
+        deferred.map("\"" + _._1 + "\"").mkString("[", ",", "]")
+    val tierCompact = if (tier.isEmpty) ""
+      else s""","tier":"${tier.get}","n_deferred":${deferred.size}"""
     def json(short: Boolean, scale: Int) =
-      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","mode":"min_interleaved_2","failed":$failedJson$skippedJson,"queries":${entries(short, scale)},"sf":"$sfDir"}"""
-    // The driver captures only the LAST ~2000 chars of sbt output and
-    // parses the JSON line out of it: with 90+ queries, full names +
-    // full-precision doubles overflow that window (round 3's line was
-    // truncated mid-line → parsed:null; round 8's 122-query 3-decimal
-    // line left only ~150 chars of margin after sbt's `[info] ` prefix
-    // and `[success]` trailer, and parsed:null again). The stdout line
-    // therefore uses short qNN keys (unique by construction) and
-    // 2-decimal values (~1.5 KB incl. prefix+trailer); the full-name,
-    // 3-decimal version goes to bench_out.json.
-    println(json(short = true, scale = 2))
-    // At 173 queries even the short-key 2-decimal line is ~2.2 KB —
-    // past the driver's ~2000-char tail window, so ITS start truncates
-    // (r08/r09 recorded parsed:null with the line fully present; a
-    // longer line only makes that worse). Emit a SECOND, compact
-    // summary line afterwards: whatever the tail window cuts, the
-    // final metric line is ~150 chars of guaranteed-parseable JSON
-    // with the headline total and the failed list; per-query values
-    // live in bench_out.json and in the (mostly visible) long line.
-    println(s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","mode":"min_interleaved_2","n_queries":${results.size},"failed":$failedJson$skippedCompact,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","mode":"$mode","n_timed":${timed.size},"n_queries":${order.size},"obs_on_ref":${fmt(obsOnRef, 1)},"ref_sum":${fmt(refSum, 1)},"ref_round":"$refRound","failed":$failedJson$degradedLong$tierLong,"queries":${entries(short, scale, omitNull = false).mkString("{", ",", "}")},"sf":"$sfDir"}"""
+    // The driver captures only the LAST ~2000 chars of sbt output
+    // (every BENCH_r artifact to date shows exactly that tail) — a
+    // full-suite per-query object cannot fit it. Three layers:
+    //  1. bench_out.json — full names, 3 decimals, the whole story;
+    //  2. chunked {"metric":"partial"} lines — short keys, 2
+    //     decimals, TIMED queries only, each chunk sized so the tail
+    //     window always ends with whole chunks, cheapest queries
+    //     first (the expensive tail — the queries a perf audit reads
+    //     first — lands in the LAST, most-visible chunk);
+    //  3. the compact summary line LAST — headline total, counts,
+    //     and the obs_on_ref/ref_sum anchor: ~250 guaranteed-visible
+    //     chars that stay comparable whatever subset got timed.
+    val perQuery = entries(short = true, scale = 2, omitNull = true)
+    val chunkMax = 1400
+    val chunks = perQuery.foldLeft(List.empty[List[String]]) { (acc, e) =>
+      acc match {
+        case h :: t if (h.map(_.length + 1).sum + e.length) < chunkMax => (e :: h) :: t
+        case _ => List(e) :: acc
+      }
+    }.map(_.reverse).reverse
+    chunks.zipWithIndex.foreach { case (c, i) =>
+      println(s"""{"metric":"partial","chunk":${i + 1},"of":${chunks.size},"queries":${c.mkString("{", ",", "}")}}""")
+    }
+    println(s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","mode":"$mode","n_timed":${timed.size},"n_queries":${order.size},"obs_on_ref":${fmt(obsOnRef, 1)},"ref_sum":${fmt(refSum, 1)},"ref_round":"$refRound","failed":$failedJson$degradedCompact$tierCompact,"sf":"$sfDir"}""")
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
       json(short = false, scale = 3).getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
