@@ -91,6 +91,15 @@ object Fx {
   *    (e.g. a DynamoDB mutex) and keep the default ops. Without one
   *    of the two, the two-writer fence degrades to best-effort and
   *    the deployment is back to the single-writer contract.
+  *    [[ObjectStoreAtomicOps]] (r16) is the reference implementation
+  *    of the conditional-write arm: plug your store's GET /
+  *    conditional-PUT / DELETE into its [[ConditionalStore]] seam and
+  *    both primitives reduce to one precondition-checked PUT each;
+  *    ObjectStoreAtomicOpsSpec replays the crash-spec two-writer
+  *    guarantees through it against a conditional-write fake (no
+  *    native rename, no native exclusive create), including the
+  *    TOCTOU window where a racer's pointer PUT lands between the
+  *    swap's read and write — the precondition fails it loudly.
   *
   * TableStoreCrashSpec proves the fence's two-writer guarantees
   * THROUGH this seam (a contended claim refuses before the parquet
