@@ -271,14 +271,28 @@ object Bench {
     // apart), so an ambient burst shorter than a pass inflates at
     // most one of them; a third, targeted retime converts "burst
     // longer than a pass" into three load-independent samples. After
-    // pass 1 the slowdown estimate is exact, so the two-pass decision
-    // re-checks against ACTUALS before committing to pass 2.
-    if (mode != "single_pass_cf" &&
-        elapsedS + 1.1 * obsSum > 0.95 * budgetS) {
+    // pass 1 the slowdown estimate is EXACT (pass 1's own cost), so
+    // the two-pass decision re-decides on ACTUALS — in BOTH
+    // directions: a calibration probe that hit a burst and misread
+    // the box as slow must not strand the rest of a budget that pass
+    // 1's real cost proves can buy a full second pass (r16: a 2600 s
+    // budget run went single-pass on a 30 s burst and left 1600 s
+    // unused), and a probe that misread fast still downgrades here.
+    val pass2Fits = elapsedS + 1.1 * obsSum <= 0.95 * budgetS
+    if (mode != "single_pass_cf" && !pass2Fits) {
       mode = "single_pass_cf"
       degradedFlag = true
       System.err.println("[bench] post-pass-1 check: pass 2 does not fit the " +
         "remaining budget — keeping single-pass samples")
+    } else if (mode == "single_pass_cf" && pass2Fits && skipped.isEmpty) {
+      mode = "min_interleaved_2_cf"
+      // the only degradation so far was the calibration verdict
+      // itself, and it just proved wrong — the artifact is a normal
+      // min-of-2 run (pass-2 budget refusals below re-set the flag)
+      degradedFlag = false
+      System.err.println("[bench] post-pass-1 check: the calibration probe " +
+        "over-read the box (burst); pass 1's actual cost fits a full " +
+        "second pass in the remaining budget — upgrading back to min-of-2")
     }
     if (mode != "single_pass_cf") {
       for ((name, fn) <- order) {
