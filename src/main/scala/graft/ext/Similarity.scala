@@ -803,21 +803,58 @@ object Similarity {
       store.readVersion(s"${name}_centroids", cenV), books, None)
   }
 
-  /** Incremental index MAINTENANCE (r15 verdict next-round item 6):
-    * encode-append a new document batch against the PERSISTED
-    * codebook and centroids — no retrain, no re-encode of the
-    * existing corpus. The batch assigns to the existing centroids
-    * (broadcast argmax, the exact ivfBuild tie-break: max score,
-    * lowest centroid_id on ties) and PQ-encodes against the existing
-    * books, the union writes as a new `<name>_encoded` version, and
-    * the manifest commits LAST pinning (new encoded_v, SAME
-    * centroids_v, SAME books_v) — the group commit makes a partial
-    * append invisible, and q339 gates that the appended index is
-    * hash-identical to a full re-encode under the same codebook.
+  /** Assign + PQ-encode `batch` against an EXISTING index's centroids
+    * and codebooks — the shared encode step of [[appendIvfPq]] (and of
+    * its gates/specs, which rebuild the expected frame through the
+    * same helper so "append == full re-encode" is an equality of the
+    * operator with itself on different inputs, not of two lookalike
+    * code paths). Assignment is ivfBuild's broadcast argmax with the
+    * bit-identical tie-break (max score, lowest centroid_id on ties);
+    * returns (__id, centroid_id, codes). Batch-sized: broadcast
+    * centroids/books, no corpus participation. */
+  private[graft] def encodeAssign(batch: DataFrame, idCol: String,
+      vecCol: String, centroids: DataFrame, books: PqBooks): DataFrame = {
+    val b = batch.select(col(idCol).as("__id"),
+      l2Normalize(col(vecCol).cast("array<double>")).as("__v"))
+    val best = b.crossJoin(broadcast(centroids))
+      .select(col("__id"), col("centroid_id"),
+        dot(col("__v"), col("__cv")).as("__s"))
+      .groupBy(col("__id"))
+      .agg(max_by(col("centroid_id"),
+        struct(col("__s"), -col("centroid_id"))).as("centroid_id"))
+    val enc = pqEncode(batch, idCol, vecCol, books)
+      .withColumnRenamed(idCol, "__id")
+    best.join(enc, Seq("__id"))
+      .select(col("__id"), col("centroid_id"), col("codes"))
+  }
+
+  /** Incremental index MAINTENANCE (r15 verdict next-round item 6) —
+    * UPSERT semantics (r16 verdict item 1): encode a document batch
+    * against the PERSISTED codebook and centroids — no retrain, no
+    * re-encode of the existing corpus — and REPLACE-BY-ID: any batch
+    * id already present in the index is superseded (its old row is
+    * anti-joined away before the union), so the committed snapshot
+    * holds every indexed id EXACTLY ONCE. That makes append the index
+    * twin of the store's upsert (D8): a CDC/re-ingest loop that
+    * re-sends a changed document gets the fresh encoding, never a
+    * double entry — without the anti-join a re-sent id would encode
+    * twice and a top-k could return the same nn_id twice (shrinking
+    * effective k). Intra-batch duplicate ids are REJECTED loudly (one
+    * batch-sized aggregate): two vectors claiming one id in a single
+    * batch has no well-defined winner, and the per-subspace encode
+    * argmax would silently mix codes across the two vectors.
+    *
+    * The new union writes as a new `<name>_encoded` version and the
+    * manifest commits LAST pinning (new encoded_v, SAME centroids_v,
+    * SAME books_v) — the group commit makes a partial append
+    * invisible. q339 gates disjoint append == full re-encode; q340
+    * gates the upsert path (re-sent ids with fresh vectors ==
+    * full re-encode of the upserted corpus under the same codebook).
     *
     * Scale shape: the only corpus-sized work is one scan of the OLD
-    * encoded table (~64×-compressed codes, no vectors) unioned into
-    * the new snapshot; the batch side is batch-sized (broadcast
+    * encoded table (~64×-compressed codes, no vectors) — now through
+    * one batch-side-broadcast anti-join — unioned into the new
+    * snapshot; the batch side is batch-sized (broadcast
     * centroids/books, no shuffle beyond the id repartition). At a
     * daily-ingest cadence this is the difference between re-encoding
     * 100 TB and encoding the day's arrivals. */
@@ -827,22 +864,106 @@ object Similarity {
     implicit val spark: SparkSession = batch.sparkSession
     val (_, cenV, bkV) = ivfPqManifest(store, name)
     val cur = loadIvfPq(store, name)
-    val b = batch.select(col(idCol).as("__id"),
-      l2Normalize(col(vecCol).cast("array<double>")).as("__v"))
-    // assignment: ivfBuild's broadcast mode, bit-identical tie-break
-    val best = b.crossJoin(broadcast(cur.centroids))
-      .select(col("__id"), col("centroid_id"),
-        dot(col("__v"), col("__cv")).as("__s"))
-      .groupBy(col("__id"))
-      .agg(max_by(col("centroid_id"),
-        struct(col("__s"), -col("centroid_id"))).as("centroid_id"))
-    val enc = pqEncode(batch, idCol, vecCol, cur.books)
-      .withColumnRenamed(idCol, "__id")
-    val appended = best.join(enc, Seq("__id"))
-      .select(col("__id"), col("centroid_id"), col("codes"))
-    store.write(s"${name}_encoded", cur.encoded.union(appended))
+    val dup = batch.agg(count(lit(1)), count_distinct(col(idCol))).head()
+    val (nRows, nIds) = (dup.getLong(0), dup.getLong(1))
+    require(nRows == nIds,
+      s"appendIvfPq: batch ids must be unique — got $nRows rows over " +
+        s"$nIds distinct '$idCol' values; two vectors under one id in " +
+        "one batch have no well-defined winner (dedupe the batch, or " +
+        "split the re-send into a later batch: across batches " +
+        "replace-by-id applies)")
+    val appended = encodeAssign(batch, idCol, vecCol, cur.centroids, cur.books)
+    // replace-by-id: retained = old rows whose id is NOT re-sent (the
+    // batch id set broadcasts; the codes scan never shuffles)
+    val retained = cur.encoded.join(
+      broadcast(appended.select(col("__id"))), Seq("__id"), "left_anti")
+    store.write(s"${name}_encoded", retained.union(appended))
     commitIndexManifest(store, name,
       latestV(store, s"${name}_encoded"), cenV, bkV)
+  }
+
+  /** Right-to-be-forgotten for the INDEX (r16 verdict item 2 — the
+    * GDPR story for derived data): physically excise every encoded
+    * row matching `condition` (a predicate over the encoded schema:
+    * `__id`, `centroid_id`, `codes`) from EVERY committed
+    * `<name>_encoded` version — the [[graft.core.TableStore.forgetWhere]]
+    * discipline applied to the derived artifact, because an erasure
+    * that scrubs the source table but leaves the user's vector
+    * searchable at manifest v0 hasn't erased anything. Version
+    * numbers and history shape are preserved (the erase rewrites each
+    * snapshot in place), so EVERY manifest version — past and current
+    * — now serves the erased view: no search at any time-travel point
+    * can return a forgotten id, since candidates come only from the
+    * encoded table. A fresh manifest version (same triple — no new
+    * member version was created) commits LAST as the erasure's
+    * audit mark in the index's own history. Returns rows removed
+    * across versions. Cost: one filter pass per retained encoded
+    * version over the ~64×-compressed codes — batch-erasure shaped,
+    * never a retrain. */
+  def forgetFromIvfPq(store: graft.core.TableStore, name: String,
+      condition: Column): Long = {
+    val (encV, cenV, bkV) = ivfPqManifest(store, name)
+    val removed = store.forgetWhere(s"${name}_encoded", condition)
+    implicit val spark: SparkSession = store.read(s"${name}_manifest").sparkSession
+    commitIndexManifest(store, name, encV, cenV, bkV)
+    removed
+  }
+
+  /** Recall-DRIFT monitor for long-lived appended indexes (r16
+    * verdict item 3): every [[appendIvfPq]] assigns new vectors to
+    * the ORIGINAL centroids, so after many appends on a drifting
+    * corpus the partition quality silently decays — recall at fixed
+    * nprobe drops while the index keeps answering. This probe prices
+    * the question "retrain yet?": for EACH manifest version, recall@k
+    * of the persisted index (at production `nprobe`) against exact
+    * brute-force ground truth on a deterministic eval sample — the
+    * `nEval` LARGEST indexed ids of that version (append-monotone ids
+    * ⇒ the newest, most drift-exposed documents: exactly where decay
+    * shows first). One row per version with a threshold verdict, so
+    * the operator sees WHEN recall crossed the line, not just that it
+    * is low today.
+    *
+    * `corpus` must carry vectors for the sampled ids (the current
+    * corpus — erased ids simply drop from the sample via the inner
+    * join). recall_ppm is exact integer arithmetic:
+    * ⌊10⁶·Σ overlap/(n_eval·k)⌋.
+    *
+    * Scale shape: per version, ONE eval-sized collect (2·nEval id
+    * rows), one brute-force pass of the version-restricted corpus
+    * against nEval broadcast queries (the deliberately-priced exact
+    * audit, eval-budget-bounded like lshRecallAudit's maxDocs), and
+    * one probe-bounded index search. Versions are few (one per
+    * save/append); the loop is driver-side by design. */
+  def ivfPqRecallDrift(store: graft.core.TableStore, name: String,
+      corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, nprobe: Int = 1, nEval: Int = 50,
+      thresholdPpm: Long = 900000L, shortlist: Int = 200): DataFrame = {
+    require(k >= 1 && nEval >= 1 && shortlist >= k,
+      s"ivfPqRecallDrift: need k>=1, nEval>=1, shortlist>=k — got " +
+        s"k=$k nEval=$nEval shortlist=$shortlist")
+    requireIntegralId(corpus, idCol, "ivfPqRecallDrift")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val rows = store.versions(s"${name}_manifest").map { mv =>
+      val idx = loadIvfPq(store, name, version = Some(mv))
+      val ids = idx.encoded.select(col("__id").cast("long"))
+        .orderBy(col("__id").desc).limit(nEval)
+        .as[Long].collect().toSeq
+      val inIndex = corpus.join(
+        broadcast(idx.encoded.select(col("__id").as(idCol))), Seq(idCol))
+      val evalQ = inIndex.filter(col(idCol).isin(ids: _*))
+      val truth = bruteForceTopK(inIndex, idCol, vecCol,
+        evalQ, idCol, vecCol, k)
+      val cand = ivfPqSearch(idx, inIndex, idCol, vecCol,
+        evalQ, idCol, vecCol, k, nprobe, shortlist)
+      val overlap = rankedOverlap(truth, cand, "query_id", "nn_id", k)
+        .agg(sum(col("n_overlap")), count(lit(1))).head()
+      val (hits, nq) = (overlap.getLong(0), overlap.getLong(1))
+      val recallPpm = hits * 1000000L / (nq * k)
+      (mv, nq, recallPpm,
+        if (recallPpm >= thresholdPpm) "ok" else "retrain")
+    }
+    rows.toDF("manifest_v", "n_eval", "recall_ppm", "verdict")
   }
 
   /** IVF search: each query probes its `nprobe` nearest centroids and

@@ -715,6 +715,258 @@ private[graft] object QueriesCuration {
       } finally org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
     }),
 
+    // INDEX UPSERT (r17, r16 verdict item 1): a CDC/re-ingest loop
+    // RE-SENDS existing ids with fresh vectors — appendIvfPq's
+    // replace-by-id semantics must supersede the old encoding, never
+    // double-enter the id (a duplicate would let one top-k return the
+    // same nn_id twice, shrinking effective k). The fixture: build on
+    // the FULL corpus (manifest v0), then re-send every odd id with
+    // its vector REVERSED (a deterministic "document changed" edit).
+    // Three proofs: (1) in-body, the manifest pins (1,0,0) — upsert
+    // bumps only encoded_v; (2) in-body, the upserted index equals a
+    // FULL RE-ENCODE of the upserted corpus under the same persisted
+    // centroids+codebook — frame-level, via the operator's own
+    // encodeAssign helper, both except-directions empty (this is what
+    // catches a STALE row, which the full-probe search cannot: the
+    // exact rerank reads true vectors, not codes); (3) the search at
+    // full probe + corpus shortlist hash-matches the exact-cosine
+    // oracle over the UPSERTED corpus — every id exactly once, odd
+    // ids answering with their fresh vectors. Results freeze
+    // driver-side (50 rows) before the temp store deletes — the
+    // q145/q338 recipe.
+    "q340_ivfpq_upsert" -> ((s, d) => {
+      val emb = T(s, d, "embeddings")
+      val books = Similarity.pqSeededBooks(dim = 64, m = 8, ksub = 16, seed = 42L)
+      val root = java.nio.file.Files.createTempDirectory("graft-idx")
+      try {
+        val store = new graft.core.TableStore(s, root.toString)
+        val base = Similarity.ivfPqBuild(emb, "vec_id", "embedding",
+          nCentroids = 16, books)
+        Similarity.saveIvfPq(base, store, "ann") // manifest v0 = (0,0,0)
+        base.unpersist()
+        // the CDC re-send: every odd id arrives AGAIN, vector changed
+        val resent = emb.filter(col("vec_id") % 2 === 1)
+          .select(col("vec_id"),
+            reverse(col("embedding").cast("array<double>")).as("embedding"))
+        Similarity.appendIvfPq(store, "ann", resent, "vec_id", "embedding")
+        val (encV, cenV, bkV) = Similarity.ivfPqManifest(store, "ann")
+        require(encV == 1 && cenV == 0 && bkV == 0,
+          s"q340: upsert must bump ONLY encoded_v — got ($encV,$cenV,$bkV)")
+        val idx = Similarity.loadIvfPq(store, "ann")
+        val upserted = emb.filter(col("vec_id") % 2 === 0)
+          .select(col("vec_id"),
+            col("embedding").cast("array<double>").as("embedding"))
+          .union(resent)
+        val expected = Similarity.encodeAssign(upserted, "vec_id",
+          "embedding", idx.centroids, idx.books)
+        require(expected.exceptAll(idx.encoded).isEmpty &&
+          idx.encoded.exceptAll(expected).isEmpty,
+          "q340: upserted index must equal a full re-encode of the " +
+            "upserted corpus under the same codebook (stale or " +
+            "duplicate rows present)")
+        val out = Similarity.ivfPqSearch(idx, upserted, "vec_id", "embedding",
+          upserted.filter(col("vec_id") < 5), "vec_id", "embedding",
+          k = 10, nprobe = 16, shortlist = emb.count().toInt)
+          .withColumn("rank", col("rank").cast("long"))
+        import scala.jdk.CollectionConverters._
+        val frozen = s.createDataFrame(out.collect().toSeq.asJava, out.schema)
+        frozen.orderBy(col("query_id"), col("rank"))
+      } finally org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
+    }),
+
+    // INDEX ERASURE (r17, r16 verdict item 2 — the GDPR story for
+    // DERIVED data): scrubbing the source table while the user's
+    // vector stays searchable at manifest v0 erases nothing, so
+    // forgetFromIvfPq applies the store's forgetWhere discipline
+    // (q207) to the index group: the matching encoded rows are
+    // physically excised from EVERY committed <name>_encoded version
+    // in place — history shape preserved — and a fresh manifest (same
+    // triple) commits as the erasure's audit mark. The fixture:
+    // even-id build (v0), odd-id append (v1), then forget every
+    // id ≡ 0 (mod 5). In-body proofs: the removed-row count matches
+    // the closed form; NO encoded version retains a forgotten id (so
+    // no search at ANY manifest version can return one — candidates
+    // come only from the encoded table); encoded history keeps
+    // versions {0,1} and the manifest grew to {0,1,2} with the triple
+    // unchanged. The search at full probe + corpus shortlist then
+    // hash-matches the exact-cosine oracle over the SURVIVING corpus
+    // — forgotten ids absent, everything else answering normally
+    // (query 0 still queries: erasure removes the document from the
+    // corpus, not the caller's probe). Results freeze driver-side
+    // (50 rows) before the temp store deletes.
+    "q341_ivfpq_forget" -> ((s, d) => {
+      val emb = T(s, d, "embeddings")
+      val books = Similarity.pqSeededBooks(dim = 64, m = 8, ksub = 16, seed = 42L)
+      val root = java.nio.file.Files.createTempDirectory("graft-idx")
+      try {
+        val store = new graft.core.TableStore(s, root.toString)
+        val base = Similarity.ivfPqBuild(
+          emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding",
+          nCentroids = 16, books)
+        Similarity.saveIvfPq(base, store, "ann") // manifest v0
+        base.unpersist()
+        Similarity.appendIvfPq(store, "ann",
+          emb.filter(col("vec_id") % 2 === 1), "vec_id", "embedding")
+        val removed = Similarity.forgetFromIvfPq(store, "ann",
+          col("__id") % 5 === 0)
+        val n5 = emb.filter(col("vec_id") % 5 === 0).count()
+        val n10 = emb.filter(col("vec_id") % 10 === 0).count()
+        require(removed == n5 + n10,
+          s"q341: expected ${n5 + n10} rows excised across the two " +
+            s"encoded versions (even-only v0 + full v1), got $removed")
+        store.versions("ann_encoded").foreach { v =>
+          require(store.readVersion("ann_encoded", v)
+            .filter(col("__id") % 5 === 0).isEmpty,
+            s"q341: encoded v$v still serves a forgotten id")
+        }
+        require(store.versions("ann_encoded") == Seq(0, 1) &&
+          store.versions("ann_manifest") == Seq(0, 1, 2),
+          "q341: erasure must preserve history shape and commit one " +
+            "manifest audit mark")
+        require(Similarity.ivfPqManifest(store, "ann") == ((1, 0, 0)),
+          "q341: the erasure rewrites snapshots in place — the triple " +
+            "must not move")
+        val idx = Similarity.loadIvfPq(store, "ann")
+        val out = Similarity.ivfPqSearch(idx, emb, "vec_id", "embedding",
+          emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+          k = 10, nprobe = 16, shortlist = emb.count().toInt)
+          .withColumn("rank", col("rank").cast("long"))
+        import scala.jdk.CollectionConverters._
+        val frozen = s.createDataFrame(out.collect().toSeq.asJava, out.schema)
+        frozen.orderBy(col("query_id"), col("rank"))
+      } finally org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
+    }),
+
+    // RECALL-DRIFT monitor (r17, r16 verdict item 3): appends assign
+    // new vectors to the ORIGINAL centroids, so on a drifting corpus
+    // the partition quality — and IVF recall at fixed nprobe —
+    // silently decays; ivfPqRecallDrift prices "retrain yet?" as a
+    // per-manifest-version recall@k probe vs brute-force ground truth
+    // on the newest indexed ids, with a threshold verdict. The
+    // fixture manufactures the drift deterministically from the
+    // embeddings table: v0 is a CLUSTERED corpus (near-duplicate
+    // pairs tucked well inside 8 anchor cells — within-pair neighbors
+    // co-assign under any reasonable k-means, so v0 recall@2 at
+    // nprobe=1 is ~1), then the appended batch is pairs sitting ON
+    // the midline BETWEEN two anchors, where each member's bucket
+    // flips on its own noise — the canonical boundary-straddling
+    // drift that fixed centroids cannot represent, so vN recall
+    // drops and the verdict flips to 'retrain'. The gate pins the
+    // monitor's STRUCTURAL facts (probe rows: version count, eval
+    // sizes, verdicts, monotone recall) — the recall magnitudes are
+    // data-dependent per SF and belong to SimilaritySpec, not a
+    // literal oracle.
+    "q342_ivfpq_recall_drift" -> ((s, d) => {
+      import s.implicits._
+      val emb = T(s, d, "embeddings")
+      val books = Similarity.pqSeededBooks(dim = 64, m = 8, ksub = 16, seed = 42L)
+      val root = java.nio.file.Files.createTempDirectory("graft-idx")
+      try {
+        val store = new graft.core.TableStore(s, root.toString)
+        val n = emb.count()
+        val ev = emb.select(col("vec_id"),
+          col("embedding").cast("array<double>").as("e"))
+        val an = ev.filter(col("vec_id") < 8)
+          .select(col("vec_id").cast("int").as("c"),
+            Similarity.l2Normalize(col("e")).as("a"))
+        val x = ev.filter(col("vec_id") % 2 === 0)
+          .select((col("vec_id") / 2).cast("long").as("m"), col("e").as("x"))
+        val y = ev.filter(col("vec_id") % 2 === 1)
+          .select(((col("vec_id") - 1) / 2).cast("long").as("m"), col("e").as("y"))
+        val pairs = x.join(y, Seq("m"))
+        // v0: pair 2m/2m+1 = anchor(m%8) + 0.25·noise (+ 0.02·tiebreak)
+        val p0 = pairs.withColumn("c", (col("m") % 8).cast("int"))
+          .join(broadcast(an), Seq("c"))
+          .withColumn("b", zip_with(col("a"), col("x"), (av, xv) => av + xv * 0.25))
+        val base = p0.select((col("m") * 2).as("vec_id"), col("b").as("embedding"))
+          .union(p0.select((col("m") * 2 + 1).as("vec_id"),
+            zip_with(col("b"), col("y"), (bv, yv) => bv + yv * 0.02).as("embedding")))
+        // drift: 64 pairs ON the midline between anchors c1 and c2 —
+        // each member's bucket decided by its OWN 0.3·noise tilt
+        val dp = pairs.filter(col("m") < 64)
+          .withColumn("c1", (col("m") % 8).cast("int"))
+          .withColumn("c2", ((col("m") + 3) % 8).cast("int"))
+          .join(broadcast(an.select(col("c").as("c1"), col("a").as("a1"))), Seq("c1"))
+          .join(broadcast(an.select(col("c").as("c2"), col("a").as("a2"))), Seq("c2"))
+          .withColumn("mid", zip_with(col("a1"), col("a2"), (p, q) => p + q))
+        val drift = dp.select((lit(n) + col("m") * 2).as("vec_id"),
+            zip_with(col("mid"), col("x"), (bv, xv) => bv + xv * 0.3).as("embedding"))
+          .union(dp.select((lit(n) + col("m") * 2 + 1).as("vec_id"),
+            zip_with(col("mid"), col("y"), (bv, yv) => bv + yv * 0.3).as("embedding")))
+        val idx = Similarity.ivfPqBuild(base, "vec_id", "embedding",
+          nCentroids = 16, books)
+        Similarity.saveIvfPq(idx, store, "ann") // manifest v0
+        idx.unpersist()
+        Similarity.appendIvfPq(store, "ann", drift, "vec_id", "embedding")
+        val monitor = Similarity.ivfPqRecallDrift(store, "ann",
+          base.union(drift), "vec_id", "embedding",
+          k = 2, nprobe = 1, nEval = 50, thresholdPpm = 900000L,
+          shortlist = 400)
+        val rows = monitor.orderBy(col("manifest_v")).collect()
+        require(rows.length == 2, s"q342: expected 2 manifest versions, got ${rows.length}")
+        val (r0, r1) = (rows(0), rows(1))
+        Seq(
+          ("n_versions", "2"),
+          ("threshold_ppm", "900000"),
+          ("v0_n_eval", r0.getLong(1).toString),
+          ("v0_recall_ge_v1", (r0.getLong(2) >= r1.getLong(2)).toString),
+          ("v0_verdict", r0.getString(3)),
+          ("v1_n_eval", r1.getLong(1).toString),
+          ("v1_verdict", r1.getString(3)))
+          .toDF("probe", "value").orderBy(col("probe"))
+      } finally org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
+    }),
+
+    // STREAMING index maintenance under AT-LEAST-ONCE replay (r17,
+    // r16 verdict item 5 — the q260 pattern applied to
+    // Streams.indexIngest): three micro-batches drive
+    // indexIngestBatch — the EXACT foreachBatch body — with batch 0
+    // deliberately delivered TWICE (foreachBatch redelivery after
+    // failure recovery). The <name>_ingest_hwm high-water mark makes
+    // the replay a FULL no-op: the final index is bit-identical —
+    // content AND version history — to the one-shot ingest (in-body:
+    // manifest versions {0,1,2}, triple (2,0,0), hwm 1; a replayed
+    // append without the guard would have burned manifest v3). The
+    // search at full probe + corpus shortlist then hash-matches the
+    // SAME exact-cosine oracle as q339 — every id exactly once.
+    // Results freeze driver-side (50 rows) before the temp store
+    // deletes.
+    "q343_index_ingest_replay" -> ((s, d) => {
+      val emb = T(s, d, "embeddings")
+      val books = Similarity.pqSeededBooks(dim = 64, m = 8, ksub = 16, seed = 42L)
+      val root = java.nio.file.Files.createTempDirectory("graft-idx")
+      try {
+        val store = new graft.core.TableStore(s, root.toString)
+        val base = Similarity.ivfPqBuild(
+          emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding",
+          nCentroids = 16, books)
+        Similarity.saveIvfPq(base, store, "ann") // manifest v0
+        base.unpersist()
+        val b1 = emb.filter(col("vec_id") % 4 === 1)
+        val b2 = emb.filter(col("vec_id") % 4 === 3)
+        def ingest(b: DataFrame, id: Long): Unit =
+          Streams.indexIngestBatch(b, store, "ann", "vec_id", "embedding", id)
+        ingest(b1, 0L)
+        ingest(b1, 0L) // at-least-once redelivery of the same batch
+        ingest(b2, 1L)
+        require(store.versions("ann_manifest") == Seq(0, 1, 2),
+          "q343: the replayed batch must not burn a manifest version")
+        require(Similarity.ivfPqManifest(store, "ann") == ((2, 0, 0)),
+          "q343: two applied batches, appends bumping only encoded_v")
+        require(store.read("ann_ingest_hwm")
+          .select(max(col("last_batch_id"))).head().getLong(0) == 1L,
+          "q343: the high-water mark must sit at the last applied batch")
+        val idx = Similarity.loadIvfPq(store, "ann")
+        val out = Similarity.ivfPqSearch(idx, emb, "vec_id", "embedding",
+          emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+          k = 10, nprobe = 16, shortlist = emb.count().toInt)
+          .withColumn("rank", col("rank").cast("long"))
+        import scala.jdk.CollectionConverters._
+        val frozen = s.createDataFrame(out.collect().toSeq.asJava, out.schema)
+        frozen.orderBy(col("query_id"), col("rank"))
+      } finally org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
+    }),
+
     // Distributed centroid computation (array analytics): element-wise
     // mean of embeddings per group, exact via decimal sums. The typed
     // Aggregator twin (functions.VectorAgg.mean) is spec-covered.
@@ -2119,6 +2371,66 @@ private[graft] object QueriesCuration {
     // same exact-cosine closed form (every row present exactly once,
     // decoded against the manifest-pinned codebook)
     "q339_ivfpq_append" -> AnnTopkSql,
+    // replayed-ingest index at full probe + corpus shortlist = the
+    // same closed form (the hwm made the redelivery a no-op)
+    "q343_index_ingest_replay" -> AnnTopkSql,
+
+    // upserted corpus: odd ids answer with their REVERSED (re-sent)
+    // vectors — the exact-cosine closed form over the post-upsert
+    // state; queries 1 and 3 probe with their fresh vectors too
+    "q340_ivfpq_upsert" ->
+      """WITH v AS (
+        |  SELECT vec_id, CASE WHEN vec_id % 2 = 1
+        |    THEN list_reverse(list_transform(embedding, x -> CAST(x AS DOUBLE)))
+        |    ELSE list_transform(embedding, x -> CAST(x AS DOUBLE)) END AS e
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v),
+        |q AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn FROM n WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.query_id, n.vec_id AS nn_id,
+        |    list_sum(list_transform(range(1, 65), i -> (n.e[i] / n.nrm) * (q.qe[i] / q.qn))) AS cosine
+        |  FROM q CROSS JOIN n),
+        |ranked AS (
+        |  SELECT query_id, nn_id, cosine,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nn_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, nn_id, cosine, rank FROM ranked WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
+
+    // surviving corpus only (ids not ≡ 0 mod 5) — the erased ids can
+    // never be candidates; the query side keeps the full probe set
+    // (erasure removes documents, not the caller's probes)
+    "q341_ivfpq_forget" ->
+      """WITH v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+        |nn AS (SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v),
+        |q AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn FROM nn WHERE vec_id < 5),
+        |c AS (SELECT * FROM nn WHERE vec_id % 5 <> 0),
+        |scored AS (
+        |  SELECT q.query_id, c.vec_id AS nn_id,
+        |    list_sum(list_transform(range(1, 65), i -> (c.e[i] / c.nrm) * (q.qe[i] / q.qn))) AS cosine
+        |  FROM q CROSS JOIN c),
+        |ranked AS (
+        |  SELECT query_id, nn_id, cosine,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nn_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, nn_id, cosine, rank FROM ranked WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
+
+    // structural facts of the drift monitor — version count, eval
+    // sizes, the verdict flip, recall monotonicity — pinned as
+    // literals (the q315 proof-column recipe); recall magnitudes are
+    // data-dependent per SF and spec-covered instead
+    "q342_ivfpq_recall_drift" ->
+      """SELECT * FROM (
+        |  SELECT 'n_versions' AS probe, '2' AS value
+        |  UNION ALL SELECT 'threshold_ppm', '900000'
+        |  UNION ALL SELECT 'v0_n_eval', '50'
+        |  UNION ALL SELECT 'v0_recall_ge_v1', 'true'
+        |  UNION ALL SELECT 'v0_verdict', 'ok'
+        |  UNION ALL SELECT 'v1_n_eval', '50'
+        |  UNION ALL SELECT 'v1_verdict', 'retrain')
+        |ORDER BY probe""".stripMargin,
 
     // md5-bucket sample (Sampling.portableBucket): same membership set
     // in any engine with md5 — the sample itself is what's verified.

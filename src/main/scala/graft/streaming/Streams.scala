@@ -399,6 +399,57 @@ object Streams {
       .start()
   }
 
+  /** Streaming INDEX maintenance (r16 verdict item 5): each
+    * micro-batch of arriving documents encode-appends into a persisted
+    * IVF-PQ index ([[graft.ext.Similarity.appendIvfPq]] — no retrain,
+    * no corpus re-encode), guarded for foreachBatch's AT-LEAST-ONCE
+    * replay by the [[constraintIngest]] high-water-mark recipe: the
+    * index append is NOT idempotent at the version level (each append
+    * commits a manifest version), so each applied batch id records in
+    * `<name>_ingest_hwm` and a redelivery of an already-applied id is
+    * a full no-op — the index is bit-identical (content AND version
+    * history) to the one-shot ingest, which q343 gates. Two layers of
+    * defense compose here: the hwm stops a replayed batch from even
+    * starting, and if a crash lands BETWEEN the append's manifest
+    * commit and the hwm write, the replayed append's UPSERT semantics
+    * (replace-by-id) still converge to identical index CONTENT — the
+    * replay burns a version number, never correctness. */
+  def indexIngest(docs: DataFrame, store: graft.core.TableStore,
+      name: String, idCol: String, vecCol: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        indexIngestBatch(batch.toDF(), store, name, idCol, vecCol, batchId)
+      }
+      .start()
+  }
+
+  /** ONE micro-batch step of [[indexIngest]] — the exact foreachBatch
+    * body, exposed so the q343 contract can drive it batch-mode with a
+    * deliberate redelivery (the q260 pattern: gate the operator
+    * itself, not a lookalike). Batch ids are monotone under Structured
+    * Streaming's recovery contract (the LAST batch replays with the
+    * SAME id), so one high-water mark suffices. Empty batches still
+    * advance the hwm but never touch the index (no empty encoded
+    * version, no manifest churn on an idle stream). */
+  def indexIngestBatch(batch: DataFrame, store: graft.core.TableStore,
+      name: String, idCol: String, vecCol: String, batchId: Long): Unit = {
+    val hwmT = s"${name}_ingest_hwm"
+    val already = store.tableExists(hwmT) && {
+      val r = store.read(hwmT).select(max(col("last_batch_id"))).head()
+      !r.isNullAt(0) && r.getLong(0) >= batchId
+    }
+    if (!already) {
+      if (!batch.isEmpty)
+        graft.ext.Similarity.appendIvfPq(store, name, batch, idCol, vecCol)
+      val spark = batch.sparkSession
+      import spark.implicits._
+      store.write(hwmT, Seq(batchId).toDF("last_batch_id").coalesce(1))
+    }
+  }
+
   /** Stream-stream INTERVAL join: each left row joins right rows with
     * the same key whose timestamp falls in
     * `[leftTs − lookback, leftTs + lookahead]` — the attribution /
