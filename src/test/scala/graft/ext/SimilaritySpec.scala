@@ -506,4 +506,154 @@ class SimilaritySpec extends SparkSpec {
     assert(mixed(2L).getAs[Long]("n_overlap") == 1L)
     assert(mixed(2L).getAs[Long]("recall_ppm") == 500000L)
   }
+
+  test("appendIvfPq UPSERT: a re-sent id supersedes its old encoding; no duplicate nn_id survives into a top-k (q340's frame twin)") {
+    import spark.implicits._
+    val emb = Fx.t(spark, sfDir, "embeddings")
+    val books = Similarity.pqSeededBooks(dim = 64, m = 8, ksub = 16)
+    val store = new graft.core.TableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft-annup").toString)
+    val base = Similarity.ivfPqBuild(emb, "vec_id", "embedding",
+      nCentroids = 8, books)
+    try {
+      Similarity.saveIvfPq(base, store, "ann")
+      // the CDC re-send: all odd ids again, vectors changed (reversed)
+      val resent = emb.filter($"vec_id" % 2 === 1)
+        .select($"vec_id",
+          reverse($"embedding".cast("array<double>")).as("embedding"))
+      Similarity.appendIvfPq(store, "ann", resent, "vec_id", "embedding")
+      assert(Similarity.ivfPqManifest(store, "ann") == ((1, 0, 0)))
+      val cur = Similarity.loadIvfPq(store, "ann")
+      // exactly one row per corpus id — the old odd rows are gone
+      val n = emb.count()
+      assert(cur.encoded.count() == n)
+      assert(cur.encoded.select($"__id").distinct().count() == n)
+      // the re-sent rows carry the FRESH vectors' codes (replace, not
+      // ignore): equality with the operator's own encode of the
+      // upserted corpus, both except-directions empty
+      val upserted = emb.filter($"vec_id" % 2 === 0)
+        .select($"vec_id", $"embedding".cast("array<double>").as("embedding"))
+        .union(resent)
+      val expected = Similarity.encodeAssign(upserted, "vec_id",
+        "embedding", cur.centroids, cur.books)
+      assert(expected.exceptAll(cur.encoded).isEmpty &&
+        cur.encoded.exceptAll(expected).isEmpty)
+      // and the search surface: no top-k may ever return one nn_id
+      // twice (the defect a double-encode causes)
+      val res = Similarity.ivfPqSearch(cur, upserted, "vec_id", "embedding",
+        upserted.filter($"vec_id" < 8), "vec_id", "embedding",
+        k = 10, nprobe = 8, shortlist = n.toInt)
+        .select($"query_id", $"nn_id").collect()
+      assert(res.length == res.map(r => (r.getLong(0), r.getLong(1))).toSet.size,
+        "duplicate nn_id in a post-upsert top-k")
+    } finally base.unpersist()
+  }
+
+  test("appendIvfPq rejects intra-batch duplicate ids, by name") {
+    import spark.implicits._
+    val emb = Fx.t(spark, sfDir, "embeddings")
+    val books = Similarity.pqSeededBooks(dim = 64, m = 8, ksub = 16)
+    val store = new graft.core.TableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft-anndup").toString)
+    val base = Similarity.ivfPqBuild(
+      emb.filter($"vec_id" % 2 === 0), "vec_id", "embedding",
+      nCentroids = 8, books)
+    try {
+      Similarity.saveIvfPq(base, store, "ann")
+      val odd = emb.filter($"vec_id" % 2 === 1)
+      val e = intercept[IllegalArgumentException] {
+        Similarity.appendIvfPq(store, "ann", odd.union(odd),
+          "vec_id", "embedding")
+      }
+      assert(e.getMessage.contains("appendIvfPq") &&
+        e.getMessage.contains("unique"))
+      // the refused batch must not have committed anything
+      assert(Similarity.ivfPqManifest(store, "ann") == ((0, 0, 0)))
+    } finally base.unpersist()
+  }
+
+  test("forgetFromIvfPq: a forgotten id never returns from a search at ANY manifest version; history shape preserved") {
+    import spark.implicits._
+    val emb = Fx.t(spark, sfDir, "embeddings")
+    val books = Similarity.pqSeededBooks(dim = 64, m = 8, ksub = 16)
+    val store = new graft.core.TableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft-annrtbf").toString)
+    val base = Similarity.ivfPqBuild(
+      emb.filter($"vec_id" % 2 === 0), "vec_id", "embedding",
+      nCentroids = 8, books)
+    try {
+      Similarity.saveIvfPq(base, store, "ann") // manifest v0
+      Similarity.appendIvfPq(store, "ann",
+        emb.filter($"vec_id" % 2 === 1), "vec_id", "embedding") // v1
+      val removed = Similarity.forgetFromIvfPq(store, "ann",
+        $"__id" % 5 === 0) // v2 (audit mark)
+      assert(removed == emb.filter($"vec_id" % 5 === 0).count() +
+        emb.filter($"vec_id" % 10 === 0).count())
+      // history shape: member versions untouched, one audit manifest
+      assert(store.versions("ann_encoded") == Seq(0, 1))
+      assert(store.versions("ann_manifest") == Seq(0, 1, 2))
+      assert(Similarity.ivfPqManifest(store, "ann") == ((1, 0, 0)))
+      // no manifest version can serve a forgotten id — time-traveled
+      // searches come up clean too
+      store.versions("ann_manifest").foreach { mv =>
+        val idx = Similarity.loadIvfPq(store, "ann", Some(mv))
+        assert(idx.encoded.filter($"__id" % 5 === 0).isEmpty,
+          s"manifest v$mv still serves a forgotten id")
+        val res = Similarity.ivfPqSearch(idx, emb, "vec_id", "embedding",
+          emb.filter($"vec_id" < 2), "vec_id", "embedding",
+          k = 10, nprobe = 8, shortlist = emb.count().toInt)
+          .select($"nn_id").as[Long].collect()
+        assert(res.nonEmpty && res.forall(_ % 5 != 0),
+          s"a search at manifest v$mv returned a forgotten id")
+      }
+    } finally base.unpersist()
+  }
+
+  test("ivfPqRecallDrift: boundary-straddling drift halves recall@2 at nprobe=1 and flips the verdict (q342's exact-value twin)") {
+    import spark.implicits._
+    def v(entries: (Int, Double)*): Seq[Double] = {
+      val a = Array.fill(64)(0.0)
+      entries.foreach { case (i, x) => a(i) = x }
+      a.toSeq
+    }
+    // two tight clusters on orthogonal axes, in near-duplicate PAIRS
+    // (partners can never straddle a centroid boundary)
+    val base = Seq(
+      0L -> v(0 -> 1.0, 2 -> 0.01),
+      1L -> v(0 -> 1.0, 2 -> 0.01, 3 -> 0.001),
+      2L -> v(0 -> 1.0, 4 -> 0.01),
+      3L -> v(0 -> 1.0, 4 -> 0.01, 5 -> 0.001),
+      4L -> v(1 -> 1.0, 2 -> 0.01),
+      5L -> v(1 -> 1.0, 2 -> 0.01, 3 -> 0.001),
+      6L -> v(1 -> 1.0, 4 -> 0.01),
+      7L -> v(1 -> 1.0, 4 -> 0.01, 5 -> 0.001)
+    ).toDF("vec_id", "embedding")
+    // one drifted pair ON the midline, each member tilted toward a
+    // DIFFERENT centroid: true nearest neighbors, guaranteed-split
+    // buckets — the decay fixed centroids cannot represent
+    val drift = Seq(
+      100L -> v(0 -> 1.3, 1 -> 1.0),
+      101L -> v(0 -> 1.0, 1 -> 1.3)
+    ).toDF("vec_id", "embedding")
+    val books = Similarity.pqSeededBooks(dim = 64, m = 8, ksub = 16)
+    val store = new graft.core.TableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft-anndrift").toString)
+    val idx = Similarity.ivfPqBuild(base, "vec_id", "embedding",
+      nCentroids = 2, books)
+    try {
+      Similarity.saveIvfPq(idx, store, "ann")
+      Similarity.appendIvfPq(store, "ann", drift, "vec_id", "embedding")
+      val rows = Similarity.ivfPqRecallDrift(store, "ann",
+        base.union(drift), "vec_id", "embedding",
+        k = 2, nprobe = 1, nEval = 2, thresholdPpm = 900000L)
+        .orderBy($"manifest_v")
+        .as[(Int, Long, Long, String)].collect().toSeq
+      // v0 eval = ids 6,7 (a same-bucket pair): perfect recall. v1
+      // eval = the drifted pair: each query finds itself but its
+      // partner sits in the OTHER bucket — exactly half the truth.
+      assert(rows == Seq(
+        (0, 2L, 1000000L, "ok"),
+        (1, 2L, 500000L, "retrain")), s"got $rows")
+    } finally idx.unpersist()
+  }
 }

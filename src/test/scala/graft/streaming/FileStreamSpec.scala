@@ -138,4 +138,57 @@ class FileStreamSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteDirectory(ckpt.toFile)
     org.apache.commons.io.FileUtils.deleteDirectory(ckpt2.toFile)
   }
+
+  test("indexIngest: a real document stream encode-appends into the persisted index; a fresh-checkpoint replay is hwm-guarded") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.ext.Similarity
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft-ii")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ii-ckpt")
+    try {
+      val store = new graft.core.TableStore(spark, root.toString)
+      val emb = Fx.t(spark, sfDir, "embeddings")
+      val books = Similarity.pqSeededBooks(dim = 64, m = 8, ksub = 16)
+      val base = Similarity.ivfPqBuild(
+        emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding",
+        nCentroids = 8, books)
+      Similarity.saveIvfPq(base, store, "ann")
+      base.unpersist()
+      val odds = emb.filter(col("vec_id") % 2 === 1)
+        .select(col("vec_id"), col("embedding").cast("array<double>"))
+        .as[(Long, Seq[Double])].collect()
+      val (b1, b2) = odds.partition(_._1 % 4 == 1)
+      val mem = MemoryStream[(Long, Seq[Double])]
+      val docs = mem.toDF().toDF("vec_id", "embedding")
+      val q = Streams.indexIngest(docs, store, "ann", "vec_id",
+        "embedding", ckpt.toString)
+      try {
+        mem.addData(b1.toSeq); q.processAllAvailable()
+        mem.addData(b2.toSeq); q.processAllAvailable()
+      } finally q.stop()
+      // two applied micro-batches on top of the v0 save
+      assert(Similarity.ivfPqManifest(store, "ann") == ((2, 0, 0)))
+      val cur = Similarity.loadIvfPq(store, "ann")
+      assert(cur.encoded.count() == emb.count() &&
+        cur.encoded.select(col("__id")).distinct().count() == emb.count())
+      // a FULL replay through a fresh checkpoint (batch ids restart at
+      // 0, all <= the stored high-water mark) must be a no-op: same
+      // content, same version history, no burned manifest versions
+      val ckpt2 = java.nio.file.Files.createTempDirectory("graft-ii-ckpt2")
+      val mem2 = MemoryStream[(Long, Seq[Double])]
+      val q2 = Streams.indexIngest(mem2.toDF().toDF("vec_id", "embedding"),
+        store, "ann", "vec_id", "embedding", ckpt2.toString)
+      try {
+        mem2.addData(b1.toSeq); q2.processAllAvailable()
+        mem2.addData(b2.toSeq); q2.processAllAvailable()
+      } finally q2.stop()
+      assert(store.versions("ann_manifest") == Seq(0, 1, 2),
+        "a replayed delivery must not burn a manifest version")
+      assert(Similarity.ivfPqManifest(store, "ann") == ((2, 0, 0)))
+      org.apache.commons.io.FileUtils.deleteDirectory(ckpt2.toFile)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
+      org.apache.commons.io.FileUtils.deleteDirectory(ckpt.toFile)
+    }
+  }
 }
