@@ -21,10 +21,27 @@ import org.apache.spark.sql.SparkSession
   *    plus the retime margin cannot fit the budget, the run switches
   *    to SINGLE-PASS mode immediately — it never discovers the slow
   *    box dozens of queries in.
+  *  - AUTO BUDGET-FIT TIER (r17, r16 verdict item 4): when the
+  *    calibration probe proves even a SINGLE full pass cannot fit
+  *    the budget, the run doesn't limp on and predictively skip an
+  *    unplanned tail — it DEFERS, up front, exactly the most
+  *    expensive queries that don't fit (the largest cheapest-first
+  *    prefix that fits is kept), names them in `deferred`, and then
+  *    times 100% of what remains. After pass 1 the slowdown is
+  *    known exactly, so a probe that over-read a burst gets its
+  *    deferrals RECLAIMED (cheapest first) from the proven surplus
+  *    — coverage first, second samples after.
   *  - PREDICTIVE SKIPS: a query predicted to blow the remaining
   *    budget (slowdown × its reference cost) is skipped BEFORE it
-  *    starts — the budget is never overshot by a 15 s audit that was
-  *    already doomed.
+  *    starts — with a committed reference the budget is never
+  *    overshot by a 15 s audit that was already doomed. (Without
+  *    `bench_ref.json` every unseen query is priced at the 1.0
+  *    default, so one genuinely expensive query CAN overshoot —
+  *    reference-free runs get coverage order, not the guarantee.)
+  *    Pass-2/3 predictions take max(reference estimate, the query's
+  *    own pass-1 sample): the observed sample is the better
+  *    predictor and an optimistic reference can't sneak a repeat of
+  *    a query that already proved expensive.
   *  - COMPARABILITY ANCHOR: the compact line carries `obs_on_ref`
   *    (observed seconds summed over timed ∩ reference) next to
   *    `ref_sum` (the reference's seconds over the SAME set), so ANY
@@ -83,6 +100,28 @@ object Bench {
     val pass1Remaining = slowdown * (refTotalS - refObsS)
     val pass2 = slowdown * refTotalS
     elapsedS + pass1Remaining + 1.1 * pass2 <= 0.95 * budgetS
+  }
+
+  /** Can one single pass over the rest of the suite fit the budget? */
+  private[graft] def singlePassFits(elapsedS: Double, slowdown: Double,
+      refTotalS: Double, refObsS: Double, budgetS: Double): Boolean =
+    elapsedS + slowdown * (refTotalS - refObsS) <= 0.95 * budgetS
+
+  /** Auto budget-fit deferral (r16 verdict item 4): given the
+    * still-untimed suite tail in CHEAPEST-FIRST order with reference
+    * costs, keep the largest prefix whose predicted cost fits the
+    * remaining budget and return the names of the DEFERRED tail.
+    * The kept prefix then times completely (no unplanned skips), so
+    * the artifact reads "n_timed == n_queries, n_deferred named" —
+    * a planned fast-suite run — instead of a skip-riddled one. */
+  private[graft] def budgetFitDeferrals(remaining: Seq[(String, Double)],
+      elapsedS: Double, slowdown: Double, budgetS: Double): Seq[String] = {
+    val allow = 0.95 * budgetS - elapsedS
+    var acc = 0.0
+    remaining.flatMap { case (n, c) =>
+      acc += slowdown * c
+      if (acc > allow) Some(n) else None
+    }
   }
 
   def main(args: Array[String]): Unit = {
@@ -150,6 +189,11 @@ object Bench {
     val lock = new Object
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     val skipped = scala.collection.mutable.LinkedHashSet.empty[String]
+    // auto budget-fit tier (r16 verdict item 4): queries DEFERRED at
+    // calibration because even one full pass cannot fit the budget —
+    // a planned, named exclusion (second bench artifact's work), not
+    // a skip
+    val autoDeferred = scala.collection.mutable.LinkedHashSet.empty[String]
     val samples = scala.collection.mutable.Map.empty[String, List[Double]]
       .withDefaultValue(Nil)
     @volatile var finished = false
@@ -207,7 +251,9 @@ object Bench {
       val per = if (!full) "" else ",\"queries\":" + done.map { case (k, v) =>
         "\"" + k + "\":" + (if (v < 0) "null" else fmt(v, 3))
       }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","mode":"$mode","truncated":true,"n_done":${done.size},"n_queries":${order.size},"obs_on_ref":${fmt(obsOnRef, 1)},"ref_sum":${fmt(refSum, 1)},"ref_round":"$refRound","failed":$failedJson0$per,"sf":"$sfDir"}"""
+      val nDef = if (autoDeferred.isEmpty) ""
+        else s""","tier":"auto_fit","n_deferred":${autoDeferred.size}"""
+      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","mode":"$mode","truncated":true,"n_done":${done.size},"n_queries":${order.size - autoDeferred.size},"obs_on_ref":${fmt(obsOnRef, 1)},"ref_sum":${fmt(refSum, 1)},"ref_round":"$refRound","failed":$failedJson0$nDef$per,"sf":"$sfDir"}"""
     }
     val hook = new Thread(() => if (!finished) {
       println(partialJson(full = false))
@@ -236,32 +282,67 @@ object Bench {
     // ---- pass 1: cheapest-first, calibrated, predictive ------------
     var calibrated = ref.isEmpty // no reference → nothing to calibrate against
     var timedCount = 0
-    for ((name, fn) <- order) {
+    for (((name, fn), i) <- order.zipWithIndex) {
+      if (lock.synchronized(autoDeferred.contains(name))) ()
       // predictive skip: don't START a query the remaining budget
       // cannot absorb (cheapest-first ⇒ the skipped tail is the few
-      // priced audits, not an alphabetical prefix)
-      if (elapsedS + slowdown * refCost(name) > budgetS) {
+      // priced audits, not an alphabetical prefix). Backstop only —
+      // the auto_fit deferral below plans the exclusion up front.
+      else if (elapsedS + slowdown * refCost(name) > budgetS) {
         lock.synchronized {
           if (samples(name).isEmpty && !failed.contains(name)) skipped += name
         }
         degradedFlag = true
       } else {
         val t = timeOne(name, fn)
-        lock.synchronized { samples(name) ::= t }
-        obsSum += t; refObs += refCost(name); timedCount += 1
+        // a failure's time-to-failure must not feed the slowdown
+        // estimate: a fast-failing expensive query would read the box
+        // as fast (its full refCost against a near-zero observation)
+        // and under-predict everything after it
+        val ok = lock.synchronized { samples(name) ::= t; !failed.contains(name) }
+        if (ok) { obsSum += t; refObs += refCost(name); timedCount += 1 }
         // calibration probe: once the estimate has substance (≥5
         // queries and ≥2 s observed, or 15 queries), decide the mode
         // ONCE — a slow box switches to single-pass here, queries in,
         // not 77 queries in
         if (!calibrated && ((timedCount >= 5 && obsSum >= 2.0) || timedCount >= 15)) {
           calibrated = true
-          if (!twoPassFits(elapsedS, slowdown, refTotal, refObs, budgetS)) {
+          if (!singlePassFits(elapsedS, slowdown, refTotal, refObs, budgetS)) {
+            // not even ONE pass fits: don't limp toward an unplanned
+            // skip tail — defer the most expensive remainder up front
+            // (auto_fit tier) and time 100% of what stays
+            val remaining = order.drop(i + 1).map { case (n, _) => n -> refCost(n) }
+            val defer = budgetFitDeferrals(remaining, elapsedS, slowdown, budgetS)
+            lock.synchronized { autoDeferred ++= defer }
+            mode = "single_pass_cf"
+            degradedFlag = true
+            System.err.println(f"[bench] calibration: slowdown ${slowdown}%.2fx vs $refRound — one " +
+              f"pass cannot fit the ${budgetS}%.0f s budget; deferring the ${defer.size} most " +
+              "expensive queries (auto_fit tier) to time 100% of the rest")
+          } else if (!twoPassFits(elapsedS, slowdown, refTotal, refObs, budgetS)) {
             mode = "single_pass_cf"
             degradedFlag = true
             System.err.println(f"[bench] calibration: slowdown ${slowdown}%.2fx vs $refRound, " +
               f"two-pass needs ~${slowdown * refTotal * 2.1}%.0f s of ${budgetS}%.0f s budget " +
               "— switching to single-pass coverage-first mode")
           }
+        }
+      }
+    }
+
+    // ---- pass 1b: reclaim deferrals the actuals disprove -----------
+    // the deferral was decided on a probe ESTIMATE; pass 1's own cost
+    // is exact. A calibration burst that misread the box must not
+    // strand budget while named queries sit untimed — coverage first,
+    // second samples after. Cheapest first (order already is).
+    if (lock.synchronized(autoDeferred.nonEmpty)) {
+      for ((name, fn) <- order) {
+        if (lock.synchronized(autoDeferred.contains(name)) &&
+            elapsedS + slowdown * refCost(name) <= 0.95 * budgetS) {
+          lock.synchronized { autoDeferred -= name }
+          val t = timeOne(name, fn)
+          val ok = lock.synchronized { samples(name) ::= t; !failed.contains(name) }
+          if (ok) { obsSum += t; refObs += refCost(name); timedCount += 1 }
         }
       }
     }
@@ -284,23 +365,33 @@ object Bench {
       degradedFlag = true
       System.err.println("[bench] post-pass-1 check: pass 2 does not fit the " +
         "remaining budget — keeping single-pass samples")
-    } else if (mode == "single_pass_cf" && pass2Fits && skipped.isEmpty) {
+    } else if (mode == "single_pass_cf" && pass2Fits && skipped.isEmpty &&
+        lock.synchronized(autoDeferred.isEmpty)) {
       mode = "min_interleaved_2_cf"
       // the only degradation so far was the calibration verdict
-      // itself, and it just proved wrong — the artifact is a normal
-      // min-of-2 run (pass-2 budget refusals below re-set the flag)
+      // itself, and it just proved wrong (any deferrals were
+      // reclaimed above) — the artifact is a normal min-of-2 run
+      // (pass-2 budget refusals below re-set the flag)
       degradedFlag = false
       System.err.println("[bench] post-pass-1 check: the calibration probe " +
         "over-read the box (burst); pass 1's actual cost fits a full " +
         "second pass in the remaining budget — upgrading back to min-of-2")
     }
+    // pass-2/3 predictions: max(reference estimate, the query's own
+    // pass-1 sample) — the observed sample is the better predictor of
+    // a repeat, and an optimistic reference (or the no-reference 1.0
+    // default) can't sneak a repeat of a query that already proved
+    // expensive
     if (mode != "single_pass_cf") {
       for ((name, fn) <- order) {
-        val hasOne = lock.synchronized {
-          samples(name).size == 1 && !failed.contains(name)
+        val pred = lock.synchronized {
+          val ts = samples(name)
+          if (ts.size == 1 && !failed.contains(name))
+            Some(math.max(slowdown * refCost(name), ts.min))
+          else None
         }
-        if (hasOne) {
-          if (elapsedS + slowdown * refCost(name) > budgetS) degradedFlag = true
+        pred.foreach { p =>
+          if (elapsedS + p > budgetS) degradedFlag = true
           else {
             val t = timeOne(name, fn)
             lock.synchronized { samples(name) ::= t }
@@ -308,14 +399,18 @@ object Bench {
         }
       }
       for ((name, fn) <- order) {
-        val retime = lock.synchronized {
+        val pred = lock.synchronized {
           val ts = samples(name)
-          ts.nonEmpty && !failed.contains(name) &&
-            ts.min > 0.3 && ts.max / ts.min >= 1.5
+          if (ts.nonEmpty && !failed.contains(name) &&
+            ts.min > 0.3 && ts.max / ts.min >= 1.5)
+            Some(math.max(slowdown * refCost(name), ts.min))
+          else None
         }
-        if (retime && elapsedS + slowdown * refCost(name) <= budgetS) {
-          val t = timeOne(name, fn)
-          lock.synchronized { samples(name) ::= t }
+        pred.foreach { p =>
+          if (elapsedS + p <= budgetS) {
+            val t = timeOne(name, fn)
+            lock.synchronized { samples(name) ::= t }
+          }
         }
       }
     }
@@ -325,11 +420,15 @@ object Bench {
     catch { case _: IllegalStateException => () } // already shutting down
 
     // ---- report ------------------------------------------------------
-    val (results, failedNames, skippedNames) = lock.synchronized {
-      (order.map { case (name, _) =>
+    // auto-deferred queries leave the run's denominator (like an
+    // explicit tier's deferred set): the artifact reads as a planned
+    // fast-suite run with the exclusions NAMED, not as skips
+    val (results, failedNames, skippedNames, autoDeferredNames) = lock.synchronized {
+      val eff = order.filterNot { case (n, _) => autoDeferred.contains(n) }
+      (eff.map { case (name, _) =>
         val ts = samples(name)
         name -> (if (ts.isEmpty) Double.NaN else ts.min)
-      }, failed.toSeq, skipped.toSeq)
+      }, failed.toSeq, skipped.toSeq, autoDeferred.toSeq)
     }
     val failedSet = failedNames.toSet
     val skippedSet = skippedNames.toSet
@@ -352,22 +451,30 @@ object Bench {
     // (min-of-1 reads hotter than min-of-2) — surface the count so a
     // degraded total is never mistaken for a comparable one
     val singleSample = lock.synchronized {
-      order.count { case (n, _) =>
+      results.count { case (n, _) =>
         !failedSet.contains(n) && !skippedSet.contains(n) && samples(n).size == 1 }
     }
+    val nQueries = results.size
     val degraded = degradedFlag || skippedNames.nonEmpty
     val degradedLong = if (!degraded) ""
       else ",\"budget_degraded\":true,\"n_single_sample\":" + singleSample +
         ",\"skipped\":" + skippedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
     val degradedCompact = if (!degraded) ""
       else s""","budget_degraded":true,"n_single_sample":$singleSample,"n_skipped":${skippedNames.size}"""
-    val tierLong = if (tier.isEmpty) ""
-      else s""","tier":"${tier.get}","deferred":""" +
-        deferred.map("\"" + _._1 + "\"").mkString("[", ",", "]")
-    val tierCompact = if (tier.isEmpty) ""
-      else s""","tier":"${tier.get}","n_deferred":${deferred.size}"""
+    // an explicit SPARK_GRAFT_BENCH_TIER wins; otherwise a non-empty
+    // auto-deferral reports as the auto_fit tier — the deferred names
+    // are a second artifact's work list, never a silent drop
+    val (tierName, tierDeferred) =
+      if (tier.nonEmpty) (tier, deferred.map(_._1))
+      else if (autoDeferredNames.nonEmpty) (Some("auto_fit"), autoDeferredNames)
+      else (None, Seq.empty[String])
+    val tierLong = if (tierName.isEmpty) ""
+      else s""","tier":"${tierName.get}","deferred":""" +
+        tierDeferred.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val tierCompact = if (tierName.isEmpty) ""
+      else s""","tier":"${tierName.get}","n_deferred":${tierDeferred.size}"""
     def json(short: Boolean, scale: Int) =
-      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","mode":"$mode","n_timed":${timed.size},"n_queries":${order.size},"obs_on_ref":${fmt(obsOnRef, 1)},"ref_sum":${fmt(refSum, 1)},"ref_round":"$refRound","failed":$failedJson$degradedLong$tierLong,"queries":${entries(short, scale, omitNull = false).mkString("{", ",", "}")},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","mode":"$mode","n_timed":${timed.size},"n_queries":$nQueries,"obs_on_ref":${fmt(obsOnRef, 1)},"ref_sum":${fmt(refSum, 1)},"ref_round":"$refRound","failed":$failedJson$degradedLong$tierLong,"queries":${entries(short, scale, omitNull = false).mkString("{", ",", "}")},"sf":"$sfDir"}"""
     // The driver captures only the LAST ~2000 chars of sbt output
     // (every BENCH_r artifact to date shows exactly that tail) — a
     // full-suite per-query object cannot fit it. Three layers:
@@ -391,7 +498,7 @@ object Bench {
     chunks.zipWithIndex.foreach { case (c, i) =>
       println(s"""{"metric":"partial","chunk":${i + 1},"of":${chunks.size},"queries":${c.mkString("{", ",", "}")}}""")
     }
-    println(s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","mode":"$mode","n_timed":${timed.size},"n_queries":${order.size},"obs_on_ref":${fmt(obsOnRef, 1)},"ref_sum":${fmt(refSum, 1)},"ref_round":"$refRound","failed":$failedJson$degradedCompact$tierCompact,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","mode":"$mode","n_timed":${timed.size},"n_queries":$nQueries,"obs_on_ref":${fmt(obsOnRef, 1)},"ref_sum":${fmt(refSum, 1)},"ref_round":"$refRound","failed":$failedJson$degradedCompact$tierCompact,"sf":"$sfDir"}""")
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
       json(short = false, scale = 3).getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()

@@ -56,24 +56,29 @@ trait ConditionalStore {
   *    If-None-Match create; the loser of a claim race gets `false`
   *    and the fence refuses before its parquet job, same as HDFS.
   *  - [[renameOverwrite]] = read `src`, then `putIf(dst, bytes,
-  *    <generation observed when the caller last read dst>)`, then
-  *    delete `src`. The PUT is the commit point and it is PINNED to
-  *    the destination generation this writer saw: if any other
-  *    writer moved the pointer since, the precondition fails and the
-  *    swap THROWS — strictly STRONGER than HDFS rename, which would
-  *    silently last-win in that (fence-narrowed) window. A crash
-  *    after the PUT strands only the `src` temp, which the write
-  *    protocol already sweeps; a crash before it leaves the old
-  *    pointer serving. `dst` is never torn because the store's PUT
-  *    is all-or-nothing.
+  *    <generation this call observed on dst>)`, then delete `src`.
+  *    The PUT is the commit point and it is PINNED to the
+  *    destination generation this call saw: a swap landing between
+  *    that observation and the PUT fails the precondition and
+  *    THROWS — HDFS rename would silently last-win in the same
+  *    sub-window. A crash after the PUT strands only the `src`
+  *    temp, which the write protocol already sweeps; a crash before
+  *    it leaves the old pointer serving. `dst` is never torn
+  *    because the store's PUT is all-or-nothing.
   *
-  * Generation tracking: the caller of renameOverwrite (the
-  * TableStore swap) does not pass generations, so this class pins the
-  * destination's generation AT CALL TIME via one `get` — the
-  * fence-to-swap window a racer could exploit is the same one the
-  * HDFS implementation carries, and the conditional PUT then closes
-  * it at the store (TOCTOU between our `get` and `putIf` fails the
-  * precondition and throws, never last-wins). */
+  * Generation tracking — the precise claim: the caller of
+  * renameOverwrite (the TableStore swap) does not pass generations,
+  * so this class observes the destination's generation INSIDE the
+  * call via one `get`. That closes exactly the get→putIf TOCTOU at
+  * the store; a racer's swap landing EARLIER — between the caller's
+  * `v{N}._CLAIM` fence and this call's `get` — is still observed as
+  * the current generation and would be last-won over, the same
+  * residual window the HDFS implementation carries (in practice the
+  * claim fence makes that window unreachable: two writers of the
+  * same version already excluded each other at createExclusive).
+  * Genuinely closing the WHOLE fence-to-swap span would need the
+  * caller to thread the generation it observed at fence time through
+  * the seam. */
 final class ObjectStoreAtomicOps(store: ConditionalStore) extends AtomicOps {
 
   /** Object keys are flat; the Hadoop path's URI path is the key. */

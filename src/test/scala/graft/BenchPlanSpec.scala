@@ -54,4 +54,39 @@ class BenchPlanSpec extends AnyFunSuite {
     assert(!Bench.twoPassFits(elapsedS = 10, slowdown = 10.0,
       refTotalS = 552, refObsS = 1, budgetS = 1320))
   }
+
+  test("singlePassFits: the r16 driver box (5.7x, 520 s reference, 1320 s budget) cannot even single-pass") {
+    assert(Bench.singlePassFits(elapsedS = 5, slowdown = 1.0,
+      refTotalS = 520, refObsS = 5, budgetS = 1320))
+    // 5 + 5.7*(520-5) = 2940 > 1254 — the auto_fit tier must engage
+    assert(!Bench.singlePassFits(elapsedS = 5, slowdown = 5.7,
+      refTotalS = 520, refObsS = 5, budgetS = 1320))
+  }
+
+  test("budgetFitDeferrals: defers exactly the cheapest-first tail that does not fit; kept prefix then times completely") {
+    val remaining = Seq("a" -> 1.0, "b" -> 2.0, "c" -> 4.0, "d" -> 10.0)
+    // slowdown 2x, 20 s left of a 0.95*21.05≈20 s allowance:
+    // 2+4=6 fits, +8=14 fits, +20=34 does not → defer only "d"
+    assert(Bench.budgetFitDeferrals(remaining, elapsedS = 1.0,
+      slowdown = 2.0, budgetS = 22.1) == Seq("d"))
+    // ample budget → nothing deferred
+    assert(Bench.budgetFitDeferrals(remaining, elapsedS = 0.0,
+      slowdown = 1.0, budgetS = 1000.0).isEmpty)
+    // budget already exhausted → everything deferred (named, not
+    // silently skipped)
+    assert(Bench.budgetFitDeferrals(remaining, elapsedS = 50.0,
+      slowdown = 1.0, budgetS = 50.0) == Seq("a", "b", "c", "d"))
+    // the r16 driver shape: 5.7x box, 1320 s budget, a 520 s suite
+    // whose tail holds the priced audits — the kept prefix's
+    // predicted cost fits the allowance, and every deferred query is
+    // strictly more expensive than every kept one
+    val suite = (1 to 339).map(i => f"q$i%03d" -> (if (i <= 320) 0.5 else 8.0))
+    val deferred = Bench.budgetFitDeferrals(suite, elapsedS = 30.0,
+      slowdown = 5.7, budgetS = 1320.0)
+    val kept = suite.filterNot { case (n, _) => deferred.contains(n) }
+    assert(deferred.nonEmpty && kept.nonEmpty)
+    assert(30.0 + 5.7 * kept.map(_._2).sum <= 0.95 * 1320.0)
+    val keptMax = kept.map(_._2).max
+    assert(deferred.forall(n => suite.toMap.apply(n) >= keptMax))
+  }
 }
