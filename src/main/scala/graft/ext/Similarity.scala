@@ -909,6 +909,42 @@ object Similarity {
     removed
   }
 
+  /** Retention for the INDEX GROUP — the `VACUUM` analogue that
+    * completes the lifecycle (save → append/upsert → forget →
+    * expire): keep the newest `keepLast` MANIFEST versions and
+    * reclaim every member-table snapshot no kept manifest can reach.
+    * Reachability, not age, is the unit: the kept manifests' triples
+    * name exactly which member versions time travel still needs, so
+    * each member table expires its prefix below the MINIMUM version
+    * any kept manifest references (centroids/books are typically
+    * pinned at v0 by a chain of appends and expire nothing, while the
+    * corpus-sized encoded snapshots — the actual storage cost — roll
+    * off one per retired append). Orphaned member versions from
+    * crashed group writes sit ABOVE every reference and are never
+    * reclaimed here (they are newest; the next save simply skips
+    * them), matching the store's contiguous-prefix expiry. Expired
+    * versions keep the store's `_EXPIRED` breadcrumb discipline: a
+    * later [[loadIvfPq]] of a retired manifest version fails by name
+    * — "expired by retention" — never as a bare missing version.
+    * Returns the expired versions per member table. */
+  def expireIvfPqVersions(store: graft.core.TableStore, name: String,
+      keepLast: Int): Map[String, Seq[Int]] = {
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    val mvs = store.versions(s"${name}_manifest")
+    require(mvs.nonEmpty, s"index $name has no committed manifest")
+    val kept = mvs.takeRight(keepLast)
+    val triples = kept.map(mv => ivfPqManifest(store, name, Some(mv)))
+    def expireBelow(member: String, minRef: Int): Seq[Int] = {
+      val latest = latestV(store, s"$name$member")
+      store.expireVersions(s"$name$member", keepLast = latest - minRef + 1)
+    }
+    Map(
+      "encoded" -> expireBelow("_encoded", triples.map(_._1).min),
+      "centroids" -> expireBelow("_centroids", triples.map(_._2).min),
+      "books" -> expireBelow("_books", triples.map(_._3).min),
+      "manifest" -> store.expireVersions(s"${name}_manifest", keepLast))
+  }
+
   /** Recall-DRIFT monitor for long-lived appended indexes (r16
     * verdict item 3): every [[appendIvfPq]] assigns new vectors to
     * the ORIGINAL centroids, so after many appends on a drifting

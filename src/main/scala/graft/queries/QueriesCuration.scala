@@ -967,6 +967,65 @@ private[graft] object QueriesCuration {
       } finally org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
     }),
 
+    // INDEX VACUUM (r17): retention for the index GROUP — keep the
+    // newest keepLast MANIFESTS and reclaim every member snapshot no
+    // kept manifest can REACH (reachability, not age: the kept
+    // triples name exactly what time travel still needs, so the
+    // corpus-sized encoded snapshots roll off one per retired append
+    // while the append-pinned centroids/books v0 stay). The fixture:
+    // build even (manifest v0), append half the odds (v1), append the
+    // rest (v2), expire keepLast=2. In-body proofs: exactly encoded
+    // v0 + manifest v0 expired and NOTHING else (closed-form map
+    // equality); the retired manifest fails BY NAME ("expired by
+    // retention" — the store's breadcrumb discipline, never a bare
+    // missing version); kept history still time-travels (v1 loads
+    // and counts n − |second batch|). The search at full probe +
+    // corpus shortlist then hash-matches the same exact-cosine
+    // oracle as q339 — vacuum touched only unreachable history.
+    // Results freeze driver-side (50 rows) before the temp store
+    // deletes.
+    "q344_ivfpq_vacuum" -> ((s, d) => {
+      val emb = T(s, d, "embeddings")
+      val books = Similarity.pqSeededBooks(dim = 64, m = 8, ksub = 16, seed = 42L)
+      val root = java.nio.file.Files.createTempDirectory("graft-idx")
+      try {
+        val store = new graft.core.TableStore(s, root.toString)
+        val base = Similarity.ivfPqBuild(
+          emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding",
+          nCentroids = 16, books)
+        Similarity.saveIvfPq(base, store, "ann") // manifest v0 = (0,0,0)
+        base.unpersist()
+        Similarity.appendIvfPq(store, "ann",
+          emb.filter(col("vec_id") % 4 === 1), "vec_id", "embedding") // v1
+        Similarity.appendIvfPq(store, "ann",
+          emb.filter(col("vec_id") % 4 === 3), "vec_id", "embedding") // v2
+        val expired = Similarity.expireIvfPqVersions(store, "ann", keepLast = 2)
+        require(expired == Map("encoded" -> Seq(0), "centroids" -> Seq(),
+          "books" -> Seq(), "manifest" -> Seq(0)),
+          s"q344: expected exactly encoded v0 + manifest v0 reclaimed, got $expired")
+        require(store.versions("ann_encoded") == Seq(1, 2) &&
+          store.versions("ann_manifest") == Seq(1, 2) &&
+          store.versions("ann_centroids") == Seq(0) &&
+          store.versions("ann_books") == Seq(0),
+          "q344: kept history must be exactly the reachable set")
+        val gone = try { Similarity.ivfPqManifest(store, "ann", Some(0)); null }
+        catch { case e: Exception => e }
+        require(gone != null && gone.getMessage.contains("retention horizon"),
+          s"q344: a retired manifest must fail by name, got $gone")
+        val v1count = Similarity.loadIvfPq(store, "ann", Some(1)).encoded.count()
+        require(v1count == emb.count() - emb.filter(col("vec_id") % 4 === 3).count(),
+          s"q344: kept manifest v1 must still time-travel, got $v1count rows")
+        val idx = Similarity.loadIvfPq(store, "ann")
+        val out = Similarity.ivfPqSearch(idx, emb, "vec_id", "embedding",
+          emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+          k = 10, nprobe = 16, shortlist = emb.count().toInt)
+          .withColumn("rank", col("rank").cast("long"))
+        import scala.jdk.CollectionConverters._
+        val frozen = s.createDataFrame(out.collect().toSeq.asJava, out.schema)
+        frozen.orderBy(col("query_id"), col("rank"))
+      } finally org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
+    }),
+
     // Distributed centroid computation (array analytics): element-wise
     // mean of embeddings per group, exact via decimal sums. The typed
     // Aggregator twin (functions.VectorAgg.mean) is spec-covered.
@@ -2374,6 +2433,9 @@ private[graft] object QueriesCuration {
     // replayed-ingest index at full probe + corpus shortlist = the
     // same closed form (the hwm made the redelivery a no-op)
     "q343_index_ingest_replay" -> AnnTopkSql,
+    // vacuumed index at full probe + corpus shortlist = the same
+    // closed form (retention reclaimed only unreachable history)
+    "q344_ivfpq_vacuum" -> AnnTopkSql,
 
     // upserted corpus: odd ids answer with their REVERSED (re-sent)
     // vectors — the exact-cosine closed form over the post-upsert

@@ -609,6 +609,43 @@ class SimilaritySpec extends SparkSpec {
     } finally base.unpersist()
   }
 
+  test("expireIvfPqVersions: reclaims exactly the unreachable member prefix; retired manifests fail by name; orphans survive") {
+    import spark.implicits._
+    val emb = Fx.t(spark, sfDir, "embeddings")
+    val books = Similarity.pqSeededBooks(dim = 64, m = 8, ksub = 16)
+    val store = new graft.core.TableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft-annvac").toString)
+    val base = Similarity.ivfPqBuild(
+      emb.filter($"vec_id" % 2 === 0), "vec_id", "embedding",
+      nCentroids = 8, books)
+    try {
+      Similarity.saveIvfPq(base, store, "ann") // manifest v0 = (0,0,0)
+      Similarity.appendIvfPq(store, "ann",
+        emb.filter($"vec_id" % 4 === 1), "vec_id", "embedding") // v1
+      Similarity.appendIvfPq(store, "ann",
+        emb.filter($"vec_id" % 4 === 3), "vec_id", "embedding") // v2
+      // an ORPHANED encoded write (crashed group, no manifest): sits
+      // above every reference — retention must not touch it
+      store.write("ann_encoded", base.encoded.limit(1))
+      val expired = Similarity.expireIvfPqVersions(store, "ann", keepLast = 2)
+      assert(expired == Map("encoded" -> Seq(0), "centroids" -> Seq(),
+        "books" -> Seq(), "manifest" -> Seq(0)))
+      assert(store.versions("ann_encoded") == Seq(1, 2, 3),
+        "the orphan above the kept references must survive")
+      assert(store.versions("ann_manifest") == Seq(1, 2))
+      // retired manifest fails BY NAME; kept ones still time travel
+      val e = intercept[Exception] { Similarity.loadIvfPq(store, "ann", Some(0)) }
+      assert(e.getMessage.contains("retention horizon"))
+      assert(Similarity.loadIvfPq(store, "ann", Some(1)).encoded.count() ==
+        emb.count() - emb.filter($"vec_id" % 4 === 3).count())
+      assert(Similarity.loadIvfPq(store, "ann").encoded.count() == emb.count())
+      // idempotent: a second vacuum with the same horizon is a no-op
+      assert(Similarity.expireIvfPqVersions(store, "ann", keepLast = 2) ==
+        Map("encoded" -> Seq(), "centroids" -> Seq(),
+          "books" -> Seq(), "manifest" -> Seq()))
+    } finally base.unpersist()
+  }
+
   test("ivfPqRecallDrift: boundary-straddling drift halves recall@2 at nprobe=1 and flips the verdict (q342's exact-value twin)") {
     import spark.implicits._
     def v(entries: (Int, Double)*): Seq[Double] = {
