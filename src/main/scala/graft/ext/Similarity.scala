@@ -355,21 +355,9 @@ object Similarity {
       nCentroids: Int, kmeansIters: Int = 5, sampleFactor: Int = 40,
       broadcastCentroids: Boolean = true): IvfIndex = {
     requireIntegralId(corpus, idCol, "ivfBuild")
-    val c = corpus.repartition(col(idCol)).select(col(idCol).as("__id"),
-      l2Normalize(col(vecCol).cast("array<double>")).as("__v"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val c = normalizedById(corpus, idCol, vecCol)
     val n = c.count() // also materializes the persist for the passes below
-    val target = math.max(nCentroids.toLong * sampleFactor, nCentroids.toLong)
-    val ratio = math.max(1L, n / math.max(1L, target))
-    // deterministic bounded sample: hash-thin to ~target rows, then a
-    // distributed top-k by id (TakeOrderedAndProject — never a global sort)
-    val sample: Array[Array[Double]] = c
-      .filter(pmod(xxhash64(col("__id")), lit(ratio)) === 0)
-      .orderBy(col("__id"))
-      .limit((target * 2).toInt)
-      .select(col("__v")).collect()
-      .map(_.getSeq[Double](0).toArray)
-    val cents = lloyds(sample, nCentroids, kmeansIters)
+    val cents = trainCentroids(c, n, nCentroids, kmeansIters, sampleFactor)
     val spark = corpus.sparkSession
     import spark.implicits._
     val centroids = cents.zipWithIndex.toSeq
@@ -397,6 +385,35 @@ object Similarity {
           .select(col("__id"), col("__v"), col("centroid_id"))
       }
     IvfIndex(assigned, centroids, Some(c))
+  }
+
+  /** The shared build prologue: id-spread, L2-normalized, PERSISTED
+    * corpus projection — the one frame the count, k-means sample, and
+    * assignment/encode passes all read. */
+  private def normalizedById(corpus: DataFrame, idCol: String,
+      vecCol: String): DataFrame =
+    corpus.repartition(col(idCol)).select(col(idCol).as("__id"),
+      l2Normalize(col(vecCol).cast("array<double>")).as("__v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /** Bounded-sample spherical k-means over the persisted normalized
+    * corpus (`n` = its row count, already materialized): hash-thin to
+    * ~sampleFactor·C rows, distributed top-k by id
+    * (TakeOrderedAndProject — never a global sort), Lloyd's
+    * driver-side. Extracted from [[ivfBuild]] so [[ivfPqBuild]]'s
+    * fused path trains identically (bit-for-bit: same sample, same
+    * iterations). */
+  private def trainCentroids(c: DataFrame, n: Long, nCentroids: Int,
+      kmeansIters: Int, sampleFactor: Int): Array[Array[Double]] = {
+    val target = math.max(nCentroids.toLong * sampleFactor, nCentroids.toLong)
+    val ratio = math.max(1L, n / math.max(1L, target))
+    val sample: Array[Array[Double]] = c
+      .filter(pmod(xxhash64(col("__id")), lit(ratio)) === 0)
+      .orderBy(col("__id"))
+      .limit((target * 2).toInt)
+      .select(col("__v")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    lloyds(sample, nCentroids, kmeansIters)
   }
 
   /** Spherical k-means (Lloyd's) over an in-memory sample: cosine
@@ -631,27 +648,87 @@ object Similarity {
     def unpersist(): Unit = backing.foreach(_.unpersist())
   }
 
-  /** Build the IVF-PQ composition: one IVF build (bounded-sample
-    * k-means, broadcast assignment) plus one PQ encode over the same
-    * corpus, joined on id — the assignment side is already
-    * hash-partitioned by id, so the join exchanges only the (id,
-    * codes) frame, never the vectors. Codes encode the NORMALIZED
+  /** FUSED centroid assignment + PQ encode over an id-keyed,
+    * L2-NORMALIZED frame (`__id`, `__v`) — one broadcast of the
+    * C + m·ksub constant rows (centroids tagged kind 0, codewords
+    * kind 1) fanned out per row, then ONE aggregate keyed on `__id`
+    * whose per-kind `max_by` picks reproduce [[ivfBuild]]'s broadcast
+    * assignment and [[pqEncode]]'s broadcast encode bit for bit (same
+    * dot/score expressions, same lowest-id/lowest-code tie-break via
+    * the (score, −id) struct; `max_by` ignores the null ordering
+    * values the kind/subspace guards leave on foreign rows). This is
+    * r17 guide-§2.4 shuffle removal: the previous composition ran the
+    * assignment aggregate, the encode's two aggregates, AND an id
+    * join to stitch them — three exchanges plus a join where one
+    * id-partitioned aggregate suffices. On an id-partitioned input
+    * the whole fused pass plans with NO additional exchange
+    * (pinned in PlanShapeSpec). */
+  private def fusedEncodeAssign(rows: DataFrame, centroids: DataFrame,
+      books: PqBooks): DataFrame = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    val bookRows = for { j <- 0 until books.m; cI <- 0 until books.ksub }
+      yield (1, j, cI, books.books(j)(cI).toSeq, books.halfNormSq(j)(cI))
+    val bf = bookRows.toDF("__kind", "__i1", "__i2", "__vec", "__h")
+    val cf = centroids.select(lit(0).as("__kind"),
+      col("centroid_id").cast("int").as("__i1"), lit(0).as("__i2"),
+      col("__cv").as("__vec"), lit(0.0).as("__h"))
+    val s = when(col("__kind") === 0, dot(col("__v"), col("__vec")))
+      .otherwise(dot(slice(col("__v"), col("__i1") * books.ds + 1,
+        lit(books.ds)), col("__vec")) - col("__h"))
+    val scored = rows.crossJoin(broadcast(cf.unionByName(bf)))
+      .select(col("__id"), col("__kind"), col("__i1"), col("__i2"),
+        s.as("__s"))
+    def pick(cond: Column, idc: Column): Column =
+      max_by(when(cond, idc), when(cond, struct(col("__s"), -idc)))
+    scored.groupBy(col("__id")).agg(
+        pick(col("__kind") === 0, col("__i1")).as("centroid_id"),
+        array((0 until books.m).map(j =>
+          pick(col("__kind") === 1 && col("__i1") === j,
+            col("__i2"))): _*).as("codes"))
+      .select(col("__id"), col("centroid_id"), col("codes"))
+  }
+
+  /** Build the IVF-PQ composition. Codes encode the NORMALIZED
     * VECTOR directly (the IVFFlat-PQ hybrid), not the centroid
     * residual — residual encoding would buy a little ADC precision at
     * the cost of a per-row centroid lookup before every encode, and
     * the exact rerank in [[ivfPqSearch]] recovers full precision
-    * anyway. */
+    * anyway.
+    *
+    * The default (broadcast-constants) arm runs the
+    * [[fusedEncodeAssign]] single-pass: one bounded k-means train,
+    * then ONE id-keyed aggregate producing (id, centroid_id, codes) —
+    * the r16 shape (assignment aggregate + two encode aggregates + an
+    * id join) spent three exchanges and a join on what one aggregate
+    * over the already-id-partitioned corpus computes; outputs are bit
+    * identical (same scores, same tie-breaks — spec-pinned against
+    * the composed form). The literal arm (`broadcastConstants =
+    * false`) keeps the oracle-replayable composition: narrow literal
+    * projections joined on id. */
   def ivfPqBuild(corpus: DataFrame, idCol: String, vecCol: String,
       nCentroids: Int, books: PqBooks, kmeansIters: Int = 5,
       sampleFactor: Int = 40, broadcastConstants: Boolean = true): IvfPqIndex = {
-    val idx = ivfBuild(corpus, idCol, vecCol, nCentroids, kmeansIters,
-      sampleFactor, broadcastCentroids = broadcastConstants)
-    val enc = pqEncode(corpus, idCol, vecCol, books,
-      broadcastBooks = broadcastConstants)
-      .withColumnRenamed(idCol, "__id")
-    val encoded = idx.assigned.join(enc, Seq("__id"))
-      .select(col("__id"), col("centroid_id"), col("codes"))
-    IvfPqIndex(encoded, idx.centroids, books, idx.backing)
+    if (broadcastConstants) {
+      requireIntegralId(corpus, idCol, "ivfPqBuild")
+      val c = normalizedById(corpus, idCol, vecCol)
+      val n = c.count() // materializes the persist for the passes below
+      val cents = trainCentroids(c, n, nCentroids, kmeansIters, sampleFactor)
+      val spark = corpus.sparkSession
+      import spark.implicits._
+      val centroids = cents.zipWithIndex.toSeq
+        .map { case (v, i) => (i, v) }.toDF("centroid_id", "__cv")
+      IvfPqIndex(fusedEncodeAssign(c, centroids, books), centroids, books,
+        Some(c))
+    } else {
+      val idx = ivfBuild(corpus, idCol, vecCol, nCentroids, kmeansIters,
+        sampleFactor, broadcastCentroids = false)
+      val enc = pqEncode(corpus, idCol, vecCol, books, broadcastBooks = false)
+        .withColumnRenamed(idCol, "__id")
+      val encoded = idx.assigned.join(enc, Seq("__id"))
+        .select(col("__id"), col("centroid_id"), col("codes"))
+      IvfPqIndex(encoded, idx.centroids, books, idx.backing)
+    }
   }
 
   /** IVF-PQ search — the production ANN recipe (the IVFADC shape,
@@ -793,8 +870,15 @@ object Similarity {
     * index (the manifest still names the previous consistent
     * triple). None = current manifest. */
   def loadIvfPq(store: graft.core.TableStore, name: String,
-      version: Option[Int] = None): IvfPqIndex = {
-    val (encV, cenV, bkV) = ivfPqManifest(store, name, version)
+      version: Option[Int] = None): IvfPqIndex =
+    loadIvfPqAt(store, name, ivfPqManifest(store, name, version))
+
+  /** [[loadIvfPq]] with the manifest triple already in hand — callers
+    * that just read the manifest for their own bookkeeping (append's
+    * carried centroids_v/books_v) skip a second manifest read. */
+  private def loadIvfPqAt(store: graft.core.TableStore, name: String,
+      triple: (Int, Int, Int)): IvfPqIndex = {
+    val (encV, cenV, bkV) = triple
     val b = store.readVersion(s"${name}_books", bkV).head()
     val books = PqBooks(b.getInt(0), b.getInt(1), b.getInt(2),
       b.getSeq[scala.collection.Seq[scala.collection.Seq[Double]]](3)
@@ -813,20 +897,11 @@ object Similarity {
     * returns (__id, centroid_id, codes). Batch-sized: broadcast
     * centroids/books, no corpus participation. */
   private[graft] def encodeAssign(batch: DataFrame, idCol: String,
-      vecCol: String, centroids: DataFrame, books: PqBooks): DataFrame = {
-    val b = batch.select(col(idCol).as("__id"),
-      l2Normalize(col(vecCol).cast("array<double>")).as("__v"))
-    val best = b.crossJoin(broadcast(centroids))
-      .select(col("__id"), col("centroid_id"),
-        dot(col("__v"), col("__cv")).as("__s"))
-      .groupBy(col("__id"))
-      .agg(max_by(col("centroid_id"),
-        struct(col("__s"), -col("centroid_id"))).as("centroid_id"))
-    val enc = pqEncode(batch, idCol, vecCol, books)
-      .withColumnRenamed(idCol, "__id")
-    best.join(enc, Seq("__id"))
-      .select(col("__id"), col("centroid_id"), col("codes"))
-  }
+      vecCol: String, centroids: DataFrame, books: PqBooks): DataFrame =
+    fusedEncodeAssign( // one aggregate, not [agg + 2-agg encode + join]
+      batch.select(col(idCol).as("__id"),
+        l2Normalize(col(vecCol).cast("array<double>")).as("__v")),
+      centroids, books)
 
   /** Incremental index MAINTENANCE (r15 verdict next-round item 6) —
     * UPSERT semantics (r16 verdict item 1): encode a document batch
@@ -862,8 +937,9 @@ object Similarity {
       batch: DataFrame, idCol: String, vecCol: String): Unit = {
     requireIntegralId(batch, idCol, "appendIvfPq")
     implicit val spark: SparkSession = batch.sparkSession
-    val (_, cenV, bkV) = ivfPqManifest(store, name)
-    val cur = loadIvfPq(store, name)
+    val triple = ivfPqManifest(store, name)
+    val (_, cenV, bkV) = triple
+    val cur = loadIvfPqAt(store, name, triple) // one manifest read, not two
     val dup = batch.agg(count(lit(1)), count_distinct(col(idCol))).head()
     val (nRows, nIds) = (dup.getLong(0), dup.getLong(1))
     require(nRows == nIds,

@@ -878,9 +878,15 @@ private[graft] object QueriesCuration {
         val p0 = pairs.withColumn("c", (col("m") % 8).cast("int"))
           .join(broadcast(an), Seq("c"))
           .withColumn("b", zip_with(col("a"), col("x"), (av, xv) => av + xv * 0.25))
+        // persisted (r17): the fixture frames feed the build, the
+        // append, AND the monitor's per-version corpus joins (~4 scans
+        // per manifest version) — unpersisted, the anchor-join +
+        // zip_with construction replays on every pass (measured: the
+        // single largest slice of q342's 19.5 s baseline)
         val base = p0.select((col("m") * 2).as("vec_id"), col("b").as("embedding"))
           .union(p0.select((col("m") * 2 + 1).as("vec_id"),
             zip_with(col("b"), col("y"), (bv, yv) => bv + yv * 0.02).as("embedding")))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         // drift: 64 pairs ON the midline between anchors c1 and c2 —
         // each member's bucket decided by its OWN 0.3·noise tilt
         val dp = pairs.filter(col("m") < 64)
@@ -893,6 +899,7 @@ private[graft] object QueriesCuration {
             zip_with(col("mid"), col("x"), (bv, xv) => bv + xv * 0.3).as("embedding"))
           .union(dp.select((lit(n) + col("m") * 2 + 1).as("vec_id"),
             zip_with(col("mid"), col("y"), (bv, yv) => bv + yv * 0.3).as("embedding")))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val idx = Similarity.ivfPqBuild(base, "vec_id", "embedding",
           nCentroids = 16, books)
         Similarity.saveIvfPq(idx, store, "ann") // manifest v0

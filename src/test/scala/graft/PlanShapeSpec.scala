@@ -108,6 +108,28 @@ class PlanShapeSpec extends SparkSpec {
     } finally idx.unpersist()
   }
 
+  test("fused IVF-PQ build: one id-keyed aggregate, no join, no shuffle above the cached corpus (r17)") {
+    // the r16 composition planned the assignment aggregate, the
+    // encode's two aggregates AND an id join (three exchanges + a
+    // join); the fused pass must plan as ONE broadcast fan-out + ONE
+    // aggregate riding the build's id partitioning
+    val books = graft.ext.Similarity.pqSeededBooks(dim = 64, m = 8, ksub = 16)
+    val idx = graft.ext.Similarity.ivfPqBuild(
+      core.Fx.t(spark, sfDir, "embeddings"), "vec_id", "embedding",
+      nCentroids = 4, books)
+    try {
+      val p = plan(idx.encoded)
+      assert(p.contains("BroadcastNestedLoopJoin"),
+        "constants must broadcast-join, not embed as literals: " + p)
+      val aboveCache = p.substring(0, math.max(0, p.indexOf("InMemoryRelation")))
+      assert("[+:]- Exchange ".r.findFirstIn(aboveCache).isEmpty,
+        "fused encode must reuse the build's id partitioning (no shuffle): " + p)
+      Seq("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin").foreach(op =>
+        assert(!aboveCache.contains(op),
+          s"fused encode must not stitch with a join ($op): " + p))
+    } finally idx.unpersist()
+  }
+
   test("IVF search broadcasts the probe side — the corpus never shuffles for candidates") {
     val emb = core.Fx.t(spark, sfDir, "embeddings")
     val idx = graft.ext.Similarity.ivfBuild(emb, "vec_id", "embedding", nCentroids = 4)

@@ -102,6 +102,32 @@ class SimilaritySpec extends SparkSpec {
     } finally idx.unpersist()
   }
 
+  test("fused ivfPqBuild == composed ivfBuild + pqEncode + id join, row for row (r17 fusion)") {
+    // the r17 single-aggregate encode must reproduce the r16
+    // composition bit for bit: same assignment (broadcast argmax,
+    // lowest-centroid tie), same codes (per-subspace argmax, lowest
+    // code tie), stitched without the id join
+    val emb = Fx.t(spark, sfDir, "embeddings")
+    val books = Similarity.pqSeededBooks(dim = 64, m = 8, ksub = 16, seed = 42L)
+    val fused = Similarity.ivfPqBuild(emb, "vec_id", "embedding",
+      nCentroids = 16, books)
+    val idx = Similarity.ivfBuild(emb, "vec_id", "embedding", nCentroids = 16)
+    try {
+      val composed = idx.assigned.join(
+          Similarity.pqEncode(emb, "vec_id", "embedding", books)
+            .withColumnRenamed("vec_id", "__id"), Seq("__id"))
+        .select($"__id", $"centroid_id", $"codes")
+      assert(fused.encoded.exceptAll(composed).isEmpty &&
+        composed.exceptAll(fused.encoded).isEmpty)
+      // encodeAssign (the append/upsert encode) rides the same fused
+      // pass — against the SAME centroids it must equal the build
+      val viaAssign = Similarity.encodeAssign(emb, "vec_id", "embedding",
+        fused.centroids, books)
+      assert(fused.encoded.exceptAll(viaAssign).isEmpty &&
+        viaAssign.exceptAll(fused.encoded).isEmpty)
+    } finally { fused.unpersist(); idx.unpersist() }
+  }
+
   test("non-integral id columns are refused loudly (the heap keys on long)") {
     val emb = Seq(("a", Seq(1.0, 0.0)), ("b", Seq(0.0, 1.0))).toDF("id", "v")
     val e = intercept[IllegalArgumentException] {
