@@ -1513,10 +1513,15 @@ object Dedup {
     val gram = concat_ws(" ", parts: _*)
     val gramHash =
       if (portable) TextOps.portableHash64(0, gram) else xxhash64(gram)
+    // persisted (r17, the noveltyScore barrier): the gram frame feeds
+    // BOTH the distinct-doc frequency gate and the semi-join probe —
+    // unpersisted, the tokenize + per-doc lead window (the expensive
+    // exchange+sort of the whole exploded corpus) replays twice
     val grams = tok.select(col(idCol), col("__pos").cast("long").as("__pos"),
         gramHash.as("__h"),
         lead(col("__tok"), gramLen - 1).over(seq).isNotNull.as("__full"))
       .filter(col("__full"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val hot = grams.select(col("__h"), col(idCol)).distinct()
       .groupBy(col("__h")).agg(count(lit(1)).as("__df"))
       .filter(col("__df") >= minDocs).select(col("__h"))
@@ -1858,6 +1863,10 @@ object Dedup {
       .agg(count(lit(1)).as("__df"),
         array_sort(collect_set(col("__src"))).as("__srcs"))
       .filter(col("__df") <= dfCap)
+      // persisted (r17): perShingle feeds BOTH the per-source totals
+      // and the pair explode — unpersisted, the full tokenize+shingle
+      // +aggregate pass replays twice (the expensive half of q165)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val totals = perShingle
       .select(explode(col("__srcs")).as("__src"))
       .groupBy(col("__src")).agg(count(lit(1)).as("__n"))

@@ -147,9 +147,15 @@ object Stats {
     * contingency cells; margins and N are cell-level aggregates
     * broadcast back onto the cells. */
   def chiSquare(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    // persisted (r17): the contingency aggregate feeds FIVE consumers
+    // (row/col margins, total, the grid join, the dims aggregate) —
+    // unpersisted, the upstream scan (often an expensive classifier
+    // column, e.g. q256's langId) replays once per consumer. The
+    // cached frame is cell-count-sized.
     val obs = df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
       .groupBy(col(aCol).as("__a"), col(bCol).as("__b"))
       .agg(count(lit(1)).as("__o"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val rt = obs.groupBy(col("__a")).agg(sum(col("__o")).as("__r"))
     val ct = obs.groupBy(col("__b")).agg(sum(col("__o")).as("__c"))
     val tot = obs.agg(sum(col("__o")).as("__n"))
@@ -201,7 +207,11 @@ object Stats {
       // distinct-value aggregate + the range-bucketed two-phase prefix
       // sum (the cumCountsByValue shape) — a large value domain never
       // becomes one window partition; 2·midrank = 2·(cum − cnt) + cnt + 1
+      // persisted (r17, the cumCountsByValue rule): the domain-sized
+      // aggregate feeds an EAGER approxQuantile plus the in-bucket
+      // window and the bucket-total branch — three evaluations
       val agg = clean.groupBy(col(c).as("__v")).agg(count(lit(1)).as("__cnt"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val withB = agg.withColumn("__bkt",
         Sampling.rangeBucketExpr(agg, col("__v"), 32))
       val w = Window.partitionBy(col("__bkt")).orderBy(col("__v"))
@@ -251,9 +261,12 @@ object Stats {
     * listwise. One contingency aggregate + margin-sized joins.
     * Returns (n, agree, kappa_ppm). */
   def cohensKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    // persisted (r17, the chiSquare rule): obs feeds the agreement
+    // total and both margins — one classifier scan, not three
     val obs = df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
       .groupBy(col(aCol).as("__a"), col(bCol).as("__b"))
       .agg(count(lit(1)).as("__o"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tot = obs.agg(sum(col("__o")).as("__n"),
       sum(when(col("__a") === col("__b"), col("__o")).otherwise(0L)).as("__d"))
     val rt = obs.groupBy(col("__a").as("__k")).agg(sum(col("__o")).as("__r"))
@@ -852,11 +865,16 @@ object Stats {
     val base = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
       .select(col(xCol).cast("string").as("__x"),
         col(yCol).cast("string").as("__y"))
+    // persisted + margins derived FROM the cells (r17): base fed four
+    // independent aggregates (cells, both margins, the total), so the
+    // input scanned four times; the margins are exact sums over the
+    // cell counts, so one persisted cell-sized aggregate serves all
     val cells = base.groupBy(col("__x"), col("__y"))
       .agg(count(lit(1)).as("__o"))
-    val rowsM = base.groupBy(col("__x")).agg(count(lit(1)).as("__r"))
-    val colsM = base.groupBy(col("__y")).agg(count(lit(1)).as("__c"))
-    val nTot = base.agg(count(lit(1)).cast(Dec).as("__tot"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rowsM = cells.groupBy(col("__x")).agg(sum(col("__o")).as("__r"))
+    val colsM = cells.groupBy(col("__y")).agg(sum(col("__o")).as("__c"))
+    val nTot = cells.agg(sum(col("__o")).cast(Dec).as("__tot"))
     val grid = rowsM.crossJoin(broadcast(colsM)).crossJoin(broadcast(nTot))
       .join(cells, Seq("__x", "__y"), "left")
       .na.fill(0L, Seq("__o"))

@@ -625,10 +625,13 @@ private[graft] object QueriesAnalytics {
       // BIGRAM vocabulary: the fixture's unigram lexicon is tiny and
       // saturates in the first docs; word PAIRS keep appearing —
       // the curve a Heaps'-law audit actually reads
-      val firstDoc = docsSpread(s, d) // spread: single-split explode rule
-        .select(col("doc_id"),
-          explode(TextOps.shingles(TextOps.tokens(col("text")), 2)).as("__t"))
-        .groupBy(col("__t")).agg(min(col("doc_id")).as("__first"))
+      // shingleRows, not explode(shingles(...)): the HOF transform is
+      // interpreted (~5× slower/row, the TextOps scaladoc note); the
+      // lead-window form emits the same bigram multiset fully
+      // codegen'd, and docsSpread's id partitioning feeds the window
+      // without a new exchange (r17; same rows, same min-doc result)
+      val firstDoc = TextOps.shingleRows(docsSpread(s, d), "doc_id", "text", 2)
+        .groupBy(col("shingle")).agg(min(col("doc_id")).as("__first"))
       val bounds = T(s, d, "documents")
         .agg(min(col("doc_id")).as("__lo"), max(col("doc_id")).as("__hi"))
       val w = Window.orderBy(col("quartile"))
