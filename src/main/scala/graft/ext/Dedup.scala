@@ -2018,8 +2018,12 @@ object Dedup {
     val sh = TextOps.shingleRows(
       evalDocs.repartition(col(idCol)), idCol, textCol, shingleN)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // persisted (r17): the per-doc shingle sets join BOTH pair sides
+    // of the exact-truth frame — unpersisted, the collect_set
+    // aggregate over the cached shingle rows runs twice
     val sets = sh.groupBy(col(idCol))
       .agg(collect_set(col("shingle")).as("__set"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val shared = sh.select(col(idCol).as("a"), col("shingle"))
       .join(sh.select(col(idCol).as("b"), col("shingle")), Seq("shingle"))
       .filter(col("a") < col("b"))
