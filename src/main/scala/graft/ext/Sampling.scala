@@ -524,7 +524,11 @@ object Sampling {
           col("b.__bkt") < col("a.__bkt"), "left")
       .groupBy(col("a." + keyCol).as(keyCol), col("a.__bkt").as("__bkt"))
       .agg(coalesce(sum(col("b.__tot")), lit(0L)).as("__off"))
-    val nPerKey = withB.groupBy(col(keyCol)).agg(count(lit(1)).as("__n"))
+    // per-key n derives from the (key, bucket) cells — exact long sums
+    // of the same counts (the cramersV margins-from-cells rule), one
+    // fewer row-sized pass
+    val nPerKey = tot.groupBy(col(keyCol))
+      .agg(coalesce(sum(col("__tot")), lit(0L)).as("__n"))
     val qArr = array(qPermilles.distinct.sorted.map(lit(_)): _*)
     rn.join(broadcast(offsets), Seq(keyCol, "__bkt"))
       .join(broadcast(nPerKey), Seq(keyCol))
@@ -573,7 +577,10 @@ object Sampling {
           col("b.__bkt") < col("a.__bkt"), "left")
       .groupBy(col("a." + keyCol).as(keyCol), col("a.__bkt").as("__bkt"))
       .agg(coalesce(sum(col("b.__tot")), lit(0L)).as("__off"))
-    val wPerKey = withB.groupBy(col(keyCol)).agg(sum(col("__w")).as("__wt"))
+    // per-key weight derives from the (key, bucket) cells — exact long
+    // sums of the same weights, one fewer row-sized pass
+    val wPerKey = tot.groupBy(col(keyCol))
+      .agg(coalesce(sum(col("__tot")), lit(0L)).as("__wt"))
     cum.join(broadcast(offsets), Seq(keyCol, "__bkt"))
       .join(broadcast(wPerKey), Seq(keyCol))
       .withColumn("__cw", col("__off") + col("__cum"))
@@ -609,7 +616,10 @@ object Sampling {
       .join(broadcast(tot.as("b")), col("b.__bkt") < col("a.__bkt"), "left")
       .groupBy(col("a.__bkt").as("__bkt"))
       .agg(coalesce(sum(col("b.__tot")), lit(0L)).as("__off"))
-    val n = withB.agg(count(lit(1)).as("__n"))
+    // the grand total derives from the bucket cells — one fewer pass
+    // (empty input: sum-over-empty reads NULL where count read 0, but
+    // rn is empty then, so the crossJoined readout is empty either way)
+    val n = tot.agg(coalesce(sum(col("__tot")), lit(0L)).as("__n"))
     rn.join(broadcast(offsets), Seq("__bkt"))
       .crossJoin(broadcast(n))
       .withColumn("rank", col("__off") + col("__rn"))
@@ -644,7 +654,10 @@ object Sampling {
           col("b.__bkt") < col("a.__bkt"), "left")
       .groupBy(col("a." + keyCol).as(keyCol), col("a.__bkt").as("__bkt"))
       .agg(coalesce(sum(col("b.__tot")), lit(0L)).as("__off"))
-    val nPerKey = withB.groupBy(col(keyCol)).agg(count(lit(1)).as("__n"))
+    // per-key n derives from the (key, bucket) cells — exact long sums
+    // of the same counts, one fewer row-sized pass
+    val nPerKey = tot.groupBy(col(keyCol))
+      .agg(coalesce(sum(col("__tot")), lit(0L)).as("__n"))
     // NTILE fill rule: with n rows and t tiles, the first (n mod t)
     // tiles hold ceil(n/t) rows, the rest floor(n/t). All-INTEGER
     // arithmetic (`div`, never `/` — Spark's `/` is double division).

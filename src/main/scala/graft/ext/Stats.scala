@@ -1081,8 +1081,11 @@ object Stats {
           col("b.__bkt") < col("a.__bkt"), "left")
       .groupBy(col("a." + keyCol).as(keyCol), col("a.__bkt").as("__bkt"))
       .agg(coalesce(sum(col("b.__tot")), lit(0L)).as("__off"))
-    // k = ceil((n+1)·(1e6 − α)/1e6), exact integer ceil-div
-    val nPerKey = withB.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
+    // k = ceil((n+1)·(1e6 − α)/1e6), exact integer ceil-div; per-key n
+    // derives from the (key, bucket) cells — exact long sums of the
+    // same counts, one fewer row-sized pass
+    val nPerKey = tot.groupBy(col(keyCol))
+      .agg(coalesce(sum(col("__tot")), lit(0L)).as("n"))
       .withColumn("k_rank",
         expr(s"((n + 1L) * ${1000000L - alphaPpm}L + 999999L) div 1000000L"))
     val hit = rn.join(broadcast(offsets), Seq(keyCol, "__bkt"))

@@ -757,10 +757,15 @@ private[graft] object QueriesCuration {
           .select(col("vec_id"),
             col("embedding").cast("array<double>").as("embedding"))
           .union(resent)
+        // persisted + one action (r17): both except directions read
+        // `expected` (a corpus-encode aggregate) — unpersisted, two
+        // separate isEmpty jobs ran the encode twice; the union of the
+        // two residual frames is empty iff both directions are
         val expected = Similarity.encodeAssign(upserted, "vec_id",
           "embedding", idx.centroids, idx.books)
-        require(expected.exceptAll(idx.encoded).isEmpty &&
-          idx.encoded.exceptAll(expected).isEmpty,
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        require(expected.exceptAll(idx.encoded)
+          .union(idx.encoded.exceptAll(expected)).isEmpty,
           "q340: upserted index must equal a full re-encode of the " +
             "upserted corpus under the same codebook (stale or " +
             "duplicate rows present)")
