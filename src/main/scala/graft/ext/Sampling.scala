@@ -38,7 +38,13 @@ object Sampling {
     val bounds =
       if (probes.isEmpty) Array.empty[Double]
       else Option(df.select(qCol.cast("double").as("__rbq"))
-          .stat.approxQuantile("__rbq", probes, 0.001))
+          // 0.01 relative error (r17, was 0.001): bounds only need
+          // MONOTONICITY — any estimate yields bit-identical results
+          // downstream (the contract above) — and the GK sketch is
+          // ~10x smaller per partition, so the eager probe pass
+          // merges less state; bucket balance at 32 buckets moves
+          // ±1% of rank at worst
+          .stat.approxQuantile("__rbq", probes, 0.01))
         .getOrElse(Array.empty[Double]).filterNot(_.isNaN).distinct.sorted
     bounds.foldLeft(lit(0)) { (acc, b) =>
       acc + when(qCol.cast("double") > lit(b), 1).otherwise(0)
@@ -358,7 +364,7 @@ object Sampling {
     val probes = (1 until globalBuckets).map(_.toDouble / globalBuckets).toArray
     val bounds =
       if (probes.isEmpty) Array.empty[Double]
-      else Option(withNeg.stat.approxQuantile("__negq", probes, 0.001))
+      else Option(withNeg.stat.approxQuantile("__negq", probes, 0.01)) // monotone-only bounds (r17): see rangeBucketExpr
         .getOrElse(Array.empty[Double]).filterNot(_.isNaN).distinct.sorted
     val bucket = bounds.foldLeft(lit(0)) { (acc, b) =>
       acc + when(col("__negq") > lit(b), 1).otherwise(0)
@@ -429,7 +435,7 @@ object Sampling {
       val probes = (1 until globalBuckets).map(_.toDouble / globalBuckets).toArray
       val bounds =
         if (probes.isEmpty) Array.empty[Double]
-        else Option(df.stat.approxQuantile(orderCol, probes, 0.001))
+        else Option(df.stat.approxQuantile(orderCol, probes, 0.01)) // monotone-only bounds (r17): see rangeBucketExpr
           .getOrElse(Array.empty[Double]).filterNot(_.isNaN).distinct.sorted
       val bucket = bounds.foldLeft(lit(0)) { (acc, b) =>
         acc + when(col(orderCol).cast("double") > lit(b), 1).otherwise(0)
@@ -637,7 +643,7 @@ object Sampling {
     val probes = (1 until globalBuckets).map(_.toDouble / globalBuckets).toArray
     val bounds =
       if (probes.isEmpty) Array.empty[Double]
-      else Option(withNeg.stat.approxQuantile("__negq", probes, 0.001))
+      else Option(withNeg.stat.approxQuantile("__negq", probes, 0.01)) // monotone-only bounds (r17): see rangeBucketExpr
         .getOrElse(Array.empty[Double]).filterNot(_.isNaN).distinct.sorted
     val bucket = bounds.foldLeft(lit(0)) { (acc, b) =>
       acc + when(col("__negq") > lit(b), 1).otherwise(0)

@@ -733,7 +733,7 @@ private[graft] object QueriesAnalytics {
       // machinery inlined over one constant key)
       val probes = (1 until 32).map(_.toDouble / 32).toArray
       val withQ = spend.withColumn("__q", col("__cents").cast("double"))
-      val bounds = Option(withQ.stat.approxQuantile("__q", probes, 0.001))
+      val bounds = Option(withQ.stat.approxQuantile("__q", probes, 0.01)) // monotone-only bounds (r17)
         .getOrElse(Array.empty[Double]).filterNot(_.isNaN).distinct.sorted
       val bucket = bounds.foldLeft(lit(0)) { (acc, b) =>
         acc + when(col("__q") > lit(b), 1).otherwise(0)
