@@ -49,7 +49,11 @@ import org.apache.spark.sql.SparkSession
   *    degraded artifact is no longer informationally empty.
   *  - CHUNKED PARTIALS: per-query values stream as
   *    `{"metric":"partial",...}` lines sized for the driver's
-  *    ~2000-char stdout tail window, ahead of the compact line.
+  *    ~2000-char stdout tail window, ahead of the final line.
+  *  - FINAL LINE WITH QUERIES (r18, r17 verdict item 2): the final
+  *    `{"metric":"total",...}` line itself carries a "queries" map
+  *    of the most expensive timed queries, packed to fit the tail
+  *    window (`packEntries`), plus `queries_omitted`.
   *
   * `SPARK_GRAFT_BENCH_TIER` (r15 verdict item 5): `fast` runs only
   * queries under the 5 s reference bar (the deliberately-priced
@@ -121,6 +125,25 @@ object Bench {
     remaining.flatMap { case (n, c) =>
       acc += slowdown * c
       if (acc > allow) Some(n) else None
+    }
+  }
+
+  /** Layer-3 packing (r18, fixes r17 verdict item 2). The driver
+    * json-parses the FINAL stdout line for a "queries" map but reads
+    * only the last ~2000 chars of sbt output — the full 344-query map
+    * (~4.3k chars) cannot fit that window, and the r16/r17 compact
+    * final line carried NO map at all, so PERF recorded parsed:null
+    * two rounds running. Greedy prefix: keep rendered `"qNN":s.ss`
+    * entries (callers pass them MOST EXPENSIVE FIRST — the set a perf
+    * audit compares) while they fit `budgetChars` including the
+    * joining commas. The complete map still streams in the partial
+    * chunks above the final line and lands in bench_out.json. */
+  private[graft] def packEntries(entries: Seq[String], budgetChars: Int): Seq[String] = {
+    var used = 0
+    entries.takeWhile { e =>
+      val fits = used + e.length + 1 <= budgetChars
+      if (fits) used += e.length + 1
+      fits
     }
   }
 
@@ -484,9 +507,11 @@ object Bench {
     //     window always ends with whole chunks, cheapest queries
     //     first (the expensive tail — the queries a perf audit reads
     //     first — lands in the LAST, most-visible chunk);
-    //  3. the compact summary line LAST — headline total, counts,
-    //     and the obs_on_ref/ref_sum anchor: ~250 guaranteed-visible
-    //     chars that stay comparable whatever subset got timed.
+    //  3. the summary line LAST — headline total, counts, the
+    //     obs_on_ref/ref_sum anchor, AND (r18) a packed "queries"
+    //     map of the most expensive timed queries that fits the
+    //     window whole, so the driver's last-line parse recovers
+    //     per-query data again (r17 verdict item 2).
     val perQuery = entries(short = true, scale = 2, omitNull = true)
     val chunkMax = 1400
     val chunks = perQuery.foldLeft(List.empty[List[String]]) { (acc, e) =>
@@ -498,7 +523,20 @@ object Bench {
     chunks.zipWithIndex.foreach { case (c, i) =>
       println(s"""{"metric":"partial","chunk":${i + 1},"of":${chunks.size},"queries":${c.mkString("{", ",", "}")}}""")
     }
-    println(s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","mode":"$mode","n_timed":${timed.size},"n_queries":$nQueries,"obs_on_ref":${fmt(obsOnRef, 1)},"ref_sum":${fmt(refSum, 1)},"ref_round":"$refRound","failed":$failedJson$degradedCompact$tierCompact,"sf":"$sfDir"}""")
+    // Layer 3 (r18 measurement-report fix, r17 verdict item 2): the
+    // FINAL line now carries a "queries" map again — r16/r17 printed
+    // the map only in the chunks and the driver parsed nothing two
+    // rounds running. The full map cannot fit the ~2000-char tail
+    // window, so the line packs the MOST EXPENSIVE timed queries
+    // (2-decimal qNN keys, the subset a perf comparison needs) up to
+    // a 1800-char line budget and names the omission count; timing
+    // methodology, anchors, chunk layer and bench_out.json are
+    // byte-identical to the r17 shapes.
+    val byCostDesc = timed.sortBy { case (_, v) => -v }
+      .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v, 2) }
+    def finalLine(qs: Seq[String]): String =
+      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","mode":"$mode","n_timed":${timed.size},"n_queries":$nQueries,"obs_on_ref":${fmt(obsOnRef, 1)},"ref_sum":${fmt(refSum, 1)},"ref_round":"$refRound","failed":$failedJson$degradedCompact$tierCompact,"queries_omitted":${byCostDesc.size - qs.size},"queries":${qs.mkString("{", ",", "}")},"sf":"$sfDir"}"""
+    println(finalLine(packEntries(byCostDesc, 1800 - finalLine(Nil).length)))
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
       json(short = false, scale = 3).getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()

@@ -89,4 +89,44 @@ class BenchPlanSpec extends AnyFunSuite {
     val keptMax = kept.map(_._2).max
     assert(deferred.forall(n => suite.toMap.apply(n) >= keptMax))
   }
+
+  test("packEntries: greedy prefix honors the char budget including commas; full-suite map packs ~130 entries into the tail window") {
+    // exact budget arithmetic: each entry costs length + 1 (comma/cursor)
+    val es = Seq("\"q1\":1.23", "\"q22\":0.5", "\"q333\":10.35")
+    assert(Bench.packEntries(es, 9 + 1) == es.take(1))
+    assert(Bench.packEntries(es, 9 + 1 + 9 + 1) == es.take(2))
+    assert(Bench.packEntries(es, 1000) == es)
+    assert(Bench.packEntries(es, 0).isEmpty)
+    // prefix semantics: a too-large head blocks the tail (most
+    // expensive first is the caller's contract — no cherry-picking
+    // cheap entries past an expensive one)
+    assert(Bench.packEntries(Seq("x" * 50, "\"q2\":1"), 20).isEmpty)
+    // the r18 driver-contract shape: 344 timed queries rendered as
+    // "qNN":s.ss, most expensive first, must fill a ~1500-char map
+    // budget with >= 100 entries and never exceed it
+    val suite = (1 to 344).map(i => s""""q$i":${(i % 19) + 1}.${i % 100}""")
+    val packed = Bench.packEntries(suite, 1500)
+    assert(packed.size >= 100)
+    assert(packed.map(_.length + 1).sum <= 1500)
+    assert(packed == suite.take(packed.size))
+  }
+
+  test("final bench line stays inside the driver's 2000-char tail window and json-parses with a non-empty queries map") {
+    // replicate main's finalLine shape with the r17 field inventory
+    // and prove the packed render obeys the window (the regression
+    // that blinded PERF two rounds: a final line with NO queries map)
+    def finalLine(qs: Seq[String], omitted: Int): String =
+      s"""{"metric":"total","value":397.656,"unit":"sec","mode":"min_interleaved_2_cf","n_timed":344,"n_queries":344,"obs_on_ref":361,"ref_sum":521.1,"ref_round":"r16","failed":[],"queries_omitted":$omitted,"queries":${qs.mkString("{", ",", "}")},"sf":"/root/testdata/sf0.1"}"""
+    val entries = (1 to 344).map(i => s""""q$i":${(i % 19) + 1}.${i % 100}""")
+    val packed = Bench.packEntries(entries, 1800 - finalLine(Nil, entries.size).length)
+    val line = finalLine(packed, entries.size - packed.size)
+    assert(line.length <= 1800)
+    assert(packed.size >= 100)
+    // real JSON parse (Jackson is on Spark's classpath): the last
+    // line alone must yield the non-empty per-query map
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(line)
+    assert(node.get("metric").asText == "total")
+    assert(node.get("queries").size == packed.size && node.get("queries").size > 0)
+    assert(node.get("queries_omitted").asInt == 344 - packed.size)
+  }
 }
