@@ -1848,17 +1848,43 @@ object Dedup {
     * cardinality (crawl/provenance labels, ≤ ~10⁴) — with millions of
     * sources the per-shingle set itself becomes the blowup and a
     * different contract (pairwise sampling) applies. Output is at most
-    * |sources|² rows. */
+    * |sources|² rows.
+    *
+    * `idCol` (optional): a column that uniquely identifies document
+    * ROWS. When given, the shingle pass runs through the codegen'd
+    * [[TextOps.shingleRows]] (posexplode + lead window on one doc-key
+    * exchange) instead of the interpreted `shingles` higher-order
+    * function — ~5× on the corpus scan (the q193 move, guide §4); the
+    * per-doc distinct that `array_distinct` provided inline becomes a
+    * (doc, shingle) dedup that rides the window's own partitioning
+    * (no extra exchange). Results are identical as long as `idCol` is
+    * row-unique; empty (the default) keeps the id-free HOF path for
+    * callers without a row key. */
   def sourceOverlap(docs: DataFrame, sourceCol: String, textCol: String,
-      n: Int = 3, dfCap: Int = 100): DataFrame = {
+      n: Int = 3, dfCap: Int = 100, idCol: String = ""): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
     require(dfCap >= 1, s"dfCap must be >= 1, got $dfCap")
     // one row per (doc, distinct shingle); ONE aggregate keyed on the
     // shingle carries both the df gate and the source set
-    val perShingle = docs.filter(col(textCol).isNotNull)
-      .select(col(sourceCol).as("__src"),
-        explode(array_distinct(
-          TextOps.shingles(TextOps.tokens(col(textCol)), n))).as("__g"))
+    val docShingle =
+      if (idCol.isEmpty)
+        docs.filter(col(textCol).isNotNull)
+          .select(col(sourceCol).as("__src"),
+            explode(array_distinct(
+              TextOps.shingles(TextOps.tokens(col(textCol)), n))).as("__g"))
+      else {
+        // the doc key carries the source along as a struct field, so
+        // the whole pass needs exactly ONE exchange (by __key): window
+        // shingling, then the per-doc dedup — HashPartitioning(__key)
+        // satisfies the (__key, shingle) clustering — both ride it
+        val keyed = docs.filter(col(textCol).isNotNull)
+          .select(struct(col(idCol).as("__id"), col(sourceCol).as("__s"))
+            .as("__key"), col(textCol))
+        TextOps.shingleRows(keyed.repartition(col("__key")), "__key", textCol, n)
+          .dropDuplicates("__key", "shingle")
+          .select(col("__key.__s").as("__src"), col("shingle").as("__g"))
+      }
+    val perShingle = docShingle
       .groupBy(col("__g"))
       .agg(count(lit(1)).as("__df"),
         array_sort(collect_set(col("__src"))).as("__srcs"))

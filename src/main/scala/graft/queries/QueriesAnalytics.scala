@@ -208,10 +208,14 @@ private[graft] object QueriesAnalytics {
     // Cross-source contamination matrix (ext.Dedup.sourceOverlap):
     // shared distinct 3-gram shingles per source pair behind the q44
     // df gate, with integer Jaccard — the provenance-level audit run
-    // before document-level dedup.
+    // before document-level dedup. idCol engages the codegen'd
+    // shingleRows pass (r18, guide §4 — the q193 move); doc_id is the
+    // fixture's row key, so results are identical by the operator's
+    // row-uniqueness contract.
     "q165_source_overlap" -> ((s, d) =>
       graft.ext.Dedup.sourceOverlap(
-        T(s, d, "documents"), "source", "text", n = 3, dfCap = 100)
+        T(s, d, "documents"), "source", "text", n = 3, dfCap = 100,
+        idCol = "doc_id")
         .orderBy(col("src_a"), col("src_b"))),
 
     // Robust location/scale with NO per-group sort: median and MAD

@@ -854,6 +854,29 @@ class DedupSpec extends SparkSpec {
     assert(gated.isEmpty, "df gate must remove the only shared shingle")
   }
 
+  test("sourceOverlap: codegen shingleRows path (idCol) == interpreted HOF path, row for row") {
+    // duplicate texts both WITHIN a source (df counts each doc row) and
+    // ACROSS sources, short docs below the shingle width, and a null
+    // text — every branch the per-doc distinct must survive
+    val docs = Seq(
+      (1L, "s1", "alpha beta gamma delta epsilon"),
+      (2L, "s1", "alpha beta gamma delta epsilon"),
+      (3L, "s2", "zero alpha beta gamma other words here"),
+      (4L, "s2", "alpha beta gamma"),
+      (5L, "s3", "completely unrelated body of text with many words"),
+      (6L, "s3", "too short"),
+      (7L, "s1", null)
+    ).toDF("doc_id", "source", "text")
+    for (cap <- Seq(1, 2, 100)) {
+      val hof = Dedup.sourceOverlap(docs, "source", "text", n = 3, dfCap = cap)
+        .orderBy("src_a", "src_b").collect().toSeq
+      val cg = Dedup.sourceOverlap(docs, "source", "text", n = 3, dfCap = cap,
+        idCol = "doc_id").orderBy("src_a", "src_b").collect().toSeq
+      assert(cg == hof, s"dfCap=$cap: codegen path diverged from HOF path")
+    }
+    spark.catalog.clearCache()
+  }
+
   test("fuzzyJoin: typos match their original, beyond-bound rows drop, ties break to the smaller id") {
     import org.apache.spark.sql.functions.{col, substring}
     val clean = Seq((1L, "alpha-0001"), (2L, "alpha-0002"), (3L, "gamma-0001"))
