@@ -303,7 +303,10 @@ object Dedup {
     * round past convergence). The bound is caller-owned truth: an
     * UNDERSTATED bound returns a non-converged labeling with no
     * error (DedupSpec pins exactly that), so gate queries using it
-    * must be hash-pinned against a closed form — q259 is.
+    * must be hash-pinned against a closed form — q259 is. (Pre-bound
+    * rounds keep their checks even under an asserted bound: the
+    * check action doubles as the round's cache materializer — see
+    * the r18 negative-result note in the loop.)
     *
     * `saltBuckets`: HUB-GRAPH skew protection. A power-law graph (one
     * boilerplate cluster holding a double-digit share of all edges)
@@ -391,7 +394,14 @@ object Dedup {
           + (col(bCol).isNotNull && dstCast.isNull).cast("long"))
           .as("__bad"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val nBad = eFlagged.agg(sum(col("__bad")).as("n")).head().getAs[Any]("n")
+    // ONE pre-flight aggregate (r18: was two actions — the badness
+    // check and the fast-path size probe each scanned the cache):
+    // badness, edge count and null count come off a single pass
+    val pre = eFlagged.agg(sum(col("__bad")).as("bad"),
+      count(lit(1)).as("n"),
+      sum(when(col("src").isNull || col("dst").isNull, 1L).otherwise(0L))
+        .as("nulls")).head()
+    val nBad: Any = pre.getAs[Any]("bad")
     nBad match {
       case n: java.lang.Long if n > 0L =>
         eFlagged.unpersist()
@@ -414,11 +424,8 @@ object Dedup {
       }
     }
     if (fastPathIds && localEdgeLimit > 0) {
-      val st = e.agg(count(lit(1)).as("n"),
-        sum(when(col("src").isNull || col("dst").isNull, 1L).otherwise(0L))
-          .as("nulls")).first()
-      val nE = st.getLong(0)
-      val nNull = if (st.isNullAt(1)) 0L else st.getLong(1)
+      val nE = pre.getAs[Long]("n")
+      val nNull = if (pre.isNullAt(2)) 0L else pre.getAs[Long]("nulls")
       if (nE <= localEdgeLimit && nNull == 0) {
         val pairs = e.select(col("src").cast("long"), col("dst").cast("long"))
           .collect().map(r => (r.getLong(0), r.getLong(1)))
@@ -522,6 +529,16 @@ object Dedup {
     def noLabelDecreased(next: DataFrame, cur: DataFrame): Boolean = next
       .join(cur.select(col("id"), col("label").as("__old")), "id")
       .filter(col("label") < col("__old")).isEmpty
+    // NOTE (r18 negative result, kept for the record): skipping the
+    // pre-bound convergence checks when `assumeConvergedAfter` is
+    // asserted looks like pure win (each check is an extra action),
+    // but the checks are load-bearing MATERIALIZERS — they fill each
+    // round's persist before the next round's consumers touch it.
+    // Without them, AQE materializes the doubling join's x/y exchange
+    // stages CONCURRENTLY and both race to compute the unfilled
+    // caches (prop, next, labels0, active), recomputing whole rounds:
+    // q259 measured 11.4 -> 15.2 s solo with the checks skipped.
+    // The checks stay.
     var prevSum = if (integralIds) labelSum(labels) else null
     var it = 0
     var done = false
@@ -567,7 +584,9 @@ object Dedup {
         .persist(StorageLevel.MEMORY_AND_DISK)
       // labels only decrease ⇒ fixpoint ⇔ nothing decreased this round;
       // a caller-asserted bound skips the check (and the confirming
-      // round it would otherwise buy) on its final round
+      // round it would otherwise buy) on its final round — pre-bound
+      // checks stay: they double as the round's cache materializer
+      // (see the negative-result note above)
       if (assumeConvergedAfter.exists(_ <= it + 1)) {
         done = true
       } else if (integralIds) {
