@@ -1061,8 +1061,15 @@ object Similarity {
       val ids = idx.encoded.select(col("__id").cast("long"))
         .orderBy(col("__id").desc).limit(nEval)
         .as[Long].collect().toSeq
+      // persisted + materialized (r18): the version-restricted corpus
+      // feeds the eval-query filter, the brute-force truth AND the
+      // index search — all consumed inside ONE overlap action, whose
+      // concurrently-materialized AQE stages would otherwise race to
+      // recompute the corpus⋈ids join once per consumer
       val inIndex = corpus.join(
         broadcast(idx.encoded.select(col("__id").as(idCol))), Seq(idCol))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      inIndex.count()
       val evalQ = inIndex.filter(col(idCol).isin(ids: _*))
       val truth = bruteForceTopK(inIndex, idCol, vecCol,
         evalQ, idCol, vecCol, k)
@@ -1071,6 +1078,7 @@ object Similarity {
       val overlap = rankedOverlap(truth, cand, "query_id", "nn_id", k)
         .agg(sum(col("n_overlap")), count(lit(1))).head()
       val (hits, nq) = (overlap.getLong(0), overlap.getLong(1))
+      inIndex.unpersist()
       val recallPpm = hits * 1000000L / (nq * k)
       (mv, nq, recallPpm,
         if (recallPpm >= thresholdPpm) "ok" else "retrain")
