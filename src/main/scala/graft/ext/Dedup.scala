@@ -993,8 +993,15 @@ object Dedup {
       .select(col(idCol),
         concat(col("__w"), lit("#"), col("__r").cast("string")).as("shingle"))
     val sig = minhashSignatureFromRows(ex, idCol, k, portable = true)
+    // the candidate pairs feed BOTH the intersection aggregate and the
+    // final join, inside the caller's one materializing action —
+    // unpersisted, the signature aggregate (k min-hashes over the
+    // tf-expanded element stream, the expensive half) and the banded
+    // self-join replay once per consumer (r18; the minhashNearDups
+    // persist-the-signatures precedent). Pair lists are dedup-small.
     val cand = lshCandidatesGuarded(sig, idCol, k, bands, portable = true,
       maxBucketSize = maxBucketSize)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val sums = tf.groupBy(col(idCol)).agg(sum(col("__c")).as("__s"))
     val inter = cand
       .join(tf.select(col(idCol).as("a"), col("__w"), col("__c").as("__ca")), Seq("a"))
@@ -1013,7 +1020,7 @@ object Dedup {
           .otherwise(PortableDiv.nonNeg(lit(1000000L) * col("__i"), denom))
           .as("jw_ppm"))
       .filter(col("jw_ppm") >= thresholdPpm)
-    IncrementalDedup(result, () => { tf.unpersist(); () })
+    IncrementalDedup(result, () => { tf.unpersist(); cand.unpersist(); () })
   }
 
   /** Full MinHash+LSH near-dup pipeline: signature → banding → candidate
