@@ -141,6 +141,19 @@ final class TableStore(spark: SparkSession, root: String,
     atomicOps: Option[AtomicOps] = None) {
   private val VersionDir = "v(\\d+)".r
   private val ClaimFile = "v(\\d+)\\._CLAIM".r
+  // Snapshot-read memo (r18; guide §6 — repeated listings): committed
+  // snapshots are IMMUTABLE, so the DataFrame for a (table, version)
+  // pair — its file listing and the 1-task parquet schema-inference
+  // job a fresh `spark.read.parquet` runs — can be built once per
+  // store instance and reused by every later read. The index gates
+  // re-read the same snapshot many times (manifest per load, encoded
+  // per search/audit); each fresh read paid listing + schema job +
+  // analysis. Only POINTER-COMMITTED versions ever enter (both read
+  // paths check the pointer first), so a phantom dir a later write
+  // overwrites can never be served stale. Entries drop when their
+  // files can vanish: expireVersions and drop invalidate.
+  private val snapshotMemo =
+    scala.collection.concurrent.TrieMap.empty[(String, Int), DataFrame]
   private def fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
   /** Default [[AtomicOps]]: native HDFS/local atomicity (see the
     * trait's per-store-class matrix for where this is NOT enough). */
@@ -225,7 +238,8 @@ final class TableStore(spark: SparkSession, root: String,
   def read(name: String): DataFrame = {
     val v = currentVersion(name).getOrElse(
       throw new IllegalArgumentException(s"no such table: $name"))
-    spark.read.parquet(new Path(tableDir(name), s"v$v").toString)
+    snapshotMemo.getOrElseUpdate((name, v),
+      spark.read.parquet(new Path(tableDir(name), s"v$v").toString))
   }
 
   /** All COMMITTED snapshot versions of a table, ascending — every
@@ -277,7 +291,8 @@ final class TableStore(spark: SparkSession, root: String,
         currentVersion(name).exists(version <= _),
       s"no committed snapshot v$version of table $name " +
         s"(committed: ${versions(name).mkString(",")})")
-    spark.read.parquet(dest.toString)
+    snapshotMemo.getOrElseUpdate((name, version),
+      spark.read.parquet(dest.toString))
   }
 
   /** Write a new snapshot then atomically swap the pointer.
@@ -428,8 +443,10 @@ final class TableStore(spark: SparkSession, root: String,
     doomed.map(_.getName)
   }
 
-  def drop(name: String): Unit =
+  def drop(name: String): Unit = {
+    snapshotMemo.keys.filter(_._1 == name).foreach(snapshotMemo.remove)
     if (fs.exists(tableDir(name))) fs.delete(tableDir(name), true)
+  }
 
   /** Compaction: rewrite the CURRENT snapshot as a new version with a
     * controlled file layout (small-files repair after many incremental
@@ -484,6 +501,9 @@ final class TableStore(spark: SparkSession, root: String,
       keep.write.mode("overwrite")
         .parquet(new Path(tableDir(name), s"v$v").toString)
       keep.unpersist()
+      // erasure is the ONE in-place rewrite of committed history —
+      // the memoized frame (and its bound file listing) is stale now
+      snapshotMemo.remove((name, v))
     }
     removed
   }
@@ -512,6 +532,7 @@ final class TableStore(spark: SparkSession, root: String,
     val vs = versions(name)
     val doomed = vs.dropRight(keepLast)
     doomed.foreach { v =>
+      snapshotMemo.remove((name, v))
       // marker first: a kill between the two leaves an extra marker
       // next to a still-readable dir, and readVersion prefers the
       // existing dir — never the other way around (dir gone, no name)
