@@ -548,16 +548,31 @@ object Dedup {
     var useShortcut = shortcut
     // salted propagation: the edge side hashes dst into k buckets, the
     // label side replicates into every bucket — the hot src key's rows
-    // land on k tasks instead of one (see saltBuckets scaladoc)
+    // land on k tasks instead of one (see saltBuckets scaladoc).
+    // The salted edge frame is persisted PRE-PARTITIONED on the join
+    // keys (src, __salt) (r18, guide §2.4): the per-round propagation
+    // join then reads the cache's partitioning instead of re-shuffling
+    // the whole edge list every round — the hot src still spreads k
+    // ways because the salt derives from dst, so the deterministic
+    // skew protection is intact; only the (small, per-round) label
+    // side pays an exchange. Unsalted loops keep both sides as fresh
+    // shuffles ON PURPOSE: that shape is what lets AQE's in-loop
+    // skew-split fire (CcSkewSpec), the protection the AutoSalt
+    // arbitration stands the salt down for.
     val saltCols = if (resolvedSalt > 1)
       Some(array((0 until resolvedSalt).map(lit): _*)) else None
+    val saltedSym = saltCols.map { _ =>
+      sym.withColumn("__salt",
+          pmod(xxhash64(col("dst")), lit(resolvedSalt.toLong)))
+        .repartition(col("src"), col("__salt"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    }
     while (!done && it < maxIter) {
       if (!useShortcut && autoShortcutAfter > 0 && it >= autoShortcutAfter)
         useShortcut = true
       val prop0 = saltCols match {
         case Some(buckets) =>
-          val symS = sym.withColumn("__salt",
-            pmod(xxhash64(col("dst")), lit(resolvedSalt.toLong)))
+          val symS = saltedSym.get
           val labS = labels.withColumn("__salt", explode(buckets))
           symS.join(labS, symS("src") === labS("id") &&
               symS("__salt") === labS("__salt").cast("long"))
@@ -614,7 +629,8 @@ object Dedup {
       it += 1
     }
     if (!done) {
-      sym.unpersist(); labelsCache.unpersist(); eFlagged.unpersist()
+      sym.unpersist(); saltedSym.foreach(_.unpersist())
+      labelsCache.unpersist(); eFlagged.unpersist()
       active.unpersist()
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds — " +
@@ -634,6 +650,7 @@ object Dedup {
       .persist(StorageLevel.MEMORY_AND_DISK)
     out.count()
     sym.unpersist()
+    saltedSym.foreach(_.unpersist())
     labelsCache.unpersist()
     eFlagged.unpersist()
     active.unpersist()
