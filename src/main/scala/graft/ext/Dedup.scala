@@ -2089,10 +2089,17 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // persisted (r17): the per-doc shingle sets join BOTH pair sides
     // of the exact-truth frame — unpersisted, the collect_set
-    // aggregate over the cached shingle rows runs twice
+    // aggregate over the cached shingle rows runs twice.
+    // MATERIALIZED eagerly (r18): the audit's single readout action
+    // consumes sh on both sides of the shared-shingle self-join and
+    // sets on both truth sides CONCURRENTLY (AQE stage
+    // materialization) — left lazy, the racing stages each recompute
+    // the unfilled tokenize+window corpus pass. One count() fills the
+    // sh cache (sets' parent) and the sets cache in one job.
     val sets = sh.groupBy(col(idCol))
       .agg(collect_set(col("shingle")).as("__set"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sets.count()
     val shared = sh.select(col(idCol).as("a"), col("shingle"))
       .join(sh.select(col(idCol).as("b"), col("shingle")), Seq("shingle"))
       .filter(col("a") < col("b"))
